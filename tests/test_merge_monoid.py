@@ -1,0 +1,88 @@
+"""Monoid property: profile(A) ⊕ profile(B) == profile(A ∪ B).
+
+Mirrors the reference's merge tests
+(python/tests/core/view/test_dataset_profile_view.py) — exact components
+must match exactly; sketch estimates must stay within error bounds.
+"""
+
+import json
+
+import pytest
+
+import whylogs_spark as wsp
+
+
+@pytest.fixture(scope="module")
+def halves(lineitem):
+    a = lineitem.filter("l_orderkey % 2 = 0")
+    b = lineitem.filter("l_orderkey % 2 = 1")
+    return a, b
+
+
+def test_merge_equals_whole(lineitem, halves):
+    a, b = halves
+    whole = wsp.profile(lineitem)
+    merged = wsp.merge_profiles([wsp.profile(a), wsp.profile(b)])
+
+    def getall(view):
+        rows = view.df.collect()
+        return {
+            (r["column"], r["metric"], r["component"]): r for r in rows
+        }
+
+    w = getall(whole)
+    m = getall(merged)
+
+    # exact components identical
+    for key, wr in w.items():
+        col, metric, component = key
+        if component in ("kll", "mg", "hll", "items") or component.startswith("q_") \
+                or component == "median":
+            continue
+        assert key in m, key
+        mr = m[key]
+        if wr["n"] is not None:
+            assert mr["n"] == wr["n"], key
+        if wr["d"] is not None:
+            if component in ("est", "lower", "upper"):
+                assert mr["d"] == pytest.approx(wr["d"], rel=0.05), key
+            else:
+                assert mr["d"] == pytest.approx(wr["d"], rel=1e-6), key
+
+    # quantiles of merged sketch close to whole-data quantiles
+    for col in ("l_quantity", "l_extendedprice"):
+        med_w = w[(col, "distribution", "median")]["d"]
+        med_m = m[(col, "distribution", "median")]["d"]
+        lo = w[(col, "distribution", "min")]["d"]
+        hi = w[(col, "distribution", "max")]["d"]
+        assert abs(med_m - med_w) <= 0.05 * (hi - lo) + 1e-9
+
+
+def test_merge_repartition_invariance(lineitem):
+    """⊕ over k partitions == whole, for k in {1, 7}."""
+    whole = wsp.profile(lineitem)
+    parts = [
+        wsp.profile(lineitem.filter(f"l_orderkey % 7 = {i}")) for i in range(7)
+    ]
+    merged = wsp.merge_profiles(parts)
+    n_w = whole.get_component("l_quantity", "counts", "n")
+    n_m = merged.get_component("l_quantity", "counts", "n")
+    assert n_w == n_m
+    sd_w = whole.get_component("l_quantity", "distribution", "stddev")
+    sd_m = merged.get_component("l_quantity", "distribution", "stddev")
+    assert sd_m == pytest.approx(sd_w, rel=1e-6)
+
+
+def test_merged_frequent_items_bounds(lineitem, halves):
+    a, b = halves
+    merged = wsp.merge_profiles([wsp.profile(a), wsp.profile(b)])
+    items = json.loads(
+        merged.get_component("l_returnflag", "frequent_items", "items"))
+    truth = {
+        r["l_returnflag"]: r["cnt"]
+        for r in lineitem.groupBy("l_returnflag").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    got = {it["value"]: it for it in items}
+    for val, cnt in truth.items():
+        assert got[val]["lower"] <= cnt <= got[val]["upper"]

@@ -1,0 +1,109 @@
+"""Core profiling spine: exact metrics vs pandas/duckdb oracles.
+
+Mirrors the reference's metric unit tests
+(python/tests/core/metrics/test_metrics.py) but with the driver's
+synthetic tables as inputs.
+"""
+
+import json
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import whylogs_spark as wsp
+
+
+@pytest.fixture(scope="module")
+def li_view(lineitem):
+    return wsp.profile(lineitem).cache()
+
+
+@pytest.fixture(scope="module")
+def li_pdf(lineitem):
+    return lineitem.toPandas()
+
+
+def comp(view, col, metric, component):
+    return view.get_component(col, metric, component)
+
+
+def test_counts(li_view, li_pdf):
+    n = len(li_pdf)
+    assert comp(li_view, "l_quantity", "counts", "n") == n
+    assert comp(li_view, "l_orderkey", "counts", "null") == int(
+        li_pdf["l_orderkey"].isna().sum())
+    assert comp(li_view, "l_quantity", "counts", "nan") == 0
+
+
+def test_types(li_view, li_pdf):
+    n = len(li_pdf)
+    assert comp(li_view, "l_orderkey", "types", "integral") == n
+    assert comp(li_view, "l_orderkey", "types", "fractional") == 0
+    assert comp(li_view, "l_returnflag", "types", "string") == n
+    assert comp(li_view, "l_shipdate", "types", "temporal") == n
+
+
+def test_distribution_exact(li_view, li_pdf):
+    s = li_pdf["l_extendedprice"]
+    assert comp(li_view, "l_extendedprice", "distribution", "mean") == \
+        pytest.approx(s.mean(), rel=1e-9)
+    assert comp(li_view, "l_extendedprice", "distribution", "stddev") == \
+        pytest.approx(s.std(ddof=1), rel=1e-9)
+    assert comp(li_view, "l_extendedprice", "distribution", "min") == \
+        pytest.approx(s.min())
+    assert comp(li_view, "l_extendedprice", "distribution", "max") == \
+        pytest.approx(s.max())
+
+
+def test_ints(li_view, li_pdf):
+    assert comp(li_view, "l_linenumber", "ints", "min") == int(
+        li_pdf["l_linenumber"].min())
+    assert comp(li_view, "l_linenumber", "ints", "max") == int(
+        li_pdf["l_linenumber"].max())
+
+
+def test_quantiles_within_rank_error(li_view, li_pdf):
+    s = li_pdf["l_quantity"].dropna().to_numpy()
+    for qname, q in [("q_01", 0.01), ("median", 0.5), ("q_99", 0.99)]:
+        est = comp(li_view, "l_quantity", "distribution", qname)
+        rank = (s <= est).mean()
+        assert abs(rank - q) < 0.02, (qname, est, rank)
+
+
+def test_cardinality(li_view, li_pdf):
+    true_card = li_pdf["l_returnflag"].nunique()
+    est = comp(li_view, "l_returnflag", "cardinality", "est")
+    assert est == pytest.approx(true_card, rel=0.05)
+    true_ok = li_pdf["l_orderkey"].nunique()
+    est_ok = comp(li_view, "l_orderkey", "cardinality", "est")
+    assert est_ok == pytest.approx(true_ok, rel=0.05)
+
+
+def test_frequent_items(li_view, li_pdf):
+    items = json.loads(comp(li_view, "l_returnflag", "frequent_items", "items"))
+    got = {it["value"]: it for it in items}
+    true = li_pdf["l_returnflag"].value_counts()
+    # low-cardinality column -> MG is exact
+    for val, cnt in true.items():
+        assert val in got
+        assert got[val]["lower"] <= cnt <= got[val]["upper"]
+    top_true = true.index[0]
+    assert items[0]["value"] == top_true
+
+
+def test_summary_shape(li_view, lineitem):
+    wide = li_view.to_pandas()
+    assert set(wide["column"]) == set(lineitem.columns)
+    assert "counts/n" in wide.columns
+    assert "distribution/mean" in wide.columns
+
+
+def test_timestamp_profiled(li_view, li_pdf):
+    lo = comp(li_view, "l_shipdate", "distribution", "min")
+    hi = comp(li_view, "l_shipdate", "distribution", "max")
+    assert lo is not None and hi is not None and lo <= hi
+    ts = pd.to_datetime(li_pdf["l_shipdate"])
+    assert int(lo) == int(ts.min().value // 1_000_000)
+    assert int(hi) == int(ts.max().value // 1_000_000)

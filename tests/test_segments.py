@@ -1,0 +1,65 @@
+"""Segmentation parity (reference: python/tests/api/logger/test_segments.py).
+
+Per-segment profiles must equal the profile of the filtered whole table,
+and ⊕ over segments must equal the unsegmented profile.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import whylogs_spark as wsp
+
+
+@pytest.fixture(scope="module")
+def seg_view(lineitem):
+    return wsp.profile(
+        lineitem, segment_by=["l_returnflag"], columns=["l_quantity"]
+    ).cache()
+
+
+def test_segment_counts_match_filtered(seg_view, lineitem):
+    rows = seg_view.df.filter(
+        (F.col("metric") == "counts") & (F.col("component") == "n")
+    ).collect()
+    for r in rows:
+        seg = json.loads(r["segment"])
+        flag = seg["l_returnflag"]
+        expected = lineitem.filter(F.col("l_returnflag") == flag).count()
+        assert r["n"] == expected, (flag, r["n"], expected)
+
+
+def test_segment_mean_matches_filtered(seg_view, lineitem):
+    rows = seg_view.df.filter(
+        (F.col("metric") == "distribution") & (F.col("component") == "mean")
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        flag = json.loads(r["segment"])["l_returnflag"]
+        expected = (
+            lineitem.filter(F.col("l_returnflag") == flag)
+            .agg(F.avg("l_quantity"))
+            .collect()[0][0]
+        )
+        assert r["d"] == pytest.approx(expected, rel=1e-9)
+
+
+def test_segment_quantiles_present_per_segment(seg_view):
+    rows = seg_view.df.filter(F.col("component") == "median").collect()
+    segs = {json.loads(r["segment"])["l_returnflag"] for r in rows}
+    assert segs == {"A", "N", "R"}
+
+
+def test_null_segment_key(spark):
+    df = spark.createDataFrame(
+        [(1.0, "x"), (2.0, "x"), (3.0, None)], ["v", "k"]
+    )
+    view = wsp.profile(df, segment_by=["k"])
+    rows = view.df.filter(
+        (F.col("column") == "v")
+        & (F.col("metric") == "counts")
+        & (F.col("component") == "n")
+    ).collect()
+    by_seg = {json.loads(r["segment"])["k"]: r["n"] for r in rows}
+    assert by_seg == {"x": 2, "None": 1}

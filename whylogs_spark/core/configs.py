@@ -1,0 +1,44 @@
+"""Metric configuration.
+
+Mirrors the knobs of the reference engine's ``MetricConfig``
+(reference: python/whylogs/core/configs.py:9-41) so benchmark comparisons
+are apples-to-apples: KLL k=256 (1024 when ``large_kll_k``), HLL lg_k=12,
+frequent-items 128 slots, 128-char string truncation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+
+@dataclass(frozen=True)
+class MetricConfig:
+    # Sketch sizing (parity with reference defaults).
+    kll_k: int = 256
+    large_kll_k: bool = False
+    hll_lg_k: int = 12
+    fi_capacity: int = 128          # frequent-items slots (lg_max_k=10 -> 128)
+    max_frequent_item_size: int = 128  # string truncation length
+
+    # Quantiles surfaced in summaries (reference: q_01..q_99 + median).
+    quantiles: List[float] = field(
+        default_factory=lambda: [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    )
+
+    # Engine strategy knobs (ours, not the reference's):
+    #   "native"  -> Spark JVM approx_percentile (fast, not mergeable)
+    #   "kll"     -> numpy KLL sketch via mapInArrow (mergeable, bytes stored)
+    quantile_impl: str = "kll"
+    # frequent items: "sketch" (Misra-Gries via mapInArrow) | "none"
+    frequent_items_impl: str = "sketch"
+    # cardinality: "hll" (Spark DataSketches hll_sketch_agg, mergeable bytes)
+    #            | "approx" (approx_count_distinct, estimate only)
+    cardinality_impl: str = "hll"
+
+    @property
+    def effective_kll_k(self) -> int:
+        return 1024 if self.large_kll_k else self.kll_k
+
+
+DEFAULT_CONFIG = MetricConfig()

@@ -1,0 +1,233 @@
+"""Resolver / expression planner.
+
+Replaces the reference's resolver machinery (reference:
+python/whylogs/core/resolvers.py:187-217 — the STANDARD program mapping
+value type -> metric set) with a driver-side planner that emits Spark
+``Column`` aggregate expressions. The "physical plan" the reference builds
+per column (Dict[col -> Dict[namespace -> Metric]], see
+python/whylogs/core/schema.py:206) becomes a flat list of aggregate
+expressions executed in ONE ``df.agg(...)`` / ``groupBy(...).agg(...)``
+pass — Catalyst then gives us map-side partial aggregation for free
+(vs. the reference's hand-rolled mapInPandas+shuffle at
+python/whylogs/api/pyspark/experimental/profiler.py:70-73).
+
+Standard metric program (parity with reference resolvers.py):
+  Integral   -> counts, types, distribution, ints, cardinality, frequent_items
+  Fractional -> counts, types, distribution, cardinality
+  Boolean    -> counts(+true), types, cardinality, frequent_items
+  String     -> counts, types, cardinality, frequent_items
+  Temporal   -> counts, types, distribution(epoch-millis), cardinality,
+                frequent_items   (reference leaves datetimes to AnyType;
+                this is a strict superset)
+  Tensor     -> counts, types
+  Object     -> counts, types
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .configs import MetricConfig
+from .datatypes import ValueType, value_type_of
+
+# Slot letters for the long-form profile schema.
+SLOT_N, SLOT_D, SLOT_S, SLOT_B = "n", "d", "s", "b"
+
+
+@dataclass
+class PlannedAgg:
+    column: str          # input column name
+    metric: str          # metric namespace ("counts", "distribution", ...)
+    component: str       # component name ("n", "mean", "hll", ...)
+    slot: str            # which typed slot of the profile row it fills
+    expr: Column         # aggregate expression
+    alias: str           # unique alias in the wide agg row
+
+
+@dataclass
+class SketchPlan:
+    """A column that needs the python sketch path (mapInArrow)."""
+
+    column: str
+    kind: str            # "kll" | "fi"
+    expr: Column         # pre-cast projection (double for kll, string for fi)
+    alias: str
+
+
+_TYPE_BUCKET = {
+    ValueType.INTEGRAL: "integral",
+    ValueType.FRACTIONAL: "fractional",
+    ValueType.BOOLEAN: "boolean",
+    ValueType.STRING: "string",
+    ValueType.TEMPORAL: "temporal",
+    ValueType.TENSOR: "tensor",
+    ValueType.OBJECT: "object",
+}
+
+_ALL_TYPE_BUCKETS = [
+    "integral", "fractional", "boolean", "string", "temporal", "tensor",
+    "object",
+]
+
+
+def _numeric_view(col: str, vt: ValueType) -> Optional[Column]:
+    """Projection of the column as DOUBLE for distribution metrics.
+
+    NaNs are nulled out (the reference excludes NaN from metrics but counts
+    it — python/whylogs/core/preprocessing.py:126-150); ±Inf passes through
+    (counted AND fed to metrics — preprocessing.py:135-139).
+    """
+    c = F.col(col)
+    if vt == ValueType.INTEGRAL:
+        return c.cast(T.DoubleType())
+    if vt == ValueType.FRACTIONAL:
+        return F.when(~F.isnan(c.cast(T.DoubleType())), c.cast(T.DoubleType()))
+    if vt == ValueType.BOOLEAN:
+        return c.cast(T.IntegerType()).cast(T.DoubleType())
+    if vt == ValueType.TEMPORAL:
+        return F.unix_millis(c.cast(T.TimestampType())).cast(T.DoubleType())
+    return None
+
+
+def _string_view(col: str, vt: ValueType) -> Column:
+    """Stringified projection for cardinality / frequent-items.
+
+    Booleans become "True"/"False" to match the reference's str() folding
+    (python/whylogs/core/metrics/metrics.py:472-485).
+    """
+    c = F.col(col)
+    if vt == ValueType.BOOLEAN:
+        return F.when(c.isNull(), None).when(c, "True").otherwise("False")
+    return c.cast(T.StringType())
+
+
+def plan_column(
+    col: str, dt: T.DataType, cfg: MetricConfig, aliases: "_AliasGen"
+) -> Tuple[List[PlannedAgg], List[SketchPlan]]:
+    vt = value_type_of(dt)
+    c = F.col(col)
+    aggs: List[PlannedAgg] = []
+    sketches: List[SketchPlan] = []
+
+    def add(metric: str, component: str, slot: str, expr: Column) -> None:
+        aggs.append(PlannedAgg(col, metric, component, slot, expr, aliases.next()))
+
+    # ---- counts (reference: python/whylogs/core/metrics/column_metrics.py:110)
+    add("counts", "n", SLOT_N, F.count(F.lit(1)))
+    add("counts", "null", SLOT_N,
+        F.coalesce(F.sum(c.isNull().cast(T.LongType())), F.lit(0)))
+    if vt == ValueType.FRACTIONAL:
+        dc = c.cast(T.DoubleType())
+        add("counts", "nan", SLOT_N,
+            F.coalesce(F.sum(F.isnan(dc).cast(T.LongType())), F.lit(0)))
+        add("counts", "inf", SLOT_N,
+            F.coalesce(
+                F.sum((F.abs(dc) == float("inf")).cast(T.LongType())),
+                F.lit(0)))
+    if vt == ValueType.BOOLEAN:
+        add("counts", "true", SLOT_N,
+            F.coalesce(F.sum(c.cast(T.LongType())), F.lit(0)))
+
+    # ---- types (reference: column_metrics.py:15 — static per Spark type)
+    bucket = _TYPE_BUCKET[vt]
+    non_null = F.count(c)
+    for b in _ALL_TYPE_BUCKETS:
+        expr = non_null if b == bucket else F.lit(0).cast(T.LongType())
+        add("types", b, SLOT_N, expr)
+
+    # ---- distribution (reference: metrics.py:217; mean/M2 merge == Chan)
+    nv = _numeric_view(col, vt)
+    if nv is not None and vt != ValueType.BOOLEAN:
+        dn = F.count(nv)
+        add("distribution", "n", SLOT_N, dn)
+        add("distribution", "mean", SLOT_D, F.avg(nv))
+        add("distribution", "stddev", SLOT_D, F.stddev_samp(nv))
+        add("distribution", "m2", SLOT_D,
+            F.var_samp(nv) * (dn - F.lit(1)).cast(T.DoubleType()))
+        add("distribution", "min", SLOT_D, F.min(nv))
+        add("distribution", "max", SLOT_D, F.max(nv))
+        if cfg.quantile_impl == "native":
+            qs = F.percentile_approx(
+                nv, F.array(*[F.lit(q) for q in cfg.quantiles]), F.lit(10000)
+            )
+            for i, q in enumerate(cfg.quantiles):
+                add("distribution", _q_name(q), SLOT_D, qs.getItem(i))
+        elif cfg.quantile_impl == "kll":
+            sketches.append(
+                SketchPlan(col, "kll", nv, f"__kll__{aliases.next()}"))
+
+    # ---- ints (reference: metrics.py:165)
+    if vt == ValueType.INTEGRAL:
+        add("ints", "min", SLOT_N, F.min(c).cast(T.LongType()))
+        add("ints", "max", SLOT_N, F.max(c).cast(T.LongType()))
+
+    # ---- cardinality (reference: metrics.py:535 — HLL lg_k=12; we use
+    # Spark's Apache DataSketches hll_sketch_agg: JVM-side, mergeable)
+    if vt not in (ValueType.TENSOR, ValueType.OBJECT):
+        sv = _string_view(col, vt)
+        if cfg.cardinality_impl == "hll":
+            hll = F.hll_sketch_agg(sv, F.lit(cfg.hll_lg_k))
+            add("cardinality", "hll", SLOT_B, hll)
+            est = F.hll_sketch_estimate(hll)
+            add("cardinality", "est", SLOT_D, est)
+            # Two-sigma relative-standard-error bounds for HLL
+            # (rse = 1.04 / sqrt(2^lg_k)); the reference surfaces
+            # lib-provided bounds — same formula family.
+            rse = 2.0 * 1.04 / math.sqrt(2.0 ** cfg.hll_lg_k)
+            add("cardinality", "lower", SLOT_D, est * F.lit(1.0 - rse))
+            add("cardinality", "upper", SLOT_D, est * F.lit(1.0 + rse))
+        else:
+            add("cardinality", "est", SLOT_D,
+                F.approx_count_distinct(sv).cast(T.DoubleType()))
+
+    # ---- frequent items (reference: metrics.py:444)
+    if cfg.frequent_items_impl == "sketch" and vt in (
+        ValueType.INTEGRAL, ValueType.BOOLEAN, ValueType.STRING,
+        ValueType.TEMPORAL,
+    ):
+        sketches.append(
+            SketchPlan(col, "fi", _string_view(col, vt),
+                       f"__fi__{aliases.next()}"))
+
+    return aggs, sketches
+
+
+def _q_name(q: float) -> str:
+    if q == 0.5:
+        return "median"
+    return f"q_{int(round(q * 100)):02d}"
+
+
+class _AliasGen:
+    def __init__(self) -> None:
+        self._i = 0
+
+    def next(self) -> str:
+        self._i += 1
+        return f"a{self._i}"
+
+
+def plan_dataframe(
+    schema: T.StructType,
+    columns: Optional[List[str]],
+    segment_cols: List[str],
+    cfg: MetricConfig,
+) -> Tuple[List[PlannedAgg], List[SketchPlan]]:
+    gen = _AliasGen()
+    aggs: List[PlannedAgg] = []
+    sketches: List[SketchPlan] = []
+    for field in schema.fields:
+        if field.name in segment_cols:
+            continue
+        if columns is not None and field.name not in columns:
+            continue
+        a, s = plan_column(field.name, field.dataType, cfg, gen)
+        aggs.extend(a)
+        sketches.extend(s)
+    return aggs, sketches

@@ -1,0 +1,530 @@
+"""Dataset profiling as native Spark aggregation.
+
+This is the replacement for the reference's entire write path
+(``why.log`` -> DatasetProfile.track -> per-metric columnar_update,
+reference: python/whylogs/api/logger/__init__.py:42,
+python/whylogs/core/dataset_profile.py:107) and for its Spark integration
+(python/whylogs/api/pyspark/experimental/profiler.py:122).
+
+Execution shape (designed for 100 TB, not 60k rows):
+
+1. NATIVE PASS — one ``df.groupBy(segments).agg(*exprs)``: all exact
+   counters, min/max, mean/M2, and DataSketches HLL run JVM-side with
+   whole-stage codegen + map-side partial aggregation. Output is
+   #segments rows regardless of input size.
+2. SKETCH PASS (only for KLL quantiles / frequent-items, which Spark has
+   no built-in mergeable equivalent for) — ``mapInArrow`` builds ONE
+   sketch per (partition x segment x column), so the only shuffled data
+   is a few KB of sketch bytes per partition, then a tiny
+   ``groupBy(...).applyInPandas`` union. This mirrors the reference's
+   partial+merge design (profiler.py:70-73) but never shuffles raw rows.
+
+The result is a LONG-FORM PROFILE DataFrame — profiles are data, not
+opaque blobs (contrast with the reference's protobuf binary,
+python/whylogs/core/view/dataset_profile_view.py:264):
+
+    segment  STRING  (JSON object of segment key -> value, '{}' if none)
+    column   STRING
+    metric   STRING
+    component STRING
+    n        LONG    (integer-valued components)
+    d        DOUBLE  (real-valued components)
+    s        STRING  (JSON/string components)
+    b        BINARY  (sketch bytes: HLL / KLL / FI)
+
+Merging profiles (the monoid ⊕, reference
+dataset_profile_view.py:172) is a small grouped aggregation over this
+table — see ``merge_profiles``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Iterable, Iterator, List, Optional
+
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .configs import DEFAULT_CONFIG, MetricConfig
+from .planner import (
+    SLOT_B, SLOT_D, SLOT_N, SLOT_S, PlannedAgg, SketchPlan, _q_name,
+    plan_dataframe,
+)
+from .sketches import FrequentStringsSketch, KllSketch
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("segment", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("component", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("b", T.BinaryType()),
+    ]
+)
+
+_NULL_SENTINEL = "None"  # segment key for null values (reference uses the
+# pandas groupby NaN-safe path, segment_processing.py:77-88)
+
+
+def _segment_json_col(segment_cols: List[str]) -> Column:
+    """JSON segment key built JVM-side; python side must build identically."""
+    pairs = []
+    for s in segment_cols:
+        pairs.append(F.lit(s))
+        pairs.append(
+            F.coalesce(F.col(s).cast(T.StringType()), F.lit(_NULL_SENTINEL))
+        )
+    if not pairs:
+        return F.lit("{}")
+    return F.to_json(F.map_from_arrays(
+        F.array(*pairs[0::2]), F.array(*pairs[1::2])))
+
+
+def _segment_json_py(keys: List[str], values: Iterable) -> str:
+    d = {
+        k: (_NULL_SENTINEL if v is None or (isinstance(v, float) and v != v)
+            else str(v))
+        for k, v in zip(keys, values)
+    }
+    return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
+
+
+# --------------------------------------------------------------------- native
+def _native_long(
+    df: DataFrame, aggs: List[PlannedAgg], segment_cols: List[str]
+) -> DataFrame:
+    exprs = [a.expr.alias(a.alias) for a in aggs]
+    if segment_cols:
+        wide = df.groupBy(*segment_cols).agg(*exprs)
+    else:
+        wide = df.agg(*exprs)
+    seg = _segment_json_col(segment_cols).alias("segment")
+
+    def null_slot(slot: str) -> Column:
+        dt = {SLOT_N: T.LongType(), SLOT_D: T.DoubleType(),
+              SLOT_S: T.StringType(), SLOT_B: T.BinaryType()}[slot]
+        return F.lit(None).cast(dt)
+
+    structs = []
+    for a in aggs:
+        fields = [
+            F.lit(a.column).alias("column"),
+            F.lit(a.metric).alias("metric"),
+            F.lit(a.component).alias("component"),
+        ]
+        for slot, dt in ((SLOT_N, T.LongType()), (SLOT_D, T.DoubleType()),
+                         (SLOT_S, T.StringType()), (SLOT_B, T.BinaryType())):
+            if slot == a.slot:
+                fields.append(F.col(a.alias).cast(dt).alias(slot))
+            else:
+                fields.append(null_slot(slot).alias(slot))
+        structs.append(F.struct(*fields))
+    return wide.select(
+        seg, F.explode(F.array(*structs)).alias("r")
+    ).select("segment", "r.*")
+
+
+# --------------------------------------------------------------------- sketch
+def _sketch_long(
+    df: DataFrame,
+    sketches: List[SketchPlan],
+    segment_cols: List[str],
+    cfg: MetricConfig,
+) -> DataFrame:
+    """mapInArrow partial sketches -> tiny shuffle -> merged sketch rows."""
+    seg_exprs = [
+        F.coalesce(F.col(s).cast(T.StringType()), F.lit(_NULL_SENTINEL))
+        .alias(f"__seg__{s}")
+        for s in segment_cols
+    ]
+    proj = df.select(*seg_exprs, *[p.expr.alias(p.alias) for p in sketches])
+
+    seg_names = [f"__seg__{s}" for s in segment_cols]
+    seg_keys = list(segment_cols)
+    plans = [(p.alias, p.column, p.kind) for p in sketches]
+    kll_k = cfg.effective_kll_k
+    fi_cap = cfg.fi_capacity
+    fi_maxlen = cfg.max_frequent_item_size
+
+    out_schema = T.StructType(
+        [
+            T.StructField("segment", T.StringType()),
+            T.StructField("column", T.StringType()),
+            T.StructField("metric", T.StringType()),
+            T.StructField("component", T.StringType()),
+            T.StructField("b", T.BinaryType()),
+        ]
+    )
+    out_pa = pa.schema(
+        [
+            ("segment", pa.string()),
+            ("column", pa.string()),
+            ("metric", pa.string()),
+            ("component", pa.string()),
+            ("b", pa.binary()),
+        ]
+    )
+
+    def sketch_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        # state: (segment_json, alias) -> sketch
+        state: Dict[tuple, object] = {}
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            pdf = tbl.to_pandas()
+            if seg_names:
+                groups = pdf.groupby(seg_names, dropna=False, sort=False)
+            else:
+                groups = [((), pdf)]
+            for key, g in groups:
+                if seg_names:
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    seg = _segment_json_py(seg_keys, key)
+                else:
+                    seg = "{}"
+                for alias, colname, kind in plans:
+                    sk = state.get((seg, alias))
+                    if kind == "kll":
+                        vals = g[alias].to_numpy(dtype="float64", na_value=np.nan)
+                        vals = vals[~np.isnan(vals)]
+                        if vals.size == 0:
+                            continue
+                        if sk is None:
+                            sk = KllSketch(kll_k)
+                            state[(seg, alias)] = sk
+                        sk.update_batch(vals)
+                    else:
+                        vals = g[alias].dropna()
+                        if len(vals) == 0:
+                            continue
+                        if sk is None:
+                            sk = FrequentStringsSketch(fi_cap, fi_maxlen)
+                            state[(seg, alias)] = sk
+                        sk.update_batch(vals.tolist())
+        if state:
+            alias_meta = {a: (c, k) for a, c, k in plans}
+            rows = {"segment": [], "column": [], "metric": [],
+                    "component": [], "b": []}
+            for (seg, alias), sk in state.items():
+                colname, kind = alias_meta[alias]
+                rows["segment"].append(seg)
+                rows["column"].append(colname)
+                rows["metric"].append(
+                    "distribution" if kind == "kll" else "frequent_items")
+                rows["component"].append("kll" if kind == "kll" else "mg")
+                rows["b"].append(sk.serialize())
+            yield pa.RecordBatch.from_pydict(rows, schema=out_pa)
+
+    partial = proj.mapInArrow(sketch_partition, out_schema)
+
+    quantiles = list(cfg.quantiles)
+    fi_topk = 32
+
+    merged_schema = PROFILE_SCHEMA
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = pdf["segment"].iloc[0]
+        colname = pdf["column"].iloc[0]
+        metric = pdf["metric"].iloc[0]
+        component = pdf["component"].iloc[0]
+        out = []
+        if component == "kll":
+            sk = KllSketch(kll_k)
+            for blob in pdf["b"]:
+                if blob is not None:
+                    sk.merge(KllSketch.deserialize(bytes(blob)))
+            out.append((seg, colname, metric, "kll", None, None, None,
+                        sk.serialize()))
+            for q, v in zip(quantiles, sk.quantiles(quantiles)):
+                out.append((seg, colname, metric, _q_name(q), None,
+                            float(v), None, None))
+        else:
+            sk = FrequentStringsSketch(fi_cap, fi_maxlen)
+            for blob in pdf["b"]:
+                if blob is not None:
+                    sk.merge(FrequentStringsSketch.deserialize(bytes(blob)))
+            out.append((seg, colname, metric, "mg", None, None, None,
+                        sk.serialize()))
+            items = [
+                {"value": v, "est": e, "lower": lo, "upper": hi}
+                for v, e, lo, hi in sk.top_k(fi_topk)
+            ]
+            out.append((seg, colname, metric, "items", None, None,
+                        json.dumps(items, ensure_ascii=False), None))
+        return pd.DataFrame(
+            out,
+            columns=["segment", "column", "metric", "component",
+                     "n", "d", "s", "b"],
+        )
+
+    return partial.groupBy("segment", "column", "metric", "component").applyInPandas(
+        merge_group, merged_schema
+    )
+
+
+# -------------------------------------------------------------------- profile
+def profile(
+    df: DataFrame,
+    segment_by: Optional[List[str]] = None,
+    columns: Optional[List[str]] = None,
+    config: MetricConfig = DEFAULT_CONFIG,
+) -> "ProfileView":
+    """Profile a DataFrame -> ProfileView (lazy long-form profile).
+
+    Equivalent of ``why.log(df)`` (+ segmentation when ``segment_by`` is
+    given, reference: python/whylogs/api/logger/segment_processing.py:157).
+    """
+    segment_cols = list(segment_by or [])
+    aggs, sketches = plan_dataframe(df.schema, columns, segment_cols, config)
+    long_df = _native_long(df, aggs, segment_cols)
+    if sketches:
+        long_df = long_df.unionByName(
+            _sketch_long(df, sketches, segment_cols, config))
+    return ProfileView(long_df, config)
+
+
+def merge_profiles(views: List["ProfileView"]) -> "ProfileView":
+    """⊕ over profiles — the reference's monoid merge
+    (python/whylogs/core/view/dataset_profile_view.py:172), expressed as a
+    grouped aggregation over the profile table so it distributes:
+
+    * cardinality/hll merges JVM-side via ``hll_union_agg``;
+    * sketch blobs (kll/mg) union in pandas groups;
+    * counters/extrema/moments merge algebraically (Chan's formula for
+      mean/M2 — reference python/whylogs/core/metrics/maths.py:11).
+    """
+    if not views:
+        raise ValueError("no profiles to merge")
+    cfg = views[0].config
+    tagged = [
+        v.df.withColumn("src", F.lit(i)) for i, v in enumerate(views)
+    ]
+    allp = tagged[0]
+    for t in tagged[1:]:
+        allp = allp.unionByName(t)
+    return ProfileView(_merge_profile_df(allp, cfg), cfg)
+
+
+def _merge_profile_df(allp: DataFrame, cfg: MetricConfig) -> DataFrame:
+    """Merge a profile table carrying a ``src`` column distinguishing the
+    source profiles (so mean/M2 components can be aligned per source)."""
+    if "src" not in allp.columns:
+        raise ValueError(
+            "profile table must carry a 'src' column identifying the "
+            "source profile of each row (merge_profiles adds it)")
+    # --- JVM mergeable: HLL union
+    hll = allp.filter(
+        (F.col("metric") == "cardinality") & (F.col("component") == "hll"))
+    import math as _math
+
+    union = hll.groupBy("segment", "column", "metric").agg(
+        F.hll_union_agg(F.col("b"), F.lit(True)).alias("hb"))
+    est = F.hll_sketch_estimate(F.col("hb"))
+    rse = 2.0 * 1.04 / _math.sqrt(2.0 ** cfg.hll_lg_k)
+    nl = F.lit(None)
+    hll_rows = union.select(
+        "segment", "column", "metric",
+        F.explode(
+            F.array(
+                F.struct(F.lit("hll").alias("component"),
+                         nl.cast(T.LongType()).alias("n"),
+                         nl.cast(T.DoubleType()).alias("d"),
+                         nl.cast(T.StringType()).alias("s"),
+                         F.col("hb").alias("b")),
+                F.struct(F.lit("est").alias("component"),
+                         nl.cast(T.LongType()).alias("n"),
+                         est.alias("d"),
+                         nl.cast(T.StringType()).alias("s"),
+                         nl.cast(T.BinaryType()).alias("b")),
+                F.struct(F.lit("lower").alias("component"),
+                         nl.cast(T.LongType()).alias("n"),
+                         (est * F.lit(1.0 - rse)).alias("d"),
+                         nl.cast(T.StringType()).alias("s"),
+                         nl.cast(T.BinaryType()).alias("b")),
+                F.struct(F.lit("upper").alias("component"),
+                         nl.cast(T.LongType()).alias("n"),
+                         (est * F.lit(1.0 + rse)).alias("d"),
+                         nl.cast(T.StringType()).alias("s"),
+                         nl.cast(T.BinaryType()).alias("b")),
+            )
+        ).alias("r"),
+    ).select("segment", "column", "metric", "r.*")
+
+    rest = allp.filter(
+        ~((F.col("metric") == "cardinality"))
+    )
+
+    quantiles = list(cfg.quantiles)
+    kll_k = cfg.effective_kll_k
+    fi_cap = cfg.fi_capacity
+    fi_maxlen = cfg.max_frequent_item_size
+
+    def merge_metric(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = pdf["segment"].iloc[0]
+        colname = pdf["column"].iloc[0]
+        metric = pdf["metric"].iloc[0]
+        out: List[tuple] = []
+
+        def emit(component, n=None, d=None, s=None, b=None):
+            out.append((seg, colname, metric, component, n, d, s, b))
+
+        by_comp = {k: g for k, g in pdf.groupby("component")}
+
+        def nsum(comp):
+            g = by_comp.get(comp)
+            return int(g["n"].dropna().sum()) if g is not None else None
+
+        if metric in ("counts", "types"):
+            for comp in by_comp:
+                emit(comp, n=nsum(comp))
+        elif metric == "ints":
+            if "min" in by_comp:
+                mn = by_comp["min"]["n"].dropna()
+                emit("min", n=int(mn.min()) if len(mn) else None)
+            if "max" in by_comp:
+                mx = by_comp["max"]["n"].dropna()
+                emit("max", n=int(mx.max()) if len(mx) else None)
+        elif metric == "distribution":
+            # Chan et al. parallel merge of (n, mean, M2) — components
+            # paired per source profile via the ``src`` column
+            # (reference: python/whylogs/core/metrics/maths.py:11).
+            per_src: Dict[int, Dict[str, float]] = {}
+            for _, r in pdf.iterrows():
+                if r["component"] in ("n", "mean", "m2"):
+                    d = per_src.setdefault(int(r["src"]), {})
+                    d[r["component"]] = (
+                        r["n"] if r["component"] == "n" else r["d"])
+            N = 0
+            mean = 0.0
+            m2 = 0.0
+            for d in per_src.values():
+                nb = int(d.get("n") or 0)
+                if not nb:
+                    continue
+                mb = d.get("mean")
+                m2b = d.get("m2")
+                mb = float(mb) if mb is not None and pd.notna(mb) else 0.0
+                m2b = float(m2b) if m2b is not None and pd.notna(m2b) else 0.0
+                delta = mb - mean
+                tot = N + nb
+                mean += delta * nb / tot
+                m2 += m2b + delta * delta * N * nb / tot
+                N = tot
+            emit("n", n=N)
+            if N > 0:
+                emit("mean", d=mean)
+                emit("m2", d=m2)
+                emit("stddev", d=(m2 / (N - 1)) ** 0.5 if N > 1 else 0.0)
+            mins = by_comp.get("min")
+            maxs = by_comp.get("max")
+            if mins is not None and mins["d"].notna().any():
+                emit("min", d=float(mins["d"].min()))
+            if maxs is not None and maxs["d"].notna().any():
+                emit("max", d=float(maxs["d"].max()))
+            kll = by_comp.get("kll")
+            if kll is not None:
+                sk = KllSketch(kll_k)
+                for blob in kll["b"]:
+                    if blob is not None:
+                        sk.merge(KllSketch.deserialize(bytes(blob)))
+                emit("kll", b=sk.serialize())
+                for q, v in zip(quantiles, sk.quantiles(quantiles)):
+                    emit(_q_name(q), d=float(v))
+        elif metric == "frequent_items":
+            mg = by_comp.get("mg")
+            if mg is not None:
+                sk = FrequentStringsSketch(fi_cap, fi_maxlen)
+                for blob in mg["b"]:
+                    if blob is not None:
+                        sk.merge(FrequentStringsSketch.deserialize(bytes(blob)))
+                emit("mg", b=sk.serialize())
+                items = [
+                    {"value": v, "est": e, "lower": lo, "upper": hi}
+                    for v, e, lo, hi in sk.top_k(32)
+                ]
+                emit("items", s=json.dumps(items, ensure_ascii=False))
+        else:
+            # unknown metric: keep first occurrence of each component
+            for comp, g in by_comp.items():
+                r = g.iloc[0]
+                emit(comp, n=r["n"], d=r["d"], s=r["s"], b=r["b"])
+        return pd.DataFrame(
+            out, columns=["segment", "column", "metric", "component",
+                          "n", "d", "s", "b"])
+
+    merged_rest = rest.groupBy("segment", "column", "metric").applyInPandas(
+        merge_metric, PROFILE_SCHEMA)
+    return merged_rest.unionByName(hll_rows)
+
+
+# ----------------------------------------------------------------------- view
+class ProfileView:
+    """Immutable handle on a long-form profile DataFrame.
+
+    Equivalent of the reference's DatasetProfileView
+    (python/whylogs/core/view/dataset_profile_view.py:50) — but the profile
+    IS a DataFrame: write it with ``.df.write.parquet``, query it with SQL.
+    """
+
+    def __init__(self, df: DataFrame, config: MetricConfig = DEFAULT_CONFIG):
+        self.df = df
+        self.config = config
+
+    def cache(self) -> "ProfileView":
+        self.df = self.df.cache()
+        return self
+
+    def merge(self, other: "ProfileView") -> "ProfileView":
+        return merge_profiles([self, other])
+
+    # -- summaries ---------------------------------------------------------
+    def to_pandas(self) -> pd.DataFrame:
+        """Wide summary: one row per (segment, column), one col per
+        metric/component (reference: dataset_profile_view.py:461)."""
+        pdf = self.df.toPandas()
+        if pdf.empty:
+            return pd.DataFrame()
+        pdf["key"] = pdf["metric"] + "/" + pdf["component"]
+        pdf["value"] = pdf["n"].where(pdf["n"].notna(), pdf["d"]).astype(object)
+        pdf.loc[pdf["value"].isna(), "value"] = pdf.loc[
+            pdf["value"].isna(), "s"]
+        wide = pdf.pivot_table(
+            index=["segment", "column"], columns="key", values="value",
+            aggfunc="first", dropna=False,
+        ).reset_index()
+        wide.columns.name = None
+        return wide.sort_values(["segment", "column"]).reset_index(drop=True)
+
+    def get_component(self, column: str, metric: str, component: str):
+        rows = (
+            self.df.filter(
+                (F.col("column") == column)
+                & (F.col("metric") == metric)
+                & (F.col("component") == component)
+            )
+            .collect()
+        )
+        if not rows:
+            return None
+        r = rows[0]
+        for slot in ("n", "d", "s", "b"):
+            if r[slot] is not None:
+                return r[slot]
+        return None
+
+    def write_parquet(self, path: str) -> None:
+        self.df.write.mode("overwrite").parquet(path)
+
+    @staticmethod
+    def read_parquet(spark: SparkSession, path: str,
+                     config: MetricConfig = DEFAULT_CONFIG) -> "ProfileView":
+        return ProfileView(spark.read.parquet(path), config)
