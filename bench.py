@@ -1,0 +1,129 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+Baseline context (BASELINE.md): reference logs ~300k rows/s single
+process on ~43 numeric cols; sf0.1 lineitem (~600k rows x 11 cols)
+should profile in single-digit seconds locally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import whylogs_spark as wsp
+from whylogs_spark.core import summaries
+from whylogs_spark.ops import dedup as dedup_ops
+from whylogs_spark.ops import similarity as sim_ops
+from whylogs_spark.ops import text as text_ops
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+_FAST_CFG = wsp.MetricConfig(quantile_impl="native",
+                             frequent_items_impl="none")
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("whylogs-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from whylogs_spark.io.tables import load_table
+
+    t = {n: load_table(spark, SF_DIR, n)
+         for n in ("lineitem", "orders", "events", "documents",
+                   "embeddings")}
+
+    emb_query = t["embeddings"].filter(F.col("vec_id") == 0).first()[
+        "embedding"]
+
+    def bench_profile_native():
+        _noop(wsp.profile(t["lineitem"], config=_FAST_CFG).df)
+
+    def bench_profile_full():
+        _noop(wsp.profile(t["lineitem"]).df)
+
+    def bench_profile_segmented():
+        _noop(wsp.profile(t["lineitem"], segment_by=["l_returnflag"],
+                          config=_FAST_CFG).df)
+
+    def bench_counts_table():
+        _noop(summaries.counts_table(t["lineitem"]))
+
+    def bench_text_stats():
+        df = text_ops.with_quality_score(
+            text_ops.with_text_stats(t["documents"]))
+        _noop(df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("n_tokens").alias("avg_tokens"),
+            F.avg("quality_score").alias("avg_quality")))
+
+    def bench_minhash_dedup():
+        _noop(dedup_ops.minhash_dedup(t["documents"],
+                                      jaccard_threshold=0.8))
+
+    def bench_similarity_topk():
+        _noop(sim_ops.cosine_topk(t["embeddings"], list(emb_query), k=10))
+
+    def bench_events_hourly():
+        _noop(
+            t["events"].groupBy(F.date_trunc("hour", F.col("ts"))
+                                .alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("value").alias("mean_value")))
+
+    benches = {
+        "profile_lineitem_native": bench_profile_native,
+        "profile_lineitem_full": bench_profile_full,
+        "profile_lineitem_segmented": bench_profile_segmented,
+        "counts_table_lineitem": bench_counts_table,
+        "text_stats_documents": bench_text_stats,
+        "minhash_dedup_documents": bench_minhash_dedup,
+        "similarity_topk_embeddings": bench_similarity_topk,
+        "events_hourly": bench_events_hourly,
+    }
+
+    # warm the JVM/IO once with a trivial action
+    t["lineitem"].count()
+
+    results = {}
+    for name, fn in benches.items():
+        t0 = time.perf_counter()
+        fn()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    total = round(sum(results.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,9 @@ def orders(spark):
 
 @pytest.fixture(scope="session")
 def events(spark):
-    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from whylogs_spark.io.tables import load_table
+
+    return load_table(spark, SF_DIR, "events")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,119 @@
+"""Constraints + drift (reference: python/tests/core/constraints/,
+python/tests/viz/drift/test_column_drift_algorithm.py)."""
+
+import numpy as np
+import pytest
+
+import whylogs_spark as wsp
+from whylogs_spark.core import constraints as C
+from whylogs_spark.core import drift
+from whylogs_spark.core.sketches import FrequentStringsSketch, KllSketch
+
+
+@pytest.fixture(scope="module")
+def li_view(lineitem):
+    return wsp.profile(lineitem).cache()
+
+
+def test_constraints_pass_fail(li_view):
+    report = (
+        C.ConstraintsBuilder(li_view)
+        .add(C.no_missing_values("l_orderkey"))
+        .add(C.is_non_negative("l_quantity"))
+        .add(C.mean_between_range("l_quantity", 20, 30))
+        .add(C.mean_between_range("l_quantity", 100, 200))   # should fail
+        .add(C.is_in_range("l_discount", 0.0, 0.2))
+        .add(C.distinct_number_in_range("l_returnflag", 1, 5))
+        .add(C.column_is_probably_unique("l_orderkey"))      # not unique
+        .add(C.column_has_non_zero_types("l_returnflag", ["string"]))
+        .add(C.column_is_nullable_integral("l_orderkey"))
+        .add(C.no_missing_values("not_a_column"))            # missing col
+        .build()
+        .report()
+    )
+    by_name = {name: passed for name, passed, _ in report}
+    assert by_name["l_orderkey has no missing values"] == 1
+    assert by_name["l_quantity is non negative"] == 1
+    assert by_name["l_quantity mean between 20 and 30 (inclusive)"] == 1
+    assert by_name["l_quantity mean between 100 and 200 (inclusive)"] == 0
+    assert by_name["l_discount is in range [0.0,0.2]"] == 1
+    assert by_name["l_orderkey is probably unique"] == 0
+    assert by_name["l_orderkey is nullable integral"] == 1
+    assert by_name["not_a_column has no missing values"] == 0
+
+
+def test_frequent_items_constraint(li_view):
+    rep = (
+        C.ConstraintsBuilder(li_view)
+        .add(C.frequent_strings_in_reference_set(
+            "l_returnflag", ["A", "N", "R"]))
+        .add(C.frequent_strings_in_reference_set("l_returnflag", ["A"]))
+        .build().report()
+    )
+    assert rep[0][1] == 1
+    assert rep[1][1] == 0
+
+
+def test_ks_same_distribution_high_p():
+    rng = np.random.default_rng(7)
+    a, b = KllSketch(256), KllSketch(256)
+    a.update_batch(rng.normal(0, 1, 50_000))
+    b.update_batch(rng.normal(0, 1, 50_000))
+    d, p = drift.ks_test_from_sketches(a, b)
+    assert d < 0.02
+    assert p > 0.15
+
+
+def test_ks_shifted_distribution_low_p():
+    rng = np.random.default_rng(8)
+    a, b = KllSketch(256), KllSketch(256)
+    a.update_batch(rng.normal(0, 1, 50_000))
+    b.update_batch(rng.normal(0.5, 1, 50_000))
+    d, p = drift.ks_test_from_sketches(a, b)
+    assert d > 0.15
+    assert p < 0.05
+
+
+def test_chi2_sf_reference_values():
+    # chi2 sf(x=3.84, dof=1) ~ 0.05; sf(x=0, dof=k) = 1
+    assert drift.chi2_sf(3.841, 1) == pytest.approx(0.05, abs=0.002)
+    assert drift.chi2_sf(0.0, 5) == pytest.approx(1.0)
+    assert drift.chi2_sf(15.09, 5) == pytest.approx(0.01, abs=0.002)
+
+
+def test_hellinger_bounds():
+    rng = np.random.default_rng(9)
+    a, b, c = KllSketch(256), KllSketch(256), KllSketch(256)
+    a.update_batch(rng.normal(0, 1, 20_000))
+    b.update_batch(rng.normal(0, 1, 20_000))
+    c.update_batch(rng.normal(10, 0.1, 20_000))
+    near = drift.hellinger_from_sketches(a, b)
+    far = drift.hellinger_from_sketches(a, c)
+    assert 0 <= near < 0.15
+    assert far > 0.8
+
+
+def test_chi2_frequent_items_drift():
+    a = FrequentStringsSketch()
+    b = FrequentStringsSketch()
+    a.update_batch(["x"] * 500 + ["y"] * 400 + ["z"] * 100)
+    b.update_batch(["x"] * 500 + ["y"] * 400 + ["z"] * 100)
+    stat, p = drift.chi2_from_frequent_items(a, b)
+    assert p > 0.9
+    c = FrequentStringsSketch()
+    c.update_batch(["x"] * 100 + ["y"] * 100 + ["z"] * 800)
+    stat2, p2 = drift.chi2_from_frequent_items(a, c)
+    assert p2 < 0.01
+
+
+def test_profile_drift_end_to_end(lineitem):
+    a = wsp.profile(lineitem.filter("l_extendedprice < 50000"))
+    b = wsp.profile(lineitem.filter("l_extendedprice >= 50000"))
+    scores = drift.calculate_drift_scores(a, b)
+    by_col = {s.column: s for s in scores}
+    assert by_col["l_extendedprice"].category == "DRIFT"
+    # quantity is independent of the price split -> no drift
+    assert by_col["l_quantity"].category in ("NO_DRIFT", "POSSIBLE_DRIFT")
+    # categorical chi2 path exists for string columns
+    assert "l_returnflag" in by_col
+    assert by_col["l_returnflag"].algorithm == "chi2"

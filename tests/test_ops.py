@@ -1,0 +1,145 @@
+"""Training-data ops: dedup, similarity, text analysis."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.ops import dedup, similarity, text
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello World"), (3, "different doc")],
+        ["doc_id", "text"],
+    )
+    out = dedup.exact_dedup(df).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1, 3]
+
+
+def test_duplicate_stats(documents):
+    row = dedup.duplicate_stats(documents).collect()[0]
+    assert row["n_docs"] == documents.count()
+    assert row["n_unique"] <= row["n_docs"]
+    assert row["n_dup_docs"] == row["n_docs"] - row["n_unique"]
+
+
+def test_minhash_signature_positions_independent(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    sig = dedup.minhash_signatures(df, num_hashes=16).first()["minhash_sig"]
+    # regression: a broken seed once made every position identical
+    assert len(set(sig)) > 8
+
+
+def test_minhash_detects_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely unrelated text about spark aggregation plans " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+    kept = dedup.minhash_dedup(df, jaccard_threshold=0.3)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_minhash_jaccard_close_to_exact(spark):
+    a = "a b c d e f g h i j k l m n o p"
+    b = "a b c d e f g h i j k l x y z w"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(
+        df, bands=32, jaccard_threshold=0.0).collect()
+    assert len(pairs) == 1
+    # exact verification stage reports true jaccard of 3-shingle sets
+    sa = {" ".join(a.split()[i:i+3]) for i in range(len(a.split())-2)}
+    sb = {" ".join(b.split()[i:i+3]) for i in range(len(b.split())-2)}
+    true_j = len(sa & sb) / len(sa | sb)
+    assert pairs[0]["jaccard"] == pytest.approx(true_j, abs=1e-9)
+
+
+def test_simhash(spark):
+    df = spark.createDataFrame(
+        [(1, "spark is a distributed engine for big data"),
+         (2, "spark is a distributed engine for huge data"),
+         (3, "bananas oranges apples pears grapes melons kiwi")],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.simhash_signatures(df)
+    rows = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    d12 = sigs.filter("doc_id=1").select(
+        dedup.simhash_hamming(F.lit(rows[1]), F.lit(rows[2])).alias("h")
+    ).first()["h"]
+    d13 = sigs.filter("doc_id=1").select(
+        dedup.simhash_hamming(F.lit(rows[1]), F.lit(rows[3])).alias("h")
+    ).first()["h"]
+    assert d12 < d13
+
+
+def test_cosine_topk_matches_numpy(embeddings):
+    pdf = embeddings.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    top_true = set(pdf["vec_id"].to_numpy()[np.argsort(-sims)[:5]])
+    out = similarity.cosine_topk(embeddings, list(q), k=5).collect()
+    assert {r["vec_id"] for r in out} == top_true
+    assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_recall(embeddings):
+    pdf = embeddings.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    q = mat[7]
+    exact = similarity.cosine_topk(embeddings, list(q), k=10).collect()
+    approx = similarity.lsh_bucketed_topk(
+        embeddings, list(q), k=10, tables=16, planes=4).collect()
+    exact_ids = {r["vec_id"] for r in exact}
+    approx_ids = {r["vec_id"] for r in approx}
+    # expected recall ~1-(1-p^4)^16 with p = 1 - theta/pi; >= 0.7 here
+    assert len(exact_ids & approx_ids) >= 7
+
+
+def test_text_stats(documents):
+    out = text.with_text_stats(documents).limit(50).collect()
+    for r in out:
+        assert r["n_chars_calc"] == r["n_chars"]
+        assert r["n_tokens"] > 0
+        assert 0 <= r["punct_ratio"] <= 1
+        toks = r["text"].split()
+        assert r["n_tokens"] == len(toks)
+        assert r["avg_token_len"] == pytest.approx(
+            sum(len(t) for t in toks) / len(toks))
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "el gato y la casa de que si"),
+         (3, "zzz qqq www")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in text.with_language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_quality_score_range(documents):
+    out = text.with_quality_score(documents).select("quality_score").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in out)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world "), (3, "bye")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in text.with_fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]

@@ -1,0 +1,103 @@
+"""Predicate DSL + ranking metrics vs hand-computed oracles."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.core import ranking
+from whylogs_spark.core.relations import Require, parse_predicate
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 31.0, "F"), (2, "bob", 17.0, "O"),
+         (3, "carol", 150.0, "F"), (4, None, 45.0, "P")],
+        ["id", "name", "price", "status"],
+    )
+
+
+def test_fluent_predicates(people):
+    assert people.filter(
+        Require("price").greater_than(30)).count() == 3
+    assert people.filter(
+        Require("name").matches("a")).count() == 1       # anchored
+    assert people.filter(
+        Require("name").search("a")).count() == 2        # anywhere (null skipped)
+    assert people.filter(
+        Require("status").fullmatch("F")).count() == 2
+    assert people.filter(Require("name").is_null()).count() == 1
+
+
+def test_prefix_parser(people):
+    c = parse_predicate("and > price 20 < price 100")
+    assert people.filter(c).count() == 2
+    c2 = parse_predicate("or == status P ~ name ^a")
+    assert people.filter(c2).count() == 2
+    c3 = parse_predicate("not == status F")
+    assert people.filter(c3).count() == 2
+
+
+def test_prefix_parser_errors():
+    with pytest.raises(ValueError):
+        parse_predicate("bogus x 1")
+    with pytest.raises(ValueError):
+        parse_predicate("> price")
+    with pytest.raises(ValueError):
+        parse_predicate("> price 1 extra")
+
+
+@pytest.fixture(scope="module")
+def rank_df(spark):
+    # predictions ranked best-first; targets = relevant set
+    return spark.createDataFrame(
+        [
+            (1, [1, 2, 3, 4], [1, 4]),     # hits at ranks 1,4
+            (2, [5, 6, 7, 8], [9]),        # no hits
+            (3, [10, 11], [11, 12, 13]),   # hit at rank 2
+        ],
+        ["row_id", "predictions", "targets"],
+    )
+
+
+def test_ranking_metrics_exact(rank_df):
+    rows = {r["row_id"]: r
+            for r in ranking.with_ranking_metrics(rank_df).collect()}
+    r1 = rows[1]
+    assert r1["recall_k"] == pytest.approx(1.0)          # 2/2
+    assert r1["precision_k"] == pytest.approx(0.5)       # 2/4
+    assert r1["top_rank"] == 1
+    assert r1["mrr"] == pytest.approx(1.0)
+    # AP = mean(prec@1, prec@4) = mean(1, 0.5) = 0.75
+    assert r1["average_precision_k"] == pytest.approx(0.75)
+    # DCG = 1/log2(2) + 1/log2(5); IDCG = 1/log2(2) + 1/log2(3)
+    dcg = 1.0 + 1.0 / math.log2(5)
+    idcg = 1.0 + 1.0 / math.log2(3)
+    assert r1["ndcg_k"] == pytest.approx(dcg / idcg)
+
+    r2 = rows[2]
+    assert r2["recall_k"] == 0.0
+    assert r2["top_rank"] == 0
+    assert r2["mrr"] == 0.0
+    assert r2["average_precision_k"] == 0.0
+    assert r2["ndcg_k"] == 0.0
+
+    r3 = rows[3]
+    assert r3["recall_k"] == pytest.approx(1 / 3)
+    assert r3["precision_k"] == pytest.approx(0.5)
+    assert r3["top_rank"] == 2
+    assert r3["mrr"] == pytest.approx(0.5)
+
+
+def test_ranking_k_slice(rank_df):
+    rows = {r["row_id"]: r
+            for r in ranking.with_ranking_metrics(rank_df, k=2).collect()}
+    assert rows[1]["precision_k"] == pytest.approx(0.5)  # [1,2] -> 1 hit /2
+    assert rows[1]["recall_k"] == pytest.approx(0.5)     # 1 of 2 relevant
+
+
+def test_ranking_summary(rank_df):
+    s = ranking.ranking_summary(rank_df).collect()[0]
+    assert s["n"] == 3
+    assert s["mean_reciprocal_rank"] == pytest.approx((1.0 + 0 + 0.5) / 3)

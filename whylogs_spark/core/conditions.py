@@ -1,0 +1,79 @@
+"""Condition counts and row-level validators.
+
+Replaces the reference's ConditionCountMetric
+(python/whylogs/core/metrics/condition_count_metric.py:94) and
+ConditionValidator (python/whylogs/core/validators/condition_validator.py:16):
+named boolean predicates counted in a single aggregation pass, plus a
+deterministic sample of failing rows (the reference keeps a var_opt
+reservoir of failures; we take the top-k by a seeded hash — stable and
+distributed, no driver loop).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def condition_counts(
+    df: DataFrame, conditions: Dict[str, Column]
+) -> DataFrame:
+    """One aggregation pass -> long DataFrame (condition, matches, total).
+
+    Each condition is any boolean Column (use the relations DSL or raw
+    expressions). NULL evaluates as non-match, like the reference's
+    failure-on-exception path.
+    """
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__total")]
+    names = list(conditions)
+    for i, name in enumerate(names):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(conditions[name], 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias(f"__c{i}")
+        )
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("condition"),
+            F.col(f"__c{i}").alias("matches"),
+            F.col("__total").alias("total"),
+        )
+        for i, name in enumerate(names)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def validate(
+    df: DataFrame,
+    conditions: Dict[str, Column],
+    id_col: Optional[str] = None,
+    sample_size: int = 10,
+) -> "ValidationResult":
+    """Row-level validation: counts + per-condition failing-row samples."""
+    counts = condition_counts(df, conditions)
+    samples: Dict[str, DataFrame] = {}
+    for name, cond in conditions.items():
+        failed = df.filter(~F.coalesce(cond, F.lit(False)))
+        if id_col is not None:
+            # deterministic pseudo-random sample: stable across runs,
+            # computed distributed via TakeOrderedAndProject
+            failed = failed.orderBy(
+                F.xxhash64(F.col(id_col)).asc()).limit(sample_size)
+        else:
+            failed = failed.limit(sample_size)
+        samples[name] = failed
+    return ValidationResult(counts, samples)
+
+
+class ValidationResult:
+    def __init__(self, counts: DataFrame, samples: Dict[str, DataFrame]):
+        self.counts = counts
+        self.failed_samples = samples
+
+    def failures(self) -> DataFrame:
+        return self.counts.withColumn(
+            "failures", F.col("total") - F.col("matches"))

@@ -1,0 +1,230 @@
+"""Drift detection between two profiles.
+
+Reference algorithms (python/whylogs/viz/drift/column_drift_algorithms.py):
+  * KS test      (:308-424) — D-stat via quantile walk over two KLL
+                  sketches + kstwo p-value
+  * Chi-square   (:205-305) — over frequent-items + cardinality
+  * Hellinger    (:95-202)  — distance between PMFs from KLL
+
+scipy isn't available here, so the p-value functions use the standard
+published formulas directly:
+  * KS p-value: Kolmogorov asymptotic survival function
+    Q(x) = 2 * sum_{k>=1} (-1)^{k-1} exp(-2 k^2 x^2)   (Smirnov 1948)
+  * chi2 survival: regularized upper incomplete gamma via series /
+    continued fraction (Numerical Recipes §6.2 formulas — public math).
+
+Thresholds / categories mirror the reference's defaults
+(viz/drift/configs.py): KS p<0.05 => DRIFT, <0.15 => POSSIBLE_DRIFT.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from .profiler import ProfileView
+from .sketches import FrequentStringsSketch, KllSketch
+
+
+# ----------------------------------------------------------- special functions
+def _kolmogorov_sf(x: float) -> float:
+    if x <= 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, 101):
+        term = 2.0 * ((-1) ** (k - 1)) * math.exp(-2.0 * k * k * x * x)
+        s += term
+        if abs(term) < 1e-12:
+            break
+    return min(max(s, 0.0), 1.0)
+
+
+def _gammainc_upper_reg(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x)."""
+    if x < 0 or a <= 0:
+        return float("nan")
+    if x == 0:
+        return 1.0
+    if x < a + 1.0:
+        # series for P(a,x), Q = 1 - P
+        ap = a
+        s = 1.0 / a
+        delta = s
+        for _ in range(500):
+            ap += 1.0
+            delta *= x / ap
+            s += delta
+            if abs(delta) < abs(s) * 1e-14:
+                break
+        p = s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+        return max(0.0, 1.0 - p)
+    # continued fraction for Q(a,x)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def chi2_sf(stat: float, dof: int) -> float:
+    if dof <= 0:
+        return float("nan")
+    return _gammainc_upper_reg(dof / 2.0, stat / 2.0)
+
+
+# ------------------------------------------------------------------ KS test
+def ks_test_from_sketches(
+    a: KllSketch, b: KllSketch, quantiles: Optional[List[float]] = None
+) -> Tuple[float, float]:
+    """(D statistic, p-value) via quantile walk, like the reference's
+    compute_ks_test_p_value (column_drift_algorithms.py:320-361)."""
+    if a.n == 0 or b.n == 0:
+        return float("nan"), float("nan")
+    qs = quantiles or [i / 100.0 for i in range(1, 100)]
+    d_max = 0.0
+    for q in qs:
+        for probe in (a.quantile(q), b.quantile(q)):
+            d = abs(a.rank(probe) - b.rank(probe))
+            if d > d_max:
+                d_max = d
+    n, m = a.n, b.n
+    en = math.sqrt(n * m / (n + m))
+    p = _kolmogorov_sf((en + 0.12 + 0.11 / en) * d_max)
+    return d_max, p
+
+
+# ------------------------------------------------------------------ Hellinger
+def hellinger_from_sketches(
+    a: KllSketch, b: KllSketch, n_bins: int = 30
+) -> float:
+    if a.n == 0 or b.n == 0:
+        return float("nan")
+    lo = min(a.min_value, b.min_value)
+    hi = max(a.max_value, b.max_value)
+    if not (hi > lo):
+        return 0.0
+    splits = [lo + (hi - lo) * i / n_bins for i in range(1, n_bins)]
+    pa = a.pmf(splits)
+    pb = b.pmf(splits)
+    return math.sqrt(
+        0.5 * sum((math.sqrt(x) - math.sqrt(y)) ** 2
+                  for x, y in zip(pa, pb)))
+
+
+# ------------------------------------------------------------------ chi2
+def chi2_from_frequent_items(
+    a: FrequentStringsSketch, b: FrequentStringsSketch
+) -> Tuple[float, float]:
+    """Chi-square over shared frequent items (reference :205-305 requires
+    matching categories; returns (stat, p))."""
+    if a.n == 0 or b.n == 0:
+        return float("nan"), float("nan")
+    keys = set(a.counts) | set(b.counts)
+    if len(keys) < 2:
+        return 0.0, 1.0
+    total_a = sum(a.counts.values())
+    total_b = sum(b.counts.values())
+    stat = 0.0
+    for k in keys:
+        fa = a.counts.get(k, 0) / max(total_a, 1)
+        expected = fa * total_b
+        observed = b.counts.get(k, 0)
+        if expected > 0:
+            stat += (observed - expected) ** 2 / expected
+    dof = len(keys) - 1
+    return stat, chi2_sf(stat, dof)
+
+
+# ------------------------------------------------------------------ driver
+@dataclass
+class DriftScore:
+    column: str
+    algorithm: str
+    statistic: float
+    p_value: Optional[float]
+    category: str  # DRIFT | POSSIBLE_DRIFT | NO_DRIFT | UNKNOWN
+
+
+def _categorize_p(p: float) -> str:
+    if math.isnan(p):
+        return "UNKNOWN"
+    if p < 0.05:
+        return "DRIFT"
+    if p < 0.15:
+        return "POSSIBLE_DRIFT"
+    return "NO_DRIFT"
+
+
+def _categorize_dist(d: float, drift_thr: float = 0.5,
+                     possible_thr: float = 0.2) -> str:
+    if math.isnan(d):
+        return "UNKNOWN"
+    if d > drift_thr:
+        return "DRIFT"
+    if d > possible_thr:
+        return "POSSIBLE_DRIFT"
+    return "NO_DRIFT"
+
+
+def _sketches_by_column(view: ProfileView, component: str) -> Dict[str, bytes]:
+    rows = view.df.filter(
+        (view.df.component == component) & (view.df.segment == "{}")
+    ).select("column", "b").collect()
+    return {r["column"]: bytes(r["b"]) for r in rows if r["b"] is not None}
+
+
+def calculate_drift_scores(
+    target: ProfileView, reference: ProfileView,
+    with_thresholds: bool = True,
+) -> List[DriftScore]:
+    """Score drift per shared column: KS for numeric (KLL present),
+    chi-square for categorical (FI present). Mirrors the column alignment
+    of the reference (column_drift_algorithms.py:500-515)."""
+    out: List[DriftScore] = []
+    t_kll = _sketches_by_column(target, "kll")
+    r_kll = _sketches_by_column(reference, "kll")
+    for col in sorted(set(t_kll) & set(r_kll)):
+        a = KllSketch.deserialize(t_kll[col])
+        b = KllSketch.deserialize(r_kll[col])
+        d, p = ks_test_from_sketches(a, b)
+        out.append(DriftScore(col, "ks", d, p, _categorize_p(p)))
+    t_fi = _sketches_by_column(target, "mg")
+    r_fi = _sketches_by_column(reference, "mg")
+    for col in sorted((set(t_fi) & set(r_fi)) - set(t_kll)):
+        a = FrequentStringsSketch.deserialize(t_fi[col])
+        b = FrequentStringsSketch.deserialize(r_fi[col])
+        stat, p = chi2_from_frequent_items(b, a)
+        out.append(DriftScore(col, "chi2", stat, p, _categorize_p(p)))
+    return out
+
+
+def hellinger_scores(
+    target: ProfileView, reference: ProfileView, n_bins: int = 30
+) -> List[DriftScore]:
+    out = []
+    t_kll = _sketches_by_column(target, "kll")
+    r_kll = _sketches_by_column(reference, "kll")
+    for col in sorted(set(t_kll) & set(r_kll)):
+        a = KllSketch.deserialize(t_kll[col])
+        b = KllSketch.deserialize(r_kll[col])
+        h = hellinger_from_sketches(a, b, n_bins)
+        out.append(DriftScore(col, "hellinger", h, None,
+                              _categorize_dist(h)))
+    return out

@@ -46,8 +46,22 @@ class PlannedAgg:
     metric: str          # metric namespace ("counts", "distribution", ...)
     component: str       # component name ("n", "mean", "hll", ...)
     slot: str            # which typed slot of the profile row it fills
-    expr: Column         # aggregate expression
+    expr: Optional[Column]  # aggregate expression (None for derived)
     alias: str           # unique alias in the wide agg row
+    # Execution tier: "codegen" aggregates are declarative (HashAggregate,
+    # whole-stage codegen); "object" aggregates are TypedImperative
+    # (hll_sketch_agg, percentile_approx) which force the WHOLE aggregate
+    # exec into interpreted ObjectHashAggregateExec — so they run in a
+    # separate pass and the long outputs are unioned.
+    tier: str = "codegen"
+    # Post-aggregation projection: value = derive(col(derive_from)).
+    # Used so e.g. hll estimate/bounds reuse ONE sketch aggregate instead
+    # of re-running hll_sketch_agg per derived component.
+    derive_from: Optional[str] = None
+    derive: Optional[object] = None  # Callable[[Column], Column]
+    # emit=False: internal base aggregate (e.g. a quantile array) that
+    # exists only for derived components and produces no profile row.
+    emit: bool = True
 
 
 @dataclass
@@ -115,8 +129,19 @@ def plan_column(
     aggs: List[PlannedAgg] = []
     sketches: List[SketchPlan] = []
 
-    def add(metric: str, component: str, slot: str, expr: Column) -> None:
-        aggs.append(PlannedAgg(col, metric, component, slot, expr, aliases.next()))
+    def add(metric: str, component: str, slot: str, expr: Column,
+            tier: str = "codegen", emit: bool = True) -> str:
+        alias = aliases.next()
+        aggs.append(
+            PlannedAgg(col, metric, component, slot, expr, alias, tier,
+                       emit=emit))
+        return alias
+
+    def add_derived(metric: str, component: str, slot: str,
+                    derive_from: str, derive, tier: str) -> None:
+        aggs.append(
+            PlannedAgg(col, metric, component, slot, None, aliases.next(),
+                       tier, derive_from, derive))
 
     # ---- counts (reference: python/whylogs/core/metrics/column_metrics.py:110)
     add("counts", "n", SLOT_N, F.count(F.lit(1)))
@@ -156,8 +181,14 @@ def plan_column(
             qs = F.percentile_approx(
                 nv, F.array(*[F.lit(q) for q in cfg.quantiles]), F.lit(10000)
             )
+            # ONE percentile aggregate; per-quantile components are
+            # post-agg projections of the array
+            qalias = add("distribution", "_q_arr", SLOT_D, qs,
+                         tier="object", emit=False)
             for i, q in enumerate(cfg.quantiles):
-                add("distribution", _q_name(q), SLOT_D, qs.getItem(i))
+                add_derived(
+                    "distribution", _q_name(q), SLOT_D, qalias,
+                    _item_getter(i), tier="object")
         elif cfg.quantile_impl == "kll":
             sketches.append(
                 SketchPlan(col, "kll", nv, f"__kll__{aliases.next()}"))
@@ -172,19 +203,24 @@ def plan_column(
     if vt not in (ValueType.TENSOR, ValueType.OBJECT):
         sv = _string_view(col, vt)
         if cfg.cardinality_impl == "hll":
-            hll = F.hll_sketch_agg(sv, F.lit(cfg.hll_lg_k))
-            add("cardinality", "hll", SLOT_B, hll)
-            est = F.hll_sketch_estimate(hll)
-            add("cardinality", "est", SLOT_D, est)
-            # Two-sigma relative-standard-error bounds for HLL
-            # (rse = 1.04 / sqrt(2^lg_k)); the reference surfaces
-            # lib-provided bounds — same formula family.
+            # ONE hll aggregate per column; estimate and two-sigma
+            # relative-standard-error bounds (rse = 1.04 / sqrt(2^lg_k),
+            # same formula family the reference's sketch lib uses) are
+            # post-agg projections of the sketch bytes.
+            halias = add("cardinality", "hll", SLOT_B,
+                         F.hll_sketch_agg(sv, F.lit(cfg.hll_lg_k)),
+                         tier="object")
             rse = 2.0 * 1.04 / math.sqrt(2.0 ** cfg.hll_lg_k)
-            add("cardinality", "lower", SLOT_D, est * F.lit(1.0 - rse))
-            add("cardinality", "upper", SLOT_D, est * F.lit(1.0 + rse))
+            add_derived("cardinality", "est", SLOT_D, halias,
+                        _hll_estimate(1.0), tier="object")
+            add_derived("cardinality", "lower", SLOT_D, halias,
+                        _hll_estimate(1.0 - rse), tier="object")
+            add_derived("cardinality", "upper", SLOT_D, halias,
+                        _hll_estimate(1.0 + rse), tier="object")
         else:
             add("cardinality", "est", SLOT_D,
-                F.approx_count_distinct(sv).cast(T.DoubleType()))
+                F.approx_count_distinct(sv).cast(T.DoubleType()),
+                tier="codegen")
 
     # ---- frequent items (reference: metrics.py:444)
     if cfg.frequent_items_impl == "sketch" and vt in (
@@ -202,6 +238,15 @@ def _q_name(q: float) -> str:
     if q == 0.5:
         return "median"
     return f"q_{int(round(q * 100)):02d}"
+
+
+def _item_getter(i: int):
+    return lambda c: c.getItem(i)
+
+
+def _hll_estimate(scale: float):
+    return lambda c: F.hll_sketch_estimate(c).cast(
+        T.DoubleType()) * F.lit(scale)
 
 
 class _AliasGen:

@@ -96,16 +96,30 @@ def _segment_json_py(keys: List[str], values: Iterable) -> str:
     return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the source has far fewer partitions
+    than the cluster has slots (e.g. one small parquet file locally).
+    A no-op on real-scale inputs, which already arrive well-partitioned —
+    the guard keeps us from adding a gratuitous 100 TB shuffle.
+    """
+    try:
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------- native
-def _native_long(
-    df: DataFrame, aggs: List[PlannedAgg], segment_cols: List[str]
-) -> DataFrame:
-    exprs = [a.expr.alias(a.alias) for a in aggs]
-    if segment_cols:
-        wide = df.groupBy(*segment_cols).agg(*exprs)
-    else:
-        wide = df.agg(*exprs)
-    seg = _segment_json_col(segment_cols).alias("segment")
+def _long_structs(aggs: List[PlannedAgg]) -> List[Column]:
+    """One struct literal per emitted component, typed-slot aligned.
+
+    A component's value is its agg alias, or ``derive(col(derive_from))``
+    for post-agg projections (hll estimate/bounds, quantile array items).
+    """
 
     def null_slot(slot: str) -> Column:
         dt = {SLOT_N: T.LongType(), SLOT_D: T.DoubleType(),
@@ -114,6 +128,12 @@ def _native_long(
 
     structs = []
     for a in aggs:
+        if not a.emit:
+            continue
+        if a.derive is not None:
+            value = a.derive(F.col(a.derive_from))
+        else:
+            value = F.col(a.alias)
         fields = [
             F.lit(a.column).alias("column"),
             F.lit(a.metric).alias("metric"),
@@ -122,13 +142,108 @@ def _native_long(
         for slot, dt in ((SLOT_N, T.LongType()), (SLOT_D, T.DoubleType()),
                          (SLOT_S, T.StringType()), (SLOT_B, T.BinaryType())):
             if slot == a.slot:
-                fields.append(F.col(a.alias).cast(dt).alias(slot))
+                fields.append(value.cast(dt).alias(slot))
             else:
                 fields.append(null_slot(slot).alias(slot))
         structs.append(F.struct(*fields))
+    return structs
+
+
+def _native_long_one_tier(
+    df: DataFrame, aggs: List[PlannedAgg], segment_cols: List[str]
+) -> DataFrame:
+    if aggs and aggs[0].tier == "object":
+        # interpreted ObjectHashAggregate: make sure the partial-agg stage
+        # actually has cores to run on
+        df = _ensure_parallelism(df)
+    exprs = [a.expr.alias(a.alias) for a in aggs if a.expr is not None]
+    if segment_cols:
+        wide = df.groupBy(*segment_cols).agg(*exprs)
+    else:
+        wide = df.agg(*exprs)
+    seg = _segment_json_col(segment_cols).alias("segment")
+    structs = _long_structs(aggs)
     return wide.select(
         seg, F.explode(F.array(*structs)).alias("r")
     ).select("segment", "r.*")
+
+
+def _native_long(
+    df: DataFrame, aggs: List[PlannedAgg], segment_cols: List[str]
+) -> DataFrame:
+    """Run the codegen tier and the object tier as SEPARATE aggregation
+    passes and union the long outputs.
+
+    Rationale: one TypedImperative aggregate (hll_sketch_agg,
+    percentile_approx) in an Aggregate node downgrades the whole node to
+    interpreted ObjectHashAggregateExec. Two passes keep ~75% of the
+    expressions in whole-stage codegen; the extra column-pruned parquet
+    scan is far cheaper than losing codegen on everything.
+    """
+    tiers: Dict[str, List[PlannedAgg]] = {}
+    for a in aggs:
+        tiers.setdefault(a.tier, []).append(a)
+    parts = [
+        _native_long_one_tier(df, tier_aggs, segment_cols)
+        for _, tier_aggs in sorted(tiers.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _native_long_collected(
+    df: DataFrame, aggs: List[PlannedAgg]
+) -> DataFrame:
+    """Unsegmented fast path: aggregate wide, collect the single row,
+    reshape driver-side.
+
+    The explode-to-long projection used for segmented profiles costs
+    seconds of Catalyst/codegen time for ~1200 expressions operating on
+    ONE row; a flat select + driver reshape is plan-size O(#aggs) and the
+    collected payload is a few KB of profile components.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = df.sparkSession
+    tiers: Dict[str, List[PlannedAgg]] = {}
+    for a in aggs:
+        tiers.setdefault(a.tier, []).append(a)
+
+    def run_tier(item):
+        tier, tier_aggs = item
+        base = [a for a in tier_aggs if a.expr is not None]
+        src = _ensure_parallelism(df) if tier == "object" else df
+        wide = src.agg(*[a.expr.alias(a.alias) for a in base])
+        derived = [a for a in tier_aggs if a.derive is not None]
+        sel = [F.col(a.alias) for a in base if a.emit] + [
+            a.derive(F.col(a.derive_from)).alias(a.alias) for a in derived
+        ]
+        return tier_aggs, wide.select(*sel).collect()[0].asDict()
+
+    out_rows: List[tuple] = []
+    # tiers are independent Spark jobs — overlap them
+    with ThreadPoolExecutor(max_workers=max(len(tiers), 1)) as pool:
+        for tier_aggs, row in pool.map(run_tier, sorted(tiers.items())):
+            for a in tier_aggs:
+                if not a.emit:
+                    continue
+                v = row.get(a.alias)
+                slots = {"n": None, "d": None, "s": None, "b": None}
+                if v is not None:
+                    if a.slot == SLOT_N:
+                        v = int(v)
+                    elif a.slot == SLOT_D:
+                        v = float(v)
+                    elif a.slot == SLOT_B:
+                        v = bytes(v)
+                    slots[a.slot] = v
+                out_rows.append((
+                    "{}", a.column, a.metric, a.component,
+                    slots["n"], slots["d"], slots["s"], slots["b"],
+                ))
+    return spark.createDataFrame(out_rows, PROFILE_SCHEMA)
 
 
 # --------------------------------------------------------------------- sketch
@@ -144,7 +259,8 @@ def _sketch_long(
         .alias(f"__seg__{s}")
         for s in segment_cols
     ]
-    proj = df.select(*seg_exprs, *[p.expr.alias(p.alias) for p in sketches])
+    proj = _ensure_parallelism(
+        df.select(*seg_exprs, *[p.expr.alias(p.alias) for p in sketches]))
 
     seg_names = [f"__seg__{s}" for s in segment_cols]
     seg_keys = list(segment_cols)
@@ -209,7 +325,7 @@ def _sketch_long(
                         if sk is None:
                             sk = FrequentStringsSketch(fi_cap, fi_maxlen)
                             state[(seg, alias)] = sk
-                        sk.update_batch(vals.tolist())
+                        sk.update_batch(vals)
         if state:
             alias_meta = {a: (c, k) for a, c, k in plans}
             rows = {"segment": [], "column": [], "metric": [],
@@ -284,11 +400,36 @@ def profile(
     given, reference: python/whylogs/api/logger/segment_processing.py:157).
     """
     segment_cols = list(segment_by or [])
+    try:
+        df.sparkSession.conf.set("spark.sql.codegen.maxFields", "2048")
+        # bigger Arrow batches => fewer python-side groupby/update rounds
+        # in the sketch pass
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+    except Exception:
+        pass
     aggs, sketches = plan_dataframe(df.schema, columns, segment_cols, config)
-    long_df = _native_long(df, aggs, segment_cols)
+    if segment_cols:
+        long_df = _native_long(df, aggs, segment_cols)
+        if sketches:
+            long_df = long_df.unionByName(
+                _sketch_long(df, sketches, segment_cols, config))
+        return ProfileView(long_df, config)
+
+    # Unsegmented: native tiers are collected eagerly (driver reshape);
+    # run the python sketch pass concurrently and cache its (tiny) result.
+    sketch_df = None
+    fut = None
     if sketches:
-        long_df = long_df.unionByName(
-            _sketch_long(df, sketches, segment_cols, config))
+        from concurrent.futures import ThreadPoolExecutor
+
+        sketch_df = _sketch_long(df, sketches, segment_cols, config).cache()
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(sketch_df.count)
+    long_df = _native_long_collected(df, aggs)
+    if sketch_df is not None:
+        fut.result()
+        long_df = long_df.unionByName(sketch_df)
     return ProfileView(long_df, config)
 
 

@@ -271,13 +271,31 @@ class FrequentStringsSketch:
         self.n = 0
 
     def update_batch(self, values: Iterable[str]) -> None:
-        vals, counts = np.unique(
-            np.asarray([str(v)[: self.max_len] for v in values], dtype=object),
-            return_counts=True,
-        )
-        for v, c in zip(vals, counts):
+        import pandas as pd
+
+        s = values if isinstance(values, pd.Series) else pd.Series(
+            list(values), dtype=object)
+        s = s.dropna()
+        if len(s) == 0:
+            return
+        s = s.astype(str).str.slice(0, self.max_len)
+        vc = s.value_counts()  # C-speed hash count; descending
+        self.n += int(vc.sum())
+        cap = self.capacity
+        # Only the top (2*cap+1) batch items plus already-tracked keys can
+        # appear in (or bound) the merged top-cap; anything past that is
+        # covered by bumping `error` with the largest dropped count
+        # (SpaceSaving-style conservative bound: est <= true <= est+error).
+        head = vc.iloc[: 2 * cap + 1]
+        if len(vc) > len(head):
+            self.error += int(vc.iloc[len(head)])
+            tracked = [k for k in self.counts if k not in head.index]
+            if tracked:
+                extra = vc[vc.index.isin(tracked)]
+                for v, c in extra.items():
+                    self.counts[v] += int(c)
+        for v, c in head.items():
             self.counts[v] = self.counts.get(v, 0) + int(c)
-            self.n += int(c)
         self._prune()
 
     def _prune(self) -> None:

@@ -1,0 +1,129 @@
+"""Oracle-checkable summary tables derived from profiling.
+
+These produce EXACT-valued summaries (the parts of a profile that have an
+ANSI-SQL equivalent) so they can be verified against an external engine.
+Sketch-backed estimates (HLL / KLL / FI) are bound-checked in the test
+suite instead — an estimate can't hash-match an exact oracle.
+
+Each helper is a single aggregation pass (wide agg -> explode to long),
+the same execution shape as the profiler.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .datatypes import ValueType, value_type_of
+
+
+def counts_table(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
+    """(col_name, n, n_null, n_distinct) per column — all exact."""
+    cols = columns or df.columns
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.lit(1)).alias(f"n_{i}"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"nn_{i}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"n_{i}").alias("n"),
+            F.col(f"nn_{i}").alias("n_null"),
+            F.col(f"nd_{i}").alias("n_distinct"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def numeric_table(
+    df: DataFrame, columns: Optional[List[str]] = None, ndigits: int = 4
+) -> DataFrame:
+    """(col_name, n_num, mean, stddev, vmin, vmax) per numeric column."""
+    cols = columns or [
+        f.name
+        for f in df.schema.fields
+        if value_type_of(f.dataType)
+        in (ValueType.INTEGRAL, ValueType.FRACTIONAL)
+    ]
+    aggs = []
+    for i, c in enumerate(cols):
+        v = F.col(c).cast(T.DoubleType())
+        v = F.when(~F.isnan(v), v)
+        aggs += [
+            F.count(v).alias(f"n_{i}"),
+            F.round(F.avg(v), ndigits).alias(f"mean_{i}"),
+            F.round(F.stddev_samp(v), ndigits).alias(f"sd_{i}"),
+            F.round(F.min(v), ndigits).alias(f"mn_{i}"),
+            F.round(F.max(v), ndigits).alias(f"mx_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"n_{i}").alias("n_num"),
+            F.col(f"mean_{i}").alias("mean"),
+            F.col(f"sd_{i}").alias("stddev"),
+            F.col(f"mn_{i}").alias("vmin"),
+            F.col(f"mx_{i}").alias("vmax"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def string_table(
+    df: DataFrame, columns: Optional[List[str]] = None, ndigits: int = 4
+) -> DataFrame:
+    """(col_name, n, n_distinct, min_len, max_len, avg_len) per string col."""
+    cols = columns or [
+        f.name
+        for f in df.schema.fields
+        if value_type_of(f.dataType) == ValueType.STRING
+    ]
+    aggs = []
+    for i, c in enumerate(cols):
+        ln = F.length(F.col(c))
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{i}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{i}"),
+            F.min(ln).cast(T.LongType()).alias(f"mn_{i}"),
+            F.max(ln).cast(T.LongType()).alias(f"mx_{i}"),
+            F.round(F.avg(ln), ndigits).alias(f"av_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"n_{i}").alias("n"),
+            F.col(f"nd_{i}").alias("n_distinct"),
+            F.col(f"mn_{i}").alias("min_len"),
+            F.col(f"mx_{i}").alias("max_len"),
+            F.col(f"av_{i}").alias("avg_len"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def top_k_items(
+    df: DataFrame, column: str, k: int = 5
+) -> DataFrame:
+    """Exact frequent-items top-k: (value, cnt), count desc then value asc.
+
+    The profile's FI sketch gives the same answer within error bounds; this
+    exact variant exists for oracle checks and small-cardinality columns.
+    """
+    return (
+        df.groupBy(F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("value").asc())
+        .limit(k)
+    )

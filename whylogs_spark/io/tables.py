@@ -1,0 +1,31 @@
+"""Parquet table loading with schema normalization.
+
+Spark's vectorized parquet reader rejects TIMESTAMP(NANOS) columns
+(PARQUET_TYPE_ILLEGAL). We flip the legacy nanos-as-long conf and convert
+the raw nanos back to a proper timestamp (microsecond precision — the
+same truncation DuckDB applies when reading nanos parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        f = dict(zip(df.columns, df.schema.fields))
+        ts = f.get("ts")
+        if ts is not None and isinstance(ts.dataType, T.LongType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    (F.col("ts") / F.lit(1000)).cast("long")),
+            )
+    return df

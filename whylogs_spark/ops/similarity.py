@@ -1,0 +1,187 @@
+"""Vector similarity search over embedding columns (array<float/double>).
+
+Two tiers, mirroring how a 100 TB pipeline actually uses ANN:
+
+* ``cosine_topk`` — brute-force scan vs one (or few) query vectors. The
+  query is a literal array folded into the plan (effectively broadcast);
+  the scan is a single narrow pass with ``zip_with``/``aggregate`` higher-
+  order functions (JVM, codegen) and a top-k via ``ORDER BY ... LIMIT k``
+  which Spark executes as TakeOrderedAndProject — no full sort.
+* ``lsh_bucketed_topk`` — random-hyperplane LSH (Charikar 2002): sign
+  signatures per vector, bucketed candidate retrieval, exact re-rank of
+  candidates only. Hyperplanes are derived deterministically from
+  xxhash64(dim, plane) so workers need no broadcast state at all.
+* ``knn_join`` — all-pairs k-NN between two embedding tables via LSH
+  bucketing (for small-to-medium dims); exact verify in-bucket.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    da = a.cast("array<double>")
+    db = b.cast("array<double>")
+    return _dot(da, db) / (_norm(da) * _norm(db))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector.
+
+    Plan: Scan -> Project(codegen dot/norm) -> TakeOrderedAndProject(k).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine_similarity(F.col(vec_col), q).alias("cosine")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign of <v, h_plane> where h_plane[d] = centered xxhash64(d, plane).
+
+    The pseudo-random hyperplane is generated inside the expression from
+    (dimension index, plane index) — deterministic on every executor, no
+    broadcast, no Python.
+    """
+    prods = F.zip_with(
+        vec.cast("array<double>"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.xxhash64(d, F.lit(plane)).cast("double")
+                / F.lit(float(2 ** 63))
+            ),
+        ),
+        lambda x, h: x * h,
+    )
+    s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    return (s >= 0).cast("int")
+
+
+def _bucket_expr(vec_col: str, table: int, planes: int, dim: int) -> Column:
+    bucket = F.lit(0)
+    for p in range(planes):
+        bucket = bucket + _hyperplane_sign(
+            F.col(vec_col), table * planes + p, dim) * F.lit(2 ** p)
+    return bucket
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    tables: int = 8,
+    planes: int = 6,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Adds ``lsh_buckets``: array<int>, one sign-bucket per hash table.
+
+    Multi-table random-hyperplane LSH: a vector is a candidate for a query
+    if ANY table agrees — recall grows as 1-(1-p^planes)^tables.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    return df.withColumn(
+        "lsh_buckets",
+        F.array(*[_bucket_expr(vec_col, t, planes, dim)
+                  for t in range(tables)]),
+    )
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    tables: int = 8,
+    planes: int = 6,
+) -> DataFrame:
+    """ANN top-k: prune to rows sharing a bucket with the query in at
+    least one table, then exact cosine re-rank of the survivors only.
+    The bucket filter is a codegen'd projection — no shuffle, no UDF.
+    """
+    dim = len(query)
+    qv = np.asarray(query, dtype=np.float64)
+    # The query's buckets use the same in-plan hash family, so compute
+    # them with a 1-row Spark job (cheap, once) rather than reimplementing
+    # xxhash64 in Python.
+    spark = df.sparkSession
+    qdf = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in qv]).alias(vec_col))
+    qb = with_lsh_buckets(qdf, vec_col, tables, planes, dim).first()[
+        "lsh_buckets"]
+
+    bucketed = with_lsh_buckets(df, vec_col, tables, planes, dim)
+    cond = None
+    for t in range(tables):
+        c = F.col("lsh_buckets")[t] == F.lit(int(qb[t]))
+        cond = c if cond is None else (cond | c)
+    cand = bucketed.filter(cond)
+    return cosine_topk(cand, list(qv), vec_col, id_col, k)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    k: int = 5,
+    planes: int = 6,
+) -> DataFrame:
+    """Approximate k-NN join: bucket both sides on LSH signature, join on
+    bucket (shuffle on small int key), exact cosine within bucket, window
+    top-k per left row. Returns (left_id, right_id, cosine, rank).
+    """
+    dim = len(left.select(vec_col).first()[0])
+
+    def one_bucket(d: DataFrame, idc: str, vname: str) -> DataFrame:
+        return with_lsh_buckets(d, vec_col, 1, planes, dim).select(
+            F.col(idc).alias("__" + vname + "id"),
+            F.col(vec_col).alias("__" + vname + "v"),
+            F.col("lsh_buckets")[0].alias("lsh_bucket"),
+        )
+
+    lb = one_bucket(left, left_id, "l")
+    rb = one_bucket(right, right_id, "r")
+    joined = lb.join(rb, "lsh_bucket").withColumn(
+        "cosine", cosine_similarity(F.col("__lv"), F.col("__rv")))
+    w = Window.partitionBy("__lid").orderBy(
+        F.col("cosine").desc(), F.col("__rid").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__lid").alias(left_id + "_left"),
+            F.col("__rid").alias(right_id + "_right"),
+            "cosine", "rank")
+    )
