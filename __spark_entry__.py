@@ -199,6 +199,93 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unicode_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whylogs_spark.core.unicode_range import with_unicode_range_counts
+
+    df = with_unicode_range_counts(
+        _t(spark, sf_dir, "documents"), "text", normalize=False)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("`text.digits`").cast("long")).alias("sum_digits"),
+        F.sum(F.col("`text.latin-lower`").cast("long")).alias("sum_lower"),
+        F.sum(F.col("`text.string_length`").cast("long")).alias("sum_len"),
+    )
+
+
+def _q_embedding_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whylogs_spark.core.embeddings import with_embedding_distances
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    out = with_embedding_distances(emb, "embedding",
+                                   {"a": e0, "b": e1})
+    return (
+        out.groupBy(F.col("`embedding.closest`").alias("closest"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_ranking_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build per-user ranking lists from events, score with the ranking
+    module; oracle recomputes via plain SQL (no list ops needed)."""
+    from pyspark.sql import Window
+
+    from whylogs_spark.core import ranking
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").asc())
+    recent = (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    preds = recent.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rnk", "event_id"))
+        ).alias("ranked"))
+    preds = preds.select(
+        "user_id",
+        F.transform(F.col("ranked"), lambda s: s["event_id"])
+        .alias("predictions"))
+    targets = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("targets"))
+    joined = preds.join(targets, "user_id", "inner")
+    s = ranking.ranking_summary(joined, "predictions", "targets")
+    return s.select(
+        "n",
+        F.round(F.col("mean_precision_k"), 6).alias("mean_precision_k"),
+        F.round(F.col("mean_recall_k"), 6).alias("mean_recall_k"),
+        F.round(F.col("mean_reciprocal_rank"), 6).alias("mrr"),
+    )
+
+
+def _q_accuracy_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AccuracyEstimator: per-segment reference accuracy weighted by
+    target-set segment volumes (both derived from orders)."""
+    from whylogs_spark.core.model_perf import estimated_accuracy
+
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "pred",
+        F.when(F.col("o_totalprice") > 150000, "F").otherwise("O"))
+    ref = df.filter(F.col("o_orderkey") % 2 == 0)
+    tgt = df.filter(F.col("o_orderkey") % 2 == 1)
+    ref_acc = ref.groupBy(
+        F.col("o_orderpriority").alias("segment")).agg(
+        (F.sum((F.col("o_orderstatus") == F.col("pred")).cast("long"))
+         / F.count(F.lit(1))).alias("accuracy"))
+    tgt_vol = tgt.groupBy(
+        F.col("o_orderpriority").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"))
+    est = estimated_accuracy(ref_acc, tgt_vol)
+    return est.select(
+        F.round(F.col("estimated_accuracy"), 6).alias("estimated_accuracy"),
+        F.col("n_target"),
+    )
+
+
 # ------- rows-only demonstrations (no exact SQL equivalent) ---------------
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_dedup(
@@ -239,6 +326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_documents": _q_lang_id,
         "similarity_topk_embeddings": _q_similarity_topk,
         "events_hourly_rollup": _q_events_hourly,
+        "unicode_range_documents": _q_unicode_range,
+        "embedding_closest_centroid": _q_embedding_closest,
+        "ranking_metrics_events": _q_ranking_events,
+        "accuracy_estimator_orders": _q_accuracy_estimator,
         "minhash_dedup_documents": _q_minhash_dedup,
         "simhash_documents": _q_simhash,
         "lsh_topk_embeddings": _q_lsh_topk,
@@ -384,5 +475,64 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT user_id) AS n_users, "
             "round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1"
+        ),
+        "unicode_range_documents": (
+            "WITH t AS (SELECT source, length(text) AS sl, "
+            "length(regexp_replace(lower(text), "
+            "'[^\\x{0030}-\\x{0039}]', '', 'g')) AS dg, "
+            "length(regexp_replace(lower(text), "
+            "'[^\\x{0061}-\\x{007A}]', '', 'g')) AS lw "
+            "FROM documents) "
+            "SELECT source, count(*) AS n_docs, "
+            "sum(dg)::BIGINT AS sum_digits, sum(lw)::BIGINT AS sum_lower, "
+            "sum(sl)::BIGINT AS sum_len FROM t GROUP BY source"
+        ),
+        "embedding_closest_centroid": (
+            "WITH d AS (SELECT vec_id, "
+            "1.0 - list_cosine_similarity(embedding :: DOUBLE[], "
+            "list_value(1.0" + ", 0.0" * 63 + ")) AS da, "
+            "1.0 - list_cosine_similarity(embedding :: DOUBLE[], "
+            "list_value(0.0, 1.0" + ", 0.0" * 62 + ")) AS db "
+            "FROM embeddings) "
+            "SELECT CASE WHEN db < da THEN 'b' ELSE 'a' END AS closest, "
+            "count(*) AS n FROM d GROUP BY 1"
+        ),
+        "ranking_metrics_events": (
+            "WITH ranked AS (SELECT user_id, event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rnk "
+            "FROM events), "
+            "preds AS (SELECT user_id, event_id, rnk FROM ranked "
+            "WHERE rnk <= 5), "
+            "targets AS (SELECT user_id, event_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "t_users AS (SELECT user_id, count(*) AS n_rel FROM targets "
+            "GROUP BY 1), "
+            "p_users AS (SELECT user_id, count(*) AS k FROM preds "
+            "GROUP BY 1), "
+            "hits AS (SELECT p.user_id, p.rnk FROM preds p JOIN targets t "
+            "ON p.user_id = t.user_id AND p.event_id = t.event_id), "
+            "per_user AS (SELECT pu.user_id, coalesce(h.n_hits, 0) AS "
+            "n_hits, coalesce(h.top, 0) AS top_rank, pu.k, tu.n_rel "
+            "FROM p_users pu JOIN t_users tu USING (user_id) "
+            "LEFT JOIN (SELECT user_id, count(*) AS n_hits, min(rnk) AS "
+            "top FROM hits GROUP BY 1) h USING (user_id)) "
+            "SELECT count(*) AS n, "
+            "round(avg(n_hits * 1.0 / k), 6) AS mean_precision_k, "
+            "round(avg(n_hits * 1.0 / n_rel), 6) AS mean_recall_k, "
+            "round(avg(CASE WHEN top_rank > 0 THEN 1.0 / top_rank "
+            "ELSE 0 END), 6) AS mrr FROM per_user"
+        ),
+        "accuracy_estimator_orders": (
+            "WITH o AS (SELECT *, CASE WHEN o_totalprice > 150000 THEN "
+            "'F' ELSE 'O' END AS pred FROM orders), "
+            "ref_acc AS (SELECT o_orderpriority AS segment, "
+            "sum(CASE WHEN o_orderstatus = pred THEN 1 ELSE 0 END) * 1.0 "
+            "/ count(*) AS accuracy FROM o WHERE o_orderkey % 2 = 0 "
+            "GROUP BY 1), "
+            "tgt_vol AS (SELECT o_orderpriority AS segment, count(*) AS n "
+            "FROM o WHERE o_orderkey % 2 = 1 GROUP BY 1) "
+            "SELECT round(sum(accuracy * n) / sum(n), 6) AS "
+            "estimated_accuracy, sum(n)::BIGINT AS n_target "
+            "FROM ref_acc JOIN tgt_vol USING (segment)"
         ),
     }

@@ -1,0 +1,139 @@
+"""UDF schema, unicode-range, embedding metrics, NLP stats, store,
+multimodal plumbing."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import whylogs_spark as wsp
+from whylogs_spark.core import embeddings as emb_mod
+from whylogs_spark.core import unicode_range as ur
+from whylogs_spark.core.udf_schema import UdfSchema, UdfSpec, pandas_fn
+from whylogs_spark.io.store import ProfileStore
+from whylogs_spark.ops import multimodal
+
+
+def test_udf_schema_expression_and_pandas(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], ["a", "b"])
+
+    def expr_sum(a, b):
+        return a + b
+
+    @pandas_fn
+    def pd_ratio(a, b):
+        return a / b
+
+    schema = UdfSchema([
+        UdfSpec(["a", "b"], {"sum": expr_sum}, prefix="derived"),
+        UdfSpec(["a", "b"], {"ratio": pd_ratio}),
+    ])
+    out = schema.apply_udfs(df)
+    rows = out.orderBy("a").collect()
+    assert rows[0]["derived.sum"] == 3.0
+    assert rows[0]["ratio"] == pytest.approx(0.5)
+    # drop_inputs drops a/b
+    out2 = schema.apply_udfs(df, drop_inputs=True)
+    assert set(out2.columns) == {"derived.sum", "ratio"}
+
+
+def test_unicode_range_counts(spark):
+    df = spark.createDataFrame(
+        [("Abc123",), ("ÅBC",), (None,)], ["s"])
+    out = ur.with_unicode_range_counts(df, "s").collect()
+    by = {r["s"]: r for r in out}
+    # NFD-lowercased "abc123": digits=3, latin-lower=6? no: a,b,c =3
+    assert by["Abc123"]["s.digits"] == 3.0
+    assert by["Abc123"]["s.latin-lower"] == 3.0
+    assert by["Abc123"]["s.string_length"] == 6.0
+    # Å NFD-decomposes to A + combining ring; lowercase -> a + U+030A
+    assert by["ÅBC"]["s.latin-lower"] == 3.0
+    assert by["ÅBC"]["s.extended-latin"] >= 1.0
+
+
+def test_unicode_range_profile(documents):
+    view = ur.unicode_range_profile(documents.limit(100), "text")
+    wide = view.to_pandas()
+    assert "text.digits" in set(wide["column"])
+    assert "text.string_length" in set(wide["column"])
+
+
+def test_embedding_distances_and_closest(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        ["id", "vec"],
+    )
+    refs = {"x": [1.0, 0.0], "y": [0.0, 1.0]}
+    out = emb_mod.with_embedding_distances(df, "vec", refs)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["vec.x_distance"] == pytest.approx(0.0, abs=1e-12)
+    assert rows[1]["vec.closest"] == "x"
+    assert rows[2]["vec.closest"] == "y"
+    assert rows[3]["vec.closest"] == "x"
+    out_e = emb_mod.with_embedding_distances(df, "vec", refs,
+                                             distance="euclidean")
+    r3 = {r["id"]: r for r in out_e.collect()}[3]
+    assert r3["vec.x_distance"] == pytest.approx(math.hypot(0.1, 0.1))
+
+
+def test_reference_centroids_and_profile(embeddings):
+    refs = emb_mod.reference_centroids(embeddings, "embedding", "label")
+    assert len(refs) >= 2
+    view = emb_mod.embedding_profile(
+        embeddings.limit(200), "embedding", refs)
+    wide = view.to_pandas()
+    cols = set(wide["column"])
+    assert any(c.endswith("_distance") for c in cols)
+    assert "embedding.closest" in cols
+
+
+def test_nlp_profile(documents):
+    view = emb_mod.nlp_profile(documents.limit(100))
+    wide = view.to_pandas()
+    cols = set(wide["column"])
+    assert {"doc_length", "term", "term_length"} <= cols
+
+
+def test_profile_store_roundtrip(spark, lineitem, tmp_path):
+    store = ProfileStore(str(tmp_path / "store"))
+    half_a = lineitem.filter("l_orderkey % 2 = 0")
+    half_b = lineitem.filter("l_orderkey % 2 = 1")
+    import datetime as dt
+
+    store.write(wsp.profile(half_a, columns=["l_quantity"]), "ds1",
+                dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc))
+    store.write(wsp.profile(half_b, columns=["l_quantity"]), "ds1",
+                dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc))
+    store.write(wsp.profile(half_a, columns=["l_quantity"]), "ds2",
+                dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc))
+
+    assert set(store.list_datasets(spark)) == {"ds1", "ds2"}
+    merged = store.get(spark, "ds1")
+    n = merged.get_component("l_quantity", "counts", "n")
+    assert n == lineitem.count()
+    only_day1 = store.get(spark, "ds1", date_to="2026-01-01")
+    assert only_day1.get_component("l_quantity", "counts", "n") == \
+        half_a.count()
+
+
+def test_multimodal_header_sniff(spark, tmp_path):
+    import struct as st
+
+    # craft a tiny valid PNG header (IHDR 32x16) and a JPEG SOF0
+    png = (b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR"
+           + st.pack(">II", 32, 16) + b"\x08\x02\x00\x00\x00" + b"0" * 8)
+    jpeg = (b"\xff\xd8" + b"\xff\xc0" + st.pack(">H", 11)
+            + b"\x08" + st.pack(">HH", 24, 48) + b"\x03" + b"0" * 20)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.png").write_bytes(png)
+    (d / "b.jpg").write_bytes(jpeg)
+    df = multimodal.read_binary_dir(spark, str(d))
+    feats = {r["format"]: r
+             for r in multimodal.extract_image_features(df).collect()}
+    assert feats["png"]["width"] == 32 and feats["png"]["height"] == 16
+    assert feats["jpeg"]["width"] == 48 and feats["jpeg"]["height"] == 24
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels(df)

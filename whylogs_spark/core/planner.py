@@ -40,6 +40,12 @@ from .datatypes import ValueType, value_type_of
 SLOT_N, SLOT_D, SLOT_S, SLOT_B = "n", "d", "s", "b"
 
 
+def qcol(name: str) -> Column:
+    """Column reference that survives dots in the name (derived columns
+    like ``text.digits`` would otherwise parse as struct access)."""
+    return F.col("`" + name + "`") if "." in name else F.col(name)
+
+
 @dataclass
 class PlannedAgg:
     column: str          # input column name
@@ -97,7 +103,7 @@ def _numeric_view(col: str, vt: ValueType) -> Optional[Column]:
     it — python/whylogs/core/preprocessing.py:126-150); ±Inf passes through
     (counted AND fed to metrics — preprocessing.py:135-139).
     """
-    c = F.col(col)
+    c = qcol(col)
     if vt == ValueType.INTEGRAL:
         return c.cast(T.DoubleType())
     if vt == ValueType.FRACTIONAL:
@@ -115,7 +121,7 @@ def _string_view(col: str, vt: ValueType) -> Column:
     Booleans become "True"/"False" to match the reference's str() folding
     (python/whylogs/core/metrics/metrics.py:472-485).
     """
-    c = F.col(col)
+    c = qcol(col)
     if vt == ValueType.BOOLEAN:
         return F.when(c.isNull(), None).when(c, "True").otherwise("False")
     return c.cast(T.StringType())
@@ -125,7 +131,7 @@ def plan_column(
     col: str, dt: T.DataType, cfg: MetricConfig, aliases: "_AliasGen"
 ) -> Tuple[List[PlannedAgg], List[SketchPlan]]:
     vt = value_type_of(dt)
-    c = F.col(col)
+    c = qcol(col)
     aggs: List[PlannedAgg] = []
     sketches: List[SketchPlan] = []
 

@@ -193,6 +193,71 @@ def _native_long(
     return out
 
 
+_SEGMENT_COLLECT_LIMIT = 20_000
+
+
+def _segmented_native_long(
+    df: DataFrame, aggs: List[PlannedAgg], segment_cols: List[str]
+) -> DataFrame:
+    """Segmented profiles: if the number of segments is modest (it
+    almost always is — the reference caps segmentation at 10 partitions
+    and warns on high-cardinality keys), collect the wide per-segment agg
+    rows and reshape driver-side, avoiding the O(seconds) plan-compile of
+    the 1000+-expression explode projection. Past the limit, fall back to
+    the fully-distributed explode path.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = df.sparkSession
+    tiers: Dict[str, List[PlannedAgg]] = {}
+    for a in aggs:
+        tiers.setdefault(a.tier, []).append(a)
+
+    def run_tier(item):
+        tier, tier_aggs = item
+        base = [a for a in tier_aggs if a.expr is not None]
+        src = _ensure_parallelism(df) if tier == "object" else df
+        wide = src.groupBy(*segment_cols).agg(
+            *[a.expr.alias(a.alias) for a in base])
+        derived = [a for a in tier_aggs if a.derive is not None]
+        seg = _segment_json_col(segment_cols).alias("__segment")
+        sel = [seg] + [F.col(a.alias) for a in base if a.emit] + [
+            a.derive(F.col(a.derive_from)).alias(a.alias) for a in derived
+        ]
+        rows = wide.select(*sel).limit(_SEGMENT_COLLECT_LIMIT + 1).collect()
+        return tier_aggs, rows
+
+    with ThreadPoolExecutor(max_workers=max(len(tiers), 1)) as pool:
+        results = list(pool.map(run_tier, sorted(tiers.items())))
+
+    if any(len(rows) > _SEGMENT_COLLECT_LIMIT for _, rows in results):
+        return _native_long(df, aggs, segment_cols)  # distributed fallback
+
+    out_rows: List[tuple] = []
+    for tier_aggs, rows in results:
+        for row in rows:
+            rd = row.asDict()
+            seg = rd["__segment"]
+            for a in tier_aggs:
+                if not a.emit:
+                    continue
+                v = rd.get(a.alias)
+                slots = {"n": None, "d": None, "s": None, "b": None}
+                if v is not None:
+                    if a.slot == SLOT_N:
+                        v = int(v)
+                    elif a.slot == SLOT_D:
+                        v = float(v)
+                    elif a.slot == SLOT_B:
+                        v = bytes(v)
+                    slots[a.slot] = v
+                out_rows.append((
+                    seg, a.column, a.metric, a.component,
+                    slots["n"], slots["d"], slots["s"], slots["b"],
+                ))
+    return spark.createDataFrame(out_rows, PROFILE_SCHEMA)
+
+
 def _native_long_collected(
     df: DataFrame, aggs: List[PlannedAgg]
 ) -> DataFrame:
@@ -410,10 +475,19 @@ def profile(
         pass
     aggs, sketches = plan_dataframe(df.schema, columns, segment_cols, config)
     if segment_cols:
-        long_df = _native_long(df, aggs, segment_cols)
+        sketch_df = None
+        fut = None
         if sketches:
-            long_df = long_df.unionByName(
-                _sketch_long(df, sketches, segment_cols, config))
+            from concurrent.futures import ThreadPoolExecutor
+
+            sketch_df = _sketch_long(
+                df, sketches, segment_cols, config).cache()
+            pool = ThreadPoolExecutor(max_workers=1)
+            fut = pool.submit(sketch_df.count)
+        long_df = _segmented_native_long(df, aggs, segment_cols)
+        if sketch_df is not None:
+            fut.result()
+            long_df = long_df.unionByName(sketch_df)
         return ProfileView(long_df, config)
 
     # Unsegmented: native tiers are collected eagerly (driver reshape);

@@ -1,0 +1,82 @@
+"""Profile store: partitioned Parquet, merge-on-read.
+
+Reference: python/whylogs/api/store/sqlite_store.py:13-119 (SQLiteStore
+with merge-on-write within a period) and its DateQuery/DatasetIdQuery
+(query.py:7,21).
+
+Spark-first: an append-only Parquet table partitioned by
+(dataset_id, date). Writes never merge (appends are cheap and safe under
+concurrency); queries prune partitions via dataset_id/date predicates —
+Catalyst partition pruning makes "get profiles for dataset X, last 7
+days" a metadata-only scan — and merge the matching rows on read via the
+profile monoid.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.configs import DEFAULT_CONFIG, MetricConfig
+from ..core.profiler import ProfileView, _merge_profile_df
+
+
+class ProfileStore:
+    def __init__(self, path: str,
+                 config: MetricConfig = DEFAULT_CONFIG) -> None:
+        self.path = path
+        self.config = config
+
+    def write(
+        self,
+        view: ProfileView,
+        dataset_id: str,
+        dataset_ts: Optional[_dt.datetime] = None,
+    ) -> None:
+        ts = dataset_ts or _dt.datetime.now(_dt.timezone.utc)
+        df = (
+            view.df.withColumn("dataset_id", F.lit(dataset_id))
+            .withColumn("date", F.lit(ts.date().isoformat()))
+            .withColumn("dataset_ts", F.lit(ts.isoformat()))
+        )
+        (
+            df.write.mode("append")
+            .partitionBy("dataset_id", "date")
+            .parquet(self.path)
+        )
+
+    def _read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def get(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        date_from: Optional[str] = None,
+        date_to: Optional[str] = None,
+        merge: bool = True,
+    ) -> ProfileView:
+        """DateQuery equivalent; partition-pruned scan + monoid merge."""
+        df = self._read(spark).filter(F.col("dataset_id") == dataset_id)
+        if date_from is not None:
+            df = df.filter(F.col("date") >= date_from)
+        if date_to is not None:
+            df = df.filter(F.col("date") <= date_to)
+        if not merge:
+            return ProfileView(df, self.config)
+        tagged = df.withColumn(
+            "src", F.xxhash64(F.col("dataset_ts"))).select(
+            "segment", "column", "metric", "component", "n", "d", "s",
+            "b", "src")
+        return ProfileView(
+            _merge_profile_df(tagged, self.config), self.config)
+
+    def list_datasets(self, spark: SparkSession) -> list:
+        return [
+            r["dataset_id"]
+            for r in self._read(spark).select("dataset_id")
+            .distinct().collect()
+        ]

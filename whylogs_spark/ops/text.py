@@ -58,7 +58,9 @@ def with_text_stats(
     n_tokens = token_count(c)
     n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
     n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    n_punct = F.length(F.regexp_replace(c, r"[^\!\"#\$%&'\(\)\*\+,\-\./:;<=>\?@\[\\\]\^_`\{\|\}~]", ""))
+    # \p{Punct} (Java) == [[:punct:]] (RE2/POSIX): the 32 ASCII punctuation
+    # chars — keeps SQL oracles exactly equivalent
+    n_punct = F.length(F.regexp_replace(c, r"[^\p{Punct}]", ""))
     n_space = F.length(c) - F.length(F.replace(c, F.lit(" ")))
     return (
         df.withColumn(prefix + "n_chars_calc", n_chars)
