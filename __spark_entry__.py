@@ -286,6 +286,34 @@ def _q_accuracy_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text_ops.with_quality_score(_t(spark, sf_dir, "documents"))
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text_ops.with_fingerprint(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "fingerprint_md5").filter(
+        F.col("doc_id") < 50)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ops.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45)
+    return pairs.select("id_a", "id_b")
+
+
 # ------- rows-only demonstrations (no exact SQL equivalent) ---------------
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_dedup(
@@ -330,6 +358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_closest_centroid": _q_embedding_closest,
         "ranking_metrics_events": _q_ranking_events,
         "accuracy_estimator_orders": _q_accuracy_estimator,
+        "quality_score_documents": _q_quality_score,
+        "fingerprint_documents": _q_fingerprint,
+        "ngram_jaccard_documents": _q_ngram_jaccard,
+        "embedding_neardup_embeddings": _q_embedding_neardup,
         "minhash_dedup_documents": _q_minhash_dedup,
         "simhash_documents": _q_simhash,
         "lsh_topk_embeddings": _q_lsh_topk,
@@ -392,6 +424,62 @@ def _lang_id_sql() -> str:
         "WITH scored AS (SELECT " + ", ".join(score_exprs)
         + " FROM documents) SELECT " + case
         + " AS lang_pred, count(*) AS n_docs FROM scored GROUP BY 1"
+    )
+
+
+def _quality_sql() -> str:
+    stop_terms = " + ".join(
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) "
+        f"/ {len(w) + 2} AS BIGINT)"
+        for w in text_ops.LANG_MARKERS["en"]
+    )
+    return (
+        "WITH t AS (SELECT lang, length(text) AS n_chars, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "array_length(regexp_split_to_array(trim(text), '\\s+')) END "
+        "AS n_tokens, length(trim(text)) AS tl, "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+        f"({stop_terms}) AS stop_cnt FROM documents), "
+        "s AS (SELECT lang, "
+        "CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END "
+        "AS length_ok, "
+        "least((CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars "
+        "ELSE 0.0 END) / 0.6, 1.0) AS alpha_ok, "
+        "least((CASE WHEN n_tokens > 0 THEN stop_cnt * 1.0 / n_tokens "
+        "ELSE 0.0 END) / 0.05, 1.0) AS stop_ok, "
+        "CASE WHEN n_tokens > 0 AND ((tl - (n_tokens - 1)) * 1.0 / "
+        "n_tokens) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END "
+        "AS token_ok, "
+        "CASE WHEN n_tokens > 0 THEN stop_cnt * 1.0 / n_tokens "
+        "ELSE 0.0 END AS stop_ratio FROM t) "
+        "SELECT lang, count(*) AS n_docs, "
+        "round(avg((length_ok + alpha_ok + stop_ok + token_ok) / 4.0), 4) "
+        "AS avg_quality, "
+        "round(avg(stop_ratio), 4) AS avg_stopword_ratio "
+        "FROM s GROUP BY lang"
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), "
+        "'\\s+', ' ', 'g') AS nt FROM documents), "
+        "tok AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM t), "
+        "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_distinct(list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) "
+        "ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS grams "
+        "FROM tok), "
+        "e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram "
+        "FROM g), "
+        "j AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, "
+        "x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter "
+        "FROM e x JOIN e y ON x.gram = y.gram AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2, 3, 4) "
+        "SELECT id_a, id_b, "
+        "round(inter * 1.0 / (sz_a + sz_b - inter), 6) AS jaccard "
+        "FROM j WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.8"
     )
 
 
@@ -521,6 +609,20 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(n_hits * 1.0 / n_rel), 6) AS mean_recall_k, "
             "round(avg(CASE WHEN top_rank > 0 THEN 1.0 / top_rank "
             "ELSE 0 END), 6) AS mrr FROM per_user"
+        ),
+        "quality_score_documents": _quality_sql(),
+        "fingerprint_documents": (
+            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), "
+            "'\\s+', ' ', 'g')) AS fingerprint_md5 "
+            "FROM documents WHERE doc_id < 50"
+        ),
+        "ngram_jaccard_documents": _ngram_jaccard_sql(),
+        "embedding_neardup_embeddings": (
+            "WITH v AS (SELECT vec_id, embedding :: DOUBLE[] AS e "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.e, b.e) >= 0.45"
         ),
         "accuracy_estimator_orders": (
             "WITH o AS (SELECT *, CASE WHEN o_totalprice > 150000 THEN "

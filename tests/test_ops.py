@@ -62,6 +62,33 @@ def test_minhash_jaccard_close_to_exact(spark):
     assert pairs[0]["jaccard"] == pytest.approx(true_j, abs=1e-9)
 
 
+def test_ngram_jaccard_pairs_exact(spark):
+    a = "a b c d e f g h i j k l m n o p"
+    b = "a b c d e f g h i j k l x y z w"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "totally disjoint gram set here now")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, n=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    sa = {" ".join(a.split()[i:i + 3]) for i in range(len(a.split()) - 2)}
+    sb = {" ".join(b.split()[i:i + 3]) for i in range(len(b.split()) - 2)}
+    assert got[(1, 2)] == pytest.approx(len(sa & sb) / len(sa | sb))
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_embedding_neardup_pairs(spark):
+    v = [1.0, 0.0, 0.0, 0.0]
+    near = [0.99, 0.1, 0.0, 0.0]
+    far = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, near), (3, far)], ["vec_id", "embedding"])
+    pairs = dedup.embedding_neardup_pairs(df, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["cosine"] == pytest.approx(
+        0.99 / np.sqrt(0.99 ** 2 + 0.1 ** 2))
+
+
 def test_simhash(spark):
     df = spark.createDataFrame(
         [(1, "spark is a distributed engine for big data"),

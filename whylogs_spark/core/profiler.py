@@ -55,6 +55,7 @@ from .planner import (
     plan_dataframe,
 )
 from .sketches import FrequentStringsSketch, KllSketch
+from .util import ensure_parallelism as _ensure_parallelism
 
 PROFILE_SCHEMA = T.StructType(
     [
@@ -96,21 +97,6 @@ def _segment_json_py(keys: List[str], values: Iterable) -> str:
     return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the source has far fewer partitions
-    than the cluster has slots (e.g. one small parquet file locally).
-    A no-op on real-scale inputs, which already arrive well-partitioned —
-    the guard keeps us from adding a gratuitous 100 TB shuffle.
-    """
-    try:
-        sc = df.sparkSession.sparkContext
-        target = sc.defaultParallelism
-        nparts = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    if nparts * 2 <= target:
-        return df.repartition(target)
-    return df
 
 
 # --------------------------------------------------------------------- native

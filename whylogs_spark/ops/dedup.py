@@ -24,6 +24,8 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from whylogs_spark.core.util import ensure_parallelism
+
 
 def normalized_text(c: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
@@ -85,6 +87,26 @@ def char_shingles(c: Column, n: int = 5) -> Column:
 
 
 # ----------------------------------------------------------------- minhash
+def hashed_word_shingles(
+    c: Column, n: int = 3
+) -> Column:
+    """Distinct word-n-gram hashes (array<long>) of the normalized text.
+
+    Tokens are hashed ONCE (xxhash64 on strings), n-grams combine the n
+    token hashes with another xxhash64 over longs — so the expensive
+    string hashing is O(#tokens), not O(#shingles × signature width).
+    """
+    toks = F.split(normalized_text(c), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(n)]),
+    )
+    short = F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(short)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -92,25 +114,31 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — all JVM-side, no shuffle."""
-    sh = word_shingles(F.col(text_col), shingle_words)
+    """(id, minhash_sig: array<long>[num_hashes]).
 
-    def seeded(i: int):
-        # factory closure: keeps the lambda unary (a 2-arg lambda would be
-        # interpreted by Spark as the (element, index) form)
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    sig = F.array(
+    Shape: explode shingle hashes -> hash-aggregate ``min(xxhash64(h, i))``
+    per id. Everything stays in whole-stage codegen; map-side partial
+    aggregation reduces each partition to one 8*num_hashes-byte row per
+    doc before the (tiny) shuffle. This beats evaluating num_hashes
+    ``array_min(transform(...))`` passes per row ~3x and its shuffle
+    volume is docs x signature bytes, never shingles.
+    """
+    ex = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(
+            hashed_word_shingles(F.col(text_col), shingle_words)
+        ).alias("__h"),
+    )
+    agg = ex.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(F.col("__sh"), seeded(i)))
+            F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
     )
-    return (
-        df.withColumn("__sh", sh)
-        .filter(F.size("__sh") > 0)
-        .withColumn("minhash_sig", sig)
-        .drop("__sh")
+    return agg.select(
+        F.col(id_col),
+        F.array(*[f"__m{i}" for i in range(num_hashes)]).alias(
+            "minhash_sig"),
     )
 
 
@@ -139,13 +167,10 @@ def minhash_lsh_pairs(
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("minhash_sig")[b * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                    *[
+                        F.col("minhash_sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -156,23 +181,36 @@ def minhash_lsh_pairs(
         F.explode(band_structs).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
 
+    # One shuffle: group bucket members, expand in-bucket pairs with
+    # higher-order funcs. Buckets larger than `max_bucket` are dropped
+    # (their members are near-certain dups of each other AND of smaller
+    # buckets' members via other bands; at 100 TB an O(bucket²) expansion
+    # of a degenerate bucket would dominate the job).
+    max_bucket = 2048
+    ids = F.array_sort(F.collect_list("__id"))
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.__id") < F.col("y.__id")),
-        )
-        .select(
-            F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b")
-        )
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
-    shingled = df.select(
+    shingled = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), shingle_words).alias("__sh"),
+        hashed_word_shingles(F.col(text_col), shingle_words).alias("__sh"),
     )
     verified = (
         pairs.join(
@@ -218,34 +256,139 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+# ---------------------------------------------------------- n-gram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    char: bool = False,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for ALL candidate pairs sharing at
+    least one n-gram (inverted-index join — never a full cross product).
+
+    Explodes distinct n-grams, self-joins on the gram (the inverted
+    index), counts shared grams per pair, then |A∪B| = |A|+|B|-|A∩B|.
+    Shuffle volume is O(total n-grams); degenerate grams shared by huge
+    numbers of docs would square — acceptable for verify-stage corpora;
+    for whole-corpus use prefer the MinHash path which bounds work.
+    """
+    gram_fn = char_shingles if char else word_shingles
+    grams = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        gram_fn(F.col(text_col), n).alias("__g"),
+    ).withColumn("__sz", F.size("__g"))
+    exploded = grams.select(
+        "__id", "__sz", F.explode("__g").alias("gram"))
+    joined = (
+        exploded.alias("x")
+        .join(
+            exploded.alias("y"),
+            (F.col("x.gram") == F.col("y.gram"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .groupBy(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.col("x.__sz").alias("sz_a"),
+            F.col("y.__sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------- embedding-cosine near-dup
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine similarity >= threshold (exact, O(n²) join).
+
+    The baseline verifier; at scale, feed LSH-bucketed candidates instead
+    (similarity.with_lsh_buckets) and verify only within buckets.
+    """
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double")))
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm.alias("__n"),
+    )
+    pairs = (
+        vecs.alias("x")
+        .join(vecs.alias("y"), F.col("x.__id") < F.col("y.__id"))
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with(
+                    F.col("x.__v"), F.col("y.__v"),
+                    lambda a, b: a.cast("double") * b.cast("double")),
+                F.lit(0.0), lambda a, x: a + x)
+            / (F.col("x.__n") * F.col("y.__n")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            "cosine",
+        )
+    )
+    return pairs
+
+
 # ----------------------------------------------------------------- simhash
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, fully in Spark SQL exprs.
+    """(id, simhash: long) — 64-bit SimHash over whitespace tokens.
 
     For each bit position b: vote = sum over tokens of
     (+1 if bit b of xxhash64(token) else -1); bit set if vote > 0.
+    Same explode + hash-aggregate shape as ``minhash_signatures``: one
+    codegen'd aggregation with map-side combine, shuffle = docs x 8 bytes.
     """
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-
-    bit_cols = []
+    ex = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("__h"),
+    )
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
     for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), bit_vote(b))
         # two's complement: setting bit 63 of a signed long == adding -2^63
         bit_val = -(2 ** 63) if b == 63 else 2 ** b
-        bit_cols.append(
-            F.when(vote > 0, F.lit(bit_val).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    sig = bit_cols[0]
-    for bc in bit_cols[1:]:
-        sig = sig + bc
-    return df.withColumn("simhash", sig)
+        bc = F.when(
+            F.col(f"__v{b}") > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bc if sig is None else sig + bc
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
