@@ -140,7 +140,9 @@ def _native_long_one_tier(
 ) -> DataFrame:
     if aggs and aggs[0].tier == "object":
         # interpreted ObjectHashAggregate: make sure the partial-agg stage
-        # actually has cores to run on
+        # actually has cores to run on (codegen'd declarative aggs chew
+        # through a single unsplittable local file faster than the
+        # round-robin shuffle that would parallelize them)
         df = _ensure_parallelism(df)
     exprs = [a.expr.alias(a.alias) for a in aggs if a.expr is not None]
     if segment_cols:
@@ -262,7 +264,24 @@ def _native_long_collected(
     for a in aggs:
         tiers.setdefault(a.tier, []).append(a)
 
-    def run_tier(item):
+    # Chunk each tier by source column (a derived agg always lives with
+    # its derive_from base, which the planner emits for the same column).
+    # Each chunk is an independent Spark job, so Catalyst analysis +
+    # whole-stage-codegen compile — the dominant cost for a 200-agg plan
+    # over ONE local file — happens in parallel threads. Column pruning
+    # keeps each chunk's parquet scan narrow.
+    _CHUNK_COLS = 6
+    work: List[tuple] = []
+    for tier, tier_aggs in sorted(tiers.items()):
+        by_col: Dict[str, List[PlannedAgg]] = {}
+        for a in tier_aggs:
+            by_col.setdefault(a.column, []).append(a)
+        cols = list(by_col)
+        for i in range(0, len(cols), _CHUNK_COLS):
+            chunk = [a for c in cols[i:i + _CHUNK_COLS] for a in by_col[c]]
+            work.append((tier, chunk))
+
+    def run_chunk(item):
         tier, tier_aggs = item
         base = [a for a in tier_aggs if a.expr is not None]
         src = _ensure_parallelism(df) if tier == "object" else df
@@ -274,9 +293,8 @@ def _native_long_collected(
         return tier_aggs, wide.select(*sel).collect()[0].asDict()
 
     out_rows: List[tuple] = []
-    # tiers are independent Spark jobs — overlap them
-    with ThreadPoolExecutor(max_workers=max(len(tiers), 1)) as pool:
-        for tier_aggs, row in pool.map(run_tier, sorted(tiers.items())):
+    with ThreadPoolExecutor(max_workers=max(min(len(work), 8), 1)) as pool:
+        for tier_aggs, row in pool.map(run_chunk, work):
             for a in tier_aggs:
                 if not a.emit:
                     continue

@@ -18,11 +18,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .datatypes import ValueType, value_type_of
+from .util import ensure_parallelism
 
 
 def counts_table(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
     """(col_name, n, n_null, n_distinct) per column — all exact."""
     cols = columns or df.columns
+    # exact multi-column countDistinct plans an 11x Expand of the input;
+    # make sure that widened stream isn't pinned to one scan partition
+    df = ensure_parallelism(df)
     aggs = []
     for i, c in enumerate(cols):
         aggs += [
@@ -83,6 +87,7 @@ def string_table(
     df: DataFrame, columns: Optional[List[str]] = None, ndigits: int = 4
 ) -> DataFrame:
     """(col_name, n, n_distinct, min_len, max_len, avg_len) per string col."""
+    df = ensure_parallelism(df)
     cols = columns or [
         f.name
         for f in df.schema.fields
