@@ -333,6 +333,22 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      planes=4)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    assigned, cents = sim_ops.ivf_index(emb, n_lists=8)
+    return sim_ops.ivf_topk(assigned, cents, list(q), k=10, nprobe=4)
+
+
+def _q_lsi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whylogs_spark.core.embeddings import lsi_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pv = lsi_profile(emb, "embedding", k=8)
+    return pv.df.filter(F.col("metric") == "distribution").select(
+        "column", "component", "n", "d")
+
+
 def _q_profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = wsp.profile(_t(spark, sf_dir, "lineitem"))
     return view.df.select("segment", "column", "metric", "component",
@@ -365,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_documents": _q_minhash_dedup,
         "simhash_documents": _q_simhash,
         "lsh_topk_embeddings": _q_lsh_topk,
+        "ivf_topk_embeddings": _q_ivf_topk,
+        "lsi_residual_embeddings": _q_lsi_residual,
         "profile_full_lineitem": _q_profile_full,
     }
 

@@ -131,6 +131,26 @@ def test_lsh_topk_recall(embeddings):
     assert len(exact_ids & approx_ids) >= 7
 
 
+def test_ivf_index_recall(embeddings):
+    pdf = embeddings.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    q = mat[7]
+    assigned, cents = similarity.ivf_index(embeddings, n_lists=8)
+    assert assigned.groupBy("ivf_list").count().count() == 8
+    exact = {r["vec_id"]
+             for r in similarity.cosine_topk(embeddings, list(q), k=10)
+             .collect()}
+    approx = {r["vec_id"]
+              for r in similarity.ivf_topk(assigned, cents, list(q),
+                                           k=10, nprobe=4).collect()}
+    assert len(exact & approx) >= 6
+    # full probe == exact
+    full = {r["vec_id"]
+            for r in similarity.ivf_topk(assigned, cents, list(q),
+                                         k=10, nprobe=8).collect()}
+    assert full == exact
+
+
 def test_text_stats(documents):
     out = text.with_text_stats(documents).limit(50).collect()
     for r in out:

@@ -137,3 +137,34 @@ def test_multimodal_header_sniff(spark, tmp_path):
     assert feats["jpeg"]["width"] == 48 and feats["jpeg"]["height"] == 24
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_pixels(df)
+
+
+def test_svd_lsi_residuals(embeddings):
+    import numpy as np
+    from whylogs_spark.core.embeddings import (
+        lsi_profile, svd_reference, with_lsi_residuals)
+
+    u = svd_reference(embeddings, "embedding", k=8)
+    assert u.shape[1] == 8
+    assert np.abs(u.T @ u - np.eye(8)).max() < 1e-9
+
+    pdf = embeddings.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    g = mat.T @ mat
+    vals, vecs = np.linalg.eigh(g)
+    u_true = vecs[:, np.argsort(vals)[::-1][:8]]
+    # subspace equality (sign/rotation invariant)
+    assert np.abs(u @ u.T - u_true @ u_true.T).max() < 1e-8
+
+    out = with_lsi_residuals(embeddings, "embedding", u)
+    rows = out.limit(5).collect()
+    ids = pdf["vec_id"].tolist()
+    for r in rows:
+        v = mat[ids.index(r["vec_id"])]
+        expect = np.linalg.norm(v - u @ (u.T @ v)) / np.linalg.norm(v)
+        assert abs(r["embedding.residual"] - expect) < 1e-9
+
+    pv = lsi_profile(embeddings, "embedding", k=8, u=u)
+    n = pv.df.filter(
+        "metric='distribution' and component='n'").first()["n"]
+    assert n == len(pdf)

@@ -118,6 +118,100 @@ def reference_centroids(
     }
 
 
+# ------------------------------------------------------------------- SVD/LSI
+def svd_reference(
+    df: DataFrame, vec_col: str, k: int = 8
+) -> "np.ndarray":
+    """Top-k left singular vectors U (dim x k) of the vector stream.
+
+    Reference SvdMetric keeps a rank-k (U, S) sketch updated in-stream
+    (python/whylogs/experimental/extras/nlp_metric.py:46,113). Spark-first
+    equivalent: aggregate the Gram matrix G = sum(v v^T) with a
+    per-partition numpy outer-product accumulate inside ``mapInArrow``
+    (dim x dim doubles per partition — never the raw vectors), sum the
+    partials on the driver, then eigendecompose. Exact w.r.t. the data
+    (no decay), deterministic, one pass, shuffle = #partitions * dim^2
+    doubles.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    dim = len(df.select(vec_col).first()[0])
+    proj = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    out_schema = T.StructType([T.StructField("g", T.ArrayType(T.DoubleType()))])
+
+    def gram(batches):
+        acc = np.zeros((dim, dim))
+        seen = False
+        for batch in batches:
+            col = batch.column(0)
+            mat = np.array(col.to_pylist(), dtype=np.float64)
+            if mat.size:
+                acc += mat.T @ mat
+                seen = True
+        if seen:
+            yield pa.RecordBatch.from_pydict(
+                {"g": [acc.reshape(-1).tolist()]})
+
+    partials = proj.mapInArrow(gram, out_schema).collect()
+    g = np.zeros((dim, dim))
+    for r in partials:
+        g += np.array(r["g"]).reshape(dim, dim)
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:k]
+    return vecs[:, order]
+
+
+def with_lsi_residuals(
+    df: DataFrame, vec_col: str, u: "np.ndarray"
+) -> DataFrame:
+    """Adds ``<vec_col>.residual``: ||v - U U^T v|| / ||v|| per row.
+
+    Reference residual semantics: nlp_metric.py:60-75. U broadcasts as
+    plan literals; the projection is two small matvecs expressed with
+    zip_with/aggregate — JVM-side, no UDF.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    k = u.shape[1]
+    # c = U^T v  (k dot products), r = v - U c, residual = ||r|| / ||v||
+    coeffs = [
+        _dot(v, _lit_vec(u[:, j].tolist())) for j in range(k)
+    ]
+    def _scaled(basis_col: Column, c: Column) -> Column:
+        # factory closure: an extra lambda param would make PySpark treat
+        # the lambda as the (element, index) binary form
+        return F.transform(basis_col, lambda x: x * c)
+
+    recon = None
+    for j, c in enumerate(coeffs):
+        term = _scaled(_lit_vec(u[:, j].tolist()), c)
+        recon = term if recon is None else F.zip_with(
+            recon, term, lambda a, b: a + b)
+    diff = F.zip_with(v, recon, lambda a, b: a - b)
+    resid = F.sqrt(F.aggregate(diff, F.lit(0.0),
+                               lambda acc, x: acc + x * x))
+    return df.withColumn(
+        f"{vec_col}.residual",
+        F.when(_norm(v) > 0, resid / _norm(v)).otherwise(F.lit(0.0)))
+
+
+def lsi_profile(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    u: Optional["np.ndarray"] = None,
+    config: Optional[MetricConfig] = None,
+) -> ProfileView:
+    """LsiMetric equivalent: distribution of reconstruction residuals
+    against a rank-k SVD basis (fit on ``df`` itself if not given)."""
+    if u is None:
+        u = svd_reference(df, vec_col, k)
+    derived = with_lsi_residuals(df, vec_col, u)
+    kwargs = {"config": config} if config is not None else {}
+    return profile(derived, columns=[f"{vec_col}.residual"], **kwargs)
+
+
 # ----------------------------------------------------------------- NLP stats
 def nlp_profile(
     df: DataFrame,

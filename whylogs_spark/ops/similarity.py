@@ -149,6 +149,66 @@ def lsh_bucketed_topk(
     return cosine_topk(cand, list(qv), vec_col, id_col, k)
 
 
+# ---------------------------------------------------------------------- IVF
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    seed: int = 42,
+    sample_fraction: Optional[float] = None,
+):
+    """IVF-flat index: KMeans-partition vectors into ``n_lists`` inverted
+    lists. Returns (assigned_df with ``ivf_list`` column, centroids).
+
+    Scale path: fit on a sample (``sample_fraction``), assign in one pass
+    (MLlib transform = broadcast centroids + codegen'd argmin). At query
+    time only ``nprobe/n_lists`` of the data is scanned. Storing
+    ``assigned`` partitioned by ``ivf_list`` makes the probe a partition-
+    pruned read.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).withColumn("__feat", array_to_vector(F.col(vec_col)))
+    train = (
+        src.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction else src
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__feat",
+                predictionCol="ivf_list")
+    model = km.fit(train)
+    assigned = model.transform(src).drop("__feat")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: List[List[float]],
+    query: Sequence[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k over an IVF index: probe the ``nprobe`` centroids nearest
+    to the query (driver-side — centroid count is tiny), scan only those
+    inverted lists, exact cosine re-rank of survivors.
+    """
+    qv = np.asarray(query, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1) * np.linalg.norm(qv)
+    norms[norms == 0] = 1.0
+    sims = cents @ qv / norms
+    probes = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    cand = assigned.filter(F.col("ivf_list").isin(probes))
+    return cosine_topk(cand, list(qv), vec_col, id_col, k)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
