@@ -1,0 +1,190 @@
+"""Plan audit: dump formatted physical plans for the headline operators
+and grep them for the properties the 100 TB design depends on:
+
+* parquet scans carry PushedFilters / narrow ReadSchema (pushdown+pruning)
+* aggregation is partial -> exchange -> final (map-side combine)
+* codegen'd stages (WholeStageCodegen) span the hot expressions
+* joins that should broadcast do broadcast
+
+Writes PLANS.md at the repo root.
+
+Usage: python scripts/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, df, checks: dict[str, str]) -> tuple[str, list[str]]:
+    plan = formatted(df)
+    results = []
+    for label, pattern in checks.items():
+        ok = re.search(pattern, plan) is not None
+        results.append(f"  - [{'x' if ok else ' '}] {label}")
+    return plan, results
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import whylogs_spark as wsp
+    from whylogs_spark.core import summaries
+    from whylogs_spark.io.tables import load_table
+    from whylogs_spark.ops import dedup, similarity, text
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    sections = []
+
+    # 1. native profile tier: pruned scan + partial/final agg + codegen
+    aggs, _ = wsp.core.planner.plan_dataframe(
+        li.schema, ["l_quantity", "l_returnflag"], [],
+        wsp.MetricConfig(quantile_impl="none", frequent_items_impl="none",
+                         cardinality_impl="approx"))
+    base = [a for a in aggs if a.expr is not None]
+    wide = li.agg(*[a.expr.alias(a.alias) for a in base])
+    sections.append((
+        "profile native tier (2 columns)", wide,
+        {
+            "column-pruned scan (only 2 columns read)":
+                r"ReadSchema: [^\n]*l_quantity[^\n]*l_returnflag|"
+                r"ReadSchema: [^\n]*l_returnflag[^\n]*l_quantity",
+            "partial aggregation before exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "declarative HashAggregate (codegen), not interpreted Object agg":
+                r"^(?![\s\S]*ObjectHashAggregate)",
+        }))
+
+    # 2. segmented profile: hash partial agg keyed by segment
+    seg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("l_quantity").alias("m"))
+    sections.append((
+        "segmented aggregation", seg,
+        {
+            "partial agg -> shuffle on segment key -> final agg":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*hashpartitioning\(l_returnflag[\s\S]*HashAggregate",
+            "pruned scan": r"ReadSchema:[^\n]*l_returnflag",
+        }))
+
+    # 3. filter pushdown reaches the scan
+    filt = li.filter(F.col("l_shipdate") >= "1995-01-01").select(
+        "l_orderkey", "l_shipdate")
+    sections.append((
+        "segment filter pushdown", filt,
+        {
+            "filter pushed to parquet": r"PushedFilters: \[[^\]]*l_shipdate",
+            "2-column ReadSchema": r"ReadSchema: struct<l_orderkey",
+        }))
+
+    # 4. cosine top-k: TakeOrderedAndProject, no global sort
+    q = [float(i) for i in range(64)]
+    topk = similarity.cosine_topk(emb, q, k=10)
+    sections.append((
+        "cosine top-k", topk,
+        {
+            "top-k via TakeOrderedAndProject (no full sort)":
+                r"TakeOrderedAndProject",
+            "no exchange of raw vectors": r"^(?![\s\S]*Exchange hashpartitioning\(embedding)",
+        }))
+
+    # 5. minhash signatures: explode + partial hash agg, no raw-text shuffle
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    sections.append((
+        "minhash signatures", sigs,
+        {
+            "map-side partial aggregation of signature mins":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "declarative HashAggregate (codegen), not interpreted Object agg":
+                r"^(?![\s\S]*ObjectHashAggregate)",
+        }))
+
+    # 6. exact dedup stats: single shuffle on group keys
+    stats = dedup.duplicate_stats(docs, group_by=["source"])
+    sections.append((
+        "exact dedup stats", stats,
+        {
+            "partial agg before exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+
+    # 7. text stats: pure projection, no shuffle
+    ts = text.with_text_stats(docs).select("doc_id", "n_tokens",
+                                           "alpha_ratio")
+    sections.append((
+        "text stats projection", ts,
+        {
+            "no shuffle at all": r"^(?![\s\S]*Exchange)",
+            "codegen projection": r"WholeStageCodegen|Project",
+        }))
+
+    # 8. counts summary: Expand-based multi-distinct in two agg stages
+    ct = summaries.counts_table(li, ["l_orderkey", "l_returnflag"])
+    sections.append((
+        "exact multi-column countDistinct", ct,
+        {
+            "expand + two-phase distinct aggregation":
+                r"Expand[\s\S]*HashAggregate",
+        }))
+
+    lines = [
+        "# PLANS — physical-plan audit of headline operators",
+        "",
+        f"Generated by `scripts/explain_audit.py` at `{SF_DIR}`;",
+        "checkboxes are regex assertions over `.explain('formatted')`.",
+        "Re-run after plan-shape changes.",
+        "",
+    ]
+    all_ok = True
+    for name, df, checks in sections:
+        plan, results = audit(name, df, checks)
+        lines.append(f"## {name}")
+        lines.extend(results)
+        if any("[ ]" in r for r in results):
+            all_ok = False
+            lines.append("")
+            lines.append("<details><summary>plan</summary>")
+            lines.append("")
+            lines.append("```")
+            lines.append(plan.strip()[:4000])
+            lines.append("```")
+            lines.append("</details>")
+        lines.append("")
+
+    out = "\n".join(lines)
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write(out)
+    print(out)
+    print("ALL OK" if all_ok else "SOME CHECKS FAILED")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
