@@ -349,6 +349,24 @@ def _q_lsi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column", "component", "n", "d")
 
 
+def _q_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS/chi2 drift between even/odd orderkey halves of lineitem
+    (driver-side stats over mergeable sketches; rows-only check — the
+    statistic depends on sketch compaction order)."""
+    from whylogs_spark.core.drift import calculate_drift_scores
+
+    df = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag"]
+    a = wsp.profile(df.filter(F.col("l_orderkey") % 2 == 0), columns=cols)
+    b = wsp.profile(df.filter(F.col("l_orderkey") % 2 == 1), columns=cols)
+    scores = calculate_drift_scores(a, b)
+    return spark.createDataFrame(
+        [(s.column, s.algorithm, float(s.statistic), s.category)
+         for s in scores],
+        ["column", "algorithm", "statistic", "category"],
+    )
+
+
 def _q_profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = wsp.profile(_t(spark, sf_dir, "lineitem"))
     return view.df.select("segment", "column", "metric", "component",
@@ -383,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": _q_lsh_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
         "lsi_residual_embeddings": _q_lsi_residual,
+        "drift_scores_lineitem": _q_drift_scores,
         "profile_full_lineitem": _q_profile_full,
     }
 

@@ -117,3 +117,28 @@ def test_profile_drift_end_to_end(lineitem):
     # categorical chi2 path exists for string columns
     assert "l_returnflag" in by_col
     assert by_col["l_returnflag"].algorithm == "chi2"
+
+
+def test_condition_count_constraints(spark, lineitem):
+    import whylogs_spark as wsp
+    from pyspark.sql import functions as F
+    from whylogs_spark.core import conditions as C
+    from whylogs_spark.core import constraints as K
+
+    cfg = wsp.MetricConfig(quantile_impl="none", frequent_items_impl="none")
+    view = wsp.profile(lineitem, columns=["l_quantity"], config=cfg)
+    view2 = C.attach_condition_counts(view, lineitem, "l_quantity", {
+        "positive": F.col("l_quantity") > 0,
+        "huge": F.col("l_quantity") > 1e12,
+    })
+    cs = (K.ConstraintsBuilder(view2)
+          .add(K.condition_meets("l_quantity", "positive"))
+          .add(K.condition_never_meets("l_quantity", "huge"))
+          .add(K.condition_count_below("l_quantity", "huge", 1))
+          .add(K.condition_meets("l_quantity", "huge"))
+          .build())
+    rep = {name: passed for name, passed, _ in cs.report()}
+    assert rep["l_quantity meets condition positive"] == 1
+    assert rep["l_quantity never meets condition huge"] == 1
+    assert rep["l_quantity huge count below 1"] == 1
+    assert rep["l_quantity meets condition huge"] == 0

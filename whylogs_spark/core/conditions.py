@@ -47,6 +47,50 @@ def condition_counts(
     return wide.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
 
 
+def attach_condition_counts(
+    view,
+    df: DataFrame,
+    column: str,
+    conditions: Dict[str, Column],
+):
+    """Union condition-count rows into a profile: metric
+    ``condition_count``, one component per condition plus ``total``.
+
+    Mirrors the reference attaching ConditionCountMetric to a column's
+    profile (condition_count_metric.py:94); here the counts become rows
+    of the long-form profile table, so constraints (condition_meets /
+    condition_never_meets / condition_count_below) read them exactly like
+    any other component.
+    """
+    from .profiler import ProfileView
+
+    counts = condition_counts(df, conditions)
+    long = counts.select(
+        F.lit("{}").alias("segment"),
+        F.lit(column).alias("column"),
+        F.lit("condition_count").alias("metric"),
+        F.col("condition").alias("component"),
+        F.col("matches").alias("n"),
+        F.lit(None).cast("double").alias("d"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("binary").alias("b"),
+    )
+    total = counts.limit(1).select(
+        F.lit("{}").alias("segment"),
+        F.lit(column).alias("column"),
+        F.lit("condition_count").alias("metric"),
+        F.lit("total").alias("component"),
+        F.col("total").alias("n"),
+        F.lit(None).cast("double").alias("d"),
+        F.lit(None).cast("string").alias("s"),
+        F.lit(None).cast("binary").alias("b"),
+    )
+    rows = long.unionByName(total)
+    if view is None:
+        return ProfileView(rows)
+    return ProfileView(view.df.unionByName(rows), view.config)
+
+
 def validate(
     df: DataFrame,
     conditions: Dict[str, Column],

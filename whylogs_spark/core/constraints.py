@@ -250,3 +250,43 @@ def _nullable_type(column: str, t: str) -> Constraint:
         return n_typed > 0 and all(o == 0 for o in others)
 
     return Constraint(f"{column} is nullable {t}", column, check)
+
+
+# ----- condition-count factories (reference: factories/condition_counts.py)
+def condition_meets(column: str, condition_name: str) -> Constraint:
+    """Every profiled row satisfied the named condition
+    (reference condition_meets, condition_counts.py:4). Requires
+    condition counts attached via
+    ``conditions.attach_condition_counts``."""
+    def check(r: pd.Series) -> bool:
+        total = _get(r, "condition_count/total")
+        matches = _get(r, f"condition_count/{condition_name}")
+        return (total is not None and matches is not None
+                and matches == total)
+
+    return Constraint(
+        f"{column} meets condition {condition_name}", column, check)
+
+
+def condition_never_meets(column: str, condition_name: str) -> Constraint:
+    """No profiled row satisfied the named condition
+    (reference condition_never_meets, condition_counts.py:28)."""
+    def check(r: pd.Series) -> bool:
+        matches = _get(r, f"condition_count/{condition_name}")
+        return matches is not None and matches == 0
+
+    return Constraint(
+        f"{column} never meets condition {condition_name}", column, check)
+
+
+def condition_count_below(
+    column: str, condition_name: str, max_count: int
+) -> Constraint:
+    """Matches of the named condition stay strictly below ``max_count``
+    (reference condition_count_below, condition_counts.py:52)."""
+    def check(r: pd.Series) -> bool:
+        matches = _get(r, f"condition_count/{condition_name}")
+        return matches is not None and matches < max_count
+
+    return Constraint(
+        f"{column} {condition_name} count below {max_count}", column, check)
