@@ -110,6 +110,33 @@ def _q_segmented_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two segmentation partitions computed in ONE grouping-sets pass."""
+    df = _t(spark, sf_dir, "lineitem")
+    views = wsp.profile_partitions(
+        df,
+        {"by_flag": ["l_returnflag"], "by_status": ["l_linestatus"]},
+        columns=["l_quantity"], config=_FAST_CFG)
+
+    def flatten(name: str, key: str) -> DataFrame:
+        long = views[name].df
+        n = long.filter((F.col("metric") == "counts")
+                        & (F.col("component") == "n"))
+        mean = long.filter((F.col("metric") == "distribution")
+                           & (F.col("component") == "mean"))
+        j = n.alias("a").join(
+            mean.alias("b"), F.col("a.segment") == F.col("b.segment"))
+        return j.select(
+            F.lit(name).alias("part"),
+            F.get_json_object(F.col("a.segment"), f"$.{key}").alias("seg"),
+            F.col("a.n").alias("n"),
+            F.round(F.col("b.d"), 4).alias("mean_qty"),
+        )
+
+    return flatten("by_flag", "l_returnflag").unionByName(
+        flatten("by_status", "l_linestatus"))
+
+
 def _q_condition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "orders")
     return cond_mod.condition_counts(
@@ -379,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_numeric_lineitem": _q_profile_numeric,
         "profile_string_lineitem": _q_profile_string,
         "segmented_profile_lineitem": _q_segmented_profile,
+        "multi_segmentation_lineitem": _q_multi_segmentation,
         "condition_counts_orders": _q_condition_counts,
         "frequent_items_events": _q_frequent_items,
         "confusion_matrix_orders": _q_confusion_matrix,
@@ -529,6 +557,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
             "round(avg(l_quantity), 4) AS mean_qty "
             "FROM lineitem GROUP BY 1, 2"
+        ),
+        "multi_segmentation_lineitem": (
+            "SELECT 'by_flag' AS part, l_returnflag AS seg, "
+            "count(*) AS n, round(avg(l_quantity), 4) AS mean_qty "
+            "FROM lineitem GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'by_status', l_linestatus, count(*), "
+            "round(avg(l_quantity), 4) FROM lineitem GROUP BY 2"
         ),
         "condition_counts_orders": (
             "SELECT 'high_value' AS condition, "

@@ -63,3 +63,22 @@ def test_null_segment_key(spark):
     ).collect()
     by_seg = {json.loads(r["segment"])["k"]: r["n"] for r in rows}
     assert by_seg == {"x": 2, "None": 1}
+
+
+def test_profile_partitions_single_pass_matches_separate(lineitem):
+    import whylogs_spark as wsp
+
+    cfg = wsp.MetricConfig(quantile_impl="none", frequent_items_impl="none",
+                           cardinality_impl="approx")
+    parts = {"by_flag": ["l_returnflag"],
+             "by_both": ["l_returnflag", "l_linestatus"]}
+    multi = wsp.profile_partitions(
+        lineitem, parts, columns=["l_quantity"], config=cfg)
+    for name, cols in parts.items():
+        ref = wsp.profile(lineitem, segment_by=cols,
+                          columns=["l_quantity"], config=cfg)
+        a = {(r["segment"], r["column"], r["metric"], r["component"]):
+             (r["n"], r["d"]) for r in multi[name].df.collect()}
+        b = {(r["segment"], r["column"], r["metric"], r["component"]):
+             (r["n"], r["d"]) for r in ref.df.collect()}
+        assert a == b

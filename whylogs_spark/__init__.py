@@ -15,7 +15,8 @@ Quick start::
 """
 
 from .core.configs import DEFAULT_CONFIG, MetricConfig
-from .core.profiler import ProfileView, merge_profiles, profile
+from .core.profiler import (ProfileView, merge_profiles, profile,
+                            profile_partitions)
 
 log = profile  # reference API affinity: why.log(df)
 
@@ -25,6 +26,7 @@ __all__ = [
     "MetricConfig",
     "DEFAULT_CONFIG",
     "profile",
+    "profile_partitions",
     "log",
     "merge_profiles",
     "ProfileView",

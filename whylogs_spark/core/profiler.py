@@ -511,6 +511,107 @@ def profile(
     return ProfileView(long_df, config)
 
 
+def profile_partitions(
+    df: DataFrame,
+    partitions: Dict[str, List[str]],
+    columns: Optional[List[str]] = None,
+    config: MetricConfig = DEFAULT_CONFIG,
+) -> Dict[str, "ProfileView"]:
+    """Profile several segmentation partitions in ONE aggregation pass.
+
+    The reference loops its <=10 SegmentationPartitions and re-groups the
+    data once per partition (python/whylogs/api/logger/segment_processing.py:157-199);
+    here all partitions share a single scan via GROUPING SETS —
+    ``grouping_id()`` attributes each output row to its partition. Native
+    metric tiers each run one grouping-sets aggregate; the KLL/FI sketch
+    pass (which has no grouping-sets equivalent) runs per partition on
+    its own (cheap: sketch bytes only).
+
+    Returns {partition_name -> ProfileView}.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = df.sparkSession
+    part_items = list(partitions.items())
+    all_cols: List[str] = []
+    for _, cols in part_items:
+        for c in cols:
+            if c not in all_cols:
+                all_cols.append(c)
+    n = len(all_cols)
+    gid_for_part = {
+        pname: sum(
+            1 << (n - 1 - i)
+            for i, c in enumerate(all_cols) if c not in cols
+        )
+        for pname, cols in part_items
+    }
+    sets_exprs = [[F.col(c) for c in cols] for _, cols in part_items]
+
+    aggs, sketches = plan_dataframe(df.schema, columns, all_cols, config)
+    tiers: Dict[str, List[PlannedAgg]] = {}
+    for a in aggs:
+        tiers.setdefault(a.tier, []).append(a)
+
+    def run_tier(item):
+        tier, tier_aggs = item
+        base = [a for a in tier_aggs if a.expr is not None]
+        src = _ensure_parallelism(df) if tier == "object" else df
+        gdf = src.groupingSets(sets_exprs, *[F.col(c) for c in all_cols])
+        wide = gdf.agg(
+            F.grouping_id().alias("__gid"),
+            *[a.expr.alias(a.alias) for a in base])
+        derived = [a for a in tier_aggs if a.derive is not None]
+        sel = (
+            [F.col("__gid")] + [F.col(c) for c in all_cols]
+            + [F.col(a.alias) for a in base if a.emit]
+            + [a.derive(F.col(a.derive_from)).alias(a.alias)
+               for a in derived]
+        )
+        rows = wide.select(*sel).limit(_SEGMENT_COLLECT_LIMIT + 1).collect()
+        if len(rows) > _SEGMENT_COLLECT_LIMIT:
+            raise ValueError(
+                "profile_partitions: too many segments to collect; "
+                "profile each partition separately")
+        return tier_aggs, rows
+
+    rows_by_part: Dict[str, List[tuple]] = {p: [] for p, _ in part_items}
+    with ThreadPoolExecutor(max_workers=max(len(tiers), 1)) as pool:
+        for tier_aggs, rows in pool.map(run_tier, sorted(tiers.items())):
+            for r in rows:
+                gid = r["__gid"]
+                for pname, cols in part_items:
+                    if gid_for_part[pname] != gid:
+                        continue
+                    seg = _segment_json_py(cols, [r[c] for c in cols])
+                    for a in tier_aggs:
+                        if not a.emit:
+                            continue
+                        v = r[a.alias]
+                        slots = {"n": None, "d": None, "s": None, "b": None}
+                        if v is not None:
+                            if a.slot == SLOT_N:
+                                v = int(v)
+                            elif a.slot == SLOT_D:
+                                v = float(v)
+                            elif a.slot == SLOT_B:
+                                v = bytes(v)
+                            slots[a.slot] = v
+                        rows_by_part[pname].append((
+                            seg, a.column, a.metric, a.component,
+                            slots["n"], slots["d"], slots["s"], slots["b"],
+                        ))
+
+    out: Dict[str, ProfileView] = {}
+    for pname, cols in part_items:
+        long_df = spark.createDataFrame(rows_by_part[pname], PROFILE_SCHEMA)
+        if sketches:
+            long_df = long_df.unionByName(
+                _sketch_long(df, sketches, cols, config))
+        out[pname] = ProfileView(long_df, config)
+    return out
+
+
 def merge_profiles(views: List["ProfileView"]) -> "ProfileView":
     """⊕ over profiles — the reference's monoid merge
     (python/whylogs/core/view/dataset_profile_view.py:172), expressed as a
