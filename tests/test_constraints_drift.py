@@ -142,3 +142,16 @@ def test_condition_count_constraints(spark, lineitem):
     assert rep["l_quantity never meets condition huge"] == 1
     assert rep["l_quantity huge count below 1"] == 1
     assert rep["l_quantity meets condition huge"] == 0
+
+
+def test_generate_constraints_pass_on_source(li_view):
+    from whylogs_spark.core.constraints import (
+        ConstraintsBuilder, generate_constraints)
+
+    gens = generate_constraints(li_view)
+    assert len(gens) >= 10
+    b = ConstraintsBuilder(li_view)
+    for g in gens:
+        b.add(g)
+    rep = b.build().report()
+    assert all(passed for _, passed, _ in rep)

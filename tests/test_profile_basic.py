@@ -107,3 +107,27 @@ def test_timestamp_profiled(li_view, li_pdf):
     ts = pd.to_datetime(li_pdf["l_shipdate"])
     assert int(lo) == int(ts.min().value // 1_000_000)
     assert int(hi) == int(ts.max().value // 1_000_000)
+
+
+def test_histogram_from_kll(lineitem):
+    import whylogs_spark as wsp
+
+    view = wsp.profile(lineitem, columns=["l_quantity"])
+    bins = view.histogram("l_quantity", 20)
+    assert len(bins) == 20
+    total = lineitem.count()
+    est = sum(c for _, _, c in bins)
+    assert abs(est - total) / total < 0.05
+    assert bins[0][0] <= bins[-1][1]
+
+
+def test_profile_diff(lineitem):
+    import whylogs_spark as wsp
+
+    cfg = wsp.MetricConfig(quantile_impl="none", frequent_items_impl="none")
+    a = wsp.profile(lineitem, columns=["l_quantity"], config=cfg)
+    b = wsp.profile(lineitem.filter("l_quantity > 10"),
+                    columns=["l_quantity"], config=cfg)
+    d = a.diff(b)
+    row = d[(d["metric"] == "counts") & (d["component"] == "n")].iloc[0]
+    assert row["delta"] < 0  # filtered set is smaller

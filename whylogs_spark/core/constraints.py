@@ -290,3 +290,37 @@ def condition_count_below(
 
     return Constraint(
         f"{column} {condition_name} count below {max_count}", column, check)
+
+
+# ------- constraint auto-generation from a reference profile
+# (reference: python/whylogs/experimental/constraints_generation/__init__.py:85)
+def generate_constraints(view: ProfileView) -> List[Constraint]:
+    """Derive a constraint suite from an already-profiled reference
+    dataset: columns with no nulls must stay null-free, numeric ranges
+    must hold (with 10% slack), observed distinct counts bound the
+    expected cardinality (2x slack)."""
+    wide = view.to_pandas()
+    wide = wide[wide["segment"] == "{}"] if "segment" in wide else wide
+    out: List[Constraint] = []
+    for _, row in wide.iterrows():
+        col = row["column"]
+        n = _get(row, "counts/n", 0)
+        if not n:
+            continue
+        if _get(row, "counts/null", 0) == 0:
+            out.append(no_missing_values(col))
+        else:
+            frac = _get(row, "counts/null", 0) / n
+            out.append(null_percentage_below_number(
+                col, min(100.0, frac * 100 * 1.5 + 1e-9)))
+        vmin = _get(row, "distribution/min")
+        vmax = _get(row, "distribution/max")
+        if vmin is not None and vmax is not None and vmax >= vmin:
+            slack = (vmax - vmin) * 0.1 or abs(vmax) * 0.1 or 1.0
+            out.append(is_in_range(col, vmin - slack, vmax + slack))
+            if vmin >= 0:
+                out.append(is_non_negative(col))
+        est = _get(row, "cardinality/est")
+        if est is not None and est > 0:
+            out.append(distinct_number_in_range(col, 0, est * 2))
+    return out

@@ -841,6 +841,43 @@ class ProfileView:
                 return r[slot]
         return None
 
+    def histogram(self, column: str, n_bins: int = 30) -> List[tuple]:
+        """(bin_start, bin_end, est_count) triples from the column's KLL
+        sketch — driver-side over a few KB of sketch bytes (reference:
+        python/whylogs/viz/utils/histogram_calculations.py:31)."""
+        blob = self.get_component(column, "distribution", "kll")
+        if blob is None:
+            raise ValueError(f"no KLL sketch for column {column}")
+        sk = KllSketch.deserialize(bytes(blob))
+        if sk.n == 0:
+            return []
+        lo, hi = sk.min_value, sk.max_value
+        if hi <= lo:
+            return [(lo, hi, sk.n)]
+        edges = [lo + (hi - lo) * i / n_bins for i in range(1, n_bins)]
+        pmf = sk.pmf(edges)
+        bounds = [lo] + edges + [hi]
+        return [
+            (bounds[i], bounds[i + 1], int(round(p * sk.n)))
+            for i, p in enumerate(pmf)
+        ]
+
+    def diff(self, other: "ProfileView") -> pd.DataFrame:
+        """Align two profiles by (segment, column, metric, component) and
+        report numeric component deltas (reference: profile comparison in
+        viz/notebook_profile_viz.py summary-drift report; the join-on-
+        column alignment mirrors column_drift_algorithms.py:500-515)."""
+        a = self.df.toPandas()
+        b = other.df.toPandas()
+        keys = ["segment", "column", "metric", "component"]
+        for pdf in (a, b):
+            pdf["value"] = pdf["n"].where(pdf["n"].notna(), pdf["d"])
+        m = a[keys + ["value"]].merge(
+            b[keys + ["value"]], on=keys, how="outer",
+            suffixes=("_a", "_b"))
+        m["delta"] = m["value_b"] - m["value_a"]
+        return m.sort_values(keys).reset_index(drop=True)
+
     def write_parquet(self, path: str) -> None:
         self.df.write.mode("overwrite").parquet(path)
 
