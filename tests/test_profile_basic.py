@@ -131,3 +131,23 @@ def test_profile_diff(lineitem):
     d = a.diff(b)
     row = d[(d["metric"] == "counts") & (d["component"] == "n")].iloc[0]
     assert row["delta"] < 0  # filtered set is smaller
+
+
+def test_log_accepts_pandas_row_multiple(spark, lineitem):
+    import pandas as pd
+
+    import whylogs_spark as wsp
+
+    cfg = wsp.MetricConfig(quantile_impl="none", frequent_items_impl="none",
+                           cardinality_impl="approx")
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", None]})
+    v = wsp.log(pandas=pdf, config=cfg)
+    assert v.get_component("a", "counts", "n") == 3
+    assert v.get_component("b", "counts", "null") == 1
+
+    vr = wsp.log(row={"a": 7, "b": "z"}, config=cfg)
+    assert vr.get_component("a", "counts", "n") == 1
+
+    vm = wsp.log(multiple={"one": pdf, "two": pdf}, config=cfg)
+    assert set(vm) == {"one", "two"}
+    assert vm["one"].get_component("a", "counts", "n") == 3

@@ -18,7 +18,42 @@ from .core.configs import DEFAULT_CONFIG, MetricConfig
 from .core.profiler import (ProfileView, merge_profiles, profile,
                             profile_partitions)
 
-log = profile  # reference API affinity: why.log(df)
+def log(obj=None, *, pandas=None, row=None, multiple=None,
+        segment_by=None, columns=None, config=DEFAULT_CONFIG, spark=None):
+    """Reference-parity entry point (why.log,
+    python/whylogs/api/logger/__init__.py:42): accepts a Spark DataFrame,
+    a pandas DataFrame, a single dict row, or ``multiple`` named datasets
+    (-> dict of ProfileViews). Non-Spark inputs are lifted into the
+    active SparkSession and run through the same profiler."""
+    from pyspark.sql import DataFrame as _SparkDF
+    from pyspark.sql import SparkSession as _Session
+
+    if multiple is not None:
+        return {
+            name: log(data, segment_by=segment_by, columns=columns,
+                      config=config, spark=spark)
+            for name, data in multiple.items()
+        }
+    target = obj if obj is not None else (
+        pandas if pandas is not None else row)
+    if target is None:
+        raise ValueError("log() needs obj=, pandas=, row= or multiple=")
+    if isinstance(target, _SparkDF):
+        return profile(target, segment_by=segment_by, columns=columns,
+                       config=config)
+    sess = spark or _Session.getActiveSession()
+    if sess is None:
+        raise RuntimeError("no active SparkSession for non-Spark input")
+    import pandas as _pd
+
+    if isinstance(target, dict):
+        pdf = _pd.DataFrame([target])
+    elif isinstance(target, _pd.DataFrame):
+        pdf = target
+    else:
+        raise TypeError(f"cannot profile {type(target)!r}")
+    return profile(sess.createDataFrame(pdf), segment_by=segment_by,
+                   columns=columns, config=config)
 
 __version__ = "0.1.0"
 
