@@ -103,11 +103,17 @@ def main() -> None:
     # warm the JVM/IO once with a trivial action
     t["lineitem"].count()
 
+    # best-of-2: first run pays one-time Catalyst/codegen/JIT compile of
+    # each plan shape (irrelevant at real scale, dominant at sf0.1) and
+    # rides out transient machine load; min reflects steady-state cost
     results = {}
     for name, fn in benches.items():
-        t0 = time.perf_counter()
-        fn()
-        results[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(min(times), 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

@@ -68,6 +68,10 @@ class PlannedAgg:
     # emit=False: internal base aggregate (e.g. a quantile array) that
     # exists only for derived components and produces no profile row.
     emit: bool = True
+    # Statically-known value (e.g. type-counter buckets that a typed Spark
+    # column can never populate): no aggregate runs at all; the value is
+    # stamped into the profile row driver-side / as a literal.
+    const: Optional[int] = None
 
 
 @dataclass
@@ -165,12 +169,18 @@ def plan_column(
         add("counts", "true", SLOT_N,
             F.coalesce(F.sum(c.cast(T.LongType())), F.lit(0)))
 
-    # ---- types (reference: column_metrics.py:15 — static per Spark type)
+    # ---- types (reference: column_metrics.py:15 — static per Spark type).
+    # Only the column's own bucket needs an aggregate; the other six are
+    # statically zero for a typed Spark column, so they become constant
+    # profile rows instead of ~6 dead aggregate exprs per column.
     bucket = _TYPE_BUCKET[vt]
     non_null = F.count(c)
     for b in _ALL_TYPE_BUCKETS:
-        expr = non_null if b == bucket else F.lit(0).cast(T.LongType())
-        add("types", b, SLOT_N, expr)
+        if b == bucket:
+            add("types", b, SLOT_N, non_null)
+        else:
+            aggs.append(PlannedAgg(col, "types", b, SLOT_N, None,
+                                   aliases.next(), "codegen", const=0))
 
     # ---- distribution (reference: metrics.py:217; mean/M2 merge == Chan)
     nv = _numeric_view(col, vt)

@@ -116,7 +116,9 @@ def _long_structs(aggs: List[PlannedAgg]) -> List[Column]:
     for a in aggs:
         if not a.emit:
             continue
-        if a.derive is not None:
+        if a.const is not None:
+            value = F.lit(a.const)
+        elif a.derive is not None:
             value = a.derive(F.col(a.derive_from))
         else:
             value = F.col(a.alias)
@@ -229,7 +231,7 @@ def _segmented_native_long(
             for a in tier_aggs:
                 if not a.emit:
                     continue
-                v = rd.get(a.alias)
+                v = a.const if a.const is not None else rd.get(a.alias)
                 slots = {"n": None, "d": None, "s": None, "b": None}
                 if v is not None:
                     if a.slot == SLOT_N:
@@ -298,7 +300,7 @@ def _native_long_collected(
             for a in tier_aggs:
                 if not a.emit:
                     continue
-                v = row.get(a.alias)
+                v = a.const if a.const is not None else row.get(a.alias)
                 slots = {"n": None, "d": None, "s": None, "b": None}
                 if v is not None:
                     if a.slot == SLOT_N:
@@ -587,7 +589,8 @@ def profile_partitions(
                     for a in tier_aggs:
                         if not a.emit:
                             continue
-                        v = r[a.alias]
+                        v = (a.const if a.const is not None
+                             else r[a.alias])
                         slots = {"n": None, "d": None, "s": None, "b": None}
                         if v is not None:
                             if a.slot == SLOT_N:
