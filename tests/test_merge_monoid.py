@@ -86,3 +86,67 @@ def test_merged_frequent_items_bounds(lineitem, halves):
     got = {it["value"]: it for it in items}
     for val, cnt in truth.items():
         assert got[val]["lower"] <= cnt <= got[val]["upper"]
+
+
+def test_sketch_kernels_monoid_hypothesis():
+    """Property test on the sketch kernels directly (no Spark): merge of
+    arbitrary splits matches the whole stream within error bounds, and
+    merge is order-insensitive for exact components."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from whylogs_spark.core.sketches import FrequentStringsSketch, KllSketch
+
+    floats = st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1, max_size=400)
+
+    @settings(max_examples=25, deadline=None)
+    @given(floats, st.integers(min_value=1, max_value=5))
+    def kll_split_merge(values, k_parts):
+        arr = np.array(values)
+        whole = KllSketch(128)
+        whole.update_batch(arr)
+        parts = np.array_split(arr, k_parts)
+        merged = KllSketch(128)
+        for p in parts:
+            sk = KllSketch(128)
+            sk.update_batch(p)
+            merged.merge(sk)
+        assert merged.n == whole.n == arr.size
+        assert merged.min_value == arr.min()
+        assert merged.max_value == arr.max()
+        # rank error bound for k=128 is ~3.3%; allow slack for both
+        # sides. With ties the rank of the median is an interval
+        # [frac(<med), frac(<=med)] — assert it brackets 0.5 within slack.
+        med_m = merged.quantile(0.5)
+        assert (arr < med_m).mean() <= 0.5 + 0.15
+        assert (arr <= med_m).mean() >= 0.5 - 0.15
+
+    kll_split_merge()
+
+    strings = st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        min_size=1, max_size=300)
+
+    @settings(max_examples=25, deadline=None)
+    @given(strings, st.integers(min_value=1, max_value=4))
+    def fi_split_merge(values, k_parts):
+        import pandas as pd
+
+        whole = FrequentStringsSketch(16)
+        whole.update_batch(pd.Series(values, dtype=object))
+        merged = FrequentStringsSketch(16)
+        step = max(1, len(values) // k_parts)
+        for i in range(0, len(values), step):
+            sk = FrequentStringsSketch(16)
+            sk.update_batch(pd.Series(values[i:i + step], dtype=object))
+            merged.merge(sk)
+        assert merged.n == whole.n == len(values)
+        truth = pd.Series(values).value_counts()
+        for val, est, lo, hi in merged.top_k(16):
+            true = int(truth.get(val, 0))
+            assert lo <= true <= hi, (val, lo, true, hi)
+
+    fi_split_merge()
