@@ -168,3 +168,42 @@ def test_svd_lsi_residuals(embeddings):
     n = pv.df.filter(
         "metric='distribution' and component='n'").first()["n"]
     assert n == len(pdf)
+
+
+def test_multimodal_audio_resize_frames(spark, tmp_path):
+    import struct as st
+
+    # craft a valid 44-byte-header WAV: 2ch, 8kHz, 16-bit, 1600 frames
+    channels, rate, bits, n_frames = 2, 8000, 16, 1600
+    data = b"\x00" * (n_frames * channels * (bits // 8))
+    fmt = st.pack("<HHIIHH", 1, channels, rate,
+                  rate * channels * (bits // 8),
+                  channels * (bits // 8), bits)
+    wav = (b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + st.pack("<I", 16) + fmt
+           + b"data" + st.pack("<I", len(data)) + data)
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "x.wav").write_bytes(wav)
+    (d / "y.bin").write_bytes(b"\x01\x02" * 4096)
+
+    df = multimodal.read_binary_dir(spark, str(d))
+    feats = {r["format"]: r
+             for r in multimodal.extract_audio_features(df).collect()}
+    assert feats["wav"]["channels"] == 2
+    assert feats["wav"]["sample_rate"] == 8000
+    assert feats["wav"]["duration_s"] == pytest.approx(
+        n_frames / rate)
+    assert feats["unknown"]["n_bytes"] == 8192
+
+    resized = multimodal.resize_images(df, 64, 64).collect()
+    assert all(r["width"] == 64 and len(r["content"]) <= 64
+               for r in resized)
+
+    frames = multimodal.sample_video_frames(df, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 2 * 4  # one-to-many expansion
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r["path"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_file.values())

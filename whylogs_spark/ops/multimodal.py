@@ -101,3 +101,141 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
         "pixel decode requires PIL/opencv; not available in this "
         "environment. Use extract_image_features for header-level "
         "features — the mapInPandas plumbing is identical.")
+
+
+# ---------------------------------------------------------------- audio
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _sniff_wav(content: bytes):
+    """RIFF/WAVE fmt-chunk parse — real header decoding, no audio libs."""
+    if len(content) < 44 or content[:4] != b"RIFF" \
+            or content[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_size = None
+    n = len(content)
+    while i + 8 <= n:
+        cid = content[i:i + 4]
+        size = struct.unpack("<I", content[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            (_, channels, rate, _, _, bits) = struct.unpack(
+                "<HHIIHH", content[i + 8:i + 24])
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)
+    if fmt is None:
+        return None
+    channels, rate, bits = fmt
+    dur = None
+    if data_size and rate and channels and bits:
+        dur = data_size / (rate * channels * (bits // 8))
+    return channels, rate, bits, dur
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas over binaryFile rows: WAV header features (real);
+    compressed formats would need an audio lib — they report
+    format='unknown' with byte length only."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None \
+                    else b""
+                wav = _sniff_wav(content)
+                if wav:
+                    ch, rate, bits, dur = wav
+                    rows.append((r["path"], "wav", ch, rate, bits, dur,
+                                 len(content)))
+                else:
+                    rows.append((r["path"], "unknown", None, None, None,
+                                 None, len(content)))
+            yield pd.DataFrame(
+                rows, columns=["path", "format", "channels", "sample_rate",
+                               "bits_per_sample", "duration_s", "n_bytes"])
+
+    return df.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------- resize / frames
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize kernel behind the real mapInPandas plumbing.
+
+    STUB: without PIL the 'resized' payload is a deterministic fake
+    (xxhash-free: first 64 bytes of the source), clearly not pixels —
+    swap the inner function for a PIL `Image.resize` in deployment; the
+    batch shape, schema and partitioning are what a real kernel uses.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None \
+                    else b""
+                rows.append((r["path"], width, height, content[:64]))
+            yield pd.DataFrame(
+                rows, columns=["path", "width", "height", "content"])
+
+    return df.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """One-to-many frame sampling over binary video rows.
+
+    STUB decode: emits ``n_frames`` evenly-spaced byte-offset windows per
+    file as the 'frame' payload (deterministic fake — a real kernel
+    decodes at evenly-spaced timestamps with pyav/opencv). The
+    one-to-many mapInPandas row expansion, schema and batch shape are the
+    real plumbing a video pipeline needs.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None \
+                    else b""
+                size = len(content)
+                for i in range(n_frames):
+                    off = (size * i) // max(n_frames, 1)
+                    rows.append((r["path"], i, off,
+                                 content[off:off + 256]))
+            yield pd.DataFrame(
+                rows, columns=["path", "frame_idx", "byte_offset", "frame"])
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)
