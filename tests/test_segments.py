@@ -82,3 +82,18 @@ def test_profile_partitions_single_pass_matches_separate(lineitem):
         b = {(r["segment"], r["column"], r["metric"], r["component"]):
              (r["n"], r["d"]) for r in ref.df.collect()}
         assert a == b
+
+
+def test_segment_filter(lineitem):
+    import whylogs_spark as wsp
+
+    cfg = wsp.MetricConfig(quantile_impl="none", frequent_items_impl="none",
+                           cardinality_impl="approx")
+    v = wsp.profile(lineitem, segment_by=["l_returnflag"],
+                    columns=["l_quantity"], config=cfg,
+                    segment_filter="l_quantity > 25")
+    expect = lineitem.filter("l_quantity > 25").count()
+    total = sum(
+        r["n"] for r in v.df.filter(
+            "metric='counts' and component='n'").collect())
+    assert total == expect

@@ -464,12 +464,19 @@ def profile(
     segment_by: Optional[List[str]] = None,
     columns: Optional[List[str]] = None,
     config: MetricConfig = DEFAULT_CONFIG,
+    segment_filter: Optional[str] = None,
 ) -> "ProfileView":
     """Profile a DataFrame -> ProfileView (lazy long-form profile).
 
     Equivalent of ``why.log(df)`` (+ segmentation when ``segment_by`` is
     given, reference: python/whylogs/api/logger/segment_processing.py:157).
+    ``segment_filter`` is the SegmentFilter equivalent
+    (segmentation_partition.py:42): a SQL predicate string applied before
+    profiling — Spark SQL is a superset of the reference's pandas
+    ``query()`` strings, and Catalyst pushes it into the scan.
     """
+    if segment_filter:
+        df = df.filter(segment_filter)
     segment_cols = list(segment_by or [])
     try:
         df.sparkSession.conf.set("spark.sql.codegen.maxFields", "2048")
