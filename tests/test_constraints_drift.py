@@ -60,6 +60,8 @@ def test_ks_same_distribution_high_p():
     a.update_batch(rng.normal(0, 1, 50_000))
     b.update_batch(rng.normal(0, 1, 50_000))
     d, p = drift.ks_test_from_sketches(a, b)
+    # two k=256 sketches each carry ~1/k normalized rank-error std, so the
+    # D-stat of identical distributions is ~1% even with infinite data
     assert d < 0.02
     assert p > 0.15
 

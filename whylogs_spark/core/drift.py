@@ -104,7 +104,13 @@ def ks_test_from_sketches(
             d = abs(a.rank(probe) - b.rank(probe))
             if d > d_max:
                 d_max = d
-    n, m = a.n, b.n
+    # Cap each side's effective sample size at the sketch's resolution:
+    # a k-sized KLL carries ~1/k normalized rank-error std, the same D
+    # fluctuation as a true sample of ~k^2/5 points. Claiming the raw n
+    # would declare "drift" on identical distributions purely from sketch
+    # noise once n >> k^2.
+    res = a.k * a.k // 5
+    n, m = min(a.n, res), min(b.n, res)
     en = math.sqrt(n * m / (n + m))
     p = _kolmogorov_sf((en + 0.12 + 0.11 / en) * d_max)
     return d_max, p

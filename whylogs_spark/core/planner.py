@@ -131,6 +131,27 @@ def _string_view(col: str, vt: ValueType) -> Column:
     return c.cast(T.StringType())
 
 
+def _card_view(col: str, vt: ValueType) -> Column:
+    """Projection fed to the HLL cardinality sketch.
+
+    Distinct-count semantics only need an injective mapping, not the
+    string form, so numerics stay JVM-native (hll_sketch_agg accepts
+    int/long/string/binary): longs pass through, doubles hash to 64-bit
+    via xxhash64 — no per-row string allocation on the hot path. NaN is
+    excluded (the reference counts NaN as null and feeds neither to
+    metrics — python/whylogs/core/preprocessing.py:126-150).
+    """
+    c = qcol(col)
+    if vt == ValueType.INTEGRAL:
+        return c.cast(T.LongType())
+    if vt == ValueType.FRACTIONAL:
+        d = c.cast(T.DoubleType())
+        return F.when(d.isNotNull() & ~F.isnan(d), F.xxhash64(d))
+    if vt == ValueType.TEMPORAL:
+        return F.unix_millis(c.cast(T.TimestampType()))
+    return _string_view(col, vt)
+
+
 def plan_column(
     col: str, dt: T.DataType, cfg: MetricConfig, aliases: "_AliasGen"
 ) -> Tuple[List[PlannedAgg], List[SketchPlan]]:
@@ -175,9 +196,10 @@ def plan_column(
     # profile rows instead of ~6 dead aggregate exprs per column.
     bucket = _TYPE_BUCKET[vt]
     non_null = F.count(c)
+    talias: Optional[str] = None
     for b in _ALL_TYPE_BUCKETS:
         if b == bucket:
-            add("types", b, SLOT_N, non_null)
+            talias = add("types", b, SLOT_N, non_null)
         else:
             aggs.append(PlannedAgg(col, "types", b, SLOT_N, None,
                                    aliases.next(), "codegen", const=0))
@@ -185,17 +207,33 @@ def plan_column(
     # ---- distribution (reference: metrics.py:217; mean/M2 merge == Chan)
     nv = _numeric_view(col, vt)
     if nv is not None and vt != ValueType.BOOLEAN:
-        dn = F.count(nv)
-        add("distribution", "n", SLOT_N, dn)
+        # One central-moment buffer (var_samp) serves stddev AND m2 as
+        # post-agg projections — three separate moment aggregates per
+        # column would triple the hottest buffer's per-row cost.
+        if vt in (ValueType.INTEGRAL, ValueType.TEMPORAL):
+            # the numeric view is a null-preserving cast, so the types
+            # bucket's count(c) IS count(nv) — reuse it
+            nalias = talias
+            add_derived("distribution", "n", SLOT_N, talias,
+                        lambda x: x, tier="codegen")
+        else:
+            nalias = add("distribution", "n", SLOT_N, F.count(nv))
         add("distribution", "mean", SLOT_D, F.avg(nv))
-        add("distribution", "stddev", SLOT_D, F.stddev_samp(nv))
-        add("distribution", "m2", SLOT_D,
-            F.var_samp(nv) * (dn - F.lit(1)).cast(T.DoubleType()))
+        valias = add("distribution", "_var", SLOT_D, F.var_samp(nv),
+                     emit=False)
+        add_derived("distribution", "stddev", SLOT_D, valias, F.sqrt,
+                    tier="codegen")
+        add_derived(
+            "distribution", "m2", SLOT_D, valias,
+            lambda x, _n=nalias: x * (F.col(_n) - F.lit(1))
+            .cast(T.DoubleType()),
+            tier="codegen")
         add("distribution", "min", SLOT_D, F.min(nv))
         add("distribution", "max", SLOT_D, F.max(nv))
         if cfg.quantile_impl == "native":
             qs = F.percentile_approx(
-                nv, F.array(*[F.lit(q) for q in cfg.quantiles]), F.lit(10000)
+                nv, F.array(*[F.lit(q) for q in cfg.quantiles]),
+                F.lit(cfg.native_quantile_accuracy)
             )
             # ONE percentile aggregate; per-quantile components are
             # post-agg projections of the array
@@ -217,7 +255,7 @@ def plan_column(
     # ---- cardinality (reference: metrics.py:535 — HLL lg_k=12; we use
     # Spark's Apache DataSketches hll_sketch_agg: JVM-side, mergeable)
     if vt not in (ValueType.TENSOR, ValueType.OBJECT):
-        sv = _string_view(col, vt)
+        sv = _card_view(col, vt)
         if cfg.cardinality_impl == "hll":
             # ONE hll aggregate per column; estimate and two-sigma
             # relative-standard-error bounds (rse = 1.04 / sqrt(2^lg_k),
