@@ -151,3 +151,18 @@ def test_log_accepts_pandas_row_multiple(spark, lineitem):
     vm = wsp.log(multiple={"one": pdf, "two": pdf}, config=cfg)
     assert set(vm) == {"one", "two"}
     assert vm["one"].get_component("a", "counts", "n") == 3
+
+
+def test_single_value_stddev_m2_zero(spark):
+    """Reference semantics: one observed value -> variance/m2 are 0, not
+    NULL (python/whylogs/core/metrics/metrics.py:357); the merge path
+    already emits 0.0, so the single-pass path must match."""
+    import whylogs_spark as wsp
+
+    df = spark.createDataFrame([(1.5,), (float("nan"),), (None,)],
+                               "x double")
+    v = wsp.profile(df, columns=["x"])
+    assert v.get_component("x", "distribution", "n") == 1
+    assert v.get_component("x", "distribution", "stddev") == 0.0
+    assert v.get_component("x", "distribution", "m2") == 0.0
+    assert v.get_component("x", "counts", "nan") == 1

@@ -221,12 +221,18 @@ def plan_column(
         add("distribution", "mean", SLOT_D, F.avg(nv))
         valias = add("distribution", "_var", SLOT_D, F.var_samp(nv),
                      emit=False)
-        add_derived("distribution", "stddev", SLOT_D, valias, F.sqrt,
-                    tier="codegen")
+        # n==1 -> stddev/m2 are 0, not NULL (reference returns variance 0
+        # for a single value — metrics.py:357 — and the profile-merge path
+        # already does the same; var_samp alone would give NULL)
+        add_derived(
+            "distribution", "stddev", SLOT_D, valias,
+            lambda x, _n=nalias: F.when(F.col(_n) == 1, 0.0)
+            .otherwise(F.sqrt(x)),
+            tier="codegen")
         add_derived(
             "distribution", "m2", SLOT_D, valias,
-            lambda x, _n=nalias: x * (F.col(_n) - F.lit(1))
-            .cast(T.DoubleType()),
+            lambda x, _n=nalias: F.when(F.col(_n) == 1, 0.0).otherwise(
+                x * (F.col(_n) - F.lit(1)).cast(T.DoubleType())),
             tier="codegen")
         add("distribution", "min", SLOT_D, F.min(nv))
         add("distribution", "max", SLOT_D, F.max(nv))
