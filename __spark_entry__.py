@@ -313,6 +313,44 @@ def _q_accuracy_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_custom_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-registered custom metric (plug-in API, reference
+    @custom_metric surface) profiled over lineitem numeric columns."""
+    from pyspark.sql import functions as FF
+
+    wsp.register_metric(
+        "value_range",
+        [
+            wsp.CustomComponent("vmin", "d", lambda c: FF.min(c),
+                                merge="min"),
+            wsp.CustomComponent("vmax", "d", lambda c: FF.max(c),
+                                merge="max"),
+            wsp.CustomComponent("nonzero", "n",
+                                lambda c: FF.sum((c != 0).cast("long")),
+                                merge="sum"),
+        ],
+        value_types={wsp.ValueType.INTEGRAL, wsp.ValueType.FRACTIONAL},
+    )
+    try:
+        df = _t(spark, sf_dir, "lineitem")
+        view = wsp.profile(df, columns=["l_quantity", "l_discount"],
+                           config=_FAST_CFG)
+        long = view.df.filter(F.col("metric") == "value_range")
+        wide = (
+            long.groupBy("column")
+            .pivot("component", ["vmin", "vmax", "nonzero"])
+            .agg(F.first(F.coalesce(F.col("d"), F.col("n").cast("double"))))
+        )
+        return wide.select(
+            F.col("column").alias("col_name"),
+            F.round(F.col("vmin"), 4).alias("vmin"),
+            F.round(F.col("vmax"), 4).alias("vmax"),
+            F.col("nonzero").cast("long").alias("nonzero"),
+        )
+    finally:
+        wsp.unregister_metric("value_range")
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = text_ops.with_quality_score(_t(spark, sf_dir, "documents"))
     return df.groupBy("lang").agg(
@@ -420,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_closest_centroid": _q_embedding_closest,
         "ranking_metrics_events": _q_ranking_events,
         "accuracy_estimator_orders": _q_accuracy_estimator,
+        "custom_metric_lineitem": _q_custom_metric,
         "quality_score_documents": _q_quality_score,
         "fingerprint_documents": _q_fingerprint,
         "ngram_jaccard_documents": _q_ngram_jaccard,
@@ -682,6 +721,18 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(n_hits * 1.0 / n_rel), 6) AS mean_recall_k, "
             "round(avg(CASE WHEN top_rank > 0 THEN 1.0 / top_rank "
             "ELSE 0 END), 6) AS mrr FROM per_user"
+        ),
+        "custom_metric_lineitem": (
+            "SELECT 'l_quantity' AS col_name, "
+            "round(min(l_quantity) :: DOUBLE, 4) AS vmin, "
+            "round(max(l_quantity) :: DOUBLE, 4) AS vmax, "
+            "sum(CASE WHEN l_quantity != 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS nonzero FROM lineitem "
+            "UNION ALL SELECT 'l_discount', "
+            "round(min(l_discount) :: DOUBLE, 4), "
+            "round(max(l_discount) :: DOUBLE, 4), "
+            "sum(CASE WHEN l_discount != 0 THEN 1 ELSE 0 END)::BIGINT "
+            "FROM lineitem"
         ),
         "quality_score_documents": _quality_sql(),
         "fingerprint_documents": (

@@ -15,8 +15,11 @@ Quick start::
 """
 
 from .core.configs import DEFAULT_CONFIG, MetricConfig
+from .core.datatypes import ValueType
 from .core.profiler import (ProfileView, merge_profiles, profile,
                             profile_partitions)
+from .core.registry import (CustomComponent, register_metric,
+                            unregister_metric)
 
 def log(obj=None, *, pandas=None, row=None, multiple=None,
         segment_by=None, columns=None, config=DEFAULT_CONFIG, spark=None):
@@ -65,4 +68,8 @@ __all__ = [
     "log",
     "merge_profiles",
     "ProfileView",
+    "ValueType",
+    "CustomComponent",
+    "register_metric",
+    "unregister_metric",
 ]

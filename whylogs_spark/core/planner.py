@@ -291,6 +291,17 @@ def plan_column(
             SketchPlan(col, "fi", _string_view(col, vt),
                        f"__fi__{aliases.next()}"))
 
+    # ---- registered custom metrics (reference plug-in surface:
+    # @custom_metric/register_metric, metrics.py:60,156) — user-supplied
+    # aggregate expressions run in the same codegen pass as built-ins
+    from .registry import registered_metrics
+
+    for m in registered_metrics().values():
+        if not m.matches(col, vt):
+            continue
+        for comp in m.components:
+            add(m.namespace, comp.component, comp.slot, comp.expr(c))
+
     return aggs, sketches
 
 

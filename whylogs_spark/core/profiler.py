@@ -697,6 +697,16 @@ def _merge_profile_df(allp: DataFrame, cfg: MetricConfig) -> DataFrame:
     kll_k = cfg.effective_kll_k
     fi_cap = cfg.fi_capacity
     fi_maxlen = cfg.max_frequent_item_size
+    # snapshot the custom-metric merge ops DRIVER-side: the registry is a
+    # driver-process dict, invisible to executor python workers — the
+    # closure must carry the ops, not re-import them
+    from .registry import registered_metrics
+
+    custom_ops = {
+        (ns, comp.component): comp.merge
+        for ns, m in registered_metrics().items()
+        for comp in m.components
+    }
 
     def merge_metric(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = pdf["segment"].iloc[0]
@@ -783,10 +793,33 @@ def _merge_profile_df(allp: DataFrame, cfg: MetricConfig) -> DataFrame:
                 ]
                 emit("items", s=json.dumps(items, ensure_ascii=False))
         else:
-            # unknown metric: keep first occurrence of each component
+            # custom metrics merge by their registered per-component op
+            # (reference: pluggable component aggregators,
+            # python/whylogs/core/metrics/aggregators.py:33-47); truly
+            # unknown components keep the first occurrence
             for comp, g in by_comp.items():
-                r = g.iloc[0]
-                emit(comp, n=r["n"], d=r["d"], s=r["s"], b=r["b"])
+                op = custom_ops.get((metric, comp))
+                if op is None:
+                    r = g.iloc[0]
+                    emit(comp, n=r["n"], d=r["d"], s=r["s"], b=r["b"])
+                    continue
+                if op == "none":
+                    continue  # recomputable-only component: dropped
+                for slot in ("n", "d"):
+                    vals = g[slot].dropna()
+                    if not len(vals):
+                        continue
+                    if callable(op):
+                        v = op(vals)
+                    elif op == "sum":
+                        v = vals.sum()
+                    elif op == "min":
+                        v = vals.min()
+                    else:
+                        v = vals.max()
+                    emit(comp, **{
+                        slot: int(v) if slot == "n" else float(v)})
+                    break
         return pd.DataFrame(
             out, columns=["segment", "column", "metric", "component",
                           "n", "d", "s", "b"])
