@@ -351,6 +351,77 @@ def _q_custom_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         wsp.unregister_metric("value_range")
 
 
+def _q_constraints_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint factories + report over a profile (reference:
+    python/whylogs/core/constraints/factories/, metric_constraints.py:225).
+    Only exact-component constraints so the report is oracle-checkable."""
+    from whylogs_spark.core import constraints as C
+
+    df = _t(spark, sf_dir, "lineitem")
+    view = wsp.profile(
+        df, columns=["l_orderkey", "l_quantity", "l_discount", "l_tax"],
+        config=_FAST_CFG)
+    report = (
+        C.ConstraintsBuilder(view)
+        .add(C.no_missing_values("l_orderkey"))
+        .add(C.is_non_negative("l_discount"))
+        .add(C.mean_between_range("l_quantity", 20, 30))
+        .add(C.is_in_range("l_discount", 0.0, 0.1))
+        .add(C.count_below_number("l_quantity", 10))
+        .add(C.null_percentage_below_number("l_tax", 0.5))
+        .build()
+        .report_df(spark)
+    )
+    return report.select(
+        F.col("constraint").alias("constraint_name"),
+        F.col("passed").cast("long").alias("passed"),
+        F.col("failed").cast("long").alias("failed"),
+    )
+
+
+def _q_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monoid law in the correctness gate: profile(A) ⊕ profile(B) must
+    equal exact SQL aggregates over A ∪ B (reference merge:
+    python/whylogs/core/view/dataset_profile_view.py:172; Chan merge
+    maths.py:11)."""
+    df = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
+    a = wsp.profile(df.filter("l_orderkey % 2 = 0"), columns=cols,
+                    config=_FAST_CFG)
+    b = wsp.profile(df.filter("l_orderkey % 2 = 1"), columns=cols,
+                    config=_FAST_CFG)
+    m = wsp.merge_profiles([a, b])
+    long = m.df.filter(F.col("metric") == "distribution")
+    wide = (
+        long.groupBy("column")
+        .pivot("component", ["n", "mean", "stddev", "min", "max"])
+        .agg(F.first(F.coalesce(F.col("d"), F.col("n").cast("double"))))
+    )
+    return wide.select(
+        F.col("column").alias("col_name"),
+        F.col("n").cast("long").alias("n_num"),
+        F.round(F.col("mean"), 4).alias("mean"),
+        F.round(F.col("stddev"), 4).alias("stddev"),
+        F.round(F.col("min"), 4).alias("vmin"),
+        F.round(F.col("max"), 4).alias("vmax"),
+    )
+
+
+def _q_validator_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level validator with deterministic failed-row sampling
+    (reference: condition_validator.py:16,47 — var_opt reservoir; here a
+    portable top-k by md5(id), same rows in any engine)."""
+    df = _t(spark, sf_dir, "orders")
+    res = cond_mod.validate(
+        df, {"price_ok": F.col("o_totalprice") <= 400000},
+        id_col="o_orderkey", sample_size=10, hash_fn="md5")
+    sample = res.failed_samples["price_ok"]
+    return sample.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+    )
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = text_ops.with_quality_score(_t(spark, sf_dir, "documents"))
     return df.groupBy("lang").agg(
@@ -459,6 +530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_metrics_events": _q_ranking_events,
         "accuracy_estimator_orders": _q_accuracy_estimator,
         "custom_metric_lineitem": _q_custom_metric,
+        "constraints_report_lineitem": _q_constraints_report,
+        "profile_merge_lineitem": _q_profile_merge,
+        "validator_sample_orders": _q_validator_sample,
         "quality_score_documents": _q_quality_score,
         "fingerprint_documents": _q_fingerprint,
         "ngram_jaccard_documents": _q_ngram_jaccard,
@@ -733,6 +807,60 @@ def oracle_sql() -> dict[str, str]:
             "round(max(l_discount) :: DOUBLE, 4), "
             "sum(CASE WHEN l_discount != 0 THEN 1 ELSE 0 END)::BIGINT "
             "FROM lineitem"
+        ),
+        "constraints_report_lineitem": (
+            "WITH s AS (SELECT count(*) AS n_total, "
+            "count(*) - count(l_orderkey) AS ok_nulls, "
+            "avg(l_quantity) AS qty_mean, "
+            "min(l_discount) AS disc_min, max(l_discount) AS disc_max, "
+            "count(*) - count(l_tax) AS tax_nulls FROM lineitem) "
+            "SELECT 'l_orderkey has no missing values' AS constraint_name, "
+            "(CASE WHEN ok_nulls = 0 THEN 1 ELSE 0 END)::BIGINT AS passed, "
+            "(CASE WHEN ok_nulls = 0 THEN 0 ELSE 1 END)::BIGINT AS failed "
+            "FROM s UNION ALL "
+            "SELECT 'l_discount is non negative', "
+            "(CASE WHEN disc_min >= 0 THEN 1 ELSE 0 END)::BIGINT, "
+            "(CASE WHEN disc_min >= 0 THEN 0 ELSE 1 END)::BIGINT "
+            "FROM s UNION ALL "
+            "SELECT 'l_quantity mean between 20 and 30 (inclusive)', "
+            "(CASE WHEN qty_mean BETWEEN 20 AND 30 THEN 1 ELSE 0 END)"
+            "::BIGINT, "
+            "(CASE WHEN qty_mean BETWEEN 20 AND 30 THEN 0 ELSE 1 END)"
+            "::BIGINT FROM s UNION ALL "
+            "SELECT 'l_discount is in range [0.0,0.1]', "
+            "(CASE WHEN disc_min >= 0.0 AND disc_max <= 0.1 "
+            "THEN 1 ELSE 0 END)::BIGINT, "
+            "(CASE WHEN disc_min >= 0.0 AND disc_max <= 0.1 "
+            "THEN 0 ELSE 1 END)::BIGINT FROM s UNION ALL "
+            "SELECT 'l_quantity count below 10', "
+            "(CASE WHEN n_total < 10 THEN 1 ELSE 0 END)::BIGINT, "
+            "(CASE WHEN n_total < 10 THEN 0 ELSE 1 END)::BIGINT "
+            "FROM s UNION ALL "
+            "SELECT 'l_tax null percentage below 0.5', "
+            "(CASE WHEN tax_nulls * 1.0 / greatest(n_total, 1) < 0.5 "
+            "THEN 1 ELSE 0 END)::BIGINT, "
+            "(CASE WHEN tax_nulls * 1.0 / greatest(n_total, 1) < 0.5 "
+            "THEN 0 ELSE 1 END)::BIGINT FROM s"
+        ),
+        "profile_merge_lineitem": (
+            "SELECT 'l_quantity' AS col_name, "
+            "count(l_quantity) AS n_num, "
+            "round(avg(l_quantity), 4) AS mean, "
+            "round(stddev_samp(l_quantity), 4) AS stddev, "
+            "round(min(l_quantity) :: DOUBLE, 4) AS vmin, "
+            "round(max(l_quantity) :: DOUBLE, 4) AS vmax FROM lineitem "
+            "UNION ALL SELECT 'l_extendedprice', "
+            "count(l_extendedprice), "
+            "round(avg(l_extendedprice), 4), "
+            "round(stddev_samp(l_extendedprice), 4), "
+            "round(min(l_extendedprice) :: DOUBLE, 4), "
+            "round(max(l_extendedprice) :: DOUBLE, 4) FROM lineitem"
+        ),
+        "validator_sample_orders": (
+            "SELECT o_orderkey :: BIGINT AS o_orderkey, "
+            "round(o_totalprice, 2) AS o_totalprice FROM orders "
+            "WHERE NOT coalesce(o_totalprice <= 400000, FALSE) "
+            "ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 10"
         ),
         "quality_score_documents": _quality_sql(),
         "fingerprint_documents": (

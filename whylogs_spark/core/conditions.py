@@ -96,8 +96,17 @@ def validate(
     conditions: Dict[str, Column],
     id_col: Optional[str] = None,
     sample_size: int = 10,
+    hash_fn: str = "xxhash64",
 ) -> "ValidationResult":
-    """Row-level validation: counts + per-condition failing-row samples."""
+    """Row-level validation: counts + per-condition failing-row samples.
+
+    hash_fn picks the sample's shuffle key: "xxhash64" (default, fastest,
+    JVM codegen) or "md5" (slower but portable — the same ordering is
+    reproducible in any engine with an md5 function, used by the oracle
+    parity checks).
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     counts = condition_counts(df, conditions)
     samples: Dict[str, DataFrame] = {}
     for name, cond in conditions.items():
@@ -105,8 +114,9 @@ def validate(
         if id_col is not None:
             # deterministic pseudo-random sample: stable across runs,
             # computed distributed via TakeOrderedAndProject
-            failed = failed.orderBy(
-                F.xxhash64(F.col(id_col)).asc()).limit(sample_size)
+            key = (F.xxhash64(F.col(id_col)) if hash_fn == "xxhash64"
+                   else F.md5(F.col(id_col).cast("string").cast("binary")))
+            failed = failed.orderBy(key.asc()).limit(sample_size)
         else:
             failed = failed.limit(sample_size)
         samples[name] = failed
