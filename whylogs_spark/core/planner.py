@@ -329,12 +329,37 @@ class _AliasGen:
         return f"a{self._i}"
 
 
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 64
+
+
 def plan_dataframe(
     schema: T.StructType,
     columns: Optional[List[str]],
     segment_cols: List[str],
     cfg: MetricConfig,
 ) -> Tuple[List[PlannedAgg], List[SketchPlan]]:
+    """Plan (and memoize) the aggregate expressions for a schema.
+
+    Building ~20 Column expressions per column costs a py4j round-trip
+    each — O(1 s) of driver time for a wide frame. Spark Columns are
+    immutable expression trees, so the planned lists are safe to reuse
+    whenever (schema, column selection, segmentation, config, custom
+    metric registry) are identical — which is every micro-batch of a
+    streaming profile and every repeat profile of the same table.
+    """
+    from .registry import registry_generation
+
+    key = (
+        schema.json(),
+        tuple(columns) if columns is not None else None,
+        tuple(segment_cols),
+        repr(cfg),  # frozen dataclass, but quantiles is a (unhashable) list
+        registry_generation(),
+    )
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
     gen = _AliasGen()
     aggs: List[PlannedAgg] = []
     sketches: List[SketchPlan] = []
@@ -346,4 +371,7 @@ def plan_dataframe(
         a, s = plan_column(field.name, field.dataType, cfg, gen)
         aggs.extend(a)
         sketches.extend(s)
+    if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[key] = (aggs, sketches)
     return aggs, sketches

@@ -86,6 +86,11 @@ class CustomMetric:
 
 
 _REGISTRY: Dict[str, CustomMetric] = {}
+_GENERATION = 0  # bumped on any registry change; part of the plan-cache key
+
+
+def registry_generation() -> int:
+    return _GENERATION
 
 _RESERVED = {
     "counts", "types", "ints", "distribution", "cardinality",
@@ -108,11 +113,15 @@ def register_metric(
     m = CustomMetric(
         namespace, list(components), value_types,
         set(columns) if columns is not None else None)
+    global _GENERATION
+    _GENERATION += 1
     _REGISTRY[namespace] = m
     return m
 
 
 def unregister_metric(namespace: str) -> None:
+    global _GENERATION
+    _GENERATION += 1
     _REGISTRY.pop(namespace, None)
 
 
