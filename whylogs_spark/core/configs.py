@@ -38,6 +38,11 @@ class MetricConfig:
     # cardinality: "hll" (Spark DataSketches hll_sketch_agg, mergeable bytes)
     #            | "approx" (approx_count_distinct, estimate only)
     cardinality_impl: str = "hll"
+    # At/above this many profiled columns, switch to the wide path
+    # (unpivot per type class + groupBy(colname): O(1) plan size — see
+    # core/wide.py). Below it, the narrow per-column-expression path
+    # (vectorized per-column aggregates; plan cost amortizes over rows).
+    wide_column_threshold: int = 96
 
     @property
     def effective_kll_k(self) -> int:

@@ -272,15 +272,20 @@ def _native_long_collected(
     # whole-stage-codegen compile — the dominant cost for a 200-agg plan
     # over ONE local file — happens in parallel threads. Column pruning
     # keeps each chunk's parquet scan narrow.
-    _CHUNK_COLS = 6
     work: List[tuple] = []
     for tier, tier_aggs in sorted(tiers.items()):
         by_col: Dict[str, List[PlannedAgg]] = {}
         for a in tier_aggs:
             by_col.setdefault(a.column, []).append(a)
         cols = list(by_col)
-        for i in range(0, len(cols), _CHUNK_COLS):
-            chunk = [a for c in cols[i:i + _CHUNK_COLS] for a in by_col[c]]
+        # ≥6 columns per chunk, but never more than ~8 chunks per tier:
+        # each chunk is a Spark job, and for very wide frames per-job
+        # overhead would dominate (400 cols at 6/chunk = 67 jobs/tier).
+        # ~8 keeps the thread pool busy while bounding both job count and
+        # the per-job codegen unit size.
+        chunk_cols = max(6, -(-len(cols) // 8))
+        for i in range(0, len(cols), chunk_cols):
+            chunk = [a for c in cols[i:i + chunk_cols] for a in by_col[c]]
             work.append((tier, chunk))
 
     def run_chunk(item):
@@ -486,6 +491,38 @@ def profile(
             "spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
     except Exception:
         pass
+    # Wide frames: O(#cols) aggregate expressions would dominate driver/
+    # Catalyst time and blow codegen method limits — switch to the
+    # unpivot-per-type-class path (core/wide.py). Custom registered
+    # metrics are per-column expressions, so their presence keeps the
+    # narrow path.
+    from .registry import registered_metrics
+
+    n_profiled = sum(
+        1 for f in df.schema.fields
+        if f.name not in segment_cols
+        and (columns is None or f.name in columns))
+    if (n_profiled >= config.wide_column_threshold
+            and not registered_metrics()):
+        from .wide import plan_wide_sketches, wide_native_rows
+
+        sketches = plan_wide_sketches(
+            df.schema, columns, segment_cols, config)
+        sketch_df = None
+        fut = None
+        if sketches:
+            from concurrent.futures import ThreadPoolExecutor
+
+            sketch_df = _sketch_long(
+                df, sketches, segment_cols, config).cache()
+            fut = ThreadPoolExecutor(max_workers=1).submit(sketch_df.count)
+        rows = wide_native_rows(df, columns, segment_cols, config)
+        long_df = df.sparkSession.createDataFrame(rows, PROFILE_SCHEMA)
+        if sketch_df is not None:
+            fut.result()
+            long_df = long_df.unionByName(sketch_df)
+        return ProfileView(long_df, config)
+
     aggs, sketches = plan_dataframe(df.schema, columns, segment_cols, config)
     if segment_cols:
         sketch_df = None
