@@ -1,0 +1,90 @@
+"""WHY1 binary profile codec round-trip (format per
+python/whylogs/core/view/dataset_profile_view.py:264-328 and
+proto/src/whylogs_messages.proto:39-100)."""
+
+import math
+
+import pandas as pd
+import pytest
+
+import whylogs_spark as wsp
+from whylogs_spark.io.why1 import (MAGIC, read_why1, read_why1_rows,
+                                   write_why1)
+
+
+@pytest.fixture(scope="module")
+def view(spark, lineitem):
+    return wsp.profile(lineitem)
+
+
+def _scalar_rows(df):
+    pdf = df.toPandas()
+    pdf = pdf[pdf["s"].isna()]  # derived JSON components are not stored
+    out = {}
+    for _, r in pdf.iterrows():
+        key = (r["column"], r["metric"], r["component"])
+        n = None if pd.isna(r["n"]) else int(r["n"])
+        d = None if pd.isna(r["d"]) else float(r["d"])
+        b = None if r["b"] is None else bytes(r["b"])
+        if n is None and d is None and b is None:
+            continue
+        out[key] = (n, d, b)
+    return out
+
+
+def test_roundtrip_exact(spark, view, tmp_path):
+    p = str(tmp_path / "profile.bin")
+    write_why1(view, p)
+    with open(p, "rb") as f:
+        assert f.read(4) == MAGIC
+    back = read_why1(spark, p)
+    a = _scalar_rows(view.df)
+    b = _scalar_rows(back.df)
+    assert set(a) == set(b)
+    for k, (n1, d1, b1) in a.items():
+        n2, d2, b2 = b[k]
+        assert n1 == n2, k
+        assert b1 == b2, k
+        if d1 is None or d2 is None:
+            assert d1 == d2, k
+        else:
+            assert d1 == pytest.approx(d2, rel=0, abs=0) or (
+                math.isnan(d1) and math.isnan(d2)), k
+
+
+def test_column_pruned_read(spark, view, tmp_path):
+    p = str(tmp_path / "profile.bin")
+    write_why1(view, p)
+    rows = read_why1_rows(p, columns=["l_quantity"])
+    cols = {r[1] for r in rows}
+    assert cols == {"l_quantity"}
+    comp = {(r[2], r[3]): r for r in rows}
+    assert ("counts", "n") in comp
+    assert ("distribution", "mean") in comp
+    assert ("cardinality", "hll") in comp
+    # sketch bytes survive byte-exact
+    orig = view.get_component("l_quantity", "distribution", "kll")
+    got = comp[("distribution", "kll")][7]
+    assert bytes(orig) == bytes(got)
+
+
+def test_summary_usable_after_roundtrip(spark, view, tmp_path):
+    p = str(tmp_path / "profile.bin")
+    write_why1(view, p)
+    back = read_why1(spark, p)
+    # KLL-derived quantiles recomputable from deserialized sketch bytes
+    assert back.get_component("l_quantity", "counts", "n") == \
+        view.get_component("l_quantity", "counts", "n")
+    assert back.get_component("l_quantity", "distribution", "mean") == \
+        pytest.approx(
+            view.get_component("l_quantity", "distribution", "mean"))
+
+
+def test_segmented_view_rejected(spark, lineitem, tmp_path):
+    segv = wsp.profile(
+        lineitem, segment_by=["l_returnflag"],
+        config=wsp.MetricConfig(quantile_impl="none",
+                                frequent_items_impl="none",
+                                cardinality_impl="approx"))
+    with pytest.raises(ValueError):
+        write_why1(segv, str(tmp_path / "x.bin"))

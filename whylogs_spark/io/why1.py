@@ -1,0 +1,329 @@
+"""WHY1 binary profile codec (reference interop container).
+
+File layout (reference: python/whylogs/core/view/dataset_profile_view.py:
+264-328 `_do_write`, 353-430 read path; schema
+proto/src/whylogs_messages.proto:39-100):
+
+    b"WHY1"
+    <delimited DatasetSegmentHeader>      (has_segments=False)
+    <delimited DatasetProfileHeader>      (properties, column offsets,
+                                           interned metric-path index)
+    per column, sorted by name:
+        <delimited ChunkHeader{type=COLUMN, length}>
+        <ChunkMessage{ map<path-index, MetricComponentMessage> }>
+
+MetricComponentMessage is a oneof {int64 n=2, double d=3,
+frequent_items=4, hll=5, kll=6} plus uint32 type_id=1
+(proto/src/whylogs_messages.proto:39-56); component paths are
+"namespace/component" strings interned in the header
+(dataset_profile_view.py:270-276) — which gives column pruning on read:
+only requested columns' chunks need parsing.
+
+The protobuf wire format is implemented directly (varint + tag codec —
+the environment has no protobuf runtime); messages emitted are
+byte-valid protobuf. Interop scope, stated honestly:
+
+* container structure, metric paths, and every scalar component
+  (counts/types/ints/distribution mean+m2/…) are faithful to the spec;
+* cardinality/hll bytes are genuine Apache DataSketches HLL binary
+  (Spark's ``hll_sketch_agg``) — the same sketch family the reference's
+  ``whylogs-sketching`` uses;
+* distribution/kll and frequent_items sketch bytes are THIS engine's
+  serialization (numpy KLL, Misra-Gries) carried opaquely in the
+  matching oneof fields; estimate-level parity, not byte parity
+  (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterator, List, Optional, Tuple
+
+MAGIC = b"WHY1"
+
+# ---------------------------------------------------------------- wire codec
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _varint64(n: int) -> bytes:
+    """proto int64: negatives encode as 64-bit two's complement."""
+    return _uvarint(n & 0xFFFFFFFFFFFFFFFF)
+
+
+def _read_uvarint(buf: bytes, pos: int) -> Tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _uvarint((field << 3) | wire)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _uvarint(len(payload)) + payload
+
+
+def _varint_field(field: int, n: int) -> bytes:
+    return _tag(field, 0) + _varint64(n)
+
+
+def _double_field(field: int, d: float) -> bytes:
+    return _tag(field, 1) + struct.pack("<d", d)
+
+
+def _str_field(field: int, s: str) -> bytes:
+    return _len_field(field, s.encode("utf-8"))
+
+
+def _map_entry(key_bytes: bytes, val_bytes: bytes) -> bytes:
+    return key_bytes + val_bytes
+
+
+def _fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
+    """Iterate (field_no, wire_type, value) over a serialized message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_uvarint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_uvarint(buf, pos)
+        elif wire == 1:
+            val = buf[pos:pos + 8]
+            pos += 8
+        elif wire == 2:
+            ln, pos = _read_uvarint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            val = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+# ----------------------------------------------------------- message encode
+
+_SKETCH_FIELD = {  # (metric, component) -> oneof field for sketch bytes
+    ("frequent_items", "mg"): 4,
+    ("cardinality", "hll"): 5,
+    ("distribution", "kll"): 6,
+}
+_TYPE_ID = {("ints", "min"): 1, ("ints", "max"): 2}
+
+
+def _component_msg(metric: str, comp: str, n, d, b) -> Optional[bytes]:
+    out = bytearray()
+    tid = _TYPE_ID.get((metric, comp), 0)
+    if tid:
+        out += _varint_field(1, tid)
+    if n is not None:
+        out += _varint_field(2, int(n))
+    elif d is not None:
+        out += _double_field(3, float(d))
+    elif b is not None:
+        f = _SKETCH_FIELD.get((metric, comp))
+        if f is None:
+            return None  # unknown sketch kind: not representable
+        out += _len_field(f, _len_field(1, bytes(b)))
+    else:
+        return None  # s-slot (derived JSON) and empty components skipped
+    return bytes(out)
+
+
+def _chunk_offsets(offsets: List[int]) -> bytes:
+    out = bytearray()
+    for off in offsets:
+        out += _varint_field(1, off)
+    return bytes(out)
+
+
+def write_why1(view, path: str) -> None:
+    """Serialize an unsegmented ProfileView to a WHY1 file."""
+    import pandas as pd  # noqa: F401  (toPandas dependency)
+
+    pdf = view.df.toPandas()
+    segs = set(pdf["segment"].unique())
+    if segs - {"{}"}:
+        raise ValueError(
+            "write_why1 serializes one (unsegmented) profile per file; "
+            "write each segment's view separately")
+
+    # intern metric paths (sorted, like the reference)
+    comps: Dict[str, Dict[str, tuple]] = {}
+    for _, r in pdf.iterrows():
+        msg = _component_msg(r["metric"], r["component"],
+                             None if pd.isna(r["n"]) else int(r["n"]),
+                             None if pd.isna(r["d"]) else float(r["d"]),
+                             r["b"])
+        if msg is None:
+            continue
+        p = f"{r['metric']}/{r['component']}"
+        comps.setdefault(r["column"], {})[p] = msg
+    paths = sorted({p for c in comps.values() for p in c})
+    path_index = {p: i for i, p in enumerate(paths)}
+
+    # column chunks
+    body = bytearray()
+    col_offsets: Dict[str, int] = {}
+    for col in sorted(comps):
+        col_offsets[col] = len(body)
+        chunk = bytearray()
+        for p, msg in sorted(comps[col].items()):
+            entry = _varint_field(1, path_index[p]) + _len_field(2, msg)
+            chunk += _len_field(1, entry)
+        header = _varint_field(1, 2) + _varint_field(3, len(chunk))
+        body += _uvarint(len(header)) + header + chunk
+
+    # DatasetProfileHeader
+    hdr = bytearray()
+    hdr += _len_field(1, b"")  # DatasetProperties (defaults)
+    for col, off in col_offsets.items():
+        entry = _str_field(1, col) + _len_field(2, _chunk_offsets([off]))
+        hdr += _len_field(2, entry)
+    hdr += _varint_field(4, len(body))
+    for p, i in path_index.items():
+        hdr += _len_field(5, _varint_field(1, i) + _str_field(2, p))
+
+    seg_header = b""  # has_segments=False -> all defaults
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(_uvarint(len(seg_header)) + seg_header)
+        f.write(_uvarint(len(hdr)) + bytes(hdr))
+        f.write(bytes(body))
+
+
+# ----------------------------------------------------------- message decode
+
+_SKETCH_KIND = {4: ("frequent_items", "mg"), 5: ("cardinality", "hll"),
+                6: ("distribution", "kll")}
+
+
+def _parse_component(buf: bytes) -> tuple:
+    """-> (n, d, b)"""
+    n = d = b = None
+    for field, wire, val in _fields(buf):
+        if field == 2 and wire == 0:
+            n = _signed64(val)
+        elif field == 3 and wire == 1:
+            d = struct.unpack("<d", val)[0]
+        elif field in _SKETCH_KIND and wire == 2:
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1 and w2 == 2:
+                    b = bytes(v2)
+    return n, d, b
+
+
+def read_why1_rows(
+    path: str, columns: Optional[List[str]] = None
+) -> List[tuple]:
+    """Parse a WHY1 file -> long-form profile rows. ``columns`` prunes
+    parsing to the requested columns via the header offsets (mirrors
+    dataset_profile_view.py:395-430)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != MAGIC:
+        raise ValueError("not a WHY1 file (bad magic)")
+    pos = 4
+    ln, pos = _read_uvarint(data, pos)   # DatasetSegmentHeader
+    seg_buf = data[pos:pos + ln]
+    pos += ln
+    for field, wire, val in _fields(seg_buf):
+        if field == 1 and wire == 0 and val:
+            raise ValueError("segmented WHY1 files are not supported")
+    ln, pos = _read_uvarint(data, pos)   # DatasetProfileHeader
+    hdr = data[pos:pos + ln]
+    pos += ln
+    body_start = pos
+
+    col_offsets: Dict[str, int] = {}
+    index_to_path: Dict[int, str] = {}
+    for field, wire, val in _fields(hdr):
+        if field == 2 and wire == 2:     # column_offsets entry
+            name = None
+            off = 0
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1 and w2 == 2:
+                    name = v2.decode("utf-8")
+                elif f2 == 2 and w2 == 2:
+                    for f3, w3, v3 in _fields(v2):
+                        if f3 == 1 and w3 == 0:
+                            off = v3
+            if name is not None:
+                col_offsets[name] = off
+        elif field == 5 and wire == 2:   # indexed_metric_paths entry
+            idx = None
+            p = None
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1 and w2 == 0:
+                    idx = v2
+                elif f2 == 2 and w2 == 2:
+                    p = v2.decode("utf-8")
+            if idx is not None and p is not None:
+                index_to_path[idx] = p
+
+    rows: List[tuple] = []
+    want = set(columns) if columns is not None else None
+    for col in sorted(col_offsets):
+        if want is not None and col not in want:
+            continue
+        cpos = body_start + col_offsets[col]
+        ln, cpos = _read_uvarint(data, cpos)   # ChunkHeader
+        chdr = data[cpos:cpos + ln]
+        cpos += ln
+        chunk_len = 0
+        for field, wire, val in _fields(chdr):
+            if field == 3 and wire == 0:
+                chunk_len = val
+        chunk = data[cpos:cpos + chunk_len]
+        for field, wire, val in _fields(chunk):
+            if field != 1 or wire != 2:
+                continue
+            idx = None
+            comp_buf = b""
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1 and w2 == 0:
+                    idx = v2
+                elif f2 == 2 and w2 == 2:
+                    comp_buf = v2
+            if idx is None or idx not in index_to_path:
+                continue
+            metric, comp = index_to_path[idx].split("/", 1)
+            n, d, b = _parse_component(comp_buf)
+            rows.append(("{}", col, metric, comp, n, d, None, b))
+    return rows
+
+
+def read_why1(spark, path: str, columns: Optional[List[str]] = None,
+              config=None):
+    """Parse a WHY1 file into a ProfileView."""
+    from ..core.configs import DEFAULT_CONFIG
+    from ..core.profiler import PROFILE_SCHEMA, ProfileView
+
+    rows = read_why1_rows(path, columns)
+    return ProfileView(
+        spark.createDataFrame(rows, PROFILE_SCHEMA),
+        config or DEFAULT_CONFIG)
