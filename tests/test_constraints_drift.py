@@ -157,3 +157,32 @@ def test_generate_constraints_pass_on_source(li_view):
         b.add(g)
     rep = b.build().report()
     assert all(passed for _, passed, _ in rep)
+
+
+def test_comparison_constraints(spark, lineitem):
+    """DatasetComparisonConstraint parity (reference
+    metric_constraints.py:203): predicates over a (reference, target)
+    profile pair."""
+    from whylogs_spark.core import constraints as C
+
+    cfg = wsp.MetricConfig(quantile_impl="none", frequent_items_impl="none",
+                           cardinality_impl="approx")
+    ref = wsp.profile(lineitem.filter("l_orderkey % 2 = 0"),
+                      columns=["l_quantity"], config=cfg)
+    tgt = wsp.profile(lineitem.filter("l_orderkey % 2 = 1"),
+                      columns=["l_quantity"], config=cfg)
+    cc = C.ComparisonConstraints(ref, tgt, [
+        C.mean_within_reference("l_quantity", 0.1),
+        C.null_ratio_not_above_reference("l_quantity"),
+        C.distinct_est_within_reference("l_quantity", 0.5),
+        C.range_within_reference("l_quantity", 0.1),
+    ])
+    report = cc.report()
+    assert all(p == 1 for _, p, _ in report), report
+    # a shifted target must fail the mean comparison
+    shifted = wsp.profile(
+        lineitem.selectExpr("l_quantity + 1000 AS l_quantity"),
+        columns=["l_quantity"], config=cfg)
+    cc2 = C.ComparisonConstraints(ref, shifted, [
+        C.mean_within_reference("l_quantity", 0.1)])
+    assert not cc2.validate()

@@ -89,14 +89,15 @@ def test_embedding_neardup_pairs(spark):
         0.99 / np.sqrt(0.99 ** 2 + 0.1 ** 2))
 
 
-def test_simhash(spark):
+@pytest.mark.parametrize("impl", ["arrow", "sql"])
+def test_simhash(spark, impl):
     df = spark.createDataFrame(
         [(1, "spark is a distributed engine for big data"),
          (2, "spark is a distributed engine for huge data"),
          (3, "bananas oranges apples pears grapes melons kiwi")],
         ["doc_id", "text"],
     )
-    sigs = dedup.simhash_signatures(df)
+    sigs = dedup.simhash_signatures(df, impl=impl)
     rows = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
     d12 = sigs.filter("doc_id=1").select(
         dedup.simhash_hamming(F.lit(rows[1]), F.lit(rows[2])).alias("h")

@@ -324,3 +324,102 @@ def generate_constraints(view: ProfileView) -> List[Constraint]:
         if est is not None and est > 0:
             out.append(distinct_number_in_range(col, 0, est * 2))
     return out
+
+
+# ------- dataset comparison constraints
+# (reference: DatasetComparisonConstraint / DatasetConstraint,
+#  python/whylogs/core/constraints/metric_constraints.py:203,225 —
+#  predicates over a (reference profile, target profile) pair)
+@dataclass
+class ComparisonConstraint:
+    name: str
+    column: Optional[str]
+    # check(ref_row, target_row) -> bool; rows are wide summary Series
+    check: Callable[[pd.Series, pd.Series], bool]
+
+
+class ComparisonConstraints:
+    def __init__(self, reference: ProfileView, target: ProfileView,
+                 constraints: List[ComparisonConstraint]):
+        self.reference = reference
+        self.target = target
+        self.constraints = constraints
+
+    def report(self) -> List[tuple]:
+        def by_col(view):
+            wide = view.to_pandas()
+            if "segment" in wide:
+                wide = wide[wide["segment"] == "{}"]
+            return {r["column"]: r for _, r in wide.iterrows()}
+
+        ref, tgt = by_col(self.reference), by_col(self.target)
+        out = []
+        for c in self.constraints:
+            rrow = ref.get(c.column) if c.column else None
+            trow = tgt.get(c.column) if c.column else None
+            if c.column is not None and (rrow is None or trow is None):
+                out.append((c.name, 0, 1))
+                continue
+            try:
+                ok = bool(c.check(rrow, trow))
+            except Exception:
+                ok = False
+            out.append((c.name, 1 if ok else 0, 0 if ok else 1))
+        return out
+
+    def validate(self) -> bool:
+        return all(p == 1 for _, p, _ in self.report())
+
+
+def mean_within_reference(column: str, rel_tol: float = 0.1
+                          ) -> ComparisonConstraint:
+    def check(ref: pd.Series, tgt: pd.Series) -> bool:
+        rm = _get(ref, "distribution/mean")
+        tm = _get(tgt, "distribution/mean")
+        if rm is None or tm is None:
+            return False
+        scale = max(abs(rm), 1e-12)
+        return abs(tm - rm) / scale <= rel_tol
+
+    return ComparisonConstraint(
+        f"{column} mean within {rel_tol} of reference", column, check)
+
+
+def null_ratio_not_above_reference(column: str, slack: float = 0.0
+                                   ) -> ComparisonConstraint:
+    def check(ref: pd.Series, tgt: pd.Series) -> bool:
+        def ratio(r):
+            return _get(r, "counts/null", 0) / max(_get(r, "counts/n", 0), 1)
+        return ratio(tgt) <= ratio(ref) + slack
+
+    return ComparisonConstraint(
+        f"{column} null ratio not above reference (+{slack})", column, check)
+
+
+def distinct_est_within_reference(column: str, rel_tol: float = 0.5
+                                  ) -> ComparisonConstraint:
+    def check(ref: pd.Series, tgt: pd.Series) -> bool:
+        re_ = _get(ref, "cardinality/est")
+        te = _get(tgt, "cardinality/est")
+        if re_ is None or te is None:
+            return False
+        scale = max(abs(re_), 1.0)
+        return abs(te - re_) / scale <= rel_tol
+
+    return ComparisonConstraint(
+        f"{column} distinct estimate within {rel_tol} of reference",
+        column, check)
+
+
+def range_within_reference(column: str, slack_frac: float = 0.1
+                           ) -> ComparisonConstraint:
+    def check(ref: pd.Series, tgt: pd.Series) -> bool:
+        rmin, rmax = _get(ref, "distribution/min"), _get(ref, "distribution/max")
+        tmin, tmax = _get(tgt, "distribution/min"), _get(tgt, "distribution/max")
+        if None in (rmin, rmax, tmin, tmax):
+            return False
+        slack = (rmax - rmin) * slack_frac
+        return tmin >= rmin - slack and tmax <= rmax + slack
+
+    return ComparisonConstraint(
+        f"{column} range within reference (+/-{slack_frac})", column, check)

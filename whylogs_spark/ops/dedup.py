@@ -484,14 +484,68 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash over whitespace tokens.
 
     For each bit position b: vote = sum over tokens of
-    (+1 if bit b of xxhash64(token) else -1); bit set if vote > 0.
-    Same explode + hash-aggregate shape as ``minhash_signatures``: one
-    codegen'd aggregation with map-side combine, shuffle = docs x 8 bytes.
+    (+1 if bit b of hash(token) else -1); bit set if vote > 0.
+
+    impl="arrow" (default): one shuffle-free Arrow pass — blake2b token
+    hashes, the 64 bit-votes evaluated as one (bits × tokens) matrix with
+    a single ``add.reduceat`` per batch.
+
+    impl="sql": pure-JVM explode + hash-aggregate of 64 conditional sums
+    (map-side combine; shuffle = docs x 8 bytes); the token-hash
+    ``transform`` lambda evaluates interpreted, so this is slower.
     """
+    if impl == "arrow":
+        if bits != 64:
+            raise ValueError("arrow simhash supports bits=64")
+        id_field = df.schema[id_col]
+        out_schema = T.StructType(
+            [id_field, T.StructField("simhash", T.LongType())])
+
+        def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            import hashlib
+
+            np.seterr(over="ignore")
+            shifts = np.arange(64, dtype=np.uint64)
+            for batch in batches:
+                tbl = pa.Table.from_batches([batch])
+                texts = tbl.column(text_col).to_pylist()
+                if not texts:
+                    continue
+                tok_chunks = []
+                for t in texts:
+                    toks = " ".join((t or "").lower().split()).split(" ")
+                    tok_chunks.append(np.frombuffer(
+                        b"".join(
+                            hashlib.blake2b(
+                                s.encode("utf-8", "surrogatepass"),
+                                digest_size=8).digest()
+                            for s in toks),
+                        dtype=np.uint64))
+                starts = np.cumsum(
+                    [0] + [c.size for c in tok_chunks])[:-1]
+                allh = np.concatenate(tok_chunks)
+                counts = np.array([c.size for c in tok_chunks])
+                # (64, tokens) 0/1 matrix; per-doc ones via one reduceat
+                bitmat = ((allh[None, :] >> shifts[:, None])
+                          & np.uint64(1)).astype(np.int32)
+                ones = np.add.reduceat(bitmat, starts, axis=1)
+                set_bits = (2 * ones) > counts[None, :]   # vote > 0
+                sig = np.zeros(len(texts), dtype=np.uint64)
+                for b in range(64):
+                    sig |= set_bits[b].astype(np.uint64) << np.uint64(b)
+                yield pa.RecordBatch.from_arrays(
+                    [tbl.column(id_col).combine_chunks(),
+                     pa.array(sig.astype(np.int64))],
+                    names=[id_col, "simhash"])
+
+        return ensure_parallelism(df.select(id_col, text_col)).mapInArrow(
+            gen, out_schema)
+
     toks = F.split(normalized_text(F.col(text_col)), " ")
     ex = ensure_parallelism(df).select(
         F.col(id_col),
