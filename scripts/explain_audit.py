@@ -115,15 +115,51 @@ def main() -> None:
             "no exchange of raw vectors": r"^(?![\s\S]*Exchange hashpartitioning\(embedding)",
         }))
 
-    # 5. minhash signatures: explode + partial hash agg, no raw-text shuffle
-    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    # 5. minhash signatures (sql impl): explode + partial hash agg,
+    # no raw-text shuffle
+    sigs = dedup.minhash_signatures(docs, num_hashes=16, impl="sql")
     sections.append((
-        "minhash signatures", sigs,
+        "minhash signatures (sql impl)", sigs,
         {
             "map-side partial aggregation of signature mins":
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
             "declarative HashAggregate (codegen), not interpreted Object agg":
                 r"^(?![\s\S]*ObjectHashAggregate)",
+        }))
+
+    # 5b. minhash signatures (arrow impl, default): one vectorized pass,
+    # signatures computed where the docs live — no shuffle at all
+    sigs_a = dedup.minhash_signatures(docs, num_hashes=16)
+    sections.append((
+        "minhash signatures (arrow impl)", sigs_a,
+        {
+            "single Arrow pass (MapInArrow)": r"MapInArrow|ArrowEvalPython",
+            "no shuffle of documents":
+                r"^(?![\s\S]*Exchange hashpartitioning)",
+            "2-column pruned scan": r"ReadSchema: struct<doc_id[^\n]*text",
+        }))
+
+    # 5c. wide-mode profile: unpivot per type class -> partial agg by
+    # colname -> tiny shuffle -> final agg (O(1) plan size in width)
+    from whylogs_spark.core.wide import _class_aggs, _class_struct
+    from whylogs_spark.core.datatypes import ValueType
+    stacked = li.select(F.explode(F.array(
+        *[_class_struct(c, ValueType.FRACTIONAL)
+          for c in ("l_quantity", "l_extendedprice", "l_discount")]
+    )).alias("kv"))
+    wmode = stacked.groupBy(F.col("kv.cn").alias("cn")).agg(
+        *_class_aggs(ValueType.FRACTIONAL,
+                     wsp.MetricConfig(quantile_impl="none",
+                                      frequent_items_impl="none",
+                                      cardinality_impl="approx")))
+    sections.append((
+        "wide-mode class aggregation", wmode,
+        {
+            "generator unpivot (explode), no join": r"Generate",
+            "partial agg before the colname exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "shuffle keyed by column name only (tiny)":
+                r"hashpartitioning\((cn|_groupingexpression)",
         }))
 
     # 6. exact dedup stats: single shuffle on group keys
