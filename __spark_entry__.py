@@ -422,6 +422,39 @@ def _q_validator_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_udf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UdfSchema-derived columns profiled like any other (reference:
+    python/whylogs/experimental/core/udf_schema.py:36,208-260 — the
+    'prefix.output' naming; here UDFs compile to Column exprs)."""
+    from whylogs_spark.core.udf_schema import UdfSchema, UdfSpec
+
+    df = _t(spark, sf_dir, "orders")
+    schema = UdfSchema([
+        UdfSpec(
+            ["o_totalprice"],
+            {"log10": F.log10(F.col("o_totalprice")),
+             "bucket": F.floor(F.col("o_totalprice") / 100000)
+             .cast("double")},
+            prefix="price"),
+    ])
+    derived = schema.apply_udfs(df)
+    view = wsp.profile(
+        derived, columns=["price.log10", "price.bucket"], config=_FAST_CFG)
+    long = view.df.filter(F.col("metric") == "distribution")
+    wide = (
+        long.groupBy("column")
+        .pivot("component", ["n", "mean", "min", "max"])
+        .agg(F.first(F.coalesce(F.col("d"), F.col("n").cast("double"))))
+    )
+    return wide.select(
+        F.col("column").alias("col_name"),
+        F.col("n").cast("long").alias("n_num"),
+        F.round(F.col("mean"), 6).alias("mean"),
+        F.round(F.col("min"), 6).alias("vmin"),
+        F.round(F.col("max"), 6).alias("vmax"),
+    )
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = text_ops.with_quality_score(_t(spark, sf_dir, "documents"))
     return df.groupBy("lang").agg(
@@ -533,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraints_report_lineitem": _q_constraints_report,
         "profile_merge_lineitem": _q_profile_merge,
         "validator_sample_orders": _q_validator_sample,
+        "udf_profile_orders": _q_udf_profile,
         "quality_score_documents": _q_quality_score,
         "fingerprint_documents": _q_fingerprint,
         "ngram_jaccard_documents": _q_ngram_jaccard,
@@ -855,6 +889,16 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(l_extendedprice), 4), "
             "round(min(l_extendedprice) :: DOUBLE, 4), "
             "round(max(l_extendedprice) :: DOUBLE, 4) FROM lineitem"
+        ),
+        "udf_profile_orders": (
+            "WITH d AS (SELECT log10(o_totalprice) AS lg, "
+            "floor(o_totalprice / 100000) :: DOUBLE AS bk FROM orders) "
+            "SELECT 'price.log10' AS col_name, count(lg) AS n_num, "
+            "round(avg(lg), 6) AS mean, round(min(lg), 6) AS vmin, "
+            "round(max(lg), 6) AS vmax FROM d "
+            "UNION ALL SELECT 'price.bucket', count(bk), "
+            "round(avg(bk), 6), round(min(bk), 6), round(max(bk), 6) "
+            "FROM d"
         ),
         "validator_sample_orders": (
             "SELECT o_orderkey :: BIGINT AS o_orderkey, "
