@@ -97,3 +97,22 @@ def test_segment_filter(lineitem):
         r["n"] for r in v.df.filter(
             "metric='counts' and component='n'").collect())
     assert total == expect
+
+
+def test_explicit_segment_key_values(spark, lineitem):
+    """Constant segment keys appended sorted by name (reference:
+    segment_processing.py:70-72)."""
+    cfg = wsp.MetricConfig(quantile_impl="none", frequent_items_impl="none",
+                           cardinality_impl="approx")
+    v = wsp.profile(lineitem, segment_by=["l_returnflag"],
+                    columns=["l_quantity"],
+                    segment_key_values={"env": "prod", "batch": "b7"},
+                    config=cfg)
+    segs = [r["segment"] for r in
+            v.df.select("segment").distinct().collect()]
+    import json
+    for s in segs:
+        d = json.loads(s)
+        assert d["env"] == "prod" and d["batch"] == "b7"
+        assert "l_returnflag" in d
+    assert len(segs) == 3  # key-values add no extra groups

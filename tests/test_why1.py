@@ -88,3 +88,21 @@ def test_segmented_view_rejected(spark, lineitem, tmp_path):
                                 cardinality_impl="approx"))
     with pytest.raises(ValueError):
         write_why1(segv, str(tmp_path / "x.bin"))
+
+
+def test_properties_roundtrip(spark, lineitem, tmp_path):
+    import datetime
+
+    ts = datetime.datetime(2024, 5, 1, 12, tzinfo=datetime.timezone.utc)
+    v = wsp.profile(
+        lineitem, columns=["l_quantity"],
+        config=wsp.MetricConfig(quantile_impl="none",
+                                frequent_items_impl="none",
+                                cardinality_impl="approx"),
+        dataset_timestamp=ts, metadata={"source": "unit-test", "v": "1"})
+    p = str(tmp_path / "props.bin")
+    write_why1(v, p)
+    back = read_why1(spark, p)
+    assert back.dataset_timestamp == ts
+    assert back.metadata == {"source": "unit-test", "v": "1"}
+    assert back.creation_timestamp is not None

@@ -470,6 +470,9 @@ def profile(
     columns: Optional[List[str]] = None,
     config: MetricConfig = DEFAULT_CONFIG,
     segment_filter: Optional[str] = None,
+    segment_key_values: Optional[Dict[str, str]] = None,
+    dataset_timestamp=None,
+    metadata: Optional[Dict[str, str]] = None,
 ) -> "ProfileView":
     """Profile a DataFrame -> ProfileView (lazy long-form profile).
 
@@ -483,6 +486,12 @@ def profile(
     if segment_filter:
         df = df.filter(segment_filter)
     segment_cols = list(segment_by or [])
+    if segment_key_values:
+        # explicit constant segment keys, appended sorted by key name
+        # (reference: segment_processing.py:70-72)
+        for k in sorted(segment_key_values):
+            df = df.withColumn(k, F.lit(str(segment_key_values[k])))
+            segment_cols.append(k)
     try:
         df.sparkSession.conf.set("spark.sql.codegen.maxFields", "2048")
         # bigger Arrow batches => fewer python-side groupby/update rounds
@@ -521,7 +530,8 @@ def profile(
         if sketch_df is not None:
             fut.result()
             long_df = long_df.unionByName(sketch_df)
-        return ProfileView(long_df, config)
+        return ProfileView(long_df, config, dataset_timestamp,
+                           metadata=metadata)
 
     aggs, sketches = plan_dataframe(df.schema, columns, segment_cols, config)
     if segment_cols:
@@ -538,7 +548,8 @@ def profile(
         if sketch_df is not None:
             fut.result()
             long_df = long_df.unionByName(sketch_df)
-        return ProfileView(long_df, config)
+        return ProfileView(long_df, config, dataset_timestamp,
+                           metadata=metadata)
 
     # Unsegmented: native tiers are collected eagerly (driver reshape);
     # run the python sketch pass concurrently and cache its (tiny) result.
@@ -554,7 +565,8 @@ def profile(
     if sketch_df is not None:
         fut.result()
         long_df = long_df.unionByName(sketch_df)
-    return ProfileView(long_df, config)
+    return ProfileView(long_df, config, dataset_timestamp,
+                       metadata=metadata)
 
 
 def profile_partitions(
@@ -875,9 +887,21 @@ class ProfileView:
     IS a DataFrame: write it with ``.df.write.parquet``, query it with SQL.
     """
 
-    def __init__(self, df: DataFrame, config: MetricConfig = DEFAULT_CONFIG):
+    def __init__(self, df: DataFrame, config: MetricConfig = DEFAULT_CONFIG,
+                 dataset_timestamp=None, creation_timestamp=None,
+                 metadata: Optional[Dict[str, str]] = None):
         self.df = df
         self.config = config
+        # DatasetProperties parity (reference: dataset_profile.py:26 —
+        # dataset/creation timestamps + tags/metadata; serialized by the
+        # WHY1 codec as DatasetProperties)
+        import datetime as _dt
+
+        self.dataset_timestamp = dataset_timestamp
+        self.creation_timestamp = (
+            creation_timestamp
+            or _dt.datetime.now(_dt.timezone.utc))
+        self.metadata: Dict[str, str] = dict(metadata or {})
 
     def cache(self) -> "ProfileView":
         self.df = self.df.cache()

@@ -198,9 +198,30 @@ def write_why1(view, path: str) -> None:
         header = _varint_field(1, 2) + _varint_field(3, len(chunk))
         body += _uvarint(len(header)) + header + chunk
 
+    # DatasetProperties (proto fields: creation_timestamp=4,
+    # dataset_timestamp=5, tags=6, metadata=7 — whylogs_messages.proto:66-75)
+    props = bytearray()
+
+    def _ms(ts) -> Optional[int]:
+        if ts is None:
+            return None
+        try:
+            return int(ts.timestamp() * 1000)
+        except AttributeError:
+            return int(ts)
+
+    cms = _ms(getattr(view, "creation_timestamp", None))
+    dms = _ms(getattr(view, "dataset_timestamp", None))
+    if cms is not None:
+        props += _varint_field(4, cms)
+    if dms is not None:
+        props += _varint_field(5, dms)
+    for k, v in sorted(getattr(view, "metadata", {}).items()):
+        props += _len_field(7, _str_field(1, str(k)) + _str_field(2, str(v)))
+
     # DatasetProfileHeader
     hdr = bytearray()
-    hdr += _len_field(1, b"")  # DatasetProperties (defaults)
+    hdr += _len_field(1, bytes(props))
     for col, off in col_offsets.items():
         entry = _str_field(1, col) + _len_field(2, _chunk_offsets([off]))
         hdr += _len_field(2, entry)
@@ -243,6 +264,13 @@ def read_why1_rows(
     """Parse a WHY1 file -> long-form profile rows. ``columns`` prunes
     parsing to the requested columns via the header offsets (mirrors
     dataset_profile_view.py:395-430)."""
+    rows, _ = _read_why1(path, columns)
+    return rows
+
+
+def _read_why1(
+    path: str, columns: Optional[List[str]] = None
+) -> Tuple[List[tuple], Dict[str, object]]:
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != MAGIC:
@@ -261,8 +289,25 @@ def read_why1_rows(
 
     col_offsets: Dict[str, int] = {}
     index_to_path: Dict[int, str] = {}
+    props: Dict[str, object] = {"creation_timestamp": None,
+                                "dataset_timestamp": None, "metadata": {}}
     for field, wire, val in _fields(hdr):
-        if field == 2 and wire == 2:     # column_offsets entry
+        if field == 1 and wire == 2:     # DatasetProperties
+            for f2, w2, v2 in _fields(val):
+                if f2 == 4 and w2 == 0:
+                    props["creation_timestamp"] = v2
+                elif f2 == 5 and w2 == 0:
+                    props["dataset_timestamp"] = v2
+                elif f2 == 7 and w2 == 2:
+                    mk = mv = None
+                    for f3, w3, v3 in _fields(v2):
+                        if f3 == 1 and w3 == 2:
+                            mk = v3.decode("utf-8")
+                        elif f3 == 2 and w3 == 2:
+                            mv = v3.decode("utf-8")
+                    if mk is not None:
+                        props["metadata"][mk] = mv
+        elif field == 2 and wire == 2:     # column_offsets entry
             name = None
             off = 0
             for f2, w2, v2 in _fields(val):
@@ -314,7 +359,7 @@ def read_why1_rows(
             metric, comp = index_to_path[idx].split("/", 1)
             n, d, b = _parse_component(comp_buf)
             rows.append(("{}", col, metric, comp, n, d, None, b))
-    return rows
+    return rows, props
 
 
 def read_why1(spark, path: str, columns: Optional[List[str]] = None,
@@ -323,7 +368,18 @@ def read_why1(spark, path: str, columns: Optional[List[str]] = None,
     from ..core.configs import DEFAULT_CONFIG
     from ..core.profiler import PROFILE_SCHEMA, ProfileView
 
-    rows = read_why1_rows(path, columns)
+    import datetime as _dt
+
+    rows, props = _read_why1(path, columns)
+
+    def from_ms(ms):
+        if ms is None:
+            return None
+        return _dt.datetime.fromtimestamp(ms / 1000.0, _dt.timezone.utc)
+
     return ProfileView(
         spark.createDataFrame(rows, PROFILE_SCHEMA),
-        config or DEFAULT_CONFIG)
+        config or DEFAULT_CONFIG,
+        dataset_timestamp=from_ms(props["dataset_timestamp"]),
+        creation_timestamp=from_ms(props["creation_timestamp"]),
+        metadata=props["metadata"])
