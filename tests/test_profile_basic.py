@@ -166,3 +166,30 @@ def test_single_value_stddev_m2_zero(spark):
     assert v.get_component("x", "distribution", "stddev") == 0.0
     assert v.get_component("x", "distribution", "m2") == 0.0
     assert v.get_component("x", "counts", "nan") == 1
+
+
+def test_write_read_api(spark, lineitem, tmp_path):
+    """why.write / why.read parity (reference api/writer, result_set.py:310)."""
+    cfg = wsp.MetricConfig(quantile_impl="none", frequent_items_impl="none",
+                           cardinality_impl="approx")
+    v = wsp.profile(lineitem, columns=["l_quantity"], config=cfg)
+    n = v.get_component("l_quantity", "counts", "n")
+    binp = str(tmp_path / "p.bin")
+    wsp.write(v, binp)
+    assert wsp.read(binp, spark=spark).get_component(
+        "l_quantity", "counts", "n") == n
+    pqp = str(tmp_path / "pq")
+    wsp.write(v, pqp)
+    assert wsp.read(pqp, spark=spark).get_component(
+        "l_quantity", "counts", "n") == n
+
+
+def test_model_perf_entry_points(spark, lineitem):
+    cm = wsp.log_classification_metrics(
+        lineitem.selectExpr("l_returnflag t", "l_linestatus p",
+                            "l_quantity s"), "t", "p", "s")
+    assert cm.count() == 6
+    rm = wsp.log_regression_metrics(lineitem, "l_quantity", "l_linenumber")
+    row = rm.first()
+    assert row["n"] == lineitem.count()
+    assert row["rmse"] >= row["mae"] >= 0

@@ -58,6 +58,59 @@ def log(obj=None, *, pandas=None, row=None, multiple=None,
     return profile(sess.createDataFrame(pdf), segment_by=segment_by,
                    columns=columns, config=config)
 
+def write(view: ProfileView, path: str) -> None:
+    """Reference-parity ``why.write`` (python/whylogs/api/writer/):
+    ``*.bin`` -> WHY1 binary profile; anything else -> long-form parquet
+    (the Parquet profile store format)."""
+    if path.endswith(".bin"):
+        from .io.why1 import write_why1
+
+        write_why1(view, path)
+    else:
+        view.df.write.mode("overwrite").parquet(path)
+
+
+def read(path: str, spark=None, columns=None) -> ProfileView:
+    """Reference-parity ``why.read`` (ResultSetReader,
+    python/whylogs/api/logger/result_set.py:310): load a profile written
+    by ``write`` — WHY1 binary or long-form parquet."""
+    from pyspark.sql import SparkSession as _Session
+
+    sess = spark or _Session.getActiveSession()
+    if sess is None:
+        raise RuntimeError("no active SparkSession")
+    if path.endswith(".bin"):
+        from .io.why1 import read_why1
+
+        return read_why1(sess, path, columns=columns)
+    df = sess.read.parquet(path)
+    if columns is not None:
+        from pyspark.sql import functions as _F
+
+        df = df.filter(_F.col("column").isin(list(columns)))
+    return ProfileView(df)
+
+
+def log_classification_metrics(df, target_column: str,
+                               prediction_column: str,
+                               score_column=None):
+    """Reference-parity entry (why.log_classification_metrics,
+    python/whylogs/api/logger/__init__.py): confusion-matrix DataFrame
+    keyed by (target, prediction) with score distributions."""
+    from .core.model_perf import confusion_matrix
+
+    return confusion_matrix(df, target_column, prediction_column,
+                            score_column)
+
+
+def log_regression_metrics(df, prediction_column: str, target_column: str):
+    """Reference-parity entry (why.log_regression_metrics): one-row
+    DataFrame of n / mae / mse / rmse / mean_error."""
+    from .core.model_perf import regression_metrics
+
+    return regression_metrics(df, prediction_column, target_column)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -68,6 +121,10 @@ __all__ = [
     "log",
     "merge_profiles",
     "ProfileView",
+    "write",
+    "read",
+    "log_classification_metrics",
+    "log_regression_metrics",
     "ValueType",
     "CustomComponent",
     "register_metric",
