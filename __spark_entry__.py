@@ -455,6 +455,47 @@ def _q_udf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar family (SURVEY §2.8 to_json/from_json): extract a
+    typed field from the events props JSON and aggregate per type."""
+    df = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(k).alias("n_k"),
+             F.round(F.avg(k), 4).alias("avg_k"),
+             F.min(k).alias("min_k"),
+             F.max(k).alias("max_k"))
+    )
+
+
+def _q_join_segmented_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join a small dim then profile segmented by its key —
+    the canonical star-schema shape at 100 TB (orders shuffles once on
+    the segment, customer broadcasts)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer),
+        orders["o_custkey"] == customer["c_custkey"]
+    ).select("c_mktsegment", "o_totalprice")
+    view = wsp.profile(joined, segment_by=["c_mktsegment"],
+                       columns=["o_totalprice"], config=_FAST_CFG)
+    long = view.df
+    n = long.filter((F.col("metric") == "counts")
+                    & (F.col("component") == "n"))
+    mean = long.filter((F.col("metric") == "distribution")
+                       & (F.col("component") == "mean"))
+    j = n.alias("a").join(mean.alias("b"),
+                          F.col("a.segment") == F.col("b.segment"))
+    return j.select(
+        F.get_json_object(F.col("a.segment"), "$.c_mktsegment")
+        .alias("mktsegment"),
+        F.col("a.n").alias("n"),
+        F.round(F.col("b.d"), 4).alias("mean_price"),
+    )
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = text_ops.with_quality_score(_t(spark, sf_dir, "documents"))
     return df.groupBy("lang").agg(
@@ -567,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_merge_lineitem": _q_profile_merge,
         "validator_sample_orders": _q_validator_sample,
         "udf_profile_orders": _q_udf_profile,
+        "json_props_events": _q_json_props,
+        "join_segmented_profile_orders": _q_join_segmented_profile,
         "quality_score_documents": _q_quality_score,
         "fingerprint_documents": _q_fingerprint,
         "ngram_jaccard_documents": _q_ngram_jaccard,
@@ -889,6 +932,21 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(l_extendedprice), 4), "
             "round(min(l_extendedprice) :: DOUBLE, 4), "
             "round(max(l_extendedprice) :: DOUBLE, 4) FROM lineitem"
+        ),
+        "json_props_events": (
+            "SELECT event_type, "
+            "count(json_extract_string(props, '$.k')) AS n_k, "
+            "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) "
+            "AS avg_k, "
+            "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, "
+            "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
+            "FROM events GROUP BY event_type"
+        ),
+        "join_segmented_profile_orders": (
+            "SELECT c_mktsegment AS mktsegment, count(*) :: BIGINT AS n, "
+            "round(avg(o_totalprice), 4) AS mean_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
         ),
         "udf_profile_orders": (
             "WITH d AS (SELECT log10(o_totalprice) AS lg, "
