@@ -191,3 +191,12 @@ def test_fingerprint_normalization(spark):
     fps = {r["doc_id"]: r["fingerprint"]
            for r in text.with_fingerprint(df).collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_cosine_topk_arrow_matches_sql(embeddings):
+    q = [float(i % 7) for i in range(64)]
+    a = similarity.cosine_topk(embeddings, q, k=10, impl="sql").collect()
+    b = similarity.cosine_topk(embeddings, q, k=10, impl="arrow").collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+    for x, y in zip(a, b):
+        assert x["cosine"] == pytest.approx(y["cosine"], rel=1e-12)

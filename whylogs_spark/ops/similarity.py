@@ -51,18 +51,75 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
+    impl: str = "sql",
 ) -> DataFrame:
     """Exact top-k by cosine vs a literal query vector.
 
-    Plan: Scan -> Project(codegen dot/norm) -> TakeOrderedAndProject(k).
+    impl="sql": Scan -> Project(dot/norm) -> TakeOrderedAndProject(k).
+    Correct at any scale, but the array lambdas (aggregate/zip_with)
+    evaluate interpreted — ~dim expression-tree evals per row.
+
+    impl="arrow": one numpy matrix-vector product per Arrow batch and a
+    per-PARTITION top-k, so the final global sort sees at most
+    k × partitions candidate rows regardless of input size — the shape
+    to use from ~10M rows up.
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
-    sim = cosine_similarity(F.col(vec_col), q).alias("cosine")
-    return (
-        df.select(F.col(id_col), sim)
-        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    if impl == "sql":
+        q = F.array(*[F.lit(float(x)) for x in query])
+        sim = cosine_similarity(F.col(vec_col), q).alias("cosine")
+        return (
+            df.select(F.col(id_col), sim)
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    qv = np.asarray(list(query), dtype=np.float64)
+    qn = float(np.sqrt((qv * qv).sum())) or 1.0
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("cosine", T.DoubleType())])
+
+    def gen(batches):
+        best_ids: list = []
+        best_sims: list = []
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            arr = tbl.column(vec_col).combine_chunks()
+            try:
+                vals = np.asarray(arr.values, dtype=np.float64)
+                mat = vals.reshape(len(arr), qv.size)
+            except Exception:  # ragged / null rows: slow-path
+                mat = np.array(
+                    [r if r is not None else [0.0] * qv.size
+                     for r in arr.to_pylist()], dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            sims = (mat @ qv) / (norms * qn)
+            ids = tbl.column(id_col).to_pylist()
+            best_ids.extend(ids)
+            best_sims.extend(sims.tolist())
+            if len(best_ids) > 8 * k:
+                order = sorted(range(len(best_ids)),
+                               key=lambda i: (-best_sims[i], best_ids[i]))
+                order = order[:k]
+                best_ids = [best_ids[i] for i in order]
+                best_sims = [best_sims[i] for i in order]
+        if best_ids:
+            order = sorted(range(len(best_ids)),
+                           key=lambda i: (-best_sims[i], best_ids[i]))[:k]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([best_ids[i] for i in order]),
+                 pa.array([float(best_sims[i]) for i in order],
+                          pa.float64())],
+                names=[id_col, "cosine"])
+
+    part = df.select(id_col, vec_col).mapInArrow(gen, out_schema)
+    return part.orderBy(F.col("cosine").desc(),
+                        F.col(id_col).asc()).limit(k)
 
 
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
