@@ -112,13 +112,14 @@ def main() -> None:
     # warm the JVM/IO once with a trivial action
     t["lineitem"].count()
 
-    # best-of-2: first run pays one-time Catalyst/codegen/JIT compile of
-    # each plan shape (irrelevant at real scale, dominant at sf0.1) and
-    # rides out transient machine load; min reflects steady-state cost
+    # best-of-3: first run pays one-time Catalyst/codegen/JIT compile of
+    # each plan shape (irrelevant at real scale, dominant at sf0.1); the
+    # extra repeats ride out transient host CPU-steal storms (this box is
+    # oversubscribed); min reflects steady-state cost
     results = {}
     for name, fn in benches.items():
         times = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn()
             times.append(time.perf_counter() - t0)

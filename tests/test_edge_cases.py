@@ -78,3 +78,26 @@ def test_single_row(spark):
     assert v.get_component("v", "distribution", "m2") == 0.0
     assert v.get_component("v", "ints", "min") == 42
     assert v.get_component("v", "ints", "max") == 42
+
+
+def test_odd_column_names(spark):
+    """Dots, spaces, unicode in column names survive profiling (the
+    planner quotes dotted names; segment json keys are raw strings)."""
+    df = spark.range(0, 100).selectExpr(
+        "id AS `col.with.dots`", "id * 2 AS `col with spaces`",
+        "cast(id AS string) AS `日本語`")
+    v = wsp.profile(df, config=FAST)
+    assert v.get_component("col.with.dots", "counts", "n") == 100
+    assert v.get_component("col with spaces", "distribution", "max") == 198.0
+    assert v.get_component("日本語", "types", "string") == 100
+
+
+def test_odd_column_names_wide_path(spark):
+    df = spark.range(0, 100).selectExpr(
+        "id AS `col.with.dots`", "id * 2 AS `col with spaces`",
+        "cast(id AS string) AS `日本語`")
+    v = wsp.profile(df, config=wsp.MetricConfig(
+        quantile_impl="none", frequent_items_impl="none",
+        cardinality_impl="approx", wide_column_threshold=1))
+    assert v.get_component("col.with.dots", "counts", "n") == 100
+    assert v.get_component("日本語", "types", "string") == 100

@@ -1,0 +1,54 @@
+"""Property tests for the WHY1 protobuf wire codec (no Spark needed)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from whylogs_spark.io.why1 import (_component_msg, _fields,
+                                   _parse_component, _read_uvarint,
+                                   _signed64, _uvarint, _varint64)
+
+
+@given(st.integers(min_value=0, max_value=2 ** 64 - 1))
+def test_uvarint_roundtrip(n):
+    buf = _uvarint(n)
+    val, pos = _read_uvarint(buf, 0)
+    assert val == n and pos == len(buf)
+
+
+@given(st.integers(min_value=-2 ** 63, max_value=2 ** 63 - 1))
+def test_int64_roundtrip(n):
+    buf = _varint64(n)
+    val, pos = _read_uvarint(buf, 0)
+    assert _signed64(val) == n
+
+
+@settings(max_examples=200)
+@given(st.one_of(
+    st.tuples(st.integers(min_value=-2 ** 63, max_value=2 ** 63 - 1),
+              st.none(), st.none()),
+    st.tuples(st.none(),
+              st.floats(allow_nan=False, width=64), st.none()),
+    st.tuples(st.none(), st.none(), st.binary(max_size=256)),
+))
+def test_component_roundtrip(slot_values):
+    n, d, b = slot_values
+    metric, comp = ("cardinality", "hll") if b is not None else ("counts",
+                                                                 "n")
+    msg = _component_msg(metric, comp, n, d, b)
+    assert msg is not None
+    n2, d2, b2 = _parse_component(msg)
+    assert n2 == n
+    assert d2 == d
+    assert b2 == b
+
+
+@given(st.binary(max_size=64))
+def test_parser_never_reads_past_valid_fields(payload):
+    # A syntactically valid message must parse; arbitrary bytes may raise
+    # (truncation) but must never loop forever or return garbage fields
+    # beyond the buffer.
+    try:
+        for field, wire, val in _fields(payload):
+            assert field >= 0
+    except (ValueError, IndexError):
+        pass
