@@ -496,6 +496,21 @@ def _q_join_segmented_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counting (GPT-2 pre-tokenizer granularity);
+    regex chosen so Java and RE2 match identically."""
+    df = _t(spark, sf_dir, "documents")
+    bpe = text_ops.bpe_token_count(F.col("text"))
+    ws = text_ops.token_count(F.col("text"))
+    return (
+        df.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg(bpe), 4).alias("avg_bpe_tokens"),
+             F.round(F.avg(ws), 4).alias("avg_ws_tokens"),
+             F.sum(bpe).cast("long").alias("total_bpe_tokens"))
+    )
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = text_ops.with_quality_score(_t(spark, sf_dir, "documents"))
     return df.groupBy("lang").agg(
@@ -609,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validator_sample_orders": _q_validator_sample,
         "udf_profile_orders": _q_udf_profile,
         "json_props_events": _q_json_props,
+        "bpe_tokens_documents": _q_bpe_tokens,
         "join_segmented_profile_orders": _q_join_segmented_profile,
         "quality_score_documents": _q_quality_score,
         "fingerprint_documents": _q_fingerprint,
@@ -932,6 +948,18 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(l_extendedprice), 4), "
             "round(min(l_extendedprice) :: DOUBLE, 4), "
             "round(max(l_extendedprice) :: DOUBLE, 4) FROM lineitem"
+        ),
+        "bpe_tokens_documents": (
+            "WITH t AS (SELECT lang, "
+            "len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS bpe, "
+            "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS ws "
+            "FROM documents) "
+            "SELECT lang, count(*) AS n_docs, "
+            "round(avg(bpe), 4) AS avg_bpe_tokens, "
+            "round(avg(ws), 4) AS avg_ws_tokens, "
+            "sum(bpe) :: BIGINT AS total_bpe_tokens "
+            "FROM t GROUP BY lang"
         ),
         "json_props_events": (
             "SELECT event_type, "

@@ -200,3 +200,15 @@ def test_cosine_topk_arrow_matches_sql(embeddings):
     assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
     for x, y in zip(a, b):
         assert x["cosine"] == pytest.approx(y["cosine"], rel=1e-12)
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [("it's a test, isn't it? 42 times!",), ("hello   world",), ("",)],
+        ["text"])
+    rows = {r["text"]: r["n"] for r in df.select(
+        "text", text.bpe_token_count(F.col("text")).alias("n")).collect()}
+    # 'it'|'s|' a'|' test'|','|' isn'|''|'t'|' it'|'?'|' 42'|' times'|'!'
+    assert rows["it's a test, isn't it? 42 times!"] == 12
+    assert rows["hello   world"] == 2
+    assert rows[""] == 0

@@ -38,6 +38,24 @@ def token_count(c: Column) -> Column:
         F.size(F.split(trimmed, _WS)))
 
 
+# GPT-2-style pre-tokenizer approximation (Radford et al. 2019 regex,
+# lookbehind-free): contractions | letter runs | digit runs | punct runs.
+# Uses only \p classes + alternation so Java (Spark) and RE2 (DuckDB)
+# produce identical matches — oracle-safe across engines.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Subword-ish token count (BPE pre-tokenization granularity) —
+    an upper-bound proxy for LLM token counts without a vocab file."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
 def occurrence_count(c: Column, word: str) -> Column:
     """Exact count of whole-word occurrences via padded replace — uses only
     length/replace/lower so an identical SQL oracle exists in any engine."""
