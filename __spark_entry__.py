@@ -496,6 +496,23 @@ def _q_join_segmented_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (beyond reference): one shuffle on
+    user_id, lag + conditional cumsum windows, stats reuse the
+    partitioning."""
+    from whylogs_spark.ops import events as ev_ops
+
+    df = _t(spark, sf_dir, "events")
+    stats = ev_ops.session_stats(df, gap="30 minutes")
+    return (
+        stats.groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+             F.round(F.avg("n_events"), 4).alias("avg_events"),
+             F.round(F.avg("duration_sec"), 4).alias("avg_duration_sec"),
+             F.max("n_events").cast("long").alias("max_events"))
+    )
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword token counting (GPT-2 pre-tokenizer granularity);
     regex chosen so Java and RE2 match identically."""
@@ -625,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_profile_orders": _q_udf_profile,
         "json_props_events": _q_json_props,
         "bpe_tokens_documents": _q_bpe_tokens,
+        "sessionize_events": _q_sessionize,
         "join_segmented_profile_orders": _q_join_segmented_profile,
         "quality_score_documents": _q_quality_score,
         "fingerprint_documents": _q_fingerprint,
@@ -948,6 +966,21 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(l_extendedprice), 4), "
             "round(min(l_extendedprice) :: DOUBLE, 4), "
             "round(max(l_extendedprice) :: DOUBLE, 4) FROM lineitem"
+        ),
+        "sessionize_events": (
+            "WITH s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) IS NULL OR ts > lag(ts) "
+            "OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS new_s FROM events), "
+            "k AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY "
+            "user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM s), "
+            "g AS (SELECT user_id, sid, count(*) AS n_events, "
+            "epoch(max(ts)) - epoch(min(ts)) AS duration_sec "
+            "FROM k GROUP BY user_id, sid) "
+            "SELECT count(*) :: BIGINT AS n_sessions, "
+            "round(avg(n_events), 4) AS avg_events, "
+            "round(avg(duration_sec), 4) AS avg_duration_sec, "
+            "max(n_events) :: BIGINT AS max_events FROM g"
         ),
         "bpe_tokens_documents": (
             "WITH t AS (SELECT lang, "

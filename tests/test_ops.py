@@ -212,3 +212,32 @@ def test_bpe_token_count(spark):
     assert rows["it's a test, isn't it? 42 times!"] == 12
     assert rows["hello   world"] == 2
     assert rows[""] == 0
+
+
+def test_sessionize(spark):
+    from whylogs_spark.ops import events as ev
+
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    df = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(10)), (1, ts(50)), (1, ts(55)),
+         (2, ts(0))],
+        ["user_id", "ts"])
+    s = ev.sessionize(df, gap="30 minutes")
+    sessions = {tuple(r) for r in
+                s.select("user_id", "ts", "session_id").collect()}
+    by_sid = {}
+    for u, t, sid in sessions:
+        by_sid.setdefault(sid, []).append(t)
+    # user 1: events at 0,10 in session 1; 50,55 in session 2
+    assert len(by_sid) == 3
+    stats = ev.session_stats(df, gap="30 minutes")
+    rows = {r["session_id"]: r for r in stats.collect()}
+    assert rows["1#1"]["n_events"] == 2
+    assert rows["1#1"]["duration_sec"] == 600.0
+    assert rows["1#2"]["n_events"] == 2
+    assert rows["2#1"]["n_events"] == 1
