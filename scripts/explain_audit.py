@@ -162,6 +162,22 @@ def main() -> None:
                 r"hashpartitioning\((cn|_groupingexpression)",
         }))
 
+    # 5d. sessionize + stats: ONE shuffle on user_id; the grouped agg
+    # reuses the window's hash partitioning (no second exchange)
+    from whylogs_spark.ops import events as ev_ops
+    ev = load_table(spark, SF_DIR, "events")
+    ss = ev_ops.session_stats(ev)
+    sections.append((
+        "sessionization (window + stats)", ss,
+        {
+            "single exchange keyed by user":
+                r"hashpartitioning\(user_id",
+            "no second exchange after the window":
+                r"^(?![\s\S]*\(\d+\) Exchange[\s\S]*\(\d+\) Exchange)",
+            "partial agg after the window (partitioning reused)":
+                r"Window[\s\S]*HashAggregate",
+        }))
+
     # 6. exact dedup stats: single shuffle on group keys
     stats = dedup.duplicate_stats(docs, group_by=["source"])
     sections.append((
