@@ -568,6 +568,13 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit block banding (pigeonhole exact for
+    hamming<=3) + hamming verify — one shuffle of docs x 4 block keys."""
+    return dedup_ops.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -650,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_embeddings": _q_embedding_neardup,
         "minhash_dedup_documents": _q_minhash_dedup,
         "simhash_documents": _q_simhash,
+        "simhash_neardup_documents": _q_simhash_neardup,
         "lsh_topk_embeddings": _q_lsh_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
         "lsi_residual_embeddings": _q_lsi_residual,

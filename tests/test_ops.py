@@ -241,3 +241,26 @@ def test_sessionize(spark):
     assert rows["1#1"]["duration_sec"] == 600.0
     assert rows["1#2"]["n_events"] == 2
     assert rows["2#1"]["n_events"] == 1
+
+
+def test_simhash_neardup_pairs(spark):
+    # long doc with a large vocabulary: one changed token barely moves
+    # the per-bit votes, so the near-dup lands within hamming <= 3
+    words = [f"token{i}" for i in range(150)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    other = " ".join(f"other{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(sigs[1], sigs[2]) <= 3       # construction sanity
+    assert ham(sigs[1], sigs[3]) > 10
+    pairs = dedup.simhash_neardup_pairs(df, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == ham(sigs[1], sigs[2])

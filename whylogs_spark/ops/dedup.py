@@ -577,3 +577,66 @@ def simhash_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures stored as longs."""
     x = a.bitwiseXOR(b)
     return F.bit_count(x)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates via block banding,
+    verified by exact hamming distance.
+
+    Pigeonhole: splitting the 64-bit signature into 4 x 16-bit blocks,
+    any pair with hamming <= 3 agrees exactly on at least one block — so
+    grouping by (block_index, block_value) finds every such pair with one
+    shuffle of (docs x 4) 10-byte rows. In-bucket pair expansion caps
+    degenerate buckets like the MinHash path.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4-block banding guarantees recall only for max_hamming <= 3; "
+            "band more blocks for larger radii")
+    sigs = simhash_signatures(df, text_col, id_col, impl=impl)
+    blocks = F.array(*[
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF)).alias("val"),
+        )
+        for b in range(4)
+    ])
+    banded = sigs.select(
+        F.col(id_col).alias("__id"), F.col("simhash"),
+        F.explode(blocks).alias("bb"),
+    ).select("__id", "simhash", "bb.blk", "bb.val")
+
+    max_bucket = 2048
+    members = F.array_sort(F.collect_list(F.struct("__id", "simhash")))
+    grouped = (
+        banded.groupBy("blk", "val")
+        .agg(members.alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"), y["__id"].alias("id_b"),
+                    simhash_hamming(x["simhash"], y["simhash"])
+                    .alias("hamming")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
