@@ -81,3 +81,46 @@ def test_rolling_sink_merges_to_batch_profile(spark, events,
     for r in rows:
         ws = json.loads(r["segment"])["__wstart"]
         assert r["d"] == pytest.approx(truth[ws], rel=1e-9), ws
+
+
+def test_rolling_sink_segmented(spark, events, events_stream_src, tmp_path):
+    """Segment x window rolling profiles merge-on-read to the batch truth
+    (reference SegmentCache semantics, segment_cache.py)."""
+    stream = spark.readStream.schema(
+        spark.read.parquet(events_stream_src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(events_stream_src)
+
+    sink_path = str(tmp_path / "profiles_seg")
+    ckpt = str(tmp_path / "ckpt_seg")
+    sink = RollingProfileSink(
+        sink_path, ts_col="ts", window="1 day",
+        segment_by=["event_type"], columns=["value"])
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    view = sink.read_profiles(spark)
+    got = {
+        r["segment"]: r["n"]
+        for r in view.df.filter(
+            (F.col("metric") == "counts") & (F.col("component") == "n")
+        ).collect()
+    }
+    truth = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("string").alias("w"),
+        "event_type").count().collect()
+    import json
+    truth_map = {}
+    for r in truth:
+        truth_map[(r["w"], r["event_type"])] = r["count"]
+    total_got = sum(got.values())
+    assert total_got == sum(truth_map.values())
+    # every (window, segment) pair present with the right count
+    for seg_json, n in got.items():
+        d = json.loads(seg_json)
+        key = (d["__wstart"], d["event_type"])
+        assert truth_map[key] == n, (key, n)
+    assert len(got) == len(truth_map)
