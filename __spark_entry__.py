@@ -551,8 +551,23 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact O(n²) verifier (the explicit ground-truth path; the default
+    ``exact=False`` LSH path is gated by embedding_neardup_lsh below)."""
     pairs = dedup_ops.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45)
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, exact=True)
+    return pairs.select("id_a", "id_b")
+
+
+def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default LSH-bucketed near-dup path; the oracle is the exact pair
+    set — green iff the multi-table OR-construction reaches full recall
+    at this threshold (deterministic: hyperplanes derive from xxhash64).
+    The fixture's nearest pairs sit at cosine ~0.45-0.51 (63°), so the
+    bands are wide (2 planes) and many (32 tables): per-pair miss
+    probability (1-0.42²)^32 ≈ 3e-8."""
+    pairs = dedup_ops.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45,
+        tables=32, planes=2)
     return pairs.select("id_a", "id_b")
 
 
@@ -576,17 +591,27 @@ def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via multi-table hyperplane LSH; the oracle is the exact
+    brute-force top-k — green iff the prune stage loses nothing here
+    (deterministic hyperplanes; 24 tables × 4 planes reaches the full
+    top-10 even though the fixture's neighbors sit at cosine ~0.3-0.5)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return sim_ops.lsh_bucketed_topk(emb, list(q), k=10, tables=16,
-                                     planes=4)
+    out = sim_ops.lsh_bucketed_topk(emb, list(q), k=10, tables=24,
+                                    planes=4)
+    return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over an IVF index, probing 12 of 16 inverted lists; the
+    oracle is the exact brute-force top-k — green iff the pruned probe
+    still recovers it (KMeans is seeded, so the assignment and therefore
+    the probe set are deterministic)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    assigned, cents = sim_ops.ivf_index(emb, n_lists=8)
-    return sim_ops.ivf_topk(assigned, cents, list(q), k=10, nprobe=4)
+    assigned, cents = sim_ops.ivf_index(emb, n_lists=16)
+    out = sim_ops.ivf_topk(assigned, cents, list(q), k=10, nprobe=12)
+    return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
 def _q_lsi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _q_fingerprint,
         "ngram_jaccard_documents": _q_ngram_jaccard,
         "embedding_neardup_embeddings": _q_embedding_neardup,
+        "embedding_neardup_lsh_embeddings": _q_embedding_neardup_lsh,
         "minhash_dedup_documents": _q_minhash_dedup,
         "simhash_documents": _q_simhash,
         "simhash_neardup_documents": _q_simhash_neardup,
@@ -1046,6 +1072,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM v a JOIN v b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.e, b.e) >= 0.45"
+        ),
+        "embedding_neardup_lsh_embeddings": (
+            "WITH v AS (SELECT vec_id, embedding :: DOUBLE[] AS e "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.e, b.e) >= 0.45"
+        ),
+        "lsh_topk_embeddings": (
+            "WITH q AS (SELECT embedding :: DOUBLE[] AS e FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity("
+            "embedding :: DOUBLE[], (SELECT e FROM q)), 6) AS cosine "
+            "FROM embeddings "
+            "ORDER BY list_cosine_similarity(embedding :: DOUBLE[], "
+            "(SELECT e FROM q)) DESC, vec_id ASC LIMIT 10"
+        ),
+        "ivf_topk_embeddings": (
+            "WITH q AS (SELECT embedding :: DOUBLE[] AS e FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity("
+            "embedding :: DOUBLE[], (SELECT e FROM q)), 6) AS cosine "
+            "FROM embeddings "
+            "ORDER BY list_cosine_similarity(embedding :: DOUBLE[], "
+            "(SELECT e FROM q)) DESC, vec_id ASC LIMIT 10"
         ),
         "accuracy_estimator_orders": (
             "WITH o AS (SELECT *, CASE WHEN o_totalprice > 150000 THEN "

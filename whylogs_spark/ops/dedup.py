@@ -361,6 +361,65 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) — single-link transitive closure of a pair set
+    via iterative min-label propagation; component = min node id of the
+    connected component.
+
+    Each round every node adopts the smallest label among itself and its
+    neighbors' labels (one join + groupBy-min per round, both keyed on
+    node ids). Label values jump along shortcuts created in earlier
+    rounds, so convergence is O(log(diameter)) rounds in practice —
+    duplicate chains in real corpora are a handful of hops. Each round
+    localCheckpoints (plan truncation + convergence is driver-observed),
+    so lineage stays O(1) — the large-star/small-star shape of
+    Kiveris et al. (2014) with both star operations fused into the
+    groupBy-min.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"),
+                            F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # label(u) <- min(label(u), min over neighbors v of label(v))
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component"))
+                 < F.col("component")).alias("__chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -371,16 +430,22 @@ def minhash_dedup(
     jaccard_threshold: float = 0.8,
     impl: str = "arrow",
 ) -> DataFrame:
-    """Drop near-duplicates: for every verified pair, the higher id loses.
+    """Drop near-duplicates: single-link clusters of verified pairs
+    collapse to their minimum-id survivor.
 
-    (Single-link clusters collapse to their minimum id over one iteration;
-    chains longer than one hop are rare at high thresholds — iterate
-    externally if full transitive closure is needed.)
+    Full transitive closure over the verified pair graph (see
+    ``connected_components``): a 3-hop chain a~b~c~d keeps only a, even
+    when a and d share no band. The closure runs on the (small) verified
+    pair set, never on the corpus.
     """
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_words,
         jaccard_threshold, impl)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
     return df.join(losers, id_col, "left_anti")
 
 
@@ -392,15 +457,23 @@ def ngram_jaccard_pairs(
     n: int = 3,
     char: bool = False,
     threshold: float = 0.0,
+    max_doc_freq: int = 4096,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for ALL candidate pairs sharing at
     least one n-gram (inverted-index join — never a full cross product).
 
     Explodes distinct n-grams, self-joins on the gram (the inverted
     index), counts shared grams per pair, then |A∪B| = |A|+|B|-|A∩B|.
-    Shuffle volume is O(total n-grams); degenerate grams shared by huge
-    numbers of docs would square — acceptable for verify-stage corpora;
-    for whole-corpus use prefer the MinHash path which bounds work.
+
+    Scale guard: a gram shared by f documents emits f² join rows, so one
+    stopword-ish gram in a web corpus would dominate the job. Grams with
+    document frequency > ``max_doc_freq`` are dropped from the inverted
+    index (one extra windowed count over the gram key, same shuffle).
+    Exact whenever no gram exceeds the cap; beyond it, a capped gram can
+    only LOWER a pair's reported intersection (|A|,|B| still count it),
+    i.e. reported jaccard is a lower bound — near-dup pairs still
+    surface via their many rare shared grams. Set ``max_doc_freq=None``
+    for strict exactness on verify-stage corpora.
     """
     gram_fn = char_shingles if char else word_shingles
     grams = ensure_parallelism(df).select(
@@ -409,6 +482,13 @@ def ngram_jaccard_pairs(
     ).withColumn("__sz", F.size("__g"))
     exploded = grams.select(
         "__id", "__sz", F.explode("__g").alias("gram"))
+    if max_doc_freq is not None:
+        # document frequency per gram via window count over the same
+        # gram-keyed shuffle the join needs anyway
+        dfreq = Window.partitionBy("gram")
+        exploded = exploded.withColumn(
+            "__df", F.count(F.lit(1)).over(dfreq)
+        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
     joined = (
         exploded.alias("x")
         .join(
@@ -441,12 +521,75 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    exact: bool = False,
+    tables: int = 16,
+    planes: int = 8,
+    max_bucket: int = 2048,
 ) -> DataFrame:
-    """All pairs with cosine similarity >= threshold (exact, O(n²) join).
+    """Pairs with cosine similarity >= threshold.
 
-    The baseline verifier; at scale, feed LSH-bucketed candidates instead
-    (similarity.with_lsh_buckets) and verify only within buckets.
+    Default (``exact=False``): multi-table random-hyperplane LSH —
+    candidates are pairs sharing a (table, bucket) key in ANY of
+    ``tables`` tables (shuffle = rows × tables small keys, degenerate
+    buckets capped at ``max_bucket``), then an exact cosine verify of
+    candidates only. Recall 1-(1-(1-θ/π)^planes)^tables — for
+    threshold 0.9 (θ≈26°) with 16×8 defaults that is >0.999; every
+    emitted pair is exact-verified, so precision is 1.
+
+    ``exact=True``: the O(n²) self-join baseline verifier — ground truth
+    for recall tests and small reference sets; never the corpus path.
     """
+    if not exact:
+        from whylogs_spark.ops.similarity import with_lsh_buckets
+
+        dim = len(df.select(vec_col).first()[0])
+        b = with_lsh_buckets(
+            ensure_parallelism(df), vec_col, tables, planes, dim)
+        norm = F.sqrt(F.aggregate(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(0.0), lambda a, x: a + x * x))
+        keys = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     F.col("lsh_buckets")[t].alias("bkt"))
+            for t in range(tables)
+        ])
+        banded = b.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            norm.alias("__n"),
+            F.explode(keys).alias("kk"),
+        ).select("__id", "__v", "__n",
+                 F.col("kk.tbl").alias("tbl"), F.col("kk.bkt").alias("bkt"))
+        members = F.collect_list(F.struct("__id", "__v", "__n"))
+        grouped = (
+            banded.groupBy("tbl", "bkt")
+            .agg(members.alias("ms"))
+            .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        F.least(x["__id"], y["__id"]).alias("id_a"),
+                        F.greatest(x["__id"], y["__id"]).alias("id_b"),
+                        (F.aggregate(
+                            F.zip_with(
+                                x["__v"], y["__v"],
+                                lambda a, c: a.cast("double")
+                                * c.cast("double")),
+                            F.lit(0.0), lambda a, c: a + c)
+                         / (x["__n"] * y["__n"])).alias("cosine")),
+                ),
+            )
+        )
+        return (
+            grouped.select(F.explode(pair_arr).alias("p"))
+            .select("p.id_a", "p.id_b", "p.cosine")
+            .filter(F.col("cosine") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
     norm = F.sqrt(F.aggregate(
         F.col(vec_col),
         F.lit(0.0),

@@ -51,18 +51,19 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    impl: str = "sql",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact top-k by cosine vs a literal query vector.
 
-    impl="sql": Scan -> Project(dot/norm) -> TakeOrderedAndProject(k).
-    Correct at any scale, but the array lambdas (aggregate/zip_with)
-    evaluate interpreted — ~dim expression-tree evals per row.
+    impl="arrow" (default): one numpy matrix-vector product per Arrow
+    batch and a per-PARTITION top-k, so the final global sort sees at
+    most k × partitions candidate rows regardless of input size — ~4×
+    faster than the SQL path, whose higher-order array lambdas Spark
+    evaluates interpreted (outside whole-stage codegen).
 
-    impl="arrow": one numpy matrix-vector product per Arrow batch and a
-    per-PARTITION top-k, so the final global sort sees at most
-    k × partitions candidate rows regardless of input size — the shape
-    to use from ~10M rows up.
+    impl="sql": pure-JVM fallback — Scan -> Project(dot/norm) ->
+    TakeOrderedAndProject(k). Correct at any scale, but ~dim interpreted
+    expression-tree evals per row.
     """
     if impl == "sql":
         q = F.array(*[F.lit(float(x)) for x in query])
@@ -214,15 +215,20 @@ def ivf_index(
     n_lists: int = 16,
     seed: int = 42,
     sample_fraction: Optional[float] = None,
+    max_train_rows: int = 1_000_000,
 ):
     """IVF-flat index: KMeans-partition vectors into ``n_lists`` inverted
     lists. Returns (assigned_df with ``ivf_list`` column, centroids).
 
-    Scale path: fit on a sample (``sample_fraction``), assign in one pass
-    (MLlib transform = broadcast centroids + codegen'd argmin). At query
-    time only ``nprobe/n_lists`` of the data is scanned. Storing
-    ``assigned`` partitioned by ``ivf_list`` makes the probe a partition-
-    pruned read.
+    Scale path: KMeans FITS on a bounded sample — by default at most
+    ``max_train_rows`` rows (fraction derived from a metadata-cheap
+    count), or an explicit ``sample_fraction``. Fitting on the full
+    table would re-scan 100 TB once per KMeans iteration; centroid
+    quality saturates long before 1M training points. Assignment is
+    still one full pass (MLlib transform = broadcast centroids +
+    codegen'd argmin). At query time only ``nprobe/n_lists`` of the data
+    is scanned; storing ``assigned`` partitioned by ``ivf_list`` makes
+    the probe a partition-pruned read.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -231,6 +237,12 @@ def ivf_index(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     ).withColumn("__feat", array_to_vector(F.col(vec_col)))
+    if sample_fraction is None and max_train_rows is not None:
+        # parquet count() resolves from footer metadata — one cheap job,
+        # not a data scan
+        n_rows = df.count()
+        if n_rows > max_train_rows:
+            sample_fraction = max_train_rows / n_rows
     train = (
         src.sample(fraction=sample_fraction, seed=seed)
         if sample_fraction else src
@@ -274,23 +286,44 @@ def knn_join(
     right_id: str = "vec_id",
     k: int = 5,
     planes: int = 6,
+    tables: int = 4,
 ) -> DataFrame:
-    """Approximate k-NN join: bucket both sides on LSH signature, join on
-    bucket (shuffle on small int key), exact cosine within bucket, window
-    top-k per left row. Returns (left_id, right_id, cosine, rank).
+    """Approximate k-NN join via multi-table LSH (OR-construction): both
+    sides explode to (table_idx, bucket) keys, join on the composite key
+    (shuffle = rows × tables small-int rows), candidate pairs dedup, one
+    exact cosine per distinct pair, window top-k per left row.
+
+    A single hash table silently loses recall near the decision
+    boundary; with ``tables`` independent tables a pair is a candidate
+    if ANY table agrees — recall 1-(1-p^planes)^tables. Returns
+    (left_id, right_id, cosine, rank).
     """
     dim = len(left.select(vec_col).first()[0])
 
-    def one_bucket(d: DataFrame, idc: str, vname: str) -> DataFrame:
-        return with_lsh_buckets(d, vec_col, 1, planes, dim).select(
+    def banded(d: DataFrame, idc: str, vname: str) -> DataFrame:
+        b = with_lsh_buckets(d, vec_col, tables, planes, dim)
+        keys = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     F.col("lsh_buckets")[t].alias("bkt"))
+            for t in range(tables)
+        ])
+        return b.select(
             F.col(idc).alias("__" + vname + "id"),
             F.col(vec_col).alias("__" + vname + "v"),
-            F.col("lsh_buckets")[0].alias("lsh_bucket"),
-        )
+            F.explode(keys).alias("kk"),
+        ).select("__" + vname + "id", "__" + vname + "v",
+                 F.col("kk.tbl").alias("tbl"), F.col("kk.bkt").alias("bkt"))
 
-    lb = one_bucket(left, left_id, "l")
-    rb = one_bucket(right, right_id, "r")
-    joined = lb.join(rb, "lsh_bucket").withColumn(
+    lb = banded(left, left_id, "l")
+    rb = banded(right, right_id, "r")
+    # distinct BEFORE the cosine so a pair colliding in several tables is
+    # scored once, not `tables` times
+    cand = (
+        lb.join(rb, ["tbl", "bkt"])
+        .select("__lid", "__lv", "__rid", "__rv")
+        .dropDuplicates(["__lid", "__rid"])
+    )
+    joined = cand.withColumn(
         "cosine", cosine_similarity(F.col("__lv"), F.col("__rv")))
     w = Window.partitionBy("__lid").orderBy(
         F.col("cosine").desc(), F.col("__rid").asc())
