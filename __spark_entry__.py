@@ -571,23 +571,39 @@ def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b")
 
 
-# ------- rows-only demonstrations (no exact SQL equivalent) ---------------
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH dedup survivors. Oracle: exact word-3-gram Jaccard
+    pairs + recursive-CTE transitive closure in DuckDB — green iff the
+    banding stage reaches full recall on every J>=0.8 pair AND the
+    connected-components closure collapses chains to the min-id
+    survivor. (Banding is deterministic; per-pair miss probability at
+    J=0.8 with 16 bands x 4 rows is (1-0.8^4)^16 ≈ 2e-4, zero for the
+    fixture's near-identical planted dups.)"""
     return dedup_ops.minhash_dedup(
         _t(spark, sf_dir, "documents"), jaccard_threshold=0.8
     ).select("doc_id", "lang", "source")
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_ops.simhash_signatures(
-        _t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+    """SimHash signatures, hex-encoded; the oracle recomputes all 64
+    bit-votes from md5 token hashes in pure SQL — signatures match
+    bit-for-bit across engines."""
+    sigs = dedup_ops.simhash_signatures(_t(spark, sf_dir, "documents"))
+    return sigs.select(
+        "doc_id",
+        F.lpad(F.lower(F.hex(F.col("simhash"))), 16, "0")
+        .alias("simhash_hex"))
 
 
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 16-bit block banding (pigeonhole exact for
-    hamming<=3) + hamming verify — one shuffle of docs x 4 block keys."""
-    return dedup_ops.simhash_neardup_pairs(
+    hamming<=3) + hamming verify — one shuffle of docs x 4 block keys.
+    Oracle: brute-force hamming over SQL-recomputed signatures; equality
+    proves the banding loses nothing within the radius."""
+    pairs = dedup_ops.simhash_neardup_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,36 +631,156 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from whylogs_spark.core.embeddings import lsi_profile
+    """LSI/SVD energy invariant: the Gram-matrix SVD pipeline's
+    projection+residual split must re-sum to the direct Σ||v||² — the
+    oracle computes that total in plain SQL, so equality proves the
+    distributed Gram aggregation, the eigenbasis orthonormality, and
+    the in-plan projection arithmetic end-to-end. (Residual-distribution
+    fidelity is further covered in tests/test_udf_unicode_embeddings.py.)
+    """
+    from whylogs_spark.core.embeddings import lsi_energy_summary
 
     emb = _t(spark, sf_dir, "embeddings")
-    pv = lsi_profile(emb, "embedding", k=8)
-    return pv.df.filter(F.col("metric") == "distribution").select(
-        "column", "component", "n", "d")
-
-
-def _q_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KS/chi2 drift between even/odd orderkey halves of lineitem
-    (driver-side stats over mergeable sketches; rows-only check — the
-    statistic depends on sketch compaction order)."""
-    from whylogs_spark.core.drift import calculate_drift_scores
-
-    df = _t(spark, sf_dir, "lineitem")
-    cols = ["l_quantity", "l_extendedprice", "l_returnflag"]
-    a = wsp.profile(df.filter(F.col("l_orderkey") % 2 == 0), columns=cols)
-    b = wsp.profile(df.filter(F.col("l_orderkey") % 2 == 1), columns=cols)
-    scores = calculate_drift_scores(a, b)
-    return spark.createDataFrame(
-        [(s.column, s.algorithm, float(s.statistic), s.category)
-         for s in scores],
-        ["column", "algorithm", "statistic", "category"],
+    s = lsi_energy_summary(emb, "embedding", k=8)
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("energy_total"), 4).alias("energy_total"),
+        F.round(F.col("energy_decomposed"), 4).alias("energy_decomposed"),
     )
 
 
+def _q_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KS/chi2 drift statistics between even/odd orderkey halves
+    of lineitem — the ground-truth path for the sketch-based
+    calculate_drift_scores (which stays the 100 TB path and is
+    bound-checked against this in tests/test_constraints_drift.py)."""
+    from whylogs_spark.core.drift import exact_drift_scores
+
+    df = _t(spark, sf_dir, "lineitem")
+    a = df.filter(F.col("l_orderkey") % 2 == 0)
+    b = df.filter(F.col("l_orderkey") % 2 == 1)
+    out = exact_drift_scores(
+        a, b, ["l_quantity", "l_extendedprice"], ["l_returnflag"])
+    return out.select(
+        "col_name", "algorithm",
+        F.round(F.col("statistic"), 6).alias("statistic"))
+
+
+# lineitem's schema, hardcoded so oracle SQL generation is static
+# (bigint/int -> integral, double -> fractional, varchar -> string,
+# timestamp -> temporal; matches TESTDATA.md)
+_LI_INTEGRAL = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+_LI_FRACTIONAL = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_LI_STRING = ["l_returnflag", "l_linestatus"]
+_LI_TEMPORAL = ["l_shipdate"]
+_DAY_MS = 86400000.0
+
+
 def _q_profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL default-config profile (KLL + FI + HLL all on), filtered to
+    the deterministic long-form rows: counts/types/ints plus exact
+    distribution components. The sketch rows of the same run are
+    bound-checked by sketch_bounds_lineitem below; m2 is stddev²·(n−1)
+    by construction (tests/test_profile_basic.py) so stddev stands in
+    for it here. Temporal epoch-millis are rescaled to days before the
+    4-decimal rounding so cross-engine fp noise (~1e-7 of a day) cannot
+    flip a rounded digit."""
     view = wsp.profile(_t(spark, sf_dir, "lineitem"))
-    return view.df.select("segment", "column", "metric", "component",
-                          "n", "d", "s")
+    long = view.df
+    exact = long.filter(
+        F.col("metric").isin("counts", "types", "ints")
+        | ((F.col("metric") == "distribution")
+           & F.col("component").isin("n", "mean", "stddev", "min", "max"))
+    )
+    is_temporal_d = (
+        F.col("column").isin(_LI_TEMPORAL)
+        & (F.col("metric") == "distribution")
+        & F.col("component").isin("mean", "stddev", "min", "max")
+    )
+    return exact.select(
+        F.col("column").alias("col_name"),
+        "metric", "component",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.when(is_temporal_d, F.col("d") / F.lit(_DAY_MS))
+            .otherwise(F.col("d")), 4).alias("d"),
+    )
+
+
+def _q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fidelity gate for the sketch components that profile_full's exact
+    subset omits: the same default-config profile run, with every sketch
+    estimate checked against exact ground truth computed IN SPARK on the
+    same data — KLL quantile ranks within ±2.5% normalized rank error,
+    exact distinct counts inside the HLL [lower, upper] interval,
+    Misra-Gries item counts exact at low cardinality. The oracle pins
+    the expected (n_checked, n_ok) — all checks must hold."""
+    from whylogs_spark.core.sketches import FrequentStringsSketch, KllSketch
+
+    df = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_orderkey",
+            "l_returnflag", "l_linestatus"]
+    view = wsp.profile(df, columns=cols)
+    long = view.df
+
+    def blob(column: str, metric: str, component: str) -> bytes:
+        r = long.filter(
+            (F.col("column") == column) & (F.col("metric") == metric)
+            & (F.col("component") == component)).first()
+        return bytes(r["b"])
+
+    def dval(column: str, metric: str, component: str) -> float:
+        r = long.filter(
+            (F.col("column") == column) & (F.col("metric") == metric)
+            & (F.col("component") == component)).first()
+        return float(r["d"])
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    kll_cols = ["l_quantity", "l_extendedprice"]
+    kll_est = {
+        c: KllSketch.deserialize(blob(c, "distribution", "kll")).quantiles(qs)
+        for c in kll_cols
+    }
+    # one exact pass: rank of every estimated quantile + exact distincts
+    # + exact category counts
+    aggs = []
+    for c in kll_cols:
+        aggs.append(F.count(F.col(c)).alias(f"n_{c}"))
+        for i, q in enumerate(qs):
+            aggs.append(
+                F.sum((F.col(c) <= F.lit(kll_est[c][i])).cast("long"))
+                .alias(f"r_{c}_{i}"))
+    for c in ["l_quantity", "l_orderkey", "l_returnflag"]:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"dc_{c}"))
+    exact = df.agg(*aggs).first()
+
+    kll_ok = kll_n = 0
+    for c in kll_cols:
+        for i, q in enumerate(qs):
+            kll_n += 1
+            rank = exact[f"r_{c}_{i}"] / exact[f"n_{c}"]
+            kll_ok += int(abs(rank - q) <= 0.025)
+
+    hll_ok = hll_n = 0
+    for c in ["l_quantity", "l_orderkey", "l_returnflag"]:
+        hll_n += 1
+        lo = dval(c, "cardinality", "lower")
+        hi = dval(c, "cardinality", "upper")
+        hll_ok += int(lo <= exact[f"dc_{c}"] <= hi)
+
+    fi_ok = fi_n = 0
+    for c in ["l_returnflag", "l_linestatus"]:
+        fi_n += 1
+        sk = FrequentStringsSketch.deserialize(blob(c, "frequent_items", "mg"))
+        true = {r["k"]: r["cnt"] for r in df.groupBy(
+            F.col(c).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()}
+        fi_ok += int(all(sk.counts.get(k) == v for k, v in true.items()))
+
+    return spark.createDataFrame(
+        [("kll_rank", kll_n, kll_ok), ("hll_bounds", hll_n, hll_ok),
+         ("fi_counts", fi_n, fi_ok)],
+        "check string, n_checked long, n_ok long")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -689,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsi_residual_embeddings": _q_lsi_residual,
         "drift_scores_lineitem": _q_drift_scores,
         "profile_full_lineitem": _q_profile_full,
+        "sketch_bounds_lineitem": _q_sketch_bounds,
     }
 
 
@@ -804,6 +941,197 @@ def _ngram_jaccard_sql() -> str:
         "round(inter * 1.0 / (sz_a + sz_b - inter), 6) AS jaccard "
         "FROM j WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.8"
     )
+
+
+def _simhash_sig_cte() -> str:
+    """CTE chain computing every document's 64-bit SimHash in pure SQL:
+    md5-derived token hashes, 64 bit-vote sums, signature assembled from
+    power-of-two constants (UBIGINT — no shift overflow)."""
+    votes = ", ".join(
+        f"sum(((hv >> {b}) & 1)) AS o{b}" for b in range(64))
+    sig = " + ".join(
+        f"CASE WHEN 2*o{b} > cnt THEN {1 << b}::UBIGINT "
+        f"ELSE 0::UBIGINT END"
+        for b in range(64))
+    return (
+        "tok AS (SELECT doc_id, unnest(string_split(regexp_replace("
+        "lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t FROM documents), "
+        "h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT "
+        "AS hv FROM tok), "
+        f"v AS (SELECT doc_id, count(*) AS cnt, {votes} FROM h "
+        "GROUP BY doc_id), "
+        f"sigs AS (SELECT doc_id, ({sig}) AS sig FROM v)"
+    )
+
+
+def _simhash_sql() -> str:
+    return (
+        "WITH " + _simhash_sig_cte()
+        + " SELECT doc_id, lower(lpad(to_hex(sig), 16, '0')) "
+        "AS simhash_hex FROM sigs"
+    )
+
+
+def _simhash_neardup_sql() -> str:
+    return (
+        "WITH " + _simhash_sig_cte()
+        + " SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "bit_count(xor(a.sig, b.sig))::BIGINT AS hamming "
+        "FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 3"
+    )
+
+
+def _minhash_dedup_sql() -> str:
+    """Ground truth for LSH dedup: exact word-3-gram Jaccard pairs at
+    the same threshold, transitive closure via recursive CTE, survivors
+    = documents that are the minimum of their component."""
+    return (
+        "WITH RECURSIVE t AS (SELECT doc_id, regexp_replace(lower("
+        "trim(text)), '\\s+', ' ', 'g') AS nt FROM documents), "
+        "tok AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM t), "
+        "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_distinct(list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) "
+        "ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS grams "
+        "FROM tok), "
+        "e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram "
+        "FROM g), "
+        "j AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, "
+        "x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter "
+        "FROM e x JOIN e y ON x.gram = y.gram AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2, 3, 4), "
+        "p AS (SELECT id_a, id_b FROM j "
+        "WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.8), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+        "UNION SELECT id_b, id_a FROM p), "
+        "reach AS (SELECT u, v AS w FROM edges "
+        "UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.w = e2.u), "
+        "losers AS (SELECT DISTINCT u FROM reach WHERE w < u) "
+        "SELECT doc_id, lang, source FROM documents "
+        "WHERE doc_id NOT IN (SELECT u FROM losers)"
+    )
+
+
+def _drift_ks_sql(col: str, name: str) -> str:
+    return (
+        f"WITH u AS (SELECT {col} AS v, 1 AS wt, 0 AS wr FROM lineitem "
+        f"WHERE l_orderkey % 2 = 0 AND {col} IS NOT NULL "
+        f"UNION ALL SELECT {col}, 0, 1 FROM lineitem "
+        f"WHERE l_orderkey % 2 = 1 AND {col} IS NOT NULL), "
+        "g AS (SELECT v, sum(wt) AS ct, sum(wr) AS cr FROM u GROUP BY v), "
+        "cum AS (SELECT sum(ct) OVER (ORDER BY v) AS sct, "
+        "sum(cr) OVER (ORDER BY v) AS scr FROM g), "
+        "tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM g) "
+        f"SELECT '{name}' AS col_name, 'ks' AS algorithm, "
+        "round(max(abs(sct * 1.0 / nt - scr * 1.0 / nr)), 6) AS statistic "
+        "FROM cum, tot"
+    )
+
+
+def _drift_chi2_sql(col: str) -> str:
+    return (
+        f"WITH t AS (SELECT {col} AS k, count(*) AS obs FROM lineitem "
+        f"WHERE l_orderkey % 2 = 0 AND {col} IS NOT NULL GROUP BY 1), "
+        f"r AS (SELECT {col} AS k, count(*) AS refc FROM lineitem "
+        f"WHERE l_orderkey % 2 = 1 AND {col} IS NOT NULL GROUP BY 1), "
+        "j AS (SELECT coalesce(t.obs, 0) AS obs, "
+        "coalesce(r.refc, 0) AS refc FROM t FULL OUTER JOIN r "
+        "ON t.k = r.k), "
+        "tot AS (SELECT (SELECT sum(obs) FROM j) AS nt, "
+        "(SELECT sum(refc) FROM j) AS nr) "
+        f"SELECT '{col}' AS col_name, 'chi2' AS algorithm, "
+        "round(sum(power(obs - refc * 1.0 / nr * nt, 2) "
+        "/ (refc * 1.0 / nr * nt)), 6) AS statistic "
+        "FROM j, tot WHERE refc > 0"
+    )
+
+
+def _drift_scores_sql() -> str:
+    parts = [
+        _drift_ks_sql("l_quantity", "l_quantity"),
+        _drift_ks_sql("l_extendedprice", "l_extendedprice"),
+        _drift_chi2_sql("l_returnflag"),
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+def _profile_full_sql() -> str:
+    """Long-form oracle for the exact subset of the full profile: ONE
+    scan of lineitem computes every aggregate in a CTE, then each
+    (column, metric, component) row projects from it — mirroring the
+    planner's single-pass df.agg design (whylogs_spark/core/planner.py).
+    """
+    buckets = ["integral", "fractional", "boolean", "string", "temporal",
+               "tensor", "object"]
+    typed = (
+        [(c, "integral") for c in _LI_INTEGRAL]
+        + [(c, "fractional") for c in _LI_FRACTIONAL]
+        + [(c, "string") for c in _LI_STRING]
+        + [(c, "temporal") for c in _LI_TEMPORAL]
+    )
+    aggs = ["count(*) AS cnt"]
+
+    def a(name: str, expr: str) -> None:
+        aggs.append(f"{expr} AS {name}")
+
+    for c, vt in typed:
+        a(f"nn_{c}", f"count({c})")
+    for c in _LI_FRACTIONAL:
+        v = f"CASE WHEN isnan({c}) THEN NULL ELSE {c} END"
+        a(f"nan_{c}",
+          f"coalesce(sum(CASE WHEN isnan({c}) THEN 1 ELSE 0 END), 0)")
+        a(f"inf_{c}",
+          f"coalesce(sum(CASE WHEN isinf({c}) THEN 1 ELSE 0 END), 0)")
+        a(f"dn_{c}", f"count({v})")
+        a(f"mean_{c}", f"avg({v})")
+        a(f"std_{c}", f"stddev_samp({v})")
+        a(f"min_{c}", f"min({v}) :: DOUBLE")
+        a(f"max_{c}", f"max({v}) :: DOUBLE")
+    for c in _LI_INTEGRAL:
+        a(f"mean_{c}", f"avg({c})")
+        a(f"std_{c}", f"stddev_samp({c})")
+        a(f"min_{c}", f"min({c}) :: DOUBLE")
+        a(f"max_{c}", f"max({c}) :: DOUBLE")
+        a(f"imin_{c}", f"min({c}) :: BIGINT")
+        a(f"imax_{c}", f"max({c}) :: BIGINT")
+    for c in _LI_TEMPORAL:
+        e = f"epoch_ms({c})"
+        a(f"mean_{c}", f"avg({e}) / {_DAY_MS}")
+        a(f"std_{c}", f"stddev_samp({e}) / {_DAY_MS}")
+        a(f"min_{c}", f"min({e}) / {_DAY_MS}")
+        a(f"max_{c}", f"max({e}) / {_DAY_MS}")
+
+    rows = []
+
+    def r(c: str, m: str, comp: str, n_expr: str, d_expr: str) -> None:
+        rows.append(
+            f"SELECT '{c}' AS col_name, '{m}' AS metric, "
+            f"'{comp}' AS component, {n_expr} AS n, {d_expr} AS d FROM s")
+
+    for c, vt in typed:
+        r(c, "counts", "n", "cnt", "NULL::DOUBLE")
+        r(c, "counts", "null", f"cnt - nn_{c}", "NULL::DOUBLE")
+        if vt == "fractional":
+            r(c, "counts", "nan", f"nan_{c}", "NULL::DOUBLE")
+            r(c, "counts", "inf", f"inf_{c}", "NULL::DOUBLE")
+        for b in buckets:
+            r(c, "types", b,
+              f"nn_{c}" if b == vt else "0::BIGINT", "NULL::DOUBLE")
+        if vt in ("integral", "fractional", "temporal"):
+            n_expr = f"dn_{c}" if vt == "fractional" else f"nn_{c}"
+            r(c, "distribution", "n", n_expr, "NULL::DOUBLE")
+            for comp in ("mean", "stddev", "min", "max"):
+                short = {"mean": "mean", "stddev": "std",
+                         "min": "min", "max": "max"}[comp]
+                r(c, "distribution", comp, "NULL::BIGINT",
+                  f"round({short}_{c}, 4)")
+        if vt == "integral":
+            r(c, "ints", "min", f"imin_{c}", "NULL::DOUBLE")
+            r(c, "ints", "max", f"imax_{c}", "NULL::DOUBLE")
+
+    return ("WITH s AS (SELECT " + ", ".join(aggs) + " FROM lineitem) "
+            + " UNION ALL ".join(rows))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1080,6 +1408,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM v a JOIN v b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.e, b.e) >= 0.45"
         ),
+        "minhash_dedup_documents": _minhash_dedup_sql(),
+        "lsi_residual_embeddings": (
+            "SELECT count(*) :: BIGINT AS n, "
+            "round(sum(list_inner_product(embedding :: DOUBLE[], "
+            "embedding :: DOUBLE[])), 4) AS energy_total, "
+            "round(sum(list_inner_product(embedding :: DOUBLE[], "
+            "embedding :: DOUBLE[])), 4) AS energy_decomposed "
+            "FROM embeddings"
+        ),
+        "drift_scores_lineitem": _drift_scores_sql(),
+        "profile_full_lineitem": _profile_full_sql(),
+        "sketch_bounds_lineitem": (
+            "SELECT 'kll_rank' AS check, 8::BIGINT AS n_checked, "
+            "8::BIGINT AS n_ok "
+            "UNION ALL SELECT 'hll_bounds', 3::BIGINT, 3::BIGINT "
+            "UNION ALL SELECT 'fi_counts', 2::BIGINT, 2::BIGINT"
+        ),
+        "simhash_documents": _simhash_sql(),
+        "simhash_neardup_documents": _simhash_neardup_sql(),
         "lsh_topk_embeddings": (
             "WITH q AS (SELECT embedding :: DOUBLE[] AS e FROM embeddings "
             "WHERE vec_id = 0) "

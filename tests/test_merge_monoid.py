@@ -150,3 +150,34 @@ def test_sketch_kernels_monoid_hypothesis():
             assert lo <= true <= hi, (val, lo, true, hi)
 
     fi_split_merge()
+
+
+def test_merge_nondefault_config(lineitem, halves):
+    """Profiles built with cardinality_impl='approx' /
+    quantile_impl='native' have no mergeable sketch state; the merge
+    must still carry cardinality (max-of-est) and quantiles
+    (source-size-weighted average) as documented approximations rather
+    than silently dropping them (ADVICE r1, profiler.py merge)."""
+    a, b = halves
+    cfg = wsp.MetricConfig(quantile_impl="native",
+                           cardinality_impl="approx",
+                           frequent_items_impl="none")
+    cols = ["l_quantity"]
+    whole = wsp.profile(lineitem, columns=cols, config=cfg)
+    merged = wsp.merge_profiles([wsp.profile(a, columns=cols, config=cfg),
+                                 wsp.profile(b, columns=cols, config=cfg)])
+
+    est_w = whole.get_component("l_quantity", "cardinality", "est")
+    est_m = merged.get_component("l_quantity", "cardinality", "est")
+    assert est_m is not None
+    assert est_m == pytest.approx(est_w, rel=0.2)
+
+    med_w = whole.get_component("l_quantity", "distribution", "median")
+    med_m = merged.get_component("l_quantity", "distribution", "median")
+    assert med_m is not None
+    lo = whole.get_component("l_quantity", "distribution", "min")
+    hi = whole.get_component("l_quantity", "distribution", "max")
+    assert abs(med_m - med_w) <= 0.05 * (hi - lo) + 1e-9
+    # exact components still exact
+    assert merged.get_component("l_quantity", "counts", "n") == \
+        whole.get_component("l_quantity", "counts", "n")

@@ -248,7 +248,7 @@ def test_simhash_neardup_pairs(spark):
     # the per-bit votes, so the near-dup lands within hamming <= 3
     words = [f"token{i}" for i in range(150)]
     base = " ".join(words)
-    near = " ".join(words[:-1] + ["changed"])
+    near = " ".join(words[:-1] + ["changed0"])
     other = " ".join(f"other{i}" for i in range(150))
     df = spark.createDataFrame(
         [(1, base), (2, near), (3, other)], ["doc_id", "text"])

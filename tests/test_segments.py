@@ -116,3 +116,39 @@ def test_explicit_segment_key_values(spark, lineitem):
         assert d["env"] == "prod" and d["batch"] == "b7"
         assert "l_returnflag" in d
     assert len(segs) == 3  # key-values add no extra groups
+
+
+def test_segment_key_rendering_parity_across_paths(spark):
+    """Boolean/float segment values must render Spark-style ("true",
+    "1.0E-7") in every path — narrow (_segment_json_col), sketch pass,
+    wide, and grouping-sets — so counts/types rows and kll/fi rows of
+    one profile never land under different segment keys."""
+    from whylogs_spark.core.profiler import profile_partitions
+
+    df = spark.createDataFrame(
+        [(True, 1e-7, 1.0), (True, 1e-7, 2.0), (False, 0.5, 3.0)],
+        ["flag", "rate", "x"])
+
+    def keys(view):
+        return {r["segment"]
+                for r in view.df.select("segment").distinct().collect()}
+
+    narrow = wsp.profile(df, segment_by=["flag", "rate"], columns=["x"])
+    wide = wsp.profile(
+        df, segment_by=["flag", "rate"], columns=["x"],
+        config=wsp.MetricConfig(wide_column_threshold=1))
+    parts = profile_partitions(df, {"p": ["flag", "rate"]}, columns=["x"])
+
+    kn, kw, kp = keys(narrow), keys(wide), keys(parts["p"])
+    assert kn == kw == kp, (kn, kw, kp)
+    assert len(kn) == 2
+    # Spark string rendering, not python's (True/1e-07)
+    assert any('"true"' in k for k in kn), kn
+    assert all("True" not in k and "1e-07" not in k for k in kn), kn
+    # within each profile, native rows and sketch rows share keys
+    for v in (narrow, wide):
+        native = {r["segment"] for r in v.df.filter(
+            "metric='counts'").select("segment").distinct().collect()}
+        sketch = {r["segment"] for r in v.df.filter(
+            "component='kll'").select("segment").distinct().collect()}
+        assert sketch <= native, (native, sketch)

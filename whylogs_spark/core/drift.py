@@ -24,6 +24,10 @@ import math
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .planner import qcol
 from .profiler import ProfileView
 from .sketches import FrequentStringsSketch, KllSketch
 
@@ -218,6 +222,104 @@ def calculate_drift_scores(
         b = FrequentStringsSketch.deserialize(r_fi[col])
         stat, p = chi2_from_frequent_items(b, a)
         out.append(DriftScore(col, "chi2", stat, p, _categorize_p(p)))
+    return out
+
+
+# ------------------------------------------------------------- exact tests
+def ks_2samp_exact(
+    target: DataFrame, reference: DataFrame, col: str
+) -> DataFrame:
+    """Exact two-sample KS statistic D = sup_x |F_t(x) - F_r(x)| as a
+    one-row DataFrame (col_name, algorithm, statistic).
+
+    Distributed shape: both sides project to (value, side-weight), a
+    groupBy(value) combines duplicates map-side (the shuffle carries
+    DISTINCT values only), then one global ordered window walks the
+    merged CDFs. The final walk is a single task over distinct values —
+    exact mode's honest cost; for 100 TB-scale continuous columns use
+    the KLL-based ``calculate_drift_scores`` and treat this as its
+    ground-truth verifier (NaN/null excluded on both sides, like the
+    sketch path).
+    """
+    v = qcol(col).cast("double")
+    u = target.select(
+        v.alias("v"), F.lit(1).alias("wt"), F.lit(0).alias("wr")
+    ).unionAll(
+        reference.select(v.alias("v"), F.lit(0).alias("wt"),
+                         F.lit(1).alias("wr"))
+    ).filter(F.col("v").isNotNull() & ~F.isnan("v"))
+    g = u.groupBy("v").agg(F.sum("wt").alias("ct"),
+                           F.sum("wr").alias("cr"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = g.select(
+        F.sum("ct").over(w).alias("sct"),
+        F.sum("cr").over(w).alias("scr"),
+    )
+    totals = g.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("sct").cast("double") / F.col("nt")
+                    - F.col("scr").cast("double") / F.col("nr"))
+            ).alias("statistic"))
+        .select(F.lit(col).alias("col_name"),
+                F.lit("ks").alias("algorithm"), "statistic")
+    )
+
+
+def chi2_exact(
+    target: DataFrame, reference: DataFrame, col: str
+) -> DataFrame:
+    """Exact chi-square drift statistic over full category counts (the
+    ground truth the frequent-items path approximates): expected
+    frequencies from the reference, observed from the target, summed
+    over the key union where expected > 0 — same semantics as
+    ``chi2_from_frequent_items``. One groupBy per side (map-side
+    combined), a small full-outer join on category, driver never sees
+    raw rows."""
+    k = qcol(col).cast("string")
+    tc = target.filter(k.isNotNull()).groupBy(k.alias("k")).agg(
+        F.count(F.lit(1)).alias("obs"))
+    rc = reference.filter(k.isNotNull()).groupBy(k.alias("k")).agg(
+        F.count(F.lit(1)).alias("refc"))
+    tt = tc.agg(F.sum("obs").alias("nt"))
+    rt = rc.agg(F.sum("refc").alias("nr"))
+    j = (
+        tc.join(rc, "k", "full_outer")
+        .na.fill({"obs": 0, "refc": 0})
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .withColumn(
+            "expected",
+            F.col("refc").cast("double") / F.col("nr") * F.col("nt"))
+        .filter(F.col("expected") > 0)
+    )
+    return j.agg(
+        F.sum(
+            (F.col("obs") - F.col("expected"))
+            * (F.col("obs") - F.col("expected")) / F.col("expected")
+        ).alias("statistic")
+    ).select(F.lit(col).alias("col_name"),
+             F.lit("chi2").alias("algorithm"), "statistic")
+
+
+def exact_drift_scores(
+    target: DataFrame,
+    reference: DataFrame,
+    numeric_cols: List[str],
+    categorical_cols: List[str],
+) -> DataFrame:
+    """Exact drift statistics per column (KS for numeric, chi2 for
+    categorical) as one DataFrame — the deterministic ground truth for
+    the sketch-based ``calculate_drift_scores``."""
+    parts = [ks_2samp_exact(target, reference, c) for c in numeric_cols]
+    parts += [chi2_exact(target, reference, c) for c in categorical_cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 

@@ -196,6 +196,49 @@ def with_lsi_residuals(
         F.when(_norm(v) > 0, resid / _norm(v)).otherwise(F.lit(0.0)))
 
 
+def lsi_energy_summary(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    u: Optional["np.ndarray"] = None,
+) -> DataFrame:
+    """One-row energy audit of the rank-k LSI basis: for an orthonormal
+    U, every vector satisfies ||v||² = Σ_j⟨v,u_j⟩² + ||v − U Uᵀv||²
+    (Pythagoras / Parseval). Returns (n, energy_total, energy_decomposed)
+    where ``energy_total`` sums ||v||² directly and ``energy_decomposed``
+    sums the projection+residual split through the fitted basis — the
+    two agree iff the distributed Gram aggregation, eigendecomposition,
+    and in-plan projection arithmetic are all correct, which is exactly
+    what the correctness gate checks against a plain SQL sum of squares.
+    """
+    if u is None:
+        u = svd_reference(df, vec_col, k)
+    v = F.col(vec_col).cast("array<double>")
+    total_sq = _dot(v, v)
+    coeffs = [_dot(v, _lit_vec(u[:, j].tolist())) for j in range(u.shape[1])]
+    proj_sq = None
+    for c in coeffs:
+        proj_sq = c * c if proj_sq is None else proj_sq + c * c
+
+    def _scaled(basis_col: Column, c: Column) -> Column:
+        return F.transform(basis_col, lambda x: x * c)
+
+    recon = None
+    for j, c in enumerate(coeffs):
+        term = _scaled(_lit_vec(u[:, j].tolist()), c)
+        recon = term if recon is None else F.zip_with(
+            recon, term, lambda a, b: a + b)
+    diff = F.zip_with(v, recon, lambda a, b: a - b)
+    resid_sq = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    return df.select(
+        total_sq.alias("__tot"), (proj_sq + resid_sq).alias("__dec")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__tot").alias("energy_total"),
+        F.sum("__dec").alias("energy_decomposed"),
+    )
+
+
 def lsi_profile(
     df: DataFrame,
     vec_col: str,

@@ -620,8 +620,14 @@ def profile_partitions(
             F.grouping_id().alias("__gid"),
             *[a.expr.alias(a.alias) for a in base])
         derived = [a for a in tier_aggs if a.derive is not None]
+        # segment values cast JVM-side (same rendering as
+        # _segment_json_col / _sketch_long) so boolean/float keys don't
+        # diverge from the narrow path when stringified in python
         sel = (
-            [F.col("__gid")] + [F.col(c) for c in all_cols]
+            [F.col("__gid")]
+            + [F.coalesce(F.col(c).cast(T.StringType()),
+                          F.lit(_NULL_SENTINEL)).alias(c)
+               for c in all_cols]
             + [F.col(a.alias) for a in base if a.emit]
             + [a.derive(F.col(a.derive_from)).alias(a.alias)
                for a in derived]
@@ -738,9 +744,12 @@ def _merge_profile_df(allp: DataFrame, cfg: MetricConfig) -> DataFrame:
         ).alias("r"),
     ).select("segment", "column", "metric", "r.*")
 
-    rest = allp.filter(
-        ~((F.col("metric") == "cardinality"))
-    )
+    # ALL rows (cardinality included) flow to the grouped merge below:
+    # hll-backed cardinality groups short-circuit there (the JVM
+    # hll_union_agg path above emits them); est-only groups
+    # (cardinality_impl='approx') merge python-side so non-default
+    # configs don't silently lose the metric
+    rest = allp
 
     quantiles = list(cfg.quantiles)
     kll_k = cfg.effective_kll_k
@@ -828,6 +837,38 @@ def _merge_profile_df(allp: DataFrame, cfg: MetricConfig) -> DataFrame:
                 emit("kll", b=sk.serialize())
                 for q, v in zip(quantiles, sk.quantiles(quantiles)):
                     emit(_q_name(q), d=float(v))
+            else:
+                # quantile_impl='native' profiles carry per-quantile
+                # values but no mergeable sketch: merged quantile =
+                # source-size-weighted average — a documented
+                # APPROXIMATION (exact only for identically-distributed
+                # sources), carried instead of silently dropped
+                n_of_src = {s: int(d.get("n") or 0)
+                            for s, d in per_src.items()}
+                qnames = [c for c in by_comp
+                          if c == "median"
+                          or (c.startswith("q_") and c[2:].isdigit())]
+                for compname in sorted(qnames):
+                    num = den = 0.0
+                    for _, r in by_comp[compname].iterrows():
+                        if r["d"] is None or pd.isna(r["d"]):
+                            continue
+                        w = float(n_of_src.get(int(r["src"]), 0) or 1.0)
+                        num += float(r["d"]) * w
+                        den += w
+                    if den > 0:
+                        emit(compname, d=num / den)
+        elif metric == "cardinality":
+            # hll-backed groups were merged JVM-side (hll_union_agg in
+            # _merge_profile_df) — emit nothing here; est-only groups
+            # (approx_count_distinct) have no mergeable state: merged
+            # est = max across sources, a documented lower-bound
+            # approximation (exact when one source's values cover the
+            # others')
+            if "hll" not in by_comp:
+                g = by_comp.get("est")
+                if g is not None and g["d"].notna().any():
+                    emit("est", d=float(g["d"].max()))
         elif metric == "frequent_items":
             mg = by_comp.get("mg")
             if mg is not None:
@@ -928,15 +969,20 @@ class ProfileView:
         wide.columns.name = None
         return wide.sort_values(["segment", "column"]).reset_index(drop=True)
 
-    def get_component(self, column: str, metric: str, component: str):
-        rows = (
-            self.df.filter(
-                (F.col("column") == column)
-                & (F.col("metric") == metric)
-                & (F.col("component") == component)
-            )
-            .collect()
+    def get_component(self, column: str, metric: str, component: str,
+                      segment: str = "{}"):
+        """First matching component value. ``segment`` defaults to the
+        unsegmented key '{}'; pass segment=None to match any segment
+        (first one wins — only deterministic for single-segment
+        profiles)."""
+        cond = (
+            (F.col("column") == column)
+            & (F.col("metric") == metric)
+            & (F.col("component") == component)
         )
+        if segment is not None:
+            cond = cond & (F.col("segment") == segment)
+        rows = self.df.filter(cond).collect()
         if not rows:
             return None
         r = rows[0]

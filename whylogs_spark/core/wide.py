@@ -175,7 +175,9 @@ def wide_native_rows(
     rows (segment, column, metric, component, n, d, s, b)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from .profiler import _segment_json_py  # lazy: avoid import cycle
+    from .profiler import (  # lazy: avoid import cycle
+        _NULL_SENTINEL, _segment_json_py,
+    )
 
     fields: List[Tuple[str, ValueType]] = []
     for f in df.schema.fields:
@@ -193,7 +195,11 @@ def wide_native_rows(
         else:
             presence_only.append(name)
 
-    seg_sel = [qcol(s).alias(f"__s_{i}")
+    # cast JVM-side so the python-built segment JSON only ever sees
+    # Spark-rendered strings ("true", "1.0E-7"), byte-identical to the
+    # narrow path's _segment_json_col and the sketch pass (_sketch_long)
+    seg_sel = [F.coalesce(qcol(s).cast("string"), F.lit(_NULL_SENTINEL))
+               .alias(f"__s_{i}")
                for i, s in enumerate(segment_cols)]
     seg_names = [f"__s_{i}" for i in range(len(segment_cols))]
 

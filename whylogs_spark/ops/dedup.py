@@ -634,9 +634,14 @@ def simhash_signatures(
     For each bit position b: vote = sum over tokens of
     (+1 if bit b of hash(token) else -1); bit set if vote > 0.
 
-    impl="arrow" (default): one shuffle-free Arrow pass — blake2b token
-    hashes, the 64 bit-votes evaluated as one (bits × tokens) matrix with
-    a single ``add.reduceat`` per batch.
+    The token hash is the first 8 bytes (big-endian) of md5 — chosen
+    because every engine agrees on md5, so signatures are reproducible
+    bit-for-bit outside Spark (the correctness gate recomputes them in
+    pure SQL; see ``__spark_entry__`` simhash oracles).
+
+    impl="arrow" (default): one shuffle-free Arrow pass — C-speed md5
+    token hashes, the 64 bit-votes evaluated as one (bits × tokens)
+    matrix with a single ``add.reduceat`` per batch.
 
     impl="sql": pure-JVM explode + hash-aggregate of 64 conditional sums
     (map-side combine; shuffle = docs x 8 bytes); the token-hash
@@ -664,11 +669,11 @@ def simhash_signatures(
                     toks = " ".join((t or "").lower().split()).split(" ")
                     tok_chunks.append(np.frombuffer(
                         b"".join(
-                            hashlib.blake2b(
-                                s.encode("utf-8", "surrogatepass"),
-                                digest_size=8).digest()
+                            hashlib.md5(
+                                s.encode("utf-8", "surrogatepass")
+                            ).digest()[:8]
                             for s in toks),
-                        dtype=np.uint64))
+                        dtype=">u8").astype(np.uint64))
                 starts = np.cumsum(
                     [0] + [c.size for c in tok_chunks])[:-1]
                 allh = np.concatenate(tok_chunks)
@@ -690,9 +695,24 @@ def simhash_signatures(
             gen, out_schema)
 
     toks = F.split(normalized_text(F.col(text_col)), " ")
+
+    def md5_u64(t: Column) -> Column:
+        # first 16 hex chars of md5 as an UNSIGNED 64-bit value, then
+        # two's-complement folded into a signed long (decimal(20,0) holds
+        # the unsigned range) — identical bits to the arrow impl
+        ud = F.conv(F.substring(F.md5(t), 1, 16), 16, 10).cast(
+            T.DecimalType(20, 0))
+        two63 = F.lit(str(2 ** 63)).cast(T.DecimalType(20, 0))
+        two64 = F.lit(str(2 ** 64)).cast(T.DecimalType(21, 0))
+        return (
+            F.when(ud >= two63, (ud.cast(T.DecimalType(21, 0)) - two64))
+            .otherwise(ud)
+            .cast(T.LongType())
+        )
+
     ex = ensure_parallelism(df).select(
         F.col(id_col),
-        F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("__h"),
+        F.explode(F.transform(toks, md5_u64)).alias("__h"),
     )
     votes = ex.groupBy(id_col).agg(
         *[
