@@ -707,6 +707,41 @@ def _q_profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct profiling gate: a 2-level struct (string /
+    fractional / integral / temporal leaves) built from orders columns
+    profiles as first-class `a.b.c` typed columns
+    (whylogs_spark/core/datatypes.py flatten_struct_columns — strict
+    superset of the reference's count-only object handling,
+    python/whylogs/core/datatypes.py:82-110). The oracle computes the
+    same stats from the flat columns, so equality proves leaf
+    flattening preserves full typed-metric semantics."""
+    df = _t(spark, sf_dir, "orders").select(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_custkey").alias("prio"),
+            ).alias("amounts"),
+            F.col("o_orderdate").alias("when"),
+        ).alias("meta"))
+    view = wsp.profile(df, config=_FAST_CFG)
+    keep = (
+        F.col("metric").isin("counts", "types", "ints")
+        | ((F.col("metric") == "distribution")
+           & F.col("component").isin("n", "mean", "stddev", "min", "max")))
+    is_temporal_d = (
+        (F.col("column") == "meta.when")
+        & (F.col("metric") == "distribution")
+        & F.col("component").isin("mean", "stddev", "min", "max"))
+    return view.df.filter(keep).select(
+        F.col("column").alias("col_name"), "metric", "component",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.when(is_temporal_d, F.col("d") / F.lit(_DAY_MS))
+            .otherwise(F.col("d")), 4).alias("d"))
+
+
 def _q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fidelity gate for the sketch components that profile_full's exact
     subset omits: the same default-config profile run, with every sketch
@@ -825,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsi_residual_embeddings": _q_lsi_residual,
         "drift_scores_lineitem": _q_drift_scores,
         "profile_full_lineitem": _q_profile_full,
+        "profile_nested_orders": _q_profile_nested,
         "sketch_bounds_lineitem": _q_sketch_bounds,
     }
 
@@ -1056,51 +1092,50 @@ def _drift_scores_sql() -> str:
     return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
 
 
-def _profile_full_sql() -> str:
-    """Long-form oracle for the exact subset of the full profile: ONE
-    scan of lineitem computes every aggregate in a CTE, then each
+def _long_profile_sql(table: str, typed: list) -> str:
+    """Long-form oracle for the exact subset of a profile: ONE scan of
+    ``table`` computes every aggregate in a CTE, then each
     (column, metric, component) row projects from it — mirroring the
     planner's single-pass df.agg design (whylogs_spark/core/planner.py).
+
+    ``typed``: list of (out_name, value_type, src_sql_expr) — out_name
+    may differ from the source expression (nested leaves profile under
+    their ``a.b.c`` path). Aliases are index-based so dotted out names
+    never leak into SQL identifiers.
     """
     buckets = ["integral", "fractional", "boolean", "string", "temporal",
                "tensor", "object"]
-    typed = (
-        [(c, "integral") for c in _LI_INTEGRAL]
-        + [(c, "fractional") for c in _LI_FRACTIONAL]
-        + [(c, "string") for c in _LI_STRING]
-        + [(c, "temporal") for c in _LI_TEMPORAL]
-    )
     aggs = ["count(*) AS cnt"]
 
     def a(name: str, expr: str) -> None:
         aggs.append(f"{expr} AS {name}")
 
-    for c, vt in typed:
-        a(f"nn_{c}", f"count({c})")
-    for c in _LI_FRACTIONAL:
-        v = f"CASE WHEN isnan({c}) THEN NULL ELSE {c} END"
-        a(f"nan_{c}",
-          f"coalesce(sum(CASE WHEN isnan({c}) THEN 1 ELSE 0 END), 0)")
-        a(f"inf_{c}",
-          f"coalesce(sum(CASE WHEN isinf({c}) THEN 1 ELSE 0 END), 0)")
-        a(f"dn_{c}", f"count({v})")
-        a(f"mean_{c}", f"avg({v})")
-        a(f"std_{c}", f"stddev_samp({v})")
-        a(f"min_{c}", f"min({v}) :: DOUBLE")
-        a(f"max_{c}", f"max({v}) :: DOUBLE")
-    for c in _LI_INTEGRAL:
-        a(f"mean_{c}", f"avg({c})")
-        a(f"std_{c}", f"stddev_samp({c})")
-        a(f"min_{c}", f"min({c}) :: DOUBLE")
-        a(f"max_{c}", f"max({c}) :: DOUBLE")
-        a(f"imin_{c}", f"min({c}) :: BIGINT")
-        a(f"imax_{c}", f"max({c}) :: BIGINT")
-    for c in _LI_TEMPORAL:
-        e = f"epoch_ms({c})"
-        a(f"mean_{c}", f"avg({e}) / {_DAY_MS}")
-        a(f"std_{c}", f"stddev_samp({e}) / {_DAY_MS}")
-        a(f"min_{c}", f"min({e}) / {_DAY_MS}")
-        a(f"max_{c}", f"max({e}) / {_DAY_MS}")
+    for i, (_, vt, c) in enumerate(typed):
+        a(f"nn_{i}", f"count({c})")
+        if vt == "fractional":
+            v = f"CASE WHEN isnan({c}) THEN NULL ELSE {c} END"
+            a(f"nan_{i}",
+              f"coalesce(sum(CASE WHEN isnan({c}) THEN 1 ELSE 0 END), 0)")
+            a(f"inf_{i}",
+              f"coalesce(sum(CASE WHEN isinf({c}) THEN 1 ELSE 0 END), 0)")
+            a(f"dn_{i}", f"count({v})")
+            a(f"mean_{i}", f"avg({v})")
+            a(f"std_{i}", f"stddev_samp({v})")
+            a(f"min_{i}", f"min({v}) :: DOUBLE")
+            a(f"max_{i}", f"max({v}) :: DOUBLE")
+        elif vt == "integral":
+            a(f"mean_{i}", f"avg({c})")
+            a(f"std_{i}", f"stddev_samp({c})")
+            a(f"min_{i}", f"min({c}) :: DOUBLE")
+            a(f"max_{i}", f"max({c}) :: DOUBLE")
+            a(f"imin_{i}", f"min({c}) :: BIGINT")
+            a(f"imax_{i}", f"max({c}) :: BIGINT")
+        elif vt == "temporal":
+            e = f"epoch_ms({c})"
+            a(f"mean_{i}", f"avg({e}) / {_DAY_MS}")
+            a(f"std_{i}", f"stddev_samp({e}) / {_DAY_MS}")
+            a(f"min_{i}", f"min({e}) / {_DAY_MS}")
+            a(f"max_{i}", f"max({e}) / {_DAY_MS}")
 
     rows = []
 
@@ -1109,29 +1144,48 @@ def _profile_full_sql() -> str:
             f"SELECT '{c}' AS col_name, '{m}' AS metric, "
             f"'{comp}' AS component, {n_expr} AS n, {d_expr} AS d FROM s")
 
-    for c, vt in typed:
-        r(c, "counts", "n", "cnt", "NULL::DOUBLE")
-        r(c, "counts", "null", f"cnt - nn_{c}", "NULL::DOUBLE")
+    for i, (name, vt, _) in enumerate(typed):
+        r(name, "counts", "n", "cnt", "NULL::DOUBLE")
+        r(name, "counts", "null", f"cnt - nn_{i}", "NULL::DOUBLE")
         if vt == "fractional":
-            r(c, "counts", "nan", f"nan_{c}", "NULL::DOUBLE")
-            r(c, "counts", "inf", f"inf_{c}", "NULL::DOUBLE")
+            r(name, "counts", "nan", f"nan_{i}", "NULL::DOUBLE")
+            r(name, "counts", "inf", f"inf_{i}", "NULL::DOUBLE")
         for b in buckets:
-            r(c, "types", b,
-              f"nn_{c}" if b == vt else "0::BIGINT", "NULL::DOUBLE")
+            r(name, "types", b,
+              f"nn_{i}" if b == vt else "0::BIGINT", "NULL::DOUBLE")
         if vt in ("integral", "fractional", "temporal"):
-            n_expr = f"dn_{c}" if vt == "fractional" else f"nn_{c}"
-            r(c, "distribution", "n", n_expr, "NULL::DOUBLE")
+            n_expr = f"dn_{i}" if vt == "fractional" else f"nn_{i}"
+            r(name, "distribution", "n", n_expr, "NULL::DOUBLE")
             for comp in ("mean", "stddev", "min", "max"):
                 short = {"mean": "mean", "stddev": "std",
                          "min": "min", "max": "max"}[comp]
-                r(c, "distribution", comp, "NULL::BIGINT",
-                  f"round({short}_{c}, 4)")
+                r(name, "distribution", comp, "NULL::BIGINT",
+                  f"round({short}_{i}, 4)")
         if vt == "integral":
-            r(c, "ints", "min", f"imin_{c}", "NULL::DOUBLE")
-            r(c, "ints", "max", f"imax_{c}", "NULL::DOUBLE")
+            r(name, "ints", "min", f"imin_{i}", "NULL::DOUBLE")
+            r(name, "ints", "max", f"imax_{i}", "NULL::DOUBLE")
 
-    return ("WITH s AS (SELECT " + ", ".join(aggs) + " FROM lineitem) "
+    return ("WITH s AS (SELECT " + ", ".join(aggs) + f" FROM {table}) "
             + " UNION ALL ".join(rows))
+
+
+def _profile_full_sql() -> str:
+    typed = (
+        [(c, "integral", c) for c in _LI_INTEGRAL]
+        + [(c, "fractional", c) for c in _LI_FRACTIONAL]
+        + [(c, "string", c) for c in _LI_STRING]
+        + [(c, "temporal", c) for c in _LI_TEMPORAL]
+    )
+    return _long_profile_sql("lineitem", typed)
+
+
+def _profile_nested_sql() -> str:
+    return _long_profile_sql("orders", [
+        ("meta.status", "string", "o_orderstatus"),
+        ("meta.amounts.price", "fractional", "o_totalprice"),
+        ("meta.amounts.prio", "integral", "o_custkey"),
+        ("meta.when", "temporal", "o_orderdate"),
+    ])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1419,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "drift_scores_lineitem": _drift_scores_sql(),
         "profile_full_lineitem": _profile_full_sql(),
+        "profile_nested_orders": _profile_nested_sql(),
         "sketch_bounds_lineitem": (
             "SELECT 'kll_rank' AS check, 8::BIGINT AS n_checked, "
             "8::BIGINT AS n_ok "

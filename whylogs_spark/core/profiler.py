@@ -492,6 +492,14 @@ def profile(
         for k in sorted(segment_key_values):
             df = df.withColumn(k, F.lit(str(segment_key_values[k])))
             segment_cols.append(k)
+    # nested structs -> first-class `a.b.c` leaf columns (strict superset
+    # of the reference's count-only object handling; see
+    # datatypes.flatten_struct_columns). Done BEFORE the wide/narrow
+    # dispatch so the threshold counts leaves, and before planning so
+    # every path (narrow/wide/sketch) sees only scalar columns.
+    from .datatypes import flatten_struct_columns
+
+    df, columns = flatten_struct_columns(df, columns, segment_cols)
     try:
         df.sparkSession.conf.set("spark.sql.codegen.maxFields", "2048")
         # bigger Arrow batches => fewer python-side groupby/update rounds
@@ -589,6 +597,8 @@ def profile_partitions(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    from .datatypes import flatten_struct_columns
+
     spark = df.sparkSession
     part_items = list(partitions.items())
     all_cols: List[str] = []
@@ -606,6 +616,7 @@ def profile_partitions(
     }
     sets_exprs = [[F.col(c) for c in cols] for _, cols in part_items]
 
+    df, columns = flatten_struct_columns(df, columns, all_cols)
     aggs, sketches = plan_dataframe(df.schema, columns, all_cols, config)
     tiers: Dict[str, List[PlannedAgg]] = {}
     for a in aggs:
