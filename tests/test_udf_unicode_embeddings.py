@@ -207,3 +207,61 @@ def test_multimodal_audio_resize_frames(spark, tmp_path):
     for r in rows:
         per_file.setdefault(r["path"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_file.values())
+
+
+def test_udf_schema_drop_columns(spark):
+    """Reference parity: UdfSchema(drop_columns=...) removes columns
+    AFTER UDFs run — UDFs may still read them (reference:
+    experimental/core/udf_schema.py:194,248-250)."""
+    from whylogs_spark.core.udf_schema import udf_schema
+
+    df = spark.createDataFrame([(1.0, 2.0)], ["a", "b"])
+    schema = udf_schema(
+        [UdfSpec(["a", "b"], {"sum": lambda a, b: a + b})],
+        drop_columns={"b", "not_present"})
+    out = schema.apply_udfs(df)
+    assert set(out.columns) == {"a", "sum"}
+    assert out.first()["sum"] == 3.0
+
+
+def test_condition_validator_actions(spark):
+    """Failure actions fire driver-side over the bounded sample with the
+    reference signature (validator, condition, value, row_id) —
+    condition_validator.py:85-89; raise_error throws."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from whylogs_spark.core.conditions import (
+        ConditionValidator, raise_error,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(100)], ["rid", "x"])
+    seen = []
+
+    def record(vname, cname, value, row_id=None):
+        seen.append((vname, cname, value, row_id))
+
+    v = ConditionValidator(
+        "x_checks",
+        {"x_lt_3": F.col("x") < 3, "x_ge_0": F.col("x") >= 0},
+        actions=[record], sample_size=7)
+    res = v.validate(df, column="x", id_col="rid")
+
+    summary = res.to_summary_dict()
+    assert summary["total_evaluations"] == 100
+    assert summary["x_lt_3"] == 40  # x in {3,4}
+    assert summary["x_ge_0"] == 0
+    # actions: only failing conditions fire, capped at sample_size
+    assert len(seen) == 7
+    assert all(s[0] == "x_checks" and s[1] == "x_lt_3" for s in seen)
+    assert all(s[2] in (3.0, 4.0) and s[3] is not None for s in seen)
+
+    thrower = ConditionValidator(
+        "strict", {"x_lt_3": F.col("x") < 3}, actions=[raise_error])
+    with _pt.raises(ValueError, match="x_lt_3"):
+        thrower.validate(df, column="x", id_col="rid")
+    # and a passing validator does not throw
+    ok = ConditionValidator(
+        "ok", {"x_ge_0": F.col("x") >= 0}, actions=[raise_error])
+    ok.validate(df, column="x", id_col="rid")

@@ -131,3 +131,77 @@ class ValidationResult:
     def failures(self) -> DataFrame:
         return self.counts.withColumn(
             "failures", F.col("total") - F.col("matches"))
+
+    def to_summary_dict(self) -> Dict[str, int]:
+        """{'total_evaluations': n, <condition>: failure_count, ...} —
+        same shape as the reference's ConditionValidator.to_summary_dict
+        (condition_validator.py:105-109)."""
+        rows = self.failures().collect()
+        out: Dict[str, int] = {
+            "total_evaluations": int(rows[0]["total"]) if rows else 0}
+        for r in rows:
+            out[r["condition"]] = int(r["failures"])
+        return out
+
+
+def raise_error(validator_name: str, condition_name: str, value,
+                row_id=None) -> None:
+    """Prebuilt failure action: throw on the first reported failure
+    (the reference's raise-on-failure semantic)."""
+    suffix = f" (id={row_id!r})" if row_id is not None else ""
+    raise ValueError(
+        f"validator {validator_name!r}: condition {condition_name!r} "
+        f"failed for value {value!r}{suffix}")
+
+
+class ConditionValidator:
+    """Named validator with failure actions (reference:
+    python/whylogs/core/validators/condition_validator.py:16; action
+    dispatch at :85-89 — signature
+    ``action(validator_name, condition_name, value, row_id)``).
+
+    Scale adaptation: failure COUNTS are exact and fully distributed
+    (one aggregation pass); ACTIONS run driver-side over the bounded
+    deterministic failing-row sample (<= sample_size invocations per
+    condition), never as a per-row executor callback — at cluster scale
+    a python hook per failing row would serialize the hot path and
+    could fire billions of times. Pass ``raise_error`` as an action for
+    throw-on-failure behavior.
+    """
+
+    def __init__(self, name: str, conditions: Dict[str, Column],
+                 actions: Optional[List] = None, sample_size: int = 10):
+        if not isinstance(sample_size, int):
+            raise ValueError("sample_size must be an integer")
+        self.name = name
+        self.conditions = dict(conditions)
+        self.actions = list(actions or [])
+        self.sample_size = sample_size
+
+    def validate(self, df: DataFrame, column: Optional[str] = None,
+                 id_col: Optional[str] = None) -> ValidationResult:
+        """Run conditions; fire actions for sampled failures. ``column``
+        picks the value passed to actions (the reference validates one
+        column at a time); defaults to ``id_col`` or the first df column.
+        """
+        result = validate(df, self.conditions, id_col=id_col,
+                          sample_size=self.sample_size)
+        if self.actions:
+            value_col = column or id_col or df.columns[0]
+            fail_counts = {
+                r["condition"]: int(r["failures"])
+                for r in result.failures().collect()
+            }
+            for cond_name, sdf in result.failed_samples.items():
+                if not fail_counts.get(cond_name):
+                    continue
+                for r in sdf.collect():
+                    value = r[value_col] if value_col in sdf.columns else None
+                    rid = (r[id_col]
+                           if id_col and id_col in sdf.columns else None)
+                    for action in self.actions:
+                        if rid is not None:
+                            action(self.name, cond_name, value, rid)
+                        else:
+                            action(self.name, cond_name, value)
+        return result

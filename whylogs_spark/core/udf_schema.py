@@ -33,8 +33,12 @@ class UdfSpec:
 
 
 class UdfSchema:
-    def __init__(self, specs: Optional[List[UdfSpec]] = None) -> None:
+    def __init__(self, specs: Optional[List[UdfSpec]] = None,
+                 drop_columns: Optional[set] = None) -> None:
         self.specs = list(specs or [])
+        # columns removed AFTER the UDFs run (UDFs may still read them)
+        # — reference: experimental/core/udf_schema.py:194,248-250
+        self.drop_columns = set(drop_columns or ())
 
     def add(self, spec: UdfSpec) -> "UdfSchema":
         self.specs.append(spec)
@@ -43,7 +47,7 @@ class UdfSchema:
     def apply_udfs(self, df: DataFrame,
                    drop_inputs: bool = False) -> DataFrame:
         out = df
-        drop: set = set()
+        drop: set = set(self.drop_columns)
         for spec in self.specs:
             for name, fn in spec.udfs.items():
                 out_name = f"{spec.prefix}.{name}" if spec.prefix else name
@@ -51,6 +55,7 @@ class UdfSchema:
                 out = out.withColumn(out_name, col)
             if drop_inputs:
                 drop |= set(spec.column_names)
+        drop &= set(out.columns)
         if drop:
             out = out.drop(*drop)
         return out
@@ -103,5 +108,6 @@ def pandas_fn(fn):
     return fn
 
 
-def udf_schema(extra: Optional[List[UdfSpec]] = None) -> UdfSchema:
-    return UdfSchema(list(_REGISTRY) + list(extra or []))
+def udf_schema(extra: Optional[List[UdfSpec]] = None,
+               drop_columns: Optional[set] = None) -> UdfSchema:
+    return UdfSchema(list(_REGISTRY) + list(extra or []), drop_columns)
