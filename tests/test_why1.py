@@ -106,3 +106,23 @@ def test_properties_roundtrip(spark, lineitem, tmp_path):
     assert back.dataset_timestamp == ts
     assert back.metadata == {"source": "unit-test", "v": "1"}
     assert back.creation_timestamp is not None
+
+
+def test_reference_compat_mode(spark, view, tmp_path):
+    """compat='reference' omits the engine-native KLL/FI sketch bytes
+    (which reference whylogs cannot deserialize) while keeping every
+    scalar + the spec-faithful HLL — the file stays fully parseable and
+    round-trips here too."""
+    p = str(tmp_path / "ref.bin")
+    write_why1(view, p, compat="reference")
+    back = read_why1(spark, p)
+    assert back.get_component("l_quantity", "distribution", "kll") is None
+    assert back.get_component("l_quantity", "frequent_items", "mg") is None
+    assert back.get_component("l_quantity", "cardinality", "hll") is not None
+    assert back.get_component("l_quantity", "counts", "n") == \
+        view.get_component("l_quantity", "counts", "n")
+    assert back.get_component("l_quantity", "distribution", "mean") == \
+        pytest.approx(
+            view.get_component("l_quantity", "distribution", "mean"))
+    with pytest.raises(ValueError, match="compat"):
+        write_why1(view, p, compat="bogus")

@@ -52,3 +52,23 @@ def test_parser_never_reads_past_valid_fields(payload):
             assert field >= 0
     except (ValueError, IndexError):
         pass
+
+
+def test_truncated_and_overlong_varints_raise_value_error():
+    """A truncated varint or a run of continuation bytes must raise a
+    codec ValueError, not IndexError / spin with unbounded shift
+    (protobuf's 10-byte varint cap)."""
+    import pytest
+
+    from whylogs_spark.io.why1 import _read_uvarint
+
+    with pytest.raises(ValueError, match="truncated"):
+        _read_uvarint(b"\x80\x80", 0)
+    with pytest.raises(ValueError, match="overlong"):
+        _read_uvarint(b"\x80" * 11 + b"\x01", 0)
+    with pytest.raises(ValueError):
+        _read_uvarint(b"", 0)
+    # healthy values still decode
+    assert _read_uvarint(b"\x7f", 0) == (127, 1)
+    assert _read_uvarint(b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01", 0)[0] \
+        == (1 << 64) - 1

@@ -58,14 +58,19 @@ def log(obj=None, *, pandas=None, row=None, multiple=None,
     return profile(sess.createDataFrame(pdf), segment_by=segment_by,
                    columns=columns, config=config)
 
-def write(view: ProfileView, path: str) -> None:
+def write(view: ProfileView, path: str, compat: str = "full") -> None:
     """Reference-parity ``why.write`` (python/whylogs/api/writer/):
     ``*.bin`` -> WHY1 binary profile; anything else -> long-form parquet
-    (the Parquet profile store format)."""
+    (the Parquet profile store format).
+
+    ``compat`` (binary files only): "full" round-trips every component
+    within this engine; "reference" omits the engine-native KLL/FI
+    sketch bytes so reference whylogs can parse the file end-to-end
+    (see io/why1.write_why1 for the full matrix)."""
     if path.endswith(".bin"):
         from .io.why1 import write_why1
 
-        write_why1(view, path)
+        write_why1(view, path, compat=compat)
     else:
         view.df.write.mode("overwrite").parquet(path)
 

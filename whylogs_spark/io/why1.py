@@ -64,7 +64,14 @@ def _varint64(n: int) -> bytes:
 def _read_uvarint(buf: bytes, pos: int) -> Tuple[int, int]:
     shift = 0
     val = 0
+    end = len(buf)
     while True:
+        if pos >= end:
+            raise ValueError("truncated varint")
+        if shift > 63:
+            # protobuf caps varints at 10 bytes; a run of continuation
+            # bytes must not spin the loop / grow the int unboundedly
+            raise ValueError("overlong varint (exceeds 64 bits)")
         b = buf[pos]
         pos += 1
         val |= (b & 0x7F) << shift
@@ -161,8 +168,27 @@ def _chunk_offsets(offsets: List[int]) -> bytes:
     return bytes(out)
 
 
-def write_why1(view, path: str) -> None:
-    """Serialize an unsegmented ProfileView to a WHY1 file."""
+def write_why1(view, path: str, compat: str = "full") -> None:
+    """Serialize an unsegmented ProfileView to a WHY1 file.
+
+    Compat matrix (also in README):
+
+    * ``compat="full"`` (default): every component is written. The
+      container, metric paths, all scalar components, and the HLL bytes
+      (genuine Apache DataSketches HLL) parse cleanly in reference
+      whylogs; the distribution/kll and frequent_items/mg oneof fields
+      carry THIS engine's sketch bytes ('WSK1'/'WFI1'), which reference
+      whylogs would fail to deserialize (its datasketches decoder
+      throws), so full-mode files are for round-tripping within this
+      engine.
+    * ``compat="reference"``: the engine-native KLL/FI sketch bytes are
+      OMITTED (scalars, ints, distribution moments, HLL kept) — the
+      resulting file is parseable end-to-end by reference whylogs
+      (dataset_profile_view.py:353-430), trading away quantile/
+      frequent-items state.
+    """
+    if compat not in ("full", "reference"):
+        raise ValueError("compat must be 'full' or 'reference'")
     import pandas as pd  # noqa: F401  (toPandas dependency)
 
     pdf = view.df.toPandas()
@@ -173,8 +199,12 @@ def write_why1(view, path: str) -> None:
             "write each segment's view separately")
 
     # intern metric paths (sorted, like the reference)
+    engine_native = {("distribution", "kll"), ("frequent_items", "mg")}
     comps: Dict[str, Dict[str, tuple]] = {}
     for _, r in pdf.iterrows():
+        if (compat == "reference"
+                and (r["metric"], r["component"]) in engine_native):
+            continue
         msg = _component_msg(r["metric"], r["component"],
                              None if pd.isna(r["n"]) else int(r["n"]),
                              None if pd.isna(r["d"]) else float(r["d"]),
