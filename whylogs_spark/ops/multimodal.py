@@ -9,12 +9,13 @@ Spark-first model: media are opaque BINARY columns with typed metadata.
 length, content). Feature extraction is an Arrow-batched ``mapInPandas``
 over the binary column — partition-parallel, bounded memory per batch.
 
-The image/audio decode libraries are NOT available in this environment,
-so the decode kernels are stubbed (deterministic header parsing for PNG /
-JPEG / WAV sizes, NotImplementedError for full decode) while every piece
-of Spark plumbing — schema, batching, partitioning, profiling of the
-extracted features — is real and tested. Swap ``_decode_image_features``
-for a PIL-backed version in a real deployment.
+Decode kernels are import-guarded per executor: with PIL installed the
+full pixel kernel (HSV stats + entropy, reference parity) runs; without
+it, header-level features (PNG/JPEG/WAV sizes — real parsing, no libs)
+are extracted and pixel stats are null, or ``strict=True`` fails the
+task naming the missing dependency. All Spark plumbing — schema,
+batching, partitioning, profiling of the extracted features — is real
+and tested either way.
 """
 
 from __future__ import annotations
@@ -95,12 +96,92 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
 
 
+PIXEL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("colorspace", T.StringType()),
+        T.StructField("entropy", T.DoubleType()),
+        T.StructField("hue_mean", T.DoubleType()),
+        T.StructField("hue_stddev", T.DoubleType()),
+        T.StructField("saturation_mean", T.DoubleType()),
+        T.StructField("saturation_stddev", T.DoubleType()),
+        T.StructField("brightness_mean", T.DoubleType()),
+        T.StructField("brightness_stddev", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _pil_pixel_features(content: bytes):
+    """Reference-parity pixel features (image_metric.py:57-110): HSV
+    per-channel mean/stddev + entropy + width/height/colorspace. Only
+    called when PIL imports (guarded at the call site)."""
+    import io
+
+    from PIL import Image, ImageStat
+
+    img = Image.open(io.BytesIO(content))
+    stats = ImageStat.Stat(img.convert("HSV"))
+    entropy = float(img.entropy()) if hasattr(img, "entropy") else None
+    means = [float(v) for v in stats.mean]
+    stds = [float(v) for v in stats.stddev]
+    return ((img.format or "unknown").lower(), int(img.width),
+            int(img.height), img.mode, entropy,
+            means[0], stds[0], means[1], stds[1], means[2], stds[2])
+
+
+def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Pixel-level image features over binaryFile rows — the reference's
+    HSV stats/entropy bundle (image_metric.py:57-110) as an Arrow-batched
+    mapInPandas kernel.
+
+    The PIL import is guarded PER EXECUTOR inside the kernel (a cluster's
+    executors, not the driver, need the library): with PIL the full
+    pixel kernel runs; without it the row falls back to the header sniff
+    with null pixel stats, or — with ``strict=True`` — the task raises
+    NotImplementedError naming the missing dependency.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL  # noqa: F401
+            has_pil = True
+        except ImportError:
+            has_pil = False
+        if strict and not has_pil:
+            raise NotImplementedError(
+                "extract_pixel_features(strict=True) requires PIL on the "
+                "executors; install pillow or use the header-level "
+                "extract_image_features")
+        cols = [f.name for f in PIXEL_FEATURE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None \
+                    else b""
+                feats = None
+                if has_pil:
+                    try:
+                        feats = _pil_pixel_features(content)
+                    except Exception:
+                        feats = None  # undecodable payload -> header row
+                if feats is None:
+                    fmt, w, h = _sniff_image(content)
+                    feats = (fmt, w, h) + (None,) * 8
+                rows.append((r["path"],) + feats + (len(content),))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(extract, PIXEL_FEATURE_SCHEMA)
+
+
 def decode_image_pixels(df: DataFrame) -> DataFrame:
-    """Full pixel decode — requires an image library not present here."""
-    raise NotImplementedError(
-        "pixel decode requires PIL/opencv; not available in this "
-        "environment. Use extract_image_features for header-level "
-        "features — the mapInPandas plumbing is identical.")
+    """Strict full-decode: every row must decode through PIL (tasks fail
+    fast on executors without it). Alias for
+    ``extract_pixel_features(strict=True)``."""
+    return extract_pixel_features(df, strict=True)
 
 
 # ---------------------------------------------------------------- audio
