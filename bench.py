@@ -73,6 +73,25 @@ def main() -> None:
         _noop(wsp.profile(t["lineitem"], segment_by=["l_returnflag"],
                           config=_FAST_CFG).df)
 
+    def bench_profile_segmented_sketch():
+        # full config: exercises the per-segment KLL/FI/HLL sketch pass
+        _noop(wsp.profile(t["lineitem"], segment_by=["l_returnflag"]).df)
+
+    # 400-column frame derived from lineitem (~60k rows at sf0.1):
+    # crosses wide_column_threshold=96, exercising the unpivot-per-type-
+    # class wide plan whose size stays O(1) in column count
+    wide_df = t["lineitem"].filter(F.col("l_orderkey") % 10 == 0).select(
+        *[((F.col("l_extendedprice") * ((i % 7) + 1)
+            + F.col("l_quantity") * i) % 1000.0).alias(f"w{i}")
+          for i in range(380)],
+        *[F.concat(F.lit(f"s{i}_"),
+                   (F.col("l_partkey") % (40 + i)).cast("string"))
+          .alias(f"ws{i}") for i in range(20)],
+    )
+
+    def bench_profile_wide_400col():
+        _noop(wsp.profile(wide_df, config=_FAST_CFG).df)
+
     def bench_counts_table():
         _noop(summaries.counts_table(t["lineitem"]))
 
@@ -102,6 +121,8 @@ def main() -> None:
         "profile_lineitem_native": bench_profile_native,
         "profile_lineitem_full": bench_profile_full,
         "profile_lineitem_segmented": bench_profile_segmented,
+        "profile_lineitem_segmented_sketch": bench_profile_segmented_sketch,
+        "profile_wide_400col": bench_profile_wide_400col,
         "counts_table_lineitem": bench_counts_table,
         "text_stats_documents": bench_text_stats,
         "minhash_dedup_documents": bench_minhash_dedup,
