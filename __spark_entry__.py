@@ -649,6 +649,23 @@ def _q_lsi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN join (20 query vectors × full table) via
+    multi-table hyperplane LSH (OR-construction, deterministic in-plan
+    hyperplanes); the oracle is the exact brute-force per-query top-5 —
+    green iff the multi-table candidate generation loses nothing at this
+    fixture (24 tables × 2 planes: miss prob ≤ 0.75^24 ≈ 1e-3 per pair
+    even for orthogonal vectors, and the planes are seeded so the result
+    is deterministic, not flaky)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    out = sim_ops.knn_join(left, emb, k=5, planes=2, tables=24)
+    return out.select(
+        "vec_id_left", "vec_id_right",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"))
+
+
 def _q_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KS/chi2 drift statistics between even/odd orderkey halves
     of lineitem — the ground-truth path for the sketch-based
@@ -857,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_documents": _q_simhash_neardup,
         "lsh_topk_embeddings": _q_lsh_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
+        "knn_join_embeddings": _q_knn_join,
         "lsi_residual_embeddings": _q_lsi_residual,
         "drift_scores_lineitem": _q_drift_scores,
         "profile_full_lineitem": _q_profile_full,
@@ -1490,6 +1508,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings "
             "ORDER BY list_cosine_similarity(embedding :: DOUBLE[], "
             "(SELECT e FROM q)) DESC, vec_id ASC LIMIT 10"
+        ),
+        "knn_join_embeddings": (
+            "SELECT l.vec_id AS vec_id_left, r.vec_id AS vec_id_right, "
+            "round(list_cosine_similarity(l.embedding :: DOUBLE[], "
+            "r.embedding :: DOUBLE[]), 6) AS cosine, "
+            "CAST(row_number() OVER (PARTITION BY l.vec_id "
+            "ORDER BY list_cosine_similarity(l.embedding :: DOUBLE[], "
+            "r.embedding :: DOUBLE[]) DESC, r.vec_id ASC) AS INT) AS rank "
+            "FROM (SELECT * FROM embeddings WHERE vec_id < 20) l "
+            "CROSS JOIN embeddings r "
+            "QUALIFY rank <= 5"
         ),
         "ivf_topk_embeddings": (
             "WITH q AS (SELECT embedding :: DOUBLE[] AS e FROM embeddings "
