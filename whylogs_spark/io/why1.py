@@ -28,10 +28,12 @@ byte-valid protobuf. Interop scope, stated honestly:
 * cardinality/hll bytes are genuine Apache DataSketches HLL binary
   (Spark's ``hll_sketch_agg``) — the same sketch family the reference's
   ``whylogs-sketching`` uses;
-* distribution/kll and frequent_items sketch bytes are THIS engine's
-  serialization (numpy KLL, Misra-Gries) carried opaquely in the
-  matching oneof fields; estimate-level parity, not byte parity
-  (SURVEY §7.3).
+* distribution/kll and frequent_items bytes are written in the public
+  Apache DataSketches kll_doubles_sketch / frequent_strings_sketch
+  binary formats (converted losslessly from the engine-native state by
+  io/dsketch.py, which is round-trip-validated against datasketches-java)
+  — so a full-mode file is parseable end-to-end by reference whylogs,
+  and reference-written files are readable here, including sketches.
 """
 
 from __future__ import annotations
@@ -141,6 +143,44 @@ _SKETCH_FIELD = {  # (metric, component) -> oneof field for sketch bytes
 }
 _TYPE_ID = {("ints", "min"): 1, ("ints", "max"): 2}
 
+# on-wire metric paths follow the reference's component names
+# (python/whylogs/core/metrics/metrics.py:446: "frequent_strings")
+_WIRE_PATH = {("frequent_items", "mg"): "frequent_items/frequent_strings"}
+_WIRE_COMP = {("frequent_items", "frequent_strings"): "mg"}
+
+
+def _to_ds_blob(b) -> bytes:
+    """Engine-native sketch blob -> public Apache DataSketches bytes
+    (io/dsketch.py); non-native blobs (e.g. JVM HLL) pass through."""
+    bb = bytes(b)
+    if bb[:4] == b"WSK1":
+        from ..core.sketches import KllSketch
+
+        from .dsketch import kll_to_ds_bytes
+        return kll_to_ds_bytes(KllSketch.deserialize(bb))
+    if bb[:4] == b"WFI1":
+        from ..core.sketches import FrequentStringsSketch
+
+        from .dsketch import fi_to_ds_bytes
+        return fi_to_ds_bytes(FrequentStringsSketch.deserialize(bb))
+    return bb
+
+
+def _from_ds_blob(metric: str, comp: str, b) -> bytes:
+    """Wire sketch bytes -> engine-native blob. Accepts both this
+    engine's legacy blobs (magic-tagged) and the public DataSketches
+    formats the reference writes."""
+    bb = bytes(b)
+    if bb[:4] in (b"WSK1", b"WFI1"):
+        return bb
+    if (metric, comp) == ("distribution", "kll"):
+        from .dsketch import kll_from_ds_bytes
+        return kll_from_ds_bytes(bb).serialize()
+    if (metric, comp) == ("frequent_items", "mg"):
+        from .dsketch import fi_from_ds_bytes
+        return fi_from_ds_bytes(bb).serialize()
+    return bb  # HLL: stored as DataSketches bytes natively
+
 
 def _component_msg(metric: str, comp: str, n, d, b) -> Optional[bytes]:
     out = bytearray()
@@ -155,7 +195,7 @@ def _component_msg(metric: str, comp: str, n, d, b) -> Optional[bytes]:
         f = _SKETCH_FIELD.get((metric, comp))
         if f is None:
             return None  # unknown sketch kind: not representable
-        out += _len_field(f, _len_field(1, bytes(b)))
+        out += _len_field(f, _len_field(1, _to_ds_blob(b)))
     else:
         return None  # s-slot (derived JSON) and empty components skipped
     return bytes(out)
@@ -173,19 +213,20 @@ def write_why1(view, path: str, compat: str = "full") -> None:
 
     Compat matrix (also in README):
 
-    * ``compat="full"`` (default): every component is written. The
-      container, metric paths, all scalar components, and the HLL bytes
-      (genuine Apache DataSketches HLL) parse cleanly in reference
-      whylogs; the distribution/kll and frequent_items/mg oneof fields
-      carry THIS engine's sketch bytes ('WSK1'/'WFI1'), which reference
-      whylogs would fail to deserialize (its datasketches decoder
-      throws), so full-mode files are for round-tripping within this
-      engine.
-    * ``compat="reference"``: the engine-native KLL/FI sketch bytes are
-      OMITTED (scalars, ints, distribution moments, HLL kept) — the
-      resulting file is parseable end-to-end by reference whylogs
-      (dataset_profile_view.py:353-430), trading away quantile/
-      frequent-items state.
+    * ``compat="full"`` (default): every component is written and the
+      whole file is parseable by reference whylogs
+      (dataset_profile_view.py:353-430). Scalars, paths, and the
+      container follow the reference wire format directly; HLL bytes are
+      genuine Apache DataSketches HLL; KLL and frequent-items state is
+      converted losslessly to the public DataSketches
+      kll_doubles_sketch / frequent_strings_sketch binary formats
+      (io/dsketch.py, validated byte-for-byte against datasketches-java)
+      under the reference's paths ``distribution/kll`` and
+      ``frequent_items/frequent_strings``.
+    * ``compat="reference"``: KLL/FI sketch bytes are OMITTED entirely
+      (scalars, ints, distribution moments, HLL kept) — a conservative
+      mode from before the DataSketches converters existed, kept for
+      minimal-surface interop.
     """
     if compat not in ("full", "reference"):
         raise ValueError("compat must be 'full' or 'reference'")
@@ -211,7 +252,8 @@ def write_why1(view, path: str, compat: str = "full") -> None:
                              r["b"])
         if msg is None:
             continue
-        p = f"{r['metric']}/{r['component']}"
+        p = _WIRE_PATH.get((r["metric"], r["component"]),
+                           f"{r['metric']}/{r['component']}")
         comps.setdefault(r["column"], {})[p] = msg
     paths = sorted({p for c in comps.values() for p in c})
     path_index = {p: i for i, p in enumerate(paths)}
@@ -387,7 +429,10 @@ def _read_why1(
             if idx is None or idx not in index_to_path:
                 continue
             metric, comp = index_to_path[idx].split("/", 1)
+            comp = _WIRE_COMP.get((metric, comp), comp)
             n, d, b = _parse_component(comp_buf)
+            if b is not None:
+                b = _from_ds_blob(metric, comp, b)
             rows.append(("{}", col, metric, comp, n, d, None, b))
     return rows, props
 
