@@ -18,6 +18,7 @@ import whylogs_spark as wsp
 from whylogs_spark.core import conditions as cond_mod
 from whylogs_spark.core import model_perf, summaries
 from whylogs_spark.ops import dedup as dedup_ops
+from whylogs_spark.ops import sampling as sampling_ops
 from whylogs_spark.ops import similarity as sim_ops
 from whylogs_spark.ops import text as text_ops
 
@@ -649,6 +650,43 @@ def _q_lsi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed train/test/valid split (ops/sampling.py)
+    — a pure map-side projection (zero shuffle before the summary agg);
+    the oracle recomputes the identical CASE over md5 hex prefixes, so
+    equality proves split assignment row-for-row."""
+    out = sampling_ops.hash_split(
+        _t(spark, sf_dir, "orders"), ["o_orderkey"],
+        {"train": 0.8, "test": 0.1, "valid": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (cap dominant classes in a
+    training mix) — zero-shuffle filter; oracle recomputes the same
+    md5-prefix thresholds per l_returnflag."""
+    out = sampling_ops.stratified_sample(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag",
+        {"A": 0.5, "N": 0.25, "R": 0.1},
+        key_cols=["l_orderkey", "l_linenumber"])
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+def _q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform deterministic k-per-group sample (rank by key hash inside
+    each group) — the distributed reservoir-sample analogue; row-exact
+    vs the oracle's window over the same md5 order."""
+    out = sampling_ops.group_sample(
+        _t(spark, sf_dir, "events"), ["user_id"], k=2,
+        key_cols=["event_id"], rank_col="rk")
+    return out.select("user_id", "event_id",
+                      F.col("rk").cast("int").alias("rk"))
+
+
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN join (20 query vectors × full table) via
     multi-table hyperplane LSH (OR-construction, deterministic in-plan
@@ -875,6 +913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": _q_lsh_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
         "knn_join_embeddings": _q_knn_join,
+        "hash_split_orders": _q_hash_split,
+        "stratified_sample_lineitem": _q_stratified_sample,
+        "group_sample_events": _q_group_sample,
         "lsi_residual_embeddings": _q_lsi_residual,
         "drift_scores_lineitem": _q_drift_scores,
         "profile_full_lineitem": _q_profile_full,
@@ -1508,6 +1549,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings "
             "ORDER BY list_cosine_similarity(embedding :: DOUBLE[], "
             "(SELECT e FROM q)) DESC, vec_id ASC LIMIT 10"
+        ),
+        # md5-prefix thresholds: round(f * 16^8) in 8-char lowercase hex
+        # (0.8 -> cccccccd, 0.9 -> e6666666; 1.0 -> 'gggggggg' > any hex)
+        "hash_split_orders": (
+            "WITH s AS (SELECT *, CASE "
+            "WHEN substr(md5(o_orderkey::VARCHAR), 1, 8) < 'cccccccd' "
+            "THEN 'train' "
+            "WHEN substr(md5(o_orderkey::VARCHAR), 1, 8) < 'e6666666' "
+            "THEN 'test' "
+            "WHEN substr(md5(o_orderkey::VARCHAR), 1, 8) < 'gggggggg' "
+            "THEN 'valid' END AS split FROM orders) "
+            "SELECT split, count(*) AS n, "
+            "round(avg(o_totalprice), 4) AS avg_price FROM s GROUP BY split"
+        ),
+        # thresholds: 0.5 -> 80000000, 0.25 -> 40000000, 0.1 -> 1999999a
+        "stratified_sample_lineitem": (
+            "SELECT l_returnflag, count(*) AS n, "
+            "round(sum(l_quantity), 2) AS sum_qty FROM lineitem "
+            "WHERE substr(md5(l_orderkey::VARCHAR || '|' || "
+            "l_linenumber::VARCHAR), 1, 8) < "
+            "CASE l_returnflag WHEN 'A' THEN '80000000' "
+            "WHEN 'N' THEN '40000000' WHEN 'R' THEN '1999999a' "
+            "ELSE '00000000' END "
+            "GROUP BY l_returnflag"
+        ),
+        "group_sample_events": (
+            "SELECT user_id, event_id, CAST(rk AS INT) AS rk FROM ("
+            "SELECT user_id, event_id, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY "
+            "substr(md5(event_id::VARCHAR), 1, 8), event_id) AS rk "
+            "FROM events) WHERE rk <= 2"
         ),
         "knn_join_embeddings": (
             "SELECT l.vec_id AS vec_id_left, r.vec_id AS vec_id_right, "

@@ -197,6 +197,29 @@ def main() -> None:
             "codegen projection": r"WholeStageCodegen|Project",
         }))
 
+    # 7b. deterministic sampling: hash_split / stratified_sample are
+    # map-side only; group_sample shuffles once on the group key
+    from whylogs_spark.ops import sampling
+    hs = sampling.hash_split(
+        load_table(spark, SF_DIR, "orders"), ["o_orderkey"],
+        {"train": 0.8, "test": 0.2})
+    sections.append((
+        "hash split (train/test)", hs,
+        {
+            "no shuffle at all": r"^(?![\s\S]*Exchange)",
+            "codegen'd md5 CASE projection":
+                r"Project \[codegen id",
+        }))
+    gs = sampling.group_sample(ev, ["user_id"], k=2, key_cols=["event_id"])
+    sections.append((
+        "group sample (k per group)", gs,
+        {
+            "single exchange keyed by group":
+                r"hashpartitioning\(user_id",
+            "no second exchange":
+                r"^(?![\s\S]*\(\d+\) Exchange[\s\S]*\(\d+\) Exchange)",
+        }))
+
     # 8. counts summary: Expand-based multi-distinct in two agg stages
     ct = summaries.counts_table(li, ["l_orderkey", "l_returnflag"])
     sections.append((

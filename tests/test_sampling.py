@@ -1,0 +1,95 @@
+"""Deterministic sampling operators (ops/sampling.py): reproducibility
+under repartitioning, statistical accuracy at modest n, per-group caps,
+and zero-shuffle plan shape for the filter-style ops."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.ops import sampling
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.range(0, 40000, 1, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        F.when(F.col("id") % 3 == 0, "en")
+         .when(F.col("id") % 3 == 1, "de")
+         .otherwise("fr").alias("lang"),
+    )
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_hash_split_fractions_and_determinism(spark, frame):
+    out = sampling.hash_split(frame, ["k"],
+                              {"train": 0.8, "test": 0.1, "valid": 0.1})
+    counts = dict(out.groupBy("split").count().collect())
+    assert set(counts) == {"train", "test", "valid"}
+    assert counts["train"] / 40000 == pytest.approx(0.8, abs=0.02)
+    assert counts["test"] / 40000 == pytest.approx(0.1, abs=0.02)
+    # pure function of the key: identical assignment after repartition
+    again = sampling.hash_split(frame.repartition(3), ["k"],
+                                {"train": 0.8, "test": 0.1, "valid": 0.1})
+    diff = (out.select("k", "split")
+            .join(again.select("k", F.col("split").alias("s2")), "k")
+            .filter(F.col("split") != F.col("s2")).count())
+    assert diff == 0
+
+
+def test_hash_split_dropped_fraction_and_salt(spark, frame):
+    out = sampling.hash_split(frame, ["k"], {"sample": 0.25})
+    kept = out.filter(F.col("split").isNotNull()).count()
+    assert kept / 40000 == pytest.approx(0.25, abs=0.02)
+    # a different salt reshuffles membership
+    salted = sampling.hash_split(frame, ["k"], {"sample": 0.25}, salt="v2")
+    moved = (out.filter(F.col("split").isNotNull()).select("k")
+             .join(salted.filter(F.col("split").isNotNull()).select("k"),
+                   "k").count())
+    assert moved / kept == pytest.approx(0.25, abs=0.03)  # independent
+
+
+def test_hash_split_validation(spark, frame):
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.hash_split(frame, ["k"], {})
+    with pytest.raises(ValueError, match="> 1"):
+        sampling.hash_split(frame, ["k"], {"a": 0.9, "b": 0.2})
+
+
+def test_stratified_sample_per_stratum(spark, frame):
+    out = sampling.stratified_sample(
+        frame, "lang", {"en": 0.5, "de": 0.1}, key_cols=["k"])
+    counts = dict(out.groupBy("lang").count().collect())
+    base = dict(frame.groupBy("lang").count().collect())
+    assert counts["en"] / base["en"] == pytest.approx(0.5, abs=0.03)
+    assert counts["de"] / base["de"] == pytest.approx(0.1, abs=0.03)
+    assert "fr" not in counts  # default_fraction=0 drops unlisted strata
+    # zero shuffle: the sample is a scan-side filter
+    assert "Exchange" not in _plan(out)
+
+
+def test_group_sample_caps_and_determinism(spark, frame):
+    out = sampling.group_sample(frame, ["grp"], k=3, key_cols=["k"])
+    per = out.groupBy("grp").count().collect()
+    assert all(r["count"] == 3 for r in per)  # every group has >3 rows
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(r["k"] for r in sampling.group_sample(
+        frame.repartition(5), ["grp"], k=3, key_cols=["k"]).collect())
+    assert a == b
+    with pytest.raises(ValueError, match=">= 1"):
+        sampling.group_sample(frame, ["grp"], k=0, key_cols=["k"])
+
+
+def test_group_sample_small_groups_kept_whole(spark):
+    df = spark.range(0, 5).select(F.col("id").alias("k"),
+                                  F.lit("g").alias("grp"))
+    out = sampling.group_sample(df, ["grp"], k=10, key_cols=["k"])
+    assert out.count() == 5

@@ -1,0 +1,128 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines.
+
+A 100 TB corpus cannot be train/test split with ``rand()`` — the split
+must be a pure function of the row key so it is reproducible across
+runs, engines, and re-partitions, and so late-arriving rows land in the
+same split. All operators here key on the first 8 hex chars of
+``md5(key)`` compared lexicographically against hex thresholds: a pure
+map-side, shuffle-free predicate built from JVM built-ins (md5 /
+substring / CASE), fully codegen'd and pushdown-friendly, and exactly
+reproducible in any engine with an md5 function (the DuckDB oracles in
+``__spark_entry__.py`` recompute it verbatim).
+
+The reference engine has no sampling surface (its profiles are
+whole-dataset); these operators are part of this engine's
+training-pipeline superset, alongside ops/dedup.py and ops/text.py.
+
+Scale notes:
+  * ``hash_split`` / ``stratified_sample``: zero-shuffle row filters.
+  * ``group_sample``: one shuffle on the group key (window top-k);
+    rank-by-hash is the distributed, deterministic analogue of a
+    per-group uniform reservoir sample of size k.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8  # resolution of the 8-hex-char hash prefix
+
+
+def _hash_prefix(key_cols: Sequence[str], salt: str = "") -> Column:
+    """First 8 hex chars of md5 over the '|'-joined key columns.
+
+    Lexicographic comparison of fixed-width lowercase hex is an exact
+    uniform order on [0, 16^8), so string thresholds avoid any
+    engine-specific integer conversion.
+    """
+    parts: List[Column] = [F.col(c).cast("string") for c in key_cols]
+    if salt:
+        parts.append(F.lit(salt))
+    return F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8)
+
+
+def _threshold(fraction: float) -> str:
+    t = int(round(min(max(fraction, 0.0), 1.0) * _HEX_SPACE))
+    return format(min(t, _HEX_SPACE - 1), "08x") if t < _HEX_SPACE \
+        else "g" * 8  # > any hex char: admits every row
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fractions: Dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/test/valid/...) by key
+    hash. ``fractions`` must sum to <= 1; rows hashing past the last
+    cumulative threshold get NULL (dropped fraction). Deterministic in
+    the key: the same key lands in the same split in every run and in
+    any engine. Zero shuffle — a projection over the scan.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    h = _hash_prefix(key_cols, salt)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cond = h < F.lit(_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict[str, float],
+    key_cols: Sequence[str],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows (downsample
+    over-represented strata — e.g. cap a dominant language or source in
+    a training mix). Strata absent from ``fractions`` keep
+    ``default_fraction``. Zero shuffle.
+    """
+    h = _hash_prefix(key_cols, salt)
+    thr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        t = F.lit(_threshold(frac))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = F.lit(_threshold(default_fraction)) if thr is None \
+        else thr.otherwise(F.lit(_threshold(default_fraction)))
+    return df.filter(h < thr)
+
+
+def group_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+    key_cols: Sequence[str],
+    salt: str = "",
+    rank_col: Optional[str] = None,
+) -> DataFrame:
+    """Uniform-without-replacement sample of up to ``k`` rows per group:
+    rank rows inside each group by key hash (a random-but-deterministic
+    order) and keep the first k. One shuffle on the group key; with AQE
+    the per-group top-k stays bounded regardless of group skew.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = _hash_prefix(key_cols, salt)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        h.asc(), *[F.col(c).asc() for c in key_cols])
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    out = ranked.filter(F.col("__rk") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__rk", rank_col)
+    return out.drop("__rk")
