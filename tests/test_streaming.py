@@ -124,3 +124,61 @@ def test_rolling_sink_segmented(spark, events, events_stream_src, tmp_path):
         key = (d["__wstart"], d["event_type"])
         assert truth_map[key] == n, (key, n)
     assert len(got) == len(truth_map)
+
+
+def test_stateful_streaming_sessionize(spark, tmp_path):
+    """Closed sessions from the stateful streaming operator must equal
+    the batch sessionize() result once the watermark passes every
+    session's end (a far-future sentinel event forces that)."""
+    import datetime
+
+    from whylogs_spark.ops.events import sessionize
+    from whylogs_spark.streaming.sessions import streaming_sessionize
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(uid, minutes):
+        return (uid, base + datetime.timedelta(minutes=minutes))
+
+    rows = []
+    for uid in range(1, 6):
+        # session 1: 3 events 10 min apart; session 2: 2 events after a
+        # 3-hour silence; session lengths vary per user
+        rows += [ev(uid, m) for m in (0, 10, 20 + uid)]
+        rows += [ev(uid, m) for m in (200, 210 + uid)]
+    main = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sentinel = spark.createDataFrame(
+        [(999, base + datetime.timedelta(days=30))],
+        "user_id long, ts timestamp")
+
+    src = str(tmp_path / "sess_src")
+    # two time-ordered files: main events, then the watermark-pushing
+    # sentinel (maxFilesPerTrigger=1 -> two microbatches + timeout batch)
+    main.coalesce(1).write.parquet(src + "/b=0")
+    sentinel.coalesce(1).write.parquet(src + "/b=1")
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    out = streaming_sessionize(stream, gap="30 minutes",
+                               watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM sessions WHERE user_id < 999").collect()
+    }
+
+    truth_df = (sessionize(main, gap="30 minutes")
+                .groupBy("user_id", "session_id")
+                .agg(F.min("ts").alias("session_start"),
+                     F.max("ts").alias("session_end"),
+                     F.count(F.lit(1)).alias("n_events")))
+    truth = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in truth_df.collect()
+    }
+    assert got == truth
+    assert len(got) == 10  # 2 sessions x 5 users

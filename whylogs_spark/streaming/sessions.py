@@ -1,0 +1,107 @@
+"""Stateful streaming sessionization (``applyInPandasWithState``).
+
+The batch operator (ops/events.py:sessionize) assigns gap-based session
+ids with a window over the full history; on an unbounded stream that
+history is state. This operator keeps ONE open session per user as a
+3-field state row and emits a session the moment it closes — either
+because a newer event arrived past the gap, or because the event-time
+watermark passed ``last_event + gap`` (an event-time timeout), so
+sessions of silent users close without waiting for their next event.
+
+This is the superset of the reference's processing-time rolling loggers
+(python/whylogs/api/logger/rolling.py) for the sessionization use case:
+event-time semantics, late-data tolerance via the watermark, and
+executor-distributed state keyed by user — state scales horizontally
+with the cluster, and each microbatch touches only users present in the
+batch or due for timeout.
+
+Caveats (documented, standard for streaming sessionization): events
+arriving out of order ACROSS microbatches within the watermark are
+folded into the open session (``last = max(last, ts)``) rather than
+re-splitting history; within a microbatch events are sorted by event
+time first.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _gap_ms(gap: str) -> int:
+    return int(pd.Timedelta(gap).total_seconds() * 1000)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """-> streaming DataFrame of CLOSED sessions
+    ``(user, session_start, session_end, n_events)``, append-mode.
+
+    One shuffle per microbatch (hash on ``user_col`` — the same key the
+    state store is partitioned by, so state access is local); state per
+    user is 3 longs regardless of session length.
+    """
+    gms = _gap_ms(gap)
+    out_schema = (f"{user_col} long, session_start timestamp, "
+                  f"session_end timestamp, n_events long")
+    state_schema = "start long, last long, n long"
+
+    def close_row(uid, start, last, n) -> pd.DataFrame:
+        return pd.DataFrame({
+            user_col: [uid],
+            "session_start": [pd.to_datetime(start, unit="ms")],
+            "session_end": [pd.to_datetime(last, unit="ms")],
+            "n_events": [n],
+        })
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield close_row(uid, start, last, n)
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        ev = pd.concat(parts)
+        ts = ev[ts_col].sort_values().astype("int64") // 1_000_000
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for t in ts:
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gms:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last = max(last, t)
+                n += 1
+        state.update((int(start), int(last), int(n)))
+        # close on watermark passing last+gap; the timeout timestamp must
+        # sit strictly beyond the current watermark
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(int(last) + gms, wm + 1))
+        if closed:
+            yield pd.concat(
+                [close_row(uid, s, e, k) for s, e, k in closed])
+
+    marked = stream.withWatermark(ts_col, watermark)
+    return marked.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)
