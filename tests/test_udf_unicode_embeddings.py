@@ -281,3 +281,68 @@ def test_condition_validator_actions(spark):
     ok = ConditionValidator(
         "ok", {"x_ge_0": F.col("x") >= 0}, actions=[raise_error])
     ok.validate(df, column="x", id_col="rid")
+
+
+def _subspace_gap(u_a, u_b):
+    """sin of the largest principal angle between the two column spans."""
+    pa = u_a @ u_a.T
+    pb = u_b @ u_b.T
+    return float(np.linalg.norm(pa - pb, 2))
+
+
+def test_updatable_svd_rank_limited_equals_batch(spark):
+    """decay=1 on data of true rank <= k: the batch-by-batch sketch spans
+    the same subspace as one exact SVD over the union (reference
+    UpdatableSvdMetric._resketch semantics, nlp_metric.py:113)."""
+    rng = np.random.default_rng(5)
+    basis = np.linalg.qr(rng.normal(size=(16, 4)))[0]  # rank-4 in dim 16
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        return (r.normal(size=(n, 4)) * [5, 3, 2, 1]) @ basis.T
+    a, b = mk(300, 1), mk(200, 2)
+    dfa = spark.createDataFrame(
+        [(v.tolist(),) for v in a], "embedding: array<double>")
+    dfb = spark.createDataFrame(
+        [(v.tolist(),) for v in b], "embedding: array<double>")
+    dfu = spark.createDataFrame(
+        [(v.tolist(),) for v in np.concatenate([a, b])],
+        "embedding: array<double>")
+
+    sk = emb_mod.UpdatableSvd(k=4, decay=1.0)
+    sk.update(dfa, "embedding").update(dfb, "embedding")
+    u_batch = emb_mod.svd_reference(dfu, "embedding", k=4)
+    assert _subspace_gap(sk.U, u_batch) < 1e-6
+    # singular values match the exact ones too
+    g = np.concatenate([a, b])
+    s_exact = np.linalg.svd(g, compute_uv=False)[:4]
+    assert np.allclose(sk.S, s_exact, rtol=1e-8)
+
+
+def test_updatable_svd_decay_forgets_old_batches(spark):
+    """With decay, an old dominant direction ages out; without it, it
+    stays on top."""
+    e1 = np.eye(8)[0]
+    e2 = np.eye(8)[1]
+    old = spark.createDataFrame(
+        [((e1 * 1.0).tolist(),) for _ in range(100)],
+        "embedding: array<double>")
+    new = spark.createDataFrame(
+        [((e2 * 1.0).tolist(),) for _ in range(25)],
+        "embedding: array<double>")
+
+    keep = emb_mod.UpdatableSvd(k=2, decay=1.0)
+    keep.update(old, "embedding").update(new, "embedding")
+    assert abs(keep.U[:, 0] @ e1) > 0.99       # old mass still dominates
+
+    fade = emb_mod.UpdatableSvd(k=2, decay=0.2)
+    fade.update(old, "embedding").update(new, "embedding")
+    assert abs(fade.U[:, 0] @ e2) > 0.99       # decayed: new mass wins
+    # residuals flow through the distributed projection path
+    out = fade.residuals(new, "embedding")
+    r = out.select(F.col("`embedding.residual`")).first()[0]
+    assert r == pytest.approx(0.0, abs=1e-9)
+
+    with pytest.raises(ValueError, match="decay"):
+        emb_mod.UpdatableSvd(k=2, decay=0.0)
+    with pytest.raises(ValueError, match="update"):
+        emb_mod.UpdatableSvd(k=2).residuals(new, "embedding")

@@ -119,27 +119,16 @@ def reference_centroids(
 
 
 # ------------------------------------------------------------------- SVD/LSI
-def svd_reference(
-    df: DataFrame, vec_col: str, k: int = 8
-) -> "np.ndarray":
-    """Top-k left singular vectors U (dim x k) of the vector stream.
-
-    Reference SvdMetric keeps a rank-k (U, S) sketch updated in-stream
-    (python/whylogs/experimental/extras/nlp_metric.py:46,113). Spark-first
-    equivalent: aggregate the Gram matrix G = sum(v v^T) with a
-    per-partition numpy outer-product accumulate inside ``mapInArrow``
-    (dim x dim doubles per partition — never the raw vectors), sum the
-    partials on the driver, then eigendecompose. Exact w.r.t. the data
-    (no decay), deterministic, one pass, shuffle = #partitions * dim^2
-    doubles.
-    """
+def _gram_matrix(df: DataFrame, vec_col: str, dim: int) -> "np.ndarray":
+    """Distributed Gram aggregation: per-partition numpy outer-product
+    accumulate inside ``mapInArrow`` — executors ship dim x dim doubles,
+    never raw vectors."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
-    dim = len(df.select(vec_col).first()[0])
     proj = df.select(F.col(vec_col).cast("array<double>").alias("v"))
-
-    out_schema = T.StructType([T.StructField("g", T.ArrayType(T.DoubleType()))])
+    out_schema = T.StructType(
+        [T.StructField("g", T.ArrayType(T.DoubleType()))])
 
     def gram(batches):
         acc = np.zeros((dim, dim))
@@ -158,6 +147,84 @@ def svd_reference(
     g = np.zeros((dim, dim))
     for r in partials:
         g += np.array(r["g"]).reshape(dim, dim)
+    return g
+
+
+def _gram_svd(df: DataFrame, vec_col: str, k: int):
+    """-> (U: dim x k, S: k) right-singular sketch of the vector stream
+    from one distributed Gram pass (S = sqrt of Gram eigenvalues)."""
+    dim = len(df.select(vec_col).first()[0])
+    g = _gram_matrix(df, vec_col, dim)
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:k]
+    return vecs[:, order], np.sqrt(np.clip(vals[order], 0.0, None))
+
+
+class UpdatableSvd:
+    """Rank-k (U, S) subspace sketch with exponential decay, updated
+    batch-by-batch — parity with the reference's UpdatableSvdMetric
+    (python/whylogs/experimental/extras/nlp_metric.py:113 _resketch:
+    QR of [decay*U0*S0 | U1*S1], truncated SVD of R), with the batch
+    factorization computed by the distributed Gram pass instead of a
+    row-at-a-time stream.
+
+    decay < 1 ages out old batches so the basis tracks topic drift; at
+    decay == 1 and data of true rank <= k the sketch equals the exact
+    SVD of the concatenated stream.
+    """
+
+    def __init__(self, k: int = 8, decay: float = 1.0) -> None:
+        if not 0.0 < decay <= 1.0:
+            raise ValueError("decay must be in (0, 1]")
+        self.k = int(k)
+        self.decay = float(decay)
+        self.U: "np.ndarray | None" = None  # dim x k
+        self.S: "np.ndarray | None" = None  # k
+
+    def update(self, df: DataFrame, vec_col: str = "embedding"):
+        U1, S1 = _gram_svd(df, vec_col, self.k)
+        if self.U is None:
+            self.U, self.S = U1, S1
+            return self
+        U0, S0 = self.U, self.S
+        if U0.shape[0] < U1.shape[0]:  # dimensionality grew: pad like ref
+            U0 = np.pad(U0, ((0, U1.shape[0] - U0.shape[0]), (0, 0)))
+        elif U1.shape[0] < U0.shape[0]:
+            U1 = np.pad(U1, ((0, U0.shape[0] - U1.shape[0]), (0, 0)))
+        stacked = np.concatenate(
+            (self.decay * U0 * S0, U1 * S1), axis=1)
+        Q, R = np.linalg.qr(stacked)
+        UR, S, _ = np.linalg.svd(R)
+        self.U = Q @ UR[:, : self.k]
+        self.S = S[: self.k]
+        return self
+
+    def residuals(self, df: DataFrame,
+                  vec_col: str = "embedding") -> DataFrame:
+        """Distributed residual norms (``<vec_col>.residual``) against
+        the current basis via the in-plan projection arithmetic of
+        with_lsi_residuals."""
+        if self.U is None:
+            raise ValueError("update() the sketch before residuals()")
+        return with_lsi_residuals(df, vec_col, self.U)
+
+
+def svd_reference(
+    df: DataFrame, vec_col: str, k: int = 8
+) -> "np.ndarray":
+    """Top-k left singular vectors U (dim x k) of the vector stream.
+
+    Reference SvdMetric keeps a rank-k (U, S) sketch updated in-stream
+    (python/whylogs/experimental/extras/nlp_metric.py:46,113). Spark-first
+    equivalent: aggregate the Gram matrix G = sum(v v^T) with a
+    per-partition numpy outer-product accumulate inside ``mapInArrow``
+    (dim x dim doubles per partition — never the raw vectors), sum the
+    partials on the driver, then eigendecompose. Exact w.r.t. the data
+    (no decay), deterministic, one pass, shuffle = #partitions * dim^2
+    doubles. For batch-by-batch updating with decay, see UpdatableSvd.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    g = _gram_matrix(df, vec_col, dim)
     vals, vecs = np.linalg.eigh(g)
     order = np.argsort(vals)[::-1][:k]
     return vecs[:, order]

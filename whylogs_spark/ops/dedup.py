@@ -366,25 +366,60 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_edge_cap: int = 2_000_000,
 ) -> DataFrame:
-    """(node, component) — single-link transitive closure of a pair set
-    via iterative min-label propagation; component = min node id of the
-    connected component.
+    """(node, component) — single-link transitive closure of a pair set;
+    component = min node id of the connected component.
 
-    Each round every node adopts the smallest label among itself and its
-    neighbors' labels (one join + groupBy-min per round, both keyed on
-    node ids). Label values jump along shortcuts created in earlier
-    rounds, so convergence is O(log(diameter)) rounds in practice —
-    duplicate chains in real corpora are a handful of hops. Each round
-    localCheckpoints (plan truncation + convergence is driver-observed),
-    so lineage stays O(1) — the large-star/small-star shape of
-    Kiveris et al. (2014) with both star operations fused into the
-    groupBy-min.
+    The verified pair graph is orders of magnitude smaller than the
+    corpus (it only contains near-duplicates that survived banding AND
+    exact verification), so up to ``driver_edge_cap`` edges it is
+    collected and closed with a driver-side union-find — ONE job instead
+    of 3 jobs x rounds. Past the cap it falls back to distributed
+    min-label propagation: each round every node adopts the smallest
+    label among itself and its neighbors (join + groupBy-min, both keyed
+    on node ids); labels jump along shortcuts from earlier rounds, so
+    convergence is O(log(diameter)) rounds — the large-star/small-star
+    shape of Kiveris et al. (2014) with both stars fused into the
+    groupBy-min. Each round localCheckpoints so lineage stays O(1).
     """
+    # materialize the (small) edge list once; both the driver path and
+    # the distributed fallback read from this checkpoint, so the LSH +
+    # verify pipeline upstream never recomputes
+    probe = pairs.select(F.col(id_a).alias("u"),
+                         F.col(id_b).alias("v")).localCheckpoint()
+    head = probe.limit(driver_edge_cap + 1).collect() \
+        if driver_edge_cap else []
+    if driver_edge_cap and len(head) <= driver_edge_cap:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in head:
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:  # union by min id: the root IS the component
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        rows = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        schema = probe.schema
+        return spark.createDataFrame(
+            rows or [], f"node {schema[0].dataType.simpleString()}, "
+                        f"component {schema[1].dataType.simpleString()}")
+
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .union(pairs.select(F.col(id_b).alias("u"),
-                            F.col(id_a).alias("v")))
+        probe.union(probe.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
         .distinct()
         .localCheckpoint()
     )
