@@ -182,3 +182,44 @@ def test_stateful_streaming_sessionize(spark, tmp_path):
     }
     assert got == truth
     assert len(got) == 10  # 2 sessions x 5 users
+
+
+def test_drift_monitor_sink_flags_shifted_batch(spark, tmp_path):
+    """Two microbatches against a N(0,1) reference: the matching batch
+    scores NO_DRIFT, the +8-shifted batch scores DRIFT and fires the
+    on_drift callback."""
+    import numpy as np
+
+    from whylogs_spark.streaming.drift_monitor import DriftMonitorSink
+
+    rng = np.random.default_rng(17)
+    ref_df = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(size=4000)], "value double")
+    reference = wsp.profile(ref_df)
+
+    src = str(tmp_path / "drift_src")
+    same = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(size=2000)], "value double")
+    shifted = spark.createDataFrame(
+        [(float(x) + 8.0,) for x in rng.normal(size=2000)], "value double")
+    same.coalesce(1).write.parquet(src + "/b=0")
+    shifted.coalesce(1).write.parquet(src + "/b=1")
+
+    fired = []
+    sink = DriftMonitorSink(
+        reference, str(tmp_path / "scores"),
+        on_drift=lambda bid, scores: fired.append(
+            (bid, [s.column for s in scores])))
+    stream = (spark.readStream.schema("value double")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    scores = {(r["batch_id"], r["col_name"]): r["category"]
+              for r in sink.read_scores(spark).collect()}
+    assert len(scores) == 2
+    cats = sorted(scores.values())
+    assert cats == ["DRIFT", "NO_DRIFT"]
+    assert len(fired) == 1 and fired[0][1] == ["value"]
