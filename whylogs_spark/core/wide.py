@@ -203,12 +203,35 @@ def wide_native_rows(
                for i, s in enumerate(segment_cols)]
     seg_names = [f"__s_{i}" for i in range(len(segment_cols))]
 
+    # Chunk the explode array: a single CreateArray of hundreds of
+    # structs is ONE generated expression, and past ~300 columns its
+    # code blows the JVM's 64KB method limit ("Code grows beyond 64 KB")
+    # — whole-stage codegen then silently falls back to interpreted
+    # evaluation for the entire rows x width stage. Exploding <=64-struct
+    # chunks and UNIONing keeps every branch codegen'd; each branch's
+    # scan prunes to its own disjoint column subset, so total I/O equals
+    # one full read no matter the chunk count, and the single groupBy
+    # above the union still partial-aggregates per branch before the one
+    # tiny colname shuffle.
+    _CHUNK = 64
+
+    def _stack_union(cols, struct_of):
+        parts = [
+            df.select(
+                *seg_sel,
+                F.explode(F.array(
+                    *[struct_of(c) for c in cols[i:i + _CHUNK]]))
+                .alias("kv"))
+            for i in range(0, len(cols), _CHUNK)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def run_class(item):
         vt, cols = item
-        stacked = df.select(
-            *seg_sel,
-            F.explode(F.array(*[_class_struct(c, vt) for c in cols]))
-            .alias("kv"))
+        stacked = _stack_union(cols, lambda c: _class_struct(c, vt))
         agg = (stacked.groupBy(*seg_names, F.col("kv.cn").alias("cn"))
                .agg(*_class_aggs(vt, cfg)))
         if cfg.cardinality_impl == "hll":
@@ -224,12 +247,10 @@ def wide_native_rows(
         return vt, rows
 
     def run_presence(cols):
-        stacked = df.select(
-            *seg_sel,
-            F.explode(F.array(*[
-                F.struct(F.lit(c).alias("cn"),
-                         qcol(c).isNotNull().cast("long").alias("p"))
-                for c in cols])).alias("kv"))
+        stacked = _stack_union(
+            cols,
+            lambda c: F.struct(F.lit(c).alias("cn"),
+                               qcol(c).isNotNull().cast("long").alias("p")))
         agg = (stacked.groupBy(*seg_names, F.col("kv.cn").alias("cn"))
                .agg(F.count(F.lit(1)).alias("cnt"),
                     F.coalesce(F.sum("kv.p"), F.lit(0)).alias("nonnull")))
