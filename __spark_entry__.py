@@ -650,6 +650,18 @@ def _q_lsi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (ops/text.py) — tokenize
+    in-scan, tf/df aggregations, term join, window top-k; the oracle
+    recomputes the identical smoothed-idf pipeline in SQL, rank ties
+    broken on the rounded score so float last-ulp ln() differences
+    cannot flip the order."""
+    out = text_ops.tf_idf_top_terms(
+        _t(spark, sf_dir, "documents"), k=3)
+    return out.select(
+        "doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+
+
 def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-keyed train/test/valid split (ops/sampling.py)
     — a pure map-side projection (zero shuffle before the summary agg);
@@ -913,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": _q_lsh_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
         "knn_join_embeddings": _q_knn_join,
+        "tfidf_top_terms_documents": _q_tfidf,
         "hash_split_orders": _q_hash_split,
         "stratified_sample_lineitem": _q_stratified_sample,
         "group_sample_events": _q_group_sample,
@@ -1549,6 +1562,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings "
             "ORDER BY list_cosine_similarity(embedding :: DOUBLE[], "
             "(SELECT e FROM q)) DESC, vec_id ASC LIMIT 10"
+        ),
+        "tfidf_top_terms_documents": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS term FROM documents), "
+            "tok2 AS (SELECT * FROM tok WHERE length(term) >= 2), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 "
+            "GROUP BY 1, 2), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*) AS n FROM documents) "
+            "SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rank FROM ("
+            "SELECT tf.doc_id, tf.term, "
+            "round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) "
+            "AS tfidf, "
+            "row_number() OVER (PARTITION BY tf.doc_id ORDER BY "
+            "round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) "
+            "DESC, tf.term ASC) AS rk "
+            "FROM tf JOIN dfq USING (term) CROSS JOIN n) WHERE rk <= 3"
         ),
         # md5-prefix thresholds: round(f * 16^8) in 8-char lowercase hex
         # (0.8 -> cccccccd, 0.9 -> e6666666; 1.0 -> 'gggggggg' > any hex)

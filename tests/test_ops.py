@@ -264,3 +264,24 @@ def test_simhash_neardup_pairs(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == ham(sigs[1], sigs[2])
+
+
+def test_tfidf_top_terms(spark):
+    from whylogs_spark.ops.text import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple cherry"),
+         (2, "banana cherry cherry date"),
+         (3, "apple zebra")],
+        "doc_id long, text string")
+    out = tf_idf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # zebra is unique to doc 3 -> highest idf there; apple shared with 1
+    assert sorted(by_doc[3]) == [(1, "zebra"), (2, "apple")]
+    # doc 1: apple tf=2 beats cherry/banana tf=1
+    assert by_doc[1][0] == (1, "apple") or sorted(by_doc[1])[0] == (1, "apple")
+    assert all(len(v) == 2 for v in by_doc.values())
+    # every rank is 1..2 and scores are positive
+    assert all(r["tfidf"] > 0 for r in out)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets for the heuristic language ID.
@@ -176,3 +176,44 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
     return df.withColumn("fingerprint", F.xxhash64(normalized)).withColumn(
         "fingerprint_md5", F.md5(normalized))
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    token_pattern: str = "[a-z0-9]+",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction for corpus
+    triage / topic auditing). Returns (id, term, tfidf, rank).
+
+    tfidf = tf * (ln((N+1)/(df+1)) + 1) — the smoothed-idf convention.
+
+    Distributed shape: tokenize in-scan (regexp, codegen) ->
+    groupBy(doc, term) for tf -> groupBy(term) for df (map-side partial
+    on top of the tf shuffle's output) -> join on term (AQE broadcasts
+    when the vocabulary is small) -> window top-k per doc. Ranking ties
+    break on the 6-decimal-rounded score then term, so the order is
+    reproducible across engines (raw float ordering could flip on
+    last-ulp ln() differences).
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(token_pattern), F.lit(0))
+        ).alias("term"),
+    ).filter(F.length("term") >= min_term_len)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    scored = (tf.join(dfreq, "term")
+              .withColumn("tfidf", F.round(F.col("tf") * idf, 6)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", "tfidf", "rank"))
