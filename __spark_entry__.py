@@ -650,6 +650,49 @@ def _q_lsi_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIDE_GATE_N = 120
+
+
+def _q_profile_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the WIDE unpivot path end-to-end (120 derived columns >
+    wide_column_threshold=96 forces it): per-column exact distribution
+    stats out of the chunked explode/union plan, hash-matched against a
+    generated 120-branch SQL oracle — proving the wide path's values,
+    not just wide-vs-narrow parity."""
+    df = _t(spark, sf_dir, "lineitem")
+    wide = df.select(*[
+        (F.col("l_quantity") * (i + 1) + F.col("l_tax")).alias(f"w{i}")
+        for i in range(_WIDE_GATE_N)])
+    cfg = wsp.MetricConfig(quantile_impl="none", frequent_items_impl="none",
+                           cardinality_impl="approx",
+                           wide_column_threshold=96)
+    view = wsp.profile(wide, config=cfg)
+    long = view.df.filter(F.col("metric") == "distribution")
+    out = (long.groupBy("column")
+           .pivot("component", ["n", "mean", "stddev", "min", "max"])
+           .agg(F.first(F.coalesce(F.col("d"), F.col("n").cast("double")))))
+    return out.select(
+        F.col("column").alias("col_name"),
+        F.col("n").cast("long").alias("n_num"),
+        F.round(F.col("mean"), 4).alias("mean"),
+        F.round(F.col("stddev"), 4).alias("stddev"),
+        F.round(F.col("min"), 4).alias("vmin"),
+        F.round(F.col("max"), 4).alias("vmax"))
+
+
+def _wide_profile_sql() -> str:
+    parts = []
+    for i in range(_WIDE_GATE_N):
+        e = f"(l_quantity * {i + 1}.0 + l_tax)"
+        parts.append(
+            f"SELECT 'w{i}' AS col_name, count({e}) AS n_num, "
+            f"round(avg({e}), 4) AS mean, "
+            f"round(stddev_samp({e}), 4) AS stddev, "
+            f"round(min({e}), 4) AS vmin, round(max({e}), 4) AS vmax "
+            f"FROM lineitem")
+    return " UNION ALL ".join(parts)
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (ops/text.py) — tokenize
     in-scan, tf/df aggregations, term join, window top-k; the oracle
@@ -925,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": _q_lsh_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
         "knn_join_embeddings": _q_knn_join,
+        "profile_wide_lineitem": _q_profile_wide,
         "tfidf_top_terms_documents": _q_tfidf,
         "hash_split_orders": _q_hash_split,
         "stratified_sample_lineitem": _q_stratified_sample,
@@ -1563,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_cosine_similarity(embedding :: DOUBLE[], "
             "(SELECT e FROM q)) DESC, vec_id ASC LIMIT 10"
         ),
+        "profile_wide_lineitem": _wide_profile_sql(),
         "tfidf_top_terms_documents": (
             "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all("
             "lower(text), '[a-z0-9]+')) AS term FROM documents), "
