@@ -928,6 +928,103 @@ def _q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "check string, n_checked long, n_ok long")
 
 
+# Deterministic text augmentation shared by the corpus-quality gate
+# queries: plants repeated lines / bullets / ellipses (doc_id%3) and
+# symbols + PII strings (doc_id%5) so every rule path has signal; the
+# oracle SQL applies the identical concatenation.
+def _aug_text_col() -> F.Column:
+    d = F.col("doc_id")
+    suf1 = F.lit("\ndup line\ndup line\n- bullet point\ntrailing...")
+    suf2 = F.concat(
+        F.lit(" ### contact bob"), d.cast("string"),
+        F.lit("@example.com or https://ex"), d.cast("string"),
+        F.lit(".test/path see 10.0.0."), (d % 250).cast("string"),
+        F.lit(" call +1-555-123-4567 …"))
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, suf1).otherwise(F.lit("")),
+        F.when(d % 5 == 0, suf2).otherwise(F.lit("")))
+
+
+_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'dup line' || "
+    "chr(10) || 'dup line' || chr(10) || '- bullet point' || chr(10) || "
+    "'trailing...' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN "
+    "' ### contact bob' || doc_id::VARCHAR || '@example.com or "
+    "https://ex' || doc_id::VARCHAR || '.test/path see 10.0.0.' || "
+    "(doc_id % 250)::VARCHAR || ' call +1-555-123-4567 …' "
+    "ELSE '' END"
+)
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/symbol document filter (ops/quality.py)
+    over augmented documents — per-doc duplicate-line / duplicate-
+    3-gram / modal-token fractions, symbol ratio, ellipsis+bullet line
+    fractions and the combined pass verdict; every measure is a single
+    per-row division so the rounded values are bit-reproducible in the
+    SQL oracle."""
+    from whylogs_spark.ops import quality as quality_ops
+
+    df = (_t(spark, sf_dir, "documents")
+          .filter(F.col("doc_id") < 40)
+          .withColumn("text", _aug_text_col()))
+    d = quality_ops.gopher_filter(df)
+    return d.select(
+        "doc_id", "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+        F.round("top_unigram_frac", 6).alias("top_unigram_frac"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        "gopher_pass")
+
+
+def _q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (ops/quality.py): RE2-safe email/url/
+    ipv4/phone regex counts over augmented documents, aggregated per
+    source; sum(length(redacted)) proves the redaction rewrite
+    byte-for-byte against the oracle's chained regexp_replace."""
+    from whylogs_spark.ops import quality as quality_ops
+
+    df = (_t(spark, sf_dir, "documents")
+          .withColumn("text", _aug_text_col()))
+    d = quality_ops.with_pii_stats(df, redact=True)
+    return d.groupBy("source").agg(
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_url").alias("n_url"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum(F.length("text_redacted")).alias("len_redacted"))
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/decontam.py): flag corpus docs
+    (doc_id%10≠0) sharing any word 8-gram with the benchmark split
+    (doc_id%10=0). Broadcast benchmark gram set + hash-join probe —
+    only matches reach the final doc_id shuffle; the oracle recomputes
+    the identical distinct-gram join."""
+    from whylogs_spark.ops import decontam as decontam_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = decontam_ops.ngram_decontaminate(corpus, bench, n=8)
+    return (out.filter(F.col("is_contaminated"))
+            .select("doc_id", "contaminated_ngrams"))
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-fill chunk packing (ops/sampling.py): assign docs to
+    20k-char training chunks per source shard via one windowed cumsum
+    — integer-exact against the oracle's identical window."""
+    out = sampling_ops.pack_chunks(
+        _t(spark, sf_dir, "documents"), "n_chars", budget=20000,
+        shard_cols=["source"], order_cols=["doc_id"])
+    return out.select("doc_id", "chunk_offset", "chunk_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_counts_lineitem": _q_profile_counts,
@@ -978,10 +1075,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_full_lineitem": _q_profile_full,
         "profile_nested_orders": _q_profile_nested,
         "sketch_bounds_lineitem": _q_sketch_bounds,
+        "gopher_quality_documents": _q_gopher_quality,
+        "pii_stats_documents": _q_pii_stats,
+        "decontaminate_documents": _q_decontaminate,
+        "pack_chunks_documents": _q_pack_chunks,
     }
 
 
 # ---------------------------------------------------------------- oracle SQL
+def _gopher_sql() -> str:
+    """Recompute every Gopher rule in DuckDB list/lambda SQL with the
+    exact operation order of ops/quality.py, so each per-doc division
+    is bit-identical before the 6-decimal rounding."""
+    return (
+        f"WITH base AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents "
+        "WHERE doc_id < 40), "
+        "feat AS (SELECT doc_id, "
+        "CASE WHEN len(trim(t)) = 0 THEN []::VARCHAR[] "
+        "ELSE string_split_regex(lower(trim(t)), '\\s+') END AS l, "
+        "list_filter(list_transform(string_split(t, chr(10)), "
+        "x -> trim(x)), x -> len(x) > 0) AS lines, "
+        "(len(t) - len(replace(t, '#', ''))) "
+        "+ (len(t) - len(replace(t, '…', ''))) "
+        "+ ((len(t) - len(replace(t, '...', ''))) / 3) AS nsym "
+        "FROM base), "
+        "feat2 AS (SELECT doc_id, l, lines, nsym, "
+        "CASE WHEN len(l) < 3 THEN []::VARCHAR[] "
+        "ELSE list_transform(range(1, len(l) - 1), "
+        "i -> array_to_string(l[i:i+2], ' ')) END AS grams FROM feat), "
+        "m AS (SELECT doc_id, len(lines) AS n_lines, len(l) AS ntok, "
+        "CASE WHEN len(lines) <= 0 THEN 0.0 ELSE 1.0 - "
+        "len(list_distinct(lines))::DOUBLE / len(lines) END AS dlf, "
+        "CASE WHEN len(grams) <= 0 THEN 0.0 ELSE 1.0 - "
+        "len(list_distinct(grams))::DOUBLE / len(grams) END AS dgf, "
+        "CASE WHEN len(l) = 0 THEN 0.0 ELSE "
+        "list_max(list_transform(list_distinct(l), "
+        "u -> len(list_filter(l, x -> x = u))))::DOUBLE / len(l) "
+        "END AS tuf, "
+        "CASE WHEN len(l) > 0 THEN nsym / len(l) ELSE 0.0 END AS swr, "
+        "CASE WHEN len(lines) <= 0 THEN 0.0 ELSE "
+        "len(list_filter(lines, x -> ends_with(x, '...') OR "
+        "ends_with(x, '…')))::DOUBLE / len(lines) END AS elf, "
+        "CASE WHEN len(lines) <= 0 THEN 0.0 ELSE "
+        "len(list_filter(lines, x -> starts_with(x, '-') OR "
+        "starts_with(x, '*') OR starts_with(x, '•')))::DOUBLE "
+        "/ len(lines) END AS blf FROM feat2) "
+        "SELECT doc_id, CAST(n_lines AS INT) AS n_lines, "
+        "round(dlf, 6) AS dup_line_frac, "
+        "round(dgf, 6) AS dup_ngram_frac, "
+        "round(tuf, 6) AS top_unigram_frac, "
+        "round(swr, 6) AS symbol_word_ratio, "
+        "round(elf, 6) AS ellipsis_line_frac, "
+        "round(blf, 6) AS bullet_line_frac, "
+        "((ntok BETWEEN 50 AND 100000) AND dlf <= 0.30 AND "
+        "dgf <= 0.60 AND tuf <= 0.30 AND swr <= 0.10 AND "
+        "elf <= 0.30 AND blf <= 0.90) AS gopher_pass FROM m"
+    )
+
+
+def _pii_sql() -> str:
+    from whylogs_spark.ops.quality import PII_PATTERNS as P
+
+    red = "t"
+    for kind in P:
+        red = (f"regexp_replace({red}, '{P[kind]}', "
+               f"'<{kind.upper()}>', 'g')")
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{P[k]}')) AS c_{k}" for k in P)
+    return (
+        f"WITH base AS (SELECT source, {_AUG_SQL} AS t FROM documents), "
+        f"p AS (SELECT source, {counts}, {red} AS red FROM base) "
+        "SELECT source, sum(c_email)::BIGINT AS n_email, "
+        "sum(c_url)::BIGINT AS n_url, sum(c_ipv4)::BIGINT AS n_ipv4, "
+        "sum(c_phone)::BIGINT AS n_phone, "
+        "sum(len(red))::BIGINT AS len_redacted FROM p GROUP BY source"
+    )
+
+
+def _decontam_sql() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 "
+        "THEN []::VARCHAR[] ELSE string_split_regex(lower(trim(text)), "
+        "'\\s+') END AS l FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_distinct("
+        "CASE WHEN len(l) < 8 THEN []::VARCHAR[] "
+        "ELSE list_transform(range(1, len(l) - 6), "
+        "i -> array_to_string(l[i:i+7], ' ')) END)) AS gram FROM tok), "
+        "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0), "
+        "c AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0) "
+        "SELECT doc_id, count(*) AS contaminated_ngrams "
+        "FROM c JOIN b USING (gram) GROUP BY doc_id"
+    )
+
+
 def _counts_sql() -> str:
     parts = [
         f"SELECT '{c}' AS col_name, count(*) AS n, "
@@ -1688,5 +1874,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(sum(accuracy * n) / sum(n), 6) AS "
             "estimated_accuracy, sum(n)::BIGINT AS n_target "
             "FROM ref_acc JOIN tgt_vol USING (segment)"
+        ),
+        "gopher_quality_documents": _gopher_sql(),
+        "pii_stats_documents": _pii_sql(),
+        "decontaminate_documents": _decontam_sql(),
+        "pack_chunks_documents": (
+            "SELECT doc_id, "
+            "(sum(n_chars) OVER w - n_chars)::BIGINT AS chunk_offset, "
+            "floor((sum(n_chars) OVER w - n_chars) / 20000)::BIGINT "
+            "AS chunk_id FROM documents WINDOW w AS ("
+            "PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
     }

@@ -1,0 +1,150 @@
+"""Unit tests for ops/quality.py (Gopher filter, PII), ops/decontam.py
+(benchmark n-gram decontamination), and pack_chunks (ops/sampling.py).
+
+The gate queries check these against DuckDB oracles on the sf0.01
+fixture; here we pin hand-computable values on tiny frames so failures
+localize to an operator, not a pipeline.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.ops import decontam, quality, sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "a a a b c\ndup line\ndup line\n- bullet\nend..."),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "x " * 60),
+            (3, "write to bob@example.com or https://x.test/a "
+                "from 10.0.0.1 call +1-555-123-4567"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def _row(df, doc_id):
+    return {r["doc_id"]: r for r in df.collect()}[doc_id]
+
+
+class TestRepetition:
+    def test_dup_line_frac(self, docs):
+        out = quality.with_repetition_stats(docs)
+        r = _row(out, 0)
+        # 5 non-blank lines, 'dup line' repeated once -> 1 - 4/5
+        assert r["n_lines"] == 5
+        assert r["dup_line_frac"] == pytest.approx(0.2)
+        assert _row(out, 1)["dup_line_frac"] == 0.0
+
+    def test_dup_ngram_frac_repeated_token(self, docs):
+        out = quality.with_repetition_stats(docs)
+        r = _row(out, 2)  # 60 identical tokens -> 58 grams, 1 distinct
+        assert r["dup_ngram_frac"] == pytest.approx(1 - 1 / 58)
+
+    def test_top_unigram_frac(self, docs):
+        out = quality.with_repetition_stats(docs)
+        # doc 0: 12 tokens, modal 'a' x3
+        assert _row(out, 0)["top_unigram_frac"] == pytest.approx(3 / 12)
+        # doc 1: 'the' x2 of 9
+        assert _row(out, 1)["top_unigram_frac"] == pytest.approx(2 / 9)
+
+    def test_empty_text_is_zero_not_null(self, docs):
+        out = quality.with_repetition_stats(docs)
+        r = _row(out, 4)
+        assert r["dup_line_frac"] == 0.0
+        assert r["dup_ngram_frac"] == 0.0
+        assert r["top_unigram_frac"] == 0.0
+
+
+class TestSymbolsAndFilter:
+    def test_symbol_and_line_fracs(self, docs):
+        out = quality.with_symbol_stats(docs)
+        r = _row(out, 0)  # one '...' over 12 tokens
+        assert r["symbol_word_ratio"] == pytest.approx(1 / 12)
+        assert r["ellipsis_line_frac"] == pytest.approx(1 / 5)
+        assert r["bullet_line_frac"] == pytest.approx(1 / 5)
+
+    def test_gopher_filter_rules_and_verdict(self, docs):
+        out = quality.gopher_filter(docs, min_tokens=2)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        # doc 2 fails repetition rules
+        assert not rows[2]["rule_dup_ngram_ok"]
+        assert not rows[2]["rule_top_unigram_ok"]
+        assert not rows[2]["gopher_pass"]
+        assert rows[1]["gopher_pass"]
+        # doc 4 fails the length window only
+        assert not rows[4]["rule_len_ok"]
+        assert not rows[4]["gopher_pass"]
+
+
+class TestPii:
+    def test_counts_and_redaction(self, docs):
+        out = quality.with_pii_stats(docs, redact=True)
+        r = _row(out, 3)
+        assert (r["n_email"], r["n_url"], r["n_ipv4"], r["n_phone"]) \
+            == (1, 1, 1, 1)
+        assert r["n_pii"] == 4
+        red = r["text_redacted"]
+        for token in ("<EMAIL>", "<URL>", "<IPV4>", "<PHONE>"):
+            assert token in red
+        assert "bob@example.com" not in red
+        assert _row(out, 1)["n_pii"] == 0
+
+
+class TestDecontam:
+    def test_overlap_counts(self, docs, spark):
+        bench = docs.filter(F.col("doc_id") == 1)
+        corpus = docs.filter(F.col("doc_id") != 1)
+        exact_copy = spark.createDataFrame(
+            [(9, "the quick brown fox jumps over the lazy dog and more")],
+            ["doc_id", "text"])
+        out = decontam.ngram_decontaminate(
+            corpus.union(exact_copy), bench, n=4)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        # doc 9 shares all 6 4-grams of the 9-token benchmark doc
+        assert rows[9]["contaminated_ngrams"] == 6
+        assert rows[9]["is_contaminated"]
+        assert not rows[0]["is_contaminated"]
+        assert rows[0]["contaminated_ngrams"] == 0
+
+    def test_short_docs_produce_no_grams(self, docs, spark):
+        bench = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        out = decontam.ngram_decontaminate(docs, bench, n=8)
+        assert out.filter(F.col("is_contaminated")).count() == 0
+
+
+class TestPackChunks:
+    def test_sequential_fill(self, spark):
+        df = spark.createDataFrame(
+            [(i, "s", 40) for i in range(5)], ["id", "shard", "sz"])
+        out = sampling.pack_chunks(df, "sz", budget=100,
+                                   shard_cols=["shard"],
+                                   order_cols=["id"])
+        rows = {r["id"]: r for r in out.collect()}
+        # starts: 0,40,80,120,160 -> chunks 0,0,0,1,1
+        assert [rows[i]["chunk_offset"] for i in range(5)] \
+            == [0, 40, 80, 120, 160]
+        assert [rows[i]["chunk_id"] for i in range(5)] == [0, 0, 0, 1, 1]
+
+    def test_shards_pack_independently(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a", 90), (1, "a", 90), (0, "b", 90)],
+            ["id", "shard", "sz"])
+        out = sampling.pack_chunks(df, "sz", budget=100,
+                                   shard_cols=["shard"],
+                                   order_cols=["id"])
+        rows = {(r["shard"], r["id"]): r["chunk_id"] for r in out.collect()}
+        assert rows[("a", 0)] == 0 and rows[("a", 1)] == 0
+        assert rows[("b", 0)] == 0
+        offs = {(r["shard"], r["id"]): r["chunk_offset"]
+                for r in out.collect()}
+        assert offs[("b", 0)] == 0  # shard b restarts at offset 0
+
+    def test_budget_validation(self, spark):
+        df = spark.createDataFrame([(1, 1)], ["id", "sz"])
+        with pytest.raises(ValueError):
+            sampling.pack_chunks(df, "sz", budget=0)

@@ -1,0 +1,240 @@
+"""Corpus-quality filter operators for training-data pipelines.
+
+Implements the repetition / symbol-noise / PII family of document
+filters popularized by the Gopher (Rae et al. 2021, arXiv:2112.11446)
+and C4 (Raffel et al. 2020) cleaning recipes, re-expressed as Spark
+column expressions so a 100 TB cleaning pass stays a single narrow
+projection (no shuffle, whole-stage codegen) wherever the semantics
+allow.
+
+Reference parity note: the whylogs reference has no corpus-filter
+operators; this module is part of the training-pipeline superset
+surveyed in SURVEY.md §2.12 (alongside ops/text.py and ops/dedup.py).
+
+Operators
+---------
+* ``with_repetition_stats`` — duplicate-line / duplicate-n-gram /
+  top-unigram fractions (the Gopher repetition signals).
+* ``with_symbol_stats`` — symbol-to-word ratio, ellipsis/bullet line
+  fractions.
+* ``gopher_filter`` — combine both into per-rule booleans + a single
+  ``gopher_pass`` verdict with the published default thresholds.
+* ``with_pii_stats`` — email / URL / IPv4 / phone counts per document
+  (RE2-safe regexes so the same pattern runs in any SQL oracle), plus
+  an optional redacted text column.
+
+Scale shape
+-----------
+Everything here is per-row compute: tokenization and n-gram
+construction use array higher-order functions (codegen, JVM); the one
+non-linear piece — the modal-token count — uses a Counter inside an
+Arrow-batched pandas UDF (O(tokens) per row) instead of the quadratic
+distinct×filter HOF, so cost stays linear in corpus size with zero
+shuffle and no driver participation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_WS = r"\s+"
+
+
+def _tokens(c: Column) -> Column:
+    """Whitespace tokens of lowercased trimmed text; [] for blank."""
+    t = F.lower(F.trim(c))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, _WS))
+
+
+def _lines(c: Column) -> Column:
+    """Non-blank trimmed lines."""
+    raw = F.split(c, r"\n")
+    return F.filter(F.transform(raw, lambda x: F.trim(x)),
+                    lambda x: F.length(x) > 0)
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings ([] when fewer than n
+    tokens). ``slice`` + ``sequence`` keeps this inside codegen."""
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def _top_unigram_frac_udf():
+    """Fraction of tokens equal to the modal token — O(tokens) per doc
+    via a dict count (Arrow-batched; the HOF equivalent is O(tokens²)).
+    Built lazily: ``pandas_udf`` resolves its return type against the
+    active session, so the decorator cannot run at import time."""
+
+    def frac(s) -> float:
+        if s is None:
+            return 0.0
+        toks = str(s).lower().split()
+        if not toks:
+            return 0.0
+        counts: dict = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        return max(counts.values()) / len(toks)
+
+    @pandas_udf("double")
+    def _udf(text: pd.Series) -> pd.Series:
+        return text.map(frac)
+
+    return _udf
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """Add the Gopher repetition signals as columns.
+
+    * ``dup_line_frac`` — 1 − distinct/total over non-blank lines.
+    * ``dup_ngram_frac`` — 1 − distinct/total over word ``ngram``-grams
+      (Gopher §A1.1 uses n∈{2..4} occurrence fractions; a single
+      duplicate-share per n is the standard simplification).
+    * ``top_unigram_frac`` — share of the modal token.
+    """
+    c = F.col(text_col)
+    toks = _tokens(c)
+    lines = _lines(c)
+    grams = _word_ngrams(toks, ngram)
+    dup_frac = (
+        lambda arr: F.when(F.size(arr) <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(arr)).cast("double")
+            / F.size(arr))
+    )
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("dup_line_frac", dup_frac(lines))
+        .withColumn("dup_ngram_frac", dup_frac(grams))
+        .withColumn("top_unigram_frac", _top_unigram_frac_udf()(c))
+    )
+
+
+# Gopher counts '#' and '…' as symbols; '...' is the ASCII ellipsis.
+_SYMBOLS = ["#", "…"]
+
+
+def with_symbol_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Symbol-to-word ratio and ellipsis/bullet line fractions."""
+    c = F.col(text_col)
+    toks = _tokens(c)
+    lines = _lines(c)
+    n_sym = None
+    for s in _SYMBOLS:
+        cnt = F.length(c) - F.length(F.replace(c, F.lit(s)))
+        n_sym = cnt if n_sym is None else n_sym + cnt
+    # ASCII '...' counts once per occurrence (3 chars removed per hit)
+    dots = (F.length(c) - F.length(F.replace(c, F.lit("...")))) / 3
+    n_sym = (n_sym + dots).cast("double")
+    n_tok = F.size(toks)
+    frac_lines = lambda pred: F.when(
+        F.size(lines) <= 0, F.lit(0.0)
+    ).otherwise(F.size(F.filter(lines, pred)).cast("double")
+                / F.size(lines))
+    return (
+        df.withColumn(
+            "symbol_word_ratio",
+            F.when(n_tok > 0, n_sym / n_tok).otherwise(F.lit(0.0)))
+        .withColumn("ellipsis_line_frac",
+                    frac_lines(lambda ln: ln.endswith("...")
+                               | ln.endswith("…")))
+        .withColumn("bullet_line_frac",
+                    frac_lines(lambda ln: ln.startswith("-")
+                               | ln.startswith("*")
+                               | ln.startswith("•")))
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100000,
+    max_dup_line_frac: float = 0.30,
+    max_dup_ngram_frac: float = 0.60,
+    max_top_unigram_frac: float = 0.30,
+    max_symbol_word_ratio: float = 0.10,
+    max_ellipsis_line_frac: float = 0.30,
+    max_bullet_line_frac: float = 0.90,
+) -> DataFrame:
+    """Per-rule booleans + combined ``gopher_pass`` column using the
+    published Gopher defaults (doc-length window, repetition caps,
+    symbol caps). Rows are NOT dropped — filter on ``gopher_pass``
+    downstream so rejection reasons stay auditable."""
+    d = with_repetition_stats(df, text_col)
+    d = with_symbol_stats(d, text_col)
+    n_tok = F.size(_tokens(F.col(text_col)))
+    d = (
+        d.withColumn("rule_len_ok", n_tok.between(min_tokens, max_tokens))
+        .withColumn("rule_dup_line_ok",
+                    F.col("dup_line_frac") <= max_dup_line_frac)
+        .withColumn("rule_dup_ngram_ok",
+                    F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+        .withColumn("rule_top_unigram_ok",
+                    F.col("top_unigram_frac") <= max_top_unigram_frac)
+        .withColumn("rule_symbol_ok",
+                    F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        .withColumn("rule_ellipsis_ok",
+                    F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        .withColumn("rule_bullet_ok",
+                    F.col("bullet_line_frac") <= max_bullet_line_frac)
+    )
+    rules = [c for c in d.columns if c.startswith("rule_")]
+    verdict = F.lit(True)
+    for r in rules:
+        verdict = verdict & F.col(r)
+    return d.withColumn("gopher_pass", verdict)
+
+
+# RE2-safe PII patterns (no lookaround, no backrefs) so the identical
+# pattern string runs in Spark (Java regex) and DuckDB (RE2) oracles.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+[0-9]{1,3}[ \-][0-9]{3}[ \-][0-9]{3,4}[ \-][0-9]{4}",
+}
+
+
+def with_pii_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    redact: bool = False,
+    redacted_col: Optional[str] = None,
+) -> DataFrame:
+    """Count PII-pattern hits per document (``n_email``, ``n_url``,
+    ``n_ipv4``, ``n_phone``, ``n_pii``) and optionally add a redacted
+    text column with each hit replaced by ``<KIND>`` sentinels.
+
+    Pure regexp projection: no shuffle, pushdown-friendly, and every
+    pattern is RE2-compatible so oracles can re-run it verbatim.
+    """
+    c = F.col(text_col)
+    out = df
+    total = None
+    for kind, pat in PII_PATTERNS.items():
+        cnt = F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        out = out.withColumn(f"n_{kind}", cnt)
+        total = cnt if total is None else total + cnt
+    out = out.withColumn("n_pii", total)
+    if redact:
+        red = c
+        for kind, pat in PII_PATTERNS.items():
+            red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+        out = out.withColumn(redacted_col or f"{text_col}_redacted", red)
+    return out

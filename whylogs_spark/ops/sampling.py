@@ -126,3 +126,41 @@ def group_sample(
     if rank_col:
         return out.withColumnRenamed("__rk", rank_col)
     return out.drop("__rk")
+
+
+def pack_chunks(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    shard_cols: Optional[Sequence[str]] = None,
+    order_cols: Optional[Sequence[str]] = None,
+    chunk_col: str = "chunk_id",
+    offset_col: str = "chunk_offset",
+) -> DataFrame:
+    """Sequential-fill packing: assign rows (documents) to fixed-budget
+    chunks — the "concatenate then cut at document boundaries" step
+    that turns a cleaned corpus into ~equal token-count training
+    shards. A row belongs to the chunk where its first token lands:
+    ``chunk_id = floor((cumsum(size) - size) / budget)``, with
+    ``chunk_offset`` the row's start position inside the stream.
+
+    Deterministic given ``order_cols``; one shuffle on ``shard_cols``
+    (rows pack independently inside each shard, so 100 TB packs as
+    embarrassingly-parallel per-shard windows — use a hash_split-style
+    shard key to bound shard size). Without shard_cols the window is
+    global (single-reducer: only for small corpora / tests).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    order_cols = list(order_cols or [size_col])
+    part = [F.col(c) for c in (shard_cols or [])]
+    w = Window.partitionBy(*part).orderBy(
+        *[F.col(c).asc() for c in order_cols]) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(size_col)).over(w)
+    start = (cum - F.col(size_col)).cast("long")
+    return (
+        df.withColumn(offset_col, start)
+        .withColumn(chunk_col,
+                    F.floor(start / F.lit(budget)).cast("long"))
+    )
