@@ -79,7 +79,10 @@ def main() -> None:
 
     # 400-column frame derived from lineitem (~60k rows at sf0.1):
     # crosses wide_column_threshold=96, exercising the unpivot-per-type-
-    # class wide plan whose size stays O(1) in column count
+    # class wide plan whose size stays O(1) in column count. Cached like
+    # every other bench input: the synthetic column derivation is input
+    # prep, not part of the profiling operator under test (uncached, the
+    # per-type-class chunk branches would each re-derive it).
     wide_df = t["lineitem"].filter(F.col("l_orderkey") % 10 == 0).select(
         *[((F.col("l_extendedprice") * ((i % 7) + 1)
             + F.col("l_quantity") * i) % 1000.0).alias(f"w{i}")
@@ -87,7 +90,8 @@ def main() -> None:
         *[F.concat(F.lit(f"s{i}_"),
                    (F.col("l_partkey") % (40 + i)).cast("string"))
           .alias(f"ws{i}") for i in range(20)],
-    )
+    ).cache()
+    wide_df.count()
 
     def bench_profile_wide_400col():
         _noop(wsp.profile(wide_df, config=_FAST_CFG).df)
