@@ -139,15 +139,18 @@ def main() -> None:
             "2-column pruned scan": r"ReadSchema: struct<doc_id[^\n]*text",
         }))
 
-    # 5c. wide-mode profile: unpivot per type class -> partial agg by
-    # colname -> tiny shuffle -> final agg (O(1) plan size in width)
-    from whylogs_spark.core.wide import _class_aggs, _class_struct
+    # 5c. wide-mode profile: posexplode a primitive array per type
+    # class -> partial agg by int column id -> tiny shuffle -> final
+    # agg (O(1) plan size in width, no string group key)
+    from whylogs_spark.core.wide import (_class_aggs, _class_scalar,
+                                         _class_views)
     from whylogs_spark.core.datatypes import ValueType
-    stacked = li.select(F.explode(F.array(
-        *[_class_struct(c, ValueType.FRACTIONAL)
+    stacked = li.select(F.posexplode(F.array(
+        *[_class_scalar(c, ValueType.FRACTIONAL)
           for c in ("l_quantity", "l_extendedprice", "l_discount")]
-    )).alias("kv"))
-    wmode = stacked.groupBy(F.col("kv.cn").alias("cn")).agg(
+    )).alias("pos", "val")).select(
+        F.col("pos").alias("cid"), *_class_views(ValueType.FRACTIONAL))
+    wmode = stacked.groupBy("cid").agg(
         *_class_aggs(ValueType.FRACTIONAL,
                      wsp.MetricConfig(quantile_impl="none",
                                       frequent_items_impl="none",
@@ -155,11 +158,14 @@ def main() -> None:
     sections.append((
         "wide-mode class aggregation", wmode,
         {
-            "generator unpivot (explode), no join": r"Generate",
-            "partial agg before the colname exchange":
+            "generator unpivot (posexplode), no join":
+                r"Generate[\s\S]{0,200}posexplode",
+            "primitive array input (no struct construction)":
+                r"^(?![\s\S]*named_struct)",
+            "partial agg before the column-id exchange":
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
-            "shuffle keyed by column name only (tiny)":
-                r"hashpartitioning\((cn|_groupingexpression)",
+            "shuffle keyed by int column id only (tiny)":
+                r"hashpartitioning\((cid|_groupingexpression)",
         }))
 
     # 5d. sessionize + stats: ONE shuffle on user_id; the grouped agg
@@ -216,6 +222,52 @@ def main() -> None:
         {
             "single exchange keyed by group":
                 r"hashpartitioning\(user_id",
+            "no second exchange":
+                r"^(?![\s\S]*\(\d+\) Exchange[\s\S]*\(\d+\) Exchange)",
+        }))
+
+    # 7c. corpus-quality ops: Gopher rules and PII are pure per-row
+    # projections (the modal-token UDF is Arrow-batched, not row-wise
+    # Python); decontamination probes a broadcast benchmark gram set so
+    # only matches reach the doc_id shuffle; pack_chunks is one window
+    # exchange on the shard key
+    from whylogs_spark.ops import decontam, quality
+    gq = quality.gopher_filter(docs).select(
+        "doc_id", "dup_ngram_frac", "top_unigram_frac", "gopher_pass")
+    sections.append((
+        "gopher quality filter", gq,
+        {
+            "no shuffle at all": r"^(?![\s\S]*Exchange)",
+            "Arrow-batched modal-token UDF (not row-wise Python)":
+                r"ArrowEvalPython",
+        }))
+    pii = quality.with_pii_stats(docs).select("doc_id", "n_pii")
+    sections.append((
+        "pii detection projection", pii,
+        {
+            "no shuffle at all": r"^(?![\s\S]*Exchange)",
+            "no Python in the plan (regex stays JVM-side)":
+                r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
+        }))
+    dec = decontam.ngram_decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0), n=8)
+    sections.append((
+        "ngram decontamination", dec,
+        {
+            "benchmark gram set broadcast (no corpus-wide shuffle to "
+            "find matches)": r"BroadcastHashJoin|BroadcastExchange",
+            "matches aggregated per doc before the corpus join":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+    pk = sampling.pack_chunks(docs, "n_chars", budget=20000,
+                              shard_cols=["source"],
+                              order_cols=["doc_id"])
+    sections.append((
+        "chunk packing window", pk,
+        {
+            "single exchange keyed by shard":
+                r"hashpartitioning\(source",
             "no second exchange":
                 r"^(?![\s\S]*\(\d+\) Exchange[\s\S]*\(\d+\) Exchange)",
         }))
