@@ -114,6 +114,18 @@ def main() -> None:
     def bench_similarity_topk():
         _noop(sim_ops.cosine_topk(t["embeddings"], list(emb_query), k=10))
 
+    def bench_gopher_quality():
+        from whylogs_spark.ops import quality as quality_ops
+        _noop(quality_ops.gopher_filter(t["documents"]).select(
+            "doc_id", "dup_ngram_frac", "top_unigram_frac",
+            "symbol_word_ratio", "gopher_pass"))
+
+    def bench_decontaminate():
+        from whylogs_spark.ops import decontam as decontam_ops
+        _noop(decontam_ops.ngram_decontaminate(
+            t["documents"].filter(F.col("doc_id") % 10 != 0),
+            t["documents"].filter(F.col("doc_id") % 10 == 0), n=8))
+
     def bench_events_hourly():
         _noop(
             t["events"].groupBy(F.date_trunc("hour", F.col("ts"))
@@ -131,6 +143,8 @@ def main() -> None:
         "text_stats_documents": bench_text_stats,
         "minhash_dedup_documents": bench_minhash_dedup,
         "similarity_topk_embeddings": bench_similarity_topk,
+        "gopher_quality_documents": bench_gopher_quality,
+        "decontaminate_documents": bench_decontaminate,
         "events_hourly": bench_events_hourly,
     }
 
