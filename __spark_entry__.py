@@ -1025,6 +1025,26 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "chunk_offset", "chunk_id")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (ops/asof.py, beyond reference): each click
+    joined to the user's most recent at-or-before purchase. Union +
+    carry-forward window — ONE exchange on user_id, no range-join
+    explosion; oracle is DuckDB's native ASOF JOIN."""
+    from whylogs_spark.ops.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(left, right, on="ts", by=["user_id"],
+                     value_cols=["purchase_value"],
+                     matched_ts_col="purchase_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_counts_lineitem": _q_profile_counts,
@@ -1053,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_events": _q_json_props,
         "bpe_tokens_documents": _q_bpe_tokens,
         "sessionize_events": _q_sessionize,
+        "asof_join_events": _q_asof_join,
         "join_segmented_profile_orders": _q_join_segmented_profile,
         "quality_score_documents": _q_quality_score,
         "fingerprint_documents": _q_fingerprint,
@@ -1699,6 +1720,16 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(n_events), 4) AS avg_events, "
             "round(avg(duration_sec), 4) AS avg_duration_sec, "
             "max(n_events) :: BIGINT AS max_events FROM g"
+        ),
+        "asof_join_events": (
+            "SELECT l.user_id, l.ts, l.event_id, r.purchase_value, "
+            "r.ts AS purchase_ts "
+            "FROM (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'click') l "
+            "ASOF LEFT JOIN (SELECT user_id, ts, "
+            "max(value) AS purchase_value FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "bpe_tokens_documents": (
             "WITH t AS (SELECT lang, "

@@ -1,0 +1,132 @@
+"""As-of join: semantics (ties, no-match, tolerance, directions) and
+the scale-critical plan shape (one exchange, no join node).
+
+No reference analogue (training-pipeline superset, SURVEY §2.12); the
+cross-engine ground truth is DuckDB's ASOF JOIN, exercised by the
+`asof_join_events` gate query — these tests pin the tricky semantics on
+hand-built rows.
+"""
+
+import datetime as dt
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.ops.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+            (1, _ts("2024-01-01 12:00:00"), "b"),
+            (1, _ts("2024-01-01 09:00:00"), "early"),
+            (2, _ts("2024-01-01 11:00:00"), "c"),
+            (3, _ts("2024-01-01 11:00:00"), "nokey"),
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 10.0),  # exact tie with 'a'
+            (1, _ts("2024-01-01 11:30:00"), 20.0),
+            (2, _ts("2024-01-01 11:30:00"), 30.0),  # after 'c' only
+        ],
+        "user_id long, ts timestamp, price double",
+    )
+    return left, right
+
+
+def test_backward_with_ties_and_nulls(frames):
+    left, right = frames
+    out = asof_join(left, right, on="ts", by=["user_id"],
+                    value_cols=["price"])
+    got = {r["tag"]: (r["price"], r["matched_ts"]) for r in out.collect()}
+    # exact tie matches (at-or-before)
+    assert got["a"] == (10.0, _ts("2024-01-01 10:00:00"))
+    # picks the LATEST at-or-before, not the first
+    assert got["b"] == (20.0, _ts("2024-01-01 11:30:00"))
+    # nothing before -> nulls
+    assert got["early"] == (None, None)
+    assert got["c"] == (None, None)  # right row is after
+    assert got["nokey"] == (None, None)  # key absent on right
+    assert out.count() == left.count()  # left join: row count preserved
+
+
+def test_forward(frames):
+    left, right = frames
+    out = asof_join(left, right, on="ts", by=["user_id"],
+                    direction="forward", value_cols=["price"])
+    got = {r["tag"]: (r["price"], r["matched_ts"]) for r in out.collect()}
+    assert got["a"] == (10.0, _ts("2024-01-01 10:00:00"))  # tie still hits
+    assert got["early"] == (10.0, _ts("2024-01-01 10:00:00"))
+    assert got["b"] == (None, None)  # nothing at-or-after
+    assert got["c"] == (30.0, _ts("2024-01-01 11:30:00"))
+
+
+def test_tolerance(frames):
+    left, right = frames
+    out = asof_join(left, right, on="ts", by=["user_id"],
+                    tolerance="10 minutes", value_cols=["price"])
+    got = {r["tag"]: r["price"] for r in out.collect()}
+    assert got["a"] == 10.0  # 0 <= 10min
+    assert got["b"] is None  # 30min gap > tolerance -> nulled out
+
+
+def test_column_collision_gets_suffix(frames):
+    left, right = frames
+    right2 = right.withColumnRenamed("price", "tag")  # collides with left
+    out = asof_join(left, right2, on="ts", by=["user_id"],
+                    value_cols=["tag"])
+    assert "tag" in out.columns and "tag_r" in out.columns
+
+
+def test_plan_single_exchange_no_join(frames):
+    """The 100 TB contract: union + ONE hash exchange on the key + one
+    window — never a range/cross join (per-key quadratic blowup)."""
+    left, right = frames
+    out = asof_join(left, right, on="ts", by=["user_id"],
+                    value_cols=["price"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # exactly one exchange above the union (inputs here are local
+    # relations; parquet sources may add AQE read nodes but no exchange)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+
+
+def test_matches_window_free_reference(spark):
+    """Randomized cross-check against a per-row max-subquery reference
+    computed driver-side."""
+    import random
+
+    rnd = random.Random(7)
+    lrows = [(rnd.randrange(5), _ts("2024-01-01 00:00:00")
+              + dt.timedelta(seconds=rnd.randrange(10_000)), i)
+             for i in range(200)]
+    rrows_set = {}
+    for j in range(120):
+        k = (rnd.randrange(5), _ts("2024-01-01 00:00:00")
+             + dt.timedelta(seconds=rnd.randrange(10_000)))
+        rrows_set[k] = float(j)
+    rrows = [(u, ts, v) for (u, ts), v in rrows_set.items()]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, i long")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, v double")
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=["v"])
+    got = {r["i"]: r["v"] for r in out.collect()}
+    for (u, ts, i) in lrows:
+        cand = [(rts, v) for (ru, rts, v) in rrows if ru == u and rts <= ts]
+        want = max(cand)[1] if cand else None
+        assert got[i] == want, (i, u, ts)

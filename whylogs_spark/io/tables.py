@@ -22,9 +22,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         f = dict(zip(df.columns, df.schema.fields))
         ts = f.get("ts")
         if ts is not None and isinstance(ts.dataType, T.LongType):
+            # integer div: double division loses ulps on int64 nanos
+            # (~1.7e15 us has 0.25 ulp) and can round UP a microsecond;
+            # DuckDB truncates nanos->micros exactly, so must we
             df = df.withColumn(
-                "ts",
-                F.timestamp_micros(
-                    (F.col("ts") / F.lit(1000)).cast("long")),
-            )
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
