@@ -1025,6 +1025,28 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "chunk_offset", "chunk_id")
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (ops/dedup.py line_dedup, the C4 /
+    RefinedWeb boilerplate-removal step): docs segmented into 12-word
+    lines, each distinct line's first (doc_id, pos) occurrence kept,
+    docs reassembled. One window shuffle on the line + one reassembly
+    shuffle on doc_id."""
+    from whylogs_spark.ops.dedup import dedup_lines_long
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nl = F.floor((F.size(words) - F.lit(1)) / F.lit(12)).cast("int")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), nl),
+            lambda i: F.array_join(F.slice(words, i * 12 + 1, 12), " ")))
+        .alias("pos", "line"),
+    )
+    return dedup_lines_long(lines, id_col="doc_id", line_col="line",
+                            pos_col="pos")
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join (ops/asof.py, beyond reference): each click
     joined to the user's most recent at-or-before purchase. Union +
@@ -1074,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens_documents": _q_bpe_tokens,
         "sessionize_events": _q_sessionize,
         "asof_join_events": _q_asof_join,
+        "line_dedup_documents": _q_line_dedup,
         "join_segmented_profile_orders": _q_join_segmented_profile,
         "quality_score_documents": _q_quality_score,
         "fingerprint_documents": _q_fingerprint,
@@ -1730,6 +1753,21 @@ def oracle_sql() -> dict[str, str]:
             "max(value) AS purchase_value FROM events "
             "WHERE event_type = 'purchase' GROUP BY 1, 2) r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "line_dedup_documents": (
+            "WITH wsp AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "lines AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+            "array_to_string(w[(i*12+1):(i*12+12)], ' ') AS line "
+            "FROM wsp, LATERAL unnest(range(0, "
+            "CAST((len(w)-1)//12 AS BIGINT) + 1)) AS u(i)), "
+            "r AS (SELECT doc_id, pos, line, row_number() OVER "
+            "(PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines) "
+            "SELECT doc_id, count(*) :: BIGINT AS n_lines, "
+            "count(*) FILTER (WHERE rn = 1) :: BIGINT AS n_kept, "
+            "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) "
+            "ORDER BY pos), '') AS text "
+            "FROM r GROUP BY doc_id"
         ),
         "bpe_tokens_documents": (
             "WITH t AS (SELECT lang, "

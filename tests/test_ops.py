@@ -285,3 +285,47 @@ def test_tfidf_top_terms(spark):
     assert all(len(v) == 2 for v in by_doc.values())
     # every rank is 1..2 and scores are positive
     assert all(r["tfidf"] > 0 for r in out)
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\nbravo"),
+            (2, "boiler\ncharlie"),
+            (3, "boiler\nboiler\ndelta"),
+            (4, "boiler"),
+        ],
+        "doc_id long, text string",
+    )
+    from whylogs_spark.ops.dedup import line_dedup
+
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # doc 1 holds the first 'boiler' -> untouched
+    assert out[1]["text"] == "alpha\nboiler\nbravo"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    # later occurrences dropped, order of survivors preserved
+    assert out[2]["text"] == "charlie"
+    assert out[3]["text"] == "delta"
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (3, 1)
+    # a doc can empty out but stays present by default
+    assert out[4]["text"] == "" and out[4]["n_kept"] == 0
+
+    kept = line_dedup(docs, drop_empty_docs=True)
+    assert kept.filter("doc_id = 4").count() == 0
+
+
+def test_line_dedup_plan_two_exchanges_no_join(spark):
+    import io as _io
+    import re
+    from contextlib import redirect_stdout
+
+    from whylogs_spark.ops.dedup import line_dedup
+
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        line_dedup(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan
+    # one window exchange (line) + one reassembly exchange (doc id)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2

@@ -838,3 +838,77 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------------------------- line dedup
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    drop_empty_docs: bool = False,
+) -> DataFrame:
+    """Corpus-wide exact line deduplication (the C4 / MassiveText /
+    RefinedWeb preprocessing step: boilerplate lines — nav menus, cookie
+    banners — repeat across millions of pages; keep each distinct line's
+    FIRST occurrence corpus-wide, drop every other occurrence, reassemble
+    documents from their surviving lines).
+
+    Winner = smallest (id, position): deterministic, engine-independent.
+    Returns (id_col, n_lines, n_kept, text) — ``text`` is the document
+    rebuilt from surviving lines in original order (may be empty; such
+    docs are kept unless ``drop_empty_docs``).
+
+    Scale shape: posexplode (no shuffle) -> ONE window shuffle keyed by
+    the line text -> ONE reassembly shuffle keyed by doc id. Never
+    collects, never joins doc-to-doc; both exchanges carry (line, id,
+    pos) rows, linear in corpus size. The window key is the raw line —
+    Spark hashes it for partitioning; skew only if one line repeats
+    across a large corpus fraction (the boilerplate case), which the
+    rank competition resolves per-partition after one sort.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1))
+        .alias("__pos", "__line"),
+    )
+    return dedup_lines_long(lines, id_col=id_col, line_col="__line",
+                            pos_col="__pos",
+                            drop_empty_docs=drop_empty_docs, delim=delim)
+
+
+def dedup_lines_long(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    line_col: str = "line",
+    pos_col: str = "pos",
+    drop_empty_docs: bool = False,
+    delim: str = "\n",
+) -> DataFrame:
+    """`line_dedup` over an already-exploded (id, pos, line) frame —
+    the composable core, for corpora whose "lines" are produced by a
+    custom segmenter (sentence splitter, token-window chunker)."""
+    w = Window.partitionBy(F.col(line_col)).orderBy(
+        F.col(id_col).asc(), F.col(pos_col).asc())
+    ranked = lines.withColumn("__rn", F.row_number().over(w))
+    out = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("__rn") == 1, 1)).alias("n_kept"),
+            F.concat_ws(
+                delim,
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("__rn") == 1,
+                        F.struct(F.col(pos_col).alias("p"),
+                                 F.col(line_col).alias("l"))))),
+                    lambda s: s["l"],
+                ),
+            ).alias("text"),
+        )
+    )
+    if drop_empty_docs:
+        out = out.filter(F.col("n_kept") > 0)
+    return out
