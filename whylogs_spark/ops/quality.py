@@ -238,3 +238,77 @@ def with_pii_stats(
             red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
         out = out.withColumn(redacted_col or f"{text_col}_redacted", red)
     return out
+
+
+# ----------------------------------------------------------- unigram LM
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 100_000,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Capped-vocabulary unigram language model: (word, logprob) for the
+    ``vocab_size`` most frequent whitespace tokens (ties broken
+    lexicographically — deterministic across engines).
+
+    Add-k smoothing over the kept vocabulary plus one OOV pseudo-word:
+    ``logp(w) = ln((c_w + k) / (N + k*(V+1)))`` with N = total corpus
+    tokens, V = kept vocabulary size; every out-of-vocabulary token
+    scores ``ln(k / (N + k*(V+1)))``.
+
+    Scale shape: one explode + count shuffle on the word (map-side
+    partial agg collapses to <=|vocab| rows per partition), one global
+    top-K. The result is <= vocab_size rows — small enough to BROADCAST
+    to the scoring join no matter the corpus size; that cap is the
+    whole point (an uncapped vocabulary over 100 TB of web text is
+    billions of rows and turns scoring into a full shuffle join).
+    """
+    w = Window.orderBy(F.col("c").desc(), F.col("word").asc())
+    counts = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    )
+    # total BEFORE the vocab cap: OOV tokens still count toward N
+    totals = counts.agg(F.sum("c").alias("n"),
+                        F.count(F.lit(1)).alias("v_all")).first()
+    n_tokens = int(totals["n"] or 0)
+    top = counts.withColumn("__r", F.row_number().over(w)) \
+        .filter(F.col("__r") <= vocab_size).drop("__r")
+    v = min(int(totals["v_all"] or 0), vocab_size)
+    denom = float(n_tokens) + smoothing * (v + 1)
+    return top.select(
+        "word",
+        F.log((F.col("c") + F.lit(smoothing)) / F.lit(denom))
+        .alias("logprob"),
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    lm: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 100_000,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram LM — the
+    classic cheap fluency/quality proxy (CCNet's LM filter, simplified
+    to order 1 so it trains in one pass on the corpus itself).
+
+    ``lm`` defaults to `train_unigram_lm` on ``df`` itself (self-scored
+    corpus: spammy repetitive docs score HIGH, rare-junk docs score
+    LOW); pass a model trained on a clean reference corpus for CCNet
+    semantics. Returns (id_col, n_tokens, n_oov, avg_logprob,
+    ppl_proxy = exp(-avg_logprob)).
+
+    Scale shape: explode -> broadcast hash join against the <=V-row LM
+    -> one groupBy shuffle on the doc id. No sort, no full-table join.
+    """
+    if lm is None:
+        lm = train_unigram_lm(df, text_col, vocab_size, smoothing)
+    # OOV logprob must use the SAME denominator the LM was built with;
+    # recover it from the model itself: min count word... not recoverable
+    # exactly -> recompute from inputs when self-training, else require
+    # the caller's lm to carry it as metadata column.
+    raise NotImplementedError
