@@ -65,7 +65,10 @@ def session_stats(
             F.max(ts_col).alias("session_end"),
         )
         .withColumn(
+            # NTZ timestamps (parquet timestamp[us] without UTC flag)
+            # cannot cast straight to double; go via TIMESTAMP first.
+            # Differences cancel any session-timezone interpretation.
             "duration_sec",
-            F.col("session_end").cast("double")
-            - F.col("session_start").cast("double"))
+            F.col("session_end").cast("timestamp").cast("double")
+            - F.col("session_start").cast("timestamp").cast("double"))
     )
