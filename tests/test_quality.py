@@ -117,6 +117,41 @@ class TestDecontam:
         assert out.filter(F.col("is_contaminated")).count() == 0
 
 
+class TestUnigramLm:
+    def test_lm_and_scores_hand_computed(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "the dog"),
+             (3, "zz unknownword qq"), (4, "   ")],
+            ["doc_id", "text"])
+        # N=11 tokens, v_all=9, V=min(9,5)=5 -> denom = 11 + 0.5*6 = 14
+        lm = quality.train_unigram_lm(df, vocab_size=5, smoothing=0.5)
+        lm_rows = {r["word"]: r for r in lm.collect()}
+        assert set(lm_rows) == {"the", "cat", "dog", "mat", "on"}
+        assert lm_rows["the"]["logprob"] == pytest.approx(
+            math.log(3.5 / 14))
+        assert lm_rows["cat"]["oov_logprob"] == pytest.approx(
+            math.log(0.5 / 14))
+
+        out = quality.unigram_lm_scores(df, vocab_size=5, smoothing=0.5)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        exp2 = (math.log(3.5 / 14) + math.log(1.5 / 14)) / 2
+        assert rows[2]["avg_logprob"] == pytest.approx(exp2)
+        assert rows[2]["n_oov"] == 0
+        assert rows[3]["n_oov"] == 3  # fully OOV doc
+        assert rows[3]["avg_logprob"] == pytest.approx(math.log(0.5 / 14))
+        assert rows[3]["ppl_proxy"] == pytest.approx(28.0)
+        assert 4 not in rows  # blank doc has no tokens -> no row
+
+    def test_external_lm_requires_metadata(self, spark):
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        bad_lm = spark.createDataFrame(
+            [("a", -1.0)], ["word", "logprob"])
+        with pytest.raises(ValueError):
+            quality.unigram_lm_scores(df, lm=bad_lm)
+
+
 class TestPackChunks:
     def test_sequential_fill(self, spark):
         df = spark.createDataFrame(

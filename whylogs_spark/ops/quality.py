@@ -39,7 +39,7 @@ from typing import Optional
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -255,7 +255,10 @@ def train_unigram_lm(
     Add-k smoothing over the kept vocabulary plus one OOV pseudo-word:
     ``logp(w) = ln((c_w + k) / (N + k*(V+1)))`` with N = total corpus
     tokens, V = kept vocabulary size; every out-of-vocabulary token
-    scores ``ln(k / (N + k*(V+1)))``.
+    scores ``ln(k / (N + k*(V+1)))``. That OOV score travels WITH the
+    model as a constant ``oov_logprob`` column (LM metadata), so
+    ``unigram_lm_scores`` never has to reverse-engineer the smoothing
+    denominator from the rows.
 
     Scale shape: one explode + count shuffle on the word (map-side
     partial agg collapses to <=|vocab| rows per partition), one global
@@ -277,10 +280,14 @@ def train_unigram_lm(
         .filter(F.col("__r") <= vocab_size).drop("__r")
     v = min(int(totals["v_all"] or 0), vocab_size)
     denom = float(n_tokens) + smoothing * (v + 1)
+    import math
+
+    oov = math.log(smoothing / denom)
     return top.select(
         "word",
         F.log((F.col("c") + F.lit(smoothing)) / F.lit(denom))
         .alias("logprob"),
+        F.lit(oov).alias("oov_logprob"),
     )
 
 
@@ -304,11 +311,37 @@ def unigram_lm_scores(
 
     Scale shape: explode -> broadcast hash join against the <=V-row LM
     -> one groupBy shuffle on the doc id. No sort, no full-table join.
+    Blank documents (zero tokens) have no defined mean logprob and are
+    absent from the output.
     """
     if lm is None:
         lm = train_unigram_lm(df, text_col, vocab_size, smoothing)
-    # OOV logprob must use the SAME denominator the LM was built with;
-    # recover it from the model itself: min count word... not recoverable
-    # exactly -> recompute from inputs when self-training, else require
-    # the caller's lm to carry it as metadata column.
-    raise NotImplementedError
+    if "oov_logprob" not in lm.columns:
+        raise ValueError(
+            "lm must carry an 'oov_logprob' metadata column "
+            "(train with train_unigram_lm, which emits it)")
+    # the OOV score is constant across the model; surface it as a 1-row
+    # frame so the plan stays action-free (broadcast, no driver collect)
+    oov = lm.agg(F.first("oov_logprob").alias("__oov"))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("word"),
+    )
+    scored = (
+        toks.join(F.broadcast(lm.select("word", "logprob")), "word", "left")
+        .crossJoin(F.broadcast(oov))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("logprob").isNull(), F.lit(1))
+              .otherwise(F.lit(0))).alias("n_oov"),
+        F.sum(F.coalesce(F.col("logprob"), F.col("__oov")))
+        .alias("__sum_lp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        (F.col("__sum_lp") / F.col("n_tokens")).alias("avg_logprob"),
+        F.exp(-F.col("__sum_lp") / F.col("n_tokens")).alias("ppl_proxy"),
+    )

@@ -61,7 +61,11 @@ def streaming_profile(
     # beats codegen purity here
     exprs = [a.expr.alias(a.alias) for a in aggs if a.expr is not None]
     win = F.window(F.col(ts_col), window_duration)
-    wdf = stream_df.withWatermark(ts_col, watermark)
+    # parquet event times arrive as TIMESTAMP_NTZ; watermarks require
+    # TIMESTAMP, so normalize first (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    wdf = stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark)
     # group on the real window column so the state store can evict closed
     # windows by watermark; window bounds surface as plain columns
     wide = wdf.groupBy(win.alias("__w"), *segs).agg(*exprs)

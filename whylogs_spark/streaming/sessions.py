@@ -29,6 +29,7 @@ from typing import Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -101,7 +102,11 @@ def streaming_sessionize(
             yield pd.concat(
                 [close_row(uid, s, e, k) for s, e, k in closed])
 
-    marked = stream.withWatermark(ts_col, watermark)
+    # watermarks require TIMESTAMP; parquet NTZ event times must be cast
+    # first or the stream fails with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    marked = stream.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark)
     return marked.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout)
