@@ -193,6 +193,35 @@ def main() -> None:
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
         }))
 
+    # 6b. line dedup: winner per line is a partial-aggregated groupBy
+    # (skew-immune), NOT a window over the raw line text; survivors are
+    # marked by a join on the unique (line, id, pos) triple
+    ld = dedup.line_dedup(docs)
+    sections.append((
+        "line dedup (C4 boilerplate removal)", ld,
+        {
+            "no window over the line text (skew)":
+                r"^(?![\s\S]*Window)",
+            "partial agg before the line exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+
+    # 6c. ngram jaccard DF cap: document frequency via partial-agg
+    # groupBy + broadcast anti-join of over-cap grams — never a window
+    # count over the gram key
+    nj = dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.2)
+    sections.append((
+        "ngram jaccard (DF-capped inverted index)", nj,
+        {
+            "no window over the gram key (skew)":
+                r"^(?![\s\S]*Window)",
+            "over-cap gram set broadcast as anti-join filter":
+                r"BroadcastHashJoin[^\n]*LeftAnti|"
+                r"BroadcastExchange[\s\S]*LeftAnti",
+            "DF guard partial-aggregates before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+
     # 7. text stats: pure projection, no shuffle
     ts = text.with_text_stats(docs).select("doc_id", "n_tokens",
                                            "alpha_ratio")

@@ -503,7 +503,11 @@ def ngram_jaccard_pairs(
     Scale guard: a gram shared by f documents emits f² join rows, so one
     stopword-ish gram in a web corpus would dominate the job. Grams with
     document frequency > ``max_doc_freq`` are dropped from the inverted
-    index (one extra windowed count over the gram key, same shuffle).
+    index. The DF guard itself is skew-immune: ``groupBy(gram).count()``
+    partial-aggregates map-side (a boilerplate gram ships one row per
+    map partition, never its f occurrences to one task), the over-cap
+    gram set — tiny by construction, it only holds grams more frequent
+    than the cap — is broadcast back as an anti-join filter.
     Exact whenever no gram exceeds the cap; beyond it, a capped gram can
     only LOWER a pair's reported intersection (|A|,|B| still count it),
     i.e. reported jaccard is a lower bound — near-dup pairs still
@@ -518,12 +522,17 @@ def ngram_jaccard_pairs(
     exploded = grams.select(
         "__id", "__sz", F.explode("__g").alias("gram"))
     if max_doc_freq is not None:
-        # document frequency per gram via window count over the same
-        # gram-keyed shuffle the join needs anyway
-        dfreq = Window.partitionBy("gram")
-        exploded = exploded.withColumn(
-            "__df", F.count(F.lit(1)).over(dfreq)
-        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
+        # partial-aggregated DF count, then broadcast the (tiny)
+        # over-cap gram set as an anti-join — the hot gram the guard
+        # exists for never converges on a single partition
+        overcap = (
+            exploded.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("gram")
+        )
+        exploded = exploded.join(
+            F.broadcast(overcap), on="gram", how="left_anti")
     joined = (
         exploded.alias("x")
         .join(
@@ -860,13 +869,16 @@ def line_dedup(
     rebuilt from surviving lines in original order (may be empty; such
     docs are kept unless ``drop_empty_docs``).
 
-    Scale shape: posexplode (no shuffle) -> ONE window shuffle keyed by
-    the line text -> ONE reassembly shuffle keyed by doc id. Never
-    collects, never joins doc-to-doc; both exchanges carry (line, id,
-    pos) rows, linear in corpus size. The window key is the raw line —
-    Spark hashes it for partitioning; skew only if one line repeats
-    across a large corpus fraction (the boilerplate case), which the
-    rank competition resolves per-partition after one sort.
+    Scale shape: posexplode (no shuffle) -> winner per line via
+    ``groupBy(line).agg(min(struct(id, pos)))`` — partial aggregation
+    collapses a boilerplate line to ONE row per map partition before
+    the exchange, so the exact skew case this operator targets (a
+    cookie-banner line in 10% of a web corpus) never funnels into a
+    single task -> survivors marked by an equi-join on the (line, id,
+    pos) TRIPLE, whose keys are unique (no skew; the winner side is one
+    row per distinct line) -> ONE reassembly shuffle keyed by doc id.
+    Never collects, never joins doc-to-doc, no window over the raw
+    line text.
     """
     lines = df.select(
         F.col(id_col),
@@ -888,20 +900,36 @@ def dedup_lines_long(
 ) -> DataFrame:
     """`line_dedup` over an already-exploded (id, pos, line) frame —
     the composable core, for corpora whose "lines" are produced by a
-    custom segmenter (sentence splitter, token-window chunker)."""
-    w = Window.partitionBy(F.col(line_col)).orderBy(
-        F.col(id_col).asc(), F.col(pos_col).asc())
-    ranked = lines.withColumn("__rn", F.row_number().over(w))
+    custom segmenter (sentence splitter, token-window chunker).
+
+    Winner selection is a partial-aggregated group-by (NOT a window
+    over the line text): min(struct(id, pos)) is commutative, so each
+    map task first collapses its local duplicates of a hot line — the
+    exchange then carries at most (#partitions) rows per distinct line
+    regardless of how many documents repeat it."""
+    winners = (
+        lines.groupBy(line_col)
+        .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                            F.col(pos_col).alias("p"))).alias("__w"))
+        .select(
+            F.col(line_col),
+            F.col("__w.i").alias(id_col),
+            F.col("__w.p").alias(pos_col),
+            F.lit(1).alias("__keep"),
+        )
+    )
+    # (line, id, pos) is unique on both sides -> skew-free equi-join
+    marked = lines.join(winners, on=[line_col, id_col, pos_col], how="left")
     out = (
-        ranked.groupBy(id_col)
+        marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.count(F.when(F.col("__rn") == 1, 1)).alias("n_kept"),
+            F.count("__keep").alias("n_kept"),
             F.concat_ws(
                 delim,
                 F.transform(
                     F.array_sort(F.collect_list(F.when(
-                        F.col("__rn") == 1,
+                        F.col("__keep").isNotNull(),
                         F.struct(F.col(pos_col).alias("p"),
                                  F.col(line_col).alias("l"))))),
                     lambda s: s["l"],
