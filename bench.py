@@ -133,6 +133,26 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.avg("value").alias("mean_value")))
 
+    def bench_line_dedup():
+        _noop(dedup_ops.line_dedup(t["documents"]))
+
+    # scale rehearsal: 10x-replicated corpus (distinct doc_ids, same
+    # texts -> every line/shingle is a 10-way duplicate, the worst
+    # realistic skew shape for the dedup family); exercises the
+    # partial-agg winner selection and banded minhash end-to-end at
+    # ~10x the bench corpus
+    docs10 = (
+        t["documents"]
+        .crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
+        .select(
+            (F.col("doc_id") * 10 + F.col("__rep")).alias("doc_id"),
+            "text")
+    )
+
+    def bench_dedup_scale_10x():
+        _noop(dedup_ops.line_dedup(docs10))
+        _noop(dedup_ops.minhash_dedup(docs10, jaccard_threshold=0.8))
+
     benches = {
         "profile_lineitem_native": bench_profile_native,
         "profile_lineitem_full": bench_profile_full,
@@ -146,23 +166,34 @@ def main() -> None:
         "gopher_quality_documents": bench_gopher_quality,
         "decontaminate_documents": bench_decontaminate,
         "events_hourly": bench_events_hourly,
+        "line_dedup_documents": bench_line_dedup,
+        "dedup_scale_10x": bench_dedup_scale_10x,
     }
+    # the 10x scale entry is ~10x the work of any other query; fewer
+    # reps keep total bench wall time bounded
+    reps_for = {"dedup_scale_10x": 2}
 
     # warm the JVM/IO once with a trivial action
     t["lineitem"].count()
 
-    # best-of-3: first run pays one-time Catalyst/codegen/JIT compile of
-    # each plan shape (irrelevant at real scale, dominant at sf0.1); the
-    # extra repeats ride out transient host CPU-steal storms (this box is
-    # oversubscribed); min reflects steady-state cost
-    results = {}
+    # >=5 reps per query: the first pays one-time Catalyst/codegen/JIT
+    # compile of each plan shape (irrelevant at real scale, dominant at
+    # sf0.1), and this host is oversubscribed enough that r02->r03
+    # round-over-round deltas were pure CPU-steal noise. Report the
+    # MEDIAN as the headline (robust center) plus min/max dispersion so
+    # a regression is distinguishable from a steal storm: compare
+    # medians, trust a delta only when the intervals don't overlap.
+    results, res_min, res_max = {}, {}, {}
     for name, fn in benches.items():
         times = []
-        for _ in range(3):
+        for _ in range(reps_for.get(name, 5)):
             t0 = time.perf_counter()
             fn()
             times.append(time.perf_counter() - t0)
-        results[name] = round(min(times), 3)
+        times.sort()
+        results[name] = round(times[len(times) // 2], 3)
+        res_min[name] = round(times[0], 3)
+        res_max[name] = round(times[-1], 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -175,6 +206,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": results,
+        "queries_min": res_min,
+        "queries_max": res_max,
+        "reps": {n: reps_for.get(n, 5) for n in benches},
         "sf": sf_val,
     }))
     spark.stop()
