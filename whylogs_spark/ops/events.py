@@ -30,14 +30,22 @@ def sessionize(
     session_id is ``<user>#<k>`` with k the per-user session ordinal —
     deterministic and reproducible in plain SQL (lag + conditional
     cumulative sum), so an exact oracle exists in any engine.
+
+    Timezone semantics: the gap test runs on the event-time values
+    as-is — for TIMESTAMP_NTZ inputs (parquet without the UTC flag)
+    that is pure wall-clock arithmetic, never interpreted in the
+    session timezone, so session boundaries cannot shift by an hour
+    across a DST transition under a non-UTC session tz (string inputs
+    are cast to NTZ for the same reason).
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    prev = F.lag(F.col(ts_col)).over(w)
+    dt = dict(df.dtypes).get(ts_col, "")
+    tcol = (F.col(ts_col) if dt.startswith("timestamp")
+            else F.col(ts_col).cast("timestamp_ntz"))
+    w = Window.partitionBy(user_col).orderBy(tcol.asc())
+    prev = F.lag(tcol).over(w)
     gap_expr = F.expr(f"INTERVAL {gap}")
     new_session = (
-        prev.isNull()
-        | (F.col(ts_col).cast("timestamp")
-           > prev.cast("timestamp") + gap_expr)
+        prev.isNull() | (tcol > prev + gap_expr)
     ).cast("long")
     k = F.sum(new_session).over(
         w.rowsBetween(Window.unboundedPreceding, 0))
@@ -65,10 +73,12 @@ def session_stats(
             F.max(ts_col).alias("session_end"),
         )
         .withColumn(
-            # NTZ timestamps (parquet timestamp[us] without UTC flag)
-            # cannot cast straight to double; go via TIMESTAMP first.
-            # Differences cancel any session-timezone interpretation.
+            # timestampdiff on the raw (NTZ) values: wall-clock
+            # semantics, matching the oracle's epoch differences. A
+            # cast to TIMESTAMP would interpret each endpoint in the
+            # session timezone — a session spanning a DST transition
+            # under a non-UTC session tz would be off by +/-3600s.
             "duration_sec",
-            F.col("session_end").cast("timestamp").cast("double")
-            - F.col("session_start").cast("timestamp").cast("double"))
+            F.expr("timestampdiff(MICROSECOND, session_start, "
+                   "session_end)") / F.lit(1e6))
     )
