@@ -155,6 +155,82 @@ def test_multimodal_header_sniff(spark, tmp_path):
             multimodal.decode_image_pixels(df).collect()
 
 
+def _ppm_bytes(pixels, w, h):
+    return (f"P6\n{w} {h}\n255\n".encode()
+            + bytes(v for px in pixels for v in px))
+
+
+def _bmp_bytes(pixels, w, h):
+    """Minimal 24bpp BI_RGB BMP, bottom-up rows, 4-byte padded."""
+    import struct as st
+
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = b"".join(bytes(pixels[y * w + x][::-1])  # RGB -> BGR
+                       for x in range(w))
+        rows += row + b"\x00" * (stride - len(row))
+    header = (b"BM" + st.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                        2835, 2835, 0, 0))
+    return header + rows
+
+
+def test_numpy_pixel_kernel_hand_computed():
+    """The lib-free decode path: HSV means/stddevs + entropy on
+    generated BMP/PPM match hand-computed values (reference bundle:
+    image_metric.py:57-110)."""
+    import math
+
+    from whylogs_spark.ops.multimodal import _numpy_pixel_features
+
+    # 2x2 PPM: two red, two mid-gray pixels
+    ppm = _ppm_bytes([(255, 0, 0), (255, 0, 0),
+                      (128, 128, 128), (128, 128, 128)], 2, 2)
+    f = _numpy_pixel_features(ppm)
+    assert f is not None
+    fmt, w, h, cs, entropy, hm, hs, sm, ss, bm, bs = f
+    assert (fmt, w, h, cs) == ("ppm", 2, 2, "RGB")
+    assert hm == pytest.approx(0.0)          # red and gray both hue 0
+    assert sm == pytest.approx(127.5)        # (255+255+0+0)/4
+    assert ss == pytest.approx(127.5)
+    assert bm == pytest.approx(191.5)        # (255+255+128+128)/4
+    assert bs == pytest.approx(63.5)
+    # per-band 768-bin histogram: six bins of 2/12 -> log2(6)
+    assert entropy == pytest.approx(math.log2(6))
+
+    # 2x1 BMP: pure green -> hue 120deg = 85.0 on the 0..255 scale
+    bmp = _bmp_bytes([(0, 255, 0), (0, 255, 0)], 2, 1)
+    f2 = _numpy_pixel_features(bmp)
+    assert f2 is not None
+    assert f2[0] == "bmp" and (f2[1], f2[2]) == (2, 1)
+    assert f2[5] == pytest.approx(85.0)      # hue mean
+    assert f2[7] == pytest.approx(255.0)     # saturation mean
+    assert f2[9] == pytest.approx(255.0)     # brightness mean
+
+
+def test_pixel_path_runs_in_spark_without_pil(spark, tmp_path):
+    """decode_image_pixels (strict) must succeed lib-free on BMP/PPM —
+    the pixel-stat pipeline is exercised end-to-end in this sandbox."""
+    d = tmp_path / "rawimgs"
+    d.mkdir()
+    (d / "red.ppm").write_bytes(
+        _ppm_bytes([(255, 0, 0)] * 4, 2, 2))
+    (d / "green.bmp").write_bytes(
+        _bmp_bytes([(0, 255, 0), (0, 255, 0)], 2, 1))
+    df = multimodal.read_binary_dir(spark, str(d))
+    rows = {r["format"]: r
+            for r in multimodal.decode_image_pixels(df).collect()}
+    assert rows["ppm"]["brightness_mean"] == pytest.approx(255.0)
+    assert rows["ppm"]["saturation_mean"] == pytest.approx(255.0)
+    assert rows["ppm"]["hue_mean"] == pytest.approx(0.0)
+    assert rows["bmp"]["hue_mean"] == pytest.approx(85.0)
+    assert rows["bmp"]["colorspace"] == "RGB"
+    assert rows["bmp"]["entropy"] == pytest.approx(
+        # green: per-band bins 0,255,0 -> three bins of 2/6 -> log2(3)
+        1.584962500721156)
+
+
 def test_svd_lsi_residuals(embeddings):
     import numpy as np
     from whylogs_spark.core.embeddings import (

@@ -10,12 +10,15 @@ length, content). Feature extraction is an Arrow-batched ``mapInPandas``
 over the binary column — partition-parallel, bounded memory per batch.
 
 Decode kernels are import-guarded per executor: with PIL installed the
-full pixel kernel (HSV stats + entropy, reference parity) runs; without
-it, header-level features (PNG/JPEG/WAV sizes — real parsing, no libs)
-are extracted and pixel stats are null, or ``strict=True`` fails the
-task naming the missing dependency. All Spark plumbing — schema,
-batching, partitioning, profiling of the extracted features — is real
-and tested either way.
+full pixel kernel (HSV stats + entropy, reference parity) runs on any
+format; without it a pure-numpy kernel decodes uncompressed BMP /
+binary PPM and produces the SAME HSV/entropy bundle (so the pixel-stat
+path executes and is tested in lib-free environments), and remaining
+formats degrade to header-level features (PNG/JPEG/WAV sizes — real
+parsing, no libs) with null pixel stats — or fail fast under
+``strict=True`` naming the missing dependency. All Spark plumbing —
+schema, batching, partitioning, profiling of the extracted features —
+is real and tested either way.
 """
 
 from __future__ import annotations
@@ -115,6 +118,130 @@ PIXEL_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _decode_ppm(content: bytes):
+    """Binary P6 PPM -> (H, W, 3) uint8 RGB array, or None. Pure
+    numpy/stdlib; handles '#' comments and maxval 255."""
+    import numpy as np
+
+    if content[:2] != b"P6":
+        return None
+    # width/height/maxval tokens after the magic (comments to EOL ok)
+    tokens, i, n = [], 2, len(content)
+    while len(tokens) < 3 and i < n:
+        c = content[i:i + 1]
+        if c == b"#":
+            while i < n and content[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not content[j:j + 1].isspace():
+                j += 1
+            tokens.append(content[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    except ValueError:
+        return None
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    i += 1  # single whitespace after maxval
+    pix = content[i:i + w * h * 3]
+    if len(pix) < w * h * 3:
+        return None
+    return np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def _decode_bmp(content: bytes):
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) ->
+    (H, W, 3) uint8 RGB array, or None. Rows are 4-byte padded and
+    stored bottom-up (top-down when height < 0); pixels are BGR."""
+    import numpy as np
+
+    if content[:2] != b"BM" or len(content) < 54:
+        return None
+    data_off = struct.unpack("<I", content[10:14])[0]
+    w, h = struct.unpack("<ii", content[18:26])
+    planes, bpp = struct.unpack("<HH", content[26:30])
+    compression = struct.unpack("<I", content[30:34])[0]
+    if bpp != 24 or compression != 0 or planes != 1 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(content) < data_off + stride * h:
+        return None
+    raw = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        raw = raw[::-1]
+    return raw[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _rgb_to_hsv_u8(arr):
+    """Vectorized RGB -> HSV on uint8 arrays, PIL convention (all three
+    channels scaled to 0..255; hue 0..255 covers 0..360 degrees)."""
+    import numpy as np
+
+    rgb = arr.astype(np.float64) / 255.0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    v = rgb.max(axis=-1)
+    c = v - rgb.min(axis=-1)
+    s = np.where(v > 0, c / np.where(v > 0, v, 1), 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        hr = np.where(c > 0, ((g - b) / np.where(c > 0, c, 1)) % 6, 0.0)
+        hg = np.where(c > 0, (b - r) / np.where(c > 0, c, 1) + 2, 0.0)
+        hb = np.where(c > 0, (r - g) / np.where(c > 0, c, 1) + 4, 0.0)
+    hsel = np.where(v == r, hr, np.where(v == g, hg, hb))
+    hue = (hsel / 6.0) % 1.0
+    return (np.stack([hue, s, v], axis=-1) * 255.0)
+
+
+def _entropy_bits(arr) -> float:
+    """Shannon entropy (bits) over the concatenated per-band 256-bin
+    histogram — the quantity PIL's Image.entropy() reports and the
+    reference profiles (image_metric.py:57-110)."""
+    import numpy as np
+
+    counts = np.concatenate([
+        np.bincount(arr[..., band].reshape(-1), minlength=256)
+        for band in range(arr.shape[-1])
+    ]).astype(np.float64)
+    total = counts.sum()
+    if total == 0:
+        return 0.0
+    p = counts[counts > 0] / total
+    return float(-(p * np.log2(p)).sum())
+
+
+def _numpy_pixel_features(content: bytes):
+    """PIL-free pixel kernel for uncompressed formats (BMP / binary
+    PPM): same HSV mean/stddev + entropy bundle as the PIL path, so the
+    pixel-stat pipeline runs end-to-end without decode libraries.
+    Returns None for formats that genuinely need a codec (JPEG/PNG)."""
+    import numpy as np
+
+    if content[:2] == b"P6":
+        arr, fmt = _decode_ppm(content), "ppm"
+    elif content[:2] == b"BM":
+        arr, fmt = _decode_bmp(content), "bmp"
+    else:
+        return None
+    if arr is None:
+        return None
+    hsv = _rgb_to_hsv_u8(arr).reshape(-1, 3)
+    means = hsv.mean(axis=0)
+    stds = hsv.std(axis=0)  # population stddev, matching PIL ImageStat
+    h, w = arr.shape[0], arr.shape[1]
+    return (fmt, int(w), int(h), "RGB", _entropy_bits(arr),
+            float(means[0]), float(stds[0]), float(means[1]),
+            float(stds[1]), float(means[2]), float(stds[2]))
+
+
 def _pil_pixel_features(content: bytes):
     """Reference-parity pixel features (image_metric.py:57-110): HSV
     per-channel mean/stddev + entropy + width/height/colorspace. Only
@@ -138,11 +265,14 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
     HSV stats/entropy bundle (image_metric.py:57-110) as an Arrow-batched
     mapInPandas kernel.
 
-    The PIL import is guarded PER EXECUTOR inside the kernel (a cluster's
-    executors, not the driver, need the library): with PIL the full
-    pixel kernel runs; without it the row falls back to the header sniff
-    with null pixel stats, or — with ``strict=True`` — the task raises
-    NotImplementedError naming the missing dependency.
+    Decode order, guarded PER EXECUTOR inside the kernel (a cluster's
+    executors, not the driver, need the library): PIL when importable
+    (all formats); else the pure-numpy kernel for uncompressed BMP /
+    binary PPM (same HSV/entropy bundle — the pixel path runs without
+    any decode lib); else the header sniff with null pixel stats. With
+    ``strict=True`` a row no available decoder can handle raises
+    NotImplementedError naming the missing dependency instead of
+    degrading to the header row.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,11 +281,6 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
             has_pil = True
         except ImportError:
             has_pil = False
-        if strict and not has_pil:
-            raise NotImplementedError(
-                "extract_pixel_features(strict=True) requires PIL on the "
-                "executors; install pillow or use the header-level "
-                "extract_image_features")
         cols = [f.name for f in PIXEL_FEATURE_SCHEMA.fields]
         for pdf in batches:
             rows = []
@@ -167,10 +292,18 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
                     try:
                         feats = _pil_pixel_features(content)
                     except Exception:
-                        feats = None  # undecodable payload -> header row
+                        feats = None  # undecodable payload
                 if feats is None:
+                    feats = _numpy_pixel_features(content)
+                if feats is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"no available decoder for {r['path']!r} "
+                            "(PIL not importable on this executor and "
+                            "payload is not uncompressed BMP/PPM); "
+                            "install pillow for compressed formats")
                     fmt, w, h = _sniff_image(content)
-                    feats = (fmt, w, h) + (None,) * 8
+                    feats = (fmt, w, h, None) + (None,) * 7
                 rows.append((r["path"],) + feats + (len(content),))
             yield pd.DataFrame(rows, columns=cols)
 
@@ -178,9 +311,9 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def decode_image_pixels(df: DataFrame) -> DataFrame:
-    """Strict full-decode: every row must decode through PIL (tasks fail
-    fast on executors without it). Alias for
-    ``extract_pixel_features(strict=True)``."""
+    """Strict full-decode: every row must decode (PIL when available,
+    else the numpy BMP/PPM kernel; tasks fail fast otherwise). Alias
+    for ``extract_pixel_features(strict=True)``."""
     return extract_pixel_features(df, strict=True)
 
 
