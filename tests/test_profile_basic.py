@@ -81,6 +81,25 @@ def test_cardinality(li_view, li_pdf):
     assert est_ok == pytest.approx(true_ok, rel=0.05)
 
 
+def test_cardinality_bounds_mode_aware(spark):
+    """Bounds come from the sketch's own mode, not one fixed formula:
+    a sparse (coupon) sketch brackets the exact count TIGHTLY (the old
+    1.04/sqrt(2^lgK) slack was ~650x too loose there); a dense sketch
+    gets the estimator RSE and still brackets."""
+    import whylogs_spark as wsp
+    from pyspark.sql import functions as F
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 10).alias("small"), F.col("id").alias("big"))
+    long = wsp.profile(df).df.filter("metric='cardinality'")
+    d = {(r["column"], r["component"]): r["d"] for r in long.collect()}
+    assert d[("small", "lower")] <= 10 <= d[("small", "upper")]
+    assert d[("small", "upper")] - d[("small", "lower")] < 0.01
+    assert d[("big", "lower")] <= 100_000 <= d[("big", "upper")]
+    width = (d[("big", "upper")] - d[("big", "lower")]) / 100_000
+    assert 0.01 < width < 0.10  # ~2 * 2sigma composite-estimator RSE
+
+
 def test_frequent_items(li_view, li_pdf):
     items = json.loads(comp(li_view, "l_returnflag", "frequent_items", "items"))
     got = {it["value"]: it for it in items}

@@ -264,19 +264,20 @@ def plan_column(
         sv = _card_view(col, vt)
         if cfg.cardinality_impl == "hll":
             # ONE hll aggregate per column; estimate and two-sigma
-            # relative-standard-error bounds (rse = 1.04 / sqrt(2^lg_k),
-            # same formula family the reference's sketch lib uses) are
-            # post-agg projections of the sketch bytes.
+            # bounds are post-agg projections of the sketch bytes. The
+            # bounds are MODE-AWARE (parsed from the DataSketches
+            # preamble, all JVM-side expressions — see _hll_bounds):
+            # a sparse (coupon) sketch is near-exact, a dense one gets
+            # the estimator's RSE, not one fixed formula for both.
             halias = add("cardinality", "hll", SLOT_B,
                          F.hll_sketch_agg(sv, F.lit(cfg.hll_lg_k)),
                          tier="object")
-            rse = 2.0 * 1.04 / math.sqrt(2.0 ** cfg.hll_lg_k)
             add_derived("cardinality", "est", SLOT_D, halias,
                         _hll_estimate(1.0), tier="object")
             add_derived("cardinality", "lower", SLOT_D, halias,
-                        _hll_estimate(1.0 - rse), tier="object")
+                        _hll_bounds(2.0, upper=False), tier="object")
             add_derived("cardinality", "upper", SLOT_D, halias,
-                        _hll_estimate(1.0 + rse), tier="object")
+                        _hll_bounds(2.0, upper=True), tier="object")
         else:
             add("cardinality", "est", SLOT_D,
                 F.approx_count_distinct(sv).cast(T.DoubleType()),
@@ -318,6 +319,42 @@ def _item_getter(i: int):
 def _hll_estimate(scale: float):
     return lambda c: F.hll_sketch_estimate(c).cast(
         T.DoubleType()) * F.lit(scale)
+
+
+def _hll_bounds(num_std: float, upper: bool):
+    """Sketch-derived cardinality bounds from the serialized
+    DataSketches HLL blob — pure JVM expressions, no Python.
+
+    Preamble (org.apache.datasketches.hll.PreambleUtil, verified
+    byte-for-byte against Spark's hll_sketch_agg output): byte 3 =
+    lgK, byte 5 bit 4 = out-of-order flag, byte 7 low 2 bits =
+    curMode (0=LIST, 1=SET, 2=HLL). Coupon modes (LIST/SET) estimate
+    by linear counting over 2^26 slots — near-exact, so the old fixed
+    1.04/sqrt(2^lgK) formula was ~650x too loose exactly where users
+    profile low-cardinality columns. Dense (HLL) mode uses the
+    estimator RSE: 0.8326/sqrt(2^lgK) for the HIP estimator, 1.03896
+    when the out-of-order flag forces the composite estimator (always
+    the case for distributed merges). Bound form matches the library:
+    est / (1 +/- numStdDev * rse).
+    """
+
+    def expr(c):
+        byte = lambda i: F.conv(  # noqa: E731
+            F.hex(F.substring(c, i + 1, 1)), 16, 10).cast(T.IntegerType())
+        mode = byte(7).bitwiseAND(F.lit(3))
+        ooo = byte(5).bitwiseAND(F.lit(16))
+        lgk = byte(3)
+        factor = F.when(ooo > 0, F.lit(1.03896)).otherwise(F.lit(0.8326))
+        rse_hll = factor / F.sqrt(
+            F.pow(F.lit(2.0), lgk.cast(T.DoubleType())))
+        # coupon-mode collision error over 2^26 slots: bounded by 1e-4
+        # for any sketch still in LIST/SET mode
+        rse = F.when(mode == 2, rse_hll).otherwise(F.lit(1e-4))
+        est = F.hll_sketch_estimate(c).cast(T.DoubleType())
+        sign = -1.0 if upper else 1.0
+        return est / (F.lit(1.0) + F.lit(sign * num_std) * rse)
+
+    return expr
 
 
 class _AliasGen:
