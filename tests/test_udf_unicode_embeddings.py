@@ -209,6 +209,28 @@ def test_numpy_pixel_kernel_hand_computed():
     assert f2[9] == pytest.approx(255.0)     # brightness mean
 
 
+def test_resize_real_pixels_libfree(spark, tmp_path):
+    """Lib-free resize on a decodable image: real pixels in, real PPM
+    out, nearest-neighbor values verifiable by hand."""
+    from whylogs_spark.ops.multimodal import _decode_ppm
+
+    d = tmp_path / "resz"
+    d.mkdir()
+    # 2x2: left column red, right column blue
+    (d / "quad.ppm").write_bytes(_ppm_bytes(
+        [(255, 0, 0), (0, 0, 255), (255, 0, 0), (0, 0, 255)], 2, 2))
+    df = multimodal.read_binary_dir(spark, str(d))
+    out = multimodal.resize_images(df, 4, 2).collect()
+    assert len(out) == 1
+    arr = _decode_ppm(bytes(out[0]["content"]))
+    assert arr.shape == (2, 4, 3)
+    # nearest-neighbor: cols 0,1 from src col 0 (red), cols 2,3 blue
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[0, 1].tolist() == [255, 0, 0]
+    assert arr[0, 2].tolist() == [0, 0, 255]
+    assert arr[1, 3].tolist() == [0, 0, 255]
+
+
 def test_pixel_path_runs_in_spark_without_pil(spark, tmp_path):
     """decode_image_pixels (strict) must succeed lib-free on BMP/PPM —
     the pixel-stat pipeline is exercised end-to-end in this sandbox."""
@@ -288,8 +310,9 @@ def test_multimodal_audio_resize_frames(spark, tmp_path):
         n_frames / rate)
     assert feats["unknown"]["n_bytes"] == 8192
 
+    # non-image payloads: dims reported, payload null (no fake bytes)
     resized = multimodal.resize_images(df, 64, 64).collect()
-    assert all(r["width"] == 64 and len(r["content"]) <= 64
+    assert all(r["width"] == 64 and r["content"] is None
                for r in resized)
 
     frames = multimodal.sample_video_frames(df, n_frames=4)

@@ -39,7 +39,6 @@ through a double on its way into a distinct-count or min/max.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Iterable, List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame
@@ -260,10 +259,17 @@ def wide_native_rows(
         agg = (stacked.groupBy(*seg_names, "cid")
                .agg(*_class_aggs(vt, cfg)))
         if cfg.cardinality_impl == "hll":
+            from .planner import _hll_bounds
+
             agg = agg.select(
                 F.col("*"),
                 F.hll_sketch_estimate(F.col("hll"))
-                .cast(T.DoubleType()).alias("est"))
+                .cast(T.DoubleType()).alias("est"),
+                # mode-aware sketch bounds, identical to the narrow path
+                _hll_bounds(2.0, upper=False)(F.col("hll"))
+                .alias("lowerb"),
+                _hll_bounds(2.0, upper=True)(F.col("hll"))
+                .alias("upperb"))
         rows = agg.limit(collect_limit + 1).collect()
         if len(rows) > collect_limit:
             raise ValueError(
@@ -289,7 +295,6 @@ def wide_native_rows(
         results = [f.result() for f in futs]
 
     vt_of = dict(fields)
-    rse = 2.0 * 1.04 / math.sqrt(2.0 ** cfg.hll_lg_k)
     out: List[tuple] = []
 
     def emit(seg, col, metric, comp, n=None, d=None, s=None, b=None):
@@ -353,10 +358,8 @@ def wide_native_rows(
                 emit(seg, col, "cardinality", "hll",
                      b=bytes(rd["hll"]) if rd["hll"] is not None else None)
                 emit(seg, col, "cardinality", "est", d=est)
-                emit(seg, col, "cardinality", "lower",
-                     d=None if est is None else est * (1.0 - rse))
-                emit(seg, col, "cardinality", "upper",
-                     d=None if est is None else est * (1.0 + rse))
+                emit(seg, col, "cardinality", "lower", d=fd(rd["lowerb"]))
+                emit(seg, col, "cardinality", "upper", d=fd(rd["upperb"]))
             else:
                 emit(seg, col, "cardinality", "est", d=fd(rd["est"]))
     return out

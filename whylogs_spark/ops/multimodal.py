@@ -396,22 +396,62 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize kernel behind the real mapInPandas plumbing.
+def _resize_nn(arr, width: int, height: int):
+    """Nearest-neighbor resample of an (H, W, 3) array — index
+    arithmetic only, so the kernel is real without any image lib."""
+    import numpy as np
 
-    STUB: without PIL the 'resized' payload is a deterministic fake
-    (xxhash-free: first 64 bytes of the source), clearly not pixels —
-    swap the inner function for a PIL `Image.resize` in deployment; the
-    batch shape, schema and partitioning are what a real kernel uses.
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return arr[ys][:, xs]
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize kernel behind the mapInPandas plumbing.
+
+    PIL path when importable (any format, emits PNG); otherwise the
+    pure-numpy path decodes uncompressed BMP / binary PPM, resamples
+    nearest-neighbor and re-encodes as binary PPM — real pixels in,
+    real pixels out, lib-free. Rows no decoder handles emit a null
+    payload (dims still reported) rather than fake bytes.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL  # noqa: F401
+            has_pil = True
+        except ImportError:
+            has_pil = False
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r["content"]) if r["content"] is not None \
                     else b""
-                rows.append((r["path"], width, height, content[:64]))
+                out = None
+                if has_pil:
+                    try:
+                        import io as _io
+
+                        from PIL import Image
+
+                        img = Image.open(_io.BytesIO(content)).resize(
+                            (width, height))
+                        buf = _io.BytesIO()
+                        img.save(buf, format="PNG")
+                        out = buf.getvalue()
+                    except Exception:
+                        out = None
+                if out is None:
+                    arr = (_decode_ppm(content)
+                           if content[:2] == b"P6"
+                           else _decode_bmp(content)
+                           if content[:2] == b"BM" else None)
+                    if arr is not None:
+                        small = _resize_nn(arr, width, height)
+                        out = (f"P6\n{width} {height}\n255\n".encode()
+                               + small.tobytes())
+                rows.append((r["path"], width, height, out))
             yield pd.DataFrame(
                 rows, columns=["path", "width", "height", "content"])
 
