@@ -200,6 +200,20 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    # flag real regressions: a query whose best-of-N exceeds 1.5x the
+    # r02 reference min (r02 "queries" were best-of-3) is slower beyond
+    # what host steal explains
+    regressions = {}
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_r02.json")
+    try:
+        with open(ref_path) as fh:
+            ref = json.load(fh).get("queries", {})
+        for name, cur in res_min.items():
+            if name in ref and ref[name] > 0 and cur > 1.5 * ref[name]:
+                regressions[name] = {"min": cur, "r02_min": ref[name]}
+    except (OSError, ValueError):
+        pass
     total = round(sum(results.values()), 3)
     print(json.dumps({
         "metric": "headline_total",
@@ -209,6 +223,7 @@ def main() -> None:
         "queries_min": res_min,
         "queries_max": res_max,
         "reps": {n: reps_for.get(n, 5) for n in benches},
+        "regressions_vs_r02_min": regressions,
         "sf": sf_val,
     }))
     spark.stop()
