@@ -208,7 +208,10 @@ def main() -> None:
                             "BENCH_r02.json")
     try:
         with open(ref_path) as fh:
-            ref = json.load(fh).get("queries", {})
+            blob = json.load(fh)
+        # the driver wraps the bench line under "parsed"
+        ref = blob.get("queries") or blob.get("parsed", {}).get(
+            "queries", {})
         for name, cur in res_min.items():
             if name in ref and ref[name] > 0 and cur > 1.5 * ref[name]:
                 regressions[name] = {"min": cur, "r02_min": ref[name]}

@@ -31,8 +31,10 @@ class MetricConfig:
     #   "kll"     -> numpy KLL sketch via mapInArrow (mergeable, bytes stored)
     quantile_impl: str = "kll"
     # approx_percentile accuracy (~1/rank-error). The reference's KLL k=256
-    # carries ~1.65% normalized rank error; 500 (0.2%) already beats it.
-    native_quantile_accuracy: int = 500
+    # carries ~1.65% normalized rank error; 250 (0.4%) still beats it 4x
+    # while halving the GK-summary build cost, which otherwise dominates
+    # the whole native-tier profile pass (measured ~2x on lineitem).
+    native_quantile_accuracy: int = 250
     # frequent items: "sketch" (Misra-Gries via mapInArrow) | "none"
     frequent_items_impl: str = "sketch"
     # cardinality: "hll" (Spark DataSketches hll_sketch_agg, mergeable bytes)

@@ -906,7 +906,11 @@ def dedup_lines_long(
     over the line text): min(struct(id, pos)) is commutative, so each
     map task first collapses its local duplicates of a hot line — the
     exchange then carries at most (#partitions) rows per distinct line
-    regardless of how many documents repeat it."""
+    regardless of how many documents repeat it.
+
+    NULL lines (possible from a custom segmenter; never produced by
+    ``line_dedup``'s split) count toward ``n_lines`` but are never
+    kept — the survivor join is null-rejecting by design."""
     winners = (
         lines.groupBy(line_col)
         .agg(F.min(F.struct(F.col(id_col).alias("i"),
