@@ -144,3 +144,19 @@ def test_reference_compat_mode(spark, view, tmp_path):
             view.get_component("l_quantity", "distribution", "mean"))
     with pytest.raises(ValueError, match="compat"):
         write_why1(view, p, compat="bogus")
+
+
+def test_unknown_oneof_arm_skipped():
+    """A MetricComponentMessage carrying an arm we have no serde for
+    (e.g. the CPC sketch, whylogs_messages.proto oneof) parses to an
+    empty component instead of crashing the reader — reference files
+    using exotic sketch components degrade gracefully."""
+    from whylogs_spark.io.why1 import (_len_field, _parse_component,
+                                       _varint_field)
+
+    # type_id + a length-delimited field 7 (no serde registered)
+    msg = _varint_field(1, 9) + _len_field(7, b"\x01\x02\x03")
+    assert _parse_component(msg) == (None, None, None)
+    # known arm still parses when mixed with an unknown one
+    msg2 = _varint_field(2, 42) + _len_field(7, b"\x01")
+    assert _parse_component(msg2) == (42, None, None)
