@@ -40,10 +40,32 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "8g")
-        .config("spark.ui.enabled", "false")
+        # UI on for the status REST API: per-stage executorRunTime is
+        # the steal-immune timing source (wall clock on this host is
+        # not); retainedStages must outlast all reps
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4099")
+        .config("spark.ui.retainedStages", "20000")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    import urllib.request
+
+    def task_time_ms() -> int:
+        """Sum of executorRunTime over all completed stages so far;
+        deltas around a query give its cluster task time independent
+        of host CPU steal. Returns -1 if the API is unreachable."""
+        try:
+            app_id = spark.sparkContext.applicationId
+            url = (f"http://127.0.0.1:4099/api/v1/applications/{app_id}"
+                   "/stages?status=complete")
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                stages = json.load(resp)
+            return sum(s.get("executorRunTime", 0) for s in stages)
+        except Exception:
+            return -1
 
     from whylogs_spark.io.tables import load_table
 
@@ -183,17 +205,25 @@ def main() -> None:
     # MEDIAN as the headline (robust center) plus min/max dispersion so
     # a regression is distinguishable from a steal storm: compare
     # medians, trust a delta only when the intervals don't overlap.
-    results, res_min, res_max = {}, {}, {}
+    results, res_min, res_max, res_task = {}, {}, {}, {}
     for name, fn in benches.items():
-        times = []
+        times, task_ms = [], []
         for _ in range(reps_for.get(name, 5)):
+            tt0 = task_time_ms()
             t0 = time.perf_counter()
             fn()
             times.append(time.perf_counter() - t0)
+            tt1 = task_time_ms()
+            if tt0 >= 0 and tt1 >= 0:
+                task_ms.append(tt1 - tt0)
         times.sort()
         results[name] = round(times[len(times) // 2], 3)
         res_min[name] = round(times[0], 3)
         res_max[name] = round(times[-1], 3)
+        if task_ms:
+            task_ms.sort()
+            res_task[name] = round(
+                task_ms[len(task_ms) // 2] / 1000.0, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -225,6 +255,7 @@ def main() -> None:
         "queries": results,
         "queries_min": res_min,
         "queries_max": res_max,
+        "queries_task_sec": res_task,
         "reps": {n: reps_for.get(n, 5) for n in benches},
         "regressions_vs_r02_min": regressions,
         "sf": sf_val,
