@@ -130,3 +130,67 @@ def test_matches_window_free_reference(spark):
         cand = [(rts, v) for (ru, rts, v) in rrows if ru == u and rts <= ts]
         want = max(cand)[1] if cand else None
         assert got[i] == want, (i, u, ts)
+
+
+def test_hot_key_buckets_equivalent(spark):
+    """The two-phase skew-bounded plan must return exactly the
+    single-phase result — including left buckets with no right rows
+    (bridged from an earlier bucket's close) and exact-tie timestamps."""
+    import random
+
+    rnd = random.Random(11)
+    base = _ts("2024-01-01 00:00:00")
+    lrows = [(rnd.randrange(3), base
+              + dt.timedelta(seconds=rnd.randrange(100_000)), i)
+             for i in range(300)]
+    rrows_set = {}
+    for j in range(60):
+        k = (rnd.randrange(3), base
+             + dt.timedelta(seconds=rnd.randrange(100_000)))
+        rrows_set[k] = float(j)
+    # exact tie: right row at a left row's timestamp must match backward
+    lrows.append((0, base + dt.timedelta(seconds=424242), 300))
+    rrows_set[(0, base + dt.timedelta(seconds=424242))] = 999.0
+    rrows = [(u, ts, v) for (u, ts), v in rrows_set.items()]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, i long")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, v double")
+
+    for direction in ("backward", "forward"):
+        for tol in (None, "2 hours"):
+            plain = asof_join(left, right, on="ts", by=["k"],
+                              direction=direction, tolerance=tol,
+                              value_cols=["v"])
+            bucketed = asof_join(left, right, on="ts", by=["k"],
+                                 direction=direction, tolerance=tol,
+                                 value_cols=["v"],
+                                 hot_key_buckets="1 hour")
+            a = {r["i"]: (r["v"], r["matched_ts"])
+                 for r in plain.collect()}
+            b = {r["i"]: (r["v"], r["matched_ts"])
+                 for r in bucketed.collect()}
+            assert a == b, (direction, tol)
+    # tie matched through the bucketed path too
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=["v"],
+                    hot_key_buckets="1 hour")
+    got = {r["i"]: r["v"] for r in out.collect()}
+    assert got[300] == 999.0
+
+
+def test_hot_key_buckets_plan_partitions_by_bucket(spark):
+    """The big (row-count-proportional) window must key on
+    (key, bucket), not the key alone — that is the skew bound."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 0)], "k long, ts timestamp, i long")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 1.0)], "k long, ts timestamp, v double")
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=["v"],
+                    hot_key_buckets="1 day")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "__asof_bucket" in plan
+    assert "hashpartitioning(k#" in plan.replace("L", "")

@@ -24,8 +24,15 @@ shuffle on the key, then within each key partition an ordered window
 values onto each left row. Cost is one exchange + one in-partition sort
 of |l|+|r| rows, independent of how many right rows precede each left
 row. Whole plan is built-ins (Window over codegen'd sort), no Python.
-Known hazard: a single hot key serializes into one partition — salt or
-split hot keys upstream if one key's rows exceed executor memory.
+
+Hot-key hazard and its mitigation: with the default single-phase plan
+a single hot key (a bot user with 10^8 events) serializes into one
+partition. Pass ``hot_key_buckets`` (an interval, e.g. ``"1 day"``)
+to switch to the two-phase plan: the carry-forward window partitions
+by (key, time-bucket) — the hot key's rows spread across buckets — and
+a second, per-bucket-CLOSE rollup (one row per (key, bucket), tiny)
+carries values across bucket boundaries. Same result, skew bounded by
+a single key-bucket's volume.
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _TS = "__asof_ts"
+_BKT = "__asof_bucket"
 
 
 def asof_join(
@@ -49,6 +57,7 @@ def asof_join(
     value_cols: Optional[Sequence[str]] = None,
     matched_ts_col: str = "matched_ts",
     suffix: str = "_r",
+    hot_key_buckets: Optional[str] = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the right side's
     ``value_cols`` from the nearest right row at-or-before
@@ -102,21 +111,78 @@ def asof_join(
     # forward: descending ts, same tie rule gives "at-or-after".
     ts_order = (F.col(_TS).asc() if direction == "backward"
                 else F.col(_TS).desc())
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(ts_order, F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried: List = [
-        F.last(F.col(rname(c)), ignorenulls=True).over(w).alias(rname(c))
-        for c in value_cols
-    ]
-    carried_ts = F.last(F.col(matched_ts_col), ignorenulls=True).over(w)
+    carry_cols = [rname(c) for c in value_cols] + [matched_ts_col]
 
-    out = unioned.select(
-        *by, F.col(_TS), F.col(_SIDE), *left_payload,
-        *carried, carried_ts.alias(matched_ts_col),
-    ).filter(F.col(_SIDE) == 1)
+    if hot_key_buckets is None:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(ts_order, F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = unioned.select(
+            *by, F.col(_TS), F.col(_SIDE), *left_payload,
+            *[F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+              for c in carry_cols],
+        ).filter(F.col(_SIDE) == 1)
+    else:
+        # two-phase skew-bounded plan: carry within (key, time-bucket),
+        # then bridge bucket boundaries with a per-bucket-close rollup
+        # (one row per (key, bucket) — orders of magnitude smaller).
+        import pandas as _pd
+
+        bucket_sec = float(
+            _pd.Timedelta(hot_key_buckets).total_seconds())
+        if bucket_sec <= 0:
+            raise ValueError(
+                f"hot_key_buckets must be positive: {hot_key_buckets}")
+        ts_t = dict(unioned.dtypes)[_TS]
+        numeric = ts_t.startswith(
+            ("bigint", "int", "double", "float", "smallint", "tinyint",
+             "decimal"))
+        secs = (F.col(_TS).cast("double") if numeric
+                else F.col(_TS).cast("timestamp").cast("double"))
+        bucketed = unioned.withColumn(
+            _BKT, F.floor(secs / F.lit(bucket_sec)).cast("long"))
+        w1 = (
+            Window.partitionBy(*by, _BKT)
+            .orderBy(ts_order, F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        in_bucket = bucketed.select(
+            *by, F.col(_BKT), F.col(_TS), F.col(_SIDE), *left_payload,
+            *[F.last(F.col(c), ignorenulls=True).over(w1).alias(c)
+              for c in carry_cols],
+        ).filter(F.col(_SIDE) == 1)
+        # per-bucket close of the RIGHT side (right rows are unique per
+        # (by, on), so max_by/min_by on the timestamp is unambiguous)
+        pick = F.max_by if direction == "backward" else F.min_by
+        closes = (
+            bucketed.filter(F.col(_SIDE) == 0)
+            .groupBy(*by, _BKT)
+            .agg(*[pick(F.col(c), F.col(_TS)).alias(f"__cl_{c}")
+                   for c in carry_cols])
+        )
+        # every bucket present on either side, so a left bucket with no
+        # right rows still finds the latest EARLIER close via the
+        # offset window (frame excludes the current bucket)
+        buckets = bucketed.select(*by, _BKT).distinct()
+        bkt_order = (F.col(_BKT).asc() if direction == "backward"
+                     else F.col(_BKT).desc())
+        w2 = (
+            Window.partitionBy(*by).orderBy(bkt_order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = buckets.join(closes, on=by + [_BKT], how="left").select(
+            *by, F.col(_BKT),
+            *[F.last(F.col(f"__cl_{c}"), ignorenulls=True).over(w2)
+              .alias(f"__pv_{c}") for c in carry_cols],
+        )
+        # (key, bucket) join keys: the hot key is spread across buckets
+        out = in_bucket.join(prev, on=by + [_BKT], how="left").select(
+            *by, F.col(_TS), F.col(_SIDE), *left_payload,
+            *[F.coalesce(F.col(c), F.col(f"__pv_{c}")).alias(c)
+              for c in carry_cols],
+        )
 
     if tolerance is not None:
         iv = F.expr(f"INTERVAL {tolerance}")
