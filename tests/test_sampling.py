@@ -93,3 +93,30 @@ def test_group_sample_small_groups_kept_whole(spark):
                                   F.lit("g").alias("grp"))
     out = sampling.group_sample(df, ["grp"], k=10, key_cols=["k"])
     assert out.count() == 5
+
+
+def test_group_sample_presalt_equivalent(spark):
+    """Two-stage (presalted) top-k must return exactly the single-stage
+    sample — same total order in both stages guarantees no winner is
+    dropped in stage 1."""
+    from pyspark.sql import functions as F
+
+    from whylogs_spark.ops.sampling import group_sample
+
+    df = spark.createDataFrame(
+        [(i % 4, i) for i in range(500)], ["g", "id"])
+    plain = group_sample(df, ["g"], k=7, key_cols=["id"])
+    salted = group_sample(df, ["g"], k=7, key_cols=["id"], presalt=8)
+    a = sorted((r["g"], r["id"]) for r in plain.collect())
+    b = sorted((r["g"], r["id"]) for r in salted.collect())
+    assert a == b
+    assert len(a) == 4 * 7
+    # stage-1 task bound: the presalted plan's first window keys on
+    # (group, bucket), not the group alone
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        salted.explain("formatted")
+    assert "__gsb" in buf.getvalue()

@@ -110,17 +110,44 @@ def group_sample(
     key_cols: Sequence[str],
     salt: str = "",
     rank_col: Optional[str] = None,
+    presalt: Optional[int] = None,
 ) -> DataFrame:
     """Uniform-without-replacement sample of up to ``k`` rows per group:
     rank rows inside each group by key hash (a random-but-deterministic
-    order) and keep the first k. One shuffle on the group key; with AQE
-    the per-group top-k stays bounded regardless of group skew.
+    order) and keep the first k. One shuffle on the group key.
+
+    Skew: the per-group window sorts a whole group in one task. For
+    corpora with hot groups, set ``presalt=S`` to run the classic
+    two-stage distributed top-k: stage 1 ranks within (group,
+    hash-bucket-of-S) and keeps k per bucket — bounding any task at a
+    1/S slice of the hot group — stage 2 re-ranks the <= k*S survivors
+    per group. Both stages use the same total order (key hash, then
+    key), so the result is EXACTLY the single-stage sample: the global
+    k smallest keys of a group are each among the k smallest of their
+    bucket, so stage 1 never drops a winner.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     h = _hash_prefix(key_cols, salt)
+    order = [h.asc(), *[F.col(c).asc() for c in key_cols]]
+    if presalt is not None:
+        if presalt < 1:
+            raise ValueError(f"presalt must be >= 1: {presalt}")
+        b = F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols],
+                       F.lit(f"gs-presalt-{salt}")),
+            F.lit(presalt))
+        w1 = Window.partitionBy(
+            *[F.col(c) for c in group_cols], F.col("__gsb")
+        ).orderBy(*order)
+        df = (
+            df.withColumn("__gsb", b)
+            .withColumn("__rk1", F.row_number().over(w1))
+            .filter(F.col("__rk1") <= k)
+            .drop("__rk1", "__gsb")
+        )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
-        h.asc(), *[F.col(c).asc() for c in key_cols])
+        *order)
     ranked = df.withColumn("__rk", F.row_number().over(w))
     out = ranked.filter(F.col("__rk") <= k)
     if rank_col:
