@@ -193,6 +193,19 @@ def main() -> None:
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
         }))
 
+    # 6a. exact dedup: winner per fingerprint is a partial-aggregated
+    # groupBy(min) + unique-pair semi-join, never a window over the
+    # fingerprint (hot identical docs are this operator's workload)
+    ed = dedup.exact_dedup(docs)
+    sections.append((
+        "exact dedup (winner per fingerprint)", ed,
+        {
+            "no window over the fingerprint (skew)":
+                r"^(?![\s\S]*Window)",
+            "partial agg before the fingerprint exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+
     # 6b. line dedup: winner per line is a partial-aggregated groupBy
     # (skew-immune), NOT a window over the raw line text; survivors are
     # marked by a join on the unique (line, id, pos) triple

@@ -81,16 +81,19 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the lowest-id document per distinct normalized text.
 
-    Window + row_number over the fingerprint: one shuffle, fully
-    distributed, deterministic winner.
+    Winner per fingerprint via a partial-aggregated groupBy(min) plus
+    a semi-join on the unique (fingerprint, id) pair — NOT a window
+    over the fingerprint: a hot fingerprint (millions of byte-identical
+    boilerplate docs — precisely this operator's workload) collapses to
+    one row per map partition before the exchange instead of funneling
+    every copy into a single sort task.
     """
-    fp = F.xxhash64(normalized_text(F.col(text_col)))
-    w = Window.partitionBy(fp).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    with_fp = df.withColumn(
+        "__fp", F.xxhash64(normalized_text(F.col(text_col))))
+    winners = with_fp.groupBy("__fp").agg(
+        F.min(F.col(id_col)).alias(id_col))
+    return with_fp.join(
+        winners, on=["__fp", id_col], how="leftsemi").drop("__fp")
 
 
 def duplicate_stats(
