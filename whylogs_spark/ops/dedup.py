@@ -24,7 +24,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
