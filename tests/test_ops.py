@@ -331,3 +331,61 @@ def test_line_dedup_plan_skew_immune(spark):
     assert "Window" not in plan
     # survivor marking joins on the unique (line, id, pos) triple
     assert "Join" in plan
+
+
+def test_sessionize_hot_user_buckets_equivalent(spark):
+    """Two-phase bucketed sessionization must assign EXACTLY the
+    single-phase session ids — including sessions spanning several
+    buckets (chained bridges), empty buckets between events, and
+    boundary events exactly `gap` apart (tie: same session)."""
+    import datetime as dt
+    import random
+
+    from whylogs_spark.ops import events as ev
+
+    rnd = random.Random(23)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(4):
+        t = 0
+        for i in range(200):
+            # mix: dense runs (sessions spanning buckets) + long gaps
+            t += rnd.choice([30, 60, 300, 1799, 1800, 1801, 90_000])
+            rows.append((u, base + dt.timedelta(seconds=t), u * 1000 + i))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, e long")
+
+    plain = ev.sessionize(df, gap="30 minutes")
+    for bucket in ("15 minutes", "1 hour", "7 days"):
+        two = ev.sessionize(df, gap="30 minutes",
+                            hot_user_buckets=bucket)
+        a = {r["e"]: r["session_id"] for r in plain.collect()}
+        b = {r["e"]: r["session_id"] for r in two.collect()}
+        assert a == b, bucket
+
+    sa = {(r["user_id"], r["session_id"]): (r["n_events"],
+                                            r["duration_sec"])
+          for r in ev.session_stats(df, gap="30 minutes").collect()}
+    sb = {(r["user_id"], r["session_id"]): (r["n_events"],
+                                            r["duration_sec"])
+          for r in ev.session_stats(
+              df, gap="30 minutes",
+              hot_user_buckets="1 hour").collect()}
+    assert sa == sb
+
+
+def test_sessionize_bucketed_plan_keys_on_bucket(spark):
+    """The event-proportional window must partition by (user, bucket),
+    bounding any task at one user-bucket slice."""
+    import datetime as dt
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from whylogs_spark.ops import events as ev
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 0)], "user_id long, ts timestamp, e long")
+    out = ev.sessionize(df, hot_user_buckets="1 day")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "__sb" in buf.getvalue()

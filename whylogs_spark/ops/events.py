@@ -13,6 +13,8 @@ users upstream if one user's events exceed a partition's memory.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -23,6 +25,7 @@ def sessionize(
     ts_col: str = "ts",
     gap: str = "30 minutes",
     session_col: str = "session_id",
+    hot_user_buckets: Optional[str] = None,
 ) -> DataFrame:
     """Assign gap-based session ids: a new session starts when the time
     since the user's previous event exceeds ``gap``.
@@ -37,22 +40,81 @@ def sessionize(
     session timezone, so session boundaries cannot shift by an hour
     across a DST transition under a non-UTC session tz (string inputs
     are cast to NTZ for the same reason).
+
+    Hot-user hazard: the default plan sorts each user's full history in
+    one task. ``hot_user_buckets`` (an interval, e.g. ``"1 day"``)
+    switches to the two-phase plan — sessionize within (user,
+    time-bucket), then bridge sessions across bucket boundaries with a
+    per-(user, bucket) summary rollup (one row each, tiny): a bucket's
+    first session merges with the previous bucket's last when their
+    boundary events are within ``gap``, and global ordinals are prefix
+    sums of (local sessions − bridges). Exactly the single-phase ids;
+    the big windows and the summary re-join key on (user, bucket), so
+    a bot user's rows spread across buckets.
     """
     dt = dict(df.dtypes).get(ts_col, "")
     tcol = (F.col(ts_col) if dt.startswith("timestamp")
             else F.col(ts_col).cast("timestamp_ntz"))
-    w = Window.partitionBy(user_col).orderBy(tcol.asc())
-    prev = F.lag(tcol).over(w)
     gap_expr = F.expr(f"INTERVAL {gap}")
-    new_session = (
-        prev.isNull() | (tcol > prev + gap_expr)
-    ).cast("long")
-    k = F.sum(new_session).over(
-        w.rowsBetween(Window.unboundedPreceding, 0))
-    return df.withColumn(
-        session_col,
-        F.concat(F.col(user_col).cast("string"), F.lit("#"),
-                 k.cast("string")))
+
+    if hot_user_buckets is None:
+        w = Window.partitionBy(user_col).orderBy(tcol.asc())
+        prev = F.lag(tcol).over(w)
+        new_session = (
+            prev.isNull() | (tcol > prev + gap_expr)
+        ).cast("long")
+        k = F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        return df.withColumn(
+            session_col,
+            F.concat(F.col(user_col).cast("string"), F.lit("#"),
+                     k.cast("string")))
+
+    import pandas as _pd
+
+    bucket_sec = float(_pd.Timedelta(hot_user_buckets).total_seconds())
+    if bucket_sec <= 0:
+        raise ValueError(
+            f"hot_user_buckets must be positive: {hot_user_buckets}")
+    secs = tcol.cast("timestamp").cast("double")
+    bdf = df.withColumn("__sb", F.floor(secs / F.lit(bucket_sec))
+                        .cast("long"))
+    # phase 1: local sessionization within (user, bucket)
+    w1 = Window.partitionBy(user_col, "__sb").orderBy(tcol.asc())
+    prev1 = F.lag(tcol).over(w1)
+    new1 = (prev1.isNull() | (tcol > prev1 + gap_expr)).cast("long")
+    local = bdf.withColumn(
+        "__kl",
+        F.sum(new1).over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+    # phase 2: one summary row per (user, bucket) — bridge + prefix
+    summ = local.groupBy(user_col, "__sb").agg(
+        F.min(tcol).alias("__first"),
+        F.max(tcol).alias("__last"),
+        F.max("__kl").alias("__nloc"))
+    wu = Window.partitionBy(user_col).orderBy(F.col("__sb").asc())
+    prev_last = F.lag(F.col("__last")).over(wu)
+    bridge = (prev_last.isNotNull()
+              & (F.col("__first") <= prev_last + gap_expr)).cast("long")
+    contrib = F.col("__nloc") - F.col("__bridge")
+    summ2 = (
+        summ.withColumn("__bridge", bridge)
+        .withColumn(
+            "__prefix",
+            F.coalesce(
+                F.sum(contrib).over(
+                    wu.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0)))
+    ).select(user_col, "__sb", "__bridge", "__prefix")
+    # phase 3: re-join on (user, bucket) — hot user spread over buckets
+    k = F.col("__prefix") + F.col("__kl") - F.col("__bridge")
+    return (
+        local.join(summ2, on=[user_col, "__sb"], how="left")
+        .withColumn(
+            session_col,
+            F.concat(F.col(user_col).cast("string"), F.lit("#"),
+                     k.cast("string")))
+        .drop("__sb", "__kl", "__bridge", "__prefix")
+    )
 
 
 def session_stats(
@@ -60,11 +122,15 @@ def session_stats(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap: str = "30 minutes",
+    hot_user_buckets: Optional[str] = None,
 ) -> DataFrame:
     """(user, session_id, n_events, session_start, session_end,
     duration_sec) — one row per session; the groupBy reuses the window's
-    hash partitioning on user, so sessionize+stats is one shuffle total."""
-    s = sessionize(df, user_col, ts_col, gap)
+    hash partitioning on user, so sessionize+stats is one shuffle total
+    (``hot_user_buckets`` switches to the skew-bounded two-phase plan,
+    see ``sessionize``)."""
+    s = sessionize(df, user_col, ts_col, gap,
+                   hot_user_buckets=hot_user_buckets)
     return (
         s.groupBy(user_col, "session_id")
         .agg(
