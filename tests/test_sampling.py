@@ -120,3 +120,33 @@ def test_group_sample_presalt_equivalent(spark):
     with redirect_stdout(buf):
         salted.explain("formatted")
     assert "__gsb" in buf.getvalue()
+
+
+def test_pack_chunks_distributed_equivalent(spark):
+    """The two-phase distributed prefix sum must produce exactly the
+    single-phase offsets/chunk ids — shards spanning several range
+    slices included."""
+    import random
+
+    from whylogs_spark.ops.sampling import pack_chunks
+
+    rnd = random.Random(5)
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", rnd.randrange(1, 50)) for i in range(400)],
+        ["id", "shard", "sz"]).repartition(7)
+    plain = pack_chunks(df, "sz", budget=100, shard_cols=["shard"],
+                        order_cols=["id"])
+    dist = pack_chunks(df, "sz", budget=100, shard_cols=["shard"],
+                       order_cols=["id"], distributed=True)
+    a = {(r["shard"], r["id"]): (r["chunk_offset"], r["chunk_id"])
+         for r in plain.collect()}
+    b = {(r["shard"], r["id"]): (r["chunk_offset"], r["chunk_id"])
+         for r in dist.collect()}
+    assert a == b
+    # global (no shard) packing also matches
+    g1 = pack_chunks(df, "sz", budget=100, order_cols=["shard", "id"])
+    g2 = pack_chunks(df, "sz", budget=100, order_cols=["shard", "id"],
+                     distributed=True)
+    ga = {(r["shard"], r["id"]): r["chunk_offset"] for r in g1.collect()}
+    gb = {(r["shard"], r["id"]): r["chunk_offset"] for r in g2.collect()}
+    assert ga == gb

@@ -163,6 +163,7 @@ def pack_chunks(
     order_cols: Optional[Sequence[str]] = None,
     chunk_col: str = "chunk_id",
     offset_col: str = "chunk_offset",
+    distributed: bool = False,
 ) -> DataFrame:
     """Sequential-fill packing: assign rows (documents) to fixed-budget
     chunks — the "concatenate then cut at document boundaries" step
@@ -172,22 +173,61 @@ def pack_chunks(
     ``chunk_offset`` the row's start position inside the stream.
 
     Deterministic given ``order_cols``; one shuffle on ``shard_cols``
-    (rows pack independently inside each shard, so 100 TB packs as
-    embarrassingly-parallel per-shard windows — use a hash_split-style
+    (rows pack independently inside each shard — use a hash_split-style
     shard key to bound shard size). Without shard_cols the window is
-    global (single-reducer: only for small corpora / tests).
+    global (one reducer).
+
+    ``distributed=True`` runs the classic two-phase distributed prefix
+    sum instead, so a giant (or absent) shard no longer serializes:
+    range-repartition on (shard, order) — contiguous, ordered slices —
+    local cumsum per slice, then a per-(shard, slice) totals rollup
+    (one row each) carries each slice's starting offset. Exactly the
+    single-phase offsets. Requires ``order_cols`` to be unique within
+    a shard (a range boundary between equal keys would split ties
+    nondeterministically); the default doc-id ordering satisfies this.
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
     order_cols = list(order_cols or [size_col])
-    part = [F.col(c) for c in (shard_cols or [])]
-    w = Window.partitionBy(*part).orderBy(
-        *[F.col(c).asc() for c in order_cols]) \
+    shard_cols = list(shard_cols or [])
+    part = [F.col(c) for c in shard_cols]
+    order = [F.col(c).asc() for c in order_cols]
+
+    if not distributed:
+        w = Window.partitionBy(*part).orderBy(*order) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = F.sum(F.col(size_col)).over(w)
+        start = (cum - F.col(size_col)).cast("long")
+        return (
+            df.withColumn(offset_col, start)
+            .withColumn(chunk_col,
+                        F.floor(start / F.lit(budget)).cast("long"))
+        )
+
+    # two-phase distributed scan: RangePartitioner assigns ascending
+    # (shard, order) key ranges to ascending partition ids, so a slice
+    # id is a valid secondary sort key
+    rp = df.repartitionByRange(
+        *[F.col(c) for c in shard_cols + order_cols]
+    ).withColumn("__slice", F.spark_partition_id())
+    w1 = Window.partitionBy(*part, F.col("__slice")).orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum(F.col(size_col)).over(w)
-    start = (cum - F.col(size_col)).cast("long")
+    local = rp.withColumn(
+        "__lcum", F.sum(F.col(size_col)).over(w1))
+    totals = local.groupBy(*shard_cols, "__slice").agg(
+        F.sum(F.col(size_col)).alias("__stot"))
+    w2 = Window.partitionBy(*part).orderBy(F.col("__slice").asc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        *shard_cols, "__slice",
+        F.coalesce(F.sum(F.col("__stot")).over(w2), F.lit(0))
+        .alias("__soff"))
+    start = (F.col("__lcum") - F.col(size_col) + F.col("__soff")) \
+        .cast("long")
     return (
-        df.withColumn(offset_col, start)
+        local.join(offsets, on=shard_cols + ["__slice"], how="left")
+        .withColumn(offset_col, start)
         .withColumn(chunk_col,
                     F.floor(start / F.lit(budget)).cast("long"))
+        .drop("__slice", "__lcum", "__soff")
     )
