@@ -314,6 +314,34 @@ def main() -> None:
                 r"^(?![\s\S]*\(\d+\) Exchange[\s\S]*\(\d+\) Exchange)",
         }))
 
+    # 7d. unigram LM: vocab cap is a DISTRIBUTED top-K
+    # (TakeOrderedAndProject — per-partition heaps), never a
+    # single-partition window sort of all distinct corpus tokens;
+    # smoothing totals ride along as a broadcast 1-row frame
+    # (action-free training, exchange reused between consumers)
+    lm = quality.train_unigram_lm(docs, vocab_size=1000)
+    sections.append((
+        "unigram LM training (vocab cap)", lm,
+        {
+            "LM vocab cap via TakeOrderedAndProject, no "
+            "single-partition window": r"TakeOrderedAndProject",
+            "no window anywhere in the plan":
+                r"^(?![\s\S]*Window)",
+            "partial agg before the word exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "smoothing totals broadcast (action-free training)":
+                r"BroadcastExchange",
+        }))
+    lms = quality.unigram_lm_scores(docs, vocab_size=1000)
+    sections.append((
+        "unigram LM scoring", lms,
+        {
+            "<=V-row LM joined by broadcast (tokens never shuffle "
+            "to a join)": r"BroadcastHashJoin",
+            "per-doc partial agg before the doc exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+
     # 8. counts summary: Expand-based multi-distinct in two agg stages
     ct = summaries.counts_table(li, ["l_orderkey", "l_returnflag"])
     sections.append((

@@ -147,7 +147,10 @@ def test_hot_key_buckets_equivalent(spark):
     for j in range(60):
         k = (rnd.randrange(3), base
              + dt.timedelta(seconds=rnd.randrange(100_000)))
-        rrows_set[k] = float(j)
+        # ~1 in 4 right rows carries a NULL value: the per-bucket close
+        # must skip these (last NON-null), like the single-phase
+        # last(ignorenulls=True) carry does
+        rrows_set[k] = None if j % 4 == 0 else float(j)
     # exact tie: right row at a left row's timestamp must match backward
     lrows.append((0, base + dt.timedelta(seconds=424242), 300))
     rrows_set[(0, base + dt.timedelta(seconds=424242))] = 999.0
@@ -174,6 +177,66 @@ def test_hot_key_buckets_equivalent(spark):
                     hot_key_buckets="1 hour")
     got = {r["i"]: r["v"] for r in out.collect()}
     assert got[300] == 999.0
+
+
+def test_hot_key_buckets_null_close_not_shadowing(spark):
+    """A bucket whose LATEST right row has a NULL value but an earlier
+    non-null one must close with the non-null value — a NULL close
+    would make the cross-bucket carry skip to an older bucket and hand
+    later left rows a stale value (diverging from single-phase)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 03:30:00"), 0)],  # bucket 3 (1-hour buckets)
+        "k long, ts timestamp, i long")
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:10:00"), 7.0),    # bucket 0: stale
+            (1, _ts("2024-01-01 01:10:00"), 42.0),   # bucket 1: real
+            (1, _ts("2024-01-01 01:50:00"), None),   # bucket 1 close row
+        ],
+        "k long, ts timestamp, v double")
+    plain = asof_join(left, right, on="ts", by=["k"], value_cols=["v"])
+    bucketed = asof_join(left, right, on="ts", by=["k"],
+                         value_cols=["v"], hot_key_buckets="1 hour")
+    prow = plain.collect()[0]
+    brow = bucketed.collect()[0]
+    assert prow["v"] == 42.0
+    assert brow["v"] == 42.0
+    # matched_ts still tracks the last right ROW (per-column carry)
+    assert brow["matched_ts"] == prow["matched_ts"] \
+        == _ts("2024-01-01 01:50:00")
+
+
+def test_hot_key_buckets_ntz_dst_safe(spark):
+    """TIMESTAMP_NTZ bucket ids must come from wall-clock arithmetic,
+    not a session-tz cast: under America/Los_Angeles the 2024-03-10
+    spring-forward gap makes cast('timestamp') non-monotonic, which
+    would break bucket/event-order agreement near the transition."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        # NTZ events straddling the nonexistent 02:00-03:00 hour
+        lrows = [(1, f"2024-03-10 0{h}:{m:02d}:00", i)
+                 for i, (h, m) in enumerate(
+                     [(1, 15), (1, 45), (2, 15), (2, 45), (3, 15),
+                      (3, 45), (4, 15)])]
+        rrows = [(1, "2024-03-10 01:30:00", 1.0),
+                 (1, "2024-03-10 02:30:00", 2.0),
+                 (1, "2024-03-10 03:30:00", 3.0)]
+        left = spark.createDataFrame(lrows, "k long, s string, i long") \
+            .select("k", F.col("s").cast("timestamp_ntz").alias("ts"), "i")
+        right = spark.createDataFrame(rrows, "k long, s string, v double") \
+            .select("k", F.col("s").cast("timestamp_ntz").alias("ts"), "v")
+        plain = asof_join(left, right, on="ts", by=["k"],
+                          value_cols=["v"])
+        bucketed = asof_join(left, right, on="ts", by=["k"],
+                             value_cols=["v"], hot_key_buckets="1 hour")
+        a = {r["i"]: (r["v"], r["matched_ts"]) for r in plain.collect()}
+        b = {r["i"]: (r["v"], r["matched_ts"]) for r in bucketed.collect()}
+        assert a == b
+        # and the values are the wall-clock-correct ones
+        assert b[2][0] == 1.0 and b[3][0] == 2.0 and b[4][0] == 2.0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 def test_hot_key_buckets_plan_partitions_by_bucket(spark):

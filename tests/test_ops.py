@@ -373,6 +373,36 @@ def test_sessionize_hot_user_buckets_equivalent(spark):
     assert sa == sb
 
 
+def test_sessionize_bucketed_ntz_dst_safe(spark):
+    """NTZ bucket ids must come from wall-clock arithmetic: under a
+    non-UTC session tz, cast('timestamp') maps the nonexistent
+    spring-forward hour non-monotonically, which would disagree with
+    event order and corrupt the bridge/prefix session ids."""
+    import pyspark.sql.functions as F
+
+    from whylogs_spark.ops import events as ev
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        # one event every 20 wall-clock minutes across the 2024-03-10
+        # 02:00-03:00 nonexistent hour: a single unbroken session
+        rows = [(1, f"2024-03-10 0{1 + (m // 60)}:{m % 60:02d}:00", i)
+                for i, m in enumerate(range(0, 180, 20))]
+        df = spark.createDataFrame(rows, "user_id long, s string, e long") \
+            .select("user_id",
+                    F.col("s").cast("timestamp_ntz").alias("ts"), "e")
+        plain = ev.sessionize(df, gap="30 minutes")
+        two = ev.sessionize(df, gap="30 minutes",
+                            hot_user_buckets="1 hour")
+        a = {r["e"]: r["session_id"] for r in plain.collect()}
+        b = {r["e"]: r["session_id"] for r in two.collect()}
+        assert a == b
+        assert set(b.values()) == {"1#1"}  # one wall-clock session
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_sessionize_bucketed_plan_keys_on_bucket(spark):
     """The event-proportional window must partition by (user, bucket),
     bounding any task at one user-bucket slice."""

@@ -135,12 +135,9 @@ def asof_join(
         if bucket_sec <= 0:
             raise ValueError(
                 f"hot_key_buckets must be positive: {hot_key_buckets}")
-        ts_t = dict(unioned.dtypes)[_TS]
-        numeric = ts_t.startswith(
-            ("bigint", "int", "double", "float", "smallint", "tinyint",
-             "decimal"))
-        secs = (F.col(_TS).cast("double") if numeric
-                else F.col(_TS).cast("timestamp").cast("double"))
+        from whylogs_spark.ops._time import epoch_secs
+
+        secs = epoch_secs(_TS, dict(unioned.dtypes)[_TS])
         bucketed = unioned.withColumn(
             _BKT, F.floor(secs / F.lit(bucket_sec)).cast("long"))
         w1 = (
@@ -154,13 +151,23 @@ def asof_join(
               for c in carry_cols],
         ).filter(F.col(_SIDE) == 1)
         # per-bucket close of the RIGHT side (right rows are unique per
-        # (by, on), so max_by/min_by on the timestamp is unambiguous)
+        # (by, on), so max_by/min_by on the timestamp is unambiguous).
+        # The ordering expr is nulled for NULL-valued rows — max_by/
+        # min_by skip rows whose ordering expr is null, so each close is
+        # the last NON-NULL value in the bucket, matching the
+        # single-phase per-column last(value, ignorenulls=True) carry
+        # (a boundary-most NULL must not shadow an earlier real value).
         pick = F.max_by if direction == "backward" else F.min_by
         closes = (
             bucketed.filter(F.col(_SIDE) == 0)
             .groupBy(*by, _BKT)
-            .agg(*[pick(F.col(c), F.col(_TS)).alias(f"__cl_{c}")
-                   for c in carry_cols])
+            .agg(*[
+                pick(
+                    F.col(c),
+                    F.when(F.col(c).isNotNull(), F.col(_TS)),
+                ).alias(f"__cl_{c}")
+                for c in carry_cols
+            ])
         )
         # every bucket present on either side, so a left bucket with no
         # right rows still finds the latest EARLIER close via the

@@ -76,9 +76,17 @@ def sessionize(
     if bucket_sec <= 0:
         raise ValueError(
             f"hot_user_buckets must be positive: {hot_user_buckets}")
-    secs = tcol.cast("timestamp").cast("double")
-    bdf = df.withColumn("__sb", F.floor(secs / F.lit(bucket_sec))
-                        .cast("long"))
+    from whylogs_spark.ops._time import epoch_secs
+
+    # materialize the (possibly cast) event-time expression so the
+    # NTZ-safe bucket derivation can reference it by name; NTZ values
+    # are differenced against an NTZ epoch, never interpreted in the
+    # session timezone (a cast to TIMESTAMP is non-monotonic across a
+    # DST spring-forward gap under a non-UTC session tz).
+    bdf = df.withColumn("__tsn", tcol)
+    secs = epoch_secs("__tsn", dict(bdf.dtypes)["__tsn"])
+    bdf = bdf.withColumn("__sb", F.floor(secs / F.lit(bucket_sec))
+                         .cast("long"))
     # phase 1: local sessionization within (user, bucket)
     w1 = Window.partitionBy(user_col, "__sb").orderBy(tcol.asc())
     prev1 = F.lag(tcol).over(w1)
@@ -113,7 +121,7 @@ def sessionize(
             session_col,
             F.concat(F.col(user_col).cast("string"), F.lit("#"),
                      k.cast("string")))
-        .drop("__sb", "__kl", "__bridge", "__prefix")
+        .drop("__tsn", "__sb", "__kl", "__bridge", "__prefix")
     )
 
 

@@ -270,9 +270,10 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
     (all formats); else the pure-numpy kernel for uncompressed BMP /
     binary PPM (same HSV/entropy bundle — the pixel path runs without
     any decode lib); else the header sniff with null pixel stats. With
-    ``strict=True`` a row no available decoder can handle raises
-    NotImplementedError naming the missing dependency instead of
-    degrading to the header row.
+    ``strict=True`` any row no available decoder can handle fails the
+    task with NotImplementedError — including a corrupt/undecodable
+    payload when PIL IS present (strict means fail-on-corrupt, not just
+    fail-on-missing-library); the message states which case occurred.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -297,11 +298,18 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
                     feats = _numpy_pixel_features(content)
                 if feats is None:
                     if strict:
+                        # diagnose accurately: PIL may be present and
+                        # simply unable to decode this payload
+                        why = (
+                            "payload undecodable by PIL and not "
+                            "uncompressed BMP/PPM (corrupt or "
+                            "unsupported encoding)" if has_pil else
+                            "PIL not importable on this executor and "
+                            "payload is not uncompressed BMP/PPM; "
+                            "install pillow for compressed formats")
                         raise NotImplementedError(
                             f"no available decoder for {r['path']!r} "
-                            "(PIL not importable on this executor and "
-                            "payload is not uncompressed BMP/PPM); "
-                            "install pillow for compressed formats")
+                            f"({why})")
                     fmt, w, h = _sniff_image(content)
                     feats = (fmt, w, h, None) + (None,) * 7
                 rows.append((r["path"],) + feats + (len(content),))
@@ -312,8 +320,9 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
 
 def decode_image_pixels(df: DataFrame) -> DataFrame:
     """Strict full-decode: every row must decode (PIL when available,
-    else the numpy BMP/PPM kernel; tasks fail fast otherwise). Alias
-    for ``extract_pixel_features(strict=True)``."""
+    else the numpy BMP/PPM kernel); a row neither can decode — missing
+    library OR corrupt payload — fails the task fast. Alias for
+    ``extract_pixel_features(strict=True)``."""
     return extract_pixel_features(df, strict=True)
 
 

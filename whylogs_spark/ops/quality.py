@@ -39,7 +39,7 @@ from typing import Optional
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -261,33 +261,38 @@ def train_unigram_lm(
     denominator from the rows.
 
     Scale shape: one explode + count shuffle on the word (map-side
-    partial agg collapses to <=|vocab| rows per partition), one global
-    top-K. The result is <= vocab_size rows — small enough to BROADCAST
+    partial agg collapses to <=|vocab| rows per partition), then a
+    DISTRIBUTED top-K — ``orderBy(...).limit(vocab_size)`` plans as
+    TakeOrderedAndProject (per-partition bounded heaps, never a
+    single-task global sort; distinct tokens at web-corpus scale are
+    O(10^8-10^9) rows, so a one-partition ``row_number`` window here
+    would be the plan's scale-killer). The smoothing totals (N, V) ride
+    along as a 1-row aggregate frame cross-joined in, so training is
+    ACTION-FREE and both consumers of the token counts share one corpus
+    pass through exchange reuse — the explode+count runs once, not
+    twice. The result is <= vocab_size rows — small enough to BROADCAST
     to the scoring join no matter the corpus size; that cap is the
     whole point (an uncapped vocabulary over 100 TB of web text is
     billions of rows and turns scoring into a full shuffle join).
     """
-    w = Window.orderBy(F.col("c").desc(), F.col("word").asc())
     counts = (
         df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     )
-    # total BEFORE the vocab cap: OOV tokens still count toward N
-    totals = counts.agg(F.sum("c").alias("n"),
-                        F.count(F.lit(1)).alias("v_all")).first()
-    n_tokens = int(totals["n"] or 0)
-    top = counts.withColumn("__r", F.row_number().over(w)) \
-        .filter(F.col("__r") <= vocab_size).drop("__r")
-    v = min(int(totals["v_all"] or 0), vocab_size)
-    denom = float(n_tokens) + smoothing * (v + 1)
-    import math
-
-    oov = math.log(smoothing / denom)
-    return top.select(
+    # totals BEFORE the vocab cap: OOV tokens still count toward N
+    totals = counts.agg(F.sum("c").alias("__n"),
+                        F.count(F.lit(1)).alias("__v_all"))
+    top = counts.orderBy(F.col("c").desc(), F.col("word").asc()) \
+        .limit(vocab_size)
+    denom = (
+        F.col("__n").cast("double")
+        + F.lit(smoothing)
+        * (F.least(F.col("__v_all"), F.lit(vocab_size)) + F.lit(1))
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
         "word",
-        F.log((F.col("c") + F.lit(smoothing)) / F.lit(denom))
-        .alias("logprob"),
-        F.lit(oov).alias("oov_logprob"),
+        F.log((F.col("c") + F.lit(smoothing)) / denom).alias("logprob"),
+        F.log(F.lit(smoothing) / denom).alias("oov_logprob"),
     )
 
 
