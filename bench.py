@@ -175,6 +175,50 @@ def main() -> None:
         _noop(dedup_ops.line_dedup(docs10))
         _noop(dedup_ops.minhash_dedup(docs10, jaccard_threshold=0.8))
 
+    # hot-KEY rehearsal: one bot user owns 50% of a 10x events table
+    # (1M rows at sf0.1, 500k in a single key) — the shape that
+    # serializes the single-phase temporal plans into one task. Run
+    # sessionize and as-of both ways so the default policy for
+    # hot_user_buckets / hot_key_buckets is evidence, not guesswork;
+    # ts jittered per replica so the bot's rows aren't exact ties.
+    from whylogs_spark.ops import events as events_ops
+    from whylogs_spark.ops.asof import asof_join
+
+    ev10 = (
+        t["events"]
+        .crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
+        .select(
+            F.when(F.col("__rep") < 5, F.lit(-1))
+            .otherwise(F.col("user_id") * 10 + F.col("__rep"))
+            .alias("user_id"),
+            (F.col("ts") + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                F.col("__rep") / F.lit(1000.0))).alias("ts"),
+            "event_id", "value")
+    )
+    ev10_right = (
+        t["events"]
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit(-1))
+            .otherwise(F.col("user_id") * 10 + F.lit(5)).alias("user_id"),
+            "ts", F.col("value").alias("state"))
+        .dropDuplicates(["user_id", "ts"])
+    )
+
+    def bench_sessionize_hot10x_single():
+        _noop(events_ops.sessionize(ev10))
+
+    def bench_sessionize_hot10x_bucketed():
+        _noop(events_ops.sessionize(ev10, hot_user_buckets="1 day"))
+
+    def bench_asof_hot10x_single():
+        _noop(asof_join(ev10, ev10_right, on="ts", by=["user_id"],
+                        value_cols=["state"]))
+
+    def bench_asof_hot10x_bucketed():
+        _noop(asof_join(ev10, ev10_right, on="ts", by=["user_id"],
+                        value_cols=["state"], hot_key_buckets="1 day"))
+
     benches = {
         "profile_lineitem_native": bench_profile_native,
         "profile_lineitem_full": bench_profile_full,
@@ -190,10 +234,18 @@ def main() -> None:
         "events_hourly": bench_events_hourly,
         "line_dedup_documents": bench_line_dedup,
         "dedup_scale_10x": bench_dedup_scale_10x,
+        "sessionize_hot10x_single": bench_sessionize_hot10x_single,
+        "sessionize_hot10x_bucketed": bench_sessionize_hot10x_bucketed,
+        "asof_hot10x_single": bench_asof_hot10x_single,
+        "asof_hot10x_bucketed": bench_asof_hot10x_bucketed,
     }
-    # the 10x scale entry is ~10x the work of any other query; fewer
+    # the 10x scale entries are ~10x the work of any other query; fewer
     # reps keep total bench wall time bounded
-    reps_for = {"dedup_scale_10x": 2}
+    reps_for = {"dedup_scale_10x": 2,
+                "sessionize_hot10x_single": 2,
+                "sessionize_hot10x_bucketed": 2,
+                "asof_hot10x_single": 2,
+                "asof_hot10x_bucketed": 2}
 
     # warm the JVM/IO once with a trivial action
     t["lineitem"].count()
@@ -248,7 +300,7 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     total = round(sum(results.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -259,7 +311,17 @@ def main() -> None:
         "reps": {n: reps_for.get(n, 5) for n in benches},
         "regressions_vs_r02_min": regressions,
         "sf": sf_val,
-    }))
+    })
+    print(line)
+    # persist the record: the driver captures stdout and has truncated
+    # the line before (r04 lost its medians) — the file is the backup
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

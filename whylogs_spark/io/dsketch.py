@@ -150,6 +150,21 @@ def kll_to_ds_bytes(sk: KllSketch) -> bytes:
 
 def kll_from_ds_bytes(blob: bytes) -> KllSketch:
     """Parse DataSketches KLL doubles compact format into a KllSketch."""
+    return _kll_from_ds_bytes(blob, "<f8", 8)
+
+
+def kll_floats_from_ds_bytes(blob: bytes) -> KllSketch:
+    """Parse DataSketches KLL FLOATS compact format (4-byte items —
+    the variant legacy v0 whylogs profiles store in
+    ``NumbersMessageV0.histogram``; reference
+    migration/converters.py:301-309 tries floats first, then doubles)
+    into a doubles KllSketch (float→double widening is exact)."""
+    return _kll_from_ds_bytes(blob, "<f4", 4)
+
+
+def _kll_from_ds_bytes(blob: bytes, item_dt: str, isz: int) -> KllSketch:
+    """Shared KLL compact-format parser; the floats and doubles layouts
+    differ only in item width (items AND the min/max pair)."""
     if len(blob) < 8:
         raise ValueError("KLL blob too short")
     pre_ints, ser_ver, family, flags, k, m = struct.unpack_from(
@@ -160,7 +175,7 @@ def kll_from_ds_bytes(blob: bytes) -> KllSketch:
     if flags & _FLAG_EMPTY:
         return sk
     if flags & _FLAG_SINGLE_ITEM or ser_ver == 2:
-        (v,) = struct.unpack_from("<d", blob, 8)
+        v = float(np.frombuffer(blob, dtype=item_dt, count=1, offset=8)[0])
         sk.n = 1
         sk.min_value = sk.max_value = v
         sk.levels = [np.array([v], dtype=np.float64)]
@@ -171,11 +186,11 @@ def kll_from_ds_bytes(blob: bytes) -> KllSketch:
     off = 20
     offsets = list(struct.unpack_from(f"<{nlev}i", blob, off))
     off += 4 * nlev
-    mn, mx = struct.unpack_from("<dd", blob, off)
-    off += 16
-    retained = (len(blob) - off) // 8
+    mn, mx = np.frombuffer(blob, dtype=item_dt, count=2, offset=off)
+    off += 2 * isz
+    retained = (len(blob) - off) // isz
     offsets.append(offsets[0] + retained)
-    items = np.frombuffer(blob, dtype="<f8", count=retained, offset=off)
+    items = np.frombuffer(blob, dtype=item_dt, count=retained, offset=off)
     base = offsets[0]
     sk.n = int(n)
     sk.min_value = float(mn)

@@ -33,6 +33,18 @@ by (key, time-bucket) — the hot key's rows spread across buckets — and
 a second, per-bucket-CLOSE rollup (one row per (key, bucket), tiny)
 carries values across bucket boundaries. Same result, skew bounded by
 a single key-bucket's volume.
+
+Default policy (measured, bench ``asof_hot10x_*`` rows): single-phase
+stays the default because it wins on every shape the bench can
+produce — even with one bot key owning 500k of 1M rows (sf0.1 10x
+rehearsal, 32 cores) single-phase ran 1.4 s vs two-phase 2.4 s, since
+a 10^5-10^6-row in-task sort is cheap and the two-phase plan does ~2x
+the task-seconds (extra windows + rollup join). The crossover is where
+one key's rows stop fitting a single task's sort budget — ~10^7-10^8
+rows per key (per-key volume, not table size). Rule of thumb: switch
+on ``hot_key_buckets`` when max rows-per-key x row width approaches
+executor task memory, and pick a bucket interval that splits the hot
+key into >= O(cores) slices.
 """
 
 from __future__ import annotations

@@ -51,6 +51,15 @@ def sessionize(
     sums of (local sessions − bridges). Exactly the single-phase ids;
     the big windows and the summary re-join key on (user, bucket), so
     a bot user's rows spread across buckets.
+
+    Default policy (measured, bench ``sessionize_hot10x_*`` rows):
+    single-phase stays the default — with one bot owning 500k of 1M
+    events (sf0.1 10x rehearsal, 32 cores) it ran 1.2 s vs two-phase
+    1.6 s; the bucketed plan's extra windows + rollup join cost ~1.4x
+    task-seconds, and a sub-10^6-row per-user sort is cheap. Switch on
+    ``hot_user_buckets`` when a single user's events reach ~10^7+ rows
+    (or a task's memory), choosing a bucket that splits that user into
+    >= O(cores) slices.
     """
     dt = dict(df.dtypes).get(ts_col, "")
     tcol = (F.col(ts_col) if dt.startswith("timestamp")

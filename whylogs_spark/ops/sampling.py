@@ -125,6 +125,12 @@ def group_sample(
     key), so the result is EXACTLY the single-stage sample: the global
     k smallest keys of a group are each among the k smallest of their
     bucket, so stage 1 never drops a winner.
+
+    Default policy: single-stage stays the default for the same
+    measured reason as ``sessionize``/``asof_join`` (see bench
+    ``*_hot10x_*`` rows — sub-10^6-row hot groups sort cheaply in one
+    task and the extra stage costs more than it saves); set ``presalt``
+    when a single group's rows reach ~10^7+ or a task's memory.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -185,6 +191,14 @@ def pack_chunks(
     single-phase offsets. Requires ``order_cols`` to be unique within
     a shard (a range boundary between equal keys would split ties
     nondeterministically); the default doc-id ordering satisfies this.
+
+    Default policy: the windowed single-phase plan stays the default
+    for the same measured reason as ``sessionize``/``asof_join`` (bench
+    ``*_hot10x_*`` rows: the two-phase rollup costs an extra exchange
+    that only pays off once a shard's rows exceed a single task's
+    sort budget, ~10^7+ rows); flip ``distributed=True`` above that,
+    or whenever packing WITHOUT shard_cols at scale (the global window
+    is otherwise one reducer).
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
