@@ -351,6 +351,50 @@ def main() -> None:
                 r"Expand[\s\S]*HashAggregate",
         }))
 
+    # 9. streaming profile: audit the RUNTIME microbatch plan —
+    # StateStoreRestore/Save and EventTimeWatermark only exist in
+    # IncrementalExecution, so run one availableNow batch through a
+    # noop sink and read query.explain(). The contract: watermark
+    # attached (bounded state), stateful agg present, partial agg
+    # before the ONE state-keyed exchange (no extra shuffle).
+    import os as _os
+    import tempfile as _tempfile
+
+    from whylogs_spark.streaming.rolling import streaming_profile
+
+    # FileStreamSource wants a DIRECTORY; expose the events parquet
+    # (a single file in the testdata layout) through a symlinked dir
+    src_dir = _tempfile.mkdtemp(prefix="audit_stream_src_")
+    _os.symlink(_os.path.join(SF_DIR, "events.parquet"),
+                _os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    sp = streaming_profile(stream, ts_col="ts",
+                           window_duration="1 hour",
+                           watermark="10 minutes")
+    ckpt = _tempfile.mkdtemp(prefix="audit_ckpt_")
+    q = (sp.writeStream.outputMode("update").format("noop")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination(180)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain()
+    q.stop()
+    streaming_plan = buf.getvalue()
+    streaming_checks = {
+        "watermark attached (state evictable)": r"EventTimeWatermark",
+        "stateful aggregation (state store save/restore)":
+            r"StateStoreSave[\s\S]*StateStoreRestore|"
+            r"StateStoreRestore[\s\S]*StateStoreSave",
+        "partial agg before the state-keyed exchange":
+            r"HashAggregate[\s\S]*Exchange hashpartitioning",
+        "exactly one data exchange (no shuffle besides the state key)":
+            r"^(?![\s\S]*Exchange hashpartitioning[\s\S]*"
+            r"Exchange hashpartitioning)",
+        "no Python in the streaming hot path":
+            r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
+    }
+
     lines = [
         "# PLANS — physical-plan audit of headline operators",
         "",
@@ -374,6 +418,23 @@ def main() -> None:
             lines.append("```")
             lines.append("</details>")
         lines.append("")
+
+    lines.append("## streaming profile (runtime microbatch plan)")
+    sres = []
+    for label, pattern in streaming_checks.items():
+        ok = re.search(pattern, streaming_plan) is not None
+        sres.append(f"  - [{'x' if ok else ' '}] {label}")
+    lines.extend(sres)
+    if any("[ ]" in r for r in sres):
+        all_ok = False
+        lines.append("")
+        lines.append("<details><summary>plan</summary>")
+        lines.append("")
+        lines.append("```")
+        lines.append(streaming_plan.strip()[:4000])
+        lines.append("```")
+        lines.append("</details>")
+    lines.append("")
 
     out = "\n".join(lines)
     with open("/root/repo/PLANS.md", "w") as f:

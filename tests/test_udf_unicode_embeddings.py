@@ -445,3 +445,90 @@ def test_updatable_svd_decay_forgets_old_batches(spark):
         emb_mod.UpdatableSvd(k=2, decay=0.0)
     with pytest.raises(ValueError, match="update"):
         emb_mod.UpdatableSvd(k=2).residuals(new, "embedding")
+
+
+# ------------------------------------------------------------------ EXIF
+def _exif_tiff(endian="<"):
+    """Hand-built TIFF/EXIF structure: IFD0 (Make offset-ascii, Model
+    inline-ascii, Orientation short, XResolution rational, Exif
+    sub-IFD pointer) + sub-IFD (ExposureTime rational, ISO short,
+    ExifImageWidth long)."""
+    import struct as st
+
+    E = endian
+    ifd0_off = 8
+    n0 = 5
+    data0 = ifd0_off + 2 + n0 * 12 + 4          # 74: IFD0 value area
+    make_off = data0                            # 8 bytes "TestCam\0"
+    xres_off = data0 + 8                        # 8 bytes 72/1
+    sub_off = xres_off + 8                      # 90: Exif sub-IFD
+    n1 = 3
+    data1 = sub_off + 2 + n1 * 12 + 4           # 132: sub value area
+
+    def entry(tag, vtype, count, raw4):
+        return st.pack(E + "HHI", tag, vtype, count) + raw4
+
+    ifd0 = st.pack(E + "H", n0)
+    ifd0 += entry(0x010F, 2, 8, st.pack(E + "I", make_off))
+    ifd0 += entry(0x0110, 2, 3, b"X5\x00\x00")
+    ifd0 += entry(0x0112, 3, 1, st.pack(E + "H", 6) + b"\x00\x00")
+    ifd0 += entry(0x011A, 5, 1, st.pack(E + "I", xres_off))
+    ifd0 += entry(0x8769, 4, 1, st.pack(E + "I", sub_off))
+    ifd0 += st.pack(E + "I", 0)
+
+    sub = st.pack(E + "H", n1)
+    sub += entry(0x829A, 5, 1, st.pack(E + "I", data1))
+    sub += entry(0x8827, 3, 1, st.pack(E + "H", 400) + b"\x00\x00")
+    sub += entry(0xA002, 4, 1, st.pack(E + "I", 1024))
+    sub += st.pack(E + "I", 0)
+
+    blob = (b"II" if E == "<" else b"MM") + st.pack(E + "HI", 42, 8)
+    blob += ifd0
+    blob += b"TestCam\x00" + st.pack(E + "II", 72, 1)
+    blob += sub
+    blob += st.pack(E + "II", 1, 250)
+    return blob
+
+
+def _exif_jpeg(endian="<"):
+    import struct as st
+
+    payload = b"Exif\x00\x00" + _exif_tiff(endian)
+    return (b"\xff\xd8" + b"\xff\xe1"
+            + st.pack(">H", len(payload) + 2) + payload + b"\xff\xd9")
+
+
+EXPECTED_EXIF = {
+    "Make": "TestCam", "Model": "X5", "Orientation": 6,
+    "XResolution": "72/1", "ExposureTime": "1/250",
+    "ISOSpeedRatings": 400, "ExifImageWidth": 1024,
+}
+
+
+def test_parse_exif_jpeg_and_tiff_both_endians():
+    for endian in ("<", ">"):
+        assert multimodal.parse_exif(_exif_jpeg(endian)) == \
+            EXPECTED_EXIF, endian
+        assert multimodal.parse_exif(_exif_tiff(endian)) == \
+            EXPECTED_EXIF, endian
+    # JPEG with no APP1, arbitrary junk, and truncated EXIF all -> {}
+    assert multimodal.parse_exif(b"\xff\xd8\xff\xd9") == {}
+    assert multimodal.parse_exif(b"not an image") == {}
+    assert multimodal.parse_exif(_exif_jpeg()[:20]) == {}
+
+
+def test_extract_exif_metadata_spark(spark, tmp_path):
+    d = tmp_path / "exif_imgs"
+    d.mkdir()
+    (d / "cam.jpg").write_bytes(_exif_jpeg())
+    (d / "scan.tiff").write_bytes(_exif_tiff(">"))
+    (d / "plain.jpg").write_bytes(b"\xff\xd8\xff\xd9")
+    df = multimodal.read_binary_dir(spark, str(d))
+    out = {r["path"].rsplit("/", 1)[-1]: r
+           for r in multimodal.extract_exif_metadata(df).collect()}
+    assert out["cam.jpg"]["n_tags"] == 7
+    assert out["cam.jpg"]["exif"]["Make"] == "TestCam"
+    assert out["cam.jpg"]["exif"]["ExposureTime"] == "1/250"
+    assert out["scan.tiff"]["exif"]["ISOSpeedRatings"] == "400"
+    assert out["plain.jpg"]["n_tags"] == 0 and out[
+        "plain.jpg"]["exif"] == {}

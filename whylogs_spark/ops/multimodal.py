@@ -99,6 +99,177 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
 
 
+# ----------------------------------------------------------------- EXIF
+# Tag-id -> name: the published EXIF/TIFF tag registry (subset PIL's
+# ExifTags.TAGS exposes — the names the reference logs as metadata keys
+# via get_pil_exif_metadata, image_metric.py:82-101). Parsing is pure
+# stdlib so metadata parity executes in lib-free environments.
+_EXIF_TAGS = {
+    0x010E: "ImageDescription", 0x010F: "Make", 0x0110: "Model",
+    0x0112: "Orientation", 0x011A: "XResolution", 0x011B: "YResolution",
+    0x0128: "ResolutionUnit", 0x0131: "Software", 0x0132: "DateTime",
+    0x013B: "Artist", 0x0213: "YCbCrPositioning", 0x8298: "Copyright",
+    0x829A: "ExposureTime", 0x829D: "FNumber", 0x8822: "ExposureProgram",
+    0x8827: "ISOSpeedRatings", 0x9000: "ExifVersion",
+    0x9003: "DateTimeOriginal", 0x9004: "DateTimeDigitized",
+    0x9201: "ShutterSpeedValue", 0x9202: "ApertureValue",
+    0x9204: "ExposureBiasValue", 0x9207: "MeteringMode",
+    0x9208: "LightSource", 0x9209: "Flash", 0x920A: "FocalLength",
+    0xA001: "ColorSpace", 0xA002: "ExifImageWidth",
+    0xA003: "ExifImageHeight", 0xA405: "FocalLengthIn35mmFilm",
+    0xA420: "ImageUniqueID",
+}
+_EXIF_SUBIFD = 0x8769  # pointer from IFD0 into the Exif sub-IFD
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+_MAX_EXIF_COUNT = 4096  # cap per-entry allocations on hostile headers
+
+
+def _exif_tiff_blob(content: bytes) -> Optional[bytes]:
+    """Locate the TIFF structure holding the IFDs: the content itself
+    for a TIFF file, or the first JPEG APP1 segment whose payload
+    starts with the Exif header."""
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return content
+    if content[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            i += 1
+            continue
+        marker = content[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", content[i + 2:i + 4])[0]
+        if marker == 0xE1 and content[i + 4:i + 10] == b"Exif\x00\x00":
+            return content[i + 10:i + 2 + seg_len]
+        if marker == 0xDA:  # start of scan: no APP1 before image data
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def _exif_value(blob: bytes, endian: str, vtype: int, count: int,
+                raw: bytes):
+    """Decode one IFD entry's value (inline if it fits 4 bytes, else at
+    the offset the 4 bytes point to). Returns None on malformed data."""
+    size = _TYPE_SIZE.get(vtype)
+    if size is None or count > _MAX_EXIF_COUNT:
+        return None
+    total = size * count
+    if total > 4:
+        (off,) = struct.unpack(endian + "I", raw)
+        data = blob[off:off + total]
+        if len(data) < total:
+            return None
+    else:
+        data = raw[:total]
+    if vtype == 2:  # ASCII
+        return data.split(b"\x00", 1)[0].decode("latin-1")
+    if vtype == 7:  # UNDEFINED: printable ascii or hex
+        s = data.rstrip(b"\x00")
+        try:
+            return s.decode("ascii")
+        except UnicodeDecodeError:
+            return s.hex()
+    fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
+           11: "f", 12: "d"}.get(vtype)
+    if fmt is not None:
+        vals = struct.unpack(endian + fmt * count, data)
+    elif vtype in (5, 10):  # (S)RATIONAL pairs -> "num/den"
+        f = "I" if vtype == 5 else "i"
+        flat = struct.unpack(endian + f * (2 * count), data)
+        vals = tuple(f"{flat[i]}/{flat[i + 1]}"
+                     for i in range(0, len(flat), 2))
+    else:
+        return None
+    return vals[0] if count == 1 else vals
+
+
+def _exif_ifd(blob: bytes, endian: str, off: int, out: dict,
+              depth: int = 0) -> None:
+    if depth > 2 or off + 2 > len(blob):
+        return
+    (n_entries,) = struct.unpack_from(endian + "H", blob, off)
+    pos = off + 2
+    for _ in range(min(n_entries, 512)):
+        if pos + 12 > len(blob):
+            return
+        tag, vtype, count = struct.unpack_from(endian + "HHI", blob, pos)
+        raw = blob[pos + 8:pos + 12]
+        pos += 12
+        if tag == _EXIF_SUBIFD:
+            (sub,) = struct.unpack(endian + "I", raw)
+            _exif_ifd(blob, endian, sub, out, depth + 1)
+            continue
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        val = _exif_value(blob, endian, vtype, count, raw)
+        if val is not None:
+            out[name] = val
+
+
+def parse_exif(content: bytes) -> dict:
+    """EXIF tags from a JPEG (APP1) or TIFF payload — stdlib TIFF/IFD
+    walk, reference-parity tag names (``get_pil_exif_metadata``,
+    image_metric.py:82-101). Rationals are rendered ``"num/den"``
+    (lossless; PIL renders the reduced fraction). Returns {} when the
+    payload carries no EXIF."""
+    blob = _exif_tiff_blob(content)
+    if blob is None or len(blob) < 8:
+        return {}
+    endian = {b"II": "<", b"MM": ">"}.get(blob[:2])
+    if endian is None:
+        return {}
+    magic, ifd0 = struct.unpack_from(endian + "HI", blob, 2)
+    if magic != 42:
+        return {}
+    out: dict = {}
+    try:
+        _exif_ifd(blob, endian, ifd0, out)
+    except struct.error:
+        pass
+    return out
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("exif",
+                      T.MapType(T.StringType(), T.StringType())),
+        T.StructField("n_tags", T.IntegerType()),
+    ]
+)
+
+
+def extract_exif_metadata(df: DataFrame) -> DataFrame:
+    """Per-image EXIF tag map over binaryFile rows — Arrow-batched
+    mapInPandas, zero shuffle, no decode libraries (the reference's
+    EXIF surface, image_metric.py:82-101, needs PIL; this parser is
+    stdlib so it runs on any executor). Values are stringified for a
+    stable map<string,string> column."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None \
+                    else b""
+                tags = parse_exif(content)
+                smap = {k: (", ".join(str(x) for x in v)
+                            if isinstance(v, tuple) else str(v))
+                        for k, v in tags.items()}
+                rows.append((r["path"], smap, len(smap)))
+            yield pd.DataFrame(rows, columns=["path", "exif", "n_tags"])
+
+    return df.mapInPandas(extract, EXIF_SCHEMA)
+
+
 PIXEL_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
