@@ -529,6 +529,14 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunking (RAG / context-window
+    prep, ops/text.py chunk_text): zero-shuffle generator projection;
+    the oracle re-derives every chunk with generate_series+substring."""
+    df = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return text_ops.chunk_text(df, size=400, overlap=80)
+
+
 def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = text_ops.with_quality_score(_t(spark, sf_dir, "documents"))
     return df.groupBy("lang").agg(
@@ -1149,7 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_embeddings": _q_embedding_neardup_lsh,
         "minhash_dedup_documents": _q_minhash_dedup,
         "simhash_neardup_documents": _q_simhash_neardup,
-        "lsh_topk_embeddings": _q_lsh_topk,
+        "chunk_text_documents": _q_chunk_text,
         "ivf_topk_embeddings": _q_ivf_topk,
         "knn_join_embeddings": _q_knn_join,
         "profile_wide_lineitem": _q_profile_wide,
@@ -1166,10 +1174,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gated entry above — profile_basic by profile_full_lineitem,
         # simhash sigs by simhash_neardup (whose oracle recomputes them),
         # exact embedding near-dup by the LSH variant (same output, and
-        # the LSH oracle IS the exact computation)
+        # the LSH oracle IS the exact computation), lsh_topk by the
+        # gated brute-force topk (same output contract on this data) +
+        # embedding_neardup_lsh (same banded-hyperplane machinery)
         "profile_basic_lineitem": _q_profile_basic,
         "simhash_documents": _q_simhash,
         "embedding_neardup_embeddings": _q_embedding_neardup,
+        "lsh_topk_embeddings": _q_lsh_topk,
     }
 
 
@@ -1906,6 +1917,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 10"
         ),
         "quality_score_documents": _quality_sql(),
+        # chunk rule: stride = size - overlap = 320; n_chunks =
+        # max(1, ceil((len - overlap)/stride)) in integer arithmetic —
+        # identical formula to ops/text.py chunk_text
+        "chunk_text_documents": (
+            "WITH c AS (SELECT doc_id, text, unnest(range(0, "
+            "greatest(1, (length(text) - 80 + 319) // 320))) AS i "
+            "FROM documents WHERE doc_id < 100 AND length(text) > 0) "
+            "SELECT doc_id, i::INT AS chunk_idx, "
+            "(i * 320)::INT AS chunk_start, "
+            "substring(text, (i * 320 + 1)::INT, 400) AS chunk FROM c"
+        ),
         "fingerprint_documents": (
             "SELECT doc_id, md5(regexp_replace(lower(trim(text)), "
             "'\\s+', ' ', 'g')) AS fingerprint_md5 "

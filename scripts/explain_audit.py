@@ -314,6 +314,20 @@ def main() -> None:
                 r"^(?![\s\S]*\(\d+\) Exchange[\s\S]*\(\d+\) Exchange)",
         }))
 
+    # 7c2. text chunking: a generator projection — explode of an
+    # in-plan integer sequence + codegen substring; zero shuffle, and
+    # the scan reads only (doc_id, text)
+    ck = text.chunk_text(docs, size=400, overlap=80)
+    sections.append((
+        "text chunking (RAG prep)", ck,
+        {
+            "no shuffle at all": r"^(?![\s\S]*Exchange)",
+            "generator unpivot (explode), no join":
+                r"Generate[\s\S]{0,400}explode",
+            "2-column pruned scan":
+                r"ReadSchema: struct<doc_id[^\n]*text",
+        }))
+
     # 7d. unigram LM: vocab cap is a DISTRIBUTED top-K
     # (TakeOrderedAndProject — per-partition heaps), never a
     # single-partition window sort of all distinct corpus tokens;

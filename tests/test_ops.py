@@ -419,3 +419,45 @@ def test_sessionize_bucketed_plan_keys_on_bucket(spark):
     with redirect_stdout(buf):
         out.explain("formatted")
     assert "__sb" in buf.getvalue()
+
+
+def test_chunk_text_semantics_and_plan(spark):
+    """Every char covered, consecutive chunks share `overlap` chars,
+    short/empty docs behave, and the plan is a shuffle-free generator
+    projection."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from whylogs_spark.ops.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "ab"), (3, ""), (4, "q" * 10)],
+        "doc_id long, text string")
+    out = chunk_text(df, size=4, overlap=1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk"]))
+    for v in by.values():
+        v.sort()
+    # stride=3: starts 0,3,6; last chunk short
+    assert by[1] == [(0, 0, "abcd"), (1, 3, "defg"), (2, 6, "gh")]
+    assert by[2] == [(0, 0, "ab")]          # shorter than size: 1 chunk
+    assert 3 not in by                      # empty doc: no chunks
+    assert len(by[4]) == 3                  # ceil((10-1)/3) = 3
+    # coverage + overlap invariants on the reassembled text
+    text = "abcdefgh"
+    rebuilt = "".join(c[2][1 if i else 0:]
+                      for i, c in enumerate(by[1]))  # drop 1-char overlap
+    assert rebuilt == text
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, size=4, overlap=4)
+    with pytest.raises(ValueError, match="size"):
+        chunk_text(df, size=0)
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        chunk_text(df, size=4, overlap=1).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Generate" in plan

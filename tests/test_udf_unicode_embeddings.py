@@ -532,3 +532,106 @@ def test_extract_exif_metadata_spark(spark, tmp_path):
     assert out["scan.tiff"]["exif"]["ISOSpeedRatings"] == "400"
     assert out["plain.jpg"]["n_tags"] == 0 and out[
         "plain.jpg"]["exif"] == {}
+
+
+# ------------------------------------------------------------------- PNG
+def _png_chunk(ctype, body):
+    import struct as st
+    import zlib
+
+    return (st.pack(">I", len(body)) + ctype + body
+            + st.pack(">I", zlib.crc32(ctype + body)))
+
+
+def _png_bytes(arr, ctype_id, filters):
+    """Minimal PNG encoder for the decoder tests: applies the FORWARD
+    scanline filter per row (cycling `filters`), single IDAT."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    bpp = c
+    raw = arr.reshape(h, w * c).astype(np.int32)
+    lines = b""
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = raw[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32),
+                               row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int32),
+                             prev[:-bpp]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - ((left + prev) // 2)
+        else:  # 4 Paeth
+            p = left + prev - ul
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - ul))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            filt = row - pred
+        lines += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype_id, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(lines))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_decoder_all_filters_exact():
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    rgb = rng.randint(0, 256, (7, 5, 3), dtype=np.uint8)
+    # every filter type exercised, including filter-dependent rows
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        png = _png_bytes(rgb, 2, filters)
+        got = multimodal._decode_png(png)
+        assert got is not None and np.array_equal(got, rgb), filters
+
+
+def test_png_decoder_color_types():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # RGBA: alpha dropped
+    rgba = rng.randint(0, 256, (4, 6, 4), dtype=np.uint8)
+    got = multimodal._decode_png(_png_bytes(rgba, 6, [0, 4]))
+    assert np.array_equal(got, rgba[:, :, :3])
+    # grayscale replicated to RGB
+    gray = rng.randint(0, 256, (5, 3, 1), dtype=np.uint8)
+    got = multimodal._decode_png(_png_bytes(gray, 0, [2]))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+    # interlaced / 16-bit / truncated -> None, not garbage
+    png = bytearray(_png_bytes(rgba, 6, [0]))
+    assert multimodal._decode_png(bytes(png[:40])) is None
+    assert multimodal._decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+
+
+def test_png_pixel_features_libfree(spark, tmp_path):
+    """extract_pixel_features must produce real HSV/entropy stats for
+    PNG without PIL — same bundle as the BMP/PPM kernel."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    d = tmp_path / "pngs"
+    d.mkdir()
+    (d / "img.png").write_bytes(_png_bytes(rgb, 2, [0, 1, 2, 3, 4]))
+    df = multimodal.read_binary_dir(spark, str(d))
+    r = multimodal.extract_pixel_features(df).collect()[0]
+    assert r["format"] == "png" and r["width"] == 16
+    hsv = multimodal._rgb_to_hsv_u8(rgb).reshape(-1, 3)
+    assert r["brightness_mean"] == pytest.approx(
+        float(hsv[:, 2].mean()))
+    assert r["hue_stddev"] == pytest.approx(float(hsv[:, 0].std()))
+    assert r["entropy"] == pytest.approx(
+        multimodal._entropy_bits(rgb))

@@ -11,12 +11,13 @@ over the binary column — partition-parallel, bounded memory per batch.
 
 Decode kernels are import-guarded per executor: with PIL installed the
 full pixel kernel (HSV stats + entropy, reference parity) runs on any
-format; without it a pure-numpy kernel decodes uncompressed BMP /
-binary PPM and produces the SAME HSV/entropy bundle (so the pixel-stat
-path executes and is tested in lib-free environments), and remaining
-formats degrade to header-level features (PNG/JPEG/WAV sizes — real
-parsing, no libs) with null pixel stats — or fail fast under
-``strict=True`` naming the missing dependency. All Spark plumbing —
+format; without it a pure-numpy/stdlib kernel decodes uncompressed BMP
+/ binary PPM and 8-bit non-interlaced PNG (zlib inflate + scanline
+unfilter — no third-party libs) and produces the SAME HSV/entropy
+bundle (so the pixel-stat path executes and is tested in lib-free
+environments), and remaining formats degrade to header-level features
+(JPEG/WAV sizes — real parsing, no libs) with null pixel stats — or
+fail fast under ``strict=True`` naming the missing dependency. All Spark plumbing —
 schema, batching, partitioning, profiling of the extracted features —
 is real and tested either way.
 """
@@ -353,6 +354,112 @@ def _decode_bmp(content: bytes):
     return raw[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw, h, stride, bpp):
+    """Reverse PNG scanline filtering (spec filters 0 None, 1 Sub,
+    2 Up, 3 Average, 4 Paeth). Sub/Up/None vectorize; Average/Paeth
+    fall back to a per-byte loop on just the rows that use them."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:  # Sub: cumsum per byte phase within the pixel
+            for p in range(bpp):
+                out[y, p::bpp] = np.cumsum(
+                    line[p::bpp], dtype=np.uint32) & 0xFF
+        elif ftype == 2:  # Up
+            out[y] = line + prev
+        elif ftype == 3:  # Average: depends on left recon, per-byte
+            row = out[y]
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) \
+                    & 0xFF
+        elif ftype == 4:  # Paeth
+            row = out[y]
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+    return out
+
+
+def _decode_png(content: bytes):
+    """Stdlib PNG decoder (zlib IDAT inflate + scanline unfilter) ->
+    (H, W, 3) uint8 RGB, or None for shapes outside the supported
+    envelope: 8-bit depth, color types 0 gray / 2 RGB / 3 palette /
+    4 gray+alpha / 6 RGBA, non-interlaced. Alpha is dropped (pixel
+    stats match PIL's RGB->HSV path on opaque images)."""
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_MAGIC:
+        return None
+    pos, n = 8, len(content)
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", content[pos:pos + 4])
+        ctype = content[pos + 4:pos + 8]
+        body = content[pos + 8:pos + 8 + clen]
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype_id, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_id)
+    if (depth != 8 or channels is None or comp != 0 or filt != 0
+            or interlace != 0 or w < 1 or h < 1
+            or (ctype_id == 3 and plte is None)):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    recon = _png_unfilter(raw, h, stride, channels)
+    if recon is None:
+        return None
+    px = recon.reshape(h, w, channels)
+    if ctype_id == 2:
+        return px.copy()
+    if ctype_id == 6:
+        return px[:, :, :3].copy()
+    if ctype_id == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_id == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return plte[px[:, :, 0]]  # palette lookup
+
+
 def _rgb_to_hsv_u8(arr):
     """Vectorized RGB -> HSV on uint8 arrays, PIL convention (all three
     channels scaled to 0..255; hue 0..255 covers 0..360 degrees)."""
@@ -390,16 +497,20 @@ def _entropy_bits(arr) -> float:
 
 
 def _numpy_pixel_features(content: bytes):
-    """PIL-free pixel kernel for uncompressed formats (BMP / binary
-    PPM): same HSV mean/stddev + entropy bundle as the PIL path, so the
-    pixel-stat pipeline runs end-to-end without decode libraries.
-    Returns None for formats that genuinely need a codec (JPEG/PNG)."""
+    """PIL-free pixel kernel: BMP / binary PPM (raw) and PNG (stdlib
+    zlib inflate + scanline unfilter) produce the same HSV mean/stddev
+    + entropy bundle as the PIL path, so the pixel-stat pipeline runs
+    end-to-end without decode libraries. Returns None for formats that
+    genuinely need a codec (JPEG) or PNG shapes outside the supported
+    envelope (16-bit, interlaced)."""
     import numpy as np
 
     if content[:2] == b"P6":
         arr, fmt = _decode_ppm(content), "ppm"
     elif content[:2] == b"BM":
         arr, fmt = _decode_bmp(content), "bmp"
+    elif content[:8] == _PNG_MAGIC:
+        arr, fmt = _decode_png(content), "png"
     else:
         return None
     if arr is None:
@@ -438,9 +549,10 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
 
     Decode order, guarded PER EXECUTOR inside the kernel (a cluster's
     executors, not the driver, need the library): PIL when importable
-    (all formats); else the pure-numpy kernel for uncompressed BMP /
-    binary PPM (same HSV/entropy bundle — the pixel path runs without
-    any decode lib); else the header sniff with null pixel stats. With
+    (all formats); else the pure-numpy/stdlib kernel for BMP, binary
+    PPM and 8-bit non-interlaced PNG (same HSV/entropy bundle — the
+    pixel path runs without any decode lib; PNG inflate is stdlib
+    zlib); else the header sniff with null pixel stats. With
     ``strict=True`` any row no available decoder can handle fails the
     task with NotImplementedError — including a corrupt/undecodable
     payload when PIL IS present (strict means fail-on-corrupt, not just
@@ -473,11 +585,11 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
                         # simply unable to decode this payload
                         why = (
                             "payload undecodable by PIL and not "
-                            "uncompressed BMP/PPM (corrupt or "
-                            "unsupported encoding)" if has_pil else
+                            "BMP/PPM/PNG (corrupt or unsupported "
+                            "encoding)" if has_pil else
                             "PIL not importable on this executor and "
-                            "payload is not uncompressed BMP/PPM; "
-                            "install pillow for compressed formats")
+                            "payload is not BMP/PPM/8-bit PNG; "
+                            "install pillow for other formats")
                         raise NotImplementedError(
                             f"no available decoder for {r['path']!r} "
                             f"({why})")

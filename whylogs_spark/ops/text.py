@@ -217,3 +217,62 @@ def tf_idf_top_terms(
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(id_col, "term", "tfidf", "rank"))
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 1000,
+    overlap: int = 0,
+    chunk_idx_col: str = "chunk_idx",
+    chunk_col: str = "chunk",
+    start_col: str = "chunk_start",
+) -> DataFrame:
+    """Fixed-size character chunking with overlap — the RAG /
+    context-window prep step that splits documents into retrievable or
+    packable pieces. Chunk ``i`` covers characters ``[i*stride,
+    i*stride + size)`` with ``stride = size - overlap``; the last chunk
+    may run short, every character is covered, and consecutive chunks
+    share ``overlap`` characters. Documents of length 0 produce no
+    chunks; any non-empty document produces at least one.
+
+    n_chunks = max(1, ceil((len - overlap) / stride)) in integer
+    arithmetic, so the rule is bit-reproducible in any engine (plain
+    SQL oracle: generate_series + substring).
+
+    Scale shape: a generator projection — ``explode`` of an in-plan
+    integer ``sequence`` plus a codegen ``substring`` — ZERO shuffle,
+    and Catalyst prunes the scan to (id, text). Output grows by
+    ~len/stride rows per doc, streamed straight to the next stage; no
+    per-doc state, no skew surface (a giant document explodes into
+    rows inside its own scan task).
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1: {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < size: {overlap}")
+    stride = size - overlap
+    ln = F.length(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((ln - F.lit(overlap) + F.lit(stride - 1))
+                / F.lit(stride)).cast("int"))
+    start = F.col(chunk_idx_col) * F.lit(stride)
+    return (
+        df.filter(ln > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1))
+            .alias(chunk_idx_col),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            chunk_idx_col,
+            start.alias(start_col),
+            F.substring(F.col(text_col), start + 1, F.lit(size))
+            .alias(chunk_col),
+        )
+    )
