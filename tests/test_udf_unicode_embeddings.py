@@ -635,3 +635,103 @@ def test_png_pixel_features_libfree(spark, tmp_path):
     assert r["hue_stddev"] == pytest.approx(float(hsv[:, 0].std()))
     assert r["entropy"] == pytest.approx(
         multimodal._entropy_bits(rgb))
+
+
+def _wav_bytes(samples, rate, channels=1, bits=16, code=1):
+    """Minimal RIFF/WAVE encoder: float samples in [-1,1] -> bytes."""
+    import struct as st
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if code == 3:
+        data = arr.astype("<f4").tobytes()
+    elif bits == 16:
+        data = (np.clip(arr, -1, 1) * 32767).astype("<i2").tobytes()
+    elif bits == 8:
+        data = (np.clip(arr, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        v = (np.clip(arr, -1, 1) * ((1 << 23) - 1)).astype(np.int64)
+        v = np.where(v < 0, v + (1 << 24), v)
+        b = np.zeros((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        data = b.tobytes()
+    elif bits == 32:
+        data = (np.clip(arr, -1, 1) * ((1 << 31) - 1)).astype("<i4").tobytes()
+    else:
+        raise ValueError(bits)
+    byte_rate = rate * channels * bits // 8
+    fmt = st.pack("<HHIIHH", code, channels, rate, byte_rate,
+                  channels * bits // 8, bits)
+    body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data)
+    return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_sample_decode_roundtrip():
+    import numpy as np
+
+    from whylogs_spark.ops.multimodal import _decode_wav_samples
+
+    t = np.arange(8000) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for bits, code, tol in ((16, 1, 1e-3), (8, 1, 2e-2), (24, 1, 1e-5),
+                            (32, 1, 1e-7), (32, 3, 1e-7)):
+        mono, rate, ch, b = _decode_wav_samples(
+            _wav_bytes(sig, 8000, bits=bits, code=code))
+        assert rate == 8000 and ch == 1 and b == bits
+        assert np.max(np.abs(mono - sig)) < tol
+
+    # stereo mixes to mono mean
+    inter = np.empty(16000)
+    inter[0::2] = sig
+    inter[1::2] = -sig
+    mono, _, ch, _ = _decode_wav_samples(
+        _wav_bytes(inter, 8000, channels=2))
+    assert ch == 2 and np.max(np.abs(mono)) < 1e-3
+
+    # max_samples caps the window
+    mono, _, _, _ = _decode_wav_samples(_wav_bytes(sig, 8000),
+                                        max_samples=1000)
+    assert len(mono) == 1000
+
+    assert _decode_wav_samples(b"not a wav at all" * 10) is None
+
+
+def test_audio_signal_features_spark(spark, tmp_path):
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate  # 2 s
+    tone = 0.5 * np.sin(2 * np.pi * 1000 * t)
+    half_silent = np.concatenate([tone[: rate], np.zeros(rate)])
+
+    d = tmp_path / "wavs"
+    d.mkdir()
+    (d / "tone.wav").write_bytes(_wav_bytes(tone, rate))
+    (d / "half.wav").write_bytes(_wav_bytes(half_silent, rate))
+    (d / "junk.bin").write_bytes(b"\x00\x01mystery payload")
+
+    df = multimodal.read_binary_dir(spark, str(d))
+    out = {r["path"].rsplit("/", 1)[-1]: r
+           for r in multimodal.extract_audio_signal_features(df).collect()}
+
+    tr = out["tone.wav"]
+    assert tr["format"] == "wav" and tr["sample_rate"] == rate
+    assert abs(tr["duration_s"] - 2.0) < 1e-6
+    # pure tone: rms = A/sqrt(2), peak = A, zcr = 2f, centroid ~ f
+    assert abs(tr["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(tr["peak"] - 0.5) < 1e-3
+    assert abs(tr["zero_crossing_rate"] - 2000) < 40
+    assert abs(tr["spectral_centroid_hz"] - 1000) < 30
+    assert 950 < tr["spectral_rolloff_hz"] < 1100
+    assert tr["silence_ratio"] < 0.01
+
+    hr = out["half.wav"]
+    assert abs(hr["silence_ratio"] - 0.5) < 0.02
+    assert abs(hr["rms"] - 0.5 / 2) < 1e-2  # energy halves -> rms/sqrt(2)
+
+    jr = out["junk.bin"]
+    assert jr["format"] == "unknown" and jr["rms"] is None

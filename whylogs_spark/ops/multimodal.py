@@ -677,6 +677,165 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
 
 
+def _decode_wav_samples(content: bytes, max_samples: int = 0):
+    """Decode RIFF/WAVE PCM payload to a mono float array in [-1, 1].
+
+    Real sample decoding, stdlib+numpy only: PCM 8-bit unsigned and
+    16/24/32-bit signed little-endian (format code 1) plus IEEE float32
+    (format code 3). Returns (samples, rate, channels, bits) or None for
+    anything it can't decode (compressed codecs need an audio lib).
+    ``max_samples`` > 0 keeps only a centered window of that many frames
+    — bounded memory per row regardless of file size.
+    """
+    import numpy as np
+
+    if len(content) < 44 or content[:4] != b"RIFF" \
+            or content[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(content)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = content[i:i + 4]
+        size = struct.unpack("<I", content[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            fmt = struct.unpack("<HHIIHH", content[i + 8:i + 24])
+        elif cid == b"data":
+            data = content[i + 8:i + 8 + size]
+        i += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        return None
+    code, channels, rate, _, _, bits = fmt
+    if channels < 1 or rate < 1:
+        return None
+    if code == 1 and bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif code == 1 and bits == 8:
+        arr = (np.frombuffer(data, dtype=np.uint8)
+               .astype(np.float64) - 128.0) / 128.0
+    elif code == 1 and bits == 32:
+        arr = np.frombuffer(data, dtype="<i4").astype(np.float64) \
+            / 2147483648.0
+    elif code == 1 and bits == 24:
+        raw = np.frombuffer(data[: len(data) - len(data) % 3],
+                            dtype=np.uint8).reshape(-1, 3)
+        vals = (raw[:, 0].astype(np.int64)
+                | (raw[:, 1].astype(np.int64) << 8)
+                | (raw[:, 2].astype(np.int64) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        arr = vals.astype(np.float64) / float(1 << 23)
+    elif code == 3 and bits == 32:
+        arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        return None
+    frames = len(arr) // channels
+    if frames == 0:
+        return None
+    mono = arr[: frames * channels].reshape(frames, channels).mean(axis=1)
+    if max_samples and frames > max_samples:
+        start = (frames - max_samples) // 2
+        mono = mono[start:start + max_samples]
+    return mono, int(rate), int(channels), int(bits)
+
+
+AUDIO_SIGNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("silence_ratio", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_rolloff_hz", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def _audio_signal_stats(mono, rate: int, silence_db: float = -40.0):
+    """Vectorized signal features over a mono float array.
+
+    zero_crossing_rate is crossings per second; silence_ratio is the
+    fraction of 20 ms windows under ``silence_db`` relative to full
+    scale; spectral centroid/rolloff come from the magnitude rFFT of a
+    Hann-windowed center slice (cap 1<<18 samples so FFT cost is O(1)
+    per row).
+    """
+    import numpy as np
+
+    n = len(mono)
+    rms = float(np.sqrt(np.mean(mono ** 2)))
+    peak = float(np.max(np.abs(mono))) if n else 0.0
+    zc = float(np.count_nonzero(np.diff(np.signbit(mono)))) * rate / max(
+        n - 1, 1)
+    win = max(int(rate * 0.02), 1)
+    nwin = n // win
+    if nwin:
+        frames = mono[: nwin * win].reshape(nwin, win)
+        frame_rms = np.sqrt(np.mean(frames ** 2, axis=1))
+        thresh = 10.0 ** (silence_db / 20.0)
+        silence = float(np.mean(frame_rms < thresh))
+    else:
+        silence = float(rms < 10.0 ** (silence_db / 20.0))
+    fft_n = min(n, 1 << 18)
+    sl = mono[(n - fft_n) // 2:(n - fft_n) // 2 + fft_n]
+    mag = np.abs(np.fft.rfft(sl * np.hanning(fft_n)))
+    freqs = np.fft.rfftfreq(fft_n, d=1.0 / rate)
+    total = float(mag.sum())
+    if total > 0:
+        centroid = float((freqs * mag).sum() / total)
+        cum = np.cumsum(mag)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    else:
+        centroid = 0.0
+        rolloff = 0.0
+    return rms, peak, zc, silence, centroid, rolloff
+
+
+def extract_audio_signal_features(
+    df: DataFrame, max_samples: int = 1 << 20, silence_db: float = -40.0
+) -> DataFrame:
+    """Decode WAV PCM samples and compute signal-level features.
+
+    Reference scope: whylogs profiles extracted feature columns, not raw
+    audio (image_metric.py is the media pattern); this op supplies the
+    extraction step a training-data pipeline needs before profiling —
+    loudness (RMS/peak), zero-crossing rate, silence ratio, spectral
+    centroid/rolloff — as an Arrow-batched zero-shuffle mapInPandas.
+    Non-WAV/compressed rows emit format='unknown' with null features;
+    ``max_samples`` bounds per-row memory (centered window), so a 10 GB
+    podcast file costs the same executor memory as a 10 s clip.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None \
+                    else b""
+                dec = _decode_wav_samples(content, max_samples=max_samples)
+                if dec is None:
+                    rows.append((r["path"], "unknown", None, None, None,
+                                 None, None, None, None, None, None, None))
+                    continue
+                mono, rate, channels, _bits = dec
+                wav = _sniff_wav(content)
+                dur = wav[3] if wav else len(mono) / rate
+                stats = _audio_signal_stats(mono, rate,
+                                            silence_db=silence_db)
+                rows.append((r["path"], "wav", channels, rate,
+                             float(dur) if dur is not None else None,
+                             *stats, len(mono)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SIGNAL_SCHEMA.fields])
+
+    return df.mapInPandas(extract, AUDIO_SIGNAL_SCHEMA)
+
+
 # ------------------------------------------------------- resize / frames
 RESIZED_SCHEMA = T.StructType(
     [
