@@ -1,0 +1,342 @@
+"""Baseline JPEG decoder tests.
+
+Ground truth comes from a self-contained numpy JPEG *encoder* defined
+here (flat 9-bit Huffman tables — legal, just inefficient): encode a
+known RGB array, decode with the library kernel, and bound the error
+analytically (quant tables of all ones make the roundtrip
+rounding-only). Covers 4:4:4, 4:2:0, grayscale, restart markers,
+16-bit quant tables, and progressive/corrupt rejection.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from whylogs_spark.ops._jpeg import (ZIGZAG, _idct_matrix, decode_jpeg,
+                                     sniff_is_progressive)
+
+
+# --------------------------------------------------------------- encoder
+def _fdct_blocks(plane):
+    """(H, W) float plane -> (n, 64) quant-ready DCT coefs in zigzag."""
+    m = _idct_matrix()
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(-1, 8, 8) - 128.0
+    coef = np.einsum("ux,nxy,vy->nuv", m, blocks, m)
+    return coef.reshape(-1, 64)[:, np.array(ZIGZAG)]
+
+
+def _pad_to(plane, bh, bw):
+    h, w = plane.shape
+    ph, pw = -(-h // bh) * bh, -(-w // bw) * bw
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _flat_table(symbols):
+    """All symbols at code length 9 — valid canonical JPEG Huffman."""
+    syms = sorted(set(symbols))
+    assert len(syms) <= 256
+    counts = [0] * 16
+    counts[8] = len(syms)  # length 9
+    codes = {s: (9, i) for i, s in enumerate(syms)}
+    return counts, syms, codes
+
+def _mag_bits(v):
+    s = int(abs(v)).bit_length()
+    return (s, v if v >= 0 else v + (1 << s) - 1)
+
+
+def _block_symbols(row):
+    """Zigzag coef row -> [(sym, (nbits, bits)), ...] for AC coding."""
+    out = []
+    k = 1
+    while k < 64:
+        run = 0
+        while k < 64 and row[k] == 0:
+            run += 1
+            k += 1
+        if k == 64:
+            out.append((0x00, (0, 0)))  # EOB
+            break
+        while run > 15:
+            out.append((0xF0, (0, 0)))  # ZRL
+            run -= 16
+        s, bits = _mag_bits(int(row[k]))
+        out.append(((run << 4) | s, (s, bits)))
+        k += 1
+    return out
+
+
+def encode_jpeg(rgb, subsample=(1, 1), qval=1, restart=0, qt16=False):
+    """Minimal baseline JFIF encoder: luma sampling = ``subsample``,
+    chroma 1x1; flat quant value ``qval``; optional restart interval
+    and 16-bit DQT precision. rgb may be (H, W, 3) or (H, W) gray."""
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+    sh, sv = (1, 1) if gray else subsample
+    if gray:
+        planes = [rgb.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        x = rgb.astype(np.float64)
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        # chroma downsample by block mean
+        ph, pw = -(-h // sv) * sv, -(-w // sh) * sh
+        cbp = _pad_to(cb, sv, sh).reshape(ph // sv, sv, pw // sh, sh) \
+            .mean(axis=(1, 3))
+        crp = _pad_to(cr, sv, sh).reshape(ph // sv, sv, pw // sh, sh) \
+            .mean(axis=(1, 3))
+        planes = [y, cbp, crp]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+
+    qtab = np.full(64, qval, dtype=np.int64)
+    mcux = -(-w // (8 * sh))
+    mcuy = -(-h // (8 * sv))
+    comp_coef = []
+    for plane, (chs, cvs) in zip(planes, samps):
+        th, tw = mcuy * cvs * 8, mcux * chs * 8
+        padded = np.pad(plane,
+                        ((0, th - plane.shape[0]),
+                         (0, tw - plane.shape[1])), mode="edge")
+        coef = np.round(_fdct_blocks(padded) / qtab).astype(np.int64)
+        # reorder blocks from raster to MCU traversal
+        nby, nbx = th // 8, tw // 8
+        idx = np.arange(nby * nbx).reshape(nby, nbx)
+        order = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for vy in range(cvs):
+                    for vx in range(chs):
+                        order.append(idx[my * cvs + vy, mx * chs + vx])
+        comp_coef.append(coef[np.array(order)])
+
+    # symbol passes: table 0 = luma, table 1 = chroma
+    dc_syms = {0: [], 1: []}
+    ac_syms = {0: [], 1: []}
+    n_mcu = mcux * mcuy
+
+    def scan_blocks(emit):
+        preds = [0] * len(comp_coef)
+        for mcu in range(n_mcu):
+            if restart and mcu and mcu % restart == 0:
+                preds = [0] * len(comp_coef)
+                emit("restart", mcu, None, None)
+            for ci, coef in enumerate(comp_coef):
+                tid = 0 if ci == 0 else 1
+                chs, cvs = samps[ci]
+                nblk = chs * cvs
+                for b in range(nblk):
+                    row = coef[mcu * nblk + b]
+                    diff = int(row[0]) - preds[ci]
+                    preds[ci] = int(row[0])
+                    emit("dc", tid, *_mag_bits(diff))
+                    for sym, (s, bits) in _block_symbols(row):
+                        emit("ac", tid, sym, (s, bits))
+
+    def collect(kind, tid, a, b):
+        if kind == "dc":
+            dc_syms[tid].append(a)
+        elif kind == "ac":
+            ac_syms[tid].append(a)
+
+    scan_blocks(collect)
+    ntab = 1 if gray else 2
+    dct = {t: _flat_table(dc_syms[t] or [0]) for t in range(ntab)}
+    act = {t: _flat_table(ac_syms[t] or [0]) for t in range(ntab)}
+
+    wtr = _BitWriter()
+    rst_cnt = [0]
+
+    def emit(kind, tid, a, b):
+        if kind == "restart":
+            wtr.align()
+            wtr.out.append(0xFF)
+            wtr.out.append(0xD0 + (rst_cnt[0] % 8))
+            rst_cnt[0] += 1
+            return
+        if kind == "dc":
+            ln, code = dct[tid][2][a]
+            wtr.write(code, ln)
+            wtr.write(b, a)  # a = s bits, b = magnitude bits
+        else:
+            ln, code = act[tid][2][a]
+            wtr.write(code, ln)
+            s, bits = b
+            wtr.write(bits, s)
+
+    scan_blocks(emit)
+    wtr.align()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    out = b"\xff\xd8"
+    if qt16:
+        out += seg(0xDB, bytes([0x10]) + b"".join(
+            struct.pack(">H", int(v)) for v in qtab))
+    else:
+        out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qtab))
+    ncomp = 1 if gray else 3
+    sofb = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        chs, cvs = samps[ci]
+        sofb += bytes([ci + 1, (chs << 4) | cvs, 0])
+    out += seg(0xC0, sofb)
+    for t in range(ntab):
+        cnts, syms, _ = dct[t]
+        out += seg(0xC4, bytes([0x00 | t]) + bytes(cnts) + bytes(syms))
+        cnts, syms, _ = act[t]
+        out += seg(0xC4, bytes([0x10 | t]) + bytes(cnts) + bytes(syms))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sosb = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sosb += bytes([ci + 1, (t << 4) | t])
+    sosb += bytes([0, 63, 0])
+    out += seg(0xDA, sosb)
+    out += bytes(wtr.out) + b"\xff\xd9"
+    return out
+
+
+def _test_image(h, w, seed=7):
+    """Smooth gradient + low-amplitude texture — JPEG-friendly."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 / max(w - 1, 1))
+    g = (yy * 255 / max(h - 1, 1))
+    b = ((xx + yy) * 255 / max(h + w - 2, 1))
+    img = np.stack([r, g, b], axis=2) + rng.normal(0, 3, (h, w, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- tests
+def test_idct_matrix_orthonormal():
+    m = _idct_matrix()
+    assert np.allclose(m @ m.T, np.eye(8), atol=1e-12)
+
+
+def test_roundtrip_444_near_exact():
+    img = _test_image(40, 56)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec is not None and dec.shape == (40, 56, 3)
+    # qt=1: error = DCT rounding + two colorspace roundings only
+    assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 2.0
+    assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 12
+
+
+def test_roundtrip_non_multiple_of_8_dims():
+    img = _test_image(17, 23, seed=3)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec is not None and dec.shape == (17, 23, 3)
+    assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 2.0
+
+
+def test_roundtrip_420_subsampling():
+    img = _test_image(32, 32, seed=11)
+    dec = decode_jpeg(encode_jpeg(img, subsample=(2, 2)))
+    assert dec is not None and dec.shape == (32, 32, 3)
+    # chroma is smooth, so 2x2 mean + nearest upsample stays close
+    assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 4.0
+
+
+def test_roundtrip_422_subsampling():
+    img = _test_image(24, 40, seed=5)
+    dec = decode_jpeg(encode_jpeg(img, subsample=(2, 1)))
+    assert dec is not None and dec.shape == (24, 40, 3)
+    assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 4.0
+
+
+def test_roundtrip_grayscale():
+    img = _test_image(16, 16)[:, :, 0]
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec is not None and dec.shape == (16, 16, 3)
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+    assert np.mean(np.abs(dec[:, :, 0].astype(int) - img.astype(int))) \
+        < 1.5
+
+
+def test_restart_markers():
+    img = _test_image(48, 48, seed=13)
+    enc = encode_jpeg(img, restart=2)
+    assert b"\xff\xdd" in enc  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in enc for i in range(8))
+    dec = decode_jpeg(enc)
+    assert dec is not None
+    assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 2.0
+
+
+def test_quantization_coarse_still_decodes():
+    img = _test_image(24, 24)
+    dec = decode_jpeg(encode_jpeg(img, qval=16))
+    assert dec is not None
+    # coarse quant: recognizable but lossy
+    assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 12.0
+
+
+def test_16bit_quant_tables():
+    img = _test_image(16, 24, seed=2)
+    dec = decode_jpeg(encode_jpeg(img, qt16=True))
+    assert dec is not None
+    assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 2.0
+
+
+def test_rejects_progressive_and_garbage():
+    img = _test_image(16, 16)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    assert decode_jpeg(bytes(enc)) is None
+    assert sniff_is_progressive(bytes(enc)) is True
+    assert sniff_is_progressive(encode_jpeg(img)) is False
+    assert decode_jpeg(b"\xff\xd8truncated garbage") is None
+    assert decode_jpeg(b"not a jpeg") is None
+    assert sniff_is_progressive(b"not a jpeg") is None
+
+
+def test_truncated_entropy_rejected():
+    img = _test_image(32, 32)
+    enc = encode_jpeg(img)
+    assert decode_jpeg(enc[: len(enc) // 2]) is None
+
+
+def test_pixel_features_decode_jpeg_libfree():
+    from whylogs_spark.ops.multimodal import _numpy_pixel_features
+
+    img = _test_image(24, 32, seed=9)
+    feats = _numpy_pixel_features(encode_jpeg(img))
+    assert feats is not None
+    fmt, w, h = feats[0], feats[1], feats[2]
+    assert (fmt, w, h) == ("jpeg", 32, 24)
+    # brightness mean of the decode tracks the source (HSV V channel =
+    # max(R,G,B); compare against the source's own V mean)
+    v_src = img.max(axis=2).mean()
+    assert abs(feats[9] - v_src) < 3.0

@@ -12,14 +12,15 @@ over the binary column — partition-parallel, bounded memory per batch.
 Decode kernels are import-guarded per executor: with PIL installed the
 full pixel kernel (HSV stats + entropy, reference parity) runs on any
 format; without it a pure-numpy/stdlib kernel decodes uncompressed BMP
-/ binary PPM and 8-bit non-interlaced PNG (zlib inflate + scanline
-unfilter — no third-party libs) and produces the SAME HSV/entropy
-bundle (so the pixel-stat path executes and is tested in lib-free
-environments), and remaining formats degrade to header-level features
-(JPEG/WAV sizes — real parsing, no libs) with null pixel stats — or
-fail fast under ``strict=True`` naming the missing dependency. All Spark plumbing —
-schema, batching, partitioning, profiling of the extracted features —
-is real and tested either way.
+/ binary PPM, 8-bit non-interlaced PNG (zlib inflate + scanline
+unfilter) and baseline JPEG (_jpeg.py: Huffman entropy decode +
+batched-numpy IDCT — no third-party libs) and produces the SAME
+HSV/entropy bundle (so the pixel-stat path executes and is tested in
+lib-free environments), and remaining shapes (progressive JPEG,
+compressed audio) degrade to header-level features with null pixel
+stats — or fail fast under ``strict=True`` naming the missing
+dependency. All Spark plumbing — schema, batching, partitioning,
+profiling of the extracted features — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -497,12 +498,12 @@ def _entropy_bits(arr) -> float:
 
 
 def _numpy_pixel_features(content: bytes):
-    """PIL-free pixel kernel: BMP / binary PPM (raw) and PNG (stdlib
-    zlib inflate + scanline unfilter) produce the same HSV mean/stddev
-    + entropy bundle as the PIL path, so the pixel-stat pipeline runs
-    end-to-end without decode libraries. Returns None for formats that
-    genuinely need a codec (JPEG) or PNG shapes outside the supported
-    envelope (16-bit, interlaced)."""
+    """PIL-free pixel kernel: BMP / binary PPM (raw), PNG (stdlib zlib
+    inflate + scanline unfilter) and baseline JPEG (_jpeg.py: Huffman +
+    batched-numpy IDCT) produce the same HSV mean/stddev + entropy
+    bundle as the PIL path, so the pixel-stat pipeline runs end-to-end
+    without decode libraries. Returns None for shapes outside the
+    supported envelope (progressive JPEG, 16-bit/interlaced PNG)."""
     import numpy as np
 
     if content[:2] == b"P6":
@@ -511,6 +512,10 @@ def _numpy_pixel_features(content: bytes):
         arr, fmt = _decode_bmp(content), "bmp"
     elif content[:8] == _PNG_MAGIC:
         arr, fmt = _decode_png(content), "png"
+    elif content[:2] == b"\xff\xd8":
+        from whylogs_spark.ops._jpeg import decode_jpeg
+
+        arr, fmt = decode_jpeg(content), "jpeg"
     else:
         return None
     if arr is None:
@@ -585,11 +590,12 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
                         # simply unable to decode this payload
                         why = (
                             "payload undecodable by PIL and not "
-                            "BMP/PPM/PNG (corrupt or unsupported "
-                            "encoding)" if has_pil else
+                            "BMP/PPM/PNG/baseline-JPEG (corrupt "
+                            "or unsupported encoding)" if has_pil else
                             "PIL not importable on this executor and "
-                            "payload is not BMP/PPM/8-bit PNG; "
-                            "install pillow for other formats")
+                            "payload is not BMP/PPM/8-bit PNG/"
+                            "baseline JPEG; install pillow for "
+                            "other formats")
                         raise NotImplementedError(
                             f"no available decoder for {r['path']!r} "
                             f"({why})")
@@ -603,7 +609,7 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
 
 def decode_image_pixels(df: DataFrame) -> DataFrame:
     """Strict full-decode: every row must decode (PIL when available,
-    else the numpy BMP/PPM kernel); a row neither can decode — missing
+    else the numpy BMP/PPM/PNG/JPEG kernel); a row neither can decode — missing
     library OR corrupt payload — fails the task fast. Alias for
     ``extract_pixel_features(strict=True)``."""
     return extract_pixel_features(df, strict=True)
@@ -894,10 +900,18 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     except Exception:
                         out = None
                 if out is None:
-                    arr = (_decode_ppm(content)
-                           if content[:2] == b"P6"
-                           else _decode_bmp(content)
-                           if content[:2] == b"BM" else None)
+                    if content[:2] == b"P6":
+                        arr = _decode_ppm(content)
+                    elif content[:2] == b"BM":
+                        arr = _decode_bmp(content)
+                    elif content[:8] == _PNG_MAGIC:
+                        arr = _decode_png(content)
+                    elif content[:2] == b"\xff\xd8":
+                        from whylogs_spark.ops._jpeg import decode_jpeg
+
+                        arr = decode_jpeg(content)
+                    else:
+                        arr = None
                     if arr is not None:
                         small = _resize_nn(arr, width, height)
                         out = (f"P6\n{width} {height}\n255\n".encode()
