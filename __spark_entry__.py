@@ -1116,6 +1116,27 @@ def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(n).unionByName(s)
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-passage detection (ops/dedup.py
+    duplicate_spans): positions whose word 8-gram occurs >=2 times
+    corpus-wide, merged into maximal spans. One gram shuffle with
+    map-side partial counts + per-document islands."""
+    return dedup_ops.duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=8)
+
+
+def _q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span removal with corpus-first-winner semantics: the minimum
+    (doc_id, pos) occurrence of each duplicated gram survives, every
+    other occurrence is cut, and documents are rebuilt from the kept
+    tokens (md5 of the rebuilt text keeps the gate payload small)."""
+    out = dedup_ops.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=8)
+    return out.select(
+        "doc_id", "n_tokens", "n_tokens_kept",
+        F.md5(F.col("text_clean")).alias("clean_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -1153,7 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segmented_profile_orders": _q_join_segmented_profile,
         "quality_score_documents": _q_quality_score,
         "fingerprint_documents": _q_fingerprint,
-        "ngram_jaccard_documents": _q_ngram_jaccard,
+        "duplicate_spans_documents": _q_duplicate_spans,
+        "remove_dup_spans_documents": _q_remove_dup_spans,
         "embedding_neardup_lsh_embeddings": _q_embedding_neardup_lsh,
         "minhash_dedup_documents": _q_minhash_dedup,
         "simhash_neardup_documents": _q_simhash_neardup,
@@ -1162,7 +1184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_embeddings": _q_knn_join,
         "profile_wide_lineitem": _q_profile_wide,
         "tfidf_top_terms_documents": _q_tfidf,
-        "hash_split_orders": _q_hash_split,
         "stratified_sample_lineitem": _q_stratified_sample,
         "group_sample_events": _q_group_sample,
         "lsi_residual_embeddings": _q_lsi_residual,
@@ -1176,11 +1197,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact embedding near-dup by the LSH variant (same output, and
         # the LSH oracle IS the exact computation), lsh_topk by the
         # gated brute-force topk (same output contract on this data) +
-        # embedding_neardup_lsh (same banded-hyperplane machinery)
+        # embedding_neardup_lsh (same banded-hyperplane machinery),
+        # ngram_jaccard by minhash_dedup (whose oracle's ground truth IS
+        # the exact n-gram-Jaccard pair computation), hash_split by
+        # stratified_sample (same md5-bucket assignment primitive,
+        # applied per stratum there)
         "profile_basic_lineitem": _q_profile_basic,
         "simhash_documents": _q_simhash,
         "embedding_neardup_embeddings": _q_embedding_neardup,
         "lsh_topk_embeddings": _q_lsh_topk,
+        "ngram_jaccard_documents": _q_ngram_jaccard,
+        "hash_split_orders": _q_hash_split,
     }
 
 
@@ -1405,6 +1432,70 @@ def _quality_sql() -> str:
         "AS avg_quality, "
         "round(avg(stop_ratio), 4) AS avg_stopword_ratio "
         "FROM s GROUP BY lang"
+    )
+
+
+_SPAN_GRAMS_SQL = (
+    "WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), "
+    "'\\s+', ' ', 'g') AS nt FROM documents), "
+    "tokall AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM t), "
+    "tok AS (SELECT * FROM tokall WHERE len(toks) >= 8), "
+    "g AS (SELECT doc_id, unnest(range(len(toks) - 7)) AS pos, toks "
+    "FROM tok), "
+    "grams AS (SELECT doc_id, pos, "
+    "array_to_string(toks[pos + 1:pos + 8], ' ') AS gram FROM g), "
+)
+
+
+def _duplicate_spans_sql() -> str:
+    """Ground truth for ExactSubstr-style span detection: the same
+    normalize/8-gram/count>=2/islands pipeline on gram STRINGS (the
+    Spark path shuffles xxhash64 of the gram; equal results absent a
+    64-bit collision, which this corpus cannot produce)."""
+    return (
+        _SPAN_GRAMS_SQL +
+        "dup AS (SELECT gram FROM grams GROUP BY gram "
+        "HAVING count(*) >= 2), "
+        "d AS (SELECT doc_id, pos FROM grams "
+        "WHERE gram IN (SELECT gram FROM dup)), "
+        "isl AS (SELECT doc_id, pos, pos - row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS grp FROM d) "
+        "SELECT doc_id, min(pos) AS span_start, "
+        "max(pos) + 7 AS span_end, "
+        "max(pos) - min(pos) + 8 AS span_tokens, "
+        "count(*) AS n_dup_grams "
+        "FROM isl GROUP BY doc_id, grp"
+    )
+
+
+def _remove_dup_spans_sql() -> str:
+    """Ground truth for span removal with corpus-first-winner
+    semantics: winner = min (doc_id, pos) struct per duplicated gram,
+    removable islands cut, text rebuilt by position-ordered string_agg
+    over the kept tokens."""
+    return (
+        _SPAN_GRAMS_SQL +
+        "win AS (SELECT gram, min({'d': doc_id, 'p': pos}) AS w "
+        "FROM grams GROUP BY gram HAVING count(*) >= 2), "
+        "removable AS (SELECT gr.doc_id, gr.pos FROM grams gr "
+        "JOIN win ON gr.gram = win.gram "
+        "WHERE NOT (gr.doc_id = win.w.d AND gr.pos = win.w.p)), "
+        "isl AS (SELECT doc_id, pos, pos - row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS grp FROM removable), "
+        "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e "
+        "FROM isl GROUP BY doc_id, grp), "
+        "tokp AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks "
+        "FROM tokall), "
+        "tokp2 AS (SELECT doc_id, toks[i + 1] AS tok, i FROM tokp), "
+        "kept AS (SELECT p.* FROM tokp2 p WHERE NOT EXISTS "
+        "(SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id "
+        "AND p.i >= s.s AND p.i <= s.e)) "
+        "SELECT a.doc_id, len(a.toks) AS n_tokens, "
+        "coalesce(k.nk, 0) AS n_tokens_kept, "
+        "md5(coalesce(k.txt, '')) AS clean_md5 "
+        "FROM tokall a LEFT JOIN (SELECT doc_id, count(*) AS nk, "
+        "string_agg(tok, ' ' ORDER BY i) AS txt FROM kept "
+        "GROUP BY doc_id) k USING (doc_id)"
     )
 
 
@@ -1934,6 +2025,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id < 50"
         ),
         "ngram_jaccard_documents": _ngram_jaccard_sql(),
+        "duplicate_spans_documents": _duplicate_spans_sql(),
+        "remove_dup_spans_documents": _remove_dup_spans_sql(),
         "embedding_neardup_embeddings": (
             "WITH v AS (SELECT vec_id, embedding :: DOUBLE[] AS e "
             "FROM embeddings) "

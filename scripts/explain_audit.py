@@ -356,6 +356,33 @@ def main() -> None:
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
         }))
 
+    # 7e. duplicate spans (ExactSubstr-lite): gram-frequency pass must
+    # partial-aggregate on the 8-byte gram hash before its exchange (a
+    # viral passage collapses map-side); the islands window partitions
+    # by document id only — its skew bound is one document's length,
+    # never a corpus-wide hot gram
+    ds = dedup.duplicate_spans(docs, n=8)
+    sections.append((
+        "duplicate span detection", ds,
+        {
+            "partial agg on gram hash before the exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "islands window keyed by doc id, not the gram":
+                r"windowspecdefinition\(__id#",
+            "2-column pruned scan":
+                r"ReadSchema: struct<doc_id[^\n]*text",
+        }))
+    rs = dedup.remove_duplicate_spans(docs, n=8)
+    sections.append((
+        "duplicate span removal", rs,
+        {
+            "count+winner in ONE partial-aggregated gram pass":
+                r"partial_min[\s\S]*partial_count|"
+                r"partial_count[\s\S]*partial_min",
+            "no window over the gram key":
+                r"^(?![\s\S]*windowspecdefinition\(__gk)",
+        }))
+
     # 8. counts summary: Expand-based multi-distinct in two agg stages
     ct = summaries.counts_table(li, ["l_orderkey", "l_returnflag"])
     sections.append((

@@ -461,3 +461,75 @@ def test_chunk_text_semantics_and_plan(spark):
         chunk_text(df, size=4, overlap=1).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Generate" in plan
+
+
+def test_duplicate_spans_semantics(spark):
+    from whylogs_spark.ops.dedup import duplicate_spans
+
+    # docs 1 and 2 share the passage "p q r s t u"; doc 3 is unique
+    shared = "p q r s t u"
+    docs = spark.createDataFrame(
+        [(1, f"a b c {shared} x y z"),
+         (2, f"m n {shared} k l o w"),
+         (3, "entirely different words with no overlap here at all")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["span_start"], r["span_end"]):
+           (r["span_tokens"], r["n_dup_grams"])
+           for r in duplicate_spans(docs, n=3).collect()}
+    # doc 1: shared passage is tokens 3..8 -> 3-gram starts 3..6
+    assert out[(1, 3, 8)] == (6, 4)
+    # doc 2: tokens 2..7
+    assert out[(2, 2, 7)] == (6, 4)
+    assert not any(k[0] == 3 for k in out)
+
+    # within-one-doc repetition also counts (global count >= 2)
+    rep = spark.createDataFrame(
+        [(7, "u v w 1 2 3 u v w")], "doc_id long, text string")
+    spans = duplicate_spans(rep, n=3).collect()
+    assert {(r["span_start"], r["span_end"]) for r in spans} == \
+        {(0, 2), (6, 8)}
+
+
+def test_remove_duplicate_spans_keeps_first(spark):
+    from whylogs_spark.ops.dedup import remove_duplicate_spans
+
+    shared = "p q r s t u"
+    docs = spark.createDataFrame(
+        [(1, f"a b c {shared} x y z"),
+         (2, f"m n {shared} k l o w"),
+         (3, "short")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, n=3).collect()}
+    # doc 1 holds the corpus-first occurrence -> untouched
+    assert out[1]["text_clean"] == f"a b c {shared} x y z"
+    assert out[1]["n_tokens_kept"] == out[1]["n_tokens"] == 12
+    # doc 2 loses the shared passage, keeps its own words
+    assert out[2]["text_clean"] == "m n k l o w"
+    assert out[2]["n_tokens_kept"] == 6 and out[2]["n_tokens"] == 12
+    # doc 3 too short for any gram -> passes through normalized
+    assert out[3]["text_clean"] == "short"
+
+
+def test_duplicate_spans_plan_skew_immune(spark):
+    """The gram-frequency pass must partial-aggregate before its
+    exchange (a viral passage's grams collapse map-side), and the only
+    window may partition by doc id — never by the gram key."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from whylogs_spark.ops.dedup import duplicate_spans
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i j k l")],
+                                 "doc_id long, text string")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        duplicate_spans(docs, n=3).explain("formatted")
+    plan = buf.getvalue()
+    import re
+    # partial agg before final: two HashAggregate rounds on the gram key
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    # windows only over the doc id
+    for m in re.finditer(r"Window.*?partitionbyspec?=?\[?([^\]\n]*)",
+                         plan, re.IGNORECASE):
+        assert "__gk" not in m.group(1)

@@ -24,7 +24,7 @@ from typing import Iterator, List, Optional
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -947,3 +947,135 @@ def dedup_lines_long(
     if drop_empty_docs:
         out = out.filter(F.col("n_kept") > 0)
     return out
+
+
+# ------------------------------------------------- duplicate token spans
+def _span_grams(df: DataFrame, n: int, id_col: str, text_col: str,
+                exact: bool) -> DataFrame:
+    """(id, pos, gram-key) for every position-anchored word n-gram of
+    the normalized text. Key is xxhash64 of the gram by default — an
+    8-byte shuffle key instead of the ~n-word string; ``exact=True``
+    keys on the string itself (no collision risk, heavier shuffle)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    gram = f"array_join(slice(__toks, i + 1, {n}), ' ')"
+    key = gram if exact else f"xxhash64({gram})"
+    return base.select(
+        "__id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(__toks) - {n}), i -> {key})"
+        )).alias("__pos", "__gk"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    exact: bool = False,
+) -> DataFrame:
+    """Maximal duplicated token spans per document (ExactSubstr-style;
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): a position belongs to a span when its word ``n``-gram
+    occurs at least ``min_count`` times corpus-wide, and consecutive
+    duplicated positions merge into one maximal span.
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_dup_grams)
+    with token indices into the whitespace-normalized text.
+
+    Scale plan: one corpus-wide shuffle keyed on the 8-byte gram hash
+    (map-side partial agg computes the occurrence counts), an inner
+    join back on the same key, then islands-and-gaps inside each
+    document — the row_number window partitions by document id, so its
+    skew bound is the longest single document, not any corpus-wide hot
+    key. With the default ``exact=False``, two different grams
+    colliding in xxhash64 would merge their counts (~2^-64 per pair;
+    corpus-scale false-positive odds are negligible, and a span is only
+    misreported if the collision crosses the min_count threshold).
+    """
+    grams = _span_grams(df, n, id_col, text_col, exact)
+    dup = (
+        grams.groupBy("__gk")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__gk")
+    )
+    marked = grams.join(dup, "__gk")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    isl = marked.withColumn(
+        "__grp", F.col("__pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("__id", "__grp")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + (n - 1)).cast("long").alias("span_end"),
+            (F.max("__pos") - F.min("__pos") + n).cast("long")
+            .alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(F.col("__id").alias(id_col), "span_start", "span_end",
+                "span_tokens", "n_dup_grams")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    exact: bool = False,
+) -> DataFrame:
+    """Cut duplicated token spans out of each document, keeping the
+    corpus-first occurrence of every duplicated gram.
+
+    The winner of a gram is its minimum (doc_id, pos) occurrence — that
+    copy survives; every other occurrence position is removable, and
+    maximal runs of removable positions are cut. One partial-aggregated
+    groupBy computes both the occurrence count and the winner, so the
+    whole operator costs one gram shuffle + one join + per-document
+    islands, same scale shape as :func:`duplicate_spans`.
+
+    Output: one row per input document — (id, text_clean, n_tokens,
+    n_tokens_kept); text_clean is rebuilt from the whitespace-normalized
+    tokens with removed spans excised. The final token filter is an
+    in-plan lambda over (token index x spans-of-this-doc); documents
+    with thousands of distinct removal spans pay O(tokens x spans) in
+    that projection.
+    """
+    grams = _span_grams(df, n, id_col, text_col, exact)
+    win = grams.groupBy("__gk").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct("__id", "__pos")).alias("__w"),
+    ).filter(F.col("__c") >= min_count).select("__gk", "__w")
+    removable = grams.join(win, "__gk").filter(
+        ~((F.col("__id") == F.col("__w.__id"))
+          & (F.col("__pos") == F.col("__w.__pos"))))
+    w = Window.partitionBy("__id").orderBy("__pos")
+    spans = (
+        removable.withColumn(
+            "__grp", F.col("__pos") - F.row_number().over(w))
+        .groupBy("__id", "__grp")
+        .agg(F.min("__pos").alias("s"),
+             (F.max("__pos") + (n - 1)).alias("e"))
+        .groupBy("__id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    )
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    joined = base.join(spans, "__id", "left")
+    kept = F.expr(
+        "CASE WHEN __spans IS NULL THEN __toks ELSE "
+        "transform(filter(transform(__toks, (t, i) -> "
+        "named_struct('t', t, 'i', i)), s -> NOT exists(__spans, "
+        "p -> s.i >= p.s AND s.i <= p.e)), s -> s.t) END")
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+    )
