@@ -223,3 +223,83 @@ def test_drift_monitor_sink_flags_shifted_batch(spark, tmp_path):
     cats = sorted(scores.values())
     assert cats == ["DRIFT", "NO_DRIFT"]
     assert len(fired) == 1 and fired[0][1] == ["value"]
+
+
+def test_streaming_exact_dedup_drops_within_watermark(spark, tmp_path):
+    """Duplicate texts arriving within the horizon are dropped; the
+    first occurrence of each distinct normalized text survives."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.dedup import streaming_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "the same text"),
+        (2, t0 + dt.timedelta(minutes=1), "THE  SAME   text"),  # dup
+        (3, t0 + dt.timedelta(minutes=2), "a different text"),
+        (4, t0 + dt.timedelta(minutes=3), "the same text"),      # dup
+        (5, t0 + dt.timedelta(minutes=4), "a third text"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = streaming_exact_dedup(stream, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql(
+        "SELECT doc_id FROM dedup_out").collect()}
+    # exactly one survivor per distinct normalized text
+    assert len(got) == 3
+    assert 3 in got and 5 in got
+    assert len(got & {1, 2, 4}) == 1
+
+    # the runtime plan is stateful dedup-within-watermark
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    assert "StreamingDeduplicateWithinWatermark" in plan \
+        or "dropDuplicatesWithinWatermark" in plan \
+        or "StreamingDeduplicate" in plan
+    assert "EventTimeWatermark" in plan
+
+
+def test_streaming_fingerprint_counts(spark, tmp_path):
+    import datetime as dt
+
+    from whylogs_spark.streaming.dedup import streaming_fingerprint_counts
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "aaa"), (2, t0 + dt.timedelta(minutes=1), "aaa"),
+        (3, t0 + dt.timedelta(minutes=2), "bbb"),
+        (4, t0 + dt.timedelta(minutes=20), "aaa"),  # next window
+    ]
+    src = str(tmp_path / "src_counts")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = streaming_fingerprint_counts(
+        stream, watermark="0 seconds", window_duration="10 minutes")
+    q = (out.writeStream.format("memory").queryName("fp_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT window_start, n_rows, n_duplicates FROM fp_counts"
+    ).collect()
+    by_win = sorted((str(r["window_start"]), r["n_rows"],
+                     r["n_duplicates"]) for r in got)
+    # window 12:00-12:10 has aaa x2 (1 dup) + bbb x1; 12:20 has aaa x1
+    assert [t[1:] for t in by_win] == [(1, 0), (2, 1), (1, 0)]
+    assert by_win[0][0] == by_win[1][0] != by_win[2][0]
