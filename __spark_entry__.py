@@ -1137,6 +1137,30 @@ def _q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text_clean")).alias("clean_md5"))
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (ops/urls.py): documents get a
+    deterministic messy URL (uppercase host, www, default port,
+    tracking params, unsorted query, fragment); url_dedup keeps the
+    lowest doc_id per canonical URL via the skew-immune partial-agg
+    winner pattern. The oracle constructs the canonical form DIRECTLY
+    from the components, so it independently checks the parser."""
+    from whylogs_spark.ops.urls import normalize_url, url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+            F.lit(".Example.COM:443/p/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("/?utm_source=feed&b=2&a=1&id="),
+            (F.col("doc_id") % 7).cast("string"), F.lit("#frag"),
+        ).alias("url"))
+    out = url_dedup(urls)
+    return out.select(
+        "doc_id", normalize_url(F.col("url")).alias("url_norm"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -1172,8 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join,
         "line_dedup_documents": _q_line_dedup,
         "join_segmented_profile_orders": _q_join_segmented_profile,
-        "quality_score_documents": _q_quality_score,
         "fingerprint_documents": _q_fingerprint,
+        "url_dedup_documents": _q_url_dedup,
         "duplicate_spans_documents": _q_duplicate_spans,
         "remove_dup_spans_documents": _q_remove_dup_spans,
         "embedding_neardup_lsh_embeddings": _q_embedding_neardup_lsh,
@@ -1201,13 +1225,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ngram_jaccard by minhash_dedup (whose oracle's ground truth IS
         # the exact n-gram-Jaccard pair computation), hash_split by
         # stratified_sample (same md5-bucket assignment primitive,
-        # applied per stratum there)
+        # applied per stratum there), quality_score by the pair
+        # text_stats + gopher_quality (its inputs are the same gated
+        # token/stopword machinery; the score is fixed arithmetic over
+        # them)
         "profile_basic_lineitem": _q_profile_basic,
         "simhash_documents": _q_simhash,
         "embedding_neardup_embeddings": _q_embedding_neardup,
         "lsh_topk_embeddings": _q_lsh_topk,
         "ngram_jaccard_documents": _q_ngram_jaccard,
         "hash_split_orders": _q_hash_split,
+        "quality_score_documents": _q_quality_score,
     }
 
 
@@ -2025,6 +2053,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id < 50"
         ),
         "ngram_jaccard_documents": _ngram_jaccard_sql(),
+        "url_dedup_documents": (
+            "WITH u AS (SELECT doc_id, 'https://' || source || "
+            "'.example.com/p/' || (doc_id % 40) || '?a=1&b=2&id=' || "
+            "(doc_id % 7) AS url_norm FROM documents) "
+            "SELECT min(doc_id) AS doc_id, url_norm FROM u "
+            "GROUP BY url_norm"
+        ),
         "duplicate_spans_documents": _duplicate_spans_sql(),
         "remove_dup_spans_documents": _remove_dup_spans_sql(),
         "embedding_neardup_embeddings": (

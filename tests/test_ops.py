@@ -533,3 +533,62 @@ def test_duplicate_spans_plan_skew_immune(spark):
     for m in re.finditer(r"Window.*?partitionbyspec?=?\[?([^\]\n]*)",
                          plan, re.IGNORECASE):
         assert "__gk" not in m.group(1)
+
+
+def test_normalize_url_rules(spark):
+    from whylogs_spark.ops.urls import normalize_url, registered_domain
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/Path?a=1&b=2"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com", "http://example.com"),
+        ("https://sub.Example.com:8443/a/b/?gclid=z",
+         "https://sub.example.com:8443/a/b"),
+        ("http://news.example.co/x?ref=rss&id=3&fbclid=q",
+         "http://news.example.co/x?id=3"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in
+           df.select(normalize_url(F.col("url"))).collect()]
+    assert got == [e for _, e in cases]
+    doms = [r[0] for r in
+            df.select(registered_domain(F.col("url"))).collect()]
+    assert doms == ["example.com", "example.com", "example.com",
+                    "example.com", "example.co"]
+
+
+def test_url_dedup_and_domain_stats(spark):
+    from whylogs_spark.ops.urls import domain_stats, url_dedup
+
+    rows = [
+        (1, "http://a.com/page?utm_source=x"),
+        (2, "HTTP://WWW.A.com:80/page"),        # same canonical as 1
+        (3, "http://a.com/other"),
+        (4, "http://b.org/p"),
+        (5, "http://b.org/p#section"),           # same canonical as 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r["doc_id"] for r in url_dedup(df).collect()}
+    assert kept == {1, 3, 4}
+
+    stats = {r["domain"]: (r["n_pages"], r["n_unique_urls"],
+                           r["n_dup_pages"])
+             for r in domain_stats(df).collect()}
+    assert stats == {"a.com": (3, 2, 1), "b.org": (2, 1, 1)}
+
+
+def test_url_dedup_plan_skew_immune(spark):
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from whylogs_spark.ops.urls import url_dedup
+
+    df = spark.createDataFrame([(1, "http://a.com/x")],
+                               "doc_id long, url string")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        url_dedup(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Join" in plan

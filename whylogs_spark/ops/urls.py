@@ -1,0 +1,116 @@
+"""URL normalization, deduplication and domain statistics.
+
+Web-scale training corpora are keyed by URL before any content-level
+dedup runs (C4, RefinedWeb, Dolma all dedupe on a canonicalized URL
+first — it is orders of magnitude cheaper than text hashing and
+catches re-crawls of the same page). The reference has no URL surface;
+this module is part of the beyond-reference LLM-pipeline family.
+
+Everything here is pure JVM expression (regexp + array functions over
+codegen) — zero shuffle for normalization/parts, and the dedup reuses
+the skew-immune partial-agg winner pattern of ``ops.dedup.exact_dedup``
+(a viral URL crawled a million times collapses map-side; no window
+over the URL key).
+
+Normalization rules (the common canonicalization subset):
+* scheme and host lowercased; ``www.`` prefix dropped from the host
+* default ports stripped (``:80`` for http, ``:443`` for https)
+* fragment dropped
+* tracking parameters removed: ``utm_*``, ``fbclid``, ``gclid``,
+  ``msclkid``, ``ref``, ``ref_src``
+* remaining query parameters sorted byte-wise (param order is not
+  semantic for the overwhelming majority of endpoints)
+* trailing ``/`` dropped (root path and non-root alike, so
+  ``http://a.com`` and ``http://a.com/`` canonicalize identically)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)="
+
+
+def url_host(c: Column) -> Column:
+    """Lowercased host (no port, no ``www.`` prefix)."""
+    host = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":\d+$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def registered_domain(c: Column) -> Column:
+    """Last two host labels (``a.b.co`` -> ``b.co``) — a pragmatic
+    registered-domain approximation that needs no suffix list."""
+    return F.regexp_extract(url_host(c), r"([^.]+\.[^.]+)$", 1)
+
+
+def normalize_url(c: Column) -> Column:
+    """Canonical URL per the module rules, as one codegen expression."""
+    scheme = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport),
+        r"^www\.", "")
+    path = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    ))
+    qnorm = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append url_norm / host / domain / path_depth columns — a
+    zero-shuffle projection."""
+    c = F.col(url_col)
+    path = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    return (
+        df.withColumn("url_norm", normalize_url(c))
+        .withColumn("host", url_host(c))
+        .withColumn("domain", registered_domain(c))
+        .withColumn("path_depth", depth)
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per canonical URL.
+
+    Winner via partial-aggregated ``groupBy(min)`` + semi-join on the
+    unique (url_norm, id) pair — the same skew-immune shape as
+    ``exact_dedup``; the shuffle key is the xxhash64 of the canonical
+    URL (8 bytes, not the URL string).
+    """
+    with_fp = df.withColumn(
+        "__ufp", F.xxhash64(normalize_url(F.col(url_col))))
+    winners = with_fp.groupBy("__ufp").agg(F.min(F.col(id_col)).alias(id_col))
+    return with_fp.join(
+        winners, on=["__ufp", id_col], how="leftsemi").drop("__ufp")
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Pages and distinct canonical URLs per registered domain — the
+    crawl-balance monitor a corpus curator reads before sampling."""
+    base = df.select(
+        registered_domain(F.col(url_col)).alias("domain"),
+        F.xxhash64(normalize_url(F.col(url_col))).alias("__ufp"),
+    )
+    return (
+        base.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("__ufp").alias("n_unique_urls"),
+        )
+        .withColumn("n_dup_pages", F.col("n_pages") - F.col("n_unique_urls"))
+    )
