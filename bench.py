@@ -175,6 +175,16 @@ def main() -> None:
         _noop(dedup_ops.line_dedup(docs10))
         _noop(dedup_ops.minhash_dedup(docs10, jaccard_threshold=0.8))
 
+    def bench_duplicate_spans():
+        _noop(dedup_ops.duplicate_spans(t["documents"], n=8))
+
+    def bench_dupspans_scale_10x():
+        # 10x-replicated corpus: EVERY position's 8-gram is a 10-way
+        # duplicate, so every document collapses to one full-coverage
+        # span — the worst-case duplicated-position density for the
+        # islands pass and the heaviest gram-join selectivity (100%)
+        _noop(dedup_ops.duplicate_spans(docs10, n=8))
+
     # hot-KEY rehearsal: one bot user owns 50% of a 10x events table
     # (1M rows at sf0.1, 500k in a single key) — the shape that
     # serializes the single-phase temporal plans into one task. Run
@@ -233,7 +243,9 @@ def main() -> None:
         "decontaminate_documents": bench_decontaminate,
         "events_hourly": bench_events_hourly,
         "line_dedup_documents": bench_line_dedup,
+        "duplicate_spans_documents": bench_duplicate_spans,
         "dedup_scale_10x": bench_dedup_scale_10x,
+        "dupspans_scale_10x": bench_dupspans_scale_10x,
         "sessionize_hot10x_single": bench_sessionize_hot10x_single,
         "sessionize_hot10x_bucketed": bench_sessionize_hot10x_bucketed,
         "asof_hot10x_single": bench_asof_hot10x_single,
@@ -242,6 +254,7 @@ def main() -> None:
     # the 10x scale entries are ~10x the work of any other query; fewer
     # reps keep total bench wall time bounded
     reps_for = {"dedup_scale_10x": 2,
+                "dupspans_scale_10x": 2,
                 "sessionize_hot10x_single": 2,
                 "sessionize_hot10x_bucketed": 2,
                 "asof_hot10x_single": 2,
