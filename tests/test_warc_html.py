@@ -1,0 +1,151 @@
+"""WARC source + HTML->text extraction tests.
+
+Builds a real multi-record WARC file byte-by-byte (response with HTTP
+headers, request, metadata records), reads it through the lineSep-split
+text source, and chains html_to_text + url/dedup ops over the payloads
+— the crawl -> corpus head of the pipeline end-to-end.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.io.warc import read_warc, warc_responses
+from whylogs_spark.ops.html import (extract_links, extract_title,
+                                    html_to_text, html_to_text_col)
+
+HTML_A = (
+    "<html><head><title> Page  One </title>"
+    "<style>body { color: red }</style></head>"
+    "<body><h1>Welcome</h1>"
+    "<script>var x = '<p>not text</p>';</script>"
+    "<p>First paragraph &amp; more.</p>"
+    "<div>Second <b>bold</b> bit</div>"
+    "<a href=\"http://other.example/x\">link</a>"
+    "<!-- a comment --></body></html>"
+)
+HTML_B = "<html><body><p>Tiny page</p></body></html>"
+
+
+def _warc_record(headers: dict, payload: bytes) -> bytes:
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode() for k, v in headers.items())
+    return head + b"\r\n" + payload
+
+
+def _warc_bytes() -> bytes:
+    http_a = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              + HTML_A.encode())
+    http_b = (b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+              b"\r\n" + HTML_B.encode())
+    recs = [
+        _warc_record(
+            {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>",
+             "Content-Type": "application/warc-fields",
+             "Content-Length": "10"},
+            b"robots: ok"),
+        _warc_record(
+            {"WARC-Type": "response",
+             "WARC-Target-URI": "http://site.example/a",
+             "WARC-Date": "2026-01-02T03:04:05Z",
+             "WARC-Record-ID": "<urn:uuid:1>",
+             "Content-Type": "application/http; msgtype=response",
+             "Content-Length": str(len(http_a))},
+            http_a),
+        _warc_record(
+            {"WARC-Type": "request",
+             "WARC-Target-URI": "http://site.example/a",
+             "WARC-Record-ID": "<urn:uuid:2>",
+             "Content-Type": "application/http; msgtype=request",
+             "Content-Length": "20"},
+            b"GET /a HTTP/1.1\r\n\r\n"),
+        _warc_record(
+            {"WARC-Type": "response",
+             "WARC-Target-URI": "http://site.example/b",
+             "WARC-Date": "2026-01-02T03:05:06Z",
+             "WARC-Record-ID": "<urn:uuid:3>",
+             "Content-Type": "application/http; msgtype=response",
+             "Content-Length": str(len(http_b))},
+            http_b),
+    ]
+    return b"\r\n\r\n".join(recs) + b"\r\n\r\n"
+
+
+@pytest.fixture()
+def warc_dir(tmp_path):
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "crawl-00000.warc").write_bytes(_warc_bytes())
+    return str(d)
+
+
+def test_read_warc_records(spark, warc_dir):
+    rows = {r["record_id"]: r for r in read_warc(spark, warc_dir).collect()}
+    assert len(rows) == 4
+    a = rows["<urn:uuid:1>"]
+    assert a["warc_type"] == "response"
+    assert a["target_uri"] == "http://site.example/a"
+    assert a["warc_date"] == "2026-01-02T03:04:05Z"
+    assert a["http_status"] == 200
+    assert a["payload"].startswith("<html><head><title>")
+    info = rows["<urn:uuid:0>"]
+    assert info["warc_type"] == "warcinfo"
+    assert info["http_status"] is None
+    assert info["payload"] == "robots: ok"
+    assert rows["<urn:uuid:3>"]["http_status"] == 404
+
+
+def test_warc_responses_filters_to_200(spark, warc_dir):
+    got = warc_responses(spark, warc_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["url"] == "http://site.example/a"
+    assert str(r["fetched_at"]).startswith("2026-01-02 03:04:05")
+
+
+@pytest.mark.parametrize("impl", ["sql", "parser"])
+def test_html_to_text_kernels(spark, impl):
+    df = spark.createDataFrame([(HTML_A,)], "payload string")
+    r = html_to_text(df, impl=impl).collect()[0]
+    assert r["title"] == "Page One"
+    text = r["text"]
+    assert "Welcome" in text and "First paragraph & more." in text
+    assert "Second bold bit" in text
+    # script/style/comment content must never leak into corpus text
+    assert "not text" not in text
+    assert "color: red" not in text
+    assert "a comment" not in text
+    # block tags produced line structure
+    assert text.splitlines()[0] == "Welcome"
+
+
+def test_extract_links_and_title_exprs(spark):
+    df = spark.createDataFrame([(HTML_A,)], "h string")
+    row = df.select(
+        extract_title(F.col("h")).alias("t"),
+        extract_links(F.col("h")).alias("l")).collect()[0]
+    assert row["t"] == "Page One"
+    assert row["l"] == ["http://other.example/x"]
+
+
+def test_crawl_to_corpus_pipeline(spark, warc_dir):
+    """WARC -> html_to_text -> url canonicalization: the chained head
+    of a corpus build, all JVM-side."""
+    from whylogs_spark.ops.urls import with_url_parts
+
+    pages = html_to_text(warc_responses(spark, warc_dir))
+    out = with_url_parts(pages, url_col="url").select(
+        "url_norm", "domain", "title", "text")
+    r = out.collect()[0]
+    assert r["url_norm"] == "http://site.example/a"
+    assert r["domain"] == "site.example"
+    assert "First paragraph" in r["text"]
+
+    # plan stays Python-free for the sql kernel
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Python" not in plan and "Arrow" not in plan
