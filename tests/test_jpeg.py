@@ -340,3 +340,23 @@ def test_pixel_features_decode_jpeg_libfree():
     # max(R,G,B); compare against the source's own V mean)
     v_src = img.max(axis=2).mean()
     assert abs(feats[9] - v_src) < 3.0
+
+
+def test_decoder_hostile_bytes_never_crash():
+    """Random/mutated bytes must yield None (fall back to header
+    features), never an uncaught exception."""
+    rng = np.random.default_rng(123)
+    for i in range(50):
+        blob = bytes(rng.integers(0, 256, rng.integers(4, 400),
+                                  dtype=np.uint8))
+        decode_jpeg(b"\xff\xd8" + blob)  # any return; must not raise
+    # structured corruption: flip bytes inside a valid stream
+    enc = bytearray(encode_jpeg(_test_image(16, 16)))
+    for pos in range(20, len(enc), max(len(enc) // 40, 1)):
+        bad = bytearray(enc)
+        bad[pos] ^= 0xA5
+        try:
+            decode_jpeg(bytes(bad))  # any return is fine; no raise
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(
+                f"decode_jpeg raised {exc!r} at mutation {pos}")
