@@ -383,6 +383,42 @@ def main() -> None:
                 r"^(?![\s\S]*windowspecdefinition\(__gk)",
         }))
 
+    # 7f. URL ops: canonicalization is a pure codegen projection (zero
+    # shuffle); dedup reuses the partial-agg winner + semi-join shape
+    # (no window over a viral URL)
+    from whylogs_spark.ops import urls as url_ops
+    u = docs.select("doc_id", F.concat(
+        F.lit("https://www.ex."), F.col("source"),
+        F.lit(".com/p?utm_source=x&a=1")).alias("url"))
+    un = u.select(url_ops.normalize_url(F.col("url")).alias("n"),
+                  url_ops.registered_domain(F.col("url")).alias("d"))
+    sections.append((
+        "url canonicalization", un,
+        {
+            "zero shuffle": r"^(?![\s\S]*Exchange)",
+            "no Python in the plan": r"^(?![\s\S]*Python)",
+        }))
+    ud = url_ops.url_dedup(u)
+    sections.append((
+        "url dedup (winner per canonical url)", ud,
+        {
+            "no window over the url key": r"^(?![\s\S]*Window)",
+            "partial agg before the url-hash exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+
+    # 7g. html -> text (sql kernel): a regexp projection chain — zero
+    # shuffle, zero Python, prunable scan
+    from whylogs_spark.ops import html as html_ops
+    ht = html_ops.html_to_text(
+        docs.select("doc_id", F.col("text").alias("payload")))
+    sections.append((
+        "html to text (sql kernel)", ht,
+        {
+            "zero shuffle": r"^(?![\s\S]*Exchange)",
+            "no Python in the plan": r"^(?![\s\S]*Python)",
+        }))
+
     # 8. counts summary: Expand-based multi-distinct in two agg stages
     ct = summaries.counts_table(li, ["l_orderkey", "l_returnflag"])
     sections.append((
