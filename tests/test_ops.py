@@ -592,3 +592,28 @@ def test_url_dedup_plan_skew_immune(spark):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "Join" in plan
+
+
+def test_domain_filter_suffix_semantics(spark):
+    from whylogs_spark.ops.urls import domain_filter
+
+    rows = [
+        (1, "http://spam.example/x"),
+        (2, "http://ads.spam.example/y"),       # subdomain of entry
+        (3, "http://notspam.example/z"),        # NOT a dot-suffix match
+        (4, "http://ok.org/a"),
+        (5, "https://www.OK.org:443/b"),        # www/case/port stripped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("spam.example",), (" OK.org ",)], "domain string")
+
+    blocked = {r["doc_id"] for r in domain_filter(df, bl).collect()}
+    assert blocked == {3}
+    allowed = {r["doc_id"] for r in
+               domain_filter(df, bl, mode="allow").collect()}
+    assert allowed == {1, 2, 4, 5}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        domain_filter(df, bl, mode="nope")

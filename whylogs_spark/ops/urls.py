@@ -114,3 +114,51 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .withColumn("n_dup_pages", F.col("n_pages") - F.col("n_unique_urls"))
     )
+
+
+def _host_suffixes(c: Column, max_labels: int = 6) -> Column:
+    """All dot-suffixes of the host up to ``max_labels`` deep:
+    ``a.b.co`` -> [a.b.co, b.co, co]. In-plan array expression."""
+    host = url_host(c)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.least(n - 1, F.lit(max_labels - 1))),
+            lambda i: F.array_join(F.slice(labels, n - i, i + 1), "."),
+        ),
+        lambda s: s != "",
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    mode: str = "block",
+) -> DataFrame:
+    """Filter rows by a domain list with subdomain-suffix semantics
+    (an entry ``spam.example`` matches ``spam.example`` AND
+    ``ads.spam.example``).
+
+    ``blocklist`` is a 1-column DataFrame of domains. ``mode="block"``
+    drops matching rows; ``mode="allow"`` keeps only matches. Scale
+    shape: each host explodes into its (≤6-entry) dot-suffix array and
+    equality-joins the list — a hash join Spark broadcasts when the
+    list is small, never a suffix-condition nested-loop join; matched
+    row ids then semi/anti-join back on ``id_col``.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    entries = blocklist.select(
+        F.lower(F.trim(F.col(blocklist.columns[0]))).alias("__dom")
+    ).distinct()
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(_host_suffixes(F.col(url_col))).alias("__s"))
+    hit_ids = exploded.join(
+        entries, exploded["__s"] == entries["__dom"], "leftsemi"
+    ).select(id_col).distinct()
+    how = "leftsemi" if mode == "allow" else "leftanti"
+    return df.join(hit_ids, id_col, how)
