@@ -735,3 +735,22 @@ def test_audio_signal_features_spark(spark, tmp_path):
 
     jr = out["junk.bin"]
     assert jr["format"] == "unknown" and jr["rms"] is None
+
+
+def test_wav_truncated_and_hostile_bytes():
+    """Cut/hostile WAV payloads decode partially or return None —
+    never raise out of the kernel."""
+    import numpy as np
+
+    from whylogs_spark.ops.multimodal import _decode_wav_samples
+
+    t = np.arange(4000) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wav = _wav_bytes(sig, 8000)
+    # odd-length truncations across the data chunk
+    for cut in (len(wav) - 1, len(wav) - 3, 60, 45):
+        _decode_wav_samples(wav[:cut])  # any return; must not raise
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        blob = bytes(rng.integers(0, 256, 120, dtype=np.uint8))
+        _decode_wav_samples(b"RIFF" + blob)

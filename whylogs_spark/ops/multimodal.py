@@ -714,6 +714,10 @@ def _decode_wav_samples(content: bytes, max_samples: int = 0):
     code, channels, rate, _, _, bits = fmt
     if channels < 1 or rate < 1:
         return None
+    # a truncated final sample (hostile/cut file) must not blow up
+    # frombuffer: trim the payload to a whole number of samples
+    if bits in (16, 32) and len(data) % (bits // 8):
+        data = data[: len(data) - len(data) % (bits // 8)]
     if code == 1 and bits == 16:
         arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif code == 1 and bits == 8:
