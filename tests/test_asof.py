@@ -257,3 +257,34 @@ def test_hot_key_buckets_plan_partitions_by_bucket(spark):
     plan = buf.getvalue()
     assert "__asof_bucket" in plan
     assert "hashpartitioning(k#" in plan.replace("L", "")
+
+
+def test_bucketed_asof_on_date_and_string_ts(spark):
+    """hot_key_buckets must work on DATE on-columns (DATE->DOUBLE is
+    not a valid Spark cast) and must not silently NULL-bucket STRING
+    timestamp columns."""
+    import datetime as dt
+
+    from whylogs_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.date(2026, 1, d)) for d in range(1, 8)],
+        "k long, ts date")
+    right = spark.createDataFrame(
+        [(1, dt.date(2026, 1, 1), 10.0), (1, dt.date(2026, 1, 5), 50.0)],
+        "k long, ts date, v double")
+    single = asof_join(left, right, on="ts", by=["k"], value_cols=["v"])
+    bucketed = asof_join(left, right, on="ts", by=["k"],
+                         value_cols=["v"], hot_key_buckets="2 days")
+    s = {(r["ts"], r["v"]) for r in single.collect()}
+    b = {(r["ts"], r["v"]) for r in bucketed.collect()}
+    assert s == b and len(s) == 7
+
+    lefts = left.select("k", F.col("ts").cast("string").alias("ts"))
+    rights = right.select("k", F.col("ts").cast("string").alias("ts"), "v")
+    s2 = {(r["ts"], r["v"]) for r in asof_join(
+        lefts, rights, on="ts", by=["k"], value_cols=["v"]).collect()}
+    b2 = {(r["ts"], r["v"]) for r in asof_join(
+        lefts, rights, on="ts", by=["k"], value_cols=["v"],
+        hot_key_buckets="2 days").collect()}
+    assert s2 == b2 and len(s2) == 7

@@ -617,3 +617,36 @@ def test_domain_filter_suffix_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mode"):
         domain_filter(df, bl, mode="nope")
+
+
+def test_normalize_url_schemeless_no_collapse(spark):
+    """Scheme-less/unparseable urls must NOT canonicalize onto one
+    shared key (an earlier draft mapped them all to '://')."""
+    from whylogs_spark.ops.urls import (normalize_url, registered_domain,
+                                        url_dedup)
+
+    rows = [(1, "example.com/a"), (2, "other.org/b"),
+            (3, "http://real.net/c")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
+    assert got[0] != got[1]
+    assert got[2] == "http://real.net/c"
+    # dedup keeps all three (no shared fingerprint)
+    assert {r["doc_id"] for r in url_dedup(df).collect()} == {1, 2, 3}
+    # host parses host-first without a scheme
+    doms = [r[0] for r in
+            df.select(registered_domain(F.col("url"))).collect()]
+    assert doms == ["example.com", "other.org", "real.net"]
+
+
+def test_domain_filter_deep_host_exact_entry(spark):
+    """A 7-label host must match its own exact-host entry despite the
+    suffix-depth cap."""
+    from whylogs_spark.ops.urls import domain_filter
+
+    deep = "a.b.c.d.e.f.g"
+    df = spark.createDataFrame(
+        [(1, f"http://{deep}/x"), (2, "http://ok.org/y")],
+        "doc_id long, url string")
+    bl = spark.createDataFrame([(deep,)], "domain string")
+    assert {r["doc_id"] for r in domain_filter(df, bl).collect()} == {2}

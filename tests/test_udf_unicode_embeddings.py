@@ -679,8 +679,9 @@ def test_wav_sample_decode_roundtrip():
     sig = 0.5 * np.sin(2 * np.pi * 440 * t)
     for bits, code, tol in ((16, 1, 1e-3), (8, 1, 2e-2), (24, 1, 1e-5),
                             (32, 1, 1e-7), (32, 3, 1e-7)):
-        mono, rate, ch, b = _decode_wav_samples(
+        mono, rate, ch, b, tf = _decode_wav_samples(
             _wav_bytes(sig, 8000, bits=bits, code=code))
+        assert tf == len(sig)
         assert rate == 8000 and ch == 1 and b == bits
         assert np.max(np.abs(mono - sig)) < tol
 
@@ -688,14 +689,14 @@ def test_wav_sample_decode_roundtrip():
     inter = np.empty(16000)
     inter[0::2] = sig
     inter[1::2] = -sig
-    mono, _, ch, _ = _decode_wav_samples(
+    mono, _, ch, _, _ = _decode_wav_samples(
         _wav_bytes(inter, 8000, channels=2))
     assert ch == 2 and np.max(np.abs(mono)) < 1e-3
 
     # max_samples caps the window
-    mono, _, _, _ = _decode_wav_samples(_wav_bytes(sig, 8000),
-                                        max_samples=1000)
-    assert len(mono) == 1000
+    mono, _, _, _, tf = _decode_wav_samples(_wav_bytes(sig, 8000),
+                                            max_samples=1000)
+    assert len(mono) == 1000 and tf == len(sig)
 
     assert _decode_wav_samples(b"not a wav at all" * 10) is None
 
@@ -754,3 +755,39 @@ def test_wav_truncated_and_hostile_bytes():
     for _ in range(30):
         blob = bytes(rng.integers(0, 256, 120, dtype=np.uint8))
         _decode_wav_samples(b"RIFF" + blob)
+
+
+def test_corrupt_png_degrades_not_raises(spark, tmp_path):
+    """Hostile image payloads degrade to header/null rows in the
+    non-strict pixel path — decoder exceptions must not escape."""
+    import struct as st
+    import zlib
+
+    from whylogs_spark.ops.multimodal import _numpy_pixel_features
+
+    def chunk(tag, body):
+        return (st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", zlib.crc32(tag + body)))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # IHDR truncated to 5 bytes
+    bad1 = magic + chunk(b"IHDR", b"\x00" * 5)
+    # palette image whose PLTE length is not a multiple of 3
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x05\x05\x00\x05\x05")  # indices > plte
+    bad2 = (magic + chunk(b"IHDR", ihdr) + chunk(b"PLTE", b"\x01" * 4)
+            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    # valid-structure palette PNG with out-of-range indices
+    bad3 = (magic + chunk(b"IHDR", ihdr) + chunk(b"PLTE", b"\x01" * 6)
+            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    for blob in (bad1, bad2, bad3):
+        assert _numpy_pixel_features(blob) is None
+
+    # through the Spark kernel: null pixel stats, no task failure
+    d = tmp_path / "corrupt"
+    d.mkdir()
+    (d / "x.png").write_bytes(bad3)
+    from whylogs_spark.ops import multimodal
+    rows = multimodal.extract_pixel_features(
+        multimodal.read_binary_dir(spark, str(d))).collect()
+    assert rows[0]["brightness_mean"] is None

@@ -149,3 +149,18 @@ def test_crawl_to_corpus_pipeline(spark, warc_dir):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_html_entities_single_pass_decode(spark):
+    """Escaped entities must decode exactly once: '&amp;lt;' renders
+    as '&lt;', never '<'; same for numeric forms."""
+    from whylogs_spark.ops.html import html_to_text
+
+    page = "<p>a &amp;lt; b</p><p>x &amp;#39;y</p><p>c &lt; d &amp; e</p>"
+    for impl in ("sql", "parser"):
+        t = html_to_text(
+            spark.createDataFrame([(page,)], "payload string"),
+            impl=impl).collect()[0]["text"]
+        assert "a &lt; b" in t, (impl, t)
+        assert "c < d & e" in t, (impl, t)
+        assert "a < b" not in t, (impl, t)

@@ -217,7 +217,10 @@ def decode_jpeg(content: bytes):
                 return _decode_scan(sof, scan, qt, huff,
                                     restart_interval, segs)
             i += 2 + seg_len
-    except (struct.error, IndexError, EOFError, ValueError, KeyError):
+    except (struct.error, IndexError, EOFError, ValueError, KeyError,
+            OverflowError):
+        # OverflowError: a hostile DHT can define a DC symbol > 31,
+        # whose EXTENDed value overflows the int32 coefficient buffer
         return None
     return None
 

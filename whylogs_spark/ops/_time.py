@@ -44,4 +44,10 @@ def epoch_secs(col_name: str, dtype: str) -> Column:
             )
             / F.lit(1e6)
         )
-    return F.col(col_name).cast("double")
+    if dtype == "timestamp":
+        return F.col(col_name).cast("double")
+    # DATE / STRING / anything castable to a timestamp: go through the
+    # timestamp cast first — DATE->DOUBLE is not a valid Spark cast and
+    # STRING->DOUBLE would yield all-NULL buckets (silently disabling
+    # the skew mitigation the caller asked for)
+    return F.col(col_name).cast("timestamp").cast("double")

@@ -31,9 +31,12 @@ from pyspark.sql import types as T
 _BLOCK_TAGS = ("p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|"
                "header|footer|blockquote|pre")
 
-_ENTITIES = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-             ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
-             ("&apos;", "'")]
+# &amp; must decode LAST: decoding it first would turn the escaped
+# sequence '&amp;lt;' into '&lt;' and a later pass into '<' —
+# double-unescaping that diverges from a single-pass HTML decode
+_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+             ("&amp;", "&")]
 
 
 def html_to_text_col(c: Column) -> Column:
@@ -45,9 +48,11 @@ def html_to_text_col(c: Column) -> Column:
     # block-level boundaries -> newline so lines stay meaningful
     x = F.regexp_replace(x, rf"(?i)</?({_BLOCK_TAGS})\b[^>]*>", "\n")
     x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
-    for ent, rep in _ENTITIES:
+    for ent, rep in _ENTITIES[:-1]:
         x = F.replace(x, F.lit(ent), F.lit(rep))
     x = F.regexp_replace(x, r"&#(\d+);", " ")  # rare numeric entities
+    # ... and &amp; last of all (see _ENTITIES note)
+    x = F.replace(x, F.lit("&amp;"), F.lit("&"))
     # collapse: spaces/tabs within lines, blank lines between them
     x = F.regexp_replace(x, r"[ \t\r\f]+", " ")
     x = F.regexp_replace(x, r" ?\n ?", "\n")

@@ -507,17 +507,25 @@ def _numpy_pixel_features(content: bytes):
     import numpy as np
 
     if content[:2] == b"P6":
-        arr, fmt = _decode_ppm(content), "ppm"
+        dec, fmt = _decode_ppm, "ppm"
     elif content[:2] == b"BM":
-        arr, fmt = _decode_bmp(content), "bmp"
+        dec, fmt = _decode_bmp, "bmp"
     elif content[:8] == _PNG_MAGIC:
-        arr, fmt = _decode_png(content), "png"
+        dec, fmt = _decode_png, "png"
     elif content[:2] == b"\xff\xd8":
         from whylogs_spark.ops._jpeg import decode_jpeg
 
-        arr, fmt = decode_jpeg(content), "jpeg"
+        dec, fmt = decode_jpeg, "jpeg"
     else:
         return None
+    # corrupt payloads must degrade (header sniff / strict error), not
+    # leak a decoder exception out of the Spark task: a hostile PNG can
+    # raise struct.error in chunk parsing, ValueError in a malformed
+    # PLTE reshape, or IndexError on an out-of-range palette index
+    try:
+        arr = dec(content)
+    except Exception:
+        arr = None
     if arr is None:
         return None
     hsv = _rgb_to_hsv_u8(arr).reshape(-1, 3)
@@ -688,8 +696,9 @@ def _decode_wav_samples(content: bytes, max_samples: int = 0):
 
     Real sample decoding, stdlib+numpy only: PCM 8-bit unsigned and
     16/24/32-bit signed little-endian (format code 1) plus IEEE float32
-    (format code 3). Returns (samples, rate, channels, bits) or None for
-    anything it can't decode (compressed codecs need an audio lib).
+    (format code 3). Returns (samples, rate, channels, bits,
+    total_frames) or None for anything it can't decode (compressed
+    codecs need an audio lib).
     ``max_samples`` > 0 keeps only a centered window of that many frames
     — bounded memory per row regardless of file size.
     """
@@ -745,7 +754,9 @@ def _decode_wav_samples(content: bytes, max_samples: int = 0):
     if max_samples and frames > max_samples:
         start = (frames - max_samples) // 2
         mono = mono[start:start + max_samples]
-    return mono, int(rate), int(channels), int(bits)
+    # total_frames is the UNWINDOWED count: duration comes from here,
+    # so callers need no second chunk-walk over the payload
+    return mono, int(rate), int(channels), int(bits), int(frames)
 
 
 AUDIO_SIGNAL_SCHEMA = T.StructType(
@@ -832,14 +843,12 @@ def extract_audio_signal_features(
                     rows.append((r["path"], "unknown", None, None, None,
                                  None, None, None, None, None, None, None))
                     continue
-                mono, rate, channels, _bits = dec
-                wav = _sniff_wav(content)
-                dur = wav[3] if wav else len(mono) / rate
+                mono, rate, channels, _bits, total_frames = dec
+                dur = total_frames / rate
                 stats = _audio_signal_stats(mono, rate,
                                             silence_db=silence_db)
                 rows.append((r["path"], "wav", channels, rate,
-                             float(dur) if dur is not None else None,
-                             *stats, len(mono)))
+                             float(dur), *stats, len(mono)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_SIGNAL_SCHEMA.fields])
 
@@ -904,17 +913,21 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     except Exception:
                         out = None
                 if out is None:
-                    if content[:2] == b"P6":
-                        arr = _decode_ppm(content)
-                    elif content[:2] == b"BM":
-                        arr = _decode_bmp(content)
-                    elif content[:8] == _PNG_MAGIC:
-                        arr = _decode_png(content)
-                    elif content[:2] == b"\xff\xd8":
-                        from whylogs_spark.ops._jpeg import decode_jpeg
+                    try:
+                        if content[:2] == b"P6":
+                            arr = _decode_ppm(content)
+                        elif content[:2] == b"BM":
+                            arr = _decode_bmp(content)
+                        elif content[:8] == _PNG_MAGIC:
+                            arr = _decode_png(content)
+                        elif content[:2] == b"\xff\xd8":
+                            from whylogs_spark.ops._jpeg import \
+                                decode_jpeg
 
-                        arr = decode_jpeg(content)
-                    else:
+                            arr = decode_jpeg(content)
+                        else:
+                            arr = None
+                    except Exception:  # corrupt payload -> null row
                         arr = None
                     if arr is not None:
                         small = _resize_nn(arr, width, height)

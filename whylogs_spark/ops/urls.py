@@ -33,9 +33,11 @@ _TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)="
 
 
 def url_host(c: Column) -> Column:
-    """Lowercased host (no port, no ``www.`` prefix)."""
-    host = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
-    host = F.regexp_replace(host, r":\d+$", "")
+    """Lowercased host (no port, no ``www.`` prefix). Scheme-less
+    inputs (``example.com/a`` — common in messy crawl data) parse as
+    host-first."""
+    host = F.lower(F.regexp_extract(
+        c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#:]+)", 1))
     return F.regexp_replace(host, r"^www\.", "")
 
 
@@ -46,7 +48,13 @@ def registered_domain(c: Column) -> Column:
 
 
 def normalize_url(c: Column) -> Column:
-    """Canonical URL per the module rules, as one codegen expression."""
+    """Canonical URL per the module rules, as one codegen expression.
+
+    Inputs without a ``scheme://`` prefix are returned trimmed but
+    otherwise untouched: canonicalizing an unparseable string would
+    collapse every such row onto one key (an earlier draft mapped them
+    all to ``'://'`` — one viral dedup bucket of unrelated rows).
+    """
     scheme = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
     host = F.regexp_replace(
@@ -62,10 +70,13 @@ def normalize_url(c: Column) -> Column:
         lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
     ))
     qnorm = F.array_join(params, "&")
-    return F.concat(
+    return F.when(
+        scheme == "",
+        F.trim(c),
+    ).otherwise(F.concat(
         scheme, F.lit("://"), host, path,
         F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
-    )
+    ))
 
 
 def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -117,16 +128,20 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def _host_suffixes(c: Column, max_labels: int = 6) -> Column:
-    """All dot-suffixes of the host up to ``max_labels`` deep:
-    ``a.b.co`` -> [a.b.co, b.co, co]. In-plan array expression."""
+    """Dot-suffixes of the host up to ``max_labels`` deep PLUS the
+    full host itself: ``a.b.co`` -> [a.b.co, b.co, co]. The full host
+    is always present so an exact-host list entry matches no matter how
+    many labels the host has; the cap only bounds the intermediate
+    suffixes. In-plan array expression."""
     host = url_host(c)
     labels = F.split(host, r"\.")
     n = F.size(labels)
+    sufx = F.transform(
+        F.sequence(F.lit(0), F.least(n - 1, F.lit(max_labels - 1))),
+        lambda i: F.array_join(F.slice(labels, n - i, i + 1), "."),
+    )
     return F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.least(n - 1, F.lit(max_labels - 1))),
-            lambda i: F.array_join(F.slice(labels, n - i, i + 1), "."),
-        ),
+        F.array_distinct(F.concat(F.array(host), sufx)),
         lambda s: s != "",
     )
 
