@@ -791,3 +791,29 @@ def test_corrupt_png_degrades_not_raises(spark, tmp_path):
     rows = multimodal.extract_pixel_features(
         multimodal.read_binary_dir(spark, str(d))).collect()
     assert rows[0]["brightness_mean"] is None
+
+
+def test_png_zip_bomb_bounded():
+    """An IDAT inflating far past the IHDR-implied size must not be
+    materialized — the inflate is capped at the expected byte count."""
+    import struct as st
+    import time
+    import zlib
+
+    from whylogs_spark.ops.multimodal import _decode_png
+
+    def chunk(tag, body):
+        return (st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", zlib.crc32(tag + body)))
+
+    # 2x2 gray image whose IDAT stream carries 64 MB of trailing zeros
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    good_rows = b"\x00\x10\x20" + b"\x00\x30\x40"
+    bomb = zlib.compress(good_rows + b"\x00" * (64 << 20), 9)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    t0 = time.time()
+    arr = _decode_png(png)
+    assert time.time() - t0 < 2.0
+    assert arr is not None and arr.shape == (2, 2, 3)
+    assert arr[0, 0, 0] == 0x10 and arr[1, 1, 0] == 0x40

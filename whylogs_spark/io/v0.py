@@ -38,7 +38,7 @@ from typing import Dict, List, Optional
 
 from .dsketch import fi_from_ds_bytes, kll_floats_from_ds_bytes, \
     kll_from_ds_bytes
-from .why1 import _fields, _read_uvarint
+from .why1 import _fields, _read_uvarint, _signed64 as _signed
 
 # InferredType.Type enum (v0_messages.proto:16-28)
 TYPE_UNKNOWN, TYPE_NULL, TYPE_FRACTIONAL = 0, 1, 2
@@ -142,12 +142,6 @@ def _parse_properties(buf: bytes, prof: V0Profile) -> None:
             k, val = _parse_str_map_entry(v)
             if k is not None:
                 prof.metadata[k] = val
-
-
-def _signed(u: int) -> int:
-    """int64 fields arrive as unsigned varints; fold to two's
-    complement (negative epoch-ms timestamps pre-1970 are legal)."""
-    return u - (1 << 64) if u >= (1 << 63) else u
 
 
 def _parse_numbers(buf: bytes, col: V0Column) -> None:

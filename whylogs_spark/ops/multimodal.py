@@ -360,45 +360,65 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def _png_unfilter(raw, h, stride, bpp):
     """Reverse PNG scanline filtering (spec filters 0 None, 1 Sub,
-    2 Up, 3 Average, 4 Paeth). Sub/Up/None vectorize; Average/Paeth
-    fall back to a per-byte loop on just the rows that use them."""
+    2 Up, 3 Average, 4 Paeth). Sub/Up/None vectorize. Average/Paeth
+    predict from the already-reconstructed LEFT byte, which makes them
+    inherently serial along x — and adaptive encoders (libpng/Pillow
+    defaults) pick Average/Paeth for MOST rows of photographic
+    content, so this serial path is the common case, not the
+    exception. It therefore runs over plain Python lists (item access
+    on numpy arrays is several times slower than list indexing), which
+    keeps the lib-free decode usable on real images; it is still the
+    cost ceiling of this kernel."""
     import numpy as np
 
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
+    zero_row = [0] * stride
+    prev_list = None  # lazily-materialized list view of out[y-1]
     for y in range(h):
         ftype = raw[pos]
         line = np.frombuffer(raw, dtype=np.uint8, count=stride,
-                             offset=pos + 1).copy()
+                             offset=pos + 1)
         pos += 1 + stride
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
-        if ftype == 0:
-            out[y] = line
-        elif ftype == 1:  # Sub: cumsum per byte phase within the pixel
-            for p in range(bpp):
-                out[y, p::bpp] = np.cumsum(
-                    line[p::bpp], dtype=np.uint32) & 0xFF
-        elif ftype == 2:  # Up
-            out[y] = line + prev
-        elif ftype == 3:  # Average: depends on left recon, per-byte
-            row = out[y]
-            for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                row[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) \
-                    & 0xFF
-        elif ftype == 4:  # Paeth
-            row = out[y]
-            for x in range(stride):
-                a = int(row[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else \
-                    (b if pb <= pc else c)
-                row[x] = (int(line[x]) + pred) & 0xFF
-        else:
+        if ftype in (0, 1, 2):
+            prev = out[y - 1] if y else None
+            if ftype == 0:
+                out[y] = line
+            elif ftype == 1:  # Sub: cumsum per byte phase in the pixel
+                for p in range(bpp):
+                    out[y, p::bpp] = np.cumsum(
+                        line[p::bpp], dtype=np.uint32) & 0xFF
+            else:  # Up
+                out[y] = line + prev if y else line
+            prev_list = None
+            continue
+        if ftype not in (3, 4):
             return None
+        pl = prev_list if prev_list is not None else (
+            out[y - 1].tolist() if y else zero_row)
+        ln = line.tolist()
+        row = [0] * stride
+        if ftype == 3:  # Average
+            for x in range(bpp):
+                row[x] = (ln[x] + (pl[x] >> 1)) & 0xFF
+            for x in range(bpp, stride):
+                row[x] = (ln[x] + ((row[x - bpp] + pl[x]) >> 1)) & 0xFF
+        else:  # Paeth
+            for x in range(bpp):
+                row[x] = (ln[x] + pl[x]) & 0xFF  # a=c=0 -> pred=b
+            for x in range(bpp, stride):
+                a = row[x - bpp]
+                b = pl[x]
+                c = pl[x - bpp]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                row[x] = (ln[x] + (
+                    a if (pa <= pb and pa <= pc)
+                    else (b if pb <= pc else c))) & 0xFF
+        out[y] = row
+        prev_list = row
     return out
 
 
@@ -439,12 +459,16 @@ def _decode_png(content: bytes):
             or interlace != 0 or w < 1 or h < 1
             or (ctype_id == 3 and plte is None)):
         return None
+    stride = w * channels
+    need = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bound the inflate to the size IHDR implies: a zip-bomb IDAT
+        # declaring a 16x16 image but inflating to tens of GB would
+        # otherwise materialize fully before any size check ran
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         return None
     recon = _png_unfilter(raw, h, stride, channels)
     if recon is None:
