@@ -164,3 +164,17 @@ def test_html_entities_single_pass_decode(spark):
         assert "a &lt; b" in t, (impl, t)
         assert "c < d & e" in t, (impl, t)
         assert "a < b" not in t, (impl, t)
+
+
+def test_read_warc_gzip_whole_file(spark, tmp_path):
+    """.warc.gz reads through Spark's gzip codec (whole-file — the
+    docstring's stated parallelism caveat — but correct)."""
+    import gzip
+
+    d = tmp_path / "warcgz"
+    d.mkdir()
+    (d / "crawl-0.warc.gz").write_bytes(gzip.compress(_warc_bytes()))
+    rows = {r["record_id"]: r
+            for r in read_warc(spark, str(d)).collect()}
+    assert len(rows) == 4
+    assert rows["<urn:uuid:1>"]["http_status"] == 200
