@@ -650,3 +650,31 @@ def test_domain_filter_deep_host_exact_entry(spark):
         "doc_id long, url string")
     bl = spark.createDataFrame([(deep,)], "domain string")
     assert {r["doc_id"] for r in domain_filter(df, bl).collect()} == {2}
+
+
+def test_sessionize_bucketed_date_and_string_ts(spark):
+    """hot_user_buckets must behave on DATE and STRING time columns
+    exactly like the single-phase plan (epoch_secs routes both through
+    a timestamp cast; DATE->DOUBLE alone is not a valid cast)."""
+    import datetime as dt
+
+    from whylogs_spark.ops.events import sessionize
+
+    rows = [(1, dt.date(2026, 1, d)) for d in (1, 2, 3, 8, 9)] + \
+           [(2, dt.date(2026, 1, d)) for d in (4, 20)]
+    df = spark.createDataFrame(rows, "user_id long, ts date")
+    kw = dict(gap="2 days")
+    single = {(r["user_id"], str(r["ts"]), r["session_id"])
+              for r in sessionize(df, **kw).collect()}
+    bucketed = {(r["user_id"], str(r["ts"]), r["session_id"])
+                for r in sessionize(df, hot_user_buckets="4 days",
+                                    **kw).collect()}
+    assert single == bucketed and len(single) == 7
+
+    dfs = df.select("user_id", F.col("ts").cast("string").alias("ts"))
+    s2 = {(r["user_id"], r["ts"], r["session_id"])
+          for r in sessionize(dfs, **kw).collect()}
+    b2 = {(r["user_id"], r["ts"], r["session_id"])
+          for r in sessionize(dfs, hot_user_buckets="4 days",
+                              **kw).collect()}
+    assert s2 == b2 and len(s2) == 7
