@@ -678,3 +678,56 @@ def test_sessionize_bucketed_date_and_string_ts(spark):
           for r in sessionize(dfs, hot_user_buckets="4 days",
                               **kw).collect()}
     assert s2 == b2 and len(s2) == 7
+
+
+def _spans_python_model(texts, n):
+    """Independent reference implementation of duplicate_spans."""
+    import re as _re
+    from collections import Counter
+
+    toks = {i: _re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            for i, t in texts}
+    grams = {}
+    counts = Counter()
+    for i, tk in toks.items():
+        g = [tuple(tk[p:p + n]) for p in range(len(tk) - n + 1)] \
+            if len(tk) >= n else []
+        grams[i] = g
+        counts.update(g)
+    out = set()
+    for i, g in grams.items():
+        dup = [p for p, gr in enumerate(g) if counts[gr] >= 2]
+        run = []
+        for p in dup + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                out.add((i, run[0], run[-1] + n - 1,
+                         run[-1] - run[0] + n, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    return out
+
+
+def test_duplicate_spans_random_corpora_vs_python_model(spark):
+    """Ten seeded random corpora (tiny vocab -> dense duplicates,
+    boundary-heavy shapes) must match an independent Python model
+    exactly — catches islands/boundary bugs a single dataset misses."""
+    import random
+
+    from whylogs_spark.ops.dedup import duplicate_spans
+
+    for seed in range(10):
+        rng = random.Random(seed)
+        vocab = [f"w{k}" for k in range(rng.choice([3, 5, 9]))]
+        n = rng.choice([2, 3, 4])
+        texts = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 25))))
+            for i in range(rng.randint(2, 12))
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {(r["doc_id"], r["span_start"], r["span_end"],
+                r["span_tokens"], r["n_dup_grams"])
+               for r in duplicate_spans(df, n=n).collect()}
+        want = _spans_python_model(texts, n)
+        assert got == want, (seed, n, got ^ want)
