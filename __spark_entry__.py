@@ -1092,6 +1092,47 @@ def _q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ppl_proxy", 6).alias("ppl_proxy"))
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed Naive-Bayes quality classifier (ops/classify.py) — the
+    fastText-style trusted-corpus filter: train on lang=='en' as the
+    positive class (a stand-in label; the operator is label-agnostic),
+    score every document. One bucket groupBy to train, one broadcast
+    join + doc_id groupBy to score; model <= 4096 rows."""
+    from whylogs_spark.ops import classify as classify_ops
+
+    df = _t(spark, sf_dir, "documents")
+    lab = df.withColumn(
+        "label", (F.col("lang") == F.lit("en")).cast("int"))
+    model = classify_ops.train_quality_classifier(
+        lab, n_buckets=4096, smoothing=1.0)
+    out = classify_ops.score_quality_classifier(
+        df, model, n_buckets=4096)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("logit", 6).alias("logit"),
+        F.round("prob", 6).alias("prob"))
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ops/classify.py dsir_logweights, Xie et
+    al. 2023 at order 1): hashed-unigram log density ratio of each raw
+    document against the lang=='en' target slice, plus the
+    deterministic Gumbel resampling key for k-selection (temperature 1,
+    md5-derived uniforms — reproduced verbatim by the DuckDB oracle)."""
+    from whylogs_spark.ops import classify as classify_ops
+
+    df = _t(spark, sf_dir, "documents")
+    target = df.filter(F.col("lang") == F.lit("en"))
+    w = classify_ops.dsir_logweights(df, target, n_buckets=4096,
+                                     smoothing=0.5)
+    keyed = classify_ops.dsir_sample(
+        w, k=100, temperature=1.0, salt="gate")
+    return keyed.select(
+        "doc_id", "n_tokens",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("gumbel_key", 6).alias("gumbel_key"))
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1170,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": _q_decontaminate,
         "pack_chunks_documents": _q_pack_chunks,
         "unigram_lm_documents": _q_unigram_lm,
+        "quality_classifier_documents": _q_quality_classifier,
+        "dsir_weights_documents": _q_dsir_weights,
         "segmented_profile_lineitem": _q_segmented_profile,
         "multi_segmentation_lineitem": _q_multi_segmentation,
         "condition_counts_orders": _q_condition_counts,
@@ -1184,7 +1227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_range_documents": _q_unicode_range,
         "embedding_closest_centroid": _q_embedding_closest,
         "ranking_metrics_events": _q_ranking_events,
-        "accuracy_estimator_orders": _q_accuracy_estimator,
         "custom_metric_lineitem": _q_custom_metric,
         "constraints_report_lineitem": _q_constraints_report,
         "profile_merge_lineitem": _q_profile_merge,
@@ -1198,7 +1240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segmented_profile_orders": _q_join_segmented_profile,
         "fingerprint_documents": _q_fingerprint,
         "url_dedup_documents": _q_url_dedup,
-        "duplicate_spans_documents": _q_duplicate_spans,
         "remove_dup_spans_documents": _q_remove_dup_spans,
         "embedding_neardup_lsh_embeddings": _q_embedding_neardup_lsh,
         "minhash_dedup_documents": _q_minhash_dedup,
@@ -1228,8 +1269,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # applied per stratum there), quality_score by the pair
         # text_stats + gopher_quality (its inputs are the same gated
         # token/stopword machinery; the score is fixed arithmetic over
-        # them)
+        # them), duplicate_spans by remove_dup_spans (whose oracle and
+        # implementation recompute span detection end-to-end),
+        # accuracy_estimator by confusion_matrix + segmented profiles
+        # (fixed weighted arithmetic over the same gated per-segment
+        # aggregates)
         "profile_basic_lineitem": _q_profile_basic,
+        "duplicate_spans_documents": _q_duplicate_spans,
+        "accuracy_estimator_orders": _q_accuracy_estimator,
         "simhash_documents": _q_simhash,
         "embedding_neardup_embeddings": _q_embedding_neardup,
         "lsh_topk_embeddings": _q_lsh_topk,
@@ -1377,6 +1424,74 @@ def _basic_sql() -> str:
               ["n", "n_distinct", "min_len", "max_len", "avg_len"],
               "str."),
     ])
+
+
+_CLS_TOK = (
+    "tok AS (SELECT doc_id, unnest("
+    "CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[] "
+    "ELSE string_split_regex(lower(trim(text)), '\\s+') END) AS w "
+    "FROM documents), "
+    "b AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT "
+    "% 4096 AS bucket FROM tok), "
+)
+
+
+def _quality_classifier_sql(kk: float = 4096.0) -> str:
+    """NB classifier oracle: identical md5 bucketing, add-1 smoothing,
+    doc prior, and oov fallback as ops/classify.py (K=4096, k=1.0)."""
+    return (
+        "WITH " + _CLS_TOK +
+        "lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 "
+        "END AS y FROM documents), "
+        "counts AS (SELECT bucket, sum(y) AS c1, sum(1 - y) AS c0 "
+        "FROM b JOIN lab USING (doc_id) GROUP BY bucket), "
+        "tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM counts), "
+        "dc AS (SELECT sum(y) AS d1, count(*) - sum(y) AS d0 FROM lab), "
+        f"model AS (SELECT bucket, ln((c1 + 1.0) / (n1 + {kk})) "
+        f"- ln((c0 + 1.0) / (n0 + {kk})) AS llr FROM counts, tot), "
+        "consts AS (SELECT ln((d1 + 1.0) / (d0 + 1.0)) AS prior, "
+        f"ln(n0 + {kk}) - ln(n1 + {kk}) AS oov FROM dc, tot), "
+        "per AS (SELECT b.doc_id, count(*) AS n_tokens, "
+        "sum(coalesce(m.llr, c.oov)) AS s "
+        "FROM b LEFT JOIN model m USING (bucket), consts c "
+        "GROUP BY b.doc_id) "
+        "SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens, "
+        "round(c.prior + coalesce(p.s, 0), 6) AS logit, "
+        "round(1.0 / (1.0 + exp(-(c.prior + coalesce(p.s, 0)))), 6) "
+        "AS prob "
+        "FROM documents d LEFT JOIN per p USING (doc_id), consts c"
+    )
+
+
+def _dsir_weights_sql(kk: float = 2048.0) -> str:
+    """DSIR oracle: hashed-unigram density ratio (K=4096, k=0.5) of
+    each document vs the lang='en' target slice + the md5-derived
+    Gumbel top-100 resampling keys, recomputed verbatim."""
+    return (
+        "WITH " + _CLS_TOK +
+        "ct AS (SELECT bucket, count(*) AS c FROM b "
+        "JOIN documents USING (doc_id) WHERE lang = 'en' "
+        "GROUP BY bucket), "
+        "cr AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket), "
+        "nt AS (SELECT sum(c) AS n FROM ct), "
+        "nr AS (SELECT sum(c) AS n FROM cr), "
+        "model AS (SELECT bucket, "
+        f"ln((coalesce(ct.c, 0) + 0.5) / (nt.n + {kk})) "
+        f"- ln((coalesce(cr.c, 0) + 0.5) / (nr.n + {kk})) AS llr "
+        "FROM ct FULL JOIN cr USING (bucket), nt, nr), "
+        "per AS (SELECT b.doc_id, count(*) AS n_tokens, "
+        "sum(m.llr) AS s FROM b JOIN model m USING (bucket) "
+        "GROUP BY b.doc_id), "
+        "w AS (SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT "
+        "AS n_tokens, coalesce(p.s, 0) AS lw FROM documents d "
+        "LEFT JOIN per p USING (doc_id)), "
+        "keyed AS (SELECT doc_id, n_tokens, lw, lw - ln(-ln("
+        "(('0x' || substr(md5(doc_id::VARCHAR || '|gate'), 1, 8))"
+        "::BIGINT + 0.5) / 4294967296.0)) AS gk FROM w) "
+        "SELECT doc_id, n_tokens, round(lw, 6) AS log_weight, "
+        "round(gk, 6) AS gumbel_key FROM keyed "
+        "ORDER BY gk DESC, doc_id LIMIT 100"
+    )
 
 
 def _unigram_lm_sql(vocab_size: int = 1000, k: float = 0.5) -> str:
@@ -1762,6 +1877,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "profile_basic_lineitem": _basic_sql(),
         "unigram_lm_documents": _unigram_lm_sql(),
+        "quality_classifier_documents": _quality_classifier_sql(),
+        "dsir_weights_documents": _dsir_weights_sql(),
         "segmented_profile_lineitem": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
             "round(avg(l_quantity), 4) AS mean_qty "

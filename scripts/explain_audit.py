@@ -356,6 +356,41 @@ def main() -> None:
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
         }))
 
+    # 7d2. NB quality classifier + DSIR (ops/classify.py): training is
+    # one bucket groupBy with map-side partial agg (shuffle bounded at
+    # n_buckets rows/partition regardless of corpus size); scoring
+    # joins the <=n_buckets-row model by BROADCAST and groupBys the
+    # unique doc id; Gumbel top-k plans as TakeOrderedAndProject
+    from whylogs_spark.ops import classify
+
+    lab = docs.withColumn("label",
+                          (F.col("lang") == F.lit("en")).cast("int"))
+    nb_model = classify.train_quality_classifier(lab, n_buckets=4096)
+    nb_scores = classify.score_quality_classifier(docs, nb_model,
+                                                  n_buckets=4096)
+    sections.append((
+        "NB quality classifier scoring", nb_scores,
+        {
+            "model joined by broadcast (tokens never shuffle to the "
+            "join)": r"BroadcastHashJoin",
+            "partial agg before the bucket exchange (training)":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window anywhere in the plan":
+                r"^(?![\s\S]*Window)",
+        }))
+    dsir_w = classify.dsir_logweights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=4096)
+    dsir_s = classify.dsir_sample(dsir_w, k=100)
+    sections.append((
+        "DSIR Gumbel top-k resampling", dsir_s,
+        {
+            "Gumbel top-k via TakeOrderedAndProject (per-partition "
+            "heaps, no global sort)": r"TakeOrderedAndProject",
+            "ratio table joined by broadcast": r"BroadcastHashJoin",
+            "no window anywhere in the plan":
+                r"^(?![\s\S]*Window)",
+        }))
+
     # 7e. duplicate spans (ExactSubstr-lite): gram-frequency pass must
     # partial-aggregate on the 8-byte gram hash before its exchange (a
     # viral passage collapses map-side); the islands window partitions
