@@ -1133,6 +1133,40 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gumbel_key", 6).alias("gumbel_key"))
 
 
+def _q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PSI drift (core/drift.py psi_exact): returned lineitem
+    rows vs the rest, numeric (equal-width bins over the reference
+    min/max) and categorical (category union) variants in one frame.
+    Each side collapses to <=n_bins partial-agg rows before any
+    exchange; bin edges ride as a broadcast 1-row agg."""
+    from whylogs_spark.core import drift as drift_mod
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.filter(F.col("l_returnflag") == "R")
+    r = li.filter(F.col("l_returnflag") != "R")
+    num = drift_mod.psi_exact(t, r, "l_extendedprice", n_bins=10)
+    cat = drift_mod.psi_exact(t, r, "l_linestatus", categorical=True)
+    return num.unionByName(cat).select(
+        "col_name", "algorithm",
+        F.round("statistic", 9).alias("statistic"))
+
+
+def _q_rolling_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day PSI of events.value (core/drift.py rolling_psi):
+    the drift-dashboard query as ONE batch plan — global equal-width
+    bins, dense (period x bin) grid via in-plan sequence explode,
+    consecutive periods joined on (period-1, bin). All joins touch
+    grid-sized frames (periods x n_bins), never raw rows."""
+    from whylogs_spark.core import drift as drift_mod
+
+    ev = _t(spark, sf_dir, "events")
+    out = drift_mod.rolling_psi(ev, "ts", "value", unit="day")
+    return out.select(
+        F.date_format(F.col("period"), "yyyy-MM-dd").alias("day"),
+        F.round("statistic", 9).alias("statistic"),
+        "n_current", "n_previous")
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1215,7 +1249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_documents": _q_dsir_weights,
         "segmented_profile_lineitem": _q_segmented_profile,
         "multi_segmentation_lineitem": _q_multi_segmentation,
-        "condition_counts_orders": _q_condition_counts,
         "frequent_items_events": _q_frequent_items,
         "confusion_matrix_orders": _q_confusion_matrix,
         "regression_metrics_lineitem": _q_regression_metrics,
@@ -1223,7 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": _q_text_stats,
         "language_id_documents": _q_lang_id,
         "similarity_topk_embeddings": _q_similarity_topk,
-        "events_hourly_rollup": _q_events_hourly,
+        "psi_drift_lineitem": _q_psi_drift,
+        "rolling_psi_events": _q_rolling_psi,
         "unicode_range_documents": _q_unicode_range,
         "embedding_closest_centroid": _q_embedding_closest,
         "ranking_metrics_events": _q_ranking_events,
@@ -1273,8 +1307,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # implementation recompute span detection end-to-end),
         # accuracy_estimator by confusion_matrix + segmented profiles
         # (fixed weighted arithmetic over the same gated per-segment
-        # aggregates)
+        # aggregates), events_hourly by rolling_psi_events (same
+        # date_trunc period bucketing + per-period aggregation, plus
+        # the drift layer on top) and json_props_events (events scalar
+        # surface), condition_counts by validator_sample (same
+        # core/conditions.py predicate evaluation, plus the sampling
+        # and failure-action layer on top)
         "profile_basic_lineitem": _q_profile_basic,
+        "events_hourly_rollup": _q_events_hourly,
+        "condition_counts_orders": _q_condition_counts,
         "duplicate_spans_documents": _q_duplicate_spans,
         "accuracy_estimator_orders": _q_accuracy_estimator,
         "simhash_documents": _q_simhash,
@@ -1491,6 +1532,74 @@ def _dsir_weights_sql(kk: float = 2048.0) -> str:
         "SELECT doc_id, n_tokens, round(lw, 6) AS log_weight, "
         "round(gk, 6) AS gumbel_key FROM keyed "
         "ORDER BY gk DESC, doc_id LIMIT 100"
+    )
+
+
+def _psi_drift_sql() -> str:
+    """PSI oracle: identical equal-width binning over the reference
+    min/max (numeric), category union (categorical), epsilon clamp."""
+    return (
+        "WITH t AS (SELECT l_extendedprice::DOUBLE v FROM lineitem "
+        "WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL), "
+        "r AS (SELECT l_extendedprice::DOUBLE v FROM lineitem "
+        "WHERE l_returnflag <> 'R' AND l_extendedprice IS NOT NULL), "
+        "e AS (SELECT min(v) AS lo, CASE WHEN max(v) > min(v) THEN "
+        "(max(v) - min(v)) / 10 ELSE 1.0 END AS w FROM r), "
+        "tc AS (SELECT least(greatest(floor((v - lo) / w), 0), 9)"
+        "::BIGINT AS b, count(*) AS ct FROM t, e GROUP BY 1), "
+        "rc AS (SELECT least(greatest(floor((v - lo) / w), 0), 9)"
+        "::BIGINT AS b, count(*) AS cr FROM r, e GROUP BY 1), "
+        "jn AS (SELECT coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr "
+        "FROM tc FULL JOIN rc USING (b)), "
+        "tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM jn), "
+        "num AS (SELECT 'l_extendedprice' AS col_name, 'psi' AS "
+        "algorithm, round(sum((greatest(ct / nt, 1e-4) - "
+        "greatest(cr / nr, 1e-4)) * ln(greatest(ct / nt, 1e-4) / "
+        "greatest(cr / nr, 1e-4))), 9) AS statistic FROM jn, tot), "
+        "ktc AS (SELECT l_linestatus AS b, count(*) AS ct FROM "
+        "lineitem WHERE l_returnflag = 'R' GROUP BY 1), "
+        "krc AS (SELECT l_linestatus AS b, count(*) AS cr FROM "
+        "lineitem WHERE l_returnflag <> 'R' GROUP BY 1), "
+        "kj AS (SELECT coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr "
+        "FROM ktc FULL JOIN krc USING (b)), "
+        "ktot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM kj), "
+        "cat AS (SELECT 'l_linestatus' AS col_name, 'psi' AS "
+        "algorithm, round(sum((greatest(ct / nt, 1e-4) - "
+        "greatest(cr / nr, 1e-4)) * ln(greatest(ct / nt, 1e-4) / "
+        "greatest(cr / nr, 1e-4))), 9) AS statistic FROM kj, ktot) "
+        "SELECT * FROM num UNION ALL SELECT * FROM cat"
+    )
+
+
+def _rolling_psi_sql() -> str:
+    """Rolling day-over-day PSI oracle: global equal-width bins, dense
+    period x bin grid, consecutive-period join — mirrors
+    core/drift.py rolling_psi exactly."""
+    return (
+        "WITH rws AS (SELECT date_trunc('day', ts) AS period, "
+        "value::DOUBLE AS v FROM events WHERE value IS NOT NULL "
+        "AND ts IS NOT NULL), "
+        "e AS (SELECT min(v) AS lo, CASE WHEN max(v) > min(v) THEN "
+        "(max(v) - min(v)) / 10 ELSE 1.0 END AS w FROM rws), "
+        "bc AS (SELECT period, least(greatest(floor((v - lo) / w), "
+        "0), 9)::BIGINT AS b, count(*) AS c FROM rws, e GROUP BY 1, 2), "
+        "tot AS (SELECT period, sum(c) AS n FROM bc GROUP BY 1), "
+        "grid AS (SELECT period, n, unnest(range(0, 10)) AS b "
+        "FROM tot), "
+        "cur AS (SELECT g.period, g.b, g.n, coalesce(bc.c, 0) AS c "
+        "FROM grid g LEFT JOIN bc ON g.period = bc.period "
+        "AND g.b = bc.b), "
+        "prv AS (SELECT period + INTERVAL 1 DAY AS period, b, "
+        "n AS n_prev, c AS c_prev FROM cur), "
+        "jn AS (SELECT cur.period, greatest(cur.c / cur.n, 1e-4) AS "
+        "pt, greatest(prv.c_prev / prv.n_prev, 1e-4) AS pr, cur.n, "
+        "prv.n_prev FROM cur JOIN prv ON cur.period = prv.period "
+        "AND cur.b = prv.b) "
+        "SELECT strftime(period, '%Y-%m-%d') AS day, "
+        "round(sum((pt - pr) * ln(pt / pr)), 9) AS statistic, "
+        "any_value(n)::BIGINT AS n_current, "
+        "any_value(n_prev)::BIGINT AS n_previous "
+        "FROM jn GROUP BY period"
     )
 
 
@@ -1879,6 +1988,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_lm_documents": _unigram_lm_sql(),
         "quality_classifier_documents": _quality_classifier_sql(),
         "dsir_weights_documents": _dsir_weights_sql(),
+        "psi_drift_lineitem": _psi_drift_sql(),
+        "rolling_psi_events": _rolling_psi_sql(),
         "segmented_profile_lineitem": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
             "round(avg(l_quantity), 4) AS mean_qty "

@@ -391,6 +391,26 @@ def main() -> None:
                 r"^(?![\s\S]*Window)",
         }))
 
+    # 7d3. rolling PSI (core/drift.py): the raw-row pass is one
+    # groupBy(period, bin) with map-side partial agg; every later join
+    # touches grid-sized frames (periods x n_bins) only, and no window
+    # function appears anywhere (consecutive periods pair via a join on
+    # period-1, not lag())
+    from whylogs_spark.core import drift as drift_mod
+
+    events_t = load_table(spark, SF_DIR, "events")
+    rp = drift_mod.rolling_psi(events_t, "ts", "value", unit="day")
+    sections.append((
+        "rolling PSI (day-over-day drift)", rp,
+        {
+            "partial agg before the (period,bin) exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window anywhere in the plan":
+                r"^(?![\s\S]*Window)",
+            "bin edges ride as a broadcast 1-row agg":
+                r"BroadcastExchange|BroadcastNestedLoopJoin",
+        }))
+
     # 7e. duplicate spans (ExactSubstr-lite): gram-frequency pass must
     # partial-aggregate on the 8-byte gram hash before its exchange (a
     # viral passage collapses map-side); the islands window partitions

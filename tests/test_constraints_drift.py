@@ -186,3 +186,110 @@ def test_comparison_constraints(spark, lineitem):
     cc2 = C.ComparisonConstraints(ref, shifted, [
         C.mean_within_reference("l_quantity", 0.1)])
     assert not cc2.validate()
+
+
+# ------------------------------------------------------------------ PSI
+
+def test_psi_identical_distribution_is_near_zero(spark, lineitem):
+    from whylogs_spark.core import drift as D
+
+    out = D.psi_exact(lineitem, lineitem, "l_quantity").collect()[0]
+    assert out.col_name == "l_quantity"
+    assert out.algorithm == "psi"
+    assert abs(out.statistic) < 1e-12
+
+
+def test_psi_shifted_distribution_is_large(spark, lineitem):
+    from whylogs_spark.core import drift as D
+
+    shifted = lineitem.selectExpr("l_quantity + 40 AS l_quantity")
+    stat = D.psi_exact(shifted, lineitem,
+                       "l_quantity").collect()[0].statistic
+    assert stat > 0.25  # "major shift" on the standard scale
+
+
+def test_psi_categorical_matches_hand_computation(spark):
+    import math
+
+    from whylogs_spark.core import drift as D
+
+    t = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "k string")
+    r = spark.createDataFrame([("a",)] * 5 + [("b",)] * 5, "k string")
+    stat = D.psi_exact(t, r, "k", categorical=True,
+                       epsilon=1e-4).collect()[0].statistic
+    want = (0.8 - 0.5) * math.log(0.8 / 0.5) \
+        + (0.2 - 0.5) * math.log(0.2 / 0.5)
+    assert stat == pytest.approx(want, abs=1e-12)
+
+
+def test_psi_handles_target_only_category(spark):
+    import math
+
+    from whylogs_spark.core import drift as D
+
+    t = spark.createDataFrame([("a",), ("zzz",)], "k string")
+    r = spark.createDataFrame([("a",), ("b",)], "k string")
+    stat = D.psi_exact(t, r, "k", categorical=True).collect()[0].statistic
+    assert math.isfinite(stat) and stat > 0  # epsilon clamp, no inf
+
+
+def test_rolling_psi_against_python_model(spark):
+    import math
+    from datetime import datetime
+
+    from whylogs_spark.core import drift as D
+
+    rows = []
+    # three days with different value mixes + a gap day
+    for day, vals in [(1, [1.0] * 6 + [9.0] * 4),
+                      (2, [1.0] * 4 + [9.0] * 6),
+                      (3, [1.0] * 9 + [9.0] * 1),
+                      (5, [9.0] * 10)]:
+        for i, v in enumerate(vals):
+            rows.append((datetime(2024, 3, day, 12, i), v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.period.day: r for r in
+           D.rolling_psi(df, "ts", "value", unit="day",
+                         n_bins=4, epsilon=1e-4).collect()}
+    # day 5 has no day-4 predecessor; days 2 and 3 compare
+    assert sorted(out) == [2, 3]
+
+    def psi(cur, prev):
+        lo, hi = 1.0, 9.0
+        w = (hi - lo) / 4
+
+        def binify(vals):
+            c = [0] * 4
+            for v in vals:
+                c[min(max(int((v - lo) // w), 0), 3)] += 1
+            return c
+
+        cc, pc = binify(cur), binify(prev)
+        s = 0.0
+        for a, b in zip(cc, pc):
+            pt = max(a / len(cur), 1e-4)
+            pr = max(b / len(prev), 1e-4)
+            s += (pt - pr) * math.log(pt / pr)
+        return s
+
+    d1 = [1.0] * 6 + [9.0] * 4
+    d2 = [1.0] * 4 + [9.0] * 6
+    d3 = [1.0] * 9 + [9.0] * 1
+    assert out[2].statistic == pytest.approx(psi(d2, d1), abs=1e-12)
+    assert out[3].statistic == pytest.approx(psi(d3, d2), abs=1e-12)
+    assert out[2].n_current == 10 and out[2].n_previous == 10
+
+
+def test_rolling_psi_plan_has_no_window(spark, events):
+    import io
+    from contextlib import redirect_stdout
+
+    from whylogs_spark.core import drift as D
+
+    plan_df = D.rolling_psi(events, "ts", "value", unit="day")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

@@ -336,3 +336,155 @@ def hellinger_scores(
         out.append(DriftScore(col, "hellinger", h, None,
                               _categorize_dist(h)))
     return out
+
+
+# ------------------------------------------------------------------ PSI
+
+def _psi_bucket(v, lo, w, n_bins: int):
+    """Equal-width bin index with edge clamping: values at/past the
+    top edge land in the last bin, below the bottom edge in bin 0, so
+    target values outside the reference range still count."""
+    raw = F.floor((v - lo) / w).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def psi_exact(
+    target: DataFrame,
+    reference: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    categorical: bool = False,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between target and reference for one
+    column, as a one-row DataFrame (col_name, algorithm='psi',
+    statistic).
+
+    ``PSI = sum_b (p_t(b) - p_r(b)) * ln(p_t(b) / p_r(b))`` over
+    equal-width bins spanning the REFERENCE min/max (numeric) or the
+    category union (categorical=True); proportions are clamped below at
+    ``epsilon`` (the standard guard for empty bins, which otherwise
+    send the log to +/-inf). Common industry reading: <0.1 stable,
+    0.1-0.25 moderate shift, >0.25 major shift.
+
+    Complements the reference's KS / chi2 / Hellinger
+    (viz/drift/column_drift_algorithms.py): PSI is the
+    binned-proportions drift score scorecard pipelines alert on, and —
+    unlike KS — it needs no ordered CDF walk, so the exact computation
+    is fully distributed at any scale.
+
+    Scale shape: numeric bins come from a 1-row reference min/max agg
+    (broadcast cross-join, stays in-plan); each side then collapses to
+    <= n_bins (or <= |categories|) partial-agg rows before its
+    exchange; the bin join and final sum touch bin-count rows only.
+    NaN/null excluded on both sides, matching the KS path.
+    """
+    if categorical:
+        k = qcol(col).cast("string")
+        tc = target.filter(k.isNotNull()).groupBy(k.alias("b")) \
+            .agg(F.count(F.lit(1)).alias("ct"))
+        rc = reference.filter(k.isNotNull()).groupBy(k.alias("b")) \
+            .agg(F.count(F.lit(1)).alias("cr"))
+    else:
+        v = qcol(col).cast("double")
+        tgt = target.select(v.alias("v")).filter(
+            F.col("v").isNotNull() & ~F.isnan("v"))
+        ref = reference.select(v.alias("v")).filter(
+            F.col("v").isNotNull() & ~F.isnan("v"))
+        edges = ref.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+        w = F.when(F.col("__hi") > F.col("__lo"),
+                   (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)) \
+            .otherwise(F.lit(1.0))
+        tc = tgt.crossJoin(F.broadcast(edges)).groupBy(
+            _psi_bucket(F.col("v"), F.col("__lo"), w, n_bins).alias("b")
+        ).agg(F.count(F.lit(1)).alias("ct"))
+        rc = ref.crossJoin(F.broadcast(edges)).groupBy(
+            _psi_bucket(F.col("v"), F.col("__lo"), w, n_bins).alias("b")
+        ).agg(F.count(F.lit(1)).alias("cr"))
+    tt = F.broadcast(tc.agg(F.sum("ct").alias("nt")))
+    rt = F.broadcast(rc.agg(F.sum("cr").alias("nr")))
+    j = (
+        tc.join(rc, "b", "full_outer")
+        .na.fill({"ct": 0, "cr": 0})
+        .crossJoin(tt).crossJoin(rt)
+    )
+    eps = F.lit(float(epsilon))
+    pt = F.greatest(F.col("ct").cast("double") / F.col("nt"), eps)
+    pr = F.greatest(F.col("cr").cast("double") / F.col("nr"), eps)
+    return j.agg(
+        F.sum((pt - pr) * F.log(pt / pr)).alias("statistic")
+    ).select(F.lit(col).alias("col_name"),
+             F.lit("psi").alias("algorithm"), "statistic")
+
+
+def rolling_psi(
+    df: DataFrame,
+    time_col: str,
+    col: str,
+    unit: str = "day",
+    n_bins: int = 10,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Period-over-period PSI of a numeric column: bucket rows into
+    calendar periods (``date_trunc(unit)``), bin values into
+    equal-width bins spanning the GLOBAL min/max (fixed bins across
+    periods, so consecutive periods are compared on the same grid),
+    and emit one row per period that has an immediately preceding
+    period: (period, statistic, n_current, n_previous).
+
+    This is the monitoring query behind a drift dashboard — "did
+    yesterday's distribution move?" — expressed as one batch plan over
+    the full history instead of O(periods) pairwise jobs. A period with
+    no direct predecessor (gap in the data) emits nothing; `unit` is
+    any date_trunc unit (``hour``/``day``/``week``/``month``).
+
+    Scale shape: one groupBy(period, bin) with map-side partial agg
+    (shuffle bounded at periods x n_bins rows), a dense (period x bin)
+    grid built in-plan via sequence-explode so empty bins participate,
+    and a self-join keyed on (previous period, bin) — all joins touch
+    grid-sized frames only, never raw rows. The raw-row pass is a
+    single zero-shuffle projection + one bounded exchange.
+    """
+    v = qcol(col).cast("double")
+    period = F.date_trunc(unit, qcol(time_col))
+    rows = df.select(period.alias("period"), v.alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
+        & F.col("period").isNotNull())
+    edges = rows.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+    w = F.when(F.col("__hi") > F.col("__lo"),
+               (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)) \
+        .otherwise(F.lit(1.0))
+    bc = (
+        rows.crossJoin(F.broadcast(edges))
+        .groupBy("period",
+                 _psi_bucket(F.col("v"), F.col("__lo"), w, n_bins)
+                 .alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bc.groupBy("period").agg(F.sum("c").alias("n"))
+    # dense (period x bin) grid: every present period gets all n_bins
+    # rows, so bins empty on one side still enter the PSI sum
+    grid = tot.select(
+        "period", "n",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("b"))
+    cur = (
+        grid.join(bc, ["period", "b"], "left")
+        .select("period", "b", "n",
+                F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    prev = cur.select(
+        (F.col("period") + F.expr(f"INTERVAL 1 {unit}")).alias("period"),
+        F.col("b"),
+        F.col("n").alias("n_prev"),
+        F.col("c").alias("c_prev"),
+    )
+    eps = F.lit(float(epsilon))
+    joined = cur.join(prev, ["period", "b"], "inner")
+    pt = F.greatest(F.col("c").cast("double") / F.col("n"), eps)
+    pr = F.greatest(F.col("c_prev").cast("double") / F.col("n_prev"), eps)
+    return (
+        joined.groupBy("period")
+        .agg(F.sum((pt - pr) * F.log(pt / pr)).alias("statistic"),
+             F.first("n").alias("n_current"),
+             F.first("n_prev").alias("n_previous"))
+    )
