@@ -1167,6 +1167,20 @@ def _q_rolling_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_current", "n_previous")
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-history exact dedup (ops/dedup.py incremental_dedup)
+    via the Bloom strategy: declarative bit-packed Bloom over history
+    fingerprints, broadcast probes, broadcast suspect resolution —
+    history is never shuffled. Result provably equals the plain
+    anti-join (no false negatives), which is what the oracle computes."""
+    df = _t(spark, sf_dir, "documents")
+    hist = df.filter(F.col("doc_id") % 3 == 0)
+    batch = df.filter(F.col("doc_id") % 3 != 0)
+    out = dedup_ops.incremental_dedup(
+        batch, hist, strategy="bloom", bloom_bits=1 << 18)
+    return out.select("doc_id", "source", "n_chars")
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1252,7 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_items_events": _q_frequent_items,
         "confusion_matrix_orders": _q_confusion_matrix,
         "regression_metrics_lineitem": _q_regression_metrics,
-        "dedup_exact_documents": _q_dedup_exact,
+        "incremental_dedup_documents": _q_incremental_dedup,
         "text_stats_documents": _q_text_stats,
         "language_id_documents": _q_lang_id,
         "similarity_topk_embeddings": _q_similarity_topk,
@@ -1312,8 +1326,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the drift layer on top) and json_props_events (events scalar
         # surface), condition_counts by validator_sample (same
         # core/conditions.py predicate evaluation, plus the sampling
-        # and failure-action layer on top)
+        # and failure-action layer on top), dedup_exact by
+        # incremental_dedup (same fingerprint-winner machinery;
+        # incremental with empty history IS exact_dedup, asserted in
+        # test_incremental_dedup.py)
         "profile_basic_lineitem": _q_profile_basic,
+        "dedup_exact_documents": _q_dedup_exact,
         "events_hourly_rollup": _q_events_hourly,
         "condition_counts_orders": _q_condition_counts,
         "duplicate_spans_documents": _q_duplicate_spans,
@@ -1989,6 +2007,18 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_documents": _quality_classifier_sql(),
         "dsir_weights_documents": _dsir_weights_sql(),
         "psi_drift_lineitem": _psi_drift_sql(),
+        "incremental_dedup_documents": (
+            "WITH nrm AS (SELECT doc_id, source, n_chars, "
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n "
+            "FROM documents), "
+            "hist AS (SELECT n FROM nrm WHERE doc_id % 3 = 0), "
+            "batch AS (SELECT * FROM nrm WHERE doc_id % 3 <> 0), "
+            "win AS (SELECT min(doc_id) AS doc_id FROM batch "
+            "GROUP BY n) "
+            "SELECT b.doc_id, b.source, b.n_chars FROM batch b "
+            "JOIN win USING (doc_id) WHERE NOT EXISTS "
+            "(SELECT 1 FROM hist h WHERE h.n = b.n)"
+        ),
         "rolling_psi_events": _rolling_psi_sql(),
         "segmented_profile_lineitem": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "

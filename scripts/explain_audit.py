@@ -411,6 +411,27 @@ def main() -> None:
                 r"BroadcastExchange|BroadcastNestedLoopJoin",
         }))
 
+    # 7d4. incremental dedup, bloom strategy (ops/dedup.py): the Bloom
+    # build partial-aggregates bit words before its bounded exchange
+    # (<= n_bits/64 rows), probes and suspect resolution are broadcast
+    # joins — history fingerprints are never shuffled
+    hist_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    batch_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = dedup.incremental_dedup(batch_docs, hist_docs,
+                                  strategy="bloom")
+    sections.append((
+        "incremental dedup (bloom strategy)", inc,
+        {
+            "bloom probes + suspect resolution by broadcast":
+                r"BroadcastHashJoin",
+            "bit-word partial agg before the bounded exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window anywhere in the plan":
+                r"^(?![\s\S]*Window)",
+            "no sort-merge join of history":
+                r"^(?![\s\S]*SortMergeJoin)",
+        }))
+
     # 7e. duplicate spans (ExactSubstr-lite): gram-frequency pass must
     # partial-aggregate on the 8-byte gram hash before its exchange (a
     # viral passage collapses map-side); the islands window partitions

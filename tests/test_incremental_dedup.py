@@ -1,0 +1,101 @@
+"""Incremental (batch-vs-history) exact dedup + declarative Bloom
+filter (ops/dedup.py): strategy equivalence, no-false-negative
+guarantee, ground-truth parity, and the zero-history-shuffle plan
+shape of the bloom strategy."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.ops import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "delta epsilon"),
+        (2, "ALPHA   beta GAMMA"),   # dup of 0 after normalization
+        (3, "unique text one"),
+        (4, "delta epsilon"),        # dup of 1
+        (5, "unique text two"),
+        (6, "unique text two"),      # in-batch dup of 5
+        (7, "fresh document"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    keys = spark.range(0, 2000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("k"))
+    bloom = dedup.build_bloom_filter(keys, "k", n_bits=1 << 14,
+                                     n_hashes=4)
+    probed = dedup.bloom_might_contain(keys, bloom, "k",
+                                       n_bits=1 << 14, n_hashes=4)
+    # every inserted key must test positive
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_bloom_filter_rejects_most_absent_keys(spark):
+    keys = spark.range(0, 500).select(
+        F.xxhash64(F.col("id").cast("string")).alias("k"))
+    bloom = dedup.build_bloom_filter(keys, "k", n_bits=1 << 14,
+                                     n_hashes=5)
+    absent = spark.range(10_000, 12_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("k"))
+    probed = dedup.bloom_might_contain(absent, bloom, "k",
+                                       n_bits=1 << 14, n_hashes=5)
+    fp = probed.filter(F.col("might_contain")).count()
+    # 500 keys in 16384 bits ~ 32 bits/key: fp rate well under 5%
+    assert fp < 100
+
+
+def test_incremental_dedup_ground_truth(spark, corpus):
+    hist = corpus.filter(F.col("doc_id") <= 1)      # texts of 0 and 1
+    batch = corpus.filter(F.col("doc_id") > 1)
+    out = sorted(r.doc_id for r in dedup.incremental_dedup(
+        batch, hist).select("doc_id").collect())
+    # 2 dups hist(0), 4 dups hist(1), 6 dups in-batch(5)
+    assert out == [3, 5, 7]
+
+
+def test_incremental_dedup_strategies_agree(spark, corpus):
+    hist = corpus.filter(F.col("doc_id") % 3 == 0)
+    batch = corpus.filter(F.col("doc_id") % 3 != 0)
+    a = sorted(r.doc_id for r in dedup.incremental_dedup(
+        batch, hist, strategy="shuffle").select("doc_id").collect())
+    # tiny filter (64 bits, heavy collisions) must still be exact
+    b = sorted(r.doc_id for r in dedup.incremental_dedup(
+        batch, hist, strategy="bloom", bloom_bits=64,
+        bloom_hashes=2).select("doc_id").collect())
+    assert a == b
+
+
+def test_incremental_dedup_empty_history_is_exact_dedup(spark, corpus):
+    empty = corpus.filter(F.lit(False))
+    a = sorted(r.doc_id for r in dedup.incremental_dedup(
+        corpus, empty).select("doc_id").collect())
+    b = sorted(r.doc_id for r in dedup.exact_dedup(
+        corpus).select("doc_id").collect())
+    assert a == b
+
+
+def test_incremental_dedup_unknown_strategy_raises(spark, corpus):
+    with pytest.raises(ValueError):
+        dedup.incremental_dedup(corpus, corpus, strategy="nope")
+
+
+def test_bloom_strategy_plan_shape(spark, corpus):
+    hist = corpus.filter(F.col("doc_id") <= 1)
+    batch = corpus.filter(F.col("doc_id") > 1)
+    out = dedup.incremental_dedup(batch, hist, strategy="bloom")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # probes + suspect resolution ride broadcast joins; the bloom
+    # build partial-aggregates bit words before its bounded exchange
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan

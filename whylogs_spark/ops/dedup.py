@@ -1079,3 +1079,139 @@ def remove_duplicate_spans(
         F.size("__toks").cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("n_tokens_kept"),
     )
+
+
+# ------------------------------------------- incremental dedup vs history
+
+def build_bloom_filter(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over a (long-hash) key column as a SPARSE
+    bit-packed word table: (word_idx long, word long), where bit ``p``
+    of the conceptual m-bit array lives at ``word_idx = p >> 6``, bit
+    ``p & 63``. Declarative construction — no driver-side bitmap:
+
+      explode the ``n_hashes`` probe positions per key (xxhash64 with
+      per-probe literal seeds, pmod n_bits) -> groupBy(word_idx) with a
+      map-side-combining ``bit_or`` of the single-bit words.
+
+    The shuffle is bounded at ``n_bits/64`` rows per partition no
+    matter how many keys feed it, and the result (<= n_bits/64 rows,
+    ~1 MB per 2^23 bits) broadcasts to any probe site. Classic sizing:
+    ~10 bits/key => ~1% false-positive rate at ``n_hashes`` ~ 5-7.
+    No false negatives ever — membership tests are exact-superset.
+    """
+    probes = F.array(*[
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits))
+        for i in range(n_hashes)
+    ])
+    pos = df.select(F.explode(probes).alias("__pos"))
+    one_bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))")
+    return (
+        pos.groupBy((F.col("__pos") / 64).cast("long").alias("word_idx"))
+        .agg(F.bit_or(one_bit).alias("word"))
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Mark each row with whether its key is possibly in the Bloom
+    filter (true superset of actual membership: false positives at the
+    filter's design rate, never false negatives).
+
+    ``n_bits``/``n_hashes`` MUST match ``build_bloom_filter``. Plan:
+    ``n_hashes`` BROADCAST left joins against the <=n_bits/64-row word
+    table — zero shuffle of ``df``; a missing word row means those 64
+    bits are all zero, i.e. definitely-absent.
+    """
+    out = df
+    cond = F.lit(True)
+    for i in range(n_hashes):
+        out = out.withColumn(
+            f"__p{i}",
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits)))
+        wi = f"__w{i}"
+        probe = bloom.select(
+            F.col("word_idx").alias(f"__wi{i}"),
+            F.col("word").alias(wi))
+        out = out.join(
+            F.broadcast(probe),
+            (F.col(f"__p{i}") / 64).cast("long") == F.col(f"__wi{i}"),
+            "left")
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(__p{i}, 64) AS INT))")
+        cond = cond & F.coalesce(
+            (F.col(wi).bitwiseAND(bit)) != 0, F.lit(False))
+    out = out.withColumn(out_col, cond)
+    return out.drop(*[c for i in range(n_hashes)
+                      for c in (f"__p{i}", f"__wi{i}", f"__w{i}")])
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "shuffle",
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 5,
+) -> DataFrame:
+    """Exact dedup of a new batch against an already-ingested corpus:
+    keep batch rows whose normalized text appears neither in history
+    nor earlier (lower ``id_col``) in the batch itself. The steady-state
+    ingest operator — ``exact_dedup`` handles a one-shot corpus, this
+    handles "10 TB arrived today against 100 TB already kept".
+
+    Both sides key on ``xxhash64(normalized_text)``; in-batch winners
+    use the partial-agg groupBy(min) + semi-join pattern (skew-immune,
+    same as ``exact_dedup``).
+
+    strategy='shuffle' (default): plain left-anti join on the
+    fingerprint — both sides exchange on the 8-byte key. Right at any
+    batch:history ratio; pair with a fingerprint store bucketed on the
+    key and the history exchange disappears entirely.
+
+    strategy='bloom': build a Bloom filter over the history
+    fingerprints (one bounded aggregation — the only full history
+    pass), probe the batch with broadcast joins (zero batch shuffle),
+    and resolve only the flagged suspects: suspect fingerprints
+    BROADCAST-semi-join against history (a scan, not a shuffle) to
+    find true matches, which broadcast-anti back onto the suspects.
+    History is never shuffled; total cost = one history aggregation
+    pass + one history scan + broadcast-sized exchanges. This is the
+    100 TB shape when the batch is small relative to history and
+    mostly novel (typical crawl ingest: suspects = true dups + ~1%
+    false positives must stay broadcastable). Results are EXACTLY the
+    'shuffle' strategy's — the Bloom is a pure prefilter with no false
+    negatives.
+    """
+    fp = F.xxhash64(normalized_text(F.col(text_col)))
+    b = batch.withColumn("__fp", fp)
+    h = history.select(fp.alias("__fp"))
+    winners = b.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col))
+    b = b.join(winners, ["__fp", id_col], "leftsemi")
+    if strategy == "bloom":
+        bloom = build_bloom_filter(h, "__fp", bloom_bits, bloom_hashes)
+        probed = bloom_might_contain(b, bloom, "__fp", bloom_bits,
+                                     bloom_hashes, "__maybe")
+        clean = probed.filter(~F.col("__maybe")).drop("__maybe")
+        suspects = probed.filter(F.col("__maybe")).drop("__maybe")
+        sus_fps = suspects.select("__fp").distinct()
+        matched = h.join(F.broadcast(sus_fps), "__fp", "leftsemi") \
+            .distinct()
+        kept = suspects.join(F.broadcast(matched), "__fp", "left_anti")
+        return clean.unionByName(kept).drop("__fp")
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return b.join(h, "__fp", "left_anti").drop("__fp")
