@@ -178,3 +178,82 @@ def test_read_warc_gzip_whole_file(spark, tmp_path):
             for r in read_warc(spark, str(d)).collect()}
     assert len(rows) == 4
     assert rows["<urn:uuid:1>"]["http_status"] == 200
+
+
+# --------------------------------------------------- MP4 video metadata
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _synthetic_mp4(version: int = 0) -> bytes:
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2")
+    if version == 0:
+        mvhd = _box(b"mvhd", bytes([0, 0, 0, 0])
+                    + struct.pack(">II", 0, 0)         # times
+                    + struct.pack(">II", 1000, 7500))  # timescale, dur
+    else:
+        mvhd = _box(b"mvhd", bytes([1, 0, 0, 0])
+                    + struct.pack(">QQ", 0, 0)
+                    + struct.pack(">I", 1000)
+                    + struct.pack(">Q", 7500))
+    # video track: tkhd v0 (84-byte body) + hdlr vide + stsd avc1
+    tkhd = _box(b"tkhd", bytes([0, 0, 0, 0]) + b"\x00" * 72
+                + struct.pack(">II", 640 << 16, 360 << 16))
+    hdlr_v = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    avc1 = _box(b"avc1", b"\x00" * 70)
+    stsd_v = _box(b"stsd", b"\x00" * 8 + avc1)
+    stbl_v = _box(b"stbl", stsd_v)
+    minf_v = _box(b"minf", stbl_v)
+    mdia_v = _box(b"mdia", hdlr_v + minf_v)
+    trak_v = _box(b"trak", tkhd + mdia_v)
+    # audio track
+    hdlr_a = _box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    mp4a = _box(b"mp4a", b"\x00" * 28)
+    stsd_a = _box(b"stsd", b"\x00" * 8 + mp4a)
+    mdia_a = _box(b"mdia", hdlr_a + _box(b"minf", _box(b"stbl", stsd_a)))
+    trak_a = _box(b"trak", _box(b"tkhd", bytes([0, 0, 0, 0])
+                                + b"\x00" * 80) + mdia_a)
+    moov = _box(b"moov", mvhd + trak_v + trak_a)
+    return ftyp + moov + _box(b"mdat", b"\x00" * 32)
+
+
+@pytest.mark.parametrize("ver", [0, 1])
+def test_parse_mp4_synthetic(ver):
+    from whylogs_spark.ops.multimodal import parse_mp4
+
+    m = parse_mp4(_synthetic_mp4(ver))
+    assert m["major_brand"] == "isom"
+    assert m["duration_sec"] == pytest.approx(7.5)
+    assert m["n_tracks"] == 2
+    assert m["width"] == 640 and m["height"] == 360
+    assert m["video_codec"] == "avc1"
+    assert m["audio_codec"] == "mp4a"
+
+
+def test_parse_mp4_rejects_garbage():
+    from whylogs_spark.ops.multimodal import parse_mp4
+
+    assert parse_mp4(b"") == {}
+    assert parse_mp4(b"not a video at all, just text" * 4) == {}
+    # truncated mid-moov: parser stops cleanly, no exception
+    full = _synthetic_mp4()
+    m = parse_mp4(full[: len(full) // 2])
+    assert m.get("major_brand") == "isom"
+
+
+def test_extract_video_metadata_dataframe(spark):
+    from whylogs_spark.ops.multimodal import extract_video_metadata
+
+    rows = [("a.mp4", bytearray(_synthetic_mp4())),
+            ("bad.bin", bytearray(b"\x00" * 40)),
+            ("null.mp4", None)]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r.path: r for r in extract_video_metadata(df).collect()}
+    assert out["a.mp4"].duration_sec == pytest.approx(7.5)
+    assert out["a.mp4"].video_codec == "avc1"
+    assert out["a.mp4"].n_tracks == 2
+    assert out["bad.bin"].major_brand is None
+    assert out["null.mp4"].duration_sec is None

@@ -999,3 +999,145 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 rows, columns=["path", "frame_idx", "byte_offset", "frame"])
 
     return df.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# ------------------------------------------------- video metadata (MP4)
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over ISO-BMFF boxes in
+    buf[start:end]; tolerates truncation (stops at the first bad box)."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off:off + 4], "big")
+        btype = buf[off + 4:off + 8]
+        body = off + 8
+        if size == 1:  # 64-bit largesize
+            if off + 16 > end:
+                return
+            size = int.from_bytes(buf[off + 8:off + 16], "big")
+            body = off + 16
+        elif size == 0:  # box extends to end of file
+            size = end - off
+        if size < 8 or off + size > end:
+            return
+        yield btype, body, off + size
+        off += size
+
+
+def parse_mp4(content: bytes) -> dict:
+    """Parse MP4 / ISO-BMFF container METADATA with the stdlib — no
+    codec work: major brand (ftyp), presentation duration (mvhd
+    timescale + duration, version 0 and 1), per-track handler types
+    (hdlr: vide/soun/...), first video track dimensions (tkhd 16.16
+    fixed point), and sample-description codec fourccs (stsd).
+
+    Returns {} for anything that isn't a parseable MP4. This is the
+    lib-free analogue of the image header sniff: enough for profiling
+    and filtering video columns (duration/resolution/codec stats)
+    without shipping a decoder; frame-accurate work stays behind
+    ``sample_video_frames``'s documented kernel boundary.
+    """
+    if len(content) < 16 or content[4:8] != b"ftyp":
+        return {}
+    out: dict = {"major_brand": content[8:12].decode("latin1").strip(),
+                 "n_tracks": 0}
+    vcodec = acodec = None
+    for btype, b0, b1 in _mp4_boxes(content, 0, len(content)):
+        if btype != b"moov":
+            continue
+        for t2, c0, c1 in _mp4_boxes(content, b0, b1):
+            if t2 == b"mvhd" and c1 - c0 >= 20:
+                ver = content[c0]
+                if ver == 1 and c1 - c0 >= 28:
+                    ts = int.from_bytes(content[c0 + 20:c0 + 24], "big")
+                    dur = int.from_bytes(content[c0 + 24:c0 + 32], "big")
+                else:
+                    ts = int.from_bytes(content[c0 + 12:c0 + 16], "big")
+                    dur = int.from_bytes(content[c0 + 16:c0 + 20], "big")
+                if ts:
+                    out["duration_sec"] = dur / ts
+            elif t2 == b"trak":
+                out["n_tracks"] += 1
+                handler = None
+                width = height = None
+                codecs = []
+                for t3, d0, d1 in _mp4_boxes(content, c0, c1):
+                    if t3 == b"tkhd" and d1 - d0 >= 84:
+                        ver = content[d0]
+                        base = d0 + (96 if ver == 1 else 84)
+                        if base <= d1:
+                            width = int.from_bytes(
+                                content[base - 8:base - 4], "big") / 65536
+                            height = int.from_bytes(
+                                content[base - 4:base], "big") / 65536
+                    elif t3 == b"mdia":
+                        for t4, e0, e1 in _mp4_boxes(content, d0, d1):
+                            if t4 == b"hdlr" and e1 - e0 >= 12:
+                                handler = content[e0 + 8:e0 + 12] \
+                                    .decode("latin1")
+                            elif t4 == b"minf":
+                                for t5, f0, f1 in _mp4_boxes(
+                                        content, e0, e1):
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, g0, g1 in _mp4_boxes(
+                                            content, f0, f1):
+                                        if t6 != b"stsd":
+                                            continue
+                                        for t7, h0, h1 in _mp4_boxes(
+                                                content, g0 + 8, g1):
+                                            codecs.append(
+                                                t7.decode("latin1"))
+                if handler == "vide":
+                    if vcodec is None and codecs:
+                        vcodec = codecs[0]
+                    if width and "width" not in out:
+                        out["width"] = int(width)
+                        out["height"] = int(height)
+                elif handler == "soun" and acodec is None and codecs:
+                    acodec = codecs[0]
+    if vcodec:
+        out["video_codec"] = vcodec
+    if acodec:
+        out["audio_codec"] = acodec
+    return out
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("audio_codec", T.StringType()),
+    ]
+)
+
+
+def extract_video_metadata(df: DataFrame) -> DataFrame:
+    """Container metadata for binary video rows (path, content) via the
+    stdlib ISO-BMFF parser — zero shuffle, Arrow-batched; un-parseable
+    payloads yield null fields (path kept), so a corrupt file never
+    fails the task."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None \
+                    else b""
+                m = parse_mp4(content)
+                rows.append((
+                    r["path"], m.get("major_brand"),
+                    m.get("duration_sec"), m.get("n_tracks"),
+                    m.get("width"), m.get("height"),
+                    m.get("video_codec"), m.get("audio_codec"),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "path", "major_brand", "duration_sec", "n_tracks",
+                "width", "height", "video_codec", "audio_codec"])
+
+    return df.mapInPandas(extract, VIDEO_META_SCHEMA)
