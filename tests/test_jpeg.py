@@ -360,3 +360,119 @@ def test_decoder_hostile_bytes_never_crash():
         except Exception as exc:  # pragma: no cover
             raise AssertionError(
                 f"decode_jpeg raised {exc!r} at mutation {pos}")
+
+
+# ----------------------------------------------------------- GIF decode
+
+def _lzw_literal_stream(indices, mcs):
+    """Encode palette indices as a valid LZW stream using the classic
+    no-compression trick: emit CLEAR before every literal so the code
+    width never grows. Decoders must handle this per the GIF spec."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for i in indices:
+        emit(i)
+        emit(clear)
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _synthetic_gif(w, h, palette, indices, interlaced=False):
+    import math
+
+    ncol = max(2, 1 << max(1, math.ceil(math.log2(len(palette)))))
+    mcs = max(2, ncol.bit_length() - 1)
+    ncol = 1 << mcs
+    hdr = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    hdr += bytes([0x80 | (mcs - 1), 0, 0])  # GCT present, size 2^mcs
+    gct = bytearray()
+    for i in range(ncol):
+        gct += bytes(palette[i] if i < len(palette) else (0, 0, 0))
+    if interlaced:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        rows = [indices[r * w:(r + 1) * w] for r in order]
+        indices = [i for row in rows for i in row]
+    desc = (b"\x2C" + b"\x00" * 4
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0x40 if interlaced else 0]))
+    data = _lzw_literal_stream(indices, mcs)
+    blocks = bytearray([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return bytes(hdr) + bytes(gct) + desc + bytes(blocks) + b"\x3B"
+
+
+def test_gif_decode_known_pixels():
+    import numpy as np
+
+    from whylogs_spark.ops.multimodal import _decode_gif
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [0, 1, 2, 3,
+           3, 2, 1, 0,
+           1, 1, 2, 2]
+    gif = _synthetic_gif(4, 3, pal, idx)
+    arr = _decode_gif(gif)
+    assert arr.shape == (3, 4, 3)
+    want = np.array([pal[i] for i in idx],
+                    dtype=np.uint8).reshape(3, 4, 3)
+    assert (arr == want).all()
+
+
+def test_gif_decode_interlaced():
+    import numpy as np
+
+    from whylogs_spark.ops.multimodal import _decode_gif
+
+    pal = [(i * 16, i * 8, i * 4) for i in range(8)]
+    h, w = 10, 3
+    idx = [(r * 7 + c) % 8 for r in range(h) for c in range(w)]
+    plain = _decode_gif(_synthetic_gif(w, h, pal, idx))
+    inter = _decode_gif(_synthetic_gif(w, h, pal, idx, interlaced=True))
+    assert plain is not None and inter is not None
+    assert (plain == inter).all()
+
+
+def test_gif_sniff_and_pixel_kernel():
+    from whylogs_spark.ops.multimodal import (_numpy_pixel_features,
+                                              _sniff_image)
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    gif = _synthetic_gif(6, 4, pal, [0, 1] * 12)
+    assert _sniff_image(gif) == ("gif", 6, 4)
+    feats = _numpy_pixel_features(gif)
+    assert feats is not None
+    fmt, w, h = feats[0], feats[1], feats[2]
+    assert (fmt, w, h) == ("gif", 6, 4)
+    # half black / half white: V mean = 127.5
+    assert abs(feats[9] - 127.5) < 1e-6
+
+
+def test_gif_corrupt_payloads_degrade():
+    from whylogs_spark.ops.multimodal import (_decode_gif,
+                                              _numpy_pixel_features)
+
+    assert _decode_gif(b"GIF89a") is None
+    # truncated pixel data must raise/None inside the guarded kernel,
+    # not leak an exception
+    pal = [(1, 2, 3), (4, 5, 6)]
+    gif = _synthetic_gif(8, 8, pal, [0, 1] * 32)
+    assert _numpy_pixel_features(gif[:30]) is None

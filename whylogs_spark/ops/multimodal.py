@@ -13,7 +13,8 @@ Decode kernels are import-guarded per executor: with PIL installed the
 full pixel kernel (HSV stats + entropy, reference parity) runs on any
 format; without it a pure-numpy/stdlib kernel decodes uncompressed BMP
 / binary PPM, 8-bit non-interlaced PNG (zlib inflate + scanline
-unfilter) and baseline JPEG (_jpeg.py: Huffman entropy decode +
+unfilter), GIF87a/89a (stdlib LZW, interlace-aware, first frame) and
+baseline JPEG (_jpeg.py: Huffman entropy decode +
 batched-numpy IDCT — no third-party libs) and produces the SAME
 HSV/entropy bundle (so the pixel-stat path executes and is tested in
 lib-free environments), and remaining shapes (progressive JPEG,
@@ -61,6 +62,10 @@ def _sniff_image(content: bytes):
     if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 24:
         w, h = struct.unpack(">II", content[16:24])
         return "png", int(w), int(h)
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
+        w = int.from_bytes(content[6:8], "little")
+        h = int.from_bytes(content[8:10], "little")
+        return "gif", int(w), int(h)
     if content[:2] == b"\xff\xd8":
         i = 2
         n = len(content)
@@ -485,6 +490,126 @@ def _decode_png(content: bytes):
     return plte[px[:, :, 0]]  # palette lookup
 
 
+
+
+def _gif_lzw(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-variant LZW decode (LSB-first bit packing, 12-bit cap,
+    clear/end codes). Raises ValueError on a corrupt code stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:expected])
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad initial LZW code")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError("LZW code out of range")
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            out += entry
+            prev = entry
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected])
+
+
+def _decode_gif(content: bytes):
+    """Decode the FIRST frame of a GIF87a/89a to an RGB uint8 array:
+    stdlib LZW + palette lookup, interlace-aware. Transparency and
+    later animation frames are ignored (frame 1 compositing only) —
+    enough for the pixel-stat bundle. Returns None / raises on
+    malformed payloads (the caller degrades to the header row)."""
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
+        return None
+    w = int.from_bytes(content[6:8], "little")
+    h = int.from_bytes(content[8:10], "little")
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(
+            content[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(content):
+        b0 = content[pos]
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += content[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            iw = int.from_bytes(content[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(content[pos + 7:pos + 9], "little")
+            ipacked = content[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = np.frombuffer(
+                    content[pos:pos + 3 * n],
+                    dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None:
+                return None
+            mcs = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos] != 0:
+                n = content[pos]
+                data += content[pos + 1:pos + 1 + n]
+                pos += n + 1
+            idx = np.frombuffer(
+                _gif_lzw(bytes(data), mcs, iw * ih), dtype=np.uint8)
+            if idx.size < iw * ih:
+                raise ValueError("truncated GIF pixel data")
+            if idx.max() >= len(pal):
+                raise ValueError("palette index out of range")
+            rows = pal[idx].reshape(ih, iw, 3)
+            if ipacked & 0x40:  # interlaced: rows 0::8, 4::8, 2::4, 1::2
+                de = np.empty_like(rows)
+                order = np.concatenate([
+                    np.arange(0, ih, 8), np.arange(4, ih, 8),
+                    np.arange(2, ih, 4), np.arange(1, ih, 2)])
+                de[order] = rows
+                rows = de
+            if (iw, ih) != (w, h):
+                full = np.zeros((h, w, 3), dtype=np.uint8)
+                full[:ih, :iw] = rows[:h, :w]
+                rows = full
+            return rows
+        else:  # trailer (0x3B) or junk
+            break
+    return None
+
+
 def _rgb_to_hsv_u8(arr):
     """Vectorized RGB -> HSV on uint8 arrays, PIL convention (all three
     channels scaled to 0..255; hue 0..255 covers 0..360 degrees)."""
@@ -536,6 +661,8 @@ def _numpy_pixel_features(content: bytes):
         dec, fmt = _decode_bmp, "bmp"
     elif content[:8] == _PNG_MAGIC:
         dec, fmt = _decode_png, "png"
+    elif content[:6] in (b"GIF87a", b"GIF89a"):
+        dec, fmt = _decode_gif, "gif"
     elif content[:2] == b"\xff\xd8":
         from whylogs_spark.ops._jpeg import decode_jpeg
 
