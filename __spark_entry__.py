@@ -1181,6 +1181,19 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars")
 
 
+def _q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing (ops/sampling.py mix_sources): deterministic
+    per-source downsampling to a target token mixture. Per-source
+    fractions computed in-plan (#sources-row agg), broadcast back,
+    md5-threshold filter over the scan — the corpus never shuffles."""
+    df = _t(spark, sf_dir, "documents")
+    out = sampling_ops.mix_sources(
+        df,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        token_budget=3000)
+    return out.select("doc_id", "source")
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1297,7 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_embeddings": _q_knn_join,
         "profile_wide_lineitem": _q_profile_wide,
         "tfidf_top_terms_documents": _q_tfidf,
-        "stratified_sample_lineitem": _q_stratified_sample,
+        "mix_sources_documents": _q_mix_sources,
         "group_sample_events": _q_group_sample,
         "lsi_residual_embeddings": _q_lsi_residual,
         "drift_scores_lineitem": _q_drift_scores,
@@ -1329,8 +1342,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and failure-action layer on top), dedup_exact by
         # incremental_dedup (same fingerprint-winner machinery;
         # incremental with empty history IS exact_dedup, asserted in
-        # test_incremental_dedup.py)
+        # test_incremental_dedup.py), stratified_sample by mix_sources
+        # (same per-stratum md5-threshold filter; mix_sources computes
+        # the thresholds in-plan instead of taking literals) together
+        # with hash_split below
         "profile_basic_lineitem": _q_profile_basic,
+        "stratified_sample_lineitem": _q_stratified_sample,
         "dedup_exact_documents": _q_dedup_exact,
         "events_hourly_rollup": _q_events_hourly,
         "condition_counts_orders": _q_condition_counts,
@@ -2007,6 +2024,23 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_documents": _quality_classifier_sql(),
         "dsir_weights_documents": _dsir_weights_sql(),
         "psi_drift_lineitem": _psi_drift_sql(),
+        "mix_sources_documents": (
+            "WITH toks AS (SELECT doc_id, source, "
+            "len(string_split_regex(trim(text), '\\s+'))::DOUBLE AS nt "
+            "FROM documents), "
+            "w(src, w) AS (VALUES ('src0', 0.4), ('src1', 0.3), "
+            "('src2', 0.2), ('src3', 0.1)), "
+            "have AS (SELECT source, sum(nt) AS have FROM toks "
+            "GROUP BY source), "
+            "thr AS (SELECT h.source, CASE WHEN "
+            "least(1.0, w.w * 3000 / h.have) >= 1.0 THEN 'gggggggg' "
+            "ELSE lpad(lower(hex(floor(least(1.0, w.w * 3000 / h.have)"
+            " * 4294967296)::BIGINT)), 8, '0') END AS thr "
+            "FROM have h JOIN w ON h.source = w.src) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN thr ON d.source = thr.source "
+            "WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.thr"
+        ),
         "incremental_dedup_documents": (
             "WITH nrm AS (SELECT doc_id, source, n_chars, "
             "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n "

@@ -158,6 +158,36 @@ def main() -> None:
     def bench_line_dedup():
         _noop(dedup_ops.line_dedup(t["documents"]))
 
+    def bench_classifier_dsir():
+        # train NB on lang=='en', score all docs, and DSIR-weight +
+        # Gumbel-sample in the same action: the full model-based
+        # data-selection pass over the corpus
+        from whylogs_spark.ops import classify as classify_ops
+        docs = t["documents"]
+        lab = docs.withColumn(
+            "label", (F.col("lang") == F.lit("en")).cast("int"))
+        model = classify_ops.train_quality_classifier(
+            lab, n_buckets=1 << 16)
+        scored = classify_ops.score_quality_classifier(
+            docs, model, n_buckets=1 << 16)
+        w = classify_ops.dsir_logweights(
+            docs, docs.filter(F.col("lang") == "en"),
+            n_buckets=1 << 16)
+        picked = classify_ops.dsir_sample(w, k=1000)
+        _noop(scored.join(picked.select("doc_id"), "doc_id", "left_semi"))
+
+    def bench_incremental_dedup_bloom():
+        docs = t["documents"]
+        _noop(dedup_ops.incremental_dedup(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            docs.filter(F.col("doc_id") % 3 == 0),
+            strategy="bloom"))
+
+    def bench_rolling_psi():
+        from whylogs_spark.core import drift as drift_mod
+        _noop(drift_mod.rolling_psi(t["events"], "ts", "value",
+                                    unit="day"))
+
     # scale rehearsal: 10x-replicated corpus (distinct doc_ids, same
     # texts -> every line/shingle is a 10-way duplicate, the worst
     # realistic skew shape for the dedup family); exercises the
@@ -243,6 +273,9 @@ def main() -> None:
         "decontaminate_documents": bench_decontaminate,
         "events_hourly": bench_events_hourly,
         "line_dedup_documents": bench_line_dedup,
+        "classifier_dsir_documents": bench_classifier_dsir,
+        "incremental_dedup_bloom": bench_incremental_dedup_bloom,
+        "rolling_psi_events": bench_rolling_psi,
         "duplicate_spans_documents": bench_duplicate_spans,
         "dedup_scale_10x": bench_dedup_scale_10x,
         "dupspans_scale_10x": bench_dupspans_scale_10x,

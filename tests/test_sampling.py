@@ -150,3 +150,87 @@ def test_pack_chunks_distributed_equivalent(spark):
     ga = {(r["shard"], r["id"]): r["chunk_offset"] for r in g1.collect()}
     gb = {(r["shard"], r["id"]): r["chunk_offset"] for r in g2.collect()}
     assert ga == gb
+
+
+# ------------------------------------------------------------ mix_sources
+
+def test_mix_sources_ground_truth_and_determinism(spark):
+    import hashlib
+    import math
+    import re
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+        .alias("source"),
+        F.concat_ws(" ", F.array_repeat(
+            F.lit("tok"), ((F.col("id") % 7) + 4).cast("int")))
+        .alias("text"),
+    )
+    weights = {"s0": 0.6, "s1": 0.4}
+    out = sampling.mix_sources(df, weights, token_budget=3000)
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    data = [(r.doc_id, r.source, r.text) for r in df.collect()]
+    have = {}
+    for _, src, t in data:
+        have[src] = have.get(src, 0) + len(re.split(r"\s+", t.strip()))
+    keep = []
+    for did, src, t in data:
+        if src not in weights:
+            continue
+        frac = min(1.0, weights[src] * 3000 / have[src])
+        thr = "g" * 8 if frac >= 1 else \
+            format(math.floor(frac * 16 ** 8), "08x")
+        if hashlib.md5(str(did).encode()).hexdigest()[:8] < thr:
+            keep.append(did)
+    assert got == sorted(keep)
+    # source s2 (no weight) fully dropped
+    assert out.filter(F.col("source") == "s2").count() == 0
+    # deterministic under repartitioning
+    again = sorted(r.doc_id for r in sampling.mix_sources(
+        df.repartition(7), weights, token_budget=3000)
+        .select("doc_id").collect())
+    assert again == got
+
+
+def test_mix_sources_hits_target_mixture(spark):
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string"))
+        .alias("source"),
+        F.lit("a b c d e f g h i j").alias("text"),  # 10 tokens each
+    )
+    # each source has 100k tokens; ask for a 70/30 mix of 50k
+    out = sampling.mix_sources(df, {"s0": 0.7, "s1": 0.3},
+                               token_budget=50_000)
+    toks = {r.source: r.n for r in out.groupBy("source").agg(
+        (F.count(F.lit(1)) * 10).alias("n")).collect()}
+    assert toks["s0"] == pytest.approx(35_000, rel=0.1)
+    assert toks["s1"] == pytest.approx(15_000, rel=0.1)
+
+
+def test_mix_sources_budget_exceeds_corpus_keeps_everything(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("only").alias("source"),
+        F.lit("x y z").alias("text"),
+    )
+    out = sampling.mix_sources(df, {"only": 1.0}, token_budget=10**9)
+    assert out.count() == 100
+
+
+def test_mix_sources_zero_shuffle_of_corpus(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s0").alias("source"),
+        F.lit("a b").alias("text"),
+    )
+    out = sampling.mix_sources(df, {"s0": 1.0}, token_budget=10)
+    plan = _plan(out)
+    # fractions ride a broadcast join (hash normally; constant-folded
+    # single-source degenerates to nested-loop); the corpus never
+    # exchanges and nothing sorts
+    assert "BroadcastHashJoin" in plan or \
+        "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

@@ -245,3 +245,74 @@ def pack_chunks(
                     F.floor(start / F.lit(budget)).cast("long"))
         .drop("__slice", "__lcum", "__soff")
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: Dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    key_cols: Sequence[str] = ("doc_id",),
+    token_col: Optional[str] = None,
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically downsample each source to hit a target corpus
+    MIXTURE: source ``s`` should contribute ``weights[s] * token_budget``
+    tokens, so its keep-fraction is ``min(1, target_s / available_s)``
+    (a source with fewer tokens than its target keeps everything —
+    upsampling/repetition is a separate policy decision). Sources absent
+    from ``weights`` are dropped. This is the data-mixing step of a
+    pretraining pipeline (Pile/DoReMi-style static mixture) as one
+    declarative plan.
+
+    Token counts come from ``token_col`` if given, else whitespace
+    tokens of ``text_col``. Selection reuses the md5 hash-prefix
+    primitive, but with a DATA-DEPENDENT threshold: per-source
+    fractions are computed in-plan (one partial-agg groupBy over
+    #sources rows), broadcast-joined back, and rendered to the 8-hex
+    threshold with ``floor(frac * 16^8)`` + lpad — floor, not cast,
+    because engines disagree on double->int rounding; fractions >= 1
+    use a sentinel above every hex digit. Fully reproducible in any
+    engine with md5 (the DuckDB oracle recomputes it verbatim).
+
+    Scale shape: one #sources-row aggregate + broadcast join + a
+    codegen filter over the scan — the corpus itself never shuffles.
+    Expected tokens per kept source = target +- binomial noise
+    (keying on documents, not tokens, so documents stay intact).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    toks = (
+        F.col(token_col) if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).cast("double")
+    wmap = F.create_map(*[
+        x for k, v in weights.items()
+        for x in (F.lit(k), F.lit(float(v)))
+    ])
+    have = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.sum(toks).alias("__have"))
+    frac = (
+        have.withColumn("__w", wmap[F.col("__src")])
+        .filter(F.col("__w").isNotNull())
+        .withColumn(
+            "__frac",
+            F.least(F.lit(1.0),
+                    F.col("__w") * F.lit(float(token_budget))
+                    / F.col("__have")))
+        .withColumn(
+            "__thr",
+            F.when(F.col("__frac") >= 1.0, F.lit("g" * 8))
+            .otherwise(F.lpad(F.lower(F.hex(
+                F.floor(F.col("__frac") * F.lit(float(_HEX_SPACE)))
+                .cast("long"))), 8, "0")))
+        .select("__src", "__thr")
+    )
+    h = _hash_prefix(key_cols, salt)
+    return (
+        df.join(F.broadcast(frac),
+                df[source_col] == frac["__src"], "inner")
+        .filter(h < F.col("__thr"))
+        .drop("__src", "__thr")
+    )
