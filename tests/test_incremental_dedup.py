@@ -99,3 +99,29 @@ def test_bloom_strategy_plan_shape(spark, corpus):
     # build partial-aggregates bit words before its bounded exchange
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+# ------------------------------------------- within-document self-dedup
+
+def test_dedup_paragraphs_first_occurrence_order(spark):
+    rows = [(1, "a\nb\na\nc\n\nb\nd"), (2, "x"), (3, ""),
+            (4, "p\np\np"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.dedup_paragraphs(df).collect()}
+    # dups of a and b removed, first occurrences and blank kept in order
+    assert out[1].text_clean == "a\nb\nc\n\nd"
+    assert out[1].n_parts == 7 and out[1].n_parts_kept == 5
+    assert out[2].text_clean == "x"
+    assert out[3].text_clean == ""
+    assert out[4].text_clean == "p" and out[4].n_parts_kept == 1
+    assert out[5].text_clean is None
+
+
+def test_dedup_paragraphs_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    out = dedup.dedup_paragraphs(df)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan  # pure projection

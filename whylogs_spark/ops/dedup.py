@@ -1215,3 +1215,41 @@ def incremental_dedup(
     if strategy != "shuffle":
         raise ValueError(f"unknown strategy {strategy!r}")
     return b.join(h, "__fp", "left_anti").drop("__fp")
+
+
+# ------------------------------------------- within-document self-dedup
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove REPEATED paragraphs/lines WITHIN each document, keeping
+    the first occurrence in order (RefinedWeb-style intra-document
+    repetition removal — navigation chrome, repeated boilerplate
+    blocks, scraper stutter). Complements ``line_dedup``, which is
+    corpus-global: this one needs no corpus state at all.
+
+    Returns (id_col, text_clean, n_parts, n_parts_kept). Segments are
+    compared exactly (after the split on ``sep``); blank segments are
+    preserved as-is (they carry layout, and deduping them would glue
+    unrelated paragraphs together).
+
+    Scale shape: a pure codegen projection — split, order-preserving
+    ``array_distinct`` (first-occurrence semantics), re-join. ZERO
+    shuffle, no state, no Python; cost is linear in document length
+    and embarrassingly parallel.
+    """
+    parts = F.split(F.col(text_col), sep)
+    keep = F.filter(
+        parts,
+        lambda x, i: (F.length(F.trim(x)) == 0)
+        | (F.array_position(parts, x) - 1 == i),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(keep, sep).alias("text_clean"),
+        F.size(parts).cast("long").alias("n_parts"),
+        F.size(keep).cast("long").alias("n_parts_kept"),
+    )
