@@ -1204,6 +1204,21 @@ def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts", "n_parts_kept")
 
 
+def _q_bpe_train_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE: one distributed word-count pass + driver merge loop
+    over the bounded word-type table (ops/bpe.py), then Arrow-batched
+    tokenization with the learned merges. The iterative merge loop is
+    not SQL-expressible, so this entry carries no oracle_sql() — the
+    driver records the rows-only check; algorithmic correctness is
+    cross-verified in tests/test_bpe.py against an independent
+    recount-everything implementation."""
+    from whylogs_spark.ops import bpe as bpe_ops
+
+    df = _t(spark, sf_dir, "documents")
+    model = bpe_ops.train_bpe(df, num_merges=100, max_word_types=5000)
+    return bpe_ops.tokenize_bpe(df, model)
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1373,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # judge-side gate emulation (scripts/check_oracle.py) covers
         # them; nothing above subsumes them, they are simply newest
         "dedup_paragraphs_documents": _q_dedup_paragraphs,
+        "bpe_train_tokenize_documents": _q_bpe_train_tokenize,
     }
 
 
