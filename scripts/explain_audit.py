@@ -432,6 +432,27 @@ def main() -> None:
                 r"^(?![\s\S]*SortMergeJoin)",
         }))
 
+    # 7d5. corpus mixing (ops/sampling.py mix_sources): per-source
+    # fractions are a #sources-row aggregate broadcast back; the corpus
+    # itself is filtered at the scan — no exchange of corpus rows, no
+    # window, no sort
+    from whylogs_spark.ops import sampling as sampling_ops
+
+    mixed = sampling_ops.mix_sources(
+        docs, {"src0": 0.5, "src1": 0.5}, token_budget=1000)
+    sections.append((
+        "corpus mixing (mix_sources)", mixed,
+        {
+            "fraction table joined by broadcast":
+                r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+            "partial agg before the #sources exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window anywhere in the plan":
+                r"^(?![\s\S]*Window)",
+            "no sort-merge join":
+                r"^(?![\s\S]*SortMergeJoin)",
+        }))
+
     # 7e. duplicate spans (ExactSubstr-lite): gram-frequency pass must
     # partial-aggregate on the 8-byte gram hash before its exchange (a
     # viral passage collapses map-side); the islands window partitions

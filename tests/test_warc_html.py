@@ -257,3 +257,46 @@ def test_extract_video_metadata_dataframe(spark):
     assert out["a.mp4"].n_tracks == 2
     assert out["bad.bin"].major_brand is None
     assert out["null.mp4"].duration_sec is None
+
+
+def test_sniff_tiff_dimensions():
+    import struct
+
+    from whylogs_spark.ops.multimodal import _sniff_image
+
+    for endian, pre in (("<", b"II*\x00"), (">", b"MM\x00*")):
+        # IFD0 at offset 8 with ImageWidth=800 (SHORT), ImageLength=600
+        # (LONG)
+        entries = (
+            struct.pack(endian + "HHI", 256, 3, 1)
+            + struct.pack(endian + "H", 800) + b"\x00\x00"
+            + struct.pack(endian + "HHI", 257, 4, 1)
+            + struct.pack(endian + "I", 600)
+        )
+        tif = (pre + struct.pack(endian + "I", 8)
+               + struct.pack(endian + "H", 2) + entries
+               + struct.pack(endian + "I", 0))
+        assert _sniff_image(tif) == ("tiff", 800, 600)
+    # truncated TIFF degrades, never raises
+    assert _sniff_image(b"II*\x00\x08\x00\x00\x00")[0] == "tiff"
+
+
+def test_parse_mp4_v1_tkhd():
+    import struct
+
+    from whylogs_spark.ops.multimodal import parse_mp4
+
+    mvhd = _box(b"mvhd", bytes([0, 0, 0, 0])
+                + struct.pack(">II", 0, 0)
+                + struct.pack(">II", 600, 1200))
+    tkhd_v1 = _box(b"tkhd", bytes([1, 0, 0, 0]) + b"\x00" * 84
+                   + struct.pack(">II", 1920 << 16, 1080 << 16))
+    hdlr_v = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    stsd_v = _box(b"stsd", b"\x00" * 8 + _box(b"hvc1", b"\x00" * 70))
+    mdia_v = _box(b"mdia", hdlr_v + _box(b"minf", _box(b"stbl", stsd_v)))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd_v1 + mdia_v))
+    ftyp = _box(b"ftyp", b"mp42" + b"\x00" * 4 + b"mp42")
+    m = parse_mp4(ftyp + moov)
+    assert m["duration_sec"] == pytest.approx(2.0)
+    assert m["width"] == 1920 and m["height"] == 1080
+    assert m["video_codec"] == "hvc1"

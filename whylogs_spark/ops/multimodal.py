@@ -80,6 +80,34 @@ def _sniff_image(content: bytes):
             seg_len = struct.unpack(">H", content[i + 2:i + 4])[0]
             i += 2 + seg_len
         return "jpeg", None, None
+    if content[:4] in (b"II*\x00", b"MM\x00*") and len(content) >= 8:
+        # TIFF: ImageWidth (256) / ImageLength (257) in IFD0; SHORT or
+        # LONG values are inline in the 4 value bytes
+        endian = "<" if content[:2] == b"II" else ">"
+        try:
+            (ifd0,) = struct.unpack_from(endian + "I", content, 4)
+            (n_ent,) = struct.unpack_from(endian + "H", content, ifd0)
+            w = h = None
+            for k in range(min(n_ent, 512)):
+                off = ifd0 + 2 + 12 * k
+                tag, vtype = struct.unpack_from(endian + "HH",
+                                                content, off)
+                if tag in (256, 257):
+                    if vtype == 3:
+                        (v,) = struct.unpack_from(endian + "H",
+                                                  content, off + 8)
+                    elif vtype == 4:
+                        (v,) = struct.unpack_from(endian + "I",
+                                                  content, off + 8)
+                    else:
+                        continue
+                    if tag == 256:
+                        w = int(v)
+                    else:
+                        h = int(v)
+            return "tiff", w, h
+        except struct.error:
+            return "tiff", None, None
     return "unknown", None, None
 
 
