@@ -1219,6 +1219,22 @@ def _q_bpe_train_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_ops.tokenize_bpe(df, model)
 
 
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 fluency scoring with stupid backoff (ops/quality.py
+    bigram_lm_scores): in-plan consecutive-pair construction, capped
+    bigram table + capped unigram LM both broadcast, one doc_id
+    groupBy."""
+    from whylogs_spark.ops import quality as quality_ops
+
+    df = _t(spark, sf_dir, "documents")
+    out = quality_ops.bigram_lm_scores(
+        df, vocab_size=1000, max_bigrams=10_000, backoff=0.4)
+    return out.select(
+        "doc_id", "n_pairs", "n_backoff",
+        F.round("avg_logscore", 6).alias("avg_logscore"),
+        F.round("ppl_proxy", 6).alias("ppl_proxy"))
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1389,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them; nothing above subsumes them, they are simply newest
         "dedup_paragraphs_documents": _q_dedup_paragraphs,
         "bpe_train_tokenize_documents": _q_bpe_train_tokenize,
+        "bigram_lm_documents": _q_bigram_lm,
     }
 
 
@@ -1665,6 +1682,48 @@ def _rolling_psi_sql() -> str:
         "any_value(n)::BIGINT AS n_current, "
         "any_value(n_prev)::BIGINT AS n_previous "
         "FROM jn GROUP BY period"
+    )
+
+
+def _bigram_lm_sql(vocab_size: int = 1000, k: float = 0.5,
+                   max_bigrams: int = 10_000,
+                   backoff: float = 0.4) -> str:
+    """Stupid-backoff bigram oracle mirroring bigram_lm_scores: capped
+    pair table with raw-unigram denominators, backoff to the capped
+    add-k unigram LM, OOV floor."""
+    return (
+        "WITH t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 "
+        "THEN []::VARCHAR[] ELSE string_split_regex(lower(trim(text)),"
+        " '\\s+') END AS l FROM documents), "
+        "tok AS (SELECT doc_id, unnest(l) AS word FROM t), "
+        "uni AS (SELECT word, count(*) AS c FROM tok GROUP BY word), "
+        "tot AS (SELECT sum(c) AS n, count(*) AS v_all FROM uni), "
+        f"params AS (SELECT n + {k} * (least(v_all, {vocab_size}) + 1)"
+        " AS denom FROM tot), "
+        "topv AS (SELECT word, c FROM uni ORDER BY c DESC, word ASC "
+        f"LIMIT {vocab_size}), "
+        f"lm AS (SELECT word, ln((c + {k}) / denom) AS lp "
+        "FROM topv, params), "
+        f"oov AS (SELECT ln({k} / denom) AS lp FROM params), "
+        "pr AS (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], "
+        "l[2:len(l)])) AS p FROM t WHERE len(l) >= 2), "
+        "pairs AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pr), "
+        "bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs "
+        "GROUP BY w1, w2), "
+        "cap AS (SELECT w1, w2, c12 FROM bc ORDER BY c12 DESC, "
+        f"w1 ASC, w2 ASC LIMIT {max_bigrams}), "
+        "bs AS (SELECT cap.w1, cap.w2, ln(cap.c12 / uni.c) AS ls "
+        "FROM cap JOIN uni ON cap.w1 = uni.word), "
+        "scored AS (SELECT pairs.doc_id, bs.ls, "
+        f"ln({backoff}) + coalesce(lm.lp, oov.lp) AS bo "
+        "FROM pairs LEFT JOIN bs ON pairs.w1 = bs.w1 AND "
+        "pairs.w2 = bs.w2 LEFT JOIN lm ON pairs.w2 = lm.word, oov) "
+        "SELECT doc_id, count(*) AS n_pairs, "
+        "sum(CASE WHEN ls IS NULL THEN 1 ELSE 0 END)::BIGINT AS "
+        "n_backoff, "
+        "round(sum(coalesce(ls, bo)) / count(*), 6) AS avg_logscore, "
+        "round(exp(-sum(coalesce(ls, bo)) / count(*)), 6) AS "
+        "ppl_proxy FROM scored GROUP BY doc_id"
     )
 
 
@@ -2051,6 +2110,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "profile_basic_lineitem": _basic_sql(),
         "unigram_lm_documents": _unigram_lm_sql(),
+        "bigram_lm_documents": _bigram_lm_sql(),
         "quality_classifier_documents": _quality_classifier_sql(),
         "dsir_weights_documents": _dsir_weights_sql(),
         "psi_drift_lineitem": _psi_drift_sql(),

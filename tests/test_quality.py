@@ -183,3 +183,87 @@ class TestPackChunks:
         df = spark.createDataFrame([(1, 1)], ["id", "sz"])
         with pytest.raises(ValueError):
             sampling.pack_chunks(df, "sz", budget=0)
+
+
+# ------------------------------------------------------ bigram LM
+
+def test_bigram_lm_matches_python_model(spark):
+    import math
+    import re
+
+    from whylogs_spark.ops import quality as Q
+
+    rows = [(0, "the cat sat on the mat"),
+            (1, "the cat ran"),
+            (2, "the dog sat on the cat"),
+            (3, "one"),          # single token: no transitions
+            (4, ""),             # empty
+            (5, "zz qq zz qq zz qq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in Q.bigram_lm_scores(
+        df, vocab_size=50, max_bigrams=100, backoff=0.4).collect()}
+    assert 3 not in out and 4 not in out
+
+    def toks(t):
+        t = (t or "").strip().lower()
+        return re.split(r"\s+", t) if t else []
+
+    uni, N = {}, 0
+    for _, t in rows:
+        for w in toks(t):
+            uni[w] = uni.get(w, 0) + 1
+            N += 1
+    k, V = 0.5, 50
+    denom = N + k * (min(len(uni), V) + 1)
+    lp = {w: math.log((c + k) / denom) for w, c in uni.items()}
+    oov = math.log(k / denom)
+    bi = {}
+    for _, t in rows:
+        ws = toks(t)
+        for p in zip(ws, ws[1:]):
+            bi[p] = bi.get(p, 0) + 1
+    bs = {p: math.log(c / uni[p[0]]) for p, c in bi.items()}
+    for did, t in rows:
+        ws = toks(t)
+        prs = list(zip(ws, ws[1:]))
+        if not prs:
+            continue
+        s = sum(bs[p] if p in bs
+                else math.log(0.4) + lp.get(p[1], oov) for p in prs)
+        assert out[did].avg_logscore == pytest.approx(
+            s / len(prs), abs=1e-9)
+        assert out[did].n_pairs == len(prs)
+    # every pair here fits the cap: no backoff anywhere
+    assert all(r.n_backoff == 0 for r in out.values())
+
+
+def test_bigram_lm_backoff_on_unseen_pairs(spark):
+    from whylogs_spark.ops import quality as Q
+
+    train = spark.createDataFrame(
+        [(0, "a b a b a b")], "doc_id long, text string")
+    blm = Q.train_bigram_lm(train)
+    ulm = Q.train_unigram_lm(train, vocab_size=10)
+    test = spark.createDataFrame(
+        [(1, "b a x y")], "doc_id long, text string")
+    r = Q.bigram_lm_scores(test, bigram_lm=blm, unigram_lm=ulm).collect()[0]
+    # transitions: b->a (seen), a->x (backoff), x->y (backoff)
+    assert r.n_pairs == 3 and r.n_backoff == 2
+
+
+def test_bigram_lm_plan_is_broadcast_no_window(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from whylogs_spark.ops import quality as Q
+
+    df = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string")
+    out = Q.bigram_lm_scores(df, vocab_size=10, max_bigrams=100)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan  # the bigram cap

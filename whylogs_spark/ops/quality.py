@@ -35,6 +35,7 @@ shuffle and no driver participation.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import pandas as pd
@@ -349,4 +350,123 @@ def unigram_lm_scores(
         "n_oov",
         (F.col("__sum_lp") / F.col("n_tokens")).alias("avg_logprob"),
         F.exp(-F.col("__sum_lp") / F.col("n_tokens")).alias("ppl_proxy"),
+    )
+
+
+# ------------------------------------------------------ bigram LM (order 2)
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    max_bigrams: int = 500_000,
+) -> DataFrame:
+    """Bigram transition table for stupid-backoff scoring (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — the
+    published answer for LM scoring at web scale: no normalization
+    pass, absent n-grams back off to the lower order with a fixed
+    penalty). Returns (w1, w2, logscore) with ``logscore =
+    ln(c(w1,w2) / c(w1))``, capped at the ``max_bigrams`` most frequent
+    pairs (deterministic tie-break) so the table always broadcasts.
+
+    ``c(w1)`` is the raw corpus unigram count of ``w1`` (the standard
+    stupid-backoff denominator; it upper-bounds the true prefix count
+    by at most 1 per document-final occurrence).
+
+    Scale shape: consecutive-pair construction happens IN-PLAN on the
+    token array (zip of the array with its own tail — no positional
+    self-join), one groupBy((w1,w2)) with map-side partial agg, a
+    broadcast join against the unigram counts for the denominator, and
+    a distributed top-K cap (TakeOrderedAndProject). Action-free.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(F.slice(toks, 1, n - 1),
+                   F.slice(toks, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pc = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    capped = pc.orderBy(F.col("c12").desc(), F.col("w1").asc(),
+                        F.col("w2").asc()).limit(max_bigrams)
+    return (
+        capped.join(F.broadcast(uni), "w1")
+        .select("w1", "w2",
+                F.log(F.col("c12") / F.col("c1")).alias("logscore"))
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    bigram_lm: Optional[DataFrame] = None,
+    unigram_lm: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 100_000,
+    smoothing: float = 0.5,
+    backoff: float = 0.4,
+    max_bigrams: int = 500_000,
+) -> DataFrame:
+    """Order-2 fluency scoring with stupid backoff: each transition
+    ``w1 -> w2`` scores ``ln(c(w1,w2)/c(w1))`` when the pair is in the
+    bigram table, else ``ln(backoff) + unigram_logprob(w2)`` (OOV words
+    fall through to the unigram model's smoothed OOV score). Documents
+    with fewer than 2 tokens have no transitions and are absent, same
+    contract as ``unigram_lm_scores``'s empty-doc behavior.
+
+    Returns (id_col, n_pairs, n_backoff, avg_logscore, ppl_proxy).
+    Both models default to self-training on ``df``; pass models trained
+    on a clean reference corpus for CCNet-style filtering. Scale shape:
+    pair explode -> TWO broadcast joins (bigram table <= max_bigrams
+    rows, unigram <= vocab rows) -> one doc_id groupBy. No sort, no
+    full-table join, no window.
+    """
+    if unigram_lm is None:
+        unigram_lm = train_unigram_lm(df, text_col, vocab_size,
+                                      smoothing)
+    if bigram_lm is None:
+        bigram_lm = train_bigram_lm(df, text_col, max_bigrams)
+    oov = unigram_lm.agg(F.first("oov_logprob").alias("__oov"))
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(F.slice(toks, 1, n - 1),
+                   F.slice(toks, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    exploded = df.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    joined = (
+        exploded
+        .join(F.broadcast(bigram_lm), ["w1", "w2"], "left")
+        .join(F.broadcast(
+            unigram_lm.select(F.col("word").alias("w2"),
+                              F.col("logprob").alias("__uni"))),
+            "w2", "left")
+        .crossJoin(F.broadcast(oov))
+    )
+    term = F.coalesce(
+        F.col("logscore"),
+        F.lit(math.log(backoff))
+        + F.coalesce(F.col("__uni"), F.col("__oov")))
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("logscore").isNull(), F.lit(1))
+              .otherwise(F.lit(0))).alias("n_backoff"),
+        F.sum(term).alias("__sum"),
+    )
+    return per_doc.select(
+        id_col, "n_pairs", "n_backoff",
+        (F.col("__sum") / F.col("n_pairs")).alias("avg_logscore"),
+        F.exp(-F.col("__sum") / F.col("n_pairs")).alias("ppl_proxy"),
     )
