@@ -1235,6 +1235,23 @@ def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ppl_proxy", 6).alias("ppl_proxy"))
 
 
+def _q_calibration_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (rank formulation with tie correction, distinct
+    scores only shuffle) + binned ECE/MCE (core/model_perf.py) in one
+    row, on a deterministic score/label derived from orders."""
+    df = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 100) / 100.0).alias("score"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("label"))
+    auc = model_perf.roc_auc_exact(df, "score", "label")
+    ece = model_perf.expected_calibration_error(df, "score", "label",
+                                                n_bins=10)
+    return auc.crossJoin(ece).select(
+        F.round("auc", 9).alias("auc"),
+        "n_positive", "n_negative",
+        F.round("ece", 9).alias("ece"),
+        F.round("mce", 9).alias("mce"))
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1406,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs_documents": _q_dedup_paragraphs,
         "bpe_train_tokenize_documents": _q_bpe_train_tokenize,
         "bigram_lm_documents": _q_bigram_lm,
+        "calibration_auc_orders": _q_calibration_auc,
     }
 
 
@@ -2130,6 +2148,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.source FROM documents d "
             "JOIN thr ON d.source = thr.source "
             "WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.thr"
+        ),
+        "calibration_auc_orders": (
+            "WITH d AS (SELECT (o_orderkey % 100) / 100.0 AS s, "
+            "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y "
+            "FROM orders), "
+            "g AS (SELECT s, sum(y) AS pos, count(*) - sum(y) AS neg "
+            "FROM d GROUP BY s), "
+            "c AS (SELECT pos, neg, sum(pos) OVER (ORDER BY s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - pos "
+            "AS cpb FROM g), "
+            "tot AS (SELECT sum(pos) AS p, sum(neg) AS nn FROM g), "
+            "auc AS (SELECT round(sum(neg * (tot.p - cpb - pos / 2.0))"
+            " / (any_value(tot.p) * any_value(tot.nn)), 9) AS auc, "
+            "any_value(tot.p)::BIGINT AS n_positive, "
+            "any_value(tot.nn)::BIGINT AS n_negative "
+            "FROM c, tot), "
+            "b AS (SELECT least(greatest(floor(s * 10), 0), 9) AS bin,"
+            " count(*) AS n, avg(y) AS acc, avg(s) AS conf FROM d "
+            "GROUP BY 1), "
+            "bt AS (SELECT sum(n) AS tt FROM b), "
+            "ece AS (SELECT round(sum(n / bt.tt * abs(acc - conf)), 9)"
+            " AS ece, round(max(abs(acc - conf)), 9) AS mce "
+            "FROM b, bt) "
+            "SELECT auc.auc, auc.n_positive, auc.n_negative, "
+            "ece.ece, ece.mce FROM auc, ece"
         ),
         "dedup_paragraphs_documents": (
             "WITH p AS (SELECT doc_id, string_split(text, chr(10)) "

@@ -101,3 +101,59 @@ def test_ranking_summary(rank_df):
     s = ranking.ranking_summary(rank_df).collect()[0]
     assert s["n"] == 3
     assert s["mean_reciprocal_rank"] == pytest.approx((1.0 + 0 + 0.5) / 3)
+
+
+# --------------------------------------------- calibration + ROC-AUC
+
+def test_roc_auc_exact_against_bruteforce(spark):
+    import random
+
+    from whylogs_spark.core import model_perf as M
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(600):
+        y = rng.random() < 0.3
+        s = round(min(max(rng.gauss(0.7 if y else 0.4, 0.25), 0), 1), 2)
+        rows.append((float(s), 1 if y else 0))
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = M.roc_auc_exact(df, "score", "label").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum(1 for p in pos for n in neg if p > n) \
+        + 0.5 * sum(1 for p in pos for n in neg if p == n)
+    assert r.auc == pytest.approx(wins / (len(pos) * len(neg)),
+                                  abs=1e-12)
+    assert (r.n_positive, r.n_negative) == (len(pos), len(neg))
+
+
+def test_roc_auc_perfect_and_random_separation(spark):
+    from whylogs_spark.core import model_perf as M
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1)] * 5 + [(0.1, 0)] * 5, "score double, label int")
+    assert M.roc_auc_exact(perfect, "score", "label") \
+        .collect()[0].auc == pytest.approx(1.0)
+    allsame = spark.createDataFrame(
+        [(0.5, 1)] * 5 + [(0.5, 0)] * 5, "score double, label int")
+    assert M.roc_auc_exact(allsame, "score", "label") \
+        .collect()[0].auc == pytest.approx(0.5)
+
+
+def test_expected_calibration_error(spark):
+    from whylogs_spark.core import model_perf as M
+
+    # perfectly calibrated at bin granularity: conf 0.25 bin has 25%
+    # positives, conf 0.75 bin has 75%
+    rows = ([(0.25, 1)] * 1 + [(0.25, 0)] * 3
+            + [(0.75, 1)] * 3 + [(0.75, 0)] * 1)
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = M.expected_calibration_error(df, "score", "label",
+                                     n_bins=4).collect()[0]
+    assert r.ece == pytest.approx(0.0, abs=1e-12)
+    # grossly over-confident: all scores 0.95, half positive
+    bad = spark.createDataFrame(
+        [(0.95, 1)] * 5 + [(0.95, 0)] * 5, "score double, label int")
+    r2 = M.expected_calibration_error(bad, "score", "label").collect()[0]
+    assert r2.ece == pytest.approx(0.45, abs=1e-12)
+    assert r2.mce == pytest.approx(0.45, abs=1e-12)

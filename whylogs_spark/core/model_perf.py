@@ -87,3 +87,89 @@ def estimated_accuracy(
         .alias("estimated_accuracy"),
         F.sum("n").alias("n_target"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Binned Expected Calibration Error (Naeini et al. 2015): partition
+    predictions into ``n_bins`` equal-width confidence bins over [0, 1],
+    ``ECE = sum_b (n_b / N) * |acc_b - conf_b|``. Also returns the
+    maximum calibration error (MCE) and N. Beyond the reference's
+    metric set — the standard "is the model's probability honest"
+    check next to the confusion matrix.
+
+    One groupBy(bin) with map-side partial agg (shuffle bounded at
+    n_bins rows per partition); scores at exactly 1.0 clamp into the
+    last bin. Null scores/labels are excluded.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.greatest(F.floor(s * n_bins), F.lit(0)),
+                F.lit(n_bins - 1))
+    binned = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg(y).alias("acc"),
+             F.avg(s).alias("conf"))
+    )
+    tot = binned.agg(F.sum("n").alias("__tot"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.col("n") / F.col("__tot")
+                  * F.abs(F.col("acc") - F.col("conf"))).alias("ece"),
+            F.max(F.abs(F.col("acc") - F.col("conf"))).alias("mce"),
+            F.first("__tot").alias("n"),
+        )
+    )
+
+
+def roc_auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC via the rank formulation with tie correction:
+    ``AUC = sum_s neg(s) * (pos_above(s) + pos(s)/2) / (P * N)`` over
+    DISTINCT scores — the probability a random positive outranks a
+    random negative, ties counting half (higher score = more positive).
+
+    Distributed shape mirrors ``drift.ks_2samp_exact``: one
+    groupBy(score) collapses duplicates map-side (the shuffle carries
+    distinct scores only), then a single ordered cumulative walk over
+    the distinct-score table — exact mode's honest cost; for continuous
+    scores at extreme scale, bucket the score first (the binned AUC
+    converges at 1/n_bins resolution).
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    g = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("s"))
+        .agg(F.sum(y).alias("pos"),
+             (F.count(F.lit(1)) - F.sum(y)).alias("neg"))
+    )
+    from pyspark.sql import Window
+
+    w = (Window.orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = g.select(
+        "pos", "neg",
+        (F.sum("pos").over(w) - F.col("pos")).alias("cum_pos_below"))
+    tot = g.agg(F.sum("pos").alias("P"), F.sum("neg").alias("N"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            (F.sum(F.col("neg")
+                   * (F.col("P") - F.col("cum_pos_below")
+                      - F.col("pos") / 2))
+             / (F.first("P") * F.first("N"))).alias("auc"),
+            F.first("P").cast("long").alias("n_positive"),
+            F.first("N").cast("long").alias("n_negative"),
+        )
+    )
