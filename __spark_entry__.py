@@ -1252,6 +1252,26 @@ def _q_calibration_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mce", 9).alias("mce"))
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range join via time-bucket expansion (ops/intervals.py
+    interval_join): every event joined to the 2-hour windows opened by
+    each user's every-20th event. Equi-join on (user, bucket) + codegen
+    residual — never a nested-loop; the oracle is the direct theta
+    join."""
+    from whylogs_spark.ops.intervals import interval_join as ij
+
+    ev = _t(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .select(F.col("event_id").alias("window_id"), "user_id",
+                F.col("ts").alias("start"),
+                (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+    )
+    out = ij(ev.select("event_id", "user_id", "ts"), windows,
+             on="ts", by=["user_id"], bucket="1 hour")
+    return out.select("event_id", "user_id", "window_id")
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1424,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_tokenize_documents": _q_bpe_train_tokenize,
         "bigram_lm_documents": _q_bigram_lm,
         "calibration_auc_orders": _q_calibration_auc,
+        "interval_join_events": _q_interval_join,
     }
 
 
@@ -2148,6 +2169,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.source FROM documents d "
             "JOIN thr ON d.source = thr.source "
             "WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.thr"
+        ),
+        "interval_join_events": (
+            "WITH w AS (SELECT event_id AS window_id, user_id, "
+            "ts AS s, ts + INTERVAL 2 HOUR AS e FROM events "
+            "WHERE event_id % 20 = 0) "
+            "SELECT ev.event_id, ev.user_id, w.window_id "
+            "FROM events ev JOIN w ON ev.user_id = w.user_id "
+            "AND ev.ts >= w.s AND ev.ts <= w.e"
         ),
         "calibration_auc_orders": (
             "WITH d AS (SELECT (o_orderkey % 100) / 100.0 AS s, "
