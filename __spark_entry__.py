@@ -1272,6 +1272,19 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "window_id")
 
 
+def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (ops/layout.py with_zorder_key): min-max
+    normalize two lineitem measures to 8 bits each and interleave —
+    pure shift/and/or codegen, bounds from one broadcast 1-row agg.
+    The DuckDB oracle regenerates the identical bit arithmetic."""
+    from whylogs_spark.ops import layout as layout_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = layout_ops.with_zorder_key(
+        li, ["l_extendedprice", "l_quantity"], bits=8)
+    return out.select("l_orderkey", "l_linenumber", "zkey")
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1445,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_documents": _q_bigram_lm,
         "calibration_auc_orders": _q_calibration_auc,
         "interval_join_events": _q_interval_join,
+        "zorder_key_lineitem": _q_zorder_key,
     }
 
 
@@ -1721,6 +1735,33 @@ def _rolling_psi_sql() -> str:
         "any_value(n)::BIGINT AS n_current, "
         "any_value(n_prev)::BIGINT AS n_previous "
         "FROM jn GROUP BY period"
+    )
+
+
+def _zorder_key_sql(bits: int = 8) -> str:
+    """Regenerate the Z-order bit interleave (col 0 -> even bit
+    positions, col 1 -> odd) with the same min-max normalization."""
+    top = (1 << bits) - 1
+    terms = []
+    for j in range(bits):
+        terms.append(f"(((na >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((nb >> {j}) & 1) << {2 * j + 1})")
+    z = " | ".join(terms)
+    return (
+        "WITH e AS (SELECT min(l_extendedprice::DOUBLE) AS loa, "
+        "max(l_extendedprice::DOUBLE) AS hia, "
+        "min(l_quantity::DOUBLE) AS lob, "
+        "max(l_quantity::DOUBLE) AS hib FROM lineitem), "
+        "n AS (SELECT l_orderkey, l_linenumber, "
+        "least(greatest(CASE WHEN hia > loa THEN floor("
+        "(coalesce(l_extendedprice::DOUBLE, loa) - loa) / (hia - loa)"
+        f" * {top}) ELSE 0 END, 0), {top})::BIGINT AS na, "
+        "least(greatest(CASE WHEN hib > lob THEN floor("
+        "(coalesce(l_quantity::DOUBLE, lob) - lob) / (hib - lob)"
+        f" * {top}) ELSE 0 END, 0), {top})::BIGINT AS nb "
+        "FROM lineitem, e) "
+        f"SELECT l_orderkey, l_linenumber, ({z})::BIGINT AS zkey "
+        "FROM n"
     )
 
 
@@ -2170,6 +2211,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN thr ON d.source = thr.source "
             "WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.thr"
         ),
+        "zorder_key_lineitem": _zorder_key_sql(),
         "interval_join_events": (
             "WITH w AS (SELECT event_id AS window_id, user_id, "
             "ts AS s, ts + INTERVAL 2 HOUR AS e FROM events "
