@@ -1285,6 +1285,20 @@ def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "zkey")
 
 
+def _q_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding prep (ops/similarity.py): matryoshka truncation to 16
+    dims + L2 renormalize + symmetric int8 quantization, all pure
+    zero-shuffle projections. The oracle mirrors the exact left-fold
+    arithmetic (list_reduce) so the int8 grid matches bit for bit."""
+    from whylogs_spark.ops import similarity as sim_mod
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim_mod.quantize_embeddings(
+        sim_mod.truncate_embeddings(emb, dim=16))
+    return out.select(
+        "vec_id", F.round("q_scale", 9).alias("q_scale"), "q")
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1459,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_auc_orders": _q_calibration_auc,
         "interval_join_events": _q_interval_join,
         "zorder_key_lineitem": _q_zorder_key,
+        "embedding_prep_embeddings": _q_embedding_prep,
     }
 
 
@@ -2212,6 +2227,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.thr"
         ),
         "zorder_key_lineitem": _zorder_key_sql(),
+        "embedding_prep_embeddings": (
+            "WITH v AS (SELECT vec_id, list_transform(embedding[1:16],"
+            " x -> x::DOUBLE) AS t FROM embeddings), "
+            "n AS (SELECT vec_id, t, sqrt(list_reduce("
+            "list_transform(t, x -> x * x), (a, b) -> a + b)) AS nrm "
+            "FROM v), "
+            "r AS (SELECT vec_id, CASE WHEN nrm > 0 THEN "
+            "list_transform(t, x -> x / nrm) ELSE t END AS u FROM n), "
+            "s AS (SELECT vec_id, u, list_max(list_transform(u, "
+            "x -> abs(x))) / 127.0 AS sc FROM r) "
+            "SELECT vec_id, round(sc, 9) AS q_scale, "
+            "CASE WHEN sc > 0 THEN list_transform(u, "
+            "x -> floor(x / sc + 0.5)::INT) "
+            "ELSE list_transform(u, x -> 0) END AS q FROM s"
+        ),
         "interval_join_events": (
             "WITH w AS (SELECT event_id AS window_id, user_id, "
             "ts AS s, ts + INTERVAL 2 HOUR AS e FROM events "

@@ -817,3 +817,67 @@ def test_png_zip_bomb_bounded():
     assert time.time() - t0 < 2.0
     assert arr is not None and arr.shape == (2, 2, 3)
     assert arr[0, 0, 0] == 0x10 and arr[1, 1, 0] == 0x40
+
+
+# --------------------------------------------- embedding preparation
+
+def test_truncate_embeddings_renormalizes(spark):
+    import math
+
+    from whylogs_spark.ops import similarity as S
+
+    rows = [(0, [3.0, 4.0, 100.0, 100.0]), (1, [0.0, 0.0, 5.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.embedding for r in
+           S.truncate_embeddings(df, dim=2).collect()}
+    assert out[0] == pytest.approx([0.6, 0.8], abs=1e-12)
+    assert out[1] == [0.0, 0.0]  # zero prefix stays zero, no div-by-0
+    raw = {r.vec_id: r.embedding for r in S.truncate_embeddings(
+        df, dim=2, renormalize=False).collect()}
+    assert raw[0] == [3.0, 4.0]
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    import math
+    import random
+
+    from whylogs_spark.ops import similarity as S
+
+    rng = random.Random(4)
+    rows = []
+    for i in range(50):
+        v = [rng.gauss(0, 1) for _ in range(32)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    rows.append((999, [0.0] * 32))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = S.quantize_embeddings(df)
+    dq = {r.vec_id: (r.embedding, r.embedding_dq, r.q, r.q_scale)
+          for r in S.dequantize_embeddings(q).collect()}
+    for vid, (orig, back, qv, sc) in dq.items():
+        assert all(-127 <= x <= 127 for x in qv)
+        if vid == 999:
+            assert sc == 0.0 and all(x == 0 for x in qv)
+            continue
+        err = max(abs(a - b) for a, b in zip(orig, back))
+        assert err <= sc / 2 + 1e-12  # half-ulp of the quantization grid
+        # python ground truth for the exact grid values
+        amax = max(abs(x) for x in orig)
+        pysc = amax / 127.0
+        pyq = [math.floor(x / pysc + 0.5) for x in orig]
+        assert qv == pyq
+
+
+def test_embedding_prep_zero_shuffle(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from whylogs_spark.ops import similarity as S
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    out = S.quantize_embeddings(S.truncate_embeddings(df, dim=2))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()

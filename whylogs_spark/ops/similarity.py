@@ -335,3 +335,73 @@ def knn_join(
             F.col("__rid").alias(right_id + "_right"),
             "cosine", "rank")
     )
+
+
+# --------------------------------------------- embedding preparation
+
+def truncate_embeddings(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    renormalize: bool = True,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``dim`` components
+    (MRL-trained embedding families put the information head-first, so
+    prefix truncation trades recall for memory/compute linearly), then
+    L2-renormalize so downstream cosine math stays valid.
+
+    Pure higher-order-function projection — zero shuffle; a zero
+    vector stays zero rather than dividing by 0. Replaces ``vec_col``
+    unless ``out_col`` names a new column.
+    """
+    target = out_col or vec_col
+    v = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    if renormalize:
+        nrm = F.sqrt(F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x * x))
+        v = F.when(nrm > 0,
+                   F.transform(v, lambda x: x / nrm)).otherwise(v)
+    return df.withColumn(target, v)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``
+    and ``q_i = floor(v_i / scale + 0.5)`` (explicit half-up floor —
+    bit-reproducible across engines, unlike library round modes).
+    Cuts vector memory/IO 4x vs float32 (8x vs float64) at ~1e-2
+    relative dot-product error on unit vectors — the standard first
+    rung of ANN compression before PQ/OPQ.
+
+    Adds ``q`` (array<int>, values in [-127, 127]) and ``q_scale``
+    (double). All-zero vectors get scale 0 and an all-zero ``q``.
+    Pure projection, zero shuffle. ``dequantize_embeddings`` inverts.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(
+        v, F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(scale_col, scale).withColumn(q_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: ``v_i ~= q_i * scale``."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col),
+                    lambda x: x.cast("double") * F.col(scale_col)))
