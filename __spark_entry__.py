@@ -1299,6 +1299,20 @@ def _q_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.round("q_scale", 9).alias("q_scale"), "q")
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (ops/dedup.py semantic_dedup): k-means clusters +
+    within-cluster cosine pairs + transitive closure, min-id winner.
+    The k-means fit is not SQL-expressible, so this entry is rows-only;
+    the pair/closure machinery is oracle-gated elsewhere
+    (embedding_neardup_*, minhash_dedup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # 0.45 matches the embedding_neardup_* queries' threshold on this
+    # synthetic table (cosines cluster near 0), so the dedup is
+    # exercised for real rather than trivially keeping every row
+    out = dedup_ops.semantic_dedup(emb, threshold=0.45, n_clusters=8)
+    return out.select("vec_id", "label")
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1474,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": _q_interval_join,
         "zorder_key_lineitem": _q_zorder_key,
         "embedding_prep_embeddings": _q_embedding_prep,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
     }
 
 

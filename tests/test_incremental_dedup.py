@@ -125,3 +125,49 @@ def test_dedup_paragraphs_zero_shuffle(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan  # pure projection
+
+
+# ------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_removes_near_identical_vectors(spark):
+    import math
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    # 20 well-separated base directions, each with 3 tiny perturbations
+    for g in range(20):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in base))
+        base = [x / n for x in base]
+        for r in range(3):
+            v = [x + rng.gauss(0, 1e-4) for x in base]
+            nn = math.sqrt(sum(x * x for x in v))
+            rows.append((g * 10 + r, [x / nn for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(df, threshold=0.999, n_clusters=8,
+                               seed=7)
+    kept = sorted(r.vec_id for r in out.select("vec_id").collect())
+    # survivors: no intra-cluster near-dup pair may remain; every group
+    # of 3 collapses to >=1 member, and total shrinks
+    assert len(kept) < 60
+    assert len(kept) >= 20
+    # each base group keeps exactly its minimum id unless a k-means
+    # boundary split it (then one per side) — at minimum, min id stays
+    for g in range(20):
+        assert g * 10 in kept
+
+
+def test_semantic_dedup_no_duplicates_no_loss(spark):
+    import math
+    import random
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(30):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(df, threshold=0.9999, n_clusters=4)
+    assert out.count() == 30  # random gaussians are never 0.9999-close

@@ -1253,3 +1253,66 @@ def dedup_paragraphs(
         F.size(parts).cast("long").alias("n_parts"),
         F.size(keep).cast("long").alias("n_parts_kept"),
     )
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): remove SEMANTIC duplicates —
+    documents whose embeddings are near-identical even when their text
+    is not (templated articles, translations, near-paraphrases). The
+    published recipe, composed from this engine's existing pieces:
+
+      1. k-means partition the embedding space (``similarity.ivf_index``
+         — bounded-sample fit, broadcast-centroid assignment);
+      2. ONLY within each cluster, find pairs with cosine >= threshold
+         (equi-join on the cluster id — the clustering is precisely
+         what makes the quadratic step tractable: per-cluster cost is
+         (n/k)^2, so pick ``n_clusters ~ n / target_cluster_size``);
+      3. transitive closure over the pair graph
+         (``connected_components``) and keep the minimum id per
+         duplicate group (deterministic representative).
+
+    Returns the surviving rows of ``df`` (all original columns).
+    Cross-cluster near-duplicates are missed by design — that recall
+    loss is the documented SemDeDup trade; raise ``n_clusters`` quality
+    by fitting on more data, or run ``embedding_neardup_pairs`` (LSH)
+    when cluster-boundary recall matters more than cost.
+    """
+    from whylogs_spark.ops.similarity import ivf_index
+
+    assigned, _ = ivf_index(df, vec_col, id_col, n_lists=n_clusters,
+                            seed=seed)
+    v = F.col(vec_col).cast("array<double>")
+    side = assigned.select(
+        F.col(id_col).alias("__id"),
+        F.col("ivf_list").alias("__cl"),
+        v.alias("__v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("__n"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    denom = F.col("a.__n") * F.col("b.__n")
+    pairs = (
+        a.join(b, (F.col("a.__cl") == F.col("b.__cl"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .filter(denom > 0)
+        .filter(dot / denom >= F.lit(float(threshold)))
+        .select(F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"))
+    )
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
