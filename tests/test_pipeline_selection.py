@@ -1,0 +1,90 @@
+"""End-to-end data-SELECTION tail of the pipeline, chained as one test:
+quality filter -> incremental dedup vs history -> NB classifier scoring
+-> DSIR weighting + Gumbel selection -> corpus mixing -> chunk packing.
+Each stage's invariant is asserted on the composed result, proving the
+operators compose (matching schemas, no column collisions, no
+action-ordering traps), not just work in isolation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.ops import classify, dedup, quality, sampling
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # realistic-ish docs: 60+ tokens so gopher length rule passes,
+    # two sources, some exact duplicates, english-marked half
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest looking for "
+            "food water shelter and a warm dry place to sleep "
+            "while birds sing high above the tall old trees and a "
+            "cold clear stream winds slowly between mossy gray rocks "
+            "toward the wide open valley under a pale morning sky ")
+    rows = []
+    for i in range(120):
+        txt = base + f"document number {i} " + ("extra words " * (i % 7))
+        if i % 10 == 0 and i > 0:
+            txt = base + "document number 0 "  # exact dup of doc 0's text
+        rows.append((i, txt, "en" if i % 2 == 0 else "de",
+                     f"src{i % 2}"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_selection_tail_composes(spark, corpus):
+    # 1. quality: all these docs pass the published gopher rules
+    q = quality.gopher_filter(corpus).filter(F.col("gopher_pass"))
+    n_q = q.count()
+    assert n_q > 100
+
+    # 2. incremental dedup: history = first 20 ids
+    hist = q.filter(F.col("doc_id") < 20).select("text")
+    batch = q.filter(F.col("doc_id") >= 20)
+    clean = dedup.incremental_dedup(
+        batch, hist, strategy="bloom", bloom_bits=1 << 16).cache()
+    n_clean = clean.count()
+    assert n_clean < batch.count()  # the planted dups of doc 0 are gone
+    texts = [r.text for r in clean.select("text").collect()]
+    assert len(set(texts)) == len(texts)
+
+    # 3. classifier trained on lang, scores every survivor
+    lab = clean.withColumn("label",
+                           (F.col("lang") == "en").cast("int"))
+    model = classify.train_quality_classifier(lab, n_buckets=2048)
+    scored = classify.score_quality_classifier(
+        clean, model, n_buckets=2048)
+    assert scored.count() == n_clean
+
+    # 4. DSIR weights against the english slice + pick 30
+    w = classify.dsir_logweights(
+        clean, clean.filter(F.col("lang") == "en"), n_buckets=2048)
+    picked = classify.dsir_sample(w, k=30)
+    assert picked.count() == 30
+    sel = clean.join(picked.select("doc_id"), "doc_id",
+                     "left_semi").cache()
+
+    # 5. mix to a 70/30 source budget
+    mixed = sampling.mix_sources(
+        sel, {"src0": 0.7, "src1": 0.3}, token_budget=1500)
+    assert 0 < mixed.count() <= 30
+
+    # 6. pack into 256-token chunks
+    sized = mixed.withColumn(
+        "n_tokens",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    packed = sampling.pack_chunks(sized, "n_tokens", budget=256,
+                                  order_cols=["doc_id"])
+    rows = packed.select("chunk_id", "chunk_offset",
+                         "n_tokens").collect()
+    per_chunk = {}
+    max_doc = 0
+    for r in rows:
+        per_chunk.setdefault(r.chunk_id, 0)
+        per_chunk[r.chunk_id] += r.n_tokens
+        max_doc = max(max_doc, r.n_tokens)
+        # a doc belongs to the chunk where its offset starts
+        assert r.chunk_offset // 256 == r.chunk_id
+    # boundary-crossing doc may overflow its chunk by < one doc
+    assert all(v < 256 + max_doc for v in per_chunk.values())
+    assert len(per_chunk) >= 2
