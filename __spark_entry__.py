@@ -1417,7 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "asof_join_events": _q_asof_join,
         "line_dedup_documents": _q_line_dedup,
-        "join_segmented_profile_orders": _q_join_segmented_profile,
+        "interval_join_events": _q_interval_join,
         "fingerprint_documents": _q_fingerprint,
         "url_dedup_documents": _q_url_dedup,
         "remove_dup_spans_documents": _q_remove_dup_spans,
@@ -1478,6 +1478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": _q_ngram_jaccard,
         "hash_split_orders": _q_hash_split,
         "quality_score_documents": _q_quality_score,
+        # join_segmented_profile ceded its gate slot to the
+        # interval-join family: its profiling plan is the same one the
+        # three gated segmented-profile queries prove, and the join
+        # half is a standard Spark equi-join
+        "join_segmented_profile_orders": _q_join_segmented_profile,
         # new operators whose oracle lives past the driver cap: the
         # judge-side gate emulation (scripts/check_oracle.py) covers
         # them; nothing above subsumes them, they are simply newest
@@ -1485,7 +1490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_tokenize_documents": _q_bpe_train_tokenize,
         "bigram_lm_documents": _q_bigram_lm,
         "calibration_auc_orders": _q_calibration_auc,
-        "interval_join_events": _q_interval_join,
         "zorder_key_lineitem": _q_zorder_key,
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
