@@ -1313,6 +1313,20 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control-char strip (ops/text.py
+    normalize_text): JVM regexp strip + Arrow-batched unicodedata
+    kernel. DuckDB recomputes via nfc_normalize + the same POSIX
+    class."""
+    from whylogs_spark.ops import text as text_mod
+
+    df = _t(spark, sf_dir, "documents")
+    out = text_mod.normalize_text(df, form="NFC", out_col="clean")
+    return out.select(
+        "doc_id", F.md5(F.col("clean")).alias("clean_md5"),
+        F.length("clean").cast("long").alias("n_chars_clean"))
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1493,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_lineitem": _q_zorder_key,
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
+        "normalize_text_documents": _q_normalize_text,
     }
 
 
@@ -2246,6 +2261,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.thr"
         ),
         "zorder_key_lineitem": _zorder_key_sql(),
+        "normalize_text_documents": (
+            "SELECT doc_id, md5(nfc_normalize(regexp_replace(text, "
+            "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) "
+            "AS clean_md5, "
+            "length(nfc_normalize(regexp_replace(text, "
+            "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')))"
+            "::BIGINT AS n_chars_clean FROM documents"
+        ),
         "embedding_prep_embeddings": (
             "WITH v AS (SELECT vec_id, list_transform(embedding[1:16],"
             " x -> x::DOUBLE) AS t FROM embeddings), "

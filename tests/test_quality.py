@@ -267,3 +267,64 @@ def test_bigram_lm_plan_is_broadcast_no_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan  # the bigram cap
+
+
+# ---------------------------------------------------- text normalization
+
+def test_normalize_text_nfc_and_nfkc(spark):
+    from whylogs_spark.ops import text as T_ops
+
+    rows = [
+        (0, "café"),          # decomposed e + combining acute
+        (1, "ﬁle"),            # fi ligature
+        (2, "abc\x00\x07def\t\n"),  # control chars, keep tab/newline
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {r.doc_id: r.text for r in
+           T_ops.normalize_text(df, form="NFC").collect()}
+    assert nfc[0] == "café"
+    assert nfc[1] == "ﬁle"       # NFC keeps compatibility chars
+    assert nfc[2] == "abcdef\t\n"     # controls stripped, ws kept
+    assert nfc[3] is None
+    nfkc = {r.doc_id: r.text for r in
+            T_ops.normalize_text(df, form="NFKC").collect()}
+    assert nfkc[1] == "file"          # ligature folded
+
+
+def test_fix_mojibake_repairs_double_encoding(spark):
+    from whylogs_spark.ops.text import fix_mojibake
+
+    assert fix_mojibake("cafÃ©") == "café"   # Ã© -> é
+    # double-mojibake repairs twice
+    twice = "café".encode("utf-8").decode("latin-1") \
+        .encode("utf-8").decode("latin-1")
+    assert fix_mojibake(twice) == "café"
+    # legitimate text containing the marker survives (no strict
+    # round-trip improvement)
+    assert fix_mojibake("São Paulo") == "São Paulo"
+    assert fix_mojibake("") == ""
+    # plain ascii untouched
+    assert fix_mojibake("hello world") == "hello world"
+
+
+def test_normalize_text_fix_encoding_in_dataframe(spark):
+    from whylogs_spark.ops import text as T_ops
+
+    broken = "café bar".encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame(
+        [(0, broken), (1, "ok text")], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in T_ops.normalize_text(
+        df, fix_encoding=True).collect()}
+    assert out[0] == "café bar"
+    assert out[1] == "ok text"
+
+
+def test_normalize_text_out_col_and_bad_form(spark):
+    from whylogs_spark.ops import text as T_ops
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    out = T_ops.normalize_text(df, out_col="clean").collect()[0]
+    assert out.text == "x" and out.clean == "x"
+    with pytest.raises(ValueError):
+        T_ops.normalize_text(df, form="NFX")

@@ -17,6 +17,7 @@ from typing import Dict, List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny per-language stopword marker sets for the heuristic language ID.
 # Deliberately small + deterministic (an n-gram model would need model
@@ -276,3 +277,102 @@ def chunk_text(
             .alias(chunk_col),
         )
     )
+
+
+# ---------------------------------------------------- text normalization
+
+# C0 controls except \t \n \r, plus DEL: the characters that are never
+# legitimate in text corpora and break downstream tokenizers/regexes
+_CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+_MOJIBAKE_MARKERS = ("Ã", "Â", "â€", "Ð", "Ñ", "å", "ã€")
+
+
+def strip_control_chars(c: Column) -> Column:
+    """Remove C0 control characters (keeping tab/newline/CR) and DEL —
+    a pure JVM regexp projection, zero shuffle, identical in any
+    POSIX-class regexp engine (the oracle uses the same class)."""
+    return F.regexp_replace(c, _CONTROL_CLASS, "")
+
+
+def fix_mojibake(s: str) -> str:
+    """Repair the classic double-encoding: UTF-8 bytes mis-decoded as
+    Latin-1/cp1252 ("Ã©" for "é", "â€™" for a right quote). Applies the
+    inverse (latin-1 encode, utf-8 decode) only when (a) a marker
+    sequence is present, (b) the inverse round-trips strictly, and
+    (c) it strictly reduces marker count — so already-correct text that
+    legitimately contains "Ã" survives untouched. Repeats while it
+    keeps helping (double-mojibake)."""
+    if not s:
+        return s
+
+    def score(t: str) -> int:
+        return sum(t.count(m) for m in _MOJIBAKE_MARKERS)
+
+    cur = s
+    for _ in range(3):
+        sc = score(cur)
+        if sc == 0:
+            break
+        try:
+            fixed = cur.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            try:
+                fixed = cur.encode("cp1252").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                break
+        if score(fixed) < sc:
+            cur = fixed
+        else:
+            break
+    return cur
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_control: bool = True,
+    fix_encoding: bool = False,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD), optionally
+    stripping control characters (JVM regexp, stays codegen) and
+    repairing Latin-1/cp1252 mojibake first.
+
+    The control strip is a zero-shuffle JVM projection; the
+    normalization itself has no Spark built-in, so it runs as an
+    Arrow-batched ``mapInPandas`` kernel (the sanctioned Python path —
+    never row-at-a-time). NULLs pass through. Replaces ``text_col``
+    unless ``out_col`` is given.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    target = out_col or text_col
+    src = df
+    work_col = "__norm_in"
+    c = F.col(text_col)
+    if strip_control:
+        c = strip_control_chars(c)
+    src = src.withColumn(work_col, c)
+    out_fields = [f.name for f in df.schema.fields if f.name != target]
+    result_schema = T.StructType(
+        [df.schema[f] for f in out_fields]
+        + [T.StructField(target, T.StringType())])
+
+    def kernel(batches):
+        for pdf in batches:
+            vals = []
+            for v in pdf[work_col]:
+                if v is None:
+                    vals.append(None)
+                    continue
+                t = fix_mojibake(v) if fix_encoding else v
+                vals.append(unicodedata.normalize(form, t))
+            res = pdf[out_fields].copy()
+            res[target] = vals
+            yield res
+
+    return src.mapInPandas(kernel, result_schema)
