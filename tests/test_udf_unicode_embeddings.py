@@ -881,3 +881,41 @@ def test_embedding_prep_zero_shuffle(spark):
     with redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_mmr_select_prefers_diverse_results(spark):
+    from whylogs_spark.ops import similarity as S
+
+    # duplicate cluster A (rel .95) on one side of the query, a single
+    # distinct doc B (rel .90) on the other side, one irrelevant doc;
+    # plain top-3 is all A-duplicates, MMR must slot B in second
+    a = [0.95, 0.3122, 0.0]
+    rows = [
+        (0, list(a)), (1, list(a)), (2, list(a)),   # cluster A dups
+        (10, [0.9, -0.43589, 0.0]),                 # B: distinct angle
+        (20, [0.0, 0.0, 1.0]),                      # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0]
+    plain = [r.vec_id for r in
+             S.cosine_topk(df, q, k=3).select("vec_id").collect()]
+    assert set(plain) <= {0, 1, 2}
+    sel = S.mmr_select(df, q, k=3, lambda_mult=0.6)
+    ids = [i for i, _ in sel]
+    assert len(ids) == 3 and len(set(ids)) == 3
+    assert sel[0][0] in (0, 1, 2)        # most relevant first
+    assert ids[1] == 10                  # diversity: B beats the dup
+    assert 20 not in ids                 # irrelevant never selected
+
+
+def test_mmr_lambda_one_equals_topk(spark):
+    from whylogs_spark.ops import similarity as S
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 1.0, 1.0]
+    sel = [i for i, _ in S.mmr_select(df, q, k=5, lambda_mult=1.0)]
+    top = [r.vec_id for r in
+           S.cosine_topk(df, q, k=5).select("vec_id").collect()]
+    assert set(sel) == set(top)

