@@ -105,3 +105,15 @@ def test_tokenize_deterministic_under_repartition(spark):
     b = sorted((r.doc_id, r.n_tokens) for r in
                bpe.tokenize_bpe(df.repartition(7), model).collect())
     assert a == b
+
+
+def test_tokenize_matches_training_on_unicode_whitespace(spark):
+    # NBSP is NOT a Java \s whitespace: training sees one word type;
+    # the tokenize kernel must agree (Python \s would split it)
+    rows = [(0, "café bar"), (1, "café bar")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = bpe.train_bpe(df, num_merges=20, max_word_types=10)
+    out = {r.doc_id: r.n_tokens for r in
+           bpe.tokenize_bpe(df, model).collect()}
+    want = len(bpe.bpe_encode_word("café bar", model.ranks))
+    assert out[0] == want

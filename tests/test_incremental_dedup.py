@@ -171,3 +171,15 @@ def test_semantic_dedup_no_duplicates_no_loss(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = dedup.semantic_dedup(df, threshold=0.9999, n_clusters=4)
     assert out.count() == 30  # random gaussians are never 0.9999-close
+
+
+def test_dedup_paragraphs_literal_metachar_separator(spark):
+    df = spark.createDataFrame(
+        [(1, "x||y||x"), (2, "a.b.a")], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.dedup_paragraphs(df, sep="||").collect()}
+    assert out[1].text_clean == "x||y"
+    assert out[1].n_parts == 3 and out[1].n_parts_kept == 2
+    dot = {r.doc_id: r for r in
+           dedup.dedup_paragraphs(df, sep=".").collect()}
+    assert dot[2].text_clean == "a.b"

@@ -328,3 +328,14 @@ def test_normalize_text_out_col_and_bad_form(spark):
     assert out.text == "x" and out.clean == "x"
     with pytest.raises(ValueError):
         T_ops.normalize_text(df, form="NFX")
+
+
+def test_normalize_text_preserves_column_order(spark):
+    from whylogs_spark.ops import text as T_ops
+
+    df = spark.createDataFrame(
+        [(1, "café", "en")], "doc_id long, text string, lang string")
+    out = T_ops.normalize_text(df)
+    assert out.columns == ["doc_id", "text", "lang"]
+    new = T_ops.normalize_text(df, out_col="clean")
+    assert new.columns == ["doc_id", "text", "lang", "clean"]

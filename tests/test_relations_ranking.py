@@ -157,3 +157,13 @@ def test_expected_calibration_error(spark):
     r2 = M.expected_calibration_error(bad, "score", "label").collect()[0]
     assert r2.ece == pytest.approx(0.45, abs=1e-12)
     assert r2.mce == pytest.approx(0.45, abs=1e-12)
+
+
+def test_roc_auc_single_class_returns_null_not_error(spark):
+    from whylogs_spark.core import model_perf as M
+
+    allpos = spark.createDataFrame(
+        [(0.3, 1), (0.6, 1)], "score double, label int")
+    r = M.roc_auc_exact(allpos, "score", "label").collect()[0]
+    assert r.auc is None
+    assert r.n_positive == 2 and r.n_negative == 0

@@ -234,3 +234,13 @@ def test_mix_sources_zero_shuffle_of_corpus(spark):
         "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mix_sources_zero_token_source_keeps_everything(spark):
+    df = spark.createDataFrame(
+        [(0, "s0", 5), (1, "s0", 5), (2, "s1", 0), (3, "s1", 0)],
+        "doc_id long, source string, n_tok long")
+    out = sampling.mix_sources(df, {"s0": 0.5, "s1": 0.5},
+                               token_budget=100, token_col="n_tok")
+    # s1 has zero tokens: trivially under target -> all rows kept
+    assert out.filter(F.col("source") == "s1").count() == 2

@@ -300,3 +300,16 @@ def test_parse_mp4_v1_tkhd():
     assert m["duration_sec"] == pytest.approx(2.0)
     assert m["width"] == 1920 and m["height"] == 1080
     assert m["video_codec"] == "hvc1"
+
+
+def test_parse_mp4_short_v1_mvhd_is_skipped():
+    import struct
+
+    from whylogs_spark.ops.multimodal import parse_mp4
+
+    # version-1 mvhd with a 28-byte body: too short to carry the
+    # 64-bit duration — must be skipped, not read past the box
+    mvhd = _box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 24)
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    m = parse_mp4(ftyp + _box(b"moov", mvhd))
+    assert "duration_sec" not in m

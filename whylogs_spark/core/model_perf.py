@@ -165,10 +165,14 @@ def roc_auc_exact(
     return (
         cum.crossJoin(F.broadcast(tot))
         .agg(
-            (F.sum(F.col("neg")
-                   * (F.col("P") - F.col("cum_pos_below")
-                      - F.col("pos") / 2))
-             / (F.first("P") * F.first("N"))).alias("auc"),
+            # single-class input (P or N = 0) -> NULL, not a
+            # divide-by-zero abort under Spark's default ANSI mode
+            F.when(
+                (F.first("P") > 0) & (F.first("N") > 0),
+                F.sum(F.col("neg")
+                      * (F.col("P") - F.col("cum_pos_below")
+                         - F.col("pos") / 2))
+                / (F.first("P") * F.first("N"))).alias("auc"),
             F.first("P").cast("long").alias("n_positive"),
             F.first("N").cast("long").alias("n_negative"),
         )

@@ -156,14 +156,18 @@ def train_bpe(
         F.explode(
             F.when(F.length(t) == 0, F.array().cast("array<string>"))
             .otherwise(F.split(t, r"\s+"))).alias("w"))
-    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # drop empty tokens (leading/trailing non-space whitespace that
+    # trim leaves behind) so training and the tokenize kernel agree on
+    # word boundaries exactly
+    counts = words.filter(F.col("w") != "") \
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     top = counts.orderBy(F.col("c").desc(), F.col("w").asc()) \
         .limit(max_word_types).collect()
     freqs = {r.w: r.c for r in top}
     merges = learn_bpe_merges(freqs, num_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
     vocab = sorted({s for w in freqs
-                    for s in bpe_encode_word(
-                        w, {p: i for i, p in enumerate(merges)})})
+                    for s in bpe_encode_word(w, ranks)})
     return BpeModel(merges=tuple(merges), vocab=tuple(vocab))
 
 
@@ -204,14 +208,20 @@ def tokenize_bpe(
                 cache[word] = got
             return got
 
+        import re as _re
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                text = (r[text_col] or "").strip().lower()
+                # mirror the training tokenizer EXACTLY: JVM trim
+                # strips ASCII spaces only, Java \s+ is ASCII-only
+                # (Python's \s is Unicode-aware — re.ASCII matches)
+                text = (r[text_col] or "").strip(" ").lower()
                 toks: List[str] = []
                 if text:
-                    for w in text.split():
-                        toks.extend(enc(w))
+                    for w in _re.split(r"\s+", text, flags=_re.ASCII):
+                        if w:
+                            toks.extend(enc(w))
                 if emit_tokens:
                     rows.append((r[id_col], len(toks), toks))
                 else:

@@ -1247,8 +1247,14 @@ def dedup_paragraphs(
     ``array_distinct`` (first-occurrence semantics), re-join. ZERO
     shuffle, no state, no Python; cost is linear in document length
     and embarrassingly parallel.
+
+    ``sep`` is treated as a LITERAL separator (escaped before the
+    regex split, so "||" or "." split where they appear, not as regex
+    operators), matching the literal re-join.
     """
-    parts = F.split(F.col(text_col), sep)
+    import re as _re
+
+    parts = F.split(F.col(text_col), _re.escape(sep))
     keep = F.filter(
         parts,
         lambda x, i: (F.length(F.trim(x)) == 0)

@@ -1203,7 +1203,7 @@ def parse_mp4(content: bytes) -> dict:
         for t2, c0, c1 in _mp4_boxes(content, b0, b1):
             if t2 == b"mvhd" and c1 - c0 >= 20:
                 ver = content[c0]
-                if ver == 1 and c1 - c0 >= 28:
+                if ver == 1 and c1 - c0 >= 32:
                     ts = int.from_bytes(content[c0 + 20:c0 + 24], "big")
                     dur = int.from_bytes(content[c0 + 24:c0 + 32], "big")
                 else:

@@ -397,8 +397,12 @@ def train_bigram_lm(
     )
     capped = pc.orderBy(F.col("c12").desc(), F.col("w1").asc(),
                         F.col("w2").asc()).limit(max_bigrams)
+    # broadcast the CAPPED side (<= max_bigrams rows) into the
+    # unbounded unigram table — broadcasting `uni` would collect the
+    # full corpus vocabulary (O(10^8+) rows at web scale), the exact
+    # hazard the vocab-cap machinery exists to avoid
     return (
-        capped.join(F.broadcast(uni), "w1")
+        F.broadcast(capped).join(uni, "w1")
         .select("w1", "w2",
                 F.log(F.col("c12") / F.col("c1")).alias("logscore"))
     )

@@ -298,9 +298,15 @@ def mix_sources(
         .filter(F.col("__w").isNotNull())
         .withColumn(
             "__frac",
-            F.least(F.lit(1.0),
-                    F.col("__w") * F.lit(float(token_budget))
-                    / F.col("__have")))
+            # a zero/NULL-token source trivially satisfies any positive
+            # target: keep everything (and never divide by zero, which
+            # ANSI mode turns into a job abort)
+            F.when(
+                F.col("__have") > 0,
+                F.least(F.lit(1.0),
+                        F.col("__w") * F.lit(float(token_budget))
+                        / F.col("__have")))
+            .otherwise(F.lit(1.0)))
         .withColumn(
             "__thr",
             F.when(F.col("__frac") >= 1.0, F.lit("g" * 8))

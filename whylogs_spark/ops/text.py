@@ -357,10 +357,21 @@ def normalize_text(
     if strip_control:
         c = strip_control_chars(c)
     src = src.withColumn(work_col, c)
-    out_fields = [f.name for f in df.schema.fields if f.name != target]
-    result_schema = T.StructType(
-        [df.schema[f] for f in out_fields]
-        + [T.StructField(target, T.StringType())])
+    # preserve the original column ORDER: replacing in place keeps the
+    # target field where it was (positional consumers — union by
+    # position, parquet appends — must not see a reordered schema);
+    # a NEW out_col appends at the end
+    if target in df.columns:
+        result_fields = [
+            f if f.name != target
+            else T.StructField(target, T.StringType())
+            for f in df.schema.fields
+        ]
+    else:
+        result_fields = list(df.schema.fields) + [
+            T.StructField(target, T.StringType())]
+    result_schema = T.StructType(result_fields)
+    out_names = [f.name for f in result_fields]
 
     def kernel(batches):
         for pdf in batches:
@@ -371,8 +382,8 @@ def normalize_text(
                     continue
                 t = fix_mojibake(v) if fix_encoding else v
                 vals.append(unicodedata.normalize(form, t))
-            res = pdf[out_fields].copy()
+            res = pdf[[n for n in out_names if n in pdf.columns]].copy()
             res[target] = vals
-            yield res
+            yield res[out_names]
 
     return src.mapInPandas(kernel, result_schema)
