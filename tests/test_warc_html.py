@@ -313,3 +313,79 @@ def test_parse_mp4_short_v1_mvhd_is_skipped():
     ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
     m = parse_mp4(ftyp + _box(b"moov", mvhd))
     assert "duration_sec" not in m
+
+
+# ------------------------------------------------------- robots.txt
+
+def test_robots_filter_enforces_rules(spark):
+    from whylogs_spark.ops.urls import robots_filter
+
+    robots_a = "\n".join([
+        "User-agent: *",
+        "Disallow: /private/",
+        "Allow: /private/ok.html",
+    ])
+    robots_b = "\n".join([
+        "User-agent: mybot",
+        "Disallow: /",
+        "User-agent: *",
+        "Disallow:",
+    ])
+    robots = spark.createDataFrame(
+        [("a.com", robots_a), ("b.com", robots_b), ("empty.com", "")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [(0, "https://a.com/index.html"),
+         (1, "https://a.com/private/secret.html"),
+         (2, "https://a.com/private/ok.html"),
+         (3, "https://b.com/anything"),
+         (4, "https://empty.com/x"),
+         (5, "https://norobots.com/y")],
+        "doc_id long, url string")
+    kept = sorted(r.doc_id for r in robots_filter(
+        urls, robots).select("doc_id").collect())
+    # default agent '*': a.com blocks /private/ except ok.html; b.com
+    # allows '*'; no/empty robots -> allowed
+    assert kept == [0, 2, 3, 4, 5]
+    bot = sorted(r.doc_id for r in robots_filter(
+        urls, robots, agent="mybot").select("doc_id").collect())
+    assert 3 not in bot              # b.com blocks mybot entirely
+    audit = sorted(r.doc_id for r in robots_filter(
+        urls, robots, keep="disallowed").select("doc_id").collect())
+    assert audit == [1]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        robots_filter(urls, robots, keep="nope")
+
+
+def test_robots_rules_longest_match_and_wildcards():
+    from whylogs_spark.ops.urls import (_robots_allowed,
+                                        _robots_rules_for)
+
+    body = "\n".join([
+        "User-agent: *",
+        "Disallow: /shop/*/checkout",
+        "Allow: /shop/",
+        "Disallow: /*.pdf$",
+        "Disallow: /tmp",
+    ])
+    rules = _robots_rules_for(body, "anybot")
+    assert _robots_allowed(rules, "https://x.com/shop/a/item")
+    assert not _robots_allowed(rules, "https://x.com/shop/a/checkout")
+    assert not _robots_allowed(rules, "https://x.com/doc.pdf")
+    assert _robots_allowed(rules, "https://x.com/doc.pdfx")  # $ anchors
+    assert not _robots_allowed(rules, "https://x.com/tmpfile")  # prefix
+    assert _robots_allowed(rules, "https://x.com/other")
+
+    # most specific agent group wins over '*'
+    body2 = "\n".join([
+        "User-agent: greedybot",
+        "Disallow: /",
+        "User-agent: *",
+        "Disallow: /secret/",
+    ])
+    g = _robots_rules_for(body2, "GreedyBot/2.1")
+    assert not _robots_allowed(g, "https://x.com/anything")
+    star = _robots_rules_for(body2, "otherbot")
+    assert _robots_allowed(star, "https://x.com/anything")
+    assert not _robots_allowed(star, "https://x.com/secret/x")
