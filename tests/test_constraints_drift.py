@@ -293,3 +293,25 @@ def test_rolling_psi_plan_has_no_window(spark, events):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_store_drift_between(spark, lineitem, tmp_path):
+    import whylogs_spark as wsp
+    from whylogs_spark.io.store import ProfileStore
+
+    store = ProfileStore(str(tmp_path / "profiles"))
+    import datetime as dt
+
+    base = lineitem.select("l_quantity", "l_extendedprice")
+    store.write(wsp.profile(base), "orders",
+                dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))
+    shifted = base.selectExpr("l_quantity + 30 AS l_quantity",
+                              "l_extendedprice")
+    store.write(wsp.profile(shifted), "orders",
+                dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc))
+    scores = store.drift_between(
+        spark, "orders",
+        "2024-01-01", "2024-01-31", "2024-02-01", "2024-02-28")
+    by_col = {s.column: s for s in scores}
+    assert by_col["l_quantity"].category in ("DRIFT", "POSSIBLE_DRIFT")
+    assert by_col["l_extendedprice"].category == "NO_DRIFT"

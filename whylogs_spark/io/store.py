@@ -80,3 +80,25 @@ class ProfileStore:
             for r in self._read(spark).select("dataset_id")
             .distinct().collect()
         ]
+
+    def drift_between(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        baseline_from: str,
+        baseline_to: str,
+        target_from: str,
+        target_to: str,
+    ):
+        """Drift scores between two stored date ranges of a dataset —
+        the monitoring question ("did last week move vs the month
+        before?") straight off the store: two partition-pruned
+        merge-on-read loads + the KLL/frequent-items drift tests
+        (``core.drift.calculate_drift_scores``). Returns the per-column
+        ``DriftScore`` list; requires profiles written with sketch
+        metrics (the default config)."""
+        from ..core.drift import calculate_drift_scores
+
+        ref = self.get(spark, dataset_id, baseline_from, baseline_to)
+        tgt = self.get(spark, dataset_id, target_from, target_to)
+        return calculate_drift_scores(tgt, ref)
