@@ -188,6 +188,26 @@ def main() -> None:
         _noop(drift_mod.rolling_psi(t["events"], "ts", "value",
                                     unit="day"))
 
+    def bench_interval_join():
+        from whylogs_spark.ops.intervals import interval_join
+        ev = t["events"]
+        windows = (
+            ev.filter(F.col("event_id") % 20 == 0)
+            .select(F.col("event_id").alias("window_id"), "user_id",
+                    F.col("ts").alias("start"),
+                    (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                    .alias("end"))
+        )
+        _noop(interval_join(
+            ev.select("event_id", "user_id", "ts"), windows,
+            on="ts", by=["user_id"], bucket="1 hour"))
+
+    def bench_zorder_cluster():
+        from whylogs_spark.ops import layout as layout_ops
+        _noop(layout_ops.cluster_by_zorder(
+            t["lineitem"], ["l_extendedprice", "l_quantity"],
+            n_partitions=ncpu))
+
     # scale rehearsal: 10x-replicated corpus (distinct doc_ids, same
     # texts -> every line/shingle is a 10-way duplicate, the worst
     # realistic skew shape for the dedup family); exercises the
@@ -276,6 +296,8 @@ def main() -> None:
         "classifier_dsir_documents": bench_classifier_dsir,
         "incremental_dedup_bloom": bench_incremental_dedup_bloom,
         "rolling_psi_events": bench_rolling_psi,
+        "interval_join_events": bench_interval_join,
+        "zorder_cluster_lineitem": bench_zorder_cluster,
         "duplicate_spans_documents": bench_duplicate_spans,
         "dedup_scale_10x": bench_dedup_scale_10x,
         "dupspans_scale_10x": bench_dupspans_scale_10x,
