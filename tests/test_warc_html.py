@@ -389,3 +389,48 @@ def test_robots_rules_longest_match_and_wildcards():
     star = _robots_rules_for(body2, "otherbot")
     assert _robots_allowed(star, "https://x.com/anything")
     assert not _robots_allowed(star, "https://x.com/secret/x")
+
+
+def test_robots_group_merge_and_adversarial_pattern():
+    import time
+
+    from whylogs_spark.ops.urls import (_glob_match, _robots_allowed,
+                                        _robots_rules_for)
+
+    # RFC 2.2.1: repeated matching groups MERGE
+    body = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b"
+    rules = _robots_rules_for(body, "anybot")
+    assert not _robots_allowed(rules, "https://x.com/a1")
+    assert not _robots_allowed(rules, "https://x.com/b1")
+    # non-rule records (sitemap) neither break groups nor flush them
+    body2 = ("User-agent: a\nSitemap: https://x.com/s.xml\n"
+             "User-agent: b\nDisallow: /x")
+    assert not _robots_allowed(
+        _robots_rules_for(body2, "a"), "https://x.com/x1")
+    # adversarial wildcard rule must evaluate in linear-ish time, not
+    # exponential regex backtracking
+    evil = "/" + "*a" * 24 + "b"
+    t0 = time.time()
+    for _ in range(50):
+        _glob_match(evil.rstrip("$"), False, "/" + "a" * 30)
+    assert time.time() - t0 < 1.0
+
+
+def test_robots_filter_host_normalization_and_dup_rows(spark):
+    from whylogs_spark.ops.urls import robots_filter
+
+    robots = spark.createDataFrame(
+        [("WWW.A.com:443", "User-agent: *\nDisallow: /"),
+         ("b.com", "User-agent: *\nDisallow: /"),
+         ("b.com", "User-agent: *\nDisallow: /")],  # duplicate row
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [(0, "https://www.a.com/x"), (1, "https://a.com/y"),
+         (2, "https://b.com/z"), (3, "https://c.com/ok")],
+        "doc_id long, url string")
+    out = robots_filter(urls, robots)
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # www/case/port variants of a.com all resolve to its rules; the
+    # duplicated b.com row must not duplicate output rows
+    assert kept == [3]
+    assert out.count() == 1

@@ -182,12 +182,12 @@ def domain_filter(
 # ------------------------------------------------------- robots.txt
 
 def _robots_rules_for(body: str, agent: str):
-    """Parse a robots.txt body into the (allow, path-regex, length)
-    rule list of the MOST SPECIFIC matching User-agent group per RFC
-    9309: groups naming a token contained in ``agent`` beat the '*'
-    group; the longest matching token wins among named groups."""
-    import re as _re
-
+    """Parse a robots.txt body into the (allow, pattern, length) rule
+    list for ``agent`` per RFC 9309: groups naming a token contained in
+    ``agent`` beat the '*' groups; ALL groups at the winning
+    specificity are MERGED (sec. 2.2.1 — repeated groups combine);
+    records other than user-agent/allow/disallow are ignored entirely
+    and do not break a group."""
     groups = []  # (agents:list[str], rules:list[(allow, path)])
     cur_agents: list = []
     cur_rules: list = []
@@ -209,29 +209,67 @@ def _robots_rules_for(body: str, agent: str):
             if value or field == "disallow":
                 cur_rules.append((field == "allow", value))
             expecting_agents = False
-        else:
-            expecting_agents = False
+        # any other record (sitemap, crawl-delay, ...): ignored, does
+        # not end the group per RFC 9309
     if cur_agents:
         groups.append((cur_agents, cur_rules))
     al = agent.lower()
-    best, best_len = None, -1
-    star = None
-    for agents, rules in groups:
+    best_len = -1
+    for agents, _ in groups:
         for a in agents:
-            if a == "*":
-                star = rules if star is None else star
-            elif a and a in al and len(a) > best_len:
-                best, best_len = rules, len(a)
-    chosen = best if best is not None else (star or [])
+            if a != "*" and a and a in al and len(a) > best_len:
+                best_len = len(a)
     out = []
-    for allow, path in chosen:
-        if not path:  # empty Disallow: allows everything (no match)
+    for agents, rules in groups:
+        tokens = [a for a in agents]
+        if best_len >= 0:
+            match = any(a != "*" and a and a in al
+                        and len(a) == best_len for a in tokens)
+        else:
+            match = "*" in tokens
+        if not match:
             continue
-        pat = _re.escape(path).replace(r"\*", ".*")
-        if pat.endswith(r"\$"):
-            pat = pat[:-2] + "$"
-        out.append((allow, _re.compile(pat), len(path)))
+        for allow, path in rules:
+            if not path:  # empty Disallow: allows everything
+                continue
+            # collapse '*' runs (equivalent matches, smaller state)
+            while "**" in path:
+                path = path.replace("**", "*")
+            anchored = path.endswith("$")
+            pat = path[:-1] if anchored else path
+            out.append((allow, (pat, anchored), len(path)))
     return out
+
+
+def _glob_match(pattern: str, anchored: bool, path: str) -> bool:
+    """Linear-state wildcard prefix match ('*' spans any run; the rule
+    matches any path PREFIX unless '$'-anchored to the full path).
+    Iterative two-pointer algorithm — O(len*len) worst case, immune to
+    the catastrophic backtracking a '*'->'.*' regex translation
+    invites from adversarial third-party robots bodies."""
+    pi = si = 0
+    star_pi = star_si = -1
+    n, m = len(path), len(pattern)
+    while si < n:
+        if pi < m and (pattern[pi] == path[si]):
+            pi += 1
+            si += 1
+        elif pi < m and pattern[pi] == "*":
+            star_pi, star_si = pi, si
+            pi += 1
+        elif star_pi >= 0:
+            star_si += 1
+            pi, si = star_pi + 1, star_si
+        else:
+            return False
+        if pi == m or (pi == m - 1 and pattern[pi] == "*"):
+            # pattern exhausted (or only a trailing '*') -> prefix hit;
+            # '$'-anchored rules additionally need the path consumed
+            if not anchored:
+                return True
+    while pi < m and pattern[pi] == "*":
+        pi += 1
+    return pi == m and si == n
 
 
 def _robots_allowed(rules, url: str) -> bool:
@@ -243,8 +281,9 @@ def _robots_allowed(rules, url: str) -> bool:
     if parts.query:
         path += "?" + parts.query
     verdict, best = True, -1
-    for allow, rx, ln in rules:
-        if rx.match(path) and (ln > best or (ln == best and allow)):
+    for allow, (pat, anchored), ln in rules:
+        if _glob_match(pat, anchored, path) and (
+                ln > best or (ln == best and allow)):
             verdict, best = allow, ln
     return verdict
 
@@ -272,13 +311,26 @@ def robots_filter(
     length ties, and the '*' / '$' wildcards — the stdlib
     ``urllib.robotparser`` is order-based (first match wins) and gets
     ``Disallow: /private/`` + ``Allow: /private/ok.html`` wrong, so it
-    is deliberately not used. Scale shape: one equi-join on host (robots tables
-    are per-host — millions of rows at web scale, so it broadcasts
-    below the threshold and hash-joins above, either way keyed
-    correctly), then an Arrow-batched kernel that parses each DISTINCT
-    robots body once per partition (memoized) and evaluates URLs
+    is deliberately not used; wildcard matching runs an iterative glob
+    matcher (O(path*pattern) worst case) rather than a '*'->'.*' regex,
+    so an adversarial third-party robots body cannot trigger
+    catastrophic backtracking in the kernel.
+
+    Scale shape: one equi-join on host (robots tables are per-host —
+    millions of rows at web scale, so it broadcasts below the threshold
+    and hash-joins above, either way keyed correctly), then an
+    Arrow-batched kernel that parses each DISTINCT robots body once per
+    partition (hash-keyed, size-bounded memo) and evaluates URLs
     against it — no per-row parser construction.
+
+    Robots hosts are canonicalized EXACTLY like ``url_host`` does to
+    the URLs (lowercase, port stripped, ``www.`` stripped — apex and
+    www. hosts are deliberately conflated, matching the module's URL
+    convention), and multiple rows per host are deterministically
+    reduced to one (max body) so a re-fetched robots entry can never
+    duplicate output rows.
     """
+    import hashlib
     from typing import Iterator
 
     import pandas as pd
@@ -289,9 +341,12 @@ def robots_filter(
         raise ValueError("keep must be allowed|disallowed")
     want_allowed = keep == "allowed"
     withhost = df.withColumn("__host", url_host(F.col(url_col)))
-    rb = robots.select(
-        F.col(host_col).alias("__host"),
-        F.col(robots_col).alias("__robots"))
+    rb = (
+        robots.select(
+            url_host(F.col(host_col)).alias("__host"),
+            F.col(robots_col).alias("__robots"))
+        .groupBy("__host").agg(F.max("__robots").alias("__robots"))
+    )
     joined = withhost.join(rb, "__host", "left")
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField("__keep",
@@ -299,15 +354,23 @@ def robots_filter(
     cols = [f.name for f in df.schema.fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # memo keyed by a digest (the 500 KiB body strings are not
+        # retained) and bounded so a partition spanning millions of
+        # hosts cannot pin unbounded rule state
         cache: dict = {}
+        _CACHE_CAP = 50_000
 
         def allowed(body, url) -> bool:
             if body is None or not str(body).strip():
                 return True
-            rules = cache.get(body)
+            key = hashlib.md5(str(body).encode("utf-8",
+                                               "surrogatepass")).digest()
+            rules = cache.get(key)
             if rules is None:
                 rules = _robots_rules_for(str(body), agent)
-                cache[body] = rules
+                if len(cache) >= _CACHE_CAP:
+                    cache.clear()
+                cache[key] = rules
             try:
                 return _robots_allowed(rules, url)
             except Exception:
