@@ -1327,6 +1327,20 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean").cast("long").alias("n_chars_clean"))
 
 
+def _q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary-aware chunking (ops/text.py
+    chunk_text_sentences): lookbehind-free sentence split, per-doc
+    windowed token cumsum, greedy budget fill. Oracle recomputes the
+    identical rule with RE2 + a windowed cumsum."""
+    from whylogs_spark.ops import text as text_mod
+
+    df = _t(spark, sf_dir, "documents")
+    out = text_mod.chunk_text_sentences(df, max_tokens=40)
+    return out.select(
+        "doc_id", "chunk_idx", F.md5(F.col("chunk")).alias("chunk_md5"),
+        "n_sentences", "n_tokens")
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1508,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "normalize_text_documents": _q_normalize_text,
+        "chunk_sentences_documents": _q_chunk_sentences,
     }
 
 
@@ -2261,6 +2276,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.thr"
         ),
         "zorder_key_lineitem": _zorder_key_sql(),
+        "chunk_sentences_documents": (
+            "WITH m AS (SELECT doc_id, list_filter(string_split("
+            "regexp_replace(text, '([.!?]+)(\\s+)', '\\1\\2␞', "
+            "'g'), '␞'), s -> len(trim(s)) > 0) AS sents "
+            "FROM documents), "
+            "p AS (SELECT doc_id, unnest(list_transform("
+            "range(1, len(sents) + 1), i -> struct_pack(i := i, "
+            "s := sents[i]))) AS u FROM m), "
+            "e AS (SELECT doc_id, u['i'] AS pos, u['s'] AS s, "
+            "len(string_split_regex(trim(u['s']), '\\s+')) AS nt "
+            "FROM p), "
+            "c AS (SELECT doc_id, pos, s, nt, "
+            "floor((sum(nt) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt)"
+            " / 40)::BIGINT AS chunk_idx FROM e) "
+            "SELECT doc_id, chunk_idx, "
+            "md5(string_agg(s, '' ORDER BY pos)) AS chunk_md5, "
+            "count(*) AS n_sentences, sum(nt)::BIGINT AS n_tokens "
+            "FROM c GROUP BY doc_id, chunk_idx"
+        ),
         "normalize_text_documents": (
             "SELECT doc_id, md5(nfc_normalize(regexp_replace(text, "
             "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) "

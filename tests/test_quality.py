@@ -339,3 +339,35 @@ def test_normalize_text_preserves_column_order(spark):
     assert out.columns == ["doc_id", "text", "lang"]
     new = T_ops.normalize_text(df, out_col="clean")
     assert new.columns == ["doc_id", "text", "lang", "clean"]
+
+
+# ---------------------------------------------- sentence-aware chunking
+
+def test_chunk_text_sentences_packs_at_boundaries(spark):
+    from whylogs_spark.ops.text import chunk_text_sentences
+
+    rows = [(1, "One two three. Four five! Six seven eight nine? Ten."),
+            (2, "no enders just words"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_idx): r for r in
+           chunk_text_sentences(df, max_tokens=5).collect()}
+    assert out[(1, 0)].chunk == "One two three. Four five! "
+    assert out[(1, 0)].n_sentences == 2 and out[(1, 0)].n_tokens == 5
+    assert out[(1, 1)].chunk == "Six seven eight nine? Ten."
+    assert out[(2, 0)].n_tokens == 4
+    assert not any(k[0] in (3, 4) for k in out)  # empty/null: no chunks
+    # reassembled chunks concatenate back to the full sentence stream
+    assert out[(1, 0)].chunk + out[(1, 1)].chunk == rows[0][1]
+
+
+def test_chunk_text_sentences_oversized_sentence_own_chunk(spark):
+    from whylogs_spark.ops.text import chunk_text_sentences
+
+    text = "tiny. " + " ".join(f"w{i}" for i in range(30)) + ". end."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_text_sentences(df, max_tokens=10).collect(),
+                  key=lambda r: r.chunk_idx)
+    # the 30-token sentence overflows its chunk but is never split
+    assert any(r.n_tokens >= 30 for r in rows)
+    assert all(r.n_sentences >= 1 for r in rows)

@@ -387,3 +387,74 @@ def normalize_text(
             yield res[out_names]
 
     return src.mapInPandas(kernel, result_schema)
+
+
+# ---------------------------------------------- sentence-aware chunking
+
+_SENT_DELIM = "␞"  # RECORD SEPARATOR glyph: never occurs in text
+
+
+def split_sentences(c: Column) -> Column:
+    """Sentence segmentation as a pure codegen expression: a delimiter
+    is INSERTED after runs of sentence-ending punctuation followed by
+    whitespace (``regexp_replace`` + ``split`` — deliberately no regex
+    lookbehind, so any RE2-class engine reproduces it exactly),
+    then the text splits on the delimiter. Trailing whitespace stays
+    attached to the preceding sentence; blank segments are removed.
+    Heuristic by design (abbreviation-blind) — the published fast path
+    for corpus work; swap in a model segmenter via mapInPandas when
+    linguistic fidelity matters more than throughput."""
+    marked = F.regexp_replace(c, r"([.!?]+)(\s+)",
+                              "$1$2" + _SENT_DELIM)
+    return F.filter(F.split(marked, _SENT_DELIM),
+                    lambda s: F.length(F.trim(s)) > 0)
+
+
+def chunk_text_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+) -> DataFrame:
+    """Sentence-BOUNDARY-aware chunking: sentences are packed greedily
+    into chunks whose whitespace-token count stays under ``max_tokens``
+    — the RAG-prep variant of ``chunk_text`` that never cuts through a
+    sentence. A single sentence longer than the budget gets its own
+    (oversized) chunk, the same boundary-overflow contract as
+    ``pack_chunks``.
+
+    Chunk assignment is ``floor(running_token_start / max_tokens)``
+    over the document's sentences in order — exactly the sequential
+    fill rule of ``pack_chunks`` applied within each document, so the
+    SQL oracle is a windowed cumsum. Returns (id_col, chunk_idx,
+    chunk, n_sentences, n_tokens).
+
+    Scale shape: posexplode of the in-plan sentence array, ONE window
+    keyed by (doc id) — bounded by a single document's sentence count,
+    never a corpus-wide key — then a groupBy(doc, chunk) reassembly.
+    Catalyst prunes the scan to (id, text).
+    """
+    sents = split_sentences(F.col(text_col))
+    toks = F.size(F.split(F.trim(F.col("sent")), r"\s+"))
+    exploded = (
+        df.select(F.col(id_col),
+                  F.posexplode(sents).alias("pos", "sent"))
+        .withColumn("n_tok", toks)
+    )
+    w = Window.partitionBy(id_col).orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long")
+    chunked = exploded.withColumn(
+        "chunk_idx", F.floor(start / F.lit(max_tokens)).cast("long"))
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("pos", "sent"))),
+                    lambda s: s["sent"]), "").alias("chunk"),
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
