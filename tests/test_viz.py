@@ -1,0 +1,45 @@
+"""HTML report writer (whylogs_spark/viz.py): structure, stat content,
+inline SVG histograms, drift categories, escaping, file round trip."""
+
+import pytest
+
+import whylogs_spark as wsp
+from whylogs_spark import viz
+
+
+@pytest.fixture(scope="module")
+def li_view(lineitem):
+    return wsp.profile(
+        lineitem.select("l_quantity", "l_extendedprice",
+                        "l_returnflag")).cache()
+
+
+def test_profile_report_structure(li_view):
+    html = viz.profile_report_html(li_view, title="Lineitem <profile>")
+    assert html.startswith("<!doctype html>")
+    assert "Lineitem &lt;profile&gt;" in html       # escaped title
+    for col in ("l_quantity", "l_extendedprice", "l_returnflag"):
+        assert f"<h2>{col}</h2>" in html
+    assert "<svg" in html                            # KLL histograms
+    assert "distinct est" in html and "stddev" in html
+    # self-contained: no external refs
+    assert "http-equiv" not in html and "src=" not in html
+
+
+def test_drift_report_categories_and_overlay(lineitem):
+    a = wsp.profile(lineitem.filter("l_extendedprice < 50000")
+                    .select("l_extendedprice", "l_quantity"))
+    b = wsp.profile(lineitem.filter("l_extendedprice >= 50000")
+                    .select("l_extendedprice", "l_quantity"))
+    html = viz.drift_report_html(a, b)
+    assert 'class="cat-DRIFT"' in html               # price split drifts
+    assert "l_extendedprice" in html and "l_quantity" in html
+    # overlaid histograms: two svg blocks inside a card
+    assert html.count("<svg") >= 4
+
+
+def test_write_html_roundtrip(li_view, tmp_path):
+    p = tmp_path / "report.html"
+    viz.write_html(str(p), viz.profile_report_html(li_view))
+    text = p.read_text(encoding="utf-8")
+    assert text.startswith("<!doctype html>") and text.endswith("</html>")

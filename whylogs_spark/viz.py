@@ -1,0 +1,174 @@
+"""Self-contained HTML reports over profiles — the engine's answer to
+the reference's notebook visualizer
+(python/whylogs/viz/notebook_profile_viz.py: profile summary, summary
+drift report, histogram comparisons), WITHOUT its template/JS bundle:
+plain stdlib string assembly + inline SVG, so a report is one portable
+file that renders anywhere (notebook cell via IPython.display.HTML,
+file://, CI artifact) with zero dependencies.
+
+All rendering is driver-side over an already-computed ProfileView — a
+few KB of summary rows and sketch bytes per column; no Spark job runs
+here beyond the view's own ``toPandas``.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from typing import List, Optional, Sequence, Tuple
+
+_CSS = """
+body{font-family:system-ui,sans-serif;margin:24px;color:#1a1a2e}
+h1{font-size:20px} h2{font-size:15px;margin:18px 0 6px}
+table{border-collapse:collapse;margin:4px 0 12px}
+th,td{border:1px solid #d8d8e0;padding:3px 9px;font-size:12px;
+text-align:right} th{background:#f0f0f6} td:first-child,
+th:first-child{text-align:left}
+.cat-DRIFT{color:#b00020;font-weight:600}
+.cat-POSSIBLE_DRIFT{color:#b36b00;font-weight:600}
+.cat-NO_DRIFT{color:#1a7f37}
+.grid{display:flex;flex-wrap:wrap;gap:18px}
+.card{border:1px solid #d8d8e0;border-radius:6px;padding:10px}
+.small{color:#666;font-size:11px}
+"""
+
+
+def _esc(v) -> str:
+    return _html.escape("" if v is None else str(v))
+
+
+def _fmt(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return str(v)
+
+
+def _svg_hist(bins: Sequence[Tuple[float, float, int]],
+              width: int = 300, height: int = 80,
+              color: str = "#4c6ef5", opacity: float = 1.0) -> str:
+    if not bins:
+        return ""
+    peak = max(c for _, _, c in bins) or 1
+    n = len(bins)
+    bw = width / n
+    bars = []
+    for i, (_, _, c) in enumerate(bins):
+        h = (c / peak) * (height - 4)
+        bars.append(
+            f'<rect x="{i * bw:.1f}" y="{height - h:.1f}" '
+            f'width="{max(bw - 1, 1):.1f}" height="{h:.1f}" '
+            f'fill="{color}" fill-opacity="{opacity}"/>')
+    lo, hi = bins[0][0], bins[-1][1]
+    return (
+        f'<svg width="{width}" height="{height + 14}" '
+        f'xmlns="http://www.w3.org/2000/svg">'
+        + "".join(bars)
+        + f'<text x="0" y="{height + 11}" font-size="9">{_fmt(lo)}</text>'
+        + f'<text x="{width}" y="{height + 11}" font-size="9" '
+        f'text-anchor="end">{_fmt(hi)}</text></svg>'
+    )
+
+
+_SUMMARY_ROWS = [
+    ("rows", "counts/n"), ("nulls", "counts/null"),
+    ("mean", "distribution/mean"), ("stddev", "distribution/stddev"),
+    ("min", "distribution/min"), ("median", "distribution/median"),
+    ("max", "distribution/max"), ("distinct est", "cardinality/est"),
+]
+
+
+def profile_report_html(view, title: str = "Profile report") -> str:
+    """One self-contained HTML page: a per-column card with the headline
+    stats and (for sketched numeric columns) an inline-SVG histogram
+    from the KLL sketch — the reference's profile_summary report shape."""
+    wide = view.to_pandas()
+    cards = []
+    for _, row in wide.iterrows():
+        col = row["column"]
+        seg = row.get("segment", "{}")
+        stats = []
+        for label, key in _SUMMARY_ROWS:
+            if key in wide.columns and row.get(key) is not None:
+                val = row.get(key)
+                try:
+                    if val != val:  # NaN
+                        continue
+                except Exception:
+                    pass
+                stats.append(
+                    f"<tr><td>{_esc(label)}</td>"
+                    f"<td>{_esc(_fmt(val))}</td></tr>")
+        svg = ""
+        try:
+            svg = _svg_hist(view.histogram(col))
+        except Exception:
+            pass
+        seg_note = (f'<div class="small">segment {_esc(seg)}</div>'
+                    if seg not in (None, "{}") else "")
+        cards.append(
+            f'<div class="card"><h2>{_esc(col)}</h2>{seg_note}'
+            f"<table>{''.join(stats)}</table>{svg}</div>")
+    meta = ""
+    if getattr(view, "dataset_timestamp", None) is not None:
+        meta = (f'<div class="small">dataset timestamp: '
+                f"{_esc(view.dataset_timestamp)}</div>")
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_esc(title)}</title><style>{_CSS}</style></head>"
+        f"<body><h1>{_esc(title)}</h1>{meta}"
+        f'<div class="grid">{"".join(cards)}</div></body></html>'
+    )
+
+
+def drift_report_html(
+    target,
+    reference,
+    title: str = "Drift report",
+    columns: Optional[List[str]] = None,
+) -> str:
+    """Summary-drift report: the sketch-based drift table (KS / chi2,
+    statistic, p-value, category) plus overlaid target-vs-reference
+    KLL histograms per numeric column — the reference's
+    summary_drift_report rendered lib-free."""
+    from .core.drift import calculate_drift_scores
+
+    scores = calculate_drift_scores(target, reference)
+    if columns:
+        scores = [s for s in scores if s.column in columns]
+    rows = []
+    for s in sorted(scores, key=lambda x: x.column):
+        p = "" if s.p_value is None else _fmt(s.p_value)
+        rows.append(
+            f"<tr><td>{_esc(s.column)}</td><td>{_esc(s.algorithm)}</td>"
+            f"<td>{_esc(_fmt(s.statistic))}</td><td>{p}</td>"
+            f'<td class="cat-{_esc(s.category)}">{_esc(s.category)}'
+            "</td></tr>")
+    charts = []
+    for s in sorted(scores, key=lambda x: x.column):
+        if s.algorithm != "ks":
+            continue
+        try:
+            tb = target.histogram(s.column)
+            rb = reference.histogram(s.column)
+        except Exception:
+            continue
+        charts.append(
+            f'<div class="card"><h2>{_esc(s.column)}</h2>'
+            '<div class="small">reference (grey) vs target (blue)</div>'
+            + _svg_hist(rb, color="#9aa0b0", opacity=0.8)
+            + _svg_hist(tb, opacity=0.8) + "</div>")
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_esc(title)}</title><style>{_CSS}</style></head>"
+        f"<body><h1>{_esc(title)}</h1>"
+        "<table><tr><th>column</th><th>algorithm</th><th>statistic"
+        f"</th><th>p-value</th><th>category</th></tr>{''.join(rows)}"
+        f'</table><div class="grid">{"".join(charts)}</div>'
+        "</body></html>"
+    )
+
+
+def write_html(path: str, html_text: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(html_text)
