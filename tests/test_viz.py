@@ -43,3 +43,16 @@ def test_write_html_roundtrip(li_view, tmp_path):
     viz.write_html(str(p), viz.profile_report_html(li_view))
     text = p.read_text(encoding="utf-8")
     assert text.startswith("<!doctype html>") and text.endswith("</html>")
+
+
+def test_constraints_report_html(li_view):
+    from whylogs_spark.core import constraints as C
+
+    rep = (C.ConstraintsBuilder(li_view)
+           .add(C.no_missing_values("l_quantity"))
+           .add(C.mean_between_range("l_quantity", 1000, 2000))  # fail
+           .build().report())
+    html = viz.constraints_report_html(rep)
+    assert "1/2 constraints pass" in html
+    assert ">PASS<" in html and ">FAIL<" in html
+    assert "l_quantity has no missing values" in html

@@ -172,3 +172,28 @@ def drift_report_html(
 def write_html(path: str, html_text: str) -> None:
     with open(path, "w", encoding="utf-8") as f:
         f.write(html_text)
+
+
+def constraints_report_html(
+    report: Sequence[Tuple[str, int, int]],
+    title: str = "Constraints report",
+) -> str:
+    """Pass/fail table for a ``Constraints.report()`` result — the
+    reference visualizer's constraints_report, one dependency-free
+    page with a headline pass count."""
+    n_pass = sum(1 for _, p, _ in report if p == 1)
+    rows = []
+    for name, passed, failed in report:
+        cls = "cat-NO_DRIFT" if passed == 1 else "cat-DRIFT"
+        verdict = "PASS" if passed == 1 else "FAIL"
+        rows.append(
+            f"<tr><td>{_esc(name)}</td>"
+            f'<td class="{cls}">{verdict}</td></tr>')
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_esc(title)}</title><style>{_CSS}</style></head>"
+        f"<body><h1>{_esc(title)}</h1>"
+        f'<div class="small">{n_pass}/{len(report)} constraints pass'
+        "</div><table><tr><th>constraint</th><th>result</th></tr>"
+        f"{''.join(rows)}</table></body></html>"
+    )
