@@ -2278,15 +2278,16 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key_lineitem": _zorder_key_sql(),
         "chunk_sentences_documents": (
             "WITH m AS (SELECT doc_id, list_filter(string_split("
-            "regexp_replace(text, '([.!?]+)(\\s+)', '\\1\\2␞', "
+            "regexp_replace(replace(text, '␞', ''), "
+            "'([.!?]+)([ \\t\\n\\x0B\\f\\r]+)', '\\1\\2␞', "
             "'g'), '␞'), s -> len(trim(s)) > 0) AS sents "
             "FROM documents), "
             "p AS (SELECT doc_id, unnest(list_transform("
             "range(1, len(sents) + 1), i -> struct_pack(i := i, "
             "s := sents[i]))) AS u FROM m), "
             "e AS (SELECT doc_id, u['i'] AS pos, u['s'] AS s, "
-            "len(string_split_regex(trim(u['s']), '\\s+')) AS nt "
-            "FROM p), "
+            "len(string_split_regex(trim(u['s']), "
+            "'[ \\t\\n\\x0B\\f\\r]+')) AS nt FROM p), "
             "c AS (SELECT doc_id, pos, s, nt, "
             "floor((sum(nt) OVER (PARTITION BY doc_id ORDER BY pos "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt)"

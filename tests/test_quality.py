@@ -361,13 +361,30 @@ def test_chunk_text_sentences_packs_at_boundaries(spark):
     assert out[(1, 0)].chunk + out[(1, 1)].chunk == rows[0][1]
 
 
-def test_chunk_text_sentences_oversized_sentence_own_chunk(spark):
+def test_chunk_text_sentences_boundary_overflow_contract(spark):
     from whylogs_spark.ops.text import chunk_text_sentences
 
     text = "tiny. " + " ".join(f"w{i}" for i in range(30)) + ". end."
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     rows = sorted(chunk_text_sentences(df, max_tokens=10).collect(),
                   key=lambda r: r.chunk_idx)
-    # the 30-token sentence overflows its chunk but is never split
-    assert any(r.n_tokens >= 30 for r in rows)
-    assert all(r.n_sentences >= 1 for r in rows)
+    # pack_chunks contract: a sentence belongs to the chunk its offset
+    # starts in — the 30-token sentence starts at offset 1, overflows
+    # chunk 0 (with 'tiny.'), and 'end.' starts at offset 31 -> chunk 3
+    assert [(r.chunk_idx, r.n_sentences, r.n_tokens) for r in rows] \
+        == [(0, 2, 31), (3, 1, 1)]
+    # no sentence is ever split across chunks
+    assert sum(r.n_sentences for r in rows) == 3
+
+
+def test_split_sentences_delimiter_glyph_and_vertical_tab(spark):
+    from pyspark.sql import functions as F
+
+    from whylogs_spark.ops.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "pre␞mid. after.\x0Bnext one.")], "id long, text string")
+    sents = df.select(split_sentences(F.col("text"))).collect()[0][0]
+    # pre-existing delimiter glyph stripped, never splits mid-sentence;
+    # \x0B after punctuation IS a boundary (explicit class, both engines)
+    assert sents == ["premid. ", "after.\x0B", "next one."]

@@ -56,3 +56,21 @@ def test_constraints_report_html(li_view):
     assert "1/2 constraints pass" in html
     assert ">PASS<" in html and ">FAIL<" in html
     assert "l_quantity has no missing values" in html
+
+
+def test_profile_report_segmented_histograms(lineitem):
+    html = viz.profile_report_html(
+        wsp.profile(lineitem.select("l_quantity", "l_returnflag"),
+                    segment_by=["l_returnflag"]))
+    # one card per (segment, column) with a real per-segment histogram
+    assert html.count("segment ") >= 3
+    assert html.count("<svg") >= 3
+
+
+def test_glob_match_star_in_path():
+    from whylogs_spark.ops.urls import _glob_match
+
+    # '*' is a legal path character; pattern star must still wildcard
+    assert _glob_match("/*a", False, "/*ba")
+    assert _glob_match("/*secret", False, "/*x-secret")
+    assert not _glob_match("/*secret", False, "/open")

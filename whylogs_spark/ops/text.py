@@ -391,7 +391,12 @@ def normalize_text(
 
 # ---------------------------------------------- sentence-aware chunking
 
-_SENT_DELIM = "␞"  # RECORD SEPARATOR glyph: never occurs in text
+_SENT_DELIM = "␞"  # RECORD SEPARATOR glyph (stripped from input first)
+
+# explicit ASCII whitespace class: Java's \s and RE2's \s disagree on
+# \x0B (vertical tab), so spelling the set out keeps Spark and the
+# DuckDB oracle bit-identical on messy crawl text
+_WS_CLASS = r"[ \t\n\x0B\f\r]"
 
 
 def split_sentences(c: Column) -> Column:
@@ -401,10 +406,14 @@ def split_sentences(c: Column) -> Column:
     lookbehind, so any RE2-class engine reproduces it exactly),
     then the text splits on the delimiter. Trailing whitespace stays
     attached to the preceding sentence; blank segments are removed.
+    Pre-existing occurrences of the delimiter glyph are stripped first
+    (they would otherwise split mid-sentence and vanish silently).
     Heuristic by design (abbreviation-blind) — the published fast path
     for corpus work; swap in a model segmenter via mapInPandas when
     linguistic fidelity matters more than throughput."""
-    marked = F.regexp_replace(c, r"([.!?]+)(\s+)",
+    cleaned = F.replace(c, F.lit(_SENT_DELIM), F.lit(""))
+    marked = F.regexp_replace(cleaned,
+                              r"([.!?]+)(" + _WS_CLASS + "+)",
                               "$1$2" + _SENT_DELIM)
     return F.filter(F.split(marked, _SENT_DELIM),
                     lambda s: F.length(F.trim(s)) > 0)
@@ -416,18 +425,21 @@ def chunk_text_sentences(
     id_col: str = "doc_id",
     max_tokens: int = 128,
 ) -> DataFrame:
-    """Sentence-BOUNDARY-aware chunking: sentences are packed greedily
-    into chunks whose whitespace-token count stays under ``max_tokens``
-    — the RAG-prep variant of ``chunk_text`` that never cuts through a
-    sentence. A single sentence longer than the budget gets its own
-    (oversized) chunk, the same boundary-overflow contract as
-    ``pack_chunks``.
+    """Sentence-BOUNDARY-aware chunking: sentences are packed into
+    ~``max_tokens``-token chunks without ever cutting through a
+    sentence — the RAG-prep variant of ``chunk_text``.
 
     Chunk assignment is ``floor(running_token_start / max_tokens)``
-    over the document's sentences in order — exactly the sequential
-    fill rule of ``pack_chunks`` applied within each document, so the
-    SQL oracle is a windowed cumsum. Returns (id_col, chunk_idx,
-    chunk, n_sentences, n_tokens).
+    over the document's sentences in order — EXACTLY the sequential
+    fill rule of ``pack_chunks``, with the same contract: a sentence
+    belongs to the chunk its offset starts in, so a boundary-crossing
+    sentence OVERFLOWS its chunk (a chunk can exceed the budget by up
+    to one sentence, and ``chunk_idx`` values can skip after an
+    oversized sentence). This is the cumsum-expressible rule — a true
+    greedy reset-on-overflow fill is a sequential recurrence that no
+    window computes; callers needing hard caps re-split oversized
+    chunks with ``chunk_text``. Returns (id_col, chunk_idx, chunk,
+    n_sentences, n_tokens).
 
     Scale shape: posexplode of the in-plan sentence array, ONE window
     keyed by (doc id) — bounded by a single document's sentence count,
@@ -435,7 +447,7 @@ def chunk_text_sentences(
     Catalyst prunes the scan to (id, text).
     """
     sents = split_sentences(F.col(text_col))
-    toks = F.size(F.split(F.trim(F.col("sent")), r"\s+"))
+    toks = F.size(F.split(F.trim(F.col("sent")), _WS_CLASS + "+"))
     exploded = (
         df.select(F.col(id_col),
                   F.posexplode(sents).alias("pos", "sent"))

@@ -221,23 +221,26 @@ def _robots_rules_for(body: str, agent: str):
                 best_len = len(a)
     out = []
     for agents, rules in groups:
-        tokens = [a for a in agents]
         if best_len >= 0:
             match = any(a != "*" and a and a in al
-                        and len(a) == best_len for a in tokens)
+                        and len(a) == best_len for a in agents)
         else:
-            match = "*" in tokens
+            match = "*" in agents
         if not match:
             continue
         for allow, path in rules:
             if not path:  # empty Disallow: allows everything
                 continue
+            # precedence uses the rule's WRITTEN length (before any
+            # simplification), so longest-match ordering between rules
+            # never shifts
+            ln = len(path)
             # collapse '*' runs (equivalent matches, smaller state)
             while "**" in path:
                 path = path.replace("**", "*")
             anchored = path.endswith("$")
             pat = path[:-1] if anchored else path
-            out.append((allow, (pat, anchored), len(path)))
+            out.append((allow, (pat, anchored), ln))
     return out
 
 
@@ -251,12 +254,15 @@ def _glob_match(pattern: str, anchored: bool, path: str) -> bool:
     star_pi = star_si = -1
     n, m = len(path), len(pattern)
     while si < n:
-        if pi < m and (pattern[pi] == path[si]):
-            pi += 1
-            si += 1
-        elif pi < m and pattern[pi] == "*":
+        # wildcard test FIRST: '*' is also a legal URL-path character,
+        # and consuming a pattern star as a literal would lose its
+        # backtracking point (e.g. '/*a' must match path '/*ba')
+        if pi < m and pattern[pi] == "*":
             star_pi, star_si = pi, si
             pi += 1
+        elif pi < m and (pattern[pi] == path[si]):
+            pi += 1
+            si += 1
         elif star_pi >= 0:
             star_si += 1
             pi, si = star_pi + 1, star_si
@@ -369,7 +375,10 @@ def robots_filter(
             if rules is None:
                 rules = _robots_rules_for(str(body), agent)
                 if len(cache) >= _CACHE_CAP:
-                    cache.clear()
+                    # evict one entry, never wipe: a full clear would
+                    # re-parse the hot hosts' rules over and over on a
+                    # partition with many distinct bodies
+                    cache.pop(next(iter(cache)))
                 cache[key] = rules
             try:
                 return _robots_allowed(rules, url)

@@ -7,14 +7,53 @@ file that renders anywhere (notebook cell via IPython.display.HTML,
 file://, CI artifact) with zero dependencies.
 
 All rendering is driver-side over an already-computed ProfileView — a
-few KB of summary rows and sketch bytes per column; no Spark job runs
-here beyond the view's own ``toPandas``.
+few KB of summary rows and sketch bytes per column. Each report runs
+at most TWO Spark actions (the summary ``toPandas`` and one batched
+collect of every KLL blob), never a job per column: an uncached view
+is a live aggregation plan, and re-executing it per histogram would
+turn a 50-column report into 50 profile computations.
 """
 
 from __future__ import annotations
 
 import html as _html
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+def _kll_histograms(view, n_bins: int = 30) -> Dict[tuple, list]:
+    """(segment, column) -> histogram triples, from ONE collect of the
+    view's KLL rows — segment-correct (a per-segment card gets its own
+    segment's sketch, not the global one)."""
+    from pyspark.sql import functions as F
+
+    from .core.sketches import KllSketch
+
+    rows = view.df.filter(
+        (F.col("metric") == "distribution")
+        & (F.col("component") == "kll")
+    ).select("segment", "column", "b").collect()
+    out: Dict[tuple, list] = {}
+    for r in rows:
+        if r["b"] is None:
+            continue
+        try:
+            sk = KllSketch.deserialize(bytes(r["b"]))
+        except Exception:
+            continue
+        if sk.n == 0:
+            continue
+        lo, hi = sk.min_value, sk.max_value
+        if hi <= lo:
+            out[(r["segment"], r["column"])] = [(lo, hi, sk.n)]
+            continue
+        edges = [lo + (hi - lo) * i / n_bins for i in range(1, n_bins)]
+        pmf = sk.pmf(edges)
+        bounds = [lo] + edges + [hi]
+        out[(r["segment"], r["column"])] = [
+            (bounds[i], bounds[i + 1], int(round(p * sk.n)))
+            for i, p in enumerate(pmf)
+        ]
+    return out
 
 _CSS = """
 body{font-family:system-ui,sans-serif;margin:24px;color:#1a1a2e}
@@ -83,6 +122,7 @@ def profile_report_html(view, title: str = "Profile report") -> str:
     stats and (for sketched numeric columns) an inline-SVG histogram
     from the KLL sketch — the reference's profile_summary report shape."""
     wide = view.to_pandas()
+    hists = _kll_histograms(view)
     cards = []
     for _, row in wide.iterrows():
         col = row["column"]
@@ -99,11 +139,7 @@ def profile_report_html(view, title: str = "Profile report") -> str:
                 stats.append(
                     f"<tr><td>{_esc(label)}</td>"
                     f"<td>{_esc(_fmt(val))}</td></tr>")
-        svg = ""
-        try:
-            svg = _svg_hist(view.histogram(col))
-        except Exception:
-            pass
+        svg = _svg_hist(hists.get((seg, col), []))
         seg_note = (f'<div class="small">segment {_esc(seg)}</div>'
                     if seg not in (None, "{}") else "")
         cards.append(
@@ -144,14 +180,15 @@ def drift_report_html(
             f"<td>{_esc(_fmt(s.statistic))}</td><td>{p}</td>"
             f'<td class="cat-{_esc(s.category)}">{_esc(s.category)}'
             "</td></tr>")
+    t_hists = _kll_histograms(target)
+    r_hists = _kll_histograms(reference)
     charts = []
     for s in sorted(scores, key=lambda x: x.column):
         if s.algorithm != "ks":
             continue
-        try:
-            tb = target.histogram(s.column)
-            rb = reference.histogram(s.column)
-        except Exception:
+        tb = t_hists.get(("{}", s.column))
+        rb = r_hists.get(("{}", s.column))
+        if not tb or not rb:
             continue
         charts.append(
             f'<div class="card"><h2>{_esc(s.column)}</h2>'
