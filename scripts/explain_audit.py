@@ -516,6 +516,48 @@ def main() -> None:
             "no Python in the plan": r"^(?![\s\S]*Python)",
         }))
 
+    # 7h. exact ROC-AUC + exact KS: the ordered cumulative walk is the
+    # two-phase range-partitioned prefix sum (core/prefix.py) — every
+    # window over the data partitions by __slice; the only
+    # partition-less window rolls up the bounded slice-totals frame
+    # (one row per shuffle partition); offsets join back by broadcast
+    from whylogs_spark.core import model_perf as model_perf_mod
+
+    ords = load_table(spark, SF_DIR, "orders")
+    auc_df = model_perf_mod.roc_auc_exact(
+        ords.select(((F.col("o_orderkey") % 100) / 100.0).alias("s"),
+                    (F.col("o_totalprice") > 150000).cast("int")
+                    .alias("y")), "s", "y")
+    _no_data_window = (
+        # a windowspecdefinition whose arg prefix lacks __slice would
+        # be a window over the data itself — the single-task shape
+        r"^(?![\s\S]*windowspecdefinition\((?:(?!__slice)[^)])*\))")
+    sections.append((
+        "exact ROC-AUC (distributed prefix sum)", auc_df,
+        {
+            "AUC cumulative walk has no single-partition window "
+            "(every windowspec carries __slice)": _no_data_window,
+            "range exchange feeds the walk (no global sort)":
+                r"rangepartitioning",
+            "partial agg before the distinct-score exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "per-slice offsets joined by broadcast":
+                r"BroadcastHashJoin",
+        }))
+    ks_df = drift_mod.ks_2samp_exact(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice")
+    sections.append((
+        "exact KS statistic (distributed prefix sum)", ks_df,
+        {
+            "KS CDF walk has no single-partition window":
+                _no_data_window,
+            "range exchange feeds the walk":
+                r"rangepartitioning",
+            "partial agg before the distinct-value exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+
     # 8. counts summary: Expand-based multi-distinct in two agg stages
     ct = summaries.counts_table(li, ["l_orderkey", "l_returnflag"])
     sections.append((
@@ -569,6 +611,37 @@ def main() -> None:
             r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
     }
 
+    # 10. repo-wide global-window audit (SOURCE level): any
+    # `Window.orderBy(...)` that is not chained onto a partitionBy is
+    # a single-task sort of its input unless that input is
+    # declared-bounded. Allowlist the known bounded sites; a new
+    # partition-less window anywhere else fails the audit. This closes
+    # the recurring blind-spot class (r4: unigram LM; r5: exact AUC)
+    # structurally — the audit no longer depends on the builder
+    # remembering to add a per-operator assertion.
+    import pathlib
+
+    _GLOBAL_WINDOW_ALLOW = {
+        # two-phase prefix sum: the partition-less window rolls up the
+        # slice-totals frame (exactly one row per shuffle partition)
+        "core/prefix.py",
+    }
+    pkg_root = pathlib.Path("/root/repo/whylogs_spark")
+    window_viol = []
+    for p in sorted(pkg_root.rglob("*.py")):
+        rel = str(p.relative_to(pkg_root))
+        srctxt = p.read_text()
+        for mo in re.finditer(r"Window\s*\.\s*orderBy", srctxt):
+            if rel not in _GLOBAL_WINDOW_ALLOW:
+                ln = srctxt[: mo.start()].count("\n") + 1
+                window_viol.append(f"{rel}:{ln}")
+    source_checks = [
+        ("no partition-less Window.orderBy outside the "
+         f"declared-bounded allowlist {sorted(_GLOBAL_WINDOW_ALLOW)}"
+         + (f" — VIOLATIONS: {window_viol}" if window_viol else ""),
+         not window_viol),
+    ]
+
     lines = [
         "# PLANS — physical-plan audit of headline operators",
         "",
@@ -592,6 +665,13 @@ def main() -> None:
             lines.append("```")
             lines.append("</details>")
         lines.append("")
+
+    lines.append("## repo-wide source audit (global windows)")
+    for label, ok in source_checks:
+        lines.append(f"  - [{'x' if ok else ' '}] {label}")
+        if not ok:
+            all_ok = False
+    lines.append("")
 
     lines.append("## streaming profile (runtime microbatch plan)")
     sres = []

@@ -1,0 +1,116 @@
+"""Distributed prefix sums (core/prefix.py) and their consumers: the
+range-partitioned rewrite of roc_auc_exact / ks_2samp_exact must be
+value-identical to the single-window formulation at any partitioning.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from whylogs_spark.core import drift as D
+from whylogs_spark.core import model_perf as M
+from whylogs_spark.core.prefix import running_sums
+
+
+def test_running_sums_matches_global_window(spark):
+    rng = random.Random(7)
+    rows = [(float(k), rng.randint(0, 9), rng.randint(0, 5))
+            for k in rng.sample(range(10_000), 500)]
+    df = spark.createDataFrame(
+        rows, "k double, a int, b int").repartition(13)
+    got = {r.k: (r["__cum_a"], r["__cum_b"])
+           for r in running_sums(df, ["k"], ["a", "b"]).collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    want = {r.k: (r.ca, r.cb)
+            for r in df.select("k", F.sum("a").over(w).alias("ca"),
+                               F.sum("b").over(w).alias("cb")).collect()}
+    assert got == want
+
+
+def test_running_sums_empty_input(spark):
+    df = spark.createDataFrame([], "k double, a int")
+    assert running_sums(df, ["k"], ["a"]).count() == 0
+
+
+def test_running_sums_single_row(spark):
+    df = spark.createDataFrame([(1.0, 42)], "k double, a int")
+    r = running_sums(df, ["k"], ["a"]).collect()[0]
+    assert r["__cum_a"] == 42
+
+
+def test_roc_auc_plan_has_no_global_window(spark):
+    """The cumulative-positives walk must never plan a
+    single-partition Window: every windowspec in the physical plan
+    carries a partitionBy key (__slice / bounded slice-totals)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [(i / 100.0, i % 2) for i in range(100)],
+        "score double, label int")
+    out = M.roc_auc_exact(df, "score", "label")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the AUC plan"
+    for spec in specs:
+        head = spec.split(",")[0].strip()
+        if "ASC NULLS FIRST" in head or "DESC" in head:
+            # partition-less window (first arg is already the sort
+            # spec): only allowed over the bounded slice-totals frame,
+            # whose sort key is the slice id — never the score
+            assert "__slice" in head, \
+                f"global window over the data in AUC plan: {spec}"
+        else:
+            # the cumulative walk over scores must partition by slice
+            assert "__slice" in head, f"unexpected window: {spec}"
+
+
+def test_roc_auc_binned_converges(spark):
+    rng = random.Random(3)
+    rows = [(rng.random(), 1 if rng.random() < 0.4 else 0)
+            for _ in range(800)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    exact = M.roc_auc_exact(df, "score", "label").collect()[0].auc
+    binned = M.roc_auc_exact(df, "score", "label",
+                             n_bins=256).collect()[0].auc
+    coarse = M.roc_auc_exact(df, "score", "label",
+                             n_bins=8).collect()[0].auc
+    assert binned == pytest.approx(exact, abs=0.02)
+    assert coarse == pytest.approx(exact, abs=0.15)
+
+
+def test_roc_auc_binned_grid_scores_identical(spark):
+    """Scores already on an equal-width grid: binning at >= grid
+    resolution is a monotone relabeling, so binned AUC == exact."""
+    rng = random.Random(5)
+    rows = [(round(rng.randint(0, 99) / 100.0, 2),
+             1 if rng.random() < 0.3 else 0) for _ in range(500)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    exact = M.roc_auc_exact(df, "score", "label").collect()[0].auc
+    binned = M.roc_auc_exact(df, "score", "label",
+                             n_bins=100).collect()[0].auc
+    assert binned == pytest.approx(exact, abs=1e-12)
+
+
+def test_ks_2samp_exact_against_bruteforce(spark):
+    rng = random.Random(17)
+    t = [rng.gauss(0.0, 1.0) for _ in range(300)]
+    r = [rng.gauss(0.4, 1.2) for _ in range(200)]
+    tdf = spark.createDataFrame([(v,) for v in t], "x double") \
+        .repartition(7)
+    rdf = spark.createDataFrame([(v,) for v in r], "x double") \
+        .repartition(5)
+    stat = D.ks_2samp_exact(tdf, rdf, "x").collect()[0].statistic
+    grid = sorted(set(t) | set(r))
+    want = max(
+        abs(sum(1 for v in t if v <= g) / len(t)
+            - sum(1 for v in r if v <= g) / len(r))
+        for g in grid)
+    assert stat == pytest.approx(want, abs=1e-12)

@@ -234,13 +234,17 @@ def ks_2samp_exact(
 
     Distributed shape: both sides project to (value, side-weight), a
     groupBy(value) combines duplicates map-side (the shuffle carries
-    DISTINCT values only), then one global ordered window walks the
-    merged CDFs. The final walk is a single task over distinct values —
-    exact mode's honest cost; for 100 TB-scale continuous columns use
-    the KLL-based ``calculate_drift_scores`` and treat this as its
-    ground-truth verifier (NaN/null excluded on both sides, like the
-    sketch path).
+    DISTINCT values only), then the merged-CDF walk runs as a
+    two-phase range-partitioned prefix sum (``core.prefix
+    .running_sums`` — range-repartition by value, per-slice cumsums,
+    broadcast per-slice offsets), so continuous columns (distinct ≈
+    total rows) never serialize into one task. For monitoring at
+    scale the KLL-based ``calculate_drift_scores`` remains the
+    default; this is its deterministic ground-truth verifier (NaN/null
+    excluded on both sides, like the sketch path).
     """
+    from .prefix import running_sums
+
     v = qcol(col).cast("double")
     u = target.select(
         v.alias("v"), F.lit(1).alias("wt"), F.lit(0).alias("wr")
@@ -250,11 +254,9 @@ def ks_2samp_exact(
     ).filter(F.col("v").isNotNull() & ~F.isnan("v"))
     g = u.groupBy("v").agg(F.sum("wt").alias("ct"),
                            F.sum("wr").alias("cr"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
-                                        Window.currentRow)
-    cum = g.select(
-        F.sum("ct").over(w).alias("sct"),
-        F.sum("cr").over(w).alias("scr"),
+    cum = running_sums(g, ["v"], ["ct", "cr"]).select(
+        F.col("__cum_ct").alias("sct"),
+        F.col("__cum_cr").alias("scr"),
     )
     totals = g.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     return (

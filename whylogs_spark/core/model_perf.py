@@ -133,34 +133,53 @@ def roc_auc_exact(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    n_bins: Optional[int] = None,
 ) -> DataFrame:
-    """Exact ROC-AUC via the rank formulation with tie correction:
+    """ROC-AUC via the rank formulation with tie correction:
     ``AUC = sum_s neg(s) * (pos_above(s) + pos(s)/2) / (P * N)`` over
     DISTINCT scores — the probability a random positive outranks a
     random negative, ties counting half (higher score = more positive).
 
-    Distributed shape mirrors ``drift.ks_2samp_exact``: one
-    groupBy(score) collapses duplicates map-side (the shuffle carries
-    distinct scores only), then a single ordered cumulative walk over
-    the distinct-score table — exact mode's honest cost; for continuous
-    scores at extreme scale, bucket the score first (the binned AUC
-    converges at 1/n_bins resolution).
+    Distributed shape: one groupBy(score) collapses duplicates
+    map-side (the shuffle carries distinct scores only), then the
+    cumulative-positives walk runs as a two-phase range-partitioned
+    prefix sum (``core.prefix.running_sums``) — range-repartition by
+    score, per-slice local cumsums, broadcast per-slice offsets. No
+    task ever sorts more than its slice, so continuous scores (where
+    distinct values ≈ row count) stay fully parallel at corpus scale.
+
+    ``n_bins``: opt-in binned approximation — quantize scores onto an
+    ``n_bins`` equal-width grid (bin MIDPOINT as the score) before the
+    walk, bounding the distinct-score table at ``n_bins`` rows. The
+    binned AUC converges to the exact one at 1/n_bins score
+    resolution; for a sketch-backed path that composes with the
+    profile store, see ``roc_auc_from_sketches`` / ``auc_between``.
     """
+    from .prefix import running_sums
+
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    if n_bins is not None:
+        if n_bins < 1:
+            raise ValueError("n_bins must be >= 1")
+        edges = base.agg(F.min(s).alias("__lo"), F.max(s).alias("__hi"))
+        width = F.when(
+            F.col("__hi") > F.col("__lo"),
+            (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
+        ).otherwise(F.lit(1.0))
+        b = F.least(F.greatest(F.floor((s - F.col("__lo")) / width),
+                               F.lit(0)), F.lit(n_bins - 1))
+        base = base.crossJoin(F.broadcast(edges))
+        s = F.col("__lo") + (b + F.lit(0.5)) * width
     g = (
-        df.filter(s.isNotNull() & y.isNotNull())
-        .groupBy(s.alias("s"))
+        base.groupBy(s.alias("s"))
         .agg(F.sum(y).alias("pos"),
              (F.count(F.lit(1)) - F.sum(y)).alias("neg"))
     )
-    from pyspark.sql import Window
-
-    w = (Window.orderBy("s")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = g.select(
+    cum = running_sums(g, ["s"], ["pos"]).select(
         "pos", "neg",
-        (F.sum("pos").over(w) - F.col("pos")).alias("cum_pos_below"))
+        (F.col("__cum_pos") - F.col("pos")).alias("cum_pos_below"))
     tot = g.agg(F.sum("pos").alias("P"), F.sum("neg").alias("N"))
     return (
         cum.crossJoin(F.broadcast(tot))

@@ -1,0 +1,72 @@
+"""Distributed prefix sums (two-phase range-partitioned scan).
+
+The classic way to compute a global running sum without a
+single-partition ``Window.orderBy``: range-repartition on the order
+key (RangePartitioner assigns ascending key ranges to ascending
+partition ids), compute per-partition local cumulative sums, roll the
+per-partition TOTALS up into per-partition starting offsets (a window
+over #partitions rows — bounded by the shuffle parallelism, never the
+data), and broadcast the offsets back. Identical result to the global
+window; no task ever sorts more than its own slice.
+
+Shared by ``pack_chunks(distributed=True)`` (ops/sampling.py, the
+original in-repo instance of the pattern), ``roc_auc_exact`` and
+``ks_2samp_exact`` — any exact ordered walk whose input can reach
+corpus scale.
+
+Requirement: ``order_cols`` must be a UNIQUE key of ``df`` (a range
+boundary between duplicate keys would split ties across partitions
+nondeterministically). Both AUC and KS satisfy this by construction —
+their walks run over groupBy(value)-collapsed DISTINCT values.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Prefix for the emitted cumulative columns: running_sums(df, ..., ["x"])
+#: adds an inclusive running total named ``__cum_x``.
+CUM_PREFIX = "__cum_"
+
+
+def running_sums(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Add inclusive global running sums of ``sum_cols`` in
+    ``order_cols`` order as ``__cum_<col>`` columns.
+
+    Plan shape: one range exchange of the input + one bounded
+    (#partitions-row) rollup — the per-slice offset table — joined
+    back by broadcast. No single-partition window over the data ever
+    appears; the only ``Window.orderBy`` without ``partitionBy`` runs
+    over the slice-totals frame, which has exactly one row per shuffle
+    partition (declared-bounded input, see scripts/explain_audit.py's
+    global-window audit).
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    rp = df.repartitionByRange(*[F.col(c) for c in order_cols]) \
+        .withColumn("__slice", F.spark_partition_id())
+    w1 = Window.partitionBy("__slice").orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = rp.select(
+        "*",
+        *[F.sum(F.col(c)).over(w1).alias(f"__l_{c}") for c in sum_cols])
+    totals = rp.groupBy("__slice").agg(
+        *[F.sum(F.col(c)).alias(f"__t_{c}") for c in sum_cols])
+    # bounded input: exactly one row per shuffle partition
+    w2 = Window.orderBy(F.col("__slice").asc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__slice",
+        *[F.coalesce(F.sum(F.col(f"__t_{c}")).over(w2), F.lit(0))
+          .alias(f"__o_{c}") for c in sum_cols])
+    out = local.join(F.broadcast(offsets), "__slice")
+    keep: List = [F.col(c) for c in df.columns]
+    keep += [(F.col(f"__l_{c}") + F.col(f"__o_{c}"))
+             .alias(f"{CUM_PREFIX}{c}") for c in sum_cols]
+    return out.select(*keep)
