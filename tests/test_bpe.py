@@ -117,3 +117,21 @@ def test_tokenize_matches_training_on_unicode_whitespace(spark):
            bpe.tokenize_bpe(df, model).collect()}
     want = len(bpe.bpe_encode_word("café bar", model.ranks))
     assert out[0] == want
+
+
+def test_case_fold_parity_non_ascii(spark):
+    """Train and tokenize must agree on case folding for non-ASCII
+    letters: both sides use the locale-free ASCII translate map, so
+    U+0130 (I-with-dot), ß and uppercase ASCII fold identically —
+    trained word types and kernel tokens line up exactly."""
+    rows = [(0, "İstanbul STRASSE straße Iı İstanbul STRASSE")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = bpe.train_bpe(df, num_merges=30, max_word_types=20)
+    out = {r.doc_id: r.n_tokens for r in
+           bpe.tokenize_bpe(df, model).collect()}
+    folded = ["İstanbul", "strasse", "straße", "iı", "İstanbul",
+              "strasse"]
+    want = sum(len(bpe.bpe_encode_word(w, model.ranks)) for w in folded)
+    assert out[0] == want
+    # non-ASCII uppercase survives UNfolded in the learned vocabulary
+    assert any("İ" in s for s in model.vocab)

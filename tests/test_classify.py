@@ -187,3 +187,22 @@ def test_dsir_sample_plans_as_take_ordered(spark, corpus):
     # per-partition bounded heaps, not a global sort of the corpus
     # (the only Sort nodes allowed are the <=n_buckets-row model join's)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_score_with_empty_model_scores_prior_only(spark):
+    """A degenerate model (zero training tokens) must not vanish the
+    corpus through an empty cross join: every doc survives with a
+    prior-only (0) logit, prob 0.5."""
+    from whylogs_spark.ops import classify
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "")], "doc_id long, text string")
+    empty_model = classify.train_quality_classifier(
+        spark.createDataFrame(
+            [], "doc_id long, text string, label int"),
+        n_buckets=64)
+    out = {r.doc_id: r for r in classify.score_quality_classifier(
+        docs, empty_model, n_buckets=64).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].prob == pytest.approx(0.5)
+    assert out[1].prob == pytest.approx(0.5)

@@ -315,3 +315,46 @@ def test_store_drift_between(spark, lineitem, tmp_path):
     by_col = {s.column: s for s in scores}
     assert by_col["l_quantity"].category in ("DRIFT", "POSSIBLE_DRIFT")
     assert by_col["l_extendedprice"].category == "NO_DRIFT"
+
+
+def test_rolling_psi_rejects_bad_unit(spark):
+    import datetime
+
+    from whylogs_spark.core import drift as D
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), 1.0)], "ts timestamp, v double")
+    with pytest.raises(ValueError, match="unit"):
+        D.rolling_psi(df, "ts", "v", unit="fortnight").collect()
+
+
+def test_rolling_psi_survives_dst_transition(spark):
+    """Calendar (timestampadd) period succession: in a DST-observing
+    session timezone the spring-forward day starts 23h after the
+    previous midnight, so a fixed-duration +24h join key would miss it
+    and silently drop that day's drift row."""
+    import datetime
+    import random
+
+    from whylogs_spark.core import drift as D
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rng = random.Random(4)
+        rows = []
+        # 2024-03-10 is the US spring-forward date
+        for day in (8, 9, 10, 11):
+            for _ in range(50):
+                rows.append((datetime.datetime(2024, 3, day, 12, 0,
+                                               rng.randint(0, 59)),
+                             rng.gauss(0.0, 1.0)))
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        out = {r.period.day: r for r in
+               D.rolling_psi(df, "ts", "v", unit="day").collect()}
+        # every day with a predecessor emits a row — INCLUDING the
+        # 23-hour DST day and the day after it
+        assert set(out) == {9, 10, 11}
+        assert all(out[d].n_current == 50 for d in out)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

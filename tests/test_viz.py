@@ -66,11 +66,3 @@ def test_profile_report_segmented_histograms(lineitem):
     assert html.count("segment ") >= 3
     assert html.count("<svg") >= 3
 
-
-def test_glob_match_star_in_path():
-    from whylogs_spark.ops.urls import _glob_match
-
-    # '*' is a legal path character; pattern star must still wildcard
-    assert _glob_match("/*a", False, "/*ba")
-    assert _glob_match("/*secret", False, "/*x-secret")
-    assert not _glob_match("/*secret", False, "/open")

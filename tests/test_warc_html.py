@@ -317,6 +317,15 @@ def test_parse_mp4_short_v1_mvhd_is_skipped():
 
 # ------------------------------------------------------- robots.txt
 
+def test_glob_match_star_in_path():
+    from whylogs_spark.ops.urls import _glob_match
+
+    # '*' is a legal path character; pattern star must still wildcard
+    assert _glob_match("/*a", False, "/*ba")
+    assert _glob_match("/*secret", False, "/*x-secret")
+    assert not _glob_match("/*secret", False, "/open")
+
+
 def test_robots_filter_enforces_rules(spark):
     from whylogs_spark.ops.urls import robots_filter
 

@@ -446,7 +446,20 @@ def rolling_psi(
     and a self-join keyed on (previous period, bin) — all joins touch
     grid-sized frames only, never raw rows. The raw-row pass is a
     single zero-shuffle projection + one bounded exchange.
+
+    Period succession is CALENDAR arithmetic (``timestampadd``), not a
+    fixed-duration interval: in a non-UTC session a DST-transition
+    day's midnight is not the previous midnight + 24h, and a
+    fixed-duration ``INTERVAL 1 DAY`` join key would silently drop
+    that day's drift row. ``unit`` is validated up front (it is also a
+    parse-time identifier), so a typo raises a clean ValueError
+    instead of a SQL parse error.
     """
+    allowed = {"hour": "HOUR", "day": "DAY", "week": "WEEK",
+               "month": "MONTH"}
+    if unit not in allowed:
+        raise ValueError(
+            f"unit must be one of {sorted(allowed)}, got {unit!r}")
     v = qcol(col).cast("double")
     period = F.date_trunc(unit, qcol(time_col))
     rows = df.select(period.alias("period"), v.alias("v")).filter(
@@ -475,7 +488,8 @@ def rolling_psi(
                 F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     )
     prev = cur.select(
-        (F.col("period") + F.expr(f"INTERVAL 1 {unit}")).alias("period"),
+        F.timestamp_add(allowed[unit], F.lit(1), F.col("period"))
+        .alias("period"),
         F.col("b"),
         F.col("n").alias("n_prev"),
         F.col("c").alias("c_prev"),

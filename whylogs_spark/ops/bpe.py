@@ -40,6 +40,20 @@ from pyspark.sql import types as T
 
 _EOW = "</w>"  # end-of-word marker: lets merges learn word-final units
 
+# ASCII-only case folding, applied IDENTICALLY on both sides of the
+# train/tokenize boundary. JVM F.lower falls back to Java
+# toLowerCase() with the executor's DEFAULT locale for non-ASCII input
+# (tr_TR turns I into dotless i; U+0130 maps one-to-many), while the
+# Python kernel's str.lower() follows Unicode rules — so a plain
+# lower() on each side can disagree on the very word types the model
+# was trained on. translate() is a pure character map with no locale
+# and no one-to-many expansion: non-ASCII letters keep their case on
+# BOTH sides, deterministically (pinned by the parity test with
+# U+0130/ß/İ inputs).
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_PY_FOLD = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+
 
 @dataclass(frozen=True)
 class BpeModel:
@@ -144,14 +158,15 @@ def train_bpe(
 ) -> BpeModel:
     """Train BPE merges from a corpus DataFrame.
 
-    ONE distributed pass: lowercase whitespace word counts (map-side
-    partial agg bounds the shuffle at distinct-words-per-partition),
+    ONE distributed pass: ASCII-case-folded whitespace word counts
+    (map-side partial agg bounds the shuffle at
+    distinct-words-per-partition),
     distributed top-``max_word_types`` by (count desc, word) — never a
     single-task global sort — then the driver merge loop over the
     bounded table. This is the only ``collect`` and it is capped at
     ``max_word_types`` rows by construction.
     """
-    t = F.lower(F.trim(F.col(text_col)))
+    t = F.translate(F.trim(F.col(text_col)), _ASCII_UPPER, _ASCII_LOWER)
     words = df.select(
         F.explode(
             F.when(F.length(t) == 0, F.array().cast("array<string>"))
@@ -215,8 +230,10 @@ def tokenize_bpe(
             for _, r in pdf.iterrows():
                 # mirror the training tokenizer EXACTLY: JVM trim
                 # strips ASCII spaces only, Java \s+ is ASCII-only
-                # (Python's \s is Unicode-aware — re.ASCII matches)
-                text = (r[text_col] or "").strip(" ").lower()
+                # (Python's \s is Unicode-aware — re.ASCII matches),
+                # and case folding is the locale-free ASCII translate
+                # map shared with train_bpe
+                text = (r[text_col] or "").strip(" ").translate(_PY_FOLD)
                 toks: List[str] = []
                 if text:
                     for w in _re.split(r"\s+", text, flags=_re.ASCII):

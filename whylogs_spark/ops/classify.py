@@ -152,11 +152,18 @@ def _score_against(
     """Shared scorer: per-doc sum of model ``llr`` over hashed tokens,
     unseen buckets scored with the model's constant ``oov_llr``, empty
     docs scored prior-only (sum term 0). One broadcast hash join + one
-    groupBy(doc id) shuffle."""
+    groupBy(doc id) shuffle.
+
+    The model meta row is derived with an ALWAYS-one-row agg
+    (``first`` over the model, nulls coalesced to 0), so a degenerate
+    empty model — a training corpus with zero tokens — scores every
+    document 0 (prior-only) instead of silently emitting zero rows
+    through an empty cross join."""
     toks = _doc_buckets(df, text_col, id_cols, n_buckets)
     weights = F.broadcast(model.select("bucket", "llr"))
-    meta = F.broadcast(
-        model.select("prior_llr", "oov_llr").limit(1))
+    meta = F.broadcast(model.agg(
+        F.coalesce(F.first("prior_llr"), F.lit(0.0)).alias("prior_llr"),
+        F.coalesce(F.first("oov_llr"), F.lit(0.0)).alias("oov_llr")))
     joined = toks.join(weights, "bucket", "left").crossJoin(meta)
     term = F.when(F.col("bucket").isNotNull(),
                   F.coalesce(F.col("llr"), F.col("oov_llr")))
