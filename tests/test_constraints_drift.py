@@ -358,3 +358,42 @@ def test_rolling_psi_survives_dst_transition(spark):
         assert all(out[d].n_current == 50 for d in out)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_store_auc_between(spark, tmp_path):
+    """Sketch AUC off the profile store: two days of label-segmented
+    profiles merge by the sketch monoid, and auc_between recovers the
+    pooled exact AUC within sketch tolerance."""
+    import datetime as dt
+    import math
+    import random
+
+    import whylogs_spark as wsp
+    from whylogs_spark.core import model_perf as M
+    from whylogs_spark.io.store import ProfileStore
+
+    rng = random.Random(53)
+
+    def day_rows(n):
+        out = []
+        for _ in range(n):
+            y = rng.random() < 0.4
+            out.append((rng.gauss(0.7 if y else 0.35, 0.2),
+                        1 if y else 0))
+        return out
+
+    d1, d2 = day_rows(800), day_rows(800)
+    store = ProfileStore(str(tmp_path / "profiles"))
+    for rows, day in ((d1, 1), (d2, 2)):
+        df = spark.createDataFrame(rows, "score double, label int")
+        store.write(wsp.profile(df, segment_by=["label"]), "model",
+                    dt.datetime(2024, 5, day, tzinfo=dt.timezone.utc))
+    got = store.auc_between(spark, "model", "2024-05-01", "2024-05-31",
+                            "score", "label")
+    pooled = spark.createDataFrame(
+        d1 + d2, "score double, label int")
+    exact = M.roc_auc_exact(pooled, "score", "label").collect()[0].auc
+    assert got == pytest.approx(exact, abs=0.03)
+    # a range with no profiles -> NaN
+    assert math.isnan(store.auc_between(
+        spark, "model", "2024-07-01", "2024-07-31", "score", "label"))

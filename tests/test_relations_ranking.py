@@ -167,3 +167,86 @@ def test_roc_auc_single_class_returns_null_not_error(spark):
     r = M.roc_auc_exact(allpos, "score", "label").collect()[0]
     assert r.auc is None
     assert r.n_positive == 2 and r.n_negative == 0
+
+
+# --------------------------------------------- sketch-backed AUC
+
+def test_roc_auc_from_sketches_exact_at_small_n(spark):
+    """Below the KLL compaction threshold the sketch holds every value
+    at weight 1, so the sketch AUC IS the exact AUC."""
+    import random
+
+    from whylogs_spark.core import model_perf as M
+    from whylogs_spark.core.sketches import KllSketch
+
+    import numpy as np
+
+    rng = random.Random(23)
+    pos = [rng.gauss(0.7, 0.2) for _ in range(120)]
+    neg = [rng.gauss(0.4, 0.2) for _ in range(90)]
+    sp_, sn = KllSketch(256), KllSketch(256)
+    sp_.update_batch(np.array(pos))
+    sn.update_batch(np.array(neg))
+    got = M.roc_auc_from_sketches(sp_, sn)
+    wins = sum(1.0 for p in pos for n in neg if p > n) \
+        + 0.5 * sum(1.0 for p in pos for n in neg if p == n)
+    assert got == pytest.approx(wins / (len(pos) * len(neg)),
+                                abs=1e-12)
+
+
+def test_roc_auc_from_sketches_empty_class_nan(spark):
+    import math
+
+    from whylogs_spark.core import model_perf as M
+    from whylogs_spark.core.sketches import KllSketch
+
+    import numpy as np
+
+    a = KllSketch(256)
+    a.update_batch(np.array([0.5, 0.6]))
+    assert math.isnan(M.roc_auc_from_sketches(a, KllSketch(256)))
+
+
+def test_roc_auc_sketch_close_to_exact(spark):
+    """The production sketch path (per-partition KLL + monoid merge)
+    tracks roc_auc_exact within the sketch's rank-error budget on a
+    continuous-score corpus spread over many partitions."""
+    import random
+
+    from whylogs_spark.core import model_perf as M
+
+    rng = random.Random(31)
+    rows = []
+    for _ in range(4000):
+        y = rng.random() < 0.35
+        rows.append((rng.gauss(0.65 if y else 0.35, 0.25),
+                     1 if y else 0))
+    df = spark.createDataFrame(
+        rows, "score double, label int").repartition(11)
+    exact = M.roc_auc_exact(df, "score", "label").collect()[0].auc
+    approx = M.roc_auc_sketch(df, "score", "label", k=256)
+    assert approx == pytest.approx(exact, abs=0.02)
+
+
+def test_roc_auc_from_segmented_profile(spark):
+    """AUC off a label-segmented profile view — the piece auc_between
+    composes with the store."""
+    import random
+
+    import whylogs_spark as wsp
+    from whylogs_spark.core import model_perf as M
+
+    rng = random.Random(41)
+    rows = []
+    for _ in range(1500):
+        y = rng.random() < 0.4
+        rows.append((rng.gauss(0.7 if y else 0.35, 0.2), 1 if y else 0))
+    df = spark.createDataFrame(rows, "score double, label int")
+    view = wsp.profile(df, segment_by=["label"])
+    got = M.roc_auc_from_profile(view, "score", "label")
+    exact = M.roc_auc_exact(df, "score", "label").collect()[0].auc
+    assert got == pytest.approx(exact, abs=0.03)
+    # missing class -> NaN, not an error
+    import math
+    assert math.isnan(
+        M.roc_auc_from_profile(view, "score", "label", pos_value="7"))

@@ -129,6 +129,113 @@ def expected_calibration_error(
     )
 
 
+def roc_auc_from_sketches(pos, neg) -> float:
+    """AUC from two KLL score sketches (positives' scores vs
+    negatives'): ``P(S_pos > S_neg) + 0.5 * P(S_pos = S_neg)``
+    computed EXACTLY over the sketches' weighted-sample
+    representations (one vectorized merge walk; a sketch holds at
+    most ~3k items, so this is driver-trivial). The approximation
+    error is the sketches' rank error (~1/k), the same contract as
+    the KLL drift path.
+
+    This is the monitoring-path AUC, mirroring how the reference's
+    model-perf metrics hold score DISTRIBUTIONS rather than raw rows
+    (confusion_matrix.py:43): profiles segmented by the label carry
+    one score sketch per class, they merge across days/batches by the
+    sketch monoid, and AUC falls out of the stored profile — see
+    ``roc_auc_from_profile`` and ``ProfileStore.auc_between``.
+    """
+    import math
+
+    import numpy as np
+
+    if pos.n == 0 or neg.n == 0:
+        return float("nan")
+    pi, pw = pos._weighted_items()
+    ni, nw = neg._weighted_items()
+    ncum = np.concatenate([[0.0], np.cumsum(nw)])
+    below = ncum[np.searchsorted(ni, pi, side="left")]
+    upto = ncum[np.searchsorted(ni, pi, side="right")]
+    wins = float(np.sum(pw * (below + 0.5 * (upto - below))))
+    denom = float(pw.sum()) * float(nw.sum())
+    return wins / denom if denom > 0 else float("nan")
+
+
+def roc_auc_from_profile(
+    view,
+    score_col: str,
+    label_col: str,
+    pos_value: str = "1",
+    neg_value: str = "0",
+) -> float:
+    """AUC straight off a profile segmented by the label column
+    (``profile(df, segment_by=[label_col])``): pull the score
+    column's KLL sketch for the positive and negative segments and
+    run the sketch AUC. NaN when either class segment is absent."""
+    import json as _json
+
+    from .sketches import KllSketch
+
+    def seg(v: str) -> str:
+        return _json.dumps({label_col: v}, separators=(",", ":"),
+                           ensure_ascii=False)
+
+    rows = view.df.filter(
+        (F.col("column") == score_col)
+        & (F.col("component") == "kll")
+        & F.col("segment").isin([seg(pos_value), seg(neg_value)])
+    ).select("segment", "b").collect()
+    blobs = {r["segment"]: r["b"] for r in rows if r["b"] is not None}
+    if seg(pos_value) not in blobs or seg(neg_value) not in blobs:
+        return float("nan")
+    return roc_auc_from_sketches(
+        KllSketch.deserialize(bytes(blobs[seg(pos_value)])),
+        KllSketch.deserialize(bytes(blobs[seg(neg_value)])))
+
+
+def roc_auc_sketch(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    k: int = 256,
+) -> float:
+    """One-shot sketch AUC over a DataFrame: per-partition KLL
+    sketches per class (Arrow-batched, zero shuffle of rows), merged
+    driver-side (<= 2 x #partitions small blobs), then the sketch
+    AUC. The production shape for continuous scores at corpus scale;
+    ``roc_auc_exact`` is its ground-truth verifier.
+    """
+    from typing import Iterator as _Iterator
+
+    import pandas as pd
+
+    from .sketches import KllSketch
+
+    src = df.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+    ).filter(F.col("s").isNotNull() & ~F.isnan("s")
+             & F.col("y").isNotNull())
+
+    def build(batches: "_Iterator[pd.DataFrame]"):
+        sk = {0: KllSketch(k), 1: KllSketch(k)}
+        for pdf in batches:
+            for y in (0, 1):
+                vals = pdf.loc[pdf["y"] == y, "s"].to_numpy(float)
+                if vals.size:
+                    sk[y].update_batch(vals)
+        yield pd.DataFrame(
+            {"y": [0, 1],
+             "blob": [sk[0].serialize(), sk[1].serialize()]})
+
+    parts = src.mapInPandas(build, "y int, blob binary").collect()
+    merged = {0: KllSketch(k), 1: KllSketch(k)}
+    for r in parts:
+        merged[r["y"]] = merged[r["y"]].merge(
+            KllSketch.deserialize(bytes(r["blob"])))
+    return roc_auc_from_sketches(merged[1], merged[0])
+
+
 def roc_auc_exact(
     df: DataFrame,
     score_col: str,

@@ -102,3 +102,29 @@ class ProfileStore:
         ref = self.get(spark, dataset_id, baseline_from, baseline_to)
         tgt = self.get(spark, dataset_id, target_from, target_to)
         return calculate_drift_scores(tgt, ref)
+
+    def auc_between(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        date_from: str,
+        date_to: str,
+        score_col: str,
+        label_col: str,
+        pos_value: str = "1",
+        neg_value: str = "0",
+    ) -> float:
+        """Model-perf monitoring off the store, mirroring
+        ``drift_between``: ROC-AUC of ``score_col`` over a stored date
+        range, from profiles written SEGMENTED BY the label column
+        (``profile(df, segment_by=[label_col])``). The partition-pruned
+        merge-on-read combines each class's per-day KLL score sketches
+        by the sketch monoid, then the sketch AUC
+        (``core.model_perf.roc_auc_from_sketches``) runs driver-side
+        over two small blobs — no raw scores are ever re-read. NaN if
+        either class segment is missing from the range."""
+        from ..core.model_perf import roc_auc_from_profile
+
+        view = self.get(spark, dataset_id, date_from, date_to)
+        return roc_auc_from_profile(
+            view, score_col, label_col, pos_value, neg_value)
