@@ -202,6 +202,97 @@ def main() -> None:
             ev.select("event_id", "user_id", "ts"), windows,
             on="ts", by=["user_id"], bucket="1 hour"))
 
+    def bench_bpe_train_tokenize():
+        # full tokenizer-training pass: one word-count shuffle + capped
+        # driver merge loop, then the zero-shuffle Arrow tokenize
+        from whylogs_spark.ops import bpe as bpe_ops
+        model = bpe_ops.train_bpe(t["documents"], num_merges=200,
+                                  max_word_types=50_000)
+        _noop(bpe_ops.tokenize_bpe(t["documents"], model))
+
+    def bench_semantic_dedup():
+        _noop(dedup_ops.semantic_dedup(t["embeddings"]))
+
+    def bench_robots_filter():
+        from whylogs_spark.ops import urls as url_ops
+        u = t["documents"].select(
+            "doc_id",
+            F.concat(
+                F.lit("https://h"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".com"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.concat(F.lit("/private/p"),
+                                F.col("doc_id").cast("string")))
+                .otherwise(F.concat(F.lit("/ok/p"),
+                                    F.col("doc_id").cast("string"))))
+            .alias("url"),
+            F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+                     F.lit(".com")).alias("host"))
+        body = ("User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/p1*\nDisallow: /*.tmp$\n")
+        robots = spark.createDataFrame(
+            [(f"h{i}.com", body) for i in range(50)],
+            "host string, robots_txt string")
+        _noop(url_ops.robots_filter(u, robots))
+
+    # synthetic binary-media table for the multimodal kernels: 8
+    # distinct 64x64 24-bit BMPs and 8 minimal EXIF TIFF blobs,
+    # replicated to ~12k rows (≈150 MB of pixel decode per pass).
+    # Input prep is cached like every other bench input.
+    import struct as _struct
+
+    def _bmp(w, h, seed):
+        pad = (4 - (w * 3) % 4) % 4
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px += bytes(((x * 7 + seed) % 256,
+                             (y * 5 + seed * 3) % 256,
+                             (x * y + seed) % 256))
+            px += b"\x00" * pad
+        hdr = b"BM" + _struct.pack("<IHHI", 54 + len(px), 0, 0, 54) \
+            + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           len(px), 2835, 2835, 0, 0)
+        return bytes(hdr + px)
+
+    def _exif_tiff(seed):
+        # little-endian TIFF: Make(ASCII), Orientation(SHORT),
+        # XResolution(RATIONAL)
+        make = (f"cam{seed}\x00").encode()
+        ifd_off = 8
+        n = 3
+        data_off = ifd_off + 2 + n * 12 + 4
+        e1 = _struct.pack("<HHI4s", 0x010F, 2, len(make),
+                          _struct.pack("<I", data_off)[:4])
+        e2 = _struct.pack("<HHIHH", 0x0112, 3, 1, (seed % 8) + 1, 0)
+        e3 = _struct.pack("<HHI4s", 0x011A, 5, 1,
+                          _struct.pack("<I", data_off + len(make)))
+        body = (b"II*\x00" + _struct.pack("<I", ifd_off)
+                + _struct.pack("<H", n) + e1 + e2 + e3
+                + _struct.pack("<I", 0) + make
+                + _struct.pack("<II", 72 + seed, 1))
+        return body
+
+    media = spark.createDataFrame(
+        [(f"img{i}.bmp", _bmp(64, 64, i), _exif_tiff(i))
+         for i in range(8)],
+        "path string, content binary, exif binary"
+    ).crossJoin(spark.range(1500).select(F.col("id").alias("__rep"))) \
+        .select(F.concat("path", F.col("__rep").cast("string"))
+                .alias("path"), "content", "exif") \
+        .repartition(ncpu).cache()
+    media.count()
+
+    def bench_pixel_features():
+        from whylogs_spark.ops import multimodal as mm
+        _noop(mm.extract_pixel_features(media.select("path", "content")))
+
+    def bench_exif_metadata():
+        from whylogs_spark.ops import multimodal as mm
+        _noop(mm.extract_exif_metadata(
+            media.select("path", F.col("exif").alias("content"))))
+
     def bench_zorder_cluster():
         from whylogs_spark.ops import layout as layout_ops
         _noop(layout_ops.cluster_by_zorder(
@@ -296,6 +387,11 @@ def main() -> None:
         "classifier_dsir_documents": bench_classifier_dsir,
         "incremental_dedup_bloom": bench_incremental_dedup_bloom,
         "rolling_psi_events": bench_rolling_psi,
+        "bpe_train_tokenize_documents": bench_bpe_train_tokenize,
+        "semantic_dedup_embeddings": bench_semantic_dedup,
+        "robots_filter_documents": bench_robots_filter,
+        "pixel_features_12k_images": bench_pixel_features,
+        "exif_metadata_12k_images": bench_exif_metadata,
         "interval_join_events": bench_interval_join,
         "zorder_cluster_lineitem": bench_zorder_cluster,
         "duplicate_spans_documents": bench_duplicate_spans,
@@ -308,7 +404,11 @@ def main() -> None:
     }
     # the 10x scale entries are ~10x the work of any other query; fewer
     # reps keep total bench wall time bounded
-    reps_for = {"dedup_scale_10x": 2,
+    reps_for = {"bpe_train_tokenize_documents": 2,
+                "semantic_dedup_embeddings": 3,
+                "pixel_features_12k_images": 3,
+                "exif_metadata_12k_images": 3,
+                "dedup_scale_10x": 2,
                 "dupspans_scale_10x": 2,
                 "sessionize_hot10x_single": 2,
                 "sessionize_hot10x_bucketed": 2,
@@ -368,7 +468,22 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     total = round(sum(results.values()), 3)
-    line = json.dumps({
+    # STDOUT gets ONE COMPACT line, printed before anything else and
+    # small enough (~1.5 KB) to survive the driver's bounded stdout
+    # capture whole — r04 and r05 both lost the full record to
+    # truncation. The complete record (min/max dispersion, task
+    # seconds, reps, notes) goes to bench_out.json, committed per
+    # round.
+    compact = json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_val,
+        "regressions_vs_r02_min": regressions,
+        "full_record": "bench_out.json",
+    })
+    full = json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -390,14 +505,12 @@ def main() -> None:
                 "<5%, so the chunk policy stands"),
         },
     })
-    print(line)
-    # persist the record: the driver captures stdout and has truncated
-    # the line before (r04 lost its medians) — the file is the backup
+    print(compact, flush=True)
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     try:
         with open(out_path, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(full + "\n")
     except OSError:
         pass
     spark.stop()
