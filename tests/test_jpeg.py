@@ -227,6 +227,214 @@ def encode_jpeg(rgb, subsample=(1, 1), qval=1, restart=0, qt16=False):
     return out
 
 
+# ---------------------------------------------------- progressive encoder
+
+def _ac_first_events(vals):
+    """AC band values (already point-transformed) -> first-scan
+    symbol/extra-bit events with ZRL and per-block EOB."""
+    events = []
+    run = 0
+    for v in vals:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            events.append((0xF0, []))
+            run -= 16
+        s, bits = _mag_bits(int(v))
+        events.append((((run << 4) | s), [(bits, s)]))
+        run = 0
+    if run:
+        events.append((0x00, []))  # EOB covers the trailing zeros
+    return events
+
+
+def _ac_refine_events(vals):
+    """AC band values (full precision, Ah=1 -> Al=0 refinement) ->
+    events mirroring the decoder's G.1.2.3 walk: correction bits for
+    history-nonzero coefficients interleave positionally; new
+    coefficients code run/1 + sign; EOB flushes the tail corrections."""
+    hist_nz = [(abs(int(v)) >> 1) != 0 for v in vals]
+    newly = [not hist_nz[i] and abs(int(v)) == 1
+             for i, v in enumerate(vals)]
+    corr = [abs(int(v)) & 1 for v in vals]
+    sign = [1 if int(v) > 0 else 0 for v in vals]
+    events = []
+    k = 0
+    n = len(vals)
+    while k < n:
+        j = next((i for i in range(k, n) if newly[i]), None)
+        if j is None:
+            bits = [(corr[i], 1) for i in range(k, n) if hist_nz[i]]
+            events.append((0x00, bits))
+            return events
+        r = sum(1 for i in range(k, j) if not hist_nz[i])
+        while r > 15:
+            cnt = 0
+            bits = []
+            while cnt < 16:
+                if hist_nz[k]:
+                    bits.append((corr[k], 1))
+                else:
+                    cnt += 1
+                k += 1
+            events.append((0xF0, bits))
+            r -= 16
+        bits = [(sign[j], 1)]
+        bits += [(corr[i], 1) for i in range(k, j) if hist_nz[i]]
+        events.append((((r << 4) | 1), bits))
+        k = j + 1
+    return events
+
+
+def encode_jpeg_progressive(rgb, subsample=(1, 1), qval=1, restart=0):
+    """Progressive JFIF encoder exercising all four scan kinds: one
+    interleaved DC first scan at Al=1, a DC refinement, then per
+    component two spectral AC bands (1-5, 6-63) each as a first scan
+    at Al=1 plus a refinement to Al=0. Flat per-scan Huffman tables;
+    optional restart interval in every scan."""
+    gray = rgb.ndim == 2
+    h, w = rgb.shape[:2]
+    sh, sv = (1, 1) if gray else subsample
+    if gray:
+        planes = [rgb.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        x = rgb.astype(np.float64)
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        ph, pw = -(-h // sv) * sv, -(-w // sh) * sh
+        cbp = _pad_to(cb, sv, sh).reshape(ph // sv, sv, pw // sh, sh) \
+            .mean(axis=(1, 3))
+        crp = _pad_to(cr, sv, sh).reshape(ph // sv, sv, pw // sh, sh) \
+            .mean(axis=(1, 3))
+        planes = [y, cbp, crp]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+
+    qtab = np.full(64, qval, dtype=np.int64)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids = []   # (nby_full, nbx_full, 64) raster-order coefficients
+    dims = []    # (nbx, nby) non-interleaved traversal dims
+    for plane, (chs, cvs) in zip(planes, samps):
+        th, tw = mcuy * cvs * 8, mcux * chs * 8
+        padded = np.pad(plane,
+                        ((0, th - plane.shape[0]),
+                         (0, tw - plane.shape[1])), mode="edge")
+        coef = np.round(_fdct_blocks(padded) / qtab).astype(np.int64)
+        grids.append(coef.reshape(th // 8, tw // 8, 64))
+        cw = -(-w * chs // hmax)
+        ch_ = -(-h * cvs // vmax)
+        dims.append((-(-cw // 8), -(-ch_ // 8)))
+
+    ncomp = len(planes)
+
+    def dc_events(refine):
+        events = []
+        preds = [0] * ncomp
+        n_mcu = mcux * mcuy
+        for mcu in range(n_mcu):
+            if restart and mcu and mcu % restart == 0:
+                events.append(("rst",))
+                preds = [0] * ncomp
+            my, mx = divmod(mcu, mcux)
+            for ci in range(ncomp):
+                chs, cvs = samps[ci]
+                for v in range(cvs):
+                    for hh in range(chs):
+                        dc = int(grids[ci][my * cvs + v,
+                                           mx * chs + hh, 0])
+                        if refine:
+                            events.append(("raw", [(dc & 1, 1)]))
+                        else:
+                            val = dc >> 1
+                            s, bits = _mag_bits(val - preds[ci])
+                            preds[ci] = val
+                            events.append(("sym", s, [(bits, s)]))
+        return events
+
+    def ac_events(ci, ss, se, refine):
+        events = []
+        nbx, nby = dims[ci]
+        for mcu in range(nbx * nby):
+            if restart and mcu and mcu % restart == 0:
+                events.append(("rst",))
+            by, bx = divmod(mcu, nbx)
+            band = grids[ci][by, bx, ss:se + 1]
+            if refine:
+                evs = _ac_refine_events(list(band))
+            else:
+                shifted = [(abs(int(v)) >> 1) * (1 if v >= 0 else -1)
+                           for v in band]
+                evs = _ac_first_events(shifted)
+            events.extend(("sym", sym, bits) for sym, bits in evs)
+        return events
+
+    scan_list = [
+        ("dc", None, 0, 0, 0, 1, dc_events(False)),
+        ("dc", None, 0, 0, 1, 0, dc_events(True)),
+    ]
+    for ci in range(ncomp):
+        scan_list.append(("ac", ci, 1, 5, 0, 1, ac_events(ci, 1, 5, 0)))
+        scan_list.append(
+            ("ac", ci, 6, 63, 0, 1, ac_events(ci, 6, 63, 0)))
+    for ci in range(ncomp):
+        scan_list.append(("ac", ci, 1, 5, 1, 0, ac_events(ci, 1, 5, 1)))
+        scan_list.append(
+            ("ac", ci, 6, 63, 1, 0, ac_events(ci, 6, 63, 1)))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qtab))
+    sofb = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        chs, cvs = samps[ci]
+        sofb += bytes([ci + 1, (chs << 4) | cvs, 0])
+    out += seg(0xC2, sofb)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+
+    for kind, ci, ss, se, ah, al, events in scan_list:
+        syms = [e[1] for e in events if e[0] == "sym"]
+        tclass = 0 if kind == "dc" else 1
+        cnts, table_syms, codes = _flat_table(syms or [0])
+        out += seg(0xC4, bytes([(tclass << 4) | 0]) + bytes(cnts)
+                   + bytes(table_syms))
+        if kind == "dc":
+            sosb = bytes([ncomp]) + b"".join(
+                bytes([c + 1, 0x00]) for c in range(ncomp))
+        else:
+            sosb = bytes([1, ci + 1, 0x00])
+        sosb += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sosb)
+        wtr = _BitWriter()
+        rst_cnt = 0
+        for e in events:
+            if e[0] == "rst":
+                wtr.align()
+                wtr.out.append(0xFF)
+                wtr.out.append(0xD0 + (rst_cnt % 8))
+                rst_cnt += 1
+            elif e[0] == "sym":
+                ln, code = codes[e[1]]
+                wtr.write(code, ln)
+                for bits, nb in e[2]:
+                    wtr.write(bits, nb)
+            else:  # raw
+                for bits, nb in e[1]:
+                    wtr.write(bits, nb)
+        wtr.align()
+        out += bytes(wtr.out)
+    return out + b"\xff\xd9"
+
+
 def _test_image(h, w, seed=7):
     """Smooth gradient + low-amplitude texture — JPEG-friendly."""
     rng = np.random.default_rng(seed)
@@ -309,17 +517,109 @@ def test_16bit_quant_tables():
     assert np.mean(np.abs(dec.astype(int) - img.astype(int))) < 2.0
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_malformed_and_garbage():
     img = _test_image(16, 16)
     enc = bytearray(encode_jpeg(img))
     i = enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2: baseline scan params now
+    # claim a progressive frame; the Ss=0/Se=63 scan is invalid there
     assert decode_jpeg(bytes(enc)) is None
     assert sniff_is_progressive(bytes(enc)) is True
     assert sniff_is_progressive(encode_jpeg(img)) is False
     assert decode_jpeg(b"\xff\xd8truncated garbage") is None
     assert decode_jpeg(b"not a jpeg") is None
     assert sniff_is_progressive(b"not a jpeg") is None
+
+
+# ------------------------------------------------------ progressive tests
+
+def test_progressive_roundtrip_matches_baseline():
+    """The full scan script (DC first+refine, two AC bands per comp,
+    first+refine) reconstructs the SAME coefficients the baseline
+    stream carries, so both decodes must agree almost exactly."""
+    img = _test_image(40, 56, seed=17)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert prog is not None and prog.shape == (40, 56, 3)
+    assert np.array_equal(prog, base)
+    assert sniff_is_progressive(encode_jpeg_progressive(img)) is True
+
+
+def test_progressive_non_multiple_of_8():
+    img = _test_image(17, 23, seed=3)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert prog is not None and prog.shape == (17, 23, 3)
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_420_subsampling():
+    """4:2:0: luma's non-interleaved AC scans traverse its OWN block
+    grid (3 cols at w=20), strictly inside the MCU-padded grid."""
+    img = _test_image(20, 20, seed=11)
+    base = decode_jpeg(encode_jpeg(img, subsample=(2, 2)))
+    prog = decode_jpeg(encode_jpeg_progressive(img, subsample=(2, 2)))
+    assert prog is not None and prog.shape == (20, 20, 3)
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_grayscale():
+    img = _test_image(16, 16)[:, :, 0]
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert prog is not None
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_restart_markers():
+    img = _test_image(32, 24, seed=13)
+    enc = encode_jpeg_progressive(img, restart=3)
+    assert b"\xff\xdd" in enc
+    assert any(bytes([0xFF, 0xD0 + i]) in enc for i in range(8))
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(enc)
+    assert prog is not None
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_coarse_quant():
+    """Coarse quantization drives most AC coefficients to zero —
+    long EOB runs and ZRLs in both first and refinement scans."""
+    img = _test_image(48, 40, seed=29)
+    base = decode_jpeg(encode_jpeg(img, qval=16))
+    prog = decode_jpeg(encode_jpeg_progressive(img, qval=16))
+    assert prog is not None
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_truncated_rejected():
+    img = _test_image(32, 32)
+    enc = encode_jpeg_progressive(img)
+    assert decode_jpeg(enc[: len(enc) // 3]) is None
+
+
+def test_progressive_hostile_mutations_never_crash():
+    enc = bytearray(encode_jpeg_progressive(_test_image(16, 16)))
+    for pos in range(20, len(enc), max(len(enc) // 60, 1)):
+        bad = bytearray(enc)
+        bad[pos] ^= 0xA5
+        try:
+            decode_jpeg(bytes(bad))
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(
+                f"decode_jpeg raised {exc!r} at mutation {pos}")
+
+
+def test_progressive_pixel_features_libfree():
+    from whylogs_spark.ops.multimodal import _numpy_pixel_features
+
+    img = _test_image(24, 32, seed=9)
+    feats = _numpy_pixel_features(encode_jpeg_progressive(img))
+    assert feats is not None
+    fmt, w, h = feats[0], feats[1], feats[2]
+    assert (fmt, w, h) == ("jpeg", 32, 24)
+    v_src = img.max(axis=2).mean()
+    assert abs(feats[9] - v_src) < 3.0
 
 
 def test_truncated_entropy_rejected():

@@ -543,12 +543,9 @@ def _png_chunk(ctype, body):
             + st.pack(">I", zlib.crc32(ctype + body)))
 
 
-def _png_bytes(arr, ctype_id, filters):
-    """Minimal PNG encoder for the decoder tests: applies the FORWARD
-    scanline filter per row (cycling `filters`), single IDAT."""
-    import struct as st
-    import zlib
-
+def _png_filter_lines(arr, filters):
+    """Apply the FORWARD scanline filter per row (cycling `filters`)
+    over one (sub-)image -> filtered byte stream."""
     import numpy as np
 
     h, w, c = arr.shape
@@ -580,7 +577,28 @@ def _png_bytes(arr, ctype_id, filters):
             filt = row - pred
         lines += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
         prev = row
-    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype_id, 0, 0, 0)
+    return lines
+
+
+def _png_bytes(arr, ctype_id, filters, interlace=0):
+    """Minimal PNG encoder for the decoder tests; ``interlace=1``
+    writes the seven Adam7 passes as independently filtered
+    sub-images, per spec."""
+    import struct as st
+    import zlib
+
+    h, w, c = arr.shape
+    if interlace == 0:
+        lines = _png_filter_lines(arr, filters)
+    else:
+        from whylogs_spark.ops.multimodal import _ADAM7
+
+        lines = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _png_filter_lines(sub, filters)
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype_id, 0, 0, interlace)
     return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(lines))
             + _png_chunk(b"IEND", b""))
@@ -614,6 +632,38 @@ def test_png_decoder_color_types():
     png = bytearray(_png_bytes(rgba, 6, [0]))
     assert multimodal._decode_png(bytes(png[:40])) is None
     assert multimodal._decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+
+
+def test_png_decoder_adam7_interlaced_exact():
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    # odd dims exercise empty/ragged Adam7 passes; every color type
+    for shape, ctype in (((13, 11, 3), 2), ((9, 7, 4), 6),
+                         ((10, 5, 1), 0), ((8, 8, 2), 4)):
+        arr = rng.randint(0, 256, shape, dtype=np.uint8)
+        plain = multimodal._decode_png(_png_bytes(arr, ctype, [0, 4]))
+        inter = multimodal._decode_png(
+            _png_bytes(arr, ctype, [0, 1, 2, 3, 4], interlace=1))
+        assert plain is not None and inter is not None, ctype
+        assert np.array_equal(plain, inter), ctype
+    # tiny images where most passes are empty
+    one = rng.randint(0, 256, (1, 1, 3), dtype=np.uint8)
+    got = multimodal._decode_png(_png_bytes(one, 2, [0], interlace=1))
+    assert np.array_equal(got, one)
+    two = rng.randint(0, 256, (2, 3, 3), dtype=np.uint8)
+    got = multimodal._decode_png(_png_bytes(two, 2, [4], interlace=1))
+    assert np.array_equal(got, two)
+
+
+def test_png_interlaced_truncated_returns_none():
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    arr = rng.randint(0, 256, (12, 12, 3), dtype=np.uint8)
+    png = _png_bytes(arr, 2, [0, 4], interlace=1)
+    # cut inside IDAT: inflate comes up short of the Adam7 byte need
+    assert multimodal._decode_png(png[:len(png) // 2]) is None
 
 
 def test_png_pixel_features_libfree(spark, tmp_path):

@@ -1,10 +1,12 @@
-"""Baseline JPEG decoder — stdlib + numpy, no image libraries.
+"""Baseline + progressive JPEG decoder — stdlib + numpy, no image
+libraries.
 
-Scope: baseline and extended-sequential DCT (SOF0/SOF1), 8-bit
-precision, 1 or 3 components, any integer chroma subsampling
-(4:4:4 / 4:2:2 / 4:2:0 / ...), restart markers. Progressive (SOF2),
-arithmetic coding, 12-bit precision and CMYK return None — callers
-fall back to header-level features.
+Scope: baseline/extended-sequential DCT (SOF0/SOF1) AND progressive
+DCT (SOF2 — spectral selection, successive approximation, EOB runs,
+interleaved and single-component scans), 8-bit precision, 1 or 3
+components, any integer chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 /
+...), restart markers. Arithmetic coding, 12-bit precision and CMYK
+return None — callers fall back to header-level features.
 
 Reference scope: whylogs' ImageMetric decodes with PIL
 (python/whylogs/extras/image_metric.py:57-110) and profiles the HSV /
@@ -134,7 +136,8 @@ def _idct_matrix():
 
 
 def decode_jpeg(content: bytes):
-    """Decode a baseline JPEG -> (H, W, 3) uint8 RGB array, or None."""
+    """Decode a baseline or progressive JPEG -> (H, W, 3) uint8 RGB
+    array, or None."""
     import numpy as np
 
     if content[:2] != b"\xff\xd8":
@@ -142,6 +145,8 @@ def decode_jpeg(content: bytes):
     qt = {}       # id -> np.array(64) in zigzag order
     huff = {}     # (class, id) -> table dict
     sof = None    # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    prog_state = None  # cid -> per-component coefficient grid
     restart_interval = 0
     i, n = 2, len(content)
     try:
@@ -153,8 +158,8 @@ def decode_jpeg(content: bytes):
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
-            if marker == 0xD9:  # EOI before SOS
-                return None
+            if marker == 0xD9:  # EOI
+                break
             (seg_len,) = struct.unpack(">H", content[i + 2:i + 4])
             body = content[i + 4:i + 2 + seg_len]
             if marker == 0xDB:  # DQT
@@ -175,7 +180,7 @@ def decode_jpeg(content: bytes):
                     if len(vals) != 64:
                         return None
                     qt[tid] = vals
-            elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
                 prec = body[0]
                 h, w = struct.unpack(">HH", body[1:5])
                 ncomp = body[5]
@@ -188,9 +193,10 @@ def decode_jpeg(content: bytes):
                     comps.append((cid, samp >> 4, samp & 15,
                                   body[8 + c * 3]))
                 sof = (int(h), int(w), comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / lossless
+                return None  # arithmetic / lossless / hierarchical
             elif marker == 0xC4:  # DHT
                 j = 0
                 while j + 17 <= len(body):
@@ -213,10 +219,24 @@ def decode_jpeg(content: bytes):
                     cid = body[1 + c * 2]
                     tabs = body[2 + c * 2]
                     scan.append((cid, tabs >> 4, tabs & 15))
-                segs, _ = _split_entropy(content, i + 2 + seg_len)
-                return _decode_scan(sof, scan, qt, huff,
-                                    restart_interval, segs)
+                segs, end = _split_entropy(content, i + 2 + seg_len)
+                if not progressive:
+                    return _decode_scan(sof, scan, qt, huff,
+                                        restart_interval, segs)
+                ss = body[1 + ns * 2]
+                se = body[2 + ns * 2]
+                ah = body[3 + ns * 2] >> 4
+                al = body[3 + ns * 2] & 15
+                if prog_state is None:
+                    prog_state = _init_prog_state(sof)
+                _decode_prog_scan(prog_state, sof, scan, huff,
+                                  restart_interval, segs,
+                                  ss, se, ah, al)
+                i = end
+                continue
             i += 2 + seg_len
+        if progressive and prog_state is not None:
+            return _assemble_progressive(sof, prog_state, qt)
     except (struct.error, IndexError, EOFError, ValueError, KeyError,
             OverflowError):
         # OverflowError: a hostile DHT can define a DC symbol > 31,
@@ -316,6 +336,234 @@ def _decode_scan(sof, scan, qt, huff, restart_interval, segs):
                               hmax // hs, axis=1)
         planes.append(plane[:h, :w])
 
+    if len(planes) == 1:
+        return np.repeat(planes[0][:, :, None], 3, axis=2)
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+# --------------------------------------------------------- progressive
+
+def _init_prog_state(sof):
+    """Per-component coefficient grids for a progressive frame.
+
+    ``coef`` is laid out on the FULL MCU-padded block grid
+    (mcuy*vs, mcux*hs, 64) so interleaved scans index it directly;
+    ``nbx``/``nby`` are the component's own block dims (ceil of its
+    scaled size), the traversal space of non-interleaved scans —
+    strictly inside the padded grid.
+    """
+    import numpy as np
+
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("bad sampling")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    state = {}
+    for cid, hs, vs, tq in comps:
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        state[cid] = {
+            "coef": np.zeros((mcuy * vs, mcux * hs, 64),
+                             dtype=np.int32),
+            "nbx": -(-cw // 8),
+            "nby": -(-ch // 8),
+        }
+    return state
+
+
+def _ac_first(reader, table, row, ss, se, al, eobrun):
+    """First scan of an AC band (Ah=0): run-length + EOB-run coding of
+    the coefficients at Al precision (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC overflow")
+            row[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine(reader, table, row, ss, se, al, eobrun):
+    """Refinement scan of an AC band (Ah=Al+1): one correction bit per
+    already-nonzero coefficient, new coefficients appear as +-1<<Al
+    (T.81 G.1.2.3; structure follows the published standard's decode
+    procedure)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(table)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: s stays 0, skip 16 zero-history coefficients
+                val = 0
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement symbol")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = int(row[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        row[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(row[k])
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    row[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(state, sof, scan, huff, restart_interval, segs,
+                      ss, se, ah, al):
+    """Apply one progressive scan to the coefficient state. DC scans
+    (Ss=0) may interleave several components (MCU traversal) or cover
+    one (raster over its own block grid); AC scans are always
+    single-component per the spec."""
+    h, w, comps = sof
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for cid, _, _ in scan:
+        if cid not in by_id:
+            raise ValueError("unknown component in scan")
+
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+
+    if ss == 0:  # ---- DC scan
+        if se != 0:
+            raise ValueError("bad DC spectral range")
+        interleaved = len(scan) > 1
+        if interleaved:
+            n_mcu = mcux * mcuy
+        else:
+            st0 = state[scan[0][0]]
+            n_mcu = st0["nbx"] * st0["nby"]
+        preds = {cid: 0 for cid, _, _ in scan}
+        for mcu in range(n_mcu):
+            if restart_interval and mcu \
+                    and mcu % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("missing restart segment")
+                reader = _BitReader(segs[seg_idx])
+                preds = {cid: 0 for cid, _, _ in scan}
+            for cid, dc_id, _ in scan:
+                hs, vs, _ = by_id[cid]
+                st = state[cid]
+                if interleaved:
+                    my, mx = divmod(mcu, mcux)
+                    blocks = [(my * vs + v, mx * hs + hh)
+                              for v in range(vs) for hh in range(hs)]
+                else:
+                    blocks = [divmod(mcu, st["nbx"])]
+                for by, bx in blocks:
+                    if ah == 0:
+                        s = reader.decode_huff(huff[(0, dc_id)])
+                        preds[cid] += _extend(reader.read_bits(s), s)
+                        st["coef"][by, bx, 0] = preds[cid] << al
+                    elif reader.read_bit():
+                        st["coef"][by, bx, 0] = \
+                            int(st["coef"][by, bx, 0]) | (1 << al)
+        return
+
+    # ---- AC scan: single component, raster over its block grid
+    if len(scan) != 1 or se > 63 or ss > se:
+        raise ValueError("bad AC scan")
+    cid, _, ac_id = scan[0]
+    st = state[cid]
+    table = huff.get((1, ac_id))
+    if table is None:
+        raise ValueError("missing AC table")
+    n_mcu = st["nbx"] * st["nby"]
+    eobrun = 0
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            eobrun = 0
+        by, bx = divmod(mcu, st["nbx"])
+        row = st["coef"][by, bx]
+        if ah == 0:
+            eobrun = _ac_first(reader, table, row, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine(reader, table, row, ss, se, al, eobrun)
+
+
+def _assemble_progressive(sof, state, qt):
+    """Dequantize + IDCT + upsample + colorspace over the accumulated
+    coefficient grids — the batched-numpy tail shared in shape with
+    the baseline path."""
+    import numpy as np
+
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    unzig = np.argsort(np.array(ZIGZAG))
+    m = _idct_matrix()
+    planes = []
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            return None
+        grid = state[cid]["coef"]
+        nby, nbx = grid.shape[:2]
+        deq = (grid.reshape(-1, 64) * qt[tq][None, :])[:, unzig] \
+            .reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", m,
+                            deq.astype(np.float64), m)
+        px = np.clip(np.round(spatial) + 128.0, 0, 255) \
+            .astype(np.uint8)
+        plane = px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(nby * 8, nbx * 8)
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         return np.repeat(planes[0][:, :, None], 3, axis=2)
     y = planes[0].astype(np.float64)

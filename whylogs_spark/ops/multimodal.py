@@ -12,12 +12,12 @@ over the binary column — partition-parallel, bounded memory per batch.
 Decode kernels are import-guarded per executor: with PIL installed the
 full pixel kernel (HSV stats + entropy, reference parity) runs on any
 format; without it a pure-numpy/stdlib kernel decodes uncompressed BMP
-/ binary PPM, 8-bit non-interlaced PNG (zlib inflate + scanline
-unfilter), GIF87a/89a (stdlib LZW, interlace-aware, first frame) and
-baseline JPEG (_jpeg.py: Huffman entropy decode +
+/ binary PPM, 8-bit PNG incl. Adam7 interlace (zlib inflate +
+scanline unfilter), GIF87a/89a (stdlib LZW, interlace-aware, first
+frame) and baseline AND progressive JPEG (_jpeg.py: Huffman decode +
 batched-numpy IDCT — no third-party libs) and produces the SAME
 HSV/entropy bundle (so the pixel-stat path executes and is tested in
-lib-free environments), and remaining shapes (progressive JPEG,
+lib-free environments), and remaining shapes (12-bit JPEG,
 compressed audio) degrade to header-level features with null pixel
 stats — or fail fast under ``strict=True`` naming the missing
 dependency. All Spark plumbing — schema, batching, partitioning,
@@ -455,12 +455,20 @@ def _png_unfilter(raw, h, stride, bpp):
     return out
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy) per pass, PNG spec 8.2
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def _decode_png(content: bytes):
     """Stdlib PNG decoder (zlib IDAT inflate + scanline unfilter) ->
     (H, W, 3) uint8 RGB, or None for shapes outside the supported
     envelope: 8-bit depth, color types 0 gray / 2 RGB / 3 palette /
-    4 gray+alpha / 6 RGBA, non-interlaced. Alpha is dropped (pixel
-    stats match PIL's RGB->HSV path on opaque images)."""
+    4 gray+alpha / 6 RGBA, both non-interlaced and Adam7-interlaced
+    (each of the 7 passes is an independently filtered sub-image,
+    unfiltered with the shared kernel and scattered to its strided
+    grid). Alpha is dropped (pixel stats match PIL's RGB->HSV path on
+    opaque images)."""
     import zlib
 
     import numpy as np
@@ -489,11 +497,19 @@ def _decode_png(content: bytes):
     w, h, depth, ctype_id, comp, filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_id)
     if (depth != 8 or channels is None or comp != 0 or filt != 0
-            or interlace != 0 or w < 1 or h < 1
+            or interlace not in (0, 1) or w < 1 or h < 1
             or (ctype_id == 3 and plte is None)):
         return None
-    stride = w * channels
-    need = h * (stride + 1)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            passes.append((x0, y0, dx, dy, pw, ph))
+    need = sum(ph * (pw * channels + 1)
+               for _, _, _, _, pw, ph in passes if pw and ph)
     try:
         # bound the inflate to the size IHDR implies: a zip-bomb IDAT
         # declaring a 16x16 image but inflating to tens of GB would
@@ -503,10 +519,18 @@ def _decode_png(content: bytes):
         return None
     if len(raw) < need:
         return None
-    recon = _png_unfilter(raw, h, stride, channels)
-    if recon is None:
-        return None
-    px = recon.reshape(h, w, channels)
+    px = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not pw or not ph:
+            continue
+        stride = pw * channels
+        span = ph * (stride + 1)
+        recon = _png_unfilter(raw[off:off + span], ph, stride, channels)
+        if recon is None:
+            return None
+        off += span
+        px[y0::dy, x0::dx] = recon.reshape(ph, pw, channels)
     if ctype_id == 2:
         return px.copy()
     if ctype_id == 6:
@@ -676,11 +700,12 @@ def _entropy_bits(arr) -> float:
 
 def _numpy_pixel_features(content: bytes):
     """PIL-free pixel kernel: BMP / binary PPM (raw), PNG (stdlib zlib
-    inflate + scanline unfilter) and baseline JPEG (_jpeg.py: Huffman +
+    inflate + scanline unfilter, Adam7 included) and baseline or
+    progressive JPEG (_jpeg.py: Huffman +
     batched-numpy IDCT) produce the same HSV mean/stddev + entropy
     bundle as the PIL path, so the pixel-stat pipeline runs end-to-end
     without decode libraries. Returns None for shapes outside the
-    supported envelope (progressive JPEG, 16-bit/interlaced PNG)."""
+    supported envelope (12-bit JPEG, 16-bit PNG, WebP pixels)."""
     import numpy as np
 
     if content[:2] == b"P6":
@@ -742,7 +767,7 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
     Decode order, guarded PER EXECUTOR inside the kernel (a cluster's
     executors, not the driver, need the library): PIL when importable
     (all formats); else the pure-numpy/stdlib kernel for BMP, binary
-    PPM and 8-bit non-interlaced PNG (same HSV/entropy bundle — the
+    PPM and 8-bit PNG incl. Adam7 (same HSV/entropy bundle — the
     pixel path runs without any decode lib; PNG inflate is stdlib
     zlib); else the header sniff with null pixel stats. With
     ``strict=True`` any row no available decoder can handle fails the
@@ -777,11 +802,11 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
                         # simply unable to decode this payload
                         why = (
                             "payload undecodable by PIL and not "
-                            "BMP/PPM/PNG/baseline-JPEG (corrupt "
+                            "BMP/PPM/PNG/JPEG (corrupt "
                             "or unsupported encoding)" if has_pil else
                             "PIL not importable on this executor and "
                             "payload is not BMP/PPM/8-bit PNG/"
-                            "baseline JPEG; install pillow for "
+                            "JPEG; install pillow for "
                             "other formats")
                         raise NotImplementedError(
                             f"no available decoder for {r['path']!r} "
