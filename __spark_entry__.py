@@ -1252,12 +1252,29 @@ def _q_calibration_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mce", 9).alias("mce"))
 
 
+def _q_binned_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned ROC-AUC (core/model_perf.py roc_auc_exact n_bins=32):
+    scores quantize onto a 32-bin equal-width grid in-plan (broadcast
+    min/max, bin midpoint as score) before the distributed prefix-sum
+    rank walk — the production shape that bounds the distinct-score
+    table at n_bins regardless of corpus size. The oracle regenerates
+    the identical binning arithmetic + rank formulation in DuckDB."""
+    df = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 97) / 97.0).alias("score"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("label"))
+    auc = model_perf.roc_auc_exact(df, "score", "label", n_bins=32)
+    return auc.select(F.round("auc", 9).alias("auc"),
+                      "n_positive", "n_negative")
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-range join via time-bucket expansion (ops/intervals.py
     interval_join): every event joined to the 2-hour windows opened by
     each user's every-20th event. Equi-join on (user, bucket) + codegen
     residual — never a nested-loop; the oracle is the direct theta
-    join."""
+    join. Uses the default bucket="auto" (in-plan width from the
+    interval-length p50 with a max_fanout cap), which the gate thereby
+    exercises; results are bucket-invariant by construction."""
     from whylogs_spark.ops.intervals import interval_join as ij
 
     ev = _t(spark, sf_dir, "events")
@@ -1268,7 +1285,7 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
     )
     out = ij(ev.select("event_id", "user_id", "ts"), windows,
-             on="ts", by=["user_id"], bucket="1 hour")
+             on="ts", by=["user_id"])
     return out.select("event_id", "user_id", "window_id")
 
 
@@ -1518,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_tokenize_documents": _q_bpe_train_tokenize,
         "bigram_lm_documents": _q_bigram_lm,
         "calibration_auc_orders": _q_calibration_auc,
+        "binned_auc_orders": _q_binned_auc,
         "zorder_key_lineitem": _q_zorder_key,
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
@@ -2352,6 +2370,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM b, bt) "
             "SELECT auc.auc, auc.n_positive, auc.n_negative, "
             "ece.ece, ece.mce FROM auc, ece"
+        ),
+        "binned_auc_orders": (
+            "WITH d AS (SELECT (o_orderkey % 97) / 97.0 AS s, "
+            "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y "
+            "FROM orders), "
+            "e AS (SELECT min(s) AS lo, CASE WHEN max(s) > min(s) "
+            "THEN (max(s) - min(s)) / 32 ELSE 1.0 END AS w FROM d), "
+            "d2 AS (SELECT e.lo + (least(greatest(floor((s - e.lo) "
+            "/ e.w), 0), 31) + 0.5) * e.w AS s, y FROM d, e), "
+            "g AS (SELECT s, sum(y) AS pos, count(*) - sum(y) AS neg "
+            "FROM d2 GROUP BY s), "
+            "c AS (SELECT pos, neg, sum(pos) OVER (ORDER BY s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - pos "
+            "AS cpb FROM g), "
+            "tot AS (SELECT sum(pos) AS p, sum(neg) AS nn FROM g) "
+            "SELECT round(sum(neg * (tot.p - cpb - pos / 2.0)) "
+            "/ (any_value(tot.p) * any_value(tot.nn)), 9) AS auc, "
+            "any_value(tot.p)::BIGINT AS n_positive, "
+            "any_value(tot.nn)::BIGINT AS n_negative FROM c, tot"
         ),
         "dedup_paragraphs_documents": (
             "WITH p AS (SELECT doc_id, string_split(text, chr(10)) "
