@@ -402,9 +402,10 @@ def main() -> None:
         "asof_hot10x_single": bench_asof_hot10x_single,
         "asof_hot10x_bucketed": bench_asof_hot10x_bucketed,
     }
-    # the 10x scale entries are ~10x the work of any other query; fewer
-    # reps keep total bench wall time bounded
-    reps_for = {"bpe_train_tokenize_documents": 2,
+    # fewer reps for the heavy entries (10x-scale rehearsals, driver
+    # merge loops, per-row binary decode) keep total bench wall time
+    # bounded; odd counts keep the reported median a true middle rep
+    reps_for = {"bpe_train_tokenize_documents": 3,
                 "semantic_dedup_embeddings": 3,
                 "pixel_features_12k_images": 3,
                 "exif_metadata_12k_images": 3,

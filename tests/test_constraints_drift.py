@@ -397,3 +397,22 @@ def test_store_auc_between(spark, tmp_path):
     # a range with no profiles -> NaN
     assert math.isnan(store.auc_between(
         spark, "model", "2024-07-01", "2024-07-31", "score", "label"))
+
+
+def test_rolling_psi_minute_and_year_units(spark):
+    import datetime
+    import random
+
+    from whylogs_spark.core import drift as D
+
+    rng = random.Random(9)
+    rows = [(datetime.datetime(2024, 1, 1, 10, m, s), rng.random())
+            for m in (1, 2, 3) for s in range(0, 60, 2)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = D.rolling_psi(df, "ts", "v", unit="minute").collect()
+    assert len(out) == 2  # minutes 2 and 3 have predecessors
+    yrows = [(datetime.datetime(y, 6, 1), rng.random())
+             for y in (2022, 2023) for _ in range(40)]
+    ydf = spark.createDataFrame(yrows, "ts timestamp, v double")
+    assert len(D.rolling_psi(ydf, "ts", "v", unit="year")
+               .collect()) == 1

@@ -776,3 +776,15 @@ def test_gif_corrupt_payloads_degrade():
     pal = [(1, 2, 3), (4, 5, 6)]
     gif = _synthetic_gif(8, 8, pal, [0, 1] * 32)
     assert _numpy_pixel_features(gif[:30]) is None
+
+
+def test_progressive_padding_eof_on_final_scan_tolerated():
+    """Dropping the final entropy byte + EOI can leave the last
+    scan's last MCU reading into (absent) padding — the same file
+    class the baseline path tolerates; decode must keep the image."""
+    img = np.full((8, 8), 128, dtype=np.uint8)  # flat: tiny scans
+    enc = encode_jpeg_progressive(img, qval=16)
+    assert decode_jpeg(enc) is not None
+    truncated = enc[:-3]  # strip EOI (2) + final entropy byte
+    dec = decode_jpeg(truncated)
+    assert dec is not None and dec.shape == (8, 8, 3)

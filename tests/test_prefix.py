@@ -114,3 +114,34 @@ def test_ks_2samp_exact_against_bruteforce(spark):
             - sum(1 for v in r if v <= g) / len(r))
         for g in grid)
     assert stat == pytest.approx(want, abs=1e-12)
+
+
+def test_running_sums_requires_exchange_reuse(spark):
+    """With both exchange reuse and AQE disabled, the two plan
+    branches could re-execute the range exchange with different
+    sampled boundaries — the helper must refuse loudly rather than
+    risk silently wrong sums."""
+    df = spark.createDataFrame([(1.0, 1)], "k double, a int")
+    prev_r = spark.conf.get("spark.sql.exchange.reuse", "true")
+    prev_a = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with pytest.raises(ValueError, match="exchange.reuse"):
+            running_sums(df, ["k"], ["a"])
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", prev_r)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_a)
+
+
+def test_roc_auc_rejects_non_binary_labels(spark):
+    df = spark.createDataFrame(
+        [(0.1, 1), (0.5, 2), (0.9, 0)], "score double, label int")
+    with pytest.raises(Exception, match="label must be 0 or 1"):
+        M.roc_auc_exact(df, "score", "label").collect()
+    with pytest.raises(Exception, match="label must be 0 or 1"):
+        M.roc_auc_sketch(df, "score", "label")
+    neg = spark.createDataFrame(
+        [(0.1, -1), (0.9, 1)], "score double, label int")
+    with pytest.raises(Exception, match="label must be 0 or 1"):
+        M.roc_auc_exact(neg, "score", "label").collect()

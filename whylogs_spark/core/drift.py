@@ -24,7 +24,7 @@ import math
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .planner import qcol
@@ -455,8 +455,9 @@ def rolling_psi(
     parse-time identifier), so a typo raises a clean ValueError
     instead of a SQL parse error.
     """
-    allowed = {"hour": "HOUR", "day": "DAY", "week": "WEEK",
-               "month": "MONTH"}
+    allowed = {"minute": "MINUTE", "hour": "HOUR", "day": "DAY",
+               "week": "WEEK", "month": "MONTH", "quarter": "QUARTER",
+               "year": "YEAR"}
     if unit not in allowed:
         raise ValueError(
             f"unit must be one of {sorted(allowed)}, got {unit!r}")

@@ -145,8 +145,6 @@ def roc_auc_from_sketches(pos, neg) -> float:
     sketch monoid, and AUC falls out of the stored profile — see
     ``roc_auc_from_profile`` and ``ProfileStore.auc_between``.
     """
-    import math
-
     import numpy as np
 
     if pos.n == 0 or neg.n == 0:
@@ -193,6 +191,16 @@ def roc_auc_from_profile(
         KllSketch.deserialize(bytes(blobs[seg(neg_value)])))
 
 
+def _binary_label(y):
+    """Fail fast on labels outside {0, 1} — both AUC paths count
+    positives as sum(label), which is only meaningful for 0/1 coding;
+    {1,2} or {-1,1} encodings would otherwise produce silently wrong
+    (or class-empty) results. JVM-side raise, lazy branch."""
+    return F.when(y.isin(0.0, 1.0), y).otherwise(F.raise_error(
+        F.concat(F.lit("roc_auc: label must be 0 or 1, got "),
+                 y.cast("string"))))
+
+
 def roc_auc_sketch(
     df: DataFrame,
     score_col: str,
@@ -203,7 +211,8 @@ def roc_auc_sketch(
     sketches per class (Arrow-batched, zero shuffle of rows), merged
     driver-side (<= 2 x #partitions small blobs), then the sketch
     AUC. The production shape for continuous scores at corpus scale;
-    ``roc_auc_exact`` is its ground-truth verifier.
+    ``roc_auc_exact`` is its ground-truth verifier. Labels must be
+    0/1 (any other value raises).
     """
     from typing import Iterator as _Iterator
 
@@ -213,9 +222,10 @@ def roc_auc_sketch(
 
     src = df.select(
         F.col(score_col).cast("double").alias("s"),
-        F.col(label_col).cast("int").alias("y"),
+        F.col(label_col).cast("double").alias("y0"),
     ).filter(F.col("s").isNotNull() & ~F.isnan("s")
-             & F.col("y").isNotNull())
+             & F.col("y0").isNotNull()).select(
+        "s", _binary_label(F.col("y0")).cast("int").alias("y"))
 
     def build(batches: "_Iterator[pd.DataFrame]"):
         sk = {0: KllSketch(k), 1: KllSketch(k)}
@@ -261,12 +271,14 @@ def roc_auc_exact(
     binned AUC converges to the exact one at 1/n_bins score
     resolution; for a sketch-backed path that composes with the
     profile store, see ``roc_auc_from_sketches`` / ``auc_between``.
+    Labels must be 0/1 (any other value raises).
     """
     from .prefix import running_sums
 
     s = F.col(score_col).cast("double")
-    y = F.col(label_col).cast("double")
-    base = df.filter(s.isNotNull() & y.isNotNull())
+    y0 = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y0.isNotNull())
+    y = _binary_label(y0)
     if n_bins is not None:
         if n_bins < 1:
             raise ValueError("n_bins must be >= 1")

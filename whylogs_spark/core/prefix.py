@@ -32,6 +32,26 @@ from pyspark.sql import functions as F
 CUM_PREFIX = "__cum_"
 
 
+def require_exchange_reuse(df: DataFrame) -> None:
+    """The two-phase plans consume their range exchange from two plan
+    branches (local cumsums and the slice-totals rollup). Spark
+    executes that exchange ONCE under exchange reuse (the default) or
+    AQE stage reuse — but with BOTH disabled, each branch re-runs the
+    range partitioner, whose boundary sampling is seeded per execution
+    instance, so the two branches could disagree on which slice a key
+    belongs to and silently join local sums against the wrong offsets.
+    Fail loudly in that configuration instead."""
+    conf = df.sparkSession.conf
+    reuse = str(conf.get("spark.sql.exchange.reuse", "true")).lower()
+    aqe = str(conf.get("spark.sql.adaptive.enabled", "true")).lower()
+    if reuse == "false" and aqe == "false":
+        raise ValueError(
+            "distributed prefix sums require spark.sql.exchange.reuse "
+            "or spark.sql.adaptive.enabled (both are disabled): the "
+            "range exchange is consumed by two plan branches and must "
+            "be executed exactly once for consistent slice boundaries")
+
+
 def running_sums(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -48,6 +68,7 @@ def running_sums(
     partition (declared-bounded input, see scripts/explain_audit.py's
     global-window audit).
     """
+    require_exchange_reuse(df)
     order = [F.col(c).asc() for c in order_cols]
     rp = df.repartitionByRange(*[F.col(c) for c in order_cols]) \
         .withColumn("__slice", F.spark_partition_id())

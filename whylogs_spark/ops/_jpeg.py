@@ -318,29 +318,49 @@ def _decode_scan(sof, scan, qt, huff, restart_interval, segs):
                 return None
         mcu += 1
 
-    unzig = np.argsort(np.array(ZIGZAG))  # block pos -> zigzag index
-    m = _idct_matrix()
     planes = []
     for c in info:
-        deq = (c["coef"] * c["q"][None, :])[:, unzig].reshape(-1, 8, 8)
-        spatial = np.einsum("ux,nuv,vy->nxy", m, deq.astype(np.float64),
-                            m)
-        px = np.clip(np.round(spatial) + 128.0, 0, 255).astype(np.uint8)
+        px = _dequant_idct(c["coef"], c["q"])
         hs, vs = c["hs"], c["vs"]
         # MCU traversal order -> plane: (mcuy, mcux, vs, hs, 8, 8)
         plane = px.reshape(mcuy, mcux, vs, hs, 8, 8) \
             .transpose(0, 2, 4, 1, 3, 5) \
             .reshape(mcuy * vs * 8, mcux * hs * 8)
+        planes.append((plane, hs, vs))
+    return _compose_rgb(planes, h, w, hmax, vmax)
+
+
+def _dequant_idct(coef_rows, q):
+    """(n, 64) zigzag coefficients + quant table -> (n, 8, 8) uint8
+    spatial blocks (dequantize, de-zigzag, batched IDCT, level shift).
+    Shared by the baseline and progressive paths."""
+    import numpy as np
+
+    unzig = np.argsort(np.array(ZIGZAG))  # block pos -> zigzag index
+    m = _idct_matrix()
+    deq = (coef_rows * q[None, :])[:, unzig].reshape(-1, 8, 8)
+    spatial = np.einsum("ux,nuv,vy->nxy", m, deq.astype(np.float64), m)
+    return np.clip(np.round(spatial) + 128.0, 0, 255).astype(np.uint8)
+
+
+def _compose_rgb(planes, h, w, hmax, vmax):
+    """[(plane, hs, vs), ...] -> (H, W, 3) uint8 RGB: nearest
+    upsample of subsampled chroma, crop to the frame, grayscale
+    replicate or BT.601 YCbCr -> RGB. Shared final stage of both
+    decode paths."""
+    import numpy as np
+
+    full = []
+    for plane, hs, vs in planes:
         if hs != hmax or vs != vmax:
             plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
                               hmax // hs, axis=1)
-        planes.append(plane[:h, :w])
-
-    if len(planes) == 1:
-        return np.repeat(planes[0][:, :, None], 3, axis=2)
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.repeat(full[0][:, :, None], 3, axis=2)
+    y = full[0].astype(np.float64)
+    cb = full[1].astype(np.float64) - 128.0
+    cr = full[2].astype(np.float64) - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
@@ -491,23 +511,31 @@ def _decode_prog_scan(state, sof, scan, huff, restart_interval, segs,
                     raise ValueError("missing restart segment")
                 reader = _BitReader(segs[seg_idx])
                 preds = {cid: 0 for cid, _, _ in scan}
-            for cid, dc_id, _ in scan:
-                hs, vs, _ = by_id[cid]
-                st = state[cid]
-                if interleaved:
-                    my, mx = divmod(mcu, mcux)
-                    blocks = [(my * vs + v, mx * hs + hh)
-                              for v in range(vs) for hh in range(hs)]
-                else:
-                    blocks = [divmod(mcu, st["nbx"])]
-                for by, bx in blocks:
-                    if ah == 0:
-                        s = reader.decode_huff(huff[(0, dc_id)])
-                        preds[cid] += _extend(reader.read_bits(s), s)
-                        st["coef"][by, bx, 0] = preds[cid] << al
-                    elif reader.read_bit():
-                        st["coef"][by, bx, 0] = \
-                            int(st["coef"][by, bx, 0]) | (1 << al)
+            try:
+                for cid, dc_id, _ in scan:
+                    hs, vs, _ = by_id[cid]
+                    st = state[cid]
+                    if interleaved:
+                        my, mx = divmod(mcu, mcux)
+                        blocks = [(my * vs + v, mx * hs + hh)
+                                  for v in range(vs)
+                                  for hh in range(hs)]
+                    else:
+                        blocks = [divmod(mcu, st["nbx"])]
+                    for by, bx in blocks:
+                        if ah == 0:
+                            s = reader.decode_huff(huff[(0, dc_id)])
+                            preds[cid] += _extend(
+                                reader.read_bits(s), s)
+                            st["coef"][by, bx, 0] = preds[cid] << al
+                        elif reader.read_bit():
+                            st["coef"][by, bx, 0] = \
+                                int(st["coef"][by, bx, 0]) | (1 << al)
+            except EOFError:
+                # padding-bit EOF on the final MCU is normal (same
+                # tolerance as the baseline path)
+                if mcu < n_mcu - 1:
+                    raise
         return
 
     # ---- AC scan: single component, raster over its block grid
@@ -529,51 +557,38 @@ def _decode_prog_scan(state, sof, scan, huff, restart_interval, segs,
             eobrun = 0
         by, bx = divmod(mcu, st["nbx"])
         row = st["coef"][by, bx]
-        if ah == 0:
-            eobrun = _ac_first(reader, table, row, ss, se, al, eobrun)
-        else:
-            eobrun = _ac_refine(reader, table, row, ss, se, al, eobrun)
+        try:
+            if ah == 0:
+                eobrun = _ac_first(reader, table, row, ss, se, al,
+                                   eobrun)
+            else:
+                eobrun = _ac_refine(reader, table, row, ss, se, al,
+                                    eobrun)
+        except EOFError:
+            # padding-bit EOF on the final MCU is normal
+            if mcu < n_mcu - 1:
+                raise
 
 
 def _assemble_progressive(sof, state, qt):
     """Dequantize + IDCT + upsample + colorspace over the accumulated
-    coefficient grids — the batched-numpy tail shared in shape with
-    the baseline path."""
-    import numpy as np
-
+    coefficient grids, via the tail stages shared with the baseline
+    path (``_dequant_idct`` / ``_compose_rgb``); only the raster
+    block layout differs."""
     h, w, comps = sof
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    unzig = np.argsort(np.array(ZIGZAG))
-    m = _idct_matrix()
     planes = []
     for cid, hs, vs, tq in comps:
         if tq not in qt:
             return None
         grid = state[cid]["coef"]
         nby, nbx = grid.shape[:2]
-        deq = (grid.reshape(-1, 64) * qt[tq][None, :])[:, unzig] \
-            .reshape(-1, 8, 8)
-        spatial = np.einsum("ux,nuv,vy->nxy", m,
-                            deq.astype(np.float64), m)
-        px = np.clip(np.round(spatial) + 128.0, 0, 255) \
-            .astype(np.uint8)
+        px = _dequant_idct(grid.reshape(-1, 64), qt[tq])
         plane = px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3) \
             .reshape(nby * 8, nbx * 8)
-        if hs != hmax or vs != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
-                              hmax // hs, axis=1)
-        planes.append(plane[:h, :w])
-    if len(planes) == 1:
-        return np.repeat(planes[0][:, :, None], 3, axis=2)
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
-                   255).astype(np.uint8)
+        planes.append((plane, hs, vs))
+    return _compose_rgb(planes, h, w, hmax, vmax)
 
 
 def sniff_is_progressive(content: bytes) -> Optional[bool]:

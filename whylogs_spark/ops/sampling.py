@@ -220,7 +220,11 @@ def pack_chunks(
 
     # two-phase distributed scan: RangePartitioner assigns ascending
     # (shard, order) key ranges to ascending partition ids, so a slice
-    # id is a valid secondary sort key
+    # id is a valid secondary sort key. Same double-consumption shape
+    # as core/prefix.running_sums -> same exchange-reuse requirement.
+    from ..core.prefix import require_exchange_reuse
+
+    require_exchange_reuse(df)
     rp = df.repartitionByRange(
         *[F.col(c) for c in shard_cols + order_cols]
     ).withColumn("__slice", F.spark_partition_id())
