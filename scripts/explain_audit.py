@@ -558,6 +558,34 @@ def main() -> None:
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
         }))
 
+    # 7i. interval containment join, auto bucket: the match must plan
+    # as a hash equi-join on (by, bucket) — never a nested loop /
+    # cartesian — with the 1-row bucket-width agg broadcast into both
+    # sides and the residual containment filter inside the join stage
+    from whylogs_spark.ops.intervals import interval_join as ij_op
+
+    ev_ij = load_table(spark, SF_DIR, "events")
+    win_ij = ev_ij.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("window_id"), "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"))
+    ij_out = ij_op(ev_ij.select("event_id", "user_id", "ts"), win_ij,
+                   on="ts", by=["user_id"])
+    sections.append((
+        "interval join (auto bucket)", ij_out,
+        {
+            "match is a HASH equi-join (the only nested-loop nodes "
+            "are the 1-row bucket-width cross joins)":
+                r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+                r"[^\n]*Inner",
+            "no cartesian product":
+                r"^(?![\s\S]*CartesianProduct)",
+            "bucket-width agg broadcast into both sides":
+                r"BroadcastExchange[\s\S]*BroadcastExchange",
+            "generator expansion of intervals (explode)":
+                r"Generate[\s\S]{0,400}explode",
+        }))
+
     # 8. counts summary: Expand-based multi-distinct in two agg stages
     ct = summaries.counts_table(li, ["l_orderkey", "l_returnflag"])
     sections.append((

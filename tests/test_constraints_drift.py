@@ -416,3 +416,60 @@ def test_rolling_psi_minute_and_year_units(spark):
     ydf = spark.createDataFrame(yrows, "ts timestamp, v double")
     assert len(D.rolling_psi(ydf, "ts", "v", unit="year")
                .collect()) == 1
+
+
+def test_psi_from_sketches_tracks_exact(spark):
+    """Sketch PSI vs the exact distributed PSI on shifted data: same
+    convention (equal-width bins over combined range, epsilon floor),
+    so values agree within the sketch's rank-error budget."""
+    import random
+
+    import numpy as np
+
+    from whylogs_spark.core import drift as D
+    from whylogs_spark.core.sketches import KllSketch
+
+    rng = random.Random(77)
+    t = [rng.gauss(0.6, 1.0) for _ in range(4000)]
+    r = [rng.gauss(0.0, 1.0) for _ in range(4000)]
+    st, sr = KllSketch(256), KllSketch(256)
+    st.update_batch(np.array(t))
+    sr.update_batch(np.array(r))
+    approx = D.psi_from_sketches(st, sr, n_bins=10)
+    tdf = spark.createDataFrame([(v,) for v in t], "x double")
+    rdf = spark.createDataFrame([(v,) for v in r], "x double")
+    exact = D.psi_exact(tdf, rdf, "x", n_bins=10) \
+        .collect()[0].statistic
+    assert approx == pytest.approx(exact, rel=0.25, abs=0.05)
+    assert approx > 0.1  # the shift is detectable
+    # identical inputs -> ~0, NO_DRIFT band
+    same = D.psi_from_sketches(st, st)
+    assert same == pytest.approx(0.0, abs=1e-9)
+    assert D._categorize_psi(same) == "NO_DRIFT"
+
+
+def test_store_drift_between_psi_and_hellinger(spark, lineitem,
+                                               tmp_path):
+    import datetime as dt
+
+    import whylogs_spark as wsp
+    from whylogs_spark.io.store import ProfileStore
+
+    store = ProfileStore(str(tmp_path / "profiles"))
+    base = lineitem.select("l_quantity")
+    store.write(wsp.profile(base), "d",
+                dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))
+    shifted = base.selectExpr("l_quantity + 40 AS l_quantity")
+    store.write(wsp.profile(shifted), "d",
+                dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc))
+    for algo, attr in (("psi", "psi"), ("hellinger", "hellinger")):
+        scores = store.drift_between(
+            spark, "d", "2024-01-01", "2024-01-31",
+            "2024-02-01", "2024-02-28", algorithm=algo)
+        by = {s.column: s for s in scores}
+        assert by["l_quantity"].algorithm == attr
+        assert by["l_quantity"].category in ("DRIFT", "POSSIBLE_DRIFT")
+    with pytest.raises(ValueError, match="algorithm"):
+        store.drift_between(spark, "d", "2024-01-01", "2024-01-31",
+                            "2024-02-01", "2024-02-28",
+                            algorithm="wasserstein")

@@ -138,6 +138,65 @@ def hellinger_from_sketches(
                   for x, y in zip(pa, pb)))
 
 
+# ------------------------------------------------------------------ PSI
+def psi_from_sketches(
+    target: KllSketch, reference: KllSketch,
+    n_bins: int = 10, epsilon: float = 1e-4,
+) -> float:
+    """Population Stability Index from two KLL sketches:
+    ``sum_b (pt_b - pr_b) * ln(pt_b / pr_b)`` over ``n_bins``
+    equal-width bins spanning the combined range, probabilities
+    floored at ``epsilon`` — the same convention as ``psi_exact``
+    (core/drift.py), which is this function's ground-truth verifier.
+    The sketch path is what composes with the profile store: PSI of a
+    stored column over any date range costs two small blobs, not a
+    raw-data scan."""
+    if target.n == 0 or reference.n == 0:
+        return float("nan")
+    lo = min(target.min_value, reference.min_value)
+    hi = max(target.max_value, reference.max_value)
+    if not (hi > lo):
+        return 0.0
+    splits = [lo + (hi - lo) * i / n_bins for i in range(1, n_bins)]
+    pt = target.pmf(splits)
+    pr = reference.pmf(splits)
+    out = 0.0
+    for x, y in zip(pt, pr):
+        x = max(x, epsilon)
+        y = max(y, epsilon)
+        out += (x - y) * math.log(x / y)
+    return out
+
+
+def _categorize_psi(v: float) -> str:
+    """Standard PSI bands: < 0.1 stable, 0.1-0.25 moderate shift,
+    > 0.25 significant shift."""
+    if math.isnan(v):
+        return "UNKNOWN"
+    if v > 0.25:
+        return "DRIFT"
+    if v > 0.1:
+        return "POSSIBLE_DRIFT"
+    return "NO_DRIFT"
+
+
+def psi_scores(
+    target: "ProfileView", reference: "ProfileView",
+    n_bins: int = 10, epsilon: float = 1e-4,
+) -> List["DriftScore"]:
+    """Per-column sketch PSI between two profiles (numeric columns
+    with KLL present on both sides), mirroring ``hellinger_scores``."""
+    out = []
+    t_kll = _sketches_by_column(target, "kll")
+    r_kll = _sketches_by_column(reference, "kll")
+    for col in sorted(set(t_kll) & set(r_kll)):
+        a = KllSketch.deserialize(t_kll[col])
+        b = KllSketch.deserialize(r_kll[col])
+        v = psi_from_sketches(a, b, n_bins, epsilon)
+        out.append(DriftScore(col, "psi", v, None, _categorize_psi(v)))
+    return out
+
+
 # ------------------------------------------------------------------ chi2
 def chi2_from_frequent_items(
     a: FrequentStringsSketch, b: FrequentStringsSketch

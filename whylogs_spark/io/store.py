@@ -89,19 +89,32 @@ class ProfileStore:
         baseline_to: str,
         target_from: str,
         target_to: str,
+        algorithm: str = "default",
     ):
         """Drift scores between two stored date ranges of a dataset —
         the monitoring question ("did last week move vs the month
         before?") straight off the store: two partition-pruned
-        merge-on-read loads + the KLL/frequent-items drift tests
-        (``core.drift.calculate_drift_scores``). Returns the per-column
-        ``DriftScore`` list; requires profiles written with sketch
-        metrics (the default config)."""
-        from ..core.drift import calculate_drift_scores
+        merge-on-read loads + the sketch drift tests. Returns the
+        per-column ``DriftScore`` list; requires profiles written with
+        sketch metrics (the default config).
+
+        ``algorithm``: "default" = KS for numeric + chi2 for
+        categorical (``calculate_drift_scores``); "psi" = sketch PSI
+        with the standard 0.1/0.25 bands (``psi_scores``);
+        "hellinger" = Hellinger distance (``hellinger_scores``)."""
+        from ..core.drift import (calculate_drift_scores,
+                                  hellinger_scores, psi_scores)
 
         ref = self.get(spark, dataset_id, baseline_from, baseline_to)
         tgt = self.get(spark, dataset_id, target_from, target_to)
-        return calculate_drift_scores(tgt, ref)
+        if algorithm == "default":
+            return calculate_drift_scores(tgt, ref)
+        if algorithm == "psi":
+            return psi_scores(tgt, ref)
+        if algorithm == "hellinger":
+            return hellinger_scores(tgt, ref)
+        raise ValueError(
+            f"algorithm must be default/psi/hellinger, got {algorithm!r}")
 
     def auc_between(
         self,
