@@ -969,3 +969,185 @@ def test_mmr_lambda_one_equals_topk(spark):
     top = [r.vec_id for r in
            S.cosine_topk(df, q, k=5).select("vec_id").collect()]
     assert set(sel) == set(top)
+
+
+def _tiff_bytes(arr, endian="<", photometric=None, packbits=False,
+                rows_per_strip=None, extra_alpha=False):
+    """Minimal strip-TIFF encoder for the decoder tests: 8-bit chunky,
+    Compression 1 or PackBits, gray (photometric 0/1) or RGB."""
+    import struct as st
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    gray = arr.ndim == 2
+    if gray:
+        spp = 1
+        photo = 1 if photometric is None else photometric
+        px = arr if photo == 1 else (255 - arr)
+    else:
+        px = arr
+        if extra_alpha:
+            px = np.concatenate(
+                [arr, np.full((h, w, 1), 200, np.uint8)], axis=2)
+        spp = px.shape[2]
+        photo = 2
+    rps = rows_per_strip or h
+    stride = w * spp
+    flat = px.reshape(h, stride)
+    strips = []
+    for y0 in range(0, h, rps):
+        data = flat[y0:y0 + rps].tobytes()
+        if packbits:
+            # literal-only PackBits: runs of <=128 literal bytes
+            pb = bytearray()
+            for i in range(0, len(data), 128):
+                chunk = data[i:i + 128]
+                pb += bytes([len(chunk) - 1]) + chunk
+            data = bytes(pb)
+        strips.append(data)
+
+    hdr = (b"II*\x00" if endian == "<" else b"MM\x00*")
+    entries = []
+
+    def ent(tag, vtype, count, value_bytes):
+        entries.append((tag, vtype, count, value_bytes))
+
+    # layout: header(8) + IFD + value area + strip data
+    n_fixed = 10
+    ifd_off = 8
+    ifd_size = 2 + n_fixed * 12 + 4
+    val_area = ifd_off + ifd_size
+    extra = bytearray()
+
+    def off_val(data):
+        o = val_area + len(extra)
+        extra.extend(data)
+        return st.pack(endian + "I", o)
+
+    def inline(fmt, *vals):
+        b = st.pack(endian + fmt, *vals)
+        return b + b"\x00" * (4 - len(b))
+
+    strip_data_off = None  # patched below
+    ent(256, 3, 1, inline("H", w))
+    ent(257, 3, 1, inline("H", h))
+    if spp == 1:
+        ent(258, 3, 1, inline("H", 8))
+    else:
+        ent(258, 3, spp, off_val(st.pack(endian + "H" * spp,
+                                         *([8] * spp))))
+    ent(259, 3, 1, inline("H", 32773 if packbits else 1))
+    ent(262, 3, 1, inline("H", photo))
+    ent(277, 3, 1, inline("H", spp))
+    ent(278, 3, 1, inline("H", rps))
+    ent(284, 3, 1, inline("H", 1))
+    # strip offsets/counts appended after we know the data start
+    n_strips = len(strips)
+    cnts = [len(s) for s in strips]
+    if n_strips == 1:
+        cnt_bytes = inline("I", cnts[0])
+    else:
+        cnt_bytes = off_val(st.pack(endian + "I" * n_strips, *cnts))
+    ent(279, 4, n_strips, cnt_bytes)
+    # reserve offsets entry last so the value area is final
+    if n_strips == 1:
+        data_start = val_area + len(extra)
+        ent(273, 4, 1, inline("I", data_start))
+    else:
+        offs_pos = val_area + len(extra)
+        extra.extend(b"\x00" * (4 * n_strips))
+        data_start = val_area + len(extra)
+        offs = []
+        acc = data_start
+        for c in cnts:
+            offs.append(acc)
+            acc += c
+        extra[offs_pos - val_area:offs_pos - val_area + 4 * n_strips] \
+            = st.pack(endian + "I" * n_strips, *offs)
+        ent(273, 4, n_strips, st.pack(endian + "I", offs_pos))
+    entries.sort(key=lambda e: e[0])
+    out = bytearray(hdr + st.pack(endian + "I", ifd_off))
+    out += st.pack(endian + "H", len(entries))
+    for tag, vtype, count, vb in entries:
+        out += st.pack(endian + "HHI", tag, vtype, count) + vb
+    out += st.pack(endian + "I", 0)  # next IFD
+    out += extra
+    for s_ in strips:
+        out += s_
+    return bytes(out)
+
+
+def test_tiff_decoder_rgb_gray_both_endians():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    for endian in ("<", ">"):
+        got = multimodal._decode_tiff(_tiff_bytes(rgb, endian=endian))
+        assert got is not None and np.array_equal(got, rgb), endian
+    gray = rng.randint(0, 256, (6, 5), dtype=np.uint8)
+    got = multimodal._decode_tiff(_tiff_bytes(gray))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    # photometric 0 = white-is-zero: stored inverted, decode restores
+    got0 = multimodal._decode_tiff(_tiff_bytes(gray, photometric=0))
+    assert np.array_equal(got0,
+                          np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_tiff_decoder_strips_packbits_alpha():
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, (11, 4, 3), dtype=np.uint8)
+    # multi-strip
+    got = multimodal._decode_tiff(_tiff_bytes(rgb, rows_per_strip=3))
+    assert np.array_equal(got, rgb)
+    # PackBits compression (incl. multi-strip)
+    got = multimodal._decode_tiff(
+        _tiff_bytes(rgb, packbits=True, rows_per_strip=4))
+    assert np.array_equal(got, rgb)
+    # RGBA extra sample dropped
+    got = multimodal._decode_tiff(_tiff_bytes(rgb, extra_alpha=True))
+    assert np.array_equal(got, rgb)
+
+
+def test_tiff_decoder_rejects_unsupported_and_truncated():
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    rgb = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    tif = _tiff_bytes(rgb)
+    assert multimodal._decode_tiff(tif[:40]) is None
+    assert multimodal._decode_tiff(b"II*\x00junk") is None
+    # LZW compression tag -> unsupported -> None
+    bad = bytearray(tif)
+    # flip the Compression value (tag 259) from 1 to 5 in place
+    import struct as st
+    n = st.unpack("<H", bad[8:10])[0]
+    for k in range(n):
+        off = 10 + 12 * k
+        tag = st.unpack("<H", bad[off:off + 2])[0]
+        if tag == 259:
+            bad[off + 8:off + 10] = st.pack("<H", 5)
+    assert multimodal._decode_tiff(bytes(bad)) is None
+
+
+def test_tiff_pixel_kernel_and_packbits_bounds():
+    import numpy as np
+
+    from whylogs_spark.ops.multimodal import (_numpy_pixel_features,
+                                              _packbits)
+
+    rng = np.random.RandomState(19)
+    rgb = rng.randint(0, 256, (10, 6, 3), dtype=np.uint8)
+    feats = _numpy_pixel_features(_tiff_bytes(rgb, packbits=True))
+    assert feats is not None
+    assert (feats[0], feats[1], feats[2]) == ("tiff", 6, 10)
+    hsv = multimodal._rgb_to_hsv_u8(rgb).reshape(-1, 3)
+    assert feats[9] == pytest.approx(float(hsv[:, 2].mean()))
+    # PackBits: replicate runs + bound enforcement (hostile repeat
+    # counts cannot overshoot the expected size)
+    assert _packbits(b"\xfeA", 10) == b"AAA"       # 257-254=3 repeats
+    assert _packbits(b"\x02abc", 3) == b"abc"      # literal run
+    assert len(_packbits(b"\x81" + b"Z", 4)) <= 4

@@ -698,14 +698,132 @@ def _entropy_bits(arr) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
+def _packbits(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (Apple RLE) decompression, bounded at
+    ``expected`` output bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i:i + b + 1]
+            i += b + 1
+        elif b > 128:
+            if i >= n:
+                break
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # 0x80 is a no-op per spec
+    return bytes(out[:expected])
+
+
+_TIFF_PIXEL_TAGS = (256, 257, 258, 259, 262, 273, 277, 278, 279,
+                    284, 339)
+
+
+def _decode_tiff(content: bytes):
+    """Stdlib baseline-TIFF decoder -> (H, W, 3) uint8 RGB, or None
+    outside the supported envelope: 8-bit samples, chunky planar
+    config, strip-organized, Compression 1 (none) or 32773
+    (PackBits), Photometric 0/1 (gray, white-is-zero inverted) or 2
+    (RGB; extra samples dropped). Covers the scanner/export baseline
+    profile; LZW/JPEG-in-TIFF and tiled files return None (header
+    sniff fallback)."""
+    import numpy as np
+
+    if content[:4] not in (b"II*\x00", b"MM\x00*") or len(content) < 8:
+        return None
+    endian = "<" if content[:2] == b"II" else ">"
+    (ifd0,) = struct.unpack_from(endian + "I", content, 4)
+    if ifd0 + 2 > len(content):
+        return None
+    (n_ent,) = struct.unpack_from(endian + "H", content, ifd0)
+    tags = {}
+    pos = ifd0 + 2
+    for _ in range(min(n_ent, 512)):
+        if pos + 12 > len(content):
+            return None
+        tag, vtype, count = struct.unpack_from(endian + "HHI",
+                                               content, pos)
+        raw = content[pos + 8:pos + 12]
+        pos += 12
+        if tag in _TIFF_PIXEL_TAGS:
+            tags[tag] = _exif_value(content, endian, vtype, count, raw)
+    w, h = tags.get(256), tags.get(257)
+    comp = tags.get(259, 1)
+    photo = tags.get(262)
+    spp = tags.get(277, 1)
+    bps = tags.get(258, 8)
+    planar = tags.get(284, 1)
+    sample_fmt = tags.get(339, 1)
+    if isinstance(bps, tuple):
+        if any(b != 8 for b in bps):
+            return None
+    elif bps != 8:
+        return None
+    if isinstance(sample_fmt, tuple):
+        sample_fmt = sample_fmt[0]
+    if (not isinstance(w, int) or not isinstance(h, int)
+            or w < 1 or h < 1 or w * h > 64_000_000
+            or comp not in (1, 32773) or photo not in (0, 1, 2)
+            or planar != 1 or sample_fmt != 1
+            or not isinstance(spp, int)):
+        return None
+    if photo == 2 and spp not in (3, 4):
+        return None
+    if photo in (0, 1) and spp != 1:
+        return None
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    if offs is None or cnts is None:
+        return None
+    offs = offs if isinstance(offs, tuple) else (offs,)
+    cnts = cnts if isinstance(cnts, tuple) else (cnts,)
+    if len(offs) != len(cnts):
+        return None
+    rps = tags.get(278, h)
+    if not isinstance(rps, int) or rps < 1:
+        rps = h
+    stride = w * spp
+    raw_px = bytearray()
+    rows_left = h
+    for o, c in zip(offs, cnts):
+        if not isinstance(o, int) or not isinstance(c, int) \
+                or rows_left <= 0:
+            return None
+        chunk = content[o:o + c]
+        if len(chunk) < c:
+            return None
+        rows = min(rps, rows_left)
+        rows_left -= rows
+        expected = rows * stride
+        if comp == 32773:
+            chunk = _packbits(chunk, expected)
+        if len(chunk) < expected:
+            return None
+        raw_px += chunk[:expected]
+    if len(raw_px) < h * stride:
+        return None
+    arr = np.frombuffer(bytes(raw_px), dtype=np.uint8,
+                        count=h * stride).reshape(h, w, spp)
+    if photo == 2:
+        return arr[:, :, :3].copy()
+    g = arr[:, :, 0]
+    if photo == 0:  # white-is-zero
+        g = 255 - g
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
 def _numpy_pixel_features(content: bytes):
     """PIL-free pixel kernel: BMP / binary PPM (raw), PNG (stdlib zlib
-    inflate + scanline unfilter, Adam7 included) and baseline or
-    progressive JPEG (_jpeg.py: Huffman +
-    batched-numpy IDCT) produce the same HSV mean/stddev + entropy
-    bundle as the PIL path, so the pixel-stat pipeline runs end-to-end
-    without decode libraries. Returns None for shapes outside the
-    supported envelope (12-bit JPEG, 16-bit PNG, WebP pixels)."""
+    inflate + scanline unfilter, Adam7 included), baseline or
+    progressive JPEG (_jpeg.py: Huffman + batched-numpy IDCT) and
+    strip-TIFF (none/PackBits) produce the same HSV mean/stddev +
+    entropy bundle as the PIL path, so the pixel-stat pipeline runs
+    end-to-end without decode libraries. Returns None for shapes
+    outside the supported envelope (12-bit JPEG, 16-bit PNG,
+    LZW/tiled TIFF, WebP pixels)."""
     import numpy as np
 
     if content[:2] == b"P6":
@@ -716,6 +834,8 @@ def _numpy_pixel_features(content: bytes):
         dec, fmt = _decode_png, "png"
     elif content[:6] in (b"GIF87a", b"GIF89a"):
         dec, fmt = _decode_gif, "gif"
+    elif content[:4] in (b"II*\x00", b"MM\x00*"):
+        dec, fmt = _decode_tiff, "tiff"
     elif content[:2] == b"\xff\xd8":
         from whylogs_spark.ops._jpeg import decode_jpeg
 
@@ -802,10 +922,10 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
                         # simply unable to decode this payload
                         why = (
                             "payload undecodable by PIL and not "
-                            "BMP/PPM/PNG/JPEG (corrupt "
+                            "BMP/PPM/PNG/JPEG/TIFF (corrupt "
                             "or unsupported encoding)" if has_pil else
                             "PIL not importable on this executor and "
-                            "payload is not BMP/PPM/8-bit PNG/"
+                            "payload is not BMP/PPM/8-bit PNG/TIFF/"
                             "JPEG; install pillow for "
                             "other formats")
                         raise NotImplementedError(
@@ -821,7 +941,7 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
 
 def decode_image_pixels(df: DataFrame) -> DataFrame:
     """Strict full-decode: every row must decode (PIL when available,
-    else the numpy BMP/PPM/PNG/JPEG kernel); a row neither can decode — missing
+    else the numpy BMP/PPM/PNG/JPEG/TIFF kernel); a row neither can decode — missing
     library OR corrupt payload — fails the task fast. Alias for
     ``extract_pixel_features(strict=True)``."""
     return extract_pixel_features(df, strict=True)
