@@ -625,6 +625,31 @@ def main() -> None:
         q.explain()
     q.stop()
     streaming_plan = buf.getvalue()
+
+    # 9b. streaming model monitor: same runtime contract — watermark,
+    # ONE state-keyed exchange, stateful agg, no Python
+    from whylogs_spark.streaming.model_monitor import \
+        streaming_model_bins
+
+    stream2 = spark.readStream.schema(ev.schema).parquet(src_dir)
+    mb = streaming_model_bins(
+        stream2.select(
+            "ts",
+            (F.col("value") - F.floor(F.col("value"))).alias("score"),
+            (F.col("value") > 0).cast("int").alias("label")),
+        ts_col="ts", window_duration="1 hour",
+        watermark="10 minutes")
+    ckpt2 = _tempfile.mkdtemp(prefix="audit_ckpt2_")
+    q2 = (mb.writeStream.outputMode("update").format("noop")
+          .trigger(availableNow=True)
+          .option("checkpointLocation", ckpt2).start())
+    q2.awaitTermination(180)
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        q2.explain()
+    q2.stop()
+    model_plan = buf2.getvalue()
+
     streaming_checks = {
         "watermark attached (state evictable)": r"EventTimeWatermark",
         "stateful aggregation (state store save/restore)":
@@ -701,22 +726,27 @@ def main() -> None:
             all_ok = False
     lines.append("")
 
-    lines.append("## streaming profile (runtime microbatch plan)")
-    sres = []
-    for label, pattern in streaming_checks.items():
-        ok = re.search(pattern, streaming_plan) is not None
-        sres.append(f"  - [{'x' if ok else ' '}] {label}")
-    lines.extend(sres)
-    if any("[ ]" in r for r in sres):
-        all_ok = False
+    for title, plan_text in (
+            ("streaming profile (runtime microbatch plan)",
+             streaming_plan),
+            ("streaming model monitor (runtime microbatch plan)",
+             model_plan)):
+        lines.append(f"## {title}")
+        sres = []
+        for label, pattern in streaming_checks.items():
+            ok = re.search(pattern, plan_text) is not None
+            sres.append(f"  - [{'x' if ok else ' '}] {label}")
+        lines.extend(sres)
+        if any("[ ]" in r for r in sres):
+            all_ok = False
+            lines.append("")
+            lines.append("<details><summary>plan</summary>")
+            lines.append("")
+            lines.append("```")
+            lines.append(plan_text.strip()[:4000])
+            lines.append("```")
+            lines.append("</details>")
         lines.append("")
-        lines.append("<details><summary>plan</summary>")
-        lines.append("")
-        lines.append("```")
-        lines.append(streaming_plan.strip()[:4000])
-        lines.append("```")
-        lines.append("</details>")
-    lines.append("")
 
     out = "\n".join(lines)
     with open("/root/repo/PLANS.md", "w") as f:

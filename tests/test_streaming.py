@@ -303,3 +303,53 @@ def test_streaming_fingerprint_counts(spark, tmp_path):
     # window 12:00-12:10 has aaa x2 (1 dup) + bbb x1; 12:20 has aaa x1
     assert [t[1:] for t in by_win] == [(1, 0), (2, 1), (1, 0)]
     assert by_win[0][0] == by_win[1][0] != by_win[2][0]
+
+
+def test_streaming_model_monitor_matches_batch_ece(spark, tmp_path):
+    """Windowed streaming calibration bins + batch rollup must equal
+    the batch expected_calibration_error on each window's slice."""
+    import datetime as dt
+    import random
+
+    from whylogs_spark.core import model_perf as M
+    from whylogs_spark.streaming.model_monitor import (
+        calibration_from_bins, streaming_model_bins)
+
+    rng = random.Random(61)
+    rows = []
+    for hour in (10, 11):
+        for _ in range(300):
+            sc = rng.random()
+            y = 1 if rng.random() < min(sc + 0.15, 1.0) else 0
+            rows.append((dt.datetime(2024, 5, 1, hour,
+                                     rng.randint(0, 59)),
+                         sc, y, 1 if sc >= 0.5 else 0))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, score double, label int, pred int")
+    src = str(tmp_path / "model_src")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    bins = streaming_model_bins(
+        stream, ts_col="ts", score_col="score", label_col="label",
+        prediction_col="pred", window_duration="1 hour",
+        watermark="0 seconds", n_bins=10)
+    q = (bins.writeStream.format("memory").queryName("mbins")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rolled = {r.window_start.hour: r for r in calibration_from_bins(
+        spark.sql("SELECT * FROM mbins")).collect()}
+    assert set(rolled) == {10, 11}
+    for hour in (10, 11):
+        slice_df = df.filter(F.hour("ts") == hour)
+        want = M.expected_calibration_error(
+            slice_df, "score", "label", n_bins=10).collect()[0]
+        got = rolled[hour]
+        assert got.ece == pytest.approx(want.ece, abs=1e-9)
+        assert got.mce == pytest.approx(want.mce, abs=1e-9)
+        assert got.n == want.n
+        n_corr = slice_df.filter("pred = label").count()
+        assert got.accuracy == pytest.approx(
+            n_corr / slice_df.count(), abs=1e-9)
