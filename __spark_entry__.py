@@ -1252,6 +1252,28 @@ def _q_calibration_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mce", 9).alias("mce"))
 
 
+def _q_exact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact drift statistics between the even/odd-order halves of
+    lineitem: distributed KS (range-partitioned prefix-sum CDF walk),
+    exact Wasserstein-1 (same walk + rank-join successor gaps), and
+    full-count chi2 on the return flag — the deterministic ground
+    truths behind the KLL/frequent-items monitoring paths
+    (core/drift.py ks_2samp_exact / wasserstein_exact / chi2_exact).
+    The oracle replays all three in DuckDB window/join SQL."""
+    from whylogs_spark.core import drift as drift_mod
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.filter(F.col("l_orderkey") % 2 == 0)
+    r = li.filter(F.col("l_orderkey") % 2 == 1)
+    ks = drift_mod.ks_2samp_exact(t, r, "l_extendedprice")
+    w1 = drift_mod.wasserstein_exact(t, r, "l_extendedprice")
+    c2 = drift_mod.chi2_exact(t, r, "l_returnflag")
+    out = ks.unionByName(w1).unionByName(c2)
+    return out.select(
+        "col_name", "algorithm",
+        F.round("statistic", 6).alias("statistic")).orderBy("algorithm")
+
+
 def _q_binned_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned ROC-AUC (core/model_perf.py roc_auc_exact n_bins=32):
     scores quantize onto a 32-bin equal-width grid in-plan (broadcast
@@ -1536,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_documents": _q_bigram_lm,
         "calibration_auc_orders": _q_calibration_auc,
         "binned_auc_orders": _q_binned_auc,
+        "exact_drift_lineitem": _q_exact_drift,
         "zorder_key_lineitem": _q_zorder_key,
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
@@ -2370,6 +2393,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM b, bt) "
             "SELECT auc.auc, auc.n_positive, auc.n_negative, "
             "ece.ece, ece.mce FROM auc, ece"
+        ),
+        "exact_drift_lineitem": (
+            "WITH t AS (SELECT * FROM lineitem WHERE l_orderkey%2=0), "
+            "r AS (SELECT * FROM lineitem WHERE l_orderkey%2=1), "
+            "u AS (SELECT l_extendedprice AS v, 1 AS wt, 0 AS wr "
+            "FROM t UNION ALL SELECT l_extendedprice, 0, 1 FROM r), "
+            "g AS (SELECT v, sum(wt) AS ct, sum(wr) AS cr FROM u "
+            "GROUP BY v), "
+            "c AS (SELECT v, sum(ct) OVER w AS sct, "
+            "sum(cr) OVER w AS scr, lead(v) OVER (ORDER BY v) AS vn "
+            "FROM g WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)), "
+            "tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM g), "
+            "ks AS (SELECT 'l_extendedprice' AS col_name, "
+            "'ks' AS algorithm, round(max(abs(sct::DOUBLE/tot.nt "
+            "- scr::DOUBLE/tot.nr)), 6) AS statistic FROM c, tot), "
+            "w1 AS (SELECT 'l_extendedprice' AS col_name, "
+            "'wasserstein' AS algorithm, "
+            "round(sum(abs(sct::DOUBLE/tot.nt - scr::DOUBLE/tot.nr) "
+            "* coalesce(vn - v, 0)), 6) AS statistic FROM c, tot), "
+            "tc AS (SELECT l_returnflag AS k, count(*) AS obs FROM t "
+            "WHERE l_returnflag IS NOT NULL GROUP BY 1), "
+            "rc AS (SELECT l_returnflag AS k, count(*) AS refc FROM r "
+            "WHERE l_returnflag IS NOT NULL GROUP BY 1), "
+            "tt AS (SELECT sum(obs) AS nt FROM tc), "
+            "rt AS (SELECT sum(refc) AS nr FROM rc), "
+            "jc AS (SELECT coalesce(tc.obs, 0) AS obs, "
+            "coalesce(rc.refc, 0)::DOUBLE / rt.nr * tt.nt AS expected "
+            "FROM tc FULL OUTER JOIN rc ON tc.k = rc.k, tt, rt), "
+            "c2 AS (SELECT 'l_returnflag' AS col_name, "
+            "'chi2' AS algorithm, round(sum((obs - expected) "
+            "* (obs - expected) / expected), 6) AS statistic "
+            "FROM jc WHERE expected > 0) "
+            "SELECT * FROM ks UNION ALL SELECT * FROM w1 "
+            "UNION ALL SELECT * FROM c2 ORDER BY algorithm"
         ),
         "binned_auc_orders": (
             "WITH d AS (SELECT (o_orderkey % 97) / 97.0 AS s, "

@@ -469,7 +469,69 @@ def test_store_drift_between_psi_and_hellinger(spark, lineitem,
         by = {s.column: s for s in scores}
         assert by["l_quantity"].algorithm == attr
         assert by["l_quantity"].category in ("DRIFT", "POSSIBLE_DRIFT")
+    # wasserstein path: statistic tracks the injected +40 shift
+    ws = {s_.column: s_ for s_ in store.drift_between(
+        spark, "d", "2024-01-01", "2024-01-31",
+        "2024-02-01", "2024-02-28", algorithm="wasserstein")}
+    assert ws["l_quantity"].algorithm == "wasserstein"
+    assert ws["l_quantity"].statistic == pytest.approx(40.0, rel=0.1)
     with pytest.raises(ValueError, match="algorithm"):
         store.drift_between(spark, "d", "2024-01-01", "2024-01-31",
                             "2024-02-01", "2024-02-28",
-                            algorithm="wasserstein")
+                            algorithm="energy")
+
+
+def test_wasserstein_exact_against_bruteforce(spark):
+    """Exact distributed W1 vs the closed form for empirical samples
+    (mean absolute difference of sorted samples at equal sizes, CDF
+    integral in general)."""
+    import random
+
+    from whylogs_spark.core import drift as D
+
+    rng = random.Random(83)
+    t = [rng.gauss(0.5, 1.3) for _ in range(400)]
+    r = [rng.gauss(0.0, 1.0) for _ in range(300)]
+    tdf = spark.createDataFrame([(v,) for v in t], "x double") \
+        .repartition(7)
+    rdf = spark.createDataFrame([(v,) for v in r], "x double") \
+        .repartition(5)
+    stat = D.wasserstein_exact(tdf, rdf, "x").collect()[0].statistic
+    grid = sorted(set(t) | set(r))
+    want = 0.0
+    for a, b in zip(grid, grid[1:]):
+        ft = sum(1 for v in t if v <= a) / len(t)
+        fr = sum(1 for v in r if v <= a) / len(r)
+        want += abs(ft - fr) * (b - a)
+    assert stat == pytest.approx(want, abs=1e-9)
+    # equal-size closed form: mean |sorted_t - sorted_r|
+    r2 = [rng.gauss(0.2, 1.0) for _ in range(400)]
+    r2df = spark.createDataFrame([(v,) for v in r2], "x double")
+    stat2 = D.wasserstein_exact(tdf, r2df, "x").collect()[0].statistic
+    closed = sum(abs(a - b) for a, b in
+                 zip(sorted(t), sorted(r2))) / 400
+    assert stat2 == pytest.approx(closed, abs=1e-9)
+
+
+def test_wasserstein_sketch_tracks_exact(spark):
+    import random
+
+    import numpy as np
+
+    from whylogs_spark.core import drift as D
+    from whylogs_spark.core.sketches import KllSketch
+
+    rng = random.Random(91)
+    t = [rng.gauss(1.0, 1.0) for _ in range(5000)]
+    r = [rng.gauss(0.0, 1.0) for _ in range(5000)]
+    st_, sr = KllSketch(256), KllSketch(256)
+    st_.update_batch(np.array(t))
+    sr.update_batch(np.array(r))
+    approx = D.wasserstein_from_sketches(st_, sr)
+    exact = D.wasserstein_exact(
+        spark.createDataFrame([(v,) for v in t], "x double"),
+        spark.createDataFrame([(v,) for v in r], "x double"),
+        "x").collect()[0].statistic
+    # unit shift of a standard normal: W1 = 1.0
+    assert exact == pytest.approx(1.0, abs=0.1)
+    assert approx == pytest.approx(exact, rel=0.1, abs=0.05)

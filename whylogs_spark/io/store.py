@@ -101,9 +101,12 @@ class ProfileStore:
         ``algorithm``: "default" = KS for numeric + chi2 for
         categorical (``calculate_drift_scores``); "psi" = sketch PSI
         with the standard 0.1/0.25 bands (``psi_scores``);
-        "hellinger" = Hellinger distance (``hellinger_scores``)."""
+        "hellinger" = Hellinger distance (``hellinger_scores``);
+        "wasserstein" = earth-mover distance, range-normalized for the
+        category (``wasserstein_scores``)."""
         from ..core.drift import (calculate_drift_scores,
-                                  hellinger_scores, psi_scores)
+                                  hellinger_scores, psi_scores,
+                                  wasserstein_scores)
 
         ref = self.get(spark, dataset_id, baseline_from, baseline_to)
         tgt = self.get(spark, dataset_id, target_from, target_to)
@@ -113,8 +116,11 @@ class ProfileStore:
             return psi_scores(tgt, ref)
         if algorithm == "hellinger":
             return hellinger_scores(tgt, ref)
+        if algorithm == "wasserstein":
+            return wasserstein_scores(tgt, ref)
         raise ValueError(
-            f"algorithm must be default/psi/hellinger, got {algorithm!r}")
+            "algorithm must be default/psi/hellinger/wasserstein, "
+            f"got {algorithm!r}")
 
     def auc_between(
         self,
