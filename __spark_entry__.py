@@ -1274,6 +1274,20 @@ def _q_exact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("statistic", 6).alias("statistic")).orderBy("algorithm")
 
 
+def _q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact empirical quantiles (core/summaries.py exact_quantiles):
+    inverse-CDF lower interpolation over the distinct-value table via
+    the range-partitioned prefix sum — the deterministic ground truth
+    for the profiler's KLL estimates. Oracle replays the identical
+    rank walk in DuckDB window SQL; values are exact (picked, not
+    computed), so no rounding is needed."""
+    from whylogs_spark.core.summaries import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_extendedprice",
+                           [0.25, 0.5, 0.9, 0.99])
+
+
 def _q_binned_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned ROC-AUC (core/model_perf.py roc_auc_exact n_bins=32):
     scores quantize onto a 32-bin equal-width grid in-plan (broadcast
@@ -1559,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_auc_orders": _q_calibration_auc,
         "binned_auc_orders": _q_binned_auc,
         "exact_drift_lineitem": _q_exact_drift,
+        "exact_quantiles_lineitem": _q_exact_quantiles,
         "zorder_key_lineitem": _q_zorder_key,
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
@@ -2428,6 +2443,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM jc WHERE expected > 0) "
             "SELECT * FROM ks UNION ALL SELECT * FROM w1 "
             "UNION ALL SELECT * FROM c2 ORDER BY algorithm"
+        ),
+        "exact_quantiles_lineitem": (
+            "WITH g AS (SELECT l_extendedprice AS v, count(*) AS ct "
+            "FROM lineitem GROUP BY 1), "
+            "c AS (SELECT v, sum(ct) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS sct FROM g), "
+            "t AS (SELECT sum(ct) AS n FROM g) "
+            "SELECT "
+            "min(CASE WHEN sct >= greatest(ceil(0.25 * t.n), 1) "
+            "THEN v END) AS q_0_25, "
+            "min(CASE WHEN sct >= greatest(ceil(0.5 * t.n), 1) "
+            "THEN v END) AS q_0_5, "
+            "min(CASE WHEN sct >= greatest(ceil(0.9 * t.n), 1) "
+            "THEN v END) AS q_0_9, "
+            "min(CASE WHEN sct >= greatest(ceil(0.99 * t.n), 1) "
+            "THEN v END) AS q_0_99, "
+            "any_value(t.n)::BIGINT AS n FROM c, t"
         ),
         "binned_auc_orders": (
             "WITH d AS (SELECT (o_orderkey % 97) / 97.0 AS s, "

@@ -188,6 +188,19 @@ def main() -> None:
         _noop(drift_mod.rolling_psi(t["events"], "ts", "value",
                                     unit="day"))
 
+    def bench_exact_drift():
+        # distributed prefix-sum walks at full distinct-value width:
+        # exact KS + Wasserstein over l_extendedprice (~unique per
+        # row) plus full-count chi2 — the ground-truth verifiers
+        from whylogs_spark.core import drift as drift_mod
+        li = t["lineitem"]
+        a = li.filter(F.col("l_orderkey") % 2 == 0)
+        b = li.filter(F.col("l_orderkey") % 2 == 1)
+        ks = drift_mod.ks_2samp_exact(a, b, "l_extendedprice")
+        w1 = drift_mod.wasserstein_exact(a, b, "l_extendedprice")
+        c2 = drift_mod.chi2_exact(a, b, "l_returnflag")
+        _noop(ks.unionByName(w1).unionByName(c2))
+
     def bench_interval_join():
         from whylogs_spark.ops.intervals import interval_join
         ev = t["events"]
@@ -387,6 +400,7 @@ def main() -> None:
         "classifier_dsir_documents": bench_classifier_dsir,
         "incremental_dedup_bloom": bench_incremental_dedup_bloom,
         "rolling_psi_events": bench_rolling_psi,
+        "exact_drift_lineitem": bench_exact_drift,
         "bpe_train_tokenize_documents": bench_bpe_train_tokenize,
         "semantic_dedup_embeddings": bench_semantic_dedup,
         "robots_filter_documents": bench_robots_filter,

@@ -145,3 +145,33 @@ def test_roc_auc_rejects_non_binary_labels(spark):
         [(0.1, -1), (0.9, 1)], "score double, label int")
     with pytest.raises(Exception, match="label must be 0 or 1"):
         M.roc_auc_exact(neg, "score", "label").collect()
+
+
+def test_exact_quantiles_match_python(spark):
+    """exact_quantiles = inverse empirical CDF (lower interpolation),
+    verified against sorted-list indexing under repartitioning, with
+    duplicates and a singleton."""
+    import math
+
+    from whylogs_spark.core.summaries import exact_quantiles
+
+    rng = random.Random(67)
+    vals = [round(rng.gauss(0, 10), 1) for _ in range(777)]  # dups
+    df = spark.createDataFrame([(v,) for v in vals], "x double") \
+        .repartition(9)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    row = exact_quantiles(df, "x", qs).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    for q in qs:
+        want = s[max(math.ceil(q * n), 1) - 1]
+        name = f"q_{str(q).replace('.', '_')}"
+        assert row[name] == want, q
+    assert row["n"] == n
+    one = spark.createDataFrame([(42.0,)], "x double")
+    r1 = exact_quantiles(one, "x", [0.5]).collect()[0]
+    assert r1["q_0_5"] == 42.0 and r1["n"] == 1
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [1.5])

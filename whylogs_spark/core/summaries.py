@@ -132,3 +132,49 @@ def top_k_items(
         .orderBy(F.col("cnt").desc(), F.col("value").asc())
         .limit(k)
     )
+
+
+def exact_quantiles(
+    df: DataFrame, col: str, qs: List[float]
+) -> DataFrame:
+    """Exact empirical quantiles as one row (``q_<percent>`` columns):
+    for each q, the smallest value whose cumulative count reaches
+    ``ceil(q * n)`` (inverse empirical CDF, lower interpolation) —
+    the deterministic ground truth for the profiler's KLL quantile
+    estimates at any scale.
+
+    Distributed shape: groupBy(value) collapses duplicates map-side,
+    the rank walk is the two-phase range-partitioned prefix sum
+    (``core.prefix.running_sums`` — no single-partition window), and
+    every requested quantile reads off the same walked table in one
+    final aggregation. NaN/null excluded, like the sketch path.
+    """
+    import math as _math
+
+    from .prefix import running_sums
+    from .planner import qcol
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    v = qcol(col).cast("double")
+    g = (
+        df.select(v.alias("v"))
+        .filter(F.col("v").isNotNull() & ~F.isnan("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    cum = running_sums(g, ["v"], ["ct"])
+    tot = g.agg(F.sum("ct").alias("__n"))
+    j = cum.crossJoin(F.broadcast(tot))
+    aggs = []
+    for q in qs:
+        target = F.greatest(
+            F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1))
+        name = f"q_{str(q).replace('.', '_')}"
+        aggs.append(
+            F.min(F.when(F.col("__cum_ct") >= target, F.col("v")))
+            .alias(name))
+    aggs.append(F.first("__n").cast("long").alias("n"))
+    return j.agg(*aggs)
