@@ -105,7 +105,11 @@ def test_ac_refinement_events_reconstruct_exact(band):
             for val, nb in bits:
                 wtr.write(val, nb)
         wtr.align()
-        reader = _BitReader(bytes(wtr.out))
+        # _BitWriter inserts JPEG 0xFF00 byte stuffing; _BitReader
+        # expects the destuffed segment (the real pipeline destuffs in
+        # _split_entropy before handing bits to the scan decoders)
+        reader = _BitReader(bytes(wtr.out).replace(b"\xff\x00",
+                                                   b"\xff"))
         if ah == 0:
             _ac_first(reader, table, row, ss, se, al, 0)
         else:
