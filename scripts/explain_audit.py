@@ -557,6 +557,34 @@ def main() -> None:
             "partial agg before the distinct-value exchange":
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
         }))
+    w1_df = drift_mod.wasserstein_exact(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice")
+    sections.append((
+        "exact Wasserstein-1 (prefix sum + rank-join successor)",
+        w1_df,
+        {
+            "W1 walk has no single-partition window":
+                _no_data_window,
+            "range exchange feeds the walk": r"rangepartitioning",
+            "successor gap via equi-join on rank (no lead window "
+            "over the data)":
+                r"^(?![\s\S]*windowspecdefinition\((?:(?!__slice)"
+                r"[^)])*lead)",
+        }))
+    from whylogs_spark.core.summaries import exact_quantiles
+
+    eq_df = exact_quantiles(li, "l_extendedprice",
+                            [0.25, 0.5, 0.99])
+    sections.append((
+        "exact quantiles (distributed rank walk)", eq_df,
+        {
+            "quantile rank walk has no single-partition window":
+                _no_data_window,
+            "range exchange feeds the walk": r"rangepartitioning",
+            "partial agg before the distinct-value exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
 
     # 7i. interval containment join, auto bucket: the match must plan
     # as a hash equi-join on (by, bucket) — never a nested loop /
