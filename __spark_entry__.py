@@ -1265,10 +1265,11 @@ def _q_exact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     t = li.filter(F.col("l_orderkey") % 2 == 0)
     r = li.filter(F.col("l_orderkey") % 2 == 1)
-    ks = drift_mod.ks_2samp_exact(t, r, "l_extendedprice")
-    w1 = drift_mod.wasserstein_exact(t, r, "l_extendedprice")
+    # KS and W1 share ONE groupBy + prefix-sum walk (both are
+    # functionals of the same merged CDF difference)
+    ksw1 = drift_mod.ks_wasserstein_exact(t, r, "l_extendedprice")
     c2 = drift_mod.chi2_exact(t, r, "l_returnflag")
-    out = ks.unionByName(w1).unionByName(c2)
+    out = ksw1.unionByName(c2)
     return out.select(
         "col_name", "algorithm",
         F.round("statistic", 6).alias("statistic")).orderBy("algorithm")
@@ -2451,13 +2452,13 @@ def oracle_sql() -> dict[str, str]:
             "UNBOUNDED PRECEDING AND CURRENT ROW) AS sct FROM g), "
             "t AS (SELECT sum(ct) AS n FROM g) "
             "SELECT "
-            "min(CASE WHEN sct >= greatest(ceil(0.25 * t.n), 1) "
+            "min(CASE WHEN sct >= greatest(ceil(0.25 * t.n - 0.25 * t.n * 1e-12 - 1e-9), 1) "
             "THEN v END) AS q_0_25, "
-            "min(CASE WHEN sct >= greatest(ceil(0.5 * t.n), 1) "
+            "min(CASE WHEN sct >= greatest(ceil(0.5 * t.n - 0.5 * t.n * 1e-12 - 1e-9), 1) "
             "THEN v END) AS q_0_5, "
-            "min(CASE WHEN sct >= greatest(ceil(0.9 * t.n), 1) "
+            "min(CASE WHEN sct >= greatest(ceil(0.9 * t.n - 0.9 * t.n * 1e-12 - 1e-9), 1) "
             "THEN v END) AS q_0_9, "
-            "min(CASE WHEN sct >= greatest(ceil(0.99 * t.n), 1) "
+            "min(CASE WHEN sct >= greatest(ceil(0.99 * t.n - 0.99 * t.n * 1e-12 - 1e-9), 1) "
             "THEN v END) AS q_0_99, "
             "any_value(t.n)::BIGINT AS n FROM c, t"
         ),

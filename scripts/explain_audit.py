@@ -567,10 +567,9 @@ def main() -> None:
             "W1 walk has no single-partition window":
                 _no_data_window,
             "range exchange feeds the walk": r"rangepartitioning",
-            "successor gap via equi-join on rank (no lead window "
-            "over the data)":
-                r"^(?![\s\S]*windowspecdefinition\((?:(?!__slice)"
-                r"[^)])*lead)",
+            "successor gap via equi-join on rank (no lead() anywhere "
+            "in the plan)":
+                r"^(?![\s\S]*lead\()",
         }))
     from whylogs_spark.core.summaries import exact_quantiles
 

@@ -159,15 +159,24 @@ def test_exact_quantiles_match_python(spark):
     vals = [round(rng.gauss(0, 10), 1) for _ in range(777)]  # dups
     df = spark.createDataFrame([(v,) for v in vals], "x double") \
         .repartition(9)
-    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    qs = [0.0, 0.01, 0.07, 0.25, 0.5, 0.75, 0.99, 1.0]
     row = exact_quantiles(df, "x", qs).collect()[0]
     s = sorted(vals)
     n = len(s)
     for q in qs:
-        want = s[max(math.ceil(q * n), 1) - 1]
+        qn = q * n
+        want = s[max(math.ceil(qn - qn * 1e-12 - 1e-9), 1) - 1]
         name = f"q_{str(q).replace('.', '_')}"
         assert row[name] == want, q
     assert row["n"] == n
+    # float-overshoot pair: 0.07 * 100 = 7.000000000000001 in IEEE
+    # double; the guarded rank must return the 7th order statistic,
+    # not the 8th
+    df100 = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "x double")
+    r100 = exact_quantiles(df100, "x", [0.07]).collect()[0]
+    assert r100["q_0_07"] == 7.0
+
     one = spark.createDataFrame([(42.0,)], "x double")
     r1 = exact_quantiles(one, "x", [0.5]).collect()[0]
     assert r1["q_0_5"] == 42.0 and r1["n"] == 1

@@ -145,19 +145,31 @@ def psi_from_sketches(
 ) -> float:
     """Population Stability Index from two KLL sketches:
     ``sum_b (pt_b - pr_b) * ln(pt_b / pr_b)`` over ``n_bins``
-    equal-width bins spanning the combined range, probabilities
-    floored at ``epsilon`` — the same convention as ``psi_exact``
-    (core/drift.py), which is this function's ground-truth verifier.
-    The sketch path is what composes with the profile store: PSI of a
+    equal-width bins spanning the REFERENCE range (out-of-range
+    target mass clamps into the edge bins — ``pmf`` puts it there
+    naturally), probabilities floored at ``epsilon``. This is the
+    same binning convention as ``psi_exact`` (edges from the
+    reference side only, _psi_bucket clamping), which is this
+    function's ground-truth verifier — combined-range binning would
+    silently diverge from it exactly when the target shifts beyond
+    the reference, the case PSI exists to detect. (Bin boundary
+    closure differs — ``pmf`` is right-closed where the exact bucket
+    is left-closed — a discrepancy inside the sketch's rank-error
+    budget, unlike a range mismatch which grows with the shift.) The
+    sketch path is what composes with the profile store: PSI of a
     stored column over any date range costs two small blobs, not a
     raw-data scan."""
     if target.n == 0 or reference.n == 0:
         return float("nan")
-    lo = min(target.min_value, reference.min_value)
-    hi = max(target.max_value, reference.max_value)
+    lo = reference.min_value
+    hi = reference.max_value
     if not (hi > lo):
-        return 0.0
-    splits = [lo + (hi - lo) * i / n_bins for i in range(1, n_bins)]
+        # degenerate reference range: psi_exact falls back to unit
+        # width from lo, clamped into n_bins; mirror it
+        splits = [lo + float(i) for i in range(1, n_bins)]
+    else:
+        splits = [lo + (hi - lo) * i / n_bins
+                  for i in range(1, n_bins)]
     pt = target.pmf(splits)
     pr = reference.pmf(splits)
     out = 0.0
@@ -240,21 +252,13 @@ def wasserstein_scores(
     return out
 
 
-def wasserstein_exact(
+def _merged_value_counts(
     target: DataFrame, reference: DataFrame, col: str
 ) -> DataFrame:
-    """Exact empirical Wasserstein-1 distance as a one-row DataFrame
-    (col_name, algorithm, statistic): ``W1 = sum_i |F_t(v_i) -
-    F_r(v_i)| * (v_{i+1} - v_i)`` over the merged DISTINCT values.
-
-    Distributed shape: the same groupBy(value)-collapse +
-    range-partitioned prefix sums as ``ks_2samp_exact``; the running
-    count doubles as a global rank, so each value's successor comes
-    from an equi-join on rank (distinct values only) instead of a
-    single-partition lead window. NaN/null excluded on both sides.
-    """
-    from .prefix import running_sums
-
+    """Shared front end of the exact numeric two-sample tests: merged
+    per-DISTINCT-value counts (v, ct, cr), NaN/null excluded on both
+    sides. One groupBy with map-side combine — the shuffle carries
+    distinct values only."""
     v = qcol(col).cast("double")
     u = target.select(
         v.alias("v"), F.lit(1).alias("wt"), F.lit(0).alias("wr")
@@ -262,8 +266,30 @@ def wasserstein_exact(
         reference.select(v.alias("v"), F.lit(0).alias("wt"),
                          F.lit(1).alias("wr"))
     ).filter(F.col("v").isNotNull() & ~F.isnan("v"))
-    g = u.groupBy("v").agg(F.sum("wt").alias("ct"),
-                           F.sum("wr").alias("cr")) \
+    return u.groupBy("v").agg(F.sum("wt").alias("ct"),
+                              F.sum("wr").alias("cr"))
+
+
+def ks_wasserstein_exact(
+    target: DataFrame, reference: DataFrame, col: str
+) -> DataFrame:
+    """Exact KS and Wasserstein-1 off ONE walked table, as two rows
+    (col_name, algorithm in {ks, wasserstein}, statistic): both
+    statistics are functionals of the same merged CDF difference
+    ``|F_t(v) - F_r(v)|`` — KS takes its sup, W1 integrates it over
+    the value gaps — so sharing the groupBy + prefix-sum walk halves
+    the cost of computing the pair (the shape ``exact_drift_lineitem``
+    and the bench use).
+
+    Distributed shape: groupBy(value)-collapse + range-partitioned
+    prefix sums (``core.prefix.running_sums``); the running count
+    doubles as a global rank, so each value's successor comes from an
+    equi-join on rank (distinct values only) instead of a
+    single-partition lead window. NaN/null excluded on both sides.
+    """
+    from .prefix import running_sums
+
+    g = _merged_value_counts(target, reference, col) \
         .withColumn("__one", F.lit(1))
     cum = running_sums(g, ["v"], ["ct", "cr", "__one"])
     nxt = cum.select((F.col("__cum___one") - 1).alias("__rk"),
@@ -272,15 +298,33 @@ def wasserstein_exact(
         .join(nxt, "__rk", "left")
     totals = g.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     gap = F.coalesce(F.col("__vnext") - F.col("v"), F.lit(0.0))
-    return (
+    diff = F.abs(F.col("__cum_ct").cast("double") / F.col("nt")
+                 - F.col("__cum_cr").cast("double") / F.col("nr"))
+    one = (
         j.crossJoin(F.broadcast(totals))
-        .agg(F.sum(
-            F.abs(F.col("__cum_ct").cast("double") / F.col("nt")
-                  - F.col("__cum_cr").cast("double") / F.col("nr"))
-            * gap).alias("statistic"))
-        .select(F.lit(col).alias("col_name"),
-                F.lit("wasserstein").alias("algorithm"), "statistic")
+        .agg(F.max(diff).alias("__ks"),
+             F.sum(diff * gap).alias("__w1"))
     )
+    return one.select(F.explode(F.array(
+        F.struct(F.lit(col).alias("col_name"),
+                 F.lit("ks").alias("algorithm"),
+                 F.col("__ks").alias("statistic")),
+        F.struct(F.lit(col).alias("col_name"),
+                 F.lit("wasserstein").alias("algorithm"),
+                 F.col("__w1").alias("statistic")),
+    )).alias("r")).select("r.*")
+
+
+def wasserstein_exact(
+    target: DataFrame, reference: DataFrame, col: str
+) -> DataFrame:
+    """Exact empirical Wasserstein-1 distance as a one-row DataFrame
+    (col_name, algorithm, statistic): ``W1 = sum_i |F_t(v_i) -
+    F_r(v_i)| * (v_{i+1} - v_i)`` over the merged DISTINCT values.
+    A filter over ``ks_wasserstein_exact`` (the KS sup rides the same
+    aggregation for free)."""
+    return ks_wasserstein_exact(target, reference, col).filter(
+        F.col("algorithm") == "wasserstein")
 
 
 # ------------------------------------------------------------------ chi2
@@ -390,15 +434,7 @@ def ks_2samp_exact(
     """
     from .prefix import running_sums
 
-    v = qcol(col).cast("double")
-    u = target.select(
-        v.alias("v"), F.lit(1).alias("wt"), F.lit(0).alias("wr")
-    ).unionAll(
-        reference.select(v.alias("v"), F.lit(0).alias("wt"),
-                         F.lit(1).alias("wr"))
-    ).filter(F.col("v").isNotNull() & ~F.isnan("v"))
-    g = u.groupBy("v").agg(F.sum("wt").alias("ct"),
-                           F.sum("wr").alias("cr"))
+    g = _merged_value_counts(target, reference, col)
     cum = running_sums(g, ["v"], ["ct", "cr"]).select(
         F.col("__cum_ct").alias("sct"),
         F.col("__cum_cr").alias("scr"),

@@ -89,6 +89,15 @@ def estimated_accuracy(
     )
 
 
+def confidence_bin(score, n_bins: int):
+    """Shared confidence-bin expression: equal-width bins over [0, 1]
+    with 1.0 clamped into the last bin. Used by the batch ECE and the
+    streaming model monitor — they must bin identically for the
+    streaming/batch parity contract to hold."""
+    return F.least(F.greatest(F.floor(score * n_bins), F.lit(0)),
+                   F.lit(n_bins - 1))
+
+
 def expected_calibration_error(
     df: DataFrame,
     score_col: str,
@@ -108,8 +117,7 @@ def expected_calibration_error(
     """
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
-    b = F.least(F.greatest(F.floor(s * n_bins), F.lit(0)),
-                F.lit(n_bins - 1))
+    b = confidence_bin(s, n_bins)
     binned = (
         df.filter(s.isNotNull() & y.isNotNull())
         .groupBy(b.alias("bin"))

@@ -170,8 +170,13 @@ def exact_quantiles(
     j = cum.crossJoin(F.broadcast(tot))
     aggs = []
     for q in qs:
+        # float-robust ceil: q*n can overshoot its mathematical value
+        # by one ulp (0.07 * 100 = 7.000000000000001 -> ceil 8, the
+        # wrong order statistic); subtract a relative+absolute guard
+        # far above double rounding error but far below 1 rank
+        qn = F.lit(float(q)) * F.col("__n")
         target = F.greatest(
-            F.ceil(F.lit(float(q)) * F.col("__n")), F.lit(1))
+            F.ceil(qn - qn * F.lit(1e-12) - F.lit(1e-9)), F.lit(1))
         name = f"q_{str(q).replace('.', '_')}"
         aggs.append(
             F.min(F.when(F.col("__cum_ct") >= target, F.col("v")))

@@ -108,19 +108,22 @@ class ProfileStore:
                                   hellinger_scores, psi_scores,
                                   wasserstein_scores)
 
+        scorers = {
+            "default": calculate_drift_scores,
+            "psi": psi_scores,
+            "hellinger": hellinger_scores,
+            "wasserstein": wasserstein_scores,
+        }
+        # validate BEFORE the two partition-pruned loads: a typo'd
+        # algorithm should not cost two store reads first
+        scorer = scorers.get(algorithm)
+        if scorer is None:
+            raise ValueError(
+                f"algorithm must be one of {sorted(scorers)}, "
+                f"got {algorithm!r}")
         ref = self.get(spark, dataset_id, baseline_from, baseline_to)
         tgt = self.get(spark, dataset_id, target_from, target_to)
-        if algorithm == "default":
-            return calculate_drift_scores(tgt, ref)
-        if algorithm == "psi":
-            return psi_scores(tgt, ref)
-        if algorithm == "hellinger":
-            return hellinger_scores(tgt, ref)
-        if algorithm == "wasserstein":
-            return wasserstein_scores(tgt, ref)
-        raise ValueError(
-            "algorithm must be default/psi/hellinger/wasserstein, "
-            f"got {algorithm!r}")
+        return scorer(tgt, ref)
 
     def auc_between(
         self,

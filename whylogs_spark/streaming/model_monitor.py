@@ -42,12 +42,13 @@ def streaming_model_bins(
     family): watermark -> partial agg -> ONE exchange on the state key
     -> stateful final agg.
     """
+    from ..core.model_perf import confidence_bin
+
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
-    b = F.least(F.greatest(F.floor(s * n_bins), F.lit(0)),
-                F.lit(n_bins - 1))
+    b = confidence_bin(s, n_bins)
     src = (
         # watermarks require TIMESTAMP; NTZ sources cast first (same
         # normalization as streaming_profile, rolling.py:67)
