@@ -535,3 +535,30 @@ def test_wasserstein_sketch_tracks_exact(spark):
     # unit shift of a standard normal: W1 = 1.0
     assert exact == pytest.approx(1.0, abs=0.1)
     assert approx == pytest.approx(exact, rel=0.1, abs=0.05)
+
+
+def test_psi_sketch_matches_exact_on_out_of_range_target(spark):
+    """The case PSI exists to detect: the target shifted BEYOND the
+    reference range. With reference-ranged binning both paths pile
+    the overflow into the edge bin, so sketch and exact must agree;
+    combined-range binning would diverge here."""
+    import random
+
+    import numpy as np
+
+    from whylogs_spark.core import drift as D
+    from whylogs_spark.core.sketches import KllSketch
+
+    rng = random.Random(101)
+    r = [rng.uniform(0.0, 1.0) for _ in range(3000)]
+    t = [rng.uniform(5.0, 6.0) for _ in range(3000)]  # fully outside
+    st_, sr = KllSketch(256), KllSketch(256)
+    st_.update_batch(np.array(t))
+    sr.update_batch(np.array(r))
+    approx = D.psi_from_sketches(st_, sr, n_bins=10)
+    exact = D.psi_exact(
+        spark.createDataFrame([(v,) for v in t], "x double"),
+        spark.createDataFrame([(v,) for v in r], "x double"),
+        "x", n_bins=10).collect()[0].statistic
+    assert exact > 5  # saturated drift
+    assert approx == pytest.approx(exact, rel=0.05)
