@@ -567,9 +567,9 @@ def main() -> None:
             "W1 walk has no single-partition window":
                 _no_data_window,
             "range exchange feeds the walk": r"rangepartitioning",
-            "successor gap via equi-join on rank (no lead() anywhere "
-            "in the plan)":
-                r"^(?![\s\S]*lead\()",
+            "successor lead rides the slice-partitioned window pass "
+            "(every windowspec carries __slice, incl. the lead's)":
+                r"lead\(",
         }))
     from whylogs_spark.core.summaries import exact_quantiles
 

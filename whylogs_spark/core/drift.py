@@ -277,34 +277,54 @@ def ks_wasserstein_exact(
     (col_name, algorithm in {ks, wasserstein}, statistic): both
     statistics are functionals of the same merged CDF difference
     ``|F_t(v) - F_r(v)|`` — KS takes its sup, W1 integrates it over
-    the value gaps — so sharing the groupBy + prefix-sum walk halves
-    the cost of computing the pair (the shape ``exact_drift_lineitem``
-    and the bench use).
+    the value gaps — so they share one groupBy + one range-partitioned
+    walk (the shape ``exact_drift_lineitem`` and the bench use).
 
-    Distributed shape: groupBy(value)-collapse + range-partitioned
-    prefix sums (``core.prefix.running_sums``); the running count
-    doubles as a global rank, so each value's successor comes from an
-    equi-join on rank (distinct values only) instead of a
-    single-partition lead window. NaN/null excluded on both sides.
+    Distributed shape: the two-phase prefix-sum pattern inlined so the
+    successor value rides the SAME per-slice window pass as the
+    cumsums (``lead`` partitioned by __slice — never a global window);
+    cross-slice offsets, grand totals, and the boundary successor all
+    come from ONE window projection over the bounded slice-totals
+    frame (``prefix.slice_rollup`` — its row space only contains
+    non-empty slices, so ``lead`` is already the next non-empty
+    slice's first value), joined back by broadcast. Exactly two plan
+    branches consume the data exchange. NaN/null excluded on both
+    sides.
     """
-    from .prefix import running_sums
+    from pyspark.sql import Window
 
-    g = _merged_value_counts(target, reference, col) \
-        .withColumn("__one", F.lit(1))
-    cum = running_sums(g, ["v"], ["ct", "cr", "__one"])
-    nxt = cum.select((F.col("__cum___one") - 1).alias("__rk"),
-                     F.col("v").alias("__vnext"))
-    j = cum.withColumn("__rk", F.col("__cum___one")) \
-        .join(nxt, "__rk", "left")
-    totals = g.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
-    gap = F.coalesce(F.col("__vnext") - F.col("v"), F.lit(0.0))
-    diff = F.abs(F.col("__cum_ct").cast("double") / F.col("nt")
-                 - F.col("__cum_cr").cast("double") / F.col("nr"))
-    one = (
-        j.crossJoin(F.broadcast(totals))
-        .agg(F.max(diff).alias("__ks"),
-             F.sum(diff * gap).alias("__w1"))
-    )
+    from .prefix import require_exchange_reuse, slice_rollup
+
+    g = _merged_value_counts(target, reference, col)
+    require_exchange_reuse(g)
+    rp = g.repartitionByRange(F.col("v")) \
+        .withColumn("__slice", F.spark_partition_id())
+    wcum = Window.partitionBy("__slice").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wlead = Window.partitionBy("__slice").orderBy("v")
+    local = rp.select(
+        "*",
+        F.sum("ct").over(wcum).alias("__l_ct"),
+        F.sum("cr").over(wcum).alias("__l_cr"),
+        F.lead("v").over(wlead).alias("__vnext"))
+    # bounded: one row per non-empty shuffle partition
+    totals = rp.groupBy("__slice").agg(
+        F.sum("ct").alias("ct"), F.sum("cr").alias("cr"),
+        F.min("v").alias("__fv"))
+    meta = F.broadcast(
+        slice_rollup(totals, ["ct", "cr"], first_col="__fv"))
+    j = local.join(meta, "__slice")
+    gap = F.coalesce(
+        F.coalesce(F.col("__vnext"), F.col("__next_first"))
+        - F.col("v"),
+        F.lit(0.0))
+    diff = F.abs(
+        (F.col("__l_ct") + F.col("__o_ct")).cast("double")
+        / F.col("__g_ct")
+        - (F.col("__l_cr") + F.col("__o_cr")).cast("double")
+        / F.col("__g_cr"))
+    one = j.agg(F.max(diff).alias("__ks"),
+                F.sum(diff * gap).alias("__w1"))
     return one.select(F.explode(F.array(
         F.struct(F.lit(col).alias("col_name"),
                  F.lit("ks").alias("algorithm"),

@@ -52,6 +52,40 @@ def require_exchange_reuse(df: DataFrame) -> None:
             "be executed exactly once for consistent slice boundaries")
 
 
+def slice_rollup(totals: DataFrame, sum_cols: Sequence[str],
+                 first_col: str = None) -> DataFrame:
+    """All the cross-slice metadata of a two-phase plan in ONE window
+    projection over the bounded slice-totals frame (one row per
+    NON-empty range slice — empty slices simply have no row, so
+    ``lead`` already yields the next non-empty slice's value):
+
+    * ``__o_<col>``: exclusive running offset of each ``sum_cols``
+    * ``__g_<col>``: the grand total of each ``sum_cols``
+    * ``__next_first``: the next slice's ``first_col`` (when given)
+
+    The partition-less windows here run over #shuffle-partition rows —
+    the declared-bounded exemption this module carries in the
+    repo-wide global-window audit. Consuming the totals frame once
+    (instead of once per derived quantity) keeps the number of plan
+    branches over the data exchange at two: the per-row window pass
+    and the totals aggregation."""
+    woff = Window.orderBy(F.col("__slice").asc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy(F.col("__slice").asc()) \
+        .rowsBetween(Window.unboundedPreceding,
+                     Window.unboundedFollowing)
+    sel = [F.col("__slice")]
+    for c in sum_cols:
+        sel.append(F.coalesce(F.sum(F.col(c)).over(woff), F.lit(0))
+                   .alias(f"__o_{c}"))
+        sel.append(F.sum(F.col(c)).over(wall).alias(f"__g_{c}"))
+    if first_col is not None:
+        sel.append(F.lead(F.col(first_col))
+                   .over(Window.orderBy(F.col("__slice").asc()))
+                   .alias("__next_first"))
+    return totals.select(*sel)
+
+
 def running_sums(
     df: DataFrame,
     order_cols: Sequence[str],
