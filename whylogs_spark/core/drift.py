@@ -458,10 +458,11 @@ def ks_2samp_exact(
     cum = running_sums(g, ["v"], ["ct", "cr"]).select(
         F.col("__cum_ct").alias("sct"),
         F.col("__cum_cr").alias("scr"),
+        F.col("__g_ct").alias("nt"),
+        F.col("__g_cr").alias("nr"),
     )
-    totals = g.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     return (
-        cum.crossJoin(F.broadcast(totals))
+        cum
         .agg(
             F.max(
                 F.abs(

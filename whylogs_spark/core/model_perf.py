@@ -304,13 +304,14 @@ def roc_auc_exact(
         .agg(F.sum(y).alias("pos"),
              (F.count(F.lit(1)) - F.sum(y)).alias("neg"))
     )
-    cum = running_sums(g, ["s"], ["pos"]).select(
+    # __g_pos/__g_neg (class totals) ride the prefix-sum rollup, so
+    # no separate totals pass over g is needed
+    cum = running_sums(g, ["s"], ["pos", "neg"]).select(
         "pos", "neg",
-        (F.col("__cum_pos") - F.col("pos")).alias("cum_pos_below"))
-    tot = g.agg(F.sum("pos").alias("P"), F.sum("neg").alias("N"))
+        (F.col("__cum_pos") - F.col("pos")).alias("cum_pos_below"),
+        F.col("__g_pos").alias("P"), F.col("__g_neg").alias("N"))
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
+        cum.agg(
             # single-class input (P or N = 0) -> NULL, not a
             # divide-by-zero abort under Spark's default ANSI mode
             F.when(

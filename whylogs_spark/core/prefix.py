@@ -92,14 +92,17 @@ def running_sums(
     sum_cols: Sequence[str],
 ) -> DataFrame:
     """Add inclusive global running sums of ``sum_cols`` in
-    ``order_cols`` order as ``__cum_<col>`` columns.
+    ``order_cols`` order as ``__cum_<col>`` columns, plus the GRAND
+    totals as ``__g_<col>`` columns (they fall out of the slice
+    rollup for free, and carrying them saves every consumer a third
+    pass over the grouped input for its normalizing totals).
 
-    Plan shape: one range exchange of the input + one bounded
-    (#partitions-row) rollup — the per-slice offset table — joined
-    back by broadcast. No single-partition window over the data ever
-    appears; the only ``Window.orderBy`` without ``partitionBy`` runs
-    over the slice-totals frame, which has exactly one row per shuffle
-    partition (declared-bounded input, see scripts/explain_audit.py's
+    Plan shape: one range exchange of the input, consumed by exactly
+    two branches — the per-row window pass and the bounded
+    (#partitions-row) totals rollup (``slice_rollup``) joined back by
+    broadcast. No single-partition window over the data ever appears;
+    the only partition-less windows run over the slice-totals frame
+    (declared-bounded input, see scripts/explain_audit.py's
     global-window audit).
     """
     require_exchange_reuse(df)
@@ -112,16 +115,11 @@ def running_sums(
         "*",
         *[F.sum(F.col(c)).over(w1).alias(f"__l_{c}") for c in sum_cols])
     totals = rp.groupBy("__slice").agg(
-        *[F.sum(F.col(c)).alias(f"__t_{c}") for c in sum_cols])
-    # bounded input: exactly one row per shuffle partition
-    w2 = Window.orderBy(F.col("__slice").asc()) \
-        .rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__slice",
-        *[F.coalesce(F.sum(F.col(f"__t_{c}")).over(w2), F.lit(0))
-          .alias(f"__o_{c}") for c in sum_cols])
-    out = local.join(F.broadcast(offsets), "__slice")
+        *[F.sum(F.col(c)).alias(c) for c in sum_cols])
+    out = local.join(
+        F.broadcast(slice_rollup(totals, list(sum_cols))), "__slice")
     keep: List = [F.col(c) for c in df.columns]
     keep += [(F.col(f"__l_{c}") + F.col(f"__o_{c}"))
              .alias(f"{CUM_PREFIX}{c}") for c in sum_cols]
+    keep += [F.col(f"__g_{c}") for c in sum_cols]
     return out.select(*keep)

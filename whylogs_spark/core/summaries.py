@@ -165,9 +165,9 @@ def exact_quantiles(
         .filter(F.col("v").isNotNull() & ~F.isnan("v"))
         .groupBy("v").agg(F.count(F.lit(1)).alias("ct"))
     )
-    cum = running_sums(g, ["v"], ["ct"])
-    tot = g.agg(F.sum("ct").alias("__n"))
-    j = cum.crossJoin(F.broadcast(tot))
+    # __g_ct (the total count) rides the prefix-sum rollup
+    j = running_sums(g, ["v"], ["ct"]) \
+        .withColumnRenamed("__g_ct", "__n")
     aggs = []
     for q in qs:
         # float-robust ceil: q*n can overshoot its mathematical value
