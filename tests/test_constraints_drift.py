@@ -562,3 +562,37 @@ def test_psi_sketch_matches_exact_on_out_of_range_target(spark):
         "x", n_bins=10).collect()[0].statistic
     assert exact > 5  # saturated drift
     assert approx == pytest.approx(exact, rel=0.05)
+
+
+def test_ks_wasserstein_exact_with_many_empty_slices(spark):
+    """Tiny distinct-value set under a high shuffle-partition count:
+    most range slices are EMPTY, so the slice rollup's lead must still
+    deliver the next non-empty slice's first value and the boundary
+    gaps must survive. Exactness checked against brute force."""
+    import random
+
+    from whylogs_spark.core import drift as D
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        rng = random.Random(7)
+        t = [float(rng.choice([1, 5, 9, 13, 40])) for _ in range(60)]
+        r = [float(rng.choice([1, 3, 9, 21])) for _ in range(50)]
+        tdf = spark.createDataFrame([(v,) for v in t], "x double") \
+            .repartition(13)
+        rdf = spark.createDataFrame([(v,) for v in r], "x double")
+        rows = {x.algorithm: x.statistic for x in
+                D.ks_wasserstein_exact(tdf, rdf, "x").collect()}
+        grid = sorted(set(t) | set(r))
+        ks = w1 = 0.0
+        for i, gval in enumerate(grid):
+            ft = sum(1 for v in t if v <= gval) / len(t)
+            fr = sum(1 for v in r if v <= gval) / len(r)
+            ks = max(ks, abs(ft - fr))
+            if i + 1 < len(grid):
+                w1 += abs(ft - fr) * (grid[i + 1] - gval)
+        assert rows["ks"] == pytest.approx(ks, abs=1e-12)
+        assert rows["wasserstein"] == pytest.approx(w1, abs=1e-12)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
