@@ -1289,6 +1289,20 @@ def _q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                            [0.25, 0.5, 0.9, 0.99])
 
 
+def _q_exact_quantiles_grouped(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (core/summaries.py exact_quantiles
+    with group_cols) — the deterministic verifier for SEGMENTED
+    profiles' KLL estimates: the same two-phase rank walk keyed by
+    (group, slice). Oracle replays it with partitioned window SQL."""
+    from whylogs_spark.core.summaries import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", [0.5, 0.9],
+        group_cols=["l_returnflag"]).orderBy("l_returnflag")
+
+
 def _q_binned_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned ROC-AUC (core/model_perf.py roc_auc_exact n_bins=32):
     scores quantize onto a 32-bin equal-width grid in-plan (broadcast
@@ -1575,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_auc_orders": _q_binned_auc,
         "exact_drift_lineitem": _q_exact_drift,
         "exact_quantiles_lineitem": _q_exact_quantiles,
+        "segmented_quantiles_lineitem": _q_exact_quantiles_grouped,
         "zorder_key_lineitem": _q_zorder_key,
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
@@ -2461,6 +2476,21 @@ def oracle_sql() -> dict[str, str]:
             "min(CASE WHEN sct >= greatest(ceil(0.99 * t.n - 0.99 * t.n * 1e-12 - 1e-9), 1) "
             "THEN v END) AS q_0_99, "
             "any_value(t.n)::BIGINT AS n FROM c, t"
+        ),
+        "segmented_quantiles_lineitem": (
+            "WITH g AS (SELECT l_returnflag, l_extendedprice AS v, "
+            "count(*) AS ct FROM lineitem GROUP BY 1, 2), "
+            "c AS (SELECT l_returnflag, v, sum(ct) OVER "
+            "(PARTITION BY l_returnflag ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS sct, "
+            "sum(ct) OVER (PARTITION BY l_returnflag) AS n FROM g) "
+            "SELECT l_returnflag, "
+            "min(CASE WHEN sct >= greatest(ceil(0.5 * n "
+            "- 0.5 * n * 1e-12 - 1e-9), 1) THEN v END) AS q_0_5, "
+            "min(CASE WHEN sct >= greatest(ceil(0.9 * n "
+            "- 0.9 * n * 1e-12 - 1e-9), 1) THEN v END) AS q_0_9, "
+            "any_value(n)::BIGINT AS n "
+            "FROM c GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "binned_auc_orders": (
             "WITH d AS (SELECT (o_orderkey % 97) / 97.0 AS s, "

@@ -184,3 +184,38 @@ def test_exact_quantiles_match_python(spark):
         exact_quantiles(df, "x", [])
     with pytest.raises(ValueError):
         exact_quantiles(df, "x", [1.5])
+
+
+def test_exact_quantiles_grouped_matches_python(spark):
+    """Per-group exact quantiles (the segmented-profile verifier):
+    each group's quantiles equal sorted-list indexing over that
+    group's values, under repartitioning and a high shuffle-partition
+    count (many empty range slices per group)."""
+    import math
+
+    from whylogs_spark.core.summaries import exact_quantiles
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        rng = random.Random(71)
+        rows = [(f"g{i % 3}", round(rng.gauss(i % 3, 5.0), 1))
+                for i in range(900)]
+        df = spark.createDataFrame(rows, "grp string, x double") \
+            .repartition(7)
+        qs = [0.07, 0.5, 0.9]
+        got = {r.grp: r for r in exact_quantiles(
+            df, "x", qs, group_cols=["grp"]).collect()}
+        assert set(got) == {"g0", "g1", "g2"}
+        for grp in got:
+            vals = sorted(v for g2, v in rows if g2 == grp)
+            n = len(vals)
+            assert got[grp]["n"] == n
+            for q in qs:
+                qn = q * n
+                want = vals[max(math.ceil(qn - qn * 1e-12 - 1e-9),
+                                1) - 1]
+                name = f"q_{str(q).replace('.', '_')}"
+                assert got[grp][name] == want, (grp, q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -135,51 +135,87 @@ def top_k_items(
 
 
 def exact_quantiles(
-    df: DataFrame, col: str, qs: List[float]
+    df: DataFrame, col: str, qs: List[float],
+    group_cols: Optional[List[str]] = None,
 ) -> DataFrame:
-    """Exact empirical quantiles as one row (``q_<percent>`` columns):
-    for each q, the smallest value whose cumulative count reaches
-    ``ceil(q * n)`` (inverse empirical CDF, lower interpolation) —
-    the deterministic ground truth for the profiler's KLL quantile
-    estimates at any scale.
+    """Exact empirical quantiles (``q_<percent>`` columns): for each
+    q, the smallest value whose cumulative count reaches ``ceil(q *
+    n)`` (inverse empirical CDF, lower interpolation) — the
+    deterministic ground truth for the profiler's KLL quantile
+    estimates at any scale. With ``group_cols``, one row PER GROUP
+    (the verifier for segmented profiles).
 
     Distributed shape: groupBy(value) collapses duplicates map-side,
-    the rank walk is the two-phase range-partitioned prefix sum
-    (``core.prefix.running_sums`` — no single-partition window), and
-    every requested quantile reads off the same walked table in one
-    final aggregation. NaN/null excluded, like the sketch path.
+    the rank walk is the two-phase range-partitioned prefix sum — the
+    global form via ``core.prefix.running_sums``, the grouped form
+    with the same structure keyed by (group, slice) so every window
+    carries a partition key and the rollup frame stays bounded at
+    groups x slices rows. Every requested quantile reads off the same
+    walked table in one final aggregation. NaN/null excluded, like
+    the sketch path.
     """
-    import math as _math
-
-    from .prefix import running_sums
     from .planner import qcol
+    from .prefix import require_exchange_reuse, running_sums
 
     if not qs:
         raise ValueError("qs must be non-empty")
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile out of [0,1]: {q}")
+
+    def rank_aggs():
+        aggs = []
+        for q in qs:
+            # float-robust ceil: q*n can overshoot its mathematical
+            # value by one ulp (0.07 * 100 = 7.000000000000001 ->
+            # ceil 8, the wrong order statistic); subtract a
+            # relative+absolute guard far above double rounding error
+            # but far below 1 rank
+            qn = F.lit(float(q)) * F.col("__n")
+            target = F.greatest(
+                F.ceil(qn - qn * F.lit(1e-12) - F.lit(1e-9)), F.lit(1))
+            name = f"q_{str(q).replace('.', '_')}"
+            aggs.append(
+                F.min(F.when(F.col("__cum_ct") >= target, F.col("v")))
+                .alias(name))
+        aggs.append(F.first("__n").cast("long").alias("n"))
+        return aggs
+
     v = qcol(col).cast("double")
+    groups = list(group_cols or [])
     g = (
-        df.select(v.alias("v"))
+        df.select(*groups, v.alias("v"))
         .filter(F.col("v").isNotNull() & ~F.isnan("v"))
-        .groupBy("v").agg(F.count(F.lit(1)).alias("ct"))
+        .groupBy(*groups, "v").agg(F.count(F.lit(1)).alias("ct"))
     )
-    # __g_ct (the total count) rides the prefix-sum rollup
-    j = running_sums(g, ["v"], ["ct"]) \
-        .withColumnRenamed("__g_ct", "__n")
-    aggs = []
-    for q in qs:
-        # float-robust ceil: q*n can overshoot its mathematical value
-        # by one ulp (0.07 * 100 = 7.000000000000001 -> ceil 8, the
-        # wrong order statistic); subtract a relative+absolute guard
-        # far above double rounding error but far below 1 rank
-        qn = F.lit(float(q)) * F.col("__n")
-        target = F.greatest(
-            F.ceil(qn - qn * F.lit(1e-12) - F.lit(1e-9)), F.lit(1))
-        name = f"q_{str(q).replace('.', '_')}"
-        aggs.append(
-            F.min(F.when(F.col("__cum_ct") >= target, F.col("v")))
-            .alias(name))
-    aggs.append(F.first("__n").cast("long").alias("n"))
-    return j.agg(*aggs)
+    if not groups:
+        j = running_sums(g, ["v"], ["ct"]) \
+            .withColumnRenamed("__g_ct", "__n")
+        return j.agg(*rank_aggs())
+
+    # grouped walk: same two-phase shape keyed by (group, slice)
+    from pyspark.sql import Window
+
+    require_exchange_reuse(g)
+    part = [F.col(c) for c in groups]
+    rp = g.repartitionByRange(*part, F.col("v")) \
+        .withColumn("__slice", F.spark_partition_id())
+    wcum = Window.partitionBy(*part, F.col("__slice")) \
+        .orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = rp.withColumn("__l_ct", F.sum("ct").over(wcum))
+    totals = rp.groupBy(*groups, "__slice").agg(
+        F.sum("ct").alias("__t_ct"))
+    woff = Window.partitionBy(*part).orderBy(F.col("__slice").asc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy(*part) \
+        .rowsBetween(Window.unboundedPreceding,
+                     Window.unboundedFollowing)
+    meta = totals.select(
+        *groups, "__slice",
+        F.coalesce(F.sum("__t_ct").over(woff), F.lit(0))
+        .alias("__o_ct"),
+        F.sum("__t_ct").over(wall).alias("__n"))
+    j = local.join(meta, groups + ["__slice"]) \
+        .withColumn("__cum_ct", F.col("__l_ct") + F.col("__o_ct"))
+    return j.groupBy(*groups).agg(*rank_aggs())
