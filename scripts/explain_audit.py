@@ -529,9 +529,14 @@ def main() -> None:
                     (F.col("o_totalprice") > 150000).cast("int")
                     .alias("y")), "s", "y")
     _no_data_window = (
-        # a windowspecdefinition whose arg prefix lacks __slice would
-        # be a window over the data itself — the single-task shape
-        r"^(?![\s\S]*windowspecdefinition\((?:(?!__slice)[^)])*\))")
+        # a windowspecdefinition whose FIRST argument is a sort spec
+        # on a non-__slice column is a global ORDERED window over the
+        # data — the single-task sort shape. Partitioned windows
+        # (first arg = partition column, no direction) and orderless
+        # full-frame windows (first arg = specifiedwindowframe, the
+        # bounded slice-totals rollup) are fine.
+        r"^(?![\s\S]*windowspecdefinition\((?!__slice)"
+        r"[^(),]*? (?:ASC|DESC))")
     sections.append((
         "exact ROC-AUC (distributed prefix sum)", auc_df,
         {

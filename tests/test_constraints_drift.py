@@ -596,3 +596,22 @@ def test_ks_wasserstein_exact_with_many_empty_slices(spark):
         assert rows["wasserstein"] == pytest.approx(w1, abs=1e-12)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_exact_ks_w1_empty_side_yields_null_not_abort(spark):
+    """An empty or all-NaN side must produce NULL statistics, not an
+    ANSI [DIVIDE_BY_ZERO] job abort — one fully-null column cannot be
+    allowed to kill a multi-column drift job."""
+    from whylogs_spark.core import drift as D
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(20)], "x double")
+    empty = spark.createDataFrame([], "x double")
+    nan = spark.createDataFrame(
+        [(float("nan"),), (float("nan"),)], "x double")
+    for bad in (empty, nan):
+        rows = D.ks_wasserstein_exact(bad, ref, "x").collect()
+        assert {r.algorithm for r in rows} == {"ks", "wasserstein"}
+        assert all(r.statistic is None for r in rows)
+        ks = D.ks_2samp_exact(bad, ref, "x").collect()[0]
+        assert ks.statistic is None

@@ -61,14 +61,19 @@ def test_roc_auc_plan_has_no_global_window(spark):
     assert specs, "expected window specs in the AUC plan"
     for spec in specs:
         head = spec.split(",")[0].strip()
+        if head.startswith("specifiedwindowframe("):
+            # orderless full-frame window: the bounded slice-totals
+            # grand-total rollup — no sort of anything
+            continue
         if "ASC NULLS FIRST" in head or "DESC" in head:
-            # partition-less window (first arg is already the sort
-            # spec): only allowed over the bounded slice-totals frame,
-            # whose sort key is the slice id — never the score
+            # partition-less ORDERED window (first arg is already the
+            # sort spec): only allowed over the bounded slice-totals
+            # frame, whose sort key is the slice id — never the score
             assert "__slice" in head, \
-                f"global window over the data in AUC plan: {spec}"
+                f"global ordered window over the data: {spec}"
         else:
-            # the cumulative walk over scores must partition by slice
+            # partitioned window: the cumulative walk over scores
+            # must partition by slice
             assert "__slice" in head, f"unexpected window: {spec}"
 
 
@@ -219,3 +224,18 @@ def test_exact_quantiles_grouped_matches_python(spark):
                 assert got[grp][name] == want, (grp, q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_exact_quantiles_grouped_null_segment_key(spark):
+    """NULL group keys are a legal segment class; the meta join must
+    be null-safe so the null-keyed group's quantiles appear."""
+    from whylogs_spark.core.summaries import exact_quantiles
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            (None, 10.0), (None, 20.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    got = {r.grp: r for r in exact_quantiles(
+        df, "x", [0.5], group_cols=["grp"]).collect()}
+    assert set(got) == {"a", "b", None}
+    assert got[None]["q_0_5"] == 10.0 and got[None]["n"] == 2
+    assert got["a"]["q_0_5"] == 2.0

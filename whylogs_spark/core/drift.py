@@ -318,11 +318,16 @@ def ks_wasserstein_exact(
         F.coalesce(F.col("__vnext"), F.col("__next_first"))
         - F.col("v"),
         F.lit(0.0))
-    diff = F.abs(
-        (F.col("__l_ct") + F.col("__o_ct")).cast("double")
-        / F.col("__g_ct")
-        - (F.col("__l_cr") + F.col("__o_cr")).cast("double")
-        / F.col("__g_cr"))
+    # zero guard: an empty / all-NaN side would otherwise abort the
+    # whole job under ANSI mode ([DIVIDE_BY_ZERO]); NULL statistics
+    # instead
+    diff = F.when(
+        (F.col("__g_ct") > 0) & (F.col("__g_cr") > 0),
+        F.abs(
+            (F.col("__l_ct") + F.col("__o_ct")).cast("double")
+            / F.col("__g_ct")
+            - (F.col("__l_cr") + F.col("__o_cr")).cast("double")
+            / F.col("__g_cr")))
     one = j.agg(F.max(diff).alias("__ks"),
                 F.sum(diff * gap).alias("__w1"))
     return one.select(F.explode(F.array(
@@ -461,14 +466,15 @@ def ks_2samp_exact(
         F.col("__g_ct").alias("nt"),
         F.col("__g_cr").alias("nr"),
     )
+    # zero guard: an empty / all-NaN side would otherwise abort the
+    # whole job under ANSI mode ([DIVIDE_BY_ZERO]); emit a NULL
+    # statistic instead
+    diff = F.when(
+        (F.col("nt") > 0) & (F.col("nr") > 0),
+        F.abs(F.col("sct").cast("double") / F.col("nt")
+              - F.col("scr").cast("double") / F.col("nr")))
     return (
-        cum
-        .agg(
-            F.max(
-                F.abs(
-                    F.col("sct").cast("double") / F.col("nt")
-                    - F.col("scr").cast("double") / F.col("nr"))
-            ).alias("statistic"))
+        cum.agg(F.max(diff).alias("statistic"))
         .select(F.lit(col).alias("col_name"),
                 F.lit("ks").alias("algorithm"), "statistic")
     )

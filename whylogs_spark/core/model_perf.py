@@ -305,8 +305,9 @@ def roc_auc_exact(
              (F.count(F.lit(1)) - F.sum(y)).alias("neg"))
     )
     # __g_pos/__g_neg (class totals) ride the prefix-sum rollup, so
-    # no separate totals pass over g is needed
-    cum = running_sums(g, ["s"], ["pos", "neg"]).select(
+    # no separate totals pass over g is needed; neg is total-only —
+    # its per-row cumulative is never used
+    cum = running_sums(g, ["s"], ["pos"], total_cols=["neg"]).select(
         "pos", "neg",
         (F.col("__cum_pos") - F.col("pos")).alias("cum_pos_below"),
         F.col("__g_pos").alias("P"), F.col("__g_neg").alias("N"))

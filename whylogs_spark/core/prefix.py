@@ -53,7 +53,8 @@ def require_exchange_reuse(df: DataFrame) -> None:
 
 
 def slice_rollup(totals: DataFrame, sum_cols: Sequence[str],
-                 first_col: str = None) -> DataFrame:
+                 first_col: str = None,
+                 partition_cols: Sequence[str] = ()) -> DataFrame:
     """All the cross-slice metadata of a two-phase plan in ONE window
     projection over the bounded slice-totals frame (one row per
     NON-empty range slice — empty slices simply have no row, so
@@ -63,26 +64,32 @@ def slice_rollup(totals: DataFrame, sum_cols: Sequence[str],
     * ``__g_<col>``: the grand total of each ``sum_cols``
     * ``__next_first``: the next slice's ``first_col`` (when given)
 
-    The partition-less windows here run over #shuffle-partition rows —
-    the declared-bounded exemption this module carries in the
-    repo-wide global-window audit. Consuming the totals frame once
-    (instead of once per derived quantity) keeps the number of plan
-    branches over the data exchange at two: the per-row window pass
-    and the totals aggregation."""
-    woff = Window.orderBy(F.col("__slice").asc()) \
+    With ``partition_cols`` every window additionally partitions by
+    those keys (the grouped/segmented form — offsets and grand totals
+    are then per group). Without them, the partition-less windows run
+    over #shuffle-partition rows — the declared-bounded exemption
+    this module carries in the repo-wide global-window audit.
+    Consuming the totals frame once (instead of once per derived
+    quantity) keeps the number of plan branches over the data
+    exchange at two: the per-row window pass and the totals
+    aggregation."""
+    part = [F.col(c) for c in partition_cols]
+    woff = Window.partitionBy(*part).orderBy(F.col("__slice").asc()) \
         .rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.orderBy(F.col("__slice").asc()) \
+    wall = Window.partitionBy(*part) \
         .rowsBetween(Window.unboundedPreceding,
                      Window.unboundedFollowing)
-    sel = [F.col("__slice")]
+    sel = [F.col(c) for c in partition_cols] + [F.col("__slice")]
     for c in sum_cols:
         sel.append(F.coalesce(F.sum(F.col(c)).over(woff), F.lit(0))
                    .alias(f"__o_{c}"))
         sel.append(F.sum(F.col(c)).over(wall).alias(f"__g_{c}"))
     if first_col is not None:
-        sel.append(F.lead(F.col(first_col))
-                   .over(Window.orderBy(F.col("__slice").asc()))
-                   .alias("__next_first"))
+        sel.append(
+            F.lead(F.col(first_col))
+            .over(Window.partitionBy(*part)
+                  .orderBy(F.col("__slice").asc()))
+            .alias("__next_first"))
     return totals.select(*sel)
 
 
@@ -90,12 +97,15 @@ def running_sums(
     df: DataFrame,
     order_cols: Sequence[str],
     sum_cols: Sequence[str],
+    total_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Add inclusive global running sums of ``sum_cols`` in
     ``order_cols`` order as ``__cum_<col>`` columns, plus the GRAND
     totals as ``__g_<col>`` columns (they fall out of the slice
     rollup for free, and carrying them saves every consumer a third
     pass over the grouped input for its normalizing totals).
+    ``total_cols`` get ONLY their grand total — no per-row cumulative
+    window work on the data pass.
 
     Plan shape: one range exchange of the input, consumed by exactly
     two branches — the per-row window pass and the bounded
@@ -114,12 +124,14 @@ def running_sums(
     local = rp.select(
         "*",
         *[F.sum(F.col(c)).over(w1).alias(f"__l_{c}") for c in sum_cols])
+    all_cols = list(sum_cols) + [c for c in total_cols
+                                 if c not in sum_cols]
     totals = rp.groupBy("__slice").agg(
-        *[F.sum(F.col(c)).alias(c) for c in sum_cols])
+        *[F.sum(F.col(c)).alias(c) for c in all_cols])
     out = local.join(
-        F.broadcast(slice_rollup(totals, list(sum_cols))), "__slice")
+        F.broadcast(slice_rollup(totals, all_cols)), "__slice")
     keep: List = [F.col(c) for c in df.columns]
     keep += [(F.col(f"__l_{c}") + F.col(f"__o_{c}"))
              .alias(f"{CUM_PREFIX}{c}") for c in sum_cols]
-    keep += [F.col(f"__g_{c}") for c in sum_cols]
+    keep += [F.col(f"__g_{c}") for c in all_cols]
     return out.select(*keep)

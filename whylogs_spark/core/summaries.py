@@ -193,8 +193,13 @@ def exact_quantiles(
             .withColumnRenamed("__g_ct", "__n")
         return j.agg(*rank_aggs())
 
-    # grouped walk: same two-phase shape keyed by (group, slice)
+    # grouped walk: same two-phase shape keyed by (group, slice),
+    # cross-slice metadata via the shared bounded rollup
+    from functools import reduce as _reduce
+    from operator import and_ as _and
     from pyspark.sql import Window
+
+    from .prefix import slice_rollup
 
     require_exchange_reuse(g)
     part = [F.col(c) for c in groups]
@@ -205,17 +210,16 @@ def exact_quantiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = rp.withColumn("__l_ct", F.sum("ct").over(wcum))
     totals = rp.groupBy(*groups, "__slice").agg(
-        F.sum("ct").alias("__t_ct"))
-    woff = Window.partitionBy(*part).orderBy(F.col("__slice").asc()) \
-        .rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.partitionBy(*part) \
-        .rowsBetween(Window.unboundedPreceding,
-                     Window.unboundedFollowing)
-    meta = totals.select(
-        *groups, "__slice",
-        F.coalesce(F.sum("__t_ct").over(woff), F.lit(0))
-        .alias("__o_ct"),
-        F.sum("__t_ct").over(wall).alias("__n"))
-    j = local.join(meta, groups + ["__slice"]) \
-        .withColumn("__cum_ct", F.col("__l_ct") + F.col("__o_ct"))
+        F.sum("ct").alias("ct"))
+    meta = slice_rollup(totals, ["ct"], partition_cols=groups)
+    # NULL segment keys are legal (the profiler's "None" sentinel
+    # class) — the join must be null-safe on the group columns or
+    # null-keyed groups silently vanish
+    cond = _reduce(_and, [local[c].eqNullSafe(meta[c])
+                          for c in groups]
+                   + [local["__slice"] == meta["__slice"]])
+    j = local.join(meta, cond) \
+        .drop(meta["__slice"], *[meta[c] for c in groups]) \
+        .withColumn("__cum_ct", F.col("__l_ct") + F.col("__o_ct")) \
+        .withColumnRenamed("__g_ct", "__n")
     return j.groupBy(*groups).agg(*rank_aggs())
