@@ -1409,6 +1409,56 @@ def _q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sentences", "n_tokens")
 
 
+def _q_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric time-series anomaly monitoring (core/monitor.py
+    anomaly_scan): daily per-event-type value totals judged against a
+    trailing 7-batch zscore baseline — the deviation monitor a profile
+    store feeds. Oracle replays the identical bounded ROW window in
+    DuckDB. The series value is the daily SUM (0.01-grid exact); the
+    baseline mean sits on a k/700 rational grid provably off every
+    6-decimal rounding boundary, and spread/score are irrational so
+    6-decimal rounding absorbs cross-engine fp noise."""
+    from whylogs_spark.core.monitor import anomaly_scan
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("daily_value")))
+    out = anomaly_scan(
+        daily, "day", "daily_value", key_cols=["event_type"],
+        window=7, method="zscore", threshold=2.0, min_baseline=3)
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("value", 4).alias("value"),
+        F.col("baseline_n").cast("long").alias("baseline_n"),
+        F.round("center", 6).alias("center"),
+        F.round("spread", 6).alias("spread"),
+        F.round("score", 6).alias("score"),
+        "is_anomaly")
+
+
+def _q_missing_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-batch detection (core/monitor.py missing_periods): find
+    hours with no events per event type — one lag over a key-partitioned
+    window, exact epoch arithmetic end-to-end (no rounding needed)."""
+    from whylogs_spark.core.monitor import missing_periods
+
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    out = missing_periods(
+        hours, "hr", key_cols=["event_type"],
+        expected_seconds=3600, tolerance=0.5)
+    return out.select(
+        "event_type",
+        F.date_format("gap_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "gap_start"),
+        F.date_format("gap_end", "yyyy-MM-dd HH:mm:ss").alias("gap_end"),
+        "gap_seconds", "n_missed")
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1595,6 +1645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "normalize_text_documents": _q_normalize_text,
         "chunk_sentences_documents": _q_chunk_sentences,
+        "anomaly_scan_events": _q_anomaly_scan,
+        "missing_periods_events": _q_missing_periods,
     }
 
 
@@ -2969,5 +3021,41 @@ def oracle_sql() -> dict[str, str]:
             "AS chunk_id FROM documents WINDOW w AS ("
             "PARTITION BY source ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        "anomaly_scan_events": (
+            "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+            "sum(value) AS v FROM events GROUP BY 1, 2), "
+            "w AS (SELECT event_type, day, v, "
+            "count(v) OVER win AS baseline_n, "
+            "avg(v) OVER win AS center, "
+            "stddev_samp(v) OVER win AS spread FROM daily "
+            "WINDOW win AS (PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, "
+            "round(v, 4) AS value, baseline_n, "
+            "CASE WHEN baseline_n >= 3 THEN round(center, 6) END "
+            "AS center, "
+            "CASE WHEN baseline_n >= 3 THEN round(spread, 6) END "
+            "AS spread, "
+            "CASE WHEN baseline_n >= 3 AND spread > 0 THEN "
+            "round((v - center) / spread, 6) END AS score, "
+            "CASE WHEN baseline_n >= 3 THEN (CASE WHEN spread > 0 "
+            "THEN abs((v - center) / spread) > 2.0 "
+            "ELSE v <> center END) END AS is_anomaly FROM w"
+        ),
+        "missing_periods_events": (
+            "WITH h AS (SELECT DISTINCT event_type, "
+            "date_trunc('hour', ts) AS hr FROM events), "
+            "g AS (SELECT event_type, hr, lag(hr) OVER ("
+            "PARTITION BY event_type ORDER BY hr) AS prev FROM h), "
+            "f AS (SELECT event_type, prev, hr, "
+            "date_diff('second', prev, hr)::DOUBLE AS gap_seconds "
+            "FROM g WHERE date_diff('second', prev, hr) > 5400) "
+            "SELECT event_type, "
+            "strftime(prev, '%Y-%m-%d %H:%M:%S') AS gap_start, "
+            "strftime(hr, '%Y-%m-%d %H:%M:%S') AS gap_end, "
+            "gap_seconds, "
+            "floor((gap_seconds + 1800.0) / 3600.0)::BIGINT - 1 "
+            "AS n_missed FROM f"
         ),
     }

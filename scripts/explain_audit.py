@@ -696,6 +696,32 @@ def main() -> None:
             r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
     }
 
+    # 9z. metric-series anomaly monitoring (core/monitor.py): the
+    # trailing baseline is a ROW-bounded frame partitioned by the
+    # series key — O(window) state per row, hash exchanges only (the
+    # daily rollup partial-aggregates before its exchange; the window
+    # reshuffles only the tiny rolled-up series), never a range sort
+    from whylogs_spark.core import monitor as monitor_mod
+
+    evt = load_table(spark, SF_DIR, "events")
+    daily = evt.groupBy(
+        "event_type", F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("v"))
+    an = monitor_mod.anomaly_scan(
+        daily, "day", "v", key_cols=["event_type"], window=7)
+    sections.append((
+        "anomaly scan (trailing-baseline monitor)", an,
+        {
+            "baseline window partitioned by the series key":
+                r"windowspecdefinition\(event_type",
+            "row-bounded baseline frame (no unbounded preceding)":
+                r"specifiedwindowframe\(RowFrame, -7, -1\)",
+            "no range sort of the data":
+                r"^(?![\s\S]*rangepartitioning)",
+            "rollup partial-aggregates before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

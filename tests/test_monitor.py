@@ -1,0 +1,200 @@
+"""Metric time-series monitoring (core/monitor.py): anomaly_scan
+(zscore / mad / iqr trailing baselines) and missing_periods, verified
+against independent numpy recomputation.
+
+Reference analog: the monitoring questions a profile store feeds
+(reference python/whylogs/api/store/sqlite_store.py) — per-batch metric
+deviation vs a trailing baseline, and missing-batch detection.
+"""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+from whylogs_spark.core.monitor import anomaly_scan, missing_periods
+
+
+def _series_df(spark, values, start="2024-01-01", key=None):
+    rows = []
+    t0 = dt.datetime.fromisoformat(start)
+    for i, v in enumerate(values):
+        row = {"ts": t0 + dt.timedelta(days=i), "value": float(v)}
+        if key is not None:
+            row["series"] = key
+        rows.append(row)
+    return spark.createDataFrame(rows)
+
+
+def _np_q7(arr, p):
+    return float(np.quantile(np.asarray(arr, dtype=float), p,
+                             method="linear"))
+
+
+def _np_expected(values, window, method, threshold, min_baseline):
+    out = []
+    for i, v in enumerate(values):
+        base = values[max(0, i - window):i]
+        n = len(base)
+        if n < min_baseline:
+            out.append((n, None, None, None, None))
+            continue
+        if method == "zscore":
+            center = float(np.mean(base))
+            spread = float(np.std(base, ddof=1))
+        elif method == "mad":
+            center = _np_q7(base, 0.5)
+            spread = 1.4826 * _np_q7([abs(x - center) for x in base], 0.5)
+        else:
+            q1, q3 = _np_q7(base, 0.25), _np_q7(base, 0.75)
+            center = _np_q7(base, 0.5)
+            spread = q3 - q1
+        if method == "iqr":
+            q1, q3 = _np_q7(base, 0.25), _np_q7(base, 0.75)
+            flag = v < q1 - threshold * spread or v > q3 + threshold * spread
+            score = None
+        elif spread > 0:
+            score = (v - center) / spread
+            flag = abs(score) > threshold
+        else:
+            score = None
+            flag = v != center
+        out.append((n, center, spread, score, flag))
+    return out
+
+
+@pytest.mark.parametrize("method,threshold", [
+    ("zscore", 3.0), ("mad", 3.0), ("iqr", 1.5)])
+def test_anomaly_scan_matches_numpy(spark, method, threshold):
+    vals = [10.0, 11.0, 10.5, 9.8, 10.2, 11.1, 10.4, 35.0, 10.3, 9.9,
+            10.6, 10.1, 2.0, 10.0, 10.8]
+    df = _series_df(spark, vals)
+    got = (
+        anomaly_scan(df, "ts", "value", window=5, method=method,
+                     threshold=threshold, min_baseline=3)
+        .orderBy("ts").collect())
+    exp = _np_expected(vals, 5, method, threshold, 3)
+    assert len(got) == len(exp)
+    flagged = 0
+    for row, (n, center, spread, score, flag) in zip(got, exp):
+        assert row.baseline_n == n
+        if center is None:
+            assert row.is_anomaly is None
+            assert row.center is None and row.spread is None
+            continue
+        assert row.center == pytest.approx(center, abs=1e-9)
+        assert row.spread == pytest.approx(spread, abs=1e-9)
+        if score is None:
+            assert row.score is None
+        else:
+            assert row.score == pytest.approx(score, abs=1e-9)
+        assert row.is_anomaly == flag
+        flagged += int(bool(flag))
+    # 35.0 must be caught by every method; 2.0 only by the robust ones
+    # (its zscore baseline still contains 35.0, inflating the stddev —
+    # exactly the masking MAD/IQR exist to avoid)
+    assert flagged >= (1 if method == "zscore" else 2)
+
+
+def test_anomaly_scan_warmup_unjudged(spark):
+    df = _series_df(spark, [1.0, 100.0, 1.0, 1.0, 1.0, 1.0])
+    rows = anomaly_scan(df, "ts", "value", window=7, min_baseline=3) \
+        .orderBy("ts").collect()
+    # first 3 rows have <3 baseline batches: unjudged, not "normal"
+    assert [r.is_anomaly for r in rows[:3]] == [None, None, None]
+    assert all(r.is_anomaly is not None for r in rows[3:])
+
+
+def test_anomaly_scan_zero_spread_baseline(spark):
+    # constant baseline: stddev == 0 — any change flags, no ANSI
+    # divide-by-zero, score stays null
+    df = _series_df(spark, [5.0, 5.0, 5.0, 5.0, 5.0, 7.0])
+    rows = anomaly_scan(df, "ts", "value", window=4, min_baseline=3) \
+        .orderBy("ts").collect()
+    assert rows[4].is_anomaly is False and rows[4].score is None
+    assert rows[5].is_anomaly is True and rows[5].score is None
+
+
+def test_anomaly_scan_keys_are_independent_series(spark):
+    a = _series_df(spark, [10.0] * 6 + [50.0], key="a")
+    # series b's scale is 1000x — would mask a's outlier if pooled
+    b = _series_df(spark, [10000.0, 9000.0, 11000.0, 10500.0, 9500.0,
+                           10200.0, 9800.0], key="b")
+    df = a.unionByName(b).repartition(4)
+    rows = anomaly_scan(df, "ts", "value", key_cols=["series"],
+                        window=5, min_baseline=3).collect()
+    flagged = {(r.series, r.ts) for r in rows if r.is_anomaly}
+    assert flagged == {("a", dt.datetime(2024, 1, 7))}
+
+
+def test_anomaly_scan_validates_args(spark):
+    df = _series_df(spark, [1.0, 2.0])
+    with pytest.raises(ValueError, match="method"):
+        anomaly_scan(df, "ts", "value", method="bogus")
+    with pytest.raises(ValueError, match="window"):
+        anomaly_scan(df, "ts", "value", window=0)
+    with pytest.raises(ValueError, match="min_baseline"):
+        anomaly_scan(df, "ts", "value", min_baseline=1)
+    with pytest.raises(ValueError, match="threshold"):
+        anomaly_scan(df, "ts", "value", threshold=-1.0)
+
+
+def test_missing_periods_hourly(spark):
+    t0 = dt.datetime(2024, 3, 1, 0, 0)
+    hours = [0, 1, 2, 5, 6, 30]  # gaps: 2->5 (2 missed), 6->30 (23)
+    df = spark.createDataFrame(
+        [{"ts": t0 + dt.timedelta(hours=h)} for h in hours])
+    got = {(r.gap_start, r.gap_end): r.n_missed
+           for r in missing_periods(df, "ts",
+                                    expected_seconds=3600).collect()}
+    assert got == {
+        (t0 + dt.timedelta(hours=2), t0 + dt.timedelta(hours=5)): 2,
+        (t0 + dt.timedelta(hours=6), t0 + dt.timedelta(hours=30)): 23,
+    }
+
+
+def test_missing_periods_tolerance_absorbs_jitter(spark):
+    t0 = dt.datetime(2024, 3, 1)
+    secs = [0, 3600, 7400, 11000]  # jittered hourly, max drift < 50%
+    df = spark.createDataFrame(
+        [{"ts": t0 + dt.timedelta(seconds=s)} for s in secs])
+    assert missing_periods(df, "ts", expected_seconds=3600,
+                           tolerance=0.5).count() == 0
+    # tighten the tolerance: the 3800 s step now reads as a gap
+    assert missing_periods(df, "ts", expected_seconds=3600,
+                           tolerance=0.05).count() > 0
+
+
+def test_missing_periods_date_column(spark):
+    d0 = dt.date(2024, 1, 1)
+    days = [0, 1, 2, 7]
+    df = spark.createDataFrame(
+        [{"ts": d0 + dt.timedelta(days=d)} for d in days])
+    rows = missing_periods(df, "ts", expected_seconds=86400).collect()
+    assert len(rows) == 1
+    assert rows[0].n_missed == 4
+    assert rows[0].gap_seconds == pytest.approx(5 * 86400.0)
+
+
+def test_missing_periods_per_key(spark):
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for k, hours in [("a", [0, 1, 2, 3]), ("b", [0, 1, 10])]:
+        rows += [{"series": k, "ts": t0 + dt.timedelta(hours=h)}
+                 for h in hours]
+    df = spark.createDataFrame(rows).repartition(4)
+    got = missing_periods(df, "ts", key_cols=["series"],
+                          expected_seconds=3600).collect()
+    assert len(got) == 1 and got[0].series == "b" and got[0].n_missed == 8
+
+
+def test_anomaly_scan_plan_is_single_exchange(spark):
+    # one hash exchange on the series key; the window frame is
+    # row-bounded so state is O(window) per row
+    df = _series_df(spark, [1.0] * 10, key="a")
+    plan = anomaly_scan(
+        df, "ts", "value", key_cols=["series"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "rangepartitioning" not in plan

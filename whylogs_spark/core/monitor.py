@@ -1,0 +1,229 @@
+"""Metric time-series anomaly monitoring over stored profiles.
+
+The reference ships profiles to a monitoring backend that flags
+per-batch metric deviations against a trailing baseline and alerts on
+missing batches (whylogs itself only writes the profiles; see the store
+it feeds, reference python/whylogs/api/store/sqlite_store.py:13-119).
+This module answers those monitoring questions engine-side, over any
+metric time series — including the ones ``ProfileStore`` persists.
+
+Spark-first shape: every baseline is a bounded trailing ROW window
+partitioned by the series key — ``rowsBetween(-window, -1)`` buffers at
+most ``window`` values per row, so state is O(window) regardless of
+corpus size, and the only exchange is the hash partition on the series
+key. A monitoring store holds one row per (column, metric, batch), so
+even years of hourly batches are tiny next to the data that produced
+them; the scan parallelizes across series keys.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DateType
+
+__all__ = ["anomaly_scan", "missing_periods"]
+
+_METHODS = ("zscore", "mad", "iqr")
+
+
+def _q7(arr: Column, p: float) -> Column:
+    """Type-7 (linear interpolation) quantile of a sorted array column
+    — numpy/DuckDB ``quantile_cont`` convention, so tests can pin the
+    exact value cross-engine. Null on an empty array (warm-up rows have
+    an empty frame and are masked downstream) — ``F.get`` is 0-based
+    and null-safe, so no ANSI index error fires on the masked rows."""
+    n = F.size(arr)
+    h = (n.cast("double") - F.lit(1.0)) * F.lit(float(p))
+    lo = F.floor(h).cast("int")
+    frac = h - lo.cast("double")
+    a_lo = F.get(arr, lo)
+    # least() keeps the upper index in bounds when h lands exactly on
+    # the last element (frac == 0), where lo + 1 would overflow
+    a_hi = F.get(arr, F.least(lo + F.lit(1), n - F.lit(1)))
+    return a_lo + frac * (a_hi - a_lo)
+
+
+def anomaly_scan(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Optional[List[str]] = None,
+    window: int = 7,
+    method: str = "zscore",
+    threshold: Optional[float] = None,
+    min_baseline: int = 3,
+) -> DataFrame:
+    """Flag per-batch anomalies of a metric time series against a
+    trailing baseline of the previous ``window`` batches.
+
+    ``method``:
+      - ``zscore``: baseline mean/sample-stddev; anomaly when
+        ``|value - mean| > threshold * stddev`` (default threshold 3).
+      - ``mad``: baseline median / scaled median-absolute-deviation
+        (x1.4826, the normal-consistent estimator); anomaly when
+        ``|value - median| > threshold * 1.4826 * MAD`` (default 3).
+        Robust to outliers *inside* the baseline window.
+      - ``iqr``: Tukey fences — anomaly when value falls outside
+        ``[q1 - threshold*IQR, q3 + threshold*IQR]`` (default 1.5).
+        Quantiles are type-7, matching numpy/DuckDB ``quantile_cont``.
+
+    Returns one row per input row: key columns, ``ts_col``, ``value``,
+    ``baseline_n`` (batches actually in the window), ``center``,
+    ``spread``, ``score`` (signed deviations in spread units; null for
+    ``iqr`` and for a zero-spread baseline), ``is_anomaly`` (null until
+    ``min_baseline`` batches of history exist — warm-up rows are
+    *unjudged*, not normal). A zero-spread baseline flags any value
+    different from the center rather than dividing by zero.
+
+    Scale: the window is ROW-bounded (≤ ``window`` values buffered per
+    row) and partitioned by the series key, so per-task memory is
+    O(window) and the one exchange hash-partitions on the key. With
+    ``key_cols=None`` the whole input is ONE series — only sound for a
+    single bounded metric stream (e.g. one column's daily mean), which
+    is what a monitoring store holds per key; prefer passing keys.
+    """
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {_METHODS}, "
+                         f"got {method!r}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_baseline < 2:
+        # one baseline point has no spread (sample stddev/IQR of a
+        # singleton is null/0); judging against it is noise
+        raise ValueError(f"min_baseline must be >= 2, got {min_baseline}")
+    if threshold is None:
+        threshold = 1.5 if method == "iqr" else 3.0
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+
+    keys = list(key_cols or [])
+    part = [F.col(k) for k in keys] if keys else [F.lit(1)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col).cast("double")
+    out = df.withColumn("__v", v)
+    out = out.withColumn("baseline_n", F.count("__v").over(w))
+
+    if method == "zscore":
+        out = (
+            out.withColumn("center", F.avg("__v").over(w))
+            .withColumn("spread", F.stddev_samp("__v").over(w))
+        )
+    else:
+        arr = F.array_sort(F.collect_list("__v").over(w))
+        out = out.withColumn("__arr", arr)
+        med = _q7(F.col("__arr"), 0.5)
+        if method == "mad":
+            devs = F.array_sort(
+                F.transform(F.col("__arr"), lambda x: F.abs(x - med)))
+            out = (
+                out.withColumn("center", med)
+                .withColumn("spread", F.lit(1.4826) * _q7(devs, 0.5))
+            )
+        else:  # iqr
+            out = (
+                out.withColumn("center", med)
+                .withColumn("__q1", _q7(F.col("__arr"), 0.25))
+                .withColumn("__q3", _q7(F.col("__arr"), 0.75))
+                .withColumn("spread", F.col("__q3") - F.col("__q1"))
+            )
+
+    judged = F.col("baseline_n") >= F.lit(int(min_baseline))
+    if method == "iqr":
+        lo = F.col("__q1") - F.lit(float(threshold)) * F.col("spread")
+        hi = F.col("__q3") + F.lit(float(threshold)) * F.col("spread")
+        score = F.lit(None).cast("double")
+        flagged = (F.col("__v") < lo) | (F.col("__v") > hi)
+    else:
+        # spread == 0 (or null, impossible past min_baseline>=2 for
+        # zscore but kept for symmetry) would divide by zero under
+        # ANSI; a zero-spread baseline means "any change is anomalous"
+        has_spread = F.col("spread") > F.lit(0.0)
+        score = F.when(
+            judged & has_spread,
+            (F.col("__v") - F.col("center")) / F.col("spread"))
+        flagged = F.when(
+            has_spread, F.abs(score) > F.lit(float(threshold))
+        ).otherwise(F.col("__v") != F.col("center"))
+
+    out = (
+        out.withColumn("score", score)
+        .withColumn(
+            "is_anomaly",
+            F.when(judged, flagged).otherwise(
+                F.lit(None).cast("boolean")))
+        .withColumn(
+            "center",
+            F.when(judged, F.col("center")).otherwise(F.lit(None)))
+        .withColumn(
+            "spread",
+            F.when(judged, F.col("spread")).otherwise(F.lit(None)))
+    )
+    return out.select(
+        *keys, F.col(ts_col), F.col("__v").alias("value"),
+        "baseline_n", "center", "spread", "score", "is_anomaly")
+
+
+def missing_periods(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Optional[List[str]] = None,
+    expected_seconds: int = 3600,
+    tolerance: float = 0.5,
+) -> DataFrame:
+    """Detect gaps in a batch cadence: rows where the time since the
+    previous batch of the same series exceeds ``expected_seconds`` by
+    more than ``tolerance`` (fraction of the period, absorbing jitter
+    like DST-shifted daily batches). Emits one row per gap with
+    ``gap_start``/``gap_end`` (the batches flanking it), ``gap_seconds``
+    and ``n_missed`` (whole periods skipped) — the "missing data"
+    monitor over a profile store's ``dataset_ts``.
+
+    Scale: one ``lag`` over a key-partitioned window (no frame buffer),
+    one exchange on the series key.
+    """
+    if expected_seconds <= 0:
+        raise ValueError(
+            f"expected_seconds must be > 0, got {expected_seconds}")
+    if not 0 <= tolerance < 1:
+        raise ValueError(f"tolerance must be in [0, 1), got {tolerance}")
+    keys = list(key_cols or [])
+    part = [F.col(k) for k in keys] if keys else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.col(ts_col))
+    ts = F.col(ts_col)
+    # DATE can't cast to double directly; route it through timestamp
+    # (midnight, session tz) so gap_seconds stays in seconds for every
+    # supported time type (timestamp, timestamp_ntz, date, numeric)
+    if isinstance(df.schema[ts_col].dataType, DateType):
+        tnum = ts.cast("timestamp").cast("double")
+    else:
+        tnum = ts.cast("double")
+    out = (
+        df.withColumn("__t", tnum)
+        .withColumn("__prev", F.lag("__t").over(w))
+        .withColumn("__prev_ts", F.lag(ts).over(w))
+        .withColumn("gap_seconds", F.col("__t") - F.col("__prev"))
+        .filter(
+            F.col("gap_seconds")
+            > F.lit(float(expected_seconds) * (1.0 + tolerance)))
+        .withColumn(
+            "n_missed",
+            F.floor(
+                (F.col("gap_seconds") + F.lit(
+                    float(expected_seconds) * tolerance))
+                / F.lit(float(expected_seconds))
+            ).cast("long") - F.lit(1))
+    )
+    return out.select(
+        *keys,
+        F.col("__prev_ts").alias("gap_start"),
+        ts.alias("gap_end"),
+        F.col("gap_seconds").cast("double").alias("gap_seconds"),
+        "n_missed",
+    )
