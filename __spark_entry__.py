@@ -1459,6 +1459,31 @@ def _q_missing_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_seconds", "n_missed")
 
 
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point scan (core/monitor.py
+    cusum_changepoints): Page's recursion computed as cumsum + running
+    min via the identity ``S+_t = C_t - min(0, min_{j<=t} C_j)`` — no
+    sequential loop, two running window aggregates per direction.
+    Reference stats come from each series' first 10 batches; the
+    oracle replays the identical walk in DuckDB window SQL."""
+    from whylogs_spark.core.monitor import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("daily_value")))
+    out = cusum_changepoints(
+        daily, "day", "daily_value", key_cols=["event_type"],
+        k=0.5, h=5.0, baseline_n=10)
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("value", 4).alias("value"),
+        F.round("s_pos", 6).alias("s_pos"),
+        F.round("s_neg", 6).alias("s_neg"),
+        "alarm_up", "alarm_down")
+
+
 def _q_profile_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form union of the counts / numeric-distribution / string
     summary tables (one (col_name, stat, value) row per component).
@@ -1647,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sentences_documents": _q_chunk_sentences,
         "anomaly_scan_events": _q_anomaly_scan,
         "missing_periods_events": _q_missing_periods,
+        "cusum_changepoints_events": _q_cusum,
     }
 
 
@@ -3057,5 +3083,34 @@ def oracle_sql() -> dict[str, str]:
             "gap_seconds, "
             "floor((gap_seconds + 1800.0) / 3600.0)::BIGINT - 1 "
             "AS n_missed FROM f"
+        ),
+        "cusum_changepoints_events": (
+            "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+            "sum(value) AS v FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, day, v, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY day) AS rn FROM daily), "
+            "st AS (SELECT event_type, avg(v) AS mu, "
+            "stddev_samp(v) AS sigma FROM r WHERE rn <= 10 "
+            "GROUP BY event_type), "
+            "z AS (SELECT r.event_type, day, v, rn, sigma, "
+            "CASE WHEN rn <= 10 THEN 0.0 "
+            "ELSE (v - mu) / sigma - 0.5 END AS zp, "
+            "CASE WHEN rn <= 10 THEN 0.0 "
+            "ELSE -((v - mu) / sigma) - 0.5 END AS zn "
+            "FROM r JOIN st USING (event_type)), "
+            "c AS (SELECT *, sum(zp) OVER w AS cp, sum(zn) OVER w AS cn "
+            "FROM z WINDOW w AS (PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "m AS (SELECT *, min(cp) OVER w AS mp, min(cn) OVER w AS mn "
+            "FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, "
+            "round(v, 4) AS value, "
+            "round(cp - least(0.0, mp), 6) AS s_pos, "
+            "round(cn - least(0.0, mn), 6) AS s_neg, "
+            "CASE WHEN rn > 10 AND sigma > 0 THEN "
+            "(cp - least(0.0, mp)) > 5.0 END AS alarm_up, "
+            "CASE WHEN rn > 10 AND sigma > 0 THEN "
+            "(cn - least(0.0, mn)) > 5.0 END AS alarm_down FROM m"
         ),
     }

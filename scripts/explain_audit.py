@@ -722,6 +722,19 @@ def main() -> None:
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
         }))
 
+    cu = monitor_mod.cusum_changepoints(
+        daily, "day", "v", key_cols=["event_type"], baseline_n=10)
+    sections.append((
+        "CUSUM change-point scan (cumsum + running min)", cu,
+        {
+            "every window partitioned by the series key":
+                r"^(?![\s\S]*windowspecdefinition\((?!event_type))",
+            "no range sort of the data":
+                r"^(?![\s\S]*rangepartitioning)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -198,3 +198,124 @@ def test_anomaly_scan_plan_is_single_exchange(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "rangepartitioning" not in plan
+
+
+def _np_cusum(values, k, h, mu, sigma, start=0):
+    sp = sn = 0.0
+    out = []
+    for i, v in enumerate(values):
+        if i >= start:
+            z = (v - mu) / sigma
+            sp = max(0.0, sp + z - k)
+            sn = max(0.0, sn - z - k)
+        out.append((sp, sn, sp > h, sn > h))
+    return out
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    from whylogs_spark.core.monitor import cusum_changepoints
+
+    rng = np.random.default_rng(7)
+    vals = list(10.0 + rng.normal(0, 1.0, 30))
+    vals += [v + 1.5 for v in 10.0 + rng.normal(0, 1.0, 20)]  # +1.5s shift
+    df = _series_df(spark, vals)
+    got = cusum_changepoints(
+        df, "ts", "value", k=0.5, h=5.0, center=10.0, spread=1.0) \
+        .orderBy("ts").collect()
+    exp = _np_cusum(vals, 0.5, 5.0, 10.0, 1.0)
+    for row, (sp, sn, up, dn) in zip(got, exp):
+        assert row.s_pos == pytest.approx(sp, abs=1e-9)
+        assert row.s_neg == pytest.approx(sn, abs=1e-9)
+        assert row.alarm_up == up and row.alarm_down == dn
+    # the sustained +1.5-sigma shift must alarm upward, and the alarm
+    # must come within ~10 batches of the true change point (index 30)
+    first = next(i for i, r in enumerate(got) if r.alarm_up)
+    assert 30 <= first <= 42
+
+
+def test_cusum_estimated_baseline_and_warmup(spark):
+    from whylogs_spark.core.monitor import cusum_changepoints
+
+    rng = np.random.default_rng(11)
+    base = list(5.0 + rng.normal(0, 0.5, 15))
+    vals = base + [v - 1.0 for v in 5.0 + rng.normal(0, 0.5, 15)]  # dip
+    df = _series_df(spark, vals)
+    rows = cusum_changepoints(
+        df, "ts", "value", k=0.5, h=4.0, baseline_n=10) \
+        .orderBy("ts").collect()
+    # warm-up rows are unjudged and contribute nothing to the walk
+    assert all(r.alarm_up is None and r.alarm_down is None
+               for r in rows[:10])
+    assert rows[9].s_pos == 0.0 and rows[9].s_neg == 0.0
+    # replay with numpy using the same first-10 estimates
+    mu = float(np.mean(vals[:10]))
+    sigma = float(np.std(vals[:10], ddof=1))
+    exp = _np_cusum(vals, 0.5, 4.0, mu, sigma, start=10)
+    for row, (sp, sn, up, dn) in zip(rows, exp):
+        assert row.s_pos == pytest.approx(sp, abs=1e-9)
+        assert row.s_neg == pytest.approx(sn, abs=1e-9)
+    assert any(r.alarm_down for r in rows[15:])
+
+
+def test_cusum_per_key_and_zero_spread(spark):
+    from whylogs_spark.core.monitor import cusum_changepoints
+
+    shifted = _series_df(
+        spark, [1.0, 1.2, 0.8, 1.1, 0.9, 5.0, 5.1, 5.2, 5.0], key="a")
+    flat = _series_df(spark, [2.0] * 9, key="b")  # zero spread
+    df = shifted.unionByName(flat).repartition(4)
+    rows = cusum_changepoints(
+        df, "ts", "value", key_cols=["series"], k=0.5, h=3.0,
+        baseline_n=5).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.series, []).append(r)
+    assert any(r.alarm_up for r in by_key["a"])
+    # constant series: spread 0 -> unjudged, never a divide-by-zero
+    assert all(r.alarm_up is None for r in by_key["b"])
+
+
+def test_cusum_validates_args(spark):
+    from whylogs_spark.core.monitor import cusum_changepoints
+
+    df = _series_df(spark, [1.0, 2.0])
+    with pytest.raises(ValueError, match="together"):
+        cusum_changepoints(df, "ts", "value", center=1.0)
+    with pytest.raises(ValueError, match="spread"):
+        cusum_changepoints(df, "ts", "value", center=1.0, spread=0.0)
+    with pytest.raises(ValueError, match="baseline_n"):
+        cusum_changepoints(df, "ts", "value", baseline_n=1)
+    with pytest.raises(ValueError, match="h must"):
+        cusum_changepoints(df, "ts", "value", h=0.0)
+    with pytest.raises(ValueError, match="k must"):
+        cusum_changepoints(df, "ts", "value", k=-1.0)
+
+
+def test_anomaly_scan_seasonal_phase(spark):
+    # weekly pattern: weekends run at 100, weekdays at 10. The flat
+    # baseline's spread is inflated by the seasonality, so it MISSES
+    # the planted weekday spike (and its only flag is a warm-up false
+    # positive on the first weekend); the day-of-week phase baseline
+    # catches exactly the spike.
+    vals = []
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    for day in range(49):
+        dow = day % 7
+        v = 100.0 if dow >= 5 else 10.0
+        vals.append(v)
+    vals[45] = 60.0  # Thursday spike (index 45 -> dow 3)
+    rows = [{"ts": t0 + dt.timedelta(days=i), "value": v,
+             "dow": i % 7} for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows)
+    flat = anomaly_scan(df, "ts", "value", window=7, method="zscore",
+                        threshold=3.0, min_baseline=3)
+    seasonal = anomaly_scan(df, "ts", "value", window=4,
+                            method="zscore", threshold=3.0,
+                            min_baseline=3, phase_col="dow")
+    spike_ts = t0 + dt.timedelta(days=45)
+    flat_rows = flat.filter("is_anomaly").collect()
+    seas = seasonal.filter("is_anomaly").collect()
+    # the seasonal spread (~44) swallows the 60-vs-10 Thursday spike
+    assert spike_ts not in {r.ts for r in flat_rows}
+    assert len(seas) == 1 and seas[0].dow == 3
+    assert seas[0].ts == spike_ts

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DateType
 
-__all__ = ["anomaly_scan", "missing_periods"]
+__all__ = ["anomaly_scan", "missing_periods", "cusum_changepoints"]
 
 _METHODS = ("zscore", "mad", "iqr")
 
@@ -55,9 +55,17 @@ def anomaly_scan(
     method: str = "zscore",
     threshold: Optional[float] = None,
     min_baseline: int = 3,
+    phase_col: Optional[str] = None,
 ) -> DataFrame:
     """Flag per-batch anomalies of a metric time series against a
     trailing baseline of the previous ``window`` batches.
+
+    ``phase_col`` makes the baseline seasonal: each batch is judged
+    only against trailing batches with the SAME phase value (e.g. a
+    day-of-week column compares Mondays to previous Mondays, so a
+    weekly traffic dip stops reading as an anomaly). The phase is an
+    explicit column rather than an inferred index so missing batches
+    can't shift the season.
 
     ``method``:
       - ``zscore``: baseline mean/sample-stddev; anomaly when
@@ -101,6 +109,8 @@ def anomaly_scan(
 
     keys = list(key_cols or [])
     part = [F.col(k) for k in keys] if keys else [F.lit(1)]
+    if phase_col is not None:
+        part = part + [F.col(phase_col)]
     w = (
         Window.partitionBy(*part)
         .orderBy(F.col(ts_col))
@@ -165,9 +175,137 @@ def anomaly_scan(
             "spread",
             F.when(judged, F.col("spread")).otherwise(F.lit(None)))
     )
+    extra = [phase_col] if phase_col is not None else []
+    return out.select(
+        *keys, *extra, F.col(ts_col), F.col("__v").alias("value"),
+        "baseline_n", "center", "spread", "score", "is_anomaly")
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Optional[List[str]] = None,
+    k: float = 0.5,
+    h: float = 5.0,
+    baseline_n: int = 10,
+    center: Optional[float] = None,
+    spread: Optional[float] = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point scan over a metric time series:
+    detects small *sustained* mean shifts that per-batch anomaly scans
+    miss (a 1-sigma drift never trips a 3-sigma zscore threshold, but
+    its CUSUM grows linearly until it crosses ``h``).
+
+    Standardized Page CUSUM: with reference mean mu and stddev sigma,
+    ``S+_t = max(0, S+_{t-1} + (x_t - mu)/sigma - k)`` (and the mirror
+    ``S-`` for downward shifts); an alarm fires when either exceeds
+    ``h``. ``k`` is the slack (detects shifts > 2k sigmas), ``h`` the
+    decision interval, both in sigma units.
+
+    The recursion is NOT computed sequentially: by Page's identity
+    ``S+_t = C_t - min(0, min_{j<=t} C_j)`` where ``C`` is the plain
+    cumulative sum of ``(x - mu)/sigma - k`` — so the whole scan is two
+    running window aggregates (cumsum + running min) per direction,
+    partitioned by the series key. No resets: after a true shift the
+    statistic stays elevated, so the flagged region is the sustained
+    drift, and ``first_alarm`` (min alarm ts per key) marks the
+    detection point.
+
+    Reference stats come from the first ``baseline_n`` batches of each
+    series (those warm-up rows are unjudged), or pass explicit
+    ``center``/``spread`` to judge every row against known-good values.
+    A zero/absent spread leaves the series unjudged (null alarms)
+    rather than dividing by zero.
+
+    Returns one row per input row: keys, ts, ``value``, ``s_pos``,
+    ``s_neg`` (sigma units), ``alarm_up``, ``alarm_down`` (null while
+    unjudged).
+
+    Scale: one hash exchange on the series key; every window is a
+    running aggregate (O(1) state per row). Like ``anomaly_scan`` this
+    is built for rolled-up metric series (one row per batch), not raw
+    corpus rows.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if h <= 0:
+        raise ValueError(f"h must be > 0, got {h}")
+    if (center is None) != (spread is None):
+        raise ValueError("pass center and spread together, or neither")
+    if center is None and baseline_n < 2:
+        raise ValueError(
+            f"baseline_n must be >= 2 to estimate spread, got {baseline_n}")
+    if spread is not None and spread <= 0:
+        raise ValueError(f"spread must be > 0, got {spread}")
+
+    keys = list(key_cols or [])
+    part = [F.col(c) for c in keys] if keys else [F.lit(1)]
+    w_ord = Window.partitionBy(*part).orderBy(F.col(ts_col))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+
+    out = df.withColumn("__v", F.col(value_col).cast("double"))
+    if center is None:
+        out = out.withColumn("__rn", F.row_number().over(w_ord))
+        # reference stats from each series' first baseline_n batches;
+        # conditional agg over the keyed window (frame = whole
+        # partition) avoids a join — one pass, same single exchange
+        in_base = F.when(F.col("__rn") <= F.lit(int(baseline_n)),
+                         F.col("__v"))
+        w_all = w_ord.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+        out = (
+            out.withColumn("__mu", F.avg(in_base).over(w_all))
+            .withColumn("__sigma", F.stddev_samp(in_base).over(w_all))
+        )
+        judged = (F.col("__rn") > F.lit(int(baseline_n))) \
+            & (F.col("__sigma") > F.lit(0.0))
+    else:
+        out = (
+            out.withColumn("__mu", F.lit(float(center)))
+            .withColumn("__sigma", F.lit(float(spread)))
+        )
+        judged = F.lit(True)
+
+    safe_sigma = F.when(F.col("__sigma") > F.lit(0.0), F.col("__sigma"))
+    z = (F.col("__v") - F.col("__mu")) / safe_sigma
+    if center is None:
+        # the scan starts AFTER the baseline period: warm-up rows
+        # contribute zero increments so the estimation window can't
+        # pollute the statistic it calibrates
+        warm = F.col("__rn") <= F.lit(int(baseline_n))
+        zp = F.when(warm, F.lit(0.0)).otherwise(z - F.lit(float(k)))
+        zn = F.when(warm, F.lit(0.0)).otherwise(-z - F.lit(float(k)))
+    else:
+        zp = z - F.lit(float(k))
+        zn = -z - F.lit(float(k))
+    out = (
+        out.withColumn("__zp", zp)
+        .withColumn("__zn", zn)
+        .withColumn("__cp", F.sum("__zp").over(w_cum))
+        .withColumn("__cn", F.sum("__zn").over(w_cum))
+    )
+    out = (
+        out.withColumn("__mp", F.min("__cp").over(w_cum))
+        .withColumn("__mn", F.min("__cn").over(w_cum))
+        .withColumn(
+            "s_pos", F.col("__cp") - F.least(F.lit(0.0), F.col("__mp")))
+        .withColumn(
+            "s_neg", F.col("__cn") - F.least(F.lit(0.0), F.col("__mn")))
+    )
+    out = (
+        out.withColumn(
+            "alarm_up",
+            F.when(judged, F.col("s_pos") > F.lit(float(h)))
+            .otherwise(F.lit(None).cast("boolean")))
+        .withColumn(
+            "alarm_down",
+            F.when(judged, F.col("s_neg") > F.lit(float(h)))
+            .otherwise(F.lit(None).cast("boolean")))
+    )
     return out.select(
         *keys, F.col(ts_col), F.col("__v").alias("value"),
-        "baseline_n", "center", "spread", "score", "is_anomaly")
+        "s_pos", "s_neg", "alarm_up", "alarm_down")
 
 
 def missing_periods(
