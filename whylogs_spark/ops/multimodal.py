@@ -14,12 +14,14 @@ full pixel kernel (HSV stats + entropy, reference parity) runs on any
 format; without it a pure-numpy/stdlib kernel decodes uncompressed BMP
 / binary PPM, 8-bit PNG incl. Adam7 interlace (zlib inflate +
 scanline unfilter), GIF87a/89a (stdlib LZW, interlace-aware, first
-frame) and baseline AND progressive JPEG (_jpeg.py: Huffman decode +
-batched-numpy IDCT — no third-party libs) and produces the SAME
+frame), strip-TIFF (none/PackBits), baseline AND progressive JPEG
+(_jpeg.py: Huffman decode + batched-numpy IDCT — no third-party libs)
+and lossless WebP (_webp.py: the full VP8L bitstream — prefix codes,
+LZ77 + color cache, all four transforms) and produces the SAME
 HSV/entropy bundle (so the pixel-stat path executes and is tested in
-lib-free environments), and remaining shapes (12-bit JPEG,
-compressed audio) degrade to header-level features with null pixel
-stats — or fail fast under ``strict=True`` naming the missing
+lib-free environments), and remaining shapes (12-bit JPEG, lossy VP8
+WebP, compressed audio) degrade to header-level features with null
+pixel stats — or fail fast under ``strict=True`` naming the missing
 dependency. All Spark plumbing — schema, batching, partitioning,
 profiling of the extracted features — is real and tested either way.
 """
@@ -80,6 +82,11 @@ def _sniff_image(content: bytes):
             seg_len = struct.unpack(">H", content[i + 2:i + 4])[0]
             i += 2 + seg_len
         return "jpeg", None, None
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from whylogs_spark.ops._webp import sniff_webp
+
+        w, h = sniff_webp(content)
+        return "webp", w, h
     if content[:4] in (b"II*\x00", b"MM\x00*") and len(content) >= 8:
         # TIFF: ImageWidth (256) / ImageLength (257) in IFD0; SHORT or
         # LONG values are inline in the 4 value bytes
@@ -821,9 +828,10 @@ def _numpy_pixel_features(content: bytes):
     progressive JPEG (_jpeg.py: Huffman + batched-numpy IDCT) and
     strip-TIFF (none/PackBits) produce the same HSV mean/stddev +
     entropy bundle as the PIL path, so the pixel-stat pipeline runs
-    end-to-end without decode libraries. Returns None for shapes
-    outside the supported envelope (12-bit JPEG, 16-bit PNG,
-    LZW/tiled TIFF, WebP pixels)."""
+    end-to-end without decode libraries. Lossless WebP (VP8L) decodes
+    through ops/_webp.py. Returns None for shapes outside the
+    supported envelope (12-bit JPEG, 16-bit PNG, LZW/tiled TIFF,
+    lossy-VP8 WebP)."""
     import numpy as np
 
     if content[:2] == b"P6":
@@ -834,6 +842,10 @@ def _numpy_pixel_features(content: bytes):
         dec, fmt = _decode_png, "png"
     elif content[:6] in (b"GIF87a", b"GIF89a"):
         dec, fmt = _decode_gif, "gif"
+    elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from whylogs_spark.ops._webp import decode_webp
+
+        dec, fmt = decode_webp, "webp"
     elif content[:4] in (b"II*\x00", b"MM\x00*"):
         dec, fmt = _decode_tiff, "tiff"
     elif content[:2] == b"\xff\xd8":
@@ -887,9 +899,10 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
     Decode order, guarded PER EXECUTOR inside the kernel (a cluster's
     executors, not the driver, need the library): PIL when importable
     (all formats); else the pure-numpy/stdlib kernel for BMP, binary
-    PPM and 8-bit PNG incl. Adam7 (same HSV/entropy bundle — the
-    pixel path runs without any decode lib; PNG inflate is stdlib
-    zlib); else the header sniff with null pixel stats. With
+    PPM, 8-bit PNG incl. Adam7, GIF, strip-TIFF, baseline/progressive
+    JPEG and lossless WebP (same HSV/entropy bundle — the pixel path
+    runs without any decode lib; PNG inflate is stdlib zlib); else the
+    header sniff with null pixel stats. With
     ``strict=True`` any row no available decoder can handle fails the
     task with NotImplementedError — including a corrupt/undecodable
     payload when PIL IS present (strict means fail-on-corrupt, not just
@@ -922,11 +935,12 @@ def extract_pixel_features(df: DataFrame, strict: bool = False) -> DataFrame:
                         # simply unable to decode this payload
                         why = (
                             "payload undecodable by PIL and not "
-                            "BMP/PPM/PNG/JPEG/TIFF (corrupt "
-                            "or unsupported encoding)" if has_pil else
+                            "BMP/PPM/PNG/JPEG/TIFF/lossless-WebP "
+                            "(corrupt or unsupported encoding)"
+                            if has_pil else
                             "PIL not importable on this executor and "
                             "payload is not BMP/PPM/8-bit PNG/TIFF/"
-                            "JPEG; install pillow for "
+                            "JPEG/lossless WebP; install pillow for "
                             "other formats")
                         raise NotImplementedError(
                             f"no available decoder for {r['path']!r} "
