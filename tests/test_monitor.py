@@ -319,3 +319,58 @@ def test_anomaly_scan_seasonal_phase(spark):
     assert spike_ts not in {r.ts for r in flat_rows}
     assert len(seas) == 1 and seas[0].dow == 3
     assert seas[0].ts == spike_ts
+
+
+def test_store_anomalies_and_missing_batches(spark, tmp_path):
+    """End-to-end monitoring off the profile store: write daily
+    profiles (one with a planted mean shift, one day skipped), then
+    answer both monitoring questions straight off the store."""
+    import whylogs_spark as wsp
+    from whylogs_spark.io.store import ProfileStore
+
+    store = ProfileStore(str(tmp_path / "profiles"))
+    rng = np.random.default_rng(3)
+    days = [1, 2, 3, 4, 5, 6, 7, 8, 10, 11]  # day 9 missing
+    for d in days:
+        vals = 50.0 + rng.normal(0, 2.0, 400)
+        if d == 11:
+            vals = vals + 30.0  # planted shift on the last day
+        df = spark.createDataFrame([(float(v),) for v in vals],
+                                   "x double")
+        store.write(wsp.profile(df), "daily",
+                    dt.datetime(2024, 3, d, 12, 0,
+                                tzinfo=dt.timezone.utc))
+
+    series = store.metric_series(
+        spark, "daily", "x", "distribution", "mean").collect()
+    assert len(series) == len(days)
+    assert all(r.value is not None for r in series)
+
+    # a 30-point shift on a series whose day-to-day wiggle is ~0.1
+    # (the stderr of a 400-sample mean) scores in the hundreds of
+    # sigmas; threshold 10 keeps small-baseline noise out
+    rows = store.anomalies_between(
+        spark, "daily", "x", "distribution", "mean",
+        window=7, method="zscore", threshold=10.0).orderBy(
+        "dataset_ts").collect()
+    flagged = [r.dataset_ts.day for r in rows if r.is_anomaly]
+    assert flagged == [11]
+    assert abs(next(r.score for r in rows
+                    if r.dataset_ts.day == 11)) > 50
+
+    # counts/n series comes from the long slot
+    n_series = store.metric_series(
+        spark, "daily", "x", "counts", "n").collect()
+    assert {r.value for r in n_series} == {400.0}
+
+    gaps = store.missing_batches(
+        spark, "daily", expected_seconds=86400).collect()
+    assert len(gaps) == 1
+    assert gaps[0].gap_start.day == 8 and gaps[0].gap_end.day == 10
+    assert gaps[0].n_missed == 1
+
+    # date-range pruning narrows the series
+    pruned = store.metric_series(
+        spark, "daily", "x", "distribution", "mean",
+        date_from="2024-03-05", date_to="2024-03-08").collect()
+    assert sorted(r.dataset_ts.day for r in pruned) == [5, 6, 7, 8]

@@ -125,6 +125,93 @@ class ProfileStore:
         tgt = self.get(spark, dataset_id, target_from, target_to)
         return scorer(tgt, ref)
 
+    def metric_series(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        column: str,
+        metric: str,
+        component: str,
+        date_from: Optional[str] = None,
+        date_to: Optional[str] = None,
+    ) -> DataFrame:
+        """One row per stored batch (NOT merged): (segment, dataset_ts,
+        value) for a numeric metric component — the time series the
+        reference ships to its monitoring backend, materialized
+        engine-side. The scan is partition-pruned and column/metric
+        filters push into it; ``value`` coalesces the double and long
+        component slots (e.g. ``distribution/mean`` vs ``counts/n``)."""
+        df = self._read(spark).filter(
+            (F.col("dataset_id") == dataset_id)
+            & (F.col("column") == column)
+            & (F.col("metric") == metric)
+            & (F.col("component") == component))
+        if date_from is not None:
+            df = df.filter(F.col("date") >= date_from)
+        if date_to is not None:
+            df = df.filter(F.col("date") <= date_to)
+        return df.select(
+            "segment",
+            F.to_timestamp("dataset_ts").alias("dataset_ts"),
+            F.coalesce(F.col("d"), F.col("n").cast("double"))
+            .alias("value"))
+
+    def anomalies_between(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        column: str,
+        metric: str,
+        component: str,
+        date_from: Optional[str] = None,
+        date_to: Optional[str] = None,
+        window: int = 7,
+        method: str = "zscore",
+        threshold: Optional[float] = None,
+        min_baseline: int = 3,
+    ) -> DataFrame:
+        """Trailing-baseline anomaly scan of a stored metric series —
+        the per-batch deviation monitor the reference delegates to its
+        backend, answered straight off the store like
+        ``drift_between``. Each segment is an independent series (so a
+        segmented profile monitors per-segment); see
+        ``core.monitor.anomaly_scan`` for methods and scale notes."""
+        from ..core.monitor import anomaly_scan
+
+        series = self.metric_series(
+            spark, dataset_id, column, metric, component,
+            date_from, date_to)
+        return anomaly_scan(
+            series, "dataset_ts", "value", key_cols=["segment"],
+            window=window, method=method, threshold=threshold,
+            min_baseline=min_baseline)
+
+    def missing_batches(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        expected_seconds: int,
+        tolerance: float = 0.5,
+        date_from: Optional[str] = None,
+        date_to: Optional[str] = None,
+    ) -> DataFrame:
+        """Missing-batch detection over a dataset's stored profile
+        cadence (``core.monitor.missing_periods`` on the distinct
+        ``dataset_ts`` values) — "did yesterday's profile never
+        arrive?" as one partition-pruned scan plus a lag."""
+        from ..core.monitor import missing_periods
+
+        df = self._read(spark).filter(F.col("dataset_id") == dataset_id)
+        if date_from is not None:
+            df = df.filter(F.col("date") >= date_from)
+        if date_to is not None:
+            df = df.filter(F.col("date") <= date_to)
+        ts = df.select(
+            F.to_timestamp("dataset_ts").alias("dataset_ts")).distinct()
+        return missing_periods(
+            ts, "dataset_ts", expected_seconds=expected_seconds,
+            tolerance=tolerance)
+
     def auc_between(
         self,
         spark: SparkSession,
