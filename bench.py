@@ -200,6 +200,25 @@ def main() -> None:
         c2 = drift_mod.chi2_exact(a, b, "l_returnflag")
         _noop(ksw1.unionByName(c2))
 
+    def bench_metric_monitor():
+        # the monitoring pair over ~10k per-user daily series: one
+        # rollup exchange, then ROW-bounded baseline windows
+        # (anomaly_scan) + running cumsum/min walks (CUSUM) keyed by
+        # user — the store-monitoring shape at series scale
+        from whylogs_spark.core import monitor as monitor_mod
+        daily = (
+            t["events"].groupBy(
+                "user_id", F.to_date("ts").alias("day"))
+            .agg(F.sum("value").alias("v")))
+        an = monitor_mod.anomaly_scan(
+            daily, "day", "v", key_cols=["user_id"], window=7,
+            method="mad")
+        cu = monitor_mod.cusum_changepoints(
+            daily, "day", "v", key_cols=["user_id"], baseline_n=7)
+        _noop(an.join(cu.select("user_id", "day", "s_pos", "s_neg",
+                                "alarm_up", "alarm_down"),
+                      ["user_id", "day"]))
+
     def bench_interval_join():
         from whylogs_spark.ops.intervals import interval_join
         ev = t["events"]
@@ -299,6 +318,40 @@ def main() -> None:
     def bench_pixel_features():
         from whylogs_spark.ops import multimodal as mm
         _noop(mm.extract_pixel_features(media.select("path", "content")))
+
+    # separate row for the VP8L decoder (keeps pixel_features_12k
+    # comparable across rounds): 8 distinct 64x64 lossless WebPs
+    # (cache+LZ77 so the full symbol loop runs) replicated to ~4k rows.
+    # The spec-level ENCODER lives with the tests (it exists to
+    # cross-check the decoder, not to ship); the bench only reuses it
+    # to synthesize inputs.
+    def _webp_media():
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests"))
+        import numpy as _np
+        from test_webp import encode_vp8l, wrap_riff
+        rng = _np.random.default_rng(0)
+        rows = []
+        for i in range(8):
+            arr = (rng.integers(0, 6, size=(64, 64, 3), dtype=_np.uint8)
+                   * 42)
+            rows.append((f"img{i}.webp", bytearray(wrap_riff(
+                encode_vp8l(arr, cache_bits=6, use_lz77=True)))))
+        df = spark.createDataFrame(rows, "path string, content binary") \
+            .crossJoin(spark.range(500).select(
+                F.col("id").alias("__rep"))) \
+            .select(F.concat("path", F.col("__rep").cast("string"))
+                    .alias("path"), "content") \
+            .repartition(ncpu).cache()
+        df.count()
+        return df
+
+    webp_media = _webp_media()
+
+    def bench_webp_decode():
+        from whylogs_spark.ops import multimodal as mm
+        _noop(mm.extract_pixel_features(webp_media, strict=True))
 
     def bench_exif_metadata():
         from whylogs_spark.ops import multimodal as mm
@@ -404,6 +457,8 @@ def main() -> None:
         "semantic_dedup_embeddings": bench_semantic_dedup,
         "robots_filter_documents": bench_robots_filter,
         "pixel_features_12k_images": bench_pixel_features,
+        "webp_decode_4k_images": bench_webp_decode,
+        "metric_monitor_events": bench_metric_monitor,
         "exif_metadata_12k_images": bench_exif_metadata,
         "interval_join_events": bench_interval_join,
         "zorder_cluster_lineitem": bench_zorder_cluster,
@@ -419,6 +474,7 @@ def main() -> None:
     # merge loops, per-row binary decode) keep total bench wall time
     # bounded; odd counts keep the reported median a true middle rep
     reps_for = {"bpe_train_tokenize_documents": 3,
+                "webp_decode_4k_images": 3,
                 "semantic_dedup_embeddings": 3,
                 "pixel_features_12k_images": 3,
                 "exif_metadata_12k_images": 3,

@@ -63,35 +63,72 @@ DIST_MAP = _distance_map()
 
 
 class _BitReader:
-    """LSB-first bit reader over the whole payload (bytes are consumed
-    low bit first, like DEFLATE)."""
+    """LSB-first bit reader (bytes are consumed low bit first, like
+    DEFLATE). Windowed — a small shift register refilled byte-by-byte,
+    so each read is O(1) regardless of payload size (a whole-payload
+    bignum would make every read O(payload) and the decode loop
+    quadratic)."""
 
-    __slots__ = ("val", "pos", "nbits")
+    __slots__ = ("data", "n_data", "byte_i", "buf", "cnt")
 
     def __init__(self, data: bytes):
-        self.val = int.from_bytes(data, "little")
-        self.pos = 0
-        self.nbits = 8 * len(data)
+        self.data = data
+        self.n_data = len(data)
+        self.byte_i = 0
+        self.buf = 0
+        self.cnt = 0
 
     def read(self, n: int) -> int:
-        if self.pos + n > self.nbits:
-            raise ValueError("VP8L: bitstream overrun")
-        v = (self.val >> self.pos) & ((1 << n) - 1)
-        self.pos += n
+        buf = self.buf
+        cnt = self.cnt
+        while cnt < n:
+            i = self.byte_i
+            if i >= self.n_data:
+                raise ValueError("VP8L: bitstream overrun")
+            buf |= self.data[i] << cnt
+            self.byte_i = i + 1
+            cnt += 8
+        v = buf & ((1 << n) - 1)
+        self.buf = buf >> n
+        self.cnt = cnt - n
         return v
 
 
 class _Huffman:
-    """Canonical prefix decoder: {(length, code): symbol}, decoded
-    bit-by-bit with the first-read bit as the code's MSB. A
-    zero-length (single-symbol) code consumes no bits."""
+    """Canonical prefix decoder: {(length, code): symbol}, with the
+    first-read bit as the code's MSB. A zero-length (single-symbol)
+    code consumes no bits. Short codes (<= _LUT_BITS) decode via a
+    one-shot peek table built lazily on first use; longer codes fall
+    back to the bit-by-bit walk."""
 
-    __slots__ = ("table", "const", "max_len")
+    _LUT_BITS = 11
+
+    __slots__ = ("table", "const", "max_len", "lut", "lut_bits")
 
     def __init__(self, table, const=None, max_len=0):
         self.table = table
         self.const = const
         self.max_len = max_len
+        self.lut = None
+        self.lut_bits = 0
+
+    def _build_lut(self):
+        k = min(self.max_len, self._LUT_BITS)
+        lut = [None] * (1 << k)
+        for (length, code), sym in self.table.items():
+            if length > k:
+                continue
+            # the code arrives MSB-first, so its stream image in the
+            # LSB-first window is the bit-reversed code
+            rev = 0
+            c = code
+            for _ in range(length):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            for x in range(rev, 1 << k, 1 << length):
+                lut[x] = (sym, length)
+        self.lut = lut
+        self.lut_bits = k
 
     @classmethod
     def from_lengths(cls, lengths: List[int]) -> "_Huffman":
@@ -119,6 +156,25 @@ class _Huffman:
     def read_symbol(self, br: _BitReader) -> int:
         if self.const is not None:
             return self.const
+        if self.lut is None:
+            self._build_lut()
+        # refill the window to the peek width (stream tail: a valid
+        # symbol fits in whatever bits remain, so a partial window
+        # peeks with implicit zero padding)
+        k = self.lut_bits
+        while br.cnt < k and br.byte_i < br.n_data:
+            br.buf |= br.data[br.byte_i] << br.cnt
+            br.byte_i += 1
+            br.cnt += 8
+        hit = self.lut[br.buf & ((1 << k) - 1)]
+        if hit is not None:
+            sym, length = hit
+            if length > br.cnt:
+                raise ValueError("VP8L: bitstream overrun")
+            br.buf >>= length
+            br.cnt -= length
+            return sym
+        # long-code fallback: bit-by-bit walk
         code = 0
         length = 0
         table = self.table
@@ -254,21 +310,23 @@ def _decode_image(br: _BitReader, w: int, h: int,
     out = [0] * npx
     pos = 0
     meta_w = _div_round_up(w, meta_shift) if meta is not None else 0
-    g = groups[0]
-    green_dec, red_dec, blue_dec, alpha_dec, dist_dec = g
+    # bound methods as locals: the symbol loop is the decode hot path
+    bound = [(g[0].read_symbol, g[1].read_symbol, g[2].read_symbol,
+              g[3].read_symbol, g[4].read_symbol) for g in groups]
+    read_green, read_red, read_blue, read_alpha, read_dist = bound[0]
     while pos < npx:
         if meta is not None:
             x = pos % w
             y = pos // w
             mpx = meta[(y >> meta_shift) * meta_w + (x >> meta_shift)]
             gi = (mpx >> 8) & 0xFFFF
-            (green_dec, red_dec, blue_dec, alpha_dec,
-             dist_dec) = groups[gi]
-        s = green_dec.read_symbol(br)
+            (read_green, read_red, read_blue, read_alpha,
+             read_dist) = bound[gi]
+        s = read_green(br)
         if s < NUM_LITERALS:
-            r = red_dec.read_symbol(br)
-            b = blue_dec.read_symbol(br)
-            a = alpha_dec.read_symbol(br)
+            r = read_red(br)
+            b = read_blue(br)
+            a = read_alpha(br)
             px = (a << 24) | (r << 16) | (s << 8) | b
             out[pos] = px
             pos += 1
@@ -277,7 +335,7 @@ def _decode_image(br: _BitReader, w: int, h: int,
                     = px
         elif s < NUM_LITERALS + NUM_LENGTH_CODES:
             length = _prefix_value(s - NUM_LITERALS, br)
-            dist_code = _prefix_value(dist_dec.read_symbol(br), br)
+            dist_code = _prefix_value(read_dist(br), br)
             if dist_code > 120:
                 dist = dist_code - 120
             else:
