@@ -353,3 +353,54 @@ def test_streaming_model_monitor_matches_batch_ece(spark, tmp_path):
         n_corr = slice_df.filter("pred = label").count()
         assert got.accuracy == pytest.approx(
             n_corr / slice_df.count(), abs=1e-9)
+
+
+def test_anomaly_monitor_sink_flags_spiked_batch(spark, tmp_path):
+    """Three file-source microbatches of per-type hourly metric rows:
+    the third carries a 100x spike on one series. The sink judges each
+    arriving batch against trailing history and fires on_anomaly for
+    exactly the spiked (series, ts)."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.anomaly import AnomalyMonitorSink
+
+    t0 = dt.datetime(2026, 2, 1, 0, 0, 0)
+    src = str(tmp_path / "metric_src")
+    # batches 0/1: 5 steady hours per series; batch 2: the next hour,
+    # with series "b" spiked
+    hours = lambda lo, hi: range(lo, hi)
+    batch0 = [(k, t0 + dt.timedelta(hours=h), 100.0 + h)
+              for k in ("a", "b") for h in hours(0, 5)]
+    batch1 = [(k, t0 + dt.timedelta(hours=h), 100.0 + h)
+              for k in ("a", "b") for h in hours(5, 10)]
+    batch2 = [("a", t0 + dt.timedelta(hours=10), 110.0),
+              ("b", t0 + dt.timedelta(hours=10), 9999.0)]
+    schema = "series string, ts timestamp, value double"
+    for i, rows in enumerate([batch0, batch1, batch2]):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(src + f"/b={i}")
+
+    fired = []
+    sink = AnomalyMonitorSink(
+        str(tmp_path / "series_store"), "ts", "value",
+        key_cols=["series"], window=8, method="zscore", threshold=6.0,
+        min_baseline=4, expected_seconds=3600,
+        on_anomaly=lambda bid, rows: fired.append((bid, rows)))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    assert len(fired) == 1
+    bid, rows = fired[0]
+    assert [(r.series, r.ts.hour) for r in rows] == [("b", 10)]
+    assert abs(rows[0].score) > 6
+
+    # batch-mode backfill over the stored series agrees
+    hist = sink.read_anomalies(spark).filter("is_anomaly").collect()
+    assert [(r.series, r.ts.hour) for r in hist] == [("b", 10)]
+    # the series store holds exactly the rolled-up rows
+    assert sink.read_series(spark).count() == len(batch0) + len(
+        batch1) + len(batch2)

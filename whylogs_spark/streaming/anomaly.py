@@ -1,0 +1,135 @@
+"""Streaming metric anomaly monitor: judge each arriving metric batch
+against its trailing per-series baseline, continuously.
+
+The reference ships profiles to a monitoring backend that evaluates
+per-batch deviations over time (whylogs itself only writes profiles —
+see python/whylogs/api/store/sqlite_store.py:13-119); the batch
+answer lives in ``core.monitor.anomaly_scan``. This sink runs that
+answer as a stream: upstream does the watermarked windowed rollup
+(one stateful agg; the usual Structured Streaming shape), and every
+microbatch of finalized metric rows is appended to a tiny series
+store and judged against the previous ``window`` batches of its
+series.
+
+Scale: the store holds ROLLED-UP series (one row per key and period),
+so it is orders of magnitude smaller than the stream; each microbatch
+costs one append plus one bounded scan of the store tail (rows newer
+than the incoming minimum ts minus ``window`` periods — partition
+pruning applies if the store grows enough to warrant date
+partitioning). State never accumulates in the streaming query itself.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.monitor import anomaly_scan
+
+
+class AnomalyMonitorSink:
+    """foreachBatch sink over a (already rolled-up) metric stream.
+
+    Usage::
+
+        rolled = (events.withWatermark("ts", "10 minutes")
+                  .groupBy(F.window("ts", "1 hour"), "event_type")
+                  .agg(F.sum("value").alias("value"))
+                  .select("event_type",
+                          F.col("window.start").alias("ts"), "value"))
+        sink = AnomalyMonitorSink(
+            str(store), "ts", "value", key_cols=["event_type"],
+            on_anomaly=lambda bid, rows: page(rows))
+        q = (rolled.writeStream.outputMode("append")
+             .foreachBatch(sink).option("checkpointLocation", ckpt)
+             .start())
+
+    ``on_anomaly`` fires on the driver with (batch_id, [Row]) for
+    newly-arrived rows judged anomalous — the alert hook, like
+    ``DriftMonitorSink.on_drift``. Only rows of the CURRENT microbatch
+    are reported (history is context, not re-alerted).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        ts_col: str,
+        value_col: str,
+        key_cols: Optional[List[str]] = None,
+        window: int = 7,
+        method: str = "zscore",
+        threshold: Optional[float] = None,
+        min_baseline: int = 3,
+        phase_col: Optional[str] = None,
+        expected_seconds: Optional[int] = None,
+        on_anomaly: Optional[Callable[[int, List], None]] = None,
+    ) -> None:
+        self.path = path
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.key_cols = list(key_cols or [])
+        self.window = window
+        self.method = method
+        self.threshold = threshold
+        self.min_baseline = min_baseline
+        self.phase_col = phase_col
+        self.expected_seconds = expected_seconds
+        self.on_anomaly = on_anomaly
+
+    def _select_cols(self):
+        cols = list(self.key_cols)
+        if self.phase_col:
+            cols.append(self.phase_col)
+        return cols + [self.ts_col, self.value_col]
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        incoming = batch_df.select(*self._select_cols()) \
+            .withColumn("__batch_id", F.lit(int(batch_id)))
+        incoming.write.mode("append").parquet(self.path)
+        if self.on_anomaly is None:
+            return
+        # judge only the new rows, against history + themselves; the
+        # store scan is bounded to the tail the baseline can reach.
+        # dropDuplicates guards the series against foreachBatch's
+        # at-least-once redelivery (a replayed append must not double
+        # a batch's row and shift every baseline after it)
+        store = spark.read.parquet(self.path).dropDuplicates(
+            self.key_cols + [self.ts_col])
+        if self.expected_seconds is not None:
+            min_ts = incoming.agg(
+                F.min(self.ts_col)).first()[0]
+            if min_ts is not None:
+                horizon = F.lit(min_ts) - F.expr(
+                    f"INTERVAL {int(self.expected_seconds * (self.window + 1))} SECONDS")
+                store = store.filter(F.col(self.ts_col) >= horizon)
+        scored = anomaly_scan(
+            store, self.ts_col, self.value_col,
+            key_cols=self.key_cols, window=self.window,
+            method=self.method, threshold=self.threshold,
+            min_baseline=self.min_baseline, phase_col=self.phase_col)
+        flagged = scored.filter(F.col("is_anomaly"))
+        join_keys = self.key_cols + [self.ts_col]
+        new_flagged = flagged.join(
+            incoming.select(*join_keys).distinct(), join_keys,
+            "left_semi").collect()
+        if new_flagged:
+            self.on_anomaly(int(batch_id), new_flagged)
+
+    def read_series(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def read_anomalies(self, spark: SparkSession) -> DataFrame:
+        """Re-scan the whole stored series (batch mode): the full
+        judged history, for dashboards/backfill."""
+        return anomaly_scan(
+            spark.read.parquet(self.path).dropDuplicates(
+                self.key_cols + [self.ts_col]),
+            self.ts_col, self.value_col,
+            key_cols=self.key_cols, window=self.window,
+            method=self.method, threshold=self.threshold,
+            min_baseline=self.min_baseline, phase_col=self.phase_col)
