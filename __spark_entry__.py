@@ -1353,6 +1353,53 @@ def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "zkey")
 
 
+def _q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Hilbert clustering key (ops/layout.py with_hilbert_key):
+    the per-level quadrant walk unrolled into codegen projections.
+    The DuckDB oracle replays every level as a chained CTE; long
+    arithmetic is two's-complement in both engines, so reflection-
+    driven negative intermediates agree bit for bit."""
+    from whylogs_spark.ops import layout as layout_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = layout_ops.with_hilbert_key(
+        li, ["l_extendedprice", "l_quantity"], bits=8)
+    return out.select("l_orderkey", "l_linenumber", "hkey")
+
+
+def _hilbert_sql(bits: int = 8) -> str:
+    """Regenerate the Hilbert walk level by level (chained CTEs)."""
+    top = (1 << bits) - 1
+    sql = (
+        "WITH e AS (SELECT min(l_extendedprice::DOUBLE) AS loa, "
+        "max(l_extendedprice::DOUBLE) AS hia, "
+        "min(l_quantity::DOUBLE) AS lob, "
+        "max(l_quantity::DOUBLE) AS hib FROM lineitem), "
+        "l0 AS (SELECT l_orderkey, l_linenumber, "
+        "least(greatest(CASE WHEN hia > loa THEN floor("
+        "(coalesce(l_extendedprice::DOUBLE, loa) - loa) / (hia - loa)"
+        f" * {top}) ELSE 0 END, 0), {top})::BIGINT AS x, "
+        "least(greatest(CASE WHEN hib > lob THEN floor("
+        "(coalesce(l_quantity::DOUBLE, lob) - lob) / (hib - lob)"
+        f" * {top}) ELSE 0 END, 0), {top})::BIGINT AS y, "
+        "0::BIGINT AS d FROM lineitem, e)")
+    lvl = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"((x >> {i}) & 1)"
+        ry = f"((y >> {i}) & 1)"
+        sql += (
+            f", l{lvl + 1} AS (SELECT l_orderkey, l_linenumber, "
+            f"CASE WHEN {ry} = 1 THEN x WHEN {rx} = 1 "
+            f"THEN {s - 1} - y ELSE y END AS x, "
+            f"CASE WHEN {ry} = 1 THEN y WHEN {rx} = 1 "
+            f"THEN {s - 1} - x ELSE x END AS y, "
+            f"d + {s * s} * xor(3 * {rx}, {ry}) AS d FROM l{lvl})")
+        lvl += 1
+    sql += (f" SELECT l_orderkey, l_linenumber, d AS hkey FROM l{lvl}")
+    return sql
+
+
 def _q_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding prep (ops/similarity.py): matryoshka truncation to 16
     dims + L2 renormalize + symmetric int8 quantization, all pure
@@ -1666,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles_lineitem": _q_exact_quantiles,
         "segmented_quantiles_lineitem": _q_exact_quantiles_grouped,
         "zorder_key_lineitem": _q_zorder_key,
+        "hilbert_key_lineitem": _q_hilbert_key,
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "normalize_text_documents": _q_normalize_text,
@@ -2426,6 +2474,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.thr"
         ),
         "zorder_key_lineitem": _zorder_key_sql(),
+        "hilbert_key_lineitem": _hilbert_sql(),
         "chunk_sentences_documents": (
             "WITH m AS (SELECT doc_id, list_filter(string_split("
             "regexp_replace(replace(text, '␞', ''), "

@@ -327,10 +327,22 @@ def main() -> None:
     # to synthesize inputs.
     def _webp_media():
         import sys as _sys
-        _sys.path.insert(0, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "tests"))
-        import numpy as _np
-        from test_webp import encode_vp8l, wrap_riff
+        tests_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests")
+        _sys.path.insert(0, tests_dir)
+        try:
+            # test_webp imports pytest/hypothesis at module scope; a
+            # prod-like env without dev extras must skip this row, not
+            # fail the whole bench
+            import numpy as _np
+            from test_webp import encode_vp8l, wrap_riff
+        except ImportError as exc:
+            import sys
+            print(f"webp bench input unavailable ({exc}); "
+                  "skipping webp_decode_4k_images", file=sys.stderr)
+            return None
+        finally:
+            _sys.path.remove(tests_dir)
         rng = _np.random.default_rng(0)
         rows = []
         for i in range(8):
@@ -353,6 +365,9 @@ def main() -> None:
         from whylogs_spark.ops import multimodal as mm
         _noop(mm.extract_pixel_features(webp_media, strict=True))
 
+    if webp_media is None:
+        bench_webp_decode = None
+
     def bench_exif_metadata():
         from whylogs_spark.ops import multimodal as mm
         _noop(mm.extract_exif_metadata(
@@ -361,6 +376,12 @@ def main() -> None:
     def bench_zorder_cluster():
         from whylogs_spark.ops import layout as layout_ops
         _noop(layout_ops.cluster_by_zorder(
+            t["lineitem"], ["l_extendedprice", "l_quantity"],
+            n_partitions=ncpu))
+
+    def bench_hilbert_cluster():
+        from whylogs_spark.ops import layout as layout_ops
+        _noop(layout_ops.cluster_by_hilbert(
             t["lineitem"], ["l_extendedprice", "l_quantity"],
             n_partitions=ncpu))
 
@@ -462,6 +483,7 @@ def main() -> None:
         "exif_metadata_12k_images": bench_exif_metadata,
         "interval_join_events": bench_interval_join,
         "zorder_cluster_lineitem": bench_zorder_cluster,
+        "hilbert_cluster_lineitem": bench_hilbert_cluster,
         "duplicate_spans_documents": bench_duplicate_spans,
         "dedup_scale_10x": bench_dedup_scale_10x,
         "dupspans_scale_10x": bench_dupspans_scale_10x,
@@ -496,6 +518,7 @@ def main() -> None:
     # a regression is distinguishable from a steal storm: compare
     # medians, trust a delta only when the intervals don't overlap.
     results, res_min, res_max, res_task = {}, {}, {}, {}
+    benches = {k: v for k, v in benches.items() if v is not None}
     for name, fn in benches.items():
         times, task_ms = [], []
         for _ in range(reps_for.get(name, 5)):

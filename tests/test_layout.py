@@ -97,3 +97,88 @@ def test_zorder_rejects_too_many_bits(spark):
         *[F.col("id").cast("double").alias(f"c{i}") for i in range(8)])
     with pytest.raises(ValueError):
         layout.with_zorder_key(df, [f"c{i}" for i in range(8)], bits=8)
+
+
+# ------------------------------------------------------------- hilbert
+def _xy2d(bits, x, y):
+    """Reference Hilbert index (classic quadrant walk)."""
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_key_matches_python_reference(spark):
+    rows = [(x * 8 + y, float(x), float(y))
+            for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r.id: r.hkey for r in
+           layout.with_hilbert_key(df, ["x", "y"], bits=3).collect()}
+    for i, x, y in rows:
+        assert out[i] == _xy2d(3, int(x), int(y)), (x, y)
+
+
+def test_hilbert_curve_is_gapless(spark):
+    # the defining property (and what Z-order lacks): consecutive keys
+    # are always grid NEIGHBORS — any construction bug breaks this
+    rows = [(x * 16 + y, float(x), float(y))
+            for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = layout.with_hilbert_key(df, ["x", "y"], bits=4).collect()
+    assert sorted(r.hkey for r in got) == list(range(256))
+    by_d = sorted(got, key=lambda r: r.hkey)
+    for a, b in zip(by_d, by_d[1:]):
+        assert abs(a.x - b.x) + abs(a.y - b.y) == 1.0
+
+
+def test_hilbert_locality_beats_zorder_worst_file(spark):
+    # 32x32 grid, 16 equal files: the Hilbert walk has no diagonal
+    # seams, so its worst per-file span is no worse than Z-order's
+    rows = [(x * 32 + y, float(x), float(y))
+            for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    hk = sorted(layout.with_hilbert_key(df, ["x", "y"], bits=5)
+                .collect(), key=lambda r: r.hkey)
+    zk = sorted(layout.with_zorder_key(df, ["x", "y"], bits=5)
+                .collect(), key=lambda r: r.zkey)
+    n_files = 16
+
+    def worst(order, attr):
+        sz = len(order) // n_files
+        return max(
+            max(getattr(r, attr) for r in order[f * sz:(f + 1) * sz])
+            - min(getattr(r, attr) for r in order[f * sz:(f + 1) * sz])
+            for f in range(n_files))
+
+    for attr in ("x", "y"):
+        assert worst(hk, attr) <= worst(zk, attr)
+        assert worst(hk, attr) <= 16.0
+
+
+def test_hilbert_validates_arity_and_bits(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)],
+                               "a double, b double, c double")
+    with pytest.raises(ValueError, match="exactly 2"):
+        layout.with_hilbert_key(df, ["a", "b", "c"])
+    with pytest.raises(ValueError, match="exceeds"):
+        layout.with_hilbert_key(df, ["a", "b"], bits=32)
+
+
+def test_hilbert_key_projection_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i * 3 % 7)) for i in range(50)],
+        "a double, b double")
+    plan = layout.with_hilbert_key(df, ["a", "b"])._jdf \
+        .queryExecution().executedPlan().toString()
+    # one broadcast of the 1-row bounds agg; no hash/range exchange of
+    # the data itself
+    assert "Exchange hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan

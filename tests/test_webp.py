@@ -456,16 +456,26 @@ def test_roundtrip_lz77_plain_and_mapped():
         np.testing.assert_array_equal(decode_vp8l(payload), arr)
 
 
-def test_distance_map_head_matches_spec():
-    # the first rows of the spec's 2D offset table, transcribed —
-    # pins the generation rule
+def test_distance_map_matches_spec():
+    # head and code-97+ rows of the spec's 2D offset table,
+    # transcribed — pins the generation rule at both ends
     assert DIST_MAP[:24] == [
         (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
         (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
         (1, 3), (-1, 3), (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2),
         (-3, 2), (0, 4), (4, 0)]
+    assert DIST_MAP[96:104] == [
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2),
+        (6, 6)]
+    assert DIST_MAP[110:] == [
+        (8, 4), (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7),
+        (-7, 7), (8, 6), (8, 7)]
     assert len(DIST_MAP) == 120
     assert len(set(DIST_MAP)) == 120
+    # the spec's plane-code byte is (dy << 4) | (8 - dx): every entry
+    # must be encodable, so dx=-8 / dy=8 can never appear
+    assert all(0 <= dy <= 7 and 0 <= 8 - dx <= 15
+               for dx, dy in DIST_MAP)
 
 
 @pytest.mark.parametrize("mode", list(range(14)))

@@ -209,8 +209,8 @@ def cusum_changepoints(
     running window aggregates (cumsum + running min) per direction,
     partitioned by the series key. No resets: after a true shift the
     statistic stays elevated, so the flagged region is the sustained
-    drift, and ``first_alarm`` (min alarm ts per key) marks the
-    detection point.
+    drift; the detection point is the earliest alarmed row per key
+    (``.filter("alarm_up").groupBy(keys).agg(F.min(ts))``).
 
     Reference stats come from the first ``baseline_n`` batches of each
     series (those warm-up rows are unjudged), or pass explicit

@@ -175,16 +175,27 @@ class ProfileStore:
         backend, answered straight off the store like
         ``drift_between``. Each segment is an independent series (so a
         segmented profile monitors per-segment); see
-        ``core.monitor.anomaly_scan`` for methods and scale notes."""
+        ``core.monitor.anomaly_scan`` for methods and scale notes.
+
+        ``date_from`` bounds the JUDGED rows, not the baseline: the
+        scan reads the series up to ``date_to`` so the first batches
+        inside the range are still judged against the history before
+        it (a shift planted on the range's first day must not go
+        unjudged just because the range starts there). The store holds
+        one row per batch, so the un-pruned left edge is cheap."""
         from ..core.monitor import anomaly_scan
 
         series = self.metric_series(
             spark, dataset_id, column, metric, component,
-            date_from, date_to)
-        return anomaly_scan(
+            None, date_to)
+        scored = anomaly_scan(
             series, "dataset_ts", "value", key_cols=["segment"],
             window=window, method=method, threshold=threshold,
             min_baseline=min_baseline)
+        if date_from is not None:
+            scored = scored.filter(
+                F.to_date("dataset_ts") >= date_from)
+        return scored
 
     def missing_batches(
         self,

@@ -19,10 +19,11 @@ codes, palette) decode through the same recursive image stream.
 Spec/implementation notes the tests pin:
 - Prefix codes are read bit-by-bit MSB-of-code-first over the LSB-first
   byte stream (the DEFLATE packing convention).
-- The 2D distance map is the 120 closest (dx, dy) offsets with
-  dy in [0, 8], dx in [-8, 8] and (dy > 0 or dx > 0), ordered by
-  dx^2 + dy^2, then larger dy first, then positive dx before negative —
-  the generation rule reproduces the spec's table.
+- The 2D distance map is exactly the 120 offsets the spec's plane-code
+  byte (dy << 4 | 8 - dx) can encode — dy in [0, 7], dx in [-7, 8],
+  strictly past — ordered by dx^2 + dy^2, then larger dy first, then
+  positive dx before negative; the generation rule reproduces the
+  spec's table (head and tail transcribed and pinned in tests).
 - Predictor neighbors: the top-right of the last column wraps to the
   first pixel of the CURRENT row (the behavior of a contiguous
   row-major buffer, which real encoders target).
@@ -48,15 +49,21 @@ _CACHE_MUL = 0x1E35A7BD
 
 
 def _distance_map() -> List[Tuple[int, int]]:
+    # domain = exactly the offsets the spec's plane-code byte can
+    # encode: (dy << 4) | (8 - dx) with dy in [0, 7] and 8 - dx a
+    # nibble, i.e. dx in [-7, 8]; excluding non-strict-past offsets
+    # (dy == 0 and dx <= 0) leaves exactly 120 entries — the table is
+    # the full domain ordered, not a truncation
     cands = []
-    for dy in range(0, 9):
-        for dx in range(-8, 9):
+    for dy in range(0, 8):
+        for dx in range(-7, 9):
             if dy == 0 and dx <= 0:
                 continue
             cands.append((dx, dy))
+    assert len(cands) == 120
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1],
                               0 if p[0] > 0 else 1))
-    return cands[:120]
+    return cands
 
 
 DIST_MAP = _distance_map()

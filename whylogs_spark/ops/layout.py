@@ -43,30 +43,18 @@ def zorder_key(norm_cols: Sequence[Column], bits: int) -> Column:
     return z
 
 
-def with_zorder_key(
-    df: DataFrame,
-    cols: Sequence[str],
-    bits: int = 8,
-    out_col: str = "zkey",
-) -> DataFrame:
-    """Add a Z-order key over ``cols`` (numeric; NULLs normalize to 0).
-
-    Each column is min-max scaled to ``bits`` bits using bounds from a
-    single 1-row aggregate over the frame (broadcast cross-join — stays
-    in-plan, action-free); a constant column collapses to 0 and simply
-    stops contributing to the ordering. The key itself is pure
-    shift/and/or codegen: zero shuffle, reproducible in any engine
-    (the DuckDB oracle recomputes it bit for bit).
-    """
-    if not cols:
-        raise ValueError("cols must be non-empty")
+def _with_normalized(df: DataFrame, cols: Sequence[str], bits: int):
+    """Min-max scale each column to ``bits`` bits using bounds from a
+    single 1-row aggregate (broadcast cross-join — in-plan,
+    action-free). NULLs normalize to 0; a constant column collapses to
+    0 and stops contributing to the ordering. Returns (frame, norm
+    exprs, bound-column names to drop)."""
     top = float((1 << bits) - 1)
     aggs = []
     for c in cols:
         v = F.col(c).cast("double")
         aggs += [F.min(v).alias(f"__lo_{c}"), F.max(v).alias(f"__hi_{c}")]
-    edges = df.agg(*aggs)
-    out = df.crossJoin(F.broadcast(edges))
+    out = df.crossJoin(F.broadcast(df.agg(*aggs)))
     norm: List[Column] = []
     for c in cols:
         lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
@@ -77,8 +65,108 @@ def with_zorder_key(
         ).otherwise(F.lit(0)).cast("long")
         norm.append(F.least(F.greatest(scaled, F.lit(0)),
                             F.lit((1 << bits) - 1)))
+    drop = [f"__{p}_{c}" for c in cols for p in ("lo", "hi")]
+    return out, norm, drop
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Add a Z-order key over ``cols`` (numeric; NULLs normalize to 0).
+
+    Normalization per ``_with_normalized``; the key itself is pure
+    shift/and/or codegen: zero shuffle, reproducible in any engine
+    (the DuckDB oracle recomputes it bit for bit).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    out, norm, drop = _with_normalized(df, cols, bits)
     out = out.withColumn(out_col, zorder_key(norm, bits))
-    return out.drop(*[f"__{p}_{c}" for c in cols for p in ("lo", "hi")])
+    return out.drop(*drop)
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Add a 2-D Hilbert-curve key over exactly two numeric columns.
+
+    The Hilbert curve never jumps: consecutive key values are always
+    grid neighbors, so file min/max ranges after clustering are tighter
+    than Z-order's (whose diagonal seams put far-apart points on
+    adjacent keys) — measurably better row-group pruning for 2-D range
+    scans (the lat/lon, time-by-id shape). For 3+ columns use
+    ``with_zorder_key``; the quadrant-rotation construction below is
+    inherently 2-D and two dimensions is where the pruning gap is
+    biggest anyway.
+
+    Construction: the classic per-level quadrant walk (d += s^2 *
+    ((3*rx) XOR ry), reflect+swap when ry=0), unrolled into ``bits``
+    codegen projection steps carrying (x, y) columns — no UDF, no
+    shuffle, same broadcast 1-row normalization as Z-order. The
+    reflection can drive intermediates negative exactly as in the
+    canonical C code; only low bits are consumed afterward, and long
+    arithmetic is two's-complement in Spark, Python and DuckDB alike,
+    so the oracle reproduces the key bit for bit.
+    """
+    if len(cols) != 2:
+        raise ValueError(
+            f"hilbert key is 2-D: pass exactly 2 cols, got {len(cols)}")
+    if bits * 2 > 62:
+        raise ValueError(f"2 cols x {bits} bits exceeds a long")
+    out, norm, drop = _with_normalized(df, cols, bits)
+    out = (
+        out.withColumn("__hx", norm[0])
+        .withColumn("__hy", norm[1])
+        .withColumn(out_col, F.lit(0).cast("long"))
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        out = (
+            out.withColumn(
+                "__rx",
+                F.shiftright(F.col("__hx"), i).bitwiseAND(F.lit(1)))
+            .withColumn(
+                "__ry",
+                F.shiftright(F.col("__hy"), i).bitwiseAND(F.lit(1)))
+        )
+        rx, ry = F.col("__rx"), F.col("__ry")
+        out = out.withColumn(
+            out_col,
+            F.col(out_col)
+            + F.lit(s * s).cast("long")
+            * (F.lit(3) * rx).bitwiseXOR(ry).cast("long"))
+        nx = (
+            F.when(ry == 1, F.col("__hx"))
+            .when(rx == 1, F.lit(s - 1) - F.col("__hy"))
+            .otherwise(F.col("__hy")))
+        ny = (
+            F.when(ry == 1, F.col("__hy"))
+            .when(rx == 1, F.lit(s - 1) - F.col("__hx"))
+            .otherwise(F.col("__hx")))
+        out = out.withColumn("__nx", nx).withColumn("__ny", ny) \
+            .withColumn("__hx", F.col("__nx")) \
+            .withColumn("__hy", F.col("__ny"))
+    return out.drop("__hx", "__hy", "__nx", "__ny", "__rx", "__ry",
+                    *drop)
+
+
+def cluster_by_hilbert(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_partitions: int,
+    bits: int = 8,
+) -> DataFrame:
+    """``cluster_by_zorder`` along the Hilbert curve instead: range
+    partition on the sampled key bounds + sort within partitions."""
+    keyed = with_hilbert_key(df, cols, bits)
+    return keyed.repartitionByRange(n_partitions, F.col("hkey")) \
+        .sortWithinPartitions("hkey")
 
 
 def cluster_by_zorder(

@@ -50,6 +50,14 @@ class AnomalyMonitorSink:
     newly-arrived rows judged anomalous — the alert hook, like
     ``DriftMonitorSink.on_drift``. Only rows of the CURRENT microbatch
     are reported (history is context, not re-alerted).
+
+    ``expected_seconds`` opts into pruning the per-batch store scan to
+    the tail the baseline can reach: ``lookback_periods`` cadence
+    periods (default ``2 * (window + 1)`` — the 2x headroom keeps a
+    short outage gap from shrinking the baseline for the rows right
+    after it). With ``phase_col`` the baseline spans whole seasons, so
+    pruning then requires an explicit
+    ``lookback_periods >= season_length * (window + 1)``.
     """
 
     def __init__(
@@ -64,8 +72,28 @@ class AnomalyMonitorSink:
         min_baseline: int = 3,
         phase_col: Optional[str] = None,
         expected_seconds: Optional[int] = None,
+        lookback_periods: Optional[int] = None,
         on_anomaly: Optional[Callable[[int, List], None]] = None,
     ) -> None:
+        if expected_seconds is not None:
+            if phase_col is not None and lookback_periods is None:
+                # a seasonal baseline reaches season_length * window
+                # periods back; a (window+1)-period prune would starve
+                # it and silently unjudge every row
+                raise ValueError(
+                    "phase_col baselines span whole seasons: pass "
+                    "lookback_periods >= season_length * (window + 1) "
+                    "when pruning with expected_seconds")
+            if lookback_periods is None:
+                # 2x headroom so a short outage gap doesn't shrink the
+                # baseline for the rows right after it — exactly when
+                # judging matters most. Series with longer gaps should
+                # widen this (or skip pruning; the store is tiny).
+                lookback_periods = 2 * (window + 1)
+            if lookback_periods < window + 1:
+                raise ValueError(
+                    f"lookback_periods must be >= window + 1, "
+                    f"got {lookback_periods}")
         self.path = path
         self.ts_col = ts_col
         self.value_col = value_col
@@ -76,6 +104,7 @@ class AnomalyMonitorSink:
         self.min_baseline = min_baseline
         self.phase_col = phase_col
         self.expected_seconds = expected_seconds
+        self.lookback_periods = lookback_periods
         self.on_anomaly = on_anomaly
 
     def _select_cols(self):
@@ -104,8 +133,9 @@ class AnomalyMonitorSink:
             min_ts = incoming.agg(
                 F.min(self.ts_col)).first()[0]
             if min_ts is not None:
+                secs = int(self.expected_seconds * self.lookback_periods)
                 horizon = F.lit(min_ts) - F.expr(
-                    f"INTERVAL {int(self.expected_seconds * (self.window + 1))} SECONDS")
+                    f"INTERVAL {secs} SECONDS")
                 store = store.filter(F.col(self.ts_col) >= horizon)
         scored = anomaly_scan(
             store, self.ts_col, self.value_col,
