@@ -182,3 +182,28 @@ def test_hilbert_key_projection_is_shuffle_free(spark):
     # the data itself
     assert "Exchange hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
+
+
+# -------------------------------------------------------- property tests
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 10))
+def test_hilbert_reference_is_bijective_neighbor_walk(bits):
+    # pure-python property of the reference walk the Spark expression
+    # mirrors: bijection over the grid + unit steps, any bits
+    n = 1 << bits
+    if n > 64:
+        n = 64
+        bits = 6
+    seen = {}
+    for x in range(n):
+        for y in range(n):
+            seen[_xy2d(bits, x, y)] = (x, y)
+    assert len(seen) == n * n
+    assert set(seen) == set(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = seen[d], seen[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1

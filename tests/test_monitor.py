@@ -374,3 +374,46 @@ def test_store_anomalies_and_missing_batches(spark, tmp_path):
         spark, "daily", "x", "distribution", "mean",
         date_from="2024-03-05", date_to="2024-03-08").collect()
     assert sorted(r.dataset_ts.day for r in pruned) == [5, 6, 7, 8]
+
+
+# -------------------------------------------------------- property tests
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=2,
+                max_size=25),
+       st.integers(1, 8), st.sampled_from(["zscore", "mad", "iqr"]))
+def test_anomaly_scan_property_matches_numpy(spark, vals, window,
+                                             method):
+    thr = 1.5 if method == "iqr" else 3.0
+    df = _series_df(spark, vals)
+    got = anomaly_scan(df, "ts", "value", window=window, method=method,
+                       min_baseline=2).orderBy("ts").collect()
+    exp = _np_expected(vals, window, method, thr, 2)
+    for row, (n, center, spread, score, flag) in zip(got, exp):
+        assert row.baseline_n == n
+        if center is None:
+            assert row.is_anomaly is None
+            continue
+        assert row.center == pytest.approx(center, rel=1e-9, abs=1e-6)
+        assert row.spread == pytest.approx(spread, rel=1e-9, abs=1e-6)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=1,
+                max_size=30),
+       st.floats(0, 2), st.floats(0.5, 8))
+def test_cusum_property_matches_recursion(spark, vals, k, h):
+    from whylogs_spark.core.monitor import cusum_changepoints
+
+    df = _series_df(spark, vals)
+    got = cusum_changepoints(df, "ts", "value", k=k, h=h,
+                             center=0.0, spread=10.0) \
+        .orderBy("ts").collect()
+    exp = _np_cusum(vals, k, h, 0.0, 10.0)
+    for row, (sp, sn, up, dn) in zip(got, exp):
+        assert row.s_pos == pytest.approx(sp, rel=1e-9, abs=1e-9)
+        assert row.s_neg == pytest.approx(sn, rel=1e-9, abs=1e-9)
+        assert row.alarm_up == up and row.alarm_down == dn

@@ -1003,9 +1003,124 @@ def _sniff_wav(content: bytes):
     return channels, rate, bits, dur
 
 
+def _sniff_flac(content: bytes):
+    """FLAC STREAMINFO parse: sample rate (20 bits), channels (3),
+    bits-per-sample (5) and total samples (36) from the mandatory
+    first metadata block — exact duration, no audio libs."""
+    if content[:4] != b"fLaC" or len(content) < 8 + 34:
+        return None
+    btype = content[4] & 0x7F
+    (blen,) = struct.unpack(">I", b"\x00" + content[5:8])
+    if btype != 0 or blen < 34:  # STREAMINFO must come first
+        return None
+    (packed,) = struct.unpack(">Q", content[18:26])
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    dur = total / rate if total else None
+    return channels, rate, bits, dur
+
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                      192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                      128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _sniff_mp3(content: bytes):
+    """MP3 (MPEG layer III) frame-header parse after skipping any
+    ID3v2 tag. Duration is a CBR estimate (audio bytes * 8 / bitrate):
+    exact for constant-bitrate files, approximate for VBR — the
+    honest lib-free answer (a VBR scan needs every frame header)."""
+    i = 0
+    n = len(content)
+    if content[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in content[6:10]:  # syncsafe 28-bit
+            size = (size << 7) | (b & 0x7F)
+        i = 10 + size
+    end = min(i + 4096, n - 3)  # bounded sync hunt
+    while i < end:
+        if content[i] == 0xFF and (content[i + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = content[i + 1], content[i + 2], content[i + 3]
+            version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (b1 >> 1) & 0x3    # 1 = layer III
+            if version == 1 or layer != 1:
+                i += 1
+                continue
+            rate_idx = (b2 >> 2) & 0x3
+            br_idx = (b2 >> 4) & 0xF
+            if rate_idx == 3 or br_idx in (0, 15):
+                i += 1
+                continue
+            rate = _MP3_RATES[version][rate_idx]
+            table = _MP3_BITRATES_V1L3 if version == 3 \
+                else _MP3_BITRATES_V2L3
+            kbps = table[br_idx]
+            channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+            dur = (n - i) * 8.0 / (kbps * 1000) if kbps else None
+            return channels, rate, None, dur
+        i += 1
+    return None
+
+
+def _sniff_ogg(content: bytes):
+    """Ogg Vorbis/Opus id-header parse; duration from the LAST page's
+    granule position (PCM frame count) — exact, no audio libs."""
+    if content[:4] != b"OggS" or len(content) < 28:
+        return None
+    nseg = content[26]
+    payload = 27 + nseg
+    head = content[payload:payload + 19]
+    if head[:7] == b"\x01vorbis" and len(head) >= 16:
+        channels = head[11]
+        (rate,) = struct.unpack("<I", head[12:16])
+        gran_rate = rate
+    elif head[:8] == b"OpusHead" and len(head) >= 13:
+        channels = head[9]
+        (rate,) = struct.unpack("<I", head[12:16])
+        gran_rate = 48000  # opus granules are always 48 kHz
+    else:
+        return None
+    if not rate:
+        return None
+    dur = None
+    last = content.rfind(b"OggS")
+    if last > 0 and last + 14 <= len(content):
+        (gran,) = struct.unpack("<q", content[last + 6:last + 14])
+        if gran > 0:
+            dur = gran / float(gran_rate)
+    return int(channels), int(rate), None, dur
+
+
+def _sniff_audio(content: bytes):
+    """(format, channels, rate, bits, duration) across the lib-free
+    header parsers; None when no container matches."""
+    wav = _sniff_wav(content)
+    if wav:
+        return ("wav",) + wav
+    flac = _sniff_flac(content)
+    if flac:
+        return ("flac",) + flac
+    ogg = _sniff_ogg(content)
+    if ogg:
+        return ("ogg",) + ogg
+    mp3 = _sniff_mp3(content)
+    if mp3:
+        return ("mp3",) + mp3
+    return None
+
+
 def extract_audio_features(df: DataFrame) -> DataFrame:
-    """mapInPandas over binaryFile rows: WAV header features (real);
-    compressed formats would need an audio lib — they report
+    """mapInPandas over binaryFile rows: WAV/FLAC/Ogg(Vorbis+Opus)/MP3
+    header features — channels, sample rate, bits (PCM formats) and
+    duration (exact for WAV/FLAC/Ogg; CBR estimate for MP3), all
+    stdlib byte parsing. Unrecognized payloads report
     format='unknown' with byte length only."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1014,10 +1129,10 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             for _, r in pdf.iterrows():
                 content = bytes(r["content"]) if r["content"] is not None \
                     else b""
-                wav = _sniff_wav(content)
-                if wav:
-                    ch, rate, bits, dur = wav
-                    rows.append((r["path"], "wav", ch, rate, bits, dur,
+                hit = _sniff_audio(content)
+                if hit:
+                    fmt, ch, rate, bits, dur = hit
+                    rows.append((r["path"], fmt, ch, rate, bits, dur,
                                  len(content)))
                 else:
                     rows.append((r["path"], "unknown", None, None, None,
