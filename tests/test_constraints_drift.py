@@ -615,3 +615,68 @@ def test_exact_ks_w1_empty_side_yields_null_not_abort(spark):
         assert all(r.statistic is None for r in rows)
         ks = D.ks_2samp_exact(bad, ref, "x").collect()[0]
         assert ks.statistic is None
+
+
+def test_schema_diff_detects_structural_drift(spark, lineitem):
+    import whylogs_spark as wsp
+    from whylogs_spark.core.drift import schema_diff
+
+    ref_df = lineitem.selectExpr(
+        "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate AS retired_col")
+    # target: retired_col gone, new_col added, l_returnflag flipped to
+    # a number, l_extendedprice gains nulls
+    tgt_df = lineitem.selectExpr(
+        "l_quantity",
+        "CASE WHEN l_orderkey % 4 = 0 THEN NULL "
+        "ELSE l_extendedprice END AS l_extendedprice",
+        "CAST(l_linenumber AS DOUBLE) AS l_returnflag",
+        "l_orderkey AS new_col")
+    diff = {r.column: r for r in schema_diff(
+        wsp.profile(tgt_df), wsp.profile(ref_df)).collect()}
+    assert diff["retired_col"].status == "removed"
+    assert diff["new_col"].status == "added"
+    assert diff["l_returnflag"].status == "type_changed"
+    assert (diff["l_returnflag"].ref_type,
+            diff["l_returnflag"].tgt_type) == ("string", "fractional")
+    assert diff["l_quantity"].status == "ok"
+    assert diff["l_quantity"].null_frac_delta == 0.0
+    assert diff["l_extendedprice"].status == "ok"
+    assert diff["l_extendedprice"].null_frac_delta == pytest.approx(
+        0.25, abs=0.02)
+
+
+def test_schema_diff_segmented_profiles(spark, lineitem):
+    import whylogs_spark as wsp
+    from whylogs_spark.core.drift import schema_diff
+
+    ref = wsp.profile(lineitem.select("l_returnflag", "l_quantity"),
+                      segment_by=["l_returnflag"])
+    tgt = wsp.profile(
+        lineitem.selectExpr("l_returnflag",
+                            "CAST(l_quantity AS STRING) AS l_quantity"),
+        segment_by=["l_returnflag"])
+    rows = schema_diff(tgt, ref).filter("column = 'l_quantity'") \
+        .collect()
+    assert len(rows) == 3  # one per segment
+    assert all(r.status == "type_changed" for r in rows)
+
+
+def test_store_schema_between(spark, lineitem, tmp_path):
+    import datetime as dt
+
+    import whylogs_spark as wsp
+    from whylogs_spark.io.store import ProfileStore
+
+    store = ProfileStore(str(tmp_path / "profiles_schema"))
+    store.write(wsp.profile(lineitem.select("l_quantity", "l_shipdate")),
+                "ds", dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))
+    store.write(
+        wsp.profile(lineitem.selectExpr(
+            "CAST(l_quantity AS STRING) AS l_quantity", "l_partkey")),
+        "ds", dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc))
+    diff = {r.column: r.status for r in store.schema_between(
+        spark, "ds", "2024-01-01", "2024-01-31",
+        "2024-02-01", "2024-02-28").collect()}
+    assert diff == {"l_quantity": "type_changed",
+                    "l_shipdate": "removed", "l_partkey": "added"}

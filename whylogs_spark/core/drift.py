@@ -713,3 +713,65 @@ def rolling_psi(
              F.first("n").alias("n_current"),
              F.first("n_prev").alias("n_previous"))
     )
+
+
+def schema_diff(target: "ProfileView", reference: "ProfileView"):
+    """Schema-level drift between two profiles: added / removed /
+    type-changed columns and null-fraction deltas — the monitoring
+    layer the distribution scorers don't cover (a column silently
+    disappearing or flipping string->fractional is schema drift, not
+    value drift; the reference's backend alerts on both).
+
+    Dominant type per column = the ``types`` metric component with the
+    highest count (ties broken alphabetically for determinism).
+    Returns one row per (segment, column) across both profiles:
+    ``status`` in {added, removed, type_changed, ok}, ``ref_type`` /
+    ``tgt_type``, ``ref_null_frac`` / ``tgt_null_frac`` and
+    ``null_frac_delta`` (null while unmatched). Everything is a join
+    of two already-tiny profile frames — no raw data is touched.
+    """
+    def summarize(view: "ProfileView"):
+        df = view.df
+        types = (
+            df.filter(F.col("metric") == "types")
+            .groupBy("segment", "column")
+            .agg(F.min_by(
+                "component",
+                # minimize (-count, name): highest count wins, ties
+                # break to the alphabetically smallest name
+                F.struct((-F.coalesce(F.col("n"), F.lit(0)))
+                         .alias("neg_n"), F.col("component"))
+            ).alias("dtype"))
+        )
+        counts = (
+            df.filter((F.col("metric") == "counts")
+                      & F.col("component").isin("n", "null"))
+            .groupBy("segment", "column")
+            .pivot("component", ["n", "null"]).sum("n")
+        )
+        null_frac = F.when(
+            F.col("n") > 0,
+            F.coalesce(F.col("null"), F.lit(0)).cast("double")
+            / F.col("n")).otherwise(F.lit(None))
+        return types.join(counts, ["segment", "column"], "left") \
+            .select("segment", "column", "dtype",
+                    null_frac.alias("null_frac"))
+
+    ref = summarize(reference).select(
+        "segment", "column", F.col("dtype").alias("ref_type"),
+        F.col("null_frac").alias("ref_null_frac"))
+    tgt = summarize(target).select(
+        "segment", "column", F.col("dtype").alias("tgt_type"),
+        F.col("null_frac").alias("tgt_null_frac"))
+    joined = ref.join(tgt, ["segment", "column"], "full_outer")
+    status = (
+        F.when(F.col("ref_type").isNull(), F.lit("added"))
+        .when(F.col("tgt_type").isNull(), F.lit("removed"))
+        .when(F.col("ref_type") != F.col("tgt_type"),
+              F.lit("type_changed"))
+        .otherwise(F.lit("ok")))
+    return joined.select(
+        "segment", "column", status.alias("status"),
+        "ref_type", "tgt_type", "ref_null_frac", "tgt_null_frac",
+        (F.col("tgt_null_frac") - F.col("ref_null_frac"))
+        .alias("null_frac_delta"))

@@ -125,6 +125,25 @@ class ProfileStore:
         tgt = self.get(spark, dataset_id, target_from, target_to)
         return scorer(tgt, ref)
 
+    def schema_between(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        baseline_from: str,
+        baseline_to: str,
+        target_from: str,
+        target_to: str,
+    ) -> DataFrame:
+        """Schema drift between two stored date ranges, mirroring
+        ``drift_between``: added / removed / type-changed columns and
+        null-fraction deltas (``core.drift.schema_diff``) from two
+        partition-pruned merge-on-read loads."""
+        from ..core.drift import schema_diff
+
+        ref = self.get(spark, dataset_id, baseline_from, baseline_to)
+        tgt = self.get(spark, dataset_id, target_from, target_to)
+        return schema_diff(tgt, ref)
+
     def metric_series(
         self,
         spark: SparkSession,
