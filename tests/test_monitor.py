@@ -417,3 +417,45 @@ def test_cusum_property_matches_recursion(spark, vals, k, h):
         assert row.s_pos == pytest.approx(sp, rel=1e-9, abs=1e-9)
         assert row.s_neg == pytest.approx(sn, rel=1e-9, abs=1e-9)
         assert row.alarm_up == up and row.alarm_down == dn
+
+
+def test_store_run_monitors_suite(spark, tmp_path):
+    """Declarative suite: a zscore monitor on the mean, a cusum
+    monitor on the same series, and a zscore on counts/n — planted
+    spike + sustained shift + volume drop each fire exactly one
+    monitor kind."""
+    import whylogs_spark as wsp
+    from whylogs_spark.io.store import ProfileStore
+
+    store = ProfileStore(str(tmp_path / "profiles_suite"))
+    rng = np.random.default_rng(5)
+    for d in range(1, 25):
+        n = 400 if d != 20 else 40          # volume drop on day 20
+        mu = 50.0 if d < 15 else 52.5       # sustained shift from 15
+        vals = mu + rng.normal(0, 1.0, n)
+        if d == 10:
+            vals[0] += 400.0                # one-day mean spike
+        df = spark.createDataFrame([(float(v),) for v in vals],
+                                   "x double")
+        store.write(wsp.profile(df), "suite",
+                    dt.datetime(2024, 4, d, tzinfo=dt.timezone.utc))
+
+    alerts = store.run_monitors(spark, "suite", [
+        {"column": "x", "component": "mean", "method": "zscore",
+         "threshold": 8.0, "name": "mean_spike"},
+        {"column": "x", "component": "mean", "method": "cusum",
+         "h": 6.0, "baseline_n": 10, "name": "mean_shift"},
+        {"column": "x", "metric": "counts", "component": "n",
+         "method": "zscore", "threshold": 8.0, "name": "volume"},
+    ]).collect()
+    by_monitor = {}
+    for r in alerts:
+        by_monitor.setdefault(r.monitor, []).append(r)
+    assert {r.dataset_ts.day for r in by_monitor["mean_spike"]} == {10}
+    # the sustained +2.5-sigma shift alarms upward and stays alarmed
+    shift_days = {r.dataset_ts.day for r in by_monitor["mean_shift"]}
+    assert min(shift_days) >= 15 and len(shift_days) >= 3
+    assert all(r.kind == "shift_up" for r in by_monitor["mean_shift"])
+    assert {r.dataset_ts.day for r in by_monitor["volume"]} == {20}
+    with pytest.raises(ValueError, match="non-empty"):
+        store.run_monitors(spark, "suite", [])

@@ -242,6 +242,85 @@ class ProfileStore:
             ts, "dataset_ts", expected_seconds=expected_seconds,
             tolerance=tolerance)
 
+    def run_monitors(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        specs,
+        date_from: Optional[str] = None,
+        date_to: Optional[str] = None,
+    ) -> DataFrame:
+        """Run a monitor suite over the stored metric series and return
+        one unioned ALERTS frame — the declarative "configure monitors
+        on a dataset" surface of the reference's backend, engine-side.
+
+        ``specs`` is a list of dicts, each::
+
+            {"column": "price", "metric": "distribution",
+             "component": "mean",        # any numeric component
+             "method": "zscore",         # zscore | mad | iqr | cusum
+             "window": 7, "threshold": 3.0, "min_baseline": 3,
+             # cusum only:
+             "k": 0.5, "h": 5.0, "baseline_n": 10}
+
+        Output columns: (monitor, column, metric, component, segment,
+        dataset_ts, value, score, kind) — one row per fired alert
+        (``kind`` = anomaly | shift_up | shift_down). Each spec costs
+        one partition-pruned scan of the tiny series store; specs are
+        independent, so the driver loop just assembles a union plan
+        (one job when the caller materializes it).
+        """
+        from ..core.monitor import cusum_changepoints
+
+        frames = []
+        for i, spec in enumerate(specs):
+            column = spec["column"]
+            metric = spec.get("metric", "distribution")
+            component = spec.get("component", "mean")
+            method = spec.get("method", "zscore")
+            name = spec.get("name",
+                            f"{column}.{metric}.{component}.{method}")
+            tag = [
+                F.lit(name).alias("monitor"),
+                F.lit(column).alias("column"),
+                F.lit(metric).alias("metric"),
+                F.lit(component).alias("component"),
+            ]
+            if method == "cusum":
+                series = self.metric_series(
+                    spark, dataset_id, column, metric, component,
+                    date_from, date_to)
+                cu = cusum_changepoints(
+                    series, "dataset_ts", "value",
+                    key_cols=["segment"], k=spec.get("k", 0.5),
+                    h=spec.get("h", 5.0),
+                    baseline_n=spec.get("baseline_n", 10))
+                alerts = cu.filter(
+                    F.coalesce(F.col("alarm_up"), F.lit(False))
+                    | F.coalesce(F.col("alarm_down"), F.lit(False))
+                ).select(
+                    *tag, "segment", "dataset_ts", "value",
+                    F.greatest("s_pos", "s_neg").alias("score"),
+                    F.when(F.col("alarm_up"), F.lit("shift_up"))
+                    .otherwise(F.lit("shift_down")).alias("kind"))
+            else:
+                sc = self.anomalies_between(
+                    spark, dataset_id, column, metric, component,
+                    date_from, date_to,
+                    window=spec.get("window", 7), method=method,
+                    threshold=spec.get("threshold"),
+                    min_baseline=spec.get("min_baseline", 3))
+                alerts = sc.filter(F.col("is_anomaly")).select(
+                    *tag, "segment", "dataset_ts", "value", "score",
+                    F.lit("anomaly").alias("kind"))
+            frames.append(alerts)
+        if not frames:
+            raise ValueError("specs must be non-empty")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def auc_between(
         self,
         spark: SparkSession,
