@@ -680,3 +680,40 @@ def test_store_schema_between(spark, lineitem, tmp_path):
         "2024-02-01", "2024-02-28").collect()}
     assert diff == {"l_quantity": "type_changed",
                     "l_shipdate": "removed", "l_partkey": "added"}
+
+
+def test_store_compact_preserves_merged_view(spark, lineitem, tmp_path):
+    import datetime as dt
+
+    import whylogs_spark as wsp
+    from whylogs_spark.io.store import ProfileStore
+
+    store = ProfileStore(str(tmp_path / "profiles_compact"))
+    thirds = [lineitem.filter(lineitem.l_orderkey % 3 == i)
+              .select("l_quantity", "l_extendedprice") for i in range(3)]
+    # three appends on Jan 1, one on Jan 2
+    for h, part in enumerate(thirds):
+        store.write(wsp.profile(part), "ds",
+                    dt.datetime(2024, 1, 1, h, tzinfo=dt.timezone.utc))
+    store.write(wsp.profile(thirds[0]), "ds",
+                dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc))
+
+    before = store.get(spark, "ds").to_pandas()
+    n_rows_before = store._read(spark).count()
+    assert store.compact(spark, "ds") == 1  # only Jan 1 has appends
+    after = store.get(spark, "ds").to_pandas()
+    assert store._read(spark).count() < n_rows_before
+    # exactly one batch row per day now
+    assert store._read(spark).select("date", "dataset_ts") \
+        .distinct().count() == 2
+
+    def stat(pdf, col, name):
+        return pdf[pdf["column"] == col].iloc[0][name]
+
+    for col in ("l_quantity", "l_extendedprice"):
+        for m in ("counts/n", "distribution/mean", "distribution/max"):
+            assert stat(after, col, m) == pytest.approx(
+                stat(before, col, m), rel=1e-12), (col, m)
+
+    # compacting again is a no-op
+    assert store.compact(spark, "ds") == 0

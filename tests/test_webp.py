@@ -616,3 +616,24 @@ def test_garbage_never_hangs_or_leaks(data):
         decode_vp8l(b"\x2f" + data)
     except ValueError:
         pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1), st.data())
+def test_bitflip_corruption_is_contained(seed, data):
+    # flip 1-4 bits anywhere in a VALID payload: the decoder must
+    # either still decode (possibly wrong pixels — the flip may hit
+    # an unused literal) or raise ValueError; never another exception
+    # class, never a hang, never an oversized allocation
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 6, size=(9, 9, 3), dtype=np.uint8) * 40
+    payload = bytearray(encode_vp8l(arr, cache_bits=4, use_lz77=True))
+    n_flips = data.draw(st.integers(1, 4))
+    for _ in range(n_flips):
+        i = data.draw(st.integers(1, len(payload) - 1))  # keep magic
+        payload[i] ^= 1 << data.draw(st.integers(0, 7))
+    try:
+        out = decode_vp8l(bytes(payload))
+        assert out.shape[0] * out.shape[1] <= (1 << 14) ** 2
+    except ValueError:
+        pass

@@ -125,6 +125,72 @@ class ProfileStore:
         tgt = self.get(spark, dataset_id, target_from, target_to)
         return scorer(tgt, ref)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        date_from: Optional[str] = None,
+        date_to: Optional[str] = None,
+    ) -> int:
+        """Merge each (dataset_id, date) partition's appended profiles
+        into one via the profile monoid and rewrite the partition —
+        the maintenance pass that bounds an append-only store (the
+        reference's SQLiteStore merges on write within a period;
+        appends + periodic compaction get the same end state without
+        write-path contention). Returns the number of partitions
+        rewritten (partitions already holding a single batch are left
+        untouched).
+
+        Trade-off (documented, deliberate): within a compacted date
+        the per-batch series collapses to one row, so
+        ``metric_series`` / ``anomalies_between`` granularity becomes
+        daily for those dates; compact only history older than the
+        monitoring window. ``dataset_ts`` keeps the partition's max.
+
+        Each partition's merged profile is tiny (one row per metric
+        component), so it materializes driver-side before the
+        overwrite — never reading and overwriting the same files in
+        one plan.
+        """
+        df = self._read(spark).filter(F.col("dataset_id") == dataset_id)
+        if date_from is not None:
+            df = df.filter(F.col("date") >= date_from)
+        if date_to is not None:
+            df = df.filter(F.col("date") <= date_to)
+        per_date = {
+            r["date"]: r["n_ts"]
+            for r in df.groupBy("date").agg(
+                F.countDistinct("dataset_ts").alias("n_ts")).collect()
+        }
+        n_rewritten = 0
+        for d, n_ts in sorted(per_date.items()):
+            if n_ts <= 1:
+                continue
+            part = df.filter(F.col("date") == d)
+            max_ts = part.agg(F.max("dataset_ts")).first()[0]
+            tagged = part.withColumn(
+                "src", F.xxhash64(F.col("dataset_ts"))).select(
+                "segment", "column", "metric", "component", "n", "d",
+                "s", "b", "src")
+            merged = _merge_profile_df(tagged, self.config)
+            rows = merged.collect()
+            local = spark.createDataFrame(rows, merged.schema) \
+                .withColumn("dataset_id", F.lit(dataset_id)) \
+                .withColumn("date", F.lit(d)) \
+                .withColumn("dataset_ts", F.lit(max_ts))
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (local.write.mode("overwrite")
+                 .partitionBy("dataset_id", "date").parquet(self.path))
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
+            n_rewritten += 1
+        return n_rewritten
+
     def schema_between(
         self,
         spark: SparkSession,
