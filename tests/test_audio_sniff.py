@@ -32,13 +32,20 @@ def test_flac_streaminfo():
     assert _sniff_flac(b"not flac") is None
 
 
+_KBPS_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+              256, 320)
+_RATES_V1 = (44100, 48000, 32000)
+
+
 def _mp3_bytes(id3=True, kbps_idx=9, rate_idx=0, mono=False,
                n_frames=100):
-    # MPEG1 Layer III header: FF FB (version 11, layer 01, no CRC)
+    # MPEG1 Layer III header: FF FB (version 11, layer 01, no CRC);
+    # spec frame length = 144000 * kbps / rate (no padding bit set)
     b1 = 0xFB
     b2 = (kbps_idx << 4) | (rate_idx << 2)
     b3 = 0xC0 if mono else 0x00
-    frame = bytes([0xFF, b1, b2, b3]) + b"\x00" * 413
+    frame_len = 144000 * _KBPS_V1L3[kbps_idx] // _RATES_V1[rate_idx]
+    frame = bytes([0xFF, b1, b2, b3]) + b"\x00" * (frame_len - 4)
     body = frame * n_frames
     if id3:
         tag_body = b"\x00" * 200
@@ -53,12 +60,39 @@ def test_mp3_frame_header():
     content = _mp3_bytes()  # 128 kbps (idx 9), 44100, stereo
     ch, rate, bits, dur = _sniff_mp3(content)
     assert (ch, rate, bits) == (2, 44100, None)
-    audio_bytes = 417 * 100
+    audio_bytes = (144000 * 128 // 44100) * 100
     assert abs(dur - audio_bytes * 8 / 128000) < 1e-9
     ch, rate, _, _ = _sniff_mp3(
         _mp3_bytes(id3=False, rate_idx=1, mono=True))
     assert (ch, rate) == (1, 48000)
     assert _sniff_mp3(b"\x00" * 100) is None
+
+
+def test_mp3_rejects_random_binary():
+    # a lone plausible header is common in random bytes; the
+    # second-frame check must keep the false-positive rate near zero
+    import numpy as np
+    rng = np.random.default_rng(0)
+    hits = sum(
+        _sniff_mp3(rng.integers(0, 256, 8192, dtype=np.uint8)
+                   .tobytes()) is not None
+        for _ in range(200))
+    assert hits <= 2
+
+
+def test_ogg_truncated_and_payload_sync_safe():
+    # truncated OpusHead: None, not struct.error
+    trunc = (b"OggS" + b"\x00" * 22 + bytes([1]) + bytes([13])
+             + b"OpusHead" + b"\x00" * 5)
+    assert _sniff_ogg(trunc) is None
+    # 'OggS' inside payload bytes must not be read as a page header
+    idh = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+           + struct.pack("<I", 44100) + b"\x00" * 16)
+    poison = b"xxOggS\xff\xff" + struct.pack("<q", 10 ** 15) + b"z" * 8
+    content = (_ogg_page(idh) + _ogg_page(poison, granule=88200,
+                                          first=False))
+    ch, rate, bits, dur = _sniff_ogg(content)
+    assert dur == 2.0  # the real page's granule, not the poison
 
 
 def _ogg_page(payload, granule=0, first=True):

@@ -717,3 +717,19 @@ def test_store_compact_preserves_merged_view(spark, lineitem, tmp_path):
 
     # compacting again is a no-op
     assert store.compact(spark, "ds") == 0
+
+
+def test_schema_diff_all_null_column_reports_null_type(spark, lineitem):
+    import whylogs_spark as wsp
+    from whylogs_spark.core.drift import schema_diff
+
+    ref_df = lineitem.select("l_returnflag")
+    tgt_df = lineitem.selectExpr(
+        "CAST(NULL AS STRING) AS l_returnflag")
+    row = schema_diff(wsp.profile(tgt_df), wsp.profile(ref_df)) \
+        .collect()[0]
+    # an upstream outage nulling the column: type goes to 'null', not
+    # to a bogus concrete bucket, and the null fraction pins it
+    assert row.status == "type_changed"
+    assert (row.ref_type, row.tgt_type) == ("string", "null")
+    assert row.tgt_null_frac == 1.0

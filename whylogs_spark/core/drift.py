@@ -723,7 +723,10 @@ def schema_diff(target: "ProfileView", reference: "ProfileView"):
     value drift; the reference's backend alerts on both).
 
     Dominant type per column = the ``types`` metric component with the
-    highest count (ties broken alphabetically for determinism).
+    highest count (ties broken alphabetically for determinism); a
+    column whose every type bucket is 0 (only NULLs in the profile)
+    reports type ``null``, so an upstream outage surfaces as
+    ``type_changed`` to ``null`` rather than a bogus concrete type.
     Returns one row per (segment, column) across both profiles:
     ``status`` in {added, removed, type_changed, ok}, ``ref_type`` /
     ``tgt_type``, ``ref_null_frac`` / ``tgt_null_frac`` and
@@ -735,13 +738,24 @@ def schema_diff(target: "ProfileView", reference: "ProfileView"):
         types = (
             df.filter(F.col("metric") == "types")
             .groupBy("segment", "column")
-            .agg(F.min_by(
-                "component",
-                # minimize (-count, name): highest count wins, ties
-                # break to the alphabetically smallest name
-                F.struct((-F.coalesce(F.col("n"), F.lit(0)))
-                         .alias("neg_n"), F.col("component"))
-            ).alias("dtype"))
+            .agg(
+                F.min_by(
+                    "component",
+                    # minimize (-count, name): highest count wins,
+                    # ties break to the alphabetically smallest name
+                    F.struct((-F.coalesce(F.col("n"), F.lit(0)))
+                             .alias("neg_n"), F.col("component"))
+                ).alias("top_type"),
+                F.max(F.coalesce(F.col("n"), F.lit(0)))
+                .alias("max_type_n"))
+            # every type bucket at 0 = the column held only NULLs in
+            # this profile; report 'null', not the alphabetically
+            # first bucket (an upstream outage nulling a column must
+            # not read as string->boolean)
+            .withColumn(
+                "dtype",
+                F.when(F.col("max_type_n") > 0, F.col("top_type"))
+                .otherwise(F.lit("null")))
         )
         counts = (
             df.filter((F.col("metric") == "counts")

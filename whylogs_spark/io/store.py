@@ -157,39 +157,46 @@ class ProfileStore:
             df = df.filter(F.col("date") >= date_from)
         if date_to is not None:
             df = df.filter(F.col("date") <= date_to)
-        per_date = {
-            r["date"]: r["n_ts"]
+        todo = sorted(
+            (r["date"], r["max_ts"])
             for r in df.groupBy("date").agg(
-                F.countDistinct("dataset_ts").alias("n_ts")).collect()
-        }
-        n_rewritten = 0
-        for d, n_ts in sorted(per_date.items()):
-            if n_ts <= 1:
-                continue
-            part = df.filter(F.col("date") == d)
-            max_ts = part.agg(F.max("dataset_ts")).first()[0]
-            tagged = part.withColumn(
+                F.countDistinct("dataset_ts").alias("n_ts"),
+                F.max("dataset_ts").alias("max_ts")).collect()
+            if r["n_ts"] > 1)
+        if not todo:
+            return 0
+        # one union plan over every qualifying date -> one collect job
+        # and one dynamic-overwrite write, not a per-date job storm
+        # (a year of daily appends is ~365 tiny partitions)
+        frames = []
+        for d, max_ts in todo:
+            tagged = df.filter(F.col("date") == d).withColumn(
                 "src", F.xxhash64(F.col("dataset_ts"))).select(
                 "segment", "column", "metric", "component", "n", "d",
                 "s", "b", "src")
-            merged = _merge_profile_df(tagged, self.config)
-            rows = merged.collect()
-            local = spark.createDataFrame(rows, merged.schema) \
-                .withColumn("dataset_id", F.lit(dataset_id)) \
-                .withColumn("date", F.lit(d)) \
-                .withColumn("dataset_ts", F.lit(max_ts))
-            prev = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static")
+            frames.append(
+                _merge_profile_df(tagged, self.config)
+                .withColumn("date", F.lit(d))
+                .withColumn("dataset_ts", F.lit(max_ts)))
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        # materialize driver-side (profiles are KB-scale) so the write
+        # never overwrites files its own plan is reading
+        rows = merged.collect()
+        local = spark.createDataFrame(rows, merged.schema) \
+            .withColumn("dataset_id", F.lit(dataset_id))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (local.write.mode("overwrite")
+             .partitionBy("dataset_id", "date").parquet(self.path))
+        finally:
             spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                (local.write.mode("overwrite")
-                 .partitionBy("dataset_id", "date").parquet(self.path))
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev)
-            n_rewritten += 1
-        return n_rewritten
+                "spark.sql.sources.partitionOverwriteMode", prev)
+        return len(todo)
 
     def schema_between(
         self,
@@ -353,14 +360,22 @@ class ProfileStore:
                 F.lit(component).alias("component"),
             ]
             if method == "cusum":
+                # like anomalies_between: date_from bounds the ALERTED
+                # rows, not the walk — the baseline estimates from the
+                # history before the range, else a shift just before
+                # date_from would calibrate mu/sigma to the shifted
+                # data and never alarm
                 series = self.metric_series(
                     spark, dataset_id, column, metric, component,
-                    date_from, date_to)
+                    None, date_to)
                 cu = cusum_changepoints(
                     series, "dataset_ts", "value",
                     key_cols=["segment"], k=spec.get("k", 0.5),
                     h=spec.get("h", 5.0),
                     baseline_n=spec.get("baseline_n", 10))
+                if date_from is not None:
+                    cu = cu.filter(
+                        F.to_date("dataset_ts") >= date_from)
                 alerts = cu.filter(
                     F.coalesce(F.col("alarm_up"), F.lit(False))
                     | F.coalesce(F.col("alarm_down"), F.lit(False))

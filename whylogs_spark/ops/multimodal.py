@@ -1062,6 +1062,18 @@ def _sniff_mp3(content: bytes):
             table = _MP3_BITRATES_V1L3 if version == 3 \
                 else _MP3_BITRATES_V2L3
             kbps = table[br_idx]
+            # a lone plausible header matches ~25% of random bytes;
+            # require the NEXT frame to start with a valid sync too
+            # (unless the file ends inside this frame)
+            per_frame = 144000 if version == 3 else 72000
+            padding = (b2 >> 1) & 1
+            frame_len = per_frame * kbps // rate + padding
+            j = i + frame_len
+            if j + 1 < n and not (
+                    content[j] == 0xFF
+                    and (content[j + 1] & 0xE0) == 0xE0):
+                i += 1
+                continue
             channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
             dur = (n - i) * 8.0 / (kbps * 1000) if kbps else None
             return channels, rate, None, dur
@@ -1081,7 +1093,7 @@ def _sniff_ogg(content: bytes):
         channels = head[11]
         (rate,) = struct.unpack("<I", head[12:16])
         gran_rate = rate
-    elif head[:8] == b"OpusHead" and len(head) >= 13:
+    elif head[:8] == b"OpusHead" and len(head) >= 16:
         channels = head[9]
         (rate,) = struct.unpack("<I", head[12:16])
         gran_rate = 48000  # opus granules are always 48 kHz
@@ -1090,11 +1102,18 @@ def _sniff_ogg(content: bytes):
     if not rate:
         return None
     dur = None
+    # the 'OggS' capture pattern may legitimately occur inside packet
+    # payload bytes; walk matches backwards until one looks like a
+    # real page header (stream_structure_version 0, flag bits <= 0x07)
     last = content.rfind(b"OggS")
-    if last > 0 and last + 14 <= len(content):
-        (gran,) = struct.unpack("<q", content[last + 6:last + 14])
-        if gran > 0:
-            dur = gran / float(gran_rate)
+    while last > 0:
+        if (last + 27 <= len(content) and content[last + 4] == 0
+                and content[last + 5] <= 0x07):
+            (gran,) = struct.unpack("<q", content[last + 6:last + 14])
+            if gran > 0:
+                dur = gran / float(gran_rate)
+            break
+        last = content.rfind(b"OggS", 0, last)
     return int(channels), int(rate), None, dur
 
 
