@@ -207,3 +207,28 @@ def test_hilbert_reference_is_bijective_neighbor_walk(bits):
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = seen[d], seen[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_layout_report_shows_clustering_wins(spark, tmp_path):
+    rows = [(x * 32 + y, float(x), float(y))
+            for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    clustered = str(tmp_path / "clustered")
+    unsorted = str(tmp_path / "unsorted")
+    layout.cluster_by_hilbert(df, ["x", "y"], n_partitions=8) \
+        .write.parquet(clustered)
+    df.repartition(8, "id").write.parquet(unsorted)
+
+    rep_c = layout.layout_report(spark, clustered, ["x", "y"]).collect()
+    rep_u = layout.layout_report(spark, unsorted, ["x", "y"]).collect()
+    assert sum(r.n_rows for r in rep_c) == 1024
+
+    def avg_span(rep, c):
+        vals = [getattr(r, f"span_frac_{c}") for r in rep]
+        return sum(vals) / len(vals)
+
+    # hash-scattered files span ~the full range on both columns; the
+    # hilbert layout bounds both
+    for c in ("x", "y"):
+        assert avg_span(rep_u, c) > 0.9
+        assert avg_span(rep_c, c) < 0.55

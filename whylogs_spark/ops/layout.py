@@ -185,3 +185,41 @@ def cluster_by_zorder(
     keyed = with_zorder_key(df, cols, bits)
     return keyed.repartitionByRange(n_partitions, F.col("zkey")) \
         .sortWithinPartitions("zkey")
+
+
+def layout_report(spark, path: str, cols: Sequence[str]) -> DataFrame:
+    """Audit the pruning quality of written parquet files: one row per
+    file with row count, per-column min/max and ``span_frac_<col>`` —
+    the file's value range as a fraction of the global range. Row-group
+    pruning skips a file when the filter misses [min, max], so the
+    average span fraction IS the expected fraction of files a point
+    query must read: ~1.0 means the layout gives that column no
+    pruning; a well-clustered column sits near files/range granularity.
+
+    Two aggregations (per-file, then global bounds broadcast back) —
+    metadata-scale work, runnable on any table regardless of which
+    engine wrote it.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    gaggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"min_{c}"), F.max(v).alias(f"max_{c}")]
+        gaggs += [F.min(v).alias(f"__gmin_{c}"),
+                  F.max(v).alias(f"__gmax_{c}")]
+    per_file = df.groupBy(
+        F.input_file_name().alias("file")).agg(*aggs)
+    bounds = df.agg(*gaggs)
+    out = per_file.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        rng = F.col(f"__gmax_{c}") - F.col(f"__gmin_{c}")
+        out = out.withColumn(
+            f"span_frac_{c}",
+            F.when(rng > 0,
+                   (F.col(f"max_{c}") - F.col(f"min_{c}")) / rng)
+            .otherwise(F.lit(0.0)))
+    return out.drop(*[f"__g{p}_{c}" for c in cols
+                      for p in ("min", "max")])
