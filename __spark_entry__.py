@@ -1252,6 +1252,20 @@ def _q_calibration_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mce", 9).alias("mce"))
 
 
+def _q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (core/model_perf.py pr_auc_exact):
+    sklearn's step-sum AP over distinct-score thresholds, computed on
+    the same range-partitioned prefix-sum walk as exact ROC-AUC. The
+    oracle replays the walk with DuckDB window SQL."""
+    df = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 100) / 100.0).alias("score"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("label"))
+    ap = model_perf.pr_auc_exact(df, "score", "label")
+    return ap.select(
+        F.round("average_precision", 9).alias("average_precision"),
+        "n_positive", "n_negative")
+
+
 def _q_exact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact drift statistics between the even/odd-order halves of
     lineitem: distributed KS (range-partitioned prefix-sum CDF walk),
@@ -1714,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmented_quantiles_lineitem": _q_exact_quantiles_grouped,
         "zorder_key_lineitem": _q_zorder_key,
         "hilbert_key_lineitem": _q_hilbert_key,
+        "pr_auc_orders": _q_pr_auc,
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "normalize_text_documents": _q_normalize_text,
@@ -2475,6 +2490,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder_key_lineitem": _zorder_key_sql(),
         "hilbert_key_lineitem": _hilbert_sql(),
+        "pr_auc_orders": (
+            "WITH d AS (SELECT (o_orderkey % 100) / 100.0 AS s, "
+            "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y "
+            "FROM orders), "
+            "g AS (SELECT s, sum(y) AS pos, count(*) - sum(y) AS neg "
+            "FROM d GROUP BY s), "
+            "c AS (SELECT pos, neg, sum(pos) OVER w - pos AS cpb, "
+            "sum(neg) OVER w - neg AS cnb FROM g WINDOW w AS "
+            "(ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW)), "
+            "tot AS (SELECT sum(pos) AS p, sum(neg) AS nn FROM g) "
+            "SELECT round(sum((pos::DOUBLE / tot.p) * "
+            "((tot.p - cpb)::DOUBLE / ((tot.p - cpb) + "
+            "(tot.nn - cnb)))), 9) AS average_precision, "
+            "any_value(tot.p)::BIGINT AS n_positive, "
+            "any_value(tot.nn)::BIGINT AS n_negative FROM c, tot"
+        ),
         "chunk_sentences_documents": (
             "WITH m AS (SELECT doc_id, list_filter(string_split("
             "regexp_replace(replace(text, '␞', ''), "

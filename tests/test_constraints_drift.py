@@ -397,6 +397,16 @@ def test_store_auc_between(spark, tmp_path):
     # a range with no profiles -> NaN
     assert math.isnan(store.auc_between(
         spark, "model", "2024-07-01", "2024-07-31", "score", "label"))
+    # metric="pr": sketch average precision tracks the exact one
+    got_ap = store.auc_between(
+        spark, "model", "2024-05-01", "2024-05-31", "score", "label",
+        metric="pr")
+    exact_ap = M.pr_auc_exact(pooled, "score", "label") \
+        .collect()[0].average_precision
+    assert got_ap == pytest.approx(exact_ap, abs=0.03)
+    with pytest.raises(ValueError, match="metric"):
+        store.auc_between(spark, "model", "2024-05-01", "2024-05-31",
+                          "score", "label", metric="f1")
 
 
 def test_rolling_psi_minute_and_year_units(spark):

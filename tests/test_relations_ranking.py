@@ -250,3 +250,101 @@ def test_roc_auc_from_segmented_profile(spark):
     import math
     assert math.isnan(
         M.roc_auc_from_profile(view, "score", "label", pos_value="7"))
+
+
+def _np_average_precision(scores, labels):
+    """Step-sum AP with one threshold per distinct score (sklearn's
+    average_precision_score convention)."""
+    import numpy as np
+    s = np.asarray(scores, float)
+    y = np.asarray(labels, float)
+    P = y.sum()
+    if P == 0:
+        return None
+    ap = 0.0
+    prev_r = 0.0
+    for t in sorted(set(s), reverse=True):
+        tp = y[s >= t].sum()
+        fp = (1 - y)[s >= t].sum()
+        r = tp / P
+        ap += (r - prev_r) * (tp / (tp + fp))
+        prev_r = r
+    return ap
+
+
+def test_pr_auc_exact_against_bruteforce(spark):
+    import numpy as np
+
+    from whylogs_spark.core.model_perf import pr_auc_exact
+
+    rng = np.random.default_rng(23)
+    n = 600
+    y = (rng.random(n) < 0.3).astype(float)
+    # ties included: quantize some scores
+    s = np.where(rng.random(n) < 0.5,
+                 np.round(rng.random(n), 2), rng.random(n))
+    s = s + y * 0.35  # informative signal
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(s, y)],
+        "score double, label double").repartition(4)
+    row = pr_auc_exact(df, "score", "label").first()
+    assert row.average_precision == pytest.approx(
+        _np_average_precision(s, y), abs=1e-12)
+    assert row.n_positive == int(y.sum())
+    assert row.n_negative == n - int(y.sum())
+
+
+def test_pr_auc_exact_edges(spark):
+    from whylogs_spark.core.model_perf import pr_auc_exact
+
+    # perfect separation -> AP = 1
+    rows = [(float(i), 1.0 if i >= 5 else 0.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "score double, label double")
+    assert pr_auc_exact(df, "score", "label").first() \
+        .average_precision == pytest.approx(1.0)
+    # no positives -> NULL, not a divide-by-zero
+    neg_only = spark.createDataFrame(
+        [(0.3, 0.0), (0.7, 0.0)], "score double, label double")
+    assert pr_auc_exact(neg_only, "score", "label").first() \
+        .average_precision is None
+    # binned approximation stays close on smooth scores
+    import numpy as np
+    rng = np.random.default_rng(3)
+    y = (rng.random(2000) < 0.4).astype(float)
+    s = rng.random(2000) * 0.6 + y * 0.4
+    big = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(s, y)],
+        "score double, label double")
+    exact = pr_auc_exact(big, "score", "label").first() \
+        .average_precision
+    binned = pr_auc_exact(big, "score", "label", n_bins=256).first() \
+        .average_precision
+    assert binned == pytest.approx(exact, abs=0.02)
+
+
+def test_pr_auc_from_sketches_and_profile(spark):
+    import numpy as np
+
+    import whylogs_spark as wsp
+    from whylogs_spark.core.model_perf import (pr_auc_exact,
+                                               pr_auc_from_profile)
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    y = (rng.random(n) < 0.25).astype(float)
+    s = np.clip(rng.normal(0.4 + 0.3 * y, 0.15), 0, 1)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(s, y)],
+        "score double, label int")
+    exact = pr_auc_exact(df, "score", "label").first() \
+        .average_precision
+    view = wsp.profile(df.select("score", "label"),
+                       segment_by=["label"])
+    approx = pr_auc_from_profile(view, "score", "label")
+    assert approx == pytest.approx(exact, abs=0.03)
+    # absent class segment -> nan
+    import math
+    only_pos = wsp.profile(
+        df.filter("label = 1").select("score", "label"),
+        segment_by=["label"])
+    assert math.isnan(pr_auc_from_profile(only_pos, "score", "label"))

@@ -167,6 +167,68 @@ def roc_auc_from_sketches(pos, neg) -> float:
     return wins / denom if denom > 0 else float("nan")
 
 
+def pr_auc_from_sketches(pos, neg) -> float:
+    """Average precision from two KLL score sketches (positives' vs
+    negatives' score distributions), computed over the sketches'
+    weighted-sample representations: thresholds at each distinct
+    positive item, ``AP = sum dR(t) * precision(t)`` — the same
+    step-sum as the exact path, error bounded by the sketches' rank
+    error. The monitoring-path PR-AUC, composing with label-segmented
+    profiles like ``roc_auc_from_sketches``."""
+    import numpy as np
+
+    if pos.n == 0:
+        return float("nan")
+    pi, pw = pos._weighted_items()
+    vals, idx = np.unique(pi, return_inverse=True)
+    wsum = np.zeros(len(vals))
+    np.add.at(wsum, idx, pw)
+    tp_tail = np.cumsum(wsum[::-1])[::-1]  # pos weight >= vals[i]
+    if neg.n == 0:
+        fp_tail = np.zeros(len(vals))
+    else:
+        ni, nw = neg._weighted_items()
+        ncum = np.concatenate([[0.0], np.cumsum(nw)])
+        fp_tail = float(nw.sum()) - ncum[
+            np.searchsorted(ni, vals, side="left")]
+    p_total = float(pw.sum())
+    if p_total <= 0:
+        return float("nan")
+    prec = tp_tail / np.maximum(tp_tail + fp_tail, 1e-300)
+    return float(np.sum((wsum / p_total) * prec))
+
+
+def pr_auc_from_profile(
+    view,
+    score_col: str,
+    label_col: str,
+    pos_value: str = "1",
+    neg_value: str = "0",
+) -> float:
+    """Average precision straight off a label-segmented profile,
+    mirroring ``roc_auc_from_profile``. NaN when either class segment
+    is absent."""
+    import json as _json
+
+    from .sketches import KllSketch
+
+    def seg(v: str) -> str:
+        return _json.dumps({label_col: v}, separators=(",", ":"),
+                           ensure_ascii=False)
+
+    rows = view.df.filter(
+        (F.col("column") == score_col)
+        & (F.col("component") == "kll")
+        & F.col("segment").isin([seg(pos_value), seg(neg_value)])
+    ).select("segment", "b").collect()
+    blobs = {r["segment"]: r["b"] for r in rows if r["b"] is not None}
+    if seg(pos_value) not in blobs or seg(neg_value) not in blobs:
+        return float("nan")
+    return pr_auc_from_sketches(
+        KllSketch.deserialize(bytes(blobs[seg(pos_value)])),
+        KllSketch.deserialize(bytes(blobs[seg(neg_value)])))
+
+
 def roc_auc_from_profile(
     view,
     score_col: str,
@@ -325,3 +387,71 @@ def roc_auc_exact(
             F.first("N").cast("long").alias("n_negative"),
         )
     )
+
+
+def pr_auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: Optional[int] = None,
+) -> DataFrame:
+    """Exact average precision (PR-AUC, sklearn's step-sum convention
+    ``AP = sum_k (R_k - R_{k-1}) * P_k`` with one threshold per
+    DISTINCT score, ties entering together): for each distinct score
+    s, ``TP = positives >= s``, ``FP = negatives >= s``,
+    ``dR = pos(s)/P`` — so AP is one projection over the same
+    range-partitioned prefix-sum walk as ``roc_auc_exact``
+    (``core.prefix.running_sums``: groupBy collapses duplicates
+    map-side, range exchange on score, per-slice cumsums, broadcast
+    offsets; no single-task sort at corpus scale).
+
+    ``n_bins`` opts into the equal-width binned approximation exactly
+    as in ``roc_auc_exact``. Labels must be 0/1. Returns one row:
+    (average_precision, n_positive, n_negative); AP is NULL when no
+    positives exist (precision of an empty prediction set is
+    undefined). TP + FP >= pos(s) + neg(s) >= 1 at every retained
+    threshold, so the precision division is ANSI-safe by
+    construction.
+    """
+    from .prefix import running_sums
+
+    s = F.col(score_col).cast("double")
+    y0 = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y0.isNotNull())
+    y = _binary_label(y0)
+    if n_bins is not None:
+        if n_bins < 1:
+            raise ValueError("n_bins must be >= 1")
+        edges = base.agg(F.min(s).alias("__lo"), F.max(s).alias("__hi"))
+        width = F.when(
+            F.col("__hi") > F.col("__lo"),
+            (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
+        ).otherwise(F.lit(1.0))
+        b = F.least(F.greatest(F.floor((s - F.col("__lo")) / width),
+                               F.lit(0)), F.lit(n_bins - 1))
+        base = base.crossJoin(F.broadcast(edges))
+        s = F.col("__lo") + (b + F.lit(0.5)) * width
+    g = (
+        base.groupBy(s.alias("s"))
+        .agg(F.sum(y).alias("pos"),
+             (F.count(F.lit(1)) - F.sum(y)).alias("neg"))
+    )
+    cum = running_sums(g, ["s"], ["pos", "neg"]).select(
+        "pos",
+        (F.col("__g_pos") - (F.col("__cum_pos") - F.col("pos")))
+        .alias("tp"),
+        (F.col("__g_neg") - (F.col("__cum_neg") - F.col("neg")))
+        .alias("fp"),
+        F.col("__g_pos").alias("P"), F.col("__g_neg").alias("N"))
+    # the P division must be guarded per ROW: when() around the AGG
+    # doesn't short-circuit the aggregate's input expressions, so a
+    # zero-positive input would still hit pos/0 under ANSI
+    dr = F.when(F.col("P") > 0, F.col("pos") / F.col("P")) \
+        .otherwise(F.lit(0.0))
+    return cum.agg(
+        F.when(
+            F.first("P") > 0,
+            F.sum(dr * (F.col("tp") / (F.col("tp") + F.col("fp"))))
+        ).alias("average_precision"),
+        F.first("P").cast("long").alias("n_positive"),
+        F.first("N").cast("long").alias("n_negative"))

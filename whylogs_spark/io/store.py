@@ -412,18 +412,26 @@ class ProfileStore:
         label_col: str,
         pos_value: str = "1",
         neg_value: str = "0",
+        metric: str = "roc",
     ) -> float:
         """Model-perf monitoring off the store, mirroring
-        ``drift_between``: ROC-AUC of ``score_col`` over a stored date
-        range, from profiles written SEGMENTED BY the label column
-        (``profile(df, segment_by=[label_col])``). The partition-pruned
-        merge-on-read combines each class's per-day KLL score sketches
-        by the sketch monoid, then the sketch AUC
-        (``core.model_perf.roc_auc_from_sketches``) runs driver-side
-        over two small blobs — no raw scores are ever re-read. NaN if
-        either class segment is missing from the range."""
-        from ..core.model_perf import roc_auc_from_profile
+        ``drift_between``: ROC-AUC (``metric="roc"``) or average
+        precision (``metric="pr"``) of ``score_col`` over a stored
+        date range, from profiles written SEGMENTED BY the label
+        column (``profile(df, segment_by=[label_col])``). The
+        partition-pruned merge-on-read combines each class's per-day
+        KLL score sketches by the sketch monoid, then the sketch
+        metric (``core.model_perf.roc_auc_from_sketches`` /
+        ``pr_auc_from_sketches``) runs driver-side over two small
+        blobs — no raw scores are ever re-read. NaN if either class
+        segment is missing from the range."""
+        from ..core.model_perf import (pr_auc_from_profile,
+                                       roc_auc_from_profile)
 
+        fns = {"roc": roc_auc_from_profile, "pr": pr_auc_from_profile}
+        fn = fns.get(metric)
+        if fn is None:
+            raise ValueError(
+                f"metric must be one of {sorted(fns)}, got {metric!r}")
         view = self.get(spark, dataset_id, date_from, date_to)
-        return roc_auc_from_profile(
-            view, score_col, label_col, pos_value, neg_value)
+        return fn(view, score_col, label_col, pos_value, neg_value)
