@@ -1658,7 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_documents": _q_simhash_neardup,
         "chunk_text_documents": _q_chunk_text,
         "ivf_topk_embeddings": _q_ivf_topk,
-        "knn_join_embeddings": _q_knn_join,
+        "anomaly_scan_events": _q_anomaly_scan,
         "profile_wide_lineitem": _q_profile_wide,
         "tfidf_top_terms_documents": _q_tfidf,
         "mix_sources_documents": _q_mix_sources,
@@ -1715,6 +1715,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # three gated segmented-profile queries prove, and the join
         # half is a standard Spark equi-join
         "join_segmented_profile_orders": _q_join_segmented_profile,
+        # knn_join ceded its gate slot to the metric-monitoring
+        # family: its candidate generation is the same banded-
+        # hyperplane machinery gated by ivf_topk/embedding_neardup_lsh
+        # and its per-query top-k is the groupBy-rank shape gated by
+        # similarity_topk; the judge-side emulation still full-oracles
+        # it
+        "knn_join_embeddings": _q_knn_join,
         # new operators whose oracle lives past the driver cap: the
         # judge-side gate emulation (scripts/check_oracle.py) covers
         # them; nothing above subsumes them, they are simply newest
@@ -1733,7 +1740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "normalize_text_documents": _q_normalize_text,
         "chunk_sentences_documents": _q_chunk_sentences,
-        "anomaly_scan_events": _q_anomaly_scan,
         "missing_periods_events": _q_missing_periods,
         "cusum_changepoints_events": _q_cusum,
     }
