@@ -743,3 +743,43 @@ def test_schema_diff_all_null_column_reports_null_type(spark, lineitem):
     assert row.status == "type_changed"
     assert (row.ref_type, row.tgt_type) == ("string", "null")
     assert row.tgt_null_frac == 1.0
+
+
+def test_drift_by_segment_localizes_the_shifted_segment(spark, lineitem):
+    import whylogs_spark as wsp
+    from whylogs_spark.core.drift import drift_by_segment
+
+    base = lineitem.select("l_returnflag", "l_quantity",
+                           "l_extendedprice")
+    # shift l_quantity ONLY inside segment 'A'
+    shifted = base.selectExpr(
+        "l_returnflag",
+        "CASE WHEN l_returnflag = 'A' THEN l_quantity + 40 "
+        "ELSE l_quantity END AS l_quantity",
+        "l_extendedprice")
+    ref = wsp.profile(base, segment_by=["l_returnflag"])
+    tgt = wsp.profile(shifted, segment_by=["l_returnflag"])
+    scores = drift_by_segment(tgt, ref)
+    by_key = {(s.segment, s.column): s.category for s in scores}
+    drifted = {k for k, v in by_key.items()
+               if v in ("DRIFT", "POSSIBLE_DRIFT")
+               and k[1] == "l_quantity"}
+    assert {k[0].find('"A"') >= 0 for k in drifted} == {True}
+    # the untouched column stays quiet in every segment
+    assert all(v == "NO_DRIFT" for k, v in by_key.items()
+               if k[1] == "l_extendedprice")
+    # and the GLOBAL scorer dilutes the segment-local shift less
+    # sharply than the per-segment one detects it
+    seg_a = [s for s in scores
+             if '"A"' in s.segment and s.column == "l_quantity"]
+    assert len(seg_a) == 1 and seg_a[0].category == "DRIFT"
+
+    # algorithm selection + validation
+    psi = drift_by_segment(tgt, ref, algorithm="psi")
+    psi_a = [s for s in psi
+             if '"A"' in s.segment and s.column == "l_quantity"]
+    assert psi_a[0].category == "DRIFT"
+    with pytest.raises(ValueError, match="algorithm"):
+        drift_by_segment(tgt, ref, algorithm="nope")
+    with pytest.raises(ValueError, match="max_segments"):
+        drift_by_segment(tgt, ref, max_segments=1)

@@ -789,3 +789,71 @@ def schema_diff(target: "ProfileView", reference: "ProfileView"):
         "ref_type", "tgt_type", "ref_null_frac", "tgt_null_frac",
         (F.col("tgt_null_frac") - F.col("ref_null_frac"))
         .alias("null_frac_delta"))
+
+
+@dataclass
+class SegmentDriftScore:
+    segment: str
+    column: str
+    algorithm: str
+    statistic: float
+    p_value: Optional[float]
+    category: str
+
+
+def drift_by_segment(
+    target: "ProfileView",
+    reference: "ProfileView",
+    algorithm: str = "default",
+    max_segments: int = 100,
+) -> List[SegmentDriftScore]:
+    """"Which segment drifted?" — score drift per SHARED segment of
+    two segmented profiles (``profile(df, segment_by=[...])``), pairing
+    each target segment with the same reference segment. The overall
+    drift scorers read only the ``{}`` segment, so a shift confined to
+    one country/device class can hide inside the global mixture; this
+    runs the same sketch tests segment by segment.
+
+    ``algorithm`` as in ``ProfileStore.drift_between`` (default =
+    KS/chi2, or psi / hellinger / wasserstein). Work is driver-side
+    over the already-tiny profile rows: one filtered view per shared
+    segment, reusing the existing scorers unchanged. Segmentation for
+    drift monitoring is low-cardinality by design; ``max_segments``
+    guards against accidentally segmenting by a high-cardinality key
+    (raise it deliberately if you really have more).
+    """
+    scorers = {
+        "default": calculate_drift_scores,
+        "psi": psi_scores,
+        "hellinger": hellinger_scores,
+        "wasserstein": wasserstein_scores,
+    }
+    scorer = scorers.get(algorithm)
+    if scorer is None:
+        raise ValueError(
+            f"algorithm must be one of {sorted(scorers)}, "
+            f"got {algorithm!r}")
+    segs = lambda v: {
+        r["segment"] for r in v.df.select("segment").distinct()
+        .collect()}
+    shared = sorted((segs(target) & segs(reference)) - {"{}"})
+    if len(shared) > max_segments:
+        raise ValueError(
+            f"{len(shared)} shared segments exceeds max_segments="
+            f"{max_segments}; drift segmentation should be "
+            "low-cardinality (raise max_segments deliberately)")
+    from .profiler import ProfileView as _PV
+
+    out: List[SegmentDriftScore] = []
+    for s in shared:
+        # rebrand the segment as the overall one so every existing
+        # scorer reads it unchanged
+        tv = _PV(target.df.filter(F.col("segment") == s)
+                 .withColumn("segment", F.lit("{}")), target.config)
+        rv = _PV(reference.df.filter(F.col("segment") == s)
+                 .withColumn("segment", F.lit("{}")), reference.config)
+        for d in scorer(tv, rv):
+            out.append(SegmentDriftScore(
+                s, d.column, d.algorithm, d.statistic, d.p_value,
+                d.category))
+    return out
