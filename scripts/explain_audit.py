@@ -549,6 +549,20 @@ def main() -> None:
             "per-slice offsets joined by broadcast":
                 r"BroadcastHashJoin",
         }))
+    ap_df = model_perf_mod.pr_auc_exact(
+        ords.select(((F.col("o_orderkey") % 100) / 100.0).alias("s"),
+                    (F.col("o_totalprice") > 150000).cast("int")
+                    .alias("y")), "s", "y")
+    sections.append((
+        "exact PR-AUC (distributed prefix sum)", ap_df,
+        {
+            "AP threshold walk has no single-partition window "
+            "(every windowspec carries __slice)": _no_data_window,
+            "range exchange feeds the walk (no global sort)":
+                r"rangepartitioning",
+            "partial agg before the distinct-score exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
     ks_df = drift_mod.ks_2samp_exact(
         li.filter(F.col("l_orderkey") % 2 == 0),
         li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice")

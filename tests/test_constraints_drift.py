@@ -783,3 +783,31 @@ def test_drift_by_segment_localizes_the_shifted_segment(spark, lineitem):
         drift_by_segment(tgt, ref, algorithm="nope")
     with pytest.raises(ValueError, match="max_segments"):
         drift_by_segment(tgt, ref, max_segments=1)
+
+
+def test_store_drift_between_by_segment(spark, lineitem, tmp_path):
+    import datetime as dt
+
+    import whylogs_spark as wsp
+    from whylogs_spark.io.store import ProfileStore
+
+    store = ProfileStore(str(tmp_path / "profiles_seg_drift"))
+    base = lineitem.select("l_returnflag", "l_quantity")
+    shifted = base.selectExpr(
+        "l_returnflag",
+        "CASE WHEN l_returnflag = 'R' THEN l_quantity + 35 "
+        "ELSE l_quantity END AS l_quantity")
+    store.write(wsp.profile(base, segment_by=["l_returnflag"]), "seg",
+                dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc))
+    store.write(wsp.profile(shifted, segment_by=["l_returnflag"]),
+                "seg", dt.datetime(2024, 7, 1, tzinfo=dt.timezone.utc))
+    scores = store.drift_between(
+        spark, "seg", "2024-06-01", "2024-06-30",
+        "2024-07-01", "2024-07-31", by_segment=True)
+    drifted = {s.segment for s in scores
+               if s.column == "l_quantity" and s.category == "DRIFT"}
+    quiet = {s.segment for s in scores
+             if s.column == "l_quantity" and s.category == "NO_DRIFT"}
+    assert any('"R"' in s for s in drifted)
+    assert not any('"R"' in s for s in quiet)
+    assert len(quiet) == 2  # A and N untouched

@@ -90,6 +90,7 @@ class ProfileStore:
         target_from: str,
         target_to: str,
         algorithm: str = "default",
+        by_segment: bool = False,
     ):
         """Drift scores between two stored date ranges of a dataset —
         the monitoring question ("did last week move vs the month
@@ -103,10 +104,15 @@ class ProfileStore:
         with the standard 0.1/0.25 bands (``psi_scores``);
         "hellinger" = Hellinger distance (``hellinger_scores``);
         "wasserstein" = earth-mover distance, range-normalized for the
-        category (``wasserstein_scores``)."""
+        category (``wasserstein_scores``).
+
+        ``by_segment=True`` (for SEGMENTED stored profiles) localizes
+        the answer: the same algorithm per shared segment
+        (``core.drift.drift_by_segment``) — returns
+        ``SegmentDriftScore`` rows instead."""
         from ..core.drift import (calculate_drift_scores,
-                                  hellinger_scores, psi_scores,
-                                  wasserstein_scores)
+                                  drift_by_segment, hellinger_scores,
+                                  psi_scores, wasserstein_scores)
 
         scorers = {
             "default": calculate_drift_scores,
@@ -116,14 +122,15 @@ class ProfileStore:
         }
         # validate BEFORE the two partition-pruned loads: a typo'd
         # algorithm should not cost two store reads first
-        scorer = scorers.get(algorithm)
-        if scorer is None:
+        if algorithm not in scorers:
             raise ValueError(
                 f"algorithm must be one of {sorted(scorers)}, "
                 f"got {algorithm!r}")
         ref = self.get(spark, dataset_id, baseline_from, baseline_to)
         tgt = self.get(spark, dataset_id, target_from, target_to)
-        return scorer(tgt, ref)
+        if by_segment:
+            return drift_by_segment(tgt, ref, algorithm=algorithm)
+        return scorers[algorithm](tgt, ref)
 
     def compact(
         self,
