@@ -1266,6 +1266,30 @@ def _q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_positive", "n_negative")
 
 
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (core/embeddings.py embedding_drift):
+    centroid direction/scale/dispersion shift between a transformed
+    half of the embeddings table and the raw other half. Oracle
+    recomputes centroids per-dimension (cross-join range indexing) and
+    replays the identical double math in DuckDB list SQL."""
+    from whylogs_spark.core.embeddings import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 1)
+    tgt = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * 1.2 + 0.1).alias("embedding"))
+    out = embedding_drift(tgt, ref)
+    return out.select(
+        "n_target", "n_reference",
+        F.round("centroid_cosine_distance", 6).alias("centroid_cos"),
+        F.round("centroid_l2", 6).alias("centroid_l2"),
+        F.round("norm_ratio", 6).alias("norm_ratio"),
+        F.round("spread_target", 6).alias("spread_target"),
+        F.round("spread_reference", 6).alias("spread_reference"))
+
+
 def _q_exact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact drift statistics between the even/odd-order halves of
     lineitem: distributed KS (range-partitioned prefix-sum CDF walk),
@@ -1736,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_lineitem": _q_zorder_key,
         "hilbert_key_lineitem": _q_hilbert_key,
         "pr_auc_orders": _q_pr_auc,
+        "embedding_drift_embeddings": _q_embedding_drift,
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "normalize_text_documents": _q_normalize_text,
@@ -2496,6 +2521,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder_key_lineitem": _zorder_key_sql(),
         "hilbert_key_lineitem": _hilbert_sql(),
+        "embedding_drift_embeddings": (
+            "WITH t AS (SELECT list_transform(embedding::DOUBLE[], "
+            "x -> x * 1.2 + 0.1) AS e FROM embeddings "
+            "WHERE vec_id % 2 = 0), "
+            "r AS (SELECT embedding::DOUBLE[] AS e FROM embeddings "
+            "WHERE vec_id % 2 = 1), "
+            "tc AS (SELECT i, sum(e[i]) / count(*) AS m FROM t "
+            "CROSS JOIN range(1, 65) AS g(i) GROUP BY i), "
+            "rc AS (SELECT i, sum(e[i]) / count(*) AS m FROM r "
+            "CROSS JOIN range(1, 65) AS g(i) GROUP BY i), "
+            "ctv AS (SELECT list(m ORDER BY i) AS c FROM tc), "
+            "crv AS (SELECT list(m ORDER BY i) AS c FROM rc), "
+            "cent AS (SELECT "
+            "1.0 - list_cosine_similarity(ctv.c, crv.c) AS cosd, "
+            "sqrt(list_aggregate(list_transform(range(1, 65), "
+            "i -> (ctv.c[i] - crv.c[i]) ^ 2), 'sum')) AS l2, "
+            "ctv.c AS ct, crv.c AS cr FROM ctv, crv), "
+            "ts AS (SELECT count(*) AS n, "
+            "avg(sqrt(list_aggregate(list_transform(range(1, 65), "
+            "i -> (e[i] - cent.ct[i]) ^ 2), 'sum'))) AS spread, "
+            "avg(sqrt(list_aggregate(list_transform(e, x -> x * x), "
+            "'sum'))) AS mn FROM t, cent GROUP BY ALL), "
+            "rs AS (SELECT count(*) AS n, "
+            "avg(sqrt(list_aggregate(list_transform(range(1, 65), "
+            "i -> (e[i] - cent.cr[i]) ^ 2), 'sum'))) AS spread, "
+            "avg(sqrt(list_aggregate(list_transform(e, x -> x * x), "
+            "'sum'))) AS mn FROM r, cent GROUP BY ALL) "
+            "SELECT ts.n::BIGINT AS n_target, "
+            "rs.n::BIGINT AS n_reference, "
+            "round(cent.cosd, 6) AS centroid_cos, "
+            "round(cent.l2, 6) AS centroid_l2, "
+            "round(ts.mn / rs.mn, 6) AS norm_ratio, "
+            "round(ts.spread, 6) AS spread_target, "
+            "round(rs.spread, 6) AS spread_reference "
+            "FROM ts, rs, cent"
+        ),
         "pr_auc_orders": (
             "WITH d AS (SELECT (o_orderkey % 100) / 100.0 AS s, "
             "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y "

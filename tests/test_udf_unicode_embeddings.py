@@ -1151,3 +1151,59 @@ def test_tiff_pixel_kernel_and_packbits_bounds():
     assert _packbits(b"\xfeA", 10) == b"AAA"       # 257-254=3 repeats
     assert _packbits(b"\x02abc", 3) == b"abc"      # literal run
     assert len(_packbits(b"\x81" + b"Z", 4)) <= 4
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    import numpy as np
+
+    from whylogs_spark.core.embeddings import embedding_drift
+
+    rng = np.random.default_rng(21)
+    base = rng.normal(0, 1, (300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "id long, embedding array<float>")
+    same = embedding_drift(df, df).first()
+    assert same.centroid_cosine_distance == pytest.approx(0.0, abs=1e-9)
+    assert same.centroid_l2 == pytest.approx(0.0, abs=1e-9)
+    assert same.norm_ratio == pytest.approx(1.0, abs=1e-9)
+    assert same.spread_target == pytest.approx(same.spread_reference)
+
+    # direction shift: add a constant offset vector
+    off = np.zeros(16)
+    off[0] = 3.0
+    tgt = spark.createDataFrame(
+        [(i, [float(x) for x in v + off]) for i, v in enumerate(base)],
+        "id long, embedding array<float>")
+    moved = embedding_drift(tgt, df).first()
+    assert moved.centroid_l2 == pytest.approx(3.0, abs=0.2)
+    assert moved.centroid_cosine_distance > 0.5
+    # scale drift: norms double, spread doubles, direction unchanged
+    scaled = spark.createDataFrame(
+        [(i, [float(2 * x) for x in v]) for i, v in enumerate(base)],
+        "id long, embedding array<float>")
+    sc = embedding_drift(scaled, df).first()
+    assert sc.norm_ratio == pytest.approx(2.0, abs=1e-6)
+    assert sc.spread_target == pytest.approx(
+        2 * sc.spread_reference, rel=1e-6)
+    assert sc.centroid_cosine_distance == pytest.approx(0.0, abs=1e-6)
+
+    # verify against direct numpy computation for the shifted case
+    ct, cr = (base + off).mean(axis=0), base.mean(axis=0)
+    cosd = 1 - ct @ cr / (np.linalg.norm(ct) * np.linalg.norm(cr))
+    assert moved.centroid_cosine_distance == pytest.approx(
+        float(cosd), abs=1e-6)
+    assert moved.spread_target == pytest.approx(
+        float(np.linalg.norm(base + off - ct, axis=1).mean()), abs=1e-6)
+
+
+def test_embedding_drift_empty_raises(spark):
+    from whylogs_spark.core.embeddings import embedding_drift
+
+    empty = spark.createDataFrame([], "id long, embedding array<float>")
+    ok = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no vectors"):
+        embedding_drift(ok, empty)
+    with pytest.raises(ValueError, match="no vectors"):
+        embedding_drift(empty, ok)

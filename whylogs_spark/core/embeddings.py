@@ -18,6 +18,7 @@ length, frequent terms via the ordinary FI path on exploded terms.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -340,3 +341,77 @@ def nlp_profile(
     term_view = profile(terms, columns=["term", "term_length"], **kwargs)
     return ProfileView(
         doc_view.df.unionByName(term_view.df), doc_view.config)
+
+
+def embedding_drift(
+    target: DataFrame,
+    reference: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpora of vectors: did the
+    representation move? Complements the scalar drift tests (which see
+    only per-dimension marginals) with the geometry the retrieval /
+    semantic-dedup operators actually depend on.
+
+    Returns one row: ``n_target`` / ``n_reference``,
+    ``centroid_cosine_distance`` (1 - cos of the two mean vectors —
+    the headline direction shift), ``centroid_l2``, ``norm_ratio``
+    (mean vector length, target / reference — scale drift that cosine
+    is blind to) and ``spread_target`` / ``spread_reference`` (mean L2
+    distance to the own-side centroid — dispersion drift, e.g. a
+    collapsed encoder shrinks it).
+
+    Two passes per side, both distributed: a per-dimension sum
+    aggregate (one row out per side — the ``reference_centroids``
+    shape), then a pure-projection second pass against the broadcast
+    centroid literals. Nothing quadratic, no vector ever collected.
+    """
+    dim_row = reference.select(vec_col).first()
+    if dim_row is None or dim_row[0] is None:
+        raise ValueError("reference has no vectors")
+    dim = len(dim_row[0])
+
+    def centroid(df: DataFrame):
+        sums = [F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                for i in range(dim)]
+        r = df.filter(F.col(vec_col).isNotNull()) \
+            .agg(F.count(F.lit(1)).alias("n"), *sums).first()
+        n = r["n"]
+        if n == 0:
+            raise ValueError("input has no vectors")
+        return [r[f"s{i}"] / n for i in range(dim)], n
+
+    ct, nt = centroid(target)
+    cr, nr = centroid(reference)
+    dot = sum(a * b for a, b in zip(ct, cr))
+    nct = math.sqrt(sum(a * a for a in ct))
+    ncr = math.sqrt(sum(a * a for a in cr))
+    cos_dist = (1.0 - dot / (nct * ncr)) if nct > 0 and ncr > 0 \
+        else float("nan")
+    l2 = math.sqrt(sum((a - b) ** 2 for a, b in zip(ct, cr)))
+
+    def side_stats(df: DataFrame, c: List[float]):
+        # float32 inputs must promote BEFORE any multiply: a float32
+        # v*v rounds differently from the double math an oracle does
+        e = F.col(vec_col).cast("array<double>")
+        lit_c = _lit_vec(c)
+        d2 = F.aggregate(
+            F.zip_with(e, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return df.filter(e.isNotNull()).agg(
+            F.avg(F.sqrt(d2)).alias("spread"),
+            F.avg(_norm(e)).alias("mean_norm")).first()
+
+    st = side_stats(target, ct)
+    sr = side_stats(reference, cr)
+    norm_ratio = st["mean_norm"] / sr["mean_norm"] \
+        if sr["mean_norm"] else float("nan")
+    spark = target.sparkSession
+    return spark.createDataFrame(
+        [(int(nt), int(nr), float(cos_dist), float(l2),
+          float(norm_ratio), float(st["spread"]),
+          float(sr["spread"]))],
+        "n_target long, n_reference long, "
+        "centroid_cosine_distance double, centroid_l2 double, "
+        "norm_ratio double, spread_target double, "
+        "spread_reference double")
