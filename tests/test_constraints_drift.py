@@ -811,3 +811,12 @@ def test_store_drift_between_by_segment(spark, lineitem, tmp_path):
     assert any('"R"' in s for s in drifted)
     assert not any('"R"' in s for s in quiet)
     assert len(quiet) == 2  # A and N untouched
+
+
+def test_drift_by_segment_rejects_unsegmented(spark, lineitem):
+    import whylogs_spark as wsp
+    from whylogs_spark.core.drift import drift_by_segment
+
+    v = wsp.profile(lineitem.select("l_quantity"))
+    with pytest.raises(ValueError, match="SEGMENTED"):
+        drift_by_segment(v, v)

@@ -791,6 +791,17 @@ def schema_diff(target: "ProfileView", reference: "ProfileView"):
         .alias("null_frac_delta"))
 
 
+# one registry for every algorithm-selectable surface
+# (ProfileStore.drift_between, drift_by_segment): adding an algorithm
+# here propagates everywhere
+DRIFT_SCORERS = {
+    "default": calculate_drift_scores,
+    "psi": psi_scores,
+    "hellinger": hellinger_scores,
+    "wasserstein": wasserstein_scores,
+}
+
+
 @dataclass
 class SegmentDriftScore:
     segment: str
@@ -822,38 +833,50 @@ def drift_by_segment(
     guards against accidentally segmenting by a high-cardinality key
     (raise it deliberately if you really have more).
     """
-    scorers = {
-        "default": calculate_drift_scores,
-        "psi": psi_scores,
-        "hellinger": hellinger_scores,
-        "wasserstein": wasserstein_scores,
-    }
-    scorer = scorers.get(algorithm)
+    scorer = DRIFT_SCORERS.get(algorithm)
     if scorer is None:
         raise ValueError(
-            f"algorithm must be one of {sorted(scorers)}, "
+            f"algorithm must be one of {sorted(DRIFT_SCORERS)}, "
             f"got {algorithm!r}")
-    segs = lambda v: {
-        r["segment"] for r in v.df.select("segment").distinct()
-        .collect()}
-    shared = sorted((segs(target) & segs(reference)) - {"{}"})
-    if len(shared) > max_segments:
-        raise ValueError(
-            f"{len(shared)} shared segments exceeds max_segments="
-            f"{max_segments}; drift segmentation should be "
-            "low-cardinality (raise max_segments deliberately)")
-    from .profiler import ProfileView as _PV
+    # cache both profile frames: the per-segment loop issues several
+    # collects per segment, and under merge-on-read (the store path)
+    # each would otherwise re-run the whole profile merge
+    t_df = target.df.cache()
+    r_df = reference.df.cache()
+    try:
+        segs = lambda df: {
+            r["segment"] for r in df.select("segment").distinct()
+            .collect()}
+        shared = sorted((segs(t_df) & segs(r_df)) - {"{}"})
+        if not shared:
+            raise ValueError(
+                "no shared non-overall segments: drift_by_segment "
+                "needs SEGMENTED profiles on both sides "
+                "(profile(df, segment_by=[...])); for unsegmented "
+                "profiles use the overall scorers "
+                "(calculate_drift_scores / drift_between)")
+        if len(shared) > max_segments:
+            raise ValueError(
+                f"{len(shared)} shared segments exceeds max_segments="
+                f"{max_segments}; drift segmentation should be "
+                "low-cardinality (raise max_segments deliberately)")
+        from .profiler import ProfileView as _PV
 
-    out: List[SegmentDriftScore] = []
-    for s in shared:
-        # rebrand the segment as the overall one so every existing
-        # scorer reads it unchanged
-        tv = _PV(target.df.filter(F.col("segment") == s)
-                 .withColumn("segment", F.lit("{}")), target.config)
-        rv = _PV(reference.df.filter(F.col("segment") == s)
-                 .withColumn("segment", F.lit("{}")), reference.config)
-        for d in scorer(tv, rv):
-            out.append(SegmentDriftScore(
-                s, d.column, d.algorithm, d.statistic, d.p_value,
-                d.category))
-    return out
+        out: List[SegmentDriftScore] = []
+        for s in shared:
+            # rebrand the segment as the overall one so every
+            # existing scorer reads it unchanged
+            tv = _PV(t_df.filter(F.col("segment") == s)
+                     .withColumn("segment", F.lit("{}")),
+                     target.config)
+            rv = _PV(r_df.filter(F.col("segment") == s)
+                     .withColumn("segment", F.lit("{}")),
+                     reference.config)
+            for d in scorer(tv, rv):
+                out.append(SegmentDriftScore(
+                    s, d.column, d.algorithm, d.statistic, d.p_value,
+                    d.category))
+        return out
+    finally:
+        t_df.unpersist()
+        r_df.unpersist()

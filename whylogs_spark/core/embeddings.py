@@ -366,23 +366,33 @@ def embedding_drift(
     shape), then a pure-projection second pass against the broadcast
     centroid literals. Nothing quadratic, no vector ever collected.
     """
-    dim_row = reference.select(vec_col).first()
-    if dim_row is None or dim_row[0] is None:
+    # probe dimensionality from a NON-NULL vector (the literal first
+    # row may be null without the side being empty)
+    dim_row = reference.filter(F.col(vec_col).isNotNull()) \
+        .select(vec_col).first()
+    if dim_row is None:
         raise ValueError("reference has no vectors")
     dim = len(dim_row[0])
 
-    def centroid(df: DataFrame):
+    def centroid(df: DataFrame, side: str):
         sums = [F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
                 for i in range(dim)]
         r = df.filter(F.col(vec_col).isNotNull()) \
             .agg(F.count(F.lit(1)).alias("n"), *sums).first()
         n = r["n"]
         if n == 0:
-            raise ValueError("input has no vectors")
-        return [r[f"s{i}"] / n for i in range(dim)], n
+            raise ValueError(f"{side} has no vectors")
+        vals = [r[f"s{i}"] for i in range(dim)]
+        if any(v is None for v in vals):
+            # a short vector nulls the tail dims' sums; surface the
+            # mismatch clearly instead of a driver TypeError
+            raise ValueError(
+                f"{side} contains vectors shorter than the reference "
+                f"dimensionality ({dim})")
+        return [v / n for v in vals], n
 
-    ct, nt = centroid(target)
-    cr, nr = centroid(reference)
+    ct, nt = centroid(target, "target")
+    cr, nr = centroid(reference, "reference")
     dot = sum(a * b for a, b in zip(ct, cr))
     nct = math.sqrt(sum(a * a for a in ct))
     ncr = math.sqrt(sum(a * a for a in cr))

@@ -119,7 +119,8 @@ def expected_calibration_error(
     y = F.col(label_col).cast("double")
     b = confidence_bin(s, n_bins)
     binned = (
-        df.filter(s.isNotNull() & y.isNotNull())
+        df.filter(s.isNotNull() & ~F.isnan(s)
+                  & y.isNotNull() & ~F.isnan(y))
         .groupBy(b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"),
              F.avg(y).alias("acc"),
@@ -198,16 +199,11 @@ def pr_auc_from_sketches(pos, neg) -> float:
     return float(np.sum((wsum / p_total) * prec))
 
 
-def pr_auc_from_profile(
-    view,
-    score_col: str,
-    label_col: str,
-    pos_value: str = "1",
-    neg_value: str = "0",
-) -> float:
-    """Average precision straight off a label-segmented profile,
-    mirroring ``roc_auc_from_profile``. NaN when either class segment
-    is absent."""
+def _class_score_sketches(view, score_col, label_col, pos_value,
+                          neg_value):
+    """(pos, neg) KLL score sketches from a label-segmented profile,
+    or None when either class segment is absent — the shared lookup
+    behind the ROC and PR profile paths."""
     import json as _json
 
     from .sketches import KllSketch
@@ -223,10 +219,26 @@ def pr_auc_from_profile(
     ).select("segment", "b").collect()
     blobs = {r["segment"]: r["b"] for r in rows if r["b"] is not None}
     if seg(pos_value) not in blobs or seg(neg_value) not in blobs:
+        return None
+    return (KllSketch.deserialize(bytes(blobs[seg(pos_value)])),
+            KllSketch.deserialize(bytes(blobs[seg(neg_value)])))
+
+
+def pr_auc_from_profile(
+    view,
+    score_col: str,
+    label_col: str,
+    pos_value: str = "1",
+    neg_value: str = "0",
+) -> float:
+    """Average precision straight off a label-segmented profile,
+    mirroring ``roc_auc_from_profile``. NaN when either class segment
+    is absent."""
+    pair = _class_score_sketches(view, score_col, label_col,
+                                 pos_value, neg_value)
+    if pair is None:
         return float("nan")
-    return pr_auc_from_sketches(
-        KllSketch.deserialize(bytes(blobs[seg(pos_value)])),
-        KllSketch.deserialize(bytes(blobs[seg(neg_value)])))
+    return pr_auc_from_sketches(*pair)
 
 
 def roc_auc_from_profile(
@@ -240,25 +252,11 @@ def roc_auc_from_profile(
     (``profile(df, segment_by=[label_col])``): pull the score
     column's KLL sketch for the positive and negative segments and
     run the sketch AUC. NaN when either class segment is absent."""
-    import json as _json
-
-    from .sketches import KllSketch
-
-    def seg(v: str) -> str:
-        return _json.dumps({label_col: v}, separators=(",", ":"),
-                           ensure_ascii=False)
-
-    rows = view.df.filter(
-        (F.col("column") == score_col)
-        & (F.col("component") == "kll")
-        & F.col("segment").isin([seg(pos_value), seg(neg_value)])
-    ).select("segment", "b").collect()
-    blobs = {r["segment"]: r["b"] for r in rows if r["b"] is not None}
-    if seg(pos_value) not in blobs or seg(neg_value) not in blobs:
+    pair = _class_score_sketches(view, score_col, label_col,
+                                 pos_value, neg_value)
+    if pair is None:
         return float("nan")
-    return roc_auc_from_sketches(
-        KllSketch.deserialize(bytes(blobs[seg(pos_value)])),
-        KllSketch.deserialize(bytes(blobs[seg(neg_value)])))
+    return roc_auc_from_sketches(*pair)
 
 
 def _binary_label(y):
@@ -267,7 +265,7 @@ def _binary_label(y):
     {1,2} or {-1,1} encodings would otherwise produce silently wrong
     (or class-empty) results. JVM-side raise, lazy branch."""
     return F.when(y.isin(0.0, 1.0), y).otherwise(F.raise_error(
-        F.concat(F.lit("roc_auc: label must be 0 or 1, got "),
+        F.concat(F.lit("label must be 0 or 1, got "),
                  y.cast("string"))))
 
 
@@ -316,6 +314,38 @@ def roc_auc_sketch(
     return roc_auc_from_sketches(merged[1], merged[0])
 
 
+def _distinct_score_counts(df, score_col, label_col, n_bins):
+    """Shared head of the exact ROC/PR walks: drop null AND NaN
+    score/label rows (NaN sorts above every real score in Spark, so a
+    failed upstream feature would otherwise become the top threshold —
+    and the KLL monitoring path drops NaN, so keeping it here would
+    make the ground-truth verifier disagree with the sketch metric),
+    validate 0/1 labels, optionally quantize onto the n_bins midpoint
+    grid, and collapse to one (score, pos, neg) row per distinct
+    score (map-side combine: the shuffle carries distinct scores
+    only)."""
+    s = F.col(score_col).cast("double")
+    y0 = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & ~F.isnan(s)
+                     & y0.isNotNull() & ~F.isnan(y0))
+    y = _binary_label(y0)
+    if n_bins is not None:
+        if n_bins < 1:
+            raise ValueError("n_bins must be >= 1")
+        edges = base.agg(F.min(s).alias("__lo"), F.max(s).alias("__hi"))
+        width = F.when(
+            F.col("__hi") > F.col("__lo"),
+            (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
+        ).otherwise(F.lit(1.0))
+        b = F.least(F.greatest(F.floor((s - F.col("__lo")) / width),
+                               F.lit(0)), F.lit(n_bins - 1))
+        base = base.crossJoin(F.broadcast(edges))
+        s = F.col("__lo") + (b + F.lit(0.5)) * width
+    return base.groupBy(s.alias("s")).agg(
+        F.sum(y).alias("pos"),
+        (F.count(F.lit(1)) - F.sum(y)).alias("neg"))
+
+
 def roc_auc_exact(
     df: DataFrame,
     score_col: str,
@@ -345,27 +375,7 @@ def roc_auc_exact(
     """
     from .prefix import running_sums
 
-    s = F.col(score_col).cast("double")
-    y0 = F.col(label_col).cast("double")
-    base = df.filter(s.isNotNull() & y0.isNotNull())
-    y = _binary_label(y0)
-    if n_bins is not None:
-        if n_bins < 1:
-            raise ValueError("n_bins must be >= 1")
-        edges = base.agg(F.min(s).alias("__lo"), F.max(s).alias("__hi"))
-        width = F.when(
-            F.col("__hi") > F.col("__lo"),
-            (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
-        ).otherwise(F.lit(1.0))
-        b = F.least(F.greatest(F.floor((s - F.col("__lo")) / width),
-                               F.lit(0)), F.lit(n_bins - 1))
-        base = base.crossJoin(F.broadcast(edges))
-        s = F.col("__lo") + (b + F.lit(0.5)) * width
-    g = (
-        base.groupBy(s.alias("s"))
-        .agg(F.sum(y).alias("pos"),
-             (F.count(F.lit(1)) - F.sum(y)).alias("neg"))
-    )
+    g = _distinct_score_counts(df, score_col, label_col, n_bins)
     # __g_pos/__g_neg (class totals) ride the prefix-sum rollup, so
     # no separate totals pass over g is needed; neg is total-only —
     # its per-row cumulative is never used
@@ -415,27 +425,7 @@ def pr_auc_exact(
     """
     from .prefix import running_sums
 
-    s = F.col(score_col).cast("double")
-    y0 = F.col(label_col).cast("double")
-    base = df.filter(s.isNotNull() & y0.isNotNull())
-    y = _binary_label(y0)
-    if n_bins is not None:
-        if n_bins < 1:
-            raise ValueError("n_bins must be >= 1")
-        edges = base.agg(F.min(s).alias("__lo"), F.max(s).alias("__hi"))
-        width = F.when(
-            F.col("__hi") > F.col("__lo"),
-            (F.col("__hi") - F.col("__lo")) / F.lit(n_bins)
-        ).otherwise(F.lit(1.0))
-        b = F.least(F.greatest(F.floor((s - F.col("__lo")) / width),
-                               F.lit(0)), F.lit(n_bins - 1))
-        base = base.crossJoin(F.broadcast(edges))
-        s = F.col("__lo") + (b + F.lit(0.5)) * width
-    g = (
-        base.groupBy(s.alias("s"))
-        .agg(F.sum(y).alias("pos"),
-             (F.count(F.lit(1)) - F.sum(y)).alias("neg"))
-    )
+    g = _distinct_score_counts(df, score_col, label_col, n_bins)
     cum = running_sums(g, ["s"], ["pos", "neg"]).select(
         "pos",
         (F.col("__g_pos") - (F.col("__cum_pos") - F.col("pos")))

@@ -110,27 +110,19 @@ class ProfileStore:
         the answer: the same algorithm per shared segment
         (``core.drift.drift_by_segment``) — returns
         ``SegmentDriftScore`` rows instead."""
-        from ..core.drift import (calculate_drift_scores,
-                                  drift_by_segment, hellinger_scores,
-                                  psi_scores, wasserstein_scores)
+        from ..core.drift import DRIFT_SCORERS, drift_by_segment
 
-        scorers = {
-            "default": calculate_drift_scores,
-            "psi": psi_scores,
-            "hellinger": hellinger_scores,
-            "wasserstein": wasserstein_scores,
-        }
         # validate BEFORE the two partition-pruned loads: a typo'd
         # algorithm should not cost two store reads first
-        if algorithm not in scorers:
+        if algorithm not in DRIFT_SCORERS:
             raise ValueError(
-                f"algorithm must be one of {sorted(scorers)}, "
+                f"algorithm must be one of {sorted(DRIFT_SCORERS)}, "
                 f"got {algorithm!r}")
         ref = self.get(spark, dataset_id, baseline_from, baseline_to)
         tgt = self.get(spark, dataset_id, target_from, target_to)
         if by_segment:
             return drift_by_segment(tgt, ref, algorithm=algorithm)
-        return scorers[algorithm](tgt, ref)
+        return DRIFT_SCORERS[algorithm](tgt, ref)
 
     def compact(
         self,

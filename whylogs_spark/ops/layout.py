@@ -204,15 +204,16 @@ def layout_report(spark, path: str, cols: Sequence[str]) -> DataFrame:
 
     df = spark.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    gaggs = []
     for c in cols:
         v = F.col(c).cast("double")
         aggs += [F.min(v).alias(f"min_{c}"), F.max(v).alias(f"max_{c}")]
-        gaggs += [F.min(v).alias(f"__gmin_{c}"),
-                  F.max(v).alias(f"__gmax_{c}")]
     per_file = df.groupBy(
         F.input_file_name().alias("file")).agg(*aggs)
-    bounds = df.agg(*gaggs)
+    # global bounds fold out of the per-file frame — one data scan
+    bounds = per_file.agg(*[
+        a for c in cols for a in (
+            F.min(f"min_{c}").alias(f"__gmin_{c}"),
+            F.max(f"max_{c}").alias(f"__gmax_{c}"))])
     out = per_file.crossJoin(F.broadcast(bounds))
     for c in cols:
         rng = F.col(f"__gmax_{c}") - F.col(f"__gmin_{c}")
