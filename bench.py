@@ -200,6 +200,16 @@ def main() -> None:
         c2 = drift_mod.chi2_exact(a, b, "l_returnflag")
         _noop(ksw1.unionByName(c2))
 
+    def bench_embedding_drift():
+        # two distributed passes per side over 64-dim vectors:
+        # per-dimension sum aggregate, then projections against the
+        # broadcast centroids
+        from whylogs_spark.core.embeddings import embedding_drift
+        emb = t["embeddings"]
+        _noop(embedding_drift(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1)))
+
     def bench_metric_monitor():
         # the monitoring pair over ~10k per-user daily series: one
         # rollup exchange, then ROW-bounded baseline windows
@@ -480,6 +490,7 @@ def main() -> None:
         "pixel_features_12k_images": bench_pixel_features,
         "webp_decode_4k_images": bench_webp_decode,
         "metric_monitor_events": bench_metric_monitor,
+        "embedding_drift_embeddings": bench_embedding_drift,
         "exif_metadata_12k_images": bench_exif_metadata,
         "interval_join_events": bench_interval_join,
         "zorder_cluster_lineitem": bench_zorder_cluster,

@@ -66,3 +66,32 @@ def test_profile_report_segmented_histograms(lineitem):
     assert html.count("segment ") >= 3
     assert html.count("<svg") >= 3
 
+
+
+def test_model_report_html(spark, tmp_path):
+    import numpy as np
+
+    from whylogs_spark.viz import model_report_html, write_html
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    y = (rng.random(n) < 0.3).astype(int)
+    s = np.clip(rng.normal(0.35 + 0.3 * y, 0.15), 0, 1)
+    df = spark.createDataFrame(
+        [(float(a), int(b), int(a > 0.5)) for a, b in zip(s, y)],
+        "score double, label int, pred int")
+    html_text = model_report_html(df, "score", "label",
+                                  prediction_col="pred")
+    assert html_text.startswith("<!doctype html>")
+    assert "ROC-AUC" in html_text and "average precision" in html_text
+    assert "reliability" in html_text and "confusion matrix" in html_text
+    assert html_text.count("<svg") >= 4
+    # numbers render (auc ~0.85 for this separation)
+    from whylogs_spark.core.model_perf import roc_auc_exact
+    auc = roc_auc_exact(df, "score", "label").first().auc
+    assert f"{auc:.6g}"[:6] in html_text
+    out = tmp_path / "model.html"
+    write_html(str(out), html_text)
+    assert out.read_text().startswith("<!doctype html>")
+    # no external deps: no script/link tags
+    assert "<script" not in html_text and "<link" not in html_text

@@ -234,3 +234,93 @@ def constraints_report_html(
         "</div><table><tr><th>constraint</th><th>result</th></tr>"
         f"{''.join(rows)}</table></body></html>"
     )
+
+
+def model_report_html(
+    df,
+    score_col: str,
+    label_col: str,
+    prediction_col: Optional[str] = None,
+    n_bins: int = 10,
+    title: str = "Model performance report",
+) -> str:
+    """One self-contained model-quality page: exact ROC-AUC + average
+    precision, ECE/MCE with a reliability diagram (per-bin confidence
+    vs observed accuracy), per-class score distributions, and (when
+    ``prediction_col`` is given) the confusion matrix — the model-perf
+    counterpart of ``profile_report_html``, same lib-free inline-SVG
+    rendering. All aggregates are the existing distributed metrics;
+    only bin-sized results reach the driver.
+    """
+    from pyspark.sql import functions as F
+
+    from .core.model_perf import (confidence_bin, confusion_matrix,
+                                  expected_calibration_error,
+                                  pr_auc_exact, roc_auc_exact)
+
+    auc = roc_auc_exact(df, score_col, label_col).first()
+    ap = pr_auc_exact(df, score_col, label_col).first()
+    ece = expected_calibration_error(df, score_col, label_col,
+                                     n_bins).first()
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & ~F.isnan(s)
+                     & y.isNotNull() & ~F.isnan(y))
+    rel = (base.groupBy(confidence_bin(s, n_bins).alias("bin"))
+           .agg(F.count(F.lit(1)).alias("n"), F.avg(y).alias("acc"),
+                F.avg(s).alias("conf"))
+           .orderBy("bin").collect())
+    cls = (base.groupBy(confidence_bin(s, n_bins).alias("bin"),
+                        y.alias("y"))
+           .agg(F.count(F.lit(1)).alias("n")).collect())
+
+    def bins_of(rows, value, scale=1.0):
+        by_bin = {int(r["bin"]): float(value(r)) for r in rows}
+        return [(i / n_bins, (i + 1) / n_bins,
+                 by_bin.get(i, 0.0) * scale) for i in range(n_bins)]
+
+    pos_bins = bins_of([r for r in cls if r["y"] == 1.0],
+                       lambda r: r["n"])
+    neg_bins = bins_of([r for r in cls if r["y"] == 0.0],
+                       lambda r: r["n"])
+    conf_bins = bins_of(rel, lambda r: r["conf"])
+    acc_bins = bins_of(rel, lambda r: r["acc"])
+
+    headline = (
+        "<table>"
+        f"<tr><td>ROC-AUC</td><td>{_esc(_fmt(auc['auc']))}</td></tr>"
+        f"<tr><td>average precision</td>"
+        f"<td>{_esc(_fmt(ap['average_precision']))}</td></tr>"
+        f"<tr><td>ECE</td><td>{_esc(_fmt(ece['ece']))}</td></tr>"
+        f"<tr><td>MCE</td><td>{_esc(_fmt(ece['mce']))}</td></tr>"
+        f"<tr><td>positives</td><td>{auc['n_positive']}</td></tr>"
+        f"<tr><td>negatives</td><td>{auc['n_negative']}</td></tr>"
+        "</table>")
+    cards = [
+        f'<div class="card"><h2>headline</h2>{headline}</div>',
+        '<div class="card"><h2>score by class</h2>'
+        '<div class="small">negatives (grey) vs positives (blue)</div>'
+        + _svg_hist(neg_bins, color="#9aa0b0", opacity=0.8)
+        + _svg_hist(pos_bins, opacity=0.8) + "</div>",
+        '<div class="card"><h2>reliability</h2>'
+        '<div class="small">confidence (grey) vs observed accuracy '
+        "(blue) per bin</div>"
+        + _svg_hist(conf_bins, color="#9aa0b0", opacity=0.8)
+        + _svg_hist(acc_bins, opacity=0.8) + "</div>",
+    ]
+    if prediction_col is not None:
+        cm = confusion_matrix(df, label_col, prediction_col).collect()
+        rows = "".join(
+            f"<tr><td>{_esc(r['target'])}</td>"
+            f"<td>{_esc(r['prediction'])}</td><td>{r['cnt']}</td></tr>"
+            for r in cm)
+        cards.append(
+            '<div class="card"><h2>confusion matrix</h2>'
+            "<table><tr><th>target</th><th>prediction</th><th>count"
+            f"</th></tr>{rows}</table></div>")
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_esc(title)}</title><style>{_CSS}</style></head>"
+        f"<body><h1>{_esc(title)}</h1>"
+        f'<div class="grid">{"".join(cards)}</div></body></html>'
+    )
