@@ -1290,6 +1290,22 @@ def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("spread_reference", 6).alias("spread_reference"))
 
 
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis (ops/layout.py skew_report): heaviest
+    join-key values with share + skew ratio, via one partial-agg
+    groupBy and a TakeOrderedAndProject top-k. Counts are exact, so
+    the oracle is a plain SQL replay (6-dp rounding on ratios)."""
+    from whylogs_spark.ops import layout as layout_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = layout_ops.skew_report(li, ["l_suppkey"], top_k=15)
+    return out.select(
+        "l_suppkey", "n",
+        F.round("share", 6).alias("share"),
+        F.round("skew", 6).alias("skew"),
+        "total_rows", "n_keys")
+
+
 def _q_exact_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact drift statistics between the even/odd-order halves of
     lineitem: distributed KS (range-partitioned prefix-sum CDF walk),
@@ -1761,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key_lineitem": _q_hilbert_key,
         "pr_auc_orders": _q_pr_auc,
         "embedding_drift_embeddings": _q_embedding_drift,
+        "skew_report_lineitem": _q_skew_report,
         "embedding_prep_embeddings": _q_embedding_prep,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "normalize_text_documents": _q_normalize_text,
@@ -2521,6 +2538,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder_key_lineitem": _zorder_key_sql(),
         "hilbert_key_lineitem": _hilbert_sql(),
+        "skew_report_lineitem": (
+            "WITH g AS (SELECT l_suppkey, count(*) AS n FROM lineitem "
+            "GROUP BY l_suppkey), "
+            "t AS (SELECT sum(n) AS rows_, count(*) AS keys_ FROM g) "
+            "SELECT l_suppkey, n, "
+            "round(n::DOUBLE / t.rows_, 6) AS share, "
+            "round(n::DOUBLE * t.keys_ / t.rows_, 6) AS skew, "
+            "t.rows_::BIGINT AS total_rows, "
+            "t.keys_::BIGINT AS n_keys FROM g, t "
+            "ORDER BY n DESC, l_suppkey LIMIT 15"
+        ),
         "embedding_drift_embeddings": (
             "WITH t AS (SELECT list_transform(embedding::DOUBLE[], "
             "x -> x * 1.2 + 0.1) AS e FROM embeddings "

@@ -232,3 +232,33 @@ def test_layout_report_shows_clustering_wins(spark, tmp_path):
     for c in ("x", "y"):
         assert avg_span(rep_u, c) > 0.9
         assert avg_span(rep_c, c) < 0.55
+
+
+def test_skew_report_ranks_hot_keys(spark):
+    rows = [(k, i) for k, reps in
+            [("hot", 500), ("warm", 100)] + [(f"k{j}", 10)
+                                             for j in range(40)]
+            for i in range(reps)]
+    df = spark.createDataFrame(rows, "key string, v long") \
+        .repartition(8)
+    rep = layout.skew_report(df, ["key"], top_k=3).collect()
+    assert [r.key for r in rep] == ["hot", "warm", "k0"]
+    hot = rep[0]
+    n_total = 500 + 100 + 400
+    assert hot.n == 500 and hot.total_rows == n_total
+    assert hot.n_keys == 42
+    assert hot.share == pytest.approx(500 / n_total)
+    assert hot.skew == pytest.approx(500 * 42 / n_total)
+    # plan shape: top-k never globally sorts
+    plan = layout.skew_report(df, ["key"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_skew_report_null_and_multi_keys(spark):
+    rows = [(None, 1, i) for i in range(30)] + \
+        [("a", 1, i) for i in range(5)] + [("a", 2, i) for i in range(2)]
+    df = spark.createDataFrame(rows, "k1 string, k2 long, v long")
+    rep = layout.skew_report(df, ["k1", "k2"], top_k=2).collect()
+    assert rep[0].k1 is None and rep[0].n == 30
+    assert (rep[1].k1, rep[1].k2, rep[1].n) == ("a", 1, 5)

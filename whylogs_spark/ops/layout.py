@@ -224,3 +224,38 @@ def layout_report(spark, path: str, cols: Sequence[str]) -> DataFrame:
             .otherwise(F.lit(0.0)))
     return out.drop(*[f"__g{p}_{c}" for c in cols
                       for p in ("min", "max")])
+
+
+def skew_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Shuffle-skew diagnosis for a prospective join/groupBy key: the
+    ``top_k`` heaviest key values with their row count, share of the
+    table, and ``skew`` — the ratio of the key's count to the mean
+    rows-per-key. A key with skew 50x at 100 TB means one reducer gets
+    50x the work of the average; that's the number that decides
+    between a plain shuffle, salting, or the bucketed two-phase
+    variants the repo's sessionize/asof operators offer.
+
+    One partial-aggregated groupBy + a TakeOrderedAndProject top-k;
+    the distinct-key count rides the same aggregate (no second scan).
+    NULL keys count as a key (they hash to one reducer too).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    keyed = df.groupBy(*[F.col(c) for c in cols]).agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = keyed.agg(
+        F.sum("n").alias("__rows"),
+        F.count(F.lit(1)).alias("__keys"))
+    top = keyed.orderBy(F.col("n").desc(), *cols).limit(top_k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        *cols, "n",
+        (F.col("n") / F.col("__rows")).alias("share"),
+        (F.col("n") * F.col("__keys") / F.col("__rows")).alias("skew"),
+        F.col("__rows").alias("total_rows"),
+        F.col("__keys").alias("n_keys"))
