@@ -459,3 +459,46 @@ def test_store_run_monitors_suite(spark, tmp_path):
     assert {r.dataset_ts.day for r in by_monitor["volume"]} == {20}
     with pytest.raises(ValueError, match="non-empty"):
         store.run_monitors(spark, "suite", [])
+
+
+def test_run_monitors_missing_and_phase(spark, tmp_path):
+    import whylogs_spark as wsp
+    from whylogs_spark.io.store import ProfileStore
+
+    store = ProfileStore(str(tmp_path / "profiles_phase"))
+    rng = np.random.default_rng(9)
+    # 4 weeks of daily profiles with a weekend rhythm; day 26 (a
+    # Friday-phase day) spikes; day 17 is skipped entirely
+    t0 = dt.datetime(2024, 1, 1, 12, 0, tzinfo=dt.timezone.utc)  # Mon
+    for d in range(28):
+        if d == 16:  # skip day 17
+            continue
+        dow = d % 7
+        level = 500.0 if dow >= 5 else 100.0
+        n = 200
+        vals = level + rng.normal(0, 1.0, n)
+        if d == 25:
+            vals = vals + 60.0
+        df = spark.createDataFrame([(float(v),) for v in vals],
+                                   "x double")
+        store.write(wsp.profile(df), "phased",
+                    t0 + dt.timedelta(days=d))
+
+    alerts = store.run_monitors(spark, "phased", [
+        {"column": "x", "component": "mean", "method": "zscore",
+         "phase": "dow", "window": 3, "min_baseline": 2,
+         "threshold": 20.0, "name": "seasonal"},
+        {"method": "missing", "expected_seconds": 86400,
+         "name": "gaps"},
+    ]).collect()
+    by_mon = {}
+    for r in alerts:
+        by_mon.setdefault(r.monitor, []).append(r)
+    assert [r.dataset_ts.day for r in by_mon["seasonal"]] == [26]
+    gaps = by_mon["gaps"]
+    assert len(gaps) == 1 and gaps[0].kind == "missing_batch"
+    assert gaps[0].dataset_ts.day == 18 and gaps[0].score == 1.0
+
+    with pytest.raises(ValueError, match="phase"):
+        store.anomalies_between(spark, "phased", "x", "distribution",
+                                "mean", phase="weekofcentury")

@@ -260,6 +260,7 @@ class ProfileStore:
         method: str = "zscore",
         threshold: Optional[float] = None,
         min_baseline: int = 3,
+        phase: Optional[str] = None,
     ) -> DataFrame:
         """Trailing-baseline anomaly scan of a stored metric series —
         the per-batch deviation monitor the reference delegates to its
@@ -267,6 +268,12 @@ class ProfileStore:
         ``drift_between``. Each segment is an independent series (so a
         segmented profile monitors per-segment); see
         ``core.monitor.anomaly_scan`` for methods and scale notes.
+
+        ``phase`` makes the baseline seasonal by deriving a phase
+        column from ``dataset_ts``: "hour" (hour of day), "dow" (day
+        of week) or "dom" (day of month) — hourly batches with a
+        daily rhythm judge 14:00 against previous 14:00s, daily
+        batches with a weekly rhythm judge Mondays against Mondays.
 
         ``date_from`` bounds the JUDGED rows, not the baseline: the
         scan reads the series up to ``date_to`` so the first batches
@@ -276,13 +283,25 @@ class ProfileStore:
         one row per batch, so the un-pruned left edge is cheap."""
         from ..core.monitor import anomaly_scan
 
+        phases = {"hour": F.hour, "dow": F.dayofweek,
+                  "dom": F.dayofmonth}
+        if phase is not None and phase not in phases:
+            raise ValueError(
+                f"phase must be one of {sorted(phases)}, got {phase!r}")
         series = self.metric_series(
             spark, dataset_id, column, metric, component,
             None, date_to)
+        phase_col = None
+        if phase is not None:
+            phase_col = f"__phase_{phase}"
+            series = series.withColumn(
+                phase_col, phases[phase](F.col("dataset_ts")))
         scored = anomaly_scan(
             series, "dataset_ts", "value", key_cols=["segment"],
             window=window, method=method, threshold=threshold,
-            min_baseline=min_baseline)
+            min_baseline=min_baseline, phase_col=phase_col)
+        if phase_col is not None:
+            scored = scored.drop(phase_col)
         if date_from is not None:
             scored = scored.filter(
                 F.to_date("dataset_ts") >= date_from)
@@ -330,14 +349,19 @@ class ProfileStore:
 
             {"column": "price", "metric": "distribution",
              "component": "mean",        # any numeric component
-             "method": "zscore",         # zscore | mad | iqr | cusum
+             "method": "zscore",   # zscore | mad | iqr | cusum | missing
              "window": 7, "threshold": 3.0, "min_baseline": 3,
+             "phase": "dow",             # optional seasonal baseline
              # cusum only:
-             "k": 0.5, "h": 5.0, "baseline_n": 10}
+             "k": 0.5, "h": 5.0, "baseline_n": 10,
+             # missing only (no column needed):
+             "expected_seconds": 86400, "tolerance": 0.5}
 
         Output columns: (monitor, column, metric, component, segment,
         dataset_ts, value, score, kind) — one row per fired alert
-        (``kind`` = anomaly | shift_up | shift_down). Each spec costs
+        (``kind`` = anomaly | shift_up | shift_down | missing_batch,
+        where a missing-batch alert carries the gap end as its ts,
+        gap_seconds as value and whole periods missed as score). Each spec costs
         one partition-pruned scan of the tiny series store; specs are
         independent, so the driver loop just assembles a union plan
         (one job when the caller materializes it).
@@ -346,10 +370,28 @@ class ProfileStore:
 
         frames = []
         for i, spec in enumerate(specs):
+            method = spec.get("method", "zscore")
+            if method == "missing":
+                gaps = self.missing_batches(
+                    spark, dataset_id,
+                    expected_seconds=spec["expected_seconds"],
+                    tolerance=spec.get("tolerance", 0.5),
+                    date_from=date_from, date_to=date_to)
+                frames.append(gaps.select(
+                    F.lit(spec.get("name", "missing_batches"))
+                    .alias("monitor"),
+                    F.lit("*").alias("column"),
+                    F.lit("*").alias("metric"),
+                    F.lit("*").alias("component"),
+                    F.lit("{}").alias("segment"),
+                    F.col("gap_end").alias("dataset_ts"),
+                    F.col("gap_seconds").alias("value"),
+                    F.col("n_missed").cast("double").alias("score"),
+                    F.lit("missing_batch").alias("kind")))
+                continue
             column = spec["column"]
             metric = spec.get("metric", "distribution")
             component = spec.get("component", "mean")
-            method = spec.get("method", "zscore")
             name = spec.get("name",
                             f"{column}.{metric}.{component}.{method}")
             tag = [
@@ -389,7 +431,8 @@ class ProfileStore:
                     date_from, date_to,
                     window=spec.get("window", 7), method=method,
                     threshold=spec.get("threshold"),
-                    min_baseline=spec.get("min_baseline", 3))
+                    min_baseline=spec.get("min_baseline", 3),
+                    phase=spec.get("phase"))
                 alerts = sc.filter(F.col("is_anomaly")).select(
                     *tag, "segment", "dataset_ts", "value", "score",
                     F.lit("anomaly").alias("kind"))
