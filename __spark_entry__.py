@@ -2544,7 +2544,7 @@ def oracle_sql() -> dict[str, str]:
             "t AS (SELECT sum(n) AS rows_, count(*) AS keys_ FROM g) "
             "SELECT l_suppkey, n, "
             "round(n::DOUBLE / t.rows_, 6) AS share, "
-            "round(n::DOUBLE * t.keys_ / t.rows_, 6) AS skew, "
+            "round(n::DOUBLE / t.rows_ * t.keys_, 6) AS skew, "
             "t.rows_::BIGINT AS total_rows, "
             "t.keys_::BIGINT AS n_keys FROM g, t "
             "ORDER BY n DESC, l_suppkey LIMIT 15"

@@ -502,3 +502,28 @@ def test_run_monitors_missing_and_phase(spark, tmp_path):
     with pytest.raises(ValueError, match="phase"):
         store.anomalies_between(spark, "phased", "x", "distribution",
                                 "mean", phase="weekofcentury")
+
+
+def test_run_monitors_missing_detects_range_start_gap(spark, tmp_path):
+    """A batch missing exactly at the start of the queried range must
+    still alert: the lag needs the pre-range batch for context."""
+    import whylogs_spark as wsp
+    from whylogs_spark.io.store import ProfileStore
+
+    store = ProfileStore(str(tmp_path / "profiles_edge_gap"))
+    for d in (15, 16, 18):  # Jan 17 never arrived
+        df = spark.createDataFrame([(1.0,)], "x double")
+        store.write(wsp.profile(df), "edge",
+                    dt.datetime(2024, 1, d, tzinfo=dt.timezone.utc))
+    alerts = store.run_monitors(
+        spark, "edge",
+        [{"method": "missing", "expected_seconds": 86400}],
+        date_from="2024-01-17").collect()
+    assert len(alerts) == 1
+    assert alerts[0].dataset_ts.day == 18 and alerts[0].score == 1.0
+    # and alerts before the range are filtered out, not re-raised
+    none_before = store.run_monitors(
+        spark, "edge",
+        [{"method": "missing", "expected_seconds": 86400}],
+        date_from="2024-01-19").collect()
+    assert none_before == []

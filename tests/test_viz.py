@@ -95,3 +95,31 @@ def test_model_report_html(spark, tmp_path):
     assert out.read_text().startswith("<!doctype html>")
     # no external deps: no script/link tags
     assert "<script" not in html_text and "<link" not in html_text
+
+
+def test_model_report_reliability_uses_shared_scale(spark):
+    """An overconfident model (conf 0.95, observed acc 0.5) must show
+    DIFFERENT bar heights for confidence vs accuracy — per-SVG peak
+    normalization would render both at full height and display perfect
+    calibration for a badly miscalibrated model."""
+    import re
+
+    from whylogs_spark.core.model_perf import expected_calibration_error
+    from whylogs_spark.viz import model_report_html
+
+    rows = [(0.95, 1)] * 50 + [(0.95, 0)] * 50
+    df = spark.createDataFrame(rows, "score double, label int")
+    html_text = model_report_html(df, "score", "label")
+    rel_card = html_text.split("<h2>reliability</h2>")[1]
+    svgs = re.findall(r"<svg.*?</svg>", rel_card, re.S)
+    conf_svg, acc_svg = svgs[0], svgs[1]
+    conf_h = max(float(h) for h in
+                 re.findall(r'height="([0-9.]+)"', conf_svg)[1:] or [0])
+    acc_h = max(float(h) for h in
+                re.findall(r'height="([0-9.]+)"', acc_svg)[1:] or [0])
+    # conf bar ~0.95 of scale, acc bar ~0.5 of scale
+    assert conf_h > acc_h * 1.5
+    # the driver-side ECE/MCE arithmetic matches the distributed one
+    ece = expected_calibration_error(df, "score", "label").first()
+    assert f"{ece.ece:.6g}" in html_text
+    assert f"{ece.mce:.6g}" in html_text

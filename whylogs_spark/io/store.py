@@ -372,11 +372,18 @@ class ProfileStore:
         for i, spec in enumerate(specs):
             method = spec.get("method", "zscore")
             if method == "missing":
+                # like every other branch: date_from bounds the
+                # ALERTED rows, not the scanned history — the lag
+                # needs the batch BEFORE the range to see a gap at
+                # the range start
                 gaps = self.missing_batches(
                     spark, dataset_id,
                     expected_seconds=spec["expected_seconds"],
                     tolerance=spec.get("tolerance", 0.5),
-                    date_from=date_from, date_to=date_to)
+                    date_from=None, date_to=date_to)
+                if date_from is not None:
+                    gaps = gaps.filter(
+                        F.to_date("gap_end") >= date_from)
                 frames.append(gaps.select(
                     F.lit(spec.get("name", "missing_batches"))
                     .alias("monitor"),

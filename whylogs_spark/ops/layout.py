@@ -247,6 +247,12 @@ def skew_report(
         raise ValueError("cols must be non-empty")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    reserved = {"n", "share", "skew", "total_rows", "n_keys"}
+    clash = reserved & set(cols)
+    if clash:
+        raise ValueError(
+            f"key columns {sorted(clash)} collide with the report's "
+            f"output columns {sorted(reserved)}; alias them first")
     keyed = df.groupBy(*[F.col(c) for c in cols]).agg(
         F.count(F.lit(1)).alias("n"))
     totals = keyed.agg(
@@ -256,6 +262,8 @@ def skew_report(
     return top.crossJoin(F.broadcast(totals)).select(
         *cols, "n",
         (F.col("n") / F.col("__rows")).alias("share"),
-        (F.col("n") * F.col("__keys") / F.col("__rows")).alias("skew"),
+        # divide BEFORE multiplying: n * n_keys can overflow int64 at
+        # the table sizes this report exists for (ANSI mode aborts)
+        (F.col("n") / F.col("__rows") * F.col("__keys")).alias("skew"),
         F.col("__rows").alias("total_rows"),
         F.col("__keys").alias("n_keys"))

@@ -85,10 +85,16 @@ def _fmt(v) -> str:
 
 def _svg_hist(bins: Sequence[Tuple[float, float, int]],
               width: int = 300, height: int = 80,
-              color: str = "#4c6ef5", opacity: float = 1.0) -> str:
+              color: str = "#4c6ef5", opacity: float = 1.0,
+              peak: Optional[float] = None) -> str:
+    """``peak`` fixes the y-scale; without it each SVG normalizes to
+    its own max — fine for lone histograms, WRONG for overlays whose
+    heights must be comparable (a reliability diagram scaled per-SVG
+    would show a miscalibrated model as perfectly calibrated)."""
     if not bins:
         return ""
-    peak = max(c for _, _, c in bins) or 1
+    if peak is None:
+        peak = max(c for _, _, c in bins) or 1
     n = len(bins)
     bw = width / n
     bars = []
@@ -255,44 +261,56 @@ def model_report_html(
     from pyspark.sql import functions as F
 
     from .core.model_perf import (confidence_bin, confusion_matrix,
-                                  expected_calibration_error,
                                   pr_auc_exact, roc_auc_exact)
 
     auc = roc_auc_exact(df, score_col, label_col).first()
     ap = pr_auc_exact(df, score_col, label_col).first()
-    ece = expected_calibration_error(df, score_col, label_col,
-                                     n_bins).first()
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
     base = df.filter(s.isNotNull() & ~F.isnan(s)
                      & y.isNotNull() & ~F.isnan(y))
-    rel = (base.groupBy(confidence_bin(s, n_bins).alias("bin"))
-           .agg(F.count(F.lit(1)).alias("n"), F.avg(y).alias("acc"),
-                F.avg(s).alias("conf"))
-           .orderBy("bin").collect())
+    # ONE binned aggregate feeds the reliability diagram, the
+    # per-class histograms AND the ECE/MCE numbers (which are pure
+    # driver arithmetic over the collected bins) — three scans total
+    # with the two walks above, not six
     cls = (base.groupBy(confidence_bin(s, n_bins).alias("bin"),
                         y.alias("y"))
-           .agg(F.count(F.lit(1)).alias("n")).collect())
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(s).alias("s_sum")).collect())
+    rel = {}
+    for r in cls:
+        b = int(r["bin"])
+        n_b, acc_n, s_b = rel.get(b, (0, 0.0, 0.0))
+        rel[b] = (n_b + r["n"], acc_n + r["n"] * r["y"],
+                  s_b + r["s_sum"])
+    n_total = sum(v[0] for v in rel.values())
+    ece_val = mce_val = 0.0
+    for n_b, pos_b, s_b in rel.values():
+        gap = abs(pos_b / n_b - s_b / n_b)
+        ece_val += n_b / n_total * gap
+        mce_val = max(mce_val, gap)
 
-    def bins_of(rows, value, scale=1.0):
-        by_bin = {int(r["bin"]): float(value(r)) for r in rows}
+    def bins_of(value_by_bin):
         return [(i / n_bins, (i + 1) / n_bins,
-                 by_bin.get(i, 0.0) * scale) for i in range(n_bins)]
+                 float(value_by_bin.get(i, 0.0)))
+                for i in range(n_bins)]
 
-    pos_bins = bins_of([r for r in cls if r["y"] == 1.0],
-                       lambda r: r["n"])
-    neg_bins = bins_of([r for r in cls if r["y"] == 0.0],
-                       lambda r: r["n"])
-    conf_bins = bins_of(rel, lambda r: r["conf"])
-    acc_bins = bins_of(rel, lambda r: r["acc"])
+    pos_bins = bins_of({int(r["bin"]): r["n"]
+                        for r in cls if r["y"] == 1.0})
+    neg_bins = bins_of({int(r["bin"]): r["n"]
+                        for r in cls if r["y"] == 0.0})
+    conf_bins = bins_of({b: s_b / n_b
+                         for b, (n_b, _, s_b) in rel.items()})
+    acc_bins = bins_of({b: pos_b / n_b
+                        for b, (n_b, pos_b, _) in rel.items()})
 
     headline = (
         "<table>"
         f"<tr><td>ROC-AUC</td><td>{_esc(_fmt(auc['auc']))}</td></tr>"
         f"<tr><td>average precision</td>"
         f"<td>{_esc(_fmt(ap['average_precision']))}</td></tr>"
-        f"<tr><td>ECE</td><td>{_esc(_fmt(ece['ece']))}</td></tr>"
-        f"<tr><td>MCE</td><td>{_esc(_fmt(ece['mce']))}</td></tr>"
+        f"<tr><td>ECE</td><td>{_esc(_fmt(ece_val))}</td></tr>"
+        f"<tr><td>MCE</td><td>{_esc(_fmt(mce_val))}</td></tr>"
         f"<tr><td>positives</td><td>{auc['n_positive']}</td></tr>"
         f"<tr><td>negatives</td><td>{auc['n_negative']}</td></tr>"
         "</table>")
@@ -304,9 +322,10 @@ def model_report_html(
         + _svg_hist(pos_bins, opacity=0.8) + "</div>",
         '<div class="card"><h2>reliability</h2>'
         '<div class="small">confidence (grey) vs observed accuracy '
-        "(blue) per bin</div>"
-        + _svg_hist(conf_bins, color="#9aa0b0", opacity=0.8)
-        + _svg_hist(acc_bins, opacity=0.8) + "</div>",
+        "(blue) per bin — shared [0, 1] scale</div>"
+        + _svg_hist(conf_bins, color="#9aa0b0", opacity=0.8,
+                    peak=1.0)
+        + _svg_hist(acc_bins, opacity=0.8, peak=1.0) + "</div>",
     ]
     if prediction_col is not None:
         cm = confusion_matrix(df, label_col, prediction_col).collect()
