@@ -160,3 +160,34 @@ def test_unknown_oneof_arm_skipped():
     # known arm still parses when mixed with an unknown one
     msg2 = _varint_field(2, 42) + _len_field(7, b"\x01")
     assert _parse_component(msg2) == (42, None, None)
+
+
+def test_why1_roundtrip_through_filesystem_uri(spark, lineitem,
+                                               tmp_path):
+    """Cloud-writer parity: the WHY1 binary codec reads and writes
+    through Hadoop FileSystem URIs (one code path for file:// s3a://
+    gs:// — connectors are deployment config), exercised here with
+    file:// against the local FS."""
+    import whylogs_spark as wsp
+
+    view = wsp.profile(lineitem.select("l_quantity", "l_returnflag"))
+    uri = "file://" + str(tmp_path / "via_uri.bin")
+    wsp.write(view, uri)
+    back = wsp.read(uri, spark=spark)
+    a = view.to_pandas().sort_values("column").reset_index(drop=True)
+    b = back.to_pandas().sort_values("column").reset_index(drop=True)
+    assert list(a["column"]) == list(b["column"])
+    assert a["counts/n"].tolist() == b["counts/n"].tolist()
+    am = a.set_index("column")["distribution/mean"].dropna()
+    bm = b.set_index("column")["distribution/mean"].dropna()
+    for col in am.index:
+        assert bm[col] == pytest.approx(am[col], rel=1e-12)
+
+
+def test_fsio_uri_without_session_raises(tmp_path):
+    from whylogs_spark.io.fsio import read_bytes, write_bytes
+
+    # plain paths never need a session
+    p = str(tmp_path / "plain.bin")
+    write_bytes(p, b"abc")
+    assert read_bytes(p) == b"abc"

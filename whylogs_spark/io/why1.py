@@ -302,11 +302,12 @@ def write_why1(view, path: str, compat: str = "full") -> None:
         hdr += _len_field(5, _varint_field(1, i) + _str_field(2, p))
 
     seg_header = b""  # has_segments=False -> all defaults
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        f.write(_uvarint(len(seg_header)) + seg_header)
-        f.write(_uvarint(len(hdr)) + bytes(hdr))
-        f.write(bytes(body))
+    from .fsio import write_bytes
+
+    write_bytes(path, MAGIC
+                + _uvarint(len(seg_header)) + seg_header
+                + _uvarint(len(hdr)) + bytes(hdr)
+                + bytes(body))
 
 
 # ----------------------------------------------------------- message decode
@@ -343,8 +344,9 @@ def read_why1_rows(
 def _read_why1(
     path: str, columns: Optional[List[str]] = None
 ) -> Tuple[List[tuple], Dict[str, object]]:
-    with open(path, "rb") as f:
-        data = f.read()
+    from .fsio import read_bytes
+
+    data = read_bytes(path)
     if data[:4] != MAGIC:
         raise ValueError("not a WHY1 file (bad magic)")
     pos = 4
