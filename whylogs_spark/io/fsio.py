@@ -18,9 +18,6 @@ file in a unit test).
 
 from __future__ import annotations
 
-from typing import Optional
-
-
 def _is_uri(path: str) -> bool:
     return "://" in path
 

@@ -32,7 +32,7 @@ Spec/implementation notes the tests pin:
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 __all__ = ["decode_vp8l", "decode_webp", "sniff_webp"]
 
