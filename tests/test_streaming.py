@@ -404,3 +404,56 @@ def test_anomaly_monitor_sink_flags_spiked_batch(spark, tmp_path):
     # the series store holds exactly the rolled-up rows
     assert sink.read_series(spark).count() == len(batch0) + len(
         batch1) + len(batch2)
+
+
+def test_anomaly_monitor_sink_cusum_flags_sustained_shift(spark,
+                                                          tmp_path):
+    """CUSUM mode: three microbatches where the third carries a small
+    sustained (+3 per hour) shift no single-batch zscore would flag;
+    the cumulative walk alarms on the shifted rows only."""
+    import datetime as dt
+
+    import numpy as np
+
+    from whylogs_spark.streaming.anomaly import AnomalyMonitorSink
+
+    rng = np.random.default_rng(12)
+    t0 = dt.datetime(2026, 3, 1)
+    src = str(tmp_path / "cusum_src")
+    schema = "series string, ts timestamp, value double"
+    mk = lambda lo, hi, off: [
+        ("a", t0 + dt.timedelta(hours=h),
+         float(50 + rng.normal(0, 1) + off)) for h in range(lo, hi)]
+    for i, rows in enumerate([mk(0, 8, 0), mk(8, 16, 0),
+                              mk(16, 28, 3.0)]):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(src + f"/b={i}")
+
+    fired = []
+    sink = AnomalyMonitorSink(
+        str(tmp_path / "cusum_store"), "ts", "value",
+        key_cols=["series"], method="cusum", cusum_h=5.0,
+        cusum_baseline_n=12,
+        on_anomaly=lambda bid, rows: fired.append((bid, rows)))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    assert len(fired) == 1
+    bid, rows = fired[0]
+    assert all(r.alarm_up for r in rows)
+    # every alarm sits inside the shifted batch (hours 16+)
+    assert min(r.ts for r in rows) >= t0 + dt.timedelta(hours=16)
+    hist = sink.read_anomalies(spark) \
+        .filter("alarm_up or alarm_down").collect()
+    assert {r.ts for r in hist} >= {r.ts for r in rows}
+
+    with pytest.raises(ValueError, match="cumulative"):
+        AnomalyMonitorSink(str(tmp_path / "x"), "ts", "value",
+                           method="cusum", expected_seconds=3600)
+    with pytest.raises(ValueError, match="method"):
+        AnomalyMonitorSink(str(tmp_path / "x"), "ts", "value",
+                           method="bogus")

@@ -51,6 +51,14 @@ class AnomalyMonitorSink:
     ``DriftMonitorSink.on_drift``. Only rows of the CURRENT microbatch
     are reported (history is context, not re-alerted).
 
+    ``method="cusum"`` judges sustained mean shifts instead of
+    per-batch outliers (``core.monitor.cusum_changepoints``, tuned by
+    ``cusum_k`` / ``cusum_h`` / ``cusum_baseline_n``); flagged rows
+    carry ``alarm_up`` / ``alarm_down``. The CUSUM walk is cumulative
+    from the series start, so it rejects the ``expected_seconds``
+    horizon prune and ``phase_col`` — the rolled-up series is tiny,
+    scan it whole.
+
     ``expected_seconds`` opts into pruning the per-batch store scan to
     the tail the baseline can reach: ``lookback_periods`` cadence
     periods (default ``2 * (window + 1)`` — the 2x headroom keeps a
@@ -73,8 +81,21 @@ class AnomalyMonitorSink:
         phase_col: Optional[str] = None,
         expected_seconds: Optional[int] = None,
         lookback_periods: Optional[int] = None,
+        cusum_k: float = 0.5,
+        cusum_h: float = 5.0,
+        cusum_baseline_n: int = 10,
         on_anomaly: Optional[Callable[[int, List], None]] = None,
     ) -> None:
+        if method not in ("zscore", "mad", "iqr", "cusum"):
+            # fail at construction, not at the first microbatch
+            raise ValueError(
+                f"method must be zscore|mad|iqr|cusum, got {method!r}")
+        if method == "cusum" and (expected_seconds is not None
+                                  or phase_col is not None):
+            raise ValueError(
+                "cusum judges a cumulative walk from the series "
+                "start: expected_seconds pruning and phase_col do "
+                "not apply")
         if expected_seconds is not None:
             if phase_col is not None and lookback_periods is None:
                 # a seasonal baseline reaches season_length * window
@@ -105,6 +126,9 @@ class AnomalyMonitorSink:
         self.phase_col = phase_col
         self.expected_seconds = expected_seconds
         self.lookback_periods = lookback_periods
+        self.cusum_k = cusum_k
+        self.cusum_h = cusum_h
+        self.cusum_baseline_n = cusum_baseline_n
         self.on_anomaly = on_anomaly
 
     def _select_cols(self):
@@ -137,12 +161,7 @@ class AnomalyMonitorSink:
                 horizon = F.lit(min_ts) - F.expr(
                     f"INTERVAL {secs} SECONDS")
                 store = store.filter(F.col(self.ts_col) >= horizon)
-        scored = anomaly_scan(
-            store, self.ts_col, self.value_col,
-            key_cols=self.key_cols, window=self.window,
-            method=self.method, threshold=self.threshold,
-            min_baseline=self.min_baseline, phase_col=self.phase_col)
-        flagged = scored.filter(F.col("is_anomaly"))
+        flagged = self._judge(store).filter(F.col("__flagged"))
         join_keys = self.key_cols + [self.ts_col]
         new_flagged = flagged.join(
             incoming.select(*join_keys).distinct(), join_keys,
@@ -153,13 +172,31 @@ class AnomalyMonitorSink:
     def read_series(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
 
-    def read_anomalies(self, spark: SparkSession) -> DataFrame:
-        """Re-scan the whole stored series (batch mode): the full
-        judged history, for dashboards/backfill."""
-        return anomaly_scan(
-            spark.read.parquet(self.path).dropDuplicates(
-                self.key_cols + [self.ts_col]),
-            self.ts_col, self.value_col,
+    def _judge(self, series: DataFrame) -> DataFrame:
+        """Score a series frame with the configured method; adds the
+        boolean ``__flagged`` column both callers filter on."""
+        if self.method == "cusum":
+            from ..core.monitor import cusum_changepoints
+
+            cu = cusum_changepoints(
+                series, self.ts_col, self.value_col,
+                key_cols=self.key_cols, k=self.cusum_k,
+                h=self.cusum_h, baseline_n=self.cusum_baseline_n)
+            return cu.withColumn(
+                "__flagged",
+                F.coalesce(F.col("alarm_up"), F.lit(False))
+                | F.coalesce(F.col("alarm_down"), F.lit(False)))
+        scored = anomaly_scan(
+            series, self.ts_col, self.value_col,
             key_cols=self.key_cols, window=self.window,
             method=self.method, threshold=self.threshold,
             min_baseline=self.min_baseline, phase_col=self.phase_col)
+        return scored.withColumn(
+            "__flagged", F.coalesce(F.col("is_anomaly"), F.lit(False)))
+
+    def read_anomalies(self, spark: SparkSession) -> DataFrame:
+        """Re-scan the whole stored series (batch mode): the full
+        judged history, for dashboards/backfill."""
+        return self._judge(
+            spark.read.parquet(self.path).dropDuplicates(
+                self.key_cols + [self.ts_col])).drop("__flagged")
