@@ -191,3 +191,21 @@ def test_fsio_uri_without_session_raises(tmp_path):
     p = str(tmp_path / "plain.bin")
     write_bytes(p, b"abc")
     assert read_bytes(p) == b"abc"
+
+
+def test_fsio_uri_requires_active_session(monkeypatch, tmp_path):
+    from pyspark.sql import SparkSession
+
+    from whylogs_spark.io import fsio
+
+    monkeypatch.setattr(SparkSession, "getActiveSession",
+                        classmethod(lambda cls: None))
+    with pytest.raises(ValueError, match="active SparkSession"):
+        fsio.read_bytes("s3a://bucket/x.bin")
+    with pytest.raises(ValueError, match="active SparkSession"):
+        fsio.write_bytes("s3a://bucket/x.bin", b"x")
+    # single-slash Hadoop form counts as a URI too
+    assert fsio._is_uri("file:/tmp/x.bin")
+    assert fsio._is_uri("hdfs:/a/b")
+    assert not fsio._is_uri("/tmp/x.bin")
+    assert not fsio._is_uri("C:/temp/x.bin")  # windows drive letter

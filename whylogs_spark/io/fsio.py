@@ -18,8 +18,15 @@ file in a unit test).
 
 from __future__ import annotations
 
+import re
+
+# a filesystem scheme, including Hadoop's single-slash prints
+# (file:/tmp/x); the {2,} floor keeps Windows drive letters local
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]{2,}:/")
+
+
 def _is_uri(path: str) -> bool:
-    return "://" in path
+    return "://" in path or bool(_SCHEME_RE.match(path))
 
 
 def _fs_and_path(path: str, spark):

@@ -304,10 +304,13 @@ def write_why1(view, path: str, compat: str = "full") -> None:
     seg_header = b""  # has_segments=False -> all defaults
     from .fsio import write_bytes
 
+    # the view's own session carries the right Hadoop config
+    # (credentials/connectors differ between sessions)
     write_bytes(path, MAGIC
                 + _uvarint(len(seg_header)) + seg_header
                 + _uvarint(len(hdr)) + bytes(hdr)
-                + bytes(body))
+                + bytes(body),
+                spark=view.df.sparkSession)
 
 
 # ----------------------------------------------------------- message decode
@@ -332,21 +335,21 @@ def _parse_component(buf: bytes) -> tuple:
 
 
 def read_why1_rows(
-    path: str, columns: Optional[List[str]] = None
+    path: str, columns: Optional[List[str]] = None, spark=None
 ) -> List[tuple]:
     """Parse a WHY1 file -> long-form profile rows. ``columns`` prunes
     parsing to the requested columns via the header offsets (mirrors
     dataset_profile_view.py:395-430)."""
-    rows, _ = _read_why1(path, columns)
+    rows, _ = _read_why1(path, columns, spark=spark)
     return rows
 
 
 def _read_why1(
-    path: str, columns: Optional[List[str]] = None
+    path: str, columns: Optional[List[str]] = None, spark=None
 ) -> Tuple[List[tuple], Dict[str, object]]:
     from .fsio import read_bytes
 
-    data = read_bytes(path)
+    data = read_bytes(path, spark=spark)
     if data[:4] != MAGIC:
         raise ValueError("not a WHY1 file (bad magic)")
     pos = 4
@@ -447,7 +450,7 @@ def read_why1(spark, path: str, columns: Optional[List[str]] = None,
 
     import datetime as _dt
 
-    rows, props = _read_why1(path, columns)
+    rows, props = _read_why1(path, columns, spark=spark)
 
     def from_ms(ms):
         if ms is None:

@@ -91,11 +91,12 @@ class AnomalyMonitorSink:
             raise ValueError(
                 f"method must be zscore|mad|iqr|cusum, got {method!r}")
         if method == "cusum" and (expected_seconds is not None
+                                  or lookback_periods is not None
                                   or phase_col is not None):
             raise ValueError(
                 "cusum judges a cumulative walk from the series "
-                "start: expected_seconds pruning and phase_col do "
-                "not apply")
+                "start: expected_seconds/lookback_periods pruning "
+                "and phase_col do not apply")
         if expected_seconds is not None:
             if phase_col is not None and lookback_periods is None:
                 # a seasonal baseline reaches season_length * window
@@ -161,7 +162,8 @@ class AnomalyMonitorSink:
                 horizon = F.lit(min_ts) - F.expr(
                     f"INTERVAL {secs} SECONDS")
                 store = store.filter(F.col(self.ts_col) >= horizon)
-        flagged = self._judge(store).filter(F.col("__flagged"))
+        flagged = self._judge(store).filter(F.col("__flagged")) \
+            .drop("__flagged")
         join_keys = self.key_cols + [self.ts_col]
         new_flagged = flagged.join(
             incoming.select(*join_keys).distinct(), join_keys,
