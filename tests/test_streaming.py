@@ -457,3 +457,64 @@ def test_anomaly_monitor_sink_cusum_flags_sustained_shift(spark,
     with pytest.raises(ValueError, match="method"):
         AnomalyMonitorSink(str(tmp_path / "x"), "ts", "value",
                            method="bogus")
+
+
+def test_streaming_model_bins_drops_nan_scores_and_labels(spark):
+    """NaN scores/labels must be excluded like nulls (batch parity):
+    a NaN score would poison the window's sum_score while
+    confidence_bin floors it into bin 0. withWatermark is a no-op on a
+    batch frame, so the streaming transform runs directly here."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.model_monitor import (
+        calibration_from_bins, streaming_model_bins)
+
+    t = dt.datetime(2024, 5, 1, 10, 30)
+    nan = float("nan")
+    rows = [(t, 0.2, 0.0), (t, 0.9, 1.0),
+            (t, nan, 1.0), (t, 0.5, nan), (t, None, 0.0)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, score double, label double")
+    bins = streaming_model_bins(
+        df, ts_col="ts", score_col="score", label_col="label",
+        window_duration="1 hour", n_bins=10).collect()
+    assert sum(r.n for r in bins) == 2
+    rolled = calibration_from_bins(
+        spark.createDataFrame(bins)).collect()[0]
+    assert rolled.n == 2
+    assert rolled.ece == rolled.ece  # not NaN
+
+
+def test_anomaly_sink_read_series_dedup_and_compact(spark, tmp_path):
+    """foreachBatch redelivery appends the same microbatch twice:
+    read_series must hide the duplicates, and compact() must rewrite
+    the store so they are gone on disk too."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.anomaly import AnomalyMonitorSink
+
+    t0 = dt.datetime(2026, 4, 1)
+    schema = "series string, ts timestamp, value double"
+    rows = [("a", t0 + dt.timedelta(hours=h), 10.0 + h)
+            for h in range(6)]
+    batch = spark.createDataFrame(rows, schema)
+    sink = AnomalyMonitorSink(
+        str(tmp_path / "dup_store"), "ts", "value",
+        key_cols=["series"], window=4, method="zscore")
+    sink(batch, 0)
+    sink(batch, 0)  # simulated at-least-once redelivery
+    sink(batch.filter(F.hour("ts") >= 3), 1)  # partial overlap too
+
+    raw = spark.read.parquet(sink.path)
+    assert raw.count() == 2 * len(rows) + 3
+    got = sink.read_series(spark)
+    assert got.count() == len(rows)
+    assert got.filter("series = 'a'").agg(
+        F.sum("value")).first()[0] == pytest.approx(
+            sum(v for _, _, v in rows))
+
+    sink.compact(spark)
+    raw2 = spark.read.parquet(sink.path)
+    assert raw2.count() == len(rows)
+    # judged history unchanged by compaction
+    assert sink.read_anomalies(spark).count() == len(rows)

@@ -1207,3 +1207,26 @@ def test_embedding_drift_empty_raises(spark):
         embedding_drift(ok, empty)
     with pytest.raises(ValueError, match="no vectors"):
         embedding_drift(empty, ok)
+
+
+def test_embedding_drift_dim_mismatch_raises_both_directions(spark):
+    """Dim guard must be symmetric: target vectors LONGER than the
+    reference dim would otherwise be silently truncated (zip_with
+    truncates) and return plausible-looking numbers."""
+    from whylogs_spark.core.embeddings import embedding_drift
+
+    ref2 = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])],
+        "id long, embedding array<float>")
+    tgt3 = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "id long, embedding array<float>")
+    tgt1 = spark.createDataFrame(
+        [(0, [1.0])], "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dimensionality"):
+        embedding_drift(tgt3, ref2)  # longer than reference
+    with pytest.raises(ValueError, match="dimensionality"):
+        embedding_drift(tgt1, ref2)  # shorter than reference
+    # ragged reference is caught too
+    ragged = ref2.union(tgt3.select("id", "embedding"))
+    with pytest.raises(ValueError, match="dimensionality"):
+        embedding_drift(ref2, ragged)

@@ -375,20 +375,28 @@ def embedding_drift(
     dim = len(dim_row[0])
 
     def centroid(df: DataFrame, side: str):
-        sums = [F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+        # F.get, not [i]: under ANSI a short vector would throw
+        # INVALID_ARRAY_INDEX inside the agg before the dim guard
+        # below can produce its clear error
+        sums = [F.sum(F.get(vec_col, i).cast("double")).alias(f"s{i}")
                 for i in range(dim)]
         r = df.filter(F.col(vec_col).isNotNull()) \
-            .agg(F.count(F.lit(1)).alias("n"), *sums).first()
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.size(vec_col)).alias("min_dim"),
+                 F.max(F.size(vec_col)).alias("max_dim"), *sums).first()
         n = r["n"]
         if n == 0:
             raise ValueError(f"{side} has no vectors")
-        vals = [r[f"s{i}"] for i in range(dim)]
-        if any(v is None for v in vals):
-            # a short vector nulls the tail dims' sums; surface the
-            # mismatch clearly instead of a driver TypeError
+        if r["min_dim"] != dim or r["max_dim"] != dim:
+            # symmetric guard: a SHORT vector would null the tail
+            # dims' sums, but a LONG one would be silently truncated
+            # to the first `dim` components and return plausible
+            # numbers for a mismatched-corpus comparison
             raise ValueError(
-                f"{side} contains vectors shorter than the reference "
+                f"{side} vector dimensionality "
+                f"[{r['min_dim']}, {r['max_dim']}] != reference "
                 f"dimensionality ({dim})")
+        vals = [r[f"s{i}"] for i in range(dim)]
         return [v / n for v in vals], n
 
     ct, nt = centroid(target, "target")

@@ -172,7 +172,33 @@ class AnomalyMonitorSink:
             self.on_anomaly(int(batch_id), new_flagged)
 
     def read_series(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        """The stored series, deduplicated on (keys, ts) — the same
+        guard the judge path applies, so a microbatch replayed by
+        foreachBatch's at-least-once contract never shows up twice to
+        consumers either. The raw appended rows (with ``__batch_id``)
+        stay reachable via ``spark.read.parquet(sink.path)``."""
+        return spark.read.parquet(self.path).dropDuplicates(
+            self.key_cols + [self.ts_col])
+
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite the sink store with redelivered duplicates dropped,
+        bounding on-disk growth under repeated replays. Writes the
+        deduplicated rows to a sibling temp dir first, then swaps via
+        the Hadoop FileSystem (never reads and overwrites the same
+        files in one plan); works for any FS URI the session's
+        connectors reach, same as ``io.fsio``."""
+        from ..io.fsio import _fs_and_path
+
+        deduped = spark.read.parquet(self.path).dropDuplicates(
+            self.key_cols + [self.ts_col])
+        tmp = self.path.rstrip("/") + "__compact_tmp"
+        deduped.write.mode("overwrite").parquet(tmp)
+        fs, jdst, _ = _fs_and_path(self.path, spark)
+        jsrc = _fs_and_path(tmp, spark)[1]
+        fs.delete(jdst, True)
+        if not fs.rename(jsrc, jdst):
+            raise IOError(
+                f"compact: rename {tmp!r} -> {self.path!r} failed")
 
     def _judge(self, series: DataFrame) -> DataFrame:
         """Score a series frame with the configured method; adds the

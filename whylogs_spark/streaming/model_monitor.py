@@ -34,9 +34,12 @@ def streaming_model_bins(
 ) -> DataFrame:
     """Per (event-time window, confidence bin) sufficient statistics:
     ``n``, ``n_pos`` (label sum), ``sum_score``, and ``n_correct``
-    when ``prediction_col`` is given. Null scores/labels are excluded
-    (same contract as ``expected_calibration_error``); scores clamp
-    into [0, 1] bins with 1.0 in the last bin.
+    when ``prediction_col`` is given. Null AND NaN scores/labels are
+    excluded (same contract as ``expected_calibration_error`` — a NaN
+    score would poison the window's ``sum_score`` while
+    ``confidence_bin`` floors it into bin 0, silently diverging from
+    the batch metric); scores clamp into [0, 1] bins with 1.0 in the
+    last bin.
 
     Plan shape (asserted by the streaming section of the plan audit
     family): watermark -> partial agg -> ONE exchange on the state key
@@ -54,7 +57,8 @@ def streaming_model_bins(
         # normalization as streaming_profile, rolling.py:67)
         stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
-        .filter(s.isNotNull() & y.isNotNull())
+        .filter(s.isNotNull() & y.isNotNull()
+                & ~F.isnan(s) & ~F.isnan(y))
     )
     aggs = [
         F.count(F.lit(1)).alias("n"),
