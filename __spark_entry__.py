@@ -1654,6 +1654,82 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", normalize_url(F.col("url")).alias("url_norm"))
 
 
+def _q_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist screening (ops/quality.py
+    with_blocklist_stats): whole-word + 2-token-phrase hits, rolled up
+    per source. Pure codegen projection (the blocklist ships as an
+    array literal); the oracle recomputes the identical token/k-gram
+    matching in DuckDB list functions."""
+    from whylogs_spark.ops import quality as quality_ops
+
+    d = quality_ops.with_blocklist_stats(
+        _t(spark, sf_dir, "documents"),
+        words=["slow", "hash"], phrases=["table table"])
+    return d.groupBy("source").agg(
+        F.sum("blocklist_count").alias("word_hits"),
+        F.sum("blocklist_phrase_count").alias("phrase_hits"),
+        F.sum(F.col("blocklist_ok").cast("long")).alias("n_clean"),
+        F.count(F.lit(1)).alias("n_docs"))
+
+
+def _q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (ops/decontam.py fuzzy_decontaminate):
+    per-corpus-doc max word-3-gram Jaccard against the benchmark split
+    (doc_id%10=0), arg-max benchmark id with a deterministic min-id
+    tie-break, contamination verdict at 0.18. Benchmark grams are
+    broadcast; only matching pairs shuffle. The oracle recomputes the
+    exact pair Jaccards + window argmax."""
+    from whylogs_spark.ops import decontam as decontam_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    out = decontam_ops.fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=3, threshold=0.18)
+    return (out.filter(F.col("max_jaccard") > 0)
+            .select("doc_id", "matched_benchmark",
+                    F.round("max_jaccard", 6).alias("jaccard"),
+                    "is_contaminated"))
+
+
+def _q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility signal (ops/quality.py
+    with_compression_stats), rolled up per source. NO SQL oracle:
+    DuckDB exposes no zlib — the driver records the weaker rows-only
+    check; the per-byte values are cross-verified against direct
+    ``zlib.compress`` in tests/test_quality.py."""
+    from whylogs_spark.ops import quality as quality_ops
+
+    d = quality_ops.with_compression_stats(
+        _t(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("compressed_len").alias("total_compressed"),
+        F.round(F.avg("compression_ratio"), 6).alias("avg_ratio"))
+
+
+def _q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup (ops/events.py
+    rollup_timeseries): hour/day/week continuous aggregates of the
+    events table in ONE scan via GROUPING SETS — single Expand +
+    partial agg before the only exchange (plan-audited). Oracle: three
+    per-grain GROUP BYs UNION ALL'd."""
+    from whylogs_spark.ops.events import rollup_timeseries
+
+    out = rollup_timeseries(
+        _t(spark, sf_dir, "events"), "ts", value_cols=["value"],
+        key_cols=["event_type"], grains=("hour", "day", "week"))
+    return out.select(
+        "event_type", "grain",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        "value_count",
+        F.round("value_sum", 4).alias("value_sum"),
+        F.round("value_min", 4).alias("value_min"),
+        F.round("value_max", 4).alias("value_max"),
+        F.round("value_avg", 6).alias("value_avg"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -1784,6 +1860,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sentences_documents": _q_chunk_sentences,
         "missing_periods_events": _q_missing_periods,
         "cusum_changepoints_events": _q_cusum,
+        "blocklist_stats_documents": _q_blocklist_stats,
+        "fuzzy_decontam_documents": _q_fuzzy_decontam,
+        "compression_stats_documents": _q_compression_stats,
+        "rollup_timeseries_events": _q_rollup_timeseries,
     }
 
 
@@ -3288,5 +3368,69 @@ def oracle_sql() -> dict[str, str]:
             "(cp - least(0.0, mp)) > 5.0 END AS alarm_up, "
             "CASE WHEN rn > 10 AND sigma > 0 THEN "
             "(cn - least(0.0, mn)) > 5.0 END AS alarm_down FROM m"
+        ),
+        "blocklist_stats_documents": (
+            # same token key as ops/quality._alnum_tokens: lowercase,
+            # split on non-alphanumeric runs, drop empties; phrase
+            # hits count 2-gram token windows (adjacent repeats incl.)
+            "WITH tok AS (SELECT source, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "per AS (SELECT source, "
+            "len(list_filter(toks, x -> x IN ('slow', 'hash'))) AS w, "
+            "CASE WHEN len(toks) < 2 THEN 0 ELSE len(list_filter("
+            "list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1]), "
+            "g -> g = 'table table')) END AS p FROM tok) "
+            "SELECT source, sum(w)::BIGINT AS word_hits, "
+            "sum(p)::BIGINT AS phrase_hits, "
+            "sum(CASE WHEN w + p = 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_clean, count(*) AS n_docs FROM per GROUP BY source"
+        ),
+        "fuzzy_decontam_documents": (
+            # exact per-pair word-3-gram Jaccard (distinct grams, same
+            # normalization as decontaminate_documents), then per
+            # corpus doc the argmax benchmark with (max jac, min id)
+            # tie-break — identical double arithmetic both engines
+            "WITH tok AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 "
+            "THEN []::VARCHAR[] ELSE string_split_regex("
+            "lower(trim(text)), '\\s+') END AS l FROM documents), "
+            "g AS (SELECT doc_id, list_distinct("
+            "CASE WHEN len(l) < 3 THEN []::VARCHAR[] "
+            "ELSE list_transform(range(1, len(l) - 1), "
+            "i -> array_to_string(l[i:i+2], ' ')) END) AS grams "
+            "FROM tok), "
+            "e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) "
+            "AS gram FROM g WHERE len(grams) > 0), "
+            "pair AS (SELECT c.doc_id AS doc_id, b.doc_id AS bid, "
+            "c.sz AS sa, b.sz AS sb, count(*) AS inter "
+            "FROM (SELECT * FROM e WHERE doc_id % 10 <> 0) c "
+            "JOIN (SELECT * FROM e WHERE doc_id % 10 = 0) b "
+            "USING (gram) GROUP BY 1, 2, 3, 4), "
+            "j AS (SELECT doc_id, bid, "
+            "inter * 1.0 / (sa + sb - inter) AS jac, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY inter * 1.0 / (sa + sb - inter) DESC, bid ASC) "
+            "AS rk FROM pair) "
+            "SELECT doc_id, bid AS matched_benchmark, "
+            "round(jac, 6) AS jaccard, jac >= 0.18 AS is_contaminated "
+            "FROM j WHERE rk = 1"
+        ),
+        # compression_stats_documents: NO oracle — DuckDB has no zlib;
+        # rows-only check, values verified vs zlib.compress in
+        # tests/test_quality.py::TestCompressionStats
+        "rollup_timeseries_events": (
+            " UNION ALL ".join(
+                "SELECT event_type, '{g}' AS grain, "
+                "strftime(date_trunc('{g}', ts), '%Y-%m-%d %H:%M:%S') "
+                "AS bucket_start, count(value) AS value_count, "
+                "round(sum(value), 4) AS value_sum, "
+                "round(min(value), 4) AS value_min, "
+                "round(max(value), 4) AS value_max, "
+                "round(avg(value), 6) AS value_avg "
+                "FROM events WHERE ts IS NOT NULL "
+                "GROUP BY event_type, date_trunc('{g}', ts)"
+                .replace("{g}", g)
+                for g in ("hour", "day", "week"))
         ),
     }

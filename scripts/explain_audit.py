@@ -696,6 +696,24 @@ def main() -> None:
     q2.stop()
     model_plan = buf2.getvalue()
 
+    # 9c. streaming frequent items: same runtime contract
+    from whylogs_spark.streaming.frequent import streaming_value_counts
+
+    stream3 = spark.readStream.schema(ev.schema).parquet(src_dir)
+    vc = streaming_value_counts(
+        stream3, ts_col="ts", value_col="event_type",
+        window_duration="1 hour", watermark="10 minutes")
+    ckpt3 = _tempfile.mkdtemp(prefix="audit_ckpt3_")
+    q3 = (vc.writeStream.outputMode("update").format("noop")
+          .trigger(availableNow=True)
+          .option("checkpointLocation", ckpt3).start())
+    q3.awaitTermination(180)
+    buf3 = io.StringIO()
+    with redirect_stdout(buf3):
+        q3.explain()
+    q3.stop()
+    frequent_plan = buf3.getvalue()
+
     streaming_checks = {
         "watermark attached (state evictable)": r"EventTimeWatermark",
         "stateful aggregation (state store save/restore)":
@@ -747,6 +765,77 @@ def main() -> None:
                 r"^(?![\s\S]*rangepartitioning)",
             "no Python in the plan":
                 r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
+        }))
+
+    # 9m. multi-grain rollup (ops/events.py rollup_timeseries): ONE
+    # scan + one Expand + partial agg before the single exchange —
+    # the continuous-aggregate shape, not one scan per grain
+    from whylogs_spark.ops.events import rollup_timeseries
+
+    ru = rollup_timeseries(
+        evt, "ts", value_cols=["value"], key_cols=["event_type"],
+        grains=("hour", "day", "week"))
+    sections.append((
+        "multi-grain timeseries rollup (GROUPING SETS)", ru,
+        {
+            "single Expand (one scan serves every grain)":
+                r"Expand[\s\S]*HashAggregate",
+            "partial agg before the one exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            # count DETAIL nodes "(n) Exchange" — the tree header
+            # prints the same node a second time
+            "exactly one exchange":
+                r"^(?![\s\S]*\(\d+\) Exchange[\s\S]*\(\d+\) Exchange)",
+            "null-ts filter pushed to the scan":
+                r"PushedFilters: \[[^\]]*IsNotNull\(ts\)",
+        }))
+
+    # 9n. fuzzy decontamination: benchmark gram explode is BROADCAST
+    # into the corpus probe — no corpus-wide shuffle to find matches
+    from whylogs_spark.ops.decontam import fuzzy_decontaminate
+
+    fz = fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0), n=3, threshold=0.2)
+    sections.append((
+        "fuzzy decontamination (broadcast benchmark grams)", fz,
+        {
+            "gram probe is a broadcast hash join":
+                r"BroadcastHashJoin",
+            "no cartesian product":
+                r"^(?![\s\S]*CartesianProduct)",
+            "pair rollup partial-aggregates before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python in the plan":
+                r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
+        }))
+
+    # 9o. quality signals: blocklist matching is a pure codegen
+    # projection (zero exchange); compression ratio is Arrow-batched
+    # (never row-at-a-time Python)
+    from whylogs_spark.ops import quality as quality_mod
+
+    bl = quality_mod.with_blocklist_stats(
+        docs, words=["slow", "hash"], phrases=["table table"])
+    sections.append((
+        "blocklist stats (zero-shuffle projection)", bl,
+        {
+            "no exchange anywhere": r"^(?![\s\S]*Exchange)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
+            "scan prunes to the used columns":
+                r"ReadSchema:[^\n]*text",
+        }))
+    cz = quality_mod.with_compression_stats(docs)
+    sections.append((
+        "compression stats (Arrow kernel, zero shuffle)", cz,
+        {
+            "no exchange anywhere": r"^(?![\s\S]*Exchange)",
+            "zlib kernel is Arrow-batched (ArrowEvalPython), not "
+            "row-at-a-time (BatchEvalPython)":
+                r"ArrowEvalPython",
+            "no row-at-a-time Python":
+                r"^(?![\s\S]*BatchEvalPython)",
         }))
 
     # 10. repo-wide global-window audit (SOURCE level): any
@@ -815,7 +904,9 @@ def main() -> None:
             ("streaming profile (runtime microbatch plan)",
              streaming_plan),
             ("streaming model monitor (runtime microbatch plan)",
-             model_plan)):
+             model_plan),
+            ("streaming frequent items (runtime microbatch plan)",
+             frequent_plan)):
         lines.append(f"## {title}")
         sres = []
         for label, pattern in streaming_checks.items():

@@ -731,3 +731,61 @@ def test_duplicate_spans_random_corpora_vs_python_model(spark):
                for r in duplicate_spans(df, n=n).collect()}
         want = _spans_python_model(texts, n)
         assert got == want, (seed, n, got ^ want)
+
+
+def test_rollup_timeseries_matches_per_grain_groupby(spark):
+    """One-pass GROUPING SETS rollup == three separate groupBy rollups
+    (and null timestamps are excluded)."""
+    import datetime as dt
+
+    from whylogs_spark.ops.events import rollup_timeseries
+
+    rows, t0 = [], dt.datetime(2024, 3, 28)  # spans a week boundary
+    for i in range(500):
+        rows.append(("a" if i % 3 else "b",
+                     t0 + dt.timedelta(hours=i % 100, minutes=i % 7),
+                     float(i % 13) - 3.0))
+    rows.append(("a", None, 99.0))
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, value double")
+    got = rollup_timeseries(
+        df, "ts", value_cols=["value"], key_cols=["k"],
+        grains=("hour", "day", "week")).collect()
+
+    import pyspark.sql.functions as F
+    for g in ("hour", "day", "week"):
+        want = {tuple(r[:2]): r for r in df.filter("ts is not null")
+                .groupBy("k", F.date_trunc(g, "ts").alias("b"))
+                .agg(F.count("value").alias("n"),
+                     F.sum("value").alias("s"),
+                     F.min("value").alias("mn"),
+                     F.max("value").alias("mx"),
+                     F.avg("value").alias("av")).collect()}
+        mine = [r for r in got if r.grain == g]
+        assert len(mine) == len(want)
+        for r in mine:
+            w = want[(r.k, r.bucket_start)]
+            assert (r.value_count, r.value_min, r.value_max) == \
+                (w.n, w.mn, w.mx)
+            assert r.value_sum == pytest.approx(w.s)
+            assert r.value_avg == pytest.approx(w.av)
+
+    with pytest.raises(ValueError, match="grains"):
+        rollup_timeseries(df, "ts", grains=("fortnight",))
+    with pytest.raises(ValueError, match="distinct"):
+        rollup_timeseries(df, "ts", grains=("day", "day"))
+
+
+def test_rollup_timeseries_single_grain_no_keys(spark):
+    import datetime as dt
+
+    from whylogs_spark.ops.events import rollup_timeseries
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5, 30), 1.0),
+         (dt.datetime(2024, 1, 1, 5, 45), 3.0),
+         (dt.datetime(2024, 1, 2, 0, 0), 5.0)],
+        "ts timestamp, value double")
+    out = rollup_timeseries(df, "ts", grains=("day",)).collect()
+    assert sorted((r.bucket_start.day, r.value_sum, r.grain)
+                  for r in out) == [(1, 4.0, "day"), (2, 5.0, "day")]

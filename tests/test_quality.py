@@ -388,3 +388,128 @@ def test_split_sentences_delimiter_glyph_and_vertical_tab(spark):
     # pre-existing delimiter glyph stripped, never splits mid-sentence;
     # \x0B after punctuation IS a boundary (explicit class, both engines)
     assert sents == ["premid. ", "after.\x0B", "next one."]
+
+
+class TestCompressionStats:
+    def test_matches_direct_zlib_and_flags_repetition(self, spark):
+        import zlib
+
+        prose = ("The quick brown fox jumps over the lazy dog while "
+                 "seventeen distinct ideas compete for attention in "
+                 "this otherwise unremarkable paragraph of text.")
+        spam = "buy now " * 200
+        df = spark.createDataFrame(
+            [(1, prose), (2, spam), (3, ""), (4, None)],
+            "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               quality.with_compression_stats(df).collect()}
+        for i, txt in ((1, prose), (2, spam)):
+            want = len(zlib.compress(txt.encode("utf-8"), 6))
+            assert got[i].compressed_len == want
+            assert got[i].compression_ratio == pytest.approx(
+                want / len(txt.encode("utf-8")))
+        # the repetitive doc compresses far better than prose
+        assert got[2].compression_ratio < 0.1 < got[1].compression_ratio
+        assert got[3].compression_ratio == 0.0
+        assert got[4].compressed_len is None
+        assert got[4].compression_ratio is None
+
+    def test_level_parameter(self, spark):
+        import zlib
+
+        txt = "some moderately compressible text " * 30
+        df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        r = quality.with_compression_stats(df, level=1).collect()[0]
+        assert r.compressed_len == len(
+            zlib.compress(txt.encode("utf-8"), 1))
+
+
+class TestBlocklistStats:
+    def test_word_hits_are_whole_word_and_case_insensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Spam! spam, SPAM and more spam."),
+             (2, "A classy passage about classification."),
+             (3, "clean text entirely"),
+             (4, "")],
+            "doc_id long, text string")
+        got = {r.doc_id: r for r in quality.with_blocklist_stats(
+            df, words=["spam", "ass"]).collect()}
+        assert got[1].blocklist_count == 4
+        assert not got[1].blocklist_ok
+        # "classy"/"classification" must NOT hit "ass" (no substrings)
+        assert got[2].blocklist_count == 0
+        assert got[2].blocklist_ok
+        assert got[3].blocklist_ok and got[4].blocklist_ok
+
+    def test_phrases_count_adjacent_repeats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "click here click here to win"),
+             (2, "please do not click. Here is fine text"),
+             (3, "Click, HERE!")],
+            "doc_id long, text string")
+        got = {r.doc_id: r for r in quality.with_blocklist_stats(
+            df, words=["win"], phrases=["click here"]).collect()}
+        assert got[1].blocklist_phrase_count == 2
+        assert got[1].blocklist_count == 1
+        assert not got[1].blocklist_ok
+        # punctuation between tokens still matches the token run:
+        # "click. Here" normalizes to ("click","here")
+        assert got[2].blocklist_phrase_count == 1
+        assert got[3].blocklist_phrase_count == 1
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="non-empty"):
+            quality.with_blocklist_stats(df, words=[])
+        with pytest.raises(ValueError, match="fewer than 2"):
+            quality.with_blocklist_stats(df, words=["a"], phrases=["solo"])
+
+
+class TestFuzzyDecontaminate:
+    def test_max_jaccard_matches_python(self, spark):
+        bench_rows = [(100, "alpha beta gamma delta epsilon zeta"),
+                      (101, "one two three four five six seven")]
+        docs_rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),          # exact
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six UNRELATED tail"),
+            (4, "totally different content with no overlap here"),
+        ]
+        n = 3
+        docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        bench = spark.createDataFrame(
+            bench_rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in decontam.fuzzy_decontaminate(
+            docs, bench, n=n, threshold=0.5).collect()}
+
+        def grams(t):
+            toks = t.lower().split()
+            return {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+
+        for did, dtxt in docs_rows:
+            best_j, best_b = 0.0, None
+            for bid_, btxt in bench_rows:
+                a, b = grams(dtxt), grams(btxt)
+                j = len(a & b) / len(a | b) if a | b else 0.0
+                if j > best_j:
+                    best_j, best_b = j, bid_
+            assert out[did].max_jaccard == pytest.approx(best_j), did
+            if best_j > 0:
+                assert out[did].matched_benchmark == best_b
+            else:
+                assert out[did].matched_benchmark is None
+            assert out[did].is_contaminated == (best_j >= 0.5)
+
+    def test_annotates_every_corpus_row_and_validates(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} words here") for i in range(5)],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(0, "entirely disjoint benchmark text")],
+            "doc_id long, text string")
+        out = decontam.fuzzy_decontaminate(docs, bench, n=2)
+        assert out.count() == 5
+        assert out.filter("is_contaminated").count() == 0
+        with pytest.raises(ValueError, match="threshold"):
+            decontam.fuzzy_decontaminate(docs, bench, threshold=0.0)

@@ -518,3 +518,55 @@ def test_anomaly_sink_read_series_dedup_and_compact(spark, tmp_path):
     assert raw2.count() == len(rows)
     # judged history unchanged by compaction
     assert sink.read_anomalies(spark).count() == len(rows)
+
+
+def test_streaming_value_counts_topk_matches_batch(spark, tmp_path):
+    """Windowed streaming value counts + sink-side top-k rollup must
+    equal a batch groupBy on each window's slice; nulls excluded,
+    long values truncated."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.frequent import (
+        frequent_from_counts, streaming_value_counts)
+
+    t0 = dt.datetime(2024, 6, 1, 9, 0)
+    rows = []
+    vals = ["ok"] * 7 + ["warn"] * 4 + ["err"] * 2 + [None] * 3 + \
+        ["x" * 300]
+    for hour in (0, 1):
+        for i, v in enumerate(vals):
+            rows.append((t0 + dt.timedelta(hours=hour, minutes=i), v))
+    df = spark.createDataFrame(rows, "ts timestamp, status string")
+    src = str(tmp_path / "freq_src")
+    df.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    counts = streaming_value_counts(
+        stream, ts_col="ts", value_col="status",
+        window_duration="1 hour", watermark="0 seconds", truncate=5)
+    q = (counts.writeStream.format("memory").queryName("vcounts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    sink = spark.sql("SELECT * FROM vcounts")
+    top = frequent_from_counts(sink, k=2).collect()
+    by_win = {}
+    for r in top:
+        by_win.setdefault(r.window_start.hour, []).append(r)
+    assert set(by_win) == {9, 10}
+    for hour, rs in by_win.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [(r.value, r.n, r.rank) for r in rs] == \
+            [("ok", 7, 1), ("warn", 4, 2)]
+        # frac denominates over COUNTED (non-null) rows: 7+4+2+1
+        assert rs[0].frac == pytest.approx(7 / 14)
+    # truncation applied: the 300-char value is stored at 5 chars
+    assert sink.filter("value = 'xxxxx'").count() == 2
+    # nulls excluded entirely
+    assert sink.filter("value is null").count() == 0
+
+    with pytest.raises(ValueError, match="truncate"):
+        streaming_value_counts(stream, truncate=0)
+    with pytest.raises(ValueError, match="k must"):
+        frequent_from_counts(sink, k=0)

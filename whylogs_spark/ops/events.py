@@ -165,3 +165,80 @@ def session_stats(
             F.expr("timestampdiff(MICROSECOND, session_start, "
                    "session_end)") / F.lit(1e6))
     )
+
+
+# ------------------------------------------------ multi-grain rollup
+
+_GRAIN_ORDER = ("minute", "hour", "day", "week", "month",
+                "quarter", "year")
+
+
+def rollup_timeseries(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_cols=("value",),
+    key_cols=(),
+    grains=("hour", "day", "week"),
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: per (key, grain,
+    bucket) count/sum/min/max/avg for every requested grain in ONE
+    pass over the fact table (GROUPING SETS — Spark plans a single
+    scan + one expand + one aggregate, instead of one scan per grain).
+
+    Output columns: ``key_cols…``, ``grain`` (the grain name),
+    ``bucket_start`` (truncated timestamp), then per value column
+    ``<v>_count / <v>_sum / <v>_min / <v>_max / <v>_avg``.
+
+    Scale shape: the expand multiplies rows by ``len(grains)`` BEFORE
+    the partial aggregate, so the exchange carries only group keys ×
+    grains — per-bucket partials, never raw rows. Partial aggregation
+    collapses each input split to its local buckets first (asserted in
+    the plan audit), which is exactly the continuous-aggregate
+    maintenance shape at 100 TB.
+    """
+    bad = [g for g in grains if g not in _GRAIN_ORDER]
+    if bad or not grains:
+        raise ValueError(
+            f"grains must be non-empty, drawn from {_GRAIN_ORDER}; "
+            f"got {list(grains)}")
+    if len(set(grains)) != len(grains):
+        raise ValueError("grains must be distinct")
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    # null timestamps can't be bucketed — and a null bucket would be
+    # indistinguishable from another grain's ungrouped column
+    src = df.filter(F.col(ts_col).isNotNull()).select(
+        *key_cols, F.col(ts_col).alias("__ts"), *value_cols)
+    # one bucket column per grain; GROUPING SETS nulls out the others
+    buckets = [F.date_trunc(g, F.col("__ts")).alias(f"__b_{g}")
+               for g in grains]
+    aggs = []
+    for v in value_cols:
+        c = F.col(v)
+        aggs += [F.count(c).alias(f"{v}_count"),
+                 F.sum(c).alias(f"{v}_sum"),
+                 F.min(c).alias(f"{v}_min"),
+                 F.max(c).alias(f"{v}_max"),
+                 F.avg(c).alias(f"{v}_avg")]
+    grouped = src.select(*key_cols, *buckets, *value_cols) \
+        .groupingSets(
+            [[F.col(c) for c in [*key_cols, f"__b_{g}"]]
+             for g in grains],
+            *[F.col(c) for c in key_cols],
+            *[F.col(f"__b_{g}") for g in grains]) \
+        .agg(*aggs)
+    # recover the grain label from WHICH bucket column is non-null;
+    # grouping_id would also work but the coalesce keeps it readable
+    grain_lbl = None
+    bucket = F.coalesce(*[F.col(f"__b_{g}") for g in grains]) \
+        if len(grains) > 1 else F.col(f"__b_{grains[0]}")
+    for g in grains:
+        cond = F.col(f"__b_{g}").isNotNull()
+        grain_lbl = F.when(cond, F.lit(g)) if grain_lbl is None \
+            else grain_lbl.when(cond, F.lit(g))
+    out_cols = [*key_cols, grain_lbl.alias("grain"),
+                bucket.alias("bucket_start")] + \
+        [F.col(a) for v in value_cols
+         for a in (f"{v}_count", f"{v}_sum", f"{v}_min",
+                   f"{v}_max", f"{v}_avg")]
+    return grouped.select(*out_cols)

@@ -22,6 +22,10 @@ Operators
 * ``with_pii_stats`` — email / URL / IPv4 / phone counts per document
   (RE2-safe regexes so the same pattern runs in any SQL oracle), plus
   an optional redacted text column.
+* ``with_compression_stats`` — zlib compressibility ratio (the
+  CCNet/RefinedWeb-era repetition/boilerplate signal).
+* ``with_blocklist_stats`` — C4-style whole-word/phrase blocklist
+  screening with auditable per-document counts.
 
 Scale shape
 -----------
@@ -239,6 +243,124 @@ def with_pii_stats(
             red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
         out = out.withColumn(redacted_col or f"{text_col}_redacted", red)
     return out
+
+
+def with_compression_stats(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Add the zlib compressibility signal used by CCNet/RefinedWeb-era
+    cleaning recipes: boilerplate, keyword-stuffed spam, and
+    machine-generated repetition compress far better than natural
+    prose, so a LOW ratio flags junk the token-level repetition stats
+    can miss (repeats longer than an n-gram window).
+
+    Columns added:
+
+    * ``compressed_len`` — ``len(zlib.compress(utf8(text), level))``;
+      null for null text.
+    * ``compression_ratio`` — ``compressed_len / utf8_byte_len``; null
+      for null text, 0.0 for empty text. Typical English prose lands
+      around 0.3–0.6; heavily repetitive documents fall below ~0.2
+      (the zlib container adds ~11 fixed bytes, so very short
+      documents read high — threshold after a length filter).
+
+    Scale shape: one Arrow-batched pandas UDF (zlib is per-row,
+    stdlib) producing a single long column; the ratio is a JVM
+    projection off ``octet_length``. Zero shuffle, no driver work.
+    """
+    import zlib
+
+    lvl = level  # bind by value into the UDF closure
+
+    @pandas_udf("long")
+    def _zlen(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None
+            else len(zlib.compress(v.encode("utf-8"), lvl)))
+
+    c = F.col(text_col)
+    raw_len = F.octet_length(c)
+    out = df.withColumn("compressed_len", _zlen(c))
+    return out.withColumn(
+        "compression_ratio",
+        F.when(c.isNull(), F.lit(None).cast("double"))
+        .when(raw_len == 0, F.lit(0.0))
+        .otherwise(F.col("compressed_len").cast("double") / raw_len))
+
+
+import re as _re
+
+_ALNUM_SPLIT = _re.compile(r"[^a-z0-9]+")
+
+
+def _split_alnum(s: str):
+    """Python twin of ``_alnum_tokens`` (same split regex)."""
+    return [t for t in _ALNUM_SPLIT.split(s) if t]
+
+
+def _alnum_tokens(c: Column) -> Column:
+    """Lowercased alphanumeric word tokens (punctuation-stripped) —
+    the match key for blocklists, so "Word," and "word" both hit."""
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"),
+                    lambda x: F.length(x) > 0)
+
+
+def with_blocklist_stats(
+    df: DataFrame,
+    words,
+    text_col: str = "text",
+    phrases=None,
+) -> DataFrame:
+    """C4-style blocklist screening ("bad words" filtering, Raffel et
+    al. 2020 §2.2): count whole-word blocklist hits per document
+    without dropping rows, so rejection stays auditable.
+
+    * ``blocklist_count`` — total occurrences of blocklisted WORDS,
+      matched on lowercased punctuation-stripped tokens (never
+      substrings: "class" does not hit "ass").
+    * ``blocklist_phrase_count`` — occurrences of multi-word PHRASES,
+      matched as runs of the same normalized tokens (so punctuation
+      and whitespace variants still hit), when ``phrases`` is given.
+    * ``blocklist_ok`` — true iff both counts are zero.
+
+    The word set ships as an array literal into the plan (bounded:
+    real blocklists are a few hundred entries), so matching is a pure
+    codegen projection — zero shuffle, no join, no Python.
+    """
+    words = sorted({w.lower() for w in words})
+    if not words:
+        raise ValueError("words must be a non-empty blocklist")
+    bad = F.array(*[F.lit(w) for w in words])
+    toks = _alnum_tokens(F.col(text_col))
+    hit = F.size(F.filter(toks, lambda t: F.array_contains(bad, t)))
+    out = df.withColumn("blocklist_count", hit)
+    total = F.col("blocklist_count")
+    if phrases:
+        # group phrases by token length; one k-gram pass per distinct
+        # k counts every (possibly adjacent/overlapping) occurrence
+        by_k: dict = {}
+        for p in phrases:
+            pt = [t for t in _split_alnum(p.lower()) if t]
+            if len(pt) < 2:
+                raise ValueError(
+                    f"phrase {p!r} has fewer than 2 word tokens; put "
+                    "single words in `words`")
+            by_k.setdefault(len(pt), set()).add(" ".join(pt))
+        pc = None
+        for k, pset in sorted(by_k.items()):
+            # guard: sequence(1, 0) would generate DESCENDING [1, 0]
+            grams = F.when(
+                F.size(toks) < k, F.array().cast("array<string>")
+            ).otherwise(F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " ")))
+            plits = F.array(*[F.lit(p) for p in sorted(pset)])
+            cnt = F.size(F.filter(
+                grams, lambda g: F.array_contains(plits, g))).cast("long")
+            pc = cnt if pc is None else pc + cnt
+        out = out.withColumn("blocklist_phrase_count", pc)
+        total = total + F.col("blocklist_phrase_count")
+    return out.withColumn("blocklist_ok", total == 0)
 
 
 # ----------------------------------------------------------- unigram LM
