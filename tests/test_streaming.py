@@ -570,3 +570,55 @@ def test_streaming_value_counts_topk_matches_batch(spark, tmp_path):
         streaming_value_counts(stream, truncate=0)
     with pytest.raises(ValueError, match="k must"):
         frequent_from_counts(sink, k=0)
+
+
+def test_frequent_from_counts_update_mode_partials(spark):
+    """An update-mode append sink re-emits a (window, value) key with
+    its cumulative count each microbatch; the rollup must keep only
+    the latest (max) count so stale partials neither occupy extra
+    ranks nor deflate frac."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.frequent import frequent_from_counts
+
+    w0 = dt.datetime(2024, 6, 1, 9)
+    w1 = dt.datetime(2024, 6, 1, 10)
+    rows = [
+        (w0, w1, "ok", 3), (w0, w1, "ok", 7),     # two emissions
+        (w0, w1, "warn", 4),
+        (w0, w1, "err", 1), (w0, w1, "err", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "window_start timestamp, window_end timestamp, "
+              "value string, n long")
+    got = sorted(frequent_from_counts(df, k=3).collect(),
+                 key=lambda r: r.rank)
+    assert [(r.value, r.n, r.rank) for r in got] == \
+        [("ok", 7, 1), ("warn", 4, 2), ("err", 2, 3)]
+    assert got[0].frac == pytest.approx(7 / 13)
+
+
+def test_anomaly_sink_compact_rolls_back_cleanly(spark, tmp_path):
+    """The compact swap must leave the store intact if interrupted:
+    simulate by verifying the trash dir is cleaned on success and a
+    stale trash dir from a crashed run does not break the next one."""
+    import datetime as dt
+    import os
+
+    from whylogs_spark.streaming.anomaly import AnomalyMonitorSink
+
+    t0 = dt.datetime(2026, 5, 1)
+    schema = "series string, ts timestamp, value double"
+    rows = [("a", t0 + dt.timedelta(hours=h), 1.0) for h in range(4)]
+    batch = spark.createDataFrame(rows, schema)
+    sink = AnomalyMonitorSink(
+        str(tmp_path / "c_store"), "ts", "value", key_cols=["series"])
+    sink(batch, 0)
+    sink(batch, 0)
+    # stale trash from a hypothetical earlier crash
+    os.makedirs(sink.path + "__compact_old", exist_ok=True)
+    open(sink.path + "__compact_old/junk", "w").write("x")
+    sink.compact(spark)
+    assert spark.read.parquet(sink.path).count() == len(rows)
+    assert not os.path.exists(sink.path + "__compact_old")
+    assert not os.path.exists(sink.path + "__compact_tmp")

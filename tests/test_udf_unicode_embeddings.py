@@ -1230,3 +1230,19 @@ def test_embedding_drift_dim_mismatch_raises_both_directions(spark):
     ragged = ref2.union(tgt3.select("id", "embedding"))
     with pytest.raises(ValueError, match="dimensionality"):
         embedding_drift(ref2, ragged)
+
+
+def test_embedding_drift_null_elements_raise(spark):
+    """Null ELEMENTS inside correctly-sized vectors must raise — a
+    partial-null dimension would otherwise bias the centroid silently
+    (sum skips nulls, n counts the row)."""
+    from whylogs_spark.core.embeddings import embedding_drift
+
+    ref = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])],
+        "id long, embedding array<float>")
+    tgt = spark.createDataFrame(
+        [(0, [1.0, None]), (1, [2.0, 3.0])],
+        "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="null elements"):
+        embedding_drift(tgt, ref)

@@ -383,7 +383,10 @@ def embedding_drift(
         r = df.filter(F.col(vec_col).isNotNull()) \
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min(F.size(vec_col)).alias("min_dim"),
-                 F.max(F.size(vec_col)).alias("max_dim"), *sums).first()
+                 F.max(F.size(vec_col)).alias("max_dim"),
+                 F.max(F.exists(F.col(vec_col),
+                                lambda x: x.isNull())).alias("has_null"),
+                 *sums).first()
         n = r["n"]
         if n == 0:
             raise ValueError(f"{side} has no vectors")
@@ -396,6 +399,12 @@ def embedding_drift(
                 f"{side} vector dimensionality "
                 f"[{r['min_dim']}, {r['max_dim']}] != reference "
                 f"dimensionality ({dim})")
+        if r["has_null"]:
+            # F.sum SKIPS null elements but n counts the row — a
+            # partial-null dimension would yield a silently biased
+            # centroid (and an all-null one a driver TypeError)
+            raise ValueError(
+                f"{side} contains vectors with null elements")
         vals = [r[f"s{i}"] for i in range(dim)]
         return [v / n for v in vals], n
 

@@ -40,6 +40,7 @@ shuffle and no driver participation.
 from __future__ import annotations
 
 import math
+import re
 from typing import Optional
 
 import pandas as pd
@@ -288,9 +289,7 @@ def with_compression_stats(
         .otherwise(F.col("compressed_len").cast("double") / raw_len))
 
 
-import re as _re
-
-_ALNUM_SPLIT = _re.compile(r"[^a-z0-9]+")
+_ALNUM_SPLIT = re.compile(r"[^a-z0-9]+")
 
 
 def _split_alnum(s: str):
@@ -327,7 +326,19 @@ def with_blocklist_stats(
     real blocklists are a few hundred entries), so matching is a pure
     codegen projection — zero shuffle, no join, no Python.
     """
-    words = sorted({w.lower() for w in words})
+    norm_words = set()
+    for w in words:
+        wt = _split_alnum(w.lower())
+        if len(wt) != 1:
+            # a hyphenated/punctuated entry would normalize to 0 or 2+
+            # tokens and SILENTLY never match a single token — the
+            # C4-badwords failure mode; route it explicitly
+            raise ValueError(
+                f"blocklist word {w!r} normalizes to {len(wt)} tokens "
+                f"({wt}); multi-token entries belong in `phrases`, "
+                "punctuation-only entries cannot match")
+        norm_words.add(wt[0])
+    words = sorted(norm_words)
     if not words:
         raise ValueError("words must be a non-empty blocklist")
     bad = F.array(*[F.lit(w) for w in words])
@@ -340,7 +351,7 @@ def with_blocklist_stats(
         # k counts every (possibly adjacent/overlapping) occurrence
         by_k: dict = {}
         for p in phrases:
-            pt = [t for t in _split_alnum(p.lower()) if t]
+            pt = _split_alnum(p.lower())
             if len(pt) < 2:
                 raise ValueError(
                     f"phrase {p!r} has fewer than 2 word tokens; put "

@@ -182,23 +182,41 @@ class AnomalyMonitorSink:
 
     def compact(self, spark: SparkSession) -> None:
         """Rewrite the sink store with redelivered duplicates dropped,
-        bounding on-disk growth under repeated replays. Writes the
-        deduplicated rows to a sibling temp dir first, then swaps via
-        the Hadoop FileSystem (never reads and overwrites the same
-        files in one plan); works for any FS URI the session's
-        connectors reach, same as ``io.fsio``."""
+        bounding on-disk growth under repeated replays.
+
+        MUST run while the owning streaming query is stopped (or
+        between triggers it cannot overlap): a microbatch appended
+        after the rewrite materializes but before the swap would be
+        lost. This is the standard maintenance-window contract —
+        ``io/store.py`` ``compact`` has the same one.
+
+        Crash safety: the deduplicated rows land in a sibling temp
+        dir, then the swap is rename(old -> trash), rename(tmp ->
+        live), delete(trash) — at no point do the data exist only in a
+        directory slated for deletion, so a crash mid-swap is
+        recoverable from either the trash or the tmp dir (a failed
+        second rename is rolled back). Works for any FS URI the
+        session's connectors reach, same as ``io.fsio``."""
         from ..io.fsio import _fs_and_path
 
         deduped = spark.read.parquet(self.path).dropDuplicates(
             self.key_cols + [self.ts_col])
-        tmp = self.path.rstrip("/") + "__compact_tmp"
+        base = self.path.rstrip("/")
+        tmp, trash = base + "__compact_tmp", base + "__compact_old"
         deduped.write.mode("overwrite").parquet(tmp)
         fs, jdst, _ = _fs_and_path(self.path, spark)
         jsrc = _fs_and_path(tmp, spark)[1]
-        fs.delete(jdst, True)
-        if not fs.rename(jsrc, jdst):
+        jtrash = _fs_and_path(trash, spark)[1]
+        fs.delete(jtrash, True)  # leftover from an earlier crash
+        if not fs.rename(jdst, jtrash):
             raise IOError(
-                f"compact: rename {tmp!r} -> {self.path!r} failed")
+                f"compact: rename {self.path!r} -> {trash!r} failed")
+        if not fs.rename(jsrc, jdst):
+            fs.rename(jtrash, jdst)  # roll back to the old store
+            raise IOError(
+                f"compact: rename {tmp!r} -> {self.path!r} failed "
+                "(original store restored)")
+        fs.delete(jtrash, True)
 
     def _judge(self, series: DataFrame) -> DataFrame:
         """Score a series frame with the configured method; adds the

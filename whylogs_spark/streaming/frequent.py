@@ -66,11 +66,20 @@ def frequent_from_counts(counts_df: DataFrame, k: int = 32) -> DataFrame:
     """Top-``k`` values per window from the per-(window, value) counts
     — run on the SINK (a plain batch frame), not the stream. Ties
     break by value ascending, so ranks are deterministic. Adds
-    ``rank`` and ``frac`` (share of the window's counted rows)."""
+    ``rank`` and ``frac`` (share of the window's counted rows).
+
+    Robust to update-mode append sinks: a (window, value) key
+    re-emitted across microbatches appears once per emission with its
+    CUMULATIVE count, so the rollup first keeps ``max(n)`` per key —
+    the latest emission — instead of ranking (and denominating) the
+    stale partials. A complete-mode or last-wins sink passes through
+    unchanged."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    latest = counts_df.groupBy(
+        "window_start", "window_end", "value").agg(F.max("n").alias("n"))
     w = Window.partitionBy("window_start", "window_end")
-    ranked = counts_df.withColumn(
+    ranked = latest.withColumn(
         "rank",
         F.row_number().over(
             w.orderBy(F.col("n").desc(), F.col("value").asc()))
