@@ -466,6 +466,29 @@ def main() -> None:
         _noop(asof_join(ev10, ev10_right, on="ts", by=["user_id"],
                         value_cols=["state"], hot_key_buckets="1 day"))
 
+    def bench_quality_signals():
+        # compression ratio (Arrow zlib kernel) + blocklist screening
+        # (codegen) in one corpus pass — the cheap-prefilter stage
+        from whylogs_spark.ops import quality as quality_ops
+        d = quality_ops.with_compression_stats(t["documents"])
+        d = quality_ops.with_blocklist_stats(
+            d, words=["slow", "hash"], phrases=["table table"])
+        _noop(d.select("doc_id", "compression_ratio",
+                       "blocklist_count", "blocklist_ok"))
+
+    def bench_fuzzy_decontam():
+        from whylogs_spark.ops import decontam as decontam_ops
+        _noop(decontam_ops.fuzzy_decontaminate(
+            t["documents"].filter(F.col("doc_id") % 10 != 0),
+            t["documents"].filter(F.col("doc_id") % 10 == 0),
+            n=3, threshold=0.18))
+
+    def bench_rollup_timeseries():
+        from whylogs_spark.ops.events import rollup_timeseries
+        _noop(rollup_timeseries(
+            t["events"], "ts", value_cols=["value"],
+            key_cols=["event_type"], grains=("hour", "day", "week")))
+
     benches = {
         "profile_lineitem_native": bench_profile_native,
         "profile_lineitem_full": bench_profile_full,
@@ -502,6 +525,9 @@ def main() -> None:
         "sessionize_hot10x_bucketed": bench_sessionize_hot10x_bucketed,
         "asof_hot10x_single": bench_asof_hot10x_single,
         "asof_hot10x_bucketed": bench_asof_hot10x_bucketed,
+        "quality_signals_documents": bench_quality_signals,
+        "fuzzy_decontam_documents": bench_fuzzy_decontam,
+        "rollup_timeseries_events": bench_rollup_timeseries,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time
