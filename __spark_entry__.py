@@ -1730,6 +1730,21 @@ def _q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_avg", 6).alias("value_avg"))
 
 
+def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding recall estimator (ops/dedup.py
+    minhash_recall_estimate): measured vs theoretical s-curve by
+    exact-Jaccard band on a deterministic sample. NO SQL oracle: the
+    detected set depends on the minhash permutations (blake2b/xxhash
+    matrix math not reproducible in SQL) — rows-only check; the
+    planted-duplicate recall contract is pinned in
+    tests/test_incremental_dedup.py."""
+    from whylogs_spark.ops import dedup as dedup_ops
+
+    return dedup_ops.minhash_recall_estimate(
+        _t(spark, sf_dir, "documents"), sample_per_mille=1000,
+        max_sample=5000, band_edges=(0.5, 0.8, 1.0))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -1864,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontam_documents": _q_fuzzy_decontam,
         "compression_stats_documents": _q_compression_stats,
         "rollup_timeseries_events": _q_rollup_timeseries,
+        "minhash_recall_documents": _q_minhash_recall,
     }
 
 

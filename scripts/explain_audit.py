@@ -714,6 +714,25 @@ def main() -> None:
     q3.stop()
     frequent_plan = buf3.getvalue()
 
+    # 9d. native session-window sessionization: session-merging
+    # stateful agg, still one data exchange, still no Python
+    from whylogs_spark.streaming.sessions import streaming_session_stats
+
+    stream4 = spark.readStream.schema(ev.schema).parquet(src_dir)
+    ns = streaming_session_stats(
+        stream4, user_col="user_id", ts_col="ts", gap="30 minutes",
+        watermark="1 hour", value_col="value")
+    ckpt4 = _tempfile.mkdtemp(prefix="audit_ckpt4_")
+    q4 = (ns.writeStream.outputMode("append").format("noop")
+          .trigger(availableNow=True)
+          .option("checkpointLocation", ckpt4).start())
+    q4.awaitTermination(180)
+    buf4 = io.StringIO()
+    with redirect_stdout(buf4):
+        q4.explain()
+    q4.stop()
+    session_plan = buf4.getvalue()
+
     streaming_checks = {
         "watermark attached (state evictable)": r"EventTimeWatermark",
         "stateful aggregation (state store save/restore)":
@@ -838,6 +857,23 @@ def main() -> None:
                 r"^(?![\s\S]*BatchEvalPython)",
         }))
 
+    # 9p. LSH recall estimator: corpus scanned once, sample capped by
+    # TakeOrderedAndProject (no global sort), no cartesian anywhere
+    from whylogs_spark.ops.dedup import minhash_recall_estimate
+
+    mre = minhash_recall_estimate(docs, sample_per_mille=1000,
+                                  max_sample=5000)
+    sections.append((
+        "minhash recall estimator (deterministic sample)", mre,
+        {
+            "sample cap via TakeOrderedAndProject (no global sort)":
+                r"TakeOrderedAndProject",
+            "no cartesian product":
+                r"^(?![\s\S]*CartesianProduct)",
+            "pair rollup partial-aggregates before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
@@ -906,7 +942,9 @@ def main() -> None:
             ("streaming model monitor (runtime microbatch plan)",
              model_plan),
             ("streaming frequent items (runtime microbatch plan)",
-             frequent_plan)):
+             frequent_plan),
+            ("native session-window sessions (runtime microbatch plan)",
+             session_plan)):
         lines.append(f"## {title}")
         sres = []
         for label, pattern in streaming_checks.items():

