@@ -513,3 +513,38 @@ class TestFuzzyDecontaminate:
         assert out.filter("is_contaminated").count() == 0
         with pytest.raises(ValueError, match="threshold"):
             decontam.fuzzy_decontaminate(docs, bench, threshold=0.0)
+
+
+def test_blocklist_random_corpus_vs_python_model(spark):
+    """200 random documents over a tiny alphabet (high collision rate
+    -> adjacent/overlapping phrase repeats occur naturally): Spark
+    counts must equal a direct Python token-window model for every
+    document."""
+    import random
+    import re as _re
+
+    rng = random.Random(77)
+    vocab = ["ab", "cd", "ef", "Ab,", "x9", "-", "??", "cd."]
+    words = ["ab", "x9"]
+    phrases = ["cd ef", "ab ab"]
+    docs = []
+    for i in range(200):
+        n = rng.randint(0, 25)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality.with_blocklist_stats(
+        df, words=words, phrases=phrases).collect()}
+
+    split = _re.compile(r"[^a-z0-9]+")
+    for did, txt in docs:
+        toks = [t for t in split.split(txt.lower()) if t]
+        w = sum(1 for t in toks if t in words)
+        p = 0
+        for ph in phrases:
+            pt = ph.split()
+            k = len(pt)
+            p += sum(1 for j in range(len(toks) - k + 1)
+                     if toks[j:j + k] == pt)
+        assert got[did].blocklist_count == w, (did, txt)
+        assert got[did].blocklist_phrase_count == p, (did, txt)
+        assert got[did].blocklist_ok == (w + p == 0)

@@ -123,3 +123,43 @@ def test_model_report_reliability_uses_shared_scale(spark):
     ece = expected_calibration_error(df, "score", "label").first()
     assert f"{ece.ece:.6g}" in html_text
     assert f"{ece.mce:.6g}" in html_text
+
+
+class TestCorpusReport:
+    def test_corpus_report_sections_and_counts(self, spark, tmp_path):
+        from whylogs_spark.viz import corpus_report_html, write_html
+
+        rows = []
+        for i in range(40):
+            txt = ("a perfectly reasonable sentence about data with "
+                   f"some variety number {i} and the usual words")
+            rows.append((i, "en" if i % 4 else "fr",
+                         f"src{i % 3}", txt))
+        # exact duplicates: 4 copies of one text
+        for j in range(4):
+            rows.append((100 + j, "en", "src0",
+                         "identical duplicated document text here"))
+        rows.append((200, "en", "src1", None))
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, text string")
+        html_text = corpus_report_html(
+            df, lang_col="lang", source_col="source",
+            title="My corpus")
+        assert "My corpus" in html_text
+        for section in ("headline", "quality score", "document length",
+                        "language mix", "source mix"):
+            assert section in html_text
+        assert "<svg" in html_text
+        # headline numbers: 45 docs, 1 null, dup estimate ~3
+        assert "<td>45</td>" in html_text
+        assert "en" in html_text and "fr" in html_text
+        p = tmp_path / "corpus.html"
+        write_html(str(p), html_text)
+        assert p.read_text().startswith("<!doctype html>")
+
+    def test_corpus_report_handles_empty(self, spark):
+        from whylogs_spark.viz import corpus_report_html
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        html_text = corpus_report_html(empty)
+        assert "headline" in html_text

@@ -343,3 +343,111 @@ def model_report_html(
         f"<body><h1>{_esc(title)}</h1>"
         f'<div class="grid">{"".join(cards)}</div></body></html>'
     )
+
+
+def corpus_report_html(
+    df,
+    text_col: str = "text",
+    lang_col: Optional[str] = None,
+    source_col: Optional[str] = None,
+    title: str = "Corpus report",
+    quality_bins: int = 20,
+) -> str:
+    """One-call corpus health report for a documents table: headline
+    counts, exact-duplicate rate, token/char volume, quality-score and
+    log-length histograms, and (when the columns are named) language /
+    source composition.
+
+    Scale shape: ONE corpus scan produces everything except the
+    composition tables — every histogram is a fixed set of conditional
+    sums inside a single 1-row aggregate (quality has ``quality_bins``
+    cells, length has 10 log10 cells), and the duplicate rate rides
+    the same pass as ``approx_count_distinct`` over the normalized
+    fingerprint. The composition tables are one extra groupBy capped
+    with TakeOrderedAndProject. No per-histogram jobs, no collect of
+    raw rows.
+    """
+    from pyspark.sql import functions as F
+
+    from .ops.dedup import normalized_text
+    from .ops.text import token_count, with_quality_score
+
+    d = with_quality_score(df, text_col)
+    c = F.col(text_col)
+    q = F.col("quality_score")
+    n_tok = token_count(c)
+    loglen = F.floor(F.log10(F.greatest(F.length(c).cast("double"),
+                                        F.lit(1.0))))
+    qbin = F.least(F.floor(q * quality_bins),
+                   F.lit(quality_bins - 1)).cast("int")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(c.isNull().cast("long")).alias("n_null"),
+        F.sum(F.length(c)).alias("total_chars"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.avg(q).alias("avg_quality"),
+        F.approx_count_distinct(
+            F.xxhash64(normalized_text(c))).alias("n_unique_est"),
+    ]
+    for i in range(quality_bins):
+        aggs.append(F.sum((qbin == i).cast("long")).alias(f"q{i}"))
+    for i in range(10):
+        aggs.append(
+            F.sum((loglen == i).cast("long")).alias(f"l{i}"))
+    r = d.agg(*aggs).collect()[0]
+
+    n_docs = r["n_docs"] or 0
+    dup_est = max(n_docs - (r["n_null"] or 0) - (r["n_unique_est"] or 0),
+                  0)
+    # an empty corpus aggregates sums to null -> count as 0
+    q_bins = [(i / quality_bins, (i + 1) / quality_bins,
+               r[f"q{i}"] or 0) for i in range(quality_bins)]
+    l_bins = [(float(10 ** i), float(10 ** (i + 1)), r[f"l{i}"] or 0)
+              for i in range(10)]
+    while l_bins and l_bins[-1][2] == 0:
+        l_bins.pop()
+
+    def tiles(pairs):
+        return "<table>" + "".join(
+            f"<tr><td>{_esc(k)}</td><td>{_esc(_fmt(v))}</td></tr>"
+            for k, v in pairs) + "</table>"
+
+    headline = tiles([
+        ("documents", n_docs),
+        ("null text", r["n_null"]),
+        ("total characters", r["total_chars"]),
+        ("total tokens", r["total_tokens"]),
+        ("mean quality score", round(r["avg_quality"], 4)
+         if r["avg_quality"] is not None else None),
+        ("exact duplicates (est)", dup_est),
+        ("duplicate fraction (est)",
+         round(dup_est / n_docs, 4) if n_docs else None),
+    ])
+    cards = [
+        f'<div class="card"><h2>headline</h2>{headline}</div>',
+        '<div class="card"><h2>quality score</h2>'
+        '<div class="small">distribution of the composite [0,1] '
+        "heuristic</div>" + _svg_hist(q_bins) + "</div>",
+        '<div class="card"><h2>document length</h2>'
+        '<div class="small">characters, log10 buckets</div>'
+        + _svg_hist(l_bins) + "</div>",
+    ]
+    for col, label in ((lang_col, "language"), (source_col, "source")):
+        if col is None:
+            continue
+        top = (df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.col("n").desc(), F.col(col).asc())
+               .limit(12).collect())
+        rows = "".join(
+            f"<tr><td>{_esc(t[col])}</td><td>{t['n']}</td>"
+            f"<td>{t['n'] / n_docs:.1%}</td></tr>" for t in top)
+        cards.append(
+            f'<div class="card"><h2>{label} mix</h2>'
+            f"<table><tr><th>{_esc(col)}</th><th>docs</th><th>share"
+            f"</th></tr>{rows}</table></div>")
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_esc(title)}</title><style>{_CSS}</style></head>"
+        f"<body><h1>{_esc(title)}</h1>"
+        f'<div class="grid">{"".join(cards)}</div></body></html>'
+    )
