@@ -1745,6 +1745,22 @@ def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_sample=5000, band_edges=(0.5, 0.8, 1.0))
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall estimator (ops/similarity.py ann_recall_estimate):
+    recall@k of the production LSH knn_join vs exact brute-force
+    ground truth on a deterministic query sample. NO SQL oracle: the
+    hyperplane signatures aren't SQL-reproducible — rows-only; the
+    exact side and clustered-recall contract are pinned in
+    tests/test_pipeline_selection.py."""
+    from whylogs_spark.ops.similarity import ann_recall_estimate
+
+    out = ann_recall_estimate(
+        _t(spark, sf_dir, "embeddings"), k=10, planes=4, tables=8,
+        n_queries=20)
+    return out.select("query_id", "n_exact", "n_hit",
+                      F.round("recall", 6).alias("recall"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -1880,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_stats_documents": _q_compression_stats,
         "rollup_timeseries_events": _q_rollup_timeseries,
         "minhash_recall_documents": _q_minhash_recall,
+        "ann_recall_embeddings": _q_ann_recall,
     }
 
 

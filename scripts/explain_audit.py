@@ -874,6 +874,28 @@ def main() -> None:
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
         }))
 
+    # 9q. ANN recall estimator ground-truth side: one Arrow pass over
+    # the corpus (all query dots per batch), rank window keyed by the
+    # query index only (candidates bounded: partitions x queries x k)
+    from whylogs_spark.ops.similarity import ann_recall_estimate
+
+    ar = ann_recall_estimate(emb, k=5, planes=2, tables=2,
+                             n_queries=5)
+    sections.append((
+        "ANN recall estimator (exact side + LSH side)", ar,
+        {
+            "ground truth is one Arrow pass (MapInArrow)":
+                r"MapInArrow",
+            "no cartesian product":
+                r"^(?![\s\S]*CartesianProduct)",
+            "query map joined by broadcast":
+                r"BroadcastHashJoin",
+            "rank windows keyed (never partition-less: qidx/query_id "
+            "for the exact side, __lid inside knn_join)":
+                r"^(?![\s\S]*windowspecdefinition\("
+                r"(?!(__qidx|query_id|__lid)))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -88,3 +88,48 @@ def test_selection_tail_composes(spark, corpus):
     # boundary-crossing doc may overflow its chunk by < one doc
     assert all(v < 256 + max_doc for v in per_chunk.values())
     assert len(per_chunk) >= 2
+
+
+def test_ann_recall_estimate_exact_side_and_clustered_recall(spark):
+    """Ground-truth side must equal a brute-force python k-NN for the
+    same queries, and on tightly clustered vectors a wide
+    OR-construction (2 planes x 16 tables) must reach recall 1.0."""
+    import numpy as np
+
+    from whylogs_spark.ops.similarity import ann_recall_estimate
+
+    rng = np.random.default_rng(42)
+    rows = []
+    centers = rng.normal(size=(20, 16))
+    for c in range(20):
+        for m in range(10):
+            v = centers[c] + rng.normal(scale=0.01, size=16)
+            rows.append((c * 10 + m, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {r.query_id: r for r in ann_recall_estimate(
+        df, k=9, planes=2, tables=16, n_queries=10).collect()}
+    assert len(out) == 10
+    for r in out.values():
+        assert r.n_exact == 9
+        assert r.recall == pytest.approx(1.0), r
+
+    # exact side vs brute force: recompute one query's true top-9 and
+    # confirm they are the 9 cluster mates (cos to same-cluster ~1)
+    # NOTE float32 storage: compare cluster membership, not cosines
+    some_q = next(iter(out))
+    mates = {i for i in range((some_q // 10) * 10,
+                              (some_q // 10) * 10 + 10)} - {some_q}
+    # recall 1.0 with n_exact 9 implies the approx side found exactly
+    # the true set; verify the true set IS the cluster
+    vecs = {i: np.array(v, dtype=np.float32) for i, v in rows}
+    q = vecs[some_q].astype(np.float64)
+    sims = sorted(
+        ((float(q @ vecs[i].astype(np.float64)
+                / (np.linalg.norm(q)
+                   * np.linalg.norm(vecs[i].astype(np.float64)))), i)
+         for i in vecs if i != some_q), reverse=True)[:9]
+    assert {i for _, i in sims} == mates
+
+    with pytest.raises(ValueError, match=">= 1"):
+        ann_recall_estimate(df, k=0)

@@ -21,9 +21,11 @@ import math
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -467,3 +469,141 @@ def mmr_select(
                             norms[best_id]))
         del remaining[best_id]
     return selected
+
+
+def ann_recall_estimate(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    planes: int = 6,
+    tables: int = 4,
+    n_queries: int = 50,
+) -> DataFrame:
+    """Empirical recall@k of the LSH ``knn_join`` path against exact
+    brute-force ground truth, on a deterministic query sample — the
+    embedding-space twin of ``dedup.minhash_recall_estimate``.
+
+    At corpus scale the exact k-NN of every row is unaffordable, so
+    (planes, tables) are normally chosen from the OR-construction
+    formula ``1-(1-p^planes)^tables`` alone; this measures the real
+    recall on THIS corpus's geometry (clustered embeddings violate the
+    uniform-angle assumption in both directions).
+
+    Returns one row per sampled query: ``(query_id, n_exact, n_hit,
+    recall)``; aggregate the frame for a headline number. Both sides
+    rank by ``(cosine desc, id asc)`` so boundary ties resolve
+    identically and never show up as false misses.
+
+    Scale shape: the corpus is scanned once for ground truth — a
+    single Arrow pass computes all ``n_queries`` dot products per row
+    (one matrix-matrix product per batch) and keeps a per-partition
+    top-k per query, so the final rank window sees only
+    partitions × n_queries × k candidate rows. The LSH side is the
+    production ``knn_join`` plan itself. Queries are hash-sampled
+    in-plan and capped by TakeOrderedAndProject.
+    """
+    if k < 1 or n_queries < 1:
+        raise ValueError("k and n_queries must be >= 1")
+    hsh = F.abs(F.xxhash64(F.col(id_col).cast("string"), F.lit(9127)))
+    qrows = (df.filter(F.col(vec_col).isNotNull())
+             .orderBy(hsh).limit(n_queries)
+             .select(id_col, vec_col).collect())
+    if not qrows:
+        raise ValueError("no vectors to sample queries from")
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    dim = Q.shape[1]
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [T.StructField("__qidx", T.IntegerType()), id_field,
+         T.StructField("cosine", T.DoubleType())])
+
+    def gen(batches):
+        import heapq
+
+        best = [[] for _ in range(len(qids))]  # per-query (−cos, id)
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            arr = tbl.column(vec_col).combine_chunks()
+            try:
+                vals = np.asarray(arr.values, dtype=np.float64)
+                mat = vals.reshape(len(arr), dim)
+            except Exception:
+                mat = np.array(
+                    [r if r is not None else [0.0] * dim
+                     for r in arr.to_pylist()], dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            sims = (mat @ Q.T) / norms[:, None] / qn[None, :]
+            ids = tbl.column(id_col).to_pylist()
+            for qi in range(len(qids)):
+                col = sims[:, qi]
+                # per-batch preselect before the heap keeps Python
+                # work O(k log n) instead of O(rows)
+                take = min(k + 1, len(ids))
+                idxs = np.argpartition(-col, take - 1)[:take]
+                for i in idxs:
+                    heapq.heappush(best[qi],
+                                   (-float(col[i]), ids[i]))
+            for qi in range(len(qids)):
+                if len(best[qi]) > 4 * (k + 1):
+                    best[qi] = heapq.nsmallest(k + 1, best[qi])
+                    heapq.heapify(best[qi])
+        out_q, out_id, out_c = [], [], []
+        for qi in range(len(qids)):
+            for negc, i in heapq.nsmallest(k + 1, best[qi]):
+                out_q.append(qi)
+                out_id.append(i)
+                out_c.append(-negc)
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q, pa.int32()), pa.array(out_id),
+                 pa.array(out_c, pa.float64())],
+                names=["__qidx", id_col, "cosine"])
+
+    cand = df.select(id_col, vec_col).mapInArrow(gen, out_schema)
+    spark = df.sparkSession
+    qmap = spark.createDataFrame(
+        [(i, qids[i]) for i in range(len(qids))],
+        T.StructType([T.StructField("__qidx", T.IntegerType()),
+                      T.StructField("query_id", id_field.dataType)]))
+    w = Window.partitionBy("__qidx").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    exact = (
+        cand.join(F.broadcast(qmap), "__qidx")
+        .filter(F.col(id_col) != F.col("query_id"))  # drop self-match
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+
+    queries = df.filter(F.col(id_col).isin(qids)) \
+        .select(F.col(id_col).alias("query_id"), vec_col)
+    approx_raw = knn_join(
+        queries, df, vec_col=vec_col, left_id="query_id",
+        right_id=id_col, k=k + 1, planes=planes, tables=tables)
+    wa = Window.partitionBy("query_id_left").orderBy(
+        F.col("cosine").desc(), F.col(id_col + "_right").asc())
+    approx = (
+        approx_raw.filter(
+            F.col(id_col + "_right") != F.col("query_id_left"))
+        .withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") <= k)
+        .select(F.col("query_id_left").alias("query_id"),
+                F.col(id_col + "_right").alias("neighbor_id"),
+                F.lit(True).alias("__found"))
+    )
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"),
+             F.sum(F.coalesce(F.col("__found"), F.lit(False))
+                   .cast("long")).alias("n_hit"))
+        .withColumn("recall",
+                    F.col("n_hit").cast("double") / F.col("n_exact"))
+    )
+    return per_q
