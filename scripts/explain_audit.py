@@ -866,8 +866,11 @@ def main() -> None:
     sections.append((
         "minhash recall estimator (deterministic sample)", mre,
         {
-            "sample cap via TakeOrderedAndProject (no global sort)":
-                r"TakeOrderedAndProject",
+            # the sample is localCheckpointed (it feeds two branches),
+            # so the audited plan reads the materialized sample — the
+            # corpus scan + TakeOrdered cap ran exactly once upstream
+            "both branches read the checkpointed sample (no corpus "
+            "rescan)": r"Scan ExistingRDD",
             "no cartesian product":
                 r"^(?![\s\S]*CartesianProduct)",
             "pair rollup partial-aggregates before its exchange":

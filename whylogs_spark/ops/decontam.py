@@ -119,8 +119,12 @@ def fuzzy_decontaminate(
     Scale shape — EXACT, no MinHash needed, because one side is tiny:
     the benchmark's (id, gram, gram_count) explode is broadcast, so
     the corpus-wide work is one scan + codegen n-gram build + a
-    broadcast hash probe. Only matching (corpus doc, benchmark doc)
-    rows — a vanishing fraction at 100 TB — reach the pair groupBy;
+    broadcast hash probe. Keep ``n`` >= 5 on web-scale corpora: a
+    short gram ("of the and") can match a large corpus fraction and
+    the match volume — not the benchmark size — is what feeds the
+    pair shuffle. Only matching (corpus doc, benchmark doc)
+    rows — a vanishing fraction at 100 TB for reasonable n — reach
+    the pair groupBy;
     intersection counts come from that aggregate and the union follows
     from |A| + |B| − |A∩B| (both distinct-gram counts ride along, no
     second scan). The final annotate join keys on the corpus id

@@ -1369,18 +1369,27 @@ def minhash_recall_estimate(
     driver-chosen small. The corpus itself is scanned once, never
     shuffled.
     """
-    if sorted(band_edges) != list(band_edges) or len(band_edges) < 2:
-        raise ValueError("band_edges must be ascending with >= 2 edges")
+    edges_l = [float(e) for e in band_edges]
+    if (len(edges_l) < 2
+            or any(b <= a for a, b in zip(edges_l, edges_l[1:]))
+            or edges_l[0] < 0.0 or edges_l[-1] > 1.0):
+        raise ValueError(
+            "band_edges must be strictly increasing within [0, 1] "
+            f"with >= 2 edges; got {list(band_edges)}")
     if not 1 <= sample_per_mille <= 1000:
         raise ValueError("sample_per_mille must be in [1, 1000]")
-    edges = [float(e) for e in band_edges]
+    edges = edges_l
     rows_per_band = num_hashes // bands
 
     # deterministic hash sample, deterministically capped (ordered by
     # the same hash -> TakeOrderedAndProject, no global sort)
     hsh = F.abs(F.xxhash64(F.col(id_col).cast("string"), F.lit(7411)))
+    # localCheckpoint: the (small) sample feeds TWO branches — the
+    # shingle ground truth and the production LSH pipeline — so the
+    # corpus scan + top-k selection must not run twice (same idiom as
+    # connected_components' edge-list checkpoint)
     sample = (df.filter(hsh % 1000 < sample_per_mille)
-              .orderBy(hsh).limit(max_sample))
+              .orderBy(hsh).limit(max_sample).localCheckpoint())
 
     # ground truth: exact Jaccard over the same shingle hash sets the
     # signatures are built from

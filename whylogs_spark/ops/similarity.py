@@ -517,7 +517,10 @@ def ann_recall_estimate(
     qn[qn == 0.0] = 1.0
     dim = Q.shape[1]
 
+    from pyspark.sql.pandas.types import to_arrow_type
+
     id_field = df.schema[id_col]
+    _id_arrow_type = to_arrow_type(id_field.dataType)
     out_schema = T.StructType(
         [T.StructField("__qidx", T.IntegerType()), id_field,
          T.StructField("cosine", T.DoubleType())])
@@ -543,9 +546,13 @@ def ann_recall_estimate(
             for qi in range(len(qids)):
                 col = sims[:, qi]
                 # per-batch preselect before the heap keeps Python
-                # work O(k log n) instead of O(rows)
+                # work ~O(k log n) instead of O(rows). Tie-safe: take
+                # EVERY row at or above the (k+1)-th cosine, so equal-
+                # cosine rows with smaller ids are never dropped here
+                # (the heap's (-cos, id) order settles them)
                 take = min(k + 1, len(ids))
-                idxs = np.argpartition(-col, take - 1)[:take]
+                thresh = np.partition(-col, take - 1)[take - 1]
+                idxs = np.nonzero(-col <= thresh)[0]
                 for i in idxs:
                     heapq.heappush(best[qi],
                                    (-float(col[i]), ids[i]))
@@ -561,11 +568,18 @@ def ann_recall_estimate(
                 out_c.append(-negc)
         if out_q:
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out_q, pa.int32()), pa.array(out_id),
+                [pa.array(out_q, pa.int32()),
+                 # declare the id type: inference would widen e.g. an
+                 # IntegerType id to int64 and break the Arrow schema
+                 pa.array(out_id, _id_arrow_type),
                  pa.array(out_c, pa.float64())],
                 names=["__qidx", id_col, "cosine"])
 
-    cand = df.select(id_col, vec_col).mapInArrow(gen, out_schema)
+    # null vectors must not enter the ground truth: the kernel's
+    # ragged fallback would zero-fill them (cosine 0) while the LSH
+    # side drops them — guaranteed false misses
+    cand = df.filter(F.col(vec_col).isNotNull()) \
+        .select(id_col, vec_col).mapInArrow(gen, out_schema)
     spark = df.sparkSession
     qmap = spark.createDataFrame(
         [(i, qids[i]) for i in range(len(qids))],

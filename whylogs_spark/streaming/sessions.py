@@ -160,8 +160,13 @@ def streaming_session_stats(
         F.col("session_window.start").alias("session_start"),
         "last_event",
         F.col("session_window.end").alias("window_end"),
-        (F.unix_timestamp("last_event")
-         - F.unix_timestamp("session_window.start"))
+        # microsecond timestampdiff — the SAME expression as the batch
+        # session_stats (ops/events.py), so sub-second data keeps the
+        # documented parity (unix_timestamp would truncate each
+        # endpoint to whole seconds, and per-endpoint epoch casts are
+        # the DST-hazardous pattern events.py documents)
+        (F.expr("timestampdiff(MICROSECOND, session_window.start, "
+                "last_event)") / F.lit(1e6))
         .alias("duration_seconds"),
         *[c for c in out.columns
           if c not in (user_col, "session_window", "last_event")])

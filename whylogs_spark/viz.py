@@ -386,8 +386,12 @@ def corpus_report_html(
         F.sum(F.length(c)).alias("total_chars"),
         F.sum(n_tok).alias("total_tokens"),
         F.avg(q).alias("avg_quality"),
+        # null-gate the hash: xxhash64(NULL) returns the SEED (a
+        # non-null constant), which would count one phantom distinct
+        # value and undercount duplicates whenever null text exists
         F.approx_count_distinct(
-            F.xxhash64(normalized_text(c))).alias("n_unique_est"),
+            F.when(c.isNotNull(), F.xxhash64(normalized_text(c))))
+        .alias("n_unique_est"),
     ]
     for i in range(quality_bins):
         aggs.append(F.sum((qbin == i).cast("long")).alias(f"q{i}"))
