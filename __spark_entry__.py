@@ -1761,6 +1761,23 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("recall", 6).alias("recall"))
 
 
+def _q_assemble_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk text materialization (ops/sampling.py assemble_chunks):
+    concatenate each pack_chunks shard-chunk's documents in pack order
+    — per-chunk sort bounded by the budget, never a shard-wide window.
+    Compared by md5 so the oracle moves whole-text equality cheaply."""
+    packed = sampling_ops.pack_chunks(
+        _t(spark, sf_dir, "documents"), "n_chars", budget=20000,
+        shard_cols=["source"], order_cols=["doc_id"])
+    out = sampling_ops.assemble_chunks(
+        packed, "text", shard_cols=["source"], order_cols=["doc_id"])
+    return out.select(
+        "source", "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("chunk_chars").cast("long").alias("chunk_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -1897,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_timeseries_events": _q_rollup_timeseries,
         "minhash_recall_documents": _q_minhash_recall,
         "ann_recall_embeddings": _q_ann_recall,
+        "assemble_chunks_documents": _q_assemble_chunks,
     }
 
 
@@ -3448,6 +3466,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, bid AS matched_benchmark, "
             "round(jac, 6) AS jaccard, jac >= 0.18 AS is_contaminated "
             "FROM j WHERE rk = 1"
+        ),
+        "assemble_chunks_documents": (
+            "WITH p AS (SELECT source, doc_id, text, "
+            "floor((sum(n_chars) OVER w - n_chars) / 20000)::BIGINT "
+            "AS chunk_id FROM documents WINDOW w AS ("
+            "PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT source, chunk_id, "
+            "md5(string_agg(text, chr(10) || chr(10) "
+            "ORDER BY doc_id)) AS chunk_md5, "
+            "count(*)::BIGINT AS n_docs, "
+            "length(string_agg(text, chr(10) || chr(10) "
+            "ORDER BY doc_id))::BIGINT AS chunk_chars "
+            "FROM p GROUP BY source, chunk_id"
         ),
         # compression_stats_documents: NO oracle — DuckDB has no zlib;
         # rows-only check, values verified vs zlib.compress in

@@ -244,3 +244,37 @@ def test_mix_sources_zero_token_source_keeps_everything(spark):
                                token_budget=100, token_col="n_tok")
     # s1 has zero tokens: trivially under target -> all rows kept
     assert out.filter(F.col("source") == "s1").count() == 2
+
+
+def test_assemble_chunks_order_and_content(spark):
+    """Chunk text equals the documents joined in pack order; per-chunk
+    counts and char totals check out; order_cols is mandatory."""
+    from whylogs_spark.ops.sampling import assemble_chunks, pack_chunks
+
+    rows = [(i, "s1" if i < 6 else "s2",
+             f"doc-{i:02d} " + "x" * (30 + i)) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    df = df.withColumn("n_chars", F.length("text"))
+    packed = pack_chunks(df, "n_chars", budget=80,
+                         shard_cols=["source"], order_cols=["doc_id"])
+    out = assemble_chunks(packed, "text", shard_cols=["source"],
+                          order_cols=["doc_id"], separator="|")
+    got = {(r.source, r.chunk_id): r for r in out.collect()}
+
+    truth = {}
+    for i, src, txt in sorted(rows):
+        want_pack = {r.doc_id: (r.source, r.chunk_id)
+                     for r in packed.collect()}
+        key = want_pack[i]
+        truth.setdefault(key, []).append(txt)
+    assert set(got) == set(truth)
+    for key, texts in truth.items():
+        r = got[key]
+        joined = "|".join(texts)
+        assert r.chunk_text == joined
+        assert r.n_docs == len(texts)
+        assert r.chunk_chars == len(joined)
+
+    with pytest.raises(ValueError, match="order_cols"):
+        assemble_chunks(packed, "text", shard_cols=["source"])

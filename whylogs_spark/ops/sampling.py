@@ -326,3 +326,45 @@ def mix_sources(
         .filter(h < F.col("__thr"))
         .drop("__src", "__thr")
     )
+
+
+def assemble_chunks(
+    packed: DataFrame,
+    text_col: str = "text",
+    chunk_col: str = "chunk_id",
+    shard_cols: Optional[Sequence[str]] = None,
+    order_cols: Optional[Sequence[str]] = None,
+    separator: str = "\n\n",
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Materialize the training-shard text that ``pack_chunks``
+    assigned: one row per (shard, chunk) with documents concatenated
+    in pack order, ``separator``-joined, plus ``n_docs`` and
+    ``chunk_chars``.
+
+    Deterministic given ``order_cols`` (same contract as
+    ``pack_chunks`` — pass the same columns). One groupBy on
+    (shard, chunk): the aggregation collects (order-key, text) structs
+    and sorts WITHIN each chunk, so ordering cost is bounded by a
+    chunk's document count (budget-bounded by construction), never a
+    window over the shard. When the packing shuffle's partitioning is
+    still live the groupBy reuses it.
+    """
+    shard_cols = list(shard_cols or [])
+    order_cols = list(order_cols or [])
+    if not order_cols:
+        raise ValueError(
+            "order_cols is required: concatenation order must be "
+            "deterministic (use the same columns pack_chunks ordered "
+            "by)")
+    pairs = F.struct(*[F.col(c) for c in order_cols],
+                     F.col(text_col).alias("__t"))
+    grouped = packed.groupBy(*shard_cols, chunk_col).agg(
+        F.array_sort(F.collect_list(pairs)).alias("__docs"))
+    texts = F.transform(F.col("__docs"), lambda s: s["__t"])
+    return grouped.select(
+        *shard_cols, chunk_col,
+        F.array_join(texts, separator).alias(out_col),
+        F.size("__docs").alias("n_docs"),
+        F.length(F.array_join(texts, separator)).alias("chunk_chars"),
+    )
