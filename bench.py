@@ -489,6 +489,26 @@ def main() -> None:
             t["events"], "ts", value_cols=["value"],
             key_cols=["event_type"], grains=("hour", "day", "week")))
 
+    def bench_recall_estimators():
+        # both tuning estimators end-to-end: LSH banding recall (docs)
+        # + ANN recall@k (embeddings) on deterministic samples
+        from whylogs_spark.ops.dedup import minhash_recall_estimate
+        from whylogs_spark.ops.similarity import ann_recall_estimate
+        _noop(minhash_recall_estimate(
+            t["documents"], sample_per_mille=400, max_sample=2000,
+            band_edges=(0.5, 0.8, 1.0)))
+        _noop(ann_recall_estimate(
+            t["embeddings"], k=10, planes=4, tables=8, n_queries=20))
+
+    def bench_assemble_chunks():
+        from whylogs_spark.ops.sampling import (assemble_chunks,
+                                                pack_chunks)
+        packed = pack_chunks(
+            t["documents"], "n_chars", budget=20000,
+            shard_cols=["source"], order_cols=["doc_id"])
+        _noop(assemble_chunks(packed, "text", shard_cols=["source"],
+                              order_cols=["doc_id"]))
+
     benches = {
         "profile_lineitem_native": bench_profile_native,
         "profile_lineitem_full": bench_profile_full,
@@ -528,11 +548,14 @@ def main() -> None:
         "quality_signals_documents": bench_quality_signals,
         "fuzzy_decontam_documents": bench_fuzzy_decontam,
         "rollup_timeseries_events": bench_rollup_timeseries,
+        "recall_estimators": bench_recall_estimators,
+        "assemble_chunks_documents": bench_assemble_chunks,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time
     # bounded; odd counts keep the reported median a true middle rep
-    reps_for = {"bpe_train_tokenize_documents": 3,
+    reps_for = {"recall_estimators": 3,
+                "bpe_train_tokenize_documents": 3,
                 "webp_decode_4k_images": 3,
                 "semantic_dedup_embeddings": 3,
                 "pixel_features_12k_images": 3,
