@@ -720,3 +720,59 @@ def test_streaming_session_stats_subsecond_duration(spark, tmp_path):
     got = spark.sql("SELECT * FROM subsec").collect()
     assert len(got) == 1
     assert got[0].duration_seconds == pytest.approx(0.3)
+
+
+def test_streaming_heavy_hitters_mg_bounds(spark, tmp_path):
+    """Misra-Gries heavy hitters: cardinality far above `slots`, two
+    microbatches per window. The emitted estimates must obey the MG
+    contract est <= true <= est + max_undercount, the heavy values
+    must rank on top, and windows emit only after the watermark
+    passes (a far-future sentinel forces it)."""
+    import datetime as dt
+    from collections import Counter
+
+    from whylogs_spark.streaming.frequent import streaming_heavy_hitters
+
+    t0 = dt.datetime(2024, 8, 1, 9, 0)
+    vals = []
+    for i in range(60):            # "hot" values
+        vals += ["hot_a"] * 3 + ["hot_b"] * 2
+    vals += [f"cold_{i}" for i in range(400)]   # long tail
+    rows = [(t0 + dt.timedelta(seconds=i % 3000), v)
+            for i, v in enumerate(vals)]
+    truth = Counter(vals)
+    schema = "ts timestamp, status string"
+    src = str(tmp_path / "hh_src")
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema).coalesce(1) \
+        .write.parquet(src + "/b=0")
+    spark.createDataFrame(rows[half:], schema).coalesce(1) \
+        .write.parquet(src + "/b=1")
+    sentinel = [(t0 + dt.timedelta(days=2), "zz")]
+    spark.createDataFrame(sentinel, schema).coalesce(1) \
+        .write.parquet(src + "/b=2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    hh = streaming_heavy_hitters(
+        stream, ts_col="ts", value_col="status",
+        window_duration="1 hour", watermark="0 seconds", slots=16)
+    q = (hh.writeStream.format("memory").queryName("hh")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT * FROM hh WHERE window_start < '2024-08-02'").collect()
+    assert got, "window should have emitted after the sentinel"
+    assert len({r.window_start for r in got}) == 1
+    by_rank = sorted(got, key=lambda r: r.rank)
+    # state never exceeded the slot budget
+    assert len(got) <= 16
+    # the two planted heavy values top the ranking
+    assert {by_rank[0].value, by_rank[1].value} == {"hot_a", "hot_b"}
+    for r in got:
+        true = truth[r.value]
+        assert r.est_count <= true <= r.est_count + r.max_undercount, r
+    assert by_rank[0].n_rows == len(vals)
+
+    with pytest.raises(ValueError, match="slots"):
+        streaming_heavy_hitters(stream, slots=0)

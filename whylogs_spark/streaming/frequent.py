@@ -14,9 +14,11 @@ State bound: distinct values per open window (the same class of bound
 as ``streaming_exact_dedup``'s fingerprint store — watermark eviction
 keeps it to the horizon, and ``truncate`` caps per-entry size). For
 genuinely unbounded-cardinality columns (user ids, URLs) exact
-counting is the wrong tool at 100 TB — hash the column down first or
-run the batch Misra-Gries path per microbatch; this operator targets
-the categorical/enum columns frequent-items is actually used on.
+counting is the wrong tool at 100 TB — use
+``streaming_heavy_hitters`` below: a per-window Misra-Gries summary
+(``applyInPandasWithState``) whose state is ``slots`` counters
+regardless of cardinality, with the deterministic MG error bound
+carried in the output.
 """
 
 from __future__ import annotations
@@ -85,3 +87,105 @@ def frequent_from_counts(counts_df: DataFrame, k: int = 32) -> DataFrame:
             w.orderBy(F.col("n").desc(), F.col("value").asc()))
     ).withColumn("frac", F.col("n") / F.sum("n").over(w))
     return ranked.filter(F.col("rank") <= k)
+
+
+def streaming_heavy_hitters(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    slots: int = 128,
+    truncate: int = 128,
+):
+    """Heavy hitters per event-time window with BOUNDED state on
+    unbounded-cardinality columns — the scale path
+    ``streaming_value_counts`` documents itself as not being.
+
+    Per window the state is a ``slots``-counter Misra-Gries summary
+    (the same sketch the batch ``frequent_items`` metric uses), merged
+    with each microbatch's exact local counts via the standard union
+    merge: sum counters, and when more than ``slots`` survive,
+    subtract the (slots+1)-th largest count from all and drop the
+    non-positive — the subtracted total accumulates as the per-window
+    ``max_undercount`` error bound, so every emitted estimate obeys
+    ``true_count ∈ [est_count, est_count + max_undercount]``.
+
+    When the watermark passes the window end, the window's final top
+    counters emit once (append mode) as ``(window_start, window_end,
+    value, est_count, max_undercount, n_rows, rank)`` and the state is
+    removed. State per open window = ``slots`` (value, count) pairs,
+    independent of the column's cardinality.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    if slots < 1 or truncate < 1:
+        raise ValueError("slots and truncate must be >= 1")
+    win_ms = int(pd.Timedelta(window_duration).total_seconds() * 1000)
+    if win_ms <= 0:
+        raise ValueError("window_duration must be positive")
+    out_schema = ("window_start timestamp, window_end timestamp, "
+                  "value string, est_count long, max_undercount long, "
+                  "n_rows long, rank int")
+    state_schema = ("vals array<string>, cnts array<long>, "
+                    "decr long, n long")
+
+    def emit(wstart_ms, d, decr, n) -> pd.DataFrame:
+        top = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pd.DataFrame({
+            "window_start": [pd.to_datetime(wstart_ms, unit="ms")] *
+            len(top),
+            "window_end": [pd.to_datetime(wstart_ms + win_ms,
+                                          unit="ms")] * len(top),
+            "value": [v for v, _ in top],
+            "est_count": [c for _, c in top],
+            "max_undercount": [decr] * len(top),
+            "n_rows": [n] * len(top),
+            "rank": list(range(1, len(top) + 1)),
+        })
+
+    def fn(key, pdfs, state: GroupState):
+        wstart_ms = int(pd.Timestamp(key[0]).value // 1_000_000)
+        if state.hasTimedOut:
+            vals, cnts, decr, n = state.get
+            state.remove()
+            yield emit(wstart_ms, dict(zip(vals, cnts)), decr, n)
+            return
+        if state.exists:
+            vals, cnts, decr, n = state.get
+            d = dict(zip(vals, cnts))
+        else:
+            d, decr, n = {}, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            col = pdf[value_col].dropna().astype(str).str[:truncate]
+            n += int(len(col))
+            for v, c in col.value_counts().items():
+                d[v] = d.get(v, 0) + int(c)
+            if len(d) > slots:
+                # Misra-Gries union merge: subtract the (slots+1)-th
+                # largest count, drop non-positive
+                s = sorted(d.values(), reverse=True)[slots]
+                d = {v: c - s for v, c in d.items() if c - s > 0}
+                decr += s
+        state.update((list(d.keys()),
+                      [int(c) for c in d.values()], int(decr), int(n)))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wstart_ms + win_ms, wm + 1))
+        return
+        yield  # pragma: no cover — generator contract
+
+    src = (
+        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn(
+            "__wstart",
+            F.window(F.col(ts_col), window_duration)["start"])
+    )
+    return src.groupBy("__wstart").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)
