@@ -262,10 +262,10 @@ def test_assemble_chunks_order_and_content(spark):
                           order_cols=["doc_id"], separator="|")
     got = {(r.source, r.chunk_id): r for r in out.collect()}
 
+    want_pack = {r.doc_id: (r.source, r.chunk_id)
+                 for r in packed.collect()}
     truth = {}
     for i, src, txt in sorted(rows):
-        want_pack = {r.doc_id: (r.source, r.chunk_id)
-                     for r in packed.collect()}
         key = want_pack[i]
         truth.setdefault(key, []).append(txt)
     assert set(got) == set(truth)

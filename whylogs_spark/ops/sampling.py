@@ -362,9 +362,8 @@ def assemble_chunks(
     grouped = packed.groupBy(*shard_cols, chunk_col).agg(
         F.array_sort(F.collect_list(pairs)).alias("__docs"))
     texts = F.transform(F.col("__docs"), lambda s: s["__t"])
-    return grouped.select(
+    joined = grouped.select(
         *shard_cols, chunk_col,
         F.array_join(texts, separator).alias(out_col),
-        F.size("__docs").alias("n_docs"),
-        F.length(F.array_join(texts, separator)).alias("chunk_chars"),
-    )
+        F.size("__docs").alias("n_docs"))
+    return joined.withColumn("chunk_chars", F.length(F.col(out_col)))

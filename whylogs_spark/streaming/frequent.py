@@ -102,14 +102,15 @@ def streaming_heavy_hitters(
     unbounded-cardinality columns — the scale path
     ``streaming_value_counts`` documents itself as not being.
 
-    Per window the state is a ``slots``-counter Misra-Gries summary
-    (the same sketch the batch ``frequent_items`` metric uses), merged
-    with each microbatch's exact local counts via the standard union
-    merge: sum counters, and when more than ``slots`` survive,
-    subtract the (slots+1)-th largest count from all and drop the
-    non-positive — the subtracted total accumulates as the per-window
+    Per window the state rehydrates the SAME Misra-Gries sketch the
+    batch ``frequent_items`` metric uses
+    (``core/sketches.py FrequentStringsSketch`` — one implementation,
+    one set of bound semantics): each microbatch updates it, and the
+    accumulated decrement travels as the per-window
     ``max_undercount`` error bound, so every emitted estimate obeys
     ``true_count ∈ [est_count, est_count + max_undercount]``.
+    ``n_rows`` counts the NON-NULL values the sketch saw (nulls are
+    excluded, same as ``streaming_value_counts``).
 
     When the watermark passes the window end, the window's final top
     counters emit once (append mode) as ``(window_start, window_end,
@@ -122,9 +123,12 @@ def streaming_heavy_hitters(
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
+    from ..core.sketches import FrequentStringsSketch
+    from ._util import duration_ms
+
     if slots < 1 or truncate < 1:
         raise ValueError("slots and truncate must be >= 1")
-    win_ms = int(pd.Timedelta(window_duration).total_seconds() * 1000)
+    win_ms = duration_ms(window_duration)
     if win_ms <= 0:
         raise ValueError("window_duration must be positive")
     out_schema = ("window_start timestamp, window_end timestamp, "
@@ -154,26 +158,18 @@ def streaming_heavy_hitters(
             state.remove()
             yield emit(wstart_ms, dict(zip(vals, cnts)), decr, n)
             return
+        # rehydrate the batch MG sketch: (vals, cnts, decr, n) maps
+        # 1:1 onto (counts, error, n)
+        sk = FrequentStringsSketch(capacity=slots, max_len=truncate)
         if state.exists:
-            vals, cnts, decr, n = state.get
-            d = dict(zip(vals, cnts))
-        else:
-            d, decr, n = {}, 0, 0
+            vals, cnts, sk.error, sk.n = state.get
+            sk.counts = dict(zip(vals, cnts))
         for pdf in pdfs:
-            if not len(pdf):
-                continue
-            col = pdf[value_col].dropna().astype(str).str[:truncate]
-            n += int(len(col))
-            for v, c in col.value_counts().items():
-                d[v] = d.get(v, 0) + int(c)
-            if len(d) > slots:
-                # Misra-Gries union merge: subtract the (slots+1)-th
-                # largest count, drop non-positive
-                s = sorted(d.values(), reverse=True)[slots]
-                d = {v: c - s for v, c in d.items() if c - s > 0}
-                decr += s
-        state.update((list(d.keys()),
-                      [int(c) for c in d.values()], int(decr), int(n)))
+            if len(pdf):
+                sk.update_batch(pdf[value_col])
+        state.update((list(sk.counts.keys()),
+                      [int(c) for c in sk.counts.values()],
+                      int(sk.error), int(sk.n)))
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(wstart_ms + win_ms, wm + 1))
         return

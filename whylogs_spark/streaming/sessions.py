@@ -33,8 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def _gap_ms(gap: str) -> int:
-    return int(pd.Timedelta(gap).total_seconds() * 1000)
+from ._util import duration_ms as _gap_ms
 
 
 def streaming_sessionize(
