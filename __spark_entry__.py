@@ -1778,6 +1778,24 @@ def _q_assemble_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_chars").cast("long").alias("chunk_chars"))
 
 
+def _q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative cleaning pipeline (ops/pipeline.py run_pipeline):
+    quality score + blocklist verdicts + exact dedup composed from a
+    spec list into one lazy plan. The oracle recomputes the identical
+    chain per document (score formula, token blocklist, min-id winner
+    via row_number) — proving the composition, not just the parts."""
+    from whylogs_spark.ops.pipeline import run_pipeline
+
+    out = run_pipeline(_t(spark, sf_dir, "documents"), [
+        {"op": "quality_score"},
+        {"op": "blocklist", "words": ["slow", "hash"], "drop": False},
+        {"op": "exact_dedup"},
+    ])
+    return out.select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score"),
+        F.col("blocklist_count").cast("long").alias("blocklist_count"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -1915,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall_documents": _q_minhash_recall,
         "ann_recall_embeddings": _q_ann_recall,
         "assemble_chunks_documents": _q_assemble_chunks,
+        "pipeline_documents": _q_pipeline,
     }
 
 
@@ -2344,6 +2363,44 @@ def _quality_sql() -> str:
         "AS avg_quality, "
         "round(avg(stop_ratio), 4) AS avg_stopword_ratio "
         "FROM s GROUP BY lang"
+    )
+
+
+def _pipeline_sql() -> str:
+    """quality score (per doc, same formula as _quality_sql) ->
+    blocklist token count -> exact-dedup min-id winner."""
+    stop_terms = " + ".join(
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) "
+        f"/ {len(w) + 2} AS BIGINT)"
+        for w in text_ops.LANG_MARKERS["en"]
+    )
+    return (
+        "WITH t AS (SELECT doc_id, text, length(text) AS n_chars, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "array_length(regexp_split_to_array(trim(text), '\\s+')) END "
+        "AS n_tokens, length(trim(text)) AS tl, "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+        f"({stop_terms}) AS stop_cnt FROM documents), "
+        "s AS (SELECT doc_id, text, "
+        "((CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 "
+        "END) "
+        "+ least((CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars "
+        "ELSE 0.0 END) / 0.6, 1.0) "
+        "+ least((CASE WHEN n_tokens > 0 THEN stop_cnt * 1.0 / "
+        "n_tokens ELSE 0.0 END) / 0.05, 1.0) "
+        "+ (CASE WHEN n_tokens > 0 AND ((tl - (n_tokens - 1)) * 1.0 / "
+        "n_tokens) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 "
+        "AS q FROM t), "
+        "b AS (SELECT doc_id, text, q, len(list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x IN ('slow', 'hash') AND x <> ''))::BIGINT AS bc "
+        "FROM s), "
+        "d AS (SELECT doc_id, q, bc, row_number() OVER ("
+        "PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', "
+        "'g') ORDER BY doc_id) AS rn FROM b) "
+        "SELECT doc_id, round(q, 6) AS quality_score, "
+        "bc AS blocklist_count FROM d WHERE rn = 1"
     )
 
 
@@ -3467,6 +3524,7 @@ def oracle_sql() -> dict[str, str]:
             "round(jac, 6) AS jaccard, jac >= 0.18 AS is_contaminated "
             "FROM j WHERE rk = 1"
         ),
+        "pipeline_documents": _pipeline_sql(),
         "assemble_chunks_documents": (
             "WITH p AS (SELECT source, doc_id, text, "
             "floor((sum(n_chars) OVER w - n_chars) / 20000)::BIGINT "

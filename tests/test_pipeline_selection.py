@@ -176,3 +176,68 @@ def test_minhash_recall_band_edges_validation(spark):
     for bad in [(0.5, 0.5, 1.0), (0.5, 1.5), (-0.1, 0.5), (0.8,)]:
         with pytest.raises(ValueError, match="band_edges"):
             dedup_ops.minhash_recall_estimate(df, band_edges=bad)
+
+
+def test_run_pipeline_composes_and_filters(spark):
+    """A 5-step declarative pipeline == the same ops applied by hand;
+    unknown ops fail fast; drop=False keeps rows with verdicts."""
+    from whylogs_spark.ops.pipeline import pipeline_report, run_pipeline
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "a good document with the usual words and "
+                     f"enough content to pass variant {i}"))
+    rows.append((100, "spam " * 50))                  # repetitive
+    rows.append((101, rows[0][1]))                    # exact dup of 0
+    rows.append((102, "badword here in this text with more words"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    steps = [
+        {"op": "compression", "min_ratio": 0.3},
+        {"op": "blocklist", "words": ["badword"]},
+        {"op": "exact_dedup"},
+    ]
+    out = run_pipeline(df, steps)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 100 not in ids          # compression killed the spam
+    assert 102 not in ids          # blocklist hit
+    assert len({0, 101} & ids) == 1  # one dup survivor
+    assert len(ids) == 30
+    # signal columns ride along
+    assert "compression_ratio" in out.columns
+    assert "blocklist_ok" in out.columns
+
+    audited = run_pipeline(df, [
+        {"op": "blocklist", "words": ["badword"], "drop": False}])
+    assert audited.count() == len(rows)
+    assert audited.filter("not blocklist_ok").count() == 1
+
+    rep = pipeline_report(df, steps)
+    assert rep[0] == ("input", len(rows))
+    assert [n for _, n in rep] == [33, 32, 31, 30]
+
+    with pytest.raises(ValueError, match="unknown pipeline op"):
+        run_pipeline(df, [{"op": "nope"}])
+    with pytest.raises(ValueError, match="callable"):
+        run_pipeline(df, [{"op": "custom", "fn": 3}])
+
+
+def test_run_pipeline_decontam_and_custom(spark):
+    from whylogs_spark.ops.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "totally unrelated words about other topics here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    out = run_pipeline(docs, [
+        {"op": "fuzzy_decontaminate", "benchmark": bench, "n": 3,
+         "threshold": 0.5},
+        {"op": "custom", "fn": lambda d: d.withColumn(
+            "tagged", F.lit(True))},
+    ])
+    got = out.collect()
+    assert [r.doc_id for r in got] == [2]
+    assert got[0].tagged is True
