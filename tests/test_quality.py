@@ -548,3 +548,43 @@ def test_blocklist_random_corpus_vs_python_model(spark):
         assert got[did].blocklist_count == w, (did, txt)
         assert got[did].blocklist_phrase_count == p, (did, txt)
         assert got[did].blocklist_ok == (w + p == 0)
+
+
+def test_fuzzy_decontam_random_corpus_vs_python_model(spark):
+    """150 random docs over a colliding vocabulary vs a direct Python
+    max-Jaccard model: max_jaccard, argmax benchmark (min-id ties),
+    and the verdict must match for every corpus doc."""
+    import random
+
+    rng = random.Random(55)
+    vocab = [f"w{i}" for i in range(12)]
+    docs, bench = [], []
+    for i in range(150):
+        n = rng.randint(0, 15)
+        txt = " ".join(rng.choice(vocab) for _ in range(n))
+        (bench if i % 5 == 0 else docs).append((i, txt))
+    n = 2
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {r.doc_id: r for r in decontam.fuzzy_decontaminate(
+        ddf, bdf, n=n, threshold=0.3).collect()}
+
+    def grams(t):
+        toks = t.lower().split()
+        return {" ".join(toks[j:j + n])
+                for j in range(len(toks) - n + 1)}
+
+    for did, dtxt in docs:
+        best = (0.0, None)
+        for bid, btxt in bench:
+            a, b = grams(dtxt), grams(btxt)
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if j > best[0] or (j == best[0] and j > 0
+                               and (best[1] is None or bid < best[1])):
+                best = (j, bid)
+        r = got[did]
+        assert r.max_jaccard == pytest.approx(best[0]), (did, dtxt)
+        assert r.matched_benchmark == best[1], (did, dtxt)
+        assert r.is_contaminated == (best[0] >= 0.3)

@@ -1246,3 +1246,37 @@ def test_embedding_drift_null_elements_raise(spark):
         "id long, embedding array<float>")
     with pytest.raises(ValueError, match="null elements"):
         embedding_drift(tgt, ref)
+
+
+def test_profile_store_prune_retention(spark, lineitem, tmp_path):
+    """prune deletes whole (dataset, date) partitions older than the
+    cutoff — no rewrite of surviving dates — and validates its input."""
+    import datetime as dt
+
+    store = ProfileStore(str(tmp_path / "prune_store"))
+    for day in (1, 2, 3):
+        store.write(
+            wsp.profile(lineitem.limit(100), columns=["l_quantity"]),
+            "ds1", dt.datetime(2026, 1, day, tzinfo=dt.timezone.utc))
+    store.write(
+        wsp.profile(lineitem.limit(50), columns=["l_quantity"]),
+        "ds2", dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc))
+
+    # scoped prune: only ds1's old date goes
+    assert store.prune(spark, "2026-01-02", dataset_id="ds1") == 1
+    left = store._read(spark).select("dataset_id", "date").distinct()
+    got = {(r.dataset_id, str(r.date)) for r in left.collect()}
+    assert got == {("ds1", "2026-01-02"), ("ds1", "2026-01-03"),
+                   ("ds2", "2026-01-01")}
+    # global prune takes ds2's old date too
+    assert store.prune(spark, "2026-01-02") == 1
+    got2 = {(r.dataset_id, str(r.date)) for r in
+            store._read(spark).select("dataset_id", "date")
+            .distinct().collect()}
+    assert got2 == {("ds1", "2026-01-02"), ("ds1", "2026-01-03")}
+    # surviving data still reads as a profile
+    assert store.get(spark, "ds1").get_component(
+        "l_quantity", "counts", "n") == 200
+    with pytest.raises(ValueError, match="ISO date"):
+        store.prune(spark, "yesterday")
+    assert store.prune(spark, "2020-01-01") == 0

@@ -197,6 +197,50 @@ class ProfileStore:
                 "spark.sql.sources.partitionOverwriteMode", prev)
         return len(todo)
 
+    def prune(
+        self,
+        spark: SparkSession,
+        older_than: str,
+        dataset_id: Optional[str] = None,
+    ) -> int:
+        """Retention: delete stored partitions with ``date <
+        older_than`` (ISO date string; lexicographic compare IS
+        chronological), optionally for one dataset. Returns the number
+        of (dataset, date) partitions removed.
+
+        Pure partition-directory deletes through the Hadoop
+        FileSystem — no scan, no rewrite, any FS URI the session's
+        connectors reach (same layer as ``io.fsio``). Like
+        ``compact``, run it from a maintenance window, not
+        concurrently with a writer appending into the dates being
+        dropped."""
+        import re as _re
+
+        if not _re.fullmatch(r"\d{4}-\d{2}-\d{2}", older_than):
+            raise ValueError(
+                f"older_than must be an ISO date, got {older_than!r}")
+        from .fsio import _fs_and_path
+
+        fs, root, _ = _fs_and_path(self.path, spark)
+        if not fs.exists(root):
+            return 0
+        removed = 0
+        for ds in fs.listStatus(root):
+            if not ds.isDirectory():
+                continue
+            name = ds.getPath().getName()
+            if not name.startswith("dataset_id="):
+                continue
+            if dataset_id is not None and \
+                    name != f"dataset_id={dataset_id}":
+                continue
+            for dd in fs.listStatus(ds.getPath()):
+                dn = dd.getPath().getName()
+                if dn.startswith("date=") and dn[5:] < older_than:
+                    fs.delete(dd.getPath(), True)
+                    removed += 1
+        return removed
+
     def schema_between(
         self,
         spark: SparkSession,
