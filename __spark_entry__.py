@@ -1796,6 +1796,32 @@ def _q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("blocklist_count").cast("long").alias("blocklist_count"))
 
 
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (core/monitor.py ewma_chart): geometric-
+    memory drift detection between the zscore spike scan and the CUSUM
+    shift scan. The recursion is a bounded fold over the trailing
+    machine-precision horizon (row-bounded window collect_list +
+    codegen aggregate — no sequential loop); the oracle replays the
+    identical fold with DuckDB list_reduce over the same window."""
+    from whylogs_spark.core.monitor import ewma_chart
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("daily_value")))
+    out = ewma_chart(
+        daily, "day", "daily_value", key_cols=["event_type"],
+        lam=0.2, L=3.0, baseline_n=10)
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("value", 4).alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round("ucl", 6).alias("ucl"),
+        F.round("lcl", 6).alias("lcl"),
+        "alarm")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -1934,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_embeddings": _q_ann_recall,
         "assemble_chunks_documents": _q_assemble_chunks,
         "pipeline_documents": _q_pipeline,
+        "ewma_chart_events": _q_ewma,
     }
 
 
@@ -3525,6 +3552,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM j WHERE rk = 1"
         ),
         "pipeline_documents": _pipeline_sql(),
+        "ewma_chart_events": (
+            # horizon 164 PRECEDING = ceil(ln(2^-53)/ln(0.8)) - 1;
+            # daily series are far shorter, so the frame covers each
+            # full prefix and the fold from mu is the exact recursion
+            "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS "
+            "day, sum(value) AS v FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, day, v, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY day) AS rn FROM daily), "
+            "st AS (SELECT event_type, avg(v) AS mu, "
+            "stddev_samp(v) AS sigma FROM r WHERE rn <= 10 "
+            "GROUP BY event_type), "
+            "tr AS (SELECT r.event_type, day, v, rn, mu, sigma, "
+            "list(v) OVER (PARTITION BY r.event_type ORDER BY day "
+            "ROWS BETWEEN 164 PRECEDING AND CURRENT ROW) AS lst "
+            "FROM r JOIN st USING (event_type)), "
+            "z AS (SELECT *, list_reduce(list_prepend(mu, lst), "
+            "(acc, x) -> 0.8 * acc + 0.2 * x) AS ewma, "
+            "CASE WHEN rn > 10 AND sigma > 0 THEN "
+            "3.0 * sigma * sqrt(0.2 / 1.8 * (1 - power(0.64, rn))) "
+            "END AS hw FROM tr) "
+            "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, "
+            "round(v, 4) AS value, round(ewma, 6) AS ewma, "
+            "round(mu + hw, 6) AS ucl, round(mu - hw, 6) AS lcl, "
+            "CASE WHEN hw IS NOT NULL THEN "
+            "(ewma > mu + hw OR ewma < mu - hw) END AS alarm FROM z"
+        ),
         "assemble_chunks_documents": (
             "WITH p AS (SELECT source, doc_id, text, "
             "floor((sum(n_chars) OVER w - n_chars) / 20000)::BIGINT "

@@ -509,6 +509,15 @@ def main() -> None:
         _noop(assemble_chunks(packed, "text", shard_cols=["source"],
                               order_cols=["doc_id"]))
 
+    def bench_pipeline():
+        # the declarative 3-step cleaning chain as ONE composed plan
+        from whylogs_spark.ops.pipeline import run_pipeline
+        _noop(run_pipeline(t["documents"], [
+            {"op": "quality_score", "min_score": 0.2},
+            {"op": "blocklist", "words": ["slow", "hash"]},
+            {"op": "exact_dedup"},
+        ]).select("doc_id"))
+
     benches = {
         "profile_lineitem_native": bench_profile_native,
         "profile_lineitem_full": bench_profile_full,
@@ -550,6 +559,7 @@ def main() -> None:
         "rollup_timeseries_events": bench_rollup_timeseries,
         "recall_estimators": bench_recall_estimators,
         "assemble_chunks_documents": bench_assemble_chunks,
+        "pipeline_documents": bench_pipeline,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

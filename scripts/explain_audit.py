@@ -773,6 +773,22 @@ def main() -> None:
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
         }))
 
+    ew = monitor_mod.ewma_chart(
+        daily, "day", "v", key_cols=["event_type"], baseline_n=10)
+    sections.append((
+        "EWMA control chart (bounded fold over trailing horizon)", ew,
+        {
+            "every window partitioned by the series key":
+                r"^(?![\s\S]*windowspecdefinition\((?!event_type))",
+            "trailing collect_list frame is ROW-bounded (the "
+            "precision horizon), not unbounded":
+                r"specifiedwindowframe\(RowFrame, -164, currentrow",
+            "no range sort of the data":
+                r"^(?![\s\S]*rangepartitioning)",
+            "fold stays codegen (no Python)":
+                r"^(?![\s\S]*(ArrowEvalPython|BatchEvalPython))",
+        }))
+
     cu = monitor_mod.cusum_changepoints(
         daily, "day", "v", key_cols=["event_type"], baseline_n=10)
     sections.append((

@@ -527,3 +527,106 @@ def test_run_monitors_missing_detects_range_start_gap(spark, tmp_path):
         [{"method": "missing", "expected_seconds": 86400}],
         date_from="2024-01-19").collect()
     assert none_before == []
+
+
+class TestEwmaChart:
+    def test_matches_sequential_recursion_and_flags_shift(self, spark):
+        """z must equal the exact sequential EWMA recursion (the
+        bounded-fold horizon truncation is below double noise even on
+        a 300-point series), warm-up rows are unjudged, and a
+        1.5-sigma sustained shift alarms while the steady region
+        doesn't."""
+        import datetime as dt
+
+        import numpy as np
+
+        from whylogs_spark.core.monitor import ewma_chart
+
+        rng = np.random.default_rng(9)
+        t0 = dt.datetime(2026, 1, 1)
+        vals = list(50 + rng.normal(0, 2, size=250))
+        vals += list(53 + rng.normal(0, 2, size=50))  # +1.5 sigma
+        rows = [("a", t0 + dt.timedelta(hours=i), float(v))
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "series string, ts timestamp, value double")
+        # L=3.5: in-control ARL ~5000, so the 200-point steady run
+        # stays clean while the 1.5-sigma shift (z moves ~3 vs a
+        # 2.7-wide band) still alarms reliably
+        lam, L, bn = 0.2, 3.5, 50
+        got = sorted(ewma_chart(
+            df, "ts", "value", key_cols=["series"], lam=lam, L=L,
+            baseline_n=bn).collect(), key=lambda r: r.ts)
+
+        mu = float(np.mean(vals[:bn]))
+        sigma = float(np.std(vals[:bn], ddof=1))
+        z = mu
+        for i, r in enumerate(got):
+            z = (1 - lam) * z + lam * vals[i]
+            assert r.ewma == pytest.approx(z, rel=1e-9), i
+            n = i + 1
+            if n <= bn:
+                assert r.alarm is None and r.ucl is None
+            else:
+                hw = L * sigma * math.sqrt(
+                    lam / (2 - lam) * (1 - (1 - lam) ** (2 * n)))
+                assert r.ucl == pytest.approx(mu + hw, rel=1e-9)
+                assert r.alarm == (z > mu + hw or z < mu - hw)
+        # the shift region alarms; the steady tail before it doesn't
+        assert not any(r.alarm for r in got[bn:250])
+        assert any(r.alarm for r in got[255:])
+
+    def test_validation_and_explicit_center(self, spark):
+        import datetime as dt
+
+        from whylogs_spark.core.monitor import ewma_chart
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2026, 1, 1), 1.0)],
+            "series string, ts timestamp, value double")
+        with pytest.raises(ValueError, match="lam"):
+            ewma_chart(df, "ts", "value", lam=0.0)
+        with pytest.raises(ValueError, match="together"):
+            ewma_chart(df, "ts", "value", center=1.0)
+        with pytest.raises(ValueError, match="spread"):
+            ewma_chart(df, "ts", "value", center=1.0, spread=0.0)
+        # explicit center/spread judges from row 1
+        r = ewma_chart(df, "ts", "value", lam=0.5, L=3.0,
+                       center=0.0, spread=0.1).collect()[0]
+        assert r.ewma == pytest.approx(0.5)
+        assert r.alarm is True  # 0.5 vs limit 3*0.1*sqrt(1/3)*... < 0.5
+
+
+def test_run_monitors_ewma_method(spark, tmp_path):
+    """The ewma monitor spec flags a sustained small drift from the
+    stored mean series; date_from bounds the alerts, not the chart's
+    history."""
+    import whylogs_spark as wsp
+    from whylogs_spark.io.store import ProfileStore
+
+    store = ProfileStore(str(tmp_path / "profiles_ewma"))
+    rng = np.random.default_rng(21)
+    t0 = dt.datetime(2024, 3, 1, 12, 0, tzinfo=dt.timezone.utc)
+    for d in range(40):
+        level = 100.0 + (2.0 if d >= 30 else 0.0)   # +2-sigma drift
+        vals = level + rng.normal(0, 1.0, 200)
+        df = spark.createDataFrame([(float(v),) for v in vals],
+                                   "x double")
+        store.write(wsp.profile(df), "ew", t0 + dt.timedelta(days=d))
+
+    spec = [{"column": "x", "component": "mean", "method": "ewma",
+             "lam": 0.25, "L": 3.0, "baseline_n": 15,
+             "name": "mean_drift"}]
+    alerts = store.run_monitors(spark, "ew", spec).collect()
+    assert alerts, "drift must alarm"
+    assert all(r.kind == "shift_up" for r in alerts)
+    cutoff = (t0 + dt.timedelta(days=30)).replace(tzinfo=None)
+    assert min(r.dataset_ts for r in alerts) >= cutoff
+    assert all(r.score > 0 for r in alerts)
+
+    # date_from bounds ALERTS, not the chart history: restricting to
+    # the drifted window still alarms (baseline came from before)
+    late = store.run_monitors(spark, "ew", spec,
+                              date_from="2024-04-03").collect()
+    assert late
+    assert min(r.dataset_ts for r in late) >= dt.datetime(2024, 4, 3)

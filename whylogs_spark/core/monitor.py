@@ -18,6 +18,7 @@ them; the scan parallelizes across series keys.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
@@ -365,3 +366,108 @@ def missing_periods(
         F.col("gap_seconds").cast("double").alias("gap_seconds"),
         "n_missed",
     )
+
+
+def ewma_chart(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Optional[List[str]] = None,
+    lam: float = 0.2,
+    L: float = 3.0,
+    baseline_n: int = 10,
+    center: Optional[float] = None,
+    spread: Optional[float] = None,
+) -> DataFrame:
+    """EWMA control chart over a metric time series — the classic
+    middle ground between ``anomaly_scan`` (single-batch spikes) and
+    ``cusum_changepoints`` (sustained shifts): geometric memory of
+    recent batches catches medium-sized drifts in a few periods.
+
+    ``z_t = (1-lam) * z_{t-1} + lam * x_t`` with ``z_0 = mu``; alarm
+    when ``|z_t - mu| > L * sigma * sqrt(lam/(2-lam) *
+    (1-(1-lam)^(2t)))`` (the exact time-dependent control limit, so
+    early rows get the tighter startup band, Montgomery SPC §9.2).
+
+    The recursion is NOT computed sequentially across the cluster:
+    contributions older than the double-precision horizon
+    ``W = ceil(ln(2^-53)/ln(1-lam))`` are below machine epsilon, so
+    ``z_t`` equals (to the last bit that can matter) a fold over the
+    trailing ``W`` values — one ROW-BOUNDED window ``collect_list``
+    plus a codegen higher-order ``aggregate`` per row, partitioned by
+    the series key. Same scale shape as ``anomaly_scan``'s trailing
+    baseline: one hash exchange, O(W) per row, built for rolled-up
+    metric series (one row per batch), not raw corpus rows.
+
+    Reference ``mu``/``sigma`` come from each series' first
+    ``baseline_n`` batches (those warm-up rows are unjudged — null
+    alarm), or pass explicit ``center``/``spread``. A zero/absent
+    spread leaves the series unjudged rather than dividing by zero.
+
+    Returns one row per input row: keys, ts, ``value``, ``ewma``,
+    ``ucl``, ``lcl``, ``alarm``.
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    if L <= 0:
+        raise ValueError(f"L must be > 0, got {L}")
+    if (center is None) != (spread is None):
+        raise ValueError("pass center and spread together, or neither")
+    if center is None and baseline_n < 2:
+        raise ValueError(
+            f"baseline_n must be >= 2 to estimate spread, got {baseline_n}")
+    if spread is not None and spread <= 0:
+        raise ValueError(f"spread must be > 0, got {spread}")
+
+    if lam == 1.0:
+        horizon = 1
+    else:
+        horizon = int(math.ceil(math.log(2.0 ** -53)
+                                / math.log(1.0 - lam)))
+    keys = list(key_cols or [])
+    part = [F.col(c) for c in keys] if keys else [F.lit(1)]
+    w_ord = Window.partitionBy(*part).orderBy(F.col(ts_col))
+
+    out = df.withColumn("__v", F.col(value_col).cast("double"))
+    out = out.withColumn("__rn", F.row_number().over(w_ord))
+    if center is None:
+        in_base = F.when(F.col("__rn") <= F.lit(int(baseline_n)),
+                         F.col("__v"))
+        w_all = w_ord.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+        out = (
+            out.withColumn("__mu", F.avg(in_base).over(w_all))
+            .withColumn("__sigma", F.stddev_samp(in_base).over(w_all))
+        )
+        judged_from = int(baseline_n)
+    else:
+        out = out.withColumn("__mu", F.lit(float(center))) \
+                 .withColumn("__sigma", F.lit(float(spread)))
+        judged_from = 0
+
+    w_tail = w_ord.rowsBetween(-(horizon - 1), 0)
+    trail = F.collect_list("__v").over(w_tail)
+    z = F.aggregate(
+        trail, F.col("__mu"),
+        lambda acc, v: (1.0 - lam) * acc + lam * v)
+    # exact startup variance: sigma^2 * lam/(2-lam) * (1-(1-lam)^(2t))
+    halfwidth = (
+        F.lit(float(L)) * F.col("__sigma")
+        * F.sqrt(F.lit(lam / (2.0 - lam))
+                 * (1.0 - F.pow(F.lit((1.0 - lam) ** 2),
+                                F.col("__rn")))))
+    judged = (F.col("__rn") > judged_from) & F.col("__sigma").isNotNull() \
+        & (F.col("__sigma") > 0)
+    out = (
+        out.withColumn("ewma", z)
+        .withColumn("ucl", F.when(judged, F.col("__mu") + halfwidth))
+        .withColumn("lcl", F.when(judged, F.col("__mu") - halfwidth))
+        .withColumn(
+            "alarm",
+            F.when(judged,
+                   (z > F.col("__mu") + halfwidth)
+                   | (z < F.col("__mu") - halfwidth)))
+    )
+    return out.select(
+        *keys, F.col(ts_col),
+        F.col("__v").alias("value"), "ewma", "ucl", "lcl", "alarm")

@@ -393,11 +393,13 @@ class ProfileStore:
 
             {"column": "price", "metric": "distribution",
              "component": "mean",        # any numeric component
-             "method": "zscore",   # zscore | mad | iqr | cusum | missing
+             "method": "zscore",  # zscore|mad|iqr|cusum|ewma|missing
              "window": 7, "threshold": 3.0, "min_baseline": 3,
              "phase": "dow",             # optional seasonal baseline
              # cusum only:
              "k": 0.5, "h": 5.0, "baseline_n": 10,
+             # ewma only:
+             "lam": 0.2, "L": 3.0,       # (+ baseline_n as cusum)
              # missing only (no column needed):
              "expected_seconds": 86400, "tolerance": 0.5}
 
@@ -475,6 +477,35 @@ class ProfileStore:
                     *tag, "segment", "dataset_ts", "value",
                     F.greatest("s_pos", "s_neg").alias("score"),
                     F.when(F.col("alarm_up"), F.lit("shift_up"))
+                    .otherwise(F.lit("shift_down")).alias("kind"))
+            elif method == "ewma":
+                # same pre-range-history contract as cusum: the chart
+                # and its baseline see the full series up to date_to,
+                # date_from bounds only the ALERTED rows
+                from ..core.monitor import ewma_chart
+
+                series = self.metric_series(
+                    spark, dataset_id, column, metric, component,
+                    None, date_to)
+                ew = ewma_chart(
+                    series, "dataset_ts", "value",
+                    key_cols=["segment"], lam=spec.get("lam", 0.2),
+                    L=spec.get("L", 3.0),
+                    baseline_n=spec.get("baseline_n", 10))
+                if date_from is not None:
+                    ew = ew.filter(
+                        F.to_date("dataset_ts") >= date_from)
+                alerts = ew.filter(
+                    F.coalesce(F.col("alarm"), F.lit(False))
+                ).select(
+                    *tag, "segment", "dataset_ts", "value",
+                    # score = how far outside the band, in halfwidths
+                    (F.greatest(F.col("ewma") - F.col("ucl"),
+                                F.col("lcl") - F.col("ewma"))
+                     / ((F.col("ucl") - F.col("lcl")) / 2))
+                    .alias("score"),
+                    F.when(F.col("ewma") > F.col("ucl"),
+                           F.lit("shift_up"))
                     .otherwise(F.lit("shift_down")).alias("kind"))
             else:
                 sc = self.anomalies_between(
