@@ -241,3 +241,49 @@ def test_run_pipeline_decontam_and_custom(spark):
     got = out.collect()
     assert [r.doc_id for r in got] == [2]
     assert got[0].tagged is True
+
+
+def test_pipeline_line_dedup_preserves_columns_and_text_col(spark):
+    """line_dedup mid-pipeline must keep metadata and earlier verdict
+    columns, and honor a non-default text_col."""
+    from whylogs_spark.ops.pipeline import run_pipeline
+
+    rows = [(1, "en", "keep this\nshared boilerplate line"),
+            (2, "fr", "shared boilerplate line\nunique tail")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                     "body string")
+    out = run_pipeline(df, [
+        {"op": "quality_score", "text_col": "body"},
+        {"op": "line_dedup", "text_col": "body"},
+    ])
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    # metadata + earlier signal columns survive
+    assert got[1].lang == "en" and got[2].lang == "fr"
+    assert "quality_score" in out.columns
+    # the rebuilt text keeps its non-default name; dup line removed
+    # from the later doc (winner = smallest (id, pos))
+    assert got[1].body == "keep this\nshared boilerplate line"
+    assert got[2].body == "unique tail"
+    assert got[2].n_kept == 1
+
+
+def test_pipeline_spec_validation_and_compression_annotate(spark):
+    from whylogs_spark.ops.pipeline import run_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "some text"), (2, None)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="missing required.*words"):
+        run_pipeline(df, [{"op": "blocklist"}])
+    with pytest.raises(ValueError, match="missing required.*fn"):
+        run_pipeline(df, [{"op": "custom"}])
+    with pytest.raises(ValueError,
+                       match="missing required.*benchmark"):
+        run_pipeline(df, [{"op": "fuzzy_decontaminate"}])
+    # bare compression step annotates without dropping null-text rows
+    out = run_pipeline(df, [{"op": "compression"}])
+    assert out.count() == 2
+    assert out.filter("compression_ratio is null").count() == 1
+    # with a criterion the null-text row goes
+    assert run_pipeline(
+        df, [{"op": "compression", "min_ratio": 0.0}]).count() == 1

@@ -1280,3 +1280,25 @@ def test_profile_store_prune_retention(spark, lineitem, tmp_path):
     with pytest.raises(ValueError, match="ISO date"):
         store.prune(spark, "yesterday")
     assert store.prune(spark, "2020-01-01") == 0
+
+
+def test_profile_store_prune_escaped_ids_and_validation(spark,
+                                                        lineitem,
+                                                        tmp_path):
+    """Hive-escaped dataset ids (':' -> %3A on disk) must still prune;
+    invalid dates must raise, not lexicographically over-delete."""
+    import datetime as dt
+
+    store = ProfileStore(str(tmp_path / "esc_store"))
+    for day in (1, 2):
+        store.write(
+            wsp.profile(lineitem.limit(20), columns=["l_quantity"]),
+            "jobs:2024",
+            dt.datetime(2026, 2, day, tzinfo=dt.timezone.utc))
+    assert store.prune(spark, "2026-02-02",
+                       dataset_id="jobs:2024") == 1
+    assert store._read(spark).select("date").distinct().count() == 1
+    with pytest.raises(ValueError, match="valid ISO date"):
+        store.prune(spark, "2026-19-99")
+    with pytest.raises(ValueError, match="valid ISO date"):
+        store.prune(spark, "2026-31-01")

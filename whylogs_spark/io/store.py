@@ -214,11 +214,17 @@ class ProfileStore:
         ``compact``, run it from a maintenance window, not
         concurrently with a writer appending into the dates being
         dropped."""
-        import re as _re
+        import datetime as _dt2
+        from urllib.parse import unquote as _unquote
 
-        if not _re.fullmatch(r"\d{4}-\d{2}-\d{2}", older_than):
+        try:
+            _dt2.date.fromisoformat(older_than)
+        except (ValueError, TypeError):
+            # a regex would wave through "2026-19-99", which sorts
+            # past every real 2026 date and would wipe the whole year
             raise ValueError(
-                f"older_than must be an ISO date, got {older_than!r}")
+                f"older_than must be a valid ISO date, "
+                f"got {older_than!r}")
         from .fsio import _fs_and_path
 
         fs, root, _ = _fs_and_path(self.path, spark)
@@ -231,13 +237,18 @@ class ProfileStore:
             name = ds.getPath().getName()
             if not name.startswith("dataset_id="):
                 continue
+            # Spark Hive-escapes partition values (':' -> %3A, ...);
+            # percent-decode so every id write() accepts is prunable
             if dataset_id is not None and \
-                    name != f"dataset_id={dataset_id}":
+                    _unquote(name[len("dataset_id="):]) != dataset_id:
                 continue
             for dd in fs.listStatus(ds.getPath()):
                 dn = dd.getPath().getName()
                 if dn.startswith("date=") and dn[5:] < older_than:
-                    fs.delete(dd.getPath(), True)
+                    if not fs.delete(dd.getPath(), True):
+                        raise IOError(
+                            f"prune: delete of {dd.getPath()} "
+                            "reported failure")
                     removed += 1
         return removed
 

@@ -80,6 +80,11 @@ def _step_compression(df, p):
 
     d = with_compression_stats(df, p.get("text_col", "text"),
                                level=p.get("level", 6))
+    if "min_ratio" not in p and "max_ratio" not in p:
+        # no criterion given -> annotate-only (same contract as the
+        # quality_score / language steps); a bare filter would
+        # silently drop null-text rows
+        return d
     cond = F.col("compression_ratio").isNotNull()
     if "min_ratio" in p:
         cond = cond & (F.col("compression_ratio") >= p["min_ratio"])
@@ -116,8 +121,16 @@ def _step_pii_redact(df, p):
 def _step_line_dedup(df, p):
     from .dedup import line_dedup
 
-    return line_dedup(df, text_col=p.get("text_col", "text"),
-                      id_col=p.get("id_col", "doc_id"))
+    # line_dedup returns ONLY (id, n_lines, n_kept, "text"): join the
+    # rebuilt text back over the id so every other column — corpus
+    # metadata AND the verdict columns earlier steps attached — rides
+    # through, and a non-default text_col keeps its name. One extra
+    # id-keyed join; ids are unique so no skew.
+    tcol = p.get("text_col", "text")
+    idc = p.get("id_col", "doc_id")
+    ld = line_dedup(df, text_col=tcol, id_col=idc).select(
+        idc, F.col("text").alias(tcol), "n_lines", "n_kept")
+    return df.drop(tcol).join(ld, idc)
 
 
 def _step_exact_dedup(df, p):
@@ -181,15 +194,33 @@ _STEPS: Dict[str, Callable] = {
 }
 
 
+_REQUIRED_KEYS = {
+    "blocklist": ("words",),
+    "decontaminate": ("benchmark",),
+    "fuzzy_decontaminate": ("benchmark",),
+    "custom": ("fn",),
+}
+
+
 def run_pipeline(df: DataFrame, steps: Sequence[dict]) -> DataFrame:
     """Apply the spec list in order and return the composed (still
-    lazy) DataFrame. Raises on an unknown op BEFORE touching the
-    plan, so a typo fails fast instead of after an hour of cluster
-    time."""
-    bad = [s.get("op") for s in steps if s.get("op") not in _STEPS]
-    if bad:
+    lazy) DataFrame. Unknown ops and missing required params raise
+    ValueError BEFORE touching the plan, so a typo fails fast instead
+    of after an hour of cluster time."""
+    problems = []
+    for i, s in enumerate(steps):
+        op = s.get("op")
+        if op not in _STEPS:
+            problems.append(f"step {i}: unknown pipeline op {op!r}")
+            continue
+        missing = [k for k in _REQUIRED_KEYS.get(op, ())
+                   if k not in s]
+        if missing:
+            problems.append(
+                f"step {i} ({op}): missing required {missing}")
+    if problems:
         raise ValueError(
-            f"unknown pipeline op(s) {bad}; known: {sorted(_STEPS)}")
+            "; ".join(problems) + f"; known ops: {sorted(_STEPS)}")
     out = df
     for spec in steps:
         out = _STEPS[spec["op"]](out, spec)
