@@ -1822,6 +1822,44 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alarm")
 
 
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (ops/search.py bm25_search): doc
+    length as a zero-shuffle codegen projection, tf restricted to the
+    query's terms before the shuffle, bounded per-term df broadcast,
+    1-row corpus constants, TakeOrderedAndProject top-k. The oracle
+    recomputes the identical formula in SQL; ties break on the rounded
+    score then doc_id."""
+    from whylogs_spark.ops.search import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), "spark query window", k=20)
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease / FK grade (ops/text.py with_readability):
+    regexp-count heuristics (words, sentence-ending runs, vowel
+    groups floored at one per alphabetic word) in a single in-scan
+    projection; the oracle recomputes the published formulas from the
+    same RE2-compatible counts."""
+    from whylogs_spark.ops.text import with_readability
+
+    out = with_readability(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_words", "n_sentences", "n_syllables",
+                      "flesch_reading_ease", "fk_grade")
+
+
+def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (ops/text.py pmi_collocations): in-plan
+    adjacent-pair zip (no positional self-join), min-count filter
+    BEFORE the unigram joins, broadcast 1-row totals, distributed
+    top-k. Oracle rebuilds pairs via unnest(generate_series) and the
+    identical PMI formula."""
+    from whylogs_spark.ops.text import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), k=25, min_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -1961,6 +1999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_chunks_documents": _q_assemble_chunks,
         "pipeline_documents": _q_pipeline,
         "ewma_chart_events": _q_ewma,
+        "bm25_search_documents": _q_bm25,
+        "readability_documents": _q_readability,
+        "pmi_collocations_documents": _q_pmi,
     }
 
 
@@ -3552,6 +3593,60 @@ def oracle_sql() -> dict[str, str]:
             "FROM j WHERE rk = 1"
         ),
         "pipeline_documents": _pipeline_sql(),
+        "bm25_search_documents": (
+            "WITH base AS (SELECT doc_id, regexp_extract_all("
+            "lower(text), '[a-z0-9]{2,}') AS toks FROM documents), "
+            "d AS (SELECT doc_id, len(toks) AS dl, toks FROM base), "
+            "c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d), "
+            "tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM d), "
+            "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok "
+            "WHERE term IN ('query', 'spark', 'window') "
+            "GROUP BY 1, 2, 3), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1) "
+            "SELECT doc_id, round(sum("
+            "ln(1 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) "
+            "* tf / (tf + 1.2 * (0.25 + 0.75 * dl / c.avgdl))), 6) "
+            "AS score FROM tf JOIN dfq USING (term) CROSS JOIN c "
+            "GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+        ),
+        "readability_documents": (
+            "WITH m AS (SELECT doc_id, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w, "
+            "len(regexp_extract_all(lower(text), '[a-z]+')) AS aw, "
+            "greatest(len(regexp_extract_all(lower(text), "
+            "'[.!?]+')), 1) AS s, "
+            "len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg "
+            "FROM documents) "
+            "SELECT doc_id, w::BIGINT AS n_words, "
+            "(CASE WHEN w > 0 THEN s ELSE 0 END)::BIGINT "
+            "AS n_sentences, "
+            "(CASE WHEN w > 0 THEN greatest(vg, aw) ELSE 0 END)::BIGINT "
+            "AS n_syllables, "
+            "CASE WHEN w > 0 THEN round(206.835 - 1.015 * w / s "
+            "- 84.6 * greatest(vg, aw) / w, 4) END "
+            "AS flesch_reading_ease, "
+            "CASE WHEN w > 0 THEN round(0.39 * w / s "
+            "+ 11.8 * greatest(vg, aw) / w - 15.59, 4) END AS fk_grade "
+            "FROM m"
+        ),
+        "pmi_collocations_documents": (
+            "WITH base AS (SELECT regexp_extract_all(lower(text), "
+            "'[a-z0-9]+') AS t FROM documents), "
+            "pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM base, "
+            "unnest(generate_series(1, len(t) - 1)) AS g(i)), "
+            "pc AS (SELECT w1, w2, count(*) AS c12 FROM pairs "
+            "GROUP BY 1, 2 HAVING count(*) >= 5), "
+            "uc AS (SELECT w, count(*) AS c FROM "
+            "(SELECT unnest(t) AS w FROM base) GROUP BY 1), "
+            "tot AS (SELECT (SELECT sum(c) FROM uc) AS n_tokens, "
+            "(SELECT sum(greatest(len(t) - 1, 0)) FROM base) "
+            "AS n_pairs) "
+            "SELECT w1, w2, c12, round(ln(c12 * 1.0 / n_pairs) "
+            "- ln(u1.c * 1.0 / n_tokens) - ln(u2.c * 1.0 / n_tokens), "
+            "6) AS pmi FROM pc "
+            "JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w "
+            "CROSS JOIN tot ORDER BY pmi DESC, w1, w2 LIMIT 25"
+        ),
         "ewma_chart_events": (
             # horizon 164 PRECEDING = ceil(ln(2^-53)/ln(0.8)) - 1;
             # daily series are far shorter, so the frame covers each

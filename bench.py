@@ -509,6 +509,17 @@ def main() -> None:
         _noop(assemble_chunks(packed, "text", shard_cols=["source"],
                               order_cols=["doc_id"]))
 
+    def bench_search_text_mining():
+        # BM25 retrieval + PMI collocations + readability in one row:
+        # the corpus text-mining stage (all full-oracle gate queries)
+        from whylogs_spark.ops.search import bm25_search
+        from whylogs_spark.ops.text import (pmi_collocations,
+                                            with_readability)
+        _noop(bm25_search(t["documents"], "spark query window", k=20))
+        _noop(pmi_collocations(t["documents"], k=25, min_count=5))
+        _noop(with_readability(t["documents"]).select(
+            "doc_id", "flesch_reading_ease", "fk_grade"))
+
     def bench_pipeline():
         # the declarative 3-step cleaning chain as ONE composed plan
         from whylogs_spark.ops.pipeline import run_pipeline
@@ -560,6 +571,7 @@ def main() -> None:
         "recall_estimators": bench_recall_estimators,
         "assemble_chunks_documents": bench_assemble_chunks,
         "pipeline_documents": bench_pipeline,
+        "search_text_mining_documents": bench_search_text_mining,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -915,6 +915,59 @@ def main() -> None:
                 r"(?!(__qidx|query_id|__lid)))",
         }))
 
+    # 9z. BM25 retrieval: pruned scan, query-term filter under the
+    # aggregation, bounded broadcast sides, TakeOrderedAndProject
+    from whylogs_spark.ops.search import bm25_search
+
+    bm = bm25_search(docs, "spark query window", k=10)
+    sections.append((
+        "BM25 top-k retrieval", bm,
+        {
+            "2-column pruned scan":
+                r"ReadSchema: struct<doc_id[^\n]*text",
+            "query-term isin filter below the tf aggregation "
+            "(shuffle carries only matching terms)":
+                r"Filter[\s\S]*term#\d+ IN \(query,spark,window\)",
+            "partial agg before exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "bounded df/constants sides broadcast":
+                r"BroadcastHashJoin[\s\S]*BroadcastNestedLoopJoin|"
+                r"BroadcastNestedLoopJoin[\s\S]*BroadcastHashJoin",
+            "top-k via TakeOrderedAndProject (no global sort)":
+                r"TakeOrderedAndProject",
+        }))
+
+    # 9z2. PMI collocations: in-plan pair zip (no positional
+    # self-join), min-count filter before the joins, top-k
+    from whylogs_spark.ops.text import pmi_collocations, with_readability
+
+    pm = pmi_collocations(docs, k=25, min_count=5)
+    sections.append((
+        "PMI collocations", pm,
+        {
+            "pair construction in-plan (zip_with, no self-join "
+            "on position)": r"zip_with",
+            "min-count filter before the unigram joins":
+                r"\(c12#\d+L >= 5\)",
+            "1-row totals broadcast (nested-loop of one row)":
+                r"BroadcastNestedLoopJoin",
+            "top-k via TakeOrderedAndProject": r"TakeOrderedAndProject",
+        }))
+
+    # 9z3. readability: a single in-scan projection, zero shuffle
+    rd = with_readability(docs).select(
+        "doc_id", "flesch_reading_ease", "fk_grade")
+    sections.append((
+        "readability scores", rd,
+        {
+            "zero shuffle (pure projection)": r"^(?![\s\S]*Exchange)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInArrow|FlatMapsInPandas))",
+            "2-column pruned scan":
+                r"ReadSchema: struct<doc_id[^\n]*text",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

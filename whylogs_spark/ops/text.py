@@ -470,3 +470,128 @@ def chunk_text_sentences(
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------- readability
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid Grade Level per document —
+    the standard cheap readability gate for curriculum ordering and
+    audience auditing of training corpora.
+
+    Published formulas (Flesch 1948; Kincaid et al. 1975):
+      reading_ease = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+      fk_grade     = 0.39*(W/S) + 11.8*(Syl/W) - 15.59
+
+    Counting heuristics — all pure codegen regexp counts so an
+    identical SQL oracle exists in any RE2-class engine:
+      * words W       = runs of [a-z0-9]+ in the lowercased text
+      * sentences S   = runs of [.!?]+ (floored at 1 when W > 0)
+      * syllables Syl = runs of [aeiouy]+, floored at one per
+        alphabetic word (the classic vowel-group approximation; no
+        silent-e modeling — documented bias, stable across engines)
+
+    Documents with zero words get NULL scores (0/0 is not "grade 0").
+    Zero shuffle: a single narrow projection evaluated in-scan.
+
+    Reference analog: whylogs scores text via UDF metrics
+    (reference python/whylogs/experimental/core/udf_schema.py); this is
+    the same per-row enrichment surface as ``with_quality_score``.
+    """
+    lc = F.lower(F.col(text_col))
+    words = F.size(F.regexp_extract_all(lc, F.lit("[a-z0-9]+"), F.lit(0)))
+    alpha_words = F.size(F.regexp_extract_all(lc, F.lit("[a-z]+"), F.lit(0)))
+    sents_raw = F.size(F.regexp_extract_all(lc, F.lit("[.!?]+"), F.lit(0)))
+    sents = F.greatest(sents_raw, F.lit(1))
+    vowel_groups = F.size(
+        F.regexp_extract_all(lc, F.lit("[aeiouy]+"), F.lit(0)))
+    syllables = F.greatest(vowel_groups, alpha_words)
+    wps = words.cast("double") / sents
+    spw = syllables.cast("double") / words
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    some = words > 0
+    return (
+        df.withColumn("n_words", words.cast("long"))
+        .withColumn("n_sentences",
+                    F.when(some, sents).otherwise(F.lit(0)).cast("long"))
+        .withColumn("n_syllables",
+                    F.when(some, syllables).otherwise(F.lit(0))
+                    .cast("long"))
+        .withColumn("flesch_reading_ease",
+                    F.when(some, F.round(ease, 4)))
+        .withColumn("fk_grade",
+                    F.when(some, F.round(grade, 4)))
+    )
+
+
+# --------------------------------------------------- PMI collocations
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    (Church & Hanks 1990) — surfaces multi-word expressions ("new york",
+    "machine learning") for tokenizer vocabulary design and corpus
+    topic auditing.
+
+      pmi(w1,w2) = ln(c12/T) - ln(c1/N) - ln(c2/N)
+
+    with c12 the adjacent-pair count (T total pairs) and c1/c2 corpus
+    unigram counts (N total tokens). Pairs rarer than ``min_count``
+    are dropped first — both the standard noise guard (PMI is maximized
+    by hapax pairs) and the scale guard: the filter runs before the
+    joins, so the join input is bounded by T/min_count rows.
+
+    Returns (w1, w2, c12, pmi) — top-k by (pmi desc, w1, w2), rounded
+    to 6 decimals so rankings reproduce across engines.
+
+    Scale shape: pair construction IN-PLAN on the token array (zip of
+    the array with its own tail, same idiom as ``train_bigram_lm`` —
+    no positional self-join), one groupBy(w1,w2) with map-side partial
+    agg, two shuffle joins against the unigram table (AQE sizes them),
+    1-row total aggregates broadcast via cross join, and a distributed
+    top-k (TakeOrderedAndProject). Action-free.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(F.slice(toks, 1, n - 1),
+                   F.slice(toks, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pc = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_tokens")).crossJoin(
+        df.select(
+            F.greatest(n - 1, F.lit(0)).alias("__np"))
+        .agg(F.sum("__np").alias("n_pairs")))
+    pmi = (
+        F.log(F.col("c12").cast("double") / F.col("n_pairs"))
+        - F.log(F.col("c1").cast("double") / F.col("n_tokens"))
+        - F.log(F.col("c2").cast("double") / F.col("n_tokens"))
+    )
+    scored = (
+        pc.join(uni.withColumnRenamed("w", "w1")
+                .withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                          F.col("w2").asc()).limit(k)
