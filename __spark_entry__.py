@@ -1822,6 +1822,61 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alarm")
 
 
+def _lcg_pixels(seed: int, n: int = 256) -> list:
+    """Deterministic 8-bit noise: 64-bit LCG (Knuth MMIX constants),
+    top-bits output — reproducible across engines/runs."""
+    x = (seed * 2654435761 + 1) & 0xFFFFFFFFFFFFFFFF
+    out = []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) \
+            & 0xFFFFFFFFFFFFFFFF
+        out.append((x >> 33) & 0xFF)
+    return out
+
+
+def _gray_bmp16(vals: list) -> bytes:
+    """Minimal 16x16 24bpp BI_RGB grayscale BMP (bottom-up rows)."""
+    import struct
+
+    w = h = 16
+    rows = b""
+    for y in range(h - 1, -1, -1):
+        rows += b"".join(bytes((v, v, v))
+                         for v in vals[y * w:(y + 1) * w])
+    return (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(rows), 2835, 2835, 0, 0) + rows)
+
+
+def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (ops/multimodal.with_image_hashes
+    + ops/dedup.hamming_neardup_pairs): two deterministic synthetic
+    BMPs per document row (LCG noise seeded by doc_id; second copy
+    brightness-lifted +3) are decoded, dHashed, and banded-joined.
+    Rows-only gate: DuckDB cannot decode BMP or take a DCT — hash
+    semantics are pinned in tests/test_image_hash.py against per-bit
+    recomputation and a brute-force O(n^2) pair scan."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                base = _lcg_pixels(int(d))
+                rows.append((int(d) * 2, _gray_bmp16(base)))
+                rows.append((int(d) * 2 + 1, _gray_bmp16(
+                    [min(v + 3, 255) for v in base])))
+            yield pd.DataFrame(rows, columns=["img_id", "content"])
+
+    imgs = docs.mapInPandas(gen, "img_id long, content binary")
+    pairs = dedup_ops.image_neardup_pairs(
+        imgs, content_col="content", id_col="img_id",
+        method="dhash", max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k retrieval (ops/search.py bm25_search): doc
     length as a zero-shuffle codegen projection, tf restricted to the
@@ -2002,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_documents": _q_bm25,
         "readability_documents": _q_readability,
         "pmi_collocations_documents": _q_pmi,
+        "image_neardup_synthetic": _q_image_neardup,
     }
 
 
@@ -3647,6 +3703,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w "
             "CROSS JOIN tot ORDER BY pmi DESC, w1, w2 LIMIT 25"
         ),
+        # image_neardup_synthetic: NO oracle — DuckDB can neither
+        # decode BMP nor take a DCT; rows-only check. Hash semantics
+        # are pinned in tests/test_image_hash.py (per-bit
+        # recomputation, textbook-DCT cross-check, brute-force pair
+        # scan with planted near pairs).
         "ewma_chart_events": (
             # horizon 164 PRECEDING = ceil(ln(2^-53)/ln(0.8)) - 1;
             # daily series are far shorter, so the frame covers each

@@ -329,6 +329,41 @@ def main() -> None:
         from whylogs_spark.ops import multimodal as mm
         _noop(mm.extract_pixel_features(media.select("path", "content")))
 
+    # distinct-image frame for perceptual-hash near-dup: replicating
+    # the 8 base images (like `media`) would make every LSH bucket
+    # quadratic in the replication factor; near-dup wants breadth.
+    # 2k distinct 16x16 noise images + a brightness-lifted variant each.
+    def _noise_bmp(seed, lift=0):
+        import random as _random
+        rng = _random.Random(seed)
+        pad = (4 - (16 * 3) % 4) % 4
+        px = bytearray()
+        for _ in range(16):
+            for _ in range(16):
+                v = min(rng.randrange(256) + lift, 255)
+                px += bytes((v, v, v))
+            px += b"\x00" * pad
+        hdr = b"BM" + _struct.pack("<IHHI", 54 + len(px), 0, 0, 54) \
+            + _struct.pack("<IiiHHIIiiII", 40, 16, 16, 1, 24, 0,
+                           len(px), 2835, 2835, 0, 0)
+        return bytes(hdr + px)
+
+    imghash_media = spark.createDataFrame(
+        [(2 * i + d, _noise_bmp(i, lift=3 * d))
+         for i in range(2000) for d in (0, 1)],
+        "img_id long, content binary").repartition(ncpu).cache()
+    imghash_media.count()
+
+    def bench_image_hash_neardup():
+        # decode + aHash/dHash/pHash (Arrow kernel) on 12k mixed-format
+        # images, then the Hamming-banded pair join on 4k distinct
+        from whylogs_spark.ops.dedup import hamming_neardup_pairs
+        from whylogs_spark.ops.multimodal import with_image_hashes
+        _noop(with_image_hashes(media.select("path", "content")))
+        sigs = with_image_hashes(imghash_media, id_col="img_id")
+        _noop(hamming_neardup_pairs(sigs, "dhash", id_col="img_id",
+                                    max_hamming=3))
+
     # separate row for the VP8L decoder (keeps pixel_features_12k
     # comparable across rounds): 8 distinct 64x64 lossless WebPs
     # (cache+LZ77 so the full symbol loop runs) replicated to ~4k rows.
@@ -572,11 +607,13 @@ def main() -> None:
         "assemble_chunks_documents": bench_assemble_chunks,
         "pipeline_documents": bench_pipeline,
         "search_text_mining_documents": bench_search_text_mining,
+        "image_hash_neardup": bench_image_hash_neardup,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time
     # bounded; odd counts keep the reported median a true middle rep
     reps_for = {"recall_estimators": 3,
+                "image_hash_neardup": 3,
                 "bpe_train_tokenize_documents": 3,
                 "webp_decode_4k_images": 3,
                 "semantic_dedup_embeddings": 3,

@@ -954,6 +954,32 @@ def main() -> None:
             "top-k via TakeOrderedAndProject": r"TakeOrderedAndProject",
         }))
 
+    # 9z2b. perceptual-hash image near-dup: one Python (Arrow-batched)
+    # decode+hash pass, then the same banding shape as SimHash —
+    # signatures (8 bytes) shuffle, never pixel payloads
+    from whylogs_spark.ops.dedup import hamming_neardup_pairs
+    from whylogs_spark.ops.multimodal import with_image_hashes
+
+    fake_imgs = spark.createDataFrame(
+        [(i, b"BM") for i in range(4)], "img_id long, content binary")
+    ih = hamming_neardup_pairs(
+        with_image_hashes(fake_imgs, id_col="img_id"), "dhash",
+        id_col="img_id", max_hamming=3)
+    sections.append((
+        "image perceptual-hash near-dup", ih,
+        {
+            "decode+hash is one Arrow-batched pass":
+                r"FlatMapsInPandas|MapInPandas|ArrowEvalPython",
+            "banding shuffles 8-byte signatures, not image bytes "
+            "(no binary column past the kernel)":
+                r"^(?![\s\S]*Exchange[^\n]*content)",
+            "bucket aggregation is partial before the exchange":
+                r"ObjectHashAggregate[\s\S]*Exchange[\s\S]*"
+                r"ObjectHashAggregate|"
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no cartesian product": r"^(?![\s\S]*CartesianProduct)",
+        }))
+
     # 9z3. readability: a single in-scan projection, zero shuffle
     rd = with_readability(docs).select(
         "doc_id", "flesch_reading_ease", "fk_grade")

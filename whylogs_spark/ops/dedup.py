@@ -789,21 +789,23 @@ def simhash_hamming(a: Column, b: Column) -> Column:
     return F.bit_count(x)
 
 
-def simhash_neardup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
+def hamming_neardup_pairs(
+    sigs: DataFrame,
+    sig_col: str,
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    impl: str = "arrow",
+    max_bucket: int = 2048,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash: candidates via block banding,
+    """Near-duplicate pairs over ANY 64-bit signature column (SimHash,
+    perceptual image hashes, ...) — candidates via block banding,
     verified by exact hamming distance.
 
     Pigeonhole: splitting the 64-bit signature into 4 x 16-bit blocks,
     any pair with hamming <= 3 agrees exactly on at least one block — so
     grouping by (block_index, block_value) finds every such pair with one
-    shuffle of (docs x 4) 10-byte rows. In-bucket pair expansion caps
-    degenerate buckets like the MinHash path.
+    shuffle of (rows x 4) 10-byte rows. In-bucket pair expansion caps
+    degenerate buckets like the MinHash path. Null signatures (e.g.
+    undecodable images) are dropped first.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
     """
@@ -811,22 +813,20 @@ def simhash_neardup_pairs(
         raise ValueError(
             "4-block banding guarantees recall only for max_hamming <= 3; "
             "band more blocks for larger radii")
-    sigs = simhash_signatures(df, text_col, id_col, impl=impl)
     blocks = F.array(*[
         F.struct(
             F.lit(b).alias("blk"),
-            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            F.shiftrightunsigned(F.col(sig_col), 16 * b)
             .bitwiseAND(F.lit(0xFFFF)).alias("val"),
         )
         for b in range(4)
     ])
-    banded = sigs.select(
-        F.col(id_col).alias("__id"), F.col("simhash"),
+    banded = sigs.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"),
         F.explode(blocks).alias("bb"),
-    ).select("__id", "simhash", "bb.blk", "bb.val")
+    ).select("__id", "__sig", "bb.blk", "bb.val")
 
-    max_bucket = 2048
-    members = F.array_sort(F.collect_list(F.struct("__id", "simhash")))
+    members = F.array_sort(F.collect_list(F.struct("__id", "__sig")))
     grouped = (
         banded.groupBy("blk", "val")
         .agg(members.alias("ms"))
@@ -839,7 +839,7 @@ def simhash_neardup_pairs(
                 F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
                 lambda y: F.struct(
                     x["__id"].alias("id_a"), y["__id"].alias("id_b"),
-                    simhash_hamming(x["simhash"], y["simhash"])
+                    simhash_hamming(x["__sig"], y["__sig"])
                     .alias("hamming")),
             ),
         )
@@ -850,6 +850,49 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: signatures via
+    :func:`simhash_signatures`, pair join via the generic
+    :func:`hamming_neardup_pairs` block banding.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
+    """
+    sigs = simhash_signatures(df, text_col, id_col, impl=impl)
+    return hamming_neardup_pairs(
+        sigs, "simhash", id_col=id_col, max_hamming=max_hamming)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    method: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hashes (lib-free decode,
+    one Arrow pass — ``ops.multimodal.with_image_hashes``) fed through
+    the same Hamming block banding as the text SimHash path. ``method``
+    picks the signature: 'phash' (DCT, robust to brightness/contrast),
+    'ahash' (mean threshold), or 'dhash' (gradient sign, robust to
+    uniform brightness shifts). Undecodable rows are excluded.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if method not in ("ahash", "dhash", "phash"):
+        raise ValueError("method must be one of ahash/dhash/phash")
+    from whylogs_spark.ops.multimodal import with_image_hashes
+
+    sigs = with_image_hashes(df, content_col=content_col, id_col=id_col)
+    return hamming_neardup_pairs(
+        sigs, method, id_col=id_col, max_hamming=max_hamming)
 
 
 # ------------------------------------------------------------- line dedup

@@ -822,18 +822,16 @@ def _decode_tiff(content: bytes):
     return np.repeat(g[:, :, None], 3, axis=2)
 
 
-def _numpy_pixel_features(content: bytes):
-    """PIL-free pixel kernel: BMP / binary PPM (raw), PNG (stdlib zlib
-    inflate + scanline unfilter, Adam7 included), baseline or
-    progressive JPEG (_jpeg.py: Huffman + batched-numpy IDCT) and
-    strip-TIFF (none/PackBits) produce the same HSV mean/stddev +
-    entropy bundle as the PIL path, so the pixel-stat pipeline runs
-    end-to-end without decode libraries. Lossless WebP (VP8L) decodes
-    through ops/_webp.py. Returns None for shapes outside the
-    supported envelope (12-bit JPEG, 16-bit PNG, LZW/tiled TIFF,
-    lossy-VP8 WebP)."""
-    import numpy as np
+def _decode_rgb_any(content: bytes):
+    """Format-sniffing RGB decode shared by the pixel-stat and
+    perceptual-hash kernels. Returns (format, HxWx3 uint8 array) or
+    None for shapes outside the lib-free envelope (12-bit JPEG,
+    16-bit PNG, LZW/tiled TIFF, lossy-VP8 WebP) or corrupt payloads.
 
+    Corrupt payloads must degrade (header sniff / strict error), not
+    leak a decoder exception out of the Spark task: a hostile PNG can
+    raise struct.error in chunk parsing, ValueError in a malformed
+    PLTE reshape, or IndexError on an out-of-range palette index."""
     if content[:2] == b"P6":
         dec, fmt = _decode_ppm, "ppm"
     elif content[:2] == b"BM":
@@ -854,16 +852,31 @@ def _numpy_pixel_features(content: bytes):
         dec, fmt = decode_jpeg, "jpeg"
     else:
         return None
-    # corrupt payloads must degrade (header sniff / strict error), not
-    # leak a decoder exception out of the Spark task: a hostile PNG can
-    # raise struct.error in chunk parsing, ValueError in a malformed
-    # PLTE reshape, or IndexError on an out-of-range palette index
     try:
         arr = dec(content)
     except Exception:
         arr = None
     if arr is None:
         return None
+    return fmt, arr
+
+
+def _numpy_pixel_features(content: bytes):
+    """PIL-free pixel kernel: BMP / binary PPM (raw), PNG (stdlib zlib
+    inflate + scanline unfilter, Adam7 included), baseline or
+    progressive JPEG (_jpeg.py: Huffman + batched-numpy IDCT) and
+    strip-TIFF (none/PackBits) produce the same HSV mean/stddev +
+    entropy bundle as the PIL path, so the pixel-stat pipeline runs
+    end-to-end without decode libraries. Lossless WebP (VP8L) decodes
+    through ops/_webp.py. Returns None for shapes outside the
+    supported envelope (12-bit JPEG, 16-bit PNG, LZW/tiled TIFF,
+    lossy-VP8 WebP)."""
+    import numpy as np
+
+    decoded = _decode_rgb_any(content)
+    if decoded is None:
+        return None
+    fmt, arr = decoded
     hsv = _rgb_to_hsv_u8(arr).reshape(-1, 3)
     means = hsv.mean(axis=0)
     stds = hsv.std(axis=0)  # population stddev, matching PIL ImageStat
@@ -959,6 +972,152 @@ def decode_image_pixels(df: DataFrame) -> DataFrame:
     library OR corrupt payload — fails the task fast. Alias for
     ``extract_pixel_features(strict=True)``."""
     return extract_pixel_features(df, strict=True)
+
+
+# ---------------------------------------------------- perceptual hashing
+
+def _resize_gray(gray, out_h: int, out_w: int):
+    """Deterministic grayscale resize for hashing: box-filter area
+    average when downsampling (each output cell averages a contiguous
+    slice; boundaries floor(i*n/out)), nearest-neighbor when
+    upsampling. Separable: rows then columns."""
+    import numpy as np
+
+    def one_axis(a, out_n, axis):
+        n = a.shape[axis]
+        if n == out_n:
+            return a
+        if n > out_n:
+            bounds = (np.arange(out_n) * n) // out_n
+            sums = np.add.reduceat(a, bounds, axis=axis)
+            counts = np.diff(np.append(bounds, n))
+            shape = [1, 1]
+            shape[axis] = out_n
+            return sums / counts.reshape(shape)
+        idx = (np.arange(out_n) * n) // out_n
+        return np.take(a, idx, axis=axis)
+
+    g = gray.astype(np.float64)
+    return one_axis(one_axis(g, out_h, 0), out_w, 1)
+
+
+_DCT_CACHE: dict = {}
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (type-II, norm='ortho'):
+    D[k,i] = s(k) * cos(pi*(2i+1)*k / (2n)), s(0)=sqrt(1/n),
+    s(k>0)=sqrt(2/n). coefs = D @ g @ D.T."""
+    import numpy as np
+
+    if n not in _DCT_CACHE:
+        i = np.arange(n)
+        k = np.arange(n)[:, None]
+        d = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+        d[0] *= np.sqrt(1.0 / n)
+        d[1:] *= np.sqrt(2.0 / n)
+        _DCT_CACHE[n] = d
+    return _DCT_CACHE[n]
+
+
+def _pack_bits64(bits) -> int:
+    """Row-major bit vector (length 64) -> signed two's-complement
+    int64; bit 0 lands in the MSB."""
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bool(bit))
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hashes(content: bytes):
+    """(ahash, dhash, phash) — the three standard 64-bit perceptual
+    image fingerprints (aHash/dHash per Krawetz's published
+    HackerFactor articles; pHash = DCT hash per Zauner 2010,
+    "Implementation and Benchmarking of Perceptual Image Hash
+    Functions"), computed from the lib-free RGB decode:
+
+      * aHash: 8x8 area-averaged grayscale, bit = cell > mean
+      * dHash: 9x8 grayscale, bit = left cell < right neighbor
+        (horizontal gradient sign)
+      * pHash: 32x32 grayscale -> orthonormal 2-D DCT-II -> top-left
+        8x8 coefficient block, bit = coef > median of the 63 non-DC
+        coefs; the DC position is always 0
+
+    Bits pack row-major, first bit in the MSB, two's-complement into
+    a signed int64 (Spark LongType). Returns None when the payload is
+    not decodable by the lib-free kernel."""
+    import numpy as np
+
+    decoded = _decode_rgb_any(content)
+    if decoded is None:
+        return None
+    _, arr = decoded
+    gray = arr.astype(np.float64).mean(axis=2)
+
+    a8 = _resize_gray(gray, 8, 8)
+    ahash = _pack_bits64((a8 > a8.mean()).ravel())
+
+    d98 = _resize_gray(gray, 8, 9)
+    dhash = _pack_bits64((d98[:, :-1] < d98[:, 1:]).ravel())
+
+    g32 = _resize_gray(gray, 32, 32)
+    d = _dct_matrix(32)
+    block = (d @ g32 @ d.T)[:8, :8]
+    flat = block.ravel()
+    med = float(np.median(flat[1:]))
+    bits = flat > med
+    bits[0] = False
+    phash = _pack_bits64(bits)
+    return ahash, dhash, phash
+
+
+def with_image_hashes(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    strict: bool = False,
+) -> DataFrame:
+    """Perceptual hashes per image row -> (id_col, ahash, dhash,
+    phash) — the multimodal analog of ``with_fingerprint``: near-
+    duplicate IMAGE detection at corpus scale feeds these 64-bit
+    signatures into the same Hamming-banded pair join the text side
+    uses (``ops.dedup.hamming_neardup_pairs``).
+
+    One shuffle-free Arrow pass (mapInPandas; the decode is inherently
+    per-row binary work, batched through Arrow). Undecodable rows give
+    null hashes, or fail the task when ``strict=True``. The plan prunes
+    the scan to (id, content).
+
+    Reference parity: the reference's image path computes PIL-based
+    statistical metrics only (extras/image_metric.py) — perceptual
+    hashing is part of the training-pipeline extension surface.
+    """
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        id_field,
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                content = bytes(r[content_col]) \
+                    if r[content_col] is not None else b""
+                hs = perceptual_hashes(content)
+                if hs is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"no lib-free decoder for row {r[id_col]!r}"
+                            " (corrupt or unsupported encoding)")
+                    hs = (None, None, None)
+                out.append((r[id_col],) + hs)
+            yield pd.DataFrame(
+                out, columns=[id_col, "ahash", "dhash", "phash"])
+
+    return df.select(id_col, content_col).mapInPandas(gen, out_schema)
 
 
 # ---------------------------------------------------------------- audio
