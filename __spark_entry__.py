@@ -1822,6 +1822,24 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alarm")
 
 
+def _q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (ops/dedup.py
+    incremental_minhash_dedup): batch (doc_id >= 250) against history
+    (doc_id < 250) with greedy earlier-wins semantics — a batch doc
+    drops iff ANY lower-id doc (history or batch) verifies at J >= 0.8.
+    History band keys are only probed (batch side broadcasts); the
+    oracle recomputes exact word-3-gram Jaccard for every lower-id
+    pair — green iff banding reaches full recall on the planted dups
+    (near-identical, per-pair miss probability ~(1-0.8^4)^16 ≈ 2e-4
+    at the J=0.8 boundary, ~0 at the fixture's J≈1)."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    out = dedup_ops.incremental_minhash_dedup(
+        batch, hist, jaccard_threshold=0.8)
+    return out.select("doc_id", "lang", "source")
+
+
 def _lcg_pixels(seed: int, n: int = 256) -> list:
     """Deterministic 8-bit noise: 64-bit LCG (Knuth MMIX constants),
     top-bits output — reproducible across engines/runs."""
@@ -2058,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_documents": _q_readability,
         "pmi_collocations_documents": _q_pmi,
         "image_neardup_synthetic": _q_image_neardup,
+        "incremental_minhash_documents": _q_incremental_minhash,
     }
 
 
@@ -3702,6 +3721,32 @@ def oracle_sql() -> dict[str, str]:
             "6) AS pmi FROM pc "
             "JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w "
             "CROSS JOIN tot ORDER BY pmi DESC, w1, w2 LIMIT 25"
+        ),
+        "incremental_minhash_documents": (
+            # greedy earlier-wins: batch doc (id >= 250) drops iff ANY
+            # lower-id doc matches at exact 3-gram Jaccard >= 0.8 —
+            # no recursion needed (contrast _minhash_dedup_sql)
+            "WITH t AS (SELECT doc_id, regexp_replace(lower("
+            "trim(text)), '\\s+', ' ', 'g') AS nt FROM documents), "
+            "tok AS (SELECT doc_id, string_split(nt, ' ') AS toks "
+            "FROM t), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            "list_distinct(list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) "
+            "ELSE [list_aggregate(toks, 'string_agg', ' ')] END "
+            "AS grams FROM tok), "
+            "e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) "
+            "AS gram FROM g), "
+            "j AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, "
+            "x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter "
+            "FROM e x JOIN e y ON x.gram = y.gram "
+            "AND x.doc_id < y.doc_id WHERE y.doc_id >= 250 "
+            "GROUP BY 1, 2, 3, 4), "
+            "losers AS (SELECT DISTINCT id_b FROM j "
+            "WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.8) "
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE doc_id >= 250 "
+            "AND doc_id NOT IN (SELECT id_b FROM losers)"
         ),
         # image_neardup_synthetic: NO oracle — DuckDB can neither
         # decode BMP nor take a DCT; rows-only check. Hash semantics

@@ -544,6 +544,15 @@ def main() -> None:
         _noop(assemble_chunks(packed, "text", shard_cols=["source"],
                               order_cols=["doc_id"]))
 
+    def bench_incremental_minhash():
+        # steady-state near-dup ingest: odd-id batch vs even-id history
+        from whylogs_spark.ops.dedup import incremental_minhash_dedup
+        d = t["documents"]
+        _noop(incremental_minhash_dedup(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+            jaccard_threshold=0.8))
+
     def bench_search_text_mining():
         # BM25 retrieval + PMI collocations + readability in one row:
         # the corpus text-mining stage (all full-oracle gate queries)
@@ -608,6 +617,7 @@ def main() -> None:
         "pipeline_documents": bench_pipeline,
         "search_text_mining_documents": bench_search_text_mining,
         "image_hash_neardup": bench_image_hash_neardup,
+        "incremental_minhash_documents": bench_incremental_minhash,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -954,6 +954,33 @@ def main() -> None:
             "top-k via TakeOrderedAndProject": r"TakeOrderedAndProject",
         }))
 
+    # 9z1b. incremental MinHash dedup (broadcast strategy): the
+    # history index is probed, not shuffled — every batch-derived
+    # frame broadcasts; the only history aggregation sizes the probed
+    # buckets (after the semi-join prune)
+    from whylogs_spark.ops.dedup import incremental_minhash_dedup
+
+    imh = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        jaccard_threshold=0.8)
+    sections.append((
+        "incremental MinHash dedup (broadcast)", imh,
+        {
+            "batch band keys broadcast into the history probe":
+                r"BroadcastHashJoin[^\n]*LeftSemi|"
+                r"BroadcastHashJoin[\s\S]*LeftSemi",
+            "no raw text in any exchange":
+                r"^(?![\s\S]*Exchange[^\n]*\btext#)",
+            "bucket sizing is a partial agg before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no cartesian product": r"^(?![\s\S]*CartesianProduct)",
+            "survivor filter is a broadcast anti join "
+            "(batch never hash-exchanges for it)":
+                r"BroadcastHashJoin[^\n]*LeftAnti|"
+                r"BroadcastHashJoin[\s\S]*LeftAnti",
+        }))
+
     # 9z2b. perceptual-hash image near-dup: one Python (Arrow-batched)
     # decode+hash pass, then the same banding shape as SimHash —
     # signatures (8 bytes) shuffle, never pixel payloads

@@ -264,35 +264,97 @@ def minhash_signatures(
         gen, out_schema)
 
 
-def minhash_lsh_pairs(
+def minhash_index(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
-    bands: int = 16,
     shingle_words: int = 3,
-    jaccard_threshold: float = 0.5,
     impl: str = "arrow",
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding + exact verify.
+    """(id, minhash_sig: array<long>, shingles: array<long>) — the
+    persistable near-dup INDEX: everything the LSH pair machinery needs
+    (band keys derive from the signature in-plan; exact-Jaccard verify
+    reads the shingle sets), with the raw text left behind. Write this
+    to Parquet once per ingested corpus and incremental runs never
+    touch history text again.
 
-    rows/bands r=num_hashes/bands -> s-curve threshold ~ (1/b)^(1/r).
-    Shuffle volume: docs x bands band-key rows, then the (small) candidate
-    pair set joins back to shingle sets for exact Jaccard — the join is on
-    ids, broadcast-able when candidates are few.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    impl="arrow" (default): ONE Arrow pass computes both — the gram
+    hashes are shared between the signature permutations and the
+    shingle sets (halves the tokenize+hash work vs running
+    ``minhash_signatures`` and ``shingle_hash_sets`` separately).
+    impl="sql": pure-JVM — ``hashed_word_shingles`` plus an in-plan
+    ``array_min(transform(...))`` per permutation; identical values to
+    the explode/groupBy formulation, zero shuffle.
     """
+    if impl == "sql":
+        sh = hashed_word_shingles(F.col(text_col), shingle_words)
+        out = ensure_parallelism(df).select(
+            F.col(id_col), sh.alias("shingles"))
+        # NB: the transform lambda must be ARITY 1 — PySpark treats a
+        # two-parameter lambda as (element, array_index) and would
+        # shadow the permutation index with the element position
+        sig = F.array(*[
+            F.array_min(F.transform(
+                F.col("shingles"),
+                (lambda ii: lambda h: F.xxhash64(h, F.lit(ii)))(i)))
+            for i in range(num_hashes)
+        ])
+        return out.select(id_col, sig.alias("minhash_sig"), "shingles")
+
+    n = shingle_words
+    rng = np.random.RandomState(0xD5)
+    perm_a = (rng.randint(1, 2 ** 62, size=num_hashes, dtype=np.uint64)
+              * np.uint64(2) + np.uint64(1))
+    perm_b = rng.randint(0, 2 ** 63, size=num_hashes, dtype=np.uint64)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        id_field,
+        T.StructField("minhash_sig", T.ArrayType(T.LongType())),
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        np.seterr(over="ignore")
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            texts = tbl.column(text_col).to_pylist()
+            if not texts:
+                continue
+            gram_chunks = [_token_gram_hashes(t, n) for t in texts]
+            starts = np.cumsum([0] + [g.size for g in gram_chunks])[:-1]
+            allg = np.concatenate(gram_chunks)
+            perm = perm_a[:, None] * allg[None, :] + perm_b[:, None]
+            mins = np.minimum.reduceat(perm, starts, axis=1)
+            sigs = mins.astype(np.int64).T
+            sh_arrays = [pa.array(g.astype(np.int64))
+                         for g in gram_chunks]
+            yield pa.RecordBatch.from_arrays(
+                [tbl.column(id_col).combine_chunks(),
+                 pa.array([row.tolist() for row in sigs],
+                          pa.list_(pa.int64())),
+                 pa.ListArray.from_arrays(
+                     np.cumsum([0] + [len(g) for g in gram_chunks]),
+                     pa.concat_arrays(sh_arrays) if sh_arrays else
+                     pa.array([], pa.int64()))],
+                names=[id_col, "minhash_sig", "shingles"])
+
+    return ensure_parallelism(df.select(id_col, text_col)).mapInArrow(
+        gen, out_schema)
+
+
+def _band_structs(num_hashes: int, bands: int,
+                  sig_col: str = "minhash_sig") -> Column:
+    """In-plan LSH band keys: array of (band, bucket=xxhash64 of the
+    band's signature rows) structs, derived from the signature column."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
-                              shingle_words, impl)
-    band_structs = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
                     *[
-                        F.col("minhash_sig")[b * rows_per_band + r]
+                        F.col(sig_col)[b * rows_per_band + r]
                         for r in range(rows_per_band)
                     ]
                 ).alias("bucket"),
@@ -300,9 +362,26 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
+
+
+def lsh_pairs_from_index(
+    idx: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 2048,
+) -> DataFrame:
+    """Verified near-dup pairs from a :func:`minhash_index` frame —
+    the banding + in-bucket expansion + exact-Jaccard verify core of
+    ``minhash_lsh_pairs``, reusable against a PERSISTED index (no
+    re-tokenization of the corpus).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    banded = idx.select(
         F.col(id_col).alias("__id"),
-        F.explode(band_structs).alias("bb"),
+        F.explode(_band_structs(num_hashes, bands)).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
 
     # One shuffle: group bucket members, expand in-bucket pairs with
@@ -310,7 +389,6 @@ def minhash_lsh_pairs(
     # (their members are near-certain dups of each other AND of smaller
     # buckets' members via other bands; at 100 TB an O(bucket²) expansion
     # of a degenerate bucket would dominate the job).
-    max_bucket = 2048
     ids = F.array_sort(F.collect_list("__id"))
     grouped = (
         banded.groupBy("band", "bucket")
@@ -332,17 +410,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    if impl == "sql":
-        shingled = ensure_parallelism(df).select(
-            F.col(id_col).alias("__id"),
-            hashed_word_shingles(F.col(text_col), shingle_words)
-            .alias("__sh"),
-        )
-    else:
-        shingled = shingle_hash_sets(
-            df, text_col, id_col, shingle_words
-        ).select(F.col(id_col).alias("__id"), F.col("shingles").alias("__sh"))
-    verified = (
+    shingled = idx.select(F.col(id_col).alias("__id"),
+                          F.col("shingles").alias("__sh"))
+    return (
         pairs.join(
             shingled.withColumnRenamed("__id", "id_a")
             .withColumnRenamed("__sh", "sh_a"),
@@ -361,7 +431,35 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.5,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding + exact verify.
+
+    rows/bands r=num_hashes/bands -> s-curve threshold ~ (1/b)^(1/r).
+    Shuffle volume: docs x bands band-key rows, then the (small) candidate
+    pair set joins back to shingle sets for exact Jaccard — the join is on
+    ids, broadcast-able when candidates are few.
+
+    Signature + shingle computation shares one pass through
+    :func:`minhash_index`; the pair machinery is
+    :func:`lsh_pairs_from_index`.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    idx = minhash_index(df, text_col, id_col, num_hashes,
+                        shingle_words, impl)
+    return lsh_pairs_from_index(idx, id_col, num_hashes, bands,
+                                jaccard_threshold)
 
 
 def connected_components(
@@ -1265,6 +1363,110 @@ def incremental_dedup(
     if strategy != "shuffle":
         raise ValueError(f"unknown strategy {strategy!r}")
     return b.join(h, "__fp", "left_anti").drop("__fp")
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.8,
+    impl: str = "arrow",
+    strategy: str = "broadcast",
+    max_bucket: int = 2048,
+) -> DataFrame:
+    """NEAR-duplicate dedup of a new batch against an already-ingested
+    corpus — the fuzzy sibling of :func:`incremental_dedup`: keep batch
+    rows with no verified Jaccard >= threshold match in history and no
+    match to an EARLIER (lower ``id_col``) batch row.
+
+    Greedy earlier-wins semantics (``incremental_dedup`` parity): a
+    batch row is dropped when ANY lower-id batch row matches it, even
+    if that row is itself dropped. For exact matching the greedy and
+    component-min rules coincide; for near-dup they differ on chains —
+    one-shot corpus dedup with full transitive closure is
+    :func:`minhash_dedup`.
+
+    ``history`` may be raw documents (re-indexed in one Arrow pass) or
+    — the steady-state shape — a persisted :func:`minhash_index` frame
+    (columns ``minhash_sig``/``shingles`` present), in which case
+    history text is never touched.
+
+    strategy='broadcast' (default, batch << history): every
+    batch-derived frame (band keys, candidate ids, batch shingles)
+    broadcasts, so history is only SCANNED — twice over the index
+    (banding probe, shingle verify) plus one bounded aggregation that
+    sizes only the PROBED buckets (bucket-cap guard; a degenerate
+    history bucket is dropped before the O(bucket x hits) expansion,
+    exactly like the in-corpus LSH cap).
+    strategy='shuffle': plain equi-joins; AQE picks sides. Right when
+    the batch is itself corpus-sized.
+    """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    def _maybe_b(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if strategy == "broadcast" else d
+
+    idx_cols = {"minhash_sig", "shingles"}
+    b_idx = (batch if idx_cols <= set(batch.columns)
+             else minhash_index(batch, text_col, id_col, num_hashes,
+                                shingle_words, impl))
+    h_idx = (history if idx_cols <= set(history.columns)
+             else minhash_index(history, text_col, id_col, num_hashes,
+                                shingle_words, impl))
+
+    # earlier-in-batch losers: any verified pair (a < b) kills b
+    in_batch = lsh_pairs_from_index(
+        b_idx, id_col, num_hashes, bands, jaccard_threshold, max_bucket)
+    losers_b = in_batch.select(F.col("id_b").alias(id_col)).distinct()
+
+    # history matches: probe history band keys with the batch's
+    bb = b_idx.select(
+        F.col(id_col).alias("__bid"),
+        F.explode(_band_structs(num_hashes, bands)).alias("bb"),
+    ).select("__bid", "bb.band", "bb.bucket")
+    hb = h_idx.select(
+        F.col(id_col).alias("__hid"),
+        F.explode(_band_structs(num_hashes, bands)).alias("bb"),
+    ).select("__hid", "bb.band", "bb.bucket")
+
+    keys = bb.select("band", "bucket").distinct()
+    hb_hit = hb.join(_maybe_b(keys), ["band", "bucket"], "leftsemi")
+    ok_buckets = (
+        hb_hit.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .filter(F.col("__sz") <= max_bucket)
+        .select("band", "bucket")
+    )
+    cand = (
+        hb_hit.join(_maybe_b(ok_buckets), ["band", "bucket"], "leftsemi")
+        .join(_maybe_b(bb), ["band", "bucket"])
+        .select("__hid", "__bid")
+        .distinct()
+    )
+
+    h_sh = h_idx.select(F.col(id_col).alias("__hid"),
+                        F.col("shingles").alias("__sh_h"))
+    b_sh = b_idx.select(F.col(id_col).alias("__bid"),
+                        F.col("shingles").alias("__sh_b"))
+    jac = (
+        F.size(F.array_intersect("__sh_h", "__sh_b")).cast("double")
+        / F.size(F.array_union("__sh_h", "__sh_b"))
+    )
+    losers_h = (
+        h_sh.join(_maybe_b(cand), "__hid")
+        .join(_maybe_b(b_sh), "__bid")
+        .filter(jac >= jaccard_threshold)
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+
+    losers = losers_b.unionByName(losers_h).distinct()
+    return batch.join(losers, id_col, "left_anti")
 
 
 # ------------------------------------------- within-document self-dedup
