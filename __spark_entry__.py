@@ -1822,6 +1822,27 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alarm")
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card accounting per (source, lang) slice (ops/text.py
+    corpus_stats): docs/chars/tokens/BPE-proxy tokens/exact-dup rate in
+    ONE grouped aggregation; the oracle recomputes every column —
+    including the md5-based exact distinct count — in SQL."""
+    from whylogs_spark.ops.text import corpus_stats
+
+    return corpus_stats(
+        _t(spark, sf_dir, "documents"), group_cols=["source", "lang"])
+
+
+def _q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension tensor profile (core/embeddings.py
+    embedding_dim_stats): posexplode -> one groupBy(dim) partial agg;
+    values cast to double BEFORE aggregation so the float32 parquet
+    column matches the DuckDB oracle exactly."""
+    from whylogs_spark.core.embeddings import embedding_dim_stats
+
+    return embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup dedup (ops/dedup.py
     incremental_minhash_dedup): batch (doc_id >= 250) against history
@@ -2077,6 +2098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_documents": _q_pmi,
         "image_neardup_synthetic": _q_image_neardup,
         "incremental_minhash_documents": _q_incremental_minhash,
+        "corpus_stats_documents": _q_corpus_stats,
+        "embedding_dim_stats_embeddings": _q_embedding_dim_stats,
     }
 
 
@@ -3721,6 +3744,34 @@ def oracle_sql() -> dict[str, str]:
             "6) AS pmi FROM pc "
             "JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w "
             "CROSS JOIN tot ORDER BY pmi DESC, w1, w2 LIMIT 25"
+        ),
+        "corpus_stats_documents": (
+            "WITH t AS (SELECT source, lang, length(text) AS nc, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+            "array_length(regexp_split_to_array(trim(text), '\\s+')) "
+            "END AS nt, "
+            "len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+"
+            "| ?[^\\s\\p{L}\\p{N}]+')) AS nb, "
+            "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+            "AS h FROM documents) "
+            "SELECT source, lang, count(*)::BIGINT AS n_docs, "
+            "sum(nc)::BIGINT AS n_chars, sum(nt)::BIGINT AS n_tokens, "
+            "sum(nb)::BIGINT AS n_bpe_tokens, "
+            "count(DISTINCT h)::BIGINT AS n_distinct_texts, "
+            "round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6) "
+            "AS dup_ratio, "
+            "round(sum(nc) * 1.0 / count(*), 4) AS avg_chars "
+            "FROM t GROUP BY 1, 2"
+        ),
+        "embedding_dim_stats_embeddings": (
+            "WITH e AS (SELECT unnest(embedding :: DOUBLE[]) AS v, "
+            "unnest(range(len(embedding))) AS dim FROM embeddings) "
+            "SELECT dim::INT AS dim, count(v)::BIGINT AS n, "
+            "round(avg(v), 6) AS mean, "
+            "round(stddev_samp(v), 6) AS stddev, "
+            "round(min(v), 6) AS min_val, round(max(v), 6) AS max_val "
+            "FROM e GROUP BY dim ORDER BY dim"
         ),
         "incremental_minhash_documents": (
             # greedy earlier-wins: batch doc (id >= 250) drops iff ANY

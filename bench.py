@@ -544,6 +544,14 @@ def main() -> None:
         _noop(assemble_chunks(packed, "text", shard_cols=["source"],
                               order_cols=["doc_id"]))
 
+    def bench_corpus_card():
+        # dataset-card accounting + per-dimension embedding profile
+        from whylogs_spark.core.embeddings import embedding_dim_stats
+        from whylogs_spark.ops.text import corpus_stats
+        _noop(corpus_stats(t["documents"],
+                           group_cols=["source", "lang"]))
+        _noop(embedding_dim_stats(t["embeddings"]))
+
     def bench_incremental_minhash():
         # steady-state near-dup ingest: odd-id batch vs even-id history
         from whylogs_spark.ops.dedup import incremental_minhash_dedup
@@ -618,6 +626,7 @@ def main() -> None:
         "search_text_mining_documents": bench_search_text_mining,
         "image_hash_neardup": bench_image_hash_neardup,
         "incremental_minhash_documents": bench_incremental_minhash,
+        "corpus_card_documents": bench_corpus_card,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

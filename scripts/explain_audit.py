@@ -1007,6 +1007,38 @@ def main() -> None:
             "no cartesian product": r"^(?![\s\S]*CartesianProduct)",
         }))
 
+    # 9z2c. corpus dataset card: one grouped agg, digests (not raw
+    # text) in the exchange
+    from whylogs_spark.ops.text import corpus_stats
+
+    cs = corpus_stats(docs, group_cols=["source", "lang"])
+    sections.append((
+        "corpus stats dataset card", cs,
+        {
+            "partial agg before exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no raw text in any exchange":
+                r"^(?![\s\S]*Exchange[^\n]*\btext#)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInArrow|FlatMapsInPandas))",
+        }))
+
+    # 9z2d. embedding dim stats: posexplode in-scan, partial agg on dim
+    from whylogs_spark.core.embeddings import embedding_dim_stats
+
+    eds = embedding_dim_stats(emb)
+    sections.append((
+        "embedding dimension stats", eds,
+        {
+            "partial agg before the dim exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no vector column in the exchange":
+                r"^(?![\s\S]*Exchange[^\n]*embedding#)",
+            "2-column-or-fewer pruned scan":
+                r"ReadSchema: struct<embedding",
+        }))
+
     # 9z3. readability: a single in-scan projection, zero shuffle
     rd = with_readability(docs).select(
         "doc_id", "flesch_reading_ease", "fk_grade")

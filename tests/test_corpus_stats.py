@@ -1,0 +1,91 @@
+"""corpus_stats dataset card + embedding_dim_stats tensor profile."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.core.embeddings import embedding_dim_stats
+from whylogs_spark.ops.text import BPE_TOKEN_PATTERN, corpus_stats
+
+
+class TestCorpusStats:
+    def test_matches_reference_impl(self, spark):
+        rows = [
+            ("web", "en", "hello world hello"),
+            ("web", "en", "  Hello   WORLD hello "),  # dup after norm
+            ("web", "en", "something else entirely"),
+            ("web", "de", "hallo welt"),
+            ("book", "en", ""),
+        ]
+        df = spark.createDataFrame(rows, ["source", "lang", "text"])
+        got = {(r.source, r.lang): r for r in corpus_stats(
+            df, group_cols=["source", "lang"]).collect()}
+
+        web_en = got[("web", "en")]
+        assert web_en.n_docs == 3
+        assert web_en.n_chars == sum(len(t) for _, _, t in rows[:3])
+        assert web_en.n_tokens == 3 + 3 + 3
+        assert web_en.n_distinct_texts == 2
+        assert web_en.dup_ratio == pytest.approx(round(1 - 2 / 3, 6))
+        exp_bpe = sum(len(re.findall(
+            r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+",
+            t)) for _, _, t in rows[:3])
+        # sanity only: python re lacks \p classes; counts agree on
+        # plain ASCII words
+        assert web_en.n_bpe_tokens == exp_bpe
+
+        empty = got[("book", "en")]
+        assert empty.n_tokens == 0 and empty.n_docs == 1
+        assert empty.dup_ratio == 0.0
+
+    def test_no_groups_single_row(self, spark, documents):
+        out = corpus_stats(documents).collect()
+        assert len(out) == 1
+        assert out[0].n_docs == documents.count()
+
+    def test_no_raw_text_in_exchange(self, spark, documents):
+        plan = corpus_stats(documents, group_cols=["source"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text#" not in line
+
+
+class TestEmbeddingDimStats:
+    def test_matches_reference_impl(self, spark):
+        vecs = [
+            (0, [1.0, 2.0, 3.0]),
+            (1, [2.0, 4.0, None]),
+            (2, None),                  # null vector skipped
+            (3, [3.0, 6.0, 9.0]),
+        ]
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>")
+        got = {r.dim: r for r in embedding_dim_stats(df).collect()}
+        assert set(got) == {0, 1, 2}
+        d0 = got[0]
+        assert d0.n == 3
+        assert d0.mean == pytest.approx(2.0)
+        assert d0.stddev == pytest.approx(1.0)
+        assert (d0.min_val, d0.max_val) == (1.0, 3.0)
+        d2 = got[2]  # null element excluded
+        assert d2.n == 2
+        assert d2.mean == pytest.approx(6.0)
+        vals = [3.0, 9.0]
+        sd = math.sqrt(sum((v - 6.0) ** 2 for v in vals) / (len(vals) - 1))
+        assert d2.stddev == pytest.approx(round(sd, 6))
+
+    def test_float32_cast_before_agg(self, spark, embeddings):
+        out = embedding_dim_stats(embeddings).collect()
+        assert len(out) == 64
+        for r in out:
+            assert r.n > 0 and r.min_val <= r.mean <= r.max_val
+
+    def test_partial_agg_before_exchange(self, spark, embeddings):
+        plan = embedding_dim_stats(embeddings) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("HashAggregate") >= 2
+        assert "Exchange" in plan

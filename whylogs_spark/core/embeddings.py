@@ -442,3 +442,41 @@ def embedding_drift(
         "centroid_cosine_distance double, centroid_l2 double, "
         "norm_ratio double, spread_target double, "
         "spread_reference double")
+
+
+# ------------------------------------------------ dimension-wise stats
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION profile of a vector column: (dim, n, mean,
+    stddev, min_val, max_val) — the tensor analog of column profiling
+    (dead dimensions, scale imbalances, clipped values, drift in a
+    single coordinate all show up here; the reference's
+    EmbeddingMetric summarizes distance-to-centroid scalars only,
+    extras/embedding_metric.py).
+
+    Values cast to DOUBLE before any arithmetic (float32 inputs would
+    otherwise accumulate in single precision and diverge from any
+    exact oracle).
+
+    Scale shape: posexplode in-scan -> ONE groupBy(dim) with map-side
+    partial aggregation; the shuffle carries dims x partitions partial
+    rows, never the vectors. Null vectors are skipped by posexplode;
+    null ELEMENTS are excluded from n/moments per dimension.
+    """
+    ex = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    ).select("dim", F.col("__v").cast("double").alias("__v"))
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count("__v").alias("n"),
+            F.round(F.avg("__v"), 6).alias("mean"),
+            F.round(F.stddev_samp("__v"), 6).alias("stddev"),
+            F.round(F.min("__v"), 6).alias("min_val"),
+            F.round(F.max("__v"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )

@@ -595,3 +595,58 @@ def pmi_collocations(
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(),
                           F.col("w2").asc()).limit(k)
+
+
+# ------------------------------------------------- corpus dataset card
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: Optional[List[str]] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice dataset-card statistics — the accounting table every
+    training-data release ships (docs / chars / tokens / subword-proxy
+    tokens / exact-dup rate per source x language slice):
+
+      n_docs, n_chars, n_tokens (whitespace), n_bpe_tokens (the
+      RE2-safe GPT-2-style pre-tokenizer proxy from
+      ``bpe_token_count``), n_distinct_texts (exact, on the
+      whitespace-normalized lowercase md5), dup_ratio
+      (1 - distinct/docs), avg_chars.
+
+    Scale shape: one pruned scan, per-row codegen projections, ONE
+    groupBy over the (low-cardinality) slice keys with map-side
+    partial aggregation; the distinct count is exact via
+    count(DISTINCT md5) — a two-phase hash aggregate, no raw text in
+    the exchange (only the 32-char digest travels).
+
+    Reference analog: dataset-level `summarize`-style accounting the
+    reference exposes through profile summaries; this is the direct
+    tabular form for corpus slices.
+    """
+    group_cols = list(group_cols or [])
+    c = F.col(text_col)
+    norm_md5 = F.md5(F.regexp_replace(F.lower(F.trim(c)), _WS, " "))
+    toks = token_count(c)
+    bpe = bpe_token_count(c)
+    agged = (
+        df.select(*group_cols, F.length(c).alias("__nc"),
+                  toks.alias("__nt"), bpe.alias("__nb"),
+                  norm_md5.alias("__h"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nc").cast("long").alias("n_chars"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.sum("__nb").cast("long").alias("n_bpe_tokens"),
+            F.countDistinct("__h").alias("n_distinct_texts"),
+        )
+    )
+    return agged.select(
+        *group_cols, "n_docs", "n_chars", "n_tokens", "n_bpe_tokens",
+        "n_distinct_texts",
+        F.round(F.lit(1.0) - F.col("n_distinct_texts")
+                / F.col("n_docs"), 6).alias("dup_ratio"),
+        F.round(F.col("n_chars") / F.col("n_docs"), 4)
+        .alias("avg_chars"),
+    )
