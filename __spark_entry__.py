@@ -1822,6 +1822,27 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alarm")
 
 
+def _q_histogram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram (core/summaries.py histogram_exact):
+    in-plan min/max bounds (1-row agg, broadcast), <= n_bins groups
+    with partial agg, literal bin spine fills empty bins. Oracle
+    recomputes identical binning in SQL."""
+    from whylogs_spark.core.summaries import histogram_exact
+
+    return histogram_exact(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", n_bins=20)
+
+
+def _q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage matrix between sources (ops/dedup.py
+    cross_source_overlap): verified minhash pairs mapped to their
+    (source, source) cell. Oracle recomputes exact 3-gram Jaccard
+    pairs + the slice rollup; same banding-recall caveat as the
+    minhash dedup gate (planted dups are near-identical)."""
+    return dedup_ops.cross_source_overlap(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.8)
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card accounting per (source, lang) slice (ops/text.py
     corpus_stats): docs/chars/tokens/BPE-proxy tokens/exact-dup rate in
@@ -2100,6 +2121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_documents": _q_incremental_minhash,
         "corpus_stats_documents": _q_corpus_stats,
         "embedding_dim_stats_embeddings": _q_embedding_dim_stats,
+        "histogram_exact_lineitem": _q_histogram_exact,
+        "cross_source_overlap_documents": _q_cross_source_overlap,
     }
 
 
@@ -3744,6 +3767,45 @@ def oracle_sql() -> dict[str, str]:
             "6) AS pmi FROM pc "
             "JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w "
             "CROSS JOIN tot ORDER BY pmi DESC, w1, w2 LIMIT 25"
+        ),
+        "histogram_exact_lineitem": (
+            "WITH v AS (SELECT l_extendedprice :: DOUBLE AS v "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL), "
+            "b AS (SELECT min(v) AS lo, max(v) AS hi FROM v), "
+            "c AS (SELECT (CASE WHEN hi <= lo THEN 0 ELSE "
+            "least(floor((v - lo) / ((hi - lo) / 20)), 19) END)::INT "
+            "AS bin, count(*) AS n FROM v, b GROUP BY 1), "
+            "s AS (SELECT unnest(range(20))::INT AS bin) "
+            "SELECT s.bin, "
+            "round(lo + s.bin * (hi - lo) / 20, 6) AS bin_start, "
+            "round(lo + (s.bin + 1) * (hi - lo) / 20, 6) AS bin_end, "
+            "coalesce(n, 0)::BIGINT AS n "
+            "FROM s CROSS JOIN b LEFT JOIN c USING (bin) ORDER BY bin"
+        ),
+        "cross_source_overlap_documents": (
+            "WITH t AS (SELECT doc_id, source, regexp_replace(lower("
+            "trim(text)), '\\s+', ' ', 'g') AS nt FROM documents), "
+            "tok AS (SELECT doc_id, string_split(nt, ' ') AS toks "
+            "FROM t), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            "list_distinct(list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) "
+            "ELSE [list_aggregate(toks, 'string_agg', ' ')] END "
+            "AS grams FROM tok), "
+            "e AS (SELECT doc_id, len(grams) AS sz, unnest(grams) "
+            "AS gram FROM g), "
+            "j AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, "
+            "x.sz AS sz_a, y.sz AS sz_b, count(*) AS inter "
+            "FROM e x JOIN e y ON x.gram = y.gram "
+            "AND x.doc_id < y.doc_id GROUP BY 1, 2, 3, 4), "
+            "p AS (SELECT id_a, id_b FROM j "
+            "WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.8), "
+            "m AS (SELECT least(da.source, db.source) AS group_a, "
+            "greatest(da.source, db.source) AS group_b FROM p "
+            "JOIN t da ON p.id_a = da.doc_id "
+            "JOIN t db ON p.id_b = db.doc_id) "
+            "SELECT group_a, group_b, count(*)::BIGINT AS n_pairs "
+            "FROM m GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "corpus_stats_documents": (
             "WITH t AS (SELECT source, lang, length(text) AS nc, "

@@ -546,11 +546,15 @@ def main() -> None:
 
     def bench_corpus_card():
         # dataset-card accounting + per-dimension embedding profile
+        # + exact histogram (the three audit-table queries)
         from whylogs_spark.core.embeddings import embedding_dim_stats
+        from whylogs_spark.core.summaries import histogram_exact
         from whylogs_spark.ops.text import corpus_stats
         _noop(corpus_stats(t["documents"],
                            group_cols=["source", "lang"]))
         _noop(embedding_dim_stats(t["embeddings"]))
+        _noop(histogram_exact(t["lineitem"], "l_extendedprice",
+                              n_bins=20))
 
     def bench_incremental_minhash():
         # steady-state near-dup ingest: odd-id batch vs even-id history

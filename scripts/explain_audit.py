@@ -1039,6 +1039,22 @@ def main() -> None:
                 r"ReadSchema: struct<embedding",
         }))
 
+    # 9z2e. exact histogram: bounded groupBy, broadcast spine, no sort
+    from whylogs_spark.core.summaries import histogram_exact
+
+    hx = histogram_exact(li, "l_extendedprice", n_bins=20)
+    sections.append((
+        "exact histogram", hx,
+        {
+            "partial agg before exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "bin spine joined by broadcast":
+                r"BroadcastHashJoin",
+            "single-column pruned scan":
+                r"ReadSchema: struct<l_extendedprice",
+            "no window anywhere": r"^(?![\s\S]*Window)",
+        }))
+
     # 9z3. readability: a single in-scan projection, zero shuffle
     rd = with_readability(docs).select(
         "doc_id", "flesch_reading_ease", "fk_grade")

@@ -89,3 +89,55 @@ class TestEmbeddingDimStats:
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("HashAggregate") >= 2
         assert "Exchange" in plan
+
+
+class TestHistogramExact:
+    def test_known_values(self, spark):
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(10)], "x double")
+        from whylogs_spark.core.summaries import histogram_exact
+
+        out = histogram_exact(df, "x", n_bins=5).collect()
+        assert [r.bin for r in out] == [0, 1, 2, 3, 4]
+        assert [r.n for r in out] == [2, 2, 2, 2, 2]  # max -> last bin
+        assert out[0].bin_start == 0.0
+        assert out[-1].bin_end == 9.0
+
+    def test_constant_column_and_empty_bins(self, spark):
+        from whylogs_spark.core.summaries import histogram_exact
+
+        df = spark.createDataFrame([(5.0,)] * 7, "x double")
+        out = histogram_exact(df, "x", n_bins=4).collect()
+        assert [r.n for r in out] == [7, 0, 0, 0]
+
+    def test_pinned_bounds_exclude_out_of_range(self, spark):
+        from whylogs_spark.core.summaries import histogram_exact
+
+        df = spark.createDataFrame(
+            [(v,) for v in (-5.0, 0.0, 2.5, 9.9, 15.0)], "x double")
+        out = histogram_exact(df, "x", n_bins=2, lo=0.0, hi=10.0)
+        rows = out.collect()
+        assert sum(r.n for r in rows) == 3
+        assert rows[0].bin_start == 0.0 and rows[1].bin_end == 10.0
+
+    def test_null_nan_excluded(self, spark):
+        from whylogs_spark.core.summaries import histogram_exact
+
+        df = spark.createDataFrame(
+            [(1.0,), (None,), (float("nan"),), (2.0,)], "x double")
+        out = histogram_exact(df, "x", n_bins=2).collect()
+        assert sum(r.n for r in out) == 2
+
+    def test_n_bins_validated(self, spark):
+        from whylogs_spark.core.summaries import histogram_exact
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError):
+            histogram_exact(df, "x", n_bins=0)
+
+    def test_empty_input_yields_spine(self, spark):
+        from whylogs_spark.core.summaries import histogram_exact
+
+        df = spark.createDataFrame([], "x double")
+        out = histogram_exact(df, "x", n_bins=3).collect()
+        assert [r.n for r in out] == [0, 0, 0]

@@ -368,3 +368,37 @@ def test_minhash_index_sql_impl_agrees_on_pairs(spark, near_corpus):
         bands=32, jaccard_threshold=0.5).collect()}
     assert pa_ == ps
     assert {(0, 10), (1, 11), (12, 13)} <= pa_
+
+
+def test_cross_source_overlap_matrix(spark):
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet empty street tonight").split()
+    other = ("completely different subject matter about spark query "
+             "planning and distributed shuffle exchanges here").split()
+    rows = [
+        (0, "web", _sent(base)),
+        (1, "web", _sent(base[:-1] + ["today"])),    # web-web pair
+        (2, "book", _sent(base[:-2] + ["this", "week"])),  # web-book x2
+        (3, "book", _sent(other)),
+        (4, "web", _sent(["nothing", "like", "anything", "else",
+                          "entirely", "novel", "words", "only",
+                          "appearing", "once", "in", "corpus"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    got = {(r.group_a, r.group_b): r.n_pairs
+           for r in dedup.cross_source_overlap(
+               df, jaccard_threshold=0.5, bands=32).collect()}
+    # exact-Jaccard ground truth
+    texts = {d: t for d, _, t in rows}
+    srcs = {d: s for d, s, _ in rows}
+    expect = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if _jaccard_3gram(texts[a], texts[b]) >= 0.5:
+                key = tuple(sorted((srcs[a], srcs[b])))
+                expect[key] = expect.get(key, 0) + 1
+    assert got == expect
+    assert got[("web", "web")] == 1
+    assert got[("book", "web")] == 2

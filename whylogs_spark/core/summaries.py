@@ -223,3 +223,83 @@ def exact_quantiles(
         .withColumn("__cum_ct", F.col("__l_ct") + F.col("__o_ct")) \
         .withColumnRenamed("__g_ct", "__n")
     return j.groupBy(*groups).agg(*rank_aggs())
+
+
+# ------------------------------------------------- exact histogram
+
+def histogram_exact(
+    df: DataFrame,
+    column: str,
+    n_bins: int = 20,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """Exact equi-width histogram of a numeric column — the
+    ground-truth companion to the KLL-derived
+    ``ProfileView.histogram`` (same contract as the exact/sketch
+    split in drift: KLL for monitoring, this for verification and
+    small-cardinality columns).
+
+    Returns ALL ``n_bins`` rows (empty bins included, count 0):
+    (bin, bin_start, bin_end, n). The last bin is closed on the
+    right (max lands in bin n_bins-1); a constant column collapses
+    into bin 0. Nulls (and NaN) are excluded.
+
+    Bounds default to the column min/max computed in-plan (1-row
+    aggregate, broadcast via cross join — no driver action); pass
+    ``lo``/``hi`` to pin them (e.g. shared axes across snapshots).
+
+    Scale shape: one pruned scan -> partial-agg groupBy(bin) (at most
+    n_bins groups) -> broadcast join onto a literal bin spine. No
+    sort, no window, nothing corpus-sized past the scan.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    c = F.col(column).cast("double")
+    vals = df.select(c.alias("__v")).filter(
+        F.col("__v").isNotNull() & ~F.isnan("__v"))
+    if lo is None or hi is None:
+        bounds = vals.agg(F.min("__v").alias("__lo"),
+                          F.max("__v").alias("__hi"))
+    else:
+        bounds = None
+    spark = df.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int")
+                                       .alias("bin"))
+    if bounds is not None:
+        v = vals.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        v = vals.withColumn("__lo", F.lit(float(lo))).withColumn(
+            "__hi", F.lit(float(hi)))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    width = (hi_c - lo_c) / F.lit(float(n_bins))
+    bin_expr = F.when(hi_c <= lo_c, F.lit(0)).otherwise(
+        F.least(F.floor((F.col("__v") - lo_c) / width),
+                F.lit(n_bins - 1)).cast("int"))
+    counts = (
+        v.filter((F.col("__v") >= lo_c) & (F.col("__v") <= hi_c))
+        .select(bin_expr.alias("bin"), "__lo", "__hi")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.first("__lo").alias("__lo"), F.first("__hi").alias("__hi"))
+    )
+    # the spine needs the bounds too (for empty-bin edges): reuse the
+    # same 1-row aggregate — Catalyst/AQE dedups it via exchange reuse
+    spine_b = (spine.crossJoin(F.broadcast(bounds)) if bounds is not None
+               else spine.withColumn("__lo", F.lit(float(lo)))
+               .withColumn("__hi", F.lit(float(hi))))
+    w2 = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    return (
+        spine_b.join(F.broadcast(counts.select("bin", "n")), "bin",
+                     "left")
+        .select(
+            "bin",
+            F.round(F.col("__lo") + F.col("bin") * w2, 6)
+            .alias("bin_start"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * w2, 6)
+            .alias("bin_end"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bin")
+    )

@@ -1469,6 +1469,50 @@ def incremental_minhash_dedup(
     return batch.join(losers, id_col, "left_anti")
 
 
+def cross_source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    jaccard_threshold: float = 0.8,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Near-duplicate LEAKAGE matrix between corpus slices: how many
+    verified J >= threshold pairs connect each (slice, slice) cell —
+    the audit that catches one source republishing another (mirror
+    sites, syndication) and train/eval contamination when the split
+    is a column.
+
+    Returns (group_a, group_b, n_pairs) with group_a <= group_b
+    (diagonal = within-slice near-dup mass). Pairs ride the standard
+    :func:`minhash_index` -> :func:`lsh_pairs_from_index` machinery;
+    the slice lookup joins the (small) verified pair set back to the
+    (id, group) projection — broadcast-friendly.
+    """
+    idx = minhash_index(df, text_col, id_col, num_hashes,
+                        shingle_words, impl)
+    pairs = lsh_pairs_from_index(idx, id_col, num_hashes, bands,
+                                 jaccard_threshold)
+    side = df.select(F.col(id_col), F.col(group_col))
+    m = (
+        pairs.join(side.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed(group_col, "__ga"), "id_a")
+        .join(side.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed(group_col, "__gb"), "id_b")
+    )
+    ga = F.least("__ga", "__gb")
+    gb = F.greatest("__ga", "__gb")
+    return (
+        m.select(ga.alias("group_a"), gb.alias("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("group_a", "group_b")
+    )
+
+
 # ------------------------------------------- within-document self-dedup
 
 def dedup_paragraphs(
