@@ -65,3 +65,8 @@ def documents(spark):
 @pytest.fixture(scope="session")
 def embeddings(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="session")
+def customer(spark):
+    return spark.read.parquet(f"{SF_DIR}/customer.parquet")

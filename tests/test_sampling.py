@@ -278,3 +278,82 @@ def test_assemble_chunks_order_and_content(spark):
 
     with pytest.raises(ValueError, match="order_cols"):
         assemble_chunks(packed, "text", shard_cols=["source"])
+
+
+# -------------------------------------------------------- cap_per_group
+class TestCapPerGroup:
+    def _df(self, spark):
+        from pyspark.sql import Row
+        rows = [
+            # domain a: quality-ordered weights 5, 4, 3 (ids 2, 1, 3)
+            Row(doc_id=1, source="a", text="w w w w", q=0.8),   # 4 tok
+            Row(doc_id=2, source="a", text="w w w w w", q=0.9),  # 5 tok
+            Row(doc_id=3, source="a", text="w w w", q=0.1),     # 3 tok
+            # domain b: single giant doc over budget
+            Row(doc_id=4, source="b", text=" ".join(["w"] * 50), q=0.5),
+            # domain c: empty text weighs 0
+            Row(doc_id=5, source="c", text="", q=0.2),
+            Row(doc_id=6, source="c", text="w w", q=0.1),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_quota_order_and_first_row_guarantee(self, spark):
+        from whylogs_spark.ops.sampling import cap_per_group
+        out = cap_per_group(self._df(spark), ["source"], budget=8,
+                            quality_col="q")
+        kept = sorted(r.doc_id for r in out.collect())
+        # a: doc 2 (cum_before 0) + doc 1 (cum_before 5) kept; doc 3
+        # (cum_before 9) dropped. b: giant doc kept (exclusive rule).
+        # c: doc 5 (0 weight) + doc 6 (cum_before 0).
+        assert kept == [1, 2, 4, 5, 6]
+
+    def test_weight_col_and_id_order(self, spark):
+        from whylogs_spark.ops.sampling import cap_per_group
+        df = spark.createDataFrame(
+            [(1, "a", 6.0), (2, "a", 6.0), (3, "a", 6.0)],
+            "doc_id int, source string, w double")
+        out = cap_per_group(df, ["source"], budget=12, weight_col="w")
+        assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+    def test_null_weight_counts_zero(self, spark):
+        from whylogs_spark.ops.sampling import cap_per_group
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "a", 5.0)],
+            "doc_id int, source string, w double")
+        out = cap_per_group(df, ["source"], budget=4, weight_col="w")
+        assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+    def test_distributed_matches_single_phase(self, spark, documents):
+        from whylogs_spark.ops.sampling import cap_per_group
+        base = documents.select("doc_id", "source", "text")
+        a = cap_per_group(base, ["source"], budget=500)
+        b = cap_per_group(base, ["source"], budget=500,
+                          distributed=True)
+        ids_a = sorted(r.doc_id for r in a.collect())
+        ids_b = sorted(r.doc_id for r in b.collect())
+        assert ids_a == ids_b
+        assert 0 < len(ids_a) < base.count()
+
+    def test_distributed_quality_matches_single_phase(self, spark):
+        from whylogs_spark.ops.sampling import cap_per_group
+        import random
+        rng = random.Random(7)
+        rows = [(i, f"s{i % 3}", " ".join(["w"] * rng.randint(1, 9)),
+                 round(rng.random(), 3)) for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "doc_id int, source string, text string, q double")
+        a = cap_per_group(df, ["source"], budget=60, quality_col="q")
+        b = cap_per_group(df, ["source"], budget=60, quality_col="q",
+                          distributed=True)
+        assert sorted(r.doc_id for r in a.collect()) \
+            == sorted(r.doc_id for r in b.collect())
+
+    def test_validation(self, spark):
+        from whylogs_spark.ops.sampling import cap_per_group
+        df = spark.createDataFrame([(1, "a", "t")],
+                                   "doc_id int, source string, text string")
+        import pytest
+        with pytest.raises(ValueError, match="group_cols"):
+            cap_per_group(df, [], budget=1)
+        with pytest.raises(ValueError, match="id_cols"):
+            cap_per_group(df, ["source"], budget=1, id_cols=[])

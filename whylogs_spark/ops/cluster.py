@@ -1,0 +1,210 @@
+"""Deterministic Lloyd k-means over embedding columns, Catalyst-native.
+
+``ops.similarity.ivf_index`` already clusters through MLlib for ANN
+recall; this module is the *reproducible* clustering path for corpus
+curation (topic bucketing, SemDeDup-style partitioning, cluster-level
+quality audits) where runs must be exactly replayable across engines
+and re-partitions:
+
+* **Deterministic init** — the vectors of the ``k`` smallest ids (no
+  RNG, no sampling): same corpus, same clusters, every run.
+* **Quantized updates** — every centroid component is rounded to
+  ``quantize`` (1e-6) decimals after each mean update. On quantized
+  centroids the per-row distance computation is a fixed left-fold of
+  identical doubles, so ANY engine that evaluates the same fold gets
+  bitwise-identical distances — assignments become exactly
+  hash-comparable (the DuckDB oracle in ``__spark_entry__.py`` replays
+  the whole iteration chain). Quantization at 1e-6 moves centroids by
+  less than float32 input noise; it is Lloyd's algorithm on a 1e-6
+  grid.
+
+Scale shape (100 TB of vectors):
+
+* Assignment is a pure projection: centroids travel as PLAN literals
+  (k x dim doubles), the argmin is ``array_min`` over k codegen'd
+  fold expressions — no shuffle, no UDF, no MLlib vector conversion.
+* Each update step is ONE hash aggregation keyed (cluster, dim-pos)
+  that partial-aggregates map-side to k x dim rows; the driver loop
+  holds k x dim doubles per iteration, never data.
+* Iterations re-scan the input, so pass a cached/checkpointed frame
+  for many iterations — or fit on a bounded sample (like
+  ``ivf_index``'s ``max_train_rows``) and assign the full corpus once.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_init", "kmeans_assign", "kmeans_iterate",
+           "kmeans", "kmeans_cluster_stats"]
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.col(vec_col).cast("array<double>")
+
+
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """Raise on ragged/short/long/null-element vectors — silently
+    truncating or zero-filling a mismatched corpus produces plausible
+    numbers instead of an error (probe BOTH min and max size, and
+    null elements, since sums skip nulls silently)."""
+    v = _as_double(vec_col)
+    probe = (df.filter(F.col(vec_col).isNotNull())
+             .agg(F.min(F.size(v)).alias("lo"),
+                  F.max(F.size(v)).alias("hi"),
+                  F.max(F.exists(v, lambda x: x.isNull()).cast("int"))
+                  .alias("has_null_elem"))
+             .collect()[0])
+    if probe.lo is None:
+        return  # no non-null vectors; callers handle emptiness
+    if probe.lo != dim or probe.hi != dim:
+        raise ValueError(
+            f"vector dimension mismatch in '{vec_col}': expected {dim}, "
+            f"found sizes in [{probe.lo}, {probe.hi}]")
+    if probe.has_null_elem:
+        raise ValueError(
+            f"'{vec_col}' contains null vector elements; filter or "
+            "impute them before clustering")
+
+
+def kmeans_init(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    quantize: int = 6,
+) -> List[List[float]]:
+    """Deterministic seeds: the (quantized) vectors of the ``k``
+    smallest non-null ids — a TakeOrderedAndProject of k rows, no RNG.
+    Distinct-point collapse is the caller's concern (exact duplicate
+    seed vectors yield an empty cluster, which :func:`kmeans_iterate`
+    carries forward unchanged)."""
+    rows = (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.transform(_as_double(vec_col),
+                                lambda x: F.round(x, quantize))
+                    .alias("__v"))
+            .orderBy("__id").limit(k).collect())
+    if len(rows) < k:
+        raise ValueError(
+            f"k={k} but only {len(rows)} non-null vectors available")
+    return [list(r["__v"]) for r in rows]
+
+
+def _dist_sq(vec: Column, centroid: Sequence[float]) -> Column:
+    """Squared L2 distance as a left fold in index order — the exact
+    FP operation sequence the DuckDB oracle replays."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, d: acc + d)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    dist_col: Optional[str] = None,
+    check_dims: bool = True,
+) -> DataFrame:
+    """Nearest-centroid assignment as one shuffle-free projection.
+    Ties break to the lowest cluster index (struct-min over
+    ``(dist, j)``). Null vectors get a null cluster. With
+    ``dist_col``, the squared distance to the winner is added
+    unrounded (round before comparing across engines)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    dim = len(centroids[0])
+    if any(len(c) != dim for c in centroids):
+        raise ValueError("ragged centroid list")
+    if check_dims:
+        _check_dim(df, vec_col, dim)
+    v = _as_double(vec_col)
+    best = F.array_min(F.array(*[
+        F.struct(_dist_sq(v, c).alias("d"),
+                 F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)
+    ]))
+    out = df.withColumn(
+        cluster_col,
+        F.when(F.col(vec_col).isNotNull(), best.getField("j")))
+    if dist_col is not None:
+        out = out.withColumn(
+            dist_col,
+            F.when(F.col(vec_col).isNotNull(), best.getField("d")))
+    return out
+
+
+def kmeans_iterate(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    quantize: int = 6,
+) -> List[List[float]]:
+    """One Lloyd update: assign -> per-cluster mean -> quantize.
+    Empty clusters keep their previous centroid (they can re-acquire
+    points later). One hash aggregation of k x dim rows."""
+    dim = len(centroids[0])
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col,
+                             cluster_col="__c", check_dims=False)
+    means = (assigned.filter(F.col("__c").isNotNull())
+             .select(F.col("__c"),
+                     F.posexplode(_as_double(vec_col))
+                     .alias("__i", "__x"))
+             .groupBy("__c", "__i")
+             .agg(F.round(F.avg("__x"), quantize).alias("__m"))
+             .collect())
+    new = [list(c) for c in centroids]
+    got = {}
+    for r in means:
+        got.setdefault(r["__c"], {})[r["__i"]] = r["__m"]
+    for j, comps in got.items():
+        new[j] = [comps[i] for i in range(dim)]
+    return new
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 2,
+    quantize: int = 6,
+    init_centroids: Optional[Sequence[Sequence[float]]] = None,
+    dist_col: Optional[str] = None,
+) -> Tuple[DataFrame, List[List[float]]]:
+    """Deterministic k-means: ``n_iter`` Lloyd updates from the
+    deterministic seeds, then one final assignment pass. Returns
+    ``(assigned_df, centroids)``. For large ``n_iter`` cache ``df``
+    first (each update is a full re-scan)."""
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    cents = ([list(c) for c in init_centroids] if init_centroids
+             else kmeans_init(df, vec_col, id_col, k, quantize))
+    _check_dim(df, vec_col, len(cents[0]))
+    for _ in range(n_iter):
+        cents = kmeans_iterate(df, cents, vec_col, quantize)
+    assigned = kmeans_assign(df, cents, vec_col=vec_col, id_col=id_col,
+                             dist_col=dist_col, check_dims=False)
+    return assigned, cents
+
+
+def kmeans_cluster_stats(
+    assigned: DataFrame,
+    cluster_col: str = "cluster",
+    dist_col: str = "dist_sq",
+) -> DataFrame:
+    """Per-cluster rollup of an assignment that carried ``dist_col``:
+    ``cluster, size, inertia`` (sum of squared distances, rounded) and
+    ``mean_dist_sq``. One partial-agg groupBy of k rows."""
+    return (assigned.filter(F.col(cluster_col).isNotNull())
+            .groupBy(F.col(cluster_col).alias("cluster"))
+            .agg(F.count("*").alias("size"),
+                 F.round(F.sum(dist_col), 6).alias("inertia"),
+                 F.round(F.avg(dist_col), 6).alias("mean_dist_sq"))
+            .orderBy("cluster"))

@@ -367,3 +367,94 @@ def assemble_chunks(
         F.array_join(texts, separator).alias(out_col),
         F.size("__docs").alias("n_docs"))
     return joined.withColumn("chunk_chars", F.length(F.col(out_col)))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    budget: float,
+    weight_col: Optional[str] = None,
+    quality_col: Optional[str] = None,
+    id_cols: Sequence[str] = ("doc_id",),
+    text_col: str = "text",
+    distributed: bool = False,
+) -> DataFrame:
+    """Per-group weight quota: within each ``group_cols`` group, keep
+    rows in priority order (``quality_col`` DESC when given, then
+    ``id_cols`` ASC as the deterministic tie-break; ``id_cols`` alone
+    otherwise) until the group's kept weight reaches ``budget``.
+
+    This is the domain-budget step of a curation pipeline ("at most N
+    tokens per registered domain, best documents first" — the C4 /
+    RefinedWeb host-level cap): it bounds any single domain's share of
+    the corpus no matter how over-represented it is in the crawl.
+
+    The keep rule is on the EXCLUSIVE running weight (``cum_before <
+    budget``): a group's highest-priority row is always kept, even when
+    it alone exceeds the budget — a quota that could emit an empty
+    group silently is a footgun. Weight is ``weight_col`` when given,
+    else the whitespace token count of ``text_col``; null weights
+    count 0.
+
+    Scale: the default plan is ONE hash-partitioned window keyed by the
+    group — per-group work parallelizes across groups, so it is the
+    right shape for many modest groups (millions of domains). When a
+    handful of groups hold a large share of all rows (source-level
+    budgets, viral hosts), ``distributed=True`` switches to the repo's
+    two-phase range-partitioned prefix sum (``core.prefix``) keyed by
+    (group, slice): no task ever sorts more than its slice of a giant
+    group. Its rollup frame is ``#groups x #shuffle-partitions`` rows
+    and is broadcast — use it for FEW giant groups, not millions of
+    small ones.
+    """
+    from whylogs_spark.core.prefix import (require_exchange_reuse,
+                                           slice_rollup)
+
+    group_cols = list(group_cols)
+    id_cols = list(id_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not id_cols:
+        raise ValueError(
+            "id_cols must be non-empty: the priority order needs a "
+            "unique tie-break to be deterministic")
+    if weight_col is not None:
+        w = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    else:
+        w = F.coalesce(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            .cast("double"), F.lit(0.0))
+        # split('') yields [''] -> size 1; empty text must weigh 0
+        w = F.when(F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "",
+                   F.lit(0.0)).otherwise(w)
+    order = ([F.col(quality_col).desc_nulls_last()]
+             if quality_col is not None else []) \
+        + [F.col(c).asc() for c in id_cols]
+
+    if not distributed:
+        win = (Window.partitionBy(*[F.col(c) for c in group_cols])
+               .orderBy(*order)
+               .rowsBetween(Window.unboundedPreceding, -1))
+        cum_before = F.coalesce(F.sum(w).over(win), F.lit(0.0))
+        return (df.withColumn("__cb", cum_before)
+                .filter(F.col("__cb") < float(budget))
+                .drop("__cb"))
+
+    require_exchange_reuse(df)
+    range_keys = [F.col(c) for c in group_cols] + order
+    rp = (df.withColumn("__w", w)
+          .repartitionByRange(*range_keys)
+          .withColumn("__slice", F.spark_partition_id()))
+    wloc = (Window.partitionBy(*[F.col(c) for c in group_cols],
+                               F.col("__slice"))
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    local = rp.withColumn(
+        "__lcb", F.coalesce(F.sum(F.col("__w")).over(wloc), F.lit(0.0)))
+    totals = rp.groupBy(*group_cols, "__slice").agg(
+        F.sum("__w").alias("__w"))
+    roll = slice_rollup(totals, ["__w"], partition_cols=group_cols)
+    joined = local.join(F.broadcast(roll), group_cols + ["__slice"])
+    return (joined
+            .filter(F.col("__lcb") + F.col("__o___w") < float(budget))
+            .select(*[F.col(c) for c in df.columns]))
