@@ -1975,6 +1975,103 @@ def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), k=25, min_count=5)
 
 
+def _q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK health report (ops/integrity.py referential_integrity):
+    child collapses to distinct keys map-side, LEFT join to the
+    parent's pruned distinct key set, 1-row rollup. The child is
+    perturbed in-plan (every 97th order re-keyed out of range, every
+    101st nulled) so orphan/null accounting is exercised, not just the
+    all-matched TPC-H happy path."""
+    from whylogs_spark.ops.integrity import referential_integrity
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    child = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit(None))
+        .when(F.col("o_orderkey") % 97 == 0,
+              F.col("o_custkey") + 10000000)
+        .otherwise(F.col("o_custkey")))
+    return referential_integrity(
+        child, customer, ["o_custkey"], ["c_custkey"],
+        relation="orders.o_custkey->customer.c_custkey",
+        broadcast_parent=True)
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk summary (ops/integrity.py
+    k_anonymity_report): two partial-agg hash aggregations — group
+    sizes over the quasi-identifier combo, then a 1-row rollup with
+    l-diversity over the sensitive column."""
+    from whylogs_spark.ops.integrity import k_anonymity_report
+
+    return k_anonymity_report(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"], k=8,
+        sensitive_col="c_acctbal")
+
+
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (ops/integrity.py benford_test):
+    arithmetic digit extraction (no string round-trip), 9-group
+    partial agg, bounded spine join, broadcast totals — chi2 + MAD
+    conformity columns on every row."""
+    from whylogs_spark.ops.integrity import benford_test
+
+    return benford_test(_t(spark, sf_dir, "lineitem"),
+                        "l_extendedprice")
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot churn (ops/integrity.py snapshot_diff): per-id
+    added/removed/changed/unchanged via a full-outer join on (id,
+    8-byte fingerprint) — bodies never shuffle. Snapshot B is derived
+    in-plan: every 7th doc dropped, every 5th edited, every 11th
+    re-keyed as a new id."""
+    from whylogs_spark.ops.integrity import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    modified = (docs.filter(F.col("doc_id") % 7 != 0)
+                .withColumn(
+                    "text",
+                    F.when(F.col("doc_id") % 5 == 0,
+                           F.concat(F.col("text"), F.lit(" v2")))
+                    .otherwise(F.col("text"))))
+    added = (docs.filter(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     "text", "source"))
+    new = modified.unionByName(added)
+    return snapshot_diff(docs, new, "doc_id", ["text", "source"])
+
+
+def _q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token quota (ops/sampling.py cap_per_group): keep
+    the longest documents per source until 800 whitespace tokens are
+    spent — ONE grouped window (exclusive running sum), quality
+    order n_chars DESC with doc_id tie-break."""
+    from whylogs_spark.ops.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cap_per_group(docs, ["source"], budget=800,
+                        quality_col="n_chars")
+    return out.select("doc_id", "source", "n_chars")
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (ops/cluster.py): seeds = quantized
+    vectors of the 8 smallest ids, two quantized Lloyd updates, final
+    assignment as a shuffle-free plan-literal projection. Assignments
+    are exact integers, so the DuckDB oracle replays the identical
+    fold chain and hash-matches."""
+    from whylogs_spark.ops.cluster import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings") \
+        .filter(F.col("embedding").isNotNull())
+    assigned, _ = kmeans(emb, k=8, n_iter=2)
+    return assigned.select("vec_id", "cluster")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2123,10 +2220,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats_embeddings": _q_embedding_dim_stats,
         "histogram_exact_lineitem": _q_histogram_exact,
         "cross_source_overlap_documents": _q_cross_source_overlap,
+        "referential_integrity_orders": _q_referential_integrity,
+        "k_anonymity_customer": _q_k_anonymity,
+        "benford_lineitem": _q_benford,
+        "snapshot_diff_documents": _q_snapshot_diff,
+        "cap_per_group_documents": _q_cap_per_group,
+        "kmeans_embeddings": _q_kmeans,
     }
 
 
 # ---------------------------------------------------------------- oracle SQL
+def _kmeans_sql(k: int = 8, dim: int = 64, n_iter: int = 2) -> str:
+    """Replay ops/cluster.py's quantized Lloyd chain in DuckDB: same
+    deterministic seeds (round(vec, 6) of the k smallest ids), same
+    left-fold distance (list_reduce from a prepended 0.0 — bit-
+    identical to Spark's F.aggregate), same (dist, j) argmin
+    tie-break, same round(avg, 6) centroid update with empty clusters
+    keeping their previous centroid."""
+    hi = dim + 1
+    dist = ("list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1,{hi}), "
+            "i -> (e[i]-c[i])*(e[i]-c[i]))), (acc,x) -> acc+x)")
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        f"seed AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}), "
+        "c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT "
+        "AS j, list_transform(e, x -> round(x, 6)) AS c FROM seed)"
+    ]
+    prev = "c0"
+    for it in range(n_iter):
+        a, r, m, n, nxt = (f"a{it}", f"r{it}", f"m{it}", f"n{it}",
+                           f"c{it + 1}")
+        parts.append(
+            f", {a} AS (SELECT vec_id, e, j, {dist} AS dist "
+            f"FROM v, {prev}) "
+            f", {r} AS (SELECT vec_id, e, j, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, j) AS rn "
+            f"FROM {a}) "
+            f", {m} AS (SELECT j, i, round(avg(e[i]), 6) AS m "
+            f"FROM {r} CROSS JOIN range(1,{hi}) t(i) WHERE rn = 1 "
+            "GROUP BY j, i) "
+            f", {n} AS (SELECT j, list(m ORDER BY i) AS c FROM {m} "
+            "GROUP BY j) "
+            f", {nxt} AS (SELECT {prev}.j, coalesce({n}.c, {prev}.c) "
+            f"AS c FROM {prev} LEFT JOIN {n} USING (j))")
+        prev = nxt
+    parts.append(
+        f", af AS (SELECT vec_id, j, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dist, j) AS rn "
+        f"FROM (SELECT vec_id, j, {dist} AS dist FROM v, {prev})) "
+        "SELECT vec_id, j AS cluster FROM af WHERE rn = 1")
+    return "".join(parts)
+
+
 def _gopher_sql() -> str:
     """Recompute every Gopher rule in DuckDB list/lambda SQL with the
     exact operation order of ops/quality.py, so each per-doc division
@@ -3923,4 +4070,115 @@ def oracle_sql() -> dict[str, str]:
                 .replace("{g}", g)
                 for g in ("hour", "day", "week"))
         ),
+        "referential_integrity_orders": (
+            "WITH child AS (SELECT CASE WHEN o_orderkey % 101 = 0 "
+            "THEN NULL WHEN o_orderkey % 97 = 0 "
+            "THEN o_custkey + 10000000 ELSE o_custkey END AS fk "
+            "FROM orders), "
+            "p AS (SELECT DISTINCT c_custkey AS pkey FROM customer "
+            "WHERE c_custkey IS NOT NULL), "
+            "j AS (SELECT c.fk AS fk, (p.pkey IS NOT NULL) AS m "
+            "FROM child c LEFT JOIN p ON c.fk = p.pkey) "
+            "SELECT 'orders.o_custkey->customer.c_custkey' AS relation, "
+            "count(*)::BIGINT AS child_rows, "
+            "sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS null_key_rows, "
+            "sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT "
+            "AS matched_rows, "
+            "sum(CASE WHEN (NOT m) AND fk IS NOT NULL THEN 1 ELSE 0 "
+            "END)::BIGINT AS orphan_rows, "
+            "count(DISTINCT CASE WHEN (NOT m) AND fk IS NOT NULL "
+            "THEN fk END)::BIGINT AS orphan_keys, "
+            "CASE WHEN count(*) - sum(CASE WHEN fk IS NULL THEN 1 "
+            "ELSE 0 END) > 0 THEN "
+            "round(sum(CASE WHEN m THEN 1 ELSE 0 END)::DOUBLE / "
+            "(count(*) - sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END)), "
+            "6) END AS match_rate FROM j"
+        ),
+        "k_anonymity_customer": (
+            "WITH g AS (SELECT c_nationkey, c_mktsegment, "
+            "count(*) AS gn, count(DISTINCT c_acctbal) AS gl "
+            "FROM customer GROUP BY 1, 2) "
+            "SELECT 8 AS k, sum(gn)::BIGINT AS n_rows, "
+            "count(*)::BIGINT AS n_groups, min(gn)::BIGINT "
+            "AS k_anonymity, "
+            "sum(CASE WHEN gn < 8 THEN 1 ELSE 0 END)::BIGINT "
+            "AS groups_below_k, "
+            "sum(CASE WHEN gn < 8 THEN gn ELSE 0 END)::BIGINT "
+            "AS rows_below_k, "
+            "CASE WHEN sum(gn) > 0 THEN round(sum(CASE WHEN gn < 8 "
+            "THEN gn ELSE 0 END)::DOUBLE / sum(gn), 6) END "
+            "AS pct_rows_below_k, "
+            "sum(CASE WHEN gn = 1 THEN gn ELSE 0 END)::BIGINT "
+            "AS singleton_rows, "
+            "min(gl)::BIGINT AS l_diversity, "
+            "sum(CASE WHEN gl <= 1 THEN gn ELSE 0 END)::BIGINT "
+            "AS rows_l1 FROM g"
+        ),
+        "benford_lineitem": (
+            "WITH src AS (SELECT abs(l_extendedprice::DOUBLE) AS x "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+            "AND NOT isnan(l_extendedprice::DOUBLE) "
+            "AND abs(l_extendedprice::DOUBLE) > 0), "
+            "d AS (SELECT least(greatest(floor(x * power(10.0, "
+            "0.0 - floor(log10(x)))), 1), 9)::BIGINT AS digit "
+            "FROM src), "
+            "counts AS (SELECT digit, count(*) AS n FROM d "
+            "GROUP BY digit), "
+            "spine AS (SELECT i::BIGINT AS digit "
+            "FROM range(1, 10) t(i)), "
+            "per AS (SELECT s.digit AS digit, "
+            "coalesce(c.n, 0)::BIGINT AS n "
+            "FROM spine s LEFT JOIN counts c ON s.digit = c.digit), "
+            "tot AS (SELECT sum(n)::BIGINT AS n_total FROM per), "
+            "scored AS (SELECT digit, n, n_total, "
+            "CASE WHEN n_total > 0 THEN n::DOUBLE / n_total "
+            "ELSE 0.0 END AS observed_p, "
+            "log10(1.0 + 1.0 / digit) AS expected_p FROM per, tot), "
+            "s2 AS (SELECT *, CASE WHEN n_total > 0 THEN "
+            "power(n - expected_p * n_total, 2.0) / "
+            "(expected_p * n_total) ELSE 0.0 END AS chi2_term "
+            "FROM scored), "
+            "st AS (SELECT sum(chi2_term) AS chi2_stat, "
+            "avg(abs(observed_p - expected_p)) AS mad FROM s2) "
+            "SELECT digit, n, round(observed_p, 6) AS observed_p, "
+            "round(expected_p, 6) AS expected_p, "
+            "round(chi2_term, 6) AS chi2_term, n_total, "
+            "round(chi2_stat, 6) AS chi2_stat, round(mad, 6) AS mad "
+            "FROM s2, st ORDER BY digit"
+        ),
+        "snapshot_diff_documents": (
+            "WITH old AS (SELECT doc_id, text, source "
+            "FROM documents), "
+            "mod AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "THEN text || ' v2' ELSE text END AS text, source "
+            "FROM documents WHERE doc_id % 7 <> 0), "
+            "added AS (SELECT doc_id + 1000000 AS doc_id, text, "
+            "source FROM documents WHERE doc_id % 11 = 0), "
+            "new AS (SELECT * FROM mod UNION ALL "
+            "SELECT * FROM added), "
+            "j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "o.doc_id AS oid, n.doc_id AS nid, "
+            "((o.text IS DISTINCT FROM n.text) OR "
+            "(o.source IS DISTINCT FROM n.source)) AS diff "
+            "FROM old o FULL OUTER JOIN new n "
+            "ON o.doc_id = n.doc_id) "
+            "SELECT doc_id, CASE WHEN oid IS NULL THEN 'added' "
+            "WHEN nid IS NULL THEN 'removed' "
+            "WHEN NOT diff THEN 'unchanged' ELSE 'changed' END "
+            "AS status FROM j"
+        ),
+        "cap_per_group_documents": (
+            "WITH w AS (SELECT doc_id, source, n_chars, "
+            "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END "
+            "AS tok FROM documents), "
+            "c AS (SELECT doc_id, source, n_chars, "
+            "coalesce(sum(tok) OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS cb FROM w) "
+            "SELECT doc_id, source, n_chars FROM c WHERE cb < 800"
+        ),
+        "kmeans_embeddings": _kmeans_sql(k=8, dim=64, n_iter=2),
     }

@@ -1069,6 +1069,100 @@ def main() -> None:
                 r"ReadSchema: struct<doc_id[^\n]*text",
         }))
 
+    # 9z4. referential integrity: child collapses to distinct keys
+    # BEFORE the join; the parent key set broadcasts; one 1-row rollup
+    from whylogs_spark.ops.integrity import (benford_test,
+                                             referential_integrity,
+                                             snapshot_diff)
+
+    ords = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    ri = referential_integrity(ords, cust, ["o_custkey"],
+                               ["c_custkey"], broadcast_parent=True)
+    sections.append((
+        "referential integrity", ri,
+        {
+            "child partial-aggregates to keys before the join":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate"
+                r"[\s\S]*BroadcastHashJoin",
+            "parent joined by broadcast": r"BroadcastHashJoin",
+            "key-pruned scans (no fact payload columns)":
+                r"ReadSchema: struct<o_custkey:",
+            "no window anywhere": r"^(?![\s\S]*Window)",
+        }))
+
+    # 9z4b. benford: arithmetic digit extraction, 9-row spine joined
+    # broadcast, totals via broadcast cross join, no sort of data
+    bf = benford_test(li, "l_extendedprice")
+    sections.append((
+        "benford first-digit test", bf,
+        {
+            "partial agg before digit exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "spine + totals by broadcast":
+                r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+            "single-column pruned scan":
+                r"ReadSchema: struct<l_extendedprice",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInArrow|FlatMapsInPandas))",
+        }))
+
+    # 9z4c. snapshot diff: the full-outer join exchanges (id, 8-byte
+    # fingerprint) only — document bodies never shuffle
+    sd_new = docs.filter(F.col("doc_id") % 2 == 0)
+    sd = snapshot_diff(docs, sd_new, "doc_id", ["text", "source"])
+    sections.append((
+        "snapshot diff", sd,
+        {
+            "no raw text in any exchange":
+                r"^(?![\s\S]*Exchange[^\n]*\btext#)",
+            "full-outer merge join on the id":
+                r"SortMergeJoin[\s\S]*FullOuter|FullOuter",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInArrow|FlatMapsInPandas))",
+        }))
+
+    # 9z4d. per-group quota: ONE grouped window (partitionBy carries
+    # the group key), pruned scan, no global sort
+    from whylogs_spark.ops.sampling import cap_per_group
+
+    cpg = cap_per_group(docs.select("doc_id", "source", "text"),
+                        ["source"], budget=800)
+    sections.append((
+        "cap per group (token quota)", cpg,
+        {
+            "window is partitioned by the group key":
+                r"windowspecdefinition\(source#",
+            "single exchange on the group key":
+                r"hashpartitioning\(source#",
+            "no global sort of the data":
+                r"^(?![\s\S]*Sort \[[^\]]*\], true)",
+        }))
+
+    # 9z4e. k-means assignment: centroids are plan literals — pure
+    # projection, zero exchange, no Python, no MLlib vector conversion
+    from whylogs_spark.ops.cluster import kmeans_assign, kmeans_init
+
+    cents = kmeans_init(emb, k=4)
+    km = kmeans_assign(emb, cents, check_dims=False) \
+        .select("vec_id", "cluster")
+    sections.append((
+        "k-means assignment", km,
+        {
+            "zero shuffle (pure projection)": r"^(?![\s\S]*Exchange)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInArrow|FlatMapsInPandas))",
+            # higher-order folds are interpreted JVM expressions
+            # (Spark never codegens lambda HOFs) — assert the
+            # centroids are inlined literals and nothing joins
+            "centroids inlined as plan literals (no centroid join)":
+                r"zip_with\(cast\(embedding[\s\S]*?\[-?0\.",
+            "no join anywhere": r"^(?![\s\S]*Join)",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
