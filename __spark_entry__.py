@@ -2072,6 +2072,53 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "cluster")
 
 
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (ops/text.py vocab_growth): token
+    first-occurrences via one token-keyed partial-agg groupBy, the
+    cumulative walk on the two-phase range-partitioned prefix sum —
+    checkpoints every 50 docs plus the endpoint."""
+    from whylogs_spark.ops.text import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"),
+                        checkpoint_every=50)
+
+
+def _q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (core/summaries.py
+    with_quantile_bins): exact lower-interpolation quartile boundaries
+    broadcast from the distributed quantile walk, shuffle-free fold
+    assignment, then a per-bin rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = summaries.with_quantile_bins(li, "l_extendedprice", n_bins=4,
+                                       bin_col="qbin")
+    return (out.groupBy("qbin")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("l_extendedprice"), 4).alias("bin_min"),
+                 F.round(F.max("l_extendedprice"), 4).alias("bin_max"))
+            .orderBy("qbin"))
+
+
+def _q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen (core/summaries.py
+    robust_outlier_summary): per-segment modified z-scores from
+    exact order-statistic median/MAD (both via the distributed
+    quantile walk — no single-task sort), rolled up per segment."""
+    li = _t(spark, sf_dir, "lineitem")
+    return summaries.robust_outlier_summary(
+        li, "l_extendedprice", ["l_returnflag"], threshold=3.5)
+
+
+def _q_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing (ops/sampling.py balance_classes): every
+    language downsampled to the smallest class's size by md5-prefix
+    rank — min size rides a broadcast 1-row branch, selection is one
+    class-keyed rank window."""
+    from whylogs_spark.ops.sampling import balance_classes
+
+    docs = _t(spark, sf_dir, "documents")
+    return balance_classes(docs, ["lang"]).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2226,6 +2273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_documents": _q_snapshot_diff,
         "cap_per_group_documents": _q_cap_per_group,
         "kmeans_embeddings": _q_kmeans,
+        "vocab_growth_documents": _q_vocab_growth,
+        "quantile_bins_lineitem": _q_quantile_bins,
+        "robust_outliers_lineitem": _q_robust_outliers,
+        "balance_classes_documents": _q_balance_classes,
     }
 
 
@@ -4181,4 +4232,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, n_chars FROM c WHERE cb < 800"
         ),
         "kmeans_embeddings": _kmeans_sql(k=8, dim=64, n_iter=2),
+        "vocab_growth_documents": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), firstx AS (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY tok), newt AS (SELECT doc_id, count(*) AS nt FROM firstx GROUP BY doc_id), per AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS tk FROM documents), base AS (SELECT p.doc_id AS doc_id, p.tk AS tk, coalesce(n.nt, 0) AS nt FROM per p LEFT JOIN newt n ON p.doc_id = n.doc_id), c AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS docs_seen, sum(tk) OVER w AS tokens_seen, sum(nt) OVER w AS distinct_tokens, count(*) OVER () AS total FROM base WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT docs_seen::BIGINT AS docs_seen, tokens_seen::BIGINT AS tokens_seen, distinct_tokens::BIGINT AS distinct_tokens, CASE WHEN tokens_seen > 1 AND distinct_tokens > 0 THEN round(ln(distinct_tokens) / ln(tokens_seen), 6) END AS heaps_beta FROM c WHERE docs_seen % 50 = 0 OR docs_seen = total ORDER BY docs_seen"
+        ),
+        "quantile_bins_lineitem": (
+            'WITH g AS (SELECT l_extendedprice AS v, count(*) AS ct FROM lineitem WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice::DOUBLE) GROUP BY 1), cw AS (SELECT v, sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sct, sum(ct) OVER () AS n FROM g), thr AS (SELECT min(CASE WHEN sct >= greatest(ceil(0.25 * n - 0.25 * n * 1e-12 - 1e-9), 1) THEN v END) AS t0, min(CASE WHEN sct >= greatest(ceil(0.5 * n - 0.5 * n * 1e-12 - 1e-9), 1) THEN v END) AS t1, min(CASE WHEN sct >= greatest(ceil(0.75 * n - 0.75 * n * 1e-12 - 1e-9), 1) THEN v END) AS t2 FROM cw), b AS (SELECT l_extendedprice, CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice::DOUBLE) THEN NULL ELSE ((l_extendedprice::DOUBLE >= t0)::INT + (l_extendedprice::DOUBLE >= t1)::INT + (l_extendedprice::DOUBLE >= t2)::INT) END AS qbin FROM lineitem, thr) SELECT qbin::INT AS qbin, count(*)::BIGINT AS n, round(min(l_extendedprice), 4) AS bin_min, round(max(l_extendedprice), 4) AS bin_max FROM b GROUP BY qbin ORDER BY qbin'
+        ),
+        "robust_outliers_lineitem": (
+            'WITH src AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS x FROM lineitem), g1 AS (SELECT g, x AS v, count(*) AS ct FROM src WHERE x IS NOT NULL AND NOT isnan(x) GROUP BY 1, 2), c1 AS (SELECT g, v, sum(ct) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sct, sum(ct) OVER (PARTITION BY g) AS n FROM g1), med AS (SELECT g, min(CASE WHEN sct >= greatest(ceil(0.5 * n - 0.5 * n * 1e-12 - 1e-9), 1) THEN v END) AS med FROM c1 GROUP BY g), ad AS (SELECT s.g AS g, s.x AS x, abs(s.x - m.med) AS adv, m.med AS med FROM src s JOIN med m ON s.g = m.g), g2 AS (SELECT g, adv AS v, count(*) AS ct FROM ad WHERE adv IS NOT NULL AND NOT isnan(adv) GROUP BY 1, 2), c2 AS (SELECT g, v, sum(ct) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sct, sum(ct) OVER (PARTITION BY g) AS n FROM g2), mad AS (SELECT g, min(CASE WHEN sct >= greatest(ceil(0.5 * n - 0.5 * n * 1e-12 - 1e-9), 1) THEN v END) AS mad FROM c2 GROUP BY g), z AS (SELECT a.g AS g, a.x AS x, CASE WHEN a.x IS NOT NULL AND NOT isnan(a.x) AND d.mad > 0 THEN round(0.6745 * (a.x - a.med) / d.mad, 6) END AS rz, CASE WHEN a.x IS NULL OR isnan(a.x) THEN NULL WHEN d.mad > 0 THEN abs(round(0.6745 * (a.x - a.med) / d.mad, 6)) > 3.5 ELSE a.x <> a.med END AS flag FROM ad a JOIN mad d ON a.g = d.g) SELECT g AS l_returnflag, count(x)::BIGINT AS n, sum(CASE WHEN flag THEN 1 ELSE 0 END)::BIGINT AS n_outliers, CASE WHEN count(x) > 0 THEN round(sum(CASE WHEN flag THEN 1 ELSE 0 END)::DOUBLE / count(x), 6) END AS outlier_rate, round(max(abs(rz)), 6) AS max_abs_z FROM z GROUP BY g ORDER BY g'
+        ),
+        "balance_classes_documents": (
+            'WITH t AS (SELECT min(cnt) AS target FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)), r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rk FROM documents) SELECT doc_id, lang FROM r, t WHERE rk <= t.target'
+        ),
     }

@@ -1163,6 +1163,71 @@ def main() -> None:
             "no join anywhere": r"^(?![\s\S]*Join)",
         }))
 
+    # 9z5. vocab growth: token groupBy partial-aggregates map-side
+    # (hot tokens collapse per task); the cumulative walk is the
+    # two-phase prefix sum — no partition-less window over data
+    from whylogs_spark.ops.text import vocab_growth
+
+    vg = vocab_growth(docs, checkpoint_every=100)
+    sections.append((
+        "vocab growth (Heaps curve)", vg,
+        {
+            "token counts partial-agg before the token exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "range exchange for the cumulative walk":
+                r"rangepartitioning\(doc_id",
+            "no raw text in any exchange":
+                r"^(?![\s\S]*Exchange[^\n]*\btext#)",
+        }))
+
+    # 9z5b. quantile bins: boundaries ride a broadcast 1-row branch;
+    # bin assignment adds no exchange of the data
+    from whylogs_spark.core.summaries import (robust_outlier_summary,
+                                              with_quantile_bins)
+
+    qb = with_quantile_bins(li, "l_extendedprice", n_bins=4)
+    sections.append((
+        "quantile bins", qb,
+        {
+            "boundary row joined by broadcast":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "no hash exchange of the data rows":
+                r"^(?![\s\S]*Exchange hashpartitioning\(l_orderkey)",
+            "grouped distinct-value walk before the boundaries":
+                r"rangepartitioning\(v#",
+        }))
+
+    # 9z5c. robust outliers: median + MAD both via the distributed
+    # quantile walk — no single-task sort anywhere
+    ro = robust_outlier_summary(li, "l_extendedprice",
+                                ["l_returnflag"])
+    sections.append((
+        "robust outlier summary", ro,
+        {
+            "quantile walks are range-partitioned":
+                r"rangepartitioning\(l_returnflag",
+            "no partition-less data sort":
+                r"^(?![\s\S]*Sort \[l_extendedprice[^\n]*\], true)",
+            "final rollup partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        }))
+
+    # 9z5d. class rebalance: min class size is a broadcast 1-row
+    # branch; selection is one class-keyed rank window
+    from whylogs_spark.ops.sampling import balance_classes
+
+    bc = balance_classes(docs.select("doc_id", "lang"), ["lang"])
+    sections.append((
+        "balance classes", bc,
+        {
+            "target size joined by broadcast":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "rank window partitioned by the class":
+                r"windowspecdefinition\(lang#",
+            "single data exchange on the class key":
+                r"hashpartitioning\(lang#",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

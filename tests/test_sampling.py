@@ -357,3 +357,54 @@ class TestCapPerGroup:
             cap_per_group(df, [], budget=1)
         with pytest.raises(ValueError, match="id_cols"):
             cap_per_group(df, ["source"], budget=1, id_cols=[])
+
+
+# ------------------------------------------------------ balance_classes
+class TestBalanceClasses:
+    def test_downsample_to_min(self, spark):
+        from whylogs_spark.ops.sampling import balance_classes
+        rows = ([(i, "big") for i in range(20)]
+                + [(100 + i, "small") for i in range(3)])
+        df = spark.createDataFrame(rows, "doc_id int, lang string")
+        out = balance_classes(df, ["lang"])
+        counts = {r.lang: r["count"] for r in
+                  out.groupBy("lang").count().collect()}
+        assert counts == {"big": 3, "small": 3}
+
+    def test_deterministic_and_nested(self, spark):
+        from whylogs_spark.ops.sampling import balance_classes
+        rows = ([(i, "a") for i in range(30)]
+                + [(100 + i, "b") for i in range(10)])
+        df = spark.createDataFrame(rows, "doc_id int, lang string")
+        ids1 = sorted(r.doc_id for r in
+                      balance_classes(df, ["lang"]).collect())
+        ids2 = sorted(r.doc_id for r in
+                      balance_classes(df.repartition(7), ["lang"])
+                      .collect())
+        assert ids1 == ids2
+        # superset consistency: target=5 result contains target=3
+        k5 = set(r.doc_id for r in
+                 balance_classes(df, ["lang"], target=5).collect())
+        k3 = set(r.doc_id for r in
+                 balance_classes(df, ["lang"], target=3).collect())
+        assert k3 <= k5
+
+    def test_explicit_target_keeps_small_classes_whole(self, spark):
+        from whylogs_spark.ops.sampling import balance_classes
+        rows = [(1, "a"), (2, "a"), (3, "b")]
+        df = spark.createDataFrame(rows, "doc_id int, lang string")
+        out = balance_classes(df, ["lang"], target=2)
+        counts = {r.lang: r["count"] for r in
+                  out.groupBy("lang").count().collect()}
+        assert counts == {"a": 2, "b": 1}
+
+    def test_validation(self, spark):
+        from whylogs_spark.ops.sampling import balance_classes
+        import pytest
+        df = spark.createDataFrame([(1, "a")], "doc_id int, lang string")
+        with pytest.raises(ValueError, match="class_cols"):
+            balance_classes(df, [])
+        with pytest.raises(ValueError, match="key_cols"):
+            balance_classes(df, ["lang"], key_cols=[])
+        with pytest.raises(ValueError, match="target"):
+            balance_classes(df, ["lang"], target=0)

@@ -303,3 +303,125 @@ def histogram_exact(
         )
         .orderBy("bin")
     )
+
+
+# ------------------------------------- quantile bins & robust outliers
+
+def with_quantile_bins(
+    df: DataFrame,
+    column: str,
+    n_bins: int = 10,
+    bin_col: Optional[str] = None,
+) -> DataFrame:
+    """Equal-frequency discretization: add ``bin_col`` (default
+    ``<column>_qbin``) in ``0 .. n_bins-1`` — the bucket between
+    consecutive exact quantile boundaries. The curation/stratification
+    primitive (difficulty tiers, score deciles for mixture weighting,
+    calibration buckets) in one declarative plan.
+
+    Boundaries are ``exact_quantiles`` order statistics (lower
+    interpolation — integer ranks, no FP interpolation), so the same
+    bucketing reproduces exactly in any engine. Bucket rule: ``bin =
+    #{boundaries <= x}``; heavy ties can leave earlier buckets empty
+    (duplicate boundaries collapse), which is the honest answer for
+    low-cardinality data. Null/NaN rows get a null bin.
+
+    Plan shape: the boundary row is a broadcast 1-row branch
+    (two-phase distributed quantile walk, see ``exact_quantiles``);
+    assignment is a shuffle-free codegen'd fold per row. The input is
+    scanned twice (boundaries, then assignment) — cache upstream if it
+    is an expensive derived frame.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+    qrow = exact_quantiles(df, column, qs).select(
+        F.array(*[F.col(nm) for nm in names]).alias("__thr"))
+    x = F.col(column).cast("double")
+    ok = F.col(column).isNotNull() & ~F.isnan(x)
+    bin_ = F.size(F.filter(F.col("__thr"),
+                           lambda t: t.isNotNull() & (x >= t)))
+    return (df.crossJoin(F.broadcast(qrow))
+            .withColumn(bin_col or f"{column}_qbin",
+                        F.when(ok, bin_).cast("int"))
+            .drop("__thr"))
+
+
+_MODIFIED_Z = 0.6745  # Iglewicz-Hoaglin modified z-score constant
+
+
+def with_robust_z(
+    df: DataFrame,
+    column: str,
+    group_cols: Optional[List[str]] = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Row-level robust outlier flags: ``robust_z`` = the modified
+    z-score ``0.6745 * (x - median) / MAD`` (Iglewicz & Hoaglin 1993)
+    and ``is_outlier`` = ``|robust_z| > threshold``, optionally per
+    ``group_cols`` segment. Median and MAD are ``exact_quantiles``
+    order statistics (lower interpolation), so both the scores and the
+    flags reproduce bit-for-bit in the DuckDB oracle — and the
+    quantile walks are the repo's two-phase distributed prefix sum,
+    never a single-task sort.
+
+    Degenerate segments (MAD = 0, i.e. >= half the rows share the
+    lower-interpolation median) yield null ``robust_z``;
+    ``is_outlier`` is then simply ``x != median`` — a constant column
+    still flags its exceptions instead of hiding them behind a 0/0.
+    Note the lower-median convention makes MAD = 0 more common on
+    TINY segments (a 2-row group always degenerates and flags its
+    second value) — treat flags from segments with n below ~10 as
+    screening noise. Null/NaN x: null z, null flag.
+    """
+    groups = list(group_cols or [])
+    med_frame = exact_quantiles(df, column, [0.5], groups) \
+        .select(*groups, F.col("q_0_5").alias("__med"))
+    if groups:
+        j1 = df.join(med_frame, groups, "left")
+    else:
+        j1 = df.crossJoin(F.broadcast(med_frame))
+    x = F.col(column).cast("double")
+    j1 = j1.withColumn("__ad", F.abs(x - F.col("__med")))
+    mad_frame = exact_quantiles(j1, "__ad", [0.5], groups) \
+        .select(*groups, F.col("q_0_5").alias("__mad"))
+    if groups:
+        j2 = j1.join(mad_frame, groups, "left")
+    else:
+        j2 = j1.crossJoin(F.broadcast(mad_frame))
+    ok = F.col(column).isNotNull() & ~F.isnan(x)
+    z = F.when(ok & (F.col("__mad") > 0),
+               F.round(F.lit(_MODIFIED_Z) * (x - F.col("__med"))
+                       / F.col("__mad"), 6))
+    flag = (F.when(~ok, F.lit(None).cast("boolean"))
+            .when(F.col("__mad") > 0,
+                  F.abs(z) > F.lit(float(threshold)))
+            .otherwise(x != F.col("__med")))
+    return (j2.withColumn("robust_z", z)
+            .withColumn("is_outlier", flag)
+            .drop("__med", "__ad", "__mad"))
+
+
+def robust_outlier_summary(
+    df: DataFrame,
+    column: str,
+    group_cols: Optional[List[str]] = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-segment rollup of :func:`with_robust_z`: ``n, n_outliers,
+    outlier_rate, max_abs_z`` — the screening table a data-quality
+    report leads with."""
+    groups = list(group_cols or [])
+    scored = with_robust_z(df, column, groups, threshold)
+    out = (scored.groupBy(*groups).agg(
+        F.count(F.col(column)).alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("long").alias("n_outliers"),
+        F.round(F.max(F.abs(F.col("robust_z"))), 6)
+        .alias("max_abs_z")))
+    rate = F.when(F.col("n") > 0,
+                  F.round(F.col("n_outliers") / F.col("n"), 6))
+    out = out.select(*groups, "n", "n_outliers",
+                     rate.alias("outlier_rate"), "max_abs_z")
+    return out.orderBy(*groups) if groups else out

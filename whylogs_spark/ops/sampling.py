@@ -458,3 +458,48 @@ def cap_per_group(
     return (joined
             .filter(F.col("__lcb") + F.col("__o___w") < float(budget))
             .select(*[F.col(c) for c in df.columns]))
+
+
+def balance_classes(
+    df: DataFrame,
+    class_cols: Sequence[str],
+    key_cols: Sequence[str] = ("doc_id",),
+    salt: str = "",
+    target: Optional[int] = None,
+) -> DataFrame:
+    """Deterministically downsample every class to the size of the
+    smallest one (or to an explicit ``target``) — the class-rebalance
+    step before training a classifier on skewed labels. Within each
+    class the kept rows are the ``target`` smallest key hashes (the
+    module's md5-prefix order), so the subsample is uniform, stable
+    across runs/engines/partitionings, and a superset-consistent
+    shrink of any larger ``target``.
+
+    Plan shape: the min class size is a broadcast 1-row branch off the
+    class-count aggregate (no driver round-trip), and selection is one
+    rank window keyed by the class — identical skew profile to
+    ``group_sample`` (see its ``presalt`` notes for classes beyond
+    ~10^7 rows). Classes smaller than ``target`` keep everything.
+    """
+    class_cols = list(class_cols)
+    key_cols = list(key_cols)
+    if not class_cols:
+        raise ValueError("class_cols must be non-empty")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if target is not None and target < 1:
+        raise ValueError(f"target must be >= 1, got {target}")
+    if target is None:
+        tgt = (df.groupBy(*class_cols).agg(F.count("*").alias("__n"))
+               .agg(F.min("__n").alias("__target")))
+    else:
+        spark = df.sparkSession
+        tgt = spark.range(1).select(
+            F.lit(int(target)).cast("long").alias("__target"))
+    h = _hash_prefix(key_cols, salt)
+    w = (Window.partitionBy(*[F.col(c) for c in class_cols])
+         .orderBy(h.asc(), *[F.col(c).asc() for c in key_cols]))
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    return (ranked.crossJoin(F.broadcast(tgt))
+            .filter(F.col("__rk") <= F.col("__target"))
+            .select(*[F.col(c) for c in df.columns]))

@@ -650,3 +650,62 @@ def corpus_stats(
         F.round(F.col("n_chars") / F.col("n_docs"), 4)
         .alias("avg_chars"),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 100,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: at every
+    ``checkpoint_every``-th document in ``id_col`` order — plus the
+    final document — report ``docs_seen, tokens_seen,
+    distinct_tokens`` and the running Heaps exponent estimate
+    ``heaps_beta = ln(V) / ln(N)`` (V = distinct tokens, N = total
+    tokens). A corpus whose curve flattens early is repetitive or
+    template-heavy; a near-linear curve signals OCR noise or
+    tokenizer-hostile text — the standard corpus-health diagnostic
+    before tokenizer training.
+
+    Distributed shape: token first-occurrences via ONE groupBy(token)
+    (the only token-keyed shuffle — partial agg collapses repeats
+    map-side, so 'the' costs one row per task, not one per
+    occurrence); per-doc new-token counts and the cumulative walk ride
+    the repo's two-phase range-partitioned prefix sum
+    (``core.prefix.running_sums``) — no single-task sort at any
+    scale. Tokens are lowercased whitespace tokens (same tokenizer as
+    ``corpus_stats``).
+    """
+    from whylogs_spark.core.prefix import running_sums
+
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    c = F.col(text_col)
+    lowered = F.lower(F.trim(c))
+    tok = (df.filter(c.isNotNull() & (F.trim(c) != ""))
+           .select(F.col(id_col),
+                   F.explode(F.split(lowered, _WS)).alias("__tok")))
+    first = tok.groupBy("__tok").agg(F.min(id_col).alias(id_col))
+    newt = first.groupBy(id_col).agg(F.count("*").alias("__nt"))
+    per = df.select(F.col(id_col),
+                    token_count(c).cast("long").alias("__tk"))
+    base = (per.join(newt, id_col, "left")
+            .select(id_col, "__tk",
+                    F.coalesce(F.col("__nt"), F.lit(0)).alias("__nt"),
+                    F.lit(1).alias("__one")))
+    walked = running_sums(base, [id_col], ["__tk", "__nt", "__one"])
+    docs_seen = F.col("__cum___one")
+    tokens_seen = F.col("__cum___tk")
+    distinct = F.col("__cum___nt")
+    beta = F.when((tokens_seen > 1) & (distinct > 0),
+                  F.round(F.log(distinct) / F.log(tokens_seen), 6))
+    return (walked
+            .filter((docs_seen % checkpoint_every == 0)
+                    | (docs_seen == F.col("__g___one")))
+            .select(docs_seen.alias("docs_seen"),
+                    tokens_seen.alias("tokens_seen"),
+                    distinct.alias("distinct_tokens"),
+                    beta.alias("heaps_beta"))
+            .orderBy("docs_seen"))
