@@ -776,3 +776,84 @@ def test_streaming_heavy_hitters_mg_bounds(spark, tmp_path):
 
     with pytest.raises(ValueError, match="slots"):
         streaming_heavy_hitters(stream, slots=0)
+
+
+def test_streaming_fk_monitor_matches_batch(spark, tmp_path):
+    """Windowed orphan accounting over a file stream equals the same
+    accounting computed in batch, and the runtime plan is a broadcast
+    stream-static join + one watermarked stateful agg."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.integrity import streaming_fk_monitor
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(40):
+        fk = None if i % 10 == 0 else (999 if i % 7 == 0 else i % 5)
+        rows.append((i, t0 + dt.timedelta(minutes=i), fk))
+    src = str(tmp_path / "fk_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, cust long"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame([(i,) for i in range(5)], "id long")
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = streaming_fk_monitor(stream, dim, ["cust"], ["id"],
+                               window="10 minutes",
+                               watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("fk_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.window_start: (r.child_rows, r.null_key_rows,
+                            r.matched_rows, r.orphan_rows,
+                            r.match_rate)
+           for r in spark.sql("SELECT * FROM fk_out").collect()}
+
+    # batch reference over the same file
+    from pyspark.sql import functions as F
+    batch = spark.read.parquet(src)
+    b = (batch.join(dim.withColumnRenamed("id", "cust")
+                    .withColumn("__m", F.lit(True)), "cust", "left")
+         .groupBy(F.window("ts", "10 minutes").alias("w"))
+         .agg(F.count("*").alias("n"),
+              F.sum(F.when(F.col("cust").isNull(), 1).otherwise(0))
+              .alias("nk"),
+              F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0))
+              .alias("m"),
+              F.sum(F.when(F.col("__m").isNull()
+                           & F.col("cust").isNotNull(), 1)
+                    .otherwise(0)).alias("o"))
+         .collect())
+    want = {r.w.start: (r.n, r.nk, r.m, r.o,
+                        round(r.m / (r.n - r.nk), 6)
+                        if r.n - r.nk > 0 else None)
+            for r in b}
+    # all but the last window are closed under availableNow + 0s
+    # watermark; compare the closed ones
+    assert len(got) >= len(want) - 1
+    for k, v in got.items():
+        assert want[k] == v
+
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    assert "EventTimeWatermark" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "StateStoreSave" in plan
+
+
+def test_streaming_fk_monitor_arity_validation(spark, tmp_path):
+    import pytest
+
+    from whylogs_spark.streaming.integrity import streaming_fk_monitor
+
+    dim = spark.createDataFrame([(1,)], "id long")
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, cust long")
+    with pytest.raises(ValueError, match="arity"):
+        streaming_fk_monitor(df, dim, ["cust"], ["id", "id"])
