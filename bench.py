@@ -585,6 +585,52 @@ def main() -> None:
             {"op": "exact_dedup"},
         ]).select("doc_id"))
 
+    def bench_governance_checks():
+        # relational data-quality sweep: FK health, k-anonymity,
+        # Benford conformity, snapshot churn (all full-oracle gates)
+        from whylogs_spark.ops.integrity import (benford_test,
+                                                 k_anonymity_report,
+                                                 referential_integrity,
+                                                 snapshot_diff_summary)
+        cust = load_table(spark, SF_DIR, "customer")
+        _noop(referential_integrity(t["orders"], cust, ["o_custkey"],
+                                    ["c_custkey"],
+                                    broadcast_parent=True))
+        _noop(k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"],
+                                 k=8, sensitive_col="c_acctbal"))
+        _noop(benford_test(t["lineitem"], "l_extendedprice"))
+        newdocs = t["documents"].filter(F.col("doc_id") % 7 != 0)
+        _noop(snapshot_diff_summary(t["documents"], newdocs, "doc_id",
+                                    ["text", "source"]))
+
+    def bench_kmeans_embeddings():
+        from whylogs_spark.ops.cluster import (kmeans,
+                                               kmeans_cluster_stats)
+        assigned, _ = kmeans(t["embeddings"], k=8, n_iter=2,
+                             dist_col="dist_sq")
+        _noop(kmeans_cluster_stats(assigned))
+
+    def bench_curation_sampling():
+        # per-domain quota + class rebalance + Heaps vocab curve
+        from whylogs_spark.ops.sampling import (balance_classes,
+                                                cap_per_group)
+        from whylogs_spark.ops.text import vocab_growth
+        _noop(cap_per_group(t["documents"], ["source"], budget=8000,
+                            quality_col="n_chars")
+              .select("doc_id"))
+        _noop(balance_classes(t["documents"], ["lang"])
+              .select("doc_id"))
+        _noop(vocab_growth(t["documents"], checkpoint_every=500))
+
+    def bench_outlier_bins():
+        from whylogs_spark.core.summaries import (
+            robust_outlier_summary, with_quantile_bins)
+        _noop(with_quantile_bins(t["lineitem"], "l_extendedprice",
+                                 n_bins=10)
+              .groupBy("l_extendedprice_qbin").count())
+        _noop(robust_outlier_summary(t["lineitem"], "l_extendedprice",
+                                     ["l_returnflag"]))
+
     benches = {
         "profile_lineitem_native": bench_profile_native,
         "profile_lineitem_full": bench_profile_full,
@@ -631,6 +677,10 @@ def main() -> None:
         "image_hash_neardup": bench_image_hash_neardup,
         "incremental_minhash_documents": bench_incremental_minhash,
         "corpus_card_documents": bench_corpus_card,
+        "governance_checks": bench_governance_checks,
+        "kmeans_embeddings": bench_kmeans_embeddings,
+        "curation_sampling_documents": bench_curation_sampling,
+        "outlier_bins_lineitem": bench_outlier_bins,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time
