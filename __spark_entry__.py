@@ -2119,6 +2119,136 @@ def _q_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balance_classes(docs, ["lang"]).select("doc_id", "lang")
 
 
+def _q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation (ops/stats.py correlation_matrix):
+    ONE aggregation pass computes every pair as covar/(sd*sd) JVM
+    expressions — partial-agged map-side, one combined row per task —
+    then a free explode into long form."""
+    from whylogs_spark.ops.stats import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return out.select("col_x", "col_y", "n",
+                      F.round("corr", 6).alias("corr"))
+
+
+def _q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association (ops/stats.py association_report):
+    pair-exploded contingency cells in ONE shuffle; chi2 via the
+    sparse identity sum(o^2/e) - n so empty cells never materialize;
+    Cramér's V from bounded marginal windows."""
+    from whylogs_spark.ops.stats import association_report
+
+    od = _t(spark, sf_dir, "orders")
+    out = association_report(od, ["o_orderstatus", "o_orderpriority"])
+    return out.select(
+        "col_a", "col_b", "n", "r_categories", "c_categories",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("cramers_v", 6).alias("cramers_v"),
+        F.round("mi", 6).alias("mi"),
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        F.round("nmi", 6).alias("nmi"))
+
+
+def _q_target_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-leakage screen (ops/stats.py target_leakage_report):
+    |Pearson r| of each numeric feature against the label in one
+    single-agg pass; flags |r| >= threshold."""
+    from whylogs_spark.ops.stats import target_leakage_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = target_leakage_report(
+        li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
+        threshold=0.5)
+    return out.select("feature", "n", F.round("corr", 6).alias("corr"),
+                      F.round("abs_corr", 6).alias("abs_corr"), "flagged")
+
+
+def _q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set overlap between daily segments (ops/overlap.py
+    segment_distinct_overlap): md5-threshold distinct sampling (KMV /
+    theta-sketch estimator family) -> per-pair intersection via a
+    value self-join bounded by segment fanout. Deterministic, so the
+    oracle recomputes the estimates verbatim."""
+    from whylogs_spark.ops.overlap import segment_distinct_overlap
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string"))
+    # first week of days only: keeps the pair matrix readable
+    ev = ev.filter(F.col("day") < "2024-01-08")
+    return segment_distinct_overlap(ev, "day", "user_id", p=0.5)
+
+
+def _q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-token removal by document frequency (ops/dedup.py
+    remove_boilerplate with a whitespace delimiter: any token present
+    in >= 30% of documents is corpus chrome). Line DF via distinct +
+    hash agg (hot tokens collapse map-side); flagged tokens join back
+    on an 8-byte xxhash64 key; one reassembly shuffle."""
+    from whylogs_spark.ops.dedup import remove_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate(docs, min_docs=2, min_df_ratio=0.3,
+                              delim=" ").orderBy("doc_id")
+
+
+def _q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (ops/events.py
+    seasonal_decompose): raw events bucket-aggregate ONCE (partial-
+    agged); the centered-MA trend / per-slot seasonal index / residual
+    all operate on the bounded hourly series."""
+    from whylogs_spark.ops.events import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    out = seasonal_decompose(ev, "ts", "value", grain="hour", period=24)
+    return out.select(
+        (F.unix_timestamp("bucket")).alias("bucket_epoch"),
+        "slot", "n_obs",
+        F.round("y", 6).alias("y"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("residual", 6).alias("residual"))
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at exact [p05, p95] order statistics
+    (core/summaries.py winsorize): boundaries from the two-phase
+    distributed quantile walk, clip by pure comparison — clipped
+    values are bit-identical to existing data values."""
+    from whylogs_spark.core.summaries import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = winsorize(li, "l_extendedprice", lower=0.05, upper=0.95)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.col("l_extendedprice_winsorized").alias("w"))
+
+
+def _q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width 2-D histogram (core/summaries.py histogram2d):
+    1-row bounds agg broadcast back, bounded groupBy(bin_x, bin_y),
+    spine join — nothing corpus-sized past the scan."""
+    from whylogs_spark.core.summaries import histogram2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram2d(li, "l_quantity", "l_discount",
+                       n_bins_x=8, n_bins_y=5)
+
+
+def _q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency health report (ops/integrity.py
+    functional_dependency_report): one partial-agged hash aggregation
+    to (determinant -> variants) then a 1-row rollup."""
+    from whylogs_spark.ops.integrity import functional_dependency_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = functional_dependency_report(li, ["l_partkey"], ["l_suppkey"])
+    return out.select(
+        "n_rows", "n_groups", "violating_groups", "violating_rows",
+        "max_variants", "holds", F.round("strength", 6).alias("strength"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2277,10 +2407,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins_lineitem": _q_quantile_bins,
         "robust_outliers_lineitem": _q_robust_outliers,
         "balance_classes_documents": _q_balance_classes,
+        "correlation_matrix_lineitem": _q_correlation_matrix,
+        "cramers_v_orders": _q_cramers_v,
+        "target_leakage_lineitem": _q_target_leakage,
+        "segment_overlap_events": _q_segment_overlap,
+        "boilerplate_documents": _q_remove_boilerplate,
+        "seasonal_decompose_events": _q_seasonal_decompose,
+        "winsorize_lineitem": _q_winsorize,
+        "histogram2d_lineitem": _q_histogram2d,
+        "fd_check_lineitem": _q_fd_check,
     }
 
 
 # ---------------------------------------------------------------- oracle SQL
+def _corr_matrix_sql(cols: list, table: str) -> str:
+    """Pairwise-complete sample Pearson per unordered pair — one
+    UNION ALL branch per pair, mirroring ops/stats.correlation_matrix
+    (DuckDB's corr skips NULL pairs; the tables carry no NaN)."""
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            x, y = cols[i], cols[j]
+            parts.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+                f"count(*) FILTER (WHERE {x} IS NOT NULL AND {y} IS "
+                f"NOT NULL)::BIGINT AS n, "
+                f"round(corr({x}, {y}), 6) AS corr FROM {table}")
+    return " UNION ALL ".join(parts)
+
+
+def _target_leakage_sql(features: list, label: str, table: str,
+                        threshold: float) -> str:
+    """Per-feature |Pearson r| vs the label with the flag computed on
+    the UNROUNDED value, mirroring ops/stats.target_leakage_report."""
+    parts = []
+    for x in features:
+        parts.append(
+            f"SELECT '{x}' AS feature, "
+            f"count(*) FILTER (WHERE {x} IS NOT NULL AND {label} IS "
+            f"NOT NULL)::BIGINT AS n, "
+            f"round(corr({x}, {label}), 6) AS corr, "
+            f"round(abs(corr({x}, {label})), 6) AS abs_corr, "
+            f"abs(corr({x}, {label})) >= {threshold} AS flagged "
+            f"FROM {table}")
+    return " UNION ALL ".join(parts)
+
 def _kmeans_sql(k: int = 8, dim: int = 64, n_iter: int = 2) -> str:
     """Replay ops/cluster.py's quantized Lloyd chain in DuckDB: same
     deterministic seeds (round(vec, 6) of the k smallest ids), same
@@ -4243,5 +4414,169 @@ def oracle_sql() -> dict[str, str]:
         ),
         "balance_classes_documents": (
             'WITH t AS (SELECT min(cnt) AS target FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)), r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id) AS rk FROM documents) SELECT doc_id, lang FROM r, t WHERE rk <= t.target'
+        ),
+        "correlation_matrix_lineitem": _corr_matrix_sql(
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "lineitem"),
+        "cramers_v_orders": (
+            "WITH cells AS (SELECT o_orderstatus AS va, "
+            "o_orderpriority AS vb, count(*)::DOUBLE AS o FROM orders "
+            "WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS "
+            "NOT NULL GROUP BY 1, 2), "
+            "m AS (SELECT va, vb, o, "
+            "sum(o) OVER (PARTITION BY va) AS rt, "
+            "sum(o) OVER (PARTITION BY vb) AS ct, "
+            "sum(o) OVER () AS n FROM cells), "
+            "agg AS (SELECT max(n) AS n, count(DISTINCT va) AS r, "
+            "count(DISTINCT vb) AS c, "
+            "sum(o * o * n / (rt * ct)) - max(n) AS chi2, "
+            "greatest(sum(o / n * ln(o * n / (rt * ct))), 0) AS mi, "
+            "-sum(o / n * ln(rt / n)) AS h_a, "
+            "-sum(o / n * ln(ct / n)) AS h_b FROM m) "
+            "SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS "
+            "col_b, n::BIGINT AS n, r::BIGINT AS r_categories, "
+            "c::BIGINT AS c_categories, round(chi2, 6) AS chi2, "
+            "round(CASE WHEN least(r, c) > 1 AND n > 0 THEN "
+            "sqrt(greatest(chi2, 0) / (n * (least(r, c) - 1))) END, 6) "
+            "AS cramers_v, round(mi, 6) AS mi, round(h_a, 6) AS h_a, "
+            "round(h_b, 6) AS h_b, "
+            "round(CASE WHEN n > 0 AND least(h_a, h_b) > 0 THEN "
+            "mi / least(h_a, h_b) END, 6) AS nmi FROM agg"
+        ),
+        "target_leakage_lineitem": _target_leakage_sql(
+            ["l_quantity", "l_discount", "l_tax"], "l_extendedprice",
+            "lineitem", 0.5),
+        "segment_overlap_events": (
+            "WITH src AS (SELECT ts::DATE::VARCHAR AS seg, user_id "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND ts::DATE::VARCHAR < '2024-01-08'), "
+            "s AS (SELECT DISTINCT seg AS segment, user_id::VARCHAR "
+            "AS value FROM src "
+            "WHERE substr(md5(user_id::VARCHAR), 1, 8) < '80000000'), "
+            "per AS (SELECT segment, count(*)::BIGINT AS sampled "
+            "FROM s GROUP BY 1), "
+            "pairs AS (SELECT a.segment AS segment_a, b.segment AS "
+            "segment_b, a.sampled AS sampled_a, b.sampled AS sampled_b "
+            "FROM per a JOIN per b ON a.segment < b.segment), "
+            "common AS (SELECT sa.segment AS segment_a, sb.segment AS "
+            "segment_b, count(*)::BIGINT AS sampled_common FROM s sa "
+            "JOIN s sb ON sa.value = sb.value AND sa.segment < "
+            "sb.segment GROUP BY 1, 2) "
+            "SELECT p.segment_a, p.segment_b, sampled_a, sampled_b, "
+            "coalesce(sampled_common, 0)::BIGINT AS sampled_common, "
+            "round(sampled_a::DOUBLE * 2.0, 4) AS est_distinct_a, "
+            "round(sampled_b::DOUBLE * 2.0, 4) AS est_distinct_b, "
+            "round(coalesce(sampled_common, 0)::DOUBLE * 2.0, 4) AS "
+            "est_intersection, "
+            "round((sampled_a + sampled_b - coalesce(sampled_common, "
+            "0))::DOUBLE * 2.0, 4) AS est_union, "
+            "CASE WHEN sampled_a + sampled_b - coalesce(sampled_common"
+            ", 0) > 0 THEN round(coalesce(sampled_common, 0)::DOUBLE "
+            "/ (sampled_a + sampled_b - coalesce(sampled_common, 0)), "
+            "6) END AS est_jaccard "
+            "FROM pairs p LEFT JOIN common c ON p.segment_a = "
+            "c.segment_a AND p.segment_b = c.segment_b"
+        ),
+        "boilerplate_documents": (
+            "WITH lines AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS line, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos "
+            "FROM documents), "
+            "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM "
+            "documents), "
+            "dfq AS (SELECT line, count(*)::BIGINT AS dfreq FROM "
+            "(SELECT DISTINCT doc_id, line FROM lines WHERE "
+            "trim(line) <> '') GROUP BY 1), "
+            "boiler AS (SELECT line FROM dfq, nd WHERE dfreq >= 2 "
+            "AND dfreq >= n_docs * 0.3) "
+            "SELECT l.doc_id, count(*)::BIGINT AS n_lines, "
+            "sum(CASE WHEN trim(l.line) = '' OR b.line IS NULL THEN 1 "
+            "ELSE 0 END)::BIGINT AS n_kept, "
+            "coalesce(string_agg(CASE WHEN trim(l.line) = '' OR "
+            "b.line IS NULL THEN l.line END, ' ' ORDER BY l.pos), '') "
+            "AS text "
+            "FROM lines l LEFT JOIN boiler b ON l.line = b.line "
+            "GROUP BY l.doc_id ORDER BY l.doc_id"
+        ),
+        "seasonal_decompose_events": (
+            "WITH series AS (SELECT floor(epoch(ts) / 3600)::BIGINT "
+            "AS idx, count(*)::BIGINT AS n_obs, avg(value) AS y "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+            "GROUP BY 1), "
+            "t AS (SELECT idx, n_obs, y, idx % 24 AS slot, "
+            "CASE WHEN count(*) OVER w = 25 THEN avg(y) OVER w END "
+            "AS trend FROM series WINDOW w AS (ORDER BY idx RANGE "
+            "BETWEEN 12 PRECEDING AND 12 FOLLOWING)), "
+            "si AS (SELECT slot, avg(y - trend) AS s_raw FROM t "
+            "WHERE trend IS NOT NULL GROUP BY slot), "
+            "sn AS (SELECT slot, s_raw - (SELECT avg(s_raw) FROM si) "
+            "AS seasonal FROM si) "
+            "SELECT (t.idx * 3600)::BIGINT AS bucket_epoch, t.slot, "
+            "t.n_obs, round(t.y, 6) AS y, round(t.trend, 6) AS trend, "
+            "round(sn.seasonal, 6) AS seasonal, "
+            "round(t.y - t.trend - sn.seasonal, 6) AS residual "
+            "FROM t LEFT JOIN sn ON t.slot = sn.slot"
+        ),
+        "winsorize_lineitem": (
+            # lower-interpolation order statistics: same ceil trick as
+            # the quantile_bins oracle; clip is pure least/greatest
+            "WITH g AS (SELECT l_extendedprice AS v, count(*) AS ct "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL AND NOT "
+            "isnan(l_extendedprice::DOUBLE) GROUP BY 1), "
+            "cw AS (SELECT v, sum(ct) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS sct, "
+            "sum(ct) OVER () AS n FROM g), "
+            "thr AS (SELECT "
+            "min(CASE WHEN sct >= greatest(ceil(0.05 * n - 0.05 * n "
+            "* 1e-12 - 1e-9), 1) THEN v END) AS lo, "
+            "min(CASE WHEN sct >= greatest(ceil(0.95 * n - 0.95 * n "
+            "* 1e-12 - 1e-9), 1) THEN v END) AS hi FROM cw) "
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_extendedprice IS NULL OR "
+            "isnan(l_extendedprice::DOUBLE) THEN NULL ELSE "
+            "least(greatest(l_extendedprice::DOUBLE, lo), hi) END "
+            "AS w FROM lineitem, thr"
+        ),
+        "histogram2d_lineitem": (
+            "WITH v AS (SELECT l_quantity::DOUBLE AS x, "
+            "l_discount::DOUBLE AS y FROM lineitem "
+            "WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL "
+            "AND NOT isnan(l_quantity::DOUBLE) AND NOT "
+            "isnan(l_discount::DOUBLE)), "
+            "b AS (SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS "
+            "ylo, max(y) AS yhi FROM v), "
+            "c AS (SELECT (CASE WHEN xhi <= xlo THEN 0 ELSE "
+            "least(floor((x - xlo) / ((xhi - xlo) / 8)), 7) END)::INT "
+            "AS bin_x, (CASE WHEN yhi <= ylo THEN 0 ELSE "
+            "least(floor((y - ylo) / ((yhi - ylo) / 5)), 4) END)::INT "
+            "AS bin_y, count(*) AS n FROM v, b GROUP BY 1, 2), "
+            "s AS (SELECT sx.bin_x, sy.bin_y FROM "
+            "(SELECT unnest(range(8))::INT AS bin_x) sx, "
+            "(SELECT unnest(range(5))::INT AS bin_y) sy) "
+            "SELECT s.bin_x, s.bin_y, "
+            "round(xlo + s.bin_x * (xhi - xlo) / 8, 6) AS x_start, "
+            "round(xlo + (s.bin_x + 1) * (xhi - xlo) / 8, 6) AS x_end, "
+            "round(ylo + s.bin_y * (yhi - ylo) / 5, 6) AS y_start, "
+            "round(ylo + (s.bin_y + 1) * (yhi - ylo) / 5, 6) AS y_end, "
+            "coalesce(n, 0)::BIGINT AS n "
+            "FROM s CROSS JOIN b LEFT JOIN c USING (bin_x, bin_y) "
+            "ORDER BY s.bin_x, s.bin_y"
+        ),
+        "fd_check_lineitem": (
+            "WITH g AS (SELECT l_partkey, count(*) AS rows_, "
+            "count(DISTINCT l_suppkey) AS variants FROM lineitem "
+            "GROUP BY 1) "
+            "SELECT coalesce(sum(rows_), 0)::BIGINT AS n_rows, "
+            "count(*)::BIGINT AS n_groups, "
+            "coalesce(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END), "
+            "0)::BIGINT AS violating_groups, "
+            "coalesce(sum(CASE WHEN variants > 1 THEN rows_ ELSE 0 "
+            "END), 0)::BIGINT AS violating_rows, "
+            "max(variants)::BIGINT AS max_variants, "
+            "coalesce(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END), "
+            "0) = 0 AS holds, "
+            "CASE WHEN sum(rows_) > 0 THEN round(1.0 - sum(CASE WHEN "
+            "variants > 1 THEN rows_ ELSE 0 END)::DOUBLE / "
+            "sum(rows_), 6) END AS strength FROM g"
         ),
     }

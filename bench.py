@@ -78,7 +78,7 @@ def main() -> None:
     ncpu = int(CPUS)
     t = {n: load_table(spark, SF_DIR, n).repartition(ncpu).cache()
          for n in ("lineitem", "orders", "events", "documents",
-                   "embeddings")}
+                   "embeddings", "customer")}
     for df in t.values():
         df.count()  # materialize the cache before timing
 
@@ -592,11 +592,11 @@ def main() -> None:
                                                  k_anonymity_report,
                                                  referential_integrity,
                                                  snapshot_diff_summary)
-        cust = load_table(spark, SF_DIR, "customer")
-        _noop(referential_integrity(t["orders"], cust, ["o_custkey"],
-                                    ["c_custkey"],
+        _noop(referential_integrity(t["orders"], t["customer"],
+                                    ["o_custkey"], ["c_custkey"],
                                     broadcast_parent=True))
-        _noop(k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"],
+        _noop(k_anonymity_report(t["customer"],
+                                 ["c_nationkey", "c_mktsegment"],
                                  k=8, sensitive_col="c_acctbal"))
         _noop(benford_test(t["lineitem"], "l_extendedprice"))
         newdocs = t["documents"].filter(F.col("doc_id") % 7 != 0)
@@ -621,6 +621,50 @@ def main() -> None:
         _noop(balance_classes(t["documents"], ["lang"])
               .select("doc_id"))
         _noop(vocab_growth(t["documents"], checkpoint_every=500))
+
+    def bench_association_stats():
+        # one-pass correlation matrix + pairwise Cramér's V + leakage
+        from whylogs_spark.ops.stats import (association_report,
+                                             correlation_matrix,
+                                             target_leakage_report)
+        _noop(correlation_matrix(
+            t["lineitem"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]))
+        _noop(association_report(
+            t["orders"], ["o_orderstatus", "o_orderpriority"]))
+        _noop(target_leakage_report(
+            t["lineitem"], ["l_quantity", "l_discount", "l_tax"],
+            "l_extendedprice"))
+
+    def bench_segment_overlap():
+        # md5-threshold distinct sketch, daily user-set overlap matrix
+        from whylogs_spark.ops.overlap import segment_distinct_overlap
+        ev = t["events"].withColumn(
+            "day", F.to_date("ts").cast("string"))
+        _noop(segment_distinct_overlap(ev, "day", "user_id", p=0.5))
+
+    def bench_boilerplate_seasonal():
+        # token-DF boilerplate sweep + hourly seasonal decomposition
+        from whylogs_spark.ops.dedup import remove_boilerplate
+        from whylogs_spark.ops.events import seasonal_decompose
+        _noop(remove_boilerplate(t["documents"], min_docs=2,
+                                 min_df_ratio=0.3, delim=" ")
+              .select("doc_id", "n_kept"))
+        _noop(seasonal_decompose(t["events"], "ts", "value",
+                                 grain="hour", period=24))
+
+    def bench_winsorize_hist2d_fd():
+        # quantile clip + 2-D histogram + FD health in one sweep
+        from whylogs_spark.core.summaries import histogram2d, winsorize
+        from whylogs_spark.ops.integrity import (
+            functional_dependency_report)
+        _noop(winsorize(t["lineitem"], "l_extendedprice",
+                        lower=0.05, upper=0.95)
+              .select("l_orderkey", "l_extendedprice_winsorized"))
+        _noop(histogram2d(t["lineitem"], "l_quantity", "l_discount",
+                          n_bins_x=20, n_bins_y=20))
+        _noop(functional_dependency_report(
+            t["lineitem"], ["l_partkey"], ["l_suppkey"]))
 
     def bench_outlier_bins():
         from whylogs_spark.core.summaries import (
@@ -681,6 +725,10 @@ def main() -> None:
         "kmeans_embeddings": bench_kmeans_embeddings,
         "curation_sampling_documents": bench_curation_sampling,
         "outlier_bins_lineitem": bench_outlier_bins,
+        "association_stats": bench_association_stats,
+        "segment_overlap_daily": bench_segment_overlap,
+        "boilerplate_seasonal": bench_boilerplate_seasonal,
+        "winsorize_hist2d_fd": bench_winsorize_hist2d_fd,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

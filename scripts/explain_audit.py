@@ -1249,6 +1249,186 @@ def main() -> None:
                 r"hashpartitioning\(lang#",
         }))
 
+    # 9z5e. correlation matrix: ONE single-agg pass for all pairs —
+    # partial agg, one exchange of one combined row, pruned scan
+    from whylogs_spark.ops.stats import (association_report,
+                                         correlation_matrix)
+
+    cm = correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    sections.append((
+        "correlation matrix (one-pass all pairs)", cm,
+        {
+            "column-pruned scan (only the 4 audited columns)":
+                r"ReadSchema: [^\n]*l_quantity[^\n]*l_extendedprice"
+                r"[^\n]*l_discount[^\n]*l_tax",
+            "partial aggregation before the exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "single-row final agg (SinglePartition exchange)":
+                r"Arguments: SinglePartition",
+            "exactly one exchange (no per-pair jobs)":
+                r"^(?!(?:[\s\S]*\(\d+\) Exchange){2})"
+                r"[\s\S]*\(\d+\) Exchange",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5f. association report: every pair's contingency cells in ONE
+    # explode->hash-agg shuffle; windows only over the bounded cells
+    ar = association_report(
+        load_table(spark, SF_DIR, "orders"),
+        ["o_orderstatus", "o_orderpriority"])
+    sections.append((
+        "association report (Cramér's V)", ar,
+        {
+            "partial cell aggregation before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "explode feeds the aggregate (one pass for all pairs)":
+                r"\(\d+\) Generate[\s\S]*?Arguments: explode"
+                r"[\s\S]*\(\d+\) HashAggregate",
+            "windows run AFTER the cell aggregation (bounded input)":
+                r"HashAggregate[\s\S]*Window",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5g. segment distinct overlap: threshold filter at the scan,
+    # distinct partial-aggs, pair matrix broadcast both ways
+    from whylogs_spark.ops.overlap import segment_distinct_overlap
+
+    so = segment_distinct_overlap(
+        ev.withColumn("day", F.to_date("ts").cast("string")),
+        "day", "user_id", p=0.5)
+    sections.append((
+        "segment distinct overlap (md5-threshold sketch)", so,
+        {
+            "md5 threshold filter BEFORE any aggregation":
+                r"\(\d+\) Filter[\s\S]{0,600}md5",
+            "distinct partial-aggregates before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "pair matrix joined by broadcast":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5h. boilerplate removal: DF distinct partial-aggs map-side,
+    # flagged lines join back on the 8-byte xxhash64 key, no window
+    from whylogs_spark.ops.dedup import remove_boilerplate
+
+    rb = remove_boilerplate(docs, min_docs=2, min_df_ratio=0.3,
+                            delim=" ")
+    sections.append((
+        "boilerplate removal (line document frequency)", rb,
+        {
+            "DF distinct partial-aggregates before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "survivor join keyed on xxhash64, not the line text":
+                r"xxhash64",
+            "corpus doc count rides a broadcast, not a driver action":
+                r"BroadcastNestedLoopJoin|BroadcastExchange",
+            "no window operator anywhere (winner logic is agg+join)":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5i. seasonal decomposition: the ONLY raw-data pass is the
+    # bucket aggregation (partial -> exchange -> final); the ordered
+    # window and seasonal joins run on the bounded bucketed series
+    from whylogs_spark.ops.events import seasonal_decompose
+
+    sd = seasonal_decompose(ev, "ts", "value", grain="hour", period=24)
+    sections.append((
+        "seasonal decomposition (bucket series)", sd,
+        {
+            "bucket aggregation partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "ordered window runs AFTER the bucket aggregation "
+            "(bounded series, declared-bounded)":
+                r"HashAggregate[\s\S]*Window",
+            "seasonal index joined back by broadcast":
+                r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+            "column-pruned scan (ts + value only)":
+                r"ReadSchema: [^\n]*ts[^\n]*value|ReadSchema: "
+                r"[^\n]*value[^\n]*ts",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5j. winsorize: exact-quantile boundaries broadcast back, clip
+    # is a comparison projection; no partition-less sort of the data
+    from whylogs_spark.core.summaries import histogram2d, winsorize
+
+    wz = winsorize(li, "l_extendedprice", lower=0.05, upper=0.95)
+    sections.append((
+        "winsorize (exact-quantile clip)", wz,
+        {
+            "boundary row joined by broadcast":
+                r"BroadcastNestedLoopJoin",
+            "no partition-less data sort":
+                r"^(?![\s\S]*Sort \[l_extendedprice[^\n]*\], true)",
+            "quantile walk partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5k. histogram2d: 1-row bounds agg broadcast, bounded cell
+    # aggregation, spine joined by broadcast
+    h2 = histogram2d(li, "l_quantity", "l_discount",
+                     n_bins_x=8, n_bins_y=5)
+    sections.append((
+        "histogram2d (exact equi-width cells)", h2,
+        {
+            "column-pruned scan (both axes only)":
+                r"ReadSchema: [^\n]*l_quantity[^\n]*l_discount|"
+                r"ReadSchema: [^\n]*l_discount[^\n]*l_quantity",
+            "cell aggregation partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "bounds and counts joined by broadcast":
+                r"BroadcastNestedLoopJoin[\s\S]*BroadcastHashJoin|"
+                r"BroadcastHashJoin[\s\S]*BroadcastNestedLoopJoin",
+            "no sort of the raw data":
+                r"^(?![\s\S]*Sort \[l_quantity)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5l. functional dependency: two stacked aggregations, both
+    # partial-agged; violations drill-down is a top-k
+    from whylogs_spark.ops.integrity import (fd_violation_examples,
+                                             functional_dependency_report)
+
+    fd = functional_dependency_report(li, ["l_partkey"], ["l_suppkey"])
+    sections.append((
+        "functional dependency report", fd,
+        {
+            "determinant aggregation partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "final rollup is a SinglePartition agg":
+                r"Arguments: SinglePartition",
+            "no window operator":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+    fdx = fd_violation_examples(li, ["l_partkey"], ["l_suppkey"], k=10)
+    sections.append((
+        "fd violation examples (top-k)", fdx,
+        {
+            "top-k via TakeOrderedAndProject (never a global sort)":
+                r"TakeOrderedAndProject",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -1740,3 +1740,120 @@ def minhash_recall_estimate(
         (F.col("n_detected").cast("double") / F.col("n_pairs"))
         .alias("recall"),
         "s_curve_mid").orderBy("j_lo")
+
+
+# ------------------------------------------------- boilerplate by line DF
+
+def line_document_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Document frequency of every distinct non-blank line: ``(line,
+    doc_freq)`` where ``doc_freq`` counts DOCUMENTS containing the line
+    (not occurrences). The measurement half of
+    :func:`remove_boilerplate`, exposed for corpus exploration.
+
+    Scale shape: posexplode (no shuffle) -> ``distinct`` on (id, line)
+    — partial aggregation collapses within-document repeats map-side —
+    -> one hash aggregation per line. A cookie-banner line present in
+    10% of a web corpus arrives at the exchange as one row per map
+    partition, never one row per document.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), F.lit(delim), -1))
+        .alias("__line"),
+    ).filter(F.length(F.trim(F.col("__line"))) > 0)
+    return (
+        lines.distinct()
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .select(F.col("__line").alias("line"), "doc_freq")
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_df_ratio: float = 0.05,
+    delim: str = "\n",
+    drop_empty_docs: bool = False,
+) -> DataFrame:
+    """Remove TEMPLATE lines — lines whose document frequency is high —
+    from every document (the RefinedWeb / CCNet boilerplate screen:
+    nav menus, cookie banners, footers repeat VERBATIM across a site's
+    pages; any line present in >= ``min_df_ratio`` of documents AND >=
+    ``min_docs`` documents is chrome, not content, and is dropped from
+    ALL documents).
+
+    Complements :func:`line_dedup` (which keeps each line's FIRST
+    occurrence — dedup semantics) — here a boilerplate line survives
+    NOWHERE, and rare lines are untouched even if duplicated. Blank /
+    whitespace-only lines are never counted and never removed (they
+    carry layout).
+
+    Returns ``(id_col, n_lines, n_kept, text)`` with ``text`` rebuilt
+    from surviving lines in original order.
+
+    Scale shape: line DF via ``distinct`` + hash agg (both partial-
+    aggregated — the hot boilerplate line collapses map-side, see
+    :func:`line_document_frequency`); the corpus document count is a
+    1-row aggregate cross-joined (broadcast) into the threshold, never
+    a driver action; flagged lines join back on ``xxhash64(line)`` —
+    an 8-byte key instead of the line text — against a right side that
+    is unique per line (skew-free; AQE may broadcast it when small);
+    ONE reassembly shuffle keyed by document id. No window over raw
+    lines, nothing collected.
+    """
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    if not (0.0 < min_df_ratio <= 1.0):
+        raise ValueError("min_df_ratio must be in (0, 1]")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1))
+        .alias("__pos", "__line"),
+    )
+    blank = F.length(F.trim(F.col("__line"))) == 0
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    boiler = (
+        lines.filter(~blank)
+        .select(F.col(id_col), F.col("__line")).distinct()
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("__df") >= F.lit(int(min_docs)))
+            & (F.col("__df")
+               >= F.col("__n_docs") * F.lit(float(min_df_ratio)))
+        )
+        .select(F.xxhash64("__line").alias("__lh"),
+                F.lit(True).alias("__boiler"))
+    )
+    marked = (
+        lines.withColumn("__lh", F.xxhash64("__line"))
+        .join(boiler, on="__lh", how="left")
+    )
+    keep = blank | F.col("__boiler").isNull()
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    keep,
+                    F.struct(F.col("__pos").alias("p"),
+                             F.col("__line").alias("l"))))),
+                lambda s: s["l"],
+            ),
+        ).alias("text"),
+    )
+    if drop_empty_docs:
+        out = out.filter(F.col("n_kept") > 0)
+    return out

@@ -242,3 +242,101 @@ def rollup_timeseries(
          for a in (f"{v}_count", f"{v}_sum", f"{v}_min",
                    f"{v}_max", f"{v}_avg")]
     return grouped.select(*out_cols)
+
+
+_GRAIN_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols=(),
+    grain: str = "hour",
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a metric stream:
+    bucket the raw events to a ``grain`` series, then split each
+    bucket's mean into ``trend + seasonal + residual`` (the
+    trend-cycle is a centered (period+1)-point moving average; the
+    seasonal index is the per-slot mean of the detrended series,
+    normalized to sum to zero across slots — the textbook
+    moving-average decomposition, with the even-period 2xMA
+    approximated by one equal-weight window).
+
+    Output per (key, bucket): ``key_cols…, bucket, slot, n_obs, y,
+    trend, seasonal, residual`` where ``slot = (epoch // grain) %
+    period`` (UTC-anchored — deterministic across sessions and
+    engines, immune to session-timezone DST rules). ``trend`` (and
+    hence ``residual``) is null at the series edges and around gaps —
+    the window is RANGE-based on the bucket index, so a missing bucket
+    yields an incomplete window which is nulled rather than silently
+    averaged over fewer points (fill gaps first — see
+    ``core.monitor.missing_periods`` — if edge coverage matters).
+
+    Scale shape: the ONLY pass over raw events is the bucket
+    aggregation (partial-agged map-side); every window and join after
+    it operates on the bucketed series — bounded by (time span /
+    grain) rows per key, e.g. 8,760 rows per key-year at hour grain —
+    so the ordered windows are windows over a bounded frame, never
+    over raw data (the declared-bounded convention from the plan
+    audit). The seasonal-index frames are bounded by ``period`` rows
+    per key and broadcast back.
+    """
+    if grain not in _GRAIN_SECONDS:
+        raise ValueError(
+            f"grain must be one of {sorted(_GRAIN_SECONDS)}: {grain}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2: {period}")
+    key_cols = list(key_cols)
+    gsec = _GRAIN_SECONDS[grain]
+    half = period // 2
+    width = 2 * half + 1
+
+    # pure epoch arithmetic (no date_trunc / session-timezone string
+    # round-trip): floor division IS the truncation, DST-proof
+    idx = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(gsec)) \
+        .cast("long")
+    series = (
+        df.filter(F.col(ts_col).isNotNull()
+                  & F.col(value_col).isNotNull())
+        .groupBy(*key_cols, idx.alias("__idx"))
+        .agg(F.count(F.lit(1)).alias("n_obs"),
+             F.avg(value_col).alias("y"))
+    )
+    # ordered window over the BUCKETED series (bounded input): RANGE
+    # on the integer bucket index so calendar gaps shrink the window
+    # (and null the trend) instead of stretching it
+    w = (Window.partitionBy(*key_cols).orderBy("__idx")
+         .rangeBetween(-half, half))
+    with_trend = series.select(
+        *key_cols, "__idx", "n_obs", "y",
+        F.when(F.count(F.lit(1)).over(w) == F.lit(width),
+               F.avg("y").over(w)).alias("trend"),
+        (F.col("__idx") % F.lit(period)).alias("slot"),
+    ).withColumn("__detr", F.col("y") - F.col("trend"))
+    # per-slot seasonal index (bounded: period rows per key),
+    # normalized so indexes sum to zero across slots
+    si = (
+        with_trend.filter(F.col("__detr").isNotNull())
+        .groupBy(*key_cols, "slot")
+        .agg(F.avg("__detr").alias("__s_raw"))
+    )
+    norm = si.groupBy(*key_cols).agg(F.avg("__s_raw").alias("__s_mean"))
+    if key_cols:
+        si = si.join(F.broadcast(norm), on=key_cols)
+    else:
+        si = si.crossJoin(F.broadcast(norm))
+    si = si.select(*key_cols, "slot",
+                   (F.col("__s_raw") - F.col("__s_mean"))
+                   .alias("seasonal"))
+    out = with_trend.join(F.broadcast(si), on=[*key_cols, "slot"],
+                          how="left")
+    bucket = F.timestamp_seconds(
+        F.col("__idx") * F.lit(gsec)).alias("bucket")
+    return out.select(
+        *key_cols, bucket, F.col("slot"), "n_obs", "y", "trend",
+        "seasonal",
+        (F.col("y") - F.col("trend") - F.col("seasonal"))
+        .alias("residual"),
+    )

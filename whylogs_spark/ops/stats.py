@@ -1,0 +1,344 @@
+"""Cross-column statistical association: Pearson correlation matrix,
+pairwise Cramér's V over categorical columns, and target-leakage
+screening.
+
+The reference profiles each column independently (one metric bundle per
+column — ``python/whylogs/core/schema.py``); the relationships BETWEEN
+columns are out of its scope, yet they are the first thing a feature
+audit asks for: which numeric features are redundant (|r| ~ 1), which
+categorical pairs are associated (Cramér's V), and which features leak
+the label. These are beyond-reference, first-class profiling operators.
+
+Scale notes (100 TB framing):
+
+* ``correlation_matrix`` is ONE aggregation pass: all C(k,2) pair
+  correlations are computed as JVM ``corr``/``count`` expressions in a
+  single ``agg`` — partial-aggregated map-side, one exchange of ONE
+  combined row per task, never a shuffle of the raw rows and never one
+  job per pair. The long-form output is an ``explode`` over the 1-row
+  result, which is free.
+* ``association_report`` turns k categorical columns into pair-cell
+  counts in ONE shuffle: each row explodes to C(k,2) (pair, va, vb)
+  tuples and a single hash aggregation collapses them to contingency
+  cells (map-side combine bounds the exchange by cells-per-task, not
+  rows). Chi-square uses the identity
+  ``chi2 = sum(o^2 / e) - n`` over OBSERVED cells only, so empty cells
+  of a sparse contingency never materialize. Marginals come from
+  windows partitioned by (pair, category) — each window partition is
+  at most one contingency row-set (bounded by the declared
+  ``max_categories``), never raw data.
+* ``target_leakage_report`` is the same one-pass agg specialised to
+  (feature, label) pairs.
+
+NaN semantics: both operators treat NaN like NULL (pairwise-complete
+observations), matching ANSI SQL aggregate null-skipping so the DuckDB
+oracles agree bit-for-bit on the counts and to 1e-6 on the moments.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "correlation_matrix",
+    "association_report",
+    "cramers_v",
+    "target_leakage_report",
+]
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _nan_to_null(name: str, dtype: T.DataType) -> Column:
+    c = F.col(name).cast("double")
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return F.when(F.isnan(F.col(name)), F.lit(None)).otherwise(c)
+    return c
+
+
+def _pearson(x: Column, y: Column) -> Column:
+    """Sample Pearson r as covar/(sd*sd). ``F.corr`` raises
+    DIVIDE_BY_ZERO under ANSI mode when a side is constant;
+    ``try_divide`` returns NULL there instead — the documented
+    contract. Pairwise-null inputs are skipped by the aggregates
+    themselves, so covar/stddev see the same observation set. The
+    guard also masks the pathological all-identical-pairs case where
+    covar is null (n < 2). Both sides are masked to the PAIRWISE
+    observation set first — a bare ``stddev_samp(x)`` would include
+    rows where only y is missing and skew the denominator."""
+    both = x.isNotNull() & y.isNotNull()
+    xp = F.when(both, x)
+    yp = F.when(both, y)
+    return F.try_divide(F.covar_samp(xp, yp),
+                        F.stddev_samp(xp) * F.stddev_samp(yp))
+
+
+def _numeric_cols(df: DataFrame, cols: Sequence[str]) -> dict:
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    out = {}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"column not found: {c!r}")
+        if not isinstance(by_name[c], _NUMERIC):
+            raise ValueError(
+                f"column {c!r} is {by_name[c].simpleString()}, not numeric")
+        out[c] = by_name[c]
+    return out
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    max_pairs: int = 2000,
+    segment_cols: Sequence[str] = (),
+) -> DataFrame:
+    """All-pairs Pearson correlation in ONE aggregation pass.
+
+    Returns long form ``(segment_cols…, col_x, col_y, n, corr)`` with
+    one row per unordered pair in the input order (``col_x`` earlier in
+    ``cols`` than ``col_y``). ``n`` counts pairwise-complete
+    observations (both sides non-null and non-NaN — NaN is treated as
+    missing, matching SQL aggregate semantics); ``corr`` is the sample
+    Pearson r over those observations (null when fewer than 2 or a side
+    is constant). With ``segment_cols`` the same matrix is computed
+    PER SEGMENT — still one pass, the aggregation is simply keyed.
+
+    Plan shape: a single ``agg`` holding 2*C(k,2) JVM expressions
+    (covar/stddev + pairwise count per pair) — partial aggregation
+    map-side, one exchange of one combined row per task (per segment
+    key when segmented) — followed by a free ``explode`` of the
+    aggregated row(s) into long form. ``max_pairs`` guards plan size:
+    C(k,2) expressions for k=60 is 1770 aggregates, which codegen
+    handles; far past that the plan itself becomes the bottleneck and
+    the caller should split the column set.
+    """
+    cols = list(cols)
+    segment_cols = list(segment_cols)
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError("duplicate columns in cols")
+    overlap = set(cols) & set(segment_cols)
+    if overlap:
+        raise ValueError(f"segment_cols overlap cols: {sorted(overlap)}")
+    dtypes = _numeric_cols(df, cols)
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1,
+                                                             len(cols))]
+    if len(pairs) > max_pairs:
+        raise ValueError(
+            f"{len(pairs)} pairs exceeds max_pairs={max_pairs}; "
+            "split the column set or raise the cap")
+    clean = {c: _nan_to_null(c, dtypes[c]) for c in cols}
+    aggs = []
+    for i, j in pairs:
+        x, y = clean[cols[i]], clean[cols[j]]
+        both = F.when(x.isNotNull() & y.isNotNull(), F.lit(1))
+        aggs.append(F.count(both).alias(f"__n_{i}_{j}"))
+        aggs.append(_pearson(x, y).alias(f"__c_{i}_{j}"))
+    row = df.groupBy(*segment_cols).agg(*aggs) if segment_cols \
+        else df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(cols[i]).alias("col_x"),
+            F.lit(cols[j]).alias("col_y"),
+            F.col(f"__n_{i}_{j}").alias("n"),
+            F.col(f"__c_{i}_{j}").alias("corr"),
+        )
+        for i, j in pairs
+    ]
+    return (
+        row.select(*segment_cols,
+                   F.explode(F.array(*structs)).alias("p"))
+        .select(*segment_cols, "p.col_x", "p.col_y", "p.n", "p.corr")
+    )
+
+
+def _pair_cells(
+    df: DataFrame, cols: Sequence[str], dropna: bool
+) -> DataFrame:
+    """Explode each row into (pair_id, col_a, col_b, va, vb) tuples for
+    every unordered column pair, then hash-aggregate to contingency
+    cells. ONE shuffle for ALL pairs; map-side combine collapses
+    repeated cells before the exchange."""
+    cols = list(cols)
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1,
+                                                             len(cols))]
+    structs = []
+    for i, j in pairs:
+        va = F.col(cols[i]).cast("string")
+        vb = F.col(cols[j]).cast("string")
+        s = F.struct(
+            F.lit(cols[i]).alias("col_a"),
+            F.lit(cols[j]).alias("col_b"),
+            va.alias("va"),
+            vb.alias("vb"),
+        )
+        if dropna:
+            s = F.when(va.isNotNull() & vb.isNotNull(), s)
+        structs.append(s)
+    arr = F.array(*structs)
+    if dropna:
+        arr = F.filter(arr, lambda s: s.isNotNull())
+    return (
+        df.select(F.explode(arr).alias("p"))
+        .groupBy("p.col_a", "p.col_b", "p.va", "p.vb")
+        .agg(F.count("*").alias("o"))
+    )
+
+
+def association_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    max_categories: int = 10000,
+) -> DataFrame:
+    """Pairwise Cramér's V over categorical columns, one row per
+    unordered pair: ``(col_a, col_b, n, r_categories, c_categories,
+    chi2, cramers_v)``.
+
+    Rows where either side of a pair is NULL are excluded from that
+    pair (pairwise-complete, like ``correlation_matrix``). ``chi2``
+    uses the sparse identity ``sum(o^2/e) - n`` so empty contingency
+    cells never materialize; ``cramers_v = sqrt((chi2/n) /
+    (min(r,c)-1))`` (null when either side is constant). Values are
+    compared as strings, so any groupable type works.
+
+    The same observed cells also yield the information-theoretic view
+    at no extra pass: ``mi`` (mutual information in nats,
+    ``sum (o/n) ln(o n / (rt ct))`` — empty cells contribute 0), the
+    marginal entropies ``h_a``/``h_b`` (via ``sum_cells (o/n) ln(rt/n)
+    = sum_a (rt/n) ln(rt/n)``), and ``nmi = mi / min(h_a, h_b)``
+    (null when a side is constant). MI is clamped at 0 against
+    floating-point noise on independent pairs.
+
+    Plan shape: ONE explode->hash-aggregate shuffle produces every
+    pair's contingency cells together (map-side combine bounds the
+    exchange by distinct cells, not rows); marginals are windows
+    partitioned by (pair, category) — each partition is one row/column
+    of one contingency table, bounded by ``max_categories`` — and the
+    final rollup is a second bounded aggregation over cells. No job
+    per pair, no raw-row window.
+
+    ``max_categories`` caps the per-pair contingency size: the report
+    raises at evaluation time via a null sentinel rather than silently
+    producing a meaningless V on ID-like columns (guarded here by the
+    returned ``r_categories``/``c_categories`` which the caller can
+    check; the cells themselves are already aggregated so a violation
+    cannot blow memory).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError("duplicate columns in cols")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not found: {missing}")
+    from pyspark.sql import Window
+
+    cells = _pair_cells(df, cols, dropna=True)
+    pair = ["col_a", "col_b"]
+    w_row = Window.partitionBy(*pair, "va")
+    w_col = Window.partitionBy(*pair, "vb")
+    w_pair = Window.partitionBy(*pair)
+    scored = cells.select(
+        *pair, "va", "vb", "o",
+        F.sum("o").over(w_row).alias("row_tot"),
+        F.sum("o").over(w_col).alias("col_tot"),
+        F.sum("o").over(w_pair).alias("n"),
+    )
+    # sum over observed cells of o^2/e where e = row_tot*col_tot/n;
+    # chi2 = that - n (empty cells contribute 0 to the sum).
+    term = (F.col("o") * F.col("o") * F.col("n")
+            / (F.col("row_tot") * F.col("col_tot")))
+    w = F.col("o") / F.col("n")
+    mi_term = w * F.log(F.col("o") * F.col("n")
+                        / (F.col("row_tot") * F.col("col_tot")))
+    ha_term = w * F.log(F.col("row_tot") / F.col("n"))
+    hb_term = w * F.log(F.col("col_tot") / F.col("n"))
+    agg = scored.groupBy(*pair).agg(
+        F.max("n").alias("n"),
+        F.countDistinct("va").alias("r_categories"),
+        F.countDistinct("vb").alias("c_categories"),
+        (F.sum(term) - F.max("n")).alias("chi2"),
+        F.greatest(F.sum(mi_term), F.lit(0.0)).alias("mi"),
+        (-F.sum(ha_term)).alias("h_a"),
+        (-F.sum(hb_term)).alias("h_b"),
+    )
+    dof = F.least("r_categories", "c_categories") - F.lit(1)
+    guard = ((F.col("n") > 0)
+             & (F.col("r_categories") <= max_categories)
+             & (F.col("c_categories") <= max_categories))
+    v = F.when(
+        (dof > 0) & guard,
+        F.sqrt(F.greatest(F.col("chi2"), F.lit(0.0))
+               / (F.col("n") * dof)),
+    )
+    nmi = F.when(
+        guard & (F.least("h_a", "h_b") > 0),
+        F.col("mi") / F.least("h_a", "h_b"))
+    return agg.select(
+        *pair, "n", "r_categories", "c_categories",
+        F.col("chi2").cast("double").alias("chi2"),
+        v.cast("double").alias("cramers_v"),
+        F.col("mi").cast("double").alias("mi"),
+        F.col("h_a").cast("double").alias("h_a"),
+        F.col("h_b").cast("double").alias("h_b"),
+        nmi.cast("double").alias("nmi"),
+    )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Single-pair convenience wrapper over ``association_report``."""
+    return association_report(df, [col_a, col_b])
+
+
+def target_leakage_report(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Screen numeric features for label leakage by |Pearson r|.
+
+    One row per feature: ``(feature, n, corr, abs_corr, flagged)``
+    where ``flagged`` marks |r| >= threshold — the classic symptom of
+    a feature computed FROM the label (post-outcome aggregates,
+    target-encoded columns that leaked the fold). Same one-pass
+    single-agg plan as ``correlation_matrix``; NaN handled as missing.
+    """
+    feature_cols = list(feature_cols)
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if label_col in feature_cols:
+        raise ValueError("label_col must not be in feature_cols")
+    dtypes = _numeric_cols(df, feature_cols + [label_col])
+    y = _nan_to_null(label_col, dtypes[label_col])
+    aggs = []
+    for i, c in enumerate(feature_cols):
+        x = _nan_to_null(c, dtypes[c])
+        both = F.when(x.isNotNull() & y.isNotNull(), F.lit(1))
+        aggs.append(F.count(both).alias(f"__n_{i}"))
+        aggs.append(_pearson(x, y).alias(f"__c_{i}"))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("feature"),
+            F.col(f"__n_{i}").alias("n"),
+            F.col(f"__c_{i}").alias("corr"),
+        )
+        for i, c in enumerate(feature_cols)
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("p"))
+        .select(
+            "p.feature", "p.n", "p.corr",
+            F.abs(F.col("p.corr")).alias("abs_corr"),
+            (F.abs(F.col("p.corr")) >= F.lit(float(threshold)))
+            .alias("flagged"),
+        )
+    )
