@@ -425,3 +425,120 @@ def robust_outlier_summary(
     out = out.select(*groups, "n", "n_outliers",
                      rate.alias("outlier_rate"), "max_abs_z")
     return out.orderBy(*groups) if groups else out
+
+
+def winsorize(
+    df: DataFrame,
+    column: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    clip_col: Optional[str] = None,
+) -> DataFrame:
+    """Winsorization: clip ``column`` to its exact [lower, upper]
+    quantiles — the standard heavy-tail taming step before scaling /
+    model features (cap the 1-cent and the million-dollar rows instead
+    of dropping them).
+
+    Adds ``clip_col`` (default ``<column>_winsorized``). The
+    boundaries are ``exact_quantiles`` order statistics (lower
+    interpolation — actual data values, engine-reproducible), and the
+    clip itself is pure comparison (``least(greatest(x, lo), hi)``) —
+    no arithmetic, so clipped values are bit-identical to existing
+    data values in any engine. Null/NaN rows pass through null.
+
+    Plan shape: the boundary row is the two-phase distributed quantile
+    walk (no single-task sort) broadcast via cross join; assignment is
+    a shuffle-free codegen'd projection. Two scans of the input
+    (boundaries, then clip) — cache upstream if derived.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(
+            f"need 0 <= lower < upper <= 1: ({lower}, {upper})")
+    qs = [lower, upper]
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+    qrow = exact_quantiles(df, column, qs).select(
+        F.col(names[0]).alias("__w_lo"),
+        F.col(names[1]).alias("__w_hi"))
+    x = F.col(column).cast("double")
+    ok = F.col(column).isNotNull() & ~F.isnan(x)
+    clipped = F.least(F.greatest(x, F.col("__w_lo")), F.col("__w_hi"))
+    return (df.crossJoin(F.broadcast(qrow))
+            .withColumn(clip_col or f"{column}_winsorized",
+                        F.when(ok, clipped))
+            .drop("__w_lo", "__w_hi"))
+
+
+def histogram2d(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    n_bins_x: int = 20,
+    n_bins_y: int = 20,
+) -> DataFrame:
+    """Exact equi-width 2-D histogram — the joint-distribution heatmap
+    behind pair drift inspection and correlation triage (a correlation
+    coefficient says HOW MUCH two columns move together; the 2-D
+    histogram shows WHERE).
+
+    Returns ALL ``n_bins_x * n_bins_y`` cells (empty cells count 0):
+    ``(bin_x, bin_y, x_start, x_end, y_start, y_end, n)``. Bounds are
+    the in-plan min/max of each column over rows where BOTH are
+    present (pairwise-complete, matching ``correlation_matrix``); the
+    last bin on each axis is closed on the right; constant axes
+    collapse to bin 0. Null/NaN rows are excluded.
+
+    Scale shape: one pruned scan -> 1-row bounds aggregate broadcast
+    back -> partial-agg groupBy(bin_x, bin_y) (at most
+    n_bins_x*n_bins_y groups) -> broadcast join onto a literal cell
+    spine. No sort, no window, nothing corpus-sized past the scan.
+    """
+    if n_bins_x < 1 or n_bins_y < 1:
+        raise ValueError("n_bins must be >= 1")
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    vals = df.select(x.alias("__x"), y.alias("__y")).filter(
+        F.col("__x").isNotNull() & ~F.isnan("__x")
+        & F.col("__y").isNotNull() & ~F.isnan("__y"))
+    bounds = vals.agg(
+        F.min("__x").alias("__xlo"), F.max("__x").alias("__xhi"),
+        F.min("__y").alias("__ylo"), F.max("__y").alias("__yhi"))
+    v = vals.crossJoin(F.broadcast(bounds))
+
+    def bin_of(c, lo, hi, nb):
+        width = (F.col(hi) - F.col(lo)) / F.lit(float(nb))
+        return F.when(F.col(hi) <= F.col(lo), F.lit(0)).otherwise(
+            F.least(F.floor((F.col(c) - F.col(lo)) / width),
+                    F.lit(nb - 1)).cast("int"))
+
+    counts = (
+        v.select(bin_of("__x", "__xlo", "__xhi", n_bins_x).alias("bin_x"),
+                 bin_of("__y", "__ylo", "__yhi", n_bins_y).alias("bin_y"))
+        .groupBy("bin_x", "bin_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    spine = (
+        spark.range(n_bins_x)
+        .select(F.col("id").cast("int").alias("bin_x"))
+        .crossJoin(spark.range(n_bins_y)
+                   .select(F.col("id").cast("int").alias("bin_y")))
+        .crossJoin(F.broadcast(bounds))
+    )
+    wx = (F.col("__xhi") - F.col("__xlo")) / F.lit(float(n_bins_x))
+    wy = (F.col("__yhi") - F.col("__ylo")) / F.lit(float(n_bins_y))
+    return (
+        spine.join(F.broadcast(counts), ["bin_x", "bin_y"], "left")
+        .select(
+            "bin_x", "bin_y",
+            F.round(F.col("__xlo") + F.col("bin_x") * wx, 6)
+            .alias("x_start"),
+            F.round(F.col("__xlo") + (F.col("bin_x") + 1) * wx, 6)
+            .alias("x_end"),
+            F.round(F.col("__ylo") + F.col("bin_y") * wy, 6)
+            .alias("y_start"),
+            F.round(F.col("__ylo") + (F.col("bin_y") + 1) * wy, 6)
+            .alias("y_end"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bin_x", "bin_y")
+    )

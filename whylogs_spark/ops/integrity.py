@@ -403,3 +403,91 @@ def snapshot_diff_summary(
                     / (F.col("added") + F.col("changed")
                        + F.col("unchanged")), 6)).alias("churn_rate"),
     )
+
+
+def functional_dependency_report(
+    df: DataFrame,
+    determinant_cols: Sequence[str],
+    dependent_cols: Sequence[str],
+) -> DataFrame:
+    """One-row health report for the functional dependency
+    ``determinant_cols -> dependent_cols``: does each determinant
+    value map to exactly ONE dependent combination? The schema-rule
+    analog of :func:`referential_integrity` — it catches denormalized
+    tables drifting out of sync (two rows of the same order with
+    different order dates), botched joins that fanned out, and
+    dimension updates applied to only some rows.
+
+    Columns: ``n_rows, n_groups, violating_groups, violating_rows,
+    max_variants, holds, strength`` where ``strength = 1 -
+    violating_rows / n_rows`` (null on empty input) and ``holds``
+    means zero violations. NULL determinant values form ordinary
+    groups (reported like any other key); NULLs inside the dependent
+    combination are compared as values via the struct, so (NULL) and
+    ('x') count as two variants.
+
+    Plan shape: one hash aggregation to (determinant -> variant count,
+    row count) — partial aggregation map-side bounds the exchange by
+    distinct determinants per task — then a 1-row rollup. Nothing
+    corpus-sized past the first agg, no window, no collect.
+    """
+    determinant_cols = list(determinant_cols)
+    dependent_cols = list(dependent_cols)
+    if not determinant_cols or not dependent_cols:
+        raise ValueError("determinant and dependent cols required")
+    overlap = set(determinant_cols) & set(dependent_cols)
+    if overlap:
+        raise ValueError(
+            f"determinant/dependent overlap: {sorted(overlap)}")
+    dep = F.struct(*[F.col(c) for c in dependent_cols])
+    g = df.groupBy(*determinant_cols).agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.countDistinct(dep).alias("__variants"),
+    )
+    viol = F.col("__variants") > 1
+    out = g.agg(
+        F.sum("__rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(viol.cast("long")).alias("violating_groups"),
+        F.sum(F.when(viol, F.col("__rows")).otherwise(F.lit(0)))
+        .alias("violating_rows"),
+        F.max("__variants").alias("max_variants"),
+    )
+    return out.select(
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+        "n_groups",
+        F.coalesce(F.col("violating_groups"), F.lit(0))
+        .alias("violating_groups"),
+        F.coalesce(F.col("violating_rows"), F.lit(0))
+        .alias("violating_rows"),
+        "max_variants",
+        (F.coalesce(F.col("violating_groups"), F.lit(0)) == 0)
+        .alias("holds"),
+        F.when(
+            F.col("n_rows") > 0,
+            1.0 - F.col("violating_rows").cast("double")
+            / F.col("n_rows")).alias("strength"),
+    )
+
+
+def fd_violation_examples(
+    df: DataFrame,
+    determinant_cols: Sequence[str],
+    dependent_cols: Sequence[str],
+    k: int = 100,
+) -> DataFrame:
+    """The ``k`` worst violating determinant groups (most dependent
+    variants first): ``determinant_cols…, n_rows, n_variants``. The
+    drill-down companion to :func:`functional_dependency_report` —
+    top-k via orderBy+limit (TakeOrderedAndProject, never a global
+    sort)."""
+    determinant_cols = list(determinant_cols)
+    dep = F.struct(*[F.col(c) for c in list(dependent_cols)])
+    g = df.groupBy(*determinant_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(dep).alias("n_variants"),
+    )
+    return (g.filter(F.col("n_variants") > 1)
+            .orderBy(F.desc("n_variants"), F.desc("n_rows"),
+                     *determinant_cols)
+            .limit(k))
