@@ -2249,6 +2249,47 @@ def _q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_variants", "holds", F.round("strength", 6).alias("strength"))
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (ops/events.py funnel): scan-level
+    step filter, per-user greedy matcher as one codegen'd aggregate
+    HOF fold, 1-row rollup; deterministic min-recurrence semantics so
+    the oracle reproduces it with chained CTEs."""
+    from whylogs_spark.ops.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        "step_index", "step", "n_users",
+        F.round("conversion_from_first", 6).alias("conv_first"),
+        F.round("conversion_from_previous", 6).alias("conv_prev"))
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (ops/events.py retention_cohorts):
+    epoch-anchored day cohorts; distinct (user, period) partial-aggs
+    map-side, one user-keyed join, bounded matrix aggregation."""
+    from whylogs_spark.ops.events import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    out = retention_cohorts(ev, grain="day")
+    return out.select(
+        F.unix_timestamp("cohort").alias("cohort_epoch"),
+        "offset", "n_active", "cohort_size",
+        F.round("retention", 6).alias("retention"))
+
+
+def _q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix (ops/events.py transition_matrix):
+    one user-partitioned window pass, then a bounded (src, dst)
+    aggregation with row-normalized probabilities."""
+    from whylogs_spark.ops.events import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    out = transition_matrix(ev)
+    return out.select("src", "dst", "n_transitions",
+                      F.round("probability", 6).alias("probability"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2416,6 +2457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_lineitem": _q_winsorize,
         "histogram2d_lineitem": _q_histogram2d,
         "fd_check_lineitem": _q_fd_check,
+        "funnel_events": _q_funnel,
+        "retention_cohorts_events": _q_retention,
+        "transition_matrix_events": _q_transition_matrix,
     }
 
 
@@ -4578,5 +4622,56 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN sum(rows_) > 0 THEN round(1.0 - sum(CASE WHEN "
             "variants > 1 THEN rows_ ELSE 0 END)::DOUBLE / "
             "sum(rows_), 6) END AS strength FROM g"
+        ),
+        "funnel_events": (
+            # greedy in-order matching == the min-recurrence:
+            # t_{i+1} = min ts of step i+1 with ts >= t_i
+            "WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' AND ts IS NOT NULL AND user_id "
+            "IS NOT NULL GROUP BY 1), "
+            "u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN u1 ON e.user_id = u1.user_id WHERE e.event_type = "
+            "'click' AND e.ts >= u1.t1 GROUP BY 1), "
+            "u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN u2 ON e.user_id = u2.user_id WHERE e.event_type = "
+            "'purchase' AND e.ts >= u2.t2 GROUP BY 1), "
+            "n AS (SELECT (SELECT count(*) FROM u1) AS n1, "
+            "(SELECT count(*) FROM u2) AS n2, "
+            "(SELECT count(*) FROM u3) AS n3) "
+            "SELECT 1 AS step_index, 'view' AS step, n1::BIGINT AS "
+            "n_users, CASE WHEN n1 > 0 THEN 1.0 END AS conv_first, "
+            "NULL::DOUBLE AS conv_prev FROM n "
+            "UNION ALL SELECT 2, 'click', n2::BIGINT, "
+            "CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1, 6) END, "
+            "CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1, 6) END "
+            "FROM n "
+            "UNION ALL SELECT 3, 'purchase', n3::BIGINT, "
+            "CASE WHEN n1 > 0 THEN round(n3::DOUBLE / n1, 6) END, "
+            "CASE WHEN n2 > 0 THEN round(n3::DOUBLE / n2, 6) END "
+            "FROM n"
+        ),
+        "retention_cohorts_events": (
+            "WITH act AS (SELECT DISTINCT user_id AS u, "
+            "floor(epoch(ts) / 86400)::BIGINT AS p FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "fc AS (SELECT u, min(p) AS c FROM act GROUP BY 1), "
+            "m AS (SELECT c, (p - c)::INT AS off, count(*)::BIGINT AS "
+            "n_active FROM act JOIN fc USING (u) GROUP BY 1, 2), "
+            "sz AS (SELECT c, n_active AS cohort_size FROM m WHERE "
+            "off = 0) "
+            "SELECT (m.c * 86400)::BIGINT AS cohort_epoch, m.off AS "
+            "offset, m.n_active, sz.cohort_size, "
+            "round(m.n_active::DOUBLE / sz.cohort_size, 6) AS "
+            "retention FROM m JOIN sz ON m.c = sz.c"
+        ),
+        "transition_matrix_events": (
+            "WITH s AS (SELECT event_type AS src, lead(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_type) AS "
+            "dst FROM events WHERE ts IS NOT NULL AND user_id IS NOT "
+            "NULL AND event_type IS NOT NULL) "
+            "SELECT src, dst, count(*)::BIGINT AS n_transitions, "
+            "round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION "
+            "BY src), 6) AS probability FROM s WHERE dst IS NOT NULL "
+            "GROUP BY 1, 2"
         ),
     }

@@ -653,6 +653,14 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_behavioral():
+        # funnel + cohort retention + Markov transitions over events
+        from whylogs_spark.ops.events import (funnel, retention_cohorts,
+                                              transition_matrix)
+        _noop(funnel(t["events"], ["view", "click", "purchase"]))
+        _noop(retention_cohorts(t["events"], grain="day"))
+        _noop(transition_matrix(t["events"]))
+
     def bench_winsorize_hist2d_fd():
         # quantile clip + 2-D histogram + FD health in one sweep
         from whylogs_spark.core.summaries import histogram2d, winsorize
@@ -729,6 +737,7 @@ def main() -> None:
         "segment_overlap_daily": bench_segment_overlap,
         "boilerplate_seasonal": bench_boilerplate_seasonal,
         "winsorize_hist2d_fd": bench_winsorize_hist2d_fd,
+        "behavioral_events": bench_behavioral,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -1429,6 +1429,56 @@ def main() -> None:
                 r"TakeOrderedAndProject",
         }))
 
+    # 9z5m. behavioral analytics: funnel / retention / transitions
+    from whylogs_spark.ops.events import (funnel, retention_cohorts,
+                                          transition_matrix)
+
+    fu = funnel(ev, ["view", "click", "purchase"])
+    sections.append((
+        "funnel (greedy in-order matcher)", fu,
+        {
+            "step filter pushed to the scan":
+                r"PushedFilters: [^\n]*In\(event_type|"
+                r"Filter[\s\S]{0,400}event_type",
+            "per-user fold partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "final rollup is a SinglePartition agg":
+                r"Arguments: SinglePartition",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    rc = retention_cohorts(ev, grain="day")
+    sections.append((
+        "retention cohorts", rc,
+        {
+            "distinct (user, period) partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "cohort sizes joined by broadcast":
+                r"BroadcastHashJoin",
+            "no window operator (pure joins + aggs)":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    tm = transition_matrix(ev)
+    sections.append((
+        "transition matrix", tm,
+        {
+            "single user-partitioned window (keyed, never global)":
+                r"windowspecdefinition\(user_id#",
+            "matrix aggregation partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "normalization window runs on the aggregated matrix":
+                r"HashAggregate[\s\S]*\(\d+\) Window",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

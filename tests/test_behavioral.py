@@ -1,0 +1,132 @@
+"""Tests for funnel, retention_cohorts, transition_matrix
+(ops.events behavioral analytics)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.ops.events import (
+    funnel,
+    retention_cohorts,
+    transition_matrix,
+)
+
+BASE = dt.datetime(2024, 3, 1)
+
+
+def _ev(rows, spark):
+    return spark.createDataFrame(
+        [(u, BASE + dt.timedelta(minutes=m), e) for u, m, e in rows],
+        "user_id long, ts timestamp, event_type string")
+
+
+# ------------------------------------------------------------ funnel
+
+def test_funnel_ordered_matching(spark):
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "buy"),
+        # u2 clicks BEFORE viewing: click doesn't count, re-click absent
+        (2, 0, "click"), (2, 1, "view"),
+        # u3 views only
+        (3, 0, "view"),
+        # u4 never enters the funnel
+        (4, 0, "other"),
+        # u5: view and click at the SAME instant -> both advance
+        (5, 0, "view"), (5, 0, "click"),
+    ]
+    out = {r.step_index: r for r in
+           funnel(_ev(rows, spark), ["view", "click", "buy"]).collect()}
+    assert [out[i].step for i in (1, 2, 3)] == ["view", "click", "buy"]
+    assert out[1].n_users == 4  # u1 u2 u3 u5
+    assert out[2].n_users == 2  # u1 u5 (u2's click precedes its view)
+    assert out[3].n_users == 1  # u1
+    assert out[1].conversion_from_first == pytest.approx(1.0)
+    assert out[2].conversion_from_first == pytest.approx(0.5)
+    assert out[2].conversion_from_previous == pytest.approx(0.5)
+    assert out[3].conversion_from_previous == pytest.approx(0.5)
+    assert out[1].conversion_from_previous is None
+
+
+def test_funnel_reentry_uses_earliest_qualifying(spark):
+    # u1: view@0, buy@1, click@2, buy@3 -> click matches at 2, buy at 3
+    rows = [(1, 0, "view"), (1, 1, "buy"), (1, 2, "click"),
+            (1, 3, "buy")]
+    out = {r.step: r.n_users for r in
+           funnel(_ev(rows, spark), ["view", "click", "buy"]).collect()}
+    assert out == {"view": 1, "click": 1, "buy": 1}
+
+
+def test_funnel_validation_and_empty(spark):
+    df = _ev([(1, 0, "view")], spark)
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel(df, ["view"])
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel(df, ["view", "view"])
+    empty = funnel(df.filter("user_id < 0"),
+                   ["view", "click"]).collect()
+    assert [r.n_users for r in empty] == [0, 0]
+    assert all(r.conversion_from_first is None for r in empty)
+
+
+# ------------------------------------------------- retention cohorts
+
+def test_retention_cohorts_day_grain(spark):
+    def at(day, u):
+        return (u, day * 24 * 60, "x")
+    rows = [at(0, 1), at(1, 1), at(3, 1),   # u1: cohort d0, back d1 d3
+            at(0, 2),                        # u2: cohort d0 only
+            at(1, 3), at(3, 3)]              # u3: cohort d1, back d3
+    out = {(r.cohort, r.offset): r for r in retention_cohorts(
+        _ev(rows, spark), grain="day").collect()}
+    d0 = BASE.replace(hour=0)
+    d1 = d0 + dt.timedelta(days=1)
+    assert out[(d0, 0)].cohort_size == 2
+    assert out[(d0, 0)].retention == pytest.approx(1.0)
+    assert out[(d0, 1)].n_active == 1   # u1
+    assert out[(d0, 1)].retention == pytest.approx(0.5)
+    assert out[(d0, 3)].n_active == 1   # u1
+    assert out[(d1, 0)].cohort_size == 1  # u3
+    assert out[(d1, 2)].n_active == 1     # u3 on d3 = offset 2
+    assert (d0, 2) not in out  # no-activity offsets are absent
+    capped = retention_cohorts(_ev(rows, spark), grain="day",
+                               max_offset=1).collect()
+    assert max(r.offset for r in capped) == 1
+    with pytest.raises(ValueError, match="grain"):
+        retention_cohorts(_ev(rows, spark), grain="month")
+
+
+def test_retention_duplicate_events_count_once(spark):
+    rows = [(1, 0, "a"), (1, 5, "b"),          # same day twice
+            (1, 24 * 60, "a"), (1, 24 * 60 + 1, "a")]
+    out = retention_cohorts(_ev(rows, spark), grain="day").collect()
+    assert {(r.offset, r.n_active) for r in out} == {(0, 1), (1, 1)}
+
+
+# ------------------------------------------------ transition matrix
+
+def test_transition_matrix_counts_and_probs(spark):
+    rows = [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "c"),
+        (2, 0, "a"), (2, 1, "b"),
+    ]
+    out = {(r.src, r.dst): r for r in
+           transition_matrix(_ev(rows, spark)).collect()}
+    assert out[("a", "b")].n_transitions == 2
+    assert out[("b", "a")].n_transitions == 1
+    assert out[("a", "c")].n_transitions == 1
+    # row-normalized: from 'a' -> b 2/3, c 1/3
+    assert out[("a", "b")].probability == pytest.approx(2 / 3)
+    assert out[("a", "c")].probability == pytest.approx(1 / 3)
+    assert out[("b", "a")].probability == pytest.approx(1.0)
+    # no cross-user transition (u1's last 'c' -> u2's first 'a')
+    assert ("c", "a") not in out
+
+
+def test_transition_matrix_tie_order_deterministic(spark):
+    # same-instant events order by event name: a -> b, not b -> a
+    rows = [(1, 0, "b"), (1, 0, "a")]
+    out = transition_matrix(_ev(rows, spark)).collect()
+    assert len(out) == 1
+    assert (out[0].src, out[0].dst) == ("a", "b")

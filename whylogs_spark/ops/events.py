@@ -340,3 +340,192 @@ def seasonal_decompose(
         (F.col("y") - F.col("trend") - F.col("seasonal"))
         .alias("residual"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion: how many users performed step 1,
+    then step 2 at-or-after their step-1 time, and so on (the product
+    -analytics staple: view -> click -> signup -> purchase).
+
+    Semantics: a user reaches step i+1 iff some step-(i+1) event has
+    ``ts >= t_i`` where ``t_i`` is the EARLIEST qualifying time of
+    step i (greedy matching; simultaneous timestamps count in step
+    order, so a same-instant view+click advances both steps).
+    Deterministic — an exact SQL recurrence (``t_{i+1} = min ts of
+    step i+1 with ts >= t_i``) reproduces it in any engine.
+
+    Returns one row per step: ``(step_index, step, n_users,
+    conversion_from_first, conversion_from_previous)``.
+
+    Scale shape: non-funnel events are filtered AT THE SCAN (predicate
+    pushdown on ``event_col``); each user's surviving events fold in
+    ONE hash aggregation — ``array_sort(collect_list(...))`` holds
+    only that user's FUNNEL events (bounded by per-user activity, the
+    same bound sessionization carries) and the greedy matcher is a
+    codegen'd ``aggregate`` HOF, not Python; the per-step counts
+    collapse in a second 1-row aggregation. No window over raw events,
+    no per-step job.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("need at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("duplicate steps")
+    idx = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        i = len(steps) - 1 - i
+        idx = F.when(F.col(event_col) == F.lit(s), F.lit(i)).otherwise(idx)
+    ev = (
+        df.filter(F.col(event_col).isin(steps)
+                  & F.col(ts_col).isNotNull()
+                  & F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("__u"),
+                F.struct(F.col(ts_col).alias("t"),
+                         idx.alias("i")).alias("__e"))
+    )
+    # greedy in-order matcher: fold the (ts, step)-sorted events,
+    # advancing when the next event IS the awaited step
+    reached = F.aggregate(
+        F.array_sort(F.collect_list("__e")),
+        F.lit(0),
+        lambda acc, e: F.when(e["i"] == acc, acc + F.lit(1))
+        .otherwise(acc),
+    )
+    per_user = ev.groupBy("__u").agg(reached.alias("__r"))
+    aggs = [F.sum((F.col("__r") >= i + 1).cast("long"))
+            .alias(f"__n_{i}") for i in range(len(steps))]
+    row = per_user.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(i + 1).alias("step_index"),
+            F.lit(s).alias("step"),
+            F.coalesce(F.col(f"__n_{i}"), F.lit(0)).alias("n_users"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    out = (row.select(F.explode(F.array(*structs)).alias("p"))
+           .select("p.step_index", "p.step", "p.n_users"))
+    first = F.first("n_users")
+    prev = F.lag("n_users")
+    from pyspark.sql import Window as _W
+
+    # the funnel frame is len(steps) rows — a bounded window
+    w = _W.partitionBy(F.lit(0)).orderBy("step_index")
+    return out.select(
+        "step_index", "step", "n_users",
+        F.when(first.over(w.rowsBetween(_W.unboundedPreceding, 0)) > 0,
+               F.col("n_users").cast("double")
+               / first.over(w.rowsBetween(_W.unboundedPreceding, 0)))
+        .alias("conversion_from_first"),
+        F.when(prev.over(w) > 0,
+               F.col("n_users").cast("double") / prev.over(w))
+        .alias("conversion_from_previous"),
+    )
+
+
+_PERIOD_SECONDS = {"day": 86400, "week": 7 * 86400, "hour": 3600}
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "week",
+    max_offset: Optional[int] = None,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period; for each later period offset, the fraction still active.
+
+    Periods are epoch-anchored fixed-width buckets (``floor(epoch /
+    period)`` — UTC-anchored and engine-reproducible, not calendar
+    weeks). Returns ``(cohort, offset, n_active, cohort_size,
+    retention)`` with ``offset`` in periods (0 = the cohort period
+    itself, retention 1.0 by construction) — one row per (cohort,
+    offset) that had any activity; ``max_offset`` truncates the tail.
+
+    Scale shape: distinct (user, period) partial-aggregates map-side
+    (a user's million events in one period collapse per task); the
+    per-user first period is one more keyed aggregation; both sides
+    shuffle on the user key ONCE for the join; the matrix itself is a
+    bounded (cohorts x offsets) aggregation and cohort sizes ride a
+    broadcast join back. Nothing user-count-sized is collected.
+    """
+    if grain not in _PERIOD_SECONDS:
+        raise ValueError(
+            f"grain must be one of {sorted(_PERIOD_SECONDS)}: {grain}")
+    psec = _PERIOD_SECONDS[grain]
+    period = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(psec)) \
+        .cast("long")
+    act = (
+        df.filter(F.col(ts_col).isNotNull()
+                  & F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), period.alias("__p"))
+        .distinct()
+    )
+    first = act.groupBy("__u").agg(F.min("__p").alias("__c"))
+    j = act.join(first, on="__u")
+    j = j.withColumn("__off", (F.col("__p") - F.col("__c")).cast("int"))
+    if max_offset is not None:
+        j = j.filter(F.col("__off") <= int(max_offset))
+    matrix = j.groupBy("__c", "__off").agg(
+        F.count(F.lit(1)).alias("n_active"))
+    sizes = matrix.filter(F.col("__off") == 0).select(
+        F.col("__c"), F.col("n_active").alias("cohort_size"))
+    return (
+        matrix.join(F.broadcast(sizes), on="__c")
+        .select(
+            F.timestamp_seconds(F.col("__c") * F.lit(psec))
+            .alias("cohort"),
+            F.col("__off").alias("offset"),
+            "n_active", "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size"))
+            .alias("retention"),
+        )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive events of the same user: ``(src, dst, n_transitions,
+    probability)`` with probabilities row-normalized per ``src``.
+
+    Consecutive = adjacent in the user's (ts, event) ordering; exact
+    timestamp ties order by event name, so the count matrix is
+    deterministic even under ties (two identical rows swap without
+    changing the event sequence). Null users/timestamps are excluded.
+
+    Scale shape: ONE window pass partitioned by user (per-user
+    ordering, the sessionization bound — see ``sessionize`` for the
+    hot-user discussion), then a hash aggregation to the (src, dst)
+    matrix — partial-agged, bounded by distinct-event-types squared —
+    and row normalization as a window over that bounded matrix.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(event_col).asc())
+    src = (
+        df.filter(F.col(ts_col).isNotNull()
+                  & F.col(user_col).isNotNull()
+                  & F.col(event_col).isNotNull())
+        .select(F.col(event_col).alias("src"),
+                F.lead(event_col).over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = src.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions"))
+    row_tot = F.sum("n_transitions").over(Window.partitionBy("src"))
+    return counts.select(
+        "src", "dst", "n_transitions",
+        (F.col("n_transitions").cast("double") / row_tot)
+        .alias("probability"),
+    )
