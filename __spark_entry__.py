@@ -4497,8 +4497,10 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT DISTINCT seg AS segment, user_id::VARCHAR "
             "AS value FROM src "
             "WHERE substr(md5(user_id::VARCHAR), 1, 8) < '80000000'), "
-            "per AS (SELECT segment, count(*)::BIGINT AS sampled "
-            "FROM s GROUP BY 1), "
+            "per AS (SELECT a.segment, coalesce(c.sampled, 0)::BIGINT "
+            "AS sampled FROM (SELECT DISTINCT seg AS segment FROM "
+            "src) a LEFT JOIN (SELECT segment, count(*)::BIGINT AS "
+            "sampled FROM s GROUP BY 1) c USING (segment)), "
             "pairs AS (SELECT a.segment AS segment_a, b.segment AS "
             "segment_b, a.sampled AS sampled_a, b.sampled AS sampled_b "
             "FROM per a JOIN per b ON a.segment < b.segment), "
@@ -4523,9 +4525,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "boilerplate_documents": (
             "WITH lines AS (SELECT doc_id, "
-            "unnest(string_split(text, ' ')) AS line, "
-            "generate_subscripts(string_split(text, ' '), 1) AS pos "
-            "FROM documents), "
+            "unnest(string_split(coalesce(text, ''), ' ')) AS line, "
+            "generate_subscripts(string_split(coalesce(text, ''), "
+            "' '), 1) AS pos FROM documents), "
             "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM "
             "documents), "
             "dfq AS (SELECT line, count(*)::BIGINT AS dfreq FROM "
@@ -4546,7 +4548,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH series AS (SELECT floor(epoch(ts) / 3600)::BIGINT "
             "AS idx, count(*)::BIGINT AS n_obs, avg(value) AS y "
             "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
-            "GROUP BY 1), "
+            "AND NOT isnan(value::DOUBLE) GROUP BY 1), "
             "t AS (SELECT idx, n_obs, y, idx % 24 AS slot, "
             "CASE WHEN count(*) OVER w = 25 THEN avg(y) OVER w END "
             "AS trend FROM series WINDOW w AS (ORDER BY idx RANGE "

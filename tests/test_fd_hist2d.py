@@ -123,6 +123,14 @@ def test_fd_empty_and_validation(spark):
         functional_dependency_report(df, [], ["v"])
 
 
+def test_fd_violation_examples_validation(spark):
+    df = spark.createDataFrame([("a", "x")], "d string, v string")
+    with pytest.raises(ValueError, match="overlap"):
+        fd_violation_examples(df, ["d"], ["d"])
+    with pytest.raises(ValueError, match="required"):
+        fd_violation_examples(df, [], ["v"])
+
+
 def test_fd_violation_examples_ranked(spark):
     rows = ([("a", str(i)) for i in range(5)]      # 5 variants
             + [("b", str(i)) for i in range(3)]    # 3 variants

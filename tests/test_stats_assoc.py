@@ -212,6 +212,28 @@ def test_correlation_matrix_segmented(spark):
         correlation_matrix(df, ["x", "y"], segment_cols=["x"])
 
 
+def test_chi2_no_overflow_on_dominant_cell(spark):
+    # 2.1M rows in one cell: o*o*n over int64 would abort under ANSI
+    df = (spark.range(2_100_000)
+          .select(F.lit("a").alias("u"),
+                  (F.col("id") % 2).cast("string").alias("w")))
+    r = cramers_v(df, "u", "w").collect()[0]
+    assert r.n == 2_100_000
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)  # u is constant
+
+
+def test_association_emits_zero_pairs(spark):
+    rows = [("a", "x", None), ("b", "y", None)]
+    df = spark.createDataFrame(rows, "u string, w string, t string")
+    out = {(r.col_a, r.col_b): r
+           for r in association_report(df, ["u", "w", "t"]).collect()}
+    assert set(out) == {("u", "w"), ("u", "t"), ("w", "t")}
+    dead = out[("u", "t")]
+    assert dead.n == 0 and dead.r_categories == 0
+    assert dead.chi2 is None and dead.cramers_v is None
+    assert dead.mi is None and dead.nmi is None
+
+
 # ------------------------------------------------- target leakage
 
 def test_target_leakage_flags_copy(spark):
@@ -278,6 +300,22 @@ def test_segment_overlap_nulls_and_validation(spark):
         segment_distinct_overlap(df, "seg", "v", p=1.5)
 
 
+def test_segment_overlap_keeps_unsampled_segments(spark):
+    # 'tiny' has one value hashing above a minuscule threshold most
+    # of the time; with the data-driven segment spine it must still
+    # appear in every pair with sampled 0 (or its true count)
+    rows = ([("big", i) for i in range(2000)] + [("tiny", 999_999)])
+    df = spark.createDataFrame(rows, "seg string, v long")
+    out = {(r.segment_a, r.segment_b): r
+           for r in segment_distinct_overlap(df, "seg", "v",
+                                             p=0.001).collect()}
+    assert ("big", "tiny") in out  # present regardless of sampling
+    r = out[("big", "tiny")]
+    assert r.sampled_b in (0, 1)
+    assert r.est_jaccard is not None or (
+        r.sampled_a + r.sampled_b == 0)
+
+
 # ------------------------------------------------- boilerplate removal
 
 _BANNER = "ACCEPT COOKIES TO CONTINUE"
@@ -328,6 +366,23 @@ def test_line_document_frequency_counts_docs_not_occurrences(spark):
     out = {r.line: r.doc_freq
            for r in line_document_frequency(df).collect()}
     assert out == {"x": 2, "y": 1, "z": 2}  # blanks never counted
+
+
+def test_remove_boilerplate_null_text_and_literal_delim(spark):
+    # NULL text keeps its output row (empty document)
+    df = spark.createDataFrame([(0, None), (1, "a|b|a"), (2, "a|c")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_boilerplate(df, min_docs=2, min_df_ratio=0.5,
+                              delim="|").collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].text == "" and out[0].n_kept == 1  # one blank line
+    # '|' is literal, not a regex alternation: 'a' is in 2/3 docs
+    # (>= 0.5) -> removed everywhere; 'b', 'c' survive
+    assert out[1].text == "b" and out[2].text == "c"
+    freq = {r.line: r.doc_freq for r in line_document_frequency(
+        df, delim="|").collect()}
+    assert freq == {"a": 2, "b": 1, "c": 1}
 
 
 def test_remove_boilerplate_validation(spark):
@@ -415,6 +470,23 @@ def test_seasonal_decompose_gap_nulls_trend(spark):
     assert out[30].trend == pytest.approx(10.0)
     assert out[30].seasonal == pytest.approx(0.0)
     assert out[30].residual == pytest.approx(0.0)
+
+
+def test_seasonal_decompose_nan_treated_as_missing(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [(base + dt.timedelta(hours=h), 10.0) for h in range(48)]
+    rows.append((base + dt.timedelta(hours=5, minutes=30),
+                 float("nan")))  # would poison every slot if averaged
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = seasonal_decompose(df, "ts", "value", grain="hour",
+                             period=4).collect()
+    assert len(out) == 48
+    assert all(not math.isnan(r.seasonal) for r in out)
+    interior = [r for r in out if r.trend is not None]
+    assert interior and all(r.trend == pytest.approx(10.0)
+                            for r in interior)
 
 
 def test_seasonal_decompose_keys_and_validation(spark):

@@ -1760,10 +1760,17 @@ def line_document_frequency(
     -> one hash aggregation per line. A cookie-banner line present in
     10% of a web corpus arrives at the exchange as one row per map
     partition, never one row per document.
+
+    ``delim`` is a LITERAL separator (escaped before the regex split),
+    matching :func:`remove_boilerplate`; NULL text counts as an empty
+    document (no lines).
     """
+    import re as _re
+
     lines = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.col(text_col), F.lit(delim), -1))
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                          F.lit(_re.escape(delim)), -1))
         .alias("__line"),
     ).filter(F.length(F.trim(F.col("__line"))) > 0)
     return (
@@ -1797,25 +1804,34 @@ def remove_boilerplate(
     carry layout).
 
     Returns ``(id_col, n_lines, n_kept, text)`` with ``text`` rebuilt
-    from surviving lines in original order.
+    from surviving lines in original order. ``delim`` is a LITERAL
+    separator (escaped before the regex split, matching the literal
+    re-join — ``dedup_paragraphs`` semantics); NULL text is treated as
+    the empty document (one blank line, kept, text '') so every input
+    document has an output row.
 
     Scale shape: line DF via ``distinct`` + hash agg (both partial-
     aggregated — the hot boilerplate line collapses map-side, see
     :func:`line_document_frequency`); the corpus document count is a
     1-row aggregate cross-joined (broadcast) into the threshold, never
-    a driver action; flagged lines join back on ``xxhash64(line)`` —
-    an 8-byte key instead of the line text — against a right side that
-    is unique per line (skew-free; AQE may broadcast it when small);
-    ONE reassembly shuffle keyed by document id. No window over raw
-    lines, nothing collected.
+    a driver action; flagged lines join back on ``(xxhash64(line),
+    line)`` — the 8-byte hash drives the hash join while the line
+    equality makes a 64-bit collision harmless (the lines side carries
+    the text anyway for reassembly, so the extra key costs nothing);
+    the right side is unique per line (skew-free; AQE may broadcast it
+    when small); ONE reassembly shuffle keyed by document id. No
+    window over raw lines, nothing collected.
     """
+    import re as _re
+
     if min_docs < 1:
         raise ValueError("min_docs must be >= 1")
     if not (0.0 < min_df_ratio <= 1.0):
         raise ValueError("min_df_ratio must be in (0, 1]")
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1))
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             F.lit(_re.escape(delim)), -1))
         .alias("__pos", "__line"),
     )
     blank = F.length(F.trim(F.col("__line"))) == 0
@@ -1833,11 +1849,12 @@ def remove_boilerplate(
                >= F.col("__n_docs") * F.lit(float(min_df_ratio)))
         )
         .select(F.xxhash64("__line").alias("__lh"),
+                F.col("__line"),
                 F.lit(True).alias("__boiler"))
     )
     marked = (
         lines.withColumn("__lh", F.xxhash64("__line"))
-        .join(boiler, on="__lh", how="left")
+        .join(boiler, on=["__lh", "__line"], how="left")
     )
     keep = blank | F.col("__boiler").isNull()
     out = marked.groupBy(id_col).agg(

@@ -297,12 +297,16 @@ def seasonal_decompose(
     # round-trip): floor division IS the truncation, DST-proof
     idx = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(gsec)) \
         .cast("long")
+    # NaN must be dropped with NULL: one NaN bucket mean would poison
+    # its trend windows AND (through the zero-sum normalization) every
+    # slot's seasonal index — NaN-as-missing, like the sibling ops
+    vv = F.col(value_col).cast("double")
     series = (
         df.filter(F.col(ts_col).isNotNull()
-                  & F.col(value_col).isNotNull())
+                  & F.col(value_col).isNotNull() & ~F.isnan(vv))
         .groupBy(*key_cols, idx.alias("__idx"))
         .agg(F.count(F.lit(1)).alias("n_obs"),
-             F.avg(value_col).alias("y"))
+             F.avg(vv).alias("y"))
     )
     # ordered window over the BUCKETED series (bounded input): RANGE
     # on the integer bucket index so calendar gaps shrink the window

@@ -482,7 +482,14 @@ def fd_violation_examples(
     top-k via orderBy+limit (TakeOrderedAndProject, never a global
     sort)."""
     determinant_cols = list(determinant_cols)
-    dep = F.struct(*[F.col(c) for c in list(dependent_cols)])
+    dependent_cols = list(dependent_cols)
+    if not determinant_cols or not dependent_cols:
+        raise ValueError("determinant and dependent cols required")
+    overlap = set(determinant_cols) & set(dependent_cols)
+    if overlap:
+        raise ValueError(
+            f"determinant/dependent overlap: {sorted(overlap)}")
+    dep = F.struct(*[F.col(c) for c in dependent_cols])
     g = df.groupBy(*determinant_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct(dep).alias("n_variants"),

@@ -94,10 +94,22 @@ def segment_distinct_overlap(
     The sample is hash-deterministic (md5 threshold), so repeated runs
     — and any engine with md5 — produce identical output; the DuckDB
     oracle recomputes it verbatim.
+
+    Segments are enumerated from the DATA, not the sample: a small
+    segment whose values all hash above the threshold still appears in
+    every pair (sampled 0, estimates 0) rather than vanishing — the
+    honest answer is "the sample saw nothing", not a missing row.
     """
     s = distinct_sample(df, segment_col, value_col, p)
-    per_seg = s.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("sampled"))
+    all_segs = (df.select(F.col(segment_col).alias("segment"))
+                .filter(F.col("segment").isNotNull()).distinct())
+    per_seg = (
+        all_segs.join(
+            s.groupBy("segment").agg(
+                F.count(F.lit(1)).alias("sampled")),
+            on="segment", how="left")
+        .withColumn("sampled", F.coalesce(F.col("sampled"), F.lit(0)))
+    )
     a = per_seg.select(F.col("segment").alias("segment_a"),
                        F.col("sampled").alias("sampled_a"))
     b = per_seg.select(F.col("segment").alias("segment_b"),

@@ -184,10 +184,14 @@ def _pair_cells(
     arr = F.array(*structs)
     if dropna:
         arr = F.filter(arr, lambda s: s.isNotNull())
+    # o as DOUBLE: the chi2/MI terms multiply o*o*n — at corpus scale
+    # a dominant cell past ~2M rows overflows int64 under ANSI mode
+    # (o=2.1e6 -> o*o*n > Long.MAX aborts the job); double keeps the
+    # counts exact to 2^53 and the products finite
     return (
         df.select(F.explode(arr).alias("p"))
         .groupBy("p.col_a", "p.col_b", "p.va", "p.vb")
-        .agg(F.count("*").alias("o"))
+        .agg(F.count("*").cast("double").alias("o"))
     )
 
 
@@ -201,7 +205,9 @@ def association_report(
     chi2, cramers_v)``.
 
     Rows where either side of a pair is NULL are excluded from that
-    pair (pairwise-complete, like ``correlation_matrix``). ``chi2``
+    pair (pairwise-complete, like ``correlation_matrix``); a pair with
+    ZERO complete rows still gets its row (n=0, zero category counts,
+    null statistics). ``chi2``
     uses the sparse identity ``sum(o^2/e) - n`` so empty contingency
     cells never materialize; ``cramers_v = sqrt((chi2/n) /
     (min(r,c)-1))`` (null when either side is constant). Values are
@@ -261,7 +267,7 @@ def association_report(
     ha_term = w * F.log(F.col("row_tot") / F.col("n"))
     hb_term = w * F.log(F.col("col_tot") / F.col("n"))
     agg = scored.groupBy(*pair).agg(
-        F.max("n").alias("n"),
+        F.max("n").cast("long").alias("n"),
         F.countDistinct("va").alias("r_categories"),
         F.countDistinct("vb").alias("c_categories"),
         (F.sum(term) - F.max("n")).alias("chi2"),
@@ -269,6 +275,19 @@ def association_report(
         (-F.sum(ha_term)).alias("h_a"),
         (-F.sum(hb_term)).alias("h_b"),
     )
+    # a pair whose every row has a NULL side produces no cells — emit
+    # it anyway (n=0, null stats), honoring the one-row-per-pair
+    # contract like correlation_matrix
+    spine = df.sparkSession.createDataFrame(
+        [(cols[i], cols[j]) for i in range(len(cols))
+         for j in range(i + 1, len(cols))],
+        "col_a string, col_b string")
+    agg = (F.broadcast(spine).join(agg, on=pair, how="left")
+           .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+           .withColumn("r_categories",
+                       F.coalesce(F.col("r_categories"), F.lit(0)))
+           .withColumn("c_categories",
+                       F.coalesce(F.col("c_categories"), F.lit(0))))
     dof = F.least("r_categories", "c_categories") - F.lit(1)
     guard = ((F.col("n") > 0)
              & (F.col("r_categories") <= max_categories)
