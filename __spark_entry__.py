@@ -2290,6 +2290,50 @@ def _q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("probability", 6).alias("probability"))
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (ops/sampling.py weighted_sample): md5-deterministic u, key
+    ln(u)/w, top-k via TakeOrderedAndProject."""
+    from whylogs_spark.ops.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, 50, "n_chars", ["doc_id"]) \
+        .select("doc_id", "n_chars")
+
+
+def _q_adjust_pvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (core/drift.py
+    adjust_pvalues) over a report-sized test frame — suffix-minimum
+    via bounded self-joins, engine-portable. The pseudo p-values are
+    rounded to 6dp BEFORE adjusting so rank comparisons are identical
+    across engines."""
+    from whylogs_spark.core.drift import adjust_pvalues
+
+    li = _t(spark, sf_dir, "lineitem")
+    tests = li.groupBy(
+        F.concat_ws("/", "l_returnflag", "l_linestatus")
+        .alias("test_id")).agg(
+        F.round(F.avg("l_discount"), 6).alias("p"))
+    out = adjust_pvalues(tests, "p", "test_id", method="bh",
+                         alpha=0.06)
+    return out.select("test_id", "p",
+                      F.round("p_adjusted", 6).alias("p_adjusted"),
+                      "reject")
+
+
+def _q_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift table (core/drift.py qq_table): two
+    exact distributed quantile walks -> 1-row frames -> broadcast
+    cross join + free explode."""
+    from whylogs_spark.core.drift import qq_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_returnflag") == "A")
+    tgt = li.filter(F.col("l_returnflag") == "R")
+    return qq_table(ref, tgt, "l_extendedprice",
+                    qs=[0.1, 0.25, 0.5, 0.75, 0.9])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2460,6 +2504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": _q_funnel,
         "retention_cohorts_events": _q_retention,
         "transition_matrix_events": _q_transition_matrix,
+        "weighted_sample_documents": _q_weighted_sample,
+        "adjust_pvalues_lineitem": _q_adjust_pvalues,
+        "qq_drift_lineitem": _q_qq_drift,
     }
 
 
@@ -4675,5 +4722,59 @@ def oracle_sql() -> dict[str, str]:
             "round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION "
             "BY src), 6) AS probability FROM s WHERE dst IS NOT NULL "
             "GROUP BY 1, 2"
+        ),
+        "weighted_sample_documents": (
+            # Efraimidis-Spirakis key ln(u)/w with u from the md5
+            # prefix — identical arithmetic to ops/sampling.py
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE n_chars IS NOT NULL AND NOT "
+            "isnan(n_chars::DOUBLE) AND n_chars > 0 "
+            "ORDER BY ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))"
+            "::BIGINT + 1)::DOUBLE / 4294967296.0) / n_chars::DOUBLE "
+            "DESC, doc_id LIMIT 50"
+        ),
+        "adjust_pvalues_lineitem": (
+            "WITH tests AS (SELECT l_returnflag || '/' || "
+            "l_linestatus AS test_id, round(avg(l_discount), 6) AS p "
+            "FROM lineitem GROUP BY 1), "
+            "m AS (SELECT count(*)::DOUBLE AS m FROM tests WHERE p "
+            "IS NOT NULL AND NOT isnan(p)), "
+            "ranks AS (SELECT a.test_id, a.p, "
+            "(SELECT count(*) FROM tests b WHERE b.p <= a.p AND b.p "
+            "IS NOT NULL)::DOUBLE AS r FROM tests a WHERE a.p IS NOT "
+            "NULL AND NOT isnan(a.p)), "
+            "adj AS (SELECT a.test_id, least(min(b.p * m.m / b.r), "
+            "1.0) AS p_adjusted FROM ranks a JOIN ranks b ON b.p >= "
+            "a.p CROSS JOIN m GROUP BY 1) "
+            "SELECT t.test_id, t.p, round(adj.p_adjusted, 6) AS "
+            "p_adjusted, coalesce(adj.p_adjusted <= 0.06, false) AS "
+            "reject FROM tests t LEFT JOIN adj ON t.test_id = "
+            "adj.test_id"
+        ),
+        "qq_drift_lineitem": (
+            "WITH qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]"
+            "::DOUBLE[]) AS q), "
+            "r AS (SELECT l_extendedprice AS v, count(*) AS ct FROM "
+            "lineitem WHERE l_returnflag = 'A' AND l_extendedprice "
+            "IS NOT NULL AND NOT isnan(l_extendedprice::DOUBLE) "
+            "GROUP BY 1), "
+            "rc AS (SELECT v, sum(ct) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS sct, "
+            "sum(ct) OVER () AS n FROM r), "
+            "rq AS (SELECT q, min(CASE WHEN sct >= greatest(ceil(q * "
+            "n - q * n * 1e-12 - 1e-9), 1) THEN v END) AS val FROM "
+            "rc, qs GROUP BY q), "
+            "t AS (SELECT l_extendedprice AS v, count(*) AS ct FROM "
+            "lineitem WHERE l_returnflag = 'R' AND l_extendedprice "
+            "IS NOT NULL AND NOT isnan(l_extendedprice::DOUBLE) "
+            "GROUP BY 1), "
+            "tc AS (SELECT v, sum(ct) OVER (ORDER BY v ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS sct, "
+            "sum(ct) OVER () AS n FROM t), "
+            "tq AS (SELECT q, min(CASE WHEN sct >= greatest(ceil(q * "
+            "n - q * n * 1e-12 - 1e-9), 1) THEN v END) AS val FROM "
+            "tc, qs GROUP BY q) "
+            "SELECT rq.q, rq.val AS ref_q, tq.val AS target_q, "
+            "tq.val - rq.val AS diff FROM rq JOIN tq USING (q)"
         ),
     }

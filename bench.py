@@ -653,6 +653,22 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_weighted_pvalues_qq():
+        # quality-weighted sampling + BH correction + QQ drift view
+        from whylogs_spark.core.drift import adjust_pvalues, qq_table
+        from whylogs_spark.ops.sampling import weighted_sample
+        _noop(weighted_sample(t["documents"], 500, "n_chars",
+                              ["doc_id"]).select("doc_id"))
+        tests = t["lineitem"].groupBy(
+            F.concat_ws("/", "l_returnflag", "l_linestatus")
+            .alias("test_id")).agg(
+            F.round(F.avg("l_discount"), 6).alias("p"))
+        _noop(adjust_pvalues(tests, "p", "test_id"))
+        _noop(qq_table(
+            t["lineitem"].filter(F.col("l_returnflag") == "A"),
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            "l_extendedprice"))
+
     def bench_behavioral():
         # funnel + cohort retention + Markov transitions over events
         from whylogs_spark.ops.events import (funnel, retention_cohorts,
@@ -738,6 +754,7 @@ def main() -> None:
         "boilerplate_seasonal": bench_boilerplate_seasonal,
         "winsorize_hist2d_fd": bench_winsorize_hist2d_fd,
         "behavioral_events": bench_behavioral,
+        "weighted_pvalues_qq": bench_weighted_pvalues_qq,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -1479,6 +1479,43 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z5n. weighted sample: codegen key, top-k heap, no global sort
+    from whylogs_spark.ops.sampling import weighted_sample
+
+    ws = weighted_sample(docs, 50, "n_chars", ["doc_id"])
+    sections.append((
+        "weighted sample (Efraimidis-Spirakis)", ws,
+        {
+            "top-k via TakeOrderedAndProject (never a global sort)":
+                r"TakeOrderedAndProject",
+            "no exchange at all (per-partition heap + driver merge)":
+                r"^(?![\s\S]*\(\d+\) Exchange)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5o. QQ drift: two quantile walks -> broadcast cross join;
+    # no partition-less sort of the raw data
+    from whylogs_spark.core.drift import qq_table
+
+    qq = qq_table(li.filter(F.col("l_returnflag") == "A"),
+                  li.filter(F.col("l_returnflag") == "R"),
+                  "l_extendedprice", qs=[0.25, 0.5, 0.75])
+    sections.append((
+        "qq drift table (two exact quantile walks)", qq,
+        {
+            "returnflag filter pushed to the scans":
+                r"PushedFilters: [^\n]*EqualTo\(l_returnflag",
+            "1-row sides joined by broadcast":
+                r"BroadcastNestedLoopJoin",
+            "no partition-less data sort":
+                r"^(?![\s\S]*Sort \[l_extendedprice[^\n]*\], true)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

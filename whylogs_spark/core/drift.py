@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import math
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -880,3 +880,116 @@ def drift_by_segment(
     finally:
         t_df.unpersist()
         r_df.unpersist()
+
+
+def adjust_pvalues(
+    df: DataFrame,
+    p_col: str,
+    id_col: str,
+    method: str = "bh",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Multiple-testing correction over a DRIFT/TEST REPORT (one row
+    per test — e.g. the per-column p-values from
+    ``calculate_drift_scores``): running 400 column-level KS tests at
+    alpha=0.05 yields ~20 false alarms per batch; the corrected
+    p-values restore the intended error rate across the whole report.
+
+    Methods: ``bh`` (Benjamini–Hochberg FDR: adjusted_i = min over
+    p_j >= p_i of p_j * m / rank_j, clipped at 1, where rank is the
+    tie-inclusive count of p <= p_j) and ``bonferroni`` (p * m,
+    clipped). Returns the input columns plus ``p_adjusted`` and
+    ``reject`` (p_adjusted <= alpha). Null/NaN p-values pass through
+    with null adjustment and reject=false, and do NOT count toward m.
+
+    Input contract: a REPORT-sized frame (one row per test — columns,
+    segments, metrics), never raw data. The BH suffix-minimum is
+    computed with two self-joins over the report (O(m^2) pairs — the
+    declarative, engine-portable form; at report sizes the pairs fit
+    one task, and even 10^4 tests are ~10^8 cheap comparisons spread
+    across the cluster). ``id_col`` must uniquely key the rows.
+    """
+    if method not in ("bh", "bonferroni"):
+        raise ValueError(f"method must be bh|bonferroni: {method}")
+    p = F.col(p_col).cast("double")
+    ok = p.isNotNull() & ~F.isnan(p)
+    base = df.select(F.col(id_col).alias("__id"), p.alias("__p")) \
+        .filter(ok)
+    m_row = base.agg(F.count(F.lit(1)).alias("__m"))
+    if method == "bonferroni":
+        adj = F.least(F.col("__p") * F.col("__m"), F.lit(1.0))
+        scored = (base.crossJoin(F.broadcast(m_row))
+                  .select("__id", adj.alias("p_adjusted")))
+    else:
+        a = base.select(F.col("__id"), F.col("__p"))
+        b = base.select(F.col("__id").alias("__jd"),
+                        F.col("__p").alias("__pj"))
+        ranks = (
+            a.join(b, F.col("__pj") <= F.col("__p"))
+            .groupBy("__id", "__p")
+            .agg(F.count(F.lit(1)).alias("__rank"))
+        )
+        bh = (ranks.crossJoin(F.broadcast(m_row))
+              .select(F.col("__p").alias("__pj"),
+                      (F.col("__p") * F.col("__m") / F.col("__rank"))
+                      .alias("__bh")))
+        scored = (
+            a.join(bh, F.col("__pj") >= F.col("__p"))
+            .groupBy("__id")
+            .agg(F.least(F.min("__bh"), F.lit(1.0))
+                 .alias("p_adjusted"))
+        )
+    out = df.join(scored.withColumnRenamed("__id", id_col),
+                  on=id_col, how="left")
+    return out.withColumn(
+        "reject",
+        F.coalesce(F.col("p_adjusted") <= F.lit(float(alpha)),
+                   F.lit(False)))
+
+
+def qq_table(
+    ref: DataFrame,
+    target: DataFrame,
+    column: str,
+    qs: Sequence[float] = (0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9,
+                           0.95, 0.99),
+) -> DataFrame:
+    """Quantile–quantile drift table: the exact quantiles of a column
+    in two frames side by side — the inspection view behind a QQ plot
+    (the KS statistic says THAT the distributions differ; this shows
+    WHERE along the distribution).
+
+    Returns one row per probability: ``(q, ref_q, target_q, diff)``
+    with ``diff = target_q - ref_q`` (null when a side is empty).
+    Quantiles are ``exact_quantiles`` order statistics (lower
+    interpolation — actual data values, engine-reproducible).
+
+    Scale shape: each side is one two-phase distributed quantile walk
+    collapsing to a 1-row frame; the QQ table is a broadcast cross
+    join of the two 1-row frames plus a free explode. Nothing sorted
+    globally, nothing collected.
+    """
+    from whylogs_spark.core.summaries import exact_quantiles
+
+    qs = list(qs)
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+    r = exact_quantiles(ref, column, qs).select(
+        *[F.col(n).alias(f"__r_{i}") for i, n in enumerate(names)])
+    t = exact_quantiles(target, column, qs).select(
+        *[F.col(n).alias(f"__t_{i}") for i, n in enumerate(names)])
+    row = r.crossJoin(F.broadcast(t))
+    structs = [
+        F.struct(
+            F.lit(float(q)).alias("q"),
+            F.col(f"__r_{i}").alias("ref_q"),
+            F.col(f"__t_{i}").alias("target_q"),
+        )
+        for i, q in enumerate(qs)
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.q", "p.ref_q", "p.target_q",
+                (F.col("p.target_q") - F.col("p.ref_q")).alias("diff"))
+    )

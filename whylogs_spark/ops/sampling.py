@@ -503,3 +503,45 @@ def balance_classes(
     return (ranked.crossJoin(F.broadcast(tgt))
             .filter(F.col("__rk") <= F.col("__target"))
             .select(*[F.col(c) for c in df.columns]))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``k`` rows where each
+    row's inclusion probability is proportional to its weight (the
+    Efraimidis–Spirakis A-ES scheme: draw u ~ U(0,1] per row, keep the
+    top-k by ``u^(1/w)`` — computed as ``ln(u)/w`` for stability).
+    The curation workhorse: sample training documents proportional to
+    a quality score instead of uniformly.
+
+    Deterministic: u derives from the md5 hash prefix of ``key_cols``
+    (+ ``salt``), so the same corpus yields the same sample in every
+    run and any engine (the DuckDB oracle recomputes it verbatim);
+    change ``salt`` to redraw. Rows with null/NaN/non-positive weight
+    are excluded (a zero-weight row can never win).
+
+    Scale shape: the sample key is a pure codegen projection; top-k is
+    ``orderBy().limit(k)`` — TakeOrderedAndProject, a per-partition
+    heap + driver merge of k rows, never a global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = F.col(weight_col).cast("double")
+    # u in (0, 1]: +1 lifts the integer hash off zero so ln(u) is finite
+    u = ((F.conv(_hash_prefix(key_cols, salt), 16, 10)
+          .cast("double") + F.lit(1.0)) / F.lit(float(_HEX_SPACE)))
+    key = F.log(u) / w
+    ok = w.isNotNull() & ~F.isnan(w) & (w > 0)
+    return (
+        df.filter(ok)
+        .withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"),
+                 *[F.col(c) for c in key_cols])
+        .limit(k)
+        .drop("__es_key")
+    )
