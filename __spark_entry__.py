@@ -2334,6 +2334,57 @@ def _q_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     qs=[0.1, 0.25, 0.5, 0.75, 0.9])
 
 
+def _q_frequency_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency encoding (ops/encode.py): one bounded code-table
+    aggregation, broadcast null-safe join back — a hot category is
+    one table row, the join cannot skew."""
+    from whylogs_spark.ops.encode import frequency_encode
+
+    od = _t(spark, sf_dir, "orders")
+    out = frequency_encode(od, "o_orderpriority")
+    return out.select("o_orderkey", "o_orderpriority",
+                      F.round("o_orderpriority_freq", 6).alias("freq"))
+
+
+def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate target encoding (ops/encode.py target_encode):
+    category label-means shrunk toward the global mean by m=20
+    pseudo-observations; rounded to 2dp (values ~1.5e5, cross-engine
+    float-sum dispersion ~1e-4)."""
+    from whylogs_spark.ops.encode import target_encode
+
+    od = _t(spark, sf_dir, "orders")
+    out = target_encode(od, "o_orderstatus", "o_totalprice",
+                        smoothing=20.0)
+    return out.select("o_orderkey", "o_orderstatus",
+                      F.round("o_orderstatus_te", 2).alias("te"))
+
+
+def _q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score scaling (core/summaries.py standardize): ONE agg for
+    all columns' stats, broadcast back, shuffle-free projection."""
+    from whylogs_spark.core.summaries import standardize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = standardize(li, ["l_quantity", "l_discount"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_quantity_scaled", 6).alias("q_scaled"),
+        F.round("l_discount_scaled", 6).alias("d_scaled"))
+
+
+def _q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew pre-flight (ops/layout.py join_skew_report): both
+    sides collapse to key counts map-side, bounded full-outer join,
+    top-k fanout via TakeOrderedAndProject."""
+    from whylogs_spark.ops.layout import join_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    return join_skew_report(li, od, ["l_orderkey"], ["o_orderkey"],
+                            top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2507,6 +2558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": _q_weighted_sample,
         "adjust_pvalues_lineitem": _q_adjust_pvalues,
         "qq_drift_lineitem": _q_qq_drift,
+        "frequency_encode_orders": _q_frequency_encode,
+        "target_encode_orders": _q_target_encode,
+        "standardize_lineitem": _q_standardize,
+        "join_skew_lineitem": _q_join_skew,
     }
 
 
@@ -4776,5 +4831,49 @@ def oracle_sql() -> dict[str, str]:
             "tc, qs GROUP BY q) "
             "SELECT rq.q, rq.val AS ref_q, tq.val AS target_q, "
             "tq.val - rq.val AS diff FROM rq JOIN tq USING (q)"
+        ),
+        "frequency_encode_orders": (
+            "WITH c AS (SELECT o_orderpriority AS v, count(*)::DOUBLE "
+            "AS cnt FROM orders GROUP BY 1), "
+            "t AS (SELECT sum(cnt) AS tot FROM c) "
+            "SELECT o.o_orderkey, o.o_orderpriority, "
+            "round(c.cnt / t.tot, 6) AS freq FROM orders o "
+            "JOIN c ON o.o_orderpriority IS NOT DISTINCT FROM c.v "
+            "CROSS JOIN t"
+        ),
+        "target_encode_orders": (
+            "WITH per AS (SELECT o_orderstatus AS v, "
+            "sum(o_totalprice) AS s, count(o_totalprice)::DOUBLE AS n "
+            "FROM orders GROUP BY 1), "
+            "g AS (SELECT sum(s) / sum(n) AS gm FROM per) "
+            "SELECT o.o_orderkey, o.o_orderstatus, "
+            "round((coalesce(p.s, 0) + 20.0 * g.gm) / (p.n + 20.0), "
+            "2) AS te FROM orders o "
+            "JOIN per p ON o.o_orderstatus IS NOT DISTINCT FROM p.v "
+            "CROSS JOIN g"
+        ),
+        "standardize_lineitem": (
+            "WITH s AS (SELECT avg(l_quantity) AS mq, "
+            "stddev_samp(l_quantity) AS sq, avg(l_discount) AS md, "
+            "stddev_samp(l_discount) AS sd FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN sq > 0 THEN round((l_quantity - mq) / sq, 6) "
+            "END AS q_scaled, "
+            "CASE WHEN sd > 0 THEN round((l_discount - md) / sd, 6) "
+            "END AS d_scaled FROM lineitem, s"
+        ),
+        "join_skew_lineitem": (
+            "WITH lc AS (SELECT l_orderkey AS k, count(*)::BIGINT AS "
+            "lr FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY "
+            "1), rc AS (SELECT o_orderkey AS k, count(*)::BIGINT AS "
+            "rr FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1), "
+            "j AS (SELECT coalesce(lc.k, rc.k) AS l_orderkey, "
+            "coalesce(lr, 0)::BIGINT AS left_rows, "
+            "coalesce(rr, 0)::BIGINT AS right_rows "
+            "FROM lc FULL JOIN rc ON lc.k = rc.k) "
+            "SELECT l_orderkey, left_rows, right_rows, "
+            "(left_rows * right_rows)::BIGINT AS fanout FROM j "
+            "ORDER BY fanout DESC, left_rows DESC, right_rows DESC, "
+            "l_orderkey LIMIT 20"
         ),
     }

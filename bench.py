@@ -653,6 +653,23 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_encode_scale_skew():
+        # categorical encoders + feature scaling + join pre-flight
+        from whylogs_spark.core.summaries import standardize
+        from whylogs_spark.ops.encode import (frequency_encode,
+                                              target_encode)
+        from whylogs_spark.ops.layout import join_skew_report
+        _noop(frequency_encode(t["orders"], "o_orderpriority")
+              .select("o_orderkey", "o_orderpriority_freq"))
+        _noop(target_encode(t["orders"], "o_orderstatus",
+                            "o_totalprice")
+              .select("o_orderkey", "o_orderstatus_te"))
+        _noop(standardize(t["lineitem"],
+                          ["l_quantity", "l_discount", "l_tax"])
+              .select("l_orderkey", "l_quantity_scaled"))
+        _noop(join_skew_report(t["lineitem"], t["orders"],
+                               ["l_orderkey"], ["o_orderkey"]))
+
     def bench_weighted_pvalues_qq():
         # quality-weighted sampling + BH correction + QQ drift view
         from whylogs_spark.core.drift import adjust_pvalues, qq_table
@@ -755,6 +772,7 @@ def main() -> None:
         "winsorize_hist2d_fd": bench_winsorize_hist2d_fd,
         "behavioral_events": bench_behavioral,
         "weighted_pvalues_qq": bench_weighted_pvalues_qq,
+        "encode_scale_skew": bench_encode_scale_skew,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -1516,6 +1516,61 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z5p. categorical encoders: bounded code table broadcast back
+    from whylogs_spark.ops.encode import target_encode
+
+    te = target_encode(load_table(spark, SF_DIR, "orders"),
+                       "o_orderstatus", "o_totalprice")
+    sections.append((
+        "target encoding (m-estimate)", te,
+        {
+            "code table partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "code table joined back by broadcast":
+                r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+            "no window operator":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5q. standardize: one stats agg broadcast, shuffle-free scaling
+    from whylogs_spark.core.summaries import standardize
+
+    st = standardize(li, ["l_quantity", "l_discount"])
+    sections.append((
+        "standardize (z-score, all columns one agg)", st,
+        {
+            "stats partial-agg before the exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "stats row joined by broadcast":
+                r"BroadcastNestedLoopJoin",
+            "no data sort":
+                r"^(?![\s\S]*Sort \[l_quantity)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5r. join skew report: counts collapse map-side BEFORE the
+    # key join; never joins the raw frames
+    from whylogs_spark.ops.layout import join_skew_report
+
+    js = join_skew_report(li, load_table(spark, SF_DIR, "orders"),
+                          ["l_orderkey"], ["o_orderkey"])
+    sections.append((
+        "join skew report (pre-flight fanout)", js,
+        {
+            "both sides partial-agg to key counts before any join":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "top-k via TakeOrderedAndProject":
+                r"TakeOrderedAndProject",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

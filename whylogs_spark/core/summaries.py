@@ -542,3 +542,72 @@ def histogram2d(
         )
         .orderBy("bin_x", "bin_y")
     )
+
+
+def standardize(
+    df: DataFrame,
+    columns: List[str],
+    method: str = "zscore",
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """Feature scaling: add ``<col><suffix>`` per column.
+
+    Methods: ``zscore`` ((x - mean) / stddev_samp; null when the
+    column is constant), ``minmax`` ((x - min) / (max - min); null
+    when constant), ``robust`` ((x - median) / IQR with IQR =
+    q75 - q25 as exact order statistics; null when IQR is 0).
+    Null/NaN inputs scale to null; statistics ignore NaN like NULL.
+
+    Plan shape: ONE aggregation computes every column's statistics
+    (partial-agged map-side, one combined row per task — robust uses
+    the two-phase exact-quantile walk per column instead); the 1-row
+    stats frame broadcasts back and scaling is a shuffle-free codegen
+    projection. Two passes over the input total, independent of the
+    column count.
+    """
+    columns = list(columns)
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if len(set(columns)) != len(columns):
+        raise ValueError("duplicate columns")
+    if method not in ("zscore", "minmax", "robust"):
+        raise ValueError(
+            f"method must be zscore|minmax|robust: {method}")
+
+    def clean(c):
+        x = F.col(c).cast("double")
+        return F.when(~F.isnan(x), x)
+
+    if method == "robust":
+        stats = None
+        for c in columns:
+            q = exact_quantiles(df, c, [0.25, 0.5, 0.75]).select(
+                F.col("q_0_25").alias(f"__lo_{c}"),
+                F.col("q_0_5").alias(f"__mid_{c}"),
+                F.col("q_0_75").alias(f"__hi_{c}"))
+            stats = q if stats is None else stats.crossJoin(q)
+    else:
+        aggs = []
+        for c in columns:
+            x = clean(c)
+            if method == "zscore":
+                aggs += [F.avg(x).alias(f"__mid_{c}"),
+                         F.stddev_samp(x).alias(f"__sc_{c}")]
+            else:
+                aggs += [F.min(x).alias(f"__mid_{c}"),
+                         F.max(x).alias(f"__hi_{c}")]
+        stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in columns:
+        x = clean(c)
+        if method == "zscore":
+            scale = F.col(f"__sc_{c}")
+        elif method == "minmax":
+            scale = F.col(f"__hi_{c}") - F.col(f"__mid_{c}")
+        else:
+            scale = F.col(f"__hi_{c}") - F.col(f"__lo_{c}")
+        scaled = F.when(scale > 0,
+                        (x - F.col(f"__mid_{c}")) / scale)
+        out = out.withColumn(f"{c}{suffix}", scaled)
+    drop = [n for n in out.columns if n.startswith("__")]
+    return out.drop(*drop)

@@ -267,3 +267,55 @@ def skew_report(
         (F.col("n") / F.col("__rows") * F.col("__keys")).alias("skew"),
         F.col("__rows").alias("total_rows"),
         F.col("__keys").alias("n_keys"))
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys,
+    right_keys=None,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pre-flight skew diagnosis for an equi-join: the ``top_k``
+    heaviest join keys by estimated OUTPUT fanout (left count x right
+    count per key) — the rows that decide whether a 100 TB join
+    finishes or one task receives a billion-row key. Run it BEFORE the
+    join; the answer tells you whether to broadcast, salt, or filter.
+
+    Returns ``(key columns…, left_rows, right_rows, fanout)`` ordered
+    by fanout descending — keys missing from one side report 0 there
+    and fanout 0 (they produce no inner-join output but still show
+    one-sided hot spots). NULL keys are excluded (inner equi-joins
+    drop them anyway).
+
+    Scale shape: each side collapses to (key -> count) with map-side
+    partial aggregation — the hot key this tool exists to find costs
+    one row per task, not a shuffle of its rows; the two bounded count
+    tables full-outer join on the key; top-k rides
+    TakeOrderedAndProject. Never joins the raw frames.
+    """
+    left_keys = list(left_keys)
+    right_keys = list(right_keys or left_keys)
+    if len(left_keys) != len(right_keys):
+        raise ValueError(
+            f"key arity mismatch: {left_keys} vs {right_keys}")
+    lc = (left.dropna(how="any", subset=left_keys)
+          .groupBy(*left_keys)
+          .agg(F.count(F.lit(1)).alias("left_rows")))
+    rc = (right.dropna(how="any", subset=right_keys)
+          .select(*[F.col(r).alias(l) for l, r in
+                    zip(left_keys, right_keys)])
+          .groupBy(*left_keys)
+          .agg(F.count(F.lit(1)).alias("right_rows")))
+    j = lc.join(rc, on=left_keys, how="full")
+    l_rows = F.coalesce(F.col("left_rows"), F.lit(0))
+    r_rows = F.coalesce(F.col("right_rows"), F.lit(0))
+    return (
+        j.select(*left_keys,
+                 l_rows.alias("left_rows"),
+                 r_rows.alias("right_rows"),
+                 (l_rows * r_rows).alias("fanout"))
+        .orderBy(F.desc("fanout"), F.desc("left_rows"),
+                 F.desc("right_rows"), *left_keys)
+        .limit(top_k)
+    )
