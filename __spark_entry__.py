@@ -2385,6 +2385,50 @@ def _q_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                             top_k=20)
 
 
+def _q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival (ops/survival.py km_survival) over
+    per-user event-span durations (event = the user ever purchased):
+    distinct-duration collapse + two range-partitioned prefix passes —
+    no single-partition window."""
+    from whylogs_spark.ops.survival import km_survival
+
+    ev = _t(spark, sf_dir, "events")
+    per = (ev.filter(F.col("user_id").isNotNull()
+                     & F.col("ts").isNotNull())
+           .groupBy("user_id")
+           .agg((F.expr("timestampdiff(MICROSECOND, min(ts), "
+                        "max(ts))") / F.lit(1e6)).alias("dur"),
+                F.max((F.col("event_type") == "purchase").cast("int"))
+                .alias("ev")))
+    out = km_survival(per, "dur", "ev")
+    return out.select("t", "n_risk", "n_events", "n_censored",
+                      F.round("survival", 6).alias("survival"),
+                      F.round("se", 6).alias("se"))
+
+
+def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration (core/summaries.py gini_coefficient):
+    tie-folded rank identity over the distributed prefix sum."""
+    from whylogs_spark.core.summaries import gini_coefficient
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = gini_coefficient(li, "l_extendedprice")
+    return out.select("n", F.round("mean", 2).alias("mean"),
+                      F.round("gini", 6).alias("gini"))
+
+
+def _q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve (core/summaries.py lorenz_curve): exact cumulative
+    shares on a 10-bucket grid, same prefix-sum plan."""
+    from whylogs_spark.core.summaries import lorenz_curve
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = lorenz_curve(li, "l_extendedprice", n_points=10)
+    return out.select("bucket",
+                      F.round("pop_share", 6).alias("pop_share"),
+                      F.round("value_share", 6).alias("value_share"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2562,6 +2606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_orders": _q_target_encode,
         "standardize_lineitem": _q_standardize,
         "join_skew_lineitem": _q_join_skew,
+        "km_survival_events": _q_km_survival,
+        "gini_lineitem": _q_gini,
+        "lorenz_lineitem": _q_lorenz,
     }
 
 
@@ -4875,5 +4922,70 @@ def oracle_sql() -> dict[str, str]:
             "(left_rows * right_rows)::BIGINT AS fanout FROM j "
             "ORDER BY fanout DESC, left_rows DESC, right_rows DESC, "
             "l_orderkey LIMIT 20"
+        ),
+        "km_survival_events": (
+            "WITH per AS (SELECT user_id, "
+            "date_diff('microsecond', min(ts), max(ts)) / 1000000.0 "
+            "AS dur, max(CASE WHEN event_type "
+            "= 'purchase' THEN 1 ELSE 0 END) AS ev FROM events WHERE "
+            "user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1), "
+            "g AS (SELECT dur AS t, sum(ev)::BIGINT AS n_events, "
+            "sum(1 - ev)::BIGINT AS n_censored, count(*)::BIGINT AS "
+            "tot FROM per GROUP BY 1), "
+            "c AS (SELECT *, sum(tot) OVER (ORDER BY t ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "sum(tot) OVER () AS nn FROM g), "
+            "r AS (SELECT t, n_events, n_censored, "
+            "(nn - cum + tot)::BIGINT AS n_risk FROM c), "
+            "k AS (SELECT *, "
+            "sum(CASE WHEN n_events < n_risk THEN ln(1 - "
+            "n_events::DOUBLE / n_risk) ELSE 0 END) OVER w AS lns, "
+            "sum(CASE WHEN n_events > 0 AND n_events < n_risk THEN "
+            "n_events::DOUBLE / (n_risk::DOUBLE * (n_risk - "
+            "n_events)) ELSE 0 END) OVER w AS gwc, "
+            "sum(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END) "
+            "OVER w AS deadc FROM r WINDOW w AS (ORDER BY t ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT t, n_risk, n_events, n_censored, "
+            "round(CASE WHEN deadc > 0 THEN 0.0 ELSE exp(lns) END, 6) "
+            "AS survival, "
+            "round(CASE WHEN deadc > 0 THEN NULL ELSE exp(lns) * "
+            "sqrt(gwc) END, 6) AS se FROM k"
+        ),
+        "gini_lineitem": (
+            "WITH g AS (SELECT l_extendedprice::DOUBLE AS v, "
+            "count(*)::BIGINT AS c FROM lineitem WHERE "
+            "l_extendedprice IS NOT NULL AND NOT "
+            "isnan(l_extendedprice::DOUBLE) GROUP BY 1), "
+            "c1 AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "sum(c) OVER () AS n FROM g), "
+            "a AS (SELECT max(n) AS n, sum(v * c) AS total, "
+            "sum(v * (c::DOUBLE * (cum - c) + c::DOUBLE * (c + 1) / "
+            "2)) AS t, min(v) AS mn FROM c1) "
+            "SELECT n::BIGINT AS n, round(total / n, 2) AS mean, "
+            "round(CASE WHEN n > 0 AND total > 0 AND mn >= 0 THEN "
+            "2 * t / (n * total) - (n + 1)::DOUBLE / n END, 6) AS "
+            "gini FROM a"
+        ),
+        "lorenz_lineitem": (
+            "WITH g AS (SELECT l_extendedprice::DOUBLE AS v, "
+            "count(*)::BIGINT AS c FROM lineitem WHERE "
+            "l_extendedprice IS NOT NULL AND NOT "
+            "isnan(l_extendedprice::DOUBLE) GROUP BY 1), "
+            "c1 AS (SELECT v, c, v * c::DOUBLE AS w, "
+            "sum(c) OVER o AS cum, sum(v * c::DOUBLE) OVER o AS cw, "
+            "sum(c) OVER () AS n, sum(v * c::DOUBLE) OVER () AS tw "
+            "FROM g WINDOW o AS (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)), "
+            "pts AS (SELECT ceil(cum::DOUBLE / n * 10)::INT AS "
+            "bucket, cum::DOUBLE / n AS pop_share, cw / tw AS "
+            "value_share FROM c1), "
+            "b AS (SELECT bucket, max(pop_share) AS pop_share FROM "
+            "pts GROUP BY 1) "
+            "SELECT b.bucket, round(b.pop_share, 6) AS pop_share, "
+            "round(max(p.value_share), 6) AS value_share "
+            "FROM b JOIN pts p ON b.bucket = p.bucket AND "
+            "b.pop_share = p.pop_share GROUP BY 1, 2 ORDER BY 1"
         ),
     }

@@ -653,6 +653,21 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_survival_gini():
+        # KM survival over user lifetimes + Gini/Lorenz concentration
+        from whylogs_spark.core.summaries import (gini_coefficient,
+                                                  lorenz_curve)
+        from whylogs_spark.ops.survival import km_survival
+        per = (t["events"].groupBy("user_id")
+               .agg((F.unix_timestamp(F.max("ts"))
+                     - F.unix_timestamp(F.min("ts"))).cast("double")
+                    .alias("dur"),
+                    F.max((F.col("event_type") == "purchase")
+                          .cast("int")).alias("ev")))
+        _noop(km_survival(per, "dur", "ev"))
+        _noop(gini_coefficient(t["lineitem"], "l_extendedprice"))
+        _noop(lorenz_curve(t["lineitem"], "l_extendedprice", 100))
+
     def bench_encode_scale_skew():
         # categorical encoders + feature scaling + join pre-flight
         from whylogs_spark.core.summaries import standardize
@@ -773,6 +788,7 @@ def main() -> None:
         "behavioral_events": bench_behavioral,
         "weighted_pvalues_qq": bench_weighted_pvalues_qq,
         "encode_scale_skew": bench_encode_scale_skew,
+        "survival_gini": bench_survival_gini,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -1571,6 +1571,51 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z5s. Kaplan-Meier: both ordered walks ride the range-
+    # partitioned prefix machinery — no single-partition data window
+    from whylogs_spark.ops.survival import km_survival
+
+    per_u = (ev.groupBy("user_id")
+             .agg((F.unix_timestamp(F.max("ts"))
+                   - F.unix_timestamp(F.min("ts"))).cast("double")
+                  .alias("dur"),
+                  F.max((F.col("event_type") == "purchase")
+                        .cast("int")).alias("evf")))
+    km = km_survival(per_u, "dur", "evf")
+    sections.append((
+        "kaplan-meier survival (two prefix passes)", km,
+        {
+            "distinct-duration collapse partial-aggs first":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "range partitioning drives the ordered walks":
+                r"rangepartitioning\(",
+            "slice offsets joined by broadcast":
+                r"BroadcastHashJoin",
+            "windows are slice-local (partitioned by __slice)":
+                r"windowspecdefinition\(__slice#",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5t. Gini: tie-folded rank identity over the same prefix plan
+    from whylogs_spark.core.summaries import gini_coefficient
+
+    gi = gini_coefficient(li, "l_extendedprice")
+    sections.append((
+        "gini coefficient (distributed rank identity)", gi,
+        {
+            "value collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "range partitioning drives the ordered walk":
+                r"rangepartitioning\(",
+            "no partition-less data sort":
+                r"^(?![\s\S]*Sort \[l_extendedprice[^\n]*\], true)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
