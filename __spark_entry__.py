@@ -2429,6 +2429,37 @@ def _q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("value_share", 6).alias("value_share"))
 
 
+def _q_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column de-identification (ops/integrity.py anonymize): md5
+    pseudonyms, numeric bucketing, prefix generalization — all
+    deterministic zero-shuffle projections (the fix for what
+    k_anonymity_report measures)."""
+    from whylogs_spark.ops.integrity import anonymize
+
+    cu = _t(spark, sf_dir, "customer")
+    out = anonymize(cu, {
+        "c_name": ("hash", "release1"),
+        "c_acctbal": ("bucket", 1000),
+        "c_mktsegment": ("prefix", 3),
+    })
+    return out.select("c_custkey", "c_name", "c_acctbal",
+                      "c_mktsegment")
+
+
+def _q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (ops/events.py ohlc_resample): one partial-
+    aggregated pass — open/close are min/max of (ts, event_id, value)
+    structs, deterministic under timestamp ties."""
+    from whylogs_spark.ops.events import ohlc_resample
+
+    ev = _t(spark, sf_dir, "events")
+    out = ohlc_resample(ev, tiebreak_cols=["event_id"], grain="hour")
+    return out.select(
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        "open", "high", "low", "close", "n",
+        F.round("mean", 6).alias("mean"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2609,6 +2640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival_events": _q_km_survival,
         "gini_lineitem": _q_gini,
         "lorenz_lineitem": _q_lorenz,
+        "anonymize_customer": _q_anonymize,
+        "ohlc_events": _q_ohlc,
     }
 
 
@@ -4987,5 +5020,33 @@ def oracle_sql() -> dict[str, str]:
             "round(max(p.value_share), 6) AS value_share "
             "FROM b JOIN pts p ON b.bucket = p.bucket AND "
             "b.pop_share = p.pop_share GROUP BY 1, 2 ORDER BY 1"
+        ),
+        "anonymize_customer": (
+            "SELECT c_custkey, "
+            "CASE WHEN c_name IS NOT NULL THEN "
+            "md5(c_name || '|release1') END AS c_name, "
+            "floor(c_acctbal / 1000.0) * 1000.0 AS c_acctbal, "
+            "CASE WHEN c_mktsegment IS NOT NULL THEN "
+            "substr(c_mktsegment, 1, 3) END AS c_mktsegment "
+            "FROM customer"
+        ),
+        "ohlc_events": (
+            "WITH src AS (SELECT event_id, ts, value::DOUBLE AS v, "
+            "floor(epoch(ts) / 3600)::BIGINT AS idx FROM events "
+            "WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT "
+            "isnan(value::DOUBLE)), "
+            "o AS (SELECT idx, v, "
+            "row_number() OVER (PARTITION BY idx ORDER BY ts, "
+            "event_id) AS rn1, "
+            "row_number() OVER (PARTITION BY idx ORDER BY ts DESC, "
+            "event_id DESC) AS rn2 FROM src), "
+            "a AS (SELECT idx, max(v) AS high, min(v) AS low, "
+            "count(*)::BIGINT AS n, avg(v) AS mean FROM src "
+            "GROUP BY 1) "
+            "SELECT (a.idx * 3600)::BIGINT AS bucket_epoch, "
+            "op.v AS open, a.high, a.low, cl.v AS close, a.n, "
+            "round(a.mean, 6) AS mean FROM a "
+            "JOIN o op ON op.idx = a.idx AND op.rn1 = 1 "
+            "JOIN o cl ON cl.idx = a.idx AND cl.rn2 = 1"
         ),
     }

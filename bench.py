@@ -653,6 +653,16 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_anonymize_ohlc():
+        # de-identification sweep + OHLC candles over events
+        from whylogs_spark.ops.events import ohlc_resample
+        from whylogs_spark.ops.integrity import anonymize
+        _noop(anonymize(t["customer"], {
+            "c_name": ("hash", "r"), "c_acctbal": ("bucket", 1000),
+            "c_mktsegment": ("prefix", 3)}))
+        _noop(ohlc_resample(t["events"], tiebreak_cols=["event_id"],
+                            grain="hour"))
+
     def bench_survival_gini():
         # KM survival over user lifetimes + Gini/Lorenz concentration
         from whylogs_spark.core.summaries import (gini_coefficient,
@@ -789,6 +799,7 @@ def main() -> None:
         "weighted_pvalues_qq": bench_weighted_pvalues_qq,
         "encode_scale_skew": bench_encode_scale_skew,
         "survival_gini": bench_survival_gini,
+        "anonymize_ohlc": bench_anonymize_ohlc,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -1616,6 +1616,43 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z5u. anonymize: pure zero-shuffle projection
+    from whylogs_spark.ops.integrity import anonymize
+
+    an = anonymize(load_table(spark, SF_DIR, "customer"),
+                   {"c_name": "hash", "c_acctbal": ("bucket", 1000)})
+    sections.append((
+        "anonymize (de-identification projection)", an,
+        {
+            "zero shuffle (projection over the scan)":
+                r"^(?![\s\S]*\(\d+\) Exchange)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5v. OHLC: ONE partial-aggregated pass, struct-min open/close
+    from whylogs_spark.ops.events import ohlc_resample
+
+    oh = ohlc_resample(ev, tiebreak_cols=["event_id"], grain="hour")
+    sections.append((
+        "ohlc resample (single agg, struct extremes)", oh,
+        {
+            # struct min/max fall back to sort-based aggregation —
+            # still partial -> exchange -> final, and the sorts are
+            # PARTITION-LOCAL (by group key), never a global sort
+            "partial aggregation before the exchange "
+            "(sort-based, struct extremes)":
+                r"(Hash|Sort)Aggregate[\s\S]*Exchange"
+                r"[\s\S]*(Hash|Sort)Aggregate",
+            "no window, no GLOBAL sort":
+                r"^(?![\s\S]*(\(\d+\) Window|Arguments: \[[^\n]*\], "
+                r"true, 0))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

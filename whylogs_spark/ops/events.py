@@ -533,3 +533,64 @@ def transition_matrix(
         (F.col("n_transitions").cast("double") / row_tot)
         .alias("probability"),
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols=(),
+    grain: str = "hour",
+    tiebreak_cols=(),
+) -> DataFrame:
+    """OHLC resampling: per (key, bucket) the Opening value (at the
+    earliest event), High, Low, Close (at the latest event), count and
+    mean — the candlestick view of any metric stream, and the compact
+    input for change detection over noisy series.
+
+    Buckets are epoch-anchored (``floor(epoch / grain)`` — the
+    :func:`seasonal_decompose` convention). Open/Close are selected by
+    (ts, tiebreak_cols…, value) struct ordering, so exact-timestamp
+    ties resolve deterministically (pass an event-id column in
+    ``tiebreak_cols`` to make the tiebreak explicit). Null timestamps
+    and null/NaN values are excluded.
+
+    Scale shape: ONE partial-aggregated pass — min/max of (ts, …,
+    value) structs are commutative aggregates, so each map task
+    collapses its slice of a bucket first. Struct extremes make Spark
+    pick SORT-based aggregation (structs aren't hash-aggregable); the
+    sorts are partition-local by group key, never global — asserted in
+    the plan audit. No window, no second pass.
+    """
+    if grain not in _GRAIN_SECONDS:
+        raise ValueError(
+            f"grain must be one of {sorted(_GRAIN_SECONDS)}: {grain}")
+    key_cols = list(key_cols)
+    tiebreak_cols = list(tiebreak_cols)
+    gsec = _GRAIN_SECONDS[grain]
+    v = F.col(value_col).cast("double")
+    src = df.filter(F.col(ts_col).isNotNull() & v.isNotNull()
+                    & ~F.isnan(v))
+    idx = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(gsec)) \
+        .cast("long")
+    pick = F.struct(F.col(ts_col).alias("t"),
+                    *[F.col(c).alias(f"k{i}")
+                      for i, c in enumerate(tiebreak_cols)],
+                    v.alias("v"))
+    agg = src.groupBy(*key_cols, idx.alias("__idx")).agg(
+        F.min(pick).alias("__first"),
+        F.max(pick).alias("__last"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("mean"),
+    )
+    return agg.select(
+        *key_cols,
+        F.timestamp_seconds(F.col("__idx") * F.lit(gsec))
+        .alias("bucket"),
+        F.col("__first.v").alias("open"),
+        "high", "low",
+        F.col("__last.v").alias("close"),
+        "n", "mean",
+    )

@@ -46,6 +46,9 @@ __all__ = [
     "benford_test",
     "snapshot_diff",
     "snapshot_diff_summary",
+    "functional_dependency_report",
+    "fd_violation_examples",
+    "anonymize",
 ]
 
 
@@ -498,3 +501,62 @@ def fd_violation_examples(
             .orderBy(F.desc("n_variants"), F.desc("n_rows"),
                      *determinant_cols)
             .limit(k))
+
+
+def anonymize(df: DataFrame, spec: dict) -> DataFrame:
+    """Column-level de-identification — the FIX for what
+    :func:`k_anonymity_report` measures. ``spec`` maps column ->
+    strategy:
+
+    * ``"hash"`` / ``("hash", salt)`` — md5 hex pseudonym (same input
+      -> same token, so joins on the column keep working; salt rotates
+      the pseudonym space between releases)
+    * ``("bucket", width)`` — numeric generalization to
+      ``floor(x / width) * width``
+    * ``("prefix", n)`` — keep the first n characters (ZIP3-style)
+    * ``("fixed", value)`` — replace every non-null with a constant
+    * ``"drop"`` — remove the column
+
+    NULLs stay NULL under every strategy (a null has no identity to
+    protect, and preserving it keeps null-rate profiles comparable).
+    Every strategy is a deterministic zero-shuffle codegen projection
+    — re-runs and other engines produce identical output. Re-check
+    the result with :func:`k_anonymity_report`.
+    """
+    out = df
+    for col, how in spec.items():
+        if col not in out.columns:
+            raise ValueError(f"column not found: {col!r}")
+        if how == "drop":
+            out = out.drop(col)
+            continue
+        c = F.col(col)
+        if how == "hash" or (isinstance(how, (tuple, list))
+                             and how[0] == "hash"):
+            salt = how[1] if isinstance(how, (tuple, list)) \
+                and len(how) > 1 else ""
+            s = c.cast("string")
+            if salt:
+                s = F.concat(s, F.lit("|"), F.lit(str(salt)))
+            repl = F.when(c.isNotNull(), F.md5(s))
+        elif isinstance(how, (tuple, list)) and how[0] == "bucket":
+            width = float(how[1])
+            if width <= 0:
+                raise ValueError(f"bucket width must be > 0: {width}")
+            repl = (F.floor(c.cast("double") / F.lit(width))
+                    * F.lit(width))
+        elif isinstance(how, (tuple, list)) and how[0] == "prefix":
+            n = int(how[1])
+            if n < 1:
+                raise ValueError(f"prefix length must be >= 1: {n}")
+            repl = F.when(c.isNotNull(),
+                          F.substring(c.cast("string"), 1, n))
+        elif isinstance(how, (tuple, list)) and how[0] == "fixed":
+            repl = F.when(c.isNotNull(), F.lit(how[1]))
+        else:
+            raise ValueError(
+                f"unknown strategy for {col!r}: {how!r} (use hash, "
+                "(hash, salt), (bucket, w), (prefix, n), (fixed, v), "
+                "drop)")
+        out = out.withColumn(col, repl)
+    return out

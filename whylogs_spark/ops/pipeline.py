@@ -133,6 +133,25 @@ def _step_line_dedup(df, p):
     return df.drop(tcol).join(ld, idc)
 
 
+def _step_remove_boilerplate(df, p):
+    from .dedup import remove_boilerplate
+
+    # same rejoin shape as line_dedup: the op returns only (id,
+    # n_lines, n_kept, text), so the rebuilt text joins back over the
+    # unique id and every other column rides through
+    tcol = p.get("text_col", "text")
+    idc = p.get("id_col", "doc_id")
+    rb = remove_boilerplate(
+        df.select(idc, tcol), text_col=tcol, id_col=idc,
+        min_docs=p.get("min_docs", 2),
+        min_df_ratio=p.get("min_df_ratio", 0.05),
+        delim=p.get("delim", "\n"),
+    ).select(idc, F.col("text").alias(tcol),
+             F.col("n_lines").alias("bp_n_lines"),
+             F.col("n_kept").alias("bp_n_kept"))
+    return df.drop(tcol).join(rb, idc)
+
+
 def _step_exact_dedup(df, p):
     from .dedup import exact_dedup
 
@@ -186,6 +205,7 @@ _STEPS: Dict[str, Callable] = {
     "language": _step_language,
     "pii_redact": _step_pii_redact,
     "line_dedup": _step_line_dedup,
+    "remove_boilerplate": _step_remove_boilerplate,
     "exact_dedup": _step_exact_dedup,
     "minhash_dedup": _step_minhash_dedup,
     "decontaminate": _step_decontaminate,
