@@ -42,6 +42,12 @@ def test_anonymize_salt_fixed_and_validation(spark):
     assert a == hashlib.md5(b"k|s1").hexdigest()
     fx = anonymize(df, {"v": ("fixed", "REDACTED")}).collect()[0].v
     assert fx == "REDACTED"
+    # NaN under bucket -> null, never a fabricated 0-bucket
+    nn = spark.createDataFrame([(float("nan"),), (1500.0,)],
+                               "bal double")
+    got = {r.bal for r in
+           anonymize(nn, {"bal": ("bucket", 1000)}).collect()}
+    assert got == {None, 1000.0}
     with pytest.raises(ValueError, match="not found"):
         anonymize(df, {"missing": "hash"})
     with pytest.raises(ValueError, match="unknown strategy"):

@@ -71,6 +71,15 @@ def test_standardize_zscore_minmax_robust(spark):
     assert rb[100.0] == pytest.approx((100 - 3) / 2)
 
 
+def test_standardize_keeps_caller_dunder_columns(spark):
+    df = spark.createDataFrame([(1.0, "t"), (2.0, "u")],
+                               "x double, __tag string")
+    out = standardize(df, ["x"], method="zscore")
+    assert "__tag" in out.columns
+    rb = standardize(df, ["x"], method="robust")
+    assert "__tag" in rb.columns
+
+
 def test_standardize_constant_null_nan_validation(spark):
     df = spark.createDataFrame(
         [(5.0, 1.0), (5.0, None), (5.0, float("nan"))],

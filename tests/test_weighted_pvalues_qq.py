@@ -57,6 +57,13 @@ def test_weighted_sample_excludes_bad_weights(spark):
     assert [r.id for r in out] == [1]
     with pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, 0, "w", ["id"])
+    with pytest.raises(ValueError, match="key_cols"):
+        weighted_sample(df, 5, "w", [])
+    # null key components are excluded, not hashed as ''
+    nk = spark.createDataFrame([(None, 5.0), (2, 5.0)],
+                               "id long, w double")
+    assert [r.id for r in
+            weighted_sample(nk, 5, "w", ["id"]).collect()] == [2]
 
 
 # ------------------------------------------------- p-value adjust

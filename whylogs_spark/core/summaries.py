@@ -579,13 +579,26 @@ def standardize(
         return F.when(~F.isnan(x), x)
 
     if method == "robust":
-        stats = None
-        for c in columns:
-            q = exact_quantiles(df, c, [0.25, 0.5, 0.75]).select(
-                F.col("q_0_25").alias(f"__lo_{c}"),
-                F.col("q_0_5").alias(f"__mid_{c}"),
-                F.col("q_0_75").alias(f"__hi_{c}"))
-            stats = q if stats is None else stats.crossJoin(q)
+        # ONE grouped quantile walk for ALL columns: melt to
+        # (column, value) long form, then the group-keyed form of
+        # exact_quantiles — one scan + one range exchange total,
+        # instead of one full walk per column
+        melted = df.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("__col"),
+                     clean(c).alias("__val")) for c in columns
+        ])).alias("m")).select("m.__col", "m.__val")
+        grouped = exact_quantiles(melted, "__val",
+                                  [0.25, 0.5, 0.75],
+                                  group_cols=["__col"])
+        stats = grouped.agg(*[
+            agg for c in columns for agg in (
+                F.max(F.when(F.col("__col") == c, F.col("q_0_25")))
+                .alias(f"__lo_{c}"),
+                F.max(F.when(F.col("__col") == c, F.col("q_0_5")))
+                .alias(f"__mid_{c}"),
+                F.max(F.when(F.col("__col") == c, F.col("q_0_75")))
+                .alias(f"__hi_{c}"),
+            )])
     else:
         aggs = []
         for c in columns:
@@ -609,7 +622,12 @@ def standardize(
         scaled = F.when(scale > 0,
                         (x - F.col(f"__mid_{c}")) / scale)
         out = out.withColumn(f"{c}{suffix}", scaled)
-    drop = [n for n in out.columns if n.startswith("__")]
+    # drop ONLY this function's temp stats columns — a blanket
+    # '__'-prefix sweep would delete caller columns that happen to
+    # share the prefix (e.g. running_sums' __cum_* outputs)
+    drop = [n for c in columns
+            for n in (f"__mid_{c}", f"__sc_{c}", f"__hi_{c}",
+                      f"__lo_{c}")]
     return out.drop(*drop)
 
 

@@ -517,8 +517,9 @@ def anonymize(df: DataFrame, spec: dict) -> DataFrame:
     * ``("fixed", value)`` — replace every non-null with a constant
     * ``"drop"`` — remove the column
 
-    NULLs stay NULL under every strategy (a null has no identity to
-    protect, and preserving it keeps null-rate profiles comparable).
+    NULLs stay NULL under every strategy, and NaN becomes NULL under
+    ``bucket`` (a missing value has no identity to protect, and
+    preserving it keeps null-rate profiles comparable).
     Every strategy is a deterministic zero-shuffle codegen projection
     — re-runs and other engines produce identical output. Re-check
     the result with :func:`k_anonymity_report`.
@@ -543,8 +544,12 @@ def anonymize(df: DataFrame, spec: dict) -> DataFrame:
             width = float(how[1])
             if width <= 0:
                 raise ValueError(f"bucket width must be > 0: {width}")
-            repl = (F.floor(c.cast("double") / F.lit(width))
-                    * F.lit(width))
+            x = c.cast("double")
+            # NaN -> null, like NULL: floor(NaN) would cast to 0 and
+            # fabricate a legitimate-looking bucket in de-identified
+            # output
+            repl = F.when(~F.isnan(x),
+                          F.floor(x / F.lit(width)) * F.lit(width))
         elif isinstance(how, (tuple, list)) and how[0] == "prefix":
             n = int(how[1])
             if n < 1:

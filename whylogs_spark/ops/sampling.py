@@ -523,7 +523,8 @@ def weighted_sample(
     (+ ``salt``), so the same corpus yields the same sample in every
     run and any engine (the DuckDB oracle recomputes it verbatim);
     change ``salt`` to redraw. Rows with null/NaN/non-positive weight
-    are excluded (a zero-weight row can never win).
+    are excluded (a zero-weight row can never win), as are rows with
+    any NULL key component (no identity -> no reproducible draw).
 
     Scale shape: the sample key is a pure codegen projection; top-k is
     ``orderBy().limit(k)`` — TakeOrderedAndProject, a per-partition
@@ -531,12 +532,22 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError(
+            "key_cols must be non-empty: without a row identity every "
+            "row hashes identically and the draw degenerates to "
+            "lowest-weight top-k")
     w = F.col(weight_col).cast("double")
     # u in (0, 1]: +1 lifts the integer hash off zero so ln(u) is finite
     u = ((F.conv(_hash_prefix(key_cols, salt), 16, 10)
           .cast("double") + F.lit(1.0)) / F.lit(float(_HEX_SPACE)))
     key = F.log(u) / w
     ok = w.isNotNull() & ~F.isnan(w) & (w > 0)
+    # a null key component collapses distinct rows onto one hash
+    # (concat_ws skips nulls) — exclude them like null weights
+    for c in key_cols:
+        ok = ok & F.col(c).isNotNull()
     return (
         df.filter(ok)
         .withColumn("__es_key", key)
