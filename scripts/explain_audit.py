@@ -754,6 +754,24 @@ def main() -> None:
     q5.stop()
     fk_plan = buf5.getvalue()
 
+    # 9f. streaming transitions: stateful applyInPandasWithState —
+    # per-user (ts, event) state, one state-keyed exchange
+    from whylogs_spark.streaming.transitions import streaming_transitions
+
+    stream6 = spark.readStream.schema(ev.schema).parquet(src_dir)
+    tr = streaming_transitions(stream6, watermark="10 minutes",
+                               idle_ttl="1 hour")
+    ckpt6 = _tempfile.mkdtemp(prefix="audit_ckpt6_")
+    q6 = (tr.writeStream.outputMode("append").format("noop")
+          .trigger(availableNow=True)
+          .option("checkpointLocation", ckpt6).start())
+    q6.awaitTermination(180)
+    buf6 = io.StringIO()
+    with redirect_stdout(buf6):
+        q6.explain()
+    q6.stop()
+    transitions_plan = buf6.getvalue()
+
     streaming_checks = {
         "watermark attached (state evictable)": r"EventTimeWatermark",
         "stateful aggregation (state store save/restore)":
@@ -1752,6 +1770,23 @@ def main() -> None:
             lines.append("```")
             lines.append("</details>")
         lines.append("")
+
+    lines.append("## streaming transitions (stateful runtime plan)")
+    for label, pattern in {
+            "watermark attached (state evictable)":
+                r"EventTimeWatermark",
+            "stateful Arrow kernel (applyInPandasWithState — the "
+            "declared per-user state op, 2 scalars per user)":
+                r"FlatMapGroupsInPandasWithState",
+            "exactly one stream exchange (the state key)":
+                r"^(?!([\s\S]*Exchange hashpartitioning){2})"
+                r"[\s\S]*Exchange hashpartitioning",
+    }.items():
+        ok = re.search(pattern, transitions_plan) is not None
+        lines.append(f"  - [{'x' if ok else ' '}] {label}")
+        if not ok:
+            all_ok = False
+    lines.append("")
 
     lines.append("## streaming fk monitor (stream-static specifics)")
     for label, pattern in {

@@ -130,3 +130,46 @@ def test_transition_matrix_tie_order_deterministic(spark):
     out = transition_matrix(_ev(rows, spark)).collect()
     assert len(out) == 1
     assert (out[0].src, out[0].dst) == ("a", "b")
+
+
+def test_streaming_transitions_matches_batch(spark, tmp_path):
+    """Transition pairs from the stateful streaming operator, counted
+    by transition_counts_from_pairs, must equal the batch
+    transition_matrix — including pairs BRIDGED across microbatches
+    (the second file continues each user's sequence)."""
+    from whylogs_spark.streaming.transitions import (
+        streaming_transitions,
+        transition_counts_from_pairs,
+    )
+
+    rows1, rows2 = [], []
+    for uid in (1, 2, 3):
+        seq = ["view", "click", "view", "purchase", "click"]
+        for i, e in enumerate(seq[:3]):
+            rows1.append((uid, BASE + dt.timedelta(minutes=i), e))
+        for i, e in enumerate(seq[3:], start=3):
+            rows2.append((uid, BASE + dt.timedelta(minutes=i), e))
+    schema = "user_id long, ts timestamp, event_type string"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+
+    src = str(tmp_path / "trans_src")
+    b1.coalesce(1).write.parquet(src + "/b=0")
+    b2.coalesce(1).write.parquet(src + "/b=1")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    out = streaming_transitions(stream, watermark="0 seconds",
+                                idle_ttl="1 hour")
+    q = (out.writeStream.format("memory").queryName("trans")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    pairs = spark.sql("SELECT * FROM trans")
+    # every user contributes the bridged view->purchase transition
+    got = {(r.src, r.dst, r.n_transitions) for r in
+           transition_counts_from_pairs(pairs).collect()}
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    expect = {(r.src, r.dst, r.n_transitions) for r in
+              transition_matrix(batch).collect()}
+    assert got == expect
+    assert ("view", "purchase", 3) in got  # the cross-batch bridge
