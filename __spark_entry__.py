@@ -2460,6 +2460,40 @@ def _q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean", 6).alias("mean"))
 
 
+def _q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity join (ops/linkage.py blocked_fuzzy_join):
+    prefix-block equi-join + in-condition Levenshtein verify — never a
+    cross join. The right side is each customer name with its last
+    character dropped, so every truncation matches the ~10 customers
+    sharing its 17-char prefix at distance 1."""
+    from whylogs_spark.ops.linkage import blocked_fuzzy_join
+
+    cu = _t(spark, sf_dir, "customer")
+    left = cu.select(F.col("c_custkey").alias("lid"),
+                     F.col("c_name").alias("name"))
+    right = cu.select(
+        F.col("c_custkey").alias("rid"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)")
+        .alias("name"))
+    out = blocked_fuzzy_join(left, right, "name", block="prefix",
+                             block_len=17, max_distance=1)
+    return out.select("lid", "rid", "distance")
+
+
+def _q_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-bucket percentile bands (ops/events.py
+    percentile_rollup): grouped two-phase quantile walk keyed by the
+    hour bucket — P50/P95 with zero sketch error."""
+    from whylogs_spark.ops.events import percentile_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = percentile_rollup(ev, qs=[0.5, 0.95], grain="hour")
+    return out.select(
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        F.round("q_0_5", 6).alias("p50"),
+        F.round("q_0_95", 6).alias("p95"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2642,6 +2676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lorenz_lineitem": _q_lorenz,
         "anonymize_customer": _q_anonymize,
         "ohlc_events": _q_ohlc,
+        "fuzzy_join_customer": _q_fuzzy_join,
+        "percentile_rollup_events": _q_percentile_rollup,
     }
 
 
@@ -5048,5 +5084,35 @@ def oracle_sql() -> dict[str, str]:
             "round(a.mean, 6) AS mean FROM a "
             "JOIN o op ON op.idx = a.idx AND op.rn1 = 1 "
             "JOIN o cl ON cl.idx = a.idx AND cl.rn2 = 1"
+        ),
+        "fuzzy_join_customer": (
+            "WITH l AS (SELECT c_custkey AS lid, "
+            "lower(trim(c_name)) AS n FROM customer "
+            "WHERE c_name IS NOT NULL AND length(lower(trim(c_name)))"
+            " > 0), "
+            "r AS (SELECT c_custkey AS rid, lower(trim(substr(c_name,"
+            " 1, length(c_name) - 1))) AS n FROM customer "
+            "WHERE c_name IS NOT NULL AND length(lower(trim(substr("
+            "c_name, 1, length(c_name) - 1)))) > 0) "
+            "SELECT l.lid, r.rid, levenshtein(l.n, r.n)::INT AS "
+            "distance FROM l JOIN r ON substr(l.n, 1, 17) = "
+            "substr(r.n, 1, 17) AND levenshtein(l.n, r.n) <= 1"
+        ),
+        "percentile_rollup_events": (
+            "WITH src AS (SELECT floor(epoch(ts) / 3600)::BIGINT AS "
+            "idx, value::DOUBLE AS v FROM events WHERE ts IS NOT "
+            "NULL AND value IS NOT NULL AND NOT isnan(value::DOUBLE))"
+            ", g AS (SELECT idx, v, count(*) AS ct FROM src GROUP BY "
+            "1, 2), "
+            "c AS (SELECT idx, v, sum(ct) OVER (PARTITION BY idx "
+            "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+            "ROW) AS sct, sum(ct) OVER (PARTITION BY idx) AS n FROM "
+            "g) "
+            "SELECT (idx * 3600)::BIGINT AS bucket_epoch, "
+            "round(min(CASE WHEN sct >= greatest(ceil(0.5 * n - 0.5 "
+            "* n * 1e-12 - 1e-9), 1) THEN v END), 6) AS p50, "
+            "round(min(CASE WHEN sct >= greatest(ceil(0.95 * n - "
+            "0.95 * n * 1e-12 - 1e-9), 1) THEN v END), 6) AS p95 "
+            "FROM c GROUP BY 1"
         ),
     }

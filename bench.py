@@ -653,6 +653,21 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_linkage_percentiles():
+        # blocked fuzzy entity join + exact percentile bands
+        from whylogs_spark.ops.events import percentile_rollup
+        from whylogs_spark.ops.linkage import blocked_fuzzy_join
+        left = t["customer"].select(
+            F.col("c_custkey").alias("lid"),
+            F.col("c_name").alias("name"))
+        right = t["customer"].select(
+            F.col("c_custkey").alias("rid"),
+            F.expr("substring(c_name, 1, length(c_name) - 1)")
+            .alias("name"))
+        _noop(blocked_fuzzy_join(left, right, "name", block="prefix",
+                                 block_len=17, max_distance=1))
+        _noop(percentile_rollup(t["events"], qs=[0.5, 0.95, 0.99]))
+
     def bench_anonymize_ohlc():
         # de-identification sweep + OHLC candles over events
         from whylogs_spark.ops.events import ohlc_resample
@@ -800,6 +815,7 @@ def main() -> None:
         "encode_scale_skew": bench_encode_scale_skew,
         "survival_gini": bench_survival_gini,
         "anonymize_ohlc": bench_anonymize_ohlc,
+        "linkage_percentiles": bench_linkage_percentiles,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

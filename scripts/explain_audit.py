@@ -1671,6 +1671,53 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z5w. blocked fuzzy join: equi-join on the block key with the
+    # Levenshtein verify inside the condition — NEVER a cross join
+    from whylogs_spark.ops.linkage import blocked_fuzzy_join
+
+    cu_l = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("lid"), F.col("c_name").alias("name"))
+    cu_r = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("rid"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)")
+        .alias("name"))
+    fj = blocked_fuzzy_join(cu_l, cu_r, "name", block="prefix",
+                            block_len=17, max_distance=1)
+    sections.append((
+        "blocked fuzzy join (entity linkage)", fj,
+        {
+            "hash equi-join on the block key (never nested loop)":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "no cartesian / nested-loop join":
+                r"^(?![\s\S]*(CartesianProduct|"
+                r"BroadcastNestedLoopJoin))",
+            "levenshtein verify inside the join (no materialize-"
+            "then-filter of the cross space)":
+                r"levenshtein",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z5x. percentile rollup: grouped quantile walk keyed by bucket
+    from whylogs_spark.ops.events import percentile_rollup
+
+    pr = percentile_rollup(ev, qs=[0.5, 0.95], grain="hour")
+    sections.append((
+        "percentile rollup (grouped exact quantiles)", pr,
+        {
+            "value collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "every window carries a partition key":
+                r"windowspecdefinition\(__idx#|"
+                r"windowspecdefinition\([^\)]*__idx",
+            "range partitioning drives the grouped walk":
+                r"rangepartitioning\(",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -594,3 +594,49 @@ def ohlc_resample(
         F.col("__last.v").alias("close"),
         "n", "mean",
     )
+
+
+def percentile_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "hour",
+    qs=(0.5, 0.95, 0.99),
+    key_cols=(),
+) -> DataFrame:
+    """Exact latency-style percentile bands per time bucket: one row
+    per (key, bucket) with a ``q_<p>`` column per requested quantile —
+    the P50/P95/P99 dashboard series, computed EXACTLY (order
+    statistics, lower interpolation), not from a sketch.
+
+    Buckets are epoch-anchored (the ``seasonal_decompose`` /
+    ``ohlc_resample`` convention). Null timestamps and null/NaN values
+    are excluded.
+
+    Scale shape: rides ``core.summaries.exact_quantiles``'s GROUPED
+    two-phase walk keyed by (key, bucket) — values collapse map-side
+    per group, every window carries a partition key, and the rollup
+    frame stays bounded at groups x slices rows. One pass, no global
+    sort, no sketch error.
+    """
+    from whylogs_spark.core.summaries import exact_quantiles
+
+    if grain not in _GRAIN_SECONDS:
+        raise ValueError(
+            f"grain must be one of {sorted(_GRAIN_SECONDS)}: {grain}")
+    key_cols = list(key_cols)
+    gsec = _GRAIN_SECONDS[grain]
+    v = F.col(value_col).cast("double")
+    idx = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(gsec)) \
+        .cast("long")
+    src = (df.filter(F.col(ts_col).isNotNull() & v.isNotNull()
+                     & ~F.isnan(v))
+           .select(*key_cols, idx.alias("__idx"), v.alias("__v")))
+    out = exact_quantiles(src, "__v", list(qs),
+                          group_cols=[*key_cols, "__idx"])
+    return out.select(
+        *key_cols,
+        F.timestamp_seconds(F.col("__idx") * F.lit(gsec))
+        .alias("bucket"),
+        *[F.col(f"q_{str(q).replace('.', '_')}") for q in qs],
+    )

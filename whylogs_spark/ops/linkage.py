@@ -1,0 +1,116 @@
+"""Entity linkage: blocked fuzzy joins — match records across tables
+whose keys almost-but-don't-quite agree (typo'd names, OCR'd vendor
+strings, user-entered addresses).
+
+The scalable shape is classic record linkage: BLOCK (a cheap exact key
+that candidate pairs must share — prefix, soundex) then VERIFY (exact
+edit distance on the pairs inside each block). The cross join never
+happens; the candidate space is the sum of block sizes squared, which
+the blocking key keeps bounded. Both stages are JVM built-ins
+(``substring``/``soundex``/``levenshtein``) inside whole-stage codegen
+— no Python, no UDF.
+
+Recall caveat (documented, inherent to blocking): a typo INSIDE the
+blocking key puts the two records in different blocks and the pair is
+missed. ``block="both"`` unions prefix and soundex blocks to cover
+each other's blind spots (soundex survives vowel typos anywhere;
+prefix survives consonant-code changes later in the string) at ~2x
+candidate cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["blocked_fuzzy_join"]
+
+
+def _norm(c: Column) -> Column:
+    return F.lower(F.trim(c))
+
+
+def _block_keys(c: Column, block: str, block_len: int):
+    pre = F.substring(_norm(c), 1, block_len)
+    snd = F.soundex(_norm(c))
+    if block == "prefix":
+        return [pre]
+    if block == "soundex":
+        return [snd]
+    if block == "both":
+        return [pre, snd]
+    raise ValueError(
+        f"block must be prefix|soundex|both: {block}")
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str = None,
+    block: str = "prefix",
+    block_len: int = 4,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Fuzzy equi-join: all (left, right) pairs whose normalized
+    (lower/trim) strings are within ``max_distance`` Levenshtein edits
+    AND share a blocking key. Returns every column of both sides
+    (right columns suffixed ``_r`` on name collisions) plus
+    ``distance``.
+
+    ``block="prefix"`` keys on the first ``block_len`` normalized
+    characters; ``"soundex"`` on the phonetic code; ``"both"`` unions
+    the two candidate sets (deduplicated) — higher recall, ~2x
+    candidates. Null/empty strings never match.
+
+    Scale shape: candidates come from hash equi-joins on the block
+    key(s) — NEVER a cross join; the Levenshtein verify runs inside
+    the join condition, so non-matches are discarded before
+    materialization; a duplicate candidate from ``both`` blocks is
+    removed by a distinct over the pair identity (the joined row),
+    which partial-aggregates. Hot blocks (a very common prefix) are
+    the known hazard — pick ``block_len`` so blocks stay small, or
+    use ``soundex`` for name-like data.
+    """
+    if right_col is None:
+        right_col = left_col
+    if block_len < 1:
+        raise ValueError(f"block_len must be >= 1: {block_len}")
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0: {max_distance}")
+    lcol = F.col(f"__l.{left_col}")
+    rcol = F.col(f"__r.{right_col}")
+    l_ok = lcol.isNotNull() & (F.length(_norm(lcol)) > 0)
+    r_ok = rcol.isNotNull() & (F.length(_norm(rcol)) > 0)
+    lkeys = _block_keys(lcol, block, block_len)
+    rkeys = _block_keys(rcol, block, block_len)
+    same_block = lkeys[0] == rkeys[0]
+    for lk, rk in zip(lkeys[1:], rkeys[1:]):
+        same_block = same_block | (lk == rk)
+    dist = F.levenshtein(_norm(lcol), _norm(rcol))
+    la = left.alias("__l")
+    ra = right.alias("__r")
+    lnames = left.columns
+    rnames = right.columns
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in lnames]
+    for c in rnames:
+        name = f"{c}_r" if c in lnames else c
+        out_cols.append(F.col(f"__r.{c}").alias(name))
+    out_cols.append(
+        F.levenshtein(_norm(F.col(f"__l.{left_col}")),
+                      _norm(F.col(f"__r.{right_col}")))
+        .alias("distance"))
+
+    def joined(cond):
+        return la.join(
+            ra, l_ok & r_ok & cond
+            & (dist <= F.lit(int(max_distance)))).select(*out_cols)
+
+    if block == "both":
+        # two equi-joins unioned (aliased projections, so the column
+        # names are already disambiguated), then a distinct over the
+        # pair — an OR join condition would plan a nested-loop cross
+        # product
+        parts = [joined(lk == rk) for lk, rk in zip(lkeys, rkeys)]
+        return parts[0].unionByName(parts[1]).distinct()
+    return joined(same_block)
