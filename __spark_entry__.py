@@ -2494,6 +2494,36 @@ def _q_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q_0_95", 6).alias("p95"))
 
 
+def _q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract suite (ops/expect.py check_dataframe):
+    every single-pass check compiles into ONE shared aggregation;
+    fd_holds adds one bounded branch; report = exploded union."""
+    from whylogs_spark.ops.expect import check_dataframe
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = check_dataframe(li, [
+        {"check": "row_count_between", "min": 1},
+        {"check": "no_nulls", "column": "l_orderkey"},
+        {"check": "unique", "column": "l_orderkey"},
+        {"check": "accepted_values", "column": "l_returnflag",
+         "values": ["A", "N", "R"]},
+        {"check": "expression", "name": "quantity positive",
+         "expr": "l_quantity > 0", "max_violations": 0},
+        {"check": "min_at_least", "column": "l_extendedprice",
+         "value": 0},
+        {"check": "mean_between", "column": "l_discount", "min": 0,
+         "max": 0.1},
+        {"check": "corr_abs_below", "x": "l_quantity",
+         "y": "l_extendedprice", "limit": 0.5},
+        {"check": "fd_holds",
+         "determinants": ["l_orderkey", "l_linenumber"],
+         "dependents": ["l_partkey"]},
+    ])
+    return out.select("check", "passed",
+                      F.round("observed", 6).alias("observed"),
+                      "expected")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2678,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_events": _q_ohlc,
         "fuzzy_join_customer": _q_fuzzy_join,
         "percentile_rollup_events": _q_percentile_rollup,
+        "data_contract_lineitem": _q_data_contract,
     }
 
 
@@ -5114,5 +5145,50 @@ def oracle_sql() -> dict[str, str]:
             "round(min(CASE WHEN sct >= greatest(ceil(0.95 * n - "
             "0.95 * n * 1e-12 - 1e-9), 1) THEN v END), 6) AS p95 "
             "FROM c GROUP BY 1"
+        ),
+        "data_contract_lineitem": (
+            "SELECT 'row count >= 1' AS check, count(*) >= 1 AS "
+            "passed, round(count(*)::DOUBLE, 6) AS observed, "
+            "'>= 1' AS expected FROM lineitem "
+            "UNION ALL SELECT 'l_orderkey has no nulls', "
+            "count(*) FILTER (WHERE l_orderkey IS NULL) = 0, "
+            "round(count(*) FILTER (WHERE l_orderkey IS NULL)"
+            "::DOUBLE, 6), '0 nulls' FROM lineitem "
+            "UNION ALL SELECT 'l_orderkey is unique', "
+            "count(l_orderkey) - count(DISTINCT l_orderkey) = 0, "
+            "round((count(l_orderkey) - count(DISTINCT l_orderkey))"
+            "::DOUBLE, 6), '0 duplicate values' FROM lineitem "
+            "UNION ALL SELECT 'l_returnflag in accepted set', "
+            "count(*) FILTER (WHERE l_returnflag IS NOT NULL AND "
+            "l_returnflag NOT IN ('A', 'N', 'R')) = 0, "
+            "round(count(*) FILTER (WHERE l_returnflag IS NOT NULL "
+            "AND l_returnflag NOT IN ('A', 'N', 'R'))::DOUBLE, 6), "
+            "'values in [''A'', ''N'', ''R'']' FROM lineitem "
+            "UNION ALL SELECT 'expression: quantity positive', "
+            "count(*) FILTER (WHERE NOT coalesce(l_quantity > 0, "
+            "false)) <= 0, round(count(*) FILTER (WHERE NOT "
+            "coalesce(l_quantity > 0, false))::DOUBLE, 6), "
+            "'<= 0 violations' FROM lineitem "
+            "UNION ALL SELECT 'l_extendedprice min >= 0.0', "
+            "coalesce(min(l_extendedprice::DOUBLE) >= 0, true), "
+            "round(min(l_extendedprice::DOUBLE), 6), '>= 0.0' "
+            "FROM lineitem "
+            "UNION ALL SELECT 'l_discount mean in [0.0, 0.1]', "
+            "coalesce(avg(l_discount::DOUBLE) BETWEEN 0 AND 0.1, "
+            "false), round(avg(l_discount::DOUBLE), 6), "
+            "'in [0.0, 0.1]' FROM lineitem "
+            "UNION ALL SELECT "
+            "'|corr(l_quantity, l_extendedprice)| below 0.5', "
+            "coalesce(abs(corr(l_quantity, l_extendedprice)) < 0.5, "
+            "true), round(abs(corr(l_quantity, l_extendedprice)), "
+            "6), '< 0.5' FROM lineitem "
+            "UNION ALL SELECT "
+            "'fd: l_orderkey,l_linenumber -> l_partkey', "
+            "coalesce(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END), "
+            "0) = 0, round(coalesce(sum(CASE WHEN variants > 1 THEN "
+            "rows_ ELSE 0 END), 0)::DOUBLE, 6), '0 violating rows' "
+            "FROM (SELECT count(*) AS rows_, count(DISTINCT "
+            "l_partkey) AS variants FROM lineitem GROUP BY "
+            "l_orderkey, l_linenumber)"
         ),
     }

@@ -653,6 +653,27 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_data_contract():
+        # a 9-check contract compiled into one agg + one fd branch
+        from whylogs_spark.ops.expect import check_dataframe
+        _noop(check_dataframe(t["lineitem"], [
+            {"check": "row_count_between", "min": 1},
+            {"check": "no_nulls", "column": "l_orderkey"},
+            {"check": "unique", "column": "l_orderkey"},
+            {"check": "accepted_values", "column": "l_returnflag",
+             "values": ["A", "N", "R"]},
+            {"check": "expression", "expr": "l_quantity > 0"},
+            {"check": "min_at_least", "column": "l_extendedprice",
+             "value": 0},
+            {"check": "mean_between", "column": "l_discount",
+             "min": 0, "max": 0.1},
+            {"check": "corr_abs_below", "x": "l_quantity",
+             "y": "l_extendedprice", "limit": 0.5},
+            {"check": "fd_holds",
+             "determinants": ["l_orderkey", "l_linenumber"],
+             "dependents": ["l_partkey"]},
+        ]))
+
     def bench_linkage_percentiles():
         # blocked fuzzy entity join + exact percentile bands
         from whylogs_spark.ops.events import percentile_rollup
@@ -816,6 +837,7 @@ def main() -> None:
         "survival_gini": bench_survival_gini,
         "anonymize_ohlc": bench_anonymize_ohlc,
         "linkage_percentiles": bench_linkage_percentiles,
+        "data_contract": bench_data_contract,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -1718,6 +1718,32 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z5y. data contract: N single-pass checks share ONE aggregation
+    from whylogs_spark.ops.expect import check_dataframe
+
+    dc = check_dataframe(li, [
+        {"check": "row_count_between", "min": 1},
+        {"check": "no_nulls", "column": "l_orderkey"},
+        {"check": "unique", "column": "l_orderkey"},
+        {"check": "expression", "expr": "l_quantity > 0"},
+        {"check": "mean_between", "column": "l_discount", "min": 0,
+         "max": 0.1},
+        {"check": "corr_abs_below", "x": "l_quantity",
+         "y": "l_extendedprice", "limit": 0.5},
+    ])
+    sections.append((
+        "data contract (one shared agg pass)", dc,
+        {
+            "all checks partial-agg before ONE exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "single scan for the whole suite":
+                r"^(?!(?:[\s\S]*\(\d+\) Scan parquet){2})"
+                r"[\s\S]*\(\d+\) Scan parquet",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
