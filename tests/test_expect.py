@@ -72,6 +72,28 @@ def test_check_corr_and_fd(spark):
     assert out["fd: v -> k"].passed
 
 
+def test_check_distinct_regex_stddev(spark):
+    df = _df(spark)
+    out = {r.check: r for r in check_dataframe(df, [
+        {"check": "distinct_count_between", "column": "status",
+         "min": 1, "max": 2},
+        {"check": "matches_regex", "column": "status",
+         "pattern": "^[A-B]$"},
+        {"check": "stddev_below", "column": "price", "value": 1000},
+    ]).collect()}
+    r = out["status distinct count in [1, 2]"]
+    assert not r.passed and r.observed == 3.0  # A, B, C (null skipped)
+    r = out["status matches regex"]
+    assert not r.passed and r.observed == 1.0  # 'C'; null ignored
+    assert out["price stddev below 1000.0"].passed
+    # constant column: stddev 0 -> passes
+    const = spark.createDataFrame([(1.0,), (1.0,)], "x double")
+    ok = check_dataframe(const, [
+        {"check": "stddev_below", "column": "x", "value": 0.1},
+    ]).collect()[0]
+    assert ok.passed and ok.observed == 0.0
+
+
 def test_check_dataframe_empty_input_and_validation(spark):
     df = _df(spark).filter("id < 0")
     out = {r.check: r for r in check_dataframe(df, [

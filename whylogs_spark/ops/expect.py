@@ -24,6 +24,11 @@ Check types::
     {"check": "mean_between", "column": "x", "min": 0, "max": 1}
     {"check": "corr_abs_below", "x": "feat", "y": "label",
      "limit": 0.95}                  # leakage guard
+    {"check": "distinct_count_between", "column": "country",
+     "min": 1, "max": 300}
+    {"check": "matches_regex", "column": "email",
+     "pattern": "^[^@]+@[^@]+$"}     # nulls don't violate
+    {"check": "stddev_below", "column": "score", "value": 10}
     {"check": "fd_holds", "determinants": ["order_id"],
      "dependents": ["order_date"]}   # own bounded aggregation branch
 
@@ -176,6 +181,31 @@ def check_dataframe(df: DataFrame, checks: Sequence[dict]) -> DataFrame:
             ok = F.coalesce(obs < limit, F.lit(True))
             report(f"|corr({x}, {y})| below {limit}", ok, obs,
                    f"< {limit}", tag)
+        elif kind == "distinct_count_between":
+            _require(spec, "column", "min", "max")
+            c = _col_exists(df, spec, "column")
+            lo, hi = int(spec["min"]), int(spec["max"])
+            obs = F.countDistinct(F.col(c))
+            ok = (obs >= lo) & (obs <= hi)
+            report(f"{c} distinct count in [{lo}, {hi}]", ok, obs,
+                   f"in [{lo}, {hi}]", tag)
+        elif kind == "matches_regex":
+            _require(spec, "column", "pattern")
+            c = _col_exists(df, spec, "column")
+            pat = str(spec["pattern"])
+            max_v = int(spec.get("max_violations", 0))
+            bad = F.count(F.when(
+                F.col(c).isNotNull()
+                & ~F.col(c).cast("string").rlike(pat), F.lit(1)))
+            report(f"{c} matches regex", bad <= max_v, bad,
+                   f"<= {max_v} non-matching", tag)
+        elif kind == "stddev_below":
+            _require(spec, "column", "value")
+            c = _col_exists(df, spec, "column")
+            v = float(spec["value"])
+            obs = F.stddev_samp(F.col(c).cast("double"))
+            ok = F.coalesce(obs < v, F.lit(True))  # constant passes
+            report(f"{c} stddev below {v}", ok, obs, f"< {v}", tag)
         elif kind == "fd_holds":
             _require(spec, "determinants", "dependents")
             fd_branches.append((tag, spec))
