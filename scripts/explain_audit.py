@@ -1734,8 +1734,14 @@ def main() -> None:
     sections.append((
         "data contract (one shared agg pass)", dc,
         {
-            "all checks partial-agg before ONE exchange":
+            # countDistinct forces Spark's two-stage distinct
+            # rewrite: expand -> partial -> exchange -> final adds
+            # exchanges of 1-row partials — bounded, never data-sized
+            "all checks partial-agg before their exchanges":
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "at most three exchanges (the distinct rewrite's "
+            "1-row partials, never a per-check job)":
+                r"^(?!(?:[\s\S]*\(\d+\) Exchange){4})",
             "single scan for the whole suite":
                 r"^(?!(?:[\s\S]*\(\d+\) Scan parquet){2})"
                 r"[\s\S]*\(\d+\) Scan parquet",

@@ -173,3 +173,30 @@ def test_streaming_transitions_matches_batch(spark, tmp_path):
               transition_matrix(batch).collect()}
     assert got == expect
     assert ("view", "purchase", 3) in got  # the cross-batch bridge
+
+
+def test_streaming_transitions_generic_types_and_microseconds(
+        spark, tmp_path):
+    """String user keys and sub-millisecond timestamps survive: the
+    schemas derive from the input types and event times round-trip at
+    microsecond precision."""
+    from whylogs_spark.streaming.transitions import streaming_transitions
+
+    t0 = BASE + dt.timedelta(microseconds=900)
+    t1 = BASE + dt.timedelta(microseconds=1500)
+    rows = [("alice", t0, "view"), ("alice", t1, "click")]
+    schema = "user_id string, ts timestamp, event_type string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "src") + "/b=0")
+    stream = (spark.readStream.schema(schema)
+              .parquet(str(tmp_path / "src") + "/*"))
+    out = streaming_transitions(stream, watermark="0 seconds",
+                                idle_ttl="1 hour")
+    q = (out.writeStream.format("memory").queryName("trans_us")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM trans_us").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.user_id == "alice" and (r.src, r.dst) == ("view", "click")
+    assert r.ts == t1  # microseconds preserved

@@ -111,5 +111,10 @@ def test_check_dataframe_empty_input_and_validation(spark):
                               "column": "id"}])
     with pytest.raises(ValueError, match="column not found"):
         check_dataframe(df, [{"check": "no_nulls", "column": "zz"}])
+    # a spec missing its column key is a ValueError, not a KeyError
+    with pytest.raises(ValueError, match="missing keys"):
+        check_dataframe(df, [{"check": "no_nulls"}])
+    with pytest.raises(ValueError, match="missing keys"):
+        check_dataframe(df, [{"check": "unique"}])
     with pytest.raises(ValueError, match="non-empty"):
         check_dataframe(df, [])

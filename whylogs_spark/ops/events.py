@@ -247,6 +247,42 @@ def rollup_timeseries(
 _GRAIN_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 
+def _grain_seconds(grain: str) -> int:
+    """Validated epoch-anchored bucket width — the ONE definition of
+    the bucketing convention shared by seasonal_decompose /
+    ohlc_resample / percentile_rollup (pure epoch arithmetic, no
+    date_trunc / session-timezone dependence)."""
+    if grain not in _GRAIN_SECONDS:
+        raise ValueError(
+            f"grain must be one of {sorted(_GRAIN_SECONDS)}: {grain}")
+    return _GRAIN_SECONDS[grain]
+
+
+def _bucket_idx(ts_col: str, gsec: int):
+    return F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(gsec)) \
+        .cast("long")
+
+
+def _bucket_ts(idx_col: str, gsec: int):
+    return F.timestamp_seconds(F.col(idx_col) * F.lit(gsec))
+
+
+def rollup_transition_pairs(pairs: DataFrame) -> DataFrame:
+    """(src, dst) rows -> ``(src, dst, n_transitions, probability)``
+    with probabilities row-normalized per ``src`` — the shared rollup
+    behind :func:`transition_matrix` and the streaming sink reader
+    (``streaming.transitions.transition_counts_from_pairs``). Bounded
+    aggregation + a window over the bounded matrix."""
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions"))
+    row_tot = F.sum("n_transitions").over(Window.partitionBy("src"))
+    return counts.select(
+        "src", "dst", "n_transitions",
+        (F.col("n_transitions").cast("double") / row_tot)
+        .alias("probability"),
+    )
+
+
 def seasonal_decompose(
     df: DataFrame,
     ts_col: str = "ts",
@@ -283,20 +319,16 @@ def seasonal_decompose(
     audit). The seasonal-index frames are bounded by ``period`` rows
     per key and broadcast back.
     """
-    if grain not in _GRAIN_SECONDS:
-        raise ValueError(
-            f"grain must be one of {sorted(_GRAIN_SECONDS)}: {grain}")
+    gsec = _grain_seconds(grain)
     if period < 2:
         raise ValueError(f"period must be >= 2: {period}")
     key_cols = list(key_cols)
-    gsec = _GRAIN_SECONDS[grain]
     half = period // 2
     width = 2 * half + 1
 
     # pure epoch arithmetic (no date_trunc / session-timezone string
     # round-trip): floor division IS the truncation, DST-proof
-    idx = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(gsec)) \
-        .cast("long")
+    idx = _bucket_idx(ts_col, gsec)
     # NaN must be dropped with NULL: one NaN bucket mean would poison
     # its trend windows AND (through the zero-sum normalization) every
     # slot's seasonal index — NaN-as-missing, like the sibling ops
@@ -336,8 +368,7 @@ def seasonal_decompose(
                    .alias("seasonal"))
     out = with_trend.join(F.broadcast(si), on=[*key_cols, "slot"],
                           how="left")
-    bucket = F.timestamp_seconds(
-        F.col("__idx") * F.lit(gsec)).alias("bucket")
+    bucket = _bucket_ts("__idx", gsec).alias("bucket")
     return out.select(
         *key_cols, bucket, F.col("slot"), "n_obs", "y", "trend",
         "seasonal",
@@ -525,14 +556,7 @@ def transition_matrix(
                 F.lead(event_col).over(w).alias("dst"))
         .filter(F.col("dst").isNotNull())
     )
-    counts = src.groupBy("src", "dst").agg(
-        F.count(F.lit(1)).alias("n_transitions"))
-    row_tot = F.sum("n_transitions").over(Window.partitionBy("src"))
-    return counts.select(
-        "src", "dst", "n_transitions",
-        (F.col("n_transitions").cast("double") / row_tot)
-        .alias("probability"),
-    )
+    return rollup_transition_pairs(src)
 
 
 def ohlc_resample(
@@ -562,17 +586,13 @@ def ohlc_resample(
     sorts are partition-local by group key, never global — asserted in
     the plan audit. No window, no second pass.
     """
-    if grain not in _GRAIN_SECONDS:
-        raise ValueError(
-            f"grain must be one of {sorted(_GRAIN_SECONDS)}: {grain}")
+    gsec = _grain_seconds(grain)
     key_cols = list(key_cols)
     tiebreak_cols = list(tiebreak_cols)
-    gsec = _GRAIN_SECONDS[grain]
     v = F.col(value_col).cast("double")
     src = df.filter(F.col(ts_col).isNotNull() & v.isNotNull()
                     & ~F.isnan(v))
-    idx = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(gsec)) \
-        .cast("long")
+    idx = _bucket_idx(ts_col, gsec)
     pick = F.struct(F.col(ts_col).alias("t"),
                     *[F.col(c).alias(f"k{i}")
                       for i, c in enumerate(tiebreak_cols)],
@@ -587,8 +607,7 @@ def ohlc_resample(
     )
     return agg.select(
         *key_cols,
-        F.timestamp_seconds(F.col("__idx") * F.lit(gsec))
-        .alias("bucket"),
+        _bucket_ts("__idx", gsec).alias("bucket"),
         F.col("__first.v").alias("open"),
         "high", "low",
         F.col("__last.v").alias("close"),
@@ -621,14 +640,10 @@ def percentile_rollup(
     """
     from whylogs_spark.core.summaries import exact_quantiles
 
-    if grain not in _GRAIN_SECONDS:
-        raise ValueError(
-            f"grain must be one of {sorted(_GRAIN_SECONDS)}: {grain}")
+    gsec = _grain_seconds(grain)
     key_cols = list(key_cols)
-    gsec = _GRAIN_SECONDS[grain]
     v = F.col(value_col).cast("double")
-    idx = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(gsec)) \
-        .cast("long")
+    idx = _bucket_idx(ts_col, gsec)
     src = (df.filter(F.col(ts_col).isNotNull() & v.isNotNull()
                      & ~F.isnan(v))
            .select(*key_cols, idx.alias("__idx"), v.alias("__v")))
@@ -636,7 +651,6 @@ def percentile_rollup(
                           group_cols=[*key_cols, "__idx"])
     return out.select(
         *key_cols,
-        F.timestamp_seconds(F.col("__idx") * F.lit(gsec))
-        .alias("bucket"),
+        _bucket_ts("__idx", gsec).alias("bucket"),
         *[F.col(f"q_{str(q).replace('.', '_')}") for q in qs],
     )

@@ -59,6 +59,7 @@ def _require(spec: dict, *keys: str) -> None:
 
 
 def _col_exists(df: DataFrame, spec: dict, key: str) -> str:
+    _require(spec, key)  # a ValueError, not a bare KeyError
     c = spec[key]
     if c not in df.columns:
         raise ValueError(

@@ -96,10 +96,7 @@ def blocked_fuzzy_join(
     for c in rnames:
         name = f"{c}_r" if c in lnames else c
         out_cols.append(F.col(f"__r.{c}").alias(name))
-    out_cols.append(
-        F.levenshtein(_norm(F.col(f"__l.{left_col}")),
-                      _norm(F.col(f"__r.{right_col}")))
-        .alias("distance"))
+    out_cols.append(dist.alias("distance"))
 
     def joined(cond):
         return la.join(

@@ -50,9 +50,13 @@ def streaming_transitions(
     key); state per user is one (ts, event) pair.
     """
     ttl = _ttl_ms(idle_ttl)
-    out_schema = (f"{user_col} long, src string, dst string, "
+    # schemas derive from the INPUT types — the operator is generic in
+    # the user key and event code types, like the batch counterpart
+    utype = stream.schema[user_col].dataType.simpleString()
+    etype = stream.schema[event_col].dataType.simpleString()
+    out_schema = (f"{user_col} {utype}, src {etype}, dst {etype}, "
                   "ts timestamp")
-    state_schema = "last_ms long, last_ev string"
+    state_schema = f"last_us long, last_ev {etype}"
 
     def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -68,23 +72,26 @@ def streaming_transitions(
         if not len(ev):
             return
         ev = ev.sort_values([ts_col, event_col], kind="mergesort")
-        ms = ev[ts_col].astype("int64") // 1_000_000
+        # microsecond precision: Spark timestamps are µs; //1e6 to ms
+        # would truncate and break joins back to the source events
+        us = ev[ts_col].astype("int64") // 1_000
         names = ev[event_col].tolist()
-        times = [int(t) for t in ms]
+        times = [int(t) for t in us]
         if state.exists:
-            last_ms, last_ev = state.get
+            last_us, last_ev = state.get
             names = [last_ev] + names
-            times = [int(last_ms)] + times
+            times = [int(last_us)] + times
         state.update((times[-1], names[-1]))
+        # GroupState timeout timestamps are MILLISECONDS
         wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(times[-1] + ttl, wm + 1))
+        state.setTimeoutTimestamp(max(times[-1] // 1000 + ttl, wm + 1))
         if len(names) < 2:
             return
         yield pd.DataFrame({
             user_col: [uid] * (len(names) - 1),
             "src": names[:-1],
             "dst": names[1:],
-            "ts": pd.to_datetime(times[1:], unit="ms"),
+            "ts": pd.to_datetime(times[1:], unit="us"),
         })
 
     marked = stream.filter(F.col(user_col).isNotNull()
@@ -100,14 +107,7 @@ def transition_counts_from_pairs(pairs: DataFrame) -> DataFrame:
     """Batch rollup over a sink of emitted transition rows: ``(src,
     dst, n_transitions, probability)`` — the same output contract as
     ``ops.events.transition_matrix``, for reading back what the stream
-    wrote. Bounded (src, dst) aggregation + a window over that bounded
-    matrix."""
-    from pyspark.sql import Window
+    wrote — single-sourced from the batch operator's rollup."""
+    from whylogs_spark.ops.events import rollup_transition_pairs
 
-    counts = pairs.groupBy("src", "dst").agg(
-        F.count(F.lit(1)).alias("n_transitions"))
-    row_tot = F.sum("n_transitions").over(Window.partitionBy("src"))
-    return counts.select(
-        "src", "dst", "n_transitions",
-        (F.col("n_transitions").cast("double") / row_tot)
-        .alias("probability"))
+    return rollup_transition_pairs(pairs)
