@@ -487,6 +487,25 @@ def main() -> None:
         .dropDuplicates(["user_id", "ts"])
     )
 
+    # same bot-heavy shape with event_type kept, for the transition
+    # matrix (one user-partitioned window; the bot key serializes one
+    # task's sort — measure whether that matters at this skew)
+    ev10t = (
+        t["events"]
+        .crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
+        .select(
+            F.when(F.col("__rep") < 5, F.lit(-1))
+            .otherwise(F.col("user_id") * 10 + F.col("__rep"))
+            .alias("user_id"),
+            (F.col("ts") + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                F.col("__rep") / F.lit(1000.0))).alias("ts"),
+            "event_type")
+    )
+
+    def bench_transitions_hot10x():
+        _noop(events_ops.transition_matrix(ev10t))
+
     def bench_sessionize_hot10x_single():
         _noop(events_ops.sessionize(ev10))
 
@@ -813,6 +832,7 @@ def main() -> None:
         "sessionize_hot10x_bucketed": bench_sessionize_hot10x_bucketed,
         "asof_hot10x_single": bench_asof_hot10x_single,
         "asof_hot10x_bucketed": bench_asof_hot10x_bucketed,
+        "transitions_hot10x": bench_transitions_hot10x,
         "quality_signals_documents": bench_quality_signals,
         "fuzzy_decontam_documents": bench_fuzzy_decontam,
         "rollup_timeseries_events": bench_rollup_timeseries,
@@ -854,7 +874,8 @@ def main() -> None:
                 "sessionize_hot10x_single": 2,
                 "sessionize_hot10x_bucketed": 2,
                 "asof_hot10x_single": 2,
-                "asof_hot10x_bucketed": 2}
+                "asof_hot10x_bucketed": 2,
+                "transitions_hot10x": 2}
 
     # warm the JVM/IO once with a trivial action
     t["lineitem"].count()
