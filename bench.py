@@ -506,6 +506,10 @@ def main() -> None:
     def bench_transitions_hot10x():
         _noop(events_ops.transition_matrix(ev10t))
 
+    def bench_transitions_hot10x_bucketed():
+        _noop(events_ops.transition_matrix(
+            ev10t, hot_user_buckets="1 day"))
+
     def bench_sessionize_hot10x_single():
         _noop(events_ops.sessionize(ev10))
 
@@ -833,6 +837,7 @@ def main() -> None:
         "asof_hot10x_single": bench_asof_hot10x_single,
         "asof_hot10x_bucketed": bench_asof_hot10x_bucketed,
         "transitions_hot10x": bench_transitions_hot10x,
+        "transitions_hot10x_bucketed": bench_transitions_hot10x_bucketed,
         "quality_signals_documents": bench_quality_signals,
         "fuzzy_decontam_documents": bench_fuzzy_decontam,
         "rollup_timeseries_events": bench_rollup_timeseries,
@@ -875,7 +880,8 @@ def main() -> None:
                 "sessionize_hot10x_bucketed": 2,
                 "asof_hot10x_single": 2,
                 "asof_hot10x_bucketed": 2,
-                "transitions_hot10x": 2}
+                "transitions_hot10x": 2,
+                "transitions_hot10x_bucketed": 2}
 
     # warm the JVM/IO once with a trivial action
     t["lineitem"].count()

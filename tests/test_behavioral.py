@@ -132,6 +132,31 @@ def test_transition_matrix_tie_order_deterministic(spark):
     assert (out[0].src, out[0].dst) == ("a", "b")
 
 
+def test_transition_matrix_bucketed_parity(spark):
+    """The two-phase hot-user plan must produce EXACTLY the single-
+    phase counts — including bridges across bucket boundaries and
+    same-instant ties at a boundary."""
+    import random
+
+    rng = random.Random(21)
+    rows = []
+    for uid in range(1, 8):
+        m = 0
+        for _ in range(rng.randint(3, 40)):
+            m += rng.randint(0, 90)  # spans several 1-hour buckets
+            rows.append((uid, m, rng.choice("abcx")))
+        rows.append((uid, m, "a"))  # a tie at the last instant
+    df = _ev(rows, spark)
+    single = {(r.src, r.dst): r.n_transitions for r in
+              transition_matrix(df).collect()}
+    bucketed = {(r.src, r.dst): r.n_transitions for r in
+                transition_matrix(
+                    df, hot_user_buckets="1 hour").collect()}
+    assert single == bucketed
+    with pytest.raises(ValueError, match="positive"):
+        transition_matrix(df, hot_user_buckets="-1 hour")
+
+
 def test_streaming_transitions_matches_batch(spark, tmp_path):
     """Transition pairs from the stateful streaming operator, counted
     by transition_counts_from_pairs, must equal the batch

@@ -530,6 +530,7 @@ def transition_matrix(
     user_col: str = "user_id",
     ts_col: str = "ts",
     event_col: str = "event_type",
+    hot_user_buckets: Optional[str] = None,
 ) -> DataFrame:
     """First-order Markov transition counts/probabilities between
     consecutive events of the same user: ``(src, dst, n_transitions,
@@ -541,22 +542,68 @@ def transition_matrix(
     changing the event sequence). Null users/timestamps are excluded.
 
     Scale shape: ONE window pass partitioned by user (per-user
-    ordering, the sessionization bound — see ``sessionize`` for the
-    hot-user discussion), then a hash aggregation to the (src, dst)
-    matrix — partial-agged, bounded by distinct-event-types squared —
-    and row normalization as a window over that bounded matrix.
+    ordering, the sessionization bound), then a hash aggregation to
+    the (src, dst) matrix — partial-agged, bounded by distinct-event
+    -types squared — and row normalization as a window over that
+    bounded matrix.
+
+    Hot-user hazard (the ``sessionize`` pattern): the default plan
+    sorts each user's full history in one task. ``hot_user_buckets``
+    (an interval, e.g. ``"1 day"``) switches to the two-phase plan —
+    pair WITHIN (user, time-bucket) windows, then bridge each bucket
+    boundary with ONE extra pair (previous bucket's last event ->
+    this bucket's first event) from a per-(user, bucket) summary
+    whose first/last ride min/max (ts, event) struct aggregates.
+    Exactly the single-phase counts; a bot's rows spread across
+    buckets. Default policy mirrors sessionize's measured finding
+    (bench ``transitions_hot10x``): single-phase is fine below ~10^7
+    rows per user.
     """
-    w = Window.partitionBy(user_col).orderBy(
+    clean = df.filter(F.col(ts_col).isNotNull()
+                      & F.col(user_col).isNotNull()
+                      & F.col(event_col).isNotNull())
+    if hot_user_buckets is None:
+        w = Window.partitionBy(user_col).orderBy(
+            F.col(ts_col).asc(), F.col(event_col).asc())
+        src = (
+            clean.select(F.col(event_col).alias("src"),
+                         F.lead(event_col).over(w).alias("dst"))
+            .filter(F.col("dst").isNotNull())
+        )
+        return rollup_transition_pairs(src)
+
+    import pandas as _pd
+
+    bsec = float(_pd.Timedelta(hot_user_buckets).total_seconds())
+    if bsec <= 0:
+        raise ValueError(
+            f"hot_user_buckets must be positive: {hot_user_buckets}")
+    b = clean.withColumn(
+        "__tb",
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bsec))
+        .cast("long"))
+    wb = Window.partitionBy(user_col, "__tb").orderBy(
         F.col(ts_col).asc(), F.col(event_col).asc())
-    src = (
-        df.filter(F.col(ts_col).isNotNull()
-                  & F.col(user_col).isNotNull()
-                  & F.col(event_col).isNotNull())
-        .select(F.col(event_col).alias("src"),
-                F.lead(event_col).over(w).alias("dst"))
+    inside = (
+        b.select(F.col(event_col).alias("src"),
+                 F.lead(event_col).over(wb).alias("dst"))
         .filter(F.col("dst").isNotNull())
     )
-    return rollup_transition_pairs(src)
+    # one summary row per (user, bucket): first/last event by the
+    # SAME (ts, event) order, via commutative struct extremes — the
+    # bot's raw rows never funnel into one task
+    pick = F.struct(F.col(ts_col).alias("t"),
+                    F.col(event_col).alias("e"))
+    summ = b.groupBy(user_col, "__tb").agg(
+        F.min(pick).alias("__first"), F.max(pick).alias("__last"))
+    wu = Window.partitionBy(user_col).orderBy(F.col("__tb").asc())
+    bridges = (
+        summ.select(
+            F.lag(F.col("__last.e")).over(wu).alias("src"),
+            F.col("__first.e").alias("dst"))
+        .filter(F.col("src").isNotNull())
+    )
+    return rollup_transition_pairs(inside.unionByName(bridges))
 
 
 def ohlc_resample(
