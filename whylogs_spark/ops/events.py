@@ -555,9 +555,12 @@ def transition_matrix(
     this bucket's first event) from a per-(user, bucket) summary
     whose first/last ride min/max (ts, event) struct aggregates.
     Exactly the single-phase counts; a bot's rows spread across
-    buckets. Default policy mirrors sessionize's measured finding
-    (bench ``transitions_hot10x``): single-phase is fine below ~10^7
-    rows per user.
+    buckets. Default policy (measured, bench ``transitions_hot10x_*``
+    rows): with one bot owning 500k of 1M events (sf0.1, 32 cores)
+    single-phase ran 2.2 s vs bucketed 2.8 s (task-seconds 28 vs 48 —
+    the extra windows + summary rollup cost ~1.7x), so single-phase
+    stays the default; switch on ``hot_user_buckets`` when one user's
+    events approach ~10^7 rows or a task's memory.
     """
     clean = df.filter(F.col(ts_col).isNotNull()
                       & F.col(user_col).isNotNull()
