@@ -2524,6 +2524,18 @@ def _q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "expected")
 
 
+def _q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event path mining (ops/events.py frequent_sequences): (n-1)
+    leads over ONE per-user window emit the n-grams; bounded
+    (sequence -> count, users) rollup; k above the 5^3 sequence space
+    so the limit never tie-truncates."""
+    from whylogs_spark.ops.events import frequent_sequences
+
+    ev = _t(spark, sf_dir, "events")
+    out = frequent_sequences(ev, n=3, k=200)
+    return out.select("sequence", "n_occurrences", "n_users")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # r03 showed the driver gates the FIRST 50 entries; order so every
@@ -2709,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_customer": _q_fuzzy_join,
         "percentile_rollup_events": _q_percentile_rollup,
         "data_contract_lineitem": _q_data_contract,
+        "frequent_sequences_events": _q_frequent_sequences,
     }
 
 
@@ -5190,5 +5203,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT count(*) AS rows_, count(DISTINCT "
             "l_partkey) AS variants FROM lineitem GROUP BY "
             "l_orderkey, l_linenumber)"
+        ),
+        "frequent_sequences_events": (
+            "WITH s AS (SELECT user_id, [event_type, "
+            "lead(event_type, 1) OVER w, lead(event_type, 2) OVER w] "
+            "AS sequence FROM events WHERE ts IS NOT NULL AND "
+            "user_id IS NOT NULL AND event_type IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, "
+            "event_type)) "
+            "SELECT sequence, count(*)::BIGINT AS n_occurrences, "
+            "count(DISTINCT user_id)::BIGINT AS n_users FROM s "
+            "WHERE sequence[2] IS NOT NULL AND sequence[3] IS NOT "
+            "NULL GROUP BY 1 "
+            "ORDER BY n_occurrences DESC, n_users DESC, "
+            "sequence::VARCHAR LIMIT 200"
         ),
     }

@@ -771,12 +771,14 @@ def main() -> None:
             "l_extendedprice"))
 
     def bench_behavioral():
-        # funnel + cohort retention + Markov transitions over events
-        from whylogs_spark.ops.events import (funnel, retention_cohorts,
+        # funnel + retention + transitions + path mining over events
+        from whylogs_spark.ops.events import (frequent_sequences,
+                                              funnel, retention_cohorts,
                                               transition_matrix)
         _noop(funnel(t["events"], ["view", "click", "purchase"]))
         _noop(retention_cohorts(t["events"], grain="day"))
         _noop(transition_matrix(t["events"]))
+        _noop(frequent_sequences(t["events"], n=3, k=50))
 
     def bench_winsorize_hist2d_fd():
         # quantile clip + 2-D histogram + FD health in one sweep

@@ -1750,6 +1750,25 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z5z. frequent sequences: one Window operator despite n-1 leads
+    from whylogs_spark.ops.events import frequent_sequences
+
+    fs = frequent_sequences(ev, n=3, k=20)
+    sections.append((
+        "frequent sequences (event path mining)", fs,
+        {
+            "ONE Window operator for all the leads":
+                r"^(?!(?:[\s\S]*\(\d+\) Window){2})"
+                r"[\s\S]*\(\d+\) Window",
+            "sequence rollup partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "top-k via TakeOrderedAndProject":
+                r"TakeOrderedAndProject",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

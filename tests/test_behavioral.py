@@ -132,6 +132,38 @@ def test_transition_matrix_tie_order_deterministic(spark):
     assert (out[0].src, out[0].dst) == ("a", "b")
 
 
+def test_frequent_sequences(spark):
+    from whylogs_spark.ops.events import frequent_sequences
+
+    rows = [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (1, 3, "a"),
+        (1, 4, "b"), (1, 5, "c"),
+        (2, 0, "a"), (2, 1, "b"), (2, 2, "c"),
+        (3, 0, "x"), (3, 1, "x"),  # too short for n=3
+    ]
+    out = frequent_sequences(_ev(rows, spark), n=3, k=5).collect()
+    top = out[0]
+    assert top.sequence == ["a", "b", "c"]
+    assert top.n_occurrences == 3  # u1 twice (overlapping ok), u2 once
+    assert top.n_users == 2
+    # no sequence crosses users or includes incomplete tails
+    assert all(len(r.sequence) == 3 and None not in r.sequence
+               for r in out)
+    seqs = [tuple(r.sequence) for r in out]
+    assert ("c", "a", "b") in seqs and ("x", "x", "x") not in seqs
+    # n=2 agrees with the transition matrix counts
+    pairs = {tuple(r.sequence): r.n_occurrences for r in
+             frequent_sequences(_ev(rows, spark), n=2, k=50).collect()}
+    tm = {(r.src, r.dst): r.n_transitions for r in
+          transition_matrix(_ev(rows, spark)).collect()}
+    assert pairs == {k: v for k, v in tm.items()} or \
+        all(pairs[k] == v for k, v in tm.items())
+    with pytest.raises(ValueError, match="n must be"):
+        frequent_sequences(_ev(rows, spark), n=1)
+    with pytest.raises(ValueError, match="k must be"):
+        frequent_sequences(_ev(rows, spark), n=2, k=0)
+
+
 def test_transition_matrix_bucketed_parity(spark):
     """The two-phase hot-user plan must produce EXACTLY the single-
     phase counts — including bridges across bucket boundaries and

@@ -704,3 +704,55 @@ def percentile_rollup(
         _bucket_ts("__idx", gsec).alias("bucket"),
         *[F.col(f"q_{str(q).replace('.', '_')}") for q in qs],
     )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Top-k most frequent length-``n`` event paths (contiguous
+    subsequences of a user's (ts, event)-ordered stream): ``(sequence
+    array, n_occurrences, n_users)`` — the path-mining view behind
+    "what do users do right before purchasing".
+
+    Occurrences may overlap (a sliding window, the standard n-gram
+    count); ``n_users`` counts DISTINCT users exhibiting the path.
+    Exact-timestamp ties order by event name — the
+    ``transition_matrix`` convention, so length-2 sequences agree
+    with its counts.
+
+    Scale shape: ONE window pass per user emits the n-grams ((n-1)
+    ``lead`` calls over the SAME window spec — Spark plans one Window
+    operator, not n); the (sequence -> count, distinct users) rollup
+    partial-aggregates map-side (bounded by distinct observed paths,
+    <= event_types^n); top-k rides TakeOrderedAndProject. The per-user
+    sort carries the sessionization hot-user bound.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2: {n}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(event_col).asc())
+    steps = [F.col(event_col)] + [
+        F.lead(event_col, i).over(w) for i in range(1, n)]
+    grams = (
+        df.filter(F.col(ts_col).isNotNull()
+                  & F.col(user_col).isNotNull()
+                  & F.col(event_col).isNotNull())
+        .select(F.col(user_col).alias("__u"),
+                F.array(*steps).alias("sequence"))
+        .filter(~F.exists("sequence", lambda x: x.isNull()))
+    )
+    return (
+        grams.groupBy("sequence")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.countDistinct("__u").alias("n_users"))
+        .orderBy(F.desc("n_occurrences"), F.desc("n_users"),
+                 F.col("sequence").cast("string"))
+        .limit(k)
+    )
