@@ -466,7 +466,7 @@ def main() -> None:
     from whylogs_spark.ops import events as events_ops
     from whylogs_spark.ops.asof import asof_join
 
-    ev10 = (
+    ev10_base = (
         t["events"]
         .crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
         .select(
@@ -476,8 +476,9 @@ def main() -> None:
             (F.col("ts") + F.make_dt_interval(
                 F.lit(0), F.lit(0), F.lit(0),
                 F.col("__rep") / F.lit(1000.0))).alias("ts"),
-            "event_id", "value")
+            "event_id", "value", "event_type")
     )
+    ev10 = ev10_base.select("user_id", "ts", "event_id", "value")
     ev10_right = (
         t["events"]
         .select(
@@ -488,20 +489,9 @@ def main() -> None:
     )
 
     # same bot-heavy shape with event_type kept, for the transition
-    # matrix (one user-partitioned window; the bot key serializes one
-    # task's sort — measure whether that matters at this skew)
-    ev10t = (
-        t["events"]
-        .crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
-        .select(
-            F.when(F.col("__rep") < 5, F.lit(-1))
-            .otherwise(F.col("user_id") * 10 + F.col("__rep"))
-            .alias("user_id"),
-            (F.col("ts") + F.make_dt_interval(
-                F.lit(0), F.lit(0), F.lit(0),
-                F.col("__rep") / F.lit(1000.0))).alias("ts"),
-            "event_type")
-    )
+    # matrix — a projection of the SAME replicated base, so the skew /
+    # jitter policy stays single-sourced
+    ev10t = ev10_base.select("user_id", "ts", "event_type")
 
     def bench_transitions_hot10x():
         _noop(events_ops.transition_matrix(ev10t))

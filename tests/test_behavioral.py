@@ -156,8 +156,7 @@ def test_frequent_sequences(spark):
              frequent_sequences(_ev(rows, spark), n=2, k=50).collect()}
     tm = {(r.src, r.dst): r.n_transitions for r in
           transition_matrix(_ev(rows, spark)).collect()}
-    assert pairs == {k: v for k, v in tm.items()} or \
-        all(pairs[k] == v for k, v in tm.items())
+    assert pairs == tm  # exact: no spurious or missing sequences
     with pytest.raises(ValueError, match="n must be"):
         frequent_sequences(_ev(rows, spark), n=1)
     with pytest.raises(ValueError, match="k must be"):

@@ -51,3 +51,16 @@ def epoch_secs(col_name: str, dtype: str) -> Column:
     # STRING->DOUBLE would yield all-NULL buckets (silently disabling
     # the skew mitigation the caller asked for)
     return F.col(col_name).cast("timestamp").cast("double")
+
+
+def interval_seconds(interval: str, param: str) -> float:
+    """Parse a pandas-style interval string ('1 day', '30 minutes')
+    to positive seconds, raising the shared ValueError contract —
+    the one definition used by every hot-key two-phase option
+    (``sessionize`` / ``asof_join`` / ``transition_matrix``)."""
+    import pandas as _pd
+
+    secs = float(_pd.Timedelta(interval).total_seconds())
+    if secs <= 0:
+        raise ValueError(f"{param} must be positive: {interval}")
+    return secs

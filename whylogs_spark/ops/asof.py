@@ -140,14 +140,10 @@ def asof_join(
         # two-phase skew-bounded plan: carry within (key, time-bucket),
         # then bridge bucket boundaries with a per-bucket-close rollup
         # (one row per (key, bucket) — orders of magnitude smaller).
-        import pandas as _pd
+        from whylogs_spark.ops._time import epoch_secs, interval_seconds
 
-        bucket_sec = float(
-            _pd.Timedelta(hot_key_buckets).total_seconds())
-        if bucket_sec <= 0:
-            raise ValueError(
-                f"hot_key_buckets must be positive: {hot_key_buckets}")
-        from whylogs_spark.ops._time import epoch_secs
+        bucket_sec = interval_seconds(hot_key_buckets,
+                                      "hot_key_buckets")
 
         secs = epoch_secs(_TS, dict(unioned.dtypes)[_TS])
         bucketed = unioned.withColumn(

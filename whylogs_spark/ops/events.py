@@ -79,13 +79,9 @@ def sessionize(
             F.concat(F.col(user_col).cast("string"), F.lit("#"),
                      k.cast("string")))
 
-    import pandas as _pd
+    from whylogs_spark.ops._time import epoch_secs, interval_seconds
 
-    bucket_sec = float(_pd.Timedelta(hot_user_buckets).total_seconds())
-    if bucket_sec <= 0:
-        raise ValueError(
-            f"hot_user_buckets must be positive: {hot_user_buckets}")
-    from whylogs_spark.ops._time import epoch_secs
+    bucket_sec = interval_seconds(hot_user_buckets, "hot_user_buckets")
 
     # materialize the (possibly cast) event-time expression so the
     # NTZ-safe bucket derivation can reference it by name; NTZ values
@@ -575,16 +571,16 @@ def transition_matrix(
         )
         return rollup_transition_pairs(src)
 
-    import pandas as _pd
+    from whylogs_spark.ops._time import epoch_secs, interval_seconds
 
-    bsec = float(_pd.Timedelta(hot_user_buckets).total_seconds())
-    if bsec <= 0:
-        raise ValueError(
-            f"hot_user_buckets must be positive: {hot_user_buckets}")
+    bsec = interval_seconds(hot_user_buckets, "hot_user_buckets")
+    # monotonic bucket ids via the shared epoch helper — the same
+    # NTZ/DST and numeric-ts hazards sessionize/asof close with it
+    # (unix_timestamp is session-tz-dependent for NTZ and NULL for
+    # numeric ts, which would silently disable the skew mitigation)
+    secs = epoch_secs(ts_col, dict(clean.dtypes)[ts_col])
     b = clean.withColumn(
-        "__tb",
-        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bsec))
-        .cast("long"))
+        "__tb", F.floor(secs / F.lit(bsec)).cast("long"))
     wb = Window.partitionBy(user_col, "__tb").orderBy(
         F.col(ts_col).asc(), F.col(event_col).asc())
     inside = (
@@ -727,10 +723,14 @@ def frequent_sequences(
 
     Scale shape: ONE window pass per user emits the n-grams ((n-1)
     ``lead`` calls over the SAME window spec — Spark plans one Window
-    operator, not n); the (sequence -> count, distinct users) rollup
-    partial-aggregates map-side (bounded by distinct observed paths,
-    <= event_types^n); top-k rides TakeOrderedAndProject. The per-user
-    sort carries the sessionization hot-user bound.
+    operator, not n); the rollup's FINAL output is bounded by distinct
+    observed paths (<= event_types^n), but the distinct-users count
+    makes Spark's two-stage distinct rewrite key its partial state by
+    (sequence, user) — bounded by distinct (path, user) PAIRS, which
+    for a high-cardinality user space approaches row count (the honest
+    cost of an exact n_users; drop the column or pre-aggregate if that
+    matters); top-k rides TakeOrderedAndProject. The per-user sort
+    carries the sessionization hot-user bound.
     """
     if n < 2:
         raise ValueError(f"n must be >= 2: {n}")
