@@ -55,6 +55,21 @@ def test_fuzzy_join_soundex_and_both(spark):
     assert len(keys) == len(set(keys))  # union deduplicated
 
 
+def test_fuzzy_join_both_keeps_duplicate_row_multiplicity(spark):
+    """block='both' must dedup only the union's double-matched PAIRS,
+    not genuinely duplicate input rows: two identical left rows
+    matching one right row yield two pairs, like prefix/soundex."""
+    left = spark.createDataFrame(
+        [(1, "Acme Corp"), (1, "Acme Corp")], "lid long, name string")
+    right = spark.createDataFrame(
+        [(10, "acme corp")], "rid long, name string")
+    for mode in ("prefix", "soundex", "both"):
+        out = blocked_fuzzy_join(left, right, "name", block=mode,
+                                 block_len=4, max_distance=2).collect()
+        assert len(out) == 2, mode
+        assert all(r.distance == 0 for r in out)
+
+
 def test_fuzzy_join_collision_suffix_and_validation(spark):
     left = spark.createDataFrame([(1, "abcd")], "id long, name string")
     right = spark.createDataFrame([(2, "abce")], "id long, name string")

@@ -472,6 +472,38 @@ def test_seasonal_decompose_gap_nulls_trend(spark):
     assert out[30].residual == pytest.approx(0.0)
 
 
+def test_seasonal_decompose_pre_epoch_slots(spark):
+    """Pre-1970 timestamps have negative bucket indexes; slot must be
+    pmod(idx, period) in 0..period-1, not Spark's sign-following %,
+    so a series straddling the epoch keeps one seasonal index per
+    phase instead of splitting it across +/- slot keys."""
+    import datetime as dt
+
+    base = dt.datetime(1969, 12, 31, 12)   # 36 h before epoch end
+    rows = [(base + dt.timedelta(hours=h),
+             10.0 + (h % 4)) for h in range(72)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = (seasonal_decompose(df, "ts", "value", grain="hour",
+                              period=4).orderBy("bucket").collect())
+    assert len(out) == 72
+    assert all(0 <= r.slot < 4 for r in out)
+    # base is 1969-12-31T12Z = epoch hour -36, so hour h has
+    # idx = h - 36 and phase pmod(h - 36, 4) == h % 4
+    for r in out:
+        h = int((r.bucket - base).total_seconds() // 3600)
+        assert r.slot == h % 4, (h, r.slot)
+    # one seasonal index per phase (4 distinct values, zero-mean) —
+    # with sign-following % the pre-epoch half would contribute
+    # negative slots and split each phase's index in two
+    by_slot = {}
+    for r in out:
+        by_slot.setdefault(r.slot, set()).add(round(r.seasonal, 9))
+    assert set(by_slot) == {0, 1, 2, 3}
+    assert all(len(v) == 1 for v in by_slot.values())
+    assert sum(next(iter(v)) for v in by_slot.values()) == \
+        pytest.approx(0.0, abs=1e-9)
+
+
 def test_seasonal_decompose_nan_treated_as_missing(spark):
     import datetime as dt
 

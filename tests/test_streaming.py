@@ -778,6 +778,49 @@ def test_streaming_heavy_hitters_mg_bounds(spark, tmp_path):
         streaming_heavy_hitters(stream, slots=0)
 
 
+def test_streaming_frequent_drop_null_event_times(spark, tmp_path):
+    """Rows with a null event time must be dropped before windowing in
+    both streaming_value_counts and streaming_heavy_hitters — a null ts
+    otherwise keys a null/NaT window whose heavy-hitters state row
+    computes wstart_ms from the int64 NaT sentinel."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.frequent import (
+        streaming_heavy_hitters, streaming_value_counts)
+
+    t0 = dt.datetime(2024, 8, 1, 9, 0)
+    rows = [(t0 + dt.timedelta(minutes=i), "ok") for i in range(5)]
+    rows += [(None, "null_ts")] * 3
+    rows += [(t0 + dt.timedelta(days=2), "zz")]   # watermark sentinel
+    schema = "ts timestamp, status string"
+    src = str(tmp_path / "nullts_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    vc = streaming_value_counts(
+        stream, ts_col="ts", value_col="status",
+        window_duration="1 hour", watermark="0 seconds")
+    q = (vc.writeStream.format("memory").queryName("nullts_vc")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    vrows = spark.sql("SELECT * FROM nullts_vc").collect()
+    assert all(r.window_start is not None for r in vrows)
+    assert not [r for r in vrows if r.value == "null_ts"]
+
+    hh = streaming_heavy_hitters(
+        stream, ts_col="ts", value_col="status",
+        window_duration="1 hour", watermark="0 seconds", slots=8)
+    q = (hh.writeStream.format("memory").queryName("nullts_hh")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    hrows = spark.sql(
+        "SELECT * FROM nullts_hh WHERE window_start < '2024-08-02'"
+    ).collect()
+    assert hrows and all(r.window_start == t0 for r in hrows)
+    assert {r.value for r in hrows} == {"ok"}
+    assert all(r.n_rows == 5 for r in hrows)
+
+
 def test_streaming_fk_monitor_matches_batch(spark, tmp_path):
     """Windowed orphan accounting over a file stream equals the same
     accounting computed in batch, and the runtime plan is a broadcast

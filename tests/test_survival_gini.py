@@ -120,3 +120,13 @@ def test_lorenz_curve_shares(spark):
     assert out[4].value_share == pytest.approx(1.0)
     with pytest.raises(ValueError, match="n_points"):
         lorenz_curve(df, "x", n_points=0)
+
+
+def test_lorenz_curve_all_zero_nulls_value_share(spark):
+    """A non-empty all-zero column has total mass 0: value_share must
+    be null (matching gini_coefficient's degenerate case), not NaN."""
+    z = spark.createDataFrame([(0.0,)] * 4, "x double")
+    rows = lorenz_curve(z, "x", n_points=2).collect()
+    assert rows  # pop_share still well-defined
+    assert all(r.value_share is None for r in rows)
+    assert rows[-1].pop_share == pytest.approx(1.0)

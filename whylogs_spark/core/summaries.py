@@ -706,7 +706,10 @@ def lorenz_curve(
     g = g.withColumn("__w", F.col("__v") * F.col("__c").cast("double"))
     c = running_sums(g, ["__v"], ["__c", "__w"])
     pop = F.col("__cum___c").cast("double") / F.col("__g___c")
-    val = F.col("__cum___w") / F.col("__g___w")
+    # an all-zero column has grand total 0: null the shares (matching
+    # gini_coefficient's degenerate case) instead of emitting NaN
+    val = F.when(F.col("__g___w") > 0,
+                 F.col("__cum___w") / F.col("__g___w"))
     pts = c.select(
         F.ceil(pop * F.lit(n_points)).cast("int").alias("bucket"),
         pop.alias("pop_share"), val.alias("value_share"))

@@ -345,7 +345,10 @@ def seasonal_decompose(
         *key_cols, "__idx", "n_obs", "y",
         F.when(F.count(F.lit(1)).over(w) == F.lit(width),
                F.avg("y").over(w)).alias("trend"),
-        (F.col("__idx") % F.lit(period)).alias("slot"),
+        # pmod, not %: Spark's % follows the dividend sign, so pre-1970
+        # timestamps (negative __idx) would get negative slots and split
+        # each seasonal index across two slot keys
+        F.pmod(F.col("__idx"), F.lit(period)).alias("slot"),
     ).withColumn("__detr", F.col("y") - F.col("trend"))
     # per-slot seasonal index (bounded: period rows per key),
     # normalized so indexes sum to zero across slots

@@ -105,9 +105,15 @@ def blocked_fuzzy_join(
 
     if block == "both":
         # two equi-joins unioned (aliased projections, so the column
-        # names are already disambiguated), then a distinct over the
-        # pair — an OR join condition would plan a nested-loop cross
-        # product
-        parts = [joined(lk == rk) for lk, rk in zip(lkeys, rkeys)]
-        return parts[0].unionByName(parts[1]).distinct()
+        # names are already disambiguated) — an OR join condition would
+        # plan a nested-loop cross product. The second branch excludes
+        # pairs the first key already matched, so each joined pair
+        # appears exactly once WITHOUT a distinct: genuinely duplicate
+        # input rows keep their multiplicity, matching the prefix and
+        # soundex modes. (Keys are non-null under l_ok/r_ok, so
+        # eqNullSafe here is plain equality.)
+        first = joined(lkeys[0] == rkeys[0])
+        rest = joined((lkeys[1] == rkeys[1])
+                      & ~lkeys[0].eqNullSafe(rkeys[0]))
+        return first.unionByName(rest)
     return joined(same_block)

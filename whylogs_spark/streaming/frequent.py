@@ -50,6 +50,9 @@ def streaming_value_counts(
     v = F.substring(F.col(value_col).cast("string"), 1, truncate)
     src = (
         stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        # null event times would key a null window row; drop them before
+        # the watermark, matching streaming_transitions
+        .filter(F.col(ts_col).isNotNull())
         .withWatermark(ts_col, watermark)
         .filter(F.col(value_col).isNotNull())
     )
@@ -177,6 +180,9 @@ def streaming_heavy_hitters(
 
     src = (
         stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        # a null event time would yield a NaT __wstart key and a phantom
+        # state row whose wstart_ms is the int64 NaT sentinel
+        .filter(F.col(ts_col).isNotNull())
         .withWatermark(ts_col, watermark)
         .withColumn(
             "__wstart",
