@@ -375,11 +375,33 @@ def lsh_pairs_from_index(
     """Verified near-dup pairs from a :func:`minhash_index` frame —
     the banding + in-bucket expansion + exact-Jaccard verify core of
     ``minhash_lsh_pairs``, reusable against a PERSISTED index (no
-    re-tokenization of the corpus).
+    re-tokenization of the corpus). The banding side reads only the
+    signature column and the verify side only the shingle column, so a
+    Parquet-backed index scans each column once, pruned.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    banded = idx.select(
+    return _lsh_verified_pairs(idx, idx, id_col, num_hashes, bands,
+                               jaccard_threshold, max_bucket)
+
+
+def _lsh_verified_pairs(
+    sig_df: DataFrame,
+    shingle_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    max_bucket: int = 2048,
+) -> DataFrame:
+    """Band `sig_df` (needs ``minhash_sig``), expand in-bucket pairs,
+    verify exact Jaccard against `shingle_df` (needs ``shingles``).
+    Taking the two inputs separately lets the one-shot path feed the
+    cheap signature-only / shingle-only Arrow passes instead of
+    evaluating a combined index pass twice (the banding side would
+    materialize every shingle list it never reads, and the verify side
+    would recompute the full permutation matrix)."""
+    banded = sig_df.select(
         F.col(id_col).alias("__id"),
         F.explode(_band_structs(num_hashes, bands)).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
@@ -410,8 +432,8 @@ def lsh_pairs_from_index(
         .distinct()
     )
 
-    shingled = idx.select(F.col(id_col).alias("__id"),
-                          F.col("shingles").alias("__sh"))
+    shingled = shingle_df.select(F.col(id_col).alias("__id"),
+                                 F.col("shingles").alias("__sh"))
     return (
         pairs.join(
             shingled.withColumnRenamed("__id", "id_a")
@@ -450,16 +472,27 @@ def minhash_lsh_pairs(
     pair set joins back to shingle sets for exact Jaccard — the join is on
     ids, broadcast-able when candidates are few.
 
-    Signature + shingle computation shares one pass through
-    :func:`minhash_index`; the pair machinery is
-    :func:`lsh_pairs_from_index`.
+    Signatures for banding and shingle sets for the verify join are
+    computed by SEPARATE single-purpose Arrow passes
+    (:func:`minhash_signatures` / :func:`shingle_hash_sets`) — measured
+    faster than evaluating a combined :func:`minhash_index` pass on both
+    sides of the pair machinery, since each side then carries only the
+    column it consumes. Persisted-index runs use
+    :func:`lsh_pairs_from_index` instead.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    idx = minhash_index(df, text_col, id_col, num_hashes,
-                        shingle_words, impl)
-    return lsh_pairs_from_index(idx, id_col, num_hashes, bands,
-                                jaccard_threshold)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes,
+                             shingle_words, impl)
+    if impl == "sql":
+        sh = ensure_parallelism(df).select(
+            F.col(id_col),
+            hashed_word_shingles(F.col(text_col), shingle_words)
+            .alias("shingles"))
+    else:
+        sh = shingle_hash_sets(df, text_col, id_col, shingle_words)
+    return _lsh_verified_pairs(sig, sh, id_col, num_hashes, bands,
+                               jaccard_threshold)
 
 
 def connected_components(
