@@ -1913,12 +1913,17 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ops/dedup.hamming_neardup_pairs): two deterministic synthetic
     BMPs per document row (LCG noise seeded by doc_id; second copy
     brightness-lifted +3) are decoded, dHashed, and banded-joined.
-    Rows-only gate: DuckDB cannot decode BMP or take a DCT — hash
-    semantics are pinned in tests/test_image_hash.py against per-bit
-    recomputation and a brute-force O(n^2) pair scan."""
+    Full-oracle gate via a component-constructed table (see
+    ``_image_neardup_sql``): DuckDB cannot decode BMP, so the per-image
+    dhash values — whose semantics are independently pinned in
+    tests/test_image_hash.py against per-bit recomputation — are
+    precomputed and inlined, and the banding+verify machinery is gated
+    against a brute-force O(n^2) Hamming scan (pigeonhole: 4x16-bit
+    blocks make banding exact at max_hamming=3)."""
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 200))
 
     def gen(batches):
         for pdf in batches:
@@ -2806,6 +2811,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracle SQL
+def _image_neardup_sql() -> str:
+    """Component-constructed oracle for the image near-dup pipeline:
+    DuckDB cannot decode BMP, so the dhash of each synthetic image is
+    precomputed here (same deterministic doc_id-seeded generator as the
+    Spark query; hash semantics independently pinned in
+    tests/test_image_hash.py) and inlined as a VALUES table joined to
+    `documents` so only existing doc_ids participate. The LSH
+    banding + verify machinery is then hash-gated against a brute-force
+    O(n^2) Hamming scan — exact, because 4x16-bit block banding is
+    pigeonhole-complete at max_hamming=3."""
+    from whylogs_spark.ops.multimodal import perceptual_hashes
+
+    rows = []
+    for d in range(200):
+        base = _lcg_pixels(d)
+        _, dh_a, _ = perceptual_hashes(_gray_bmp16(base))
+        _, dh_b, _ = perceptual_hashes(
+            _gray_bmp16([min(v + 3, 255) for v in base]))
+        rows.append(f"({d},{2 * d},{dh_a})")
+        rows.append(f"({d},{2 * d + 1},{dh_b})")
+    return (
+        "WITH h(doc_id, img_id, dhash) AS (VALUES "
+        + ",".join(rows) + "), "
+        "img AS (SELECT img_id::BIGINT AS img_id, dhash FROM h "
+        "JOIN documents USING (doc_id) WHERE doc_id < 200) "
+        "SELECT a.img_id AS id_a, b.img_id AS id_b, "
+        "bit_count(xor(a.dhash, b.dhash))::INT AS hamming "
+        "FROM img a JOIN img b ON a.img_id < b.img_id "
+        "WHERE bit_count(xor(a.dhash, b.dhash)) <= 3 "
+        "ORDER BY id_a, id_b"
+    )
+
+
 def _corr_matrix_sql(cols: list, table: str) -> str:
     """Pairwise-complete sample Pearson per unordered pair — one
     UNION ALL branch per pair, mirroring ops/stats.correlation_matrix
@@ -4616,11 +4654,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id >= 250 "
             "AND doc_id NOT IN (SELECT id_b FROM losers)"
         ),
-        # image_neardup_synthetic: NO oracle — DuckDB can neither
-        # decode BMP nor take a DCT; rows-only check. Hash semantics
-        # are pinned in tests/test_image_hash.py (per-bit
-        # recomputation, textbook-DCT cross-check, brute-force pair
-        # scan with planted near pairs).
+        "image_neardup_synthetic": _image_neardup_sql(),
         "ewma_chart_events": (
             # horizon 164 PRECEDING = ceil(ln(2^-53)/ln(0.8)) - 1;
             # daily series are far shorter, so the frame covers each
