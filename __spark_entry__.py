@@ -1942,6 +1942,38 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment A/B experiment report (ops/abtest.py
+    ab_test_report): Welch's t + exact tie-corrected Mann-Whitney U
+    over a groupBy(segment, value) distinct-value table, ranks via the
+    grouped two-phase prefix sum (core/prefix.py grouped_running_sums)
+    — no single-partition window. Group = customer-key parity, metric
+    = o_totalprice, segment = o_orderstatus. Rank sums and U are sums
+    of multiples of 0.5 below 2^52, hence FP-exact and unrounded;
+    moments/statistics round to stable digits (sd, not variance — the
+    one-pass variance of a 1e5-mean column carries ~1e0 absolute FP
+    noise at 4e9 magnitude, while sd keeps 8 stable decimals)."""
+    from whylogs_spark.ops.abtest import ab_test_report
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__grp", (F.col("o_custkey") % 2 == 1).cast("int"))
+    rep = ab_test_report(o, "__grp", "o_totalprice", 0, 1,
+                         ["o_orderstatus"])
+    return rep.select(
+        "o_orderstatus", "n_c", "n_t",
+        F.round("mean_c", 4).alias("mean_c"),
+        F.round("mean_t", 4).alias("mean_t"),
+        F.round("diff", 4).alias("diff"),
+        F.round("lift", 6).alias("lift"),
+        F.round(F.sqrt("var_c"), 3).alias("sd_c"),
+        F.round(F.sqrt("var_t"), 3).alias("sd_t"),
+        F.round("welch_t", 6).alias("welch_t"),
+        F.round("welch_df", 4).alias("welch_df"),
+        "rank_sum_t", "u_stat",
+        F.round("mw_z", 6).alias("mw_z"),
+    ).orderBy("o_orderstatus")
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k retrieval (ops/search.py bm25_search): doc
     length as a zero-shuffle codegen projection, tf restricted to the
@@ -2802,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_rollup_events": _q_percentile_rollup,
         "data_contract_lineitem": _q_data_contract,
         "frequent_sequences_events": _q_frequent_sequences,
+        "ab_test_orders": _q_ab_test,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5331,5 +5364,53 @@ def oracle_sql() -> dict[str, str]:
             "NULL GROUP BY 1 "
             "ORDER BY n_occurrences DESC, n_users DESC, "
             "sequence::VARCHAR LIMIT 200"
+        ),
+        "ab_test_orders": (
+            # replay of ops/abtest.ab_test_report: distinct-value
+            # table, window cumsum for average ranks, value-weighted
+            # moments; rank_sum_t/u_stat are FP-exact (multiples of
+            # 0.5 below 2^52) and left unrounded
+            "WITH base AS (SELECT o_orderstatus, CASE WHEN "
+            "o_custkey % 2 = 1 THEN 1 ELSE 0 END AS t, "
+            "o_totalprice::DOUBLE AS v FROM orders), "
+            "g AS (SELECT o_orderstatus, v, sum(1 - t)::BIGINT AS "
+            "c_ct, sum(t)::BIGINT AS t_ct, count(*)::BIGINT AS tot "
+            "FROM base GROUP BY 1, 2), "
+            "w AS (SELECT *, sum(tot) OVER (PARTITION BY "
+            "o_orderstatus ORDER BY v) AS cum FROM g), "
+            "rep AS (SELECT o_orderstatus, sum(c_ct)::BIGINT AS n_c, "
+            "sum(t_ct)::BIGINT AS n_t, sum(v * c_ct) AS s_c, "
+            "sum(v * v * c_ct) AS ss_c, sum(v * t_ct) AS s_t, "
+            "sum(v * v * t_ct) AS ss_t, "
+            "sum(t_ct::DOUBLE * ((cum - tot)::DOUBLE + "
+            "(tot::DOUBLE + 1.0::DOUBLE) / 2.0::DOUBLE)) AS "
+            "rank_sum_t, "
+            "sum(pow(tot::DOUBLE, 3) - tot::DOUBLE) AS ties "
+            "FROM w GROUP BY 1), "
+            "m AS (SELECT o_orderstatus, n_c, n_t, rank_sum_t, ties, "
+            "s_c / n_c AS mean_c, s_t / n_t AS mean_t, "
+            "greatest((ss_c - n_c * (s_c / n_c) * (s_c / n_c)) / "
+            "(n_c - 1), 0.0::DOUBLE) AS var_c, "
+            "greatest((ss_t - n_t * (s_t / n_t) * (s_t / n_t)) / "
+            "(n_t - 1), 0.0::DOUBLE) AS var_t FROM rep), "
+            "s AS (SELECT *, var_c / n_c + var_t / n_t AS se2, "
+            "n_c::DOUBLE + n_t::DOUBLE AS n_all, "
+            "rank_sum_t - n_t::DOUBLE * (n_t::DOUBLE + 1.0::DOUBLE) "
+            "/ 2.0::DOUBLE AS u_stat FROM m) "
+            "SELECT o_orderstatus, n_c, n_t, "
+            "round(mean_c, 4) AS mean_c, round(mean_t, 4) AS mean_t, "
+            "round(mean_t - mean_c, 4) AS diff, "
+            "round((mean_t - mean_c) / mean_c, 6) AS lift, "
+            "round(sqrt(var_c), 3) AS sd_c, "
+            "round(sqrt(var_t), 3) AS sd_t, "
+            "round((mean_t - mean_c) / sqrt(se2), 6) AS welch_t, "
+            "round(se2 * se2 / ((var_c / n_c) * (var_c / n_c) / "
+            "(n_c - 1) + (var_t / n_t) * (var_t / n_t) / (n_t - 1)), "
+            "4) AS welch_df, rank_sum_t, u_stat, "
+            "round((u_stat - n_c::DOUBLE * n_t::DOUBLE / "
+            "2.0::DOUBLE) / sqrt(n_c::DOUBLE * n_t::DOUBLE / "
+            "12.0::DOUBLE * (n_all + 1.0::DOUBLE - ties / "
+            "(n_all * (n_all - 1.0::DOUBLE)))), 6) AS mw_z "
+            "FROM s ORDER BY o_orderstatus"
         ),
     }

@@ -677,6 +677,15 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_ab_test():
+        # Welch + exact Mann-Whitney per order status: one data
+        # shuffle + the grouped prefix-sum rank walk
+        from whylogs_spark.ops.abtest import ab_test_report
+        _noop(ab_test_report(
+            t["orders"].withColumn(
+                "__grp", (F.col("o_custkey") % 2 == 1).cast("int")),
+            "__grp", "o_totalprice", 0, 1, ["o_orderstatus"]))
+
     def bench_data_contract():
         # a 9-check contract compiled into one agg + one fd branch
         from whylogs_spark.ops.expect import check_dataframe
@@ -867,6 +876,7 @@ def main() -> None:
         "anonymize_ohlc": bench_anonymize_ohlc,
         "linkage_percentiles": bench_linkage_percentiles,
         "data_contract": bench_data_contract,
+        "ab_test_orders": bench_ab_test,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -1769,6 +1769,31 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6a. A/B test report: one data shuffle (the distinct-value
+    # groupBy), grouped two-phase rank walk, broadcast slice rollup
+    from whylogs_spark.ops.abtest import ab_test_report
+
+    ab = ab_test_report(
+        load_table(spark, SF_DIR, "orders").withColumn(
+            "__grp", (F.col("o_custkey") % 2 == 1).cast("int")),
+        "__grp", "o_totalprice", 0, 1, ["o_orderstatus"])
+    sections.append((
+        "A/B test report (Welch + Mann-Whitney)", ab,
+        {
+            "distinct-value collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "range partitioning drives the grouped rank walk":
+                r"rangepartitioning\(",
+            "slice rollup joined back by broadcast":
+                r"BroadcastHashJoin",
+            "every window carries a partition key":
+                r"^(?![\s\S]*windowspecdefinition\((__v|__slice)#"
+                r"[^,]*, __v)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

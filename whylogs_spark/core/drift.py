@@ -93,6 +93,65 @@ def chi2_sf(stat: float, dof: int) -> float:
     return _gammainc_upper_reg(dof / 2.0, stat / 2.0)
 
 
+def normal_sf(z: float) -> float:
+    """Standard normal survival function P(Z > z) via erfc."""
+    return 0.5 * math.erfc(z / math.sqrt(2.0))
+
+
+def _betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) — Lentz continued
+    fraction with the symmetry pivot at x = (a+1)/(a+b+2) (the
+    standard numerically-stable evaluation)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+                + a * math.log(x) + b * math.log1p(-x))
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _betainc_reg(b, a, 1.0 - x)
+    tiny = 1e-300
+    c = 1.0
+    d = 1.0 - (a + b) * x / (a + 1.0)
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        num = m * (b - m) * x / ((a + 2.0 * m - 1.0) * (a + 2.0 * m))
+        d = 1.0 + num * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + num / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        num = -(a + m) * (a + b + m) * x / (
+            (a + 2.0 * m) * (a + 2.0 * m + 1.0))
+        d = 1.0 + num * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + num / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return math.exp(ln_front) * h / a
+
+
+def student_t_sf(t: float, dof: float) -> float:
+    """Student-t survival function P(T > t) for real dof > 0."""
+    if dof <= 0 or math.isnan(t) or math.isnan(dof):
+        return float("nan")
+    x = dof / (dof + t * t)
+    p = 0.5 * _betainc_reg(dof / 2.0, 0.5, x)
+    return p if t >= 0 else 1.0 - p
+
+
 # ------------------------------------------------------------------ KS test
 def ks_test_from_sketches(
     a: KllSketch, b: KllSketch, quantiles: Optional[List[float]] = None

@@ -93,6 +93,56 @@ def slice_rollup(totals: DataFrame, sum_cols: Sequence[str],
     return totals.select(*sel)
 
 
+def grouped_running_sums(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group inclusive running sums of ``sum_cols`` in
+    ``order_cols`` order — :func:`running_sums` keyed by
+    (group, slice), the grouped two-phase shape
+    ``core.summaries.exact_quantiles`` pioneered. Adds
+    ``__cum_<col>`` (per-group inclusive cumulative) and
+    ``__g_<col>`` (per-GROUP grand total) columns. The rollup frame
+    stays bounded at groups x slices rows and is broadcast back; the
+    group-key join is null-safe, so NULL group keys (the profiler's
+    "None" sentinel class) survive. ``order_cols`` must be unique
+    WITHIN each group (same requirement as the global form).
+    """
+    if not group_cols:
+        return running_sums(df, order_cols, sum_cols)
+    from functools import reduce
+    from operator import and_
+
+    require_exchange_reuse(df)
+    part = [F.col(c) for c in group_cols]
+    rp = df.repartitionByRange(
+        *part, *[F.col(c) for c in order_cols]) \
+        .withColumn("__slice", F.spark_partition_id())
+    w1 = Window.partitionBy(*part, F.col("__slice")) \
+        .orderBy(*[F.col(c).asc() for c in order_cols]) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = rp.select(
+        "*",
+        *[F.sum(F.col(c)).over(w1).alias(f"__l_{c}")
+          for c in sum_cols])
+    totals = rp.groupBy(*group_cols, "__slice").agg(
+        *[F.sum(F.col(c)).alias(c) for c in sum_cols])
+    meta = slice_rollup(totals, list(sum_cols),
+                        partition_cols=group_cols)
+    cond = reduce(and_, [local[c].eqNullSafe(meta[c])
+                         for c in group_cols]
+                  + [local["__slice"] == meta["__slice"]])
+    j = local.join(F.broadcast(meta), cond) \
+        .drop(meta["__slice"], *[meta[c] for c in group_cols])
+    keep: List = [F.col(c) for c in df.columns]
+    keep += [(F.col(f"__l_{c}") + F.col(f"__o_{c}"))
+             .alias(f"{CUM_PREFIX}{c}") for c in sum_cols]
+    keep += [F.col(f"__g_{c}") for c in sum_cols]
+    return j.select(*keep)
+
+
 def running_sums(
     df: DataFrame,
     order_cols: Sequence[str],
