@@ -1942,6 +1942,26 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ACF + Ljung-Box Q over the hourly value series
+    (ops/events.py autocorrelation): lagged pairs via ONE equi-join of
+    the bucketed series against itself exploded over the lag spine —
+    no per-key full-series window; Q's cumulative runs over the
+    bounded key x max_lag frame. The oracle replays the identical
+    bucket/mean/lag-join/recursion in DuckDB."""
+    from whylogs_spark.ops.events import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    out = autocorrelation(ev, "ts", "value",
+                          key_cols=["event_type"], grain="hour",
+                          max_lag=6)
+    return out.select(
+        "event_type", "lag", "n_pairs",
+        F.round("acf", 6).alias("acf"),
+        F.round("qstat", 6).alias("qstat"),
+    ).orderBy("event_type", "lag")
+
+
 def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment A/B experiment report (ops/abtest.py
     ab_test_report): Welch's t + exact tie-corrected Mann-Whitney U
@@ -2835,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_contract_lineitem": _q_data_contract,
         "frequent_sequences_events": _q_frequent_sequences,
         "ab_test_orders": _q_ab_test,
+        "autocorrelation_events": _q_autocorrelation,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5412,5 +5433,35 @@ def oracle_sql() -> dict[str, str]:
             "12.0::DOUBLE * (n_all + 1.0::DOUBLE - ties / "
             "(n_all * (n_all - 1.0::DOUBLE)))), 6) AS mw_z "
             "FROM s ORDER BY o_orderstatus"
+        ),
+        "autocorrelation_events": (
+            # replay of ops/events.autocorrelation: hourly bucket
+            # means, biased ACF over whole-series mean/denominator,
+            # lagged pairs by idx self-join, Ljung-Box cumulative
+            "WITH series AS (SELECT event_type, "
+            "floor(epoch(ts) / 3600)::BIGINT AS idx, avg(value) AS y "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+            "AND NOT isnan(value::DOUBLE) GROUP BY 1, 2), "
+            "stats AS (SELECT event_type, count(*)::BIGINT AS n, "
+            "avg(y) AS mu, sum(y * y) - count(*) * avg(y) * avg(y) "
+            "AS denom FROM series GROUP BY 1), "
+            "lags AS (SELECT unnest(range(1, 7))::BIGINT AS lag), "
+            "p AS (SELECT a.event_type, l.lag, count(*)::BIGINT AS "
+            "n_pairs, sum((a.y - st.mu) * (b.y - st.mu)) AS num "
+            "FROM series a CROSS JOIN lags l "
+            "JOIN series b ON b.event_type IS NOT DISTINCT FROM "
+            "a.event_type AND b.idx = a.idx - l.lag "
+            "JOIN stats st ON st.event_type IS NOT DISTINCT FROM "
+            "a.event_type GROUP BY 1, 2), "
+            "r AS (SELECT p.event_type, p.lag, p.n_pairs, CASE WHEN "
+            "st.denom > 0 THEN p.num / st.denom END AS acf_u, st.n "
+            "FROM p JOIN stats st ON st.event_type IS NOT DISTINCT "
+            "FROM p.event_type) "
+            "SELECT event_type, lag, n_pairs, "
+            "round(acf_u, 6) AS acf, "
+            "round(n::DOUBLE * (n + 2) * sum(coalesce(acf_u * acf_u, "
+            "0.0::DOUBLE) / (n - lag)) OVER (PARTITION BY event_type "
+            "ORDER BY lag), 6) AS qstat "
+            "FROM r ORDER BY event_type, lag"
         ),
     }

@@ -677,6 +677,11 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_autocorrelation():
+        from whylogs_spark.ops.events import autocorrelation
+        _noop(autocorrelation(t["events"], "ts", "value",
+                              key_cols=["event_type"], max_lag=24))
+
     def bench_ab_test():
         # Welch + exact Mann-Whitney per order status: one data
         # shuffle + the grouped prefix-sum rank walk
@@ -877,6 +882,7 @@ def main() -> None:
         "linkage_percentiles": bench_linkage_percentiles,
         "data_contract": bench_data_contract,
         "ab_test_orders": bench_ab_test,
+        "autocorrelation_events": bench_autocorrelation,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

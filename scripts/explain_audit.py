@@ -1794,6 +1794,32 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6b. autocorrelation: lag spine explode + ONE equi-join (no
+    # per-key full-series window), broadcast per-key stats
+    from whylogs_spark.ops.events import autocorrelation
+
+    acf = autocorrelation(ev, "ts", "value",
+                          key_cols=["event_type"], max_lag=6)
+    sections.append((
+        "autocorrelation (lag-join ACF + Ljung-Box)", acf,
+        {
+            "bucket collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "per-key stats joined back by broadcast":
+                r"BroadcastHashJoin",
+            "lagged pairs via hash equi-join":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "no cartesian / nested-loop join":
+                r"^(?![\s\S]*(CartesianProduct|"
+                r"BroadcastNestedLoopJoin))",
+            "the only window runs over the bounded key x lag frame":
+                r"^(?!(?:[\s\S]*\(\d+\) Window){2})"
+                r"[\s\S]*\(\d+\) Window",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -16,8 +16,83 @@ def pytest_configure(config):
     )
 
 
+# The slow tier, maintained centrally so the smoke/full split lives in
+# one place: every test whose measured call time exceeded ~4 s in a
+# full-suite --durations run. The default profile (pytest.ini addopts)
+# excludes these so `pytest tests/ -q` stays inside a 10-minute window;
+# they run with `-m ""` (everything) or `-m slow` (this tier only).
+SLOW_TESTS = {
+    "test_anonymize_ohlc.py::test_anonymize_strategies",
+    "test_asof.py::test_bucketed_asof_on_date_and_string_ts",
+    "test_cluster.py::test_inertia_nonincreasing_and_stats",
+    "test_constraints_drift.py::test_drift_by_segment_localizes_the_shifted_segment",
+    "test_constraints_drift.py::test_exact_ks_w1_empty_side_yields_null_not_abort",
+    "test_constraints_drift.py::test_store_drift_between",
+    "test_constraints_drift.py::test_store_schema_between",
+    "test_custom_metrics.py::test_custom_metric_merge_monoid",
+    "test_incremental_dedup.py::test_incremental_minhash_accepts_persisted_index",
+    "test_incremental_dedup.py::test_incremental_minhash_ground_truth",
+    "test_incremental_dedup.py::test_minhash_index_sql_impl_agrees_on_pairs",
+    "test_ops.py::test_sessionize_hot_user_buckets_equivalent",
+    "test_relations_ranking.py::test_pr_auc_exact_edges",
+    "test_streaming.py::test_stateful_streaming_sessionize",
+    "test_streaming.py::test_streaming_model_monitor_matches_batch_ece",
+    "test_udf_unicode_embeddings.py::test_profile_store_prune_retention",
+    "test_udf_unicode_embeddings.py::test_unicode_range_profile",
+    "test_weighted_pvalues_qq.py::test_bh_matches_reference",
+    "test_asof.py::test_hot_key_buckets_equivalent",
+    "test_behavioral.py::test_streaming_transitions_matches_batch",
+    "test_classify.py::test_dsir_sample_deterministic_and_without_replacement",
+    "test_constraints_drift.py::test_store_auc_between",
+    "test_constraints_drift.py::test_store_compact_preserves_merged_view",
+    "test_constraints_drift.py::test_store_drift_between_psi_and_hellinger",
+    "test_incremental_dedup.py::test_incremental_minhash_strategies_agree",
+    "test_merge_monoid.py::test_merge_equals_whole",
+    "test_merge_monoid.py::test_merge_repartition_invariance",
+    "test_monitor.py::test_anomaly_scan_property_matches_numpy",
+    "test_monitor.py::test_cusum_property_matches_recursion",
+    "test_monitor.py::test_run_monitors_ewma_method",
+    "test_monitor.py::test_run_monitors_missing_and_phase",
+    "test_monitor.py::test_store_anomalies_and_missing_batches",
+    "test_monitor.py::test_store_run_monitors_suite",
+    "test_ops.py::test_duplicate_spans_random_corpora_vs_python_model",
+    "test_ops.py::test_embedding_neardup_pairs",
+    "test_ops.py::test_lsh_topk_recall",
+    "test_pipeline_selection.py::test_ann_recall_estimate_exact_side_and_clustered_recall",
+    "test_pipeline_selection.py::test_ann_recall_tied_duplicates_int_ids_and_nulls",
+    "test_pipeline_selection.py::test_selection_tail_composes",
+    "test_property_stats.py::test_bh_adjusted_bounds_and_dominates_raw",
+    "test_property_stats.py::test_funnel_counts_monotone_nonincreasing",
+    "test_property_stats.py::test_gini_bounded_and_scale_invariant",
+    "test_property_stats.py::test_km_survival_monotone_in_unit_interval",
+    "test_property_stats.py::test_winsorize_idempotent_and_bounded",
+    "test_segments.py::test_segment_key_rendering_parity_across_paths",
+    "test_streaming.py::test_anomaly_monitor_sink_cusum_flags_sustained_shift",
+    "test_streaming.py::test_anomaly_monitor_sink_flags_spiked_batch",
+    "test_streaming.py::test_drift_monitor_sink_flags_shifted_batch",
+    "test_streaming.py::test_rolling_sink_merges_to_batch_profile",
+    "test_streaming.py::test_rolling_sink_segmented",
+    "test_streaming.py::test_streaming_heavy_hitters_mg_bounds",
+    "test_udf_unicode_embeddings.py::test_embedding_drift_identical_and_shifted",
+    "test_udf_unicode_embeddings.py::test_profile_store_roundtrip",
+    "test_udf_unicode_embeddings.py::test_reference_centroids_and_profile",
+    "test_udf_unicode_embeddings.py::test_svd_lsi_residuals",
+    "test_wide.py::test_wide_matches_narrow",
+    "test_wide.py::test_wide_matches_narrow_segmented",
+}
+
+
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("-m"):
+    for item in items:
+        # nodeid is "tests/<file>::<name>[param]" — match on file::name
+        base = item.nodeid.split("/")[-1].split("[")[0]
+        if base in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+    # load tests only run when the -m expression asks for them (the
+    # default addopts is `-m "not slow"`, which would otherwise select
+    # them)
+    mexpr = config.getoption("-m") or ""
+    if "load" in mexpr:
         return
     skip = pytest.mark.skip(reason="load test; run with -m load")
     for item in items:

@@ -472,6 +472,69 @@ def test_seasonal_decompose_gap_nulls_trend(spark):
     assert out[30].residual == pytest.approx(0.0)
 
 
+def test_autocorrelation_matches_numpy(spark):
+    """ACF/Ljung-Box vs a numpy reference (statsmodels-style biased
+    estimator) on an AR(1) series — exact agreement."""
+    import datetime as dt
+
+    from whylogs_spark.ops.events import autocorrelation
+
+    rng = np.random.RandomState(5)
+    base = dt.datetime(2024, 3, 1)
+    n = 200
+    y = [0.0]
+    for _ in range(1, n):
+        y.append(0.7 * y[-1] + rng.normal())
+    rows = [(base + dt.timedelta(hours=i), float(v))
+            for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.lag: r for r in
+           autocorrelation(df, max_lag=5).collect()}
+    ya = np.array(y)
+    mu = ya.mean()
+    denom = ((ya - mu) ** 2).sum()
+    q = 0.0
+    for k in range(1, 6):
+        r_k = ((ya[:-k] - mu) * (ya[k:] - mu)).sum() / denom
+        q += r_k * r_k / (n - k)
+        o = out[k]
+        assert o.n_pairs == n - k
+        assert o.acf == pytest.approx(r_k, abs=1e-10)
+        assert o.qstat == pytest.approx(n * (n + 2) * q, abs=1e-7)
+    # the AR(1) signal is decisively non-white
+    from whylogs_spark.core.drift import chi2_sf
+    assert chi2_sf(out[5].qstat, 5) < 1e-10
+    with pytest.raises(ValueError, match="max_lag"):
+        autocorrelation(df, max_lag=0)
+
+
+def test_autocorrelation_gaps_keys_constant(spark):
+    import datetime as dt
+
+    from whylogs_spark.ops.events import autocorrelation
+
+    base = dt.datetime(2024, 3, 1)
+    rng = np.random.RandomState(9)
+    rows = [("a", base + dt.timedelta(hours=i), float(rng.normal()))
+            for i in range(100) if i % 7 != 3]   # gapped series
+    rows += [("c", base + dt.timedelta(hours=i), 5.0)
+             for i in range(30)]                 # constant series
+    df = spark.createDataFrame(rows,
+                               "k string, ts timestamp, value double")
+    out = autocorrelation(df, key_cols=["k"], max_lag=3).collect()
+    a = {r.lag: r for r in out if r.k == "a"}
+    # a gap removes pairs at every lag it anchors: hour h missing
+    # kills (h-l, h) and (h, h+l) for each lag l
+    n_a = len([r for r in rows if r[0] == "a"])
+    for lag in (1, 2, 3):
+        assert a[lag].n_pairs < n_a - lag
+        assert a[lag].acf is not None
+    # constant series: zero variance -> null acf, qstat 0 via coalesce
+    c = {r.lag: r for r in out if r.k == "c"}
+    assert all(c[lag].acf is None for lag in (1, 2, 3))
+    assert all(c[lag].qstat == 0.0 for lag in (1, 2, 3))
+
+
 def test_seasonal_decompose_pre_epoch_slots(spark):
     """Pre-1970 timestamps have negative bucket indexes; slot must be
     pmod(idx, period) in 0..period-1, not Spark's sign-following %,

@@ -376,6 +376,104 @@ def seasonal_decompose(
     )
 
 
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols=(),
+    grain: str = "hour",
+    max_lag: int = 24,
+) -> DataFrame:
+    """Sample autocorrelation function of a metric stream, plus the
+    cumulative Ljung-Box Q statistic — the monitoring companion to
+    :func:`seasonal_decompose` (is there structure left at lag k?).
+
+    The raw events are bucketed to an epoch-anchored ``grain`` series
+    of bucket MEANS (same convention as the sibling ops), then for
+    each lag 1..max_lag the standard biased estimator is computed:
+
+        r_k = sum_t (y_t - mu)(y_{t+k} - mu) / sum_t (y_t - mu)^2
+
+    with mu and the denominator over the WHOLE per-key series
+    (statsmodels' default acf). Missing buckets simply contribute no
+    pair at the lags they would anchor (n_pairs reports the actual
+    count); the Ljung-Box recursion uses the bucket count n in its
+    n-k terms, the complete-series convention.
+
+    Scale shape: NO per-key full-series window — the lagged pairs
+    come from one equi-join of the bucketed series against itself
+    exploded over the lag spine (shuffle volume = buckets x max_lag,
+    keyed by (key, bucket) — skew bound is one bucket, not one
+    series), and the per-key mean/denominator is a broadcast-joined
+    1-row-per-key aggregate. The only window orders the bounded
+    (key x max_lag) result for the Q cumulative.
+
+    Returns one row per (key, lag): ``key_cols…, lag, n_pairs, acf,
+    qstat`` — acf null for a constant (zero-variance) series, qstat
+    the Ljung-Box statistic over lags 1..lag (chi2 dof = lag; feed to
+    ``core.drift.chi2_sf`` for p-values).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1: {max_lag}")
+    gsec = _grain_seconds(grain)
+    keys = list(key_cols)
+    vv = F.col(value_col).cast("double")
+    series = (
+        df.filter(F.col(ts_col).isNotNull()
+                  & F.col(value_col).isNotNull() & ~F.isnan(vv))
+        .groupBy(*keys, _bucket_idx(ts_col, gsec).alias("__idx"))
+        .agg(F.avg(vv).alias("__y"))
+    )
+    stats = series.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__y").alias("__mu"),
+        (F.sum(F.col("__y") * F.col("__y"))
+         - F.count(F.lit(1)) * F.avg("__y") * F.avg("__y"))
+        .alias("__denom"))
+    if keys:
+        centered = series.join(F.broadcast(stats), on=keys)
+    else:
+        centered = series.crossJoin(F.broadcast(stats))
+    centered = centered.withColumn("__d", F.col("__y") - F.col("__mu"))
+
+    # lag spine exploded onto the series: the copy at (key, idx + k)
+    # carries d_t tagged with lag k; joining back on the bucket index
+    # pairs it with d_{t+k}
+    shifted = centered.select(
+        *keys, F.col("__d").alias("__d0"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag))))
+        .alias("lag"),
+        F.col("__idx").alias("__base"),
+    ).withColumn("__idx", F.col("__base") + F.col("lag"))
+    pairs = centered.select(*keys, "__idx", "__d").join(
+        shifted.drop("__base"), on=[*keys, "__idx"])
+    per_lag = pairs.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("__d") * F.col("__d0")).alias("__num"))
+    if keys:
+        per_lag = per_lag.join(F.broadcast(stats), on=keys)
+    else:
+        per_lag = per_lag.crossJoin(F.broadcast(stats))
+    acf = F.when(F.col("__denom") > 0,
+                 F.col("__num") / F.col("__denom"))
+    scored = per_lag.select(
+        *keys, "lag", "n_pairs", acf.alias("acf"), F.col("__n"))
+    # Ljung-Box cumulative over the bounded (key x max_lag) frame;
+    # the partition key keeps the window off the repo-wide
+    # partition-less ban (keyless inputs partition on a constant —
+    # max_lag rows in that partition, never the data)
+    part = [F.col(c) for c in keys] if keys else [F.lit(0)]
+    wq = Window.partitionBy(*part).orderBy("lag") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_d = F.col("__n").cast("double")
+    term = F.coalesce(
+        F.col("acf") * F.col("acf")
+        / (n_d - F.col("lag").cast("double")), F.lit(0.0))
+    return scored.select(
+        *keys, "lag", "n_pairs", "acf",
+        (n_d * (n_d + 2) * F.sum(term).over(wq)).alias("qstat"))
+
+
 def funnel(
     df: DataFrame,
     steps,
