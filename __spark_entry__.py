@@ -1942,6 +1942,42 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space contamination pairs (ops/similarity.py
+    embedding_contamination_pairs): corpus rows >= 0.4 cosine to any
+    benchmark row, candidates via the 24-table/2-plane LSH band join
+    (recall ~1-2e-6 per pair at this threshold's angle — deterministic
+    on this data, verified against brute force), exact-cosine
+    verified. The oracle is the brute-force cross computation."""
+    from whylogs_spark.ops.similarity import embedding_contamination_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_contamination_pairs(
+        emb.filter(F.col("vec_id") % 25 != 0),
+        emb.filter(F.col("vec_id") % 25 == 0),
+        threshold=0.4, planes=2, tables=24)
+    return pairs.select(
+        "vec_id_corpus", "vec_id_benchmark",
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("vec_id_corpus", "vec_id_benchmark")
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kth-NN embedding outlier scores (ops/similarity.py
+    embedding_outliers, k=3): LSH self-join candidates at the same
+    deterministic high-recall setting as the knn_join gate; score =
+    1 - 3rd-best cosine. Oracle ranks the brute-force pair matrix."""
+    from whylogs_spark.ops.similarity import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_outliers(emb, k=3, planes=2, tables=24)
+    return out.select(
+        "vec_id", "n_neighbors",
+        F.round("kth_cosine", 6).alias("kth_cosine"),
+        F.round("outlier_score", 6).alias("outlier_score"),
+    ).orderBy("vec_id")
+
+
 def _q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type ACF + Ljung-Box Q over the hourly value series
     (ops/events.py autocorrelation): lagged pairs via ONE equi-join of
@@ -2856,6 +2892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_sequences_events": _q_frequent_sequences,
         "ab_test_orders": _q_ab_test,
         "autocorrelation_events": _q_autocorrelation,
+        "embedding_decontam_embeddings": _q_embedding_decontam,
+        "embedding_outliers_embeddings": _q_embedding_outliers,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5463,5 +5501,28 @@ def oracle_sql() -> dict[str, str]:
             "0.0::DOUBLE) / (n - lag)) OVER (PARTITION BY event_type "
             "ORDER BY lag), 6) AS qstat "
             "FROM r ORDER BY event_type, lag"
+        ),
+        "embedding_decontam_embeddings": (
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS vec_id_corpus, "
+            "b.vec_id AS vec_id_benchmark, "
+            "round(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+            "FROM v a JOIN v b ON a.vec_id % 25 <> 0 "
+            "AND b.vec_id % 25 = 0 "
+            "WHERE list_cosine_similarity(a.e, b.e) >= 0.4 "
+            "ORDER BY vec_id_corpus, vec_id_benchmark"
+        ),
+        "embedding_outliers_embeddings": (
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+            "FROM embeddings), "
+            "p AS (SELECT a.vec_id, "
+            "list_cosine_similarity(a.e, b.e) AS c, row_number() "
+            "OVER (PARTITION BY a.vec_id ORDER BY "
+            "list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS r "
+            "FROM v a JOIN v b ON a.vec_id <> b.vec_id) "
+            "SELECT vec_id, 3 AS n_neighbors, round(c, 6) AS "
+            "kth_cosine, round(1.0::DOUBLE - c, 6) AS outlier_score "
+            "FROM p WHERE r = 3 ORDER BY vec_id"
         ),
     }

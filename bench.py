@@ -677,6 +677,15 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_embedding_decontam_outliers():
+        from whylogs_spark.ops import similarity as s2
+        emb = t["embeddings"]
+        _noop(s2.embedding_decontaminate(
+            emb.filter(F.col("vec_id") % 25 != 0),
+            emb.filter(F.col("vec_id") % 25 == 0),
+            threshold=0.4, planes=2, tables=24))
+        _noop(s2.embedding_outliers(emb, k=3, planes=2, tables=24))
+
     def bench_autocorrelation():
         from whylogs_spark.ops.events import autocorrelation
         _noop(autocorrelation(t["events"], "ts", "value",
@@ -883,6 +892,7 @@ def main() -> None:
         "data_contract": bench_data_contract,
         "ab_test_orders": bench_ab_test,
         "autocorrelation_events": bench_autocorrelation,
+        "embedding_decontam_outliers": bench_embedding_decontam_outliers,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -1820,6 +1820,51 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6c. embedding decontamination + kth-NN outliers: banded LSH
+    # equi-joins, exact verify in the condition, no cross products
+    from whylogs_spark.ops.similarity import (
+        embedding_contamination_pairs, embedding_outliers)
+
+    embt = load_table(spark, SF_DIR, "embeddings")
+    ec = embedding_contamination_pairs(
+        embt.filter(F.col("vec_id") % 25 != 0),
+        embt.filter(F.col("vec_id") % 25 == 0),
+        threshold=0.4, planes=2, tables=8)
+    sections.append((
+        "embedding decontamination (LSH band join + verify)", ec,
+        {
+            "candidates via hash equi-join on (table, bucket)":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "no cartesian / nested-loop join":
+                r"^(?![\s\S]*(CartesianProduct|"
+                r"BroadcastNestedLoopJoin))",
+            # array-typed buffers plan as SortAggregate; the
+            # partial-before-exchange shape is what matters
+            "pair dedup partial-aggs before its exchange":
+                r"(Hash|Sort)Aggregate[\s\S]*Exchange"
+                r"[\s\S]*(Hash|Sort)Aggregate",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    eo = embedding_outliers(embt, k=3, planes=2, tables=8)
+    sections.append((
+        "embedding kth-NN outlier scores", eo,
+        {
+            "candidates via hash equi-join on (table, bucket)":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "no cartesian / nested-loop join":
+                r"^(?![\s\S]*(CartesianProduct|"
+                r"BroadcastNestedLoopJoin))",
+            "per-row top-k window keyed by the row id (skew bound = "
+            "one row's candidates)":
+                r"windowspecdefinition\(__lid",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

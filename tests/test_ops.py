@@ -89,6 +89,62 @@ def test_embedding_neardup_pairs(spark):
         0.99 / np.sqrt(0.99 ** 2 + 0.1 ** 2))
 
 
+def test_embedding_decontaminate_and_pairs(spark):
+    from whylogs_spark.ops.similarity import (
+        embedding_contamination_pairs, embedding_decontaminate)
+
+    rng = np.random.RandomState(17)
+    bench_vecs = [list(map(float, v)) for v in rng.normal(0, 1, (5, 16))]
+    rows = [(100 + i, v) for i, v in enumerate(bench_vecs)]
+    corpus = []
+    # planted leaks: tiny perturbations of benchmark items
+    for i, v in enumerate(bench_vecs[:3]):
+        corpus.append((i, [x + 0.01 * (j % 2) for j, x in enumerate(v)]))
+    # clean rows: fresh random directions (16-dim gaussians are far
+    # from any fixed direction with overwhelming probability)
+    for i in range(3, 40):
+        corpus.append((i, [float(x) for x in rng.normal(0, 1, 16)]))
+    bench = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    corp = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    pairs = embedding_contamination_pairs(
+        corp, bench, threshold=0.95, planes=2, tables=16).collect()
+    assert {(r.vec_id_corpus, r.vec_id_benchmark) for r in pairs} == \
+        {(0, 100), (1, 101), (2, 102)}
+    assert all(r.cosine >= 0.95 for r in pairs)
+    cleaned = embedding_decontaminate(
+        corp, bench, threshold=0.95, planes=2, tables=16)
+    kept = {r.vec_id for r in cleaned.select("vec_id").collect()}
+    assert kept == set(range(3, 40))
+
+
+def test_embedding_outliers_planted(spark):
+    from whylogs_spark.ops.similarity import embedding_outliers
+
+    rng = np.random.RandomState(23)
+    rows = []
+    # a tight cluster of 20 near-identical vectors...
+    center = rng.normal(0, 1, 16)
+    for i in range(20):
+        rows.append((i, [float(x) for x in
+                         center + rng.normal(0, 0.01, 16)]))
+    # ...plus one isolated vector orthogonal-ish to the cluster
+    iso = rng.normal(0, 1, 16)
+    iso -= iso.dot(center) / center.dot(center) * center
+    rows.append((99, [float(x) for x in iso]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in embedding_outliers(
+        df, k=3, planes=2, tables=16).collect()}
+    assert len(out) == 21
+    scores = {i: out[i].outlier_score for i in out
+              if out[i].outlier_score is not None}
+    # the isolated row scores strictly higher than every cluster row
+    assert 99 in scores
+    assert all(scores[99] > scores[i] for i in scores if i != 99)
+    for i in range(20):
+        assert out[i].n_neighbors == 3
+        assert out[i].kth_cosine > 0.99
+
+
 @pytest.mark.parametrize("impl", ["arrow", "sql"])
 def test_simhash(spark, impl):
     df = spark.createDataFrame(

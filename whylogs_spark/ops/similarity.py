@@ -289,6 +289,7 @@ def knn_join(
     k: int = 5,
     planes: int = 6,
     tables: int = 4,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate k-NN join via multi-table LSH (OR-construction): both
     sides explode to (table_idx, bucket) keys, join on the composite key
@@ -325,6 +326,10 @@ def knn_join(
         .select("__lid", "__lv", "__rid", "__rv")
         .dropDuplicates(["__lid", "__rid"])
     )
+    if exclude_self:
+        # self-join mode (e.g. outlier scoring): a row is not its own
+        # neighbor
+        cand = cand.filter(F.col("__lid") != F.col("__rid"))
     joined = cand.withColumn(
         "cosine", cosine_similarity(F.col("__lv"), F.col("__rv")))
     w = Window.partitionBy("__lid").orderBy(
@@ -621,3 +626,124 @@ def ann_recall_estimate(
                     F.col("n_hit").cast("double") / F.col("n_exact"))
     )
     return per_q
+
+
+# ------------------------------------- contamination / outlier scoring
+
+def embedding_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    benchmark_id: str = "vec_id",
+    threshold: float = 0.9,
+    planes: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """(corpus_id, benchmark_id, cosine) pairs with cosine >=
+    ``threshold`` — the embedding-space sibling of
+    ``decontam.ngram_decontaminate`` (paraphrased eval leakage that
+    shares no n-gram still lands next to its benchmark item in
+    embedding space).
+
+    Candidates come from the multi-table LSH band join (same
+    OR-construction as :func:`knn_join`: recall 1-(1-p^planes)^tables,
+    so few planes + many tables for the high thresholds decontam
+    uses), each candidate verified by exact cosine. Shuffle = rows x
+    tables small-int keys on BOTH sides; the benchmark side is tiny
+    and broadcast by AQE.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def banded(d: DataFrame, idc: str, tag: str) -> DataFrame:
+        b = with_lsh_buckets(d, vec_col, tables, planes, dim)
+        keys = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     F.col("lsh_buckets")[t].alias("bkt"))
+            for t in range(tables)
+        ])
+        return b.select(
+            F.col(idc).alias(f"__{tag}id"),
+            F.col(vec_col).alias(f"__{tag}v"),
+            F.explode(keys).alias("kk"),
+        ).select(f"__{tag}id", f"__{tag}v",
+                 F.col("kk.tbl").alias("tbl"),
+                 F.col("kk.bkt").alias("bkt"))
+
+    cb = banded(corpus, corpus_id, "c")
+    bb = banded(benchmark, benchmark_id, "b")
+    cand = (
+        cb.join(bb, ["tbl", "bkt"])
+        .select("__cid", "__cv", "__bid", "__bv")
+        .dropDuplicates(["__cid", "__bid"])
+    )
+    return (
+        cand.withColumn(
+            "cosine", cosine_similarity(F.col("__cv"), F.col("__bv")))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select(F.col("__cid").alias(corpus_id + "_corpus"),
+                F.col("__bid").alias(benchmark_id + "_benchmark"),
+                "cosine")
+    )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    benchmark_id: str = "vec_id",
+    threshold: float = 0.9,
+    planes: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """Drop every corpus row whose embedding is >= ``threshold``
+    cosine to ANY benchmark row (see
+    :func:`embedding_contamination_pairs`). The flagged-id set is
+    orders of magnitude smaller than the corpus; the removal is one
+    left_anti join on the id."""
+    flagged = embedding_contamination_pairs(
+        corpus, benchmark, vec_col, corpus_id, benchmark_id,
+        threshold, planes, tables,
+    ).select(F.col(corpus_id + "_corpus").alias(corpus_id)).distinct()
+    return corpus.join(flagged, corpus_id, "left_anti")
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    planes: int = 3,
+    tables: int = 8,
+) -> DataFrame:
+    """kth-nearest-neighbor outlier score per embedding row — the
+    classic kNN-distance outlier signal (a row far from even its kth
+    neighbor is isolated; embedding-space junk, OCR noise, or
+    off-distribution content in a curation pipeline).
+
+    Built on the multi-table LSH self-join (:func:`knn_join` with
+    ``exclude_self``): per row, the kth-best candidate cosine (or the
+    worst found, when LSH surfaces fewer than k — ``n_neighbors``
+    says which). ``outlier_score = 1 - kth_cosine``. Rows whose
+    buckets contain no other member at all get score null — at the
+    chosen (planes, tables) that itself is a strong isolation signal.
+
+    Few planes + many tables: for outlier DETECTION the failure mode
+    is a missed near neighbor inflating a score, so recall is tuned
+    high exactly like the decontamination path.
+    """
+    nn = knn_join(df, df, vec_col, id_col, id_col, k, planes,
+                  tables, exclude_self=True)
+    per = nn.groupBy(F.col(id_col + "_left").alias(id_col)).agg(
+        F.max("rank").cast("int").alias("n_neighbors"),
+        F.min("cosine").alias("kth_cosine"),
+    )
+    base = df.select(F.col(id_col))
+    out = base.join(per, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+        "kth_cosine",
+        (F.lit(1.0) - F.col("kth_cosine")).alias("outlier_score"),
+    )
