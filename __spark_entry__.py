@@ -1942,6 +1942,32 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over (user, day) baskets
+    (ops/basket.py association_rules): support/confidence/lift per
+    ordered event-type pair, baskets built by one user-key shuffle
+    with in-plan pair expansion — no self cross-join. The oracle
+    replays the basket/marginal/pair computation in DuckDB."""
+    from whylogs_spark.ops.basket import association_rules
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull()
+                  & F.col("user_id").isNotNull())
+          .withColumn(
+              "__basket",
+              F.concat_ws("|", F.col("user_id").cast("string"),
+                          F.to_date("ts").cast("string"))))
+    out = association_rules(ev, user_col="__basket",
+                            item_col="event_type", min_support=0.02)
+    return out.select(
+        "antecedent", "consequent", "n_both", "n_ant", "n_cons",
+        "n_users",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy("antecedent", "consequent")
+
+
 def _q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space contamination pairs (ops/similarity.py
     embedding_contamination_pairs): corpus rows >= 0.4 cosine to any
@@ -2894,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation_events": _q_autocorrelation,
         "embedding_decontam_embeddings": _q_embedding_decontam,
         "embedding_outliers_embeddings": _q_embedding_outliers,
+        "association_rules_events": _q_association_rules,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5524,5 +5551,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, 3 AS n_neighbors, round(c, 6) AS "
             "kth_cosine, round(1.0::DOUBLE - c, 6) AS outlier_score "
             "FROM p WHERE r = 3 ORDER BY vec_id"
+        ),
+        "association_rules_events": (
+            # replay of ops/basket.association_rules over (user, day)
+            # baskets: distinct item sets, marginals, ordered-pair
+            # counts via self-join, support/confidence/lift
+            "WITH bk AS (SELECT user_id::VARCHAR || '|' || "
+            "CAST(ts AS DATE)::VARCHAR AS bid, event_type "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT "
+            "NULL AND event_type IS NOT NULL GROUP BY 1, 2), "
+            "nu AS (SELECT count(DISTINCT bid)::BIGINT AS n "
+            "FROM bk), "
+            "m AS (SELECT event_type, count(*)::BIGINT AS n_item "
+            "FROM bk GROUP BY 1), "
+            "p AS (SELECT a.event_type AS antecedent, "
+            "c.event_type AS consequent, count(*)::BIGINT AS n_both "
+            "FROM bk a JOIN bk c ON a.bid = c.bid AND "
+            "a.event_type <> c.event_type GROUP BY 1, 2) "
+            "SELECT antecedent, consequent, n_both, "
+            "ma.n_item AS n_ant, mc.n_item AS n_cons, "
+            "nu.n AS n_users, "
+            "round(n_both::DOUBLE / nu.n, 6) AS support, "
+            "round(n_both::DOUBLE / ma.n_item, 6) AS confidence, "
+            "round((n_both::DOUBLE / ma.n_item) / "
+            "(mc.n_item::DOUBLE / nu.n), 6) AS lift "
+            "FROM p, nu "
+            "JOIN m ma ON ma.event_type = p.antecedent "
+            "JOIN m mc ON mc.event_type = p.consequent "
+            "WHERE n_both::DOUBLE / nu.n >= 0.02 "
+            "ORDER BY antecedent, consequent"
         ),
     }

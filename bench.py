@@ -677,6 +677,18 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_association_rules():
+        from whylogs_spark.ops.basket import association_rules
+        ev = t["events"].filter(
+            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        ).withColumn(
+            "__basket",
+            F.concat_ws("|", F.col("user_id").cast("string"),
+                        F.to_date("ts").cast("string")))
+        _noop(association_rules(ev, user_col="__basket",
+                                item_col="event_type",
+                                min_support=0.005))
+
     def bench_embedding_decontam_outliers():
         from whylogs_spark.ops import similarity as s2
         emb = t["embeddings"]
@@ -893,6 +905,7 @@ def main() -> None:
         "ab_test_orders": bench_ab_test,
         "autocorrelation_events": bench_autocorrelation,
         "embedding_decontam_outliers": bench_embedding_decontam_outliers,
+        "association_rules_events": bench_association_rules,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

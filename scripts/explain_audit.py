@@ -1865,6 +1865,31 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6d. association rules: basket collapse + in-plan pair
+    # expansion (no self cross-join), broadcast marginals
+    from whylogs_spark.ops.basket import association_rules
+
+    ar = association_rules(ev, user_col="user_id",
+                           item_col="event_type", min_support=0.01)
+    sections.append((
+        "association rules (basket affinity)", ar,
+        {
+            "basket collapse partial-aggs before its exchange":
+                r"(Hash|Sort|ObjectHash)Aggregate[\s\S]*Exchange"
+                r"[\s\S]*(Hash|Sort|ObjectHash)Aggregate",
+            "pair expansion in-plan (explode, not a self-join of "
+            "the event table)":
+                r"Generate[\s\S]*explode",
+            "marginals joined back by broadcast":
+                r"BroadcastHashJoin",
+            "no cartesian join of the data (the only nested-loop "
+            "input is the broadcast 1-row user total)":
+                r"^(?![\s\S]*CartesianProduct)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -256,3 +256,51 @@ def test_streaming_transitions_generic_types_and_microseconds(
     r = got[0]
     assert r.user_id == "alice" and (r.src, r.dst) == ("view", "click")
     assert r.ts == t1  # microseconds preserved
+
+
+# ------------------------------------------------ association rules
+
+def test_association_rules_planted(spark):
+    """Planted affinity: coffee & milk co-occur in most baskets,
+    tea appears alone — support/confidence/lift must recover it."""
+    from whylogs_spark.ops.basket import association_rules
+
+    rows = []
+    for u in range(8):                       # coffee+milk baskets
+        rows += [(f"u{u}", "coffee"), (f"u{u}", "milk")]
+    for u in range(8, 10):                   # coffee-only
+        rows += [(f"u{u}", "coffee")]
+    for u in range(10, 12):                  # tea-only
+        rows += [(f"u{u}", "tea")]
+    rows += [("u0", "coffee")]               # dup event: sets dedupe
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    out = {(r.antecedent, r.consequent): r for r in association_rules(
+        df, item_col="event_type", min_support=0.05).collect()}
+    r = out[("coffee", "milk")]
+    assert (r.n_both, r.n_ant, r.n_cons, r.n_users) == (8, 10, 8, 12)
+    assert r.support == pytest.approx(8 / 12)
+    assert r.confidence == pytest.approx(8 / 10)
+    assert r.lift == pytest.approx((8 / 10) / (8 / 12))
+    rev = out[("milk", "coffee")]
+    assert rev.confidence == pytest.approx(1.0)
+    assert rev.lift == pytest.approx(r.lift)  # lift is symmetric
+    assert ("tea", "coffee") not in out and ("coffee", "tea") not in out
+
+
+def test_association_rules_cap_and_validation(spark):
+    from whylogs_spark.ops.basket import association_rules
+
+    rows = [("bot", f"i{i}") for i in range(50)]
+    rows += [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    out = association_rules(df, min_support=0.01,
+                            max_items_per_user=10).collect()
+    # the bot basket is dropped whole: no i* rules, n_users excludes it
+    assert all(not r.antecedent.startswith("i") for r in out)
+    assert all(r.n_users == 2 for r in out)
+    assert {(r.antecedent, r.consequent) for r in out} == \
+        {("x", "y"), ("y", "x")}
+    with pytest.raises(ValueError, match="min_support"):
+        association_rules(df, min_support=0.0)
+    with pytest.raises(ValueError, match="max_items_per_user"):
+        association_rules(df, max_items_per_user=1)
