@@ -1942,6 +1942,42 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_semantic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-type inference over derived customer string columns
+    (ops/schema_infer.py infer_semantic_types): one agg pass of
+    anchored rlike probes + exact distincts, specificity-ordered
+    winner. The oracle regenerates the identical probe battery
+    (shared SEMANTIC_PROBES patterns — Java and RE2 agree on these
+    anchored classes) per column in DuckDB."""
+    from whylogs_spark.ops.schema_infer import (SEMANTIC_PROBES,
+                                                infer_semantic_types)
+
+    cu = _t(spark, sf_dir, "customer")
+    der = cu.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("+1-"),
+                 F.lpad(F.col("c_custkey").cast("string"), 9, "0"))
+        .alias("phone"),
+        F.col("c_custkey").cast("string").alias("custkey_str"),
+        F.concat(F.col("c_custkey").cast("string"),
+                 F.lit(".25")).alias("bal_str"),
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1995-01-01")),
+                       (F.col("c_custkey") % 1000).cast("int")),
+            "yyyy-MM-dd").alias("date_str"),
+        F.concat(F.lower(F.regexp_replace("c_name", "#", ".")),
+                 F.lit("@example.com")).alias("email"),
+    )
+    out = infer_semantic_types(der, distinct="exact")
+    sel = ["column", "n", "n_nonnull", "n_empty", "n_distinct",
+           F.round("distinct_ratio", 6).alias("distinct_ratio")]
+    for name, _ in SEMANTIC_PROBES:
+        sel.append(F.round(f"ratio_{name}", 6).alias(f"ratio_{name}"))
+    sel.append("inferred_type")
+    return out.select(*sel).orderBy("column")
+
+
 def _q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise association rules over (user, day) baskets
     (ops/basket.py association_rules): support/confidence/lift per
@@ -2921,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontam_embeddings": _q_embedding_decontam,
         "embedding_outliers_embeddings": _q_embedding_outliers,
         "association_rules_events": _q_association_rules,
+        "semantic_types_customer": _q_semantic_types,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -2930,6 +2967,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracle SQL
+def _semantic_types_sql() -> str:
+    """Per-derived-column replay of infer_semantic_types in DuckDB:
+    the probe battery is the shared SEMANTIC_PROBES patterns (anchored
+    classes on which Java regex and RE2 agree), ratios + the
+    specificity CASE chain recomputed in SQL."""
+    from whylogs_spark.ops.schema_infer import SEMANTIC_PROBES
+
+    derived = {
+        "seg": "c_mktsegment",
+        "name": "c_name",
+        "phone": "'+1-' || lpad(c_custkey::VARCHAR, 9, '0')",
+        "custkey_str": "c_custkey::VARCHAR",
+        "bal_str": "c_custkey::VARCHAR || '.25'",
+        "date_str": "strftime(DATE '1995-01-01' + "
+                    "(c_custkey % 1000)::INT, '%Y-%m-%d')",
+        "email": "lower(replace(c_name, '#', '.')) || '@example.com'",
+    }
+    branches = []
+    for col, expr in derived.items():
+        probes = ", ".join(
+            "count(*) FILTER (WHERE v IS NOT NULL AND "
+            "length(trim(v)) > 0 AND regexp_matches(trim(v), "
+            f"'{pat}')) AS c_{name}"
+            for name, pat in SEMANTIC_PROBES)
+        branches.append(
+            f"SELECT '{col}' AS \"column\", count(*)::BIGINT AS n, "
+            "count(v)::BIGINT AS n_nonnull, "
+            "count(*) FILTER (WHERE v IS NOT NULL AND "
+            "length(trim(v)) = 0)::BIGINT AS n_empty, "
+            "count(DISTINCT v)::BIGINT AS n_distinct, "
+            f"{probes} FROM (SELECT {expr} AS v FROM customer)")
+    ratio_sel, case_arms = [], []
+    for name, _ in SEMANTIC_PROBES:
+        ratio_sel.append(
+            f"CASE WHEN n_nonnull - n_empty > 0 THEN "
+            f"round(c_{name}::DOUBLE / (n_nonnull - n_empty), 6) "
+            f"END AS ratio_{name}")
+        case_arms.append(
+            f"WHEN c_{name}::DOUBLE / (n_nonnull - n_empty) >= 0.95 "
+            f"THEN '{name}'")
+    return (
+        "WITH raw AS (" + " UNION ALL ".join(branches) + ") "
+        'SELECT "column", n, n_nonnull, n_empty, n_distinct, '
+        "CASE WHEN n_nonnull > 0 THEN round(n_distinct::DOUBLE / "
+        "n_nonnull, 6) END AS distinct_ratio, "
+        + ", ".join(ratio_sel) + ", "
+        "CASE WHEN n_nonnull - n_empty = 0 THEN 'empty' "
+        + " ".join(case_arms) +
+        " WHEN n_distinct <= 1000 AND n_distinct::DOUBLE / "
+        "n_nonnull <= 0.5 THEN 'categorical' ELSE 'text' END "
+        "AS inferred_type "
+        'FROM raw ORDER BY "column"'
+    )
+
+
 def _image_neardup_sql() -> str:
     """Component-constructed oracle for the image near-dup pipeline:
     DuckDB cannot decode BMP, so the dhash of each synthetic image is
@@ -5581,4 +5673,5 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_both::DOUBLE / nu.n >= 0.02 "
             "ORDER BY antecedent, consequent"
         ),
+        "semantic_types_customer": _semantic_types_sql(),
     }

@@ -677,6 +677,17 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_semantic_types():
+        from whylogs_spark.ops.schema_infer import infer_semantic_types
+        der = t["customer"].select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").cast("string").alias("custkey_str"),
+            F.concat(F.lower(F.regexp_replace("c_name", "#", ".")),
+                     F.lit("@example.com")).alias("email"),
+        )
+        _noop(infer_semantic_types(der))
+
     def bench_association_rules():
         from whylogs_spark.ops.basket import association_rules
         ev = t["events"].filter(
@@ -906,6 +917,7 @@ def main() -> None:
         "autocorrelation_events": bench_autocorrelation,
         "embedding_decontam_outliers": bench_embedding_decontam_outliers,
         "association_rules_events": bench_association_rules,
+        "semantic_types_customer": bench_semantic_types,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -1890,6 +1890,29 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6e. semantic-type inference: ONE agg pass of rlike probes,
+    # bounded single-row explode, no shuffle past the agg
+    from whylogs_spark.ops.schema_infer import infer_semantic_types
+
+    sti = infer_semantic_types(
+        load_table(spark, SF_DIR, "customer").select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").cast("string").alias("ck")))
+    sections.append((
+        "semantic-type inference (probe battery)", sti,
+        {
+            "ONE scan for every column's probes":
+                r"^(?!(?:[\s\S]*\(\d+\) Scan parquet){2})"
+                r"[\s\S]*\(\d+\) Scan parquet",
+            "probe counts partial-agg before their exchange":
+                r"(Hash|Sort|ObjectHash)Aggregate[\s\S]*Exchange"
+                r"[\s\S]*(Hash|Sort|ObjectHash)Aggregate",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
