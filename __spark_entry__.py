@@ -1942,6 +1942,24 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price quantiles per return flag
+    (core/summaries.py weighted_quantiles): value collapse sums
+    weights map-side, cumulative weight walks the shared grouped
+    two-phase prefix sum. Values are picked, not computed — exact,
+    no rounding; integer-valued weights sum FP-exactly in any order,
+    so the q*W thresholds agree across engines."""
+    from whylogs_spark.core.summaries import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = weighted_quantiles(
+        li, "l_extendedprice", "l_quantity",
+        [0.25, 0.5, 0.75, 0.95], ["l_returnflag"])
+    return out.select(
+        "l_returnflag", "q_0_25", "q_0_5", "q_0_75", "q_0_95",
+        "total_weight").orderBy("l_returnflag")
+
+
 def _q_semantic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-type inference over derived customer string columns
     (ops/schema_infer.py infer_semantic_types): one agg pass of
@@ -2958,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers_embeddings": _q_embedding_outliers,
         "association_rules_events": _q_association_rules,
         "semantic_types_customer": _q_semantic_types,
+        "weighted_quantiles_lineitem": _q_weighted_quantiles,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5674,4 +5693,28 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY antecedent, consequent"
         ),
         "semantic_types_customer": _semantic_types_sql(),
+        "weighted_quantiles_lineitem": (
+            # replay of core/summaries.weighted_quantiles: weighted
+            # inverse CDF, lower interpolation, same float-robust
+            # threshold guard
+            "WITH g AS (SELECT l_returnflag, "
+            "l_extendedprice::DOUBLE AS v, "
+            "sum(l_quantity::DOUBLE) AS ct FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL AND l_quantity IS "
+            "NOT NULL AND l_quantity > 0 GROUP BY 1, 2), "
+            "w AS (SELECT *, sum(ct) OVER (PARTITION BY "
+            "l_returnflag ORDER BY v) AS cum, sum(ct) OVER "
+            "(PARTITION BY l_returnflag) AS tw FROM g) "
+            "SELECT l_returnflag, "
+            "min(v) FILTER (WHERE cum >= 0.25 * tw - 0.25 * tw * "
+            "1e-12 - 1e-9) AS q_0_25, "
+            "min(v) FILTER (WHERE cum >= 0.5 * tw - 0.5 * tw * "
+            "1e-12 - 1e-9) AS q_0_5, "
+            "min(v) FILTER (WHERE cum >= 0.75 * tw - 0.75 * tw * "
+            "1e-12 - 1e-9) AS q_0_75, "
+            "min(v) FILTER (WHERE cum >= 0.95 * tw - 0.95 * tw * "
+            "1e-12 - 1e-9) AS q_0_95, "
+            "min(tw) AS total_weight "
+            "FROM w GROUP BY 1 ORDER BY 1"
+        ),
     }

@@ -677,6 +677,12 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_weighted_quantiles():
+        from whylogs_spark.core.summaries import weighted_quantiles
+        _noop(weighted_quantiles(
+            t["lineitem"], "l_extendedprice", "l_quantity",
+            [0.25, 0.5, 0.75, 0.95], ["l_returnflag"]))
+
     def bench_semantic_types():
         from whylogs_spark.ops.schema_infer import infer_semantic_types
         der = t["customer"].select(
@@ -918,6 +924,7 @@ def main() -> None:
         "embedding_decontam_outliers": bench_embedding_decontam_outliers,
         "association_rules_events": bench_association_rules,
         "semantic_types_customer": bench_semantic_types,
+        "weighted_quantiles_lineitem": bench_weighted_quantiles,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -1913,6 +1913,26 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6f. weighted quantiles: same grouped two-phase walk as the
+    # unweighted exact quantiles, weights summed map-side
+    from whylogs_spark.core.summaries import weighted_quantiles
+
+    wq = weighted_quantiles(li, "l_extendedprice", "l_quantity",
+                            [0.5, 0.95], ["l_returnflag"])
+    sections.append((
+        "weighted quantiles (grouped prefix-sum walk)", wq,
+        {
+            "value collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "range partitioning drives the grouped walk":
+                r"rangepartitioning\(",
+            "slice rollup joined back by broadcast":
+                r"BroadcastHashJoin",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

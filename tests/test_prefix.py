@@ -239,3 +239,62 @@ def test_exact_quantiles_grouped_null_segment_key(spark):
     assert set(got) == {"a", "b", None}
     assert got[None]["q_0_5"] == 10.0 and got[None]["n"] == 2
     assert got["a"]["q_0_5"] == 2.0
+
+
+# ------------------------------------------------ weighted quantiles
+
+def _ref_weighted_q(vals, wts, q):
+    import numpy as np
+
+    order = np.argsort(vals)
+    v = np.array(vals)[order]
+    cw = np.cumsum(np.array(wts)[order])
+    idx = np.searchsorted(cw, q * cw[-1] - 1e-9, side="left")
+    return float(v[min(idx, len(v) - 1)])
+
+
+def test_weighted_quantiles_matches_reference(spark):
+    import numpy as np
+
+    from whylogs_spark.core.summaries import weighted_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = [float(x) for x in np.round(rng.lognormal(0, 1, 500), 3)]
+    wts = [float(x) for x in rng.randint(1, 100, 500)]
+    df = spark.createDataFrame(list(zip(vals, wts)),
+                               "v double, w double")
+    r = weighted_quantiles(df, "v", "w",
+                           [0.1, 0.5, 0.9, 1.0]).collect()[0]
+    for q, name in [(0.1, "q_0_1"), (0.5, "q_0_5"),
+                    (0.9, "q_0_9"), (1.0, "q_1_0")]:
+        assert r[name] == _ref_weighted_q(vals, wts, q), q
+    assert r.total_weight == sum(wts)
+    # unit weights must reproduce the unweighted walk's median value
+    from whylogs_spark.core.summaries import exact_quantiles
+
+    ones = spark.createDataFrame([(v, 1.0) for v in vals],
+                                 "v double, w double")
+    wq = weighted_quantiles(ones, "v", "w", [0.5]).collect()[0]
+    eq = exact_quantiles(ones, "v", [0.5]).collect()[0]
+    assert wq.q_0_5 == eq.q_0_5
+
+
+def test_weighted_quantiles_groups_and_exclusions(spark):
+    import pytest as _pytest
+
+    from whylogs_spark.core.summaries import weighted_quantiles
+
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 3.0), ("a", 3.0, 1.0),
+            ("b", 10.0, 1.0), ("b", 20.0, 1.0),
+            ("a", 99.0, 0.0), ("a", 99.0, -5.0), ("a", None, 2.0),
+            ("a", 5.0, None), ("a", float("nan"), 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {r.g: r for r in weighted_quantiles(
+        df, "v", "w", [0.5], ["g"]).collect()}
+    # weight mass 1+3+1: the median lands on the heavy value
+    assert out["a"].q_0_5 == 2.0 and out["a"].total_weight == 5.0
+    assert out["b"].q_0_5 == 10.0
+    with _pytest.raises(ValueError, match="qs"):
+        weighted_quantiles(df, "v", "w", [])
+    with _pytest.raises(ValueError, match="quantile"):
+        weighted_quantiles(df, "v", "w", [1.5])

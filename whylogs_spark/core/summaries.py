@@ -134,6 +134,62 @@ def top_k_items(
     )
 
 
+def weighted_quantiles(
+    df: DataFrame, col: str, weight_col: str, qs: List[float],
+    group_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Exact WEIGHTED quantiles: for each q, the smallest value whose
+    cumulative weight reaches ``q * W`` (weighted inverse CDF, lower
+    interpolation) — e.g. the token-weighted median document quality,
+    where a 100k-token document should pull the quantile 100k times
+    harder than a tweet. ``total_weight`` is returned alongside the
+    ``q_<percent>`` columns. With ``group_cols``, one row per group.
+
+    Rows with null/NaN value, null/NaN weight, or weight <= 0 are
+    excluded (a negative weight has no CDF meaning — fail-soft by
+    exclusion, matching the null policy of :func:`exact_quantiles`).
+
+    Distributed shape: identical to :func:`exact_quantiles` — value
+    collapse partial-aggs map-side (summing weights instead of
+    counting), then the shared two-phase range-partitioned prefix sum
+    (``core.prefix.grouped_running_sums``) walks cumulative weight.
+    No single-partition window at any scale.
+    """
+    from .planner import qcol
+    from .prefix import grouped_running_sums
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    v = qcol(col).cast("double")
+    w = F.col(weight_col).cast("double")
+    groups = list(group_cols or [])
+    g = (
+        df.select(*groups, v.alias("v"), w.alias("w"))
+        .filter(F.col("v").isNotNull() & ~F.isnan("v")
+                & F.col("w").isNotNull() & ~F.isnan("w")
+                & (F.col("w") > 0))
+        .groupBy(*groups, "v").agg(F.sum("w").alias("ct"))
+    )
+    j = grouped_running_sums(g, groups, ["v"], ["ct"])
+    aggs = []
+    for q in qs:
+        # same float-robust threshold guard as exact_quantiles: q*W
+        # can overshoot its mathematical value by one ulp
+        qw = F.lit(float(q)) * F.col("__g_ct")
+        target = qw - qw * F.lit(1e-12) - F.lit(1e-9)
+        name = f"q_{str(q).replace('.', '_')}"
+        aggs.append(
+            F.min(F.when(F.col("__cum_ct") >= target, F.col("v")))
+            .alias(name))
+    aggs.append(F.first("__g_ct").alias("total_weight"))
+    if groups:
+        return j.groupBy(*groups).agg(*aggs)
+    return j.agg(*aggs)
+
+
 def exact_quantiles(
     df: DataFrame, col: str, qs: List[float],
     group_cols: Optional[List[str]] = None,
