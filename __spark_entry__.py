@@ -1942,6 +1942,27 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly click-value and
+    purchase-value series (ops/events.py cross_correlation): the lag
+    spine explode + ONE equi-join shape shared with autocorrelation,
+    per-lag pairwise-complete moments. Oracle replays bucket/lag-join
+    /moment SQL in DuckDB."""
+    from whylogs_spark.ops.events import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "ts",
+        F.when(F.col("event_type") == "click",
+               F.col("value")).alias("x"),
+        F.when(F.col("event_type") == "purchase",
+               F.col("value")).alias("y"))
+    out = cross_correlation(src, "ts", "x", "y", max_lag=6)
+    return out.select(
+        "lag", "n_pairs",
+        F.round("xcorr", 6).alias("xcorr")).orderBy("lag")
+
+
 def _q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted price quantiles per return flag
     (core/summaries.py weighted_quantiles): value collapse sums
@@ -2977,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules_events": _q_association_rules,
         "semantic_types_customer": _q_semantic_types,
         "weighted_quantiles_lineitem": _q_weighted_quantiles,
+        "cross_correlation_events": _q_cross_correlation,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5716,5 +5738,29 @@ def oracle_sql() -> dict[str, str]:
             "1e-12 - 1e-9) AS q_0_95, "
             "min(tw) AS total_weight "
             "FROM w GROUP BY 1 ORDER BY 1"
+        ),
+        "cross_correlation_events": (
+            # replay of ops/events.cross_correlation: hourly bucket
+            # means of each series, lag self-join, per-lag
+            # pairwise-complete Pearson via explicit moments
+            "WITH series AS (SELECT floor(epoch(ts) / 3600)::BIGINT "
+            "AS idx, avg(CASE WHEN event_type = 'click' THEN value "
+            "END) AS x, avg(CASE WHEN event_type = 'purchase' THEN "
+            "value END) AS y FROM events WHERE ts IS NOT NULL "
+            "GROUP BY 1), "
+            "xs AS (SELECT idx, x FROM series WHERE x IS NOT NULL), "
+            "ys AS (SELECT idx, y FROM series WHERE y IS NOT NULL), "
+            "lags AS (SELECT unnest(range(-6, 7))::BIGINT AS lag), "
+            "p AS (SELECT l.lag, xs.x, ys.y FROM xs CROSS JOIN "
+            "lags l JOIN ys ON ys.idx = xs.idx + l.lag), "
+            "m AS (SELECT lag, count(*)::BIGINT AS n_pairs, "
+            "count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS "
+            "sxy FROM p GROUP BY 1) "
+            "SELECT lag, n_pairs, CASE WHEN n > 1 AND "
+            "(sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0 "
+            "THEN round((sxy - sx * sy / n) / sqrt((sxx - sx * sx "
+            "/ n) * (syy - sy * sy / n)), 6) END AS xcorr "
+            "FROM m ORDER BY lag"
         ),
     }

@@ -677,6 +677,16 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_cross_correlation():
+        from whylogs_spark.ops.events import cross_correlation
+        src = t["events"].select(
+            "ts",
+            F.when(F.col("event_type") == "click",
+                   F.col("value")).alias("x"),
+            F.when(F.col("event_type") == "purchase",
+                   F.col("value")).alias("y"))
+        _noop(cross_correlation(src, "ts", "x", "y", max_lag=24))
+
     def bench_weighted_quantiles():
         from whylogs_spark.core.summaries import weighted_quantiles
         _noop(weighted_quantiles(
@@ -925,6 +935,7 @@ def main() -> None:
         "association_rules_events": bench_association_rules,
         "semantic_types_customer": bench_semantic_types,
         "weighted_quantiles_lineitem": bench_weighted_quantiles,
+        "cross_correlation_events": bench_cross_correlation,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

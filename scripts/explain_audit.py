@@ -1933,6 +1933,34 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6g. cross-correlation: same lag-join shape as ACF, per-lag
+    # moments in one partial-agg pass, NO window at all
+    from whylogs_spark.ops.events import cross_correlation
+
+    xc = cross_correlation(
+        ev.select("ts",
+                  F.when(F.col("event_type") == "click",
+                         F.col("value")).alias("x"),
+                  F.when(F.col("event_type") == "purchase",
+                         F.col("value")).alias("y")),
+        "ts", "x", "y", max_lag=6)
+    sections.append((
+        "cross-correlation (lag-join lead/lag detector)", xc,
+        {
+            "bucket collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "lagged pairs via hash equi-join":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "no cartesian / nested-loop join":
+                r"^(?![\s\S]*(CartesianProduct|"
+                r"BroadcastNestedLoopJoin))",
+            "no window anywhere (pure aggregation)":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

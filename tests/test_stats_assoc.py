@@ -535,6 +535,55 @@ def test_autocorrelation_gaps_keys_constant(spark):
     assert all(c[lag].qstat == 0.0 for lag in (1, 2, 3))
 
 
+def test_cross_correlation_recovers_planted_lead(spark):
+    """y_t = x_{t-3} + noise: the cross-correlation must peak at
+    lag 3 and agree with numpy at every lag."""
+    import datetime as dt
+
+    from whylogs_spark.ops.events import cross_correlation
+
+    rng = np.random.RandomState(8)
+    base = dt.datetime(2024, 3, 1)
+    n = 300
+    x = rng.normal(0, 1, n)
+    y = np.roll(x, 3) + rng.normal(0, 0.1, n)
+    rows = [(base + dt.timedelta(hours=i), float(x[i]), float(y[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(rows,
+                               "ts timestamp, value double, value2 double")
+    out = {r.lag: (r.n_pairs, r.xcorr) for r in
+           cross_correlation(df, max_lag=5).collect()}
+    assert set(out) == set(range(-5, 6))
+    for k in out:
+        xa, ya = (x[:n - k], y[k:]) if k >= 0 else (x[-k:], y[:n + k])
+        assert out[k][0] == n - abs(k)
+        assert out[k][1] == pytest.approx(np.corrcoef(xa, ya)[0, 1],
+                                          abs=1e-9)
+    assert max(out, key=lambda k: out[k][1]) == 3
+    with pytest.raises(ValueError, match="max_lag"):
+        cross_correlation(df, max_lag=0)
+
+
+def test_cross_correlation_constant_and_sparse(spark):
+    import datetime as dt
+
+    from whylogs_spark.ops.events import cross_correlation
+
+    base = dt.datetime(2024, 3, 1)
+    # y constant -> null xcorr; x present only every other hour so
+    # n_pairs shrinks per lag parity
+    rows = [(base + dt.timedelta(hours=i),
+             float(i) if i % 2 == 0 else None, 5.0)
+            for i in range(40)]
+    df = spark.createDataFrame(rows,
+                               "ts timestamp, value double, value2 double")
+    out = {r.lag: r for r in cross_correlation(df, max_lag=2).collect()}
+    assert all(r.xcorr is None for r in out.values())
+    assert out[0].n_pairs == 20       # x exists in 20 buckets
+    assert out[1].n_pairs == 20       # y exists everywhere
+    assert out[2].n_pairs == 19       # tail truncation
+
+
 def test_seasonal_decompose_pre_epoch_slots(spark):
     """Pre-1970 timestamps have negative bucket indexes; slot must be
     pmod(idx, period) in 0..period-1, not Spark's sign-following %,

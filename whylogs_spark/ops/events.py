@@ -474,6 +474,73 @@ def autocorrelation(
         (n_d * (n_d + 2) * F.sum(term).over(wq)).alias("qstat"))
 
 
+def cross_correlation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    x_col: str = "value",
+    y_col: str = "value2",
+    key_cols=(),
+    grain: str = "hour",
+    max_lag: int = 24,
+) -> DataFrame:
+    """Lagged cross-correlation between two metric streams: for each
+    lag k in ``-max_lag..max_lag``, the Pearson correlation between
+    x_t and y_{t+k} over the buckets where both exist (pairwise-
+    complete, per-lag moments — the lead/lag detector: a positive
+    peak at k > 0 means x LEADS y by k buckets).
+
+    Same scale machinery as :func:`autocorrelation`: epoch-anchored
+    bucket means, the y series exploded over the lag spine, ONE
+    equi-join on (key, bucket) — shuffle bounded by buckets x
+    (2*max_lag+1), skew bound one bucket. Per-lag moments make the
+    estimator exact under gaps (each lag's correlation uses exactly
+    its surviving pairs), unlike the ACF convention of whole-series
+    moments.
+
+    Returns one row per (key, lag): ``key_cols…, lag, n_pairs,
+    xcorr`` — null when a lag has < 2 pairs or either side is
+    constant across them.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1: {max_lag}")
+    gsec = _grain_seconds(grain)
+    keys = list(key_cols)
+    xv = F.col(x_col).cast("double")
+    yv = F.col(y_col).cast("double")
+    series = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*keys, _bucket_idx(ts_col, gsec).alias("__idx"))
+        .agg(F.avg(F.when(~F.isnan(xv), xv)).alias("__x"),
+             F.avg(F.when(~F.isnan(yv), yv)).alias("__y"))
+    )
+    xs = series.filter(F.col("__x").isNotNull()) \
+        .select(*keys, "__idx", "__x")
+    ys = series.filter(F.col("__y").isNotNull()) \
+        .select(*keys, "__idx", "__y")
+    shifted = ys.select(
+        *keys, F.col("__y").alias("__ys"),
+        F.explode(F.sequence(F.lit(-int(max_lag)),
+                             F.lit(int(max_lag)))).alias("lag"),
+        (F.col("__idx") - F.col("lag")).alias("__idx2"),
+    ).withColumnRenamed("__idx2", "__join_idx")
+    pairs = xs.withColumnRenamed("__idx", "__join_idx").join(
+        shifted.drop("__idx"), on=[*keys, "__join_idx"])
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("__x")
+    sy = F.sum("__ys")
+    sxx = F.sum(F.col("__x") * F.col("__x"))
+    syy = F.sum(F.col("__ys") * F.col("__ys"))
+    sxy = F.sum(F.col("__x") * F.col("__ys"))
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    return pairs.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.when((n > 1) & (vx > 0) & (vy > 0),
+               cov / F.sqrt(vx * vy)).alias("xcorr"),
+    )
+
+
 def funnel(
     df: DataFrame,
     steps,
