@@ -2458,6 +2458,22 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("conversion_from_previous", 6).alias("conv_prev"))
 
 
+def _q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a 1-day conversion window from the step-1 anchor
+    (ops/events.py funnel(within=86400)): the windowed fold carries
+    (reached, anchor, previous) state through the same codegen'd HOF;
+    the oracle adds the ``ts <= t1 + within`` term to each
+    min-recurrence CTE."""
+    from whylogs_spark.ops.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"], within=86400.0)
+    return out.select(
+        "step_index", "step", "n_users",
+        F.round("conversion_from_first", 6).alias("conv_first"),
+        F.round("conversion_from_previous", 6).alias("conv_prev"))
+
+
 def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (ops/events.py retention_cohorts):
     epoch-anchored day cohorts; distinct (user, period) partial-aggs
@@ -2999,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_types_customer": _q_semantic_types,
         "weighted_quantiles_lineitem": _q_weighted_quantiles,
         "cross_correlation_events": _q_cross_correlation,
+        "funnel_window_events": _q_funnel_window,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5762,5 +5779,38 @@ def oracle_sql() -> dict[str, str]:
             "THEN round((sxy - sx * sy / n) / sqrt((sxx - sx * sx "
             "/ n) * (syy - sy * sy / n)), 6) END AS xcorr "
             "FROM m ORDER BY lag"
+        ),
+        "funnel_window_events": (
+            # the windowed min-recurrence: every step additionally
+            # satisfies ts <= t1 + within (86400 s, microsecond-exact
+            # duration per the shared convention)
+            "WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' AND ts IS NOT NULL AND user_id "
+            "IS NOT NULL GROUP BY 1), "
+            "u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN u1 ON e.user_id = u1.user_id WHERE e.event_type = "
+            "'click' AND e.ts >= u1.t1 AND "
+            "date_diff('microsecond', u1.t1, e.ts) / 1e6 <= 86400 "
+            "GROUP BY 1), "
+            "u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN u2 ON e.user_id = u2.user_id "
+            "JOIN u1 ON e.user_id = u1.user_id WHERE e.event_type = "
+            "'purchase' AND e.ts >= u2.t2 AND "
+            "date_diff('microsecond', u1.t1, e.ts) / 1e6 <= 86400 "
+            "GROUP BY 1), "
+            "n AS (SELECT (SELECT count(*) FROM u1) AS n1, "
+            "(SELECT count(*) FROM u2) AS n2, "
+            "(SELECT count(*) FROM u3) AS n3) "
+            "SELECT 1 AS step_index, 'view' AS step, n1::BIGINT AS "
+            "n_users, CASE WHEN n1 > 0 THEN 1.0 END AS conv_first, "
+            "NULL::DOUBLE AS conv_prev FROM n "
+            "UNION ALL SELECT 2, 'click', n2::BIGINT, "
+            "CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1, 6) END, "
+            "CASE WHEN n1 > 0 THEN round(n2::DOUBLE / n1, 6) END "
+            "FROM n "
+            "UNION ALL SELECT 3, 'purchase', n3::BIGINT, "
+            "CASE WHEN n1 > 0 THEN round(n3::DOUBLE / n1, 6) END, "
+            "CASE WHEN n2 > 0 THEN round(n3::DOUBLE / n2, 6) END "
+            "FROM n"
         ),
     }

@@ -839,6 +839,8 @@ def main() -> None:
                                               funnel, retention_cohorts,
                                               transition_matrix)
         _noop(funnel(t["events"], ["view", "click", "purchase"]))
+        _noop(funnel(t["events"], ["view", "click", "purchase"],
+                     within=86400.0))
         _noop(retention_cohorts(t["events"], grain="day"))
         _noop(transition_matrix(t["events"]))
         _noop(frequent_sequences(t["events"], n=3, k=50))

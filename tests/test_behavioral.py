@@ -304,3 +304,43 @@ def test_association_rules_cap_and_validation(spark):
         association_rules(df, min_support=0.0)
     with pytest.raises(ValueError, match="max_items_per_user"):
         association_rules(df, max_items_per_user=1)
+
+
+def test_funnel_conversion_windows(spark):
+    """within (anchor window) and step_within (per-step gap) windows:
+    events matching the awaited step but outside a window must not
+    advance the fold."""
+    from whylogs_spark.ops.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def S(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("u1", "view", S(0)), ("u1", "click", S(10)),
+        ("u1", "buy", S(20)),                       # fast completion
+        ("u2", "view", S(0)), ("u2", "click", S(1000)),
+        ("u2", "buy", S(2000)),                     # slow completion
+        ("u3", "view", S(0)), ("u3", "click", S(5)),
+        ("u3", "buy", S(900)),                      # big click->buy gap
+        ("u4", "view", S(0)), ("u4", "click", S(400)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp")
+
+    def counts(**kw):
+        return {r.step: r.n_users for r in
+                funnel(df, ["view", "click", "buy"], **kw).collect()}
+
+    assert counts() == {"view": 4, "click": 4, "buy": 3}
+    assert counts(within=100) == {"view": 4, "click": 2, "buy": 1}
+    assert counts(step_within=100) == {"view": 4, "click": 2, "buy": 1}
+    assert counts(within=100, step_within=30) == \
+        {"view": 4, "click": 2, "buy": 1}
+    # boundary is inclusive: exactly at the window edge still counts
+    assert counts(within=400) == {"view": 4, "click": 3, "buy": 1}
+    with pytest.raises(ValueError, match="within"):
+        funnel(df, ["view", "click"], within=-1)
+    with pytest.raises(ValueError, match="step_within"):
+        funnel(df, ["view", "click"], step_within=-1)

@@ -547,6 +547,8 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     event_col: str = "event_type",
+    within: Optional[float] = None,
+    step_within: Optional[float] = None,
 ) -> DataFrame:
     """Ordered funnel conversion: how many users performed step 1,
     then step 2 at-or-after their step-1 time, and so on (the product
@@ -558,6 +560,19 @@ def funnel(
     order, so a same-instant view+click advances both steps).
     Deterministic — an exact SQL recurrence (``t_{i+1} = min ts of
     step i+1 with ts >= t_i``) reproduces it in any engine.
+
+    Conversion windows (both in SECONDS, both optional, combinable):
+
+    * ``within`` — the whole funnel must complete within this long of
+      the user's FIRST step-1 event (the anchor; a later step-1 event
+      never re-anchors — deterministic and SQL-replayable, matching
+      the min-recurrence with the extra ``ts <= t_1 + within`` term).
+    * ``step_within`` — each step must occur within this long of the
+      previously matched step (``ts <= t_i + step_within``).
+
+    An event that matches the awaited step but misses a window simply
+    does not advance the fold; since both windows only shrink as time
+    passes a fixed anchor, skipping it is never suboptimal.
 
     Returns one row per step: ``(step_index, step, n_users,
     conversion_from_first, conversion_from_previous)``.
@@ -576,6 +591,10 @@ def funnel(
         raise ValueError("need at least 2 steps")
     if len(set(steps)) != len(steps):
         raise ValueError("duplicate steps")
+    if within is not None and within < 0:
+        raise ValueError(f"within must be >= 0: {within}")
+    if step_within is not None and step_within < 0:
+        raise ValueError(f"step_within must be >= 0: {step_within}")
     idx = F.lit(None).cast("int")
     for i, s in enumerate(reversed(steps)):
         i = len(steps) - 1 - i
@@ -585,17 +604,57 @@ def funnel(
                   & F.col(ts_col).isNotNull()
                   & F.col(user_col).isNotNull())
         .select(F.col(user_col).alias("__u"),
-                F.struct(F.col(ts_col).alias("t"),
-                         idx.alias("i")).alias("__e"))
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    idx.alias("i"),
+                    # microsecond-exact epoch seconds for the window
+                    # checks (TIMESTAMP_NTZ cannot cast to double
+                    # directly; via LTZ under the session timezone —
+                    # only differences are consumed)
+                    F.col(ts_col).cast("timestamp").cast("double")
+                    .alias("td")).alias("__e"))
     )
-    # greedy in-order matcher: fold the (ts, step)-sorted events,
-    # advancing when the next event IS the awaited step
-    reached = F.aggregate(
-        F.array_sort(F.collect_list("__e")),
-        F.lit(0),
-        lambda acc, e: F.when(e["i"] == acc, acc + F.lit(1))
-        .otherwise(acc),
-    )
+    sorted_ev = F.array_sort(F.collect_list("__e"))
+    if within is None and step_within is None:
+        # greedy in-order matcher: fold the (ts, step)-sorted events,
+        # advancing when the next event IS the awaited step
+        reached = F.aggregate(
+            sorted_ev,
+            F.lit(0),
+            lambda acc, e: F.when(e["i"] == acc, acc + F.lit(1))
+            .otherwise(acc),
+        )
+    else:
+        # windowed fold: state = (steps reached, anchor epoch-secs,
+        # previous-step epoch-secs); microsecond-exact double seconds
+        def ok(acc, e):
+            td = e["td"]
+            cond = e["i"] == acc["r"]
+            if within is not None:
+                cond = cond & ((acc["r"] == 0)
+                               | (td - acc["t0"]
+                                  <= F.lit(float(within))))
+            if step_within is not None:
+                cond = cond & ((acc["r"] == 0)
+                               | (td - acc["tp"]
+                                  <= F.lit(float(step_within))))
+            return cond
+
+        init = F.struct(
+            F.lit(0).alias("r"),
+            F.lit(None).cast("double").alias("t0"),
+            F.lit(None).cast("double").alias("tp"))
+        reached = F.aggregate(
+            sorted_ev,
+            init,
+            lambda acc, e: F.when(ok(acc, e), F.struct(
+                (acc["r"] + F.lit(1)).alias("r"),
+                F.when(acc["r"] == 0, e["td"])
+                .otherwise(acc["t0"]).alias("t0"),
+                e["td"].alias("tp"),
+            )).otherwise(acc),
+            lambda acc: acc["r"],
+        )
     per_user = ev.groupBy("__u").agg(reached.alias("__r"))
     aggs = [F.sum((F.col("__r") >= i + 1).cast("long"))
             .alias(f"__n_{i}") for i in range(len(steps))]
