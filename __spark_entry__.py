@@ -1981,6 +1981,104 @@ def _q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_weight").orderBy("l_returnflag")
 
 
+def _q_bootstrap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the mean treatment effect
+    (ops/abtest.py poisson_bootstrap_diff): per-replicate weights are
+    a deterministic md5 -> Poisson(1) inverse-CDF map, so the oracle
+    replays every draw bit-for-bit (shared cut-point constants,
+    '0x'||hex8 == conv(...,16,10))."""
+    from whylogs_spark.ops.abtest import poisson_bootstrap_diff
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__grp", (F.col("o_custkey") % 2 == 1).cast("int"))
+    out = poisson_bootstrap_diff(
+        o, "__grp", "o_totalprice", 0, 1, "o_orderkey", n_boot=100)
+    return out.select(
+        F.round("diff_obs", 4).alias("diff_obs"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
+        "n_boot")
+
+
+def _bootstrap_diff_sql() -> str:
+    """DuckDB replay of poisson_bootstrap_diff with the SAME inverse
+    -CDF cut points (digits taken from the shared constant list, so
+    both engines compare the identical doubles)."""
+    from whylogs_spark.ops.abtest import _POISSON1_CDF
+
+    arms = " ".join(
+        f"WHEN u < {c!r} THEN {k}"
+        for k, c in enumerate(_POISSON1_CDF))
+    return (
+        "WITH base AS (SELECT CASE WHEN o_custkey % 2 = 1 THEN 1 "
+        "ELSE 0 END AS t, o_totalprice::DOUBLE AS v, "
+        "o_orderkey::VARCHAR AS id FROM orders), "
+        "reps AS (SELECT unnest(range(0, 100)) AS r), "
+        "w AS (SELECT b.t, b.v, r.r, (('0x' || substr(md5(b.id || "
+        "'|' || r.r || '|' || 0), 1, 8))::BIGINT)::DOUBLE / "
+        "4294967296.0 AS u FROM base b CROSS JOIN reps r), "
+        f"k AS (SELECT t, v, r, (CASE {arms} ELSE 9 END)::DOUBLE "
+        "AS wgt FROM w), "
+        "pr AS (SELECT r, sum(CASE WHEN t = 1 THEN wgt * v ELSE 0 "
+        "END) / nullif(sum(CASE WHEN t = 1 THEN wgt ELSE 0 END), 0) "
+        "- sum(CASE WHEN t = 0 THEN wgt * v ELSE 0 END) / "
+        "nullif(sum(CASE WHEN t = 0 THEN wgt ELSE 0 END), 0) AS d "
+        "FROM k GROUP BY r), "
+        "obs AS (SELECT avg(v) FILTER (WHERE t = 1) - avg(v) "
+        "FILTER (WHERE t = 0) AS diff_obs FROM base) "
+        "SELECT round(obs.diff_obs, 4) AS diff_obs, "
+        "round(quantile_cont(pr.d, 0.025), 4) AS ci_lo, "
+        "round(quantile_cont(pr.d, 0.975), 4) AS ci_hi, "
+        "count(*)::INT AS n_boot FROM pr, obs GROUP BY obs.diff_obs"
+    )
+
+
+def _q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch chi2 per order status (ops/abtest.py
+    srm_check): one agg, broadcast allocation. Oracle recomputes the
+    goodness-of-fit sum in SQL."""
+    from whylogs_spark.ops.abtest import srm_check
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__arm", F.when(F.col("o_custkey") % 10 < 5, F.lit("a"))
+        .otherwise(F.lit("b")))
+    out = srm_check(o, "__arm", {"a": 0.5, "b": 0.5},
+                    ["o_orderstatus"])
+    return out.select(
+        "o_orderstatus", "n_total", "n_a", "n_b",
+        F.round("chi2", 6).alias("chi2"), "dof",
+    ).orderBy("o_orderstatus")
+
+
+def _q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED adjustment summary per order status (ops/abtest.py
+    cuped_adjust): theta/xbar from one pooled aggregation, adjusted
+    metric recomputed in-plan; the oracle replays theta, the mean
+    (CUPED preserves it), and the raw-vs-adjusted sd drop via
+    explicit moment sums."""
+    from whylogs_spark.ops.abtest import cuped_adjust
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_totalprice")
+         + (F.col("o_orderkey") % 1000).cast("double")).alias("x"))
+    adj = cuped_adjust(o, "y", "x", ["o_orderstatus"])
+    n = F.count(F.lit(1)).cast("double")
+    def sd(c):
+        s = F.sum(F.col(c))
+        ss = F.sum(F.col(c) * F.col(c))
+        return F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
+    out = adj.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("y"), 4).alias("mean_raw"),
+        F.round(F.avg("y_cuped"), 4).alias("mean_adj"),
+        F.round(sd("y"), 3).alias("sd_raw"),
+        F.round(sd("y_cuped"), 3).alias("sd_adj"),
+    )
+    return out.orderBy("o_orderstatus")
+
+
 def _q_semantic_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-type inference over derived customer string columns
     (ops/schema_infer.py infer_semantic_types): one agg pass of
@@ -3016,6 +3114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles_lineitem": _q_weighted_quantiles,
         "cross_correlation_events": _q_cross_correlation,
         "funnel_window_events": _q_funnel_window,
+        "srm_check_orders": _q_srm_check,
+        "cuped_adjust_orders": _q_cuped,
+        "bootstrap_diff_orders": _q_bootstrap_diff,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5813,4 +5914,46 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n2 > 0 THEN round(n3::DOUBLE / n2, 6) END "
             "FROM n"
         ),
+        "srm_check_orders": (
+            "WITH c AS (SELECT o_orderstatus, "
+            "count(*)::BIGINT AS n_total, "
+            "sum(CASE WHEN o_custkey % 10 < 5 THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_a, "
+            "sum(CASE WHEN o_custkey % 10 < 5 THEN 0 ELSE 1 END)"
+            "::BIGINT AS n_b FROM orders GROUP BY 1) "
+            "SELECT o_orderstatus, n_total, n_a, n_b, "
+            "round(pow(n_a::DOUBLE - n_total * 0.5, 2) / "
+            "(n_total * 0.5) + pow(n_b::DOUBLE - n_total * 0.5, 2) "
+            "/ (n_total * 0.5), 6) AS chi2, 1 AS dof "
+            "FROM c ORDER BY o_orderstatus"
+        ),
+        "cuped_adjust_orders": (
+            # theta = cov(x,y)/var(x) pooled per segment; adjusted
+            # y' = y - theta (x - xbar); CUPED preserves the mean and
+            # shrinks sd by the squared correlation
+            "WITH b AS (SELECT o_orderstatus AS seg, "
+            "o_totalprice::DOUBLE AS y, o_totalprice::DOUBLE + "
+            "(o_orderkey % 1000)::DOUBLE AS x FROM orders), "
+            "st AS (SELECT seg, count(*)::DOUBLE AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy "
+            "FROM b GROUP BY 1), "
+            "th AS (SELECT seg, CASE WHEN n > 1 AND "
+            "(sxx - sx * sx / n) > 0 THEN (sxy - sx * sy / n) / "
+            "(sxx - sx * sx / n) END AS theta, sx / n AS xbar "
+            "FROM st), "
+            "adj AS (SELECT b.seg, b.y, CASE WHEN th.theta IS NOT "
+            "NULL THEN b.y - th.theta * (b.x - th.xbar) ELSE b.y "
+            "END AS ya FROM b JOIN th ON th.seg = b.seg), "
+            "m AS (SELECT seg, count(*)::BIGINT AS n, "
+            "count(*)::DOUBLE AS nd, sum(y) AS sy, sum(y * y) AS "
+            "syy, sum(ya) AS sa, sum(ya * ya) AS saa FROM adj "
+            "GROUP BY 1) "
+            "SELECT seg AS o_orderstatus, n, "
+            "round(sy / nd, 4) AS mean_raw, "
+            "round(sa / nd, 4) AS mean_adj, "
+            "round(sqrt((syy - sy * sy / nd) / (nd - 1)), 3) AS "
+            "sd_raw, round(sqrt((saa - sa * sa / nd) / (nd - 1)), "
+            "3) AS sd_adj FROM m ORDER BY o_orderstatus"
+        ),
+        "bootstrap_diff_orders": _bootstrap_diff_sql(),
     }

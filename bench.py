@@ -717,13 +717,18 @@ def main() -> None:
                                 min_support=0.005))
 
     def bench_embedding_decontam_outliers():
+        # planes scale with log2(n / target_bucket): at sf0.1's ~50k
+        # vectors, 8 planes x 8 tables gives ~200-member buckets (the
+        # gate's 2-plane setting is sized for its 500-row corpus —
+        # 2 planes here would mean 12.5k-row buckets and a quadratic
+        # band join)
         from whylogs_spark.ops import similarity as s2
         emb = t["embeddings"]
         _noop(s2.embedding_decontaminate(
             emb.filter(F.col("vec_id") % 25 != 0),
             emb.filter(F.col("vec_id") % 25 == 0),
-            threshold=0.4, planes=2, tables=24))
-        _noop(s2.embedding_outliers(emb, k=3, planes=2, tables=24))
+            threshold=0.4, planes=8, tables=8))
+        _noop(s2.embedding_outliers(emb, k=3, planes=8, tables=8))
 
     def bench_autocorrelation():
         from whylogs_spark.ops.events import autocorrelation
@@ -738,6 +743,30 @@ def main() -> None:
             t["orders"].withColumn(
                 "__grp", (F.col("o_custkey") % 2 == 1).cast("int")),
             "__grp", "o_totalprice", 0, 1, ["o_orderstatus"]))
+
+    def bench_ab_experiment_utils():
+        # CUPED + SRM + 100-replicate Poisson bootstrap over orders
+        from whylogs_spark.ops.abtest import (cuped_adjust,
+                                              poisson_bootstrap_diff,
+                                              srm_check)
+        o = t["orders"]
+        _noop(cuped_adjust(
+            o.select("o_orderstatus",
+                     F.col("o_totalprice").alias("y"),
+                     (F.col("o_totalprice")
+                      + (F.col("o_orderkey") % 1000).cast("double"))
+                     .alias("x")),
+            "y", "x", ["o_orderstatus"]))
+        _noop(srm_check(
+            o.withColumn("__arm",
+                         F.when(F.col("o_custkey") % 10 < 5,
+                                F.lit("a")).otherwise(F.lit("b"))),
+            "__arm", {"a": 0.5, "b": 0.5}, ["o_orderstatus"]))
+        _noop(poisson_bootstrap_diff(
+            o.withColumn("__grp",
+                         (F.col("o_custkey") % 2 == 1).cast("int")),
+            "__grp", "o_totalprice", 0, 1, "o_orderkey",
+            n_boot=100))
 
     def bench_data_contract():
         # a 9-check contract compiled into one agg + one fd branch
@@ -932,6 +961,7 @@ def main() -> None:
         "linkage_percentiles": bench_linkage_percentiles,
         "data_contract": bench_data_contract,
         "ab_test_orders": bench_ab_test,
+        "ab_experiment_utils": bench_ab_experiment_utils,
         "autocorrelation_events": bench_autocorrelation,
         "embedding_decontam_outliers": bench_embedding_decontam_outliers,
         "association_rules_events": bench_association_rules,
@@ -950,7 +980,9 @@ def main() -> None:
                 "pixel_features_12k_images": 3,
                 "exif_metadata_12k_images": 3,
                 "dedup_scale_10x": 2,
-                "profile_scale_10x": 2,
+                # 3 reps so the recorded median is a true middle (at
+                # 2, "median" is the max — the cold first rep)
+                "profile_scale_10x": 3,
                 "dupspans_scale_10x": 2,
                 "sessionize_hot10x_single": 2,
                 "sessionize_hot10x_bucketed": 2,

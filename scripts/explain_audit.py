@@ -1961,6 +1961,69 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6h. experiment utilities: CUPED broadcast stats, SRM single
+    # agg, Poisson bootstrap replicate reduction
+    from whylogs_spark.ops.abtest import (cuped_adjust,
+                                          poisson_bootstrap_diff,
+                                          srm_check)
+
+    ords2 = load_table(spark, SF_DIR, "orders")
+    cu2 = cuped_adjust(
+        ords2.select("o_orderstatus",
+                     F.col("o_totalprice").alias("y"),
+                     (F.col("o_totalprice")
+                      + (F.col("o_orderkey") % 1000).cast("double"))
+                     .alias("x")),
+        "y", "x", ["o_orderstatus"])
+    sections.append((
+        "CUPED adjustment (broadcast theta)", cu2,
+        {
+            "theta/xbar stats joined back by broadcast":
+                r"BroadcastHashJoin",
+            "stats partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    srm = srm_check(
+        ords2.withColumn(
+            "__arm", F.when(F.col("o_custkey") % 10 < 5, F.lit("a"))
+            .otherwise(F.lit("b"))),
+        "__arm", {"a": 0.5, "b": 0.5}, ["o_orderstatus"])
+    sections.append((
+        "SRM check (one agg)", srm,
+        {
+            "counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "single scan":
+                r"^(?!(?:[\s\S]*\(\d+\) Scan parquet){2})"
+                r"[\s\S]*\(\d+\) Scan parquet",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    pb = poisson_bootstrap_diff(
+        ords2.withColumn("__grp",
+                         (F.col("o_custkey") % 2 == 1).cast("int")),
+        "__grp", "o_totalprice", 0, 1, "o_orderkey", n_boot=50)
+    sections.append((
+        "Poisson bootstrap CI (replicate partial-agg)", pb,
+        {
+            "replicate sums partial-agg before the exchange "
+            "(shuffle bounded by replicates, not data x replicates)":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "replicate spine generated in-plan (explode)":
+                r"Generate[\s\S]*explode",
+            "bounded CI frame joined by broadcast":
+                r"(BroadcastNestedLoopJoin|BroadcastHashJoin)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -113,6 +113,114 @@ def test_ab_pvalues(spark):
     assert rz.p_welch is None and rz.p_mw is None
 
 
+def test_cuped_reduces_variance_and_preserves_effect(spark):
+    from whylogs_spark.ops.abtest import ab_test_report, cuped_adjust
+
+    rng = np.random.RandomState(31)
+    rows = []
+    for _ in range(400):
+        x = float(rng.normal(100, 20))        # pre-period covariate
+        eps = float(rng.normal(0, 5))
+        rows.append(("ctl", x, x * 0.8 + eps))
+        x = float(rng.normal(100, 20))
+        eps = float(rng.normal(0, 5))
+        rows.append(("trt", x, x * 0.8 + eps + 3.0))  # true effect +3
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    adj = cuped_adjust(df, "y", "x")
+    raw = ab_test_report(df, "grp", "y", "ctl", "trt").collect()[0]
+    cup = ab_test_report(adj, "grp", "y_cuped",
+                         "ctl", "trt").collect()[0]
+    # same (unbiased) effect estimate, far less variance, larger |t|
+    assert cup.diff == pytest.approx(raw.diff, abs=1.5)
+    assert cup.var_c < raw.var_c * 0.25
+    assert abs(cup.welch_t) > abs(raw.welch_t) * 2
+    # theta estimation: cross-check against the numpy OLS slope
+    pdf = pd.DataFrame(rows, columns=["grp", "x", "y"])
+    theta = np.cov(pdf.x, pdf.y, ddof=0)[0, 1] / pdf.x.var(ddof=0)
+    got = adj.select("y_cuped").toPandas()["y_cuped"].values
+    want = pdf.y.values - theta * (pdf.x.values - pdf.x.mean())
+    assert np.allclose(np.sort(got), np.sort(want))
+
+
+def test_cuped_null_covariate_and_degenerate(spark):
+    from whylogs_spark.ops.abtest import cuped_adjust
+
+    rows = [("a", 1.0, 10.0), ("a", 2.0, 12.0), ("a", 3.0, 14.0),
+            ("a", None, 99.0), ("a", float("nan"), 98.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.y: r.y_cuped for r in cuped_adjust(df, "y", "x").collect()}
+    # null/NaN covariate rows keep the raw metric
+    assert out[99.0] == 99.0 and out[98.0] == 98.0
+    # perfectly linear: adjusted values collapse to the mean
+    assert all(abs(out[v] - 12.0) < 1e-9 for v in (10.0, 12.0, 14.0))
+    # constant covariate -> no adjustment
+    const = spark.createDataFrame(
+        [("a", 5.0, 1.0), ("a", 5.0, 2.0)], "g string, x double, y double")
+    got = {r.y: r.y_cuped for r in
+           cuped_adjust(const, "y", "x").collect()}
+    assert got == {1.0: 1.0, 2.0: 2.0}
+
+
+def test_srm_check(spark):
+    from whylogs_spark.core.drift import chi2_sf
+    from whylogs_spark.ops.abtest import srm_check
+
+    # balanced 500/500 -> tiny chi2; broken 600/400 -> big chi2
+    ok = [("c",)] * 500 + [("t",)] * 500
+    bad = [("c",)] * 600 + [("t",)] * 400 + [("other",)] * 50
+    for rows, broken in [(ok, False), (bad, True)]:
+        df = spark.createDataFrame(rows, "grp string")
+        r = srm_check(df, "grp", {"c": 0.5, "t": 0.5}).collect()[0]
+        assert r.n_total == 1000      # 'other' ignored
+        assert r.dof == 1
+        p = chi2_sf(r.chi2, r.dof)
+        assert (p < 1e-9) == broken
+    # expected chi2 for 600/400 at 50/50: (100^2/500)*2 = 40
+    df = spark.createDataFrame(bad, "grp string")
+    r = srm_check(df, "grp", {"c": 0.5, "t": 0.5}).collect()[0]
+    assert r.chi2 == pytest.approx(40.0)
+    assert (r.n_c, r.n_t) == (600, 400)
+    with pytest.raises(ValueError, match="at least 2"):
+        srm_check(df, "grp", {"c": 1.0})
+    with pytest.raises(ValueError, match="> 0"):
+        srm_check(df, "grp", {"c": 0.5, "t": 0.0})
+
+
+def test_poisson_bootstrap_diff(spark):
+    from whylogs_spark.ops.abtest import poisson_bootstrap_diff
+
+    rng = np.random.RandomState(13)
+    rows = [(i, "ctl", float(v))
+            for i, v in enumerate(rng.normal(10, 2, 400))]
+    rows += [(10_000 + i, "trt", float(v))
+             for i, v in enumerate(rng.normal(11, 2, 400))]
+    df = spark.createDataFrame(rows, "rid long, grp string, m double")
+    r = poisson_bootstrap_diff(
+        df, "grp", "m", "ctl", "trt", "rid", n_boot=100).collect()[0]
+    truth = (np.mean([v for _, g, v in rows if g == "trt"])
+             - np.mean([v for _, g, v in rows if g == "ctl"]))
+    assert r.diff_obs == pytest.approx(truth)
+    assert r.n_boot == 100
+    # the CI brackets the observed effect and has sane width
+    assert r.ci_lo < r.diff_obs < r.ci_hi
+    assert 0.05 < (r.ci_hi - r.ci_lo) < 2.0
+    # fully deterministic: a second run is bit-identical
+    r2 = poisson_bootstrap_diff(
+        df, "grp", "m", "ctl", "trt", "rid", n_boot=100).collect()[0]
+    assert (r.ci_lo, r.ci_hi) == (r2.ci_lo, r2.ci_hi)
+    # a different seed moves the replicate draws
+    r3 = poisson_bootstrap_diff(
+        df, "grp", "m", "ctl", "trt", "rid", n_boot=100,
+        seed=7).collect()[0]
+    assert (r3.ci_lo, r3.ci_hi) != (r.ci_lo, r.ci_hi)
+    with pytest.raises(ValueError, match="n_boot"):
+        poisson_bootstrap_diff(df, "grp", "m", "ctl", "trt", "rid",
+                               n_boot=1)
+    with pytest.raises(ValueError, match="alpha"):
+        poisson_bootstrap_diff(df, "grp", "m", "ctl", "trt", "rid",
+                               alpha=1.5)
+
+
 def test_student_t_sf_against_tables():
     # textbook two-sided critical values: sf(t, df) == alpha/2
     for t, df, tail in [

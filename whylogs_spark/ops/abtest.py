@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["ab_test_report", "with_ab_pvalues"]
+__all__ = ["ab_test_report", "with_ab_pvalues", "cuped_adjust",
+           "srm_check"]
 
 
 def ab_test_report(
@@ -195,3 +196,206 @@ def with_ab_pvalues(report: DataFrame) -> DataFrame:
             yield pdf
 
     return report.mapInPandas(gen, schema)
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    segment_cols: Sequence[str] = (),
+    out_col: str = None,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): replace the
+    experiment metric y with ``y - theta * (x - mean(x))`` where x is
+    a pre-experiment covariate (e.g. the same metric measured before
+    assignment) and ``theta = cov(x, y) / var(x)`` — the OLS slope.
+    Feeding the adjusted column to :func:`ab_test_report` keeps the
+    treatment-effect estimate unbiased (assignment is independent of
+    x) while shrinking variance by the squared correlation.
+
+    theta and mean(x) are estimated per segment over ALL rows (both
+    arms pooled — the standard CUPED recipe; a per-arm theta would
+    bias the difference) in one aggregation, broadcast back; rows
+    with a null/NaN covariate keep their raw metric (adjustment 0).
+    Degenerate var(x) == 0 leaves the metric unadjusted.
+
+    Returns ``df`` plus the adjusted column (default
+    ``<metric_col>_cuped``).
+    """
+    out_col = out_col or f"{metric_col}_cuped"
+    segs = list(segment_cols)
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    both = y.isNotNull() & ~F.isnan(y) & x.isNotNull() & ~F.isnan(x)
+    xm = F.when(both, x)
+    ym = F.when(both, y)
+    n = F.count(xm).cast("double")
+    sx = F.sum(xm)
+    stats = df.groupBy(*segs).agg(
+        F.sum(xm).alias("__sx"), F.sum(ym).alias("__sy"),
+        F.sum(xm * xm).alias("__sxx"), F.sum(xm * ym).alias("__sxy"),
+        F.count(xm).cast("double").alias("__nb"))
+    nb = F.col("__nb")
+    varx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nb
+    covxy = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nb
+    stats = stats.select(
+        *segs,
+        F.when((nb > 1) & (varx > 0), covxy / varx).alias("__theta"),
+        F.try_divide(F.col("__sx"), nb).alias("__xbar"))
+    if segs:
+        j = df.join(F.broadcast(stats), on=segs, how="left")
+    else:
+        j = df.crossJoin(F.broadcast(stats))
+    adj = F.when(
+        both & F.col("__theta").isNotNull(),
+        y - F.col("__theta") * (x - F.col("__xbar"))).otherwise(y)
+    return j.withColumn(out_col, adj).drop("__theta", "__xbar")
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected: dict,
+    segment_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sample-ratio-mismatch check: chi-square goodness-of-fit of the
+    observed per-arm counts against the designed allocation (e.g.
+    ``{"control": 0.5, "treatment": 0.5}``) — the first thing to
+    verify before reading ANY experiment result; an SRM means broken
+    assignment or logging, not a treatment effect.
+
+    One aggregation: per (segment, arm) counts, expected counts from
+    the broadcast allocation, ``chi2 = sum (obs - exp)^2 / exp`` with
+    dof = arms - 1 per segment. Arms absent from ``expected`` are
+    ignored (filtered at the scan); arms in ``expected`` with zero
+    observed rows still contribute (obs = 0). Feed ``chi2``/``dof``
+    to ``core.drift.chi2_sf`` for the p-value.
+
+    Returns one row per segment: ``segment_cols…, n_total, chi2,
+    dof`` plus per-arm ``n_<arm>`` observed counts.
+    """
+    arms = list(expected)
+    if len(arms) < 2:
+        raise ValueError("expected must name at least 2 arms")
+    tot = float(sum(expected.values()))
+    if tot <= 0:
+        raise ValueError("expected ratios must sum to > 0")
+    fracs = {a: float(expected[a]) / tot for a in arms}
+    if any(f <= 0 for f in fracs.values()):
+        raise ValueError("every expected ratio must be > 0")
+    segs = list(segment_cols)
+    g = F.col(group_col).cast("string")
+    base = df.filter(g.isin([str(a) for a in arms]))
+    counts = base.groupBy(*segs).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[F.sum((g == F.lit(str(a))).cast("long")).alias(f"n_{a}")
+          for a in arms])
+    nt = F.col("n_total").cast("double")
+    chi2 = None
+    for a in arms:
+        exp_a = nt * F.lit(fracs[a])
+        term = (F.col(f"n_{a}").cast("double") - exp_a) ** 2 / exp_a
+        chi2 = term if chi2 is None else chi2 + term
+    return counts.select(
+        *segs, "n_total", *[f"n_{a}" for a in arms],
+        F.when(nt > 0, chi2).alias("chi2"),
+        F.lit(len(arms) - 1).alias("dof"),
+    )
+
+
+# Poisson(1) inverse-CDF cut points: cumulative e^-1 * sum 1/k!.
+# A hash-uniform u maps to the smallest k with u < cdf[k]; the tail
+# past k=9 (probability ~1e-7) truncates to 9 — identical constants
+# on every engine, so the draw replays exactly.
+_POISSON1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988747974021,
+]
+
+
+def poisson_bootstrap_diff(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    control,
+    treatment,
+    id_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> DataFrame:
+    """Percentile bootstrap CI for the mean treatment effect via the
+    Poisson bootstrap (the distributed bootstrap: resampling n rows
+    with replacement == giving each row an independent Poisson(1)
+    weight, exact as n grows — Chamandy et al., "Estimating
+    uncertainty for massive data streams", Google 2012).
+
+    Each row's weight for replicate r is a DETERMINISTIC function of
+    ``md5(id_col | r | seed)`` mapped through the Poisson(1) inverse
+    CDF — reproducible run-to-run and engine-to-engine (no RNG
+    state). One pass: the replicate spine explodes in-plan and the
+    per-(replicate, arm) weighted sums partial-agg map-side to
+    ``2 * n_boot`` rows per partition, so shuffle volume is bounded
+    by replicates, not data x replicates.
+
+    Returns ONE row: ``(diff_obs, ci_lo, ci_hi, n_boot)`` — the
+    observed mean difference (treatment - control) and the
+    ``alpha/2 .. 1-alpha/2`` percentile interval of the bootstrap
+    replicate differences.
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2: {n_boot}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    v = F.col(metric_col).cast("double")
+    base = (
+        df.filter(F.col(group_col).isin([control, treatment]))
+        .filter(v.isNotNull() & ~F.isnan(v))
+        .select(
+            (F.col(group_col) == F.lit(treatment)).cast("int")
+            .alias("__t"),
+            v.alias("__v"),
+            F.col(id_col).cast("string").alias("__id"))
+    )
+    rep = base.select(
+        "__t", "__v", "__id",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
+        .alias("__r"))
+    u = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.col("__id"),
+                              F.col("__r").cast("string"),
+                              F.lit(str(seed)))), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(1 << 32)))
+    w = F.lit(9)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = rep.select(
+        "__r", "__t", "__v", w.cast("double").alias("__w"))
+    per_rep = weighted.groupBy("__r").agg(
+        F.sum(F.when(F.col("__t") == 1, F.col("__w") * F.col("__v"))
+              .otherwise(F.lit(0.0))).alias("__swt"),
+        F.sum(F.when(F.col("__t") == 1, F.col("__w"))
+              .otherwise(F.lit(0.0))).alias("__swt_n"),
+        F.sum(F.when(F.col("__t") == 0, F.col("__w") * F.col("__v"))
+              .otherwise(F.lit(0.0))).alias("__swc"),
+        F.sum(F.when(F.col("__t") == 0, F.col("__w"))
+              .otherwise(F.lit(0.0))).alias("__swc_n"),
+    )
+    bdiff = (F.try_divide(F.col("__swt"), F.col("__swt_n"))
+             - F.try_divide(F.col("__swc"), F.col("__swc_n")))
+    reps = per_rep.select(bdiff.alias("__d"))
+    obs = base.agg(
+        (F.try_divide(
+            F.sum(F.when(F.col("__t") == 1, F.col("__v"))),
+            F.sum(F.col("__t")))
+         - F.try_divide(
+             F.sum(F.when(F.col("__t") == 0, F.col("__v"))),
+             F.sum(F.lit(1) - F.col("__t")))).alias("diff_obs"))
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = reps.agg(
+        F.expr(f"percentile(__d, {lo!r})").alias("ci_lo"),
+        F.expr(f"percentile(__d, {hi!r})").alias("ci_hi"),
+        F.count(F.lit(1)).cast("int").alias("n_boot"))
+    return obs.crossJoin(F.broadcast(ci))

@@ -280,6 +280,20 @@ def ivf_topk(
     return cosine_topk(cand, list(qv), vec_col, id_col, k)
 
 
+def _drop_big_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop every (tbl, bkt) group larger than ``max_bucket`` — the
+    degenerate-bucket policy shared with the MinHash/SimHash families:
+    an undersized ``planes`` at corpus scale would otherwise make the
+    band join quadratic in the bucket size. The sizes frame is bounded
+    by tables x 2^planes rows and broadcasts."""
+    sizes = (banded.groupBy("tbl", "bkt")
+             .agg(F.count(F.lit(1)).alias("__bn"))
+             .filter(F.col("__bn") <= F.lit(int(max_bucket)))
+             .select("tbl", "bkt"))
+    return banded.join(F.broadcast(sizes), ["tbl", "bkt"],
+                       "left_semi")
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -290,6 +304,7 @@ def knn_join(
     planes: int = 6,
     tables: int = 4,
     exclude_self: bool = False,
+    max_bucket: int = None,
 ) -> DataFrame:
     """Approximate k-NN join via multi-table LSH (OR-construction): both
     sides explode to (table_idx, bucket) keys, join on the composite key
@@ -300,6 +315,13 @@ def knn_join(
     boundary; with ``tables`` independent tables a pair is a candidate
     if ANY table agrees — recall 1-(1-p^planes)^tables. Returns
     (left_id, right_id, cosine, rank).
+
+    Pick ``planes`` ~ log2(n / desired_bucket): too few planes at
+    corpus scale makes buckets huge and the band join quadratic.
+    ``max_bucket`` (optional) enforces that by dropping oversized
+    LEFT-side buckets outright — members they would have matched
+    almost surely co-occur in another table's smaller bucket, the
+    same degenerate-bucket policy the MinHash/SimHash families carry.
     """
     dim = len(left.select(vec_col).first()[0])
 
@@ -319,6 +341,8 @@ def knn_join(
 
     lb = banded(left, left_id, "l")
     rb = banded(right, right_id, "r")
+    if max_bucket is not None:
+        lb = _drop_big_buckets(lb, max_bucket)
     # distinct BEFORE the cosine so a pair colliding in several tables is
     # scored once, not `tables` times
     cand = (
@@ -639,6 +663,7 @@ def embedding_contamination_pairs(
     threshold: float = 0.9,
     planes: int = 4,
     tables: int = 8,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """(corpus_id, benchmark_id, cosine) pairs with cosine >=
     ``threshold`` — the embedding-space sibling of
@@ -651,7 +676,11 @@ def embedding_contamination_pairs(
     so few planes + many tables for the high thresholds decontam
     uses), each candidate verified by exact cosine. Shuffle = rows x
     tables small-int keys on BOTH sides; the benchmark side is tiny
-    and broadcast by AQE.
+    and broadcast by AQE. Pick ``planes`` ~ log2(n_corpus /
+    desired_bucket); corpus-side buckets larger than ``max_bucket``
+    are dropped whole (the shared degenerate-bucket policy — an
+    undersized ``planes`` would otherwise cross every corpus row with
+    every benchmark row sharing the bucket).
     """
     dim = len(corpus.select(vec_col).first()[0])
 
@@ -672,6 +701,8 @@ def embedding_contamination_pairs(
 
     cb = banded(corpus, corpus_id, "c")
     bb = banded(benchmark, benchmark_id, "b")
+    if max_bucket is not None:
+        cb = _drop_big_buckets(cb, max_bucket)
     cand = (
         cb.join(bb, ["tbl", "bkt"])
         .select("__cid", "__cv", "__bid", "__bv")
@@ -696,6 +727,7 @@ def embedding_decontaminate(
     threshold: float = 0.9,
     planes: int = 4,
     tables: int = 8,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Drop every corpus row whose embedding is >= ``threshold``
     cosine to ANY benchmark row (see
@@ -704,7 +736,7 @@ def embedding_decontaminate(
     left_anti join on the id."""
     flagged = embedding_contamination_pairs(
         corpus, benchmark, vec_col, corpus_id, benchmark_id,
-        threshold, planes, tables,
+        threshold, planes, tables, max_bucket,
     ).select(F.col(corpus_id + "_corpus").alias(corpus_id)).distinct()
     return corpus.join(flagged, corpus_id, "left_anti")
 
@@ -716,6 +748,7 @@ def embedding_outliers(
     k: int = 5,
     planes: int = 3,
     tables: int = 8,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """kth-nearest-neighbor outlier score per embedding row — the
     classic kNN-distance outlier signal (a row far from even its kth
@@ -734,7 +767,7 @@ def embedding_outliers(
     high exactly like the decontamination path.
     """
     nn = knn_join(df, df, vec_col, id_col, id_col, k, planes,
-                  tables, exclude_self=True)
+                  tables, exclude_self=True, max_bucket=max_bucket)
     per = nn.groupBy(F.col(id_col + "_left").alias(id_col)).agg(
         F.max("rank").cast("int").alias("n_neighbors"),
         F.min("cosine").alias("kth_cosine"),
