@@ -1981,6 +1981,31 @@ def _q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_weight").orderBy("l_returnflag")
 
 
+def _q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (ops/survival.py logrank_test) between
+    even/odd user-id arms over the same per-user durations the KM gate
+    uses: one distinct-duration collapse carrying both arms, one
+    prefix-sum pass for the at-risk suffix counts, 1-row reduction.
+    The oracle replays the hypergeometric O-E/V sums in window SQL."""
+    from whylogs_spark.ops.survival import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    per = (ev.filter(F.col("user_id").isNotNull()
+                     & F.col("ts").isNotNull())
+           .groupBy("user_id")
+           .agg((F.expr("timestampdiff(MICROSECOND, min(ts), "
+                        "max(ts))") / F.lit(1e6)).alias("dur"),
+                F.max((F.col("event_type") == "purchase").cast("int"))
+                .alias("ev"))
+           .withColumn("arm", (F.col("user_id") % 2).cast("int")))
+    out = logrank_test(per, "dur", "ev", "arm", 0, 1)
+    return out.select(
+        "n_a", "n_b", "events_a", "events_b",
+        "observed_a",
+        F.round("expected_a", 6).alias("expected_a"),
+        F.round("chi2", 6).alias("chi2"), "dof")
+
+
 def _q_bootstrap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap CI for the mean treatment effect
     (ops/abtest.py poisson_bootstrap_diff): per-replicate weights are
@@ -3117,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check_orders": _q_srm_check,
         "cuped_adjust_orders": _q_cuped,
         "bootstrap_diff_orders": _q_bootstrap_diff,
+        "logrank_events": _q_logrank,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5956,4 +5982,39 @@ def oracle_sql() -> dict[str, str]:
             "3) AS sd_adj FROM m ORDER BY o_orderstatus"
         ),
         "bootstrap_diff_orders": _bootstrap_diff_sql(),
+        "logrank_events": (
+            # replay of ops/survival.logrank_test: per-user durations
+            # (shared microsecond convention), distinct-duration
+            # table, suffix at-risk counts via window sums,
+            # hypergeometric O-E and variance sums
+            "WITH per AS (SELECT user_id, "
+            "date_diff('microsecond', min(ts), max(ts)) / 1e6 AS "
+            "dur, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE "
+            "0 END) AS ev, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 "
+            "END AS a FROM events WHERE user_id IS NOT NULL AND ts "
+            "IS NOT NULL GROUP BY user_id), "
+            "g AS (SELECT dur, sum(ev * a)::BIGINT AS da, "
+            "sum(ev * (1 - a))::BIGINT AS db, sum(a)::BIGINT AS ma, "
+            "sum(1 - a)::BIGINT AS mb FROM per GROUP BY dur), "
+            "c AS (SELECT *, sum(ma) OVER () - sum(ma) OVER "
+            "(ORDER BY dur) + ma AS nna, sum(mb) OVER () - sum(mb) "
+            "OVER (ORDER BY dur) + mb AS nnb FROM g), "
+            "tt AS (SELECT (da + db)::DOUBLE AS d, da::DOUBLE AS "
+            "oa, nna::DOUBLE AS na, nnb::DOUBLE AS nb FROM c WHERE "
+            "da + db > 0), "
+            "s AS (SELECT sum(oa) AS observed_a, "
+            "sum(d * na / (na + nb)) AS expected_a, "
+            "sum(CASE WHEN na + nb > 1 THEN d * (na / (na + nb)) * "
+            "(1 - na / (na + nb)) * ((na + nb) - d) / "
+            "((na + nb) - 1) ELSE 0 END) AS sv FROM tt), "
+            "tot AS (SELECT sum(a)::BIGINT AS n_a, "
+            "sum(1 - a)::BIGINT AS n_b, sum(ev * a)::BIGINT AS "
+            "events_a, sum(ev * (1 - a))::BIGINT AS events_b "
+            "FROM per) "
+            "SELECT n_a, n_b, events_a, events_b, observed_a, "
+            "round(expected_a, 6) AS expected_a, "
+            "CASE WHEN sv > 0 THEN round(pow(observed_a - "
+            "expected_a, 2) / sv, 6) END AS chi2, 1 AS dof "
+            "FROM tot, s"
+        ),
     }

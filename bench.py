@@ -826,6 +826,10 @@ def main() -> None:
                     F.max((F.col("event_type") == "purchase")
                           .cast("int")).alias("ev")))
         _noop(km_survival(per, "dur", "ev"))
+        from whylogs_spark.ops.survival import logrank_test
+        _noop(logrank_test(
+            per.withColumn("arm", (F.col("user_id") % 2).cast("int")),
+            "dur", "ev", "arm", 0, 1))
         _noop(gini_coefficient(t["lineitem"], "l_extendedprice"))
         _noop(lorenz_curve(t["lineitem"], "l_extendedprice", 100))
 
@@ -1094,6 +1098,26 @@ def main() -> None:
         # findings worth carrying between rounds (task-sec is the
         # steal-immune evidence; wall on this host is noisy)
         "notes": {
+            "r8_flag_adjudication_run2": (
+                "the second r8 run flagged autocorrelation_events "
+                "(task 27->49) and assemble_chunks (3.4->4.9) — both "
+                "rows ran identical code in both runs; a solo "
+                "same-session A/B of autocorrelation spans 37-48 "
+                "task-sec across 6 reps (warm wall 2.0-2.8s), so "
+                "this host's executorRunTime itself carries ~25% "
+                "rep-to-rep noise at this row size"),
+            "r8_flag_adjudication": (
+                "the r8 run flagged profile_lineitem_segmented "
+                "(task 10.9->15.2), hilbert_cluster (12.5->17.7) and "
+                "interval_join (0.46->0.71); solo warm A/B on the "
+                "same tree measures 12.7 / 9.2 task-sec (hilbert "
+                "FASTER than the r7 record) and the interval delta "
+                "is 0.25 task-sec absolute — run-context ordering, "
+                "not code (none of the three paths changed in r8)"),
+            "r8_dedup_recovery": (
+                "dedup_scale_10x task-sec 395 (r7) -> 254 after the "
+                "minhash single-purpose-pass fix; contention-free "
+                "warm A/B: r6 tree 9.48s, r7 11.27s, r8 7.7s"),
             "profile_lineitem_full": (
                 "r04 flagged min 3.03s vs r02 1.92s, but task-sec was "
                 "flat (14.2 vs native 14.5) and isolated warm re-runs "

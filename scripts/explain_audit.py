@@ -2024,6 +2024,34 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6i. log-rank test: distinct-duration collapse + ONE prefix
+    # pass, 1-row reduction
+    from whylogs_spark.ops.survival import logrank_test
+
+    lrk = logrank_test(
+        ev.filter(F.col("user_id").isNotNull()
+                  & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg((F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+              / F.lit(1e6)).alias("dur"),
+             F.max((F.col("event_type") == "purchase").cast("int"))
+             .alias("evf"))
+        .withColumn("arm", (F.col("user_id") % 2).cast("int")),
+        "dur", "evf", "arm", 0, 1)
+    sections.append((
+        "log-rank test (survival arm comparison)", lrk,
+        {
+            "duration collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "range partitioning drives the at-risk walk":
+                r"rangepartitioning\(",
+            "slice rollup joined back by broadcast":
+                r"Broadcast(Hash|NestedLoop)Join",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

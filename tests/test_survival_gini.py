@@ -130,3 +130,66 @@ def test_lorenz_curve_all_zero_nulls_value_share(spark):
     assert rows  # pop_share still well-defined
     assert all(r.value_share is None for r in rows)
     assert rows[-1].pop_share == pytest.approx(1.0)
+
+
+# ------------------------------------------------- log-rank test
+
+def _logrank_ref(rows, arm_a):
+    """Pure-python log-rank reference: rows = (dur, event, arm)."""
+    times = sorted({t for t, e, _ in rows if e})
+    oa = ea = sv = 0.0
+    for t in times:
+        na = sum(1 for d, _, g in rows if d >= t and g == arm_a)
+        nb = sum(1 for d, _, g in rows if d >= t and g != arm_a)
+        n = na + nb
+        d = sum(1 for dd, e, _ in rows if dd == t and e)
+        da = sum(1 for dd, e, g in rows if dd == t and e and g == arm_a)
+        oa += da
+        ea += d * na / n
+        if n > 1:
+            sv += d * (na / n) * (1 - na / n) * (n - d) / (n - 1)
+    return oa, ea, (oa - ea) ** 2 / sv if sv > 0 else None
+
+
+def test_logrank_matches_reference_with_censoring_and_ties(spark):
+    from whylogs_spark.ops.survival import logrank_test
+
+    rng = np.random.RandomState(19)
+    rows = []
+    for _ in range(120):   # arm a: faster events
+        rows.append((float(rng.randint(1, 30)), rng.rand() < 0.8, "a"))
+    for _ in range(130):   # arm b: slower
+        rows.append((float(rng.randint(10, 60)), rng.rand() < 0.6, "b"))
+    rows.append((5.0, True, "other"))     # excluded arm
+    df = spark.createDataFrame(
+        [(d, bool(e), g) for d, e, g in rows],
+        "dur double, ev boolean, arm string")
+    r = logrank_test(df, "dur", "ev", "arm", "a", "b").collect()[0]
+    kept = [(d, e, g) for d, e, g in rows if g in ("a", "b")]
+    oa, ea, chi2 = _logrank_ref(kept, "a")
+    assert (r.n_a, r.n_b) == (120, 130)
+    assert r.events_a == sum(1 for d, e, g in kept
+                             if e and g == "a")
+    assert r.observed_a == pytest.approx(oa)
+    assert r.expected_a == pytest.approx(ea, abs=1e-9)
+    assert r.chi2 == pytest.approx(chi2, abs=1e-9)
+    # the planted separation is decisively significant
+    from whylogs_spark.core.drift import chi2_sf
+    assert chi2_sf(r.chi2, r.dof) < 1e-6
+
+
+def test_logrank_identical_arms_and_degenerate(spark):
+    from whylogs_spark.ops.survival import logrank_test
+
+    # identical survival in both arms: chi2 ~ 0
+    rows = [(float(t), True, g) for t in range(1, 40)
+            for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "dur double, ev boolean, arm string")
+    r = logrank_test(df, "dur", "ev", "arm", "a", "b").collect()[0]
+    assert r.chi2 == pytest.approx(0.0, abs=1e-12)
+    # all events tie at one time: every variance term 0 -> null chi2
+    z = spark.createDataFrame(
+        [(1.0, True, "a"), (1.0, True, "b")],
+        "dur double, ev boolean, arm string")
+    rz = logrank_test(z, "dur", "ev", "arm", "a", "b").collect()[0]
+    assert rz.chi2 is None and rz.observed_a == 1.0

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from whylogs_spark.core.prefix import running_sums
 
-__all__ = ["km_survival"]
+__all__ = ["km_survival", "logrank_test"]
 
 
 def km_survival(
@@ -86,3 +86,88 @@ def km_survival(
         "t", "n_risk", "n_events", "n_censored",
         surv.alias("survival"), se.cast("double").alias("se"),
     ).orderBy("t")
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample log-rank test — "do these two arms have the same
+    survival curve?", the hypothesis-test companion to
+    :func:`km_survival` (compare churn between an A/B test's arms,
+    or failure curves between hardware batches, censoring handled
+    exactly).
+
+    At every distinct duration t with at least one event, arm A's
+    observed events d_A(t) are compared with the hypergeometric
+    expectation  E_A(t) = d(t) * n_A(t) / n(t)  given the at-risk
+    counts, with variance
+    V(t) = d(t) (n_A/n) (1 - n_A/n) (n - d) / (n - 1).
+    ``chi2 = (sum d_A - sum E_A)^2 / sum V`` with dof 1 (feed to
+    ``core.drift.chi2_sf``).
+
+    Scale shape: one groupBy(duration) collapse carrying BOTH arms'
+    per-time counts, ONE prefix-sum pass (``running_sums``) for the
+    two at-risk suffix counts, then a 1-row aggregation — the same
+    machinery as the KM curve, one pass fewer. Null/NaN durations
+    and rows outside the two arms are excluded.
+
+    Returns one row: ``(n_a, n_b, events_a, events_b, observed_a,
+    expected_a, chi2, dof)`` (``observed_a``/``expected_a`` summed
+    over event times; chi2 null when every variance term is 0 —
+    e.g. all events tie at one time with one arm at risk).
+    """
+    dur = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("boolean").cast("int")
+    is_a = (F.col(group_col) == F.lit(group_a)).cast("int")
+    base = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .filter(dur.isNotNull() & ~F.isnan(dur))
+        .select(dur.alias("t"),
+                F.coalesce(ev, F.lit(0)).alias("__e"),
+                is_a.alias("__a"))
+    )
+    g = base.groupBy("t").agg(
+        F.sum(F.col("__e") * F.col("__a")).alias("__da"),
+        F.sum(F.col("__e") * (F.lit(1) - F.col("__a"))).alias("__db"),
+        F.sum("__a").alias("__ma"),
+        F.sum(F.lit(1) - F.col("__a")).alias("__mb"),
+    )
+    c = running_sums(g, ["t"], ["__ma", "__mb"])
+    na = (F.col("__g___ma") - F.col("__cum___ma")
+          + F.col("__ma")).cast("double")
+    nb = (F.col("__g___mb") - F.col("__cum___mb")
+          + F.col("__mb")).cast("double")
+    n = na + nb
+    d = (F.col("__da") + F.col("__db")).cast("double")
+    e_a = F.when(n > 0, d * na / n)
+    v = F.when(
+        n > 1,
+        d * (na / n) * (F.lit(1.0) - na / n) * (n - d)
+        / (n - F.lit(1.0))).otherwise(F.lit(0.0))
+    per_t = c.filter(d > 0).select(
+        F.col("__da").cast("double").alias("__oa"),
+        e_a.alias("__ea"), v.alias("__v"))
+    totals = base.agg(
+        F.sum("__a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("__a")).alias("n_b"),
+        F.sum(F.col("__e") * F.col("__a")).alias("events_a"),
+        F.sum(F.col("__e") * (F.lit(1) - F.col("__a")))
+        .alias("events_b"))
+    agg = per_t.agg(
+        F.sum("__oa").alias("observed_a"),
+        F.sum("__ea").alias("expected_a"),
+        F.sum("__v").alias("__sv"))
+    out = totals.crossJoin(F.broadcast(agg))
+    chi2 = F.when(
+        F.col("__sv") > 0,
+        (F.col("observed_a") - F.col("expected_a")) ** 2
+        / F.col("__sv"))
+    return out.select(
+        "n_a", "n_b", "events_a", "events_b",
+        "observed_a", "expected_a",
+        chi2.alias("chi2"), F.lit(1).alias("dof"))
