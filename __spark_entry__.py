@@ -5801,8 +5801,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM p.event_type) "
             "SELECT event_type, lag, n_pairs, "
             "round(acf_u, 6) AS acf, "
-            "round(n::DOUBLE * (n + 2) * sum(coalesce(acf_u * acf_u, "
-            "0.0::DOUBLE) / (n - lag)) OVER (PARTITION BY event_type "
+            "round(n::DOUBLE * (n + 2) * sum(CASE WHEN n > lag THEN "
+            "coalesce(acf_u * acf_u, 0.0::DOUBLE) / (n - lag) ELSE "
+            "0.0::DOUBLE END) OVER (PARTITION BY event_type "
             "ORDER BY lag), 6) AS qstat "
             "FROM r ORDER BY event_type, lag"
         ),

@@ -186,6 +186,19 @@ def test_srm_check(spark):
         srm_check(df, "grp", {"c": 0.5, "t": 0.0})
 
 
+def test_srm_check_dotted_arm_names_and_collisions(spark):
+    from whylogs_spark.ops.abtest import srm_check
+
+    rows = [("variant.a",)] * 300 + [("variant.b",)] * 300
+    df = spark.createDataFrame(rows, "grp string")
+    r = srm_check(df, "grp",
+                  {"variant.a": 0.5, "variant.b": 0.5}).collect()[0]
+    assert r["n_variant.a"] == 300 and r["n_variant.b"] == 300
+    assert r.chi2 == pytest.approx(0.0)
+    with pytest.raises(ValueError, match="collide"):
+        srm_check(df, "grp", {1: 0.5, "1": 0.5})
+
+
 def test_poisson_bootstrap_diff(spark):
     from whylogs_spark.ops.abtest import poisson_bootstrap_diff
 

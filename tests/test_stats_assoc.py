@@ -535,6 +535,30 @@ def test_autocorrelation_gaps_keys_constant(spark):
     assert all(c[lag].qstat == 0.0 for lag in (1, 2, 3))
 
 
+def test_autocorrelation_lag_at_or_past_bucket_count(spark):
+    """A gappy series can pair buckets at a lag >= the bucket count n;
+    the Ljung-Box n-k term is then <= 0 and must contribute nothing
+    (previously an ANSI DIVIDE_BY_ZERO at n == k, a negative qstat
+    contribution past it)."""
+    import datetime as dt
+
+    from whylogs_spark.ops.events import autocorrelation
+
+    base = dt.datetime(2024, 3, 1)
+    # buckets at hours {0, 2} only: n = 2, surviving pair at lag 2
+    rows = [(base, 1.0), (base + dt.timedelta(hours=2), 3.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.lag: r for r in autocorrelation(df, max_lag=3).collect()}
+    assert out[2].n_pairs == 1
+    assert out[2].qstat == 0.0          # excluded lag contributes 0
+    # buckets {0, 3}: lag 3 == n + 1 territory (n - k negative)
+    rows2 = [(base, 1.0), (base + dt.timedelta(hours=3), 3.0)]
+    df2 = spark.createDataFrame(rows2, "ts timestamp, value double")
+    out2 = {r.lag: r for r in
+            autocorrelation(df2, max_lag=3).collect()}
+    assert out2[3].qstat >= 0.0
+
+
 def test_cross_correlation_recovers_planted_lead(spark):
     """y_t = x_{t-3} + noise: the cross-correlation must peak at
     lag 3 and agree with numpy at every lag."""

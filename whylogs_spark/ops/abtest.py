@@ -229,8 +229,6 @@ def cuped_adjust(
     both = y.isNotNull() & ~F.isnan(y) & x.isNotNull() & ~F.isnan(x)
     xm = F.when(both, x)
     ym = F.when(both, y)
-    n = F.count(xm).cast("double")
-    sx = F.sum(xm)
     stats = df.groupBy(*segs).agg(
         F.sum(xm).alias("__sx"), F.sum(ym).alias("__sy"),
         F.sum(xm * xm).alias("__sxx"), F.sum(xm * ym).alias("__sxy"),
@@ -283,6 +281,9 @@ def srm_check(
     fracs = {a: float(expected[a]) / tot for a in arms}
     if any(f <= 0 for f in fracs.values()):
         raise ValueError("every expected ratio must be > 0")
+    if len({str(a) for a in arms}) != len(arms):
+        raise ValueError(
+            f"arm names collide after str(): {sorted(map(str, arms))}")
     segs = list(segment_cols)
     g = F.col(group_col).cast("string")
     base = df.filter(g.isin([str(a) for a in arms]))
@@ -290,14 +291,19 @@ def srm_check(
         F.count(F.lit(1)).alias("n_total"),
         *[F.sum((g == F.lit(str(a))).cast("long")).alias(f"n_{a}")
           for a in arms])
+    def armcol(a):
+        # backtick-quoted resolution: arm names may contain '.' or
+        # other identifier-breakers that plain F.col would parse
+        return F.col("`n_" + str(a).replace("`", "``") + "`")
+
     nt = F.col("n_total").cast("double")
     chi2 = None
     for a in arms:
         exp_a = nt * F.lit(fracs[a])
-        term = (F.col(f"n_{a}").cast("double") - exp_a) ** 2 / exp_a
+        term = (armcol(a).cast("double") - exp_a) ** 2 / exp_a
         chi2 = term if chi2 is None else chi2 + term
     return counts.select(
-        *segs, "n_total", *[f"n_{a}" for a in arms],
+        *segs, "n_total", *[armcol(a) for a in arms],
         F.when(nt > 0, chi2).alias("chi2"),
         F.lit(len(arms) - 1).alias("dof"),
     )

@@ -466,9 +466,14 @@ def autocorrelation(
     wq = Window.partitionBy(*part).orderBy("lag") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n_d = F.col("__n").cast("double")
+    # a gappy series can surface a pair at lag >= bucket count n: the
+    # Ljung-Box n-k term is then <= 0 (ANSI DIVIDE_BY_ZERO at n == k,
+    # a negative contribution past it) — such lags are outside the
+    # statistic's n > h domain and contribute nothing
     term = F.coalesce(
-        F.col("acf") * F.col("acf")
-        / (n_d - F.col("lag").cast("double")), F.lit(0.0))
+        F.when(n_d > F.col("lag").cast("double"),
+               F.col("acf") * F.col("acf")
+               / (n_d - F.col("lag").cast("double"))), F.lit(0.0))
     return scored.select(
         *keys, "lag", "n_pairs", "acf",
         (n_d * (n_d + 2) * F.sum(term).over(wq)).alias("qstat"))
