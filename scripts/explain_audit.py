@@ -714,6 +714,25 @@ def main() -> None:
     q3.stop()
     frequent_plan = buf3.getvalue()
 
+    # 9c2. streaming experiment SRM counts: same runtime contract
+    from whylogs_spark.streaming.experiment import streaming_arm_counts
+
+    stream3b = spark.readStream.schema(ev.schema).parquet(src_dir)
+    ac = streaming_arm_counts(
+        stream3b, ts_col="ts", group_col="event_type",
+        arms=["view", "click"], window_duration="10 minutes",
+        watermark="10 minutes")
+    ckpt3b = _tempfile.mkdtemp(prefix="audit_ckpt3b_")
+    q3b = (ac.writeStream.outputMode("update").format("noop")
+           .trigger(availableNow=True)
+           .option("checkpointLocation", ckpt3b).start())
+    q3b.awaitTermination(180)
+    buf3b = io.StringIO()
+    with redirect_stdout(buf3b):
+        q3b.explain()
+    q3b.stop()
+    armcounts_plan = buf3b.getvalue()
+
     # 9d. native session-window sessionization: session-merging
     # stateful agg, still one data exchange, still no Python
     from whylogs_spark.streaming.sessions import streaming_session_stats
@@ -2121,6 +2140,8 @@ def main() -> None:
              model_plan),
             ("streaming frequent items (runtime microbatch plan)",
              frequent_plan),
+            ("streaming experiment arm counts (runtime microbatch "
+             "plan)", armcounts_plan),
             ("native session-window sessions (runtime microbatch plan)",
              session_plan),
             ("streaming fk monitor (runtime microbatch plan)",

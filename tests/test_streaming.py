@@ -900,3 +900,53 @@ def test_streaming_fk_monitor_arity_validation(spark, tmp_path):
         [], "event_id long, ts timestamp, cust long")
     with pytest.raises(ValueError, match="arity"):
         streaming_fk_monitor(df, dim, ["cust"], ["id", "id"])
+
+
+def test_streaming_srm_monitor(spark, tmp_path):
+    """Windowed arm counts on a stream + sink-side SRM rollup: a
+    balanced window stays quiet, a 75/25 window flags, junk arms and
+    null timestamps are excluded."""
+    import datetime as dt
+
+    from whylogs_spark.core.drift import chi2_sf
+    from whylogs_spark.streaming.experiment import (
+        srm_from_counts, streaming_arm_counts)
+
+    t0 = dt.datetime(2024, 9, 1, 9, 0)
+    rows = []
+    # window 1 (9:00): balanced 40/40
+    for i in range(40):
+        rows.append((t0 + dt.timedelta(seconds=i), "c"))
+        rows.append((t0 + dt.timedelta(seconds=i, milliseconds=500),
+                     "t"))
+    # window 2 (10:00): broken 60/20
+    t1 = t0 + dt.timedelta(hours=1)
+    for i in range(60):
+        rows.append((t1 + dt.timedelta(seconds=i), "c"))
+    for i in range(20):
+        rows.append((t1 + dt.timedelta(seconds=i), "t"))
+    rows += [(t0, "junk")] * 10 + [(None, "c")] * 5
+    df = spark.createDataFrame(rows, "ts timestamp, arm string")
+    src = str(tmp_path / "srm_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    counts = streaming_arm_counts(
+        stream, ts_col="ts", group_col="arm", arms=["c", "t"],
+        window_duration="1 hour", watermark="0 seconds")
+    q = (counts.writeStream.format("memory").queryName("srm_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    sink = spark.sql("SELECT * FROM srm_counts")
+    assert sink.filter("arm = 'junk'").count() == 0
+    out = {r.window_start.hour: r for r in srm_from_counts(
+        sink, {"c": 0.5, "t": 0.5}).collect()}
+    assert out[9].n_total == 80 and out[9].n_c == 40
+    assert chi2_sf(out[9].chi2, out[9].dof) > 0.9
+    assert out[10].n_total == 80 and out[10].n_c == 60
+    # (60-40)^2/40 * 2 = 20
+    assert out[10].chi2 == pytest.approx(20.0)
+    assert chi2_sf(out[10].chi2, out[10].dof) < 1e-4
+
+    with pytest.raises(ValueError, match="at least 2"):
+        srm_from_counts(sink, {"c": 1.0})
