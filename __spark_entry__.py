@@ -1981,6 +1981,23 @@ def _q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_weight").orderBy("l_returnflag")
 
 
+def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-n / entropy corpus diversity (ops/text.py
+    ngram_diversity, ns=1,2): in-scan tokenize + n-gram expansion, one
+    partial-agg shuffle per order, bounded per-source reduction. The
+    oracle replays the shared whitespace-token convention with
+    list_zip bigrams in DuckDB."""
+    from whylogs_spark.ops.text import ngram_diversity
+
+    out = ngram_diversity(_t(spark, sf_dir, "documents"),
+                          "text", "source", ns=(1, 2))
+    return out.select(
+        "source", "n", "n_total", "n_distinct",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("entropy", 6).alias("entropy"),
+    ).orderBy("source", "n")
+
+
 def _q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample log-rank test (ops/survival.py logrank_test) between
     even/odd user-id arms over the same per-user durations the KM gate
@@ -3143,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjust_orders": _q_cuped,
         "bootstrap_diff_orders": _q_bootstrap_diff,
         "logrank_events": _q_logrank,
+        "ngram_diversity_documents": _q_ngram_diversity,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -6017,5 +6035,36 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN sv > 0 THEN round(pow(observed_a - "
             "expected_a, 2) / sv, 6) END AS chi2, 1 AS dof "
             "FROM tot, s"
+        ),
+        "ngram_diversity_documents": (
+            # replay of ops/text.ngram_diversity (shared whitespace
+            # token convention; bigrams via list_zip like the
+            # bigram-LM oracle); entropy = log2(N) - sum(c log2 c)/N
+            "WITH t AS (SELECT source, CASE WHEN len(trim(text)) = 0 "
+            "THEN []::VARCHAR[] ELSE string_split_regex(lower("
+            "trim(text)), '\\s+') END AS l FROM documents), "
+            "u1 AS (SELECT source, unnest(l) AS g FROM t), "
+            "c1 AS (SELECT source, g, count(*) AS c FROM u1 "
+            "GROUP BY 1, 2), "
+            "a1 AS (SELECT source, 1 AS n, sum(c)::BIGINT AS "
+            "n_total, count(*)::BIGINT AS n_distinct, "
+            "sum(c::DOUBLE * log2(c::DOUBLE)) AS clg FROM c1 "
+            "GROUP BY 1), "
+            "p2 AS (SELECT source, unnest(list_zip(l[1:len(l)-1], "
+            "l[2:len(l)])) AS p FROM t WHERE len(l) >= 2), "
+            "u2 AS (SELECT source, p[1] || ' ' || p[2] AS g "
+            "FROM p2), "
+            "c2 AS (SELECT source, g, count(*) AS c FROM u2 "
+            "GROUP BY 1, 2), "
+            "a2 AS (SELECT source, 2 AS n, sum(c)::BIGINT AS "
+            "n_total, count(*)::BIGINT AS n_distinct, "
+            "sum(c::DOUBLE * log2(c::DOUBLE)) AS clg FROM c2 "
+            "GROUP BY 1), "
+            "allx AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2) "
+            "SELECT source, n, n_total, n_distinct, "
+            "round(n_distinct::DOUBLE / n_total, 6) AS "
+            "distinct_ratio, "
+            "round(log2(n_total::DOUBLE) - clg / n_total, 6) AS "
+            "entropy FROM allx ORDER BY source, n"
         ),
     }

@@ -677,6 +677,11 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_ngram_diversity():
+        from whylogs_spark.ops.text import ngram_diversity
+        _noop(ngram_diversity(t["documents"], "text", "source",
+                              ns=(1, 2)))
+
     def bench_cross_correlation():
         from whylogs_spark.ops.events import cross_correlation
         src = t["events"].select(
@@ -972,6 +977,7 @@ def main() -> None:
         "semantic_types_customer": bench_semantic_types,
         "weighted_quantiles_lineitem": bench_weighted_quantiles,
         "cross_correlation_events": bench_cross_correlation,
+        "ngram_diversity_documents": bench_ngram_diversity,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -2071,6 +2071,25 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6j. n-gram diversity: in-scan expansion, one partial-agg
+    # shuffle per order, no window
+    from whylogs_spark.ops.text import ngram_diversity
+
+    nd = ngram_diversity(docs, "text", "source", ns=(1, 2))
+    sections.append((
+        "n-gram diversity (distinct-n / entropy)", nd,
+        {
+            "gram counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "n-gram expansion in-plan (explode)":
+                r"Generate[\s\S]*explode",
+            "no window anywhere (pure aggregation)":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

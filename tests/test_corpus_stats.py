@@ -141,3 +141,59 @@ class TestHistogramExact:
         df = spark.createDataFrame([], "x double")
         out = histogram_exact(df, "x", n_bins=3).collect()
         assert [r.n for r in out] == [0, 0, 0]
+
+
+# ------------------------------------------------ n-gram diversity
+
+def test_ngram_diversity_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from whylogs_spark.ops.text import ngram_diversity
+
+    rows = [("s1", "the cat sat on the mat"), ("s1", "the cat ran"),
+            ("s2", "a a a a"), ("s2", "   "), ("s2", "b")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.source, r.n): r for r in
+           ngram_diversity(df, "text", "source", ns=(1, 2, 3))
+           .collect()}
+
+    def ref(texts, n):
+        grams = []
+        for t in texts:
+            ws = t.strip().lower().split()
+            if not ws:
+                continue
+            grams += (ws if n == 1 else
+                      [" ".join(ws[i:i + n])
+                       for i in range(len(ws) - n + 1)])
+        c = Counter(grams)
+        big = sum(c.values())
+        ent = math.log2(big) - sum(
+            v * math.log2(v) for v in c.values()) / big
+        return big, len(c), ent
+
+    data = {"s1": ["the cat sat on the mat", "the cat ran"],
+            "s2": ["a a a a", "   ", "b"]}
+    for (src, n), r in out.items():
+        big, dis, ent = ref(data[src], n)
+        assert (r.n_total, r.n_distinct) == (big, dis), (src, n)
+        assert r.entropy == pytest.approx(ent, abs=1e-12)
+        assert r.distinct_ratio == pytest.approx(dis / big)
+    # repetitive source: distinct-2 collapses, entropy 0
+    assert out[("s2", 2)].n_distinct == 1
+    assert out[("s2", 2)].entropy == 0.0
+    with pytest.raises(ValueError, match="ns"):
+        ngram_diversity(df, ns=[])
+    with pytest.raises(ValueError, match="ns"):
+        ngram_diversity(df, ns=[0])
+
+
+def test_ngram_diversity_global(spark):
+    from whylogs_spark.ops.text import ngram_diversity
+
+    df = spark.createDataFrame(
+        [("x y",), ("x y",)], "text string")
+    out = {r.n: r for r in ngram_diversity(df, ns=(1, 2)).collect()}
+    assert out[1].n_total == 4 and out[1].n_distinct == 2
+    assert out[2].n_total == 2 and out[2].n_distinct == 1

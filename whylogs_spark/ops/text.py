@@ -709,3 +709,70 @@ def vocab_growth(
                     distinct.alias("distinct_tokens"),
                     beta.alias("heaps_beta"))
             .orderBy("docs_seen"))
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = None,
+    ns=(1, 2),
+) -> DataFrame:
+    """Corpus diversity report per n-gram order (and optionally per
+    group, e.g. source): ``(group?, n, n_total, n_distinct,
+    distinct_ratio, entropy)`` — the distinct-n / Shannon-entropy
+    family used to compare how repetitive candidate training sources
+    are (a templated-boilerplate source shows a collapsing
+    distinct-2 ratio and low entropy long before eyeballing finds it).
+
+    Tokenization is the whitespace split on ``lower(trim(text))``
+    shared with the LM ops (oracle-identical across engines);
+    ``entropy`` is the Shannon entropy of the n-gram distribution in
+    BITS, computed as ``log2(N) - sum(c*log2(c))/N``. Whitespace-only
+    documents contribute nothing.
+
+    Scale shape per order: tokenize + n-gram expansion in-scan
+    (codegen), ONE partial-agg shuffle to (group, gram) counts, then
+    a bounded per-group reduction; orders union into one frame.
+    """
+    ns = list(ns)
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty positive orders: {ns}")
+    groups = [group_col] if group_col else []
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = F.when(F.length(t) > 0, F.split(t, r"\s+")) \
+        .otherwise(F.array().cast("array<string>"))
+    parts = []
+    for n in ns:
+        if n == 1:
+            grams = toks
+        else:
+            k = F.size(toks) - (n - 1)
+            # the transform lambda must be ARITY 1 — PySpark treats a
+            # two-parameter lambda as (element, array_index), so a
+            # `_n=n` default would be silently shadowed by the index
+            grams = F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    (lambda _n: lambda i: F.concat_ws(
+                        " ", F.slice(toks, i + 1, _n)))(n),
+                )).otherwise(F.array().cast("array<string>"))
+        ex = df.select(*groups, F.explode(grams).alias("__g"))
+        counts = ex.groupBy(*groups, "__g").agg(
+            F.count(F.lit(1)).alias("__c"))
+        cd = F.col("__c").cast("double")
+        agg = counts.groupBy(*groups).agg(
+            F.sum("__c").alias("n_total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(cd * F.log2(cd)).alias("__clg"))
+        nt = F.col("n_total").cast("double")
+        parts.append(agg.select(
+            *groups, F.lit(int(n)).alias("n"),
+            "n_total", "n_distinct",
+            (F.col("n_distinct").cast("double") / nt)
+            .alias("distinct_ratio"),
+            (F.log2(nt) - F.col("__clg") / nt).alias("entropy")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
