@@ -22,6 +22,16 @@ def pytest_configure(config):
 # excludes these so `pytest tests/ -q` stays inside a 10-minute window;
 # they run with `-m ""` (everything) or `-m slow` (this tier only).
 SLOW_TESTS = {
+    "test_abtest.py::test_ab_pvalues",
+    "test_abtest.py::test_ab_report_matches_numpy_reference",
+    "test_abtest.py::test_cuped_reduces_variance_and_preserves_effect",
+    "test_abtest.py::test_poisson_bootstrap_diff",
+    "test_behavioral.py::test_streaming_transitions_generic_types_and_microseconds",
+    "test_ops.py::test_embedding_decontaminate_and_pairs",
+    "test_ops.py::test_embedding_outliers_planted",
+    "test_schema_infer.py::test_infers_all_probe_types",
+    "test_streaming.py::test_streaming_frequent_drop_null_event_times",
+    "test_streaming.py::test_streaming_srm_monitor",
     "test_anonymize_ohlc.py::test_anonymize_strategies",
     "test_asof.py::test_bucketed_asof_on_date_and_string_ts",
     "test_cluster.py::test_inertia_nonincreasing_and_stats",
