@@ -1981,6 +1981,58 @@ def _q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_weight").orderBy("l_returnflag")
 
 
+_CK_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+
+
+def _q_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over four customer columns
+    (ops/integrity.py candidate_keys): one aggregation of exact
+    distinct combination counts (struct semantics), in-plan
+    minimality join over the bounded combo frame. The oracle replays
+    ROW-value distincts + the subset-key EXISTS in DuckDB."""
+    from whylogs_spark.ops.integrity import candidate_keys
+
+    out = candidate_keys(_t(spark, sf_dir, "customer"),
+                         columns=_CK_COLS)
+    return out.select(
+        "key_columns", "n_cols", "n_distinct", "n_nulls",
+        F.round("uniqueness_ratio", 6).alias("uniqueness_ratio"),
+        "is_key", "is_minimal",
+    ).orderBy("key_columns")
+
+
+def _candidate_keys_sql() -> str:
+    combos = [(c,) for c in _CK_COLS]
+    combos += [(_CK_COLS[i], _CK_COLS[j])
+               for i in range(len(_CK_COLS))
+               for j in range(i + 1, len(_CK_COLS))]
+    branches = []
+    for combo in combos:
+        name = ",".join(combo)
+        rowexpr = "row(" + ", ".join(combo) + ")"
+        nullcond = " OR ".join(f"{c} IS NULL" for c in combo)
+        branches.append(
+            f"SELECT '{name}' AS key_columns, {len(combo)} AS "
+            f"n_cols, count(DISTINCT {rowexpr})::BIGINT AS "
+            f"n_distinct, sum(CASE WHEN {nullcond} THEN 1 ELSE 0 "
+            "END)::BIGINT AS n_nulls FROM customer")
+    return (
+        "WITH nn AS (SELECT count(*) AS n FROM customer), "
+        "d AS (" + " UNION ALL ".join(branches) + "), "
+        "k AS (SELECT d.*, nn.n, (d.n_distinct = nn.n AND "
+        "d.n_nulls = 0) AS is_key FROM d, nn), "
+        "sk AS (SELECT key_columns FROM k WHERE n_cols = 1 AND "
+        "is_key) "
+        "SELECT key_columns, n_cols, n_distinct, n_nulls, "
+        "round(n_distinct::DOUBLE / n, 6) AS uniqueness_ratio, "
+        "is_key, CASE WHEN n_cols = 1 THEN is_key ELSE is_key AND "
+        "NOT EXISTS (SELECT 1 FROM sk WHERE "
+        "string_split(k.key_columns, ',')[1] = sk.key_columns OR "
+        "string_split(k.key_columns, ',')[2] = sk.key_columns) END "
+        "AS is_minimal FROM k ORDER BY key_columns"
+    )
+
+
 def _q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-n / entropy corpus diversity (ops/text.py
     ngram_diversity, ns=1,2): in-scan tokenize + n-gram expansion, one
@@ -3161,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_diff_orders": _q_bootstrap_diff,
         "logrank_events": _q_logrank,
         "ngram_diversity_documents": _q_ngram_diversity,
+        "candidate_keys_customer": _q_candidate_keys,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -6067,4 +6120,5 @@ def oracle_sql() -> dict[str, str]:
             "round(log2(n_total::DOUBLE) - clg / n_total, 6) AS "
             "entropy FROM allx ORDER BY source, n"
         ),
+        "candidate_keys_customer": _candidate_keys_sql(),
     }

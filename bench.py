@@ -677,6 +677,13 @@ def main() -> None:
         _noop(seasonal_decompose(t["events"], "ts", "value",
                                  grain="hour", period=24))
 
+    def bench_candidate_keys():
+        from whylogs_spark.ops.integrity import candidate_keys
+        _noop(candidate_keys(
+            t["customer"],
+            columns=["c_custkey", "c_name", "c_nationkey",
+                     "c_mktsegment"]))
+
     def bench_ngram_diversity():
         from whylogs_spark.ops.text import ngram_diversity
         _noop(ngram_diversity(t["documents"], "text", "source",
@@ -978,6 +985,7 @@ def main() -> None:
         "weighted_quantiles_lineitem": bench_weighted_quantiles,
         "cross_correlation_events": bench_cross_correlation,
         "ngram_diversity_documents": bench_ngram_diversity,
+        "candidate_keys_customer": bench_candidate_keys,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

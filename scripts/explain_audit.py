@@ -2090,6 +2090,30 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6k. candidate keys: one agg (distinct rewrite's bounded
+    # expand), bounded combo-frame minimality joins
+    from whylogs_spark.ops.integrity import candidate_keys
+
+    ck = candidate_keys(
+        load_table(spark, SF_DIR, "customer"),
+        columns=["c_custkey", "c_name", "c_nationkey",
+                 "c_mktsegment"])
+    sections.append((
+        "candidate keys (one-agg discovery)", ck,
+        {
+            "distinct counts partial-agg before their exchanges":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "single scan feeds every combo":
+                r"^(?!(?:[\s\S]*\(\d+\) Scan parquet){2})"
+                r"[\s\S]*\(\d+\) Scan parquet",
+            "minimality is a projection, not a join":
+                r"^(?![\s\S]*(SortMergeJoin|ShuffledHashJoin|"
+                r"BroadcastHashJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

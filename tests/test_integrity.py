@@ -271,3 +271,47 @@ def test_snapshot_diff_documents_roundtrip(documents):
                               ["text", "source"]).collect()[0]
     assert r.added == 0 and r.removed == 0 and r.changed == 0
     assert r.unchanged == documents.count()
+
+
+# ------------------------------------------------ candidate keys
+
+def test_candidate_keys_semantics(spark):
+    from whylogs_spark.ops.integrity import candidate_keys
+
+    rows = [(1, "a", "x", None), (2, "b", "x", 5), (3, "c", "y", 5),
+            (4, "a", "y", 6)]
+    df = spark.createDataFrame(rows,
+                               "id long, name string, grp string, v long")
+    out = {r.key_columns: r for r in candidate_keys(df).collect()}
+    assert len(out) == 4 + 6
+    assert out["id"].is_key and out["id"].is_minimal
+    assert not out["name"].is_key          # duplicate value
+    assert not out["v"].is_key and out["v"].n_nulls == 1
+    # composite key that no single column provides: minimal
+    assert out["name,grp"].is_key and out["name,grp"].is_minimal
+    # superset of a key: a key but NOT minimal
+    assert out["id,name"].is_key and not out["id,name"].is_minimal
+    # unique combinations with a null member do not certify
+    assert out["grp,v"].n_distinct == 4 and not out["grp,v"].is_key
+    assert out["name"].uniqueness_ratio == pytest.approx(0.75)
+
+
+def test_candidate_keys_modes_and_validation(spark):
+    from whylogs_spark.ops.integrity import candidate_keys
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)],
+                               "a long, b long")
+    ap = {r.key_columns: r for r in
+          candidate_keys(df, distinct="approx").collect()}
+    assert all(r.is_key is None and r.is_minimal is None
+               for r in ap.values())
+    # HLL ratio is in the right ballpark for the true key
+    assert 0.9 < ap["a"].uniqueness_ratio < 1.1
+    with pytest.raises(ValueError, match="max_columns"):
+        wide = spark.createDataFrame(
+            [tuple(range(9))], ", ".join(f"c{i} long" for i in range(9)))
+        candidate_keys(wide)
+    with pytest.raises(ValueError, match="distinct"):
+        candidate_keys(df, distinct="hll")
+    with pytest.raises(ValueError, match="at least one"):
+        candidate_keys(df, columns=[])

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "candidate_keys",
     "referential_integrity",
     "orphan_keys",
     "k_anonymity_report",
@@ -565,3 +566,103 @@ def anonymize(df: DataFrame, spec: dict) -> DataFrame:
                 "drop)")
         out = out.withColumn(col, repl)
     return out
+
+
+def candidate_keys(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    max_columns: int = 8,
+    distinct: str = "exact",
+) -> DataFrame:
+    """Candidate-key discovery over single columns and column PAIRS:
+    which column (combination)s uniquely identify a row — the schema
+    knowledge referential-integrity checks, dedup key choices, and
+    join planning all start from, and exactly the thing an inherited
+    undocumented table is missing.
+
+    One aggregation computes, for every single column and every
+    unordered pair among ``columns`` (default: all non-nested
+    columns; more than ``max_columns`` raises — pass an explicit
+    list, the pair space is quadratic): distinct combination count
+    (null members count as values — struct/ROW semantics in both
+    engines), rows with any null member, and the uniqueness ratio.
+    ``is_key`` certifies ``n_distinct == n_rows AND n_nulls == 0``
+    under ``distinct='exact'`` (Spark's multi-count-distinct expand
+    multiplies the scan by the number of combos — fine for
+    certification runs; ``'approx'`` uses HLL with NO expand for
+    discovery at 100 TB scale and leaves ``is_key`` null).
+    ``is_minimal`` marks keys none of whose proper subsets is a key
+    (a pure projection over the one aggregated row — no joins, no
+    re-evaluation of the aggregation).
+
+    Returns one row per combo: ``(key_columns, n_cols, n_distinct,
+    n_nulls, uniqueness_ratio, is_key, is_minimal)``.
+    """
+    if distinct not in ("approx", "exact"):
+        raise ValueError("distinct must be 'approx' or 'exact'")
+    if columns is None:
+        columns = df.columns
+    cols = list(columns)
+    if len(cols) < 1:
+        raise ValueError("need at least one column")
+    if len(cols) > max_columns:
+        raise ValueError(
+            f"{len(cols)} columns exceeds max_columns={max_columns} "
+            "(the pair space is quadratic) — pass an explicit subset")
+    combos = [(c,) for c in cols]
+    combos += [(cols[i], cols[j]) for i in range(len(cols))
+               for j in range(i + 1, len(cols))]
+
+    def dexp(combo):
+        s = F.struct(*[F.col(c) for c in combo])
+        return (F.count_distinct(s) if distinct == "exact"
+                else F.approx_count_distinct(s))
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for idx, combo in enumerate(combos):
+        aggs.append(dexp(combo).alias(f"__d{idx}"))
+        anynull = None
+        for c in combo:
+            cond = F.col(c).isNull()
+            anynull = cond if anynull is None else (anynull | cond)
+        aggs.append(F.sum(anynull.cast("long")).alias(f"__nn{idx}"))
+    row = df.agg(*aggs)
+
+    # every combo's counts land in the SAME single aggregated row, so
+    # keyness AND minimality (pair key with no single-key member) are
+    # pure projections there — no joins, no second evaluation of the
+    # aggregation (a branch-and-join formulation would re-run the
+    # expensive multi-distinct agg once per branch)
+    n = F.col("__n")
+
+    def keyness(idx):
+        return ((F.col(f"__d{idx}") == n)
+                & (F.col(f"__nn{idx}") == 0))
+
+    single_idx = {combo[0]: idx for idx, combo in enumerate(combos)
+                  if len(combo) == 1}
+    structs = []
+    for idx, combo in enumerate(combos):
+        if distinct == "approx":
+            is_key = F.lit(None).cast("boolean")
+            is_min = F.lit(None).cast("boolean")
+        else:
+            is_key = keyness(idx)
+            if len(combo) == 1:
+                is_min = is_key
+            else:
+                is_min = is_key \
+                    & ~keyness(single_idx[combo[0]]) \
+                    & ~keyness(single_idx[combo[1]])
+        structs.append(F.struct(
+            F.lit(",".join(combo)).alias("key_columns"),
+            F.lit(len(combo)).alias("n_cols"),
+            F.col(f"__d{idx}").alias("n_distinct"),
+            F.col(f"__nn{idx}").alias("n_nulls"),
+            F.when(n > 0, F.col(f"__d{idx}").cast("double")
+                   / n.cast("double")).alias("uniqueness_ratio"),
+            is_key.alias("is_key"),
+            is_min.alias("is_minimal"),
+        ))
+    return row.select(
+        F.explode(F.array(*structs)).alias("s")).select("s.*")
