@@ -1112,6 +1112,18 @@ def main() -> None:
         # findings worth carrying between rounds (task-sec is the
         # steal-immune evidence; wall on this host is noisy)
         "notes": {
+            "r8_flag_adjudication_run3": (
+                "the third r8 run flagged dedup_scale_10x (task "
+                "284->530) and rolling_psi (35->47) on identical "
+                "code; an immediately-following solo A/B of the "
+                "exact dedup_scale_10x body measures warm walls "
+                "7.8-9.5s and warm task-sec 117-166 — far below "
+                "either bench record (2 reps include the cold rep). "
+                "Cross-run contrast: profile_scale_10x got 2.2x "
+                "FASTER (3.84->1.74s) in the same pair of runs. "
+                "Same-code cross-run task-sec on this host swings "
+                "~2x with run ordering and steal; warm solo A/B is "
+                "the adjudicator"),
             "r8_flag_adjudication_run2": (
                 "the second r8 run flagged autocorrelation_events "
                 "(task 27->49) and assemble_chunks (3.4->4.9) — both "
