@@ -1942,6 +1942,25 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type (ops/events.py
+    seasonal_naive_backtest): hourly bucket means, y_hat = y(t-24),
+    MAE/RMSE/MAPE/bias over the lag equi-join — no window. Oracle
+    replays the bucket/self-join/error SQL in DuckDB."""
+    from whylogs_spark.ops.events import seasonal_naive_backtest
+
+    out = seasonal_naive_backtest(
+        _t(spark, sf_dir, "events"), "ts", "value",
+        key_cols=["event_type"], grain="hour", period=24)
+    return out.select(
+        "event_type", "n_evaluated",
+        F.round("mae", 6).alias("mae"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("mape", 6).alias("mape"),
+        F.round("bias", 6).alias("bias"),
+    ).orderBy("event_type")
+
+
 def _q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lagged cross-correlation between the hourly click-value and
     purchase-value series (ops/events.py cross_correlation): the lag
@@ -3214,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_events": _q_logrank,
         "ngram_diversity_documents": _q_ngram_diversity,
         "candidate_keys_customer": _q_candidate_keys,
+        "seasonal_naive_events": _q_seasonal_naive,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -6121,4 +6141,22 @@ def oracle_sql() -> dict[str, str]:
             "entropy FROM allx ORDER BY source, n"
         ),
         "candidate_keys_customer": _candidate_keys_sql(),
+        "seasonal_naive_events": (
+            # replay of ops/events.seasonal_naive_backtest: hourly
+            # bucket means, self-join at idx - 24, error moments
+            "WITH series AS (SELECT event_type, "
+            "floor(epoch(ts) / 3600)::BIGINT AS idx, avg(value) AS y "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+            "AND NOT isnan(value::DOUBLE) GROUP BY 1, 2), "
+            "j AS (SELECT a.event_type, a.y, b.y AS yhat "
+            "FROM series a JOIN series b ON b.event_type IS NOT "
+            "DISTINCT FROM a.event_type AND b.idx = a.idx - 24) "
+            "SELECT event_type, count(*)::BIGINT AS n_evaluated, "
+            "round(avg(abs(y - yhat)), 6) AS mae, "
+            "round(sqrt(avg((y - yhat) * (y - yhat))), 6) AS rmse, "
+            "round(avg(CASE WHEN y <> 0 THEN abs(y - yhat) / "
+            "abs(y) END), 6) AS mape, "
+            "round(avg(y - yhat), 6) AS bias "
+            "FROM j GROUP BY 1 ORDER BY event_type"
+        ),
     }

@@ -743,9 +743,13 @@ def main() -> None:
         _noop(s2.embedding_outliers(emb, k=3, planes=8, tables=8))
 
     def bench_autocorrelation():
-        from whylogs_spark.ops.events import autocorrelation
+        from whylogs_spark.ops.events import (autocorrelation,
+                                              seasonal_naive_backtest)
         _noop(autocorrelation(t["events"], "ts", "value",
                               key_cols=["event_type"], max_lag=24))
+        _noop(seasonal_naive_backtest(
+            t["events"], "ts", "value", key_cols=["event_type"],
+            period=24))
 
     def bench_ab_test():
         # Welch + exact Mann-Whitney per order status: one data

@@ -2114,6 +2114,26 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z6l. seasonal-naive backtest: bucket collapse + lag equi-join,
+    # no window
+    from whylogs_spark.ops.events import seasonal_naive_backtest
+
+    snb = seasonal_naive_backtest(ev, "ts", "value",
+                                  key_cols=["event_type"], period=24)
+    sections.append((
+        "seasonal-naive backtest (forecast-error baseline)", snb,
+        {
+            "bucket collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "lagged forecast via hash equi-join":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "no window anywhere (pure aggregation)":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

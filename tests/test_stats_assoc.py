@@ -676,3 +676,58 @@ def test_seasonal_decompose_keys_and_validation(spark):
         seasonal_decompose(df, "ts", "value", grain="fortnight")
     with pytest.raises(ValueError, match="period"):
         seasonal_decompose(df, "ts", "value", period=1)
+
+
+def test_seasonal_naive_backtest_matches_reference(spark):
+    """MAE/RMSE/MAPE/bias vs a python reference, with a gap dropping
+    both the missing bucket and its period-later dependent."""
+    import datetime as dt
+
+    from whylogs_spark.ops.events import seasonal_naive_backtest
+
+    rng = np.random.RandomState(4)
+    base = dt.datetime(2024, 3, 1)
+    rows, vals = [], {}
+    for h in range(96):
+        v = 10 + 5 * math.sin(2 * math.pi * (h % 24) / 24) \
+            + rng.normal(0, 0.5)
+        if h == 40:
+            continue
+        rows.append((base + dt.timedelta(hours=h), float(v)))
+        vals[h] = v
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = seasonal_naive_backtest(df, period=24).collect()[0]
+    errs = [(vals[h] - vals[h - 24], vals[h])
+            for h in vals if h - 24 in vals]
+    assert r.n_evaluated == len(errs) == 70
+    assert r.mae == pytest.approx(
+        np.mean([abs(e) for e, _ in errs]), abs=1e-10)
+    assert r.rmse == pytest.approx(
+        math.sqrt(np.mean([e * e for e, _ in errs])), abs=1e-10)
+    assert r.bias == pytest.approx(
+        np.mean([e for e, _ in errs]), abs=1e-10)
+    assert r.mape == pytest.approx(
+        np.mean([abs(e) / abs(a) for e, a in errs if a != 0]),
+        abs=1e-10)
+    with pytest.raises(ValueError, match="period"):
+        seasonal_naive_backtest(df, period=0)
+
+
+def test_seasonal_naive_backtest_keys_and_zero_actuals(spark):
+    import datetime as dt
+
+    from whylogs_spark.ops.events import seasonal_naive_backtest
+
+    base = dt.datetime(2024, 3, 1)
+    # key "z": actual 0 at every evaluated bucket -> mape null
+    rows = [("z", base + dt.timedelta(hours=h),
+             0.0 if h >= 2 else 1.0) for h in range(6)]
+    rows += [("k", base + dt.timedelta(hours=h), float(h))
+             for h in range(6)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = {r.g: r for r in seasonal_naive_backtest(
+        df, key_cols=["g"], period=2).collect()}
+    assert out["k"].n_evaluated == 4
+    assert out["k"].mae == pytest.approx(2.0)   # y(t)-y(t-2) == 2
+    assert out["k"].bias == pytest.approx(2.0)
+    assert out["z"].mape is None                # all actuals zero

@@ -479,6 +479,60 @@ def autocorrelation(
         (n_d * (n_d + 2) * F.sum(term).over(wq)).alias("qstat"))
 
 
+def seasonal_naive_backtest(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols=(),
+    grain: str = "hour",
+    period: int = 24,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast ``y_hat(t) =
+    y(t - period)`` over a bucketed metric series — the baseline every
+    forecasting effort must beat, and a monitoring primitive in its
+    own right (a spike in the seasonal-naive error IS an anomaly
+    relative to last week/day).
+
+    Returns one row per key (one row total when keyless):
+    ``key_cols…, n_evaluated, mae, rmse, mape, bias`` where the
+    errors are over every bucket whose t - period bucket exists
+    (gaps simply drop out; ``mape`` averages |err|/|actual| over
+    buckets with a non-zero actual, null when there are none;
+    ``bias`` is the signed mean error — forecast running hot or
+    cold).
+
+    Scale shape: the bucket collapse partial-aggs, the lagged join is
+    ONE equi-join on (key, bucket - period) — the same shape as
+    :func:`autocorrelation`, no window anywhere.
+    """
+    if period < 1:
+        raise ValueError(f"period must be >= 1: {period}")
+    gsec = _grain_seconds(grain)
+    keys = list(key_cols)
+    vv = F.col(value_col).cast("double")
+    series = (
+        df.filter(F.col(ts_col).isNotNull()
+                  & F.col(value_col).isNotNull() & ~F.isnan(vv))
+        .groupBy(*keys, _bucket_idx(ts_col, gsec).alias("__idx"))
+        .agg(F.avg(vv).alias("__y"))
+    )
+    prev = series.select(
+        *keys, (F.col("__idx") + F.lit(int(period))).alias("__idx"),
+        F.col("__y").alias("__yhat"))
+    joined = series.join(prev, on=[*keys, "__idx"])
+    err = F.col("__y") - F.col("__yhat")
+    n = F.count(F.lit(1))
+    mape_terms = F.when(F.col("__y") != 0,
+                        F.abs(err) / F.abs(F.col("__y")))
+    return joined.groupBy(*keys).agg(
+        n.alias("n_evaluated"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.avg(mape_terms).alias("mape"),
+        F.avg(err).alias("bias"),
+    )
+
+
 def cross_correlation(
     df: DataFrame,
     ts_col: str = "ts",
