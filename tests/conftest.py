@@ -22,6 +22,13 @@ def pytest_configure(config):
 # excludes these so `pytest tests/ -q` stays inside a 10-minute window;
 # they run with `-m ""` (everything) or `-m slow` (this tier only).
 SLOW_TESTS = {
+    "test_corpus_stats.py::test_ngram_diversity_matches_reference",
+    "test_integrity.py::test_candidate_keys_modes_and_validation",
+    "test_integrity.py::test_candidate_keys_semantics",
+    "test_stats_assoc.py::test_autocorrelation_matches_numpy",
+    "test_stats_assoc.py::test_cross_correlation_recovers_planted_lead",
+    "test_stats_assoc.py::test_seasonal_naive_backtest_matches_reference",
+    "test_survival_gini.py::test_logrank_matches_reference_with_censoring_and_ties",
     "test_abtest.py::test_ab_pvalues",
     "test_abtest.py::test_ab_report_matches_numpy_reference",
     "test_abtest.py::test_cuped_reduces_variance_and_preserves_effect",
