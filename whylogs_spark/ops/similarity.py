@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -125,34 +126,84 @@ def cosine_topk(
                         F.col(id_col).asc()).limit(k)
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign of <v, h_plane> where h_plane[d] = centered xxhash64(d, plane).
-
-    The pseudo-random hyperplane is generated inside the expression from
-    (dimension index, plane index) — deterministic on every executor, no
-    broadcast, no Python.
-    """
-    prods = F.zip_with(
-        vec.cast("array<double>"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (
-                F.xxhash64(d, F.lit(plane)).cast("double")
-                / F.lit(float(2 ** 63))
-            ),
-        ),
-        lambda x, h: x * h,
-    )
-    s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-    return (s >= 0).cast("int")
+# (n_planes, dim) -> hyperplane constant matrix, fetched once per
+# process.  h[plane][d] = xxhash64(d, plane)/2^63 — the SAME family the
+# in-plan expression form used, so buckets are bit-identical to every
+# previously pinned detection set.
+_HYPERPLANE_CACHE: dict = {}
+_LSH_EXPR_CACHE: dict = {}
 
 
-def _bucket_expr(vec_col: str, table: int, planes: int, dim: int) -> Column:
-    bucket = F.lit(0)
-    for p in range(planes):
-        bucket = bucket + _hyperplane_sign(
-            F.col(vec_col), table * planes + p, dim) * F.lit(2 ** p)
-    return bucket
+def _hyperplane_consts(spark, n_planes: int, dim: int):
+    """Fetch the pseudo-random hyperplane matrix with ONE tiny Spark
+    job (n_planes x dim ROWS through a single xxhash64 expression —
+    a 4096-expression constant projection takes Catalyst ~25 s to
+    fold, the row form ~0.2 s warm) and cache it per process.
+
+    Evaluating xxhash64 per ROW of the corpus (the old expression
+    form) cost tables*planes*dim hash evals per row — 6x the whole
+    signature stage at 64 hyperplanes x 64 dims."""
+    key = (n_planes, dim)
+    got = _HYPERPLANE_CACHE.get(key)
+    if got is None:
+        rows = (
+            spark.range(n_planes)
+            .select(F.col("id").cast("int").alias("tp"),
+                    F.explode(F.sequence(
+                        F.lit(0), F.lit(dim - 1))).alias("d"))
+            .select("tp", "d",
+                    (F.xxhash64(F.col("d"), F.col("tp"))
+                     .cast("double") / F.lit(float(2 ** 63)))
+                    .alias("h"))
+            .collect())
+        got = [[0.0] * dim for _ in range(n_planes)]
+        for r in rows:
+            got[r["tp"]][r["d"]] = r["h"]
+        _HYPERPLANE_CACHE[key] = got
+    return got
+
+
+def _lsh_buckets_expr(vec_col: str, tables: int, planes: int,
+                      hconsts) -> Column:
+    """The full ``lsh_buckets`` array as ONE parsed SQL expression.
+
+    Per table: ``planes`` sign bits of <v, h_plane>, each hyperplane a
+    LITERAL double array (constants hoisted out of the per-row plan by
+    :func:`_hyperplane_consts`).  Built as a SQL string because the
+    Column-API equivalent costs ~100 ms of py4j/lambda-conversion per
+    sign (64 signs -> ~7 s of DRIVER time per call, more than the
+    stage's executor time); one parse of the generated string is
+    ~0.4 s.  The zip_with + left-fold aggregate is the same Catalyst
+    tree as the old expression form, so the sums — and therefore the
+    signs and buckets — are bit-identical.  repr() double literals
+    round-trip exactly (shortest-repr <-> Double.parseDouble).
+
+    The parsed Column is cached per (vec_col, tables, planes, dim):
+    an unresolved expression binds at analysis, so one Column object
+    serves every frame, and repeat calls (e.g. both sides of a
+    knn_join) skip the ~0.4 s parse entirely."""
+    key = (vec_col, tables, planes, len(hconsts), len(hconsts[0]))
+    cached = _LSH_EXPR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    vec = f"CAST(`{vec_col}` AS array<double>)"
+
+    def sign(tp: int) -> str:
+        arr = "array(" + ",".join(
+            repr(x) + "D" for x in hconsts[tp]) + ")"
+        return (f"CAST(aggregate(zip_with({vec}, {arr}, "
+                "(x, hh) -> x * hh), 0.0D, "
+                "(acc, v) -> acc + v) >= 0 AS INT)")
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"{sign(t * planes + p)} * {2 ** p}"
+            for p in range(planes))
+
+    col = F.expr(
+        "array(" + ", ".join(bucket(t) for t in range(tables)) + ")")
+    _LSH_EXPR_CACHE[key] = col
+    return col
 
 
 def with_lsh_buckets(
@@ -169,11 +220,10 @@ def with_lsh_buckets(
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    hconsts = _hyperplane_consts(df.sparkSession, tables * planes, dim)
     return df.withColumn(
         "lsh_buckets",
-        F.array(*[_bucket_expr(vec_col, t, planes, dim)
-                  for t in range(tables)]),
-    )
+        _lsh_buckets_expr(vec_col, tables, planes, hconsts))
 
 
 def lsh_bucketed_topk(
@@ -343,28 +393,44 @@ def knn_join(
     rb = banded(right, right_id, "r")
     if max_bucket is not None:
         lb = _drop_big_buckets(lb, max_bucket)
-    # distinct BEFORE the cosine so a pair colliding in several tables is
-    # scored once, not `tables` times
-    cand = (
-        lb.join(rb, ["tbl", "bkt"])
-        .select("__lid", "__lv", "__rid", "__rv")
-        .dropDuplicates(["__lid", "__rid"])
-    )
+    # Cosine BEFORE the pair dedup: the bucket join's output stage
+    # scores each candidate in-map, so the dedup exchange carries only
+    # (lid, rid, cosine) — ~24 bytes — instead of two dim-sized double
+    # arrays per pair (a 40x shuffle-volume cut at dim=64).  A pair
+    # colliding in several tables is scored up to `tables` times, but
+    # that is map-side multiply-adds vs shuffled vector bytes — the
+    # right trade at any scale.  The groupBy/first dedup partial-aggs
+    # in-partition duplicates before the exchange.
+    scored = lb.join(rb, ["tbl", "bkt"])
     if exclude_self:
         # self-join mode (e.g. outlier scoring): a row is not its own
         # neighbor
-        cand = cand.filter(F.col("__lid") != F.col("__rid"))
-    joined = cand.withColumn(
-        "cosine", cosine_similarity(F.col("__lv"), F.col("__rv")))
-    w = Window.partitionBy("__lid").orderBy(
-        F.col("cosine").desc(), F.col("__rid").asc())
+        scored = scored.filter(F.col("__lid") != F.col("__rid"))
+    # Top-k via ONE grouped aggregation instead of pair-dedup +
+    # window: collect_set of (negated cosine, rid) structs dedups the
+    # cross-table collisions (same pair -> bit-identical cosine ->
+    # one set member) with map-side partial aggregation, array_sort
+    # gives (cosine desc, rid asc), slice caps the state at k.  One
+    # exchange on __lid, no window sort — the old shape paid a second
+    # exchange for the window after the (lid, rid) dedup exchange.
+    pair = F.struct((-F.col("cosine")).alias("negcos"),
+                    F.col("__rid").alias("rid"))
+    agg = (
+        scored.select(
+            "__lid", "__rid",
+            cosine_similarity(F.col("__lv"), F.col("__rv"))
+            .alias("cosine"))
+        .groupBy("__lid")
+        .agg(F.slice(F.array_sort(F.collect_set(pair)),
+                     1, k).alias("__top"))
+    )
     return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        agg.select("__lid", F.posexplode("__top").alias("__p", "__s"))
         .select(
             F.col("__lid").alias(left_id + "_left"),
-            F.col("__rid").alias(right_id + "_right"),
-            "cosine", "rank")
+            F.col("__s.rid").alias(right_id + "_right"),
+            (-F.col("__s.negcos")).alias("cosine"),
+            (F.col("__p") + 1).cast("int").alias("rank"))
     )
 
 
@@ -703,15 +769,20 @@ def embedding_contamination_pairs(
     bb = banded(benchmark, benchmark_id, "b")
     if max_bucket is not None:
         cb = _drop_big_buckets(cb, max_bucket)
-    cand = (
-        cb.join(bb, ["tbl", "bkt"])
-        .select("__cid", "__cv", "__bid", "__bv")
-        .dropDuplicates(["__cid", "__bid"])
-    )
+    # cosine + threshold filter BEFORE the pair dedup: both run in-map
+    # in the bucket join's output stage, so the dedup exchange carries
+    # only the surviving (cid, bid, cosine) triples — at decontam
+    # thresholds that is a tiny fraction of the candidates, vs
+    # shuffling two dim-sized double arrays per candidate pair
     return (
-        cand.withColumn(
-            "cosine", cosine_similarity(F.col("__cv"), F.col("__bv")))
+        cb.join(bb, ["tbl", "bkt"])
+        .select(
+            "__cid", "__bid",
+            cosine_similarity(F.col("__cv"), F.col("__bv"))
+            .alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .groupBy("__cid", "__bid")
+        .agg(F.first("cosine").alias("cosine"))
         .select(F.col("__cid").alias(corpus_id + "_corpus"),
                 F.col("__bid").alias(benchmark_id + "_benchmark"),
                 "cosine")
