@@ -48,6 +48,28 @@ def test_minhash_detects_near_dups(spark):
     assert {r["doc_id"] for r in kept.collect()} == {1, 3}
 
 
+def test_minhash_dedup_precollapse_and_reuse_parity(spark):
+    """Exact-duplicate pre-collapse + reuse_signatures must both keep
+    the survivor set identical to plain min-id single-link semantics:
+    replicas of a text collapse to the group min id, chains still close
+    transitively through the representative, and null texts are mutual
+    duplicates."""
+    base = "the quick brown fox jumps over the lazy dog once more " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely unrelated text about spark planner internals " * 6
+    rows = [(1, base), (2, near), (3, other), (4, None), (5, None),
+            # exact replicas of base and other, interleaved ids
+            (6, base), (7, other), (8, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 2/6/8 cluster with 1; 7 clusters with 3; 5 with 4 (null group)
+    expect = {1, 3, 4}
+    for reuse in (False, True):
+        kept = {r["doc_id"] for r in dedup.minhash_dedup(
+            df, jaccard_threshold=0.3,
+            reuse_signatures=reuse).collect()}
+        assert kept == expect, (reuse, kept)
+
+
 def test_minhash_jaccard_close_to_exact(spark):
     a = "a b c d e f g h i j k l m n o p"
     b = "a b c d e f g h i j k l x y z w"

@@ -598,6 +598,7 @@ def minhash_dedup(
     shingle_words: int = 3,
     jaccard_threshold: float = 0.8,
     impl: str = "arrow",
+    reuse_signatures: bool = False,
 ) -> DataFrame:
     """Drop near-duplicates: single-link clusters of verified pairs
     collapse to their minimum-id survivor.
@@ -606,16 +607,75 @@ def minhash_dedup(
     ``connected_components``): a 3-hop chain a~b~c~d keeps only a, even
     when a and d share no band. The closure runs on the (small) verified
     pair set, never on the corpus.
+
+    Exact duplicates are ALWAYS pre-collapsed before the LSH machinery:
+    byte-identical texts have identical signatures and shingle sets, so
+    each one is a guaranteed jaccard-1 pair of its group's min-id
+    representative and lands in the same component — running the
+    banding/verify stages on distinct texts only provably keeps the
+    survivor set (min id per single-link cluster) unchanged while
+    shrinking the in-bucket pair expansion QUADRATICALLY in the replica
+    multiplicity.  Replica-heavy web corpora are the norm at scale, and
+    an f-way replicated document would otherwise contribute f² verify
+    pairs per neighbor.  The collapse key is md5 of the raw text
+    (exact-byte equality — strictly safe for gram identity; the
+    whitespace-normalized near-miss still goes through MinHash).
+
+    ``reuse_signatures=True`` computes ONE combined
+    :func:`minhash_index` pass (gram hashes shared between signature
+    permutations and shingle sets) and ``persist()``s it across the
+    banding pass and the two verify-join branches — 3 corpus
+    tokenizations become 1. Identical output; opt-in because the cached
+    index holds the corpus's signatures + shingle sets in executor
+    memory (fine whenever the corpus fits the cluster's storage
+    fraction; the default streams instead).  The cache is released
+    before returning — the closure materializes the edge list eagerly,
+    so the returned anti-join plan no longer references it.
     """
-    pairs = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_words,
-        jaccard_threshold, impl)
-    comp = connected_components(pairs, "id_a", "id_b")
-    losers = (
-        comp.filter(F.col("node") != F.col("component"))
-        .select(F.col("node").alias(id_col))
+    # exact pre-collapse: (id -> group rep) map + distinct-text corpus.
+    # Null texts share a sentinel key (an equi-join would drop null
+    # keys): grouping them is correct — they all tokenize to the same
+    # single empty gram and are mutual jaccard-1 duplicates.
+    keyed = df.select(
+        F.col(id_col),
+        F.coalesce(F.md5(F.col(text_col)),
+                   F.lit("__null_text__")).alias("__tkey"))
+    rep = keyed.groupBy("__tkey").agg(F.min(id_col).alias("__rep"))
+    id_to_rep = keyed.join(rep, "__tkey").select(id_col, "__rep")
+    uniq = df.join(
+        rep.select(F.col("__rep").alias(id_col)), id_col, "left_semi")
+
+    if reuse_signatures:
+        idx = minhash_index(uniq, text_col, id_col, num_hashes,
+                            shingle_words, impl).persist()
+        try:
+            pairs = _lsh_verified_pairs(
+                idx, idx, id_col, num_hashes, bands,
+                jaccard_threshold)
+            # connected_components localCheckpoints the edge list
+            # EAGERLY, so every idx-dependent job has run by the time
+            # it returns and the unpersist below is safe
+            comp = connected_components(pairs, "id_a", "id_b")
+        finally:
+            idx.unpersist()
+    else:
+        pairs = minhash_lsh_pairs(
+            uniq, text_col, id_col, num_hashes, bands, shingle_words,
+            jaccard_threshold, impl)
+        comp = connected_components(pairs, "id_a", "id_b")
+    # survivor iff id == final cluster winner: the rep's component
+    # label when the rep joined any verified pair, else the rep itself.
+    # rep = min id of its exact-dup group and component = min rep, so
+    # the composition is the min id over the full single-link cluster —
+    # exactly the uncollapsed semantics.
+    final = (
+        id_to_rep.join(comp, id_to_rep["__rep"] == comp["node"], "left")
+        .select(id_col,
+                F.coalesce("component", "__rep").alias("__final"))
     )
-    return df.join(losers, id_col, "left_anti")
+    survivors = final.filter(F.col(id_col) == F.col("__final")) \
+        .select(id_col)
+    return df.join(survivors, id_col, "left_semi")
 
 
 # ---------------------------------------------------------- n-gram jaccard
