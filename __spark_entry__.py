@@ -6135,13 +6135,13 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY l_returnflag) AS tw FROM g) "
             "SELECT l_returnflag, "
             "min(v) FILTER (WHERE cum >= 0.25 * tw - 0.25 * tw * "
-            "1e-12 - 1e-9) AS q_0_25, "
+            "4e-16 - 1e-9) AS q_0_25, "
             "min(v) FILTER (WHERE cum >= 0.5 * tw - 0.5 * tw * "
-            "1e-12 - 1e-9) AS q_0_5, "
+            "4e-16 - 1e-9) AS q_0_5, "
             "min(v) FILTER (WHERE cum >= 0.75 * tw - 0.75 * tw * "
-            "1e-12 - 1e-9) AS q_0_75, "
+            "4e-16 - 1e-9) AS q_0_75, "
             "min(v) FILTER (WHERE cum >= 0.95 * tw - 0.95 * tw * "
-            "1e-12 - 1e-9) AS q_0_95, "
+            "4e-16 - 1e-9) AS q_0_95, "
             "min(tw) AS total_weight "
             "FROM w GROUP BY 1 ORDER BY 1"
         ),

@@ -760,6 +760,27 @@ def main() -> None:
                 "__grp", (F.col("o_custkey") % 2 == 1).cast("int")),
             "__grp", "o_totalprice", 0, 1, ["o_orderstatus"]))
 
+    def bench_ab_hot10x():
+        # skew rehearsal: 10x orders with a DEGENERATE 5-distinct-value
+        # metric (integer star-ratings shape) — every (segment, value)
+        # key is ~1/15th of 1.5M rows. The groupBy(segs, value)
+        # distinct-value table partial-aggregates map-side, so a hot
+        # value ships one row per map partition, never its occurrences;
+        # this row exists to PROVE task-sec stays within ~3x of the
+        # uniform-value ab_test row rather than exploding with the
+        # multiplicity.
+        from whylogs_spark.ops.abtest import ab_test_report
+        o10 = (t["orders"]
+               .crossJoin(spark.range(10)
+                          .select(F.col("id").alias("__rep")))
+               .select("o_custkey", "o_orderstatus",
+                       (F.col("o_orderkey") % 5).cast("double")
+                       .alias("__stars")))
+        _noop(ab_test_report(
+            o10.withColumn(
+                "__grp", (F.col("o_custkey") % 2 == 1).cast("int")),
+            "__grp", "__stars", 0, 1, ["o_orderstatus"]))
+
     def bench_ab_experiment_utils():
         # CUPED + SRM + 100-replicate Poisson bootstrap over orders
         from whylogs_spark.ops.abtest import (cuped_adjust,
@@ -981,6 +1002,7 @@ def main() -> None:
         "linkage_percentiles": bench_linkage_percentiles,
         "data_contract": bench_data_contract,
         "ab_test_orders": bench_ab_test,
+        "ab_hot10x": bench_ab_hot10x,
         "ab_experiment_utils": bench_ab_experiment_utils,
         "autocorrelation_events": bench_autocorrelation,
         "embedding_decontam_outliers": bench_embedding_decontam_outliers,

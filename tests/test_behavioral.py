@@ -344,3 +344,36 @@ def test_funnel_conversion_windows(spark):
         funnel(df, ["view", "click"], within=-1)
     with pytest.raises(ValueError, match="step_within"):
         funnel(df, ["view", "click"], step_within=-1)
+
+
+def test_funnel_step_within_is_exists_a_chain(spark):
+    """step_within must count a user whenever ANY window-satisfying
+    chain exists, not just the greedy earliest-match one: A@0, B@1,
+    B@9, C@15 at step_within=10 converts via A->B@9->C@15 even though
+    the greedy match (B@1) would end C's window at 11."""
+    from whylogs_spark.ops.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def S(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("u1", "A", S(0)), ("u1", "B", S(1)), ("u1", "B", S(9)),
+        ("u1", "C", S(15)),
+        # greedy and chain agree here: no B re-occurrence in window
+        ("u2", "A", S(0)), ("u2", "B", S(1)), ("u2", "C", S(15)),
+        # a later A re-anchor also rescues the chain: A@0,B@20 fails
+        # but A@15,B@20 is in-window
+        ("u3", "A", S(0)), ("u3", "A", S(15)), ("u3", "B", S(20)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp")
+    got = {r.step: r.n_users for r in
+           funnel(df, ["A", "B", "C"], step_within=10).collect()}
+    assert got == {"A": 3, "B": 3, "C": 1}
+    # the fixed anchor of `within` is unaffected: u3's second A does
+    # NOT extend the whole-funnel window
+    got2 = {r.step: r.n_users for r in
+            funnel(df, ["A", "B", "C"], within=10).collect()}
+    assert got2 == {"A": 3, "B": 2, "C": 0}

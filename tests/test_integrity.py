@@ -315,3 +315,23 @@ def test_candidate_keys_modes_and_validation(spark):
         candidate_keys(df, distinct="hll")
     with pytest.raises(ValueError, match="at least one"):
         candidate_keys(df, columns=[])
+
+
+def test_candidate_keys_default_skips_nested_columns(spark):
+    """The documented default is 'all non-nested columns': a map (or
+    struct/array) column is not comparable, so leaving it in the
+    default set made count_distinct(struct(...)) fail at analysis."""
+    from pyspark.sql import functions as F
+
+    from whylogs_spark.ops.integrity import candidate_keys
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(10)], "a long, b long"
+    ).withColumn("m", F.create_map(F.lit("k"), F.col("b"))) \
+     .withColumn("s", F.struct(F.col("b").alias("x")))
+    got = {r.key_columns for r in candidate_keys(df).collect()}
+    assert got == {"a", "b", "a,b"}
+    # an EXPLICIT nested column is still honored (caller's choice)
+    got2 = {r.key_columns for r in
+            candidate_keys(df, columns=["a", "m"]).collect()}
+    assert got2 == {"a", "m", "a,m"}

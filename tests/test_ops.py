@@ -167,6 +167,32 @@ def test_embedding_outliers_planted(spark):
         assert out[i].kth_cosine > 0.99
 
 
+def test_embedding_outliers_dropped_bucket_flag(spark):
+    """A row whose every bucket was dropped by the max_bucket cap gets
+    n_neighbors = -1 (densest-region row, NOT an isolation signal);
+    a row whose buckets were genuinely empty of others keeps 0."""
+    from whylogs_spark.ops.similarity import embedding_outliers
+
+    rng = np.random.RandomState(7)
+    center = rng.normal(0, 1, 8)
+    rows = [(i, [float(x) for x in center + rng.normal(0, 0.01, 8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # cap of 2: the 30-member cluster shares every bucket -> all
+    # buckets over the cap -> every row flagged dropped
+    out = embedding_outliers(df, k=2, planes=1, tables=2,
+                             max_bucket=2).collect()
+    assert all(r.n_neighbors == -1 for r in out)
+    assert all(r.outlier_score is None for r in out)
+    # generous cap: the same rows all find real neighbors
+    out2 = {r.vec_id: r for r in embedding_outliers(
+        df, k=2, planes=1, tables=2, max_bucket=4096).collect()}
+    assert all(v.n_neighbors == 2 for v in out2.values())
+    # corpus-scaled default planes resolves (n=30 -> 1 plane) and runs
+    out3 = embedding_outliers(df, k=2, tables=2).collect()
+    assert len(out3) == 30
+
+
 @pytest.mark.parametrize("impl", ["arrow", "sql"])
 def test_simhash(spark, impl):
     df = spark.createDataFrame(

@@ -298,3 +298,17 @@ def test_weighted_quantiles_groups_and_exclusions(spark):
         weighted_quantiles(df, "v", "w", [])
     with _pytest.raises(ValueError, match="quantile"):
         weighted_quantiles(df, "v", "w", [1.5])
+
+
+def test_weighted_quantiles_guard_tight_at_huge_weights(spark):
+    """At total weight >= ~1e12 the old 1e-12 relative slack exceeded
+    achievable FP error: a cumulative weight GENUINELY below q*W (by
+    ~0.3 here) fell inside the slack and the previous value was
+    selected. The few-ulp guard keeps lower-interpolation semantics."""
+    from whylogs_spark.core.summaries import weighted_quantiles
+
+    rows = [(1.0, 6.0e11 - 0.3), (2.0, 6.0e11 + 0.3)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    out = weighted_quantiles(df, "v", "w", [0.5]).collect()[0]
+    # cum(1.0) = 6e11 - 0.3 < 0.5 * W = 6e11 -> the median is 2.0
+    assert out.q_0_5 == 2.0

@@ -551,6 +551,12 @@ def test_autocorrelation_lag_at_or_past_bucket_count(spark):
     out = {r.lag: r for r in autocorrelation(df, max_lag=3).collect()}
     assert out[2].n_pairs == 1
     assert out[2].qstat == 0.0          # excluded lag contributes 0
+    # the lag spine emits EVERY lag 1..max_lag, so qstat's chi2 dof
+    # convention (dof = lag) stays honest on gappy series: pair-less
+    # lags surface with n_pairs 0 / null acf instead of vanishing
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_pairs == 0 and out[1].acf is None
+    assert out[3].n_pairs == 0 and out[3].acf is None
     # buckets {0, 3}: lag 3 == n + 1 territory (n - k negative)
     rows2 = [(base, 1.0), (base + dt.timedelta(hours=3), 3.0)]
     df2 = spark.createDataFrame(rows2, "ts timestamp, value double")

@@ -176,10 +176,15 @@ def weighted_quantiles(
     j = grouped_running_sums(g, groups, ["v"], ["ct"])
     aggs = []
     for q in qs:
-        # same float-robust threshold guard as exact_quantiles: q*W
-        # can overshoot its mathematical value by one ulp
+        # float-robust threshold guard: q*W can overshoot its
+        # mathematical value by ~1 ulp (2^-52 relative), so back off
+        # a few ulps — NOT the 1e-12 exact_quantiles uses inside its
+        # ceil() (there the ceil absorbs it; here the raw comparison
+        # would select the PREVIOUS value once cumulative weights
+        # exceed ~1e12 and a genuine sub-target cum falls inside the
+        # slack)
         qw = F.lit(float(q)) * F.col("__g_ct")
-        target = qw - qw * F.lit(1e-12) - F.lit(1e-9)
+        target = qw - qw * F.lit(4e-16) - F.lit(1e-9)
         name = f"q_{str(q).replace('.', '_')}"
         aggs.append(
             F.min(F.when(F.col("__cum_ct") >= target, F.col("v")))

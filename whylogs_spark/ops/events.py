@@ -450,14 +450,22 @@ def autocorrelation(
     per_lag = pairs.groupBy(*keys, "lag").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("__d") * F.col("__d0")).alias("__num"))
-    if keys:
-        per_lag = per_lag.join(F.broadcast(stats), on=keys)
-    else:
-        per_lag = per_lag.crossJoin(F.broadcast(stats))
+    # full per-key lag spine: a gappy series may produce NO pair at an
+    # intermediate lag — without its row the cumulative Q would
+    # silently skip that lag's term while the documented chi2 dof is
+    # still `lag`. Every lag 1..max_lag emits a row (n_pairs 0, acf
+    # null, term 0), keeping qstat's dof convention honest.
+    spine = stats.select(
+        *keys, "__n", "__denom",
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag))))
+        .alias("lag"))
+    per_lag = spine.join(per_lag, on=[*keys, "lag"], how="left")
     acf = F.when(F.col("__denom") > 0,
                  F.col("__num") / F.col("__denom"))
     scored = per_lag.select(
-        *keys, "lag", "n_pairs", acf.alias("acf"), F.col("__n"))
+        *keys, "lag",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        acf.alias("acf"), F.col("__n"))
     # Ljung-Box cumulative over the bounded (key x max_lag) frame;
     # the partition key keeps the window off the repo-wide
     # partition-less ban (keyless inputs partition on a constant —
@@ -629,9 +637,15 @@ def funnel(
     * ``step_within`` — each step must occur within this long of the
       previously matched step (``ts <= t_i + step_within``).
 
-    An event that matches the awaited step but misses a window simply
-    does not advance the fold; since both windows only shrink as time
-    passes a fixed anchor, skipping it is never suboptimal.
+    With windows, matching is exists-a-chain (max-reach), not greedy:
+    a user reaches step i+1 iff SOME window-satisfying chain of
+    events does.  The fold tracks the LATEST feasible time per level
+    (exact: a later candidate only widens the next step's
+    ``step_within`` window, and the ``within`` anchor is fixed at the
+    first step-1 event so its check is chain-independent) — greedy
+    earliest-match would undercount under ``step_within``, e.g.
+    A@0, B@1, B@9, C@15 at step_within=10 converts via B@9.  Without
+    ``step_within`` the two semantics provably coincide.
 
     Returns one row per step: ``(step_index, step, n_users,
     conversion_from_first, conversion_from_previous)``.
@@ -684,35 +698,46 @@ def funnel(
             .otherwise(acc),
         )
     else:
-        # windowed fold: state = (steps reached, anchor epoch-secs,
-        # previous-step epoch-secs); microsecond-exact double seconds
-        def ok(acc, e):
+        # windowed exists-a-chain fold: state = (anchor epoch-secs,
+        # T[j] = latest event time of step j reachable via a
+        # window-satisfying chain).  Events arrive time-sorted, so a
+        # feasible event is always the new latest for its level, and
+        # T never has gaps (setting T[j] requires T[j-1]).  Reach =
+        # count of set levels.  Microsecond-exact double seconds.
+        n_steps = len(steps)
+
+        def fold(acc, e):
             td = e["td"]
-            cond = e["i"] == acc["r"]
-            if within is not None:
-                cond = cond & ((acc["r"] == 0)
-                               | (td - acc["t0"]
-                                  <= F.lit(float(within))))
+            t0n = F.when(acc["t0"].isNull() & (e["i"] == 0), td) \
+                .otherwise(acc["t0"])
+            # element_at is 1-based: index e.i reads level e.i - 1.
+            # The greatest() guard keeps the (unused) i == 0 branch
+            # from reading forbidden index 0.
+            prev_t = F.element_at(
+                acc["T"], F.greatest(e["i"], F.lit(1)))
+            feas = prev_t.isNotNull()
             if step_within is not None:
-                cond = cond & ((acc["r"] == 0)
-                               | (td - acc["tp"]
-                                  <= F.lit(float(step_within))))
-            return cond
+                feas = feas & (td - prev_t
+                               <= F.lit(float(step_within)))
+            if within is not None:
+                feas = feas & (td - t0n <= F.lit(float(within)))
+            feas = F.when(e["i"] == 0, F.lit(True)).otherwise(feas)
+            newT = F.transform(
+                acc["T"],
+                lambda x, j: F.when((j == e["i"]) & feas, td)
+                .otherwise(x))
+            return F.struct(t0n.alias("t0"), newT.alias("T"))
 
         init = F.struct(
-            F.lit(0).alias("r"),
             F.lit(None).cast("double").alias("t0"),
-            F.lit(None).cast("double").alias("tp"))
+            F.array(*[F.lit(None).cast("double")
+                      for _ in range(n_steps)]).alias("T"))
         reached = F.aggregate(
             sorted_ev,
             init,
-            lambda acc, e: F.when(ok(acc, e), F.struct(
-                (acc["r"] + F.lit(1)).alias("r"),
-                F.when(acc["r"] == 0, e["td"])
-                .otherwise(acc["t0"]).alias("t0"),
-                e["td"].alias("tp"),
-            )).otherwise(acc),
-            lambda acc: acc["r"],
+            fold,
+            lambda acc: F.size(
+                F.filter(acc["T"], lambda x: x.isNotNull())),
         )
     per_user = ev.groupBy("__u").agg(reached.alias("__r"))
     aggs = [F.sum((F.col("__r") >= i + 1).cast("long"))

@@ -601,7 +601,15 @@ def candidate_keys(
     if distinct not in ("approx", "exact"):
         raise ValueError("distinct must be 'approx' or 'exact'")
     if columns is None:
-        columns = df.columns
+        # match the documented default ("all non-nested columns"): a
+        # map-typed (or map-containing) column is not comparable, so
+        # count_distinct(struct(...)) over it fails at analysis
+        from pyspark.sql import types as _T
+
+        columns = [f.name for f in df.schema.fields
+                   if not isinstance(f.dataType,
+                                     (_T.MapType, _T.StructType,
+                                      _T.ArrayType))]
     cols = list(columns)
     if len(cols) < 1:
         raise ValueError("need at least one column")

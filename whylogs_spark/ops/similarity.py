@@ -817,7 +817,7 @@ def embedding_outliers(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
-    planes: int = 3,
+    planes: Optional[int] = None,
     tables: int = 8,
     max_bucket: int = 4096,
 ) -> DataFrame:
@@ -829,25 +829,59 @@ def embedding_outliers(
     Built on the multi-table LSH self-join (:func:`knn_join` with
     ``exclude_self``): per row, the kth-best candidate cosine (or the
     worst found, when LSH surfaces fewer than k — ``n_neighbors``
-    says which). ``outlier_score = 1 - kth_cosine``. Rows whose
-    buckets contain no other member at all get score null — at the
-    chosen (planes, tables) that itself is a strong isolation signal.
+    says which). ``outlier_score = 1 - kth_cosine``.
 
-    Few planes + many tables: for outlier DETECTION the failure mode
-    is a missed near neighbor inflating a score, so recall is tuned
-    high exactly like the decontamination path.
+    Null-score rows carry two DISTINCT meanings, told apart by
+    ``n_neighbors``:
+
+    * ``n_neighbors = 0`` — every bucket the row landed in contained
+      no other member: a genuine isolation signal.
+    * ``n_neighbors = -1`` — every bucket the row landed in was over
+      ``max_bucket`` and was DROPPED by the degenerate-bucket cap:
+      the row sits in the densest regions (the least isolated), the
+      opposite of a signal.  Conflating the two inverted the score's
+      meaning on large corpora.
+
+    ``planes`` defaults to corpus-scaled ``ceil(log2(n / 256))``
+    (min 1, from a metadata-cheap count) so default buckets hold
+    ~256 rows at any corpus size — a FIXED small default plus the
+    bucket cap used to drop every bucket once n >> 2^planes *
+    max_bucket.  Few planes + many tables: for outlier DETECTION the
+    failure mode is a missed near neighbor inflating a score, so
+    recall is tuned high exactly like the decontamination path.
     """
+    if planes is None:
+        n = df.count()
+        planes = max(1, math.ceil(math.log2(max(n, 2) / 256.0)))
     nn = knn_join(df, df, vec_col, id_col, id_col, k, planes,
                   tables, exclude_self=True, max_bucket=max_bucket)
     per = nn.groupBy(F.col(id_col + "_left").alias(id_col)).agg(
         F.max("rank").cast("int").alias("n_neighbors"),
         F.min("cosine").alias("kth_cosine"),
     )
-    base = df.select(F.col(id_col))
+    # candidate-less diagnosis: which rows kept at least one bucket
+    # under the cap (same signature family, ids only — no vectors)
+    dim = len(df.select(vec_col).first()[0])
+    b = with_lsh_buckets(df.select(id_col, vec_col), vec_col,
+                         tables, planes, dim)
+    keys = F.array(*[F.struct(F.lit(t).alias("tbl"),
+                              F.col("lsh_buckets")[t].alias("bkt"))
+                     for t in range(tables)])
+    banded_ids = b.select(
+        F.col(id_col), F.explode(keys).alias("kk")
+    ).select(id_col, F.col("kk.tbl").alias("tbl"),
+             F.col("kk.bkt").alias("bkt"))
+    surv = (_drop_big_buckets(banded_ids, max_bucket)
+            .select(id_col).distinct()
+            .withColumn("__kept", F.lit(True)))
+    base = df.select(F.col(id_col)).join(surv, id_col, "left")
     out = base.join(per, id_col, "left")
     return out.select(
         id_col,
-        F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+        F.coalesce(
+            F.col("n_neighbors"),
+            F.when(F.col("__kept").isNull(), F.lit(-1))
+            .otherwise(F.lit(0))).alias("n_neighbors"),
         "kth_cosine",
         (F.lit(1.0) - F.col("kth_cosine")).alias("outlier_score"),
     )
