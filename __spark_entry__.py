@@ -2971,6 +2971,170 @@ def _q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences", "n_users")
 
 
+# ------------------------------------------------ round-9 operator gates
+
+def _q_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group fairness report (ops/fairness.py fairness_report):
+    y = high-value order, pseudo-classifier = orderkey hash bucket,
+    protected attribute = o_orderpriority; default reference group
+    (largest, name-tiebroken).  Rates are exact integer divisions;
+    gaps rounded 6 for cross-engine FP hygiene."""
+    from whylogs_spark.ops.fairness import fairness_report
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        (F.col("o_totalprice") > 150000).cast("int").alias("y"),
+        (F.col("o_orderkey") % 97 < 30).cast("int").alias("p"),
+        F.col("o_orderpriority").alias("grp"))
+    out = fairness_report(d, "y", "p", "grp")
+    return out.select(
+        "group", "n", "tp", "fp", "fn", "tn", "reference_group",
+        F.round("base_rate", 6).alias("base_rate"),
+        F.round("selection_rate", 6).alias("selection_rate"),
+        F.round("tpr", 6).alias("tpr"),
+        F.round("fpr", 6).alias("fpr"),
+        F.round("precision", 6).alias("precision"),
+        F.round("demographic_parity_diff", 6).alias("dp_diff"),
+        F.round("disparate_impact", 6).alias("disparate_impact"),
+        F.round("equalized_odds_gap", 6).alias("eo_gap"),
+        F.round("precision_gap", 6).alias("precision_gap"))
+
+
+def _q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (ops/agreement.py cohens_kappa):
+    nominal + linear + quadratic weighted kappa between two synthetic
+    ordinal raters over orders, unioned with a mode column."""
+    from whylogs_spark.ops.agreement import cohens_kappa
+
+    o = _t(spark, sf_dir, "orders")
+    a = (F.col("o_orderkey") % 5).cast("int")
+    b = F.when(F.col("o_custkey") % 4 == 0,
+               (F.col("o_orderkey") + 1) % 5).otherwise(
+        F.col("o_orderkey") % 5).cast("int")
+    d = o.select(a.alias("ra"), b.alias("rb"))
+    outs = []
+    for mode in (None, "linear", "quadratic"):
+        k = cohens_kappa(d, "ra", "rb", weights=mode)
+        outs.append(k.select(
+            F.lit(mode or "nominal").alias("mode"),
+            "n_items", "n_categories",
+            F.round("po", 6).alias("po"),
+            F.round("pe", 6).alias("pe"),
+            F.round("kappa", 6).alias("kappa")))
+    out = outs[0]
+    for o2 in outs[1:]:
+        out = out.unionByName(o2)
+    return out
+
+
+def _q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha, nominal (ops/agreement.py): items =
+    users, ratings = their event types — variable rater counts and
+    natural singleton items exercise the pairable-item filter."""
+    from whylogs_spark.ops.agreement import krippendorff_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    out = krippendorff_alpha(ev, "user_id", "event_type")
+    return out.select(
+        "n_items", "n_ratings", "n_categories",
+        F.round("do", 6).alias("do"), F.round("de", 6).alias("de"),
+        F.round("alpha", 6).alias("alpha"))
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (ops/graph.py) over the part -> supplier bipartite
+    edge set from lineitem: every supplier node is dangling, so the
+    uniform dangling-mass redistribution is exercised every
+    iteration.  5 fixed iterations; the oracle unrolls the identical
+    recurrence.  round 8: the per-node contribution sums are the one
+    order-sensitive FP reduction (~1e-15 relative)."""
+    from whylogs_spark.ops.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("dst"))
+    out = pagerank(edges, iterations=5)
+    return out.select("node", F.round("rank", 8).alias("rank"))
+
+
+def _q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree statistics (ops/graph.py degree_stats) over the same
+    part -> supplier edge set; distinct-edge graph semantics."""
+    from whylogs_spark.ops.graph import degree_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("dst"))
+    return degree_stats(edges)
+
+
+def _q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (ops/cluster.py cluster_silhouette) on
+    the deterministic k-means of the kmeans gate query — the oracle
+    replays the identical Lloyd chain, then the (dist, j) argmin /
+    second-argmin silhouette projection."""
+    from whylogs_spark.ops.cluster import cluster_silhouette, kmeans
+
+    emb = _t(spark, sf_dir, "embeddings") \
+        .filter(F.col("embedding").isNotNull())
+    _, cents = kmeans(emb, k=8, n_iter=2)
+    return cluster_silhouette(emb, cents)
+
+
+def _q_confident_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise confident joint (ops/labelqc.py): synthetic
+    3-class labels with a deterministic 10% flip and rotated
+    [0.7, 0.2, 0.1] probability profiles (+1e-3-grained jitter on the
+    true class) — the off-diagonal cells isolate the planted flips;
+    thresholds are means of exact constants, so the >= comparisons
+    sit far from FP boundaries in both engines."""
+    from whylogs_spark.ops.labelqc import confident_joint
+
+    o = _t(spark, sf_dir, "orders")
+    t = (F.col("o_orderkey") % 3).cast("int")
+    given = F.when(F.col("o_orderkey") % 10 == 0, (t + 1) % 3) \
+        .otherwise(t)
+    jit = (F.col("o_orderkey") % 11).cast("double") / 1000.0
+
+    def prob(cls):
+        return (F.when(t == cls, 0.7 + jit)
+                .when((t + 1) % 3 == cls, F.lit(0.2))
+                .otherwise(F.lit(0.1)))
+
+    d = o.select(
+        F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                     given + 1).alias("label"),
+        prob(0).alias("pa"), prob(1).alias("pb"), prob(2).alias("pc"))
+    return confident_joint(d, "label",
+                           {"a": "pa", "b": "pb", "c": "pc"})
+
+
+def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal intervals (ops/conformal.py split_conformal)
+    per return flag: |y − ŷ| rank walk on the shared grouped prefix
+    sum; q̂ is an exact data value and coverage an exact integer
+    division, so the row hash-matches unrounded."""
+    from whylogs_spark.ops.conformal import split_conformal
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        (F.col("l_quantity").cast("double") * 1050.0
+         + F.col("l_partkey").cast("double")).alias("yhat"))
+    out = split_conformal(d, "y", "yhat", alpha=0.1,
+                          group_cols=["l_returnflag"])
+    return out.select("l_returnflag", "n",
+                      F.round("qhat", 6).alias("qhat"),
+                      F.round("coverage", 6).alias("coverage"))
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -3251,6 +3415,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity_documents": _q_ngram_diversity,
         "candidate_keys_customer": _q_candidate_keys,
         "seasonal_naive_events": _q_seasonal_naive,
+        # round-9 families
+        "fairness_report_orders": _q_fairness,
+        "cohens_kappa_orders": _q_kappa,
+        "krippendorff_alpha_events": _q_krippendorff,
+        "pagerank_lineitem": _q_pagerank,
+        "degree_stats_lineitem": _q_degree_stats,
+        "cluster_silhouette_embeddings": _q_silhouette,
+        "confident_joint_orders": _q_confident_joint,
+        "conformal_lineitem": _q_conformal,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -4335,11 +4508,289 @@ def _minhash_recall_sql() -> str:
     )
 
 
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled replay of ops/graph.pagerank over the part->supplier
+    edge set: same distinct-edge view, same uniform init, same
+    (1-d)/N + d*(contrib + dangling/N) recurrence; (1 - 0.85) and the
+    divisions produce identical doubles in both engines, and the only
+    order-sensitive reductions (contribution / dangling sums) sit
+    ~1e-15 relative, absorbed by the gate's round(rank, 8)."""
+    d = damping
+    parts = [
+        "WITH e AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS s, "
+        "'s' || l_suppkey::VARCHAR AS d FROM lineitem "
+        "WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL), "
+        "nodes AS (SELECT s AS node FROM e "
+        "UNION SELECT d FROM e), "
+        "meta AS (SELECT count(*)::DOUBLE AS nn FROM nodes), "
+        "od AS (SELECT s AS node, count(*)::DOUBLE AS outd "
+        "FROM e GROUP BY 1), "
+        "r0 AS (SELECT node, 1.0 / nn AS rank FROM nodes, meta)"
+    ]
+    prev = "r0"
+    for i in range(int(iterations)):
+        dg, ct, nxt = f"dg{i}", f"ct{i}", f"r{i + 1}"
+        parts.append(
+            f", {dg} AS (SELECT coalesce(sum(CASE WHEN od.node IS "
+            f"NULL THEN r.rank END), 0.0) AS dang FROM {prev} r "
+            "LEFT JOIN od ON r.node = od.node) "
+            f", {ct} AS (SELECT e.d AS node, "
+            "sum(r.rank / od.outd) AS contrib "
+            f"FROM {prev} r JOIN od ON r.node = od.node "
+            "JOIN e ON e.s = r.node GROUP BY 1) "
+            f", {nxt} AS (SELECT n.node, "
+            f"(1 - {d}) / m.nn + {d} * (coalesce(c.contrib, 0.0) "
+            "+ g.dang / m.nn) AS rank "
+            f"FROM nodes n CROSS JOIN meta m CROSS JOIN {dg} g "
+            f"LEFT JOIN {ct} c ON c.node = n.node)")
+        prev = nxt
+    parts.append(
+        f" SELECT node, round(rank, 8) AS rank FROM {prev}")
+    return "".join(parts)
+
+
+def _silhouette_sql(k: int = 8, dim: int = 64, n_iter: int = 2) -> str:
+    """Silhouette replay: the identical quantized Lloyd chain as
+    _kmeans_sql (same seeds, left-fold distance, argmin tie-break,
+    round-6 centroid updates), then per vector a = sqrt(rn-1 dist),
+    b = sqrt(rn-2 dist) — row 2 of the (dist, j) order IS the nearest
+    OTHER centroid since each centroid appears once per vector."""
+    hi = dim + 1
+    dist = ("list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1,{hi}), "
+            "i -> (e[i]-c[i])*(e[i]-c[i]))), (acc,x) -> acc+x)")
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        f"seed AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}), "
+        "c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT "
+        "AS j, list_transform(e, x -> round(x, 6)) AS c FROM seed)"
+    ]
+    prev = "c0"
+    for it in range(n_iter):
+        a, r, m, n, nxt = (f"a{it}", f"r{it}", f"m{it}", f"n{it}",
+                           f"c{it + 1}")
+        parts.append(
+            f", {a} AS (SELECT vec_id, e, j, {dist} AS dist "
+            f"FROM v, {prev}) "
+            f", {r} AS (SELECT vec_id, e, j, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, j) AS rn "
+            f"FROM {a}) "
+            f", {m} AS (SELECT j, i, round(avg(e[i]), 6) AS m "
+            f"FROM {r} CROSS JOIN range(1,{hi}) t(i) WHERE rn = 1 "
+            "GROUP BY j, i) "
+            f", {n} AS (SELECT j, list(m ORDER BY i) AS c FROM {m} "
+            "GROUP BY j) "
+            f", {nxt} AS (SELECT {prev}.j, coalesce({n}.c, {prev}.c) "
+            f"AS c FROM {prev} LEFT JOIN {n} USING (j))")
+        prev = nxt
+    parts.append(
+        f", fin AS (SELECT vec_id, j, dist, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dist, j) AS rn "
+        f"FROM (SELECT vec_id, j, {dist} AS dist FROM v, {prev})) "
+        ", ab AS (SELECT f1.vec_id, f1.j AS cluster, "
+        "sqrt(f1.dist) AS a, sqrt(f2.dist) AS b "
+        "FROM fin f1 JOIN fin f2 ON f1.vec_id = f2.vec_id "
+        "AND f1.rn = 1 AND f2.rn = 2) "
+        ", s AS (SELECT cluster, a, b, CASE WHEN greatest(a, b) > 0 "
+        "THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s FROM ab) "
+        "SELECT cluster, count(*)::BIGINT AS n, "
+        "round(avg(s), 6) AS mean_silhouette, "
+        "round(min(s), 6) AS min_silhouette, "
+        "round(avg(a), 6) AS mean_a, round(avg(b), 6) AS mean_b "
+        "FROM s GROUP BY cluster ORDER BY cluster")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "profile_basic_lineitem": _basic_sql(),
         "ann_recall_embeddings": _ann_recall_sql(),
         "minhash_recall_documents": _minhash_recall_sql(),
+        "pagerank_lineitem": _pagerank_sql(),
+        "cluster_silhouette_embeddings": _silhouette_sql(),
+        "degree_stats_lineitem": (
+            "WITH e AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR "
+            "AS s, 's' || l_suppkey::VARCHAR AS d FROM lineitem "
+            "WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL), "
+            "o AS (SELECT s AS node, count(*)::BIGINT AS od "
+            "FROM e GROUP BY 1), "
+            "i AS (SELECT d AS node, count(*)::BIGINT AS id_ "
+            "FROM e GROUP BY 1) "
+            "SELECT coalesce(o.node, i.node) AS node, "
+            "coalesce(od, 0) AS out_degree, "
+            "coalesce(id_, 0) AS in_degree "
+            "FROM o FULL OUTER JOIN i ON o.node = i.node"
+        ),
+        "fairness_report_orders": (
+            "WITH b AS (SELECT o_orderpriority AS grp, "
+            "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y, "
+            "CASE WHEN o_orderkey % 97 < 30 THEN 1 ELSE 0 END AS p "
+            "FROM orders WHERE o_orderpriority IS NOT NULL), "
+            "g AS (SELECT grp AS \"group\", count(*)::BIGINT AS n, "
+            "sum(y)::BIGINT AS pos, sum(p)::BIGINT AS sel, "
+            "sum(y * p)::BIGINT AS tp, "
+            "sum((1 - y) * p)::BIGINT AS fp, "
+            "sum(y * (1 - p))::BIGINT AS fn, "
+            "sum((1 - y) * (1 - p))::BIGINT AS tn FROM b GROUP BY 1), "
+            "r AS (SELECT g.*, sel::DOUBLE / n AS sr, "
+            "pos::DOUBLE / n AS br, "
+            "CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END "
+            "AS tpr, "
+            "CASE WHEN fp + tn > 0 THEN fp::DOUBLE / (fp + tn) END "
+            "AS fpr, "
+            "CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END "
+            "AS prec FROM g), "
+            "ref AS (SELECT * FROM r "
+            "ORDER BY n DESC, \"group\" LIMIT 1) "
+            "SELECT r.\"group\", r.n, r.tp, r.fp, r.fn, r.tn, "
+            "ref.\"group\" AS reference_group, "
+            "round(r.br, 6) AS base_rate, "
+            "round(r.sr, 6) AS selection_rate, "
+            "round(r.tpr, 6) AS tpr, round(r.fpr, 6) AS fpr, "
+            "round(r.prec, 6) AS precision, "
+            "round(r.sr - ref.sr, 6) AS dp_diff, "
+            "CASE WHEN ref.sr > 0 THEN round(r.sr / ref.sr, 6) END "
+            "AS disparate_impact, "
+            "CASE WHEN r.tpr IS NOT NULL AND ref.tpr IS NOT NULL "
+            "AND r.fpr IS NOT NULL AND ref.fpr IS NOT NULL THEN "
+            "round(greatest(abs(r.tpr - ref.tpr), "
+            "abs(r.fpr - ref.fpr)), 6) END AS eo_gap, "
+            "round(r.prec - ref.prec, 6) AS precision_gap "
+            "FROM r CROSS JOIN ref"
+        ),
+        "cohens_kappa_orders": (
+            # three kappa modes over the same synthetic rater pair;
+            # weighted modes use |a-b|/span (span from the data) and
+            # kappa = 1 - wo/we
+            "WITH b AS (SELECT (o_orderkey % 5)::INT AS ra, "
+            "(CASE WHEN o_custkey % 4 = 0 THEN (o_orderkey + 1) % 5 "
+            "ELSE o_orderkey % 5 END)::INT AS rb FROM orders), "
+            "obs AS (SELECT ra, rb, count(*)::BIGINT AS ct "
+            "FROM b GROUP BY 1, 2), "
+            "tot AS (SELECT sum(ct)::BIGINT AS n, "
+            "greatest(count(DISTINCT ra), count(DISTINCT rb)) AS k "
+            "FROM obs), "
+            "ma AS (SELECT ra, sum(ct)::DOUBLE AS na "
+            "FROM obs GROUP BY 1), "
+            "mb AS (SELECT rb, sum(ct)::DOUBLE AS nb "
+            "FROM obs GROUP BY 1), "
+            "span AS (SELECT greatest((SELECT max(ra) FROM obs), "
+            "(SELECT max(rb) FROM obs)) - "
+            "least((SELECT min(ra) FROM obs), "
+            "(SELECT min(rb) FROM obs)) AS sp), "
+            "nom AS (SELECT 'nominal' AS mode, t.n AS n_items, "
+            "t.k AS n_categories, "
+            "(SELECT coalesce(sum(ct), 0) FROM obs WHERE ra = rb)"
+            "::DOUBLE / t.n AS po, "
+            "(SELECT sum(ma.na * mb.nb) FROM ma JOIN mb "
+            "ON ma.ra = mb.rb) / (t.n::DOUBLE * t.n) AS pe FROM tot t), "
+            "wo AS (SELECT "
+            "sum((abs(ra - rb)::DOUBLE / sp) * ct) AS lin, "
+            "sum(pow(abs(ra - rb)::DOUBLE / sp, 2) * ct) AS quad "
+            "FROM obs, span), "
+            "we AS (SELECT "
+            "sum((abs(ma.ra - mb.rb)::DOUBLE / sp) * ma.na * mb.nb) "
+            "AS lin, "
+            "sum(pow(abs(ma.ra - mb.rb)::DOUBLE / sp, 2) "
+            "* ma.na * mb.nb) AS quad FROM ma CROSS JOIN mb "
+            "CROSS JOIN span) "
+            "SELECT mode, n_items, n_categories, round(po, 6) AS po, "
+            "round(pe, 6) AS pe, "
+            "CASE WHEN pe < 1.0 THEN round((po - pe) / (1 - pe), 6) "
+            "END AS kappa FROM nom "
+            "UNION ALL SELECT 'linear', t.n, t.k, "
+            "round(1 - wo.lin / t.n, 6), "
+            "round(1 - we.lin / (t.n::DOUBLE * t.n), 6), "
+            "CASE WHEN we.lin > 0 THEN round(1 - (wo.lin / t.n) / "
+            "(we.lin / (t.n::DOUBLE * t.n)), 6) END "
+            "FROM tot t, wo, we "
+            "UNION ALL SELECT 'quadratic', t.n, t.k, "
+            "round(1 - wo.quad / t.n, 6), "
+            "round(1 - we.quad / (t.n::DOUBLE * t.n), 6), "
+            "CASE WHEN we.quad > 0 THEN round(1 - (wo.quad / t.n) / "
+            "(we.quad / (t.n::DOUBLE * t.n)), 6) END "
+            "FROM tot t, wo, we"
+        ),
+        "krippendorff_alpha_events": (
+            "WITH c AS (SELECT user_id AS i, event_type AS r, "
+            "count(*)::BIGINT AS ct FROM events "
+            "WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "pi AS (SELECT i, sum(ct)::BIGINT AS m, "
+            "sum(ct * ct)::BIGINT AS sq FROM c GROUP BY 1), "
+            "pair AS (SELECT * FROM pi WHERE m >= 2), "
+            "obs AS (SELECT sum((m::DOUBLE * m - sq) / (m - 1)) "
+            "AS do_num, sum(m)::DOUBLE AS n, "
+            "count(*)::BIGINT AS n_items FROM pair), "
+            "cat AS (SELECT c.r, sum(c.ct)::DOUBLE AS nc FROM c "
+            "JOIN pair ON c.i = pair.i GROUP BY 1), "
+            "ex AS (SELECT sum(nc * nc) AS sum_sq, "
+            "count(*)::BIGINT AS n_categories FROM cat) "
+            "SELECT obs.n_items, obs.n::BIGINT AS n_ratings, "
+            "ex.n_categories, "
+            "round(obs.do_num / obs.n, 6) AS do, "
+            "round(1 - (ex.sum_sq - obs.n) / (obs.n * (obs.n - 1)), "
+            "6) AS de, "
+            "CASE WHEN 1 - (ex.sum_sq - obs.n) / (obs.n * "
+            "(obs.n - 1)) > 0 THEN round(1 - (obs.do_num / obs.n) / "
+            "(1 - (ex.sum_sq - obs.n) / (obs.n * (obs.n - 1))), 6) "
+            "END AS alpha FROM obs CROSS JOIN ex"
+        ),
+        "confident_joint_orders": (
+            # replay of ops/labelqc.confident_joint on the synthetic
+            # 3-class frame: per-class mean-probability thresholds,
+            # then argmax margin among classes clearing their own
+            # threshold (margin ties -> largest class name, matching
+            # the Spark struct-max)
+            "WITH b AS (SELECT "
+            "['a','b','c'][(CASE WHEN o_orderkey % 10 = 0 THEN "
+            "(o_orderkey % 3 + 1) % 3 ELSE o_orderkey % 3 END) + 1] "
+            "AS label, "
+            "CASE WHEN o_orderkey % 3 = 0 THEN 0.7 + (o_orderkey % "
+            "11)::DOUBLE / 1000.0 WHEN (o_orderkey % 3 + 1) % 3 = 0 "
+            "THEN 0.2 ELSE 0.1 END AS pa, "
+            "CASE WHEN o_orderkey % 3 = 1 THEN 0.7 + (o_orderkey % "
+            "11)::DOUBLE / 1000.0 WHEN (o_orderkey % 3 + 1) % 3 = 1 "
+            "THEN 0.2 ELSE 0.1 END AS pb, "
+            "CASE WHEN o_orderkey % 3 = 2 THEN 0.7 + (o_orderkey % "
+            "11)::DOUBLE / 1000.0 WHEN (o_orderkey % 3 + 1) % 3 = 2 "
+            "THEN 0.2 ELSE 0.1 END AS pc FROM orders), "
+            "thr AS (SELECT "
+            "max(CASE WHEN label = 'a' THEN ta END) AS ta, "
+            "max(CASE WHEN label = 'b' THEN tb END) AS tb, "
+            "max(CASE WHEN label = 'c' THEN tc END) AS tc FROM ("
+            "SELECT label, avg(pa) AS ta, avg(pb) AS tb, "
+            "avg(pc) AS tc FROM b GROUP BY 1)), "
+            "pick AS (SELECT label, (SELECT max(x) FROM (VALUES "
+            "(CASE WHEN pa >= ta THEN (pa - ta, 'a') END), "
+            "(CASE WHEN pb >= tb THEN (pb - tb, 'b') END), "
+            "(CASE WHEN pc >= tc THEN (pc - tc, 'c') END)) t(x)) "
+            "AS best FROM b, thr) "
+            "SELECT label AS given_label, best[2] AS "
+            "suggested_label, count(*)::BIGINT AS n FROM pick "
+            "WHERE best IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "conformal_lineitem": (
+            "WITH b AS (SELECT l_returnflag, "
+            "abs(l_extendedprice::DOUBLE - (l_quantity::DOUBLE * "
+            "1050.0 + l_partkey::DOUBLE)) AS r FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL AND l_quantity IS "
+            "NOT NULL AND l_partkey IS NOT NULL), "
+            "g AS (SELECT l_returnflag, r, count(*)::BIGINT AS ct "
+            "FROM b GROUP BY 1, 2), "
+            "w AS (SELECT *, sum(ct) OVER (PARTITION BY l_returnflag "
+            "ORDER BY r) AS cum, sum(ct) OVER (PARTITION BY "
+            "l_returnflag) AS n FROM g), "
+            "t AS (SELECT *, ceil((n::DOUBLE + 1) * 0.9) AS k "
+            "FROM w) "
+            "SELECT l_returnflag, min(n)::BIGINT AS n, "
+            "round(min(CASE WHEN cum >= k THEN r END), 6) AS qhat, "
+            "CASE WHEN min(CASE WHEN cum >= k THEN r END) IS NOT "
+            "NULL THEN round(min(CASE WHEN cum >= k THEN cum END)"
+            "::DOUBLE / min(n), 6) END AS coverage "
+            "FROM t GROUP BY 1 ORDER BY 1"
+        ),
         "unigram_lm_documents": _unigram_lm_sql(),
         "bigram_lm_documents": _bigram_lm_sql(),
         "quality_classifier_documents": _quality_classifier_sql(),

@@ -760,6 +760,68 @@ def main() -> None:
                 "__grp", (F.col("o_custkey") % 2 == 1).cast("int")),
             "__grp", "o_totalprice", 0, 1, ["o_orderstatus"]))
 
+    def bench_fairness_agreement():
+        # group fairness + 3-mode kappa + Krippendorff alpha: each is
+        # one-or-two bounded aggregations over orders/events
+        from whylogs_spark.ops.agreement import (cohens_kappa,
+                                                 krippendorff_alpha)
+        from whylogs_spark.ops.fairness import fairness_report
+        o = t["orders"]
+        _noop(fairness_report(
+            o.select((F.col("o_totalprice") > 150000).cast("int")
+                     .alias("y"),
+                     (F.col("o_orderkey") % 97 < 30).cast("int")
+                     .alias("p"),
+                     F.col("o_orderpriority").alias("grp")),
+            "y", "p", "grp"))
+        kd = o.select((F.col("o_orderkey") % 5).alias("ra"),
+                      (F.col("o_custkey") % 5).alias("rb"))
+        _noop(cohens_kappa(kd, "ra", "rb", weights="quadratic"))
+        _noop(krippendorff_alpha(t["events"], "user_id", "event_type"))
+
+    def bench_graph_pagerank():
+        # 5 power iterations over the part->supplier bipartite edge
+        # set (~21k nodes at sf0.1; every supplier dangling)
+        from whylogs_spark.ops.graph import degree_stats, pagerank
+        edges = t["lineitem"].select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        _noop(degree_stats(edges))
+        _noop(pagerank(edges, iterations=5))
+
+    def bench_labelqc_conformal_silhouette():
+        from whylogs_spark.ops.cluster import cluster_silhouette, kmeans
+        from whylogs_spark.ops.conformal import split_conformal
+        from whylogs_spark.ops.labelqc import confident_joint
+        o = t["orders"]
+        tcls = (F.col("o_orderkey") % 3).cast("int")
+        jit = (F.col("o_orderkey") % 11).cast("double") / 1000.0
+
+        def prob(cls):
+            return (F.when(tcls == cls, 0.7 + jit)
+                    .when((tcls + 1) % 3 == cls, F.lit(0.2))
+                    .otherwise(F.lit(0.1)))
+
+        d = o.select(
+            F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                         tcls + 1).alias("label"),
+            prob(0).alias("pa"), prob(1).alias("pb"),
+            prob(2).alias("pc"))
+        _noop(confident_joint(d, "label",
+                              {"a": "pa", "b": "pb", "c": "pc"}))
+        _noop(split_conformal(
+            t["lineitem"].select(
+                "l_returnflag",
+                F.col("l_extendedprice").cast("double").alias("y"),
+                (F.col("l_quantity").cast("double") * 1050.0
+                 + F.col("l_partkey")).alias("yhat")),
+            "y", "yhat", alpha=0.1, group_cols=["l_returnflag"]))
+        emb = t["embeddings"].filter(F.col("embedding").isNotNull())
+        _, cents = kmeans(emb, k=8, n_iter=2)
+        _noop(cluster_silhouette(emb, cents))
+
     def bench_ab_hot10x():
         # skew rehearsal: 10x orders with a DEGENERATE 5-distinct-value
         # metric (integer star-ratings shape) — every (segment, value)
@@ -1003,6 +1065,10 @@ def main() -> None:
         "data_contract": bench_data_contract,
         "ab_test_orders": bench_ab_test,
         "ab_hot10x": bench_ab_hot10x,
+        "fairness_agreement": bench_fairness_agreement,
+        "graph_pagerank": bench_graph_pagerank,
+        "labelqc_conformal_silhouette":
+            bench_labelqc_conformal_silhouette,
         "ab_experiment_utils": bench_ab_experiment_utils,
         "autocorrelation_events": bench_autocorrelation,
         "embedding_decontam_outliers": bench_embedding_decontam_outliers,
@@ -1027,6 +1093,8 @@ def main() -> None:
                 # 3 reps so the recorded median is a true middle (at
                 # 2, "median" is the max — the cold first rep)
                 "profile_scale_10x": 3,
+                "graph_pagerank": 3,
+                "labelqc_conformal_silhouette": 3,
                 "dupspans_scale_10x": 2,
                 "sessionize_hot10x_single": 2,
                 "sessionize_hot10x_bucketed": 2,

@@ -1876,9 +1876,10 @@ def main() -> None:
             "no cartesian / nested-loop join":
                 r"^(?![\s\S]*(CartesianProduct|"
                 r"BroadcastNestedLoopJoin))",
-            "per-row top-k window keyed by the row id (skew bound = "
-            "one row's candidates)":
-                r"windowspecdefinition\(__lid",
+            "per-row top-k via grouped sorted collect_set "
+            "(one exchange, no window; skew bound = one row's "
+            "candidates)":
+                r"collect_set[\s\S]*Exchange",
             "no Python in the plan":
                 r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
                 r"MapInPandas|FlatMapGroupsInPandas))",
@@ -2129,6 +2130,169 @@ def main() -> None:
                 r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
             "no window anywhere (pure aggregation)":
                 r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # 9z7. round-9 families: fairness / agreement / graph / labelqc /
+    # conformal / silhouette
+    from whylogs_spark.ops.fairness import fairness_report
+
+    ords9 = load_table(spark, SF_DIR, "orders")
+    fr = fairness_report(
+        ords9.select(
+            (F.col("o_totalprice") > 150000).cast("int").alias("y"),
+            (F.col("o_orderkey") % 97 < 30).cast("int").alias("p"),
+            F.col("o_orderpriority").alias("grp")),
+        "y", "p", "grp")
+    sections.append((
+        "fairness report (group gaps vs reference)", fr,
+        {
+            "group rollup partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "reference row joins back by broadcast":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.agreement import (cohens_kappa,
+                                             krippendorff_alpha)
+
+    ck2 = cohens_kappa(
+        ords9.select((F.col("o_orderkey") % 5).alias("ra"),
+                      (F.col("o_custkey") % 5).alias("rb")),
+        "ra", "rb", weights="quadratic")
+    sections.append((
+        "weighted Cohen's kappa (contingency-bounded)", ck2,
+        {
+            "contingency table partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "margins/totals broadcast, never shuffled data-sized":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    ka = krippendorff_alpha(ev, "user_id", "event_type")
+    sections.append((
+        "Krippendorff's alpha (coincidence matrix)", ka,
+        {
+            "(item, rating) counts partial-agg before the exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.graph import pagerank
+
+    pr_edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("dst"))
+    # audit ONE iteration's un-checkpointed plan: the checkpoint in
+    # pagerank() erases the join/agg shape from the returned frame
+    from whylogs_spark.ops.graph import _pagerank_step
+
+    pr_e = pr_edges.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).select(F.col("src").alias("__s"),
+             F.col("dst").alias("__d")).distinct()
+    pr_state = (pr_e.select(F.col("__s").alias("node"))
+                .union(pr_e.select(F.col("__d").alias("node")))
+                .distinct()
+                .join(pr_e.groupBy(F.col("__s").alias("node"))
+                      .agg(F.count(F.lit(1)).alias("__out")),
+                      "node", "left")
+                .withColumn("rank", F.lit(0.001)))
+    pr = _pagerank_step(pr_state, pr_e, 1000, 0.85)
+    sections.append((
+        "pagerank (one power-iteration step)", pr,
+        {
+            "rank joins edges by hash equi-join (skew bound = "
+            "one node's edges)":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "contribution sum partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "dangling mass folds in via broadcast":
+                r"BroadcastNestedLoopJoin",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.labelqc import confident_joint
+
+    cjo = confident_joint(
+        ords9.select(
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                ((F.col("o_orderkey") % 3) + 1).cast("int"))
+            .alias("label"),
+            (F.col("o_orderkey") % 100 / 100.0).alias("pa"),
+            (F.col("o_custkey") % 100 / 100.0).alias("pb"),
+            (F.col("o_totalprice").cast("long") % 100 / 100.0).alias("pc")),
+        "label", {"a": "pa", "b": "pb", "c": "pc"})
+    sections.append((
+        "confident joint (label-noise matrix)", cjo,
+        {
+            "threshold row broadcasts back":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "joint cells partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.conformal import split_conformal
+
+    cf = split_conformal(
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("y"),
+            (F.col("l_quantity") * 1050.0).alias("yhat")),
+        "y", "yhat", alpha=0.1, group_cols=["l_returnflag"])
+    sections.append((
+        "split conformal (grouped residual rank walk)", cf,
+        {
+            "residual counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "prefix walk windows carry a partition key":
+                r"Window.*partitionBy|\(\d+\) Window",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.cluster import cluster_silhouette, kmeans
+
+    emb_nn = emb.filter(F.col("embedding").isNotNull())
+    _, sil_cents = kmeans(emb_nn, k=4, n_iter=1)
+    sil = cluster_silhouette(emb_nn, sil_cents)
+    sections.append((
+        "cluster silhouette (shuffle-free projection + k-row agg)",
+        sil,
+        {
+            "one scan, argmin/second-argmin in the projection":
+                r"^(?!(?:[\s\S]*\(\d+\) Scan parquet){2})"
+                r"[\s\S]*\(\d+\) Scan parquet",
+            "per-cluster rollup partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no join, no window":
+                r"^(?![\s\S]*(SortMergeJoin|ShuffledHashJoin|"
+                r"\(\d+\) Window))",
             "no Python in the plan":
                 r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
                 r"MapInPandas|FlatMapGroupsInPandas))",

@@ -22,6 +22,7 @@ def pytest_configure(config):
 # excludes these so `pytest tests/ -q` stays inside a 10-minute window;
 # they run with `-m ""` (everything) or `-m slow` (this tier only).
 SLOW_TESTS = {
+    "test_gate_schema.py::test_every_gate_query_schema_is_atomic",
     "test_corpus_stats.py::test_ngram_diversity_matches_reference",
     "test_integrity.py::test_candidate_keys_modes_and_validation",
     "test_integrity.py::test_candidate_keys_semantics",

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["kmeans_init", "kmeans_assign", "kmeans_iterate",
+           "cluster_silhouette",
            "kmeans", "kmeans_cluster_stats"]
 
 
@@ -207,4 +208,53 @@ def kmeans_cluster_stats(
             .agg(F.count("*").alias("size"),
                  F.round(F.sum(dist_col), 6).alias("inertia"),
                  F.round(F.avg(dist_col), 6).alias("mean_dist_sq"))
+            .orderBy("cluster"))
+
+
+def cluster_silhouette(
+    assigned_or_df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for each
+    row, ``a`` = L2 distance to its OWN centroid, ``b`` = distance to
+    the nearest OTHER centroid, ``s = (b − a) / max(a, b)`` (0 when
+    both are 0).  The full silhouette's per-pair mean distance is
+    O(n²); the centroid form is the standard O(n·k) surrogate (what
+    e.g. large-scale ML libraries compute) and is a pure shuffle-free
+    projection here — one k-struct argmin per row, exactly
+    :func:`kmeans_assign`'s tie rule (lowest index), then ONE
+    partial-agged groupBy of k rows.
+
+    Returns ``(cluster, n, mean_silhouette, min_silhouette,
+    mean_a, mean_b)`` — ``mean_silhouette`` near 1 = compact and far
+    from neighbors, near 0 = overlapping, negative = likely
+    mis-clustered.  Needs >= 2 centroids.  Null vectors drop.
+    """
+    if len(centroids) < 2:
+        raise ValueError("silhouette needs >= 2 centroids")
+    dim = len(centroids[0])
+    if any(len(c) != dim for c in centroids):
+        raise ValueError("ragged centroid list")
+    v = _as_double(vec_col)
+    pairs = F.array(*[
+        F.struct(_dist_sq(v, c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)
+    ])
+    best = F.array_min(pairs)
+    second = F.array_min(F.filter(
+        pairs, lambda p: p["j"] != best.getField("j")))
+    a = F.sqrt(best.getField("d"))
+    b = F.sqrt(second.getField("d"))
+    s = F.when(F.greatest(a, b) > 0,
+               (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    rows = (assigned_or_df.filter(F.col(vec_col).isNotNull())
+            .select(best.getField("j").alias("cluster"),
+                    a.alias("__a"), b.alias("__b"), s.alias("__s")))
+    return (rows.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("__s"), 6).alias("mean_silhouette"),
+                 F.round(F.min("__s"), 6).alias("min_silhouette"),
+                 F.round(F.avg("__a"), 6).alias("mean_a"),
+                 F.round(F.avg("__b"), 6).alias("mean_b"))
             .orderBy("cluster"))
