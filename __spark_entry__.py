@@ -3115,6 +3115,67 @@ def _q_confident_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
                            {"a": "pa", "b": "pb", "c": "pc"})
 
 
+def _q_schema_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table schema matching (ops/schema_match.py
+    column_matches) between customer and supplier: name similarity
+    (difflib, a pure function of schema metadata — inlined as
+    constants in the oracle), type-class compatibility, and
+    md5-capped distinct-value Jaccard (cap 100, so c_custkey's 150
+    distincts actually exercise the cap)."""
+    from whylogs_spark.ops.schema_match import column_matches
+
+    out = column_matches(_t(spark, sf_dir, "customer"),
+                         _t(spark, sf_dir, "supplier"),
+                         sample_distinct=100)
+    return out.select(
+        "col_a", "col_b", "type_class",
+        F.round("name_sim", 6).alias("name_sim"),
+        "n_a", "n_b", "n_common",
+        F.round("value_jaccard", 6).alias("value_jaccard"),
+        F.round("score", 6).alias("score"))
+
+
+def _q_clustering_agreement(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """External clustering quality (ops/cluster.py
+    clustering_agreement): purity + NMI + ARI of the deterministic
+    k-means assignment against the embeddings table's ground-truth
+    label column; the oracle replays the Lloyd chain then the
+    contingency arithmetic."""
+    from whylogs_spark.ops.cluster import clustering_agreement, kmeans
+
+    emb = _t(spark, sf_dir, "embeddings") \
+        .filter(F.col("embedding").isNotNull())
+    assigned, _ = kmeans(emb, k=8, n_iter=2)
+    out = clustering_agreement(assigned, "label")
+    return out.select(
+        "n", "n_clusters", "n_labels",
+        F.round("purity", 6).alias("purity"),
+        F.round("nmi", 6).alias("nmi"),
+        F.round("ari", 6).alias("ari"))
+
+
+def _q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (ops/survival.py nelson_aalen)
+    over the same per-user event-span durations as the KM gate —
+    distinct-duration collapse + two range-partitioned prefix
+    passes."""
+    from whylogs_spark.ops.survival import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    per = (ev.filter(F.col("user_id").isNotNull()
+                     & F.col("ts").isNotNull())
+           .groupBy("user_id")
+           .agg((F.expr("timestampdiff(MICROSECOND, min(ts), "
+                        "max(ts))") / F.lit(1e6)).alias("dur"),
+                F.max((F.col("event_type") == "purchase").cast("int"))
+                .alias("ev")))
+    out = nelson_aalen(per, "dur", "ev")
+    return out.select("t", "n_risk", "n_events",
+                      F.round("cum_hazard", 6).alias("cum_hazard"),
+                      F.round("se", 6).alias("se"))
+
+
 def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal intervals (ops/conformal.py split_conformal)
     per return flag: |y − ŷ| rank walk on the shared grouped prefix
@@ -3424,6 +3485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_silhouette_embeddings": _q_silhouette,
         "confident_joint_orders": _q_confident_joint,
         "conformal_lineitem": _q_conformal,
+        "schema_match_customer_supplier": _q_schema_match,
+        "clustering_agreement_embeddings": _q_clustering_agreement,
+        "nelson_aalen_events": _q_nelson_aalen,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -4602,8 +4666,171 @@ def _silhouette_sql(k: int = 8, dim: int = 64, n_iter: int = 2) -> str:
     return "".join(parts)
 
 
+def _schema_match_sql(cap: int = 100) -> str:
+    """Replay of ops/schema_match.column_matches(customer, supplier):
+    the same md5-ranked distinct-value caps and Jaccard, with the
+    name-similarity constants (a pure function of the column names)
+    computed here with the same difflib ratio and inlined."""
+    from whylogs_spark.ops.schema_match import _name_sim
+
+    cust = [("c_custkey", "integral"), ("c_name", "string"),
+            ("c_nationkey", "integral"), ("c_acctbal", "fractional"),
+            ("c_mktsegment", "string")]
+    supp = [("s_suppkey", "integral"), ("s_name", "string"),
+            ("s_nationkey", "integral"), ("s_acctbal", "fractional")]
+    pairs = [(a, b, tc) for a, tc in cust for b, tb in supp
+             if tb == tc]
+    meta_rows = ", ".join(
+        f"('{a}', '{b}', '{tc}', {_name_sim(a, b)!r}, "
+        f"{'TRUE' if tc in ('string', 'integral') else 'FALSE'})"
+        for a, b, tc in pairs)
+
+    def unpivot(table, cols, tag):
+        sels = " UNION ALL ".join(
+            f"SELECT DISTINCT '{c}' AS col_{tag}, {c}::VARCHAR AS "
+            f"__v FROM {table} WHERE {c} IS NOT NULL"
+            for c in cols)
+        return (f"(SELECT col_{tag}, __v FROM (SELECT *, row_number()"
+                f" OVER (PARTITION BY col_{tag} ORDER BY md5(__v)) "
+                f"AS rk FROM ({sels})) WHERE rk <= {cap})")
+
+    va = unpivot("customer",
+                 [c for c, tc in cust
+                  if tc in ("string", "integral")], "a")
+    vb = unpivot("supplier",
+                 [c for c, tc in supp
+                  if tc in ("string", "integral")], "b")
+    return (
+        f"WITH meta(col_a, col_b, type_class, name_sim, cmp) AS "
+        f"(VALUES {meta_rows}), "
+        f"va AS {va}, vb AS {vb}, "
+        "na AS (SELECT col_a, count(*)::BIGINT AS n_a FROM va "
+        "GROUP BY 1), "
+        "nb AS (SELECT col_b, count(*)::BIGINT AS n_b FROM vb "
+        "GROUP BY 1), "
+        "cm AS (SELECT col_a, col_b, count(*)::BIGINT AS n_common "
+        "FROM va JOIN vb USING (__v) GROUP BY 1, 2), "
+        "ov AS (SELECT na.col_a, nb.col_b, n_a, n_b, "
+        "coalesce(cm.n_common, 0) AS n_common "
+        "FROM na CROSS JOIN nb LEFT JOIN cm "
+        "ON cm.col_a = na.col_a AND cm.col_b = nb.col_b), "
+        "j AS (SELECT m.*, ov.n_a, ov.n_b, ov.n_common, "
+        "CASE WHEN m.cmp AND ov.n_a IS NOT NULL THEN "
+        "ov.n_common::DOUBLE / (ov.n_a + ov.n_b - ov.n_common) END "
+        "AS jac FROM meta m LEFT JOIN ov "
+        "ON ov.col_a = m.col_a AND ov.col_b = m.col_b) "
+        "SELECT col_a, col_b, type_class, "
+        "round(name_sim::DOUBLE, 6) AS name_sim, "
+        "CASE WHEN cmp THEN n_a END AS n_a, "
+        "CASE WHEN cmp THEN n_b END AS n_b, "
+        "CASE WHEN cmp THEN n_common END AS n_common, "
+        "round(jac, 6) AS value_jaccard, "
+        "round((name_sim::DOUBLE + coalesce(jac, name_sim::DOUBLE)) "
+        "/ 2, 6) AS score FROM j"
+    )
+
+
+def _clustering_agreement_sql(k: int = 8, dim: int = 64,
+                              n_iter: int = 2) -> str:
+    """Purity / NMI / ARI replay: the same Lloyd chain as
+    _kmeans_sql gives the assignment, then the contingency-table
+    arithmetic (ln via the shared libm; round 6 absorbs sub-ulp
+    engine drift)."""
+    hi = dim + 1
+    dist = ("list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1,{hi}), "
+            "i -> (e[i]-c[i])*(e[i]-c[i]))), (acc,x) -> acc+x)")
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        f"seed AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}), "
+        "c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT "
+        "AS j, list_transform(e, x -> round(x, 6)) AS c FROM seed)"
+    ]
+    prev = "c0"
+    for it in range(n_iter):
+        a, r, m, n, nxt = (f"a{it}", f"r{it}", f"m{it}", f"n{it}",
+                           f"c{it + 1}")
+        parts.append(
+            f", {a} AS (SELECT vec_id, e, j, {dist} AS dist "
+            f"FROM v, {prev}) "
+            f", {r} AS (SELECT vec_id, e, j, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, j) AS rn "
+            f"FROM {a}) "
+            f", {m} AS (SELECT j, i, round(avg(e[i]), 6) AS m "
+            f"FROM {r} CROSS JOIN range(1,{hi}) t(i) WHERE rn = 1 "
+            "GROUP BY j, i) "
+            f", {n} AS (SELECT j, list(m ORDER BY i) AS c FROM {m} "
+            "GROUP BY j) "
+            f", {nxt} AS (SELECT {prev}.j, coalesce({n}.c, {prev}.c) "
+            f"AS c FROM {prev} LEFT JOIN {n} USING (j))")
+        prev = nxt
+    parts.append(
+        f", fin AS (SELECT vec_id, j, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dist, j) AS rn "
+        f"FROM (SELECT vec_id, j, {dist} AS dist FROM v, {prev})) "
+        ", asg AS (SELECT f.vec_id, f.j AS cl, emb.label "
+        "FROM fin f JOIN embeddings emb ON emb.vec_id = f.vec_id "
+        "WHERE f.rn = 1 AND emb.label IS NOT NULL), "
+        "ct AS (SELECT cl, label, count(*)::DOUBLE AS n "
+        "FROM asg GROUP BY 1, 2), "
+        "tot AS (SELECT sum(n) AS nn, "
+        "sum(n * (n - 1) / 2) AS sij FROM ct), "
+        "ma AS (SELECT cl, sum(n) AS a FROM ct GROUP BY 1), "
+        "mb AS (SELECT label, sum(n) AS b FROM ct GROUP BY 1), "
+        "am AS (SELECT count(*)::BIGINT AS n_clusters, "
+        "sum(a * (a - 1) / 2) AS sa FROM ma), "
+        "bm AS (SELECT count(*)::BIGINT AS n_labels, "
+        "sum(b * (b - 1) / 2) AS sb FROM mb), "
+        "pur AS (SELECT sum(mx) AS p FROM (SELECT cl, max(n) AS mx "
+        "FROM ct GROUP BY 1)), "
+        "mi AS (SELECT sum((ct.n / tot.nn) * ln(tot.nn * ct.n / "
+        "(ma.a * mb.b))) AS mi FROM ct JOIN ma USING (cl) "
+        "JOIN mb USING (label) CROSS JOIN tot), "
+        "ha AS (SELECT -sum((a / nn) * ln(a / nn)) AS ha "
+        "FROM ma, tot), "
+        "hb AS (SELECT -sum((b / nn) * ln(b / nn)) AS hb "
+        "FROM mb, tot) "
+        "SELECT tot.nn::BIGINT AS n, am.n_clusters, bm.n_labels, "
+        "round(pur.p / tot.nn, 6) AS purity, "
+        "CASE WHEN ha.ha + hb.hb > 0 THEN "
+        "round(2 * mi.mi / (ha.ha + hb.hb), 6) END AS nmi, "
+        "CASE WHEN abs((am.sa + bm.sb) / 2 - am.sa * bm.sb / "
+        "(tot.nn * (tot.nn - 1) / 2)) > 0 THEN "
+        "round((tot.sij - am.sa * bm.sb / (tot.nn * (tot.nn - 1) "
+        "/ 2)) / ((am.sa + bm.sb) / 2 - am.sa * bm.sb / (tot.nn * "
+        "(tot.nn - 1) / 2)), 6) END AS ari "
+        "FROM tot, am, bm, pur, mi, ha, hb")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "schema_match_customer_supplier": _schema_match_sql(),
+        "clustering_agreement_embeddings":
+            _clustering_agreement_sql(),
+        "nelson_aalen_events": (
+            "WITH per AS (SELECT user_id, "
+            "date_diff('microsecond', min(ts), max(ts)) / 1000000.0 "
+            "AS dur, max(CASE WHEN event_type "
+            "= 'purchase' THEN 1 ELSE 0 END) AS ev FROM events WHERE "
+            "user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1), "
+            "g AS (SELECT dur AS t, sum(ev)::BIGINT AS n_events, "
+            "count(*)::BIGINT AS tot FROM per GROUP BY 1), "
+            "c AS (SELECT *, sum(tot) OVER (ORDER BY t ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "sum(tot) OVER () AS nn FROM g), "
+            "r AS (SELECT t, n_events, "
+            "(nn - cum + tot)::BIGINT AS n_risk FROM c), "
+            "k AS (SELECT *, "
+            "sum(n_events::DOUBLE / n_risk) OVER w AS hc, "
+            "sum(n_events::DOUBLE / (n_risk::DOUBLE * n_risk)) "
+            "OVER w AS vc FROM r WINDOW w AS (ORDER BY t ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT t, n_risk, n_events, "
+            "round(hc, 6) AS cum_hazard, round(sqrt(vc), 6) AS se "
+            "FROM k"
+        ),
         "profile_basic_lineitem": _basic_sql(),
         "ann_recall_embeddings": _ann_recall_sql(),
         "minhash_recall_documents": _minhash_recall_sql(),

@@ -822,6 +822,31 @@ def main() -> None:
         _, cents = kmeans(emb, k=8, n_iter=2)
         _noop(cluster_silhouette(emb, cents))
 
+    def bench_schema_quality_survival():
+        # schema matching + clustering agreement + Nelson-Aalen: all
+        # bounded-table aggregations over customer/supplier/
+        # embeddings/events
+        from whylogs_spark.ops.cluster import clustering_agreement
+        from whylogs_spark.ops.schema_match import column_matches
+        from whylogs_spark.ops.survival import nelson_aalen
+        _noop(column_matches(t["customer"], t["supplier"],
+                             sample_distinct=1000))
+        emb = t["embeddings"].filter(F.col("embedding").isNotNull())
+        _noop(clustering_agreement(
+            emb.select("vec_id", "label",
+                       (F.col("vec_id") % 8).cast("int")
+                       .alias("cluster")),
+            "label"))
+        per = (t["events"]
+               .filter(F.col("user_id").isNotNull()
+                       & F.col("ts").isNotNull())
+               .groupBy("user_id")
+               .agg((F.expr("timestampdiff(MICROSECOND, min(ts), "
+                            "max(ts))") / F.lit(1e6)).alias("dur"),
+                    F.max((F.col("event_type") == "purchase")
+                          .cast("int")).alias("ev")))
+        _noop(nelson_aalen(per, "dur", "ev"))
+
     def bench_ab_hot10x():
         # skew rehearsal: 10x orders with a DEGENERATE 5-distinct-value
         # metric (integer star-ratings shape) — every (segment, value)
@@ -1069,6 +1094,7 @@ def main() -> None:
         "graph_pagerank": bench_graph_pagerank,
         "labelqc_conformal_silhouette":
             bench_labelqc_conformal_silhouette,
+        "schema_quality_survival": bench_schema_quality_survival,
         "ab_experiment_utils": bench_ab_experiment_utils,
         "autocorrelation_events": bench_autocorrelation,
         "embedding_decontam_outliers": bench_embedding_decontam_outliers,

@@ -2298,6 +2298,69 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z8. round-9 batch 2: schema matching / clustering agreement /
+    # Nelson-Aalen
+    from whylogs_spark.ops.schema_match import column_matches
+
+    cmj = column_matches(
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "supplier"), sample_distinct=100)
+    sections.append((
+        "schema matching (capped distinct overlap)", cmj,
+        {
+            "distinct-value dedup partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "per-column md5 rank window carries a partition key":
+                r"windowspecdefinition\(__col_",
+            "A x B overlap via hash equi-join on the value":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.cluster import clustering_agreement
+
+    cagg = clustering_agreement(
+        emb_nn.select(
+            "vec_id", "label",
+            (F.col("vec_id") % 8).cast("int").alias("cluster")),
+        "label")
+    sections.append((
+        "clustering agreement (contingency-bounded indices)", cagg,
+        {
+            "contingency table partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "margins/totals broadcast":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.survival import nelson_aalen
+
+    naa = nelson_aalen(
+        ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("double").alias("dur"),
+            F.max(F.lit(1)).alias("e")),
+        "dur", "e")
+    sections.append((
+        "Nelson-Aalen cumulative hazard (prefix-sum walk)", naa,
+        {
+            "duration collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "prefix walk is range-partitioned (two-phase)":
+                r"rangepartitioning\(",
+            "no partition-less data window":
+                r"windowspecdefinition\(__slice|\(\d+\) Window",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

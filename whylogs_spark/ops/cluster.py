@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["kmeans_init", "kmeans_assign", "kmeans_iterate",
-           "cluster_silhouette",
+           "cluster_silhouette", "clustering_agreement",
            "kmeans", "kmeans_cluster_stats"]
 
 
@@ -258,3 +258,76 @@ def cluster_silhouette(
                  F.round(F.avg("__a"), 6).alias("mean_a"),
                  F.round(F.avg("__b"), 6).alias("mean_b"))
             .orderBy("cluster"))
+
+
+def clustering_agreement(
+    assigned: DataFrame,
+    label_col: str,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """External clustering-quality indices against ground-truth
+    labels: ``(n, n_clusters, n_labels, purity, nmi, ari)`` — purity
+    (dominant-label mass), normalized mutual information (arithmetic-
+    mean normalization), and the adjusted Rand index.  The evaluation
+    step after any clustering/dedup-grouping run when a labeled
+    subset exists.
+
+    Everything reduces over the (cluster, label) CONTINGENCY table —
+    one partial-agged groupBy bounded by n_clusters x n_labels — with
+    margins and totals as tiny follow-up aggregations broadcast
+    together; no joins against the data.  Rows with a null cluster or
+    label are excluded.  ``nmi`` is null when both partitions are
+    single-block (zero entropy); ``ari`` null when its denominator is
+    0 (all pairs agree by construction).
+    """
+    c = F.col(cluster_col).cast("string")
+    y = F.col(label_col).cast("string")
+    ct = (assigned.filter(c.isNotNull() & y.isNotNull())
+          .select(c.alias("__c"), y.alias("__y"))
+          .groupBy("__c", "__y").agg(F.count(F.lit(1)).alias("__n")))
+    nd = F.col("__n").cast("double")
+    cells = ct.agg(
+        F.sum("__n").alias("n"),
+        F.sum(nd * (nd - 1) / 2.0).alias("__sij"))
+    ma = ct.groupBy("__c").agg(F.sum("__n").alias("__a"))
+    mb = ct.groupBy("__y").agg(F.sum("__n").alias("__b"))
+    am = ma.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("__a").cast("double")
+              * (F.col("__a") - 1) / 2.0).alias("__sa"))
+    bm = mb.agg(
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum(F.col("__b").cast("double")
+              * (F.col("__b") - 1) / 2.0).alias("__sb"))
+    # purity: dominant label per cluster, summed
+    pur = (ct.groupBy("__c").agg(F.max("__n").alias("__mx"))
+           .agg(F.sum("__mx").alias("__pur")))
+    # mutual information + entropies over the joint table (margins
+    # joined back; every frame here is contingency-bounded)
+    joint = (ct.join(ma, "__c").join(mb, "__y")
+             .crossJoin(F.broadcast(cells.select("n"))))
+    nn = F.col("n").cast("double")
+    mi = joint.agg(
+        F.sum((nd / nn) * F.log(nn * nd / (F.col("__a").cast("double")
+                                           * F.col("__b"))))
+        .alias("__mi"))
+    ha = (ma.crossJoin(F.broadcast(cells.select("n")))
+          .agg((-F.sum((F.col("__a") / nn)
+                       * F.log(F.col("__a") / nn))).alias("__ha")))
+    hb = (mb.crossJoin(F.broadcast(cells.select("n")))
+          .agg((-F.sum((F.col("__b") / nn)
+                       * F.log(F.col("__b") / nn))).alias("__hb")))
+    row = (cells.crossJoin(F.broadcast(am)).crossJoin(F.broadcast(bm))
+           .crossJoin(F.broadcast(pur)).crossJoin(F.broadcast(mi))
+           .crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb)))
+    npairs = nn * (nn - 1) / 2.0
+    exp = F.col("__sa") * F.col("__sb") / npairs
+    ari_den = (F.col("__sa") + F.col("__sb")) / 2.0 - exp
+    return row.select(
+        "n", "n_clusters", "n_labels",
+        (F.col("__pur") / nn).alias("purity"),
+        F.when(F.col("__ha") + F.col("__hb") > 0,
+               2.0 * F.col("__mi")
+               / (F.col("__ha") + F.col("__hb"))).alias("nmi"),
+        F.when(F.abs(ari_den) > 0,
+               (F.col("__sij") - exp) / ari_den).alias("ari"))

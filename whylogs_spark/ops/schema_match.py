@@ -1,0 +1,155 @@
+"""Cross-table schema matching: which columns of table A correspond
+to which columns of table B — the data-discovery step before joining,
+unioning, or migrating two undocumented tables (the classic schema-
+matching problem; instance-based + name-based hybrid à la COMA).
+
+Signals, all bounded:
+
+* ``name_sim``    — difflib SequenceMatcher ratio of the lowercased
+  column names (driver-side; the name list is tiny — a pure function
+  of schema metadata, so oracles can inline it as constants).
+* ``type_class``  — string / integral / fractional / temporal /
+  boolean compatibility (only same-class pairs are emitted).
+* ``value_jaccard`` — Jaccard overlap of the two columns' distinct
+  values, each side capped at ``sample_distinct`` values chosen by
+  md5 order (deterministic, engine-replayable).  Computed for string
+  and integral classes, where canonical string forms agree across
+  engines; fractional/temporal columns match on name + type only
+  (float formatting is engine-specific).
+
+Scale shape: each table unpivots its compared columns into ONE
+(col, value) long frame; a groupBy dedups values map-side, a
+per-column window (bounded by the cap) ranks by md5, and the A×B
+overlap is one equi-join on the value keyed by the capped sets —
+shuffle volume ≤ 2 · n_cols · sample_distinct rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["column_matches"]
+
+_CLASSES = (
+    (T.StringType, "string"),
+    ((T.ByteType, T.ShortType, T.IntegerType, T.LongType), "integral"),
+    ((T.FloatType, T.DoubleType, T.DecimalType), "fractional"),
+    ((T.DateType, T.TimestampType, T.TimestampNTZType), "temporal"),
+    (T.BooleanType, "boolean"),
+)
+
+
+def _type_class(dt) -> Optional[str]:
+    for klass, name in _CLASSES:
+        if isinstance(dt, klass):
+            return name
+    return None
+
+
+def _name_sim(a: str, b: str) -> float:
+    import difflib
+
+    la, lb = a.lower(), b.lower()
+    if not la and not lb:
+        return 1.0
+    # Levenshtein-equivalent ratio from stdlib difflib (no deps);
+    # symmetric, in [0, 1]
+    return difflib.SequenceMatcher(None, la, lb).ratio()
+
+
+def _capped_distincts(df: DataFrame, cols: Sequence[str],
+                      cap: int, tag: str) -> DataFrame:
+    """(col, v) long frame of each column's md5-capped distinct
+    values, canonicalized to strings."""
+    parts = [
+        df.select(F.lit(c).alias(f"__col_{tag}"),
+                  F.col(c).cast("string").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        for c in cols
+    ]
+    long_df = parts[0]
+    for p in parts[1:]:
+        long_df = long_df.unionByName(p)
+    dedup = long_df.distinct()
+    w = Window.partitionBy(f"__col_{tag}").orderBy(F.md5("__v"))
+    return (dedup.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cap).drop("__rk"))
+
+
+def column_matches(
+    dfa: DataFrame,
+    dfb: DataFrame,
+    sample_distinct: int = 2000,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """One row per compatible (col_a, col_b) pair: ``(col_a, col_b,
+    type_class, name_sim, n_a, n_b, n_common, value_jaccard,
+    score)``, ``score = (name_sim + coalesce(value_jaccard,
+    name_sim)) / 2`` so value evidence dominates when available and
+    name evidence stands alone otherwise.  Rows below ``min_score``
+    are dropped.  ``n_a``/``n_b`` are the CAPPED distinct counts the
+    Jaccard is computed over (≤ ``sample_distinct``)."""
+    if sample_distinct < 1:
+        raise ValueError(
+            f"sample_distinct must be >= 1: {sample_distinct}")
+    spark = dfa.sparkSession
+    ca = {f.name: _type_class(f.dataType) for f in dfa.schema.fields}
+    cb = {f.name: _type_class(f.dataType) for f in dfb.schema.fields}
+    pairs = [
+        (a, b, ta)
+        for a, ta in ca.items() if ta is not None
+        for b, tb in cb.items() if tb == ta
+    ]
+    if not pairs:
+        raise ValueError("no type-compatible column pairs")
+    meta = spark.createDataFrame(
+        [(a, b, tc, float(_name_sim(a, b)),
+          tc in ("string", "integral")) for a, b, tc in pairs],
+        "col_a string, col_b string, type_class string, "
+        "name_sim double, cmp boolean")
+
+    va_cols = sorted({a for a, _, tc in pairs
+                      if tc in ("string", "integral")})
+    vb_cols = sorted({b for _, b, tc in pairs
+                      if tc in ("string", "integral")})
+    if va_cols and vb_cols:
+        va = _capped_distincts(dfa, va_cols, sample_distinct, "a")
+        vb = _capped_distincts(dfb, vb_cols, sample_distinct, "b")
+        na = va.groupBy("__col_a").agg(F.count(F.lit(1)).alias("n_a"))
+        nb = vb.groupBy("__col_b").agg(F.count(F.lit(1)).alias("n_b"))
+        common = (va.join(vb, "__v")
+                  .groupBy("__col_a", "__col_b")
+                  .agg(F.count(F.lit(1)).alias("n_common")))
+        overlap = (
+            na.crossJoin(nb)
+            .join(common, ["__col_a", "__col_b"], "left")
+            .select(F.col("__col_a").alias("col_a"),
+                    F.col("__col_b").alias("col_b"),
+                    "n_a", "n_b",
+                    F.coalesce("n_common", F.lit(0))
+                    .alias("n_common"))
+        )
+        out = meta.join(F.broadcast(overlap), ["col_a", "col_b"],
+                        "left")
+    else:
+        out = meta.select(
+            "*", F.lit(None).cast("long").alias("n_a"),
+            F.lit(None).cast("long").alias("n_b"),
+            F.lit(None).cast("long").alias("n_common"))
+    jac = F.when(
+        F.col("cmp") & F.col("n_a").isNotNull(),
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    out = out.select(
+        "col_a", "col_b", "type_class", "name_sim",
+        F.when(F.col("cmp"), F.col("n_a")).alias("n_a"),
+        F.when(F.col("cmp"), F.col("n_b")).alias("n_b"),
+        F.when(F.col("cmp"), F.col("n_common")).alias("n_common"),
+        jac.alias("value_jaccard"),
+        ((F.col("name_sim")
+          + F.coalesce(jac, F.col("name_sim"))) / 2.0).alias("score"))
+    return out.filter(F.col("score") >= F.lit(float(min_score)))

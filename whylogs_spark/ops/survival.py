@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from whylogs_spark.core.prefix import running_sums
 
-__all__ = ["km_survival", "logrank_test"]
+__all__ = ["km_survival", "logrank_test", "nelson_aalen"]
 
 
 def km_survival(
@@ -171,3 +171,47 @@ def logrank_test(
         "n_a", "n_b", "events_a", "events_b",
         "observed_a", "expected_a",
         chi2.alias("chi2"), F.lit(1).alias("dof"))
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the additive
+    companion to :func:`km_survival` (H(t) = sum_{t' <= t} d/n), the
+    standard basis for hazard-ratio eyeballing and for the
+    Breslow-type baseline hazard.  Same input contract as
+    ``km_survival``; output one row per distinct duration:
+    ``(t, n_risk, n_events, cum_hazard, se)`` with the Poisson-type
+    variance sum d/n² under the square root.
+
+    Same scale shape as the KM curve: one partial-agged collapse to
+    distinct durations, then the two-phase range-partitioned prefix
+    machinery for the at-risk counts and the hazard/variance
+    accumulations — no single-partition window over the data.
+    """
+    dur = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("boolean").cast("int")
+    base = df.filter(dur.isNotNull() & ~F.isnan(dur)).select(
+        dur.alias("t"),
+        F.coalesce(ev, F.lit(0)).alias("__e"))
+    g = base.groupBy("t").agg(
+        F.sum("__e").alias("n_events"),
+        F.count(F.lit(1)).alias("__tot"))
+    c1 = running_sums(g, ["t"], ["__tot"])
+    c1 = c1.withColumn(
+        "n_risk", F.col("__g___tot") - F.col("__cum___tot")
+        + F.col("__tot"))
+    d = F.col("n_events").cast("double")
+    n = F.col("n_risk").cast("double")
+    c2 = running_sums(
+        c1.select("t", "n_risk", "n_events",
+                  (d / n).alias("__h"),
+                  (d / (n * n)).alias("__v")),
+        ["t"], ["__h", "__v"])
+    return c2.select(
+        "t", "n_risk", "n_events",
+        F.col("__cum___h").alias("cum_hazard"),
+        F.sqrt(F.col("__cum___v")).alias("se"),
+    ).orderBy("t")
