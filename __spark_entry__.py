@@ -3176,6 +3176,64 @@ def _q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("se", 6).alias("se"))
 
 
+def _q_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini/uplift curve (ops/abtest.py uplift_curve): distinct-score
+    descending walk on the shared prefix-sum machinery; cumulative
+    counts are exact integers and the uplift/qini divisions replay
+    bit-for-bit."""
+    from whylogs_spark.ops.abtest import uplift_curve
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        (F.col("o_custkey") % 2 == 0).alias("t"),
+        (F.col("o_totalprice") > 150000).cast("int").cast("double")
+        .alias("y"),
+        ((F.col("o_orderkey") % 20).cast("double") / 20.0).alias("s"))
+    out = uplift_curve(d, "t", "y", "s")
+    return out.select(
+        "score", "n", "cum_n", "cum_n_t", "cum_n_c",
+        "cum_y_t", "cum_y_c",
+        F.round("uplift", 6).alias("uplift"),
+        F.round("qini", 6).alias("qini"))
+
+
+def _q_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUUC summary (ops/abtest.py auuc) over the same synthetic
+    targeting frame as the uplift-curve gate."""
+    from whylogs_spark.ops.abtest import auuc
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        (F.col("o_custkey") % 2 == 0).alias("t"),
+        (F.col("o_totalprice") > 150000).cast("int").cast("double")
+        .alias("y"),
+        ((F.col("o_orderkey") % 20).cast("double") / 20.0).alias("s"))
+    out = auuc(d, "t", "y", "s")
+    return out.select(
+        "n", F.round("auuc", 6).alias("auuc"),
+        F.round("qini_total", 6).alias("qini_total"),
+        F.round("qini_random", 6).alias("qini_random"),
+        F.round("qini_coefficient", 6).alias("qini_coefficient"))
+
+
+def _q_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov stationary distribution (ops/graph.py
+    stationary_distribution) of the event-type transition chain —
+    power iteration over transition COUNTS (integer weights make the
+    per-source renormalization exact in both engines); the oracle
+    unrolls the identical 20 steps."""
+    from whylogs_spark.ops.events import transition_matrix
+    from whylogs_spark.ops.graph import stationary_distribution
+
+    ev = _t(spark, sf_dir, "events")
+    tm = transition_matrix(ev)
+    out = stationary_distribution(
+        tm, src="src", dst="dst", weight="n_transitions",
+        iterations=20)
+    return out.select("state",
+                      F.round("probability", 8).alias("probability"))
+
+
 def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal intervals (ops/conformal.py split_conformal)
     per return flag: |y − ŷ| rank walk on the shared grouped prefix
@@ -3488,6 +3546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_match_customer_supplier": _q_schema_match,
         "clustering_agreement_embeddings": _q_clustering_agreement,
         "nelson_aalen_events": _q_nelson_aalen,
+        "uplift_curve_orders": _q_uplift_curve,
+        "auuc_orders": _q_auuc,
+        "stationary_distribution_events": _q_stationary,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -4804,8 +4865,104 @@ def _clustering_agreement_sql(k: int = 8, dim: int = 64,
     return "".join(parts)
 
 
+_UPLIFT_BASE_SQL = (
+    "SELECT (o_custkey % 2 = 0) AS t, "
+    "(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)::DOUBLE "
+    "AS y, (o_orderkey % 20)::DOUBLE / 20.0 AS s FROM orders"
+)
+
+_UPLIFT_WALK_SQL = (
+    "g AS (SELECT s, count(*)::BIGINT AS n, "
+    "sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS nt, "
+    "sum(CASE WHEN t THEN 0 ELSE 1 END)::BIGINT AS nc, "
+    "sum(CASE WHEN t THEN y ELSE 0 END) AS yt, "
+    "sum(CASE WHEN t THEN 0 ELSE y END) AS yc "
+    "FROM b GROUP BY 1), "
+    "w AS (SELECT s, n, "
+    "sum(n) OVER o AS cum_n, sum(nt) OVER o AS cum_n_t, "
+    "sum(nc) OVER o AS cum_n_c, sum(yt) OVER o AS cum_y_t, "
+    "sum(yc) OVER o AS cum_y_c FROM g WINDOW o AS (ORDER BY s DESC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+    "c AS (SELECT *, CASE WHEN cum_n_t > 0 AND cum_n_c > 0 THEN "
+    "cum_y_t / cum_n_t - cum_y_c / cum_n_c END AS uplift, "
+    "CASE WHEN cum_n_c > 0 THEN cum_y_t - cum_y_c * "
+    "(cum_n_t::DOUBLE / cum_n_c) END AS qini FROM w)"
+)
+
+
+def _stationary_sql(iterations: int = 20) -> str:
+    """Unrolled replay of ops/graph.stationary_distribution over the
+    event-type transition COUNTS (integer weights -> exact per-source
+    renormalization in both engines); dangling mass (none in this
+    chain, but the recurrence carries it) redistributed uniformly."""
+    parts = [
+        # MATERIALIZED: the unrolled iterations reference these CTEs
+        # ~40 times; inlining would re-open the parquet per reference
+        # (DuckDB "too many open files" under a loaded host)
+        "WITH s AS MATERIALIZED (SELECT event_type AS src, "
+        "lead(event_type) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_type) AS "
+        "dst FROM events WHERE ts IS NOT NULL AND user_id IS NOT "
+        "NULL AND event_type IS NOT NULL), "
+        "raw AS (SELECT src, dst, count(*)::DOUBLE AS w FROM s "
+        "WHERE dst IS NOT NULL GROUP BY 1, 2), "
+        "tw AS (SELECT src, sum(w) AS tw FROM raw GROUP BY 1), "
+        "e AS MATERIALIZED (SELECT raw.src, raw.dst, "
+        "raw.w / tw.tw AS p "
+        "FROM raw JOIN tw ON raw.src = tw.src), "
+        "nodes AS MATERIALIZED (SELECT src AS state FROM e "
+        "UNION SELECT dst FROM e), "
+        "meta AS MATERIALIZED (SELECT count(*)::DOUBLE AS nn "
+        "FROM nodes), "
+        "ho AS MATERIALIZED (SELECT DISTINCT src AS state FROM e), "
+        "r0 AS (SELECT node_t.state, 1.0 / m.nn AS pr "
+        "FROM nodes node_t, meta m)"
+    ]
+    prev = "r0"
+    for i in range(int(iterations)):
+        dg, ct, nxt = f"dg{i}", f"ct{i}", f"r{i + 1}"
+        parts.append(
+            # each iteration references its predecessor THREE times
+            # (dangling, contributions, update) — without MATERIALIZED
+            # the inlining expands 3^iterations ways
+            f", {dg} AS MATERIALIZED (SELECT coalesce(sum(CASE WHEN "
+            "ho.state IS "
+            f"NULL THEN r.pr END), 0.0) AS dang FROM {prev} r "
+            "LEFT JOIN ho ON r.state = ho.state) "
+            f", {ct} AS MATERIALIZED (SELECT e.dst AS state, "
+            "sum(r.pr * e.p) AS "
+            f"cb FROM {prev} r JOIN e ON e.src = r.state GROUP BY 1) "
+            f", {nxt} AS MATERIALIZED (SELECT n.state, "
+            "coalesce(c.cb, 0.0) + g.dang / m.nn AS pr "
+            f"FROM nodes n CROSS JOIN meta m CROSS JOIN {dg} g "
+            f"LEFT JOIN {ct} c ON c.state = n.state)")
+        prev = nxt
+    parts.append(
+        f" SELECT state, round(pr, 8) AS probability FROM {prev}")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "uplift_curve_orders": (
+            f"WITH b AS ({_UPLIFT_BASE_SQL}), {_UPLIFT_WALK_SQL} "
+            "SELECT s AS score, n, cum_n, cum_n_t, cum_n_c, "
+            "cum_y_t, cum_y_c, round(uplift, 6) AS uplift, "
+            "round(qini, 6) AS qini FROM c"
+        ),
+        "auuc_orders": (
+            f"WITH b AS ({_UPLIFT_BASE_SQL}), {_UPLIFT_WALK_SQL}, "
+            "f AS (SELECT max(cum_n) AS n_tot, "
+            "sum(qini * n) AS a, "
+            "max(row(cum_n, qini)) AS last_ FROM c) "
+            "SELECT n_tot::BIGINT AS n, "
+            "round(a / n_tot, 6) AS auuc, "
+            "round(last_[2], 6) AS qini_total, "
+            "round(last_[2] / 2, 6) AS qini_random, "
+            "round(a / n_tot - last_[2] / 2, 6) AS qini_coefficient "
+            "FROM f"
+        ),
+        "stationary_distribution_events": _stationary_sql(),
         "schema_match_customer_supplier": _schema_match_sql(),
         "clustering_agreement_embeddings":
             _clustering_agreement_sql(),

@@ -78,7 +78,7 @@ def main() -> None:
     ncpu = int(CPUS)
     t = {n: load_table(spark, SF_DIR, n).repartition(ncpu).cache()
          for n in ("lineitem", "orders", "events", "documents",
-                   "embeddings", "customer")}
+                   "embeddings", "customer", "supplier")}
     for df in t.values():
         df.count()  # materialize the cache before timing
 
@@ -847,6 +847,25 @@ def main() -> None:
                           .cast("int")).alias("ev")))
         _noop(nelson_aalen(per, "dur", "ev"))
 
+    def bench_uplift_stationary():
+        # qini curve + AUUC on the descending prefix walk; stationary
+        # distribution = 20 checkpointed power iterations over the
+        # (tiny) event-type transition chain
+        from whylogs_spark.ops.abtest import auuc, uplift_curve
+        from whylogs_spark.ops.events import transition_matrix
+        from whylogs_spark.ops.graph import stationary_distribution
+        d = t["orders"].select(
+            (F.col("o_custkey") % 2 == 0).alias("tr"),
+            (F.col("o_totalprice") > 150000).cast("double").alias("y"),
+            ((F.col("o_orderkey") % 1000).cast("double") / 1000.0)
+            .alias("s"))
+        _noop(uplift_curve(d, "tr", "y", "s"))
+        _noop(auuc(d, "tr", "y", "s"))
+        tm = transition_matrix(t["events"])
+        _noop(stationary_distribution(
+            tm, src="src", dst="dst", weight="n_transitions",
+            iterations=20))
+
     def bench_ab_hot10x():
         # skew rehearsal: 10x orders with a DEGENERATE 5-distinct-value
         # metric (integer star-ratings shape) — every (segment, value)
@@ -1095,6 +1114,7 @@ def main() -> None:
         "labelqc_conformal_silhouette":
             bench_labelqc_conformal_silhouette,
         "schema_quality_survival": bench_schema_quality_survival,
+        "uplift_stationary": bench_uplift_stationary,
         "ab_experiment_utils": bench_ab_experiment_utils,
         "autocorrelation_events": bench_autocorrelation,
         "embedding_decontam_outliers": bench_embedding_decontam_outliers,
@@ -1121,6 +1141,8 @@ def main() -> None:
                 "profile_scale_10x": 3,
                 "graph_pagerank": 3,
                 "labelqc_conformal_silhouette": 3,
+                "uplift_stationary": 3,
+                "schema_quality_survival": 3,
                 "dupspans_scale_10x": 2,
                 "sessionize_hot10x_single": 2,
                 "sessionize_hot10x_bucketed": 2,

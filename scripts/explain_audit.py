@@ -733,6 +733,26 @@ def main() -> None:
     q3b.stop()
     armcounts_plan = buf3b.getvalue()
 
+    # 9c3. streaming fairness decision counts: same runtime contract
+    from whylogs_spark.streaming.fairness import (
+        streaming_decision_counts)
+
+    stream3c = spark.readStream.schema(ev.schema).parquet(src_dir)
+    dc = streaming_decision_counts(
+        stream3c, ts_col="ts", group_col="event_type",
+        pred_col="value", groups=["view", "click"],
+        window_duration="10 minutes", watermark="10 minutes")
+    ckpt3c = _tempfile.mkdtemp(prefix="audit_ckpt3c_")
+    q3c = (dc.writeStream.outputMode("update").format("noop")
+           .trigger(availableNow=True)
+           .option("checkpointLocation", ckpt3c).start())
+    q3c.awaitTermination(180)
+    buf3c = io.StringIO()
+    with redirect_stdout(buf3c):
+        q3c.explain()
+    q3c.stop()
+    decision_plan = buf3c.getvalue()
+
     # 9d. native session-window sessionization: session-merging
     # stateful agg, still one data exchange, still no Python
     from whylogs_spark.streaming.sessions import streaming_session_stats
@@ -2361,6 +2381,60 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z9. round-9 batch 3: uplift curves + Markov stationary
+    from whylogs_spark.ops.abtest import uplift_curve
+
+    up = uplift_curve(
+        ords9.select((F.col("o_custkey") % 2 == 0).alias("t"),
+                     (F.col("o_totalprice") > 150000).cast("double")
+                     .alias("y"),
+                     ((F.col("o_orderkey") % 20).cast("double") / 20.0)
+                     .alias("s")),
+        "t", "y", "s")
+    sections.append((
+        "uplift / qini curve (descending prefix walk)", up,
+        {
+            "distinct-score collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "walk is range-partitioned (two-phase)":
+                r"rangepartitioning\(",
+            "windows are slice-local (partitioned by __slice)":
+                r"windowspecdefinition\(__slice#",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.graph import stationary_distribution
+
+    sd_edges = ev.select(F.col("event_type").alias("src"),
+                         F.col("event_type").alias("dst"),
+                         F.lit(1.0).alias("probability"))
+    # audit the un-checkpointed renormalized-edge + first-step shape
+    # via a 1-iteration run's plan is erased by the checkpoint, so
+    # assert the construction frames instead: renormalization plan
+    sdw = F.col("probability").cast("double")
+    sd_raw = sd_edges.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+        & sdw.isNotNull() & (sdw > 0)
+    ).select(F.col("src").alias("__s"), F.col("dst").alias("__d"),
+             sdw.alias("__w"))
+    sd_tot = sd_raw.groupBy("__s").agg(F.sum("__w").alias("__tw"))
+    sd_norm = sd_raw.join(sd_tot, "__s").select(
+        "__s", "__d", (F.col("__w") / F.col("__tw")).alias("__p"))
+    sections.append((
+        "markov stationary distribution (edge renormalization)",
+        sd_norm,
+        {
+            "per-source totals partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "renormalization joins by hash equi-join on the source":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
@@ -2432,6 +2506,8 @@ def main() -> None:
              frequent_plan),
             ("streaming experiment arm counts (runtime microbatch "
              "plan)", armcounts_plan),
+            ("streaming fairness decision counts (runtime microbatch "
+             "plan)", decision_plan),
             ("native session-window sessions (runtime microbatch plan)",
              session_plan),
             ("streaming fk monitor (runtime microbatch plan)",

@@ -950,3 +950,54 @@ def test_streaming_srm_monitor(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least 2"):
         srm_from_counts(sink, {"c": 1.0})
+
+
+def test_streaming_fairness_monitor(spark, tmp_path):
+    """Windowed per-group decision counts on a stream + sink-side
+    demographic-parity rollup: a balanced window shows no gap, a
+    skewed window shows the selection-rate gap; junk groups and null
+    predictions are excluded."""
+    import datetime as dt
+
+    from whylogs_spark.streaming.fairness import (
+        fairness_from_counts, streaming_decision_counts)
+
+    t0 = dt.datetime(2024, 9, 1, 9, 0)
+    rows = []
+    # window 1 (9:00): both groups select 50%
+    for i in range(40):
+        rows.append((t0 + dt.timedelta(seconds=i), "x", i % 2 == 0))
+        rows.append((t0 + dt.timedelta(seconds=i, milliseconds=500),
+                     "y", i % 2 == 0))
+    # window 2 (10:00): x selects 75%, y selects 25%
+    t1 = t0 + dt.timedelta(hours=1)
+    for i in range(40):
+        rows.append((t1 + dt.timedelta(seconds=i), "x", i % 4 != 0))
+        rows.append((t1 + dt.timedelta(seconds=i), "y", i % 4 == 0))
+    rows += [(t0, "junk", True)] * 10 + [(t0, "x", None)] * 5
+    df = spark.createDataFrame(rows,
+                               "ts timestamp, g string, p boolean")
+    src = str(tmp_path / "fair_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    counts = streaming_decision_counts(
+        stream, ts_col="ts", group_col="g", pred_col="p",
+        groups=["x", "y"], window_duration="1 hour",
+        watermark="0 seconds")
+    q = (counts.writeStream.format("memory")
+         .queryName("fair_counts").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    sink = spark.sql("SELECT * FROM fair_counts")
+    assert sink.filter("group = 'junk'").count() == 0
+    out = {(r.window_start.hour, r.group): r for r in
+           fairness_from_counts(sink, "x").collect()}
+    assert out[(9, "x")].n == 40  # null preds excluded
+    assert out[(9, "y")].demographic_parity_diff == pytest.approx(0.0)
+    assert out[(9, "y")].disparate_impact == pytest.approx(1.0)
+    assert out[(10, "x")].selection_rate == pytest.approx(0.75)
+    assert out[(10, "y")].selection_rate == pytest.approx(0.25)
+    assert out[(10, "y")].demographic_parity_diff == \
+        pytest.approx(-0.5)
+    assert out[(10, "y")].disparate_impact == pytest.approx(1 / 3)

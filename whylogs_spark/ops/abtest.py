@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["ab_test_report", "with_ab_pvalues", "cuped_adjust",
+           "uplift_curve", "auuc",
            "srm_check"]
 
 
@@ -405,3 +406,96 @@ def poisson_bootstrap_diff(
         F.expr(f"percentile(__d, {hi!r})").alias("ci_hi"),
         F.count(F.lit(1)).cast("int").alias("n_boot"))
     return obs.crossJoin(F.broadcast(ci))
+
+
+def uplift_curve(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Qini / uplift curve for a targeting model: rank the population
+    by ``score_col`` DESCENDING (target the highest scores first) and
+    report, at every distinct score threshold, the cumulative
+    treated/control outcome split — the evaluation standard for
+    uplift models (Radcliffe 2007).
+
+    One row per distinct score, descending: ``(score, n, cum_n,
+    cum_n_t, cum_n_c, cum_y_t, cum_y_c, uplift, qini)`` with
+
+    * ``uplift`` = y_t/n_t − y_c/n_c over the targeted prefix (null
+      until both arms appear)
+    * ``qini``   = y_t − y_c · n_t/n_c, the incremental-outcomes
+      estimate at that targeting depth (null while n_c = 0)
+
+    Scale shape: the data collapses to one row per DISTINCT score
+    with a partial-agged groupBy, the descending walk is the shared
+    two-phase range-partitioned prefix sum over the negated score —
+    identical machinery to ``roc_auc_exact``.  Null/NaN scores and
+    null treatment/outcome rows are excluded.
+    """
+    from whylogs_spark.core.prefix import running_sums
+
+    s = F.col(score_col).cast("double")
+    tr = F.col(treatment_col).cast("boolean").cast("int")
+    y = F.col(outcome_col).cast("double")
+    base = df.filter(
+        s.isNotNull() & ~F.isnan(s) & tr.isNotNull()
+        & y.isNotNull() & ~F.isnan(y)
+    ).select((-s).alias("__negs"), tr.alias("__t"), y.alias("__y"))
+    g = base.groupBy("__negs").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__t").alias("__nt"),
+        F.sum(F.lit(1) - F.col("__t")).alias("__nc"),
+        F.sum(F.col("__y") * F.col("__t")).alias("__yt"),
+        F.sum(F.col("__y") * (F.lit(1) - F.col("__t"))).alias("__yc"),
+    )
+    w = running_sums(g, ["__negs"], ["n", "__nt", "__nc", "__yt",
+                                     "__yc"])
+    nt = F.col("__cum___nt").cast("double")
+    nc = F.col("__cum___nc").cast("double")
+    yt = F.col("__cum___yt")
+    yc = F.col("__cum___yc")
+    return w.select(
+        # 0.0 - x, not -x: grouping normalized a -0.0 key to 0.0 and
+        # bare negation would emit score -0.0
+        (F.lit(0.0) - F.col("__negs")).alias("score"), "n",
+        F.col("__cum_n").alias("cum_n"),
+        F.col("__cum___nt").alias("cum_n_t"),
+        F.col("__cum___nc").alias("cum_n_c"),
+        yt.alias("cum_y_t"), yc.alias("cum_y_c"),
+        (F.try_divide(yt, nt) - F.try_divide(yc, nc)).alias("uplift"),
+        (yt - yc * F.try_divide(nt, nc)).alias("qini"),
+    )
+
+
+def auuc(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Scalar summary of :func:`uplift_curve`: one row ``(n, auuc,
+    qini_total, qini_random, qini_coefficient)`` where ``auuc`` is
+    the right-rectangle area under the qini curve over the targeted
+    fraction (Σ qini_k · n_k / N), ``qini_total`` the qini value at
+    full targeting, ``qini_random`` the random-targeting baseline
+    area (qini_total / 2), and ``qini_coefficient`` their difference
+    (positive = the model targets better than random).  Same single
+    walked frame as the curve; the summary is ONE more bounded
+    aggregation."""
+    curve = uplift_curve(df, treatment_col, outcome_col, score_col)
+    # qini_total = qini at the final (full-targeting) row: max by
+    # cum_n via a struct-max — window-free
+    row = curve.agg(
+        F.max("cum_n").alias("n"),
+        F.sum(F.col("qini") * F.col("n").cast("double")).alias("__a"),
+        F.max(F.struct(F.col("cum_n").alias("k"),
+                       F.col("qini").alias("q"))).alias("__last"))
+    nn = F.col("n").cast("double")
+    qt = F.col("__last.q")
+    a = F.col("__a") / nn
+    return row.select(
+        "n", a.alias("auuc"), qt.alias("qini_total"),
+        (qt / 2.0).alias("qini_random"),
+        (a - qt / 2.0).alias("qini_coefficient"))

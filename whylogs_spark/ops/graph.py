@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degree_stats", "pagerank"]
+__all__ = ["degree_stats", "pagerank", "stationary_distribution"]
 
 
 def degree_stats(
@@ -131,3 +131,77 @@ def _pagerank_step(state: DataFrame, e: DataFrame, n_nodes: int,
                            + F.col("__dang") / F.lit(float(n_nodes))))
             .alias("rank"))
     )
+
+
+def stationary_distribution(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "probability",
+    iterations: int = 30,
+) -> DataFrame:
+    """Stationary distribution of a weighted Markov chain by fixed
+    power iteration: ``(state, probability)``, probabilities summing
+    to 1 — where does a behavioral process spend its time in the long
+    run (feed it ``ops.events.transition_matrix`` output).
+
+    π' = π P with per-source weight re-normalization (so count
+    matrices work as well as probability matrices) and the mass of
+    DANGLING states (appearing only as destinations) redistributed
+    uniformly, exactly :func:`pagerank`'s convention at damping 1.
+    Fixed iterations keep the result a deterministic function of the
+    edge set (a periodic chain oscillates rather than converges —
+    callers picking ``iterations`` choose their averaging; the
+    default 30 settles every aperiodic chain of practical size).
+
+    Same scale shape as :func:`pagerank`: the (re-normalized) edge
+    frame is checkpointed once, each iteration is one equi-join +
+    groupBy-sum with the dangling mass folded in from a 1-row
+    broadcast, and the state vector checkpoints per step (O(1)
+    lineage).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    w = F.col(weight).cast("double")
+    raw = edges.filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+        & w.isNotNull() & (w > 0)
+    ).select(F.col(src).alias("__s"), F.col(dst).alias("__d"),
+             w.alias("__w"))
+    tot = raw.groupBy("__s").agg(F.sum("__w").alias("__tw"))
+    e = (raw.join(tot, "__s")
+         .select("__s", "__d", (F.col("__w") / F.col("__tw"))
+                 .alias("__p"))
+         .localCheckpoint())
+    nodes = (e.select(F.col("__s").alias("state"))
+             .union(e.select(F.col("__d").alias("state")))
+             .distinct().localCheckpoint())
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("state", F.lit(0.0).alias("probability"))
+    has_out = e.select(F.col("__s").alias("state")).distinct() \
+        .withColumn("__o", F.lit(True))
+    state = nodes.join(has_out, "state", "left").select(
+        "state", "__o",
+        F.lit(1.0 / n_nodes).alias("probability")).localCheckpoint()
+    for _ in range(int(iterations)):
+        dang = state.agg(
+            F.coalesce(F.sum(F.when(F.col("__o").isNull(),
+                                    F.col("probability"))),
+                       F.lit(0.0)).alias("__dang"))
+        contrib = (
+            state.join(e, state["state"] == e["__s"])
+            .select(F.col("__d").alias("state"),
+                    (F.col("probability") * F.col("__p"))
+                    .alias("__c"))
+            .groupBy("state").agg(F.sum("__c").alias("__in"))
+        )
+        state = (
+            state.select("state", "__o").join(contrib, "state", "left")
+            .crossJoin(F.broadcast(dang))
+            .select("state", "__o",
+                    (F.coalesce(F.col("__in"), F.lit(0.0))
+                     + F.col("__dang") / F.lit(float(n_nodes)))
+                    .alias("probability"))
+        ).localCheckpoint()
+    return state.select("state", "probability")
