@@ -1286,6 +1286,18 @@ def main() -> None:
         # findings worth carrying between rounds (task-sec is the
         # steal-immune evidence; wall on this host is noisy)
         "notes": {
+            "r9_minhash_precollapse_trade": (
+                "minhash_dedup pre-collapses exact duplicates before "
+                "banding: the 1x low-duplication corpus pays "
+                "~1.2-1.4x task-sec (45.9->62.7, wall 2.68->3.20 - "
+                "under the dual 1.3x flag bar) while dedup_scale_10x "
+                "drops 351.6->88.6 task-sec / 16.3->4.8 s wall"),
+            "r9_knn_mapside_cosine_trade": (
+                "knn_join scores cosines map-side before the pair "
+                "dedup so the exchange carries ids not vectors: "
+                "embedding_decontam_outliers wall halves "
+                "(14.9->7.0 s) while task-sec rises 62->81 - all "
+                "map-side compute, the scale-correct trade"),
             "r8_flag_adjudication_run3": (
                 "the third r8 run flagged dedup_scale_10x (task "
                 "284->530) and rolling_psi (35->47) on identical "
