@@ -3234,6 +3234,20 @@ def _q_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("probability", 8).alias("probability"))
 
 
+def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank keywords (ops/text.py textrank_keywords):
+    damped weighted power iteration over the window-2 word
+    co-occurrence graph, top 30 by rank with a (rank desc, word)
+    deterministic cutoff; the oracle replays tokenization, pair
+    expansion, renormalization and 10 unrolled damped steps."""
+    from whylogs_spark.ops.text import textrank_keywords
+
+    out = textrank_keywords(_t(spark, sf_dir, "documents"),
+                            window=2, iterations=10, k=30)
+    return out.select("word", F.round("rank", 8).alias("rank"),
+                      "n_docs")
+
+
 def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal intervals (ops/conformal.py split_conformal)
     per return flag: |y − ŷ| rank walk on the shared grouped prefix
@@ -3549,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uplift_curve_orders": _q_uplift_curve,
         "auuc_orders": _q_auuc,
         "stationary_distribution_events": _q_stationary,
+        "textrank_keywords_documents": _q_textrank,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -4942,8 +4957,72 @@ def _stationary_sql(iterations: int = 20) -> str:
     return "".join(parts)
 
 
+def _textrank_sql(window: int = 2, iterations: int = 10,
+                  damping: float = 0.85, k: int = 30,
+                  min_len: int = 3) -> str:
+    """Replay of ops/text.textrank_keywords over documents: the same
+    [a-z0-9]+ tokenization, offset-pair expansion, both-direction
+    edge counts, per-source renormalization, and ``iterations``
+    unrolled damped steps (every CTE MATERIALIZED — the stationary
+    replay's 3^N inlining lesson)."""
+    d = damping
+    pair_sel = " UNION ALL ".join(
+        "SELECT unnest(list_transform(range(1, len(t)"
+        + ("" if o == 1 else f" - {o - 1}") + "), "
+        f"i -> {{'u': t[i], 'v': t[i + {o}]}})) AS s FROM tk"
+        for o in range(1, window + 1))
+    parts = [
+        "WITH tk AS MATERIALIZED (SELECT list_filter("
+        "regexp_split_to_array(lower(coalesce(text, '')), "
+        f"'[^a-z0-9]+'), x -> length(x) >= {min_len}) AS t "
+        "FROM documents), "
+        f"pr_ AS (SELECT s.u, s.v FROM ({pair_sel})), "
+        "ed AS MATERIALIZED (SELECT u, v, count(*)::DOUBLE AS w "
+        "FROM (SELECT u, v FROM pr_ UNION ALL "
+        "SELECT v, u FROM pr_) GROUP BY 1, 2), "
+        "tw AS (SELECT u, sum(w) AS tw FROM ed GROUP BY 1), "
+        "e AS MATERIALIZED (SELECT ed.u AS src, ed.v AS dst, "
+        "ed.w / tw.tw AS p FROM ed JOIN tw ON ed.u = tw.u), "
+        "nodes AS MATERIALIZED (SELECT src AS state FROM e "
+        "UNION SELECT dst FROM e), "
+        "meta AS MATERIALIZED (SELECT count(*)::DOUBLE AS nn "
+        "FROM nodes), "
+        "ho AS MATERIALIZED (SELECT DISTINCT src AS state FROM e), "
+        "r0 AS (SELECT node_t.state, 1.0 / m.nn AS pr "
+        "FROM nodes node_t, meta m)"
+    ]
+    prev = "r0"
+    for i in range(int(iterations)):
+        dg, ct, nxt = f"dg{i}", f"ct{i}", f"r{i + 1}"
+        parts.append(
+            f", {dg} AS MATERIALIZED (SELECT coalesce(sum(CASE WHEN "
+            "ho.state IS "
+            f"NULL THEN r.pr END), 0.0) AS dang FROM {prev} r "
+            "LEFT JOIN ho ON r.state = ho.state) "
+            f", {ct} AS MATERIALIZED (SELECT e.dst AS state, "
+            "sum(r.pr * e.p) AS "
+            f"cb FROM {prev} r JOIN e ON e.src = r.state GROUP BY 1) "
+            f", {nxt} AS MATERIALIZED (SELECT n.state, "
+            f"(1 - {d}) / m.nn + {d} * "
+            "(coalesce(c.cb, 0.0) + g.dang / m.nn) AS pr "
+            f"FROM nodes n CROSS JOIN meta m CROSS JOIN {dg} g "
+            f"LEFT JOIN {ct} c ON c.state = n.state)")
+        prev = nxt
+    parts.append(
+        f", top AS (SELECT state AS word, pr AS rank FROM {prev} "
+        f"ORDER BY pr DESC, state LIMIT {k}), "
+        "nd AS (SELECT word, count(*)::BIGINT AS n_docs FROM ("
+        "SELECT unnest(list_distinct(t)) AS word FROM tk) "
+        "GROUP BY 1) "
+        "SELECT top.word, round(top.rank, 8) AS rank, "
+        "coalesce(nd.n_docs, 0) AS n_docs "
+        "FROM top LEFT JOIN nd ON nd.word = top.word")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "textrank_keywords_documents": _textrank_sql(),
         "uplift_curve_orders": (
             f"WITH b AS ({_UPLIFT_BASE_SQL}), {_UPLIFT_WALK_SQL} "
             "SELECT s AS score, n, cum_n, cum_n_t, cum_n_c, "

@@ -865,6 +865,9 @@ def main() -> None:
         _noop(stationary_distribution(
             tm, src="src", dst="dst", weight="n_transitions",
             iterations=20))
+        from whylogs_spark.ops.text import textrank_keywords
+        _noop(textrank_keywords(t["documents"], window=2,
+                                iterations=10, k=30))
 
     def bench_ab_hot10x():
         # skew rehearsal: 10x orders with a DEGENERATE 5-distinct-value

@@ -2435,6 +2435,27 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 9z10. TextRank keyword graph construction: in-scan pair
+    # expansion, no self-join (iteration machinery audited under the
+    # stationary-distribution section)
+    from whylogs_spark.ops.text import textrank_keywords
+
+    trk = textrank_keywords(docs, window=2, iterations=1, k=10)
+    sections.append((
+        "textrank keywords (co-occurrence graph build)", trk,
+        {
+            "edge counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "pair expansion is in-scan (no self-join of the corpus)":
+                r"^(?![\s\S]*SortMergeJoin[\s\S]*SortMergeJoin"
+                r"[\s\S]*SortMergeJoin[\s\S]*SortMergeJoin)",
+            "top-k via TakeOrderedAndProject (no global sort)":
+                r"TakeOrderedAndProject",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -23,6 +23,7 @@ def pytest_configure(config):
 # they run with `-m ""` (everything) or `-m slow` (this tier only).
 SLOW_TESTS = {
     "test_gate_schema.py::test_every_gate_query_schema_is_atomic",
+    "test_uplift_stationary.py::test_stationary_distribution_matches_numpy",
     "test_corpus_stats.py::test_ngram_diversity_matches_reference",
     "test_integrity.py::test_candidate_keys_modes_and_validation",
     "test_integrity.py::test_candidate_keys_semantics",

@@ -113,3 +113,58 @@ def test_stationary_distribution_matches_numpy(spark):
         assert got2[s] == pytest.approx(ref[s], abs=1e-12)
     with pytest.raises(ValueError, match="iterations"):
         stationary_distribution(df, weight="p", iterations=0)
+
+
+def test_textrank_keywords_matches_numpy(spark):
+    """Damped weighted PageRank over the word co-occurrence graph,
+    window 2, vs an independent numpy power iteration."""
+    import re
+
+    from whylogs_spark.ops.text import textrank_keywords
+
+    docs = [
+        "spark shuffles data between executors during wide joins",
+        "wide joins shuffle data and spill when executors are small",
+        "the optimizer prunes columns before the shuffle stage",
+        "executors cache data partitions for repeated scans",
+        None,
+        "aa bb",   # tokens under min_len drop entirely
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    out = textrank_keywords(df, window=2, iterations=12, k=10).collect()
+
+    # numpy reference
+    tok_docs = [
+        [t for t in re.split(r"[^a-z0-9]+", (d or "").lower())
+         if len(t) >= 3] for d in docs]
+    from collections import Counter
+    edges = Counter()
+    for toks in tok_docs:
+        for o in (1, 2):
+            for i in range(len(toks) - o):
+                edges[(toks[i], toks[i + o])] += 1
+                edges[(toks[i + o], toks[i])] += 1
+    words = sorted({w for e in edges for w in e})
+    idx = {w: i for i, w in enumerate(words)}
+    n = len(words)
+    W = np.zeros((n, n))
+    for (u, v), c in edges.items():
+        W[idx[u], idx[v]] += c
+    rs = W.sum(axis=1)
+    P = W / rs[:, None]   # every word has out-edges here
+    pi = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(12):
+        pi = (1 - d) / n + d * (pi @ P)
+    # rank desc, word ASC on ties — matching the op's deterministic
+    # (probability desc, state) cutoff order
+    ref = sorted(((-pi[idx[w]], w) for w in words))
+
+    got = [(r.word, r.rank) for r in out]
+    for (rw, rr), (negrv, w) in zip(got, ref[:10]):
+        assert rw == w
+        assert rr == pytest.approx(-negrv, abs=1e-12)
+    nd = {r.word: r.n_docs for r in out}
+    assert nd["data"] == 3 and nd["shuffle"] == 2
+    with pytest.raises(ValueError, match="window"):
+        textrank_keywords(df, window=0)

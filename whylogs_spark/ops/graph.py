@@ -139,6 +139,7 @@ def stationary_distribution(
     dst: str = "dst",
     weight: str = "probability",
     iterations: int = 30,
+    damping: float = None,
 ) -> DataFrame:
     """Stationary distribution of a weighted Markov chain by fixed
     power iteration: ``(state, probability)``, probabilities summing
@@ -149,6 +150,9 @@ def stationary_distribution(
     matrices work as well as probability matrices) and the mass of
     DANGLING states (appearing only as destinations) redistributed
     uniformly, exactly :func:`pagerank`'s convention at damping 1.
+    With ``damping`` set, the damped recurrence
+    pr' = (1−d)/N + d·(πP + dangling/N) — the WEIGHTED PageRank that
+    TextRank runs over word co-occurrence graphs.
     Fixed iterations keep the result a deterministic function of the
     edge set (a periodic chain oscillates rather than converges —
     callers picking ``iterations`` choose their averaging; the
@@ -162,6 +166,8 @@ def stationary_distribution(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1: {iterations}")
+    if damping is not None and not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1]: {damping}")
     w = F.col(weight).cast("double")
     raw = edges.filter(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
@@ -184,6 +190,7 @@ def stationary_distribution(
     state = nodes.join(has_out, "state", "left").select(
         "state", "__o",
         F.lit(1.0 / n_nodes).alias("probability")).localCheckpoint()
+    d = None if damping is None else float(damping)
     for _ in range(int(iterations)):
         dang = state.agg(
             F.coalesce(F.sum(F.when(F.col("__o").isNull(),
@@ -196,12 +203,15 @@ def stationary_distribution(
                     .alias("__c"))
             .groupBy("state").agg(F.sum("__c").alias("__in"))
         )
+        flow = (F.coalesce(F.col("__in"), F.lit(0.0))
+                + F.col("__dang") / F.lit(float(n_nodes)))
+        if d is not None:
+            # damped (TextRank/PageRank-style) variant of the same
+            # recurrence: pr' = (1-d)/N + d * flow
+            flow = (F.lit((1.0 - d) / n_nodes) + F.lit(d) * flow)
         state = (
             state.select("state", "__o").join(contrib, "state", "left")
             .crossJoin(F.broadcast(dang))
-            .select("state", "__o",
-                    (F.coalesce(F.col("__in"), F.lit(0.0))
-                     + F.col("__dang") / F.lit(float(n_nodes)))
-                    .alias("probability"))
+            .select("state", "__o", flow.alias("probability"))
         ).localCheckpoint()
     return state.select("state", "probability")

@@ -776,3 +776,83 @@ def ngram_diversity(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    iterations: int = 10,
+    damping: float = 0.85,
+    k: int = 20,
+    min_len: int = 3,
+) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): damped
+    weighted PageRank over the word co-occurrence graph — the
+    unsupervised keyword report for a training corpus (what is this
+    source ABOUT), sitting on :func:`whylogs_spark.ops.graph.
+    stationary_distribution`'s iteration machinery.
+
+    Graph construction, all engine-replayable: tokens =
+    ``[a-z0-9]+`` runs of the lowercased text with length >=
+    ``min_len``; an UNDIRECTED edge per co-occurrence within
+    ``window`` positions, weighted by count (both directions
+    materialized, so the per-source renormalization sees the full
+    neighborhood).  Returns the top ``k`` words by rank:
+    ``(word, rank, n_docs)`` — ties at the cutoff break by word, so
+    the limit is deterministic.
+
+    Scale shape: tokenization + pair expansion are one in-scan
+    projection (posexplode over the token array, self-join-free —
+    the window offsets come from slicing the same array); edge
+    counts partial-agg map-side; the iteration loop is the
+    checkpointed power iteration (O(1) lineage).  ``n_docs`` (the
+    word's document frequency) rides a separate bounded aggregation
+    joined onto the top-k only.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from whylogs_spark.ops.graph import stationary_distribution
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                "[^a-z0-9]+"),
+        lambda t: F.length(t) >= min_len)
+    base = df.select(toks.alias("__tk"))
+    # co-occurrence pairs via offset zips of the SAME array: for each
+    # offset o in 1..window, zip(tokens, tokens[o+1:]) — in-plan, no
+    # self-join, no posexplode matrix
+    pair_arrays = [
+        F.zip_with(
+            F.col("__tk"),
+            F.slice(F.col("__tk"), o + 1,
+                    F.greatest(F.size("__tk") - o, F.lit(0))),
+            lambda a, b: F.struct(a.alias("u"), b.alias("v")))
+        for o in range(1, window + 1)
+    ]
+    pairs = base.select(
+        F.explode(F.flatten(F.array(*pair_arrays))).alias("p")
+    ).filter(F.col("p.v").isNotNull()) \
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    edges = (pairs.union(pairs.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+             .withColumnRenamed("u", "src")
+             .withColumnRenamed("v", "dst"))
+    ranks = stationary_distribution(
+        edges, src="src", dst="dst", weight="w",
+        iterations=iterations, damping=damping)
+    top = (ranks.orderBy(F.col("probability").desc(), F.col("state"))
+           .limit(k)
+           .select(F.col("state").alias("word"),
+                   F.col("probability").alias("rank")))
+    # each input row is one document: distinct words per row, count
+    ndocs = (base.select(F.explode(F.array_distinct("__tk"))
+                         .alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("n_docs")))
+    return top.join(ndocs, "word", "left") \
+        .select("word", "rank",
+                F.coalesce("n_docs", F.lit(0)).alias("n_docs")) \
+        .orderBy(F.col("rank").desc(), "word")
