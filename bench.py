@@ -865,6 +865,11 @@ def main() -> None:
         _noop(stationary_distribution(
             tm, src="src", dst="dst", weight="n_transitions",
             iterations=20))
+
+    def bench_textrank_keywords():
+        # its own row (not folded into uplift_stationary, whose
+        # committed record predates it — appending work to a recorded
+        # row would read as a regression)
         from whylogs_spark.ops.text import textrank_keywords
         _noop(textrank_keywords(t["documents"], window=2,
                                 iterations=10, k=30))
@@ -1118,6 +1123,7 @@ def main() -> None:
             bench_labelqc_conformal_silhouette,
         "schema_quality_survival": bench_schema_quality_survival,
         "uplift_stationary": bench_uplift_stationary,
+        "textrank_keywords": bench_textrank_keywords,
         "ab_experiment_utils": bench_ab_experiment_utils,
         "autocorrelation_events": bench_autocorrelation,
         "embedding_decontam_outliers": bench_embedding_decontam_outliers,
@@ -1146,6 +1152,7 @@ def main() -> None:
                 "labelqc_conformal_silhouette": 3,
                 "uplift_stationary": 3,
                 "schema_quality_survival": 3,
+                "textrank_keywords": 3,
                 "dupspans_scale_10x": 2,
                 "sessionize_hot10x_single": 2,
                 "sessionize_hot10x_bucketed": 2,
