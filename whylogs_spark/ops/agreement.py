@@ -14,7 +14,7 @@ and totals are 1-row aggregates broadcast back.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -24,7 +24,7 @@ Definitions (positive prediction = selected):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -20,7 +20,7 @@ first for human review.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
