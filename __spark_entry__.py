@@ -5032,7 +5032,7 @@ def oracle_sql() -> dict[str, str]:
         "auuc_orders": (
             f"WITH b AS ({_UPLIFT_BASE_SQL}), {_UPLIFT_WALK_SQL}, "
             "f AS (SELECT max(cum_n) AS n_tot, "
-            "sum(qini * n) AS a, "
+            "sum(coalesce(qini, cum_y_t) * n) AS a, "
             "max(row(cum_n, qini)) AS last_ FROM c) "
             "SELECT n_tot::BIGINT AS n, "
             "round(a / n_tot, 6) AS auuc, "

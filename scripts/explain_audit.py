@@ -2332,6 +2332,14 @@ def main() -> None:
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
             "per-column md5 rank window carries a partition key":
                 r"windowspecdefinition\(__col_",
+            # two-phase cap: the local pre-cap rank is keyed by
+            # (col, input partition id), so no reducer ranks a full
+            # column's distinct set before the bounded global rank
+            "local pre-cap window keyed by (col, partition id)":
+                r"windowspecdefinition\(__col_[^,)]+, __pid",
+            "global rank consumes only pre-capped survivors":
+                r"\(\d+\) Window[\s\S]*\(\d+\) Filter[\s\S]*"
+                r"\(\d+\) Window",
             "A x B overlap via hash equi-join on the value":
                 r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
             "no Python in the plan":

@@ -61,8 +61,11 @@ def test_uplift_curve_matches_numpy(spark):
             assert r.qini == pytest.approx(qini, abs=1e-12)
     row = auuc(df, "t", "y", "s").collect()[0]
     n = sum(1 for _ in rows)
-    a = sum(ref[s][5] * sum(1 for r in rows if r[2] == s)
-            for s in ref if ref[s][5] is not None) / n
+    # null-qini depths (no control yet) contribute the n_c->0 limit
+    # cum_y_t to the area, mirroring the op's coalesce
+    a = sum((ref[s][5] if ref[s][5] is not None else ref[s][2])
+            * sum(1 for r in rows if r[2] == s)
+            for s in ref) / n
     last = ref[min(ref)][5]
     assert row.n == n
     assert row.auuc == pytest.approx(a, abs=1e-9)
@@ -71,6 +74,24 @@ def test_uplift_curve_matches_numpy(spark):
                                                  abs=1e-9)
     # a GOOD model beats random targeting on this planted signal
     assert row.qini_coefficient > 0
+
+
+def test_auuc_credits_treated_only_prefix(spark):
+    """A model that ranks treated units first has null qini at the
+    top depths; the area term credits cum_y_t there instead of
+    treating those depths as zero incremental outcome."""
+    rows = [
+        (True, 1.0, 0.9), (True, 1.0, 0.8),   # treated-only prefix
+        (False, 0.0, 0.5), (True, 0.0, 0.5),
+        (False, 1.0, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "t boolean, y double, s double")
+    row = auuc(df, "t", "y", "s").collect()[0]
+    # depths: s=.9 (yt=1, qini null) s=.8 (yt=2, null)
+    # s=.5: nt=3 nc=1 yt=2 yc=0 -> qini 2; s=.1: nt=3 nc=2 -> 2-1*1.5=.5
+    assert row.auuc == pytest.approx(
+        (1.0 * 1 + 2.0 * 1 + 2.0 * 2 + 0.5 * 1) / 5.0, abs=1e-12)
+    assert row.qini_total == pytest.approx(0.5, abs=1e-12)
 
 
 def _ref_stationary(edges, iters):

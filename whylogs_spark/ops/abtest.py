@@ -483,13 +483,20 @@ def auuc(
     area (qini_total / 2), and ``qini_coefficient`` their difference
     (positive = the model targets better than random).  Same single
     walked frame as the curve; the summary is ONE more bounded
-    aggregation."""
+    aggregation.
+
+    Depths where the control arm is still empty (``cum_n_c = 0``,
+    null ``qini``) contribute the n_c→0 limit ``cum_y_t`` to the
+    area term rather than silently dropping out — a model that ranks
+    treated units first is credited for its incremental outcomes at
+    those depths instead of being biased low."""
     curve = uplift_curve(df, treatment_col, outcome_col, score_col)
     # qini_total = qini at the final (full-targeting) row: max by
     # cum_n via a struct-max — window-free
     row = curve.agg(
         F.max("cum_n").alias("n"),
-        F.sum(F.col("qini") * F.col("n").cast("double")).alias("__a"),
+        F.sum(F.coalesce(F.col("qini"), F.col("cum_y_t"))
+              * F.col("n").cast("double")).alias("__a"),
         F.max(F.struct(F.col("cum_n").alias("k"),
                        F.col("qini").alias("q"))).alias("__last"))
     nn = F.col("n").cast("double")

@@ -612,14 +612,21 @@ def minhash_dedup(
     byte-identical texts have identical signatures and shingle sets, so
     each one is a guaranteed jaccard-1 pair of its group's min-id
     representative and lands in the same component — running the
-    banding/verify stages on distinct texts only provably keeps the
-    survivor set (min id per single-link cluster) unchanged while
-    shrinking the in-bucket pair expansion QUADRATICALLY in the replica
+    banding/verify stages on distinct texts only keeps the survivor
+    set (min id per single-link cluster) unchanged in every
+    non-degenerate case, while shrinking the in-bucket pair
+    expansion QUADRATICALLY in the replica
     multiplicity.  Replica-heavy web corpora are the norm at scale, and
     an f-way replicated document would otherwise contribute f² verify
     pairs per neighbor.  The collapse key is md5 of the raw text
     (exact-byte equality — strictly safe for gram identity; the
     whitespace-normalized near-miss still goes through MinHash).
+    One degenerate divergence: when an exact-duplicate group is so
+    replicated that its LSH buckets used to exceed ``max_bucket``,
+    the OLD pipeline dropped those buckets and let byte-identical
+    copies survive; the collapsed path always merges exact
+    duplicates, so it dedups strictly MORE in that case (the
+    behavior users want, but not bit-identical to pre-collapse).
 
     ``reuse_signatures=True`` computes ONE combined
     :func:`minhash_index` pass (gram hashes shared between signature
@@ -648,13 +655,17 @@ def minhash_dedup(
     rep = keyed.groupBy("__tkey").agg(F.min(id_col).alias("__rep")) \
         .localCheckpoint()
     id_to_rep = keyed.join(rep, "__tkey").select(id_col, "__rep")
-    # broadcast the winner-id set into each consuming branch: a
-    # shuffled semi join would re-exchange the corpus (text included)
-    # once per branch. At scales where the distinct-text set outgrows
-    # broadcast, AQE demotes this hint to a shuffled join on its own.
-    uniq = df.join(
-        F.broadcast(rep.select(F.col("__rep").alias(id_col))),
-        id_col, "left_semi")
+    # broadcast the winner-id set into each consuming branch ONLY when
+    # it is provably small: explicit broadcast hints are honored
+    # unconditionally (AQE never demotes them), and on low-duplication
+    # corpora `rep` is ~corpus-cardinality — an unconditional hint
+    # would OOM the driver at exactly the web scale this op targets.
+    # rep is already materialized (localCheckpoint), so the count is a
+    # cheap cached scan; above the cap the planner picks the join.
+    winners = rep.select(F.col("__rep").alias(id_col))
+    if rep.count() <= 4_000_000:
+        winners = F.broadcast(winners)
+    uniq = df.join(winners, id_col, "left_semi")
 
     if reuse_signatures:
         idx = minhash_index(uniq, text_col, id_col, num_hashes,

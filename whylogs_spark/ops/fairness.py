@@ -45,7 +45,10 @@ def fairness_report(
     ``reference_group`` names the privileged group explicitly; when
     omitted, the LARGEST group (ties broken by group name, so the
     choice is deterministic) is the reference — the common audit
-    convention.  Rows with a null group, label, or prediction are
+    convention.  A named reference group absent from the data (typo,
+    or filtered out with the null rows) does NOT empty the report:
+    every group row survives with null ``reference_group`` and null
+    gap columns.  Rows with a null group, label, or prediction are
     excluded; labels/predictions are truthy via ``cast("boolean")``
     (0/1 ints, booleans, doubles all work).
 
@@ -105,7 +108,11 @@ def fairness_report(
         F.col("precision").alias("__prec_ref"),
         F.col("group").alias("reference_group"))
 
-    out = g.crossJoin(F.broadcast(ref))
+    # LEFT join (not crossJoin): a named reference_group absent from
+    # the data yields an empty ref frame, and a cross join would
+    # silently return zero rows — the left join keeps every group row
+    # with null reference_group / gap columns instead
+    out = g.join(F.broadcast(ref), F.lit(True), "left")
     return out.select(
         "group", "n", "base_rate", "selection_rate",
         "tp", "fp", "fn", "tn", "tpr", "fpr", "precision",

@@ -19,9 +19,12 @@ Signals, all bounded:
 
 Scale shape: each table unpivots its compared columns into ONE
 (col, value) long frame; a groupBy dedups values map-side, a
-per-column window (bounded by the cap) ranks by md5, and the A×B
-overlap is one equi-join on the value keyed by the capped sets —
-shuffle volume ≤ 2 · n_cols · sample_distinct rows.
+TWO-PHASE md5 rank caps each column's distinct set (local rank per
+(col, partition) keeps ``cap`` per partition, then a global rank
+over the ≤ cap × shuffle-partitions survivors — no reducer ever
+sees a full column), and the A×B overlap is one equi-join on the
+value keyed by the capped sets — shuffle volume ≤ 2 · n_cols ·
+sample_distinct rows.
 """
 
 from __future__ import annotations
@@ -64,9 +67,19 @@ def _name_sim(a: str, b: str) -> float:
 def _capped_distincts(df: DataFrame, cols: Sequence[str],
                       cap: int, tag: str) -> DataFrame:
     """(col, v) long frame of each column's md5-capped distinct
-    values, canonicalized to strings."""
+    values, canonicalized to strings.
+
+    Two-phase cap so no reducer ever ranks a full column's distinct
+    set: phase 1 ranks within ``(col, distinct-output partition)``
+    and keeps ``cap`` per partition — the global cap-smallest md5s
+    are a subset of the per-partition survivors, so phase 2's global
+    md5 rank (over ≤ cap × shuffle-partitions rows per column) emits
+    the identical set a single global rank would (md5 order is
+    total).  A 100 TB column with billions of distinct values used
+    to funnel its whole distinct set through one window reducer."""
+    colk = f"__col_{tag}"
     parts = [
-        df.select(F.lit(c).alias(f"__col_{tag}"),
+        df.select(F.lit(c).alias(colk),
                   F.col(c).cast("string").alias("__v"))
         .filter(F.col("__v").isNotNull())
         for c in cols
@@ -75,8 +88,13 @@ def _capped_distincts(df: DataFrame, cols: Sequence[str],
     for p in parts[1:]:
         long_df = long_df.unionByName(p)
     dedup = long_df.distinct()
-    w = Window.partitionBy(f"__col_{tag}").orderBy(F.md5("__v"))
-    return (dedup.withColumn("__rk", F.row_number().over(w))
+    # pin the partition id as a column BEFORE the window's exchange
+    w_local = Window.partitionBy(colk, "__pid").orderBy(F.md5("__v"))
+    pre = (dedup.withColumn("__pid", F.spark_partition_id())
+           .withColumn("__rk", F.row_number().over(w_local))
+           .filter(F.col("__rk") <= cap).drop("__rk", "__pid"))
+    w = Window.partitionBy(colk).orderBy(F.md5("__v"))
+    return (pre.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= cap).drop("__rk"))
 
 

@@ -43,9 +43,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
+    # try_divide: a zero-norm vector yields NULL in BOTH ANSI and
+    # legacy mode (plain `/` throws DIVIDE_BY_ZERO under ANSI);
+    # callers filter/sort nulls explicitly
     da = a.cast("array<double>")
     db = b.cast("array<double>")
-    return _dot(da, db) / (_norm(da) * _norm(db))
+    return F.try_divide(_dot(da, db), _norm(da) * _norm(db))
 
 
 def cosine_topk(
@@ -420,6 +423,10 @@ def knn_join(
             "__lid", "__rid",
             cosine_similarity(F.col("__lv"), F.col("__rv"))
             .alias("cosine"))
+        # a zero-norm vector yields a NULL cosine (non-ANSI 0/0), and
+        # null struct fields sort FIRST in array_sort — unfiltered they
+        # would displace real neighbors from ranks 1..k
+        .filter(F.col("cosine").isNotNull())
         .groupBy("__lid")
         .agg(F.slice(F.array_sort(F.collect_set(pair)),
                      1, k).alias("__top"))
