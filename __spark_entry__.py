@@ -3287,63 +3287,35 @@ _GATE_ORDER = [
     "profile_wide_lineitem",
     "drift_scores_lineitem",
     "constraints_report_lineitem",
-    # --- round-9 window: 42 queries that have never produced a
-    # driver-gated row (CORRECTNESS_r01..r08 union = 108 of 156).
-    # A/B experimentation (r8, never gated)
-    "ab_test_orders",
-    "cuped_adjust_orders",
-    "srm_check_orders",
-    "bootstrap_diff_orders",
-    # timeseries diagnostics (r8)
-    "autocorrelation_events",
-    "cross_correlation_events",
-    "seasonal_naive_events",
-    # survival / behavioral additions (r8)
-    "logrank_events",
-    "funnel_window_events",
-    # schema inference / keys / quantiles (r8)
-    "semantic_types_customer",
-    "candidate_keys_customer",
-    "weighted_quantiles_lineitem",
-    # embedding decontamination / outliers / prep (r8 + earlier)
-    "embedding_decontam_embeddings",
-    "embedding_outliers_embeddings",
-    "embedding_prep_embeddings",
-    "embedding_drift_embeddings",
-    "embedding_dim_stats_embeddings",
-    # recall estimators (driver-green for the first time; full
-    # oracle via precomputed VALUES measurement tables)
-    "ann_recall_embeddings",
-    "minhash_recall_documents",
-    "image_neardup_synthetic",
-    # basket / diversity / corpus text mining
-    "association_rules_events",
-    "ngram_diversity_documents",
-    "bm25_search_documents",
-    "readability_documents",
-    "pmi_collocations_documents",
-    "bigram_lm_documents",
-    # dedup family members never window-sampled
-    "duplicate_spans_documents",
-    "dedup_paragraphs_documents",
-    "fuzzy_decontam_documents",
-    # exact drift / quantile / histogram machinery
-    "exact_drift_lineitem",
-    "exact_quantiles_lineitem",
-    "segmented_quantiles_lineitem",
-    "histogram_exact_lineitem",
-    # model metrics never sampled
-    "binned_auc_orders",
-    "pr_auc_orders",
-    # layout / skew reports
-    "zorder_key_lineitem",
-    "hilbert_key_lineitem",
-    "skew_report_lineitem",
-    "join_skew_lineitem",
-    # text prep + timeseries rollup
-    "normalize_text_documents",
-    "chunk_sentences_documents",
-    "rollup_timeseries_events",
+    # --- round-10 window: the 22 queries that have never produced a
+    # driver-gated row (CORRECTNESS_r01..r09 union = 149 of 171) —
+    # after this rotation every gateable query has a driver-green row.
+    # round-9 families
+    "fairness_report_orders",
+    "cohens_kappa_orders",
+    "krippendorff_alpha_events",
+    "pagerank_lineitem",
+    "degree_stats_lineitem",
+    "stationary_distribution_events",
+    "confident_joint_orders",
+    "conformal_lineitem",
+    "cluster_silhouette_embeddings",
+    "clustering_agreement_embeddings",
+    "schema_match_customer_supplier",
+    "nelson_aalen_events",
+    "uplift_curve_orders",
+    "auuc_orders",
+    "textrank_keywords_documents",
+    # legacy stragglers (frequent_sequences proves the r8 stringify
+    # fix end-to-end at the driver)
+    "frequent_sequences_events",
+    "vocab_growth_documents",
+    "assemble_chunks_documents",
+    "blocklist_stats_documents",
+    "corpus_stats_documents",
+    "pipeline_documents",
+    "profile_basic_lineitem",
+    # --- round-10 additions (driver-gated on introduction)
 ]
 
 

@@ -1153,7 +1153,9 @@ def main() -> None:
                 "uplift_stationary": 3,
                 "schema_quality_survival": 3,
                 "textrank_keywords": 3,
-                "dupspans_scale_10x": 2,
+                # 3 reps (was 2): the r9 record's flag straddled the
+                # 1.3x bar and 2-rep medians are really maxima
+                "dupspans_scale_10x": 3,
                 "sessionize_hot10x_single": 2,
                 "sessionize_hot10x_bucketed": 2,
                 "asof_hot10x_single": 2,
@@ -1173,7 +1175,17 @@ def main() -> None:
     # medians, trust a delta only when the intervals don't overlap.
     results, res_min, res_max, res_task = {}, {}, {}, {}
     benches = {k: v for k, v in benches.items() if v is not None}
-    for name, fn in benches.items():
+    # Low-rep scale/skew rehearsals run FIRST: with 2-3 reps they are
+    # the most ordering-sensitive rows (r9's dupspans_scale_10x flag
+    # traced to late-run JVM/page-cache state, A/B 62-73 task-sec vs a
+    # 57.3 prior), so give them the most reproducible slot — right
+    # after the single warm-up action, before 70+ other rows have
+    # churned the executor heaps.
+    scale_rows = [n for n in benches
+                  if "scale_10x" in n or "hot10x" in n]
+    run_order = scale_rows + [n for n in benches if n not in scale_rows]
+    for name in run_order:
+        fn = benches[name]
         times, task_ms = [], []
         for _ in range(reps_for.get(name, 5)):
             tt0 = task_time_ms()
@@ -1234,6 +1246,54 @@ def main() -> None:
                     "min": cur, "prev_min": pm}
         elif name in r02 and r02[name] > 0 and cur > 1.5 * r02[name]:
             regressions[name] = {"min": cur, "r02_min": r02[name]}
+    # Re-baseline detection (r9 verdict ask): a >1.3x cross-record
+    # move that coincides with an IN-ROUND change to the op's module
+    # (git diff since the commit that last touched bench_out.json) is
+    # a functional re-baseline, not a regression — r9 shipped the
+    # autocorrelation lag-spine dof fix with a silent 1.56x task-sec
+    # rise.  The flagged row's modules are resolved from the bench
+    # closure's whylogs_spark references, so the note names the
+    # exact changed files.
+    def _in_round_changes() -> set:
+        import subprocess
+        try:
+            base = subprocess.run(
+                ["git", "log", "-1", "--format=%H", "--",
+                 "bench_out.json"],
+                capture_output=True, text=True, cwd=here,
+                timeout=30).stdout.strip()
+            if not base:
+                return set()
+            diff = subprocess.run(
+                ["git", "diff", "--name-only", base, "--",
+                 "whylogs_spark"],
+                capture_output=True, text=True, cwd=here,
+                timeout=30).stdout
+            return {ln.strip() for ln in diff.splitlines()
+                    if ln.strip()}
+        except Exception:
+            return set()
+
+    def _bench_modules(fn, depth: int = 0) -> set:
+        import inspect
+        import sys as _sys
+        mods = set()
+        try:
+            cv = inspect.getclosurevars(fn)
+        except TypeError:
+            return mods
+        for v in list(cv.nonlocals.values()) + list(cv.globals.values()):
+            m = getattr(v, "__module__", None)
+            if isinstance(m, str) and m.startswith("whylogs_spark"):
+                f = getattr(_sys.modules.get(m), "__file__", None)
+                if f:
+                    mods.add(os.path.relpath(f, here))
+            elif (inspect.isfunction(v) and m == "__main__"
+                  and depth < 2):
+                mods |= _bench_modules(v, depth + 1)
+        return mods
+
+    in_round = _in_round_changes() if regressions else set()
     # Auto-adjudicate every surviving flag IN THE SAME RECORD: the r8
     # record shipped one flag with no matching note, breaking the
     # protocol that every flag gets a solo warm A/B before commit.
@@ -1266,6 +1326,12 @@ def main() -> None:
         info["adjudication"] = (
             "host-noise" if (wall_ok or task_ok or floor_ok)
             else "reproduced")
+        touched = sorted(_bench_modules(fn) & in_round)
+        if touched:
+            info["re_baselined"] = (
+                "in-round change to " + ", ".join(touched)
+                + " since the last committed record — functional "
+                "re-baseline, compare the next round against THIS row")
     total = round(sum(results.values()), 3)
     # STDOUT gets ONE COMPACT line, printed before anything else and
     # small enough (~1.5 KB) to survive the driver's bounded stdout

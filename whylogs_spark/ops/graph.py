@@ -140,6 +140,7 @@ def stationary_distribution(
     weight: str = "probability",
     iterations: int = 30,
     damping: float = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Stationary distribution of a weighted Markov chain by fixed
     power iteration: ``(state, probability)``, probabilities summing
@@ -161,13 +162,23 @@ def stationary_distribution(
     Same scale shape as :func:`pagerank`: the (re-normalized) edge
     frame is checkpointed once, each iteration is one equi-join +
     groupBy-sum with the dangling mass folded in from a 1-row
-    broadcast, and the state vector checkpoints per step (O(1)
-    lineage).
+    broadcast, and the state vector checkpoints every
+    ``checkpoint_every`` steps (lineage depth bounded at that many
+    joins).  Steps between checkpoints are lazily ``persist()``-ed —
+    each step references its predecessor three times (dangling agg,
+    contribution join, carry-through), so an unpersisted lazy chain
+    would recompute 3^k subtrees.  Wall time at small scale is
+    job-count-bound (one materialization job per checkpoint), so a
+    larger ``checkpoint_every`` trades scheduler round-trips against
+    plan depth; numerically identical either way.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1: {iterations}")
     if damping is not None and not 0.0 <= damping <= 1.0:
         raise ValueError(f"damping must be in [0, 1]: {damping}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1: {checkpoint_every}")
     w = F.col(weight).cast("double")
     raw = edges.filter(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
@@ -191,7 +202,10 @@ def stationary_distribution(
         "state", "__o",
         F.lit(1.0 / n_nodes).alias("probability")).localCheckpoint()
     d = None if damping is None else float(damping)
-    for _ in range(int(iterations)):
+    it = int(iterations)
+    ck = int(checkpoint_every)
+    pending = []
+    for i in range(it):
         dang = state.agg(
             F.coalesce(F.sum(F.when(F.col("__o").isNull(),
                                     F.col("probability"))),
@@ -209,9 +223,21 @@ def stationary_distribution(
             # damped (TextRank/PageRank-style) variant of the same
             # recurrence: pr' = (1-d)/N + d * flow
             flow = (F.lit((1.0 - d) / n_nodes) + F.lit(d) * flow)
-        state = (
+        nxt = (
             state.select("state", "__o").join(contrib, "state", "left")
             .crossJoin(F.broadcast(dang))
             .select("state", "__o", flow.alias("probability"))
-        ).localCheckpoint()
+        )
+        if (i + 1) % ck == 0 or i + 1 == it:
+            state = nxt.localCheckpoint()
+            # the checkpoint cut the lineage, so the lazily persisted
+            # intermediates it consumed can be released
+            for p in pending:
+                p.unpersist()
+            pending = []
+        else:
+            # lazy persist: the next step references this frame three
+            # times; without it the chain recomputes 3^k subtrees
+            state = nxt.persist()
+            pending.append(state)
     return state.select("state", "probability")
