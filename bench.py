@@ -791,6 +791,47 @@ def main() -> None:
         _noop(degree_stats(edges))
         _noop(pagerank(edges, iterations=5))
 
+    def _pagerank_edges_10x(skewed):
+        # 10x lineitem -> ~6M directed edges over a 100k-node id
+        # space.  skewed=True draws BOTH endpoints from a Zipf-ish
+        # power law (floor(100k * u^4): the hottest node absorbs
+        # ~5-6% of all edges), modeling a web link graph where one
+        # popular page dominates the groupBy(node) in-degree sum and
+        # one hub's out-edges dominate the rank-join; skewed=False is
+        # the uniform-key control at identical edge count.
+        from whylogs_spark.ops.graph import pagerank  # noqa: F401
+        e10 = (t["lineitem"]
+               .crossJoin(spark.range(10)
+                          .select(F.col("id").alias("__rep")))
+               .select(
+                   (F.col("l_orderkey") * 10 + F.col("__rep"))
+                   .alias("k1"),
+                   (F.col("l_partkey") * 10 + F.col("__rep"))
+                   .alias("k2")))
+        if skewed:
+            u1 = (F.col("k1") * 2654435761 % 1048576) / 1048576.0
+            u2 = (F.col("k2") * 2246822519 % 1048576) / 1048576.0
+            src, dst = (F.floor(F.pow(u1, 4) * 100000),
+                        F.floor(F.pow(u2, 4) * 100000))
+        else:
+            src, dst = F.col("k1") % 100000, F.col("k2") % 100000
+        return e10.select(src.cast("string").alias("src"),
+                          dst.cast("string").alias("dst"))
+
+    def bench_pagerank_hot10x():
+        # skew rehearsal (r9 verdict ask): partial aggregation must
+        # absorb the hot in-degree node map-side and AQE the hot
+        # join side — this row exists to PROVE task-sec stays within
+        # ~3x of the uniform control rather than exploding with the
+        # hub multiplicity
+        from whylogs_spark.ops.graph import pagerank
+        _noop(pagerank(_pagerank_edges_10x(True), iterations=3))
+
+    def bench_pagerank_hot10x_uniform():
+        # uniform-key control at identical edge count
+        from whylogs_spark.ops.graph import pagerank
+        _noop(pagerank(_pagerank_edges_10x(False), iterations=3))
+
     def bench_labelqc_conformal_silhouette():
         from whylogs_spark.ops.cluster import cluster_silhouette, kmeans
         from whylogs_spark.ops.conformal import split_conformal
@@ -1119,6 +1160,8 @@ def main() -> None:
         "ab_hot10x": bench_ab_hot10x,
         "fairness_agreement": bench_fairness_agreement,
         "graph_pagerank": bench_graph_pagerank,
+        "pagerank_hot10x": bench_pagerank_hot10x,
+        "pagerank_hot10x_uniform": bench_pagerank_hot10x_uniform,
         "labelqc_conformal_silhouette":
             bench_labelqc_conformal_silhouette,
         "schema_quality_survival": bench_schema_quality_survival,
@@ -1145,6 +1188,8 @@ def main() -> None:
                 "pixel_features_12k_images": 3,
                 "exif_metadata_12k_images": 3,
                 "dedup_scale_10x": 2,
+                "pagerank_hot10x": 2,
+                "pagerank_hot10x_uniform": 2,
                 # 3 reps so the recorded median is a true middle (at
                 # 2, "median" is the max — the cold first rep)
                 "profile_scale_10x": 3,
