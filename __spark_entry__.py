@@ -3268,6 +3268,91 @@ def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("coverage", 6).alias("coverage"))
 
 
+def _q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend + Theil-Sen slope (ops/trend.py
+    mann_kendall) over per-type daily event counts.  The quadratic
+    pair walk runs over the COLLAPSED daily series (n = #days), never
+    the event rows; per-group equi-join, exact percentile median.
+    Oracle replays the pair join, tie term, and interpolated medians
+    in DuckDB (quantile_cont matches Spark's percentile)."""
+    from whylogs_spark.ops.trend import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("ts").isNotNull()
+                       & F.col("event_type").isNotNull())
+             .groupBy("event_type",
+                      F.date_trunc("day", "ts").alias("__day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("v"))
+             .select("event_type",
+                     F.col("__day").cast("double").alias("t"), "v"))
+    out = mann_kendall(daily, "t", "v", ["event_type"])
+    return out.select(
+        "event_type", "n", "s_stat",
+        F.round("var_s", 4).alias("var_s"),
+        F.round("z", 6).alias("z"),
+        F.round("sen_slope", 10).alias("sen_slope"),
+        F.round("sen_intercept", 4).alias("sen_intercept"),
+    ).orderBy("event_type")
+
+
+def _q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B scan (ops/abtest.py msprt_scan):
+    mixture-SPRT likelihood ratio over weekly buckets, arm =
+    customer-key parity, metric = o_totalprice.  Cumulative walk =
+    the shared two-phase range-partitioned prefix sum.  Oracle
+    replays the prefix sums with a window and the closed-form
+    mixture ratio."""
+    from whylogs_spark.ops.abtest import msprt_scan
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__arm", (F.col("o_custkey") % 2).cast("int"))
+    out = msprt_scan(o, "o_orderdate", "__arm", "o_totalprice",
+                     0, 1, tau2=10000.0, grain="month")
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n_c", "n_t",
+        F.round("mean_c", 4).alias("mean_c"),
+        F.round("mean_t", 4).alias("mean_t"),
+        F.round("diff", 4).alias("diff"),
+        F.round("v_t", 2).alias("v_t"),
+        F.round("lambda", 6).alias("lambda_"),
+        F.round("p_always_valid", 6).alias("p_always_valid"),
+    ).orderBy("bucket")
+
+
+def _q_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation (ops/offpolicy.py offpolicy_value):
+    IPS / clipped IPS / SNIPS / ESS / direct / doubly-robust value
+    of a synthetic target policy over logged order 'decisions'
+    (action = o_orderpriority, deterministic synthetic propensity,
+    reward = high-value order).  One groupBy pass + broadcast policy
+    and per-action baselines; oracle replays every estimator in
+    SQL."""
+    from whylogs_spark.ops.offpolicy import offpolicy_value
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("action"),
+        (F.col("o_totalprice") > 150000).cast("double").alias("reward"),
+        ((F.col("o_orderkey") % 4 + 1).cast("double") / 10.0)
+        .alias("propensity"),
+        F.col("o_orderstatus"))
+    policy = {"1-URGENT": 0.35, "2-HIGH": 0.25, "3-MEDIUM": 0.2,
+              "4-NOT SPECIFIED": 0.15, "5-LOW": 0.05}
+    out = offpolicy_value(o, "action", "reward", "propensity",
+                          target_policy=policy, clip=3.0,
+                          group_cols=["o_orderstatus"])
+    return out.select(
+        "o_orderstatus", "n",
+        F.round("behavior_value", 6).alias("behavior_value"),
+        F.round("ips", 6).alias("ips"),
+        F.round("ips_clipped", 6).alias("ips_clipped"),
+        F.round("snips", 6).alias("snips"),
+        F.round("ess", 4).alias("ess"),
+        F.round("direct", 6).alias("direct"),
+        F.round("dr", 6).alias("dr"),
+    ).orderBy("o_orderstatus")
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -3316,6 +3401,9 @@ _GATE_ORDER = [
     "pipeline_documents",
     "profile_basic_lineitem",
     # --- round-10 additions (driver-gated on introduction)
+    "trend_test_events",
+    "msprt_orders",
+    "offpolicy_value_orders",
 ]
 
 
@@ -3534,6 +3622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen_events": _q_nelson_aalen,
         "uplift_curve_orders": _q_uplift_curve,
         "auuc_orders": _q_auuc,
+        "trend_test_events": _q_trend_test,
+        "msprt_orders": _q_msprt,
+        "offpolicy_value_orders": _q_offpolicy,
         "stationary_distribution_events": _q_stationary,
         "textrank_keywords_documents": _q_textrank,
     }
@@ -4994,6 +5085,109 @@ def _textrank_sql(window: int = 2, iterations: int = 10,
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "trend_test_events": (
+            "WITH d AS (SELECT event_type, "
+            "epoch(date_trunc('day', ts))::DOUBLE AS t, "
+            "count(*)::DOUBLE AS v FROM events "
+            "WHERE ts IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "p AS (SELECT a.event_type, "
+            "CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 "
+            "ELSE 0 END AS sgn, (b.v - a.v) / (b.t - a.t) AS slope "
+            "FROM d a JOIN d b ON a.event_type = b.event_type "
+            "AND b.t > a.t), "
+            "ps AS (SELECT event_type, sum(sgn)::BIGINT AS s_stat, "
+            "quantile_cont(slope, 0.5) AS sen FROM p GROUP BY 1), "
+            "tie AS (SELECT event_type, v, count(*)::DOUBLE AS c "
+            "FROM d GROUP BY 1, 2), "
+            "cnt AS (SELECT event_type, sum(c)::BIGINT AS n, "
+            "sum(c*(c-1)*(2*c+5)) AS ties FROM tie GROUP BY 1), "
+            "rep AS (SELECT c.event_type, c.n, ps.s_stat, "
+            "(c.n*(c.n-1)*(2*c.n+5) - c.ties)/18.0 AS var_s, ps.sen "
+            "FROM cnt c LEFT JOIN ps USING (event_type)), "
+            "inter AS (SELECT d.event_type, "
+            "quantile_cont(d.v - rep.sen * d.t, 0.5) AS sen_intercept "
+            "FROM d JOIN rep USING (event_type) GROUP BY 1) "
+            "SELECT rep.event_type, rep.n, rep.s_stat, "
+            "round(rep.var_s, 4) AS var_s, "
+            "round(CASE WHEN rep.var_s > 0 THEN "
+            "CASE WHEN rep.s_stat > 0 THEN (rep.s_stat - 1) / "
+            "sqrt(rep.var_s) WHEN rep.s_stat < 0 THEN "
+            "(rep.s_stat + 1) / sqrt(rep.var_s) ELSE 0.0 END END, 6) "
+            "AS z, round(rep.sen, 10) AS sen_slope, "
+            "round(inter.sen_intercept, 4) AS sen_intercept "
+            "FROM rep LEFT JOIN inter USING (event_type) "
+            "ORDER BY rep.event_type"
+        ),
+        "msprt_orders": (
+            "WITH b AS (SELECT date_trunc('month', o_orderdate) AS "
+            "bucket, CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END "
+            "AS c_, CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END "
+            "AS t_, o_totalprice AS v FROM orders WHERE "
+            "o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL), "
+            "g AS (SELECT bucket, sum(c_)::BIGINT AS nc, "
+            "sum(t_)::BIGINT AS nt, sum(v*c_) AS sc, sum(v*t_) AS st, "
+            "sum(v*v*c_) AS qc, sum(v*v*t_) AS qt FROM b GROUP BY 1), "
+            "w AS (SELECT bucket, "
+            "sum(nc) OVER ord AS cnc, sum(nt) OVER ord AS cnt_, "
+            "sum(sc) OVER ord AS csc, sum(st) OVER ord AS cst, "
+            "sum(qc) OVER ord AS cqc, sum(qt) OVER ord AS cqt "
+            "FROM g WINDOW ord AS (ORDER BY bucket ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "s AS (SELECT bucket, cnc, cnt_, csc/cnc AS mc, "
+            "cst/cnt_ AS mt, "
+            "CASE WHEN cnc >= 2 AND cnt_ >= 2 THEN "
+            "((cqc - cnc*(csc/cnc)*(csc/cnc) + cqt - "
+            "cnt_*(cst/cnt_)*(cst/cnt_)) / (cnc + cnt_ - 2)) "
+            "* (1.0/cnc + 1.0/cnt_) END AS vt FROM w), "
+            "f AS (SELECT *, CASE WHEN vt > 0 THEN "
+            "sqrt(vt/(vt+10000.0)) * exp((mt-mc)*(mt-mc)*10000.0 / "
+            "(2.0*vt*(vt+10000.0))) END AS lam FROM s) "
+            "SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, "
+            "cnc::BIGINT AS n_c, cnt_::BIGINT AS n_t, "
+            "round(mc, 4) AS mean_c, round(mt, 4) AS mean_t, "
+            "round(mt - mc, 4) AS diff, round(vt, 2) AS v_t, "
+            "round(lam, 6) AS lambda_, "
+            "round(CASE WHEN lam IS NOT NULL THEN "
+            "least(1.0, 1.0/lam) END, 6) AS p_always_valid "
+            "FROM f ORDER BY bucket"
+        ),
+        "offpolicy_value_orders": (
+            "WITH b AS (SELECT o_orderstatus AS g, "
+            "o_orderpriority AS a, CASE WHEN o_totalprice > 150000 "
+            "THEN 1.0 ELSE 0.0 END AS r, "
+            "(o_orderkey % 4 + 1)::DOUBLE / 10.0 AS p FROM orders "
+            "WHERE o_orderpriority IS NOT NULL AND o_totalprice IS "
+            "NOT NULL), "
+            "pol AS (SELECT a, pi::DOUBLE AS pi FROM (VALUES "
+            "('1-URGENT', 0.35), ('2-HIGH', 0.25), ('3-MEDIUM', 0.2), "
+            "('4-NOT SPECIFIED', 0.15), ('5-LOW', 0.05)) AS "
+            "v(a, pi)), "
+            "j AS (SELECT b.g, b.a, b.r, b.p, "
+            "coalesce(pol.pi, 0.0) AS pi FROM b LEFT JOIN pol "
+            "USING (a)), "
+            "q AS (SELECT g, a, avg(r) AS qh, avg(pi) AS pi_a "
+            "FROM j GROUP BY 1, 2), "
+            "dir AS (SELECT g, sum(pi_a * qh) AS direct FROM q "
+            "GROUP BY 1), "
+            "s AS (SELECT j.*, q.qh FROM j JOIN q ON j.g = q.g "
+            "AND j.a = q.a), "
+            "agg AS (SELECT g, count(*)::BIGINT AS n, "
+            "avg(r) AS behavior_value, avg(pi/p*r) AS ips, "
+            "avg(least(pi/p, 3.0)*r) AS ips_clipped, "
+            "sum(pi/p*r) AS swr, sum(pi/p) AS sw, "
+            "sum((pi/p)*(pi/p)) AS sww, "
+            "avg(pi/p*(r - qh)) AS corr FROM s GROUP BY 1) "
+            "SELECT agg.g AS o_orderstatus, agg.n, "
+            "round(agg.behavior_value, 6) AS behavior_value, "
+            "round(agg.ips, 6) AS ips, "
+            "round(agg.ips_clipped, 6) AS ips_clipped, "
+            "round(agg.swr / agg.sw, 6) AS snips, "
+            "round(agg.sw * agg.sw / agg.sww, 4) AS ess, "
+            "round(dir.direct, 6) AS direct, "
+            "round(dir.direct + agg.corr, 6) AS dr "
+            "FROM agg LEFT JOIN dir USING (g) ORDER BY agg.g"
+        ),
         "textrank_keywords_documents": _textrank_sql(),
         "uplift_curve_orders": (
             f"WITH b AS ({_UPLIFT_BASE_SQL}), {_UPLIFT_WALK_SQL} "

@@ -915,6 +915,37 @@ def main() -> None:
         _noop(textrank_keywords(t["documents"], window=2,
                                 iterations=10, k=30))
 
+    def bench_trend_offpolicy():
+        # MK/Theil-Sen over per-type daily series + mSPRT monthly
+        # scan + off-policy estimators — round-10 batch 1
+        from whylogs_spark.ops.abtest import msprt_scan
+        from whylogs_spark.ops.offpolicy import offpolicy_value
+        from whylogs_spark.ops.trend import mann_kendall
+        daily = (t["events"].filter(F.col("ts").isNotNull())
+                 .groupBy("event_type",
+                          F.date_trunc("day", "ts").alias("__d"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("v"))
+                 .select("event_type",
+                         F.col("__d").cast("double").alias("tt"), "v"))
+        _noop(mann_kendall(daily, "tt", "v", ["event_type"]))
+        _noop(msprt_scan(
+            t["orders"].withColumn(
+                "__arm", (F.col("o_custkey") % 2).cast("int")),
+            "o_orderdate", "__arm", "o_totalprice", 0, 1,
+            tau2=10000.0, grain="month"))
+        _noop(offpolicy_value(
+            t["orders"].select(
+                F.col("o_orderpriority").alias("a"),
+                (F.col("o_totalprice") > 150000).cast("double")
+                .alias("r"),
+                ((F.col("o_orderkey") % 4 + 1).cast("double") / 10.0)
+                .alias("p"), "o_orderstatus"),
+            "a", "r", "p",
+            target_policy={"1-URGENT": 0.35, "2-HIGH": 0.25,
+                           "3-MEDIUM": 0.2, "4-NOT SPECIFIED": 0.15,
+                           "5-LOW": 0.05},
+            clip=3.0, group_cols=["o_orderstatus"]))
+
     def bench_ab_hot10x():
         # skew rehearsal: 10x orders with a DEGENERATE 5-distinct-value
         # metric (integer star-ratings shape) — every (segment, value)
@@ -1157,6 +1188,7 @@ def main() -> None:
         "linkage_percentiles": bench_linkage_percentiles,
         "data_contract": bench_data_contract,
         "ab_test_orders": bench_ab_test,
+        "trend_offpolicy": bench_trend_offpolicy,
         "ab_hot10x": bench_ab_hot10x,
         "fairness_agreement": bench_fairness_agreement,
         "graph_pagerank": bench_graph_pagerank,

@@ -2464,6 +2464,84 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 10a. round-10 batch 1: trend test / sequential mSPRT /
+    # off-policy evaluation
+    from whylogs_spark.ops.trend import mann_kendall
+
+    mk_daily = (ev.filter(F.col("ts").isNotNull())
+                .groupBy("event_type",
+                         F.date_trunc("day", "ts").alias("__day"))
+                .agg(F.count(F.lit(1)).cast("double").alias("v"))
+                .select("event_type",
+                        F.col("__day").cast("double").alias("t"), "v"))
+    mk = mann_kendall(mk_daily, "t", "v", ["event_type"])
+    sections.append((
+        "mann-kendall trend + theil-sen (collapsed-series pair walk)",
+        mk,
+        {
+            "series collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "pair expansion joins by hash equi-join on the group key":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "per-group report broadcast back for the intercept":
+                r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.abtest import msprt_scan
+
+    ms = msprt_scan(
+        ords9.withColumn("__arm", (F.col("o_custkey") % 2).cast("int")),
+        "o_orderdate", "__arm", "o_totalprice", 0, 1,
+        tau2=10000.0, grain="month")
+    sections.append((
+        "mSPRT always-valid sequential scan (prefix walk)", ms,
+        {
+            "bucket collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "cumulative walk is range-partitioned (two-phase)":
+                r"rangepartitioning\(",
+            "windows are slice-local (partitioned by __slice)":
+                r"windowspecdefinition\(__slice#",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.offpolicy import offpolicy_value
+
+    op = offpolicy_value(
+        ords9.select(
+            F.col("o_orderpriority").alias("a"),
+            (F.col("o_totalprice") > 150000).cast("double").alias("r"),
+            ((F.col("o_orderkey") % 4 + 1).cast("double") / 10.0)
+            .alias("p"), "o_orderstatus"),
+        "a", "r", "p",
+        target_policy={"1-URGENT": 0.35, "2-HIGH": 0.25,
+                       "3-MEDIUM": 0.2, "4-NOT SPECIFIED": 0.15,
+                       "5-LOW": 0.05},
+        clip=3.0, group_cols=["o_orderstatus"])
+    sections.append((
+        "off-policy evaluation (broadcast policy + baselines)", op,
+        {
+            "policy map and per-action baselines join by broadcast":
+                r"BroadcastHashJoin",
+            "estimator agg partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no sort-merge join of the data against itself":
+                r"^(?![\s\S]*SortMergeJoin[\s\S]*SortMergeJoin"
+                r"[\s\S]*SortMergeJoin)",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
@@ -2599,6 +2677,37 @@ def main() -> None:
             all_ok = False
     lines.append("")
 
+    # static measured-decision records (survive regeneration)
+    lines += [
+        "## iterative checkpoint cadence (measured decision, round 10)",
+        "",
+        "The r9 verdict asked whether the 20-30-step power-iteration",
+        "loops (`stationary_distribution`, `textrank_keywords` via the",
+        "same machinery) should localCheckpoint every 2-3 steps instead",
+        "of every step to cut job-count-bound wall time.  Measured on",
+        "the bench workload (sf0.1 events transition chain, 20",
+        "iterations, local[32], 3 reps each, numerically identical",
+        "outputs asserted at 1e-15):",
+        "",
+        "| checkpoint_every | walls (s, sorted) |",
+        "|---|---|",
+        "| 1 (per step)     | 3.55 / 4.07 / 4.47 |",
+        "| 2                | 4.12 / 4.16 / 4.90 |",
+        "| 3                | 4.40 / 4.93 / 5.13 |",
+        "| 4                | 5.14 / 5.22 / 5.29 |",
+        "| 5                | 8.99 / 9.11 / 9.53 |",
+        "",
+        "Per-step checkpointing WINS: each step references its",
+        "predecessor three times (dangling agg, contribution join,",
+        "carry-through), so the skipped checkpoints must be replaced by",
+        "lazy `persist()`s, and the deeper plans + extra broadcast",
+        "scheduling cost more than the saved materialization jobs.",
+        "Decision: keep `checkpoint_every=1` as the default; the knob",
+        "is exposed on `stationary_distribution` for clusters where",
+        "scheduler round-trips dominate (real multi-node clusters with",
+        "slow driver-executor RPC may invert this — re-measure there).",
+        "",
+    ]
     out = "\n".join(lines)
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(out)

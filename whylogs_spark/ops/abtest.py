@@ -408,6 +408,90 @@ def poisson_bootstrap_diff(
     return obs.crossJoin(F.broadcast(ci))
 
 
+def msprt_scan(
+    df: DataFrame,
+    time_col: str,
+    group_col: str,
+    metric_col: str,
+    control,
+    treatment,
+    tau2: float = 1.0,
+    grain: str = "day",
+) -> DataFrame:
+    """Always-valid sequential A/B monitoring: the mixture SPRT
+    (Johari et al. 2017 'Peeking at A/B tests') over time buckets —
+    the experiment can be checked after EVERY bucket without
+    inflating false positives, unlike repeated fixed-horizon t-tests.
+
+    One row per ``grain`` bucket, ascending: cumulative arm counts
+    and means, the mean difference, its variance ``v_t`` (pooled
+    two-sample), the mixture likelihood ratio
+
+        Λ_t = sqrt(v_t/(v_t+τ²)) · exp(d_t²·τ²/(2·v_t·(v_t+τ²)))
+
+    and ``p_always_valid = min(1, 1/Λ_t)`` — reject when it crosses
+    α at ANY bucket.  ``tau2`` is the mixture-prior variance of the
+    effect size (tune to the effect scale you care to detect).
+    Buckets before both arms have ≥2 observations report null Λ/p.
+
+    Scale shape: the data collapses to one row per bucket with
+    conditional partial-agged sums (map-side; skew bound = nothing),
+    then the cumulative walk is the shared two-phase
+    range-partitioned prefix sum — no single-partition window.
+    """
+    from whylogs_spark.core.prefix import running_sums
+
+    if tau2 <= 0:
+        raise ValueError(f"tau2 must be > 0: {tau2}")
+    m = F.col(metric_col).cast("double")
+    gcol = F.col(group_col)
+    is_c = (gcol == F.lit(control)).cast("int")
+    is_t = (gcol == F.lit(treatment)).cast("int")
+    base = df.filter(
+        m.isNotNull() & ~F.isnan(m) & F.col(time_col).isNotNull()
+        & (gcol.isin([control, treatment]))
+    ).select(
+        F.date_trunc(grain, F.col(time_col)).alias("bucket"),
+        is_c.alias("__c"), is_t.alias("__t"), m.alias("__v"))
+    g = base.groupBy("bucket").agg(
+        F.sum("__c").alias("nc"),
+        F.sum("__t").alias("nt"),
+        F.sum(F.col("__v") * F.col("__c")).alias("sc"),
+        F.sum(F.col("__v") * F.col("__t")).alias("st"),
+        F.sum(F.col("__v") * F.col("__v") * F.col("__c")).alias("qc"),
+        F.sum(F.col("__v") * F.col("__v") * F.col("__t")).alias("qt"),
+    )
+    w = running_sums(g, ["bucket"], ["nc", "nt", "sc", "st",
+                                     "qc", "qt"])
+    nc = F.col("__cum_nc").cast("double")
+    nt = F.col("__cum_nt").cast("double")
+    mean_c = F.try_divide(F.col("__cum_sc"), nc)
+    mean_t = F.try_divide(F.col("__cum_st"), nt)
+    # pooled two-sample variance of the mean difference
+    ss = (F.col("__cum_qc") - nc * mean_c * mean_c
+          + F.col("__cum_qt") - nt * mean_t * mean_t)
+    pooled = F.try_divide(ss, nc + nt - F.lit(2.0))
+    v_t = F.when((nc >= 2) & (nt >= 2),
+                 pooled * (F.lit(1.0) / nc + F.lit(1.0) / nt))
+    d = mean_t - mean_c
+    t2 = F.lit(float(tau2))
+    lam = F.when(
+        v_t > 0,
+        F.sqrt(v_t / (v_t + t2))
+        * F.exp(d * d * t2 / (F.lit(2.0) * v_t * (v_t + t2))))
+    return w.select(
+        "bucket",
+        F.col("__cum_nc").alias("n_c"),
+        F.col("__cum_nt").alias("n_t"),
+        mean_c.alias("mean_c"), mean_t.alias("mean_t"),
+        d.alias("diff"), v_t.alias("v_t"),
+        lam.alias("lambda"),
+        F.when(lam.isNotNull(),
+               F.least(F.lit(1.0), F.lit(1.0) / lam))
+        .alias("p_always_valid"),
+    )
+
+
 def uplift_curve(
     df: DataFrame,
     treatment_col: str,

@@ -1,0 +1,160 @@
+"""Non-parametric trend detection over bucketed metric series:
+Mann-Kendall S / variance / z and the Theil-Sen slope + intercept —
+the robust "is this metric drifting up or down" answer a monitoring
+pipeline wants (immune to outliers and to the distribution shape,
+unlike an OLS slope).
+
+No reference analogue (whylogs ships point-in-time drift scores, not
+trend tests); the statistics follow Mann (1945) / Kendall (1975) with
+the standard tie-corrected variance and Sen (1968) slopes.
+
+Scale shape: the input is collapsed to ONE row per (group, time) —
+duplicate timestamps average — so the quadratic pair expansion runs
+over series LENGTH, not row count.  The op targets rollup-grain
+series (``ops.events.rollup_timeseries`` output: daily buckets give
+n=365 → 66k pairs per group), where n² is trivially bounded; the
+self-join is an equi-join on the group key, so skew bound = one
+group's series length squared and groups parallelize.  Sen's median
+slope uses exact ``percentile`` over the pair frame; the tie term is
+one more (group, value) partial-agged aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["mann_kendall", "with_trend_pvalues"]
+
+
+def mann_kendall(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """One row per group: ``(group..., n, s_stat, var_s, z,
+    sen_slope, sen_intercept)``.
+
+    * ``s_stat`` — Mann-Kendall S = Σ_{i<j} sign(v_j − v_i) over the
+      time-ordered collapsed series.
+    * ``var_s`` — tie-corrected variance
+      [n(n−1)(2n+5) − Σ_t c_t(c_t−1)(2c_t+5)] / 18.
+    * ``z`` — continuity-corrected (S∓1)/√var_s; 0 when S = 0; null
+      when var_s = 0 (a constant series has no trend evidence).
+    * ``sen_slope`` — median of all pairwise slopes
+      (v_j − v_i)/(t_j − t_i) in value-units per SECOND for
+      timestamp time columns (per time-unit for numeric ones).
+    * ``sen_intercept`` — median of (v − sen_slope·t), the robust
+      line's level.
+
+    Null/NaN values and null times drop; duplicate timestamps within
+    a group average before the walk (MK is defined on a sequence).
+    Attach p-values with :func:`with_trend_pvalues`.
+    """
+    groups: List[str] = list(group_cols or [])
+    t = F.col(time_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        t.isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(*groups, t.alias("__t"), v.alias("__v"))
+    # one row per (group, time): MK needs a sequence
+    g = base.groupBy(*groups, "__t").agg(F.avg("__v").alias("__v"))
+
+    a = g.select(*groups, F.col("__t").alias("__t1"),
+                 F.col("__v").alias("__v1"))
+    b = g.select(*[F.col(c).alias(f"__g_{c}") for c in groups],
+                 F.col("__t").alias("__t2"),
+                 F.col("__v").alias("__v2"))
+    if groups:
+        cond = None
+        for c in groups:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        pairs = a.join(b, cond & (F.col("__t2") > F.col("__t1")))
+    else:
+        # global series: the collapsed frame is series-length-sized
+        # (rollup grain), so broadcasting one side is bounded
+        pairs = a.join(F.broadcast(b),
+                       F.col("__t2") > F.col("__t1"))
+    sgn = (F.when(F.col("__v2") > F.col("__v1"), 1)
+           .when(F.col("__v2") < F.col("__v1"), -1)
+           .otherwise(0))
+    slope = (F.col("__v2") - F.col("__v1")) \
+        / (F.col("__t2") - F.col("__t1"))
+    pair_stats = (
+        pairs.select(*groups, sgn.alias("__sgn"),
+                     slope.alias("__slope"))
+        .groupBy(*groups)
+        .agg(F.sum("__sgn").alias("s_stat"),
+             F.expr("percentile(__slope, 0.5)").alias("sen_slope"))
+    )
+
+    # tie term + series length from the collapsed series
+    tie_sizes = g.groupBy(*groups, "__v").agg(
+        F.count(F.lit(1)).cast("double").alias("__c"))
+    c = F.col("__c")
+    counts = tie_sizes.groupBy(*groups).agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(c * (c - 1) * (2 * c + 5)).alias("__ties"))
+
+    if groups:
+        rep = counts.join(pair_stats, groups, "left")
+    else:
+        rep = counts.join(F.broadcast(pair_stats), F.lit(True), "left")
+    nd = F.col("n").cast("double")
+    var_s = (nd * (nd - 1) * (2 * nd + 5) - F.col("__ties")) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = F.when(
+        var_s > 0,
+        F.when(s > 0, (s - 1) / F.sqrt(var_s))
+        .when(s < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)))
+    rep = rep.select(*groups, "n", "s_stat", var_s.alias("var_s"),
+                     z.alias("z"), "sen_slope")
+
+    # robust intercept: median residual level at the Sen slope — one
+    # more agg over the collapsed series with the bounded per-group
+    # report broadcast back
+    if groups:
+        back = g.join(
+            F.broadcast(rep.select(*groups, "sen_slope")), groups)
+    else:
+        back = g.crossJoin(
+            F.broadcast(rep.select("sen_slope")))
+    inter = (back.select(
+        *groups,
+        (F.col("__v") - F.col("sen_slope") * F.col("__t"))
+        .alias("__r"))
+        .groupBy(*groups)
+        .agg(F.expr("percentile(__r, 0.5)").alias("sen_intercept")))
+    if groups:
+        return rep.join(inter, groups, "left")
+    return rep.crossJoin(F.broadcast(inter))
+
+
+def with_trend_pvalues(report: DataFrame) -> DataFrame:
+    """Attach the two-sided normal p-value of the MK ``z`` to a
+    :func:`mann_kendall` frame — Arrow batch over the bounded
+    (one-row-per-group) report, same pattern as
+    ``ops.abtest.with_ab_pvalues``."""
+    from whylogs_spark.core.drift import normal_sf
+
+    schema = T.StructType(
+        list(report.schema.fields)
+        + [T.StructField("p_value", T.DoubleType())])
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            pv = [None if pd.isna(zz) else 2.0 * normal_sf(abs(float(zz)))
+                  for zz in pdf["z"]]
+            pdf = pdf.copy()
+            pdf["p_value"] = pd.array(pv, dtype="float64")
+            yield pdf
+
+    return report.mapInPandas(gen, schema)
