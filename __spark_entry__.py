@@ -3353,6 +3353,88 @@ def _q_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+def _q_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time trailing features (ops/features.py
+    trailing_features): strictly-past 7-day count/sum/avg + lifetime
+    prior-event count + recency per event, RANGE frames over each
+    user's ordered history (one shuffle on user; skew bound = one
+    user).  Gate projects a per-event-type rollup of the feature
+    values so the compared frame stays bounded; the oracle replays
+    the identical RANGE frames in DuckDB."""
+    from whylogs_spark.ops.features import trailing_features
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    feat = trailing_features(ev, "user_id", "ts", "value",
+                             windows_sec=(86400 * 7,))
+    return (feat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("cnt_7d"), 6).alias("avg_cnt_7d"),
+        F.round(F.sum("sum_7d"), 4).alias("tot_sum_7d"),
+        F.round(F.avg("avg_7d"), 6).alias("avg_avg_7d"),
+        F.round(F.avg("prior_events"), 6).alias("avg_prior"),
+        F.round(F.avg("seconds_since_prev"), 4).alias("avg_recency"),
+    ).orderBy("event_type"))
+
+
+def _q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (ops/sampling.py kfold_assign):
+    md5 hex-interval folds, zero shuffle.  Oracle recomputes the
+    identical CASE over md5 prefixes."""
+    from whylogs_spark.ops.sampling import kfold_assign
+
+    o = kfold_assign(_t(spark, sf_dir, "orders"), ["o_orderkey"], 5)
+    return (o.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .orderBy("fold"))
+
+
+def _q_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest splits (ops/sampling.py
+    rolling_origin_splits): expanding-window train/test assignment
+    from a broadcast 1-row max + exploded split spec — the data never
+    shuffles.  Oracle replays the cutoff arithmetic with
+    generate_series."""
+    from whylogs_spark.ops.sampling import rolling_origin_splits
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_origin_splits(ev, "ts", n_splits=4,
+                                horizon_sec=7 * 86400.0)
+    ep = F.col("ts").cast("timestamp").cast("double")
+    return (out.groupBy("split_id", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(ep), 2).alias("t_min"),
+        F.round(F.max(ep), 2).alias("t_max"),
+        F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("split_id", "role"))
+
+
+def _q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (ops/sampling.py
+    negative_sampling): md5-indexed draws from the popularity-capped
+    catalog, accidental positives anti-joined away.  Gate reduces the
+    pair frame to per-rank counts + an order-insensitive md5
+    checksum; the oracle replays catalog order, draws, and the anti
+    join."""
+    from whylogs_spark.ops.sampling import negative_sampling
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 500).alias("u"),
+        F.concat(F.lit("i"), (F.col("event_id") % 200).cast("string"))
+        .alias("it"))
+    out = negative_sampling(ev, "u", "it", n_neg=2, max_catalog=100,
+                            salt="g")
+    chk = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col("user"), F.col("item"), F.col("neg_item"))), 1, 12),
+        16, 10).cast("bigint")
+    return (out.groupBy("neg_rank").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("neg_item").alias("distinct_negs"),
+        F.sum(chk).alias("checksum"))
+        .orderBy("neg_rank"))
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -3404,6 +3486,10 @@ _GATE_ORDER = [
     "trend_test_events",
     "msprt_orders",
     "offpolicy_value_orders",
+    "trailing_features_events",
+    "kfold_split_orders",
+    "rolling_origin_events",
+    "negative_sampling_events",
 ]
 
 
@@ -3625,6 +3711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_test_events": _q_trend_test,
         "msprt_orders": _q_msprt,
         "offpolicy_value_orders": _q_offpolicy,
+        "trailing_features_events": _q_trailing_features,
+        "kfold_split_orders": _q_kfold_split,
+        "rolling_origin_events": _q_rolling_origin,
+        "negative_sampling_events": _q_negative_sampling,
         "stationary_distribution_events": _q_stationary,
         "textrank_keywords_documents": _q_textrank,
     }
@@ -5083,8 +5173,94 @@ def _textrank_sql(window: int = 2, iterations: int = 10,
     return "".join(parts)
 
 
+def _kfold_sql(k: int = 5) -> str:
+    # fold i covers the md5 hex-prefix interval [i/k, (i+1)/k) — the
+    # identical string thresholds ops/sampling.py _threshold emits
+    branches = []
+    for i in range(k - 1):
+        thr = format(int(round((i + 1) / k * 16 ** 8)), "08x")
+        branches.append(
+            f"WHEN substr(md5(o_orderkey::VARCHAR), 1, 8) < '{thr}' "
+            f"THEN {i}")
+    case = "CASE " + " ".join(branches) + f" ELSE {k - 1} END"
+    return (
+        f"WITH s AS (SELECT o_totalprice, {case} AS fold FROM orders) "
+        "SELECT fold, count(*)::BIGINT AS n, "
+        "round(avg(o_totalprice), 4) AS avg_price FROM s "
+        "GROUP BY fold ORDER BY fold")
+
+
+_NEGSAMP_SQL = (
+    "WITH pos AS (SELECT DISTINCT (user_id % 500)::VARCHAR AS u, "
+    "'i' || (event_id % 200)::VARCHAR AS it FROM events "
+    "WHERE user_id IS NOT NULL AND event_id IS NOT NULL), "
+    "c0 AS (SELECT it, count(*) AS cnt FROM pos GROUP BY 1), "
+    "cat AS (SELECT it AS neg_item, "
+    "row_number() OVER (ORDER BY cnt DESC, it) - 1 AS idx "
+    "FROM c0 ORDER BY cnt DESC, it LIMIT 100), "
+    "mm AS (SELECT count(*) AS m FROM cat), "
+    "drawn AS (SELECT pos.u, pos.it, g.j AS neg_rank, "
+    "(('0x' || substr(md5(pos.u || '|' || pos.it || '|' || "
+    "g.j::VARCHAR || '|' || 'g'), 1, 15))::UBIGINT "
+    "% (SELECT m FROM mm)::UBIGINT)::BIGINT AS idx "
+    "FROM pos CROSS JOIN generate_series(1, 2) AS g(j)), "
+    "cand AS (SELECT d.u, d.it, c.neg_item, d.neg_rank "
+    "FROM drawn d JOIN cat c USING (idx)), "
+    "filt AS (SELECT * FROM cand WHERE NOT EXISTS ("
+    "SELECT 1 FROM pos p WHERE p.u = cand.u "
+    "AND p.it = cand.neg_item)) "
+    "SELECT neg_rank::INT AS neg_rank, count(*)::BIGINT AS n, "
+    "count(DISTINCT neg_item)::BIGINT AS distinct_negs, "
+    "sum(('0x' || substr(md5(u || '|' || it || '|' || neg_item), "
+    "1, 12))::UBIGINT)::BIGINT AS checksum "
+    "FROM filt GROUP BY 1 ORDER BY 1")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "trailing_features_events": (
+            "WITH e AS (SELECT event_type, value, "
+            "epoch(ts)::DOUBLE AS t, user_id FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "f AS (SELECT event_type, "
+            "count(*) OVER w7 AS cnt7, sum(value) OVER w7 AS sum7, "
+            "avg(value) OVER w7 AS avg7, count(*) OVER wl AS prior, "
+            "t - max(t) OVER wl AS rec FROM e WINDOW "
+            "w7 AS (PARTITION BY user_id ORDER BY t RANGE BETWEEN "
+            "604800 PRECEDING AND 1 PRECEDING), "
+            "wl AS (PARTITION BY user_id ORDER BY t RANGE BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "round(avg(cnt7), 6) AS avg_cnt_7d, "
+            "round(sum(sum7), 4) AS tot_sum_7d, "
+            "round(avg(avg7), 6) AS avg_avg_7d, "
+            "round(avg(prior), 6) AS avg_prior, "
+            "round(avg(rec), 4) AS avg_recency "
+            "FROM f GROUP BY 1 ORDER BY 1"
+        ),
+        "kfold_split_orders": _kfold_sql(5),
+        "rolling_origin_events": (
+            "WITH e AS (SELECT value, epoch(ts)::DOUBLE AS t "
+            "FROM events WHERE ts IS NOT NULL), "
+            "mx AS (SELECT max(t) AS tmax FROM e), "
+            "spec AS (SELECT g.i AS split_id, "
+            "mx.tmax - 604800.0 * (4 - g.i + 1) AS t0, "
+            "mx.tmax - 604800.0 * (4 - g.i) AS t1 "
+            "FROM mx CROSS JOIN generate_series(1, 4) AS g(i)), "
+            "j AS (SELECT e.value, e.t, spec.split_id, "
+            "CASE WHEN e.t < spec.t0 THEN 'train' "
+            "WHEN e.t >= spec.t0 AND ((spec.split_id = 4 AND "
+            "e.t <= spec.t1) OR (spec.split_id <> 4 AND "
+            "e.t < spec.t1)) THEN 'test' END AS role "
+            "FROM e CROSS JOIN spec) "
+            "SELECT split_id::INT AS split_id, role, "
+            "count(*)::BIGINT AS n, round(min(t), 2) AS t_min, "
+            "round(max(t), 2) AS t_max, "
+            "round(avg(value), 6) AS avg_value "
+            "FROM j WHERE role IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "negative_sampling_events": _NEGSAMP_SQL,
         "trend_test_events": (
             "WITH d AS (SELECT event_type, "
             "epoch(date_trunc('day', ts))::DOUBLE AS t, "

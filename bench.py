@@ -946,6 +946,27 @@ def main() -> None:
                            "5-LOW": 0.05},
             clip=3.0, group_cols=["o_orderstatus"]))
 
+    def bench_features_splits():
+        # point-in-time trailing features + CV splits + negative
+        # sampling — round-10 batch 2
+        from whylogs_spark.ops.features import trailing_features
+        from whylogs_spark.ops.sampling import (kfold_assign,
+                                                negative_sampling,
+                                                rolling_origin_splits)
+        ev = t["events"]
+        _noop(trailing_features(
+            ev.filter(F.col("user_id").isNotNull()
+                      & F.col("ts").isNotNull()),
+            "user_id", "ts", "value", windows_sec=(86400 * 7,)))
+        _noop(kfold_assign(t["orders"], ["o_orderkey"], 5))
+        _noop(rolling_origin_splits(ev, "ts", 4, 7 * 86400.0))
+        _noop(negative_sampling(
+            ev.select((F.col("user_id") % 500).alias("u"),
+                      F.concat(F.lit("i"),
+                               (F.col("event_id") % 200)
+                               .cast("string")).alias("it")),
+            "u", "it", n_neg=2, max_catalog=100))
+
     def bench_ab_hot10x():
         # skew rehearsal: 10x orders with a DEGENERATE 5-distinct-value
         # metric (integer star-ratings shape) — every (segment, value)
@@ -1189,6 +1210,7 @@ def main() -> None:
         "data_contract": bench_data_contract,
         "ab_test_orders": bench_ab_test,
         "trend_offpolicy": bench_trend_offpolicy,
+        "features_splits": bench_features_splits,
         "ab_hot10x": bench_ab_hot10x,
         "fairness_agreement": bench_fairness_agreement,
         "graph_pagerank": bench_graph_pagerank,

@@ -2542,6 +2542,83 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 10b. round-10 batch 2: point-in-time features / CV splits /
+    # negative sampling
+    from whylogs_spark.ops.features import trailing_features
+
+    tf = trailing_features(
+        ev.filter(F.col("user_id").isNotNull()
+                  & F.col("ts").isNotNull()),
+        "user_id", "ts", "value", windows_sec=(86400 * 7,))
+    sections.append((
+        "point-in-time trailing features (entity RANGE frames)", tf,
+        {
+            "windows keyed by the entity (never partition-less)":
+                r"windowspecdefinition\(user_id#",
+            "exactly one data exchange (the entity key)":
+                r"^(?!([\s\S]*hashpartitioning\(){2})"
+                r"[\s\S]*hashpartitioning\(user_id#",
+            "no join (features come off one sorted run)":
+                r"^(?![\s\S]*(SortMergeJoin|ShuffledHashJoin|"
+                r"BroadcastHashJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.sampling import (kfold_assign,
+                                            negative_sampling,
+                                            rolling_origin_splits)
+
+    kf = kfold_assign(ords9, ["o_orderkey"], 5)
+    sections.append((
+        "k-fold assignment (pure projection)", kf,
+        {
+            "zero shuffle, zero join":
+                r"^(?![\s\S]*(Exchange|SortMergeJoin|"
+                r"BroadcastHashJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    ro = rolling_origin_splits(ev, "ts", 4, 7 * 86400.0)
+    sections.append((
+        "rolling-origin splits (broadcast spec, no data shuffle)", ro,
+        {
+            "split spec joined by broadcast":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "the data itself never hash-exchanges":
+                r"^(?![\s\S]*Exchange hashpartitioning)",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    ns = negative_sampling(
+        ev.select((F.col("user_id") % 500).alias("u"),
+                  F.concat(F.lit("i"),
+                           (F.col("event_id") % 200).cast("string"))
+                  .alias("it")),
+        "u", "it", n_neg=2, max_catalog=100)
+    sections.append((
+        "negative sampling (broadcast catalog + anti join)", ns,
+        {
+            "pair dedup partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "catalog joined by broadcast":
+                r"BroadcastHashJoin",
+            "accidental positives removed by anti join":
+                r"LeftAnti",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

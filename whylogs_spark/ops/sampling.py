@@ -556,3 +556,158 @@ def weighted_sample(
         .limit(k)
         .drop("__es_key")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int,
+    salt: str = "",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: every row
+    gets a fold in ``[0, k)`` from the md5 of its key — the same key
+    lands in the same fold in every run and any engine, and keying on
+    a GROUP column (user id, document source) gives grouped k-fold
+    for free (all of a group's rows share a fold, so folds never
+    leak a group across the train/test boundary).
+
+    Zero shuffle — a projection over the scan, same machinery as
+    :func:`hash_split` (fold i covers the hex-prefix interval
+    [i/k, (i+1)/k), so fold sizes are uniform in expectation)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    h = _hash_prefix(key_cols, salt)
+    expr = None
+    for i in range(k):
+        cond = h < F.lit(_threshold((i + 1) / k))
+        branch = F.lit(i)
+        expr = F.when(cond, branch) if expr is None \
+            else expr.when(cond, branch)
+    return df.withColumn(fold_col, expr.otherwise(F.lit(k - 1)))
+
+
+def rolling_origin_splits(
+    df: DataFrame,
+    time_col: str,
+    n_splits: int,
+    horizon_sec: float,
+) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest splits for
+    time-series models: split ``i`` (1..n) trains on everything
+    strictly before its test window and tests on the next
+    ``horizon_sec`` seconds, with split n's window ending at the
+    data's max timestamp:
+
+        test_i = [t_max − (n−i+1)·h, t_max − (n−i)·h)
+
+    (split n's window is closed on the right so the max row itself
+    is testable).  Returns the input columns plus ``split_id`` and
+    ``role`` ('train' | 'test'); a row appears once per split where
+    it participates, so output size is ≤ n_splits × rows — budget
+    accordingly (the point of backtesting is refitting n models
+    anyway).
+
+    Scale shape: the max timestamp is a 1-row broadcast aggregate;
+    the split spec is an in-plan exploded sequence (n rows) joined
+    by broadcast with a codegen role predicate — no shuffle of the
+    data at all."""
+    from whylogs_spark.ops.features import _epoch_seconds
+
+    if n_splits < 1:
+        raise ValueError(f"n_splits must be >= 1: {n_splits}")
+    if horizon_sec <= 0:
+        raise ValueError(f"horizon_sec must be > 0: {horizon_sec}")
+    t = _epoch_seconds(df, time_col)
+    base = df.filter(t.isNotNull()).withColumn("__ep", t)
+    tmax = base.agg(F.max("__ep").alias("__tmax"))
+    spec = (tmax.select(
+        "__tmax",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_splits))))
+        .alias("split_id"))
+        .select(
+            "split_id",
+            (F.col("__tmax")
+             - F.lit(float(horizon_sec))
+             * (F.lit(int(n_splits)) - F.col("split_id") + 1))
+            .alias("__t0"),
+            (F.col("__tmax")
+             - F.lit(float(horizon_sec))
+             * (F.lit(int(n_splits)) - F.col("split_id")))
+            .alias("__t1")))
+    j = base.join(F.broadcast(spec), F.lit(True))
+    is_last = F.col("split_id") == F.lit(int(n_splits))
+    in_test = (F.col("__ep") >= F.col("__t0")) & (
+        F.when(is_last, F.col("__ep") <= F.col("__t1"))
+        .otherwise(F.col("__ep") < F.col("__t1")))
+    role = F.when(F.col("__ep") < F.col("__t0"), F.lit("train")) \
+        .when(in_test, F.lit("test"))
+    return (j.withColumn("role", role)
+            .filter(F.col("role").isNotNull())
+            .select(*df.columns, "split_id", "role"))
+
+
+def negative_sampling(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_neg: int = 4,
+    max_catalog: int = 100_000,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (recommendation / retrieval two-tower models): for every observed
+    positive (user, item) pair, draw ``n_neg`` candidate items the
+    user did NOT interact with, sampled uniformly from the
+    ``max_catalog`` most-popular items.
+
+    Returns ``(user, item, neg_item, neg_rank)``.  Draws are md5 of
+    (user, item, draw index, salt) — reproducible across runs and
+    engines.  Accidental positives are REMOVED, not resampled, so a
+    pair can yield fewer than ``n_neg`` rows (the standard cheap
+    convention; resampling would need an unbounded loop).
+
+    Scale shape: the catalog is capped at ``max_catalog`` items by
+    (count desc, item) — a TakeOrderedAndProject, collected once
+    (bounded by the cap) and re-broadcast with a dense index for the
+    modulo draw; the anti-join against positives shuffles only the
+    drawn candidates.  Interactions are deduplicated to distinct
+    pairs first (partial-agg)."""
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1: {n_neg}")
+    if max_catalog < 2:
+        raise ValueError(f"max_catalog must be >= 2: {max_catalog}")
+    spark = df.sparkSession
+    u = F.col(user_col).cast("string")
+    it = F.col(item_col).cast("string")
+    pos = df.filter(u.isNotNull() & it.isNotNull()) \
+        .select(u.alias("user"), it.alias("item")).distinct()
+    top = (pos.groupBy("item").agg(F.count(F.lit(1)).alias("__n"))
+           .orderBy(F.desc("__n"), F.col("item"))
+           .limit(int(max_catalog))
+           .select("item").collect())
+    items = [r["item"] for r in top]
+    m = len(items)
+    if m < 2:
+        raise ValueError("catalog has fewer than 2 distinct items")
+    catalog = spark.createDataFrame(
+        list(enumerate(items)), "__idx bigint, neg_item string")
+    drawn = (pos
+             .select("user", "item",
+                     F.explode(F.sequence(
+                         F.lit(1), F.lit(int(n_neg)))).alias("neg_rank"))
+             .withColumn(
+                 "__idx",
+                 F.conv(F.substring(F.md5(F.concat_ws(
+                     "|", F.col("user"), F.col("item"),
+                     F.col("neg_rank").cast("string"),
+                     F.lit(salt))), 1, 15), 16, 10)
+                 .cast("bigint") % F.lit(m)))
+    cand = drawn.join(F.broadcast(catalog), "__idx").drop("__idx")
+    # drop draws that are real positives for that user
+    return cand.join(
+        pos.select(F.col("user").alias("__pu"),
+                   F.col("item").alias("__pi")),
+        (F.col("user") == F.col("__pu"))
+        & (F.col("neg_item") == F.col("__pi")),
+        "left_anti")

@@ -57,8 +57,10 @@ def mann_kendall(
     a group average before the walk (MK is defined on a sequence).
     Attach p-values with :func:`with_trend_pvalues`.
     """
+    from whylogs_spark.ops.features import _epoch_seconds
+
     groups: List[str] = list(group_cols or [])
-    t = F.col(time_col).cast("double")
+    t = _epoch_seconds(df, time_col)
     v = F.col(value_col).cast("double")
     base = df.filter(
         t.isNotNull() & v.isNotNull() & ~F.isnan(v)
