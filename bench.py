@@ -967,6 +967,25 @@ def main() -> None:
                                .cast("string")).alias("it")),
             "u", "it", n_neg=2, max_catalog=100))
 
+    def bench_graph_embed_r10():
+        # label propagation + MMD drift + PCA fit/project —
+        # round-10 batch 3
+        from whylogs_spark.core.embeddings import (embedding_mmd,
+                                                   pca_fit,
+                                                   pca_project)
+        from whylogs_spark.ops.graph import label_propagation
+        edges = t["lineitem"].select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        _noop(label_propagation(edges, iterations=3))
+        emb = t["embeddings"]
+        _noop(embedding_mmd(emb.filter(F.col("vec_id") % 2 == 0),
+                            emb.filter(F.col("vec_id") % 2 == 1),
+                            n_features=32, sigma=4.0, seed=11))
+        _noop(pca_project(emb, pca_fit(emb, k=4)))
+
     def bench_ab_hot10x():
         # skew rehearsal: 10x orders with a DEGENERATE 5-distinct-value
         # metric (integer star-ratings shape) — every (segment, value)
@@ -1211,6 +1230,7 @@ def main() -> None:
         "ab_test_orders": bench_ab_test,
         "trend_offpolicy": bench_trend_offpolicy,
         "features_splits": bench_features_splits,
+        "graph_embed_r10": bench_graph_embed_r10,
         "ab_hot10x": bench_ab_hot10x,
         "fairness_agreement": bench_fairness_agreement,
         "graph_pagerank": bench_graph_pagerank,
@@ -1248,6 +1268,7 @@ def main() -> None:
                 # 2, "median" is the max — the cold first rep)
                 "profile_scale_10x": 3,
                 "graph_pagerank": 3,
+                "graph_embed_r10": 3,
                 "labelqc_conformal_silhouette": 3,
                 "uplift_stationary": 3,
                 "schema_quality_survival": 3,

@@ -2619,6 +2619,85 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 10c. round-10 batch 3: label propagation / MMD drift / PCA
+    # (label_propagation and embedding_mmd checkpoint/collect their
+    # results, which erases plans — audit the construction frames,
+    # the pagerank/stationary precedent)
+    lp_edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("__s"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("__d"))
+    lp_und = lp_edges.union(
+        lp_edges.select(F.col("__d").alias("__s"),
+                        F.col("__s").alias("__d"))).distinct()
+    lp_labels = lp_und.select(F.col("__s").alias("node")).distinct() \
+        .select("node", F.col("node").alias("community"))
+    lp_msgs = (lp_labels.join(lp_und,
+                              lp_labels["node"] == lp_und["__s"])
+               .select(F.col("__d").alias("node"), "community"))
+    lp_step = (lp_msgs.groupBy("node", "community")
+               .agg(F.count(F.lit(1)).alias("__c"))
+               .groupBy("node")
+               .agg(F.min(F.struct(
+                   (F.lit(0) - F.col("__c")).alias("nc"),
+                   F.col("community").alias("lab"))).alias("__m")))
+    sections.append((
+        "label propagation (one synchronous step)", lp_step,
+        {
+            "message counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "label join is a hash equi-join on the node key":
+                r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            "argmax is a struct-min aggregate (no window)":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.core.embeddings import (_rff_constants,
+                                               _rff_expr, pca_project)
+
+    rw, rb = _rff_constants(32, 64, 4.0, 11)
+    mmd_mean = (emb_nn.filter(F.size("embedding") == 64)
+                .select(_rff_expr("embedding", rw, rb).alias("__phi"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.avg(F.col("__phi")[j]).alias(f"m{j}")
+                       for j in range(32)]))
+    sections.append((
+        "MMD drift feature means (one codegen agg pass)", mmd_mean,
+        {
+            "feature map is a literal-constant projection "
+            "(no join, no second scan)":
+                r"^(?!(?:[\s\S]*\(\d+\) Scan parquet){2})"
+                r"[\s\S]*\(\d+\) Scan parquet",
+            "mean partial-aggs before the 1-row exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    pca_model = {
+        "mean": [0.0] * 64,
+        "components": [[1.0 if i == j else 0.0 for i in range(64)]
+                       for j in range(4)],
+    }
+    pca_pl = pca_project(emb_nn, pca_model)
+    sections.append((
+        "PCA projection (pure codegen, zero shuffle)", pca_pl,
+        {
+            "zero shuffle, zero join":
+                r"^(?![\s\S]*(Exchange|SortMergeJoin|"
+                r"BroadcastHashJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

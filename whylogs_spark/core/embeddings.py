@@ -480,3 +480,193 @@ def embedding_dim_stats(
         )
         .orderBy("dim")
     )
+
+
+# ------------------------------------------------ MMD drift (RFF)
+
+def _rff_constants(n_features: int, dim: int, sigma: float,
+                   seed: int):
+    """Deterministic random-Fourier-feature constants for the
+    Gaussian kernel exp(-||x-y||²/(2σ²)): frequencies W ~ N(0, 1/σ²)
+    and phases b ~ U[0, 2π), from a fixed numpy RandomState so the
+    identical literals replay in any engine (the recall-estimator
+    VALUES convention)."""
+    rs = np.random.RandomState(seed)
+    w = rs.randn(n_features, dim) / float(sigma)
+    b = rs.uniform(0.0, 2.0 * math.pi, n_features)
+    return w.tolist(), b.tolist()
+
+
+def _rff_expr(vec_col: str, w, b) -> Column:
+    """phi(x) = sqrt(2/D)·cos(Wx + b) as ONE parsed SQL expression
+    (the ``_lsh_buckets_expr`` lesson: per-element Column-API lit
+    chains cost ~100 ms of driver py4j per feature)."""
+    vec = f"CAST(`{vec_col}` AS array<double>)"
+    scale = repr(math.sqrt(2.0 / len(w))) + "D"
+    feats = []
+    for wj, bj in zip(w, b):
+        arr = "array(" + ",".join(repr(x) + "D" for x in wj) + ")"
+        dot = (f"aggregate(zip_with({vec}, {arr}, "
+               "(x, h) -> x * h), 0.0D, (acc, v) -> acc + v)")
+        feats.append(f"{scale} * cos({dot} + {repr(bj)}D)")
+    return F.expr("array(" + ", ".join(feats) + ")")
+
+
+def embedding_mmd(
+    target: DataFrame,
+    reference: DataFrame,
+    vec_col: str = "embedding",
+    n_features: int = 64,
+    sigma: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Maximum Mean Discrepancy drift between two vector corpora via
+    random Fourier features (Rahimi & Recht 2007): the kernel
+    two-sample statistic (Gretton et al. 2012) that sees FULL
+    distribution shape changes — cluster splits, mode drops, variance
+    collapse — where :func:`embedding_drift`'s centroid geometry sees
+    only first moments.
+
+    Returns one row ``(n_target, n_reference, n_features, sigma,
+    mmd2)`` with mmd2 = ||mean φ(target) − mean φ(reference)||², the
+    biased V-statistic estimate of MMD² under the Gaussian kernel
+    exp(−||x−y||²/(2σ²)).  0 means indistinguishable at this feature
+    resolution; compare magnitudes across runs / segments rather
+    than against an absolute threshold (or bootstrap a null with
+    :func:`~whylogs_spark.ops.sampling.hash_split`).
+
+    Scale shape: ONE aggregation pass per side — the feature map is
+    a single parsed codegen projection (constants hoisted, no per-row
+    Python), the per-corpus mean is n_features scalar averages, and
+    only two 1-row frames ever leave the executors.  Deterministic:
+    frequencies/phases come from a fixed-seed numpy draw inlined as
+    plan literals, so any engine replays bit-comparable features.
+    """
+    if n_features < 1:
+        raise ValueError(f"n_features must be >= 1: {n_features}")
+    if sigma <= 0:
+        raise ValueError(f"sigma must be > 0: {sigma}")
+    dim_row = reference.filter(F.col(vec_col).isNotNull()) \
+        .select(vec_col).first()
+    if dim_row is None:
+        raise ValueError("reference has no vectors")
+    dim = len(dim_row[0])
+    w, b = _rff_constants(int(n_features), dim, float(sigma),
+                          int(seed))
+    phi = _rff_expr(vec_col, w, b)
+
+    def mean_phi(df: DataFrame, side: str):
+        r = (df.filter(F.col(vec_col).isNotNull()
+                       & (F.size(vec_col) == dim))
+             .select(phi.alias("__phi"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  *[F.avg(F.col("__phi")[j]).alias(f"m{j}")
+                    for j in range(int(n_features))])
+             .first())
+        if r["n"] == 0:
+            raise ValueError(f"{side} has no vectors of dimension "
+                             f"{dim}")
+        return [r[f"m{j}"] for j in range(int(n_features))], r["n"]
+
+    mt, nt = mean_phi(target, "target")
+    mr, nr = mean_phi(reference, "reference")
+    mmd2 = sum((a - b_) ** 2 for a, b_ in zip(mt, mr))
+    spark = target.sparkSession
+    return spark.createDataFrame(
+        [(int(nt), int(nr), int(n_features), float(sigma),
+          float(mmd2))],
+        "n_target bigint, n_reference bigint, n_features int, "
+        "sigma double, mmd2 double")
+
+
+# ------------------------------------------------ PCA
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> Dict:
+    """Exact principal components of a vector column: ``{"mean",
+    "components", "explained_variance", "explained_variance_ratio",
+    "n"}`` — the dimensionality-reduction step before clustering /
+    visualization / IVF coarse quantizers.
+
+    One distributed pass: the dim×dim Gram matrix comes from the
+    existing ``mapInArrow`` outer-product accumulate (executors ship
+    dim² doubles per partition, never rows) plus a per-dimension mean
+    aggregate; the covariance eigendecomposition runs driver-side on
+    the dim×dim matrix (numpy ``eigh`` — exact, deterministic).
+    Components are sign-fixed (largest-|coordinate| positive) so the
+    factorization is reproducible across runs and engines.  Rows with
+    null or wrong-dimension vectors are excluded.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    dim_row = df.filter(F.col(vec_col).isNotNull()) \
+        .select(vec_col).first()
+    if dim_row is None:
+        raise ValueError("input has no vectors")
+    dim = len(dim_row[0])
+    if k > dim:
+        raise ValueError(f"k={k} exceeds dimension {dim}")
+    base = df.filter(F.col(vec_col).isNotNull()
+                     & (F.size(vec_col) == dim))
+    r = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.get(vec_col, i).cast("double")).alias(f"s{i}")
+          for i in range(dim)]).first()
+    n = r["n"]
+    if n < 2:
+        raise ValueError(f"need >= 2 vectors, got {n}")
+    mu = np.array([r[f"s{i}"] / n for i in range(dim)])
+    g = _gram_matrix(base, vec_col, dim)
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    ev = []
+    for idx in order:
+        v = vecs[:, idx]
+        # deterministic sign: the largest-|.| coordinate is positive
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        ev.append(float(max(vals[idx], 0.0)))
+    total = float(np.trace(cov))
+    return {
+        "mean": [float(x) for x in mu],
+        "components": comps,
+        "explained_variance": ev,
+        "explained_variance_ratio": [
+            (e / total if total > 0 else 0.0) for e in ev],
+        "n": int(n),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: Dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto a :func:`pca_fit` model: adds ``out_col``
+    = array<double> of k scores, score_j = <x − μ, c_j>, expanded to
+    <x, c_j> − <μ, c_j> so the per-row work is one literal-array dot
+    per component (a single parsed codegen projection — zero
+    shuffle, no Python).  Null / wrong-dimension vectors get a null
+    score array."""
+    comps = model["components"]
+    mu = model["mean"]
+    dim = len(mu)
+    vec = f"CAST(`{vec_col}` AS array<double>)"
+    scores = []
+    for c in comps:
+        arr = "array(" + ",".join(repr(x) + "D" for x in c) + ")"
+        off = repr(float(sum(m * x for m, x in zip(mu, c)))) + "D"
+        scores.append(
+            f"aggregate(zip_with({vec}, {arr}, (x, h) -> x * h), "
+            f"0.0D, (acc, v) -> acc + v) - {off}")
+    expr = F.expr("array(" + ", ".join(scores) + ")")
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    return df.withColumn(out_col, F.when(ok, expr))

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degree_stats", "pagerank", "stationary_distribution"]
+__all__ = ["degree_stats", "pagerank", "stationary_distribution",
+           "label_propagation"]
 
 
 def degree_stats(
@@ -241,3 +242,63 @@ def stationary_distribution(
             state = nxt.persist()
             pending.append(state)
     return state.select("state", "probability")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), deterministic variant: ``(node, community)``.
+
+    Every node starts with its own id as label; each iteration every
+    node adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label — a total order, so the fixed
+    ``iterations`` output is a pure function of the edge set
+    (replayable in any engine; synchronous LPA on bipartite
+    structures can oscillate rather than converge, which fixed
+    iterations also make well-defined).  The graph is treated as
+    undirected (edges symmetrized), duplicate edges count once,
+    self-loops and null endpoints drop.  Isolated update targets
+    keep their previous label.
+
+    Scale shape: :func:`pagerank`'s discipline — the symmetrized
+    distinct edge set is materialized once, each iteration is ONE
+    labels⋈edges equi-join plus two partial-agged aggregations
+    ((node, label) counts, then a struct-min argmax per node), and
+    the node-sized label vector localCheckpoints per step (O(1)
+    lineage; per-step cadence measured optimal — see PLANS.md).
+    A celebrity node's in-messages partial-aggregate map-side per
+    (node, label), so hub skew ships one row per partition per
+    distinct neighbor label, never its degree.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    base = edges.filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+        & (F.col(src) != F.col(dst))
+    ).select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    und = (base.union(base.select(F.col("__d").alias("__s"),
+                                  F.col("__s").alias("__d")))
+           .distinct().localCheckpoint())
+    nodes = und.select(F.col("__s").alias("node")).distinct() \
+        .localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("community"))
+    for _ in range(int(iterations)):
+        msgs = (labels.join(und, labels["node"] == und["__s"])
+                .select(F.col("__d").alias("node"), "community"))
+        cnt = msgs.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("__c"))
+        pick = cnt.groupBy("node").agg(
+            F.min(F.struct((F.lit(0) - F.col("__c")).alias("nc"),
+                           F.col("community").alias("lab")))
+            .alias("__m"))
+        labels = (labels.join(pick, "node", "left")
+                  .select("node",
+                          F.coalesce(F.col("__m.lab"),
+                                     F.col("community"))
+                          .alias("community"))
+                  ).localCheckpoint()
+    return labels
