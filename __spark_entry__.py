@@ -3621,6 +3621,41 @@ def _q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("component"))
 
 
+def _q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic calibration (core/model_perf.py
+    isotonic_calibration): PAVA over the partial-agged distinct-score
+    table (bounded, capped collect).  The oracle fits the SAME
+    monotone regression through the max-min characterization
+    fit(i) = max_{j<=i} min_{k>=i} mean(y[j..k]) — an independent
+    O(m³) replay over 97 distinct scores."""
+    from whylogs_spark.core.model_perf import isotonic_calibration
+
+    o = _t(spark, sf_dir, "orders")
+    s = (F.col("o_orderkey") % 97).cast("double") / 97.0
+    y = ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 100
+         < 20 + 60 * s).cast("double")
+    d = o.select(s.alias("s"), y.alias("y"))
+    out = isotonic_calibration(d, "s", "y")
+    return out.select(
+        F.round("score", 6).alias("score"), "n",
+        F.round("y_rate", 6).alias("y_rate"),
+        F.round("calibrated", 6).alias("calibrated")).orderBy("score")
+
+
+def _q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases (ops/text.py rake_keywords): regex phrase
+    delimiting (punctuation + stopwords), degree/frequency word
+    scores, phrase-score top-k — one non-iterative pass, no per-doc
+    window.  Oracle replays the identical RE2-safe regex chain and
+    scoring in DuckDB."""
+    from whylogs_spark.ops.text import rake_keywords
+
+    out = rake_keywords(_t(spark, sf_dir, "documents"), k=25)
+    return out.select(
+        "phrase", F.round("score", 6).alias("score"),
+        "n_words", "n_occurrences")
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -3679,6 +3714,8 @@ _GATE_ORDER = [
     "label_propagation_lineitem",
     "mmd_drift_embeddings",
     "pca_embeddings",
+    "isotonic_calibration_orders",
+    "rake_keywords_documents",
 ]
 
 
@@ -3907,6 +3944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_lineitem": _q_label_propagation,
         "mmd_drift_embeddings": _q_mmd_drift,
         "pca_embeddings": _q_pca,
+        "isotonic_calibration_orders": _q_isotonic,
+        "rake_keywords_documents": _q_rake,
         "stationary_distribution_events": _q_stationary,
         "textrank_keywords_documents": _q_textrank,
     }
@@ -5465,6 +5504,62 @@ def _pca_sql() -> str:
         "FROM s GROUP BY 1 ORDER BY 1")
 
 
+_ISOTONIC_SQL = (
+    "WITH b AS (SELECT (o_orderkey % 97)::DOUBLE / 97.0 AS s, "
+    "CASE WHEN ((o_orderkey * 31 + o_custkey) % 100) "
+    "< 20 + 60 * ((o_orderkey % 97)::DOUBLE / 97.0) "
+    "THEN 1.0 ELSE 0.0 END AS y FROM orders), "
+    "g AS (SELECT s, count(*)::BIGINT AS n, sum(y) AS t FROM b "
+    "GROUP BY 1), "
+    "w AS (SELECT s, n, t, row_number() OVER (ORDER BY s) AS i, "
+    "sum(n) OVER (ORDER BY s) AS cn, sum(t) OVER (ORDER BY s) AS ct "
+    "FROM g), "
+    # pairwise interval means over [j..k] (inclusive prefixes:
+    # sum(j..k) = ct_k - ct_j + t_j)
+    "pm AS (SELECT a.i AS j, bb.i AS k, "
+    "(bb.ct - a.ct + a.t) / (bb.cn - a.cn + a.n) AS mu "
+    "FROM w a JOIN w bb ON bb.i >= a.i), "
+    "f AS (SELECT ii.i AS i, pm.j, min(pm.mu) AS lo "
+    "FROM w ii JOIN pm ON pm.j <= ii.i AND pm.k >= ii.i "
+    "GROUP BY 1, 2), "
+    "fit AS (SELECT i, max(lo) AS calibrated FROM f GROUP BY 1) "
+    "SELECT round(w.s, 6) AS score, w.n, "
+    "round(w.t / w.n, 6) AS y_rate, "
+    "round(fit.calibrated, 6) AS calibrated "
+    "FROM w JOIN fit USING (i) ORDER BY w.s")
+
+
+def _rake_sql(k: int = 25, min_len: int = 3,
+              max_words: int = 4) -> str:
+    from whylogs_spark.ops.text import rake_delimiter_pattern
+
+    pat = rake_delimiter_pattern(min_len).replace("'", "''")
+    return (
+        "WITH ph0 AS (SELECT unnest(string_split(regexp_replace("
+        "' ' || regexp_replace(regexp_replace("
+        "lower(coalesce(text, '')), '[^a-z0-9\\s]+', '|', 'g'), "
+        "'\\s+', ' ', 'g') || ' ', "
+        f"'{pat}', '|', 'g'), '|')) AS p FROM documents), "
+        "ph1 AS (SELECT trim(p) AS phrase FROM ph0 "
+        "WHERE trim(p) <> ''), "
+        "ph2 AS (SELECT phrase, "
+        "len(string_split(phrase, ' '))::INT AS n_words FROM ph1 "
+        f"WHERE len(string_split(phrase, ' ')) <= {max_words}), "
+        "ws AS (SELECT unnest(string_split(phrase, ' ')) AS word, "
+        "n_words FROM ph2), "
+        "st AS (SELECT word, count(*) AS freq, sum(n_words) AS deg "
+        "FROM ws GROUP BY 1), "
+        "pd AS (SELECT phrase, n_words, count(*)::BIGINT AS "
+        "n_occurrences FROM ph2 GROUP BY 1, 2), "
+        "mem AS (SELECT pd.phrase, unnest(string_split(pd.phrase, "
+        "' ')) AS word FROM pd), "
+        "sc AS (SELECT mem.phrase, sum(st.deg::DOUBLE / st.freq) "
+        "AS score FROM mem JOIN st USING (word) GROUP BY 1) "
+        "SELECT pd.phrase, round(sc.score, 6) AS score, pd.n_words, "
+        "pd.n_occurrences FROM pd JOIN sc USING (phrase) "
+        f"ORDER BY sc.score DESC, pd.phrase LIMIT {k}")
+
+
 def _kfold_sql(k: int = 5) -> str:
     # fold i covers the md5 hex-prefix interval [i/k, (i+1)/k) — the
     # identical string thresholds ops/sampling.py _threshold emits
@@ -5556,6 +5651,8 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_lineitem": _lpa_sql(3),
         "mmd_drift_embeddings": _mmd_sql(),
         "pca_embeddings": _pca_sql(),
+        "isotonic_calibration_orders": _ISOTONIC_SQL,
+        "rake_keywords_documents": _rake_sql(),
         "trend_test_events": (
             "WITH d AS (SELECT event_type, "
             "epoch(date_trunc('day', ts))::DOUBLE AS t, "

@@ -967,6 +967,17 @@ def main() -> None:
                                .cast("string")).alias("it")),
             "u", "it", n_neg=2, max_catalog=100))
 
+    def bench_isotonic_rake():
+        # PAVA calibration + RAKE keyphrases — round-10 batch 4
+        from whylogs_spark.core.model_perf import isotonic_calibration
+        from whylogs_spark.ops.text import rake_keywords
+        s = (F.col("o_orderkey") % 97).cast("double") / 97.0
+        y = ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 100
+             < 20 + 60 * s).cast("double")
+        _noop(isotonic_calibration(
+            t["orders"].select(s.alias("s"), y.alias("y")), "s", "y"))
+        _noop(rake_keywords(t["documents"], k=25))
+
     def bench_graph_embed_r10():
         # label propagation + MMD drift + PCA fit/project —
         # round-10 batch 3
@@ -1231,6 +1242,7 @@ def main() -> None:
         "trend_offpolicy": bench_trend_offpolicy,
         "features_splits": bench_features_splits,
         "graph_embed_r10": bench_graph_embed_r10,
+        "isotonic_rake": bench_isotonic_rake,
         "ab_hot10x": bench_ab_hot10x,
         "fairness_agreement": bench_fairness_agreement,
         "graph_pagerank": bench_graph_pagerank,

@@ -2698,6 +2698,45 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # 10d. round-10 batch 4: isotonic calibration / RAKE keyphrases
+    # (isotonic collects its bounded distinct-score table — audit the
+    # construction aggregate, the PCA/pagerank precedent)
+    iso_s = (F.col("o_orderkey") % 97).cast("double") / 97.0
+    iso_y = ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 100
+             < 20 + 60 * iso_s).cast("double")
+    iso_g = (ords9.select(iso_s.alias("__s"), iso_y.alias("__y"))
+             .groupBy("__s")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("__y").alias("__t")))
+    sections.append((
+        "isotonic calibration (distinct-score collapse)", iso_g,
+        {
+            "distinct-score table partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.text import rake_keywords
+
+    rk = rake_keywords(docs, k=25)
+    sections.append((
+        "RAKE keyphrases (regex delimiting, one pass)", rk,
+        {
+            "word/phrase stats partial-agg before their exchanges":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "top-k via TakeOrderedAndProject (no global sort)":
+                r"TakeOrderedAndProject",
+            "no per-doc window (phrases come from one regex chain)":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

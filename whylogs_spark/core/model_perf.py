@@ -445,3 +445,76 @@ def pr_auc_exact(
         ).alias("average_precision"),
         F.first("P").cast("long").alias("n_positive"),
         F.first("N").cast("long").alias("n_negative"))
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_distinct: int = 100_000,
+    n_bins: Optional[int] = None,
+) -> DataFrame:
+    """Exact isotonic (monotone non-decreasing) calibration of a
+    score column against binary labels — the non-parametric
+    alternative to Platt scaling: ``(score, n, y_rate, calibrated)``
+    one row per distinct score, where ``calibrated`` is the
+    pool-adjacent-violators (PAVA) fit, i.e. the weighted
+    least-squares monotone step function through the per-score label
+    rates.  Joinable back onto predictions as a broadcast lookup
+    (score -> calibrated probability).
+
+    Scale shape: the data collapses to one partial-agged row per
+    DISTINCT score (the ``roc_auc_exact`` convention; pass
+    ``n_bins`` to quantize scores first when the score space is
+    continuous), then PAVA runs driver-side over the collected
+    distinct table — a bounded, capped collect (raises beyond
+    ``max_distinct``; PAVA is inherently sequential, and the
+    distinct-score table is model-output-sized, not data-sized).
+    Equal adjacent means make block boundaries ambiguous but the
+    fitted VALUES identical, so the output is engine-replayable via
+    the max-min characterization
+    ``fit(i) = max_{j<=i} min_{k>=i} mean(y[j..k])``.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    if n_bins is not None:
+        if n_bins < 2:
+            raise ValueError(f"n_bins must be >= 2: {n_bins}")
+        s = F.floor(s * float(n_bins)) / float(n_bins)
+    g = (df.filter(s.isNotNull() & ~F.isnan(s)
+                   & y.isNotNull() & ~F.isnan(y))
+         .select(s.alias("__s"), y.alias("__y"))
+         .groupBy("__s")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("__t"))
+         )
+    rows = g.orderBy("__s").limit(int(max_distinct) + 1).collect()
+    if len(rows) > int(max_distinct):
+        raise ValueError(
+            f"more than {max_distinct} distinct scores - pass n_bins "
+            "to quantize or raise max_distinct")
+    if not rows:
+        raise ValueError("no valid (score, label) rows")
+    # PAVA: maintain a stack of blocks (weight, sum); merge while the
+    # monotonicity constraint mean[k-1] <= mean[k] is violated
+    blocks = []  # [start_idx, weight, total]
+    for i, r in enumerate(rows):
+        blocks.append([i, float(r["n"]), float(r["__t"])])
+        while len(blocks) > 1 and (
+                blocks[-2][2] * blocks[-1][1]
+                > blocks[-1][2] * blocks[-2][1]):
+            s0, w0, t0 = blocks.pop()
+            blocks[-1][1] += w0
+            blocks[-1][2] += t0
+    fitted = [0.0] * len(rows)
+    for bi, (start, w, t) in enumerate(blocks):
+        end = blocks[bi + 1][0] if bi + 1 < len(blocks) else len(rows)
+        val = t / w
+        for i in range(start, end):
+            fitted[i] = val
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(float(r["__s"]), int(r["n"]),
+          float(r["__t"]) / float(r["n"]), fitted[i])
+         for i, r in enumerate(rows)],
+        "score double, n bigint, y_rate double, calibrated double")
+    return out

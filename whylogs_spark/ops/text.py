@@ -856,3 +856,111 @@ def textrank_keywords(
         .select("word", "rank",
                 F.coalesce("n_docs", F.lit(0)).alias("n_docs")) \
         .orderBy(F.col("rank").desc(), "word")
+
+
+# Compact English function-word list for RAKE phrase delimiting —
+# deterministic and small enough to inline in any engine's regex.
+RAKE_STOPWORDS: List[str] = [
+    "a", "about", "above", "after", "again", "against", "all",
+    "also", "am", "an", "and", "any", "are", "as", "at", "be",
+    "because", "been", "before", "being", "below", "between", "both",
+    "but", "by", "can", "could", "did", "do", "does", "during",
+    "each", "few", "for", "from", "further", "had", "has", "have",
+    "he", "her", "here", "him", "his", "how", "i", "if", "in",
+    "into", "is", "it", "its", "just", "may", "me", "more", "most",
+    "my", "no", "nor", "not", "now", "of", "off", "on", "once",
+    "only", "or", "other", "our", "out", "over", "own", "same",
+    "she", "should", "so", "some", "such", "than", "that", "the",
+    "their", "then", "there", "these", "they", "this", "through",
+    "to", "too", "under", "until", "up", "very", "was", "we", "were",
+    "what", "when", "where", "which", "while", "who", "why", "will",
+    "with", "would", "you", "your",
+]
+
+
+def rake_delimiter_pattern(min_len: int = 3) -> str:
+    """The RAKE delimiter regex: any stopword or any shorter-than-
+    ``min_len`` token, as whole words.  Alternation + \\b only, so
+    Java (Spark) and RE2 (DuckDB) match identically."""
+    alt = "|".join(RAKE_STOPWORDS)
+    return rf"\b(?:{alt}|[a-z0-9]{{1,{min_len - 1}}})\b"
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_len: int = 3,
+    max_phrase_words: int = 4,
+) -> DataFrame:
+    """Corpus-level RAKE keyphrases (Rose et al. 2010): candidate
+    phrases are maximal token runs between stopword/short-word
+    delimiters; each word scores degree/frequency (degree = summed
+    length of the phrases it appears in — co-occurrence weight,
+    frequency = appearances), and a phrase scores the sum of its
+    member word scores.  Returns the top ``k`` distinct phrases:
+    ``(phrase, score, n_words, n_occurrences)``, ties at the cutoff
+    broken by phrase text.  Complements :func:`textrank_keywords`
+    (single-word, iterative) with multi-word phrases in one
+    non-iterative pass.
+
+    Phrases longer than ``max_phrase_words`` are dropped (web-corpus
+    runs without stopwords are usually boilerplate/code, and the
+    classic implementation's unbounded phrases make degree scores
+    degenerate).
+
+    Scale shape: phrase extraction is a pure regex projection
+    (stopwords become ``|`` delimiters, then one split — no per-doc
+    window, no Python); word statistics and phrase scores are
+    partial-agged aggregations over the exploded (phrase, word)
+    frame; top-k is a TakeOrderedAndProject.  Everything —
+    tokenization, delimiting, scoring — replays identically in
+    RE2-based engines.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2: {min_len}")
+    if max_phrase_words < 1:
+        raise ValueError(
+            f"max_phrase_words must be >= 1: {max_phrase_words}")
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    # punctuation DELIMITS phrases (classic RAKE: a phrase never
+    # crosses a comma/period), whitespace merely separates tokens
+    punct = F.regexp_replace(low, r"[^a-z0-9\s]+", "|")
+    norm = F.regexp_replace(punct, r"\s+", " ")
+    delim = F.regexp_replace(
+        F.concat(F.lit(" "), norm, F.lit(" ")),
+        rake_delimiter_pattern(min_len), "|")
+    phrases_arr = F.filter(
+        F.transform(F.split(delim, r"\|"), lambda p: F.trim(p)),
+        lambda p: p != "")
+    ph = (df.select(F.explode(phrases_arr).alias("phrase"))
+          .withColumn("__words", F.split(F.col("phrase"), " "))
+          .withColumn("n_words", F.size("__words"))
+          .filter(F.col("n_words") <= max_phrase_words))
+    # word stats over every phrase occurrence: freq = appearances,
+    # deg = summed phrase length (within-phrase co-occurrence, self
+    # included — the classic RAKE degree)
+    wstats = (ph.select(F.explode("__words").alias("word"), "n_words")
+              .groupBy("word")
+              .agg(F.count(F.lit(1)).alias("__freq"),
+                   F.sum("n_words").alias("__deg")))
+    scores = wstats.select(
+        "word",
+        (F.col("__deg").cast("double")
+         / F.col("__freq").cast("double")).alias("__ws"))
+    # distinct phrases with occurrence counts; member-word join is
+    # per distinct (phrase, word)
+    ph_distinct = ph.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+    members = ph_distinct.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " "))
+        .alias("word"))
+    scored = (members.join(scores, "word")
+              .groupBy("phrase")
+              .agg(F.sum("__ws").alias("score")))
+    return (ph_distinct.join(scored, "phrase")
+            .select("phrase", "score", "n_words", "n_occurrences")
+            .orderBy(F.col("score").desc(), "phrase")
+            .limit(k))
