@@ -98,6 +98,15 @@ SLOW_TESTS = {
     "test_udf_unicode_embeddings.py::test_svd_lsi_residuals",
     "test_wide.py::test_wide_matches_narrow",
     "test_wide.py::test_wide_matches_narrow_segmented",
+    # round-10 additions: keep the smoke tier inside its 10-minute
+    # window — the heaviest new reference tests move to the slow tier
+    # (their gate queries still run in the smoke-tier schema guard)
+    "test_trend_offpolicy.py::test_mann_kendall_matches_numpy",
+    "test_trend_offpolicy.py::test_msprt_matches_numpy",
+    "test_graph_embed_r10.py::test_pca_matches_numpy",
+    "test_graph_embed_r10.py::test_embedding_mmd_matches_numpy",
+    "test_features_splits.py::test_trailing_features_matches_numpy",
+    "test_isotonic_rake.py::test_isotonic_matches_maxmin_reference",
 }
 
 
