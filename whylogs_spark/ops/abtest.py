@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["ab_test_report", "with_ab_pvalues", "cuped_adjust",
-           "uplift_curve", "auuc",
+           "uplift_curve", "auuc", "msprt_scan", "stratified_ate",
            "srm_check"]
 
 
@@ -590,3 +590,89 @@ def auuc(
         "n", a.alias("auuc"), qt.alias("qini_total"),
         (qt / 2.0).alias("qini_random"),
         (a - qt / 2.0).alias("qini_coefficient"))
+
+
+def stratified_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    strata_cols: Sequence[str],
+) -> DataFrame:
+    """Stratified average-treatment-effect estimate for OBSERVATIONAL
+    comparisons (no randomization): within each stratum the arms are
+    assumed comparable, so the confounding carried by the strata
+    variables is adjusted away by weighting per-stratum mean
+    differences (the classic stratification / subclassification
+    estimator; bin a propensity-like score with
+    ``core.summaries.with_quantile_bins`` first to stratify on it).
+
+    One row: ``(n, n_strata, n_used, n_dropped, ate, att, se)``
+
+    * ``ate`` — Σ_b (n_b / N) · (mean_t,b − mean_c,b) over strata
+      with BOTH arms present (population-weighted)
+    * ``att`` — the same weighted by the treated counts
+    * ``se``  — √ Σ_b w_b² (var_t,b/n_t,b + var_c,b/n_c,b) with the
+      ATE weights (normal-approximation standard error)
+    * ``n_dropped`` — strata missing an arm, excluded from every
+      estimate (and from N; report it — heavy drop means the strata
+      don't overlap and NO weighting rescues the comparison)
+
+    Scale shape: ONE partial-agged groupBy over (strata, arm
+    moments); everything after runs on the #strata-sized table.
+    """
+    from functools import reduce
+    from operator import and_
+
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    tr = F.col(treatment_col).cast("boolean")
+    y = F.col(outcome_col).cast("double")
+    base = df.filter(
+        tr.isNotNull() & y.isNotNull() & ~F.isnan(y)
+        & reduce(and_, [F.col(c).isNotNull() for c in strata_cols])
+    ).select(*strata_cols, tr.cast("int").alias("__t"),
+             y.alias("__y"))
+    t = F.col("__t")
+    g = base.groupBy(*strata_cols).agg(
+        F.sum(t).alias("nt"),
+        F.sum(1 - t).alias("nc"),
+        F.sum(F.col("__y") * t).alias("st"),
+        F.sum(F.col("__y") * (1 - t)).alias("sc"),
+        F.sum(F.col("__y") * F.col("__y") * t).alias("qt"),
+        F.sum(F.col("__y") * F.col("__y") * (1 - t)).alias("qc"),
+    )
+    ntd = F.col("nt").cast("double")
+    ncd = F.col("nc").cast("double")
+    mt = F.col("st") / ntd
+    mc = F.col("sc") / ncd
+    vart = F.when(F.col("nt") >= 2, F.greatest(
+        (F.col("qt") - ntd * mt * mt) / (ntd - 1), F.lit(0.0)))
+    varc = F.when(F.col("nc") >= 2, F.greatest(
+        (F.col("qc") - ncd * mc * mc) / (ncd - 1), F.lit(0.0)))
+    both = (F.col("nt") > 0) & (F.col("nc") > 0)
+    per = g.select(
+        both.alias("__ok"), (ntd + ncd).alias("__n"),
+        ntd.alias("__ntd"),
+        F.when(both, mt - mc).alias("__d"),
+        F.when(both, F.try_divide(vart, ntd)
+               + F.try_divide(varc, ncd)).alias("__v"))
+    return per.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.when(F.col("__ok"), 1).otherwise(0)).cast("long")
+        .alias("n_used"),
+        F.sum(F.when(F.col("__ok"), 0).otherwise(1)).cast("long")
+        .alias("n_dropped"),
+        (F.sum(F.when(F.col("__ok"), F.col("__n") * F.col("__d")))
+         / F.sum(F.when(F.col("__ok"), F.col("__n"))))
+        .alias("ate"),
+        (F.sum(F.when(F.col("__ok"), F.col("__ntd") * F.col("__d")))
+         / F.sum(F.when(F.col("__ok"), F.col("__ntd"))))
+        .alias("att"),
+        F.sqrt(
+            F.sum(F.when(F.col("__ok"),
+                         F.col("__n") * F.col("__n") * F.col("__v")))
+            / (F.sum(F.when(F.col("__ok"), F.col("__n")))
+               * F.sum(F.when(F.col("__ok"), F.col("__n")))))
+        .alias("se"),
+    )

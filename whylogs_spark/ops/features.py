@@ -24,7 +24,7 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["trailing_features"]
+__all__ = ["trailing_features", "future_label"]
 
 
 def _epoch_seconds(df: DataFrame, time_col: str):
@@ -98,4 +98,44 @@ def trailing_features(
                 .alias("prior_events"))
     cols.append((F.col("__ep") - F.max("__ep").over(life))
                 .alias("seconds_since_prev"))
+    return base.select(*cols)
+
+
+def future_label(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    horizon_sec: float,
+    value_col: Optional[str] = None,
+    prefix: str = "future",
+) -> DataFrame:
+    """Training-LABEL construction, the forward mirror of
+    :func:`trailing_features`: for every event, what the entity does
+    in the strictly-future window ``(t, t + horizon]`` — churn /
+    conversion / next-purchase labels built with the same
+    no-leakage discipline as the features (the current instant is
+    excluded on BOTH sides, so a row never labels itself).
+
+    Adds ``<prefix>_count`` (events in the window),
+    ``<prefix>_any`` (count > 0 — the binary label) and, with
+    ``value_col``, ``<prefix>_sum``.
+
+    Same scale shape as the feature side: one shuffle on the entity,
+    RANGE frames over the sorted run, skew bound = one entity.
+    """
+    if horizon_sec <= 0:
+        raise ValueError(f"horizon_sec must be > 0: {horizon_sec}")
+    t = _epoch_seconds(df, time_col)
+    base = df.filter(
+        F.col(entity_col).isNotNull() & t.isNotNull()
+    ).withColumn("__ep", t)
+    fr = (Window.partitionBy(entity_col).orderBy(F.col("__ep"))
+          .rangeBetween(1, int(horizon_sec)))
+    cols: List = [F.col(c) for c in df.columns]
+    cnt = F.coalesce(F.count(F.lit(1)).over(fr), F.lit(0))
+    cols.append(cnt.alias(f"{prefix}_count"))
+    cols.append((cnt > 0).alias(f"{prefix}_any"))
+    if value_col is not None:
+        cols.append(F.sum(F.col(value_col).cast("double")).over(fr)
+                    .alias(f"{prefix}_sum"))
     return base.select(*cols)
