@@ -518,3 +518,147 @@ def isotonic_calibration(
          for i, r in enumerate(rows)],
         "score double, n bigint, y_rate double, calibrated double")
     return out
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table: one row per occupied equal-width
+    confidence bin — ``(bin, n, conf, acc, gap)`` with ``conf`` the
+    bin's mean score, ``acc`` its empirical positive rate and ``gap =
+    acc − conf``.  The per-bin view behind
+    :func:`expected_calibration_error` (same ``confidence_bin`` rule,
+    so the two always agree); plot it or feed it to a monitor.
+
+    One partial-agged groupBy(bin); shuffle bounded at ``n_bins`` rows
+    per map partition.  Null/NaN scores or labels drop.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    return (
+        df.filter(s.isNotNull() & ~F.isnan(s)
+                  & y.isNotNull() & ~F.isnan(y))
+        .groupBy(confidence_bin(s, n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg(s).alias("conf"),
+             F.avg(y).alias("acc"))
+        .withColumn("gap", F.col("acc") - F.col("conf"))
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score and its Murphy (1973) 3-way split, one output row:
+    ``(n, brier, reliability, resolution, uncertainty)``.
+
+    * ``brier`` — mean (score − label)², the proper scoring rule.
+    * ``reliability`` — Σ_b n_b·(conf_b − acc_b)²/N (calibration
+      badness, 0 is perfect), ``resolution`` — Σ_b n_b·(acc_b − ȳ)²/N
+      (sharpness, bigger is better), ``uncertainty`` — ȳ(1 − ȳ).
+    * The Murphy identity brier = rel − res + unc holds exactly only
+      for discrete forecasts; with equal-width binning the residual is
+      the within-bin score variance (report compares, not enforces).
+
+    Two bounded aggregates: groupBy(bin) (≤ ``n_bins`` rows) then a
+    1-row reduce; the exact brier rides the first pass as one more
+    partial-agged sum.  Same bin rule as
+    :func:`expected_calibration_error`.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    per = (
+        df.filter(s.isNotNull() & ~F.isnan(s)
+                  & y.isNotNull() & ~F.isnan(y))
+        .groupBy(confidence_bin(s, n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg(s).alias("conf"),
+             F.avg(y).alias("acc"),
+             F.sum((s - y) * (s - y)).alias("sq"),
+             F.sum(y).alias("pos"))
+    )
+    tot = per.agg(F.sum("n").alias("__nt"),
+                  F.sum("pos").alias("__pt")).select(
+        "__nt", (F.col("__pt") / F.col("__nt")).alias("__ybar"))
+    nb = F.col("n").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("__nt").alias("n"),
+            (F.sum("sq") / F.first("__nt")).alias("brier"),
+            F.sum(nb * F.pow(F.col("conf") - F.col("acc"), 2)
+                  / F.col("__nt")).alias("reliability"),
+            F.sum(nb * F.pow(F.col("acc") - F.col("__ybar"), 2)
+                  / F.col("__nt")).alias("resolution"),
+            F.first(F.col("__ybar") * (1 - F.col("__ybar")))
+            .alias("uncertainty"),
+        )
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table for a scored binary outcome, one
+    row per score bucket ordered best-first: ``(bucket, n, n_pos,
+    pos_rate, cum_n, cum_pos, capture_rate, cum_lift)``.
+
+    Buckets come from the EXACT ``percentile`` cut points of the score
+    at i/n_buckets (equal-frequency up to ties; occupied buckets
+    only), bucket 0 = HIGHEST scores.  ``capture_rate`` is the share
+    of all positives found in buckets 0..b; ``cum_lift`` that share
+    divided by the share of rows examined — the "top decile captures
+    3× its share" number.  The plain-classifier sibling of
+    ``ops.abtest.uplift_curve`` (which needs a treatment column).
+
+    Scale shape: ONE global aggregate for cuts + totals (broadcast
+    back), map-side bucket assignment via a higher-order array
+    filter, ONE groupBy over ≤ n_buckets rows, and a cumulative
+    window over that bounded frame.  Null/NaN scores or labels drop.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"gains_table needs n_buckets >= 2, got {n_buckets}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & ~F.isnan(s) & y.isNotNull()) \
+        .select(s.alias("__s"), y.alias("__y"))
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    head = base.agg(
+        F.expr(f"percentile(__s, array({qs}))").alias("__cuts"),
+        F.count(F.lit(1)).cast("double").alias("__nt"),
+        F.sum("__y").alias("__pt"))
+    # bucket 0 = best scores: count of cut points the score EXCEEDS,
+    # flipped so the table reads top-down
+    binned = base.crossJoin(F.broadcast(head)).select(
+        (F.lit(n_buckets - 1)
+         - F.expr("size(filter(__cuts, c -> __s > c))")).alias("bucket"),
+        "__y", "__nt", "__pt")
+    per = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").cast("double").alias("n_pos"),
+        F.first("__nt").alias("__nt"),
+        F.first("__pt").alias("__pt"))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum_n = F.sum("n").over(w)
+    cum_pos = F.sum("n_pos").over(w)
+    cap = F.when(F.col("__pt") > 0, cum_pos / F.col("__pt"))
+    return per.select(
+        "bucket", "n",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n_pos") / F.col("n")).alias("pos_rate"),
+        cum_n.alias("cum_n"),
+        cum_pos.cast("long").alias("cum_pos"),
+        cap.alias("capture_rate"),
+        (cap / (cum_n / F.col("__nt"))).alias("cum_lift"))

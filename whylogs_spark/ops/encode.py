@@ -24,7 +24,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["frequency_encode", "target_encode"]
+__all__ = ["frequency_encode", "target_encode", "woe_iv"]
 
 
 def frequency_encode(
@@ -99,3 +99,68 @@ def target_encode(
                     on=F.col(column).eqNullSafe(F.col("__cat")),
                     how="left")
             .drop("__cat"))
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence / information-value table for a numeric
+    feature against a binary label — the scorecard-industry standard
+    for "how predictive is this feature" (Siddiqi 2006).
+
+    Equal-frequency bins from the EXACT ``percentile`` cut points at
+    i/bins (ties collapse bins; empty bins drop).  One row per
+    occupied bin: ``(bin, lo, hi, n, n_pos, pos_rate, p_pos, p_neg,
+    woe, iv_contrib)`` where ``p_pos``/``p_neg`` are the bin's share
+    of all positives/negatives, ``woe = ln(p_pos/p_neg)`` (null when
+    either side is empty — no fake smoothing), and
+    ``iv_contrib = (p_pos − p_neg)·woe`` (0 when woe is null; sum it
+    for the feature's IV).  Bin rule: value ≤ first cut → bin 0,
+    else the count of cut points strictly below the value.
+
+    Scale shape: pass 1 is ONE partial-agged global aggregate
+    (exact-percentile cuts + class totals, a 1-row frame broadcast
+    back); pass 2 bins rows map-side with a higher-order array filter
+    (no UDF) and reduces to ≤``bins`` rows.  No data-sized shuffle
+    beyond the percentile's own exchange; no window over the raw
+    frame.  The label must be 0/1-coercible; null feature or label
+    rows drop.
+    """
+    if bins < 2:
+        raise ValueError(f"woe_iv needs bins >= 2, got {bins}")
+    x = F.col(feature_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & ~F.isnan(x) & y.isNotNull()
+    ).select(x.alias("__x"), y.alias("__y"))
+    qs = ", ".join(str(i / bins) for i in range(1, bins))
+    head = base.agg(
+        F.expr(f"percentile(__x, array({qs}))").alias("__cuts"),
+        F.sum("__y").alias("__tot_pos"),
+        (F.count(F.lit(1)) - F.sum("__y")).alias("__tot_neg"))
+    binned = base.crossJoin(F.broadcast(head)).select(
+        F.expr("size(filter(__cuts, c -> __x > c))").alias("bin"),
+        "__x", "__y", "__tot_pos", "__tot_neg")
+    per = binned.groupBy("bin").agg(
+        F.min("__x").alias("lo"),
+        F.max("__x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").cast("double").alias("n_pos"),
+        F.first("__tot_pos").alias("__tp"),
+        F.first("__tot_neg").alias("__tn"))
+    n_neg = F.col("n") - F.col("n_pos")
+    p_pos = F.when(F.col("__tp") > 0, F.col("n_pos") / F.col("__tp"))
+    p_neg = F.when(F.col("__tn") > 0, n_neg / F.col("__tn"))
+    woe = F.when((F.col("n_pos") > 0) & (n_neg > 0),
+                 F.log(p_pos / p_neg))
+    iv = F.when(woe.isNotNull(),
+                (p_pos - p_neg) * woe).otherwise(F.lit(0.0))
+    return per.select(
+        "bin", "lo", "hi", "n",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n_pos") / F.col("n")).alias("pos_rate"),
+        p_pos.alias("p_pos"), p_neg.alias("p_neg"),
+        woe.alias("woe"), iv.alias("iv_contrib"))

@@ -1127,3 +1127,50 @@ def resample_timeseries(
         val.alias("value"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.col("__val").isNull().alias("is_gap"))
+
+
+def time_weighted_average(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Time-weighted average of a sampled signal per group, one row
+    per group: ``(group…, n, t_start, t_end, duration_s, twa,
+    simple_mean)``.
+
+    ``twa = Σ v_i·(t_{i+1} − t_i) / (t_n − t_1)`` — each observation
+    holds until the next one (step interpolation, the TWAP/metering
+    convention), so irregular sampling can't bias the average the way
+    ``simple_mean`` is biased toward burst periods.  The last
+    observation carries no duration; groups with < 2 distinct
+    timestamps get a null ``twa``.  Duplicate timestamps average
+    first (one value per instant), null values/times drop.
+
+    Scale shape: collapse to (group, t) grain, ONE lead() window per
+    group (each partition holds one group's series — use group_cols
+    at scale), one partial-agged reduce.
+    """
+    from whylogs_spark.ops.features import _epoch_seconds
+
+    groups = list(group_cols)
+    t = _epoch_seconds(df, time_col)
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        t.isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(*groups, t.alias("__t"), v.alias("__v"))
+    g = base.groupBy(*groups, "__t").agg(F.avg("__v").alias("__v"))
+    w = Window.partitionBy(*groups).orderBy("__t")
+    stepped = g.withColumn("__dt", F.lead("__t").over(w) - F.col("__t"))
+    rep = stepped.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__t").alias("t_start"),
+        F.max("__t").alias("t_end"),
+        F.sum(F.col("__v") * F.col("__dt")).alias("__area"),
+        F.avg("__v").alias("simple_mean"))
+    dur = F.col("t_end") - F.col("t_start")
+    return rep.select(
+        *groups, "n", "t_start", "t_end",
+        dur.alias("duration_s"),
+        F.when(dur > 0, F.col("__area") / dur).alias("twa"),
+        "simple_mean")

@@ -117,3 +117,38 @@ def blocked_fuzzy_join(
                       & ~lkeys[0].eqNullSafe(rkeys[0]))
         return first.unionByName(rest)
     return joined(same_block)
+
+
+def golden_record(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    value_cols,
+) -> DataFrame:
+    """Survivorship: collapse an entity's records to ONE golden row —
+    per key, each value column takes its LATEST NON-NULL value
+    (master-data-management "most recent wins" rule, applied per
+    FIELD, so a newer record with a null field doesn't erase an older
+    value).  Output: ``(key…, n_records, first_ts, last_ts,
+    <value_cols…>)``.
+
+    Field pick: ``max_by(v, struct(ts, v))`` over rows where ``v`` is
+    non-null — the struct ordering breaks equal-timestamp ties by the
+    value itself, so the winner is deterministic.  ONE partial-agged
+    groupBy(key); no window, no self-join — the survivorship of N
+    fields rides a single exchange.  Complements
+    :func:`blocked_fuzzy_join` (match) as the merge step of a
+    match-merge pipeline.
+    """
+    keys = list(key_cols)
+    vals = list(value_cols)
+    ts = F.col(ts_col)
+    aggs = [F.count(F.lit(1)).alias("n_records"),
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("last_ts")]
+    for c in vals:
+        v = F.col(c)
+        aggs.append(
+            F.max_by(v, F.when(v.isNotNull(), F.struct(ts, v)))
+            .alias(c))
+    return df.filter(ts.isNotNull()).groupBy(*keys).agg(*aggs)

@@ -48,6 +48,9 @@ __all__ = [
     "association_report",
     "cramers_v",
     "target_leakage_report",
+    "mutual_information",
+    "gini_concentration",
+    "diversity_report",
 ]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -361,3 +364,183 @@ def target_leakage_report(
             .alias("flagged"),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, one row:
+    ``(n, a_categories, b_categories, h_a, h_b, h_ab, mi, nmi)``.
+
+    Entropies in nats from exact joint counts: ``mi = H(a) + H(b) −
+    H(a,b)``; ``nmi`` is the arithmetic-mean normalization
+    ``mi / ((H(a)+H(b))/2)`` (Strehl & Ghosh 2002), null when either
+    marginal entropy is 0 (a constant column carries no information).
+    Complements :func:`association_report`: Cramér's V measures
+    dependence strength per χ², MI measures it in information units —
+    feature-selection pipelines rank by either.
+
+    Rows with a NULL on either side drop (pairwise-complete, matching
+    ``association_report``).  ONE partial-agged groupBy(a, b) builds
+    the joint table (bounded by category-pair cardinality); marginals
+    reduce FROM the joint counts, never rescanning the data; the three
+    entropy reduces are over the bounded joint/marginal frames.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    joint = (df.filter(a.isNotNull() & b.isNotNull())
+             .groupBy(a.alias("__a"), b.alias("__b"))
+             .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+    # marginals from the joint table (no second scan)
+    ma = joint.groupBy("__a").agg(F.sum("__c").alias("__ca"))
+    mb = joint.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+
+    def _entropy(cnts: DataFrame, c: str, out: str) -> DataFrame:
+        return cnts.agg(
+            F.sum(c).alias("__n"),
+            F.sum(F.col(c) * F.log(c)).alias("__slc")).select(
+            F.col("__n").alias(f"{out}_n"),
+            (F.log("__n") - F.col("__slc") / F.col("__n"))
+            .alias(out))
+
+    ea = _entropy(ma, "__ca", "h_a").select(
+        "h_a", F.col("h_a_n").alias("__n"))
+    eb = _entropy(mb, "__cb", "h_b").select("h_b")
+    eab = _entropy(joint, "__c", "h_ab").select("h_ab")
+    ka = ma.agg(F.count(F.lit(1)).alias("a_categories"))
+    kb = mb.agg(F.count(F.lit(1)).alias("b_categories"))
+    one = (ea.crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(eab))
+           .crossJoin(F.broadcast(ka)).crossJoin(F.broadcast(kb)))
+    mi = F.col("h_a") + F.col("h_b") - F.col("h_ab")
+    denom = (F.col("h_a") + F.col("h_b")) / 2.0
+    return one.select(
+        F.col("__n").cast("long").alias("n"),
+        "a_categories", "b_categories",
+        "h_a", "h_b", "h_ab",
+        mi.alias("mi"),
+        F.when(denom > 0, mi / denom).alias("nmi"))
+
+
+def gini_concentration(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Concentration report of ``value_col`` mass across entities, one
+    row per group: ``(group…, n_entities, total, gini, hhi,
+    top1_share, top10pct_share)``.
+
+    * ``gini`` — on the per-entity totals sorted ascending,
+      ``(2·Σ i·x_i)/(n·Σx) − (n+1)/n`` (the exact rank formula; ties
+      are permutation-invariant, so the sort is deterministic).  Null
+      when total ≤ 0 or n < 2.
+    * ``hhi`` — Herfindahl Σ (x_i/Σx)², the antitrust-style index
+      (needs no ordering).
+    * ``top1_share`` / ``top10pct_share`` — mass share of the single
+      largest entity and of the ⌈n/10⌉ largest.
+
+    The "is my training mix dominated by a few sources / customers /
+    domains" answer; negative per-entity totals are kept (documented
+    Gini caveat: the index can exceed [0,1] if totals go negative).
+
+    Scale shape: pass 1 partial-aggs rows to ONE row per (group,
+    entity); the rank window partitions BY GROUP, so each partition
+    holds one group's entity list — use group_cols at scale (the
+    ungrouped call funnels entities through one partition, fine at
+    report grain, wrong for billions of entities).
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    per = (df.groupBy(*groups, F.col(entity_col).alias("__e"))
+           .agg(F.sum(F.col(value_col).cast("double")).alias("__x"))
+           .filter(F.col("__x").isNotNull()))
+    w = Window.partitionBy(*groups).orderBy(F.col("__x"), F.col("__e"))
+    wfull = (Window.partitionBy(*groups)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    # the group size rides the SAME window exchange as the rank
+    ranked = per.select(
+        *groups, "__x",
+        F.row_number().over(w).alias("__i"),
+        F.count(F.lit(1)).over(wfull).cast("double").alias("__ng"))
+    rep = ranked.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__ix"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__xx"),
+        F.max_by("__x", "__i").alias("__top1"),
+        # top 10%: entities with rank > n - ceil(n/10)
+        F.sum(F.when(
+            F.col("__i") > F.col("__ng")
+            - F.ceil(F.col("__ng") / 10.0), F.col("__x"))
+            .otherwise(F.lit(0.0))).alias("__top10"))
+    g = F.when(
+        (F.col("total") > 0) & (F.col("__n") >= 2),
+        2.0 * F.col("__ix") / (F.col("__n") * F.col("total"))
+        - (F.col("__n") + 1) / F.col("__n"))
+    share = lambda c: F.when(F.col("total") > 0, c / F.col("total"))  # noqa: E731
+    return rep.select(
+        *groups,
+        F.col("__n").cast("long").alias("n_entities"),
+        "total", g.alias("gini"),
+        share(F.col("__xx") / F.col("total")).alias("hhi"),
+        share(F.col("__top1")).alias("top1_share"),
+        share(F.col("__top10")).alias("top10pct_share"))
+
+
+def diversity_report(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Per-column diversity of a categorical mix, one row per column:
+    ``(column, n, n_null, categories, entropy, norm_entropy, simpson,
+    effective_categories, top_share)``.
+
+    * ``entropy`` — Shannon H in nats over non-null value shares;
+      ``norm_entropy = H / ln(categories)`` (null for ≤1 category).
+    * ``simpson`` — Σ p² (match probability; 1/simpson is the Simpson
+      effective number), ``effective_categories = exp(H)`` (the Hill
+      number of order 1), ``top_share`` — the modal value's share.
+
+    The "is my training mix actually mixed" check — a corpus that is
+    99% one source has high n but effective_categories ≈ 1.  Scale
+    shape: ONE stack() unpivot scanned once, ONE partial-agged
+    groupBy(column, value) (bounded by per-column cardinality), then
+    a per-column reduce over the bounded counts frame; null counts
+    ride the same pass as their own rows.
+    """
+    names = list(cols)
+    pairs = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in names)
+    long_df = df.select(
+        F.expr(f"stack({len(names)}, {pairs})")
+        .alias("__col", "__v"))
+    counts = long_df.groupBy("__col", "__v").agg(
+        F.count(F.lit(1)).cast("double").alias("__c"))
+    nn = F.when(F.col("__v").isNotNull(), F.col("__c"))
+    rep = counts.groupBy("__col").agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("__v").isNull(), F.col("__c"))),
+                   F.lit(0.0)).cast("long").alias("n_null"),
+        F.count(nn).alias("categories"),
+        F.sum(nn).alias("__nv"),
+        F.sum(nn * F.log(nn)).alias("__slc"),
+        F.sum(nn * nn).alias("__sq"),
+        F.max(nn).alias("__top"))
+    h = F.when(F.col("__nv") > 0,
+               F.log("__nv") - F.col("__slc") / F.col("__nv"))
+    return rep.select(
+        F.col("__col").alias("column"), "n", "n_null", "categories",
+        h.alias("entropy"),
+        F.when(F.col("categories") > 1,
+               h / F.log(F.col("categories").cast("double")))
+        .alias("norm_entropy"),
+        F.when(F.col("__nv") > 0,
+               F.col("__sq") / (F.col("__nv") * F.col("__nv")))
+        .alias("simpson"),
+        F.exp(h).alias("effective_categories"),
+        F.when(F.col("__nv") > 0, F.col("__top") / F.col("__nv"))
+        .alias("top_share"))

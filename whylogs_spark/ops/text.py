@@ -964,3 +964,72 @@ def rake_keywords(
             .select("phrase", "score", "n_words", "n_occurrences")
             .orderBy(F.col("score").desc(), "phrase")
             .limit(k))
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 5000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary, one row:
+    ``(n_types, n_tokens, v_fit, slope, intercept, r2)``.
+
+    OLS of ln(frequency) on ln(rank) over the ``top_v``
+    most-frequent types (rank by count desc, token asc — total order,
+    deterministic).  A healthy natural-language corpus sits near
+    slope ≈ −1 (Zipf 1949); machine-generated or template-heavy text
+    bends the curve — the fit is a one-number corpus-health check
+    next to :func:`corpus_stats`.  Fitting only the head is standard
+    (the tail is censored by corpus size) and what bounds the rank.
+
+    Tokens: lowercase alphanumeric runs (split on ``[^a-z0-9]+``).
+    Scale shape: tokenize + explode in-scan, ONE partial-agged
+    groupBy(token); the top-``top_v`` rank is TWO-PHASE like
+    ``ops.schema_match._capped_distincts`` — a per-partition rank
+    keeps ``top_v`` survivors (the global head is a subset), then the
+    global rank runs over ≤ top_v × partitions rows, never the full
+    vocabulary through one reducer.  The regression itself is one
+    6-sum reduce over ≤ top_v rows; type/token totals ride the counts
+    frame.
+    """
+    toks = F.explode(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    ).alias("__tok")
+    counts = (df.filter(F.col(text_col).isNotNull())
+              .select(toks)
+              .filter(F.col("__tok") != "")
+              .groupBy("__tok")
+              .agg(F.count(F.lit(1)).alias("__cnt")))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("__cnt").alias("n_tokens"))
+
+    w_local = Window.partitionBy("__pid").orderBy(
+        F.col("__cnt").desc(), F.col("__tok").asc())
+    pre = (counts.withColumn("__pid", F.spark_partition_id())
+           .withColumn("__rk", F.row_number().over(w_local))
+           .filter(F.col("__rk") <= top_v).drop("__rk", "__pid"))
+    w = Window.orderBy(F.col("__cnt").desc(), F.col("__tok").asc())
+    head = (pre.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= top_v))
+
+    lr = F.log(F.col("__rk").cast("double"))
+    lf = F.log(F.col("__cnt").cast("double"))
+    sums = head.agg(
+        F.count(F.lit(1)).cast("double").alias("__m"),
+        F.sum(lr).alias("__sr"), F.sum(lf).alias("__sf"),
+        F.sum(lr * lr).alias("__srr"), F.sum(lf * lf).alias("__sff"),
+        F.sum(lr * lf).alias("__srf"))
+    m = F.col("__m")
+    cov = F.col("__srf") - F.col("__sr") * F.col("__sf") / m
+    var_r = F.col("__srr") - F.col("__sr") * F.col("__sr") / m
+    var_f = F.col("__sff") - F.col("__sf") * F.col("__sf") / m
+    slope = F.when(var_r > 0, cov / var_r)
+    r2 = F.when((var_r > 0) & (var_f > 0), cov * cov / (var_r * var_f))
+    return (sums.crossJoin(F.broadcast(totals))
+            .select("n_types", "n_tokens",
+                    m.cast("long").alias("v_fit"),
+                    slope.alias("slope"),
+                    ((F.col("__sf") - slope * F.col("__sr")) / m)
+                    .alias("intercept"),
+                    r2.alias("r2")))

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["mann_kendall", "with_trend_pvalues"]
+__all__ = ["mann_kendall", "with_trend_pvalues", "cusum_changepoint"]
 
 
 def mann_kendall(
@@ -160,3 +160,112 @@ def with_trend_pvalues(report: DataFrame) -> DataFrame:
             yield pdf
 
     return report.mapInPandas(gen, schema)
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+    terms: int = 5,
+) -> DataFrame:
+    """Single mean-shift changepoint per group via the CUSUM statistic.
+
+    One row per group: ``(group..., n, mean, std, cp_index, cp_time,
+    cusum_abs, cusum_stat, p_value, mean_before, mean_after, shift)``.
+
+    * ``cusum_abs`` — max_{t<n} |S_t| where S_t = Σ_{i≤t}(v_i − v̄)
+      over the time-ordered collapsed series (the MLE location of a
+      single mean shift; Page 1954 / Pettitt-style scan).
+    * ``cusum_stat`` — cusum_abs / (σ·√n), the Brownian-bridge-scaled
+      statistic (σ = population std); null for constant series.
+    * ``p_value`` — asymptotic sup-bridge tail
+      2·Σ_{j≥1} (−1)^{j+1} exp(−2 j² λ²) truncated at ``terms``
+      (the Kolmogorov series), clamped to [0, 1].
+    * ``cp_index`` / ``cp_time`` — 1-based prefix length / last time
+      bucket BEFORE the shift (earliest argmax on ties);
+      ``mean_before`` / ``mean_after`` the two segment means and
+      ``shift`` their difference.
+
+    Same collapse discipline as :func:`mann_kendall`: one row per
+    (group, time) — duplicate timestamps average — so the window walk
+    runs over series LENGTH (rollup grain), not raw row count, and
+    each group's series is one window partition; groups parallelize.
+    The per-group totals frame (bounded by group cardinality) joins
+    back broadcast.  No reference analogue (whylogs ships static
+    drift scores); complements :func:`mann_kendall` (monotone trend)
+    with abrupt-shift detection.
+    """
+    from pyspark.sql import Window
+
+    from whylogs_spark.ops.features import _epoch_seconds
+
+    groups: List[str] = list(group_cols or [])
+    t = _epoch_seconds(df, time_col)
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        t.isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(*groups, t.alias("__t"), v.alias("__v"))
+    g = base.groupBy(*groups, "__t").agg(F.avg("__v").alias("__v"))
+
+    tot = g.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__v").alias("mean"),
+        # population std: the Brownian-bridge scaling's conventional
+        # normalizer (and the simpler exact-oracle expression)
+        F.coalesce(F.stddev_pop("__v"), F.lit(0.0)).alias("std"))
+
+    w = Window.partitionBy(*groups).orderBy("__t")
+    walk = g.select(
+        *groups, "__t", "__v",
+        F.row_number().over(w).alias("__k"),
+        F.sum("__v").over(w).alias("__cum"))
+    if groups:
+        walk = walk.join(F.broadcast(tot), groups)
+    else:
+        walk = walk.crossJoin(F.broadcast(tot))
+    s_t = F.col("__cum") - F.col("__k") * F.col("mean")
+    cand = (walk
+            .withColumn("__abs_s", F.abs(s_t))
+            .filter(F.col("__k") < F.col("n")))
+
+    mx = cand.groupBy(*groups).agg(F.max("__abs_s").alias("__mx"))
+    if groups:
+        hit = cand.join(F.broadcast(mx), groups)
+    else:
+        hit = cand.crossJoin(F.broadcast(mx))
+    # exact-double equality is safe: __mx is the max OF these values
+    best = (hit.filter(F.col("__abs_s") == F.col("__mx"))
+            .groupBy(*groups)
+            .agg(F.min_by(
+                F.struct("__t", "__k", "__cum", "__abs_s", "n",
+                         "mean", "std"), F.col("__k")).alias("b")))
+
+    nd = F.col("b.n").cast("double")
+    kd = F.col("b.__k").cast("double")
+    sig = F.col("b.std")
+    lam = F.when((sig > 0) & (nd > 1),
+                 F.col("b.__abs_s") / (sig * F.sqrt(nd)))
+    series = None
+    for j in range(1, terms + 1):
+        term = F.lit(float((-1) ** (j + 1))) * \
+            F.exp(F.lit(-2.0 * j * j) * lam * lam)
+        series = term if series is None else series + term
+    p = F.when(lam.isNotNull(),
+               F.greatest(F.lit(0.0),
+                          F.least(F.lit(1.0), 2.0 * series)))
+    mean_before = F.col("b.__cum") / kd
+    mean_after = (nd * F.col("b.mean") - F.col("b.__cum")) / (nd - kd)
+    return best.select(
+        *groups,
+        F.col("b.n").alias("n"),
+        F.col("b.mean").alias("mean"),
+        sig.alias("std"),
+        F.col("b.__k").alias("cp_index"),
+        F.col("b.__t").alias("cp_time"),
+        F.col("b.__abs_s").alias("cusum_abs"),
+        lam.alias("cusum_stat"),
+        p.alias("p_value"),
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+        (mean_after - mean_before).alias("shift"))
