@@ -3656,6 +3656,214 @@ def _q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words", "n_occurrences")
 
 
+
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint (ops/trend.py cusum_changepoint):
+    rollup-grain collapse, per-group cumulative-deviation walk, argmax
+    scan with Brownian-bridge p-value.  Oracle replays the identical
+    windows + 5-term Kolmogorov series in DuckDB."""
+    from whylogs_spark.ops.trend import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    out = cusum_changepoint(d, "day", "v", ["event_type"])
+    return out.select(
+        "event_type", "n",
+        F.col("cp_index").cast("long").alias("cp_index"),
+        F.round("cp_time", 1).alias("cp_time"),
+        F.round("cusum_abs", 4).alias("cusum_abs"),
+        F.round("cusum_stat", 6).alias("cusum_stat"),
+        F.round("p_value", 6).alias("p_value"),
+        F.round("mean_before", 6).alias("mean_before"),
+        F.round("mean_after", 6).alias("mean_after"),
+        F.round("shift", 6).alias("shift")).orderBy("event_type")
+
+
+def _q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE / information value (ops/encode.py woe_iv): exact
+    percentile cuts, strict-greater binning, per-bin evidence weights.
+    Oracle rebuilds the same cuts with quantile_cont + list_filter."""
+    from whylogs_spark.ops.encode import woe_iv
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("y"))
+    out = woe_iv(d, "x", "y", bins=8)
+    return out.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"),
+        "n", "n_pos",
+        F.round("pos_rate", 6).alias("pos_rate"),
+        F.round("p_pos", 6).alias("p_pos"),
+        F.round("p_neg", 6).alias("p_neg"),
+        F.round("woe", 6).alias("woe"),
+        F.round("iv_contrib", 8).alias("iv_contrib")).orderBy("bin")
+
+
+def _sl_orders(o: DataFrame) -> DataFrame:
+    """Shared deterministic (score, label) derivation on orders —
+    identical to the isotonic gate query so the calibration family
+    reads one synthetic scorer."""
+    s = (F.col("o_orderkey") % 97).cast("double") / 97.0
+    y = ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 100
+         < 20 + 60 * s).cast("double")
+    return o.select(s.alias("s"), y.alias("y"))
+
+
+def _q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (core/model_perf.py calibration_curve):
+    the per-bin view behind ECE — equal-width confidence bins,
+    mean-score vs positive-rate."""
+    from whylogs_spark.core.model_perf import calibration_curve
+
+    d = _sl_orders(_t(spark, sf_dir, "orders"))
+    out = calibration_curve(d, "s", "y", 10)
+    return out.select(
+        F.col("bin").cast("long").alias("bin"), "n",
+        F.round("conf", 6).alias("conf"),
+        F.round("acc", 6).alias("acc"),
+        F.round("gap", 6).alias("gap")).orderBy("bin")
+
+
+def _q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy decomposition (core/model_perf.py
+    brier_decomposition): exact brier rides the binned pass;
+    reliability/resolution/uncertainty from the bounded bin frame."""
+    from whylogs_spark.core.model_perf import brier_decomposition
+
+    d = _sl_orders(_t(spark, sf_dir, "orders"))
+    out = brier_decomposition(d, "s", "y", 10)
+    return out.select(
+        "n", F.round("brier", 6).alias("brier"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round("uncertainty", 6).alias("uncertainty"))
+
+
+def _q_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift (core/model_perf.py gains_table):
+    exact-percentile score buckets best-first, bounded cumulative
+    window."""
+    from whylogs_spark.core.model_perf import gains_table
+
+    d = _sl_orders(_t(spark, sf_dir, "orders"))
+    out = gains_table(d, "s", "y", 10)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"), "n", "n_pos",
+        F.round("pos_rate", 6).alias("pos_rate"),
+        "cum_n", "cum_pos",
+        F.round("capture_rate", 6).alias("capture_rate"),
+        F.round("cum_lift", 6).alias("cum_lift")).orderBy("bucket")
+
+
+def _q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between categoricals (ops/stats.py
+    mutual_information): exact joint-count entropies, marginals
+    reduced from the joint table."""
+    from whylogs_spark.ops.stats import mutual_information
+
+    o = _t(spark, sf_dir, "orders")
+    out = mutual_information(o, "o_orderstatus", "o_orderpriority")
+    return out.select(
+        "n", "a_categories", "b_categories",
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        F.round("h_ab", 6).alias("h_ab"),
+        F.round("mi", 8).alias("mi"),
+        F.round("nmi", 8).alias("nmi"))
+
+
+def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report (ops/stats.py gini_concentration):
+    per-returnflag Gini / HHI / top-shares of extendedprice mass
+    across parts — group-partitioned rank windows."""
+    from whylogs_spark.ops.stats import gini_concentration
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = gini_concentration(
+        li, "l_partkey", "l_extendedprice", ["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n_entities",
+        F.round("total", 2).alias("total"),
+        F.round("gini", 6).alias("gini"),
+        F.round("hhi", 8).alias("hhi"),
+        F.round("top1_share", 8).alias("top1_share"),
+        F.round("top10pct_share", 6).alias("top10pct_share")
+    ).orderBy("l_returnflag")
+
+
+def _q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-diversity report (ops/stats.py diversity_report): Shannon /
+    Simpson / effective categories per corpus column over one stack()
+    unpivot."""
+    from whylogs_spark.ops.stats import diversity_report
+
+    docs = _t(spark, sf_dir, "documents")
+    out = diversity_report(docs, ["lang", "source"])
+    return out.select(
+        "column", "n", "n_null", "categories",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("norm_entropy", 6).alias("norm_entropy"),
+        F.round("simpson", 8).alias("simpson"),
+        F.round("effective_categories", 6)
+        .alias("effective_categories"),
+        F.round("top_share", 8).alias("top_share")).orderBy("column")
+
+
+def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (ops/text.py zipf_fit): two-phase
+    capped vocabulary head, 6-sum OLS in log-log space."""
+    from whylogs_spark.ops.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_fit(docs, "text", top_v=2000)
+    return out.select(
+        "n_types", "n_tokens", "v_fit",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"))
+
+
+def _q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (ops/events.py time_weighted_average):
+    step-interpolated TWAP per event type vs the burst-biased simple
+    mean."""
+    from whylogs_spark.ops.events import time_weighted_average
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull())
+    out = time_weighted_average(ev, "ts", "value", ["event_type"])
+    return out.select(
+        "event_type", "n",
+        F.round("t_start", 1).alias("t_start"),
+        F.round("t_end", 1).alias("t_end"),
+        F.round("duration_s", 1).alias("duration_s"),
+        F.round("twa", 6).alias("twa"),
+        F.round("simple_mean", 6).alias("simple_mean")
+    ).orderBy("event_type")
+
+
+def _q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship golden record (ops/linkage.py golden_record):
+    latest-non-null per field per user via max_by struct ordering.
+    Timestamps stringified for the hash compare (house convention)."""
+    from whylogs_spark.ops.linkage import golden_record
+
+    ev = _t(spark, sf_dir, "events")
+    out = golden_record(ev, ["user_id"], "ts", ["event_type", "value"])
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id", "n_records",
+        F.date_format("first_ts", fmt).alias("first_ts"),
+        F.date_format("last_ts", fmt).alias("last_ts"),
+        "event_type",
+        F.round("value", 6).alias("value")).orderBy("user_id")
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -3716,6 +3924,18 @@ _GATE_ORDER = [
     "pca_embeddings",
     "isotonic_calibration_orders",
     "rake_keywords_documents",
+    # round-10 batch 2 (driver-gated on introduction)
+    "cusum_changepoint_events",
+    "woe_iv_orders",
+    "calibration_curve_orders",
+    "brier_decomposition_orders",
+    "gains_table_orders",
+    "mutual_information_orders",
+    "gini_concentration_lineitem",
+    "diversity_report_documents",
+    "zipf_fit_documents",
+    "time_weighted_avg_events",
+    "golden_record_events",
 ]
 
 
@@ -3948,6 +4168,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords_documents": _q_rake,
         "stationary_distribution_events": _q_stationary,
         "textrank_keywords_documents": _q_textrank,
+        # round-10 batch 2
+        "cusum_changepoint_events": _q_cusum,
+        "woe_iv_orders": _q_woe_iv,
+        "calibration_curve_orders": _q_calibration_curve,
+        "brier_decomposition_orders": _q_brier,
+        "gains_table_orders": _q_gains,
+        "mutual_information_orders": _q_mutual_info,
+        "gini_concentration_lineitem": _q_gini,
+        "diversity_report_documents": _q_diversity,
+        "zipf_fit_documents": _q_zipf,
+        "time_weighted_avg_events": _q_twa,
+        "golden_record_events": _q_golden_record,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5601,6 +5833,16 @@ _NEGSAMP_SQL = (
     "sum(('0x' || substr(md5(u || '|' || it || '|' || neg_item), "
     "1, 12))::UBIGINT)::BIGINT AS checksum "
     "FROM filt GROUP BY 1 ORDER BY 1")
+
+
+# shared deterministic (score, label) derivation on orders for the
+# calibration-family oracles (matches _sl_orders / the isotonic query)
+_SCORE_LABEL_SQL = (
+    "SELECT (o_orderkey % 97)::DOUBLE / 97.0 AS s, "
+    "CASE WHEN (o_orderkey * 31 + o_custkey) % 100 < "
+    "20 + 60 * ((o_orderkey % 97)::DOUBLE / 97.0) THEN 1.0 "
+    "ELSE 0.0 END AS y FROM orders"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7976,5 +8218,253 @@ def oracle_sql() -> dict[str, str]:
             "abs(y) END), 6) AS mape, "
             "round(avg(y - yhat), 6) AS bias "
             "FROM j GROUP BY 1 ORDER BY event_type"
+        ),
+        "cusum_changepoint_events": (
+            "WITH d AS (SELECT event_type, "
+            "epoch(date_trunc('day', ts))::DOUBLE AS t, "
+            "count(*)::DOUBLE AS v FROM events WHERE ts IS NOT NULL "
+            "AND event_type IS NOT NULL GROUP BY 1, 2), "
+            "tot AS (SELECT event_type, count(*)::BIGINT AS n, "
+            "avg(v) AS mean, stddev_pop(v) AS std FROM d GROUP BY 1), "
+            "walk AS (SELECT event_type, t, row_number() OVER w AS k, "
+            "sum(v) OVER w AS cum FROM d WINDOW w AS "
+            "(PARTITION BY event_type ORDER BY t ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "cand AS (SELECT walk.event_type, walk.t, walk.k, "
+            "walk.cum, abs(walk.cum - walk.k * tot.mean) AS abs_s, "
+            "tot.n, tot.mean, tot.std FROM walk JOIN tot "
+            "ON walk.event_type = tot.event_type WHERE walk.k < tot.n), "
+            "best AS (SELECT * FROM (SELECT cand.*, row_number() "
+            "OVER (PARTITION BY event_type ORDER BY abs_s DESC, k ASC) "
+            "AS rr FROM cand) q WHERE rr = 1), "
+            "lamb AS (SELECT *, CASE WHEN std > 0 AND n > 1 THEN "
+            "abs_s / (std * sqrt(n)) END AS lam FROM best) "
+            "SELECT event_type, n, k AS cp_index, "
+            "round(t, 1) AS cp_time, round(abs_s, 4) AS cusum_abs, "
+            "round(lam, 6) AS cusum_stat, "
+            "round(CASE WHEN lam IS NOT NULL THEN greatest(0.0, "
+            "least(1.0, 2.0 * (exp(-2.0*lam*lam) - exp(-8.0*lam*lam) "
+            "+ exp(-18.0*lam*lam) - exp(-32.0*lam*lam) "
+            "+ exp(-50.0*lam*lam)))) END, 6) AS p_value, "
+            "round(cum / k, 6) AS mean_before, "
+            "round((n * mean - cum) / (n - k), 6) AS mean_after, "
+            "round((n * mean - cum) / (n - k) - cum / k, 6) AS shift "
+            "FROM lamb ORDER BY event_type"
+        ),
+        "woe_iv_orders": (
+            "WITH b AS (SELECT o_totalprice::DOUBLE AS x, "
+            "CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y "
+            "FROM orders WHERE o_totalprice IS NOT NULL "
+            "AND o_orderstatus IS NOT NULL), "
+            "h AS (SELECT quantile_cont(x, [0.125, 0.25, 0.375, 0.5, "
+            "0.625, 0.75, 0.875]) AS cuts, sum(y) AS tp, "
+            "count(*) - sum(y) AS tn FROM b), "
+            "bb AS (SELECT len(list_filter(h.cuts, c -> b.x > c))"
+            "::BIGINT AS bin, b.x, b.y, h.tp, h.tn FROM b, h), "
+            "per AS (SELECT bin, min(x) AS lo, max(x) AS hi, "
+            "count(*)::BIGINT AS n, sum(y) AS np, "
+            "any_value(tp) AS tp, any_value(tn) AS tn "
+            "FROM bb GROUP BY 1) "
+            "SELECT bin, round(lo, 4) AS lo, round(hi, 4) AS hi, n, "
+            "np::BIGINT AS n_pos, round(np / n, 6) AS pos_rate, "
+            "round(np / tp, 6) AS p_pos, "
+            "round((n - np) / tn, 6) AS p_neg, "
+            "round(CASE WHEN np > 0 AND n - np > 0 THEN "
+            "ln((np / tp) / ((n - np) / tn)) END, 6) AS woe, "
+            "round(CASE WHEN np > 0 AND n - np > 0 THEN "
+            "(np / tp - (n - np) / tn) * "
+            "ln((np / tp) / ((n - np) / tn)) ELSE 0.0 END, 8) "
+            "AS iv_contrib FROM per ORDER BY bin"
+        ),
+        "calibration_curve_orders": (
+            "WITH d AS (" + _SCORE_LABEL_SQL + "), "
+            "per AS (SELECT least(greatest(floor(s * 10), 0), 9)"
+            "::BIGINT AS bin, count(*)::BIGINT AS n, avg(s) AS conf, "
+            "avg(y) AS acc FROM d GROUP BY 1) "
+            "SELECT bin, n, round(conf, 6) AS conf, "
+            "round(acc, 6) AS acc, round(acc - conf, 6) AS gap "
+            "FROM per ORDER BY bin"
+        ),
+        "brier_decomposition_orders": (
+            "WITH d AS (" + _SCORE_LABEL_SQL + "), "
+            "per AS (SELECT least(greatest(floor(s * 10), 0), 9) "
+            "AS bin, count(*)::DOUBLE AS n, avg(s) AS conf, "
+            "avg(y) AS acc, sum((s - y) * (s - y)) AS sq, "
+            "sum(y) AS pos FROM d GROUP BY 1), "
+            "tot AS (SELECT sum(n) AS nt, sum(pos) / sum(n) AS ybar "
+            "FROM per) "
+            "SELECT tot.nt::BIGINT AS n, "
+            "round(sum(per.sq) / tot.nt, 6) AS brier, "
+            "round(sum(per.n * (per.conf - per.acc) * "
+            "(per.conf - per.acc)) / tot.nt, 6) AS reliability, "
+            "round(sum(per.n * (per.acc - tot.ybar) * "
+            "(per.acc - tot.ybar)) / tot.nt, 6) AS resolution, "
+            "round(any_value(tot.ybar * (1 - tot.ybar)), 6) "
+            "AS uncertainty FROM per, tot GROUP BY tot.nt"
+        ),
+        "gains_table_orders": (
+            "WITH d AS (" + _SCORE_LABEL_SQL + "), "
+            "h AS (SELECT quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, "
+            "0.6, 0.7, 0.8, 0.9]) AS cuts, count(*)::DOUBLE AS nt, "
+            "sum(y) AS pt FROM d), "
+            "bb AS (SELECT 9 - len(list_filter(h.cuts, c -> d.s > c)) "
+            "AS bucket, d.y, h.nt, h.pt FROM d, h), "
+            "per AS (SELECT bucket, count(*)::BIGINT AS n, "
+            "sum(y) AS np, any_value(nt) AS nt, any_value(pt) AS pt "
+            "FROM bb GROUP BY 1), "
+            "w AS (SELECT *, sum(n) OVER ord AS cum_n, "
+            "sum(np) OVER ord AS cum_pos FROM per WINDOW ord AS "
+            "(ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)) "
+            "SELECT bucket::BIGINT AS bucket, n, np::BIGINT AS n_pos, "
+            "round(np / n, 6) AS pos_rate, cum_n, "
+            "cum_pos::BIGINT AS cum_pos, "
+            "round(cum_pos / pt, 6) AS capture_rate, "
+            "round((cum_pos / pt) / (cum_n / nt), 6) AS cum_lift "
+            "FROM w ORDER BY bucket"
+        ),
+        "mutual_information_orders": (
+            "WITH b AS (SELECT o_orderstatus AS a, o_orderpriority "
+            "AS bb FROM orders WHERE o_orderstatus IS NOT NULL "
+            "AND o_orderpriority IS NOT NULL), "
+            "j AS (SELECT a, bb, count(*)::DOUBLE AS c FROM b "
+            "GROUP BY 1, 2), "
+            "ma AS (SELECT a, sum(c) AS ca FROM j GROUP BY 1), "
+            "mb AS (SELECT bb, sum(c) AS cb FROM j GROUP BY 1), "
+            "ea AS (SELECT sum(ca) AS n, ln(sum(ca)) - "
+            "sum(ca * ln(ca)) / sum(ca) AS h_a, "
+            "count(*)::BIGINT AS ka FROM ma), "
+            "eb AS (SELECT ln(sum(cb)) - sum(cb * ln(cb)) / sum(cb) "
+            "AS h_b, count(*)::BIGINT AS kb FROM mb), "
+            "eab AS (SELECT ln(sum(c)) - sum(c * ln(c)) / sum(c) "
+            "AS h_ab FROM j) "
+            "SELECT ea.n::BIGINT AS n, ea.ka AS a_categories, "
+            "eb.kb AS b_categories, round(ea.h_a, 6) AS h_a, "
+            "round(eb.h_b, 6) AS h_b, round(eab.h_ab, 6) AS h_ab, "
+            "round(ea.h_a + eb.h_b - eab.h_ab, 8) AS mi, "
+            "round(CASE WHEN ea.h_a + eb.h_b > 0 THEN "
+            "(ea.h_a + eb.h_b - eab.h_ab) / "
+            "((ea.h_a + eb.h_b) / 2.0) END, 8) AS nmi "
+            "FROM ea, eb, eab"
+        ),
+        "gini_concentration_lineitem": (
+            "WITH per AS (SELECT l_returnflag, l_partkey, "
+            "sum(l_extendedprice::DOUBLE) AS x FROM lineitem "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT l_returnflag, x, row_number() OVER "
+            "(PARTITION BY l_returnflag ORDER BY x, l_partkey) AS i, "
+            "count(*) OVER (PARTITION BY l_returnflag)::DOUBLE AS ng "
+            "FROM per WHERE x IS NOT NULL), "
+            "rep AS (SELECT l_returnflag, count(*)::DOUBLE AS n, "
+            "sum(x) AS total, sum(i * x) AS ix, sum(x * x) AS xx, "
+            "max(CASE WHEN i = ng THEN x END) AS top1, "
+            "sum(CASE WHEN i > ng - ceil(ng / 10.0) THEN x "
+            "ELSE 0.0 END) AS top10 FROM r GROUP BY 1) "
+            "SELECT l_returnflag, n::BIGINT AS n_entities, "
+            "round(total, 2) AS total, "
+            "round(CASE WHEN total > 0 AND n >= 2 THEN "
+            "2.0 * ix / (n * total) - (n + 1) / n END, 6) AS gini, "
+            "round(CASE WHEN total > 0 THEN xx / (total * total) "
+            "END, 8) AS hhi, "
+            "round(CASE WHEN total > 0 THEN top1 / total END, 8) "
+            "AS top1_share, "
+            "round(CASE WHEN total > 0 THEN top10 / total END, 6) "
+            "AS top10pct_share FROM rep ORDER BY l_returnflag"
+        ),
+        "diversity_report_documents": (
+            "WITH lng AS (SELECT 'lang' AS col, lang AS v "
+            "FROM documents UNION ALL SELECT 'source', source "
+            "FROM documents), "
+            "c AS (SELECT col, v, count(*)::DOUBLE AS c FROM lng "
+            "GROUP BY 1, 2), "
+            "rep AS (SELECT col, sum(c)::BIGINT AS n, "
+            "coalesce(sum(CASE WHEN v IS NULL THEN c END), 0)"
+            "::BIGINT AS n_null, "
+            "count(CASE WHEN v IS NOT NULL THEN 1 END)::BIGINT "
+            "AS categories, sum(CASE WHEN v IS NOT NULL THEN c END) "
+            "AS nv, sum(CASE WHEN v IS NOT NULL THEN c * ln(c) END) "
+            "AS slc, sum(CASE WHEN v IS NOT NULL THEN c * c END) "
+            "AS sq, max(CASE WHEN v IS NOT NULL THEN c END) AS top "
+            "FROM c GROUP BY 1) "
+            "SELECT col AS \"column\", n, n_null, categories, "
+            "round(CASE WHEN nv > 0 THEN ln(nv) - slc / nv END, 6) "
+            "AS entropy, "
+            "round(CASE WHEN categories > 1 AND nv > 0 THEN "
+            "(ln(nv) - slc / nv) / ln(categories) END, 6) "
+            "AS norm_entropy, "
+            "round(CASE WHEN nv > 0 THEN sq / (nv * nv) END, 8) "
+            "AS simpson, "
+            "round(CASE WHEN nv > 0 THEN exp(ln(nv) - slc / nv) "
+            "END, 6) AS effective_categories, "
+            "round(CASE WHEN nv > 0 THEN top / nv END, 8) "
+            "AS top_share FROM rep ORDER BY col"
+        ),
+        "zipf_fit_documents": (
+            "WITH tok AS (SELECT unnest(string_split_regex("
+            "lower(text), '[^a-z0-9]+')) AS t FROM documents "
+            "WHERE text IS NOT NULL), "
+            "c AS (SELECT t, count(*)::BIGINT AS cnt FROM tok "
+            "WHERE t <> '' GROUP BY 1), "
+            "tot AS (SELECT count(*)::BIGINT AS n_types, "
+            "sum(cnt)::BIGINT AS n_tokens FROM c), "
+            "h AS (SELECT cnt, row_number() OVER "
+            "(ORDER BY cnt DESC, t ASC) AS rk FROM c "
+            "QUALIFY rk <= 2000), "
+            "s AS (SELECT count(*)::DOUBLE AS m, sum(ln(rk)) AS sr, "
+            "sum(ln(cnt)) AS sf, sum(ln(rk) * ln(rk)) AS srr, "
+            "sum(ln(cnt) * ln(cnt)) AS sff, "
+            "sum(ln(rk) * ln(cnt)) AS srf FROM h) "
+            "SELECT tot.n_types, tot.n_tokens, s.m::BIGINT AS v_fit, "
+            "round(CASE WHEN srr - sr * sr / m > 0 THEN "
+            "(srf - sr * sf / m) / (srr - sr * sr / m) END, 6) "
+            "AS slope, "
+            "round((sf - CASE WHEN srr - sr * sr / m > 0 THEN "
+            "(srf - sr * sf / m) / (srr - sr * sr / m) END * sr) / m, "
+            "6) AS intercept, "
+            "round(CASE WHEN srr - sr * sr / m > 0 AND "
+            "sff - sf * sf / m > 0 THEN (srf - sr * sf / m) * "
+            "(srf - sr * sf / m) / ((srr - sr * sr / m) * "
+            "(sff - sf * sf / m)) END, 6) AS r2 FROM s, tot"
+        ),
+        "time_weighted_avg_events": (
+            "WITH b AS (SELECT event_type, epoch(ts)::DOUBLE AS t, "
+            "value::DOUBLE AS v FROM events WHERE ts IS NOT NULL "
+            "AND value IS NOT NULL AND event_type IS NOT NULL "
+            "AND NOT isnan(value)), "
+            "g AS (SELECT event_type, t, avg(v) AS v FROM b "
+            "GROUP BY 1, 2), "
+            "s AS (SELECT event_type, t, v, lead(t) OVER "
+            "(PARTITION BY event_type ORDER BY t) - t AS dt FROM g), "
+            "rep AS (SELECT event_type, count(*)::BIGINT AS n, "
+            "min(t) AS ts_, max(t) AS te, sum(v * dt) AS area, "
+            "avg(v) AS sm FROM s GROUP BY 1) "
+            "SELECT event_type, n, round(ts_, 1) AS t_start, "
+            "round(te, 1) AS t_end, round(te - ts_, 1) AS duration_s, "
+            "round(CASE WHEN te > ts_ THEN area / (te - ts_) END, 6) "
+            "AS twa, round(sm, 6) AS simple_mean FROM rep "
+            "ORDER BY event_type"
+        ),
+        "golden_record_events": (
+            "WITH b AS (SELECT user_id, ts, event_type, value "
+            "FROM events WHERE ts IS NOT NULL), "
+            "base AS (SELECT user_id, count(*)::BIGINT AS n_records, "
+            "min(ts) AS first_ts, max(ts) AS last_ts FROM b "
+            "GROUP BY 1), "
+            "et AS (SELECT user_id, event_type FROM "
+            "(SELECT user_id, event_type, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_type DESC) "
+            "AS rr FROM b WHERE event_type IS NOT NULL) q "
+            "WHERE rr = 1), "
+            "vl AS (SELECT user_id, value FROM "
+            "(SELECT user_id, value, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, value DESC) "
+            "AS rr FROM b WHERE value IS NOT NULL) q WHERE rr = 1) "
+            "SELECT base.user_id, base.n_records, "
+            "strftime(base.first_ts, '%Y-%m-%d %H:%M:%S') "
+            "AS first_ts, "
+            "strftime(base.last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts, "
+            "et.event_type, round(vl.value, 6) AS value "
+            "FROM base LEFT JOIN et USING (user_id) "
+            "LEFT JOIN vl USING (user_id) ORDER BY base.user_id"
         ),
     }
