@@ -3777,8 +3777,11 @@ def _q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nmi", 8).alias("nmi"))
 
 
-def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_gini_conc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration report (ops/stats.py gini_concentration):
+    per-group entity-mass Gini + HHI + top-shares — the grouped,
+    entity-aggregated sibling of the single-column
+    ``gini_lineitem`` (core/summaries.py gini_coefficient):
     per-returnflag Gini / HHI / top-shares of extendedprice mass
     across parts — group-partitioned rank windows."""
     from whylogs_spark.ops.stats import gini_concentration
@@ -3925,7 +3928,7 @@ _GATE_ORDER = [
     "isotonic_calibration_orders",
     "rake_keywords_documents",
     # round-10 batch 2 (driver-gated on introduction)
-    "cusum_changepoint_events",
+    "retrospective_changepoint_events",
     "woe_iv_orders",
     "calibration_curve_orders",
     "brier_decomposition_orders",
@@ -4169,13 +4172,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stationary_distribution_events": _q_stationary,
         "textrank_keywords_documents": _q_textrank,
         # round-10 batch 2
-        "cusum_changepoint_events": _q_cusum,
+        "retrospective_changepoint_events": _q_cusum,
         "woe_iv_orders": _q_woe_iv,
         "calibration_curve_orders": _q_calibration_curve,
         "brier_decomposition_orders": _q_brier,
         "gains_table_orders": _q_gains,
         "mutual_information_orders": _q_mutual_info,
-        "gini_concentration_lineitem": _q_gini,
+        "gini_concentration_lineitem": _q_gini_conc,
         "diversity_report_documents": _q_diversity,
         "zipf_fit_documents": _q_zipf,
         "time_weighted_avg_events": _q_twa,
@@ -8219,7 +8222,7 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(y - yhat), 6) AS bias "
             "FROM j GROUP BY 1 ORDER BY event_type"
         ),
-        "cusum_changepoint_events": (
+        "retrospective_changepoint_events": (
             "WITH d AS (SELECT event_type, "
             "epoch(date_trunc('day', ts))::DOUBLE AS t, "
             "count(*)::DOUBLE AS v FROM events WHERE ts IS NOT NULL "

@@ -915,6 +915,62 @@ def main() -> None:
         _noop(textrank_keywords(t["documents"], window=2,
                                 iterations=10, k=30))
 
+
+    def bench_changepoint_twa():
+        # CUSUM changepoint + time-weighted average over per-type
+        # event series — round-10 batch 2 (grouped windows at rollup
+        # grain)
+        from whylogs_spark.ops.events import time_weighted_average
+        from whylogs_spark.ops.trend import cusum_changepoint
+        daily = (t["events"].filter(F.col("ts").isNotNull()
+                                    & F.col("event_type").isNotNull())
+                 .groupBy("event_type",
+                          F.date_trunc("day", "ts").alias("__d"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("v")))
+        _noop(cusum_changepoint(daily, "__d", "v", ["event_type"]))
+        _noop(time_weighted_average(
+            t["events"], "ts", "value", ["event_type"]))
+
+    def bench_golden_record():
+        # N-field survivorship on one exchange over the raw events
+        # table — round-10 batch 2
+        from whylogs_spark.ops.linkage import golden_record
+        _noop(golden_record(t["events"], ["user_id"], "ts",
+                            ["event_type", "value", "props"]))
+
+    def bench_scorecard_calibration():
+        # WOE/IV + gains + calibration/Brier on orders — round-10
+        # batch 2 (percentile-cut broadcast + bounded bin groupBys)
+        from whylogs_spark.core.model_perf import (
+            brier_decomposition, calibration_curve, gains_table)
+        from whylogs_spark.ops.encode import woe_iv
+        d = t["orders"].select(
+            F.col("o_totalprice").alias("x"),
+            (F.col("o_orderstatus") == "F").cast("double").alias("y"))
+        _noop(woe_iv(d, "x", "y", bins=10))
+        s = (F.col("o_orderkey") % 97).cast("double") / 97.0
+        y = ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 100
+             < 20 + 60 * s).cast("double")
+        sl = t["orders"].select(s.alias("s"), y.alias("y"))
+        _noop(gains_table(sl, "s", "y", 10))
+        _noop(calibration_curve(sl, "s", "y", 10))
+        _noop(brier_decomposition(sl, "s", "y", 10))
+
+    def bench_concentration_diversity():
+        # Gini/HHI concentration + mutual information + corpus
+        # diversity + Zipf fit — round-10 batch 2
+        from whylogs_spark.ops.stats import (diversity_report,
+                                             gini_concentration,
+                                             mutual_information)
+        from whylogs_spark.ops.text import zipf_fit
+        _noop(gini_concentration(
+            t["lineitem"], "l_partkey", "l_extendedprice",
+            ["l_returnflag"]))
+        _noop(mutual_information(
+            t["orders"], "o_orderstatus", "o_orderpriority"))
+        _noop(diversity_report(t["documents"], ["lang", "source"]))
+        _noop(zipf_fit(t["documents"], "text", top_v=2000))
+
     def bench_trend_offpolicy():
         # MK/Theil-Sen over per-type daily series + mSPRT monthly
         # scan + off-policy estimators — round-10 batch 1
@@ -1240,6 +1296,10 @@ def main() -> None:
         "data_contract": bench_data_contract,
         "ab_test_orders": bench_ab_test,
         "trend_offpolicy": bench_trend_offpolicy,
+        "changepoint_twa": bench_changepoint_twa,
+        "golden_record_events": bench_golden_record,
+        "scorecard_calibration": bench_scorecard_calibration,
+        "concentration_diversity": bench_concentration_diversity,
         "features_splits": bench_features_splits,
         "graph_embed_r10": bench_graph_embed_r10,
         "isotonic_rake": bench_isotonic_rake,

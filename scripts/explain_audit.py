@@ -2737,6 +2737,206 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+
+    # 10e. round-10 batch 2: changepoint / scorecard / concentration /
+    # survivorship operators
+    from whylogs_spark.ops.trend import cusum_changepoint
+
+    ev10 = load_table(spark, SF_DIR, "events")
+    daily10 = (ev10.filter(F.col("ts").isNotNull()
+                           & F.col("event_type").isNotNull())
+               .groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("day"))
+               .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    cus = cusum_changepoint(daily10, "day", "v", ["event_type"])
+    sections.append((
+        "CUSUM changepoint (grouped cumulative-deviation walk)", cus,
+        {
+            "rollup collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "every window carries the group key (no global sort)":
+                r"^(?![\s\S]*windowspecdefinition\((?!event_type))",
+            "group totals join back by broadcast":
+                r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.encode import woe_iv
+
+    ords10 = load_table(spark, SF_DIR, "orders")
+    woe = woe_iv(
+        ords10.select(F.col("o_totalprice").alias("x"),
+                      (F.col("o_orderstatus") == "F").cast("double")
+                      .alias("y")), "x", "y", bins=8)
+    sections.append((
+        "WOE/IV (percentile cuts + map-side array-filter binning)",
+        woe,
+        {
+            "scan reads only the feature+label columns":
+                r"ReadSchema:[^\n]*o_totalprice",
+            "cuts/totals head joins back by broadcast":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "bin aggregation partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window anywhere (bins are a higher-order filter)":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.core.model_perf import (brier_decomposition,
+                                               gains_table)
+
+    sl_s = (F.col("o_orderkey") % 97).cast("double") / 97.0
+    sl_y = ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 100
+            < 20 + 60 * sl_s).cast("double")
+    sl10 = ords10.select(sl_s.alias("s"), sl_y.alias("y"))
+    sections.append((
+        "Brier decomposition (bounded bin frame, two reduces)",
+        brier_decomposition(sl10, "s", "y", 10),
+        {
+            "bin aggregation partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "totals join back by broadcast":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+    sections.append((
+        "gains table (bucket cut broadcast, cumulative over <=10 "
+        "rows)", gains_table(sl10, "s", "y", 10),
+        {
+            "cuts/totals head joins back by broadcast":
+                r"BroadcastNestedLoopJoin|BroadcastHashJoin",
+            "bucket aggregation partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "exactly one window (the bounded per-bucket cumulative)":
+                r"^(?!([\s\S]*\(\d+\) Window){2})[\s\S]*\(\d+\) Window",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.stats import (diversity_report,
+                                         gini_concentration,
+                                         mutual_information)
+
+    mi10 = mutual_information(ords10, "o_orderstatus",
+                              "o_orderpriority")
+    sections.append((
+        "mutual information (marginals reduced FROM the joint table)",
+        mi10,
+        {
+            "exactly one parquet scan (cube folds all levels in)":
+                r"^(?!([\s\S]*Scan parquet\s+\(\d+\)){2})"
+                r"[\s\S]*Scan parquet\s+\(\d+\)",
+            "cube counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "zero joins (levels separated by grouping_id, not "
+            "branches)":
+                r"^(?![\s\S]*(SortMergeJoin|BroadcastHashJoin|"
+                r"BroadcastNestedLoopJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    gin = gini_concentration(li, "l_partkey", "l_extendedprice",
+                             ["l_returnflag"])
+    sections.append((
+        "Gini concentration (group-partitioned rank windows)", gin,
+        {
+            "per-entity collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "every window carries the group key (no global rank)":
+                r"^(?![\s\S]*windowspecdefinition\((?!l_returnflag))",
+            "scan reads only the three involved columns":
+                r"ReadSchema:[^\n]*l_extendedprice",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    div = diversity_report(docs, ["lang", "source"])
+    sections.append((
+        "diversity report (one stack() unpivot, bounded counts)", div,
+        {
+            "exactly one parquet scan (stack is in-scan)":
+                r"^(?!([\s\S]*Scan parquet\s+\(\d+\)){2})"
+                r"[\s\S]*Scan parquet\s+\(\d+\)",
+            "value counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.text import zipf_fit
+
+    zp = zipf_fit(docs, "text", top_v=2000)
+    sections.append((
+        "Zipf fit (two-phase capped vocabulary rank)", zp,
+        {
+            "token counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "phase-1 rank is partition-local (windowspec pinned to "
+            "__pid)": r"windowspecdefinition\(__pid",
+            "totals join back by broadcast":
+                r"BroadcastNestedLoopJoin",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.events import time_weighted_average
+
+    twa = time_weighted_average(ev10, "ts", "value", ["event_type"])
+    sections.append((
+        "time-weighted average (grouped lead window)", twa,
+        {
+            "instant collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "every window carries the group key":
+                r"^(?![\s\S]*windowspecdefinition\((?!event_type))",
+            "no join anywhere":
+                r"^(?![\s\S]*(SortMergeJoin|BroadcastHashJoin|"
+                r"BroadcastNestedLoopJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.linkage import golden_record
+
+    gold = golden_record(ev10, ["user_id"], "ts",
+                         ["event_type", "value"])
+    sections.append((
+        "golden record (N-field survivorship on one exchange)", gold,
+        {
+            # max_by over a struct with string fields is sort-based
+            # (SortAggregate), but the PARTIAL max_by still runs
+            # map-side before the exchange - the shape that matters
+            "survivorship partial-aggs (partial_max_by) before its "
+            "exchange": r"partial_max_by[\s\S]*\(\d+\) Exchange",
+            "exactly one exchange (all fields ride one groupBy)":
+                r"^(?!([\s\S]*\(\d+\) Exchange){2})"
+                r"[\s\S]*\(\d+\) Exchange",
+            "no window, no join":
+                r"^(?![\s\S]*(\(\d+\) Window|SortMergeJoin|"
+                r"BroadcastHashJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
@@ -2751,16 +2951,33 @@ def main() -> None:
         # two-phase prefix sum: the partition-less window rolls up the
         # slice-totals frame (exactly one row per shuffle partition)
         "core/prefix.py",
+        # phase-2 rank over the phase-1-capped head (<= top_v x
+        # partitions rows) — the two-phase shape the audit section
+        # "Zipf fit" pins
+        "ops/text.py::zipf_fit",
+        # cumulative over the <= n_buckets per-bucket frame
+        "core/model_perf.py::gains_table",
     }
+
+    def _enclosing_def(srctxt: str, pos: int) -> str:
+        name = ""
+        for dm in re.finditer(r"^def (\w+)", srctxt[:pos], re.M):
+            name = dm.group(1)
+        return name
+
     pkg_root = pathlib.Path("/root/repo/whylogs_spark")
     window_viol = []
     for p in sorted(pkg_root.rglob("*.py")):
         rel = str(p.relative_to(pkg_root))
         srctxt = p.read_text()
         for mo in re.finditer(r"Window\s*\.\s*orderBy", srctxt):
-            if rel not in _GLOBAL_WINDOW_ALLOW:
-                ln = srctxt[: mo.start()].count("\n") + 1
-                window_viol.append(f"{rel}:{ln}")
+            fn = _enclosing_def(srctxt, mo.start())
+            if rel in _GLOBAL_WINDOW_ALLOW:
+                continue
+            if f"{rel}::{fn}" in _GLOBAL_WINDOW_ALLOW:
+                continue
+            ln = srctxt[: mo.start()].count("\n") + 1
+            window_viol.append(f"{rel}:{ln}")
     source_checks = [
         ("no partition-less Window.orderBy outside the "
          f"declared-bounded allowlist {sorted(_GLOBAL_WINDOW_ALLOW)}"

@@ -383,41 +383,44 @@ def mutual_information(
     feature-selection pipelines rank by either.
 
     Rows with a NULL on either side drop (pairwise-complete, matching
-    ``association_report``).  ONE partial-agged groupBy(a, b) builds
-    the joint table (bounded by category-pair cardinality); marginals
-    reduce FROM the joint counts, never rescanning the data; the three
-    entropy reduces are over the bounded joint/marginal frames.
+    ``association_report``).  ONE partial-agged cube(a, b) pass builds
+    joint cells, both marginals AND the grand total off a single scan
+    (grouping_id separates the levels); one more reduce over that
+    bounded frame yields every entropy.  Exactly one data scan, zero
+    joins — DataFrame branches per level would each rescan.
     """
     a, b = F.col(col_a), F.col(col_b)
-    joint = (df.filter(a.isNotNull() & b.isNotNull())
-             .groupBy(a.alias("__a"), b.alias("__b"))
-             .agg(F.count(F.lit(1)).cast("double").alias("__c")))
-    # marginals from the joint table (no second scan)
-    ma = joint.groupBy("__a").agg(F.sum("__c").alias("__ca"))
-    mb = joint.groupBy("__b").agg(F.sum("__c").alias("__cb"))
-
-    def _entropy(cnts: DataFrame, c: str, out: str) -> DataFrame:
-        return cnts.agg(
-            F.sum(c).alias("__n"),
-            F.sum(F.col(c) * F.log(c)).alias("__slc")).select(
-            F.col("__n").alias(f"{out}_n"),
-            (F.log("__n") - F.col("__slc") / F.col("__n"))
-            .alias(out))
-
-    ea = _entropy(ma, "__ca", "h_a").select(
-        "h_a", F.col("h_a_n").alias("__n"))
-    eb = _entropy(mb, "__cb", "h_b").select("h_b")
-    eab = _entropy(joint, "__c", "h_ab").select("h_ab")
-    ka = ma.agg(F.count(F.lit(1)).alias("a_categories"))
-    kb = mb.agg(F.count(F.lit(1)).alias("b_categories"))
-    one = (ea.crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(eab))
-           .crossJoin(F.broadcast(ka)).crossJoin(F.broadcast(kb)))
-    mi = F.col("h_a") + F.col("h_b") - F.col("h_ab")
-    denom = (F.col("h_a") + F.col("h_b")) / 2.0
-    return one.select(
-        F.col("__n").cast("long").alias("n"),
+    # ONE cube pass: joint cells, both marginals and the grand total
+    # come out of a single aggregation over a single scan —
+    # grouping_id tags the level (0 joint, 1 a-marginal, 2 b-marginal,
+    # 3 total).  DataFrame branches would re-run the scan per level
+    # (Spark shares no common subplans across branches); cube shares
+    # everything.  Real nulls were filtered, so the cube's null
+    # markers are unambiguous.
+    cells = (df.filter(a.isNotNull() & b.isNotNull())
+             .cube(a.alias("__a"), b.alias("__b"))
+             .agg(F.count(F.lit(1)).cast("double").alias("__c"),
+                  F.grouping_id().alias("__gid")))
+    gid = F.col("__gid")
+    c = F.col("__c")
+    lvl = lambda g, e: F.sum(F.when(gid == g, e))  # noqa: E731
+    rep = cells.agg(
+        lvl(3, c).alias("__n"),
+        F.count(F.when(gid == 1, F.lit(1))).alias("a_categories"),
+        F.count(F.when(gid == 2, F.lit(1))).alias("b_categories"),
+        lvl(1, c * F.log(c)).alias("__sa"),
+        lvl(2, c * F.log(c)).alias("__sb"),
+        lvl(0, c * F.log(c)).alias("__sab"))
+    n = F.col("__n")
+    h_a = F.log(n) - F.col("__sa") / n
+    h_b = F.log(n) - F.col("__sb") / n
+    h_ab = F.log(n) - F.col("__sab") / n
+    mi = h_a + h_b - h_ab
+    denom = (h_a + h_b) / 2.0
+    return rep.select(
+        n.cast("long").alias("n"),
         "a_categories", "b_categories",
-        "h_a", "h_b", "h_ab",
+        h_a.alias("h_a"), h_b.alias("h_b"), h_ab.alias("h_ab"),
         mi.alias("mi"),
         F.when(denom > 0, mi / denom).alias("nmi"))
 
