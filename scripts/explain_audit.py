@@ -2830,7 +2830,7 @@ def main() -> None:
     mi10 = mutual_information(ords10, "o_orderstatus",
                               "o_orderpriority")
     sections.append((
-        "mutual information (marginals reduced FROM the joint table)",
+        "mutual information (one cube pass, all levels)",
         mi10,
         {
             "exactly one parquet scan (cube folds all levels in)":

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 __all__ = ["ab_test_report", "with_ab_pvalues", "cuped_adjust",
            "uplift_curve", "auuc", "msprt_scan", "stratified_ate",
-           "srm_check"]
+           "srm_check", "ratio_delta_ci"]
 
 
 def ab_test_report(
@@ -676,3 +676,50 @@ def stratified_ate(
                * F.sum(F.when(F.col("__ok"), F.col("__n")))))
         .alias("se"),
     )
+
+
+def ratio_delta_ci(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric
+    sum(num)/sum(den) over randomization units (Deng, Knoblich & Lu
+    2018) — the correct CI when the metric's denominator is itself
+    random (revenue per session, CTR per user), where a naive
+    per-row t-interval is wrong because rows aren't the units.
+
+    One row per group: ``(group…, n, ratio, se, ci_lo, ci_hi)`` with
+    ``se² = (var_x − 2·r·cov_xy + r²·var_y) / (n·ȳ²)`` (first-order
+    Taylor expansion around the means), ``z`` the normal quantile
+    (default two-sided 95%).  Null when n < 2, ȳ = 0, or the
+    denominator variance expression degenerates.  Each input ROW must
+    already be one randomization unit (pre-aggregate per user first —
+    :func:`ab_test_report`'s contract).
+
+    Scale shape: ONE partial-agged aggregation per group (five moment
+    sums); nothing else.
+    """
+    groups = list(group_cols or [])
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    base = df.filter(x.isNotNull() & ~F.isnan(x)
+                     & y.isNotNull() & ~F.isnan(y))
+    rep = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("__mx"), F.avg(y).alias("__my"),
+        F.var_samp(x).alias("__vx"), F.var_samp(y).alias("__vy"),
+        F.covar_samp(x, y).alias("__cxy"))
+    nd = F.col("n").cast("double")
+    r = F.when(F.col("__my") != 0, F.col("__mx") / F.col("__my"))
+    var_r = (F.col("__vx") - 2.0 * r * F.col("__cxy")
+             + r * r * F.col("__vy")) \
+        / (nd * F.col("__my") * F.col("__my"))
+    se = F.when((F.col("n") >= 2) & var_r.isNotNull() & (var_r >= 0),
+                F.sqrt(var_r))
+    return rep.select(
+        *groups, "n", r.alias("ratio"), se.alias("se"),
+        (r - F.lit(float(z)) * se).alias("ci_lo"),
+        (r + F.lit(float(z)) * se).alias("ci_hi"))

@@ -711,3 +711,77 @@ def negative_sampling(
         (F.col("user") == F.col("__pu"))
         & (F.col("neg_item") == F.col("__pi")),
         "left_anti")
+
+
+def ipf_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_targets: dict,
+    col_targets: dict,
+    iterations: int = 5,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming & Stephan 1940):
+    per-cell weights that reweight the (row_col × col_col) mix toward
+    BOTH target marginals at once — the standard survey-weighting /
+    corpus-rebalancing move when independent per-axis weights would
+    fight each other.  Targets are SHARES (they are normalized to sum
+    to 1; categories absent from a target get share 0 and weight 0).
+
+    One row per observed cell: ``(row_col, col_col, n, weight,
+    weighted_share)`` where ``weight`` multiplies each ROW of that
+    cell and Σ n·w = 1 after the final row-axis step; run more
+    ``iterations`` for tighter column-axis agreement (IPF converges
+    geometrically for strictly positive tables).
+
+    Scale shape: ONE partial-agged groupBy builds the contingency
+    cells; the IPF loop itself runs driver-side on the COLLECTED cell
+    table (bounded by ``max_cells`` — a guard raises past it, the
+    isotonic/k-means bounded-collect precedent) and the result ships
+    back as a small DataFrame to broadcast-join onto the corpus.
+    The data is scanned once; nothing data-sized leaves executors.
+    """
+    cells = (df.filter(F.col(row_col).isNotNull()
+                       & F.col(col_col).isNotNull())
+             .groupBy(row_col, col_col)
+             .agg(F.count(F.lit(1)).alias("n")))
+    rows = cells.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
+        raise ValueError(
+            f"ipf_weights: > {max_cells} contingency cells; raise "
+            "max_cells or coarsen the categories")
+
+    rt_total = float(sum(row_targets.values())) or 1.0
+    ct_total = float(sum(col_targets.values())) or 1.0
+    rt = {k: v / rt_total for k, v in row_targets.items()}
+    ct = {k: v / ct_total for k, v in col_targets.items()}
+
+    total = float(sum(r["n"] for r in rows)) or 1.0
+    state = {(r[row_col], r[col_col]): r["n"] / total for r in rows}
+    for _ in range(int(iterations)):
+        for axis, targets in ((0, rt), (1, ct)):
+            sums: dict = {}
+            for key, w in state.items():
+                sums[key[axis]] = sums.get(key[axis], 0.0) + w
+            state = {
+                key: (w * targets.get(key[axis], 0.0)
+                      / sums[key[axis]] if sums[key[axis]] > 0
+                      else 0.0)
+                for key, w in state.items()
+            }
+    spark = df.sparkSession
+    out_rows = [
+        (k[0], k[1], int(dict_n), float(state[k] / dict_n))
+        for k, dict_n in (((r[row_col], r[col_col]), r["n"])
+                          for r in rows)
+    ]
+    schema = df.select(row_col, col_col).schema
+    result = spark.createDataFrame(
+        [(a, b, n, w) for a, b, n, w in out_rows],
+        schema=(f"{schema[0].name} {schema[0].dataType.simpleString()}, "
+                f"{schema[1].name} {schema[1].dataType.simpleString()}, "
+                "n long, weight double"))
+    return result.select(
+        row_col, col_col, "n", "weight",
+        (F.col("weight") * F.col("n")).alias("weighted_share"))

@@ -51,6 +51,7 @@ __all__ = [
     "mutual_information",
     "gini_concentration",
     "diversity_report",
+    "hill_tail_index",
 ]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -547,3 +548,71 @@ def diversity_report(
         F.exp(h).alias("effective_categories"),
         F.when(F.col("__nv") > 0, F.col("__top") / F.col("__nv"))
         .alias("top_share"))
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Hill (1975) estimator of the power-law tail index over the
+    top-``k`` order statistics of a positive value, one row per
+    group: ``(group…, n, k_used, x_k, xi, alpha)``.
+
+    ``xi = (1/k)·Σ_{i=1..k} ln(x_(i) / x_k)`` over the k largest
+    values with ``x_k`` the (k+1)-th largest (the threshold);
+    ``alpha = 1/xi`` is the Pareto exponent — web-scale degree /
+    revenue / frequency distributions are heavy-tailed exactly when
+    alpha is small (≈1-2), which is what decides whether a hot-key
+    mitigation is needed.  Non-positive and null values drop; groups
+    with fewer than k+2 positive values report with the largest
+    feasible ``k_used`` (needs ≥ 2); ``xi`` null when degenerate
+    (all top values equal).
+
+    Scale shape: the top-(k+1) per group is TWO-PHASE — a
+    per-partition rank keeps k+1 survivors, then the global per-group
+    rank runs over ≤ (k+1)×partitions rows; the estimator is one
+    bounded reduce.  Totals ride the counts pass.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & ~F.isnan(v) & (v > 0)) \
+        .select(*groups, v.alias("__x"))
+    kk = int(k)
+    if kk < 2:
+        raise ValueError(f"hill_tail_index needs k >= 2, got {k}")
+
+    w_local = Window.partitionBy(*groups, "__pid").orderBy(
+        F.col("__x").desc())
+    pre = (base.withColumn("__pid", F.spark_partition_id())
+           .withColumn("__rk", F.row_number().over(w_local))
+           .filter(F.col("__rk") <= kk + 1).drop("__rk", "__pid"))
+    w = Window.partitionBy(*groups).orderBy(F.col("__x").desc())
+    head = (pre.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= kk + 1))
+
+    tot = base.groupBy(*groups).agg(F.count(F.lit(1)).alias("n"))
+    per = (head.groupBy(*groups)
+           .agg(F.max("__rk").alias("__m"),
+                F.min("__x").alias("x_k"),
+                F.sum(F.log("__x")).alias("__slx")))
+    m = F.col("__m").cast("double")
+    k_used = m - 1
+    # Σ ln(x_i) over the k head values = total − ln(x_k); xi = that
+    # mean minus ln(x_k)
+    xi = F.when(
+        k_used >= 2,
+        (F.col("__slx") - F.log("x_k")) / k_used - F.log("x_k"))
+    xi = F.when(xi > 0, xi)
+    if groups:
+        out = tot.join(per, groups)
+    else:
+        out = tot.crossJoin(F.broadcast(per))
+    return out.select(
+        *groups, "n",
+        k_used.cast("long").alias("k_used"),
+        "x_k", xi.alias("xi"),
+        F.when(xi.isNotNull(), 1.0 / xi).alias("alpha"))
