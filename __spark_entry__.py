@@ -3867,6 +3867,84 @@ def _q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value")).orderBy("user_id")
 
 
+
+def _q_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-mask pattern profile (ops/schema_infer.py
+    pattern_profile): A/a/9 class masks, two-phase capped per-column
+    top-k.  Oracle replays the identical regexp_replace chain with
+    DuckDB's global flag."""
+    from whylogs_spark.ops.schema_infer import pattern_profile
+
+    cust = _t(spark, sf_dir, "customer")
+    out = pattern_profile(cust, ["c_name", "c_mktsegment"], top_k=5)
+    return out.select(
+        "column", "mask", "n",
+        F.round("share", 8).alias("share"),
+        "n_values", "example").orderBy("column", "mask")
+
+
+def _q_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric CI (ops/abtest.py ratio_delta_ci):
+    per-user value-per-event ratio by event type; oracle replays the
+    Taylor-expansion variance from the same five moments."""
+    from whylogs_spark.ops.abtest import ratio_delta_ci
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).groupBy("user_id", "event_type").agg(
+        F.sum("value").alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"))
+    out = ratio_delta_ci(per_user, "x", "y", ["event_type"])
+    return out.select(
+        "event_type", "n",
+        F.round("ratio", 6).alias("ratio"),
+        F.round("se", 6).alias("se"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi")).orderBy("event_type")
+
+
+def _q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail index (ops/stats.py hill_tail_index): two-phase
+    capped top-k order statistics per group; oracle ranks with one
+    QUALIFY window over the same total order."""
+    from whylogs_spark.ops.stats import hill_tail_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = hill_tail_index(li, "l_extendedprice", k=100,
+                          group_cols=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n", "k_used",
+        F.round("x_k", 4).alias("x_k"),
+        F.round("xi", 8).alias("xi"),
+        F.round("alpha", 6).alias("alpha")).orderBy("l_returnflag")
+
+
+def _q_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF raking weights (ops/sampling.py ipf_weights): uniform
+    targets over the observed (lang, source) marginals, 5 sweeps.
+    Oracle unrolls the identical row-then-column scaling loop as
+    nested CTEs over the contingency cells."""
+    from whylogs_spark.ops.sampling import ipf_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = sorted(r[0] for r in
+                   docs.select("lang").distinct().collect()
+                   if r[0] is not None)
+    srcs = sorted(r[0] for r in
+                  docs.select("source").distinct().collect()
+                  if r[0] is not None)
+    out = ipf_weights(docs, "lang", "source",
+                      {x: 1.0 / len(langs) for x in langs},
+                      {x: 1.0 / len(srcs) for x in srcs},
+                      iterations=5)
+    return out.select(
+        "lang", "source", "n",
+        F.round("weight", 10).alias("weight"),
+        F.round("weighted_share", 10).alias("weighted_share")
+    ).orderBy("lang", "source")
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -3939,6 +4017,11 @@ _GATE_ORDER = [
     "zipf_fit_documents",
     "time_weighted_avg_events",
     "golden_record_events",
+    # round-10 batch 3
+    "pattern_profile_customer",
+    "ratio_delta_events",
+    "hill_tail_lineitem",
+    "ipf_weights_documents",
 ]
 
 
@@ -4183,6 +4266,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit_documents": _q_zipf,
         "time_weighted_avg_events": _q_twa,
         "golden_record_events": _q_golden_record,
+        # round-10 batch 3
+        "pattern_profile_customer": _q_pattern_profile,
+        "ratio_delta_events": _q_ratio_delta,
+        "hill_tail_lineitem": _q_hill_tail,
+        "ipf_weights_documents": _q_ipf,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -5846,6 +5934,40 @@ _SCORE_LABEL_SQL = (
     "20 + 60 * ((o_orderkey % 97)::DOUBLE / 97.0) THEN 1.0 "
     "ELSE 0.0 END AS y FROM orders"
 )
+
+
+def _ipf_sql(iterations: int) -> str:
+    """Unroll the IPF row-then-column scaling sweeps as chained CTEs
+    over the (lang, source) contingency cells — the independent DuckDB
+    replay of ops/sampling.py ipf_weights with uniform targets over
+    the observed categories."""
+    parts = [
+        "WITH cells AS (SELECT lang, source, count(*)::BIGINT AS n "
+        "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
+        "GROUP BY 1, 2), "
+        "k AS (SELECT count(DISTINCT lang)::DOUBLE AS kr, "
+        "count(DISTINCT source)::DOUBLE AS kc, "
+        "sum(n)::DOUBLE AS tot FROM cells), "
+        "it0 AS (SELECT lang, source, n, n / k.tot AS w "
+        "FROM cells, k)"
+    ]
+    prev = "it0"
+    for i in range(iterations):
+        r, c = f"it{i}r", f"it{i + 1}"
+        parts.append(
+            f", {r} AS (SELECT lang, source, n, "
+            f"w * (1.0 / (SELECT kr FROM k)) / "
+            f"sum(w) OVER (PARTITION BY lang) AS w FROM {prev})")
+        parts.append(
+            f", {c} AS (SELECT lang, source, n, "
+            f"w * (1.0 / (SELECT kc FROM k)) / "
+            f"sum(w) OVER (PARTITION BY source) AS w FROM {r})")
+        prev = c
+    parts.append(
+        f" SELECT lang, source, n, round(w / n, 10) AS weight, "
+        f"round(w, 10) AS weighted_share FROM {prev} "
+        "ORDER BY lang, source")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8470,4 +8592,71 @@ def oracle_sql() -> dict[str, str]:
             "FROM base LEFT JOIN et USING (user_id) "
             "LEFT JOIN vl USING (user_id) ORDER BY base.user_id"
         ),
+        "pattern_profile_customer": (
+            "WITH l AS (SELECT 'c_name' AS col, coalesce("
+            "regexp_replace(regexp_replace(regexp_replace("
+            "substr(c_name, 1, 40), '[A-Z]', 'A', 'g'), "
+            "'[a-z]', 'a', 'g'), '[0-9]', '9', 'g'), '<null>') "
+            "AS mask, c_name AS v FROM customer "
+            "UNION ALL SELECT 'c_mktsegment', coalesce("
+            "regexp_replace(regexp_replace(regexp_replace("
+            "substr(c_mktsegment, 1, 40), '[A-Z]', 'A', 'g'), "
+            "'[a-z]', 'a', 'g'), '[0-9]', '9', 'g'), '<null>'), "
+            "c_mktsegment FROM customer), "
+            "c AS (SELECT col, mask, count(*)::BIGINT AS n, "
+            "count(DISTINCT v)::BIGINT AS nv, min(v) AS ex FROM l "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT col, sum(n)::DOUBLE AS tot FROM c "
+            "GROUP BY 1), "
+            "h AS (SELECT c.*, row_number() OVER (PARTITION BY col "
+            "ORDER BY n DESC, mask ASC) AS rk FROM c "
+            "QUALIFY rk <= 5) "
+            "SELECT h.col AS \"column\", h.mask, h.n, "
+            "round(h.n / t.tot, 8) AS share, h.nv AS n_values, "
+            "h.ex AS example FROM h JOIN t ON h.col = t.col "
+            "ORDER BY h.col, h.mask"
+        ),
+        "ratio_delta_events": (
+            "WITH pu AS (SELECT user_id, event_type, sum(value) AS x, "
+            "count(*)::DOUBLE AS y FROM events WHERE event_type IS "
+            "NOT NULL AND value IS NOT NULL GROUP BY 1, 2), "
+            "rep AS (SELECT event_type, count(*)::BIGINT AS n, "
+            "avg(x) AS mx, avg(y) AS my, var_samp(x) AS vx, "
+            "var_samp(y) AS vy, covar_samp(x, y) AS cxy FROM pu "
+            "GROUP BY 1), "
+            "fin AS (SELECT *, CASE WHEN my <> 0 THEN mx / my END "
+            "AS r FROM rep), "
+            "se_ AS (SELECT *, CASE WHEN n >= 2 AND "
+            "(vx - 2*r*cxy + r*r*vy) / (n * my * my) >= 0 THEN "
+            "sqrt((vx - 2*r*cxy + r*r*vy) / (n * my * my)) END AS se "
+            "FROM fin) "
+            "SELECT event_type, n, round(r, 6) AS ratio, "
+            "round(se, 6) AS se, "
+            "round(r - 1.959963984540054 * se, 6) AS ci_lo, "
+            "round(r + 1.959963984540054 * se, 6) AS ci_hi "
+            "FROM se_ ORDER BY event_type"
+        ),
+        "hill_tail_lineitem": (
+            "WITH b AS (SELECT l_returnflag, "
+            "l_extendedprice::DOUBLE AS x FROM lineitem WHERE "
+            "l_extendedprice IS NOT NULL AND l_extendedprice > 0), "
+            "tot AS (SELECT l_returnflag, count(*)::BIGINT AS n "
+            "FROM b GROUP BY 1), "
+            "h AS (SELECT l_returnflag, x, row_number() OVER "
+            "(PARTITION BY l_returnflag ORDER BY x DESC) AS rk "
+            "FROM b QUALIFY rk <= 101), "
+            "per AS (SELECT l_returnflag, max(rk)::DOUBLE AS m, "
+            "min(x) AS xk, sum(ln(x)) AS slx FROM h GROUP BY 1), "
+            "lamb AS (SELECT l_returnflag, m, xk, CASE WHEN m - 1 >= 2 "
+            "AND (slx - ln(xk)) / (m - 1) - ln(xk) > 0 THEN "
+            "(slx - ln(xk)) / (m - 1) - ln(xk) END AS xi FROM per) "
+            "SELECT tot.l_returnflag, tot.n, "
+            "(lamb.m - 1)::BIGINT AS k_used, "
+            "round(lamb.xk, 4) AS x_k, round(lamb.xi, 8) AS xi, "
+            "round(CASE WHEN lamb.xi IS NOT NULL THEN 1.0 / lamb.xi "
+            "END, 6) AS alpha FROM tot JOIN lamb "
+            "ON tot.l_returnflag = lamb.l_returnflag "
+            "ORDER BY tot.l_returnflag"
+        ),
+        "ipf_weights_documents": _ipf_sql(5),
     }

@@ -971,6 +971,33 @@ def main() -> None:
         _noop(diversity_report(t["documents"], ["lang", "source"]))
         _noop(zipf_fit(t["documents"], "text", top_v=2000))
 
+
+    def bench_profile_ratio_hill_ipf():
+        # pattern profile + ratio CI + Hill tail + IPF cells —
+        # round-10 batch 3
+        from whylogs_spark.ops.abtest import ratio_delta_ci
+        from whylogs_spark.ops.sampling import ipf_weights
+        from whylogs_spark.ops.schema_infer import pattern_profile
+        from whylogs_spark.ops.stats import hill_tail_index
+        _noop(pattern_profile(
+            t["customer"], ["c_name", "c_mktsegment"], top_k=5))
+        per_user = (t["events"]
+                    .filter(F.col("event_type").isNotNull()
+                            & F.col("value").isNotNull())
+                    .groupBy("user_id", "event_type")
+                    .agg(F.sum("value").alias("x"),
+                         F.count(F.lit(1)).cast("double").alias("y")))
+        _noop(ratio_delta_ci(per_user, "x", "y", ["event_type"]))
+        _noop(hill_tail_index(t["lineitem"], "l_extendedprice",
+                              k=100, group_cols=["l_returnflag"]))
+        langs = [r[0] for r in t["documents"].select("lang")
+                 .distinct().collect() if r[0] is not None]
+        srcs = [r[0] for r in t["documents"].select("source")
+                .distinct().collect() if r[0] is not None]
+        _noop(ipf_weights(t["documents"], "lang", "source",
+                          {x: 1.0 for x in langs},
+                          {x: 1.0 for x in srcs}, iterations=5))
+
     def bench_trend_offpolicy():
         # MK/Theil-Sen over per-type daily series + mSPRT monthly
         # scan + off-policy estimators — round-10 batch 1
@@ -1300,6 +1327,7 @@ def main() -> None:
         "golden_record_events": bench_golden_record,
         "scorecard_calibration": bench_scorecard_calibration,
         "concentration_diversity": bench_concentration_diversity,
+        "profile_ratio_hill_ipf": bench_profile_ratio_hill_ipf,
         "features_splits": bench_features_splits,
         "graph_embed_r10": bench_graph_embed_r10,
         "isotonic_rake": bench_isotonic_rake,

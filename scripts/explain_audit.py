@@ -2937,6 +2937,93 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+
+    # 10f. round-10 batch 3: pattern profile / ratio CI / Hill / IPF
+    from whylogs_spark.ops.schema_infer import pattern_profile
+
+    cust10 = load_table(spark, SF_DIR, "customer")
+    pat = pattern_profile(cust10, ["c_name", "c_mktsegment"], top_k=5)
+    sections.append((
+        "pattern profile (one stack scan, two-phase top-k)", pat,
+        {
+            "exactly one parquet scan (stack is in-scan)":
+                r"^(?!([\s\S]*Scan parquet\s+\(\d+\)){2})"
+                r"[\s\S]*Scan parquet\s+\(\d+\)",
+            "mask counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "phase-1 rank is partition-local (windowspec pinned to "
+            "column+__pid)": r"windowspecdefinition\(column[^\n]*__pid",
+            "per-column totals join back by broadcast":
+                r"BroadcastHashJoin",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.abtest import ratio_delta_ci
+
+    ev10b = load_table(spark, SF_DIR, "events")
+    per_user10 = (ev10b.filter(F.col("event_type").isNotNull()
+                               & F.col("value").isNotNull())
+                  .groupBy("user_id", "event_type")
+                  .agg(F.sum("value").alias("x"),
+                       F.count(F.lit(1)).cast("double").alias("y")))
+    rdc = ratio_delta_ci(per_user10, "x", "y", ["event_type"])
+    sections.append((
+        "ratio-metric delta CI (one five-moment agg per group)", rdc,
+        {
+            "unit pre-agg and moment agg both partial-agg":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window, no join":
+                r"^(?![\s\S]*(\(\d+\) Window|SortMergeJoin|"
+                r"BroadcastHashJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.stats import hill_tail_index
+
+    hil = hill_tail_index(li, "l_extendedprice", k=100,
+                          group_cols=["l_returnflag"])
+    sections.append((
+        "Hill tail index (two-phase capped top-k)", hil,
+        {
+            "phase-1 rank is partition-local (windowspec pinned to "
+            "group+__pid)":
+                r"windowspecdefinition\(l_returnflag[^\n]*__pid",
+            "positive-value filter pushed into the scan":
+                r"PushedFilters:[^\n]*GreaterThan\(l_extendedprice",
+            "totals ride a partial-agged aggregation":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # IPF collects the BOUNDED contingency table (isotonic/k-means
+    # precedent) — audit the cell-construction aggregate
+    ipf_cells = (docs.filter(F.col("lang").isNotNull()
+                             & F.col("source").isNotNull())
+                 .groupBy("lang", "source")
+                 .agg(F.count(F.lit(1)).alias("n")))
+    sections.append((
+        "IPF raking (bounded contingency-cell construction)",
+        ipf_cells,
+        {
+            "cells partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "scan reads only the two category columns":
+                r"ReadSchema:[^\n]*lang[^\n]*source|"
+                r"ReadSchema:[^\n]*source[^\n]*lang",
+            "no window, no join":
+                r"^(?![\s\S]*(\(\d+\) Window|SortMergeJoin|"
+                r"BroadcastHashJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -176,22 +176,18 @@ def pattern_profile(
     from pyspark.sql import Window
 
     names = list(cols)
-    parts = []
+    # ONE stack() unpivot so N columns ride a single scan (a
+    # union-per-column shape would rescan the table N times)
+    triples = []
     for c in names:
-        v = F.col(c).cast("string")
-        mask = F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.substring(v, 1, max_chars),
-                                 "[A-Z]", "A"),
-                "[a-z]", "a"),
-            "[0-9]", "9")
-        parts.append(df.select(
-            F.lit(c).alias("column"),
-            F.coalesce(mask, F.lit("<null>")).alias("mask"),
-            v.alias("__v")))
-    long_df = parts[0]
-    for p in parts[1:]:
-        long_df = long_df.unionByName(p)
+        v = f"cast(`{c}` as string)"
+        mask = (f"regexp_replace(regexp_replace(regexp_replace("
+                f"substring({v}, 1, {int(max_chars)}), "
+                f"'[A-Z]', 'A'), '[a-z]', 'a'), '[0-9]', '9')")
+        triples.append(f"'{c}', coalesce({mask}, '<null>'), {v}")
+    long_df = df.select(
+        F.expr(f"stack({len(names)}, {', '.join(triples)})")
+        .alias("column", "mask", "__v"))
     counts = long_df.groupBy("column", "mask").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("__v").alias("n_values"),
