@@ -3945,6 +3945,57 @@ def _q_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "source")
 
 
+
+def _q_cvm_ad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample CvM + Anderson-Darling (core/drift.py
+    cvm_ad_exact): tail-sensitive complements of the exact KS/W1 pair,
+    same merged-CDF prefix-sum walk.  Oracle replays the dH_N
+    integral and the Scholz-Stephens midrank form with one window."""
+    from whylogs_spark.core.drift import cvm_ad_exact
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = li.filter(F.col("l_returnflag") == "A")
+    r = li.filter(F.col("l_returnflag") == "R")
+    out = cvm_ad_exact(t, r, "l_quantity")
+    return out.select(
+        "col_name", "algorithm",
+        F.round("statistic", 8).alias("statistic")
+    ).orderBy("algorithm")
+
+
+def _q_chi2_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit vs declared shares (ops/integrity.py
+    chi2_gof), with a never-observed expected category exercising the
+    o=0 path.  Oracle replays the o^2/e - n identity."""
+    from whylogs_spark.ops.integrity import chi2_gof
+
+    o = _t(spark, sf_dir, "orders")
+    expected = {"1-URGENT": 1.0, "2-HIGH": 2.0, "3-MEDIUM": 3.0,
+                "4-NOT SPECIFIED": 4.0, "5-LOW": 5.0,
+                "9-PHANTOM": 1.0}
+    out = chi2_gof(o, "o_orderpriority", expected)
+    return out.select(
+        "n", "n_expected_categories", "dof",
+        F.round("statistic", 6).alias("statistic"), "unexpected_n")
+
+
+def _q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (ops/abtest.py
+    quantile_treatment_effect): exact per-quantile gap between arms,
+    both arms' percentile arrays off ONE conditional aggregation."""
+    from whylogs_spark.ops.abtest import quantile_treatment_effect
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select((F.col("o_custkey") % 2).cast("double").alias("tr"),
+                 F.col("o_totalprice").alias("y"))
+    out = quantile_treatment_effect(d, "tr", "y")
+    return out.select(
+        F.round("q", 4).alias("q"),
+        F.round("y_control", 6).alias("y_control"),
+        F.round("y_treatment", 6).alias("y_treatment"),
+        F.round("qte", 6).alias("qte")).orderBy("q")
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -4022,6 +4073,10 @@ _GATE_ORDER = [
     "ratio_delta_events",
     "hill_tail_lineitem",
     "ipf_weights_documents",
+    # round-10 batch 4
+    "cvm_ad_drift_lineitem",
+    "chi2_gof_orders",
+    "qte_orders",
 ]
 
 
@@ -4271,6 +4326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ratio_delta_events": _q_ratio_delta,
         "hill_tail_lineitem": _q_hill_tail,
         "ipf_weights_documents": _q_ipf,
+        # round-10 batch 4
+        "cvm_ad_drift_lineitem": _q_cvm_ad,
+        "chi2_gof_orders": _q_chi2_gof,
+        "qte_orders": _q_qte,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -8659,4 +8718,70 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY tot.l_returnflag"
         ),
         "ipf_weights_documents": _ipf_sql(5),
+        "cvm_ad_drift_lineitem": (
+            "WITH u AS (SELECT l_quantity::DOUBLE AS v, "
+            "CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS wt, "
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS wr "
+            "FROM lineitem WHERE l_returnflag IN ('A', 'R') "
+            "AND l_quantity IS NOT NULL), "
+            "g AS (SELECT v, sum(wt)::DOUBLE AS fct, "
+            "sum(wr)::DOUBLE AS fcr FROM u GROUP BY 1), "
+            "w AS (SELECT v, fct, fcr, sum(fct) OVER ord AS sct, "
+            "sum(fcr) OVER ord AS scr FROM g WINDOW ord AS "
+            "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW)), "
+            "tot AS (SELECT sum(fct) AS nt, sum(fcr) AS nr FROM g), "
+            "cell AS (SELECT (fct + fcr) AS l, sct / nt AS ft, "
+            "scr / nr AS fr, sct - fct / 2 AS mt, "
+            "scr - fcr / 2 AS mr, "
+            "sct + scr - (fct + fcr) / 2 AS bb, nt, nr, "
+            "nt + nr AS nn FROM w, tot), "
+            "agg AS (SELECT "
+            "sum(l * (ft - fr) * (ft - fr)) AS cvm_raw, "
+            "sum(CASE WHEN bb * (nn - bb) - nn * l / 4 > 0 THEN "
+            "(l / nn) * ((nn * mt - nt * bb) * (nn * mt - nt * bb) "
+            "/ nt + (nn * mr - nr * bb) * (nn * mr - nr * bb) / nr) "
+            "/ (bb * (nn - bb) - nn * l / 4) END) AS ad_raw, "
+            "any_value(nt * nr / (nn * nn)) AS cvm_sc, "
+            "any_value((nn - 1) / nn) AS ad_sc FROM cell) "
+            "SELECT 'l_quantity' AS col_name, "
+            "'anderson_darling' AS algorithm, "
+            "round(ad_raw * ad_sc, 8) AS statistic FROM agg "
+            "UNION ALL SELECT 'l_quantity', 'cvm', "
+            "round(cvm_raw * cvm_sc, 8) FROM agg "
+            "ORDER BY algorithm"
+        ),
+        "chi2_gof_orders": (
+            "WITH c AS (SELECT o_orderpriority AS k, "
+            "count(*)::DOUBLE AS o FROM orders WHERE "
+            "o_orderpriority IS NOT NULL GROUP BY 1), "
+            "e AS (SELECT k, o, CASE k "
+            "WHEN '1-URGENT' THEN 1.0/16 WHEN '2-HIGH' THEN 2.0/16 "
+            "WHEN '3-MEDIUM' THEN 3.0/16 "
+            "WHEN '4-NOT SPECIFIED' THEN 4.0/16 "
+            "WHEN '5-LOW' THEN 5.0/16 WHEN '9-PHANTOM' THEN 1.0/16 "
+            "END AS es FROM c), "
+            "rep AS (SELECT sum(CASE WHEN es IS NOT NULL THEN o END) "
+            "AS n_in, sum(CASE WHEN es IS NOT NULL THEN o * o / es "
+            "END) AS oo_e, coalesce(sum(CASE WHEN es IS NULL THEN o "
+            "END), 0) AS unexpected_n FROM e) "
+            "SELECT n_in::BIGINT AS n, 6 AS n_expected_categories, "
+            "5 AS dof, round(oo_e / n_in - n_in, 6) AS statistic, "
+            "unexpected_n::BIGINT AS unexpected_n FROM rep"
+        ),
+        "qte_orders": (
+            "WITH b AS (SELECT (o_custkey % 2)::DOUBLE AS tr, "
+            "o_totalprice::DOUBLE AS y FROM orders WHERE "
+            "o_totalprice IS NOT NULL), "
+            "q AS (SELECT quantile_cont(CASE WHEN tr = 0 THEN y END, "
+            "[0.1, 0.25, 0.5, 0.75, 0.9]) AS qc, "
+            "quantile_cont(CASE WHEN tr <> 0 THEN y END, "
+            "[0.1, 0.25, 0.5, 0.75, 0.9]) AS qt FROM b) "
+            "SELECT round(u.qq::DOUBLE, 4) AS q, "
+            "round(q.qc[u.i], 6) AS y_control, "
+            "round(q.qt[u.i], 6) AS y_treatment, "
+            "round(q.qt[u.i] - q.qc[u.i], 6) AS qte FROM q, "
+            "(VALUES (1, 0.1), (2, 0.25), (3, 0.5), (4, 0.75), "
+            "(5, 0.9)) AS u(i, qq) ORDER BY q"
+        ),
     }

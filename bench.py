@@ -998,6 +998,25 @@ def main() -> None:
                           {x: 1.0 for x in langs},
                           {x: 1.0 for x in srcs}, iterations=5))
 
+
+    def bench_gof_qte_cvmad():
+        # chi2 GOF + QTE + exact CvM/AD drift — round-10 batch 4
+        from whylogs_spark.core.drift import cvm_ad_exact
+        from whylogs_spark.ops.abtest import quantile_treatment_effect
+        from whylogs_spark.ops.integrity import chi2_gof
+        _noop(chi2_gof(t["orders"], "o_orderpriority",
+                       {"1-URGENT": 1.0, "2-HIGH": 2.0,
+                        "3-MEDIUM": 3.0, "4-NOT SPECIFIED": 4.0,
+                        "5-LOW": 5.0}))
+        _noop(quantile_treatment_effect(
+            t["orders"].select(
+                (F.col("o_custkey") % 2).cast("double").alias("tr"),
+                F.col("o_totalprice").alias("y")), "tr", "y"))
+        _noop(cvm_ad_exact(
+            t["lineitem"].filter(F.col("l_returnflag") == "A"),
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            "l_quantity"))
+
     def bench_trend_offpolicy():
         # MK/Theil-Sen over per-type daily series + mSPRT monthly
         # scan + off-policy estimators — round-10 batch 1
@@ -1328,6 +1347,7 @@ def main() -> None:
         "scorecard_calibration": bench_scorecard_calibration,
         "concentration_diversity": bench_concentration_diversity,
         "profile_ratio_hill_ipf": bench_profile_ratio_hill_ipf,
+        "gof_qte_cvmad": bench_gof_qte_cvmad,
         "features_splits": bench_features_splits,
         "graph_embed_r10": bench_graph_embed_r10,
         "isotonic_rake": bench_isotonic_rake,

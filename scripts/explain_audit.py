@@ -3024,6 +3024,71 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+
+    # 10g. round-10 batch 4: CvM/AD exact drift, chi2 GOF, QTE
+    from whylogs_spark.core.drift import cvm_ad_exact
+
+    cvmad = cvm_ad_exact(li.filter(F.col("l_returnflag") == "A"),
+                         li.filter(F.col("l_returnflag") == "R"),
+                         "l_quantity")
+    sections.append((
+        "CvM + Anderson-Darling exact (shared prefix walk)", cvmad,
+        {
+            "distinct-value combine partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "cumsum windows are slice-partitioned (never global over "
+            "the data)": r"windowspecdefinition\(__slice",
+            "slice offsets join back by broadcast":
+                r"BroadcastHashJoin",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.integrity import chi2_gof
+
+    gof = chi2_gof(ords10, "o_orderpriority",
+                   {"1-URGENT": 1.0, "2-HIGH": 2.0, "3-MEDIUM": 3.0,
+                    "4-NOT SPECIFIED": 4.0, "5-LOW": 5.0,
+                    "9-PHANTOM": 1.0})
+    sections.append((
+        "chi2 goodness-of-fit (bounded counts, literal shares)", gof,
+        {
+            "category counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no window, no join (shares are a literal CASE)":
+                r"^(?![\s\S]*(\(\d+\) Window|SortMergeJoin|"
+                r"BroadcastHashJoin|BroadcastNestedLoopJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.abtest import quantile_treatment_effect
+
+    qte = quantile_treatment_effect(
+        ords10.select((F.col("o_custkey") % 2).cast("double")
+                      .alias("tr"),
+                      F.col("o_totalprice").alias("y")), "tr", "y")
+    sections.append((
+        "quantile treatment effects (one conditional percentile agg)",
+        qte,
+        {
+            "ONE aggregation computes both arms (single scan, no "
+            "split-join)":
+                r"^(?!([\s\S]*Scan parquet\s+\(\d+\)){2})"
+                r"[\s\S]*Scan parquet\s+\(\d+\)",
+            "percentiles partial-agg before their exchange":
+                r"(ObjectHashAggregate|SortAggregate|HashAggregate)"
+                r"[\s\S]*Exchange",
+            "no window, no join":
+                r"^(?![\s\S]*(\(\d+\) Window|SortMergeJoin|"
+                r"BroadcastHashJoin))",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

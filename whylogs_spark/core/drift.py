@@ -1052,3 +1052,75 @@ def qq_table(
         .select("p.q", "p.ref_q", "p.target_q",
                 (F.col("p.target_q") - F.col("p.ref_q")).alias("diff"))
     )
+
+
+def cvm_ad_exact(
+    target: DataFrame, reference: DataFrame, col: str
+) -> DataFrame:
+    """Exact two-sample Cramér-von Mises and Anderson-Darling
+    statistics off ONE merged-CDF walk, as two rows
+    (col_name, algorithm in {cvm, anderson_darling}, statistic) —
+    the tail-sensitive complements of :func:`ks_2samp_exact` (KS sees
+    the single biggest CDF gap; CvM integrates every gap; AD upweights
+    the tails where drift usually starts).
+
+    * ``cvm`` — T = (n·m/N²)·Σ_k l_k·(F_t(v_k) − F_r(v_k))², the
+      integral ∫(F_t − F_r)² dH_N against the pooled empirical CDF
+      (Anderson 1962; equals the classic rank form on untied data,
+      and this dH_N convention is the tie treatment).
+    * ``anderson_darling`` — the Scholz-Stephens (1987) A²_akN
+      midrank form for k = 2: (N−1)/N · Σ_arm (1/n_arm) ·
+      Σ_k (l_k/N)·(N·M̄ − n_arm·B̄)² / (B̄(N−B̄) − N·l_k/4) with
+      midrank cumulatives M̄ = M_k − f_k/2, B̄ = B_k − l_k/2 —
+      what ``scipy.stats.anderson_ksamp`` computes with midranks.
+
+    Distributed shape: identical to ``ks_wasserstein_exact`` — one
+    groupBy(value) (shuffle carries DISTINCT values), then the
+    two-phase range-partitioned prefix sum (``core.prefix
+    .running_sums``); both statistics are one more reduce over the
+    walked table.  NaN/null excluded on both sides; either side empty
+    → NULL statistics.
+    """
+    from .prefix import running_sums
+
+    g = _merged_value_counts(target, reference, col)
+    cum = running_sums(g, ["v"], ["ct", "cr"]).select(
+        F.col("ct").alias("fct"), F.col("cr").alias("fcr"),
+        F.col("__cum_ct").alias("sct"),
+        F.col("__cum_cr").alias("scr"),
+        F.col("__g_ct").alias("nt"),
+        F.col("__g_cr").alias("nr"))
+    nt = F.col("nt").cast("double")
+    nr = F.col("nr").cast("double")
+    nn = nt + nr
+    ok = (F.col("nt") > 0) & (F.col("nr") > 0)
+    l_k = (F.col("fct") + F.col("fcr")).cast("double")
+    ft = F.col("sct").cast("double") / nt
+    fr = F.col("scr").cast("double") / nr
+    cvm_cell = F.when(ok, l_k * (ft - fr) * (ft - fr))
+
+    # midrank cumulatives for A²_akN
+    mt = F.col("sct").cast("double") - F.col("fct") / 2.0
+    mr = F.col("scr").cast("double") - F.col("fcr") / 2.0
+    bb = (F.col("sct") + F.col("scr")).cast("double") - l_k / 2.0
+    denom = bb * (nn - bb) - nn * l_k / 4.0
+    ad_inner = (
+        (1.0 / nt) * F.pow(nn * mt - nt * bb, 2)
+        + (1.0 / nr) * F.pow(nn * mr - nr * bb, 2))
+    ad_cell = F.when(ok & (denom > 0),
+                     (l_k / nn) * ad_inner / denom)
+    one = cum.agg(
+        F.sum(cvm_cell).alias("__cvm_raw"),
+        F.sum(ad_cell).alias("__ad_raw"),
+        F.first(F.when(ok, nt * nr / (nn * nn))).alias("__cvm_sc"),
+        F.first(F.when(ok, (nn - 1) / nn)).alias("__ad_sc"))
+    return one.select(F.explode(F.array(
+        F.struct(F.lit(col).alias("col_name"),
+                 F.lit("cvm").alias("algorithm"),
+                 (F.col("__cvm_raw") * F.col("__cvm_sc"))
+                 .alias("statistic")),
+        F.struct(F.lit(col).alias("col_name"),
+                 F.lit("anderson_darling").alias("algorithm"),
+                 (F.col("__ad_raw") * F.col("__ad_sc"))
+                 .alias("statistic")),
+    )).alias("r")).select("r.*")

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 __all__ = ["ab_test_report", "with_ab_pvalues", "cuped_adjust",
            "uplift_curve", "auuc", "msprt_scan", "stratified_ate",
-           "srm_check", "ratio_delta_ci"]
+           "srm_check", "ratio_delta_ci", "quantile_treatment_effect"]
 
 
 def ab_test_report(
@@ -723,3 +723,47 @@ def ratio_delta_ci(
         *groups, "n", r.alias("ratio"), se.alias("se"),
         (r - F.lit(float(z)) * se).alias("ci_lo"),
         (r + F.lit(float(z)) * se).alias("ci_hi"))
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    treatment_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Quantile treatment effects: the exact per-quantile gap between
+    the treated and control outcome distributions, one row per
+    quantile: ``(q, y_control, y_treatment, qte)``.  The
+    "did the intervention move the median or just the mean" answer —
+    means hide distributional effects (a heavy-tail gain with a median
+    loss nets out), QTE shows where in the distribution the effect
+    lives.  ``treatment_col`` is 0/1-coercible; null treatment or
+    value rows drop.
+
+    Scale shape: ONE aggregation computes BOTH arms' exact
+    ``percentile`` arrays (conditional inputs, single pass, no
+    split-join); the per-quantile rows are a free posexplode of two
+    bounded arrays.
+    """
+    tr = F.col(treatment_col).cast("double")
+    y = F.col(value_col).cast("double")
+    qs = [float(q) for q in quantiles]
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {quantiles}")
+    qlit = ", ".join(repr(q) for q in qs)
+    base = df.filter(tr.isNotNull() & y.isNotNull() & ~F.isnan(y)) \
+        .select(tr.alias("__tr"), y.alias("__y"))
+    one = base.agg(
+        F.expr(f"percentile(CASE WHEN __tr = 0 THEN __y END, "
+               f"array({qlit}))").alias("__qc"),
+        F.expr(f"percentile(CASE WHEN __tr <> 0 THEN __y END, "
+               f"array({qlit}))").alias("__qt"))
+    qarr = F.array(*[F.lit(q) for q in qs])
+    out = one.select(
+        F.posexplode(qarr).alias("__i", "q"),
+        F.col("__qc"), F.col("__qt"))
+    yc = F.col("__qc")[F.col("__i")]
+    yt = F.col("__qt")[F.col("__i")]
+    return out.select(
+        "q", yc.alias("y_control"), yt.alias("y_treatment"),
+        (yt - yc).alias("qte"))

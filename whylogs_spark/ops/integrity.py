@@ -50,6 +50,7 @@ __all__ = [
     "functional_dependency_report",
     "fd_violation_examples",
     "anonymize",
+    "chi2_gof",
 ]
 
 
@@ -674,3 +675,66 @@ def candidate_keys(
         ))
     return row.select(
         F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def chi2_gof(
+    df: DataFrame,
+    column: str,
+    expected: dict,
+) -> DataFrame:
+    """Chi-square goodness-of-fit of a categorical column against
+    EXPECTED shares (the one-sample sibling of the two-sample drift
+    chi2 and of :func:`benford_test`, which is this test with Benford
+    shares baked in).  One row: ``(n, n_expected_categories, dof,
+    statistic, unexpected_n)``.
+
+    ``expected`` maps category → share (normalized to sum to 1).
+    Observed categories NOT in ``expected`` are excluded from the
+    statistic and counted in ``unexpected_n`` (with a zero expectation
+    the statistic is degenerate-infinite; surfacing the count is the
+    actionable report).  Expected categories with zero observations
+    still contribute ``e`` to the statistic via the identity
+    ``chi2 = Σ o²/e − n`` over OBSERVED cells, which never
+    materializes empty cells.  ``dof = |expected| − 1``; feed
+    ``statistic`` to ``core.drift.chi2_sf`` for the p-value.
+
+    Scale shape: ONE partial-agged groupBy(category) (bounded by
+    cardinality), then a 1-row reduce with the expected shares inlined
+    as a literal CASE — no join, no second scan.
+    """
+    if not expected:
+        raise ValueError("chi2_gof needs a non-empty expected mapping")
+    total = float(sum(expected.values()))
+    if total <= 0:
+        raise ValueError("expected shares must sum to a positive value")
+    shares = {str(k): v / total for k, v in expected.items()}
+
+    c = F.col(column).cast("string")
+    counts = (df.filter(c.isNotNull())
+              .groupBy(c.alias("__k"))
+              .agg(F.count(F.lit(1)).cast("double").alias("__o")))
+    share_expr = None
+    for k, v in shares.items():
+        cond = F.col("__k") == F.lit(k)
+        share_expr = (F.when(cond, F.lit(float(v))) if share_expr is None
+                      else share_expr.when(cond, F.lit(float(v))))
+    share_expr = share_expr.otherwise(F.lit(None))
+    cell = counts.select(
+        "__o", share_expr.alias("__e_share"))
+    rep = cell.agg(
+        F.sum(F.when(F.col("__e_share").isNotNull(), F.col("__o")))
+        .alias("__n_in"),
+        F.sum(F.when(F.col("__e_share").isNotNull(),
+                     F.col("__o") * F.col("__o") / F.col("__e_share")))
+        .alias("__oo_e"),
+        F.coalesce(
+            F.sum(F.when(F.col("__e_share").isNull(), F.col("__o"))),
+            F.lit(0.0)).alias("unexpected_n"))
+    n_in = F.coalesce(F.col("__n_in"), F.lit(0.0))
+    stat = F.when(n_in > 0, F.col("__oo_e") / n_in - n_in)
+    return rep.select(
+        n_in.cast("long").alias("n"),
+        F.lit(len(shares)).alias("n_expected_categories"),
+        F.lit(len(shares) - 1).alias("dof"),
+        stat.alias("statistic"),
+        F.col("unexpected_n").cast("long").alias("unexpected_n"))
