@@ -3774,7 +3774,8 @@ def _q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h_b", 6).alias("h_b"),
         F.round("h_ab", 6).alias("h_ab"),
         F.round("mi", 8).alias("mi"),
-        F.round("nmi", 8).alias("nmi"))
+        F.round("nmi", 8).alias("nmi"),
+        F.round("nmi_min", 8).alias("nmi_min"))
 
 
 def _q_gini_conc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3996,6 +3997,75 @@ def _q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("qte", 6).alias("qte")).orderBy("q")
 
 
+
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quantile segmentation (ops/features.py rfm_segmentation):
+    per-customer recency/frequency/monetary scores from exact
+    percentile cuts, strict-greater binning.  Oracle rebuilds the same
+    cuts with quantile_cont + list_filter."""
+    from whylogs_spark.ops.features import rfm_segmentation
+
+    o = _t(spark, sf_dir, "orders")
+    out = rfm_segmentation(o, "o_custkey", "o_orderdate",
+                           "o_totalprice", n_bins=5)
+    return out.select(
+        "o_custkey",
+        F.round("last_ts", 1).alias("last_ts"),
+        "frequency",
+        F.round("monetary", 4).alias("monetary"),
+        "r_score", "f_score", "m_score", "rfm_cell"
+    ).orderBy("o_custkey")
+
+
+def _q_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-relationship classifier (ops/integrity.py
+    relationship_report): orders->customer must classify many_to_one
+    with exact orphan counts both ways."""
+    from whylogs_spark.ops.integrity import relationship_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return relationship_report(o, c, "o_custkey", "c_custkey")
+
+
+
+def _q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (ops/survival.py rmst): KM step
+    integral truncated at tau, slice-partitioned successor lookup.
+    Oracle replays the product-limit walk + step integral with
+    windows."""
+    from whylogs_spark.ops.survival import rmst
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").alias("dur"),
+        (F.col("event_type") != "error").cast("int").alias("e"))
+    out = rmst(d, "dur", "e", tau=50.0)
+    return out.select(
+        "n", F.round("tau", 1).alias("tau"),
+        F.round("rmst", 6).alias("rmst"),
+        F.round("km_at_tau", 6).alias("km_at_tau"))
+
+
+def _q_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence (ops/survival.py
+    cumulative_incidence): per-cause failure probability under
+    competing risks, all passes prefix-sum machinery."""
+    from whylogs_spark.ops.survival import cumulative_incidence
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.filter(F.col("event_type").isNotNull()).select(
+        F.col("value").alias("dur"),
+        (F.when(F.col("event_type") == "error", 0)
+         .when(F.col("event_type") == "purchase", 1)
+         .when(F.col("event_type") == "signup", 2)
+         .otherwise(3)).alias("cause"))
+    out = cumulative_incidence(d, "dur", "cause")
+    return out.select(
+        F.round("t", 6).alias("t"), "cause", "n_risk", "n_events",
+        F.round("cif", 8).alias("cif")).orderBy("cause", "t")
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -4077,6 +4147,12 @@ _GATE_ORDER = [
     "cvm_ad_drift_lineitem",
     "chi2_gof_orders",
     "qte_orders",
+    # round-10 batch 5
+    "rfm_segments_orders",
+    "relationship_orders_customer",
+    # round-10 batch 6
+    "rmst_events",
+    "cumulative_incidence_events",
 ]
 
 
@@ -4330,6 +4406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_ad_drift_lineitem": _q_cvm_ad,
         "chi2_gof_orders": _q_chi2_gof,
         "qte_orders": _q_qte,
+        # round-10 batch 5
+        "rfm_segments_orders": _q_rfm,
+        "relationship_orders_customer": _q_relationship,
+        # round-10 batch 6
+        "rmst_events": _q_rmst,
+        "cumulative_incidence_events": _q_cif,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -8528,8 +8610,10 @@ def oracle_sql() -> dict[str, str]:
             "round(ea.h_a + eb.h_b - eab.h_ab, 8) AS mi, "
             "round(CASE WHEN ea.h_a + eb.h_b > 0 THEN "
             "(ea.h_a + eb.h_b - eab.h_ab) / "
-            "((ea.h_a + eb.h_b) / 2.0) END, 8) AS nmi "
-            "FROM ea, eb, eab"
+            "((ea.h_a + eb.h_b) / 2.0) END, 8) AS nmi, "
+            "round(CASE WHEN least(ea.h_a, eb.h_b) > 0 THEN "
+            "(ea.h_a + eb.h_b - eab.h_ab) / least(ea.h_a, eb.h_b) "
+            "END, 8) AS nmi_min FROM ea, eb, eab"
         ),
         "gini_concentration_lineitem": (
             "WITH per AS (SELECT l_returnflag, l_partkey, "
@@ -8783,5 +8867,121 @@ def oracle_sql() -> dict[str, str]:
             "round(q.qt[u.i] - q.qc[u.i], 6) AS qte FROM q, "
             "(VALUES (1, 0.1), (2, 0.25), (3, 0.5), (4, 0.75), "
             "(5, 0.9)) AS u(i, qq) ORDER BY q"
+        ),
+        "rfm_segments_orders": (
+            "WITH per AS (SELECT o_custkey, "
+            "max(epoch(o_orderdate)::DOUBLE) AS last_ts, "
+            "count(*)::DOUBLE AS frequency, "
+            "sum(o_totalprice::DOUBLE) AS monetary FROM orders "
+            "WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL "
+            "AND o_totalprice IS NOT NULL GROUP BY 1), "
+            "cuts AS (SELECT "
+            "quantile_cont(last_ts, [0.2, 0.4, 0.6, 0.8]) AS cr, "
+            "quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS cf, "
+            "quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS cm "
+            "FROM per) "
+            "SELECT p.o_custkey, round(p.last_ts, 1) AS last_ts, "
+            "p.frequency::BIGINT AS frequency, "
+            "round(p.monetary, 4) AS monetary, "
+            "(len(list_filter(c.cr, x -> p.last_ts > x)) + 1)::INT "
+            "AS r_score, "
+            "(len(list_filter(c.cf, x -> p.frequency > x)) + 1)::INT "
+            "AS f_score, "
+            "(len(list_filter(c.cm, x -> p.monetary > x)) + 1)::INT "
+            "AS m_score, "
+            "concat(len(list_filter(c.cr, x -> p.last_ts > x)) + 1, "
+            "len(list_filter(c.cf, x -> p.frequency > x)) + 1, "
+            "len(list_filter(c.cm, x -> p.monetary > x)) + 1) "
+            "AS rfm_cell FROM per p, cuts c ORDER BY p.o_custkey"
+        ),
+        "relationship_orders_customer": (
+            "WITH lc AS (SELECT o_custkey AS k, count(*)::BIGINT "
+            "AS ln_ FROM orders WHERE o_custkey IS NOT NULL "
+            "GROUP BY 1), "
+            "rc AS (SELECT c_custkey AS k, count(*)::BIGINT AS rn_ "
+            "FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1), "
+            "j AS (SELECT ln_, rn_ FROM lc FULL OUTER JOIN rc "
+            "ON lc.k = rc.k), "
+            "rep AS (SELECT coalesce(sum(ln_), 0)::BIGINT AS "
+            "left_rows, coalesce(sum(rn_), 0)::BIGINT AS right_rows, "
+            "count(ln_)::BIGINT AS left_keys, "
+            "count(rn_)::BIGINT AS right_keys, "
+            "coalesce(max(ln_), 0)::BIGINT AS "
+            "left_max_multiplicity, "
+            "coalesce(max(rn_), 0)::BIGINT AS "
+            "right_max_multiplicity, "
+            "coalesce(sum(CASE WHEN rn_ IS NULL THEN ln_ END), 0)"
+            "::BIGINT AS left_orphans, "
+            "coalesce(sum(CASE WHEN ln_ IS NULL THEN rn_ END), 0)"
+            "::BIGINT AS right_orphans FROM j) "
+            "SELECT *, CASE WHEN left_max_multiplicity > 1 AND "
+            "right_max_multiplicity > 1 THEN 'many_to_many' "
+            "WHEN left_max_multiplicity > 1 THEN 'many_to_one' "
+            "WHEN right_max_multiplicity > 1 THEN 'one_to_many' "
+            "ELSE 'one_to_one' END AS relationship FROM rep"
+        ),
+        "rmst_events": (
+            "WITH b AS (SELECT value::DOUBLE AS t, "
+            "CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS e "
+            "FROM events WHERE value IS NOT NULL), "
+            "g AS (SELECT t, sum(e)::DOUBLE AS d, "
+            "count(*)::DOUBLE AS c FROM b GROUP BY 1), "
+            "tot AS (SELECT sum(c) AS n FROM g), "
+            "w AS (SELECT t, d, c, sum(c) OVER ord AS cum FROM g "
+            "WINDOW ord AS (ORDER BY t ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)), "
+            "km AS (SELECT t, d, tot.n - cum + c AS nrisk, tot.n "
+            "FROM w, tot), "
+            "s AS (SELECT t, exp(sum(CASE WHEN d < nrisk THEN "
+            "ln(1 - d / nrisk) ELSE 0 END) OVER ord) * "
+            "CASE WHEN sum(CASE WHEN d >= nrisk THEN 1 ELSE 0 END) "
+            "OVER ord > 0 THEN 0 ELSE 1 END AS surv, "
+            "lead(t) OVER (ORDER BY t) AS tnext, n FROM km "
+            "WINDOW ord AS (ORDER BY t ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)), "
+            "agg AS (SELECT any_value(n) AS n, "
+            "sum(CASE WHEN t < 50.0 THEN surv * "
+            "(least(coalesce(tnext, 50.0), 50.0) - t) ELSE 0 END) "
+            "AS area, min(t) AS t1, "
+            "max(CASE WHEN t <= 50.0 THEN t END) AS tmax FROM s) "
+            "SELECT agg.n::BIGINT AS n, 50.0::DOUBLE AS tau, "
+            "round(least(agg.t1, 50.0) + agg.area, 6) AS rmst, "
+            "round(coalesce((SELECT surv FROM s WHERE "
+            "s.t = agg.tmax), 1.0), 6) AS km_at_tau FROM agg"
+        ),
+        "cumulative_incidence_events": (
+            "WITH b AS (SELECT value::DOUBLE AS t, "
+            "CASE event_type WHEN 'error' THEN 0 "
+            "WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2 ELSE 3 END "
+            "AS cause FROM events WHERE value IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "tc AS (SELECT t, cause, count(*)::BIGINT AS ne FROM b "
+            "GROUP BY 1, 2), "
+            "pt AS (SELECT t, sum(ne)::DOUBLE AS c, "
+            "sum(CASE WHEN cause <> 0 THEN ne ELSE 0 END)::DOUBLE "
+            "AS dall FROM tc GROUP BY 1), "
+            "tot AS (SELECT sum(c) AS n FROM pt), "
+            "w AS (SELECT t, dall, c, sum(c) OVER ord AS cum FROM pt "
+            "WINDOW ord AS (ORDER BY t ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)), "
+            "km AS (SELECT t, dall, tot.n - cum + c AS nrisk "
+            "FROM w, tot), "
+            "sp AS (SELECT t, nrisk, "
+            "exp(sum(CASE WHEN dall < nrisk THEN "
+            "ln(1 - dall / nrisk) ELSE 0 END) OVER ord - "
+            "CASE WHEN dall < nrisk THEN ln(1 - dall / nrisk) "
+            "ELSE 0 END) * CASE WHEN sum(CASE WHEN dall >= nrisk "
+            "THEN 1 ELSE 0 END) OVER ord - CASE WHEN dall >= nrisk "
+            "THEN 1 ELSE 0 END > 0 THEN 0 ELSE 1 END AS sprev "
+            "FROM km WINDOW ord AS (ORDER BY t ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "inc AS (SELECT tc.t, tc.cause, sp.nrisk, tc.ne, "
+            "sp.sprev * tc.ne / sp.nrisk AS i FROM tc JOIN sp "
+            "ON tc.t = sp.t WHERE tc.cause <> 0) "
+            "SELECT round(t, 6) AS t, cause, nrisk::BIGINT AS "
+            "n_risk, ne AS n_events, round(sum(i) OVER "
+            "(PARTITION BY cause ORDER BY t ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW), 8) AS cif FROM inc "
+            "ORDER BY cause, t"
         ),
     }

@@ -1017,6 +1017,33 @@ def main() -> None:
             t["lineitem"].filter(F.col("l_returnflag") == "R"),
             "l_quantity"))
 
+
+    def bench_rfm_relationship():
+        # RFM segmentation + relationship classifier — round-10
+        # batch 5
+        from whylogs_spark.ops.features import rfm_segmentation
+        from whylogs_spark.ops.integrity import relationship_report
+        _noop(rfm_segmentation(t["orders"], "o_custkey",
+                               "o_orderdate", "o_totalprice", 5))
+        _noop(relationship_report(t["orders"], t["customer"],
+                                  "o_custkey", "c_custkey"))
+
+
+    def bench_rmst_cif():
+        # RMST + competing-risk cumulative incidence — round-10
+        # batch 6
+        from whylogs_spark.ops.survival import (cumulative_incidence,
+                                                rmst)
+        d = t["events"].select(
+            F.col("value").alias("dur"),
+            (F.col("event_type") != "error").cast("int").alias("e"),
+            (F.when(F.col("event_type") == "error", 0)
+             .when(F.col("event_type") == "purchase", 1)
+             .when(F.col("event_type") == "signup", 2)
+             .otherwise(3)).alias("cause"))
+        _noop(rmst(d, "dur", "e", tau=50.0))
+        _noop(cumulative_incidence(d, "dur", "cause"))
+
     def bench_trend_offpolicy():
         # MK/Theil-Sen over per-type daily series + mSPRT monthly
         # scan + off-policy estimators — round-10 batch 1
@@ -1348,6 +1375,8 @@ def main() -> None:
         "concentration_diversity": bench_concentration_diversity,
         "profile_ratio_hill_ipf": bench_profile_ratio_hill_ipf,
         "gof_qte_cvmad": bench_gof_qte_cvmad,
+        "rfm_relationship": bench_rfm_relationship,
+        "rmst_cif": bench_rmst_cif,
         "features_splits": bench_features_splits,
         "graph_embed_r10": bench_graph_embed_r10,
         "isotonic_rake": bench_isotonic_rake,

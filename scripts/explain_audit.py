@@ -3089,6 +3089,89 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+
+    # 10h. round-10 batch 5: RFM segmentation / relationship report
+    from whylogs_spark.ops.features import rfm_segmentation
+
+    rfm = rfm_segmentation(ords10, "o_custkey", "o_orderdate",
+                           "o_totalprice", n_bins=5)
+    sections.append((
+        "RFM segmentation (entity collapse + broadcast cuts)", rfm,
+        {
+            "per-entity collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "cut arrays join back by broadcast":
+                r"BroadcastNestedLoopJoin",
+            "no window anywhere (scores are array filters)":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.integrity import relationship_report
+
+    rel = relationship_report(ords10, cust10, "o_custkey",
+                              "c_custkey")
+    sections.append((
+        "relationship report (bounded key-count outer join)", rel,
+        {
+            "both key collapses partial-agg before their exchanges":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "outer join runs over the collapsed key tables (join "
+            "above both aggregates)":
+                r"(SortMergeJoin|BroadcastHashJoin)[\s\S]*FullOuter",
+            "no window anywhere":
+                r"^(?![\s\S]*\(\d+\) Window)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+
+    # 10i. round-10 batch 6: RMST / cumulative incidence
+    from whylogs_spark.ops.survival import (cumulative_incidence,
+                                            rmst)
+
+    surv_in = ev10.select(
+        F.col("value").alias("dur"),
+        (F.col("event_type") != "error").cast("int").alias("e"))
+    sections.append((
+        "RMST (KM walk + slice-partitioned successor)",
+        rmst(surv_in, "dur", "e", tau=50.0),
+        {
+            "time collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "every window is slice-partitioned (no global sort of "
+            "the curve)": r"^(?![\s\S]*windowspecdefinition\("
+                          r"(?!__slice))",
+            "slice offsets join back by broadcast":
+                r"BroadcastHashJoin",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    cif_in = ev10.filter(F.col("event_type").isNotNull()).select(
+        F.col("value").alias("dur"),
+        (F.when(F.col("event_type") == "error", 0)
+         .when(F.col("event_type") == "purchase", 1)
+         .when(F.col("event_type") == "signup", 2)
+         .otherwise(3)).alias("cause"))
+    sections.append((
+        "cumulative incidence (prefix walks, bounded cause offsets)",
+        cumulative_incidence(cif_in, "dur", "cause"),
+        {
+            "cell collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "data windows are slice-partitioned (the only other "
+            "windowspec is the one-row-per-cause offset)":
+                r"windowspecdefinition\(__slice",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
@@ -3109,6 +3192,8 @@ def main() -> None:
         "ops/text.py::zipf_fit",
         # cumulative over the <= n_buckets per-bucket frame
         "core/model_perf.py::gains_table",
+        # per-cause offset over the one-row-per-cause totals frame
+        "ops/survival.py::cumulative_incidence",
     }
 
     def _enclosing_def(srctxt: str, pos: int) -> str:

@@ -22,6 +22,70 @@ def pytest_configure(config):
 # excludes these so `pytest tests/ -q` stays inside a 10-minute window;
 # they run with `-m ""` (everything) or `-m slow` (this tier only).
 SLOW_TESTS = {
+    "test_abtest.py::test_ab_report_degenerate_nulls",
+    "test_round10_batch6.py::test_rmst_matches_numpy",
+    "test_round10_batch6.py::test_cif_single_cause_equals_one_minus_km",
+    "test_classify.py::test_classifier_empty_docs_score_prior_only",
+    "test_incremental_dedup.py::test_semantic_dedup_no_duplicates_no_loss",
+    "test_nested.py::test_struct_leaves_profile_as_typed_columns",
+    "test_layout.py::test_layout_report_shows_clustering_wins",
+    "test_constraints_drift.py::test_schema_diff_segmented_profiles",
+    "test_constraints_drift.py::test_wasserstein_exact_against_bruteforce",
+    "test_constraints_drift.py::test_schema_diff_all_null_column_reports_null_type",
+    "test_incremental_dedup.py::test_incremental_minhash_empty_history",
+    "test_relations_ranking.py::test_roc_auc_from_segmented_profile",
+    "test_viz.py::test_model_report_reliability_uses_shared_scale",
+    "test_quality.py::TestFuzzyDecontaminate::test_max_jaccard_matches_python",
+    "test_cluster.py::test_kmeans_matches_numpy",
+    "test_profile_basic.py::test_log_accepts_pandas_row_multiple",
+    "test_uplift_stationary.py::test_uplift_curve_matches_numpy",
+    "test_round10_batch5.py::test_relationship_report_shapes",
+    "test_round10_batch6.py::test_rmst_no_events_equals_tau",
+    "test_constraints_drift.py::test_rolling_psi_minute_and_year_units",
+    "test_round10_batch2.py::test_cusum_changepoint_matches_numpy",
+    "test_wide.py::test_wide_sketch_pass_kll_fi",
+    "test_behavioral.py::test_funnel_conversion_windows",
+    "test_classify.py::test_dsir_sample_temperature_zero_limit_is_topk_by_weight",
+    "test_incremental_dedup.py::test_semantic_dedup_removes_near_identical_vectors",
+    "test_stats_assoc.py::test_seasonal_decompose_pre_epoch_slots",
+    "test_survival_gini.py::test_gini_edges",
+    "test_schema_match_quality.py::test_column_matches_cap_is_deterministic",
+    "test_incremental_dedup.py::test_minhash_recall_estimate_bands",
+    "test_classify.py::test_classifier_deterministic_under_repartition",
+    "test_viz.py::test_drift_report_categories_and_overlay",
+    "test_streaming.py::test_streaming_session_stats_native_matches_batch",
+    "test_classify.py::test_classifier_matches_reference_model",
+    "test_ops.py::test_minhash_detects_near_dups",
+    "test_streaming.py::test_streaming_value_counts_topk_matches_batch",
+    "test_abtest.py::test_ab_report_global_and_filters",
+    "test_stats_assoc.py::test_mutual_information_extremes",
+    "test_streaming.py::test_streaming_native_profile_matches_batch",
+    "test_stats_assoc.py::test_cramers_v_perfect_and_constant",
+    "test_constraints_drift.py::test_store_drift_between_by_segment",
+    "test_uplift_stationary.py::test_textrank_keywords_matches_numpy",
+    "test_ops.py::test_embedding_outliers_dropped_bucket_flag",
+    "test_stats_assoc.py::test_autocorrelation_lag_at_or_past_bucket_count",
+    "test_streaming.py::test_anomaly_sink_read_series_dedup_and_compact",
+    "test_constraints_drift.py::test_profile_drift_end_to_end",
+    "test_graph.py::test_pagerank_matches_numpy",
+    "test_streaming.py::test_streaming_fk_monitor_matches_batch",
+    "test_merge_monoid.py::test_merged_frequent_items_bounds",
+    "test_stats_assoc.py::test_mutual_information_matches_hand_calc",
+    "test_labelqc_conformal.py::test_cluster_silhouette_separated_vs_overlapping",
+    "test_schema_match_quality.py::test_nelson_aalen_matches_reference",
+    "test_survival_gini.py::test_logrank_identical_arms_and_degenerate",
+    "test_stats_assoc.py::test_association_max_categories_sentinel",
+    "test_constraints_drift.py::test_schema_diff_detects_structural_drift",
+    "test_ops.py::test_minhash_dedup_precollapse_and_reuse_parity",
+    "test_viz.py::test_model_report_html",
+    "test_monitor.py::test_run_monitors_missing_detects_range_start_gap",
+    "test_fairness_agreement.py::test_cohens_kappa_matches_numpy",
+    "test_prefix.py::test_roc_auc_binned_converges",
+    "test_relations_ranking.py::test_pr_auc_from_sketches_and_profile",
+    "test_merge_monoid.py::test_merge_nondefault_config",
+    "test_stats_assoc.py::test_remove_boilerplate_min_docs_gate",
+    "test_schema_match_quality.py::test_clustering_agreement_matches_numpy",
+    "test_streaming.py::test_streaming_session_stats_merges_bridged_sessions",
     "test_gate_schema.py::test_every_gate_query_schema_is_atomic",
     "test_uplift_stationary.py::test_stationary_distribution_matches_numpy",
     "test_corpus_stats.py::test_ngram_diversity_matches_reference",

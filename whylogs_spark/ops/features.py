@@ -24,7 +24,7 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["trailing_features", "future_label"]
+__all__ = ["trailing_features", "future_label", "rfm_segmentation"]
 
 
 def _epoch_seconds(df: DataFrame, time_col: str):
@@ -139,3 +139,54 @@ def future_label(
         cols.append(F.sum(F.col(value_col).cast("double")).over(fr)
                     .alias(f"{prefix}_sum"))
     return base.select(*cols)
+
+
+def rfm_segmentation(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    value_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quantile scores per
+    entity — the classic behavioral-segmentation table.  One row per
+    entity: ``(entity, last_ts, frequency, monetary, r_score,
+    f_score, m_score, rfm_cell)`` with each score in 1..n_bins from
+    the EXACT percentile cuts of the per-entity metric (strict-greater
+    binning, ties collapse bins), higher = more recent / more
+    frequent / more valuable, and ``rfm_cell`` the concatenated
+    "545"-style segment label.
+
+    Scale shape: pass 1 partial-aggs rows to one row per entity;
+    pass 2 is ONE global aggregate computing all three cut arrays
+    (broadcast back); scoring is three map-side array filters.  No
+    window, no join beyond the 1-row broadcast.
+    """
+    if n_bins < 2:
+        raise ValueError(f"rfm needs n_bins >= 2, got {n_bins}")
+    t = _epoch_seconds(df, time_col)
+    v = F.col(value_col).cast("double")
+    per = (df.filter(F.col(entity_col).isNotNull() & t.isNotNull()
+                     & v.isNotNull() & ~F.isnan(v))
+           .groupBy(entity_col)
+           .agg(F.max(t).alias("last_ts"),
+                F.count(F.lit(1)).cast("double").alias("frequency"),
+                F.sum(v).alias("monetary")))
+    qs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    cuts = per.agg(
+        F.expr(f"percentile(last_ts, array({qs}))").alias("__cr"),
+        F.expr(f"percentile(frequency, array({qs}))").alias("__cf"),
+        F.expr(f"percentile(monetary, array({qs}))").alias("__cm"))
+    j = per.crossJoin(F.broadcast(cuts))
+    r = F.expr("size(filter(__cr, c -> last_ts > c))") + 1
+    f_ = F.expr("size(filter(__cf, c -> frequency > c))") + 1
+    m = F.expr("size(filter(__cm, c -> monetary > c))") + 1
+    return j.select(
+        entity_col, "last_ts",
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        r.cast("int").alias("r_score"),
+        f_.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+        F.concat(r.cast("string"), f_.cast("string"),
+                 m.cast("string")).alias("rfm_cell"))

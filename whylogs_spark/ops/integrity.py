@@ -51,6 +51,7 @@ __all__ = [
     "fd_violation_examples",
     "anonymize",
     "chi2_gof",
+    "relationship_report",
 ]
 
 
@@ -738,3 +739,58 @@ def chi2_gof(
         F.lit(len(shares) - 1).alias("dof"),
         stat.alias("statistic"),
         F.col("unexpected_n").cast("long").alias("unexpected_n"))
+
+
+def relationship_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Classify the join relationship between two tables' key columns,
+    one row: ``(left_rows, right_rows, left_keys, right_keys,
+    left_max_multiplicity, right_max_multiplicity, left_orphans,
+    right_orphans, relationship)`` where ``relationship`` is
+    ``one_to_one`` / ``one_to_many`` / ``many_to_one`` /
+    ``many_to_many`` by whether either side's max per-key multiplicity
+    exceeds 1, and ``*_orphans`` counts ROWS whose key has no match on
+    the other side.  The join-planning pre-flight next to
+    :func:`referential_integrity` (which validates a DECLARED FK; this
+    op discovers what the relationship actually is).
+
+    Scale shape: each side reduces to one row per key (partial-agged);
+    orphan counts come from ONE full-outer join of the two bounded
+    key-count tables; everything after is a 1-row reduce.  Null keys
+    are excluded (they never join).
+    """
+    lk = F.col(left_key)
+    rk = F.col(right_key)
+    lc = (left.filter(lk.isNotNull())
+          .groupBy(lk.alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__ln")))
+    rc = (right.filter(rk.isNotNull())
+          .groupBy(rk.alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__rn")))
+    j = lc.join(rc, "__k", "full_outer")
+    rep = j.agg(
+        F.coalesce(F.sum("__ln"), F.lit(0)).alias("left_rows"),
+        F.coalesce(F.sum("__rn"), F.lit(0)).alias("right_rows"),
+        F.count("__ln").alias("left_keys"),
+        F.count("__rn").alias("right_keys"),
+        F.coalesce(F.max("__ln"), F.lit(0))
+        .alias("left_max_multiplicity"),
+        F.coalesce(F.max("__rn"), F.lit(0))
+        .alias("right_max_multiplicity"),
+        F.coalesce(F.sum(F.when(F.col("__rn").isNull(),
+                                F.col("__ln"))), F.lit(0))
+        .alias("left_orphans"),
+        F.coalesce(F.sum(F.when(F.col("__ln").isNull(),
+                                F.col("__rn"))), F.lit(0))
+        .alias("right_orphans"))
+    lmany = F.col("left_max_multiplicity") > 1
+    rmany = F.col("right_max_multiplicity") > 1
+    rel = (F.when(lmany & rmany, "many_to_many")
+           .when(lmany, "many_to_one")
+           .when(rmany, "one_to_many")
+           .otherwise("one_to_one"))
+    return rep.withColumn("relationship", rel)

@@ -373,15 +373,21 @@ def mutual_information(
     col_b: str,
 ) -> DataFrame:
     """Mutual information between two categorical columns, one row:
-    ``(n, a_categories, b_categories, h_a, h_b, h_ab, mi, nmi)``.
+    ``(n, a_categories, b_categories, h_a, h_b, h_ab, mi, nmi,
+    nmi_min)``.
 
     Entropies in nats from exact joint counts: ``mi = H(a) + H(b) −
     H(a,b)``; ``nmi`` is the arithmetic-mean normalization
-    ``mi / ((H(a)+H(b))/2)`` (Strehl & Ghosh 2002), null when either
+    ``mi / ((H(a)+H(b))/2)`` (Strehl & Ghosh 2002) and ``nmi_min``
+    the min-entropy one ``mi / min(H(a), H(b))`` — both null when a
     marginal entropy is 0 (a constant column carries no information).
-    Complements :func:`association_report`: Cramér's V measures
-    dependence strength per χ², MI measures it in information units —
-    feature-selection pipelines rank by either.
+
+    Relationship to :func:`association_report` (which also emits
+    per-pair ``mi``/``nmi_min`` from its pair-exploded contingency
+    machinery): that path amortizes MANY pairs over one shuffle; this
+    op is the single-pair deep report — it adds ``H(a,b)`` and the
+    Strehl-Ghosh normalization, and its ONE-cube-pass shape never
+    explodes rows per pair.
 
     Rows with a NULL on either side drop (pairwise-complete, matching
     ``association_report``).  ONE partial-agged cube(a, b) pass builds
@@ -418,12 +424,14 @@ def mutual_information(
     h_ab = F.log(n) - F.col("__sab") / n
     mi = h_a + h_b - h_ab
     denom = (h_a + h_b) / 2.0
+    dmin = F.least(h_a, h_b)
     return rep.select(
         n.cast("long").alias("n"),
         "a_categories", "b_categories",
         h_a.alias("h_a"), h_b.alias("h_b"), h_ab.alias("h_ab"),
         mi.alias("mi"),
-        F.when(denom > 0, mi / denom).alias("nmi"))
+        F.when(denom > 0, mi / denom).alias("nmi"),
+        F.when(dmin > 0, mi / dmin).alias("nmi_min"))
 
 
 def gini_concentration(

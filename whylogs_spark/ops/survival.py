@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from whylogs_spark.core.prefix import running_sums
 
-__all__ = ["km_survival", "logrank_test", "nelson_aalen"]
+__all__ = ["km_survival", "logrank_test", "nelson_aalen", "rmst", "cumulative_incidence"]
 
 
 def km_survival(
@@ -215,3 +215,151 @@ def nelson_aalen(
         F.col("__cum___h").alias("cum_hazard"),
         F.sqrt(F.col("__cum___v")).alias("se"),
     ).orderBy("t")
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time: ``RMST(τ) = ∫₀^τ S(t) dt`` under
+    the Kaplan-Meier step curve — "average event-free time in the
+    first τ units", the standard effect measure when hazards aren't
+    proportional (Royston & Parmar 2013).  One row: ``(n, tau, rmst,
+    km_at_tau)`` with ``km_at_tau`` the curve's value at τ.
+
+    The KM step function contributes ``S(t_i)·(min(t_{i+1}, τ) −
+    t_i)`` per segment plus the initial ``[0, min(t_1, τ))`` stretch
+    at S = 1; segments starting at or past τ contribute nothing.
+    Durations are assumed non-negative (time on study).  No SE (the
+    Klein variance needs suffix areas — use a group bootstrap for
+    CIs).
+
+    Scale shape: the KM walk itself (``km_survival``: groupBy(t)
+    collapse + two ``running_sums`` passes), one more slice-
+    partitioned ``lead`` for the successor time (the
+    ``ks_wasserstein_exact`` boundary pattern — never a global
+    window), and a 1-row reduce.
+    """
+    from pyspark.sql import Window
+
+    from whylogs_spark.core.prefix import (require_exchange_reuse,
+                                           slice_rollup)
+
+    km = km_survival(df, duration_col, event_col) \
+        .select("t", "survival", "n_events", "n_censored")
+    require_exchange_reuse(km)
+    rp = km.repartitionByRange(F.col("t")) \
+        .withColumn("__slice", F.spark_partition_id())
+    wlead = Window.partitionBy("__slice").orderBy("t")
+    local = rp.select(
+        "*", F.lead("t").over(wlead).alias("__tnext"))
+    totals = rp.groupBy("__slice").agg(
+        F.sum("n_events").alias("n_events"),
+        F.min("t").alias("__fv"))
+    meta = F.broadcast(
+        slice_rollup(totals, ["n_events"], first_col="__fv"))
+    j = local.join(meta, "__slice")
+    tau_l = F.lit(float(tau))
+    seg_end = F.least(
+        F.coalesce(F.col("__tnext"), F.col("__next_first"), tau_l),
+        tau_l)
+    seg = F.when(F.col("t") < tau_l,
+                 F.col("survival") * (seg_end - F.col("t"))) \
+        .otherwise(F.lit(0.0))
+    one = j.agg(
+        F.sum(seg).alias("__area"),
+        F.min("t").alias("__t1"),
+        # S at the last event time <= tau (min_by over negated t =
+        # value at max t; rows past tau have a null ordering key and
+        # are ignored)
+        F.min_by("survival", F.when(F.col("t") <= tau_l,
+                                    -F.col("t"))).alias("__s_tau"),
+        (F.sum("n_events") + F.sum("n_censored")).alias("n"))
+    return one.select(
+        F.col("n").cast("long").alias("n"),
+        tau_l.alias("tau"),
+        (F.least(F.col("__t1"), tau_l) + F.col("__area"))
+        .alias("rmst"),
+        F.coalesce(F.col("__s_tau"), F.lit(1.0)).alias("km_at_tau"))
+
+
+def cumulative_incidence(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks —
+    the probability of failing FROM EACH CAUSE by time t when other
+    causes can strike first (1 − KM per cause is wrong there: it
+    treats competitors as censoring and overstates every curve;
+    Putter, Fiocco & Geskus 2007).  ``cause_col``: 0 = censored,
+    k ≥ 1 = failure cause.  One row per (distinct duration, observed
+    cause): ``(t, cause, n_risk, n_events, cif)`` with
+    ``CIF_k(t) = Σ_{t_i ≤ t} S(t_i⁻)·d_k(t_i)/n(t_i)`` and S the
+    ALL-CAUSE KM curve.
+
+    Scale shape: groupBy(t, cause) collapse, a pivot-free per-time
+    rollup riding the same exchange, ONE prefix-sum pass for at-risk
+    + the all-cause log-survival walk, then one more prefix sum per
+    (cause) — every pass is ``running_sums`` machinery, no global
+    window, no join beyond its broadcasts.
+    """
+    dur = F.col(duration_col).cast("double")
+    cause = F.col(cause_col).cast("int")
+    base = df.filter(dur.isNotNull() & ~F.isnan(dur)
+                     & cause.isNotNull()).select(
+        dur.alias("t"), cause.alias("cause"))
+    # per (t, cause) event counts; per-time totals ride a second
+    # groupBy over the bounded (t, cause) frame, not the raw data
+    tc = base.groupBy("t", "cause").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    per_t = tc.groupBy("t").agg(
+        F.sum("n_events").alias("__tot"),
+        F.sum(F.when(F.col("cause") != 0, F.col("n_events"))
+              .otherwise(F.lit(0))).alias("__d_all"))
+    c1 = running_sums(per_t, ["t"], ["__tot"])
+    n = (F.col("__g___tot") - F.col("__cum___tot")
+         + F.col("__tot")).cast("double")
+    d = F.col("__d_all").cast("double")
+    term = F.when(d < n, F.log(F.lit(1.0) - d / n)).otherwise(
+        F.lit(0.0))
+    dead = (d >= n).cast("int")
+    c2 = running_sums(
+        c1.select("t", n.alias("n_risk"), "__d_all",
+                  term.alias("__ln"), dead.alias("__dead")),
+        ["t"], ["__ln", "__dead"])
+    # S(t⁻) = S(t) / (1 − d/n): back out the CURRENT time's factor
+    s_prev = F.when(
+        F.col("__cum___dead") - F.col("__dead") > 0, F.lit(0.0)
+    ).otherwise(F.exp(F.col("__cum___ln") - F.col("__ln")))
+    walk = c2.select("t", "n_risk",
+                     s_prev.alias("__s_prev"))
+    # increment per (t, cause): S(t⁻)·d_k/n — join the bounded walk
+    # back to the (t, cause) cells by broadcast-ineligible equi-join
+    # on t (both sides are the collapsed time grain)
+    cells = tc.filter(F.col("cause") != 0).join(walk, "t")
+    inc = cells.select(
+        "t", "cause", "n_risk", "n_events",
+        (F.col("__s_prev") * F.col("n_events") / F.col("n_risk"))
+        .alias("__inc"))
+    out = running_sums(inc, ["cause", "t"], ["__inc"])
+    # the prefix runs in (cause, t) order; a cause switch must reset,
+    # which running_sums does NOT do — subtract the prior causes'
+    # grand totals via a per-cause offset
+    pc = inc.groupBy("cause").agg(F.sum("__inc").alias("__ctot"))
+    from pyspark.sql import Window as _W
+
+    woff = _W.orderBy("cause").rowsBetween(
+        _W.unboundedPreceding, -1)
+    # bounded frame: one row per cause
+    off = pc.select("cause",
+                    F.coalesce(F.sum("__ctot").over(woff),
+                               F.lit(0.0)).alias("__off"))
+    res = out.join(F.broadcast(off), "cause")
+    return res.select(
+        "t", "cause", F.col("n_risk").cast("long").alias("n_risk"),
+        "n_events",
+        (F.col("__cum___inc") - F.col("__off")).alias("cif")
+    ).orderBy("cause", "t")
