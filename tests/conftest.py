@@ -22,6 +22,31 @@ def pytest_configure(config):
 # excludes these so `pytest tests/ -q` stays inside a 10-minute window;
 # they run with `-m ""` (everything) or `-m slow` (this tier only).
 SLOW_TESTS = {
+    "test_abtest.py::test_cuped_null_covariate_and_degenerate",
+    "test_outliers_bins.py::test_robust_z_known_values",
+    "test_asof.py::test_hot_key_buckets_ntz_dst_safe",
+    "test_profile_basic.py::test_profile_diff",
+    "test_profile_basic.py::test_single_value_stddev_m2_zero",
+    "test_prefix.py::test_exact_quantiles_match_python",
+    "test_prefix.py::test_roc_auc_binned_grid_scores_identical",
+    "test_prefix.py::test_weighted_quantiles_matches_reference",
+    "test_round10_batch6.py::test_cif_sums_to_one_minus_km",
+    "test_classify.py::test_classifier_separates_the_toy_classes",
+    "test_asof.py::test_hot_key_buckets_null_close_not_shadowing",
+    "test_outliers_bins.py::test_robust_z_grouped_and_nulls",
+    "test_profile_basic.py::test_write_read_api",
+    "test_pipeline_selection.py::test_run_pipeline_composes_and_filters",
+    "test_round10_batch6.py::test_cumulative_incidence_matches_numpy",
+    "test_anonymize_ohlc.py::test_anonymize_improves_k_anonymity",
+    "test_ops.py::test_ivf_index_recall",
+    "test_round10_batch6.py::test_rmst_tau_before_first_time",
+    "test_quality.py::test_bigram_lm_matches_python_model",
+    "test_profile_basic.py::test_histogram_from_kll",
+    "test_incremental_dedup.py::test_incremental_minhash_greedy_not_closure",
+    "test_ops.py::test_simhash[sql]",
+    "test_behavioral.py::test_retention_cohorts_day_grain",
+    "test_bpe.py::test_train_and_tokenize_roundtrip",
+    "test_outliers_bins.py::test_quantile_bins_quartiles",
     "test_abtest.py::test_ab_report_degenerate_nulls",
     "test_round10_batch6.py::test_rmst_matches_numpy",
     "test_round10_batch6.py::test_cif_single_cause_equals_one_minus_km",
