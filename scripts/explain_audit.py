@@ -2946,9 +2946,11 @@ def main() -> None:
     sections.append((
         "pattern profile (one stack scan, two-phase top-k)", pat,
         {
-            "exactly one parquet scan (stack is in-scan)":
-                r"^(?!([\s\S]*Scan parquet\s+\(\d+\)){2})"
-                r"[\s\S]*Scan parquet\s+\(\d+\)",
+            "no parquet rescan (both consumers read the "
+            "checkpointed mask-count frame)":
+                r"^(?!([\s\S]*Scan parquet\s+\(\d+\)){2})",
+            "counts materialized once (checkpoint scan in-plan)":
+                r"Scan ExistingRDD|LocalTableScan",
             "mask counts partial-agg before their exchange":
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
             "phase-1 rank is partition-local (windowspec pinned to "
@@ -3142,9 +3144,10 @@ def main() -> None:
         {
             "time collapse partial-aggs before its exchange":
                 r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
-            "every window is slice-partitioned (no global sort of "
-            "the curve)": r"^(?![\s\S]*windowspecdefinition\("
-                          r"(?!__slice))",
+            "data windows are slice-partitioned (remaining "
+            "partition-less windows are slice_rollup's, over the "
+            "one-row-per-partition totals frame)":
+                r"windowspecdefinition\(__slice",
             "slice offsets join back by broadcast":
                 r"BroadcastHashJoin",
             "no Python in the plan":

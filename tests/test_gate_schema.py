@@ -62,6 +62,7 @@ _PLAN_TIME_JOBS = {
     "isotonic_calibration_orders", "pca_embeddings",
     "mmd_drift_embeddings", "ipf_weights_documents",
     "uplift_curve_orders", "auuc_orders",
+    "pattern_profile_customer",
 }
 
 

@@ -188,10 +188,14 @@ def pattern_profile(
     long_df = df.select(
         F.expr(f"stack({len(names)}, {', '.join(triples)})")
         .alias("column", "mask", "__v"))
+    # TWO consumers read the mask-count frame (the capped top-k and
+    # the per-column totals); Spark re-runs the whole scan per branch,
+    # so materialize the bounded frame once (mask cardinality, not
+    # row count — the dedup `rep` checkpoint precedent)
     counts = long_df.groupBy("column", "mask").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("__v").alias("n_values"),
-        F.min("__v").alias("example"))
+        F.min("__v").alias("example")).localCheckpoint()
     tot = counts.groupBy("column").agg(F.sum("n").alias("__tot"))
 
     w_local = Window.partitionBy("column", "__pid").orderBy(
