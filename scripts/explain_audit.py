@@ -3331,6 +3331,22 @@ def main() -> None:
 
     # static measured-decision records (survive regeneration)
     lines += [
+        '## bench host-state note (round 10, measured)',
+        '',
+        "The round-10 committed bench record carries 6 'reproduced' flags",
+        'whose 3-rep warm solo A/B task-seconds sit uniformly ~1.5x their',
+        'committed records — exclusively on Python/Arrow-kernel rows',
+        '(pixel/webp decode, gopher modal-token UDF, quality signals,',
+        'Arrow top-k, abtest utils) — while JVM-codegen rows match their',
+        'records in the same run.  None of those modules changed in round',
+        '10 (git diff empty for them).  Conclusion: a host-state shift in',
+        'Python-worker throughput, not a code regression; the per-row A/B',
+        'arrays in bench_out.json carry the evidence.  Smoke-suite wall',
+        'for the identical test set varied 7:25-12:18 across clean runs',
+        'the same day — same signal.',
+        '',
+    ]
+    lines += [
         "## iterative checkpoint cadence (measured decision, round 10)",
         "",
         "The r9 verdict asked whether the 20-30-step power-iteration",
