@@ -4066,6 +4066,28 @@ def _q_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cif", 8).alias("cif")).orderBy("cause", "t")
 
 
+
+def _q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample effect sizes (core/drift.py effect_sizes):
+    Cohen's d / Hedges' g from pooled moments, Cliff's delta + CLES
+    from the merged distinct-value walk.  Oracle replays the same
+    below/above counting with one window."""
+    from whylogs_spark.core.drift import effect_sizes
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = effect_sizes(li.filter(F.col("l_returnflag") == "A"),
+                       li.filter(F.col("l_returnflag") == "R"),
+                       "l_quantity")
+    return out.select(
+        "n_t", "n_r",
+        F.round("mean_t", 6).alias("mean_t"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("cohens_d", 8).alias("cohens_d"),
+        F.round("hedges_g", 8).alias("hedges_g"),
+        F.round("cliffs_delta", 8).alias("cliffs_delta"),
+        F.round("cles", 8).alias("cles"))
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -4153,6 +4175,7 @@ _GATE_ORDER = [
     # round-10 batch 6
     "rmst_events",
     "cumulative_incidence_events",
+    "effect_sizes_lineitem",
 ]
 
 
@@ -4412,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 batch 6
         "rmst_events": _q_rmst,
         "cumulative_incidence_events": _q_cif,
+        "effect_sizes_lineitem": _q_effect_sizes,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -8983,5 +9007,37 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY cause ORDER BY t ROWS BETWEEN UNBOUNDED "
             "PRECEDING AND CURRENT ROW), 8) AS cif FROM inc "
             "ORDER BY cause, t"
+        ),
+        "effect_sizes_lineitem": (
+            "WITH u AS (SELECT l_quantity::DOUBLE AS v, "
+            "CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS wt, "
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS wr "
+            "FROM lineitem WHERE l_returnflag IN ('A', 'R') "
+            "AND l_quantity IS NOT NULL), "
+            "g AS (SELECT v, sum(wt)::DOUBLE AS ct, "
+            "sum(wr)::DOUBLE AS cr FROM u GROUP BY 1), "
+            "w AS (SELECT v, ct, cr, sum(cr) OVER ord AS scr "
+            "FROM g WINDOW ord AS (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)), "
+            "tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM g), "
+            "agg AS (SELECT any_value(tot.nt) AS nt, "
+            "any_value(tot.nr) AS nr, "
+            "sum(ct * v) / any_value(tot.nt) AS mt, "
+            "sum(cr * v) / any_value(tot.nr) AS mr, "
+            "sum(ct * v * v) AS sqt, sum(cr * v * v) AS sqr, "
+            "sum(ct * ((scr - cr) - (tot.nr - scr))) AS num, "
+            "sum(ct * ((scr - cr) + 0.5 * cr)) AS wins "
+            "FROM w, tot), "
+            "fin AS (SELECT *, sqrt((((nt - 1) * ((sqt - nt*mt*mt) / "
+            "(nt - 1))) + ((nr - 1) * ((sqr - nr*mr*mr) / (nr - 1)))) "
+            "/ (nt + nr - 2)) AS spool FROM agg) "
+            "SELECT nt::BIGINT AS n_t, nr::BIGINT AS n_r, "
+            "round(mt, 6) AS mean_t, round(mr, 6) AS mean_r, "
+            "round(CASE WHEN spool > 0 THEN (mt - mr) / spool END, 8) "
+            "AS cohens_d, "
+            "round(CASE WHEN spool > 0 THEN (mt - mr) / spool * "
+            "(1 - 3.0 / (4 * (nt + nr) - 9)) END, 8) AS hedges_g, "
+            "round(num / (nt * nr), 8) AS cliffs_delta, "
+            "round(wins / (nt * nr), 8) AS cles FROM fin"
         ),
     }

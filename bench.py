@@ -1044,6 +1044,17 @@ def main() -> None:
         _noop(rmst(d, "dur", "e", tau=50.0))
         _noop(cumulative_incidence(d, "dur", "cause"))
 
+
+    def bench_effect_sizes():
+        # exact two-sample effect sizes — its own row (gof_qte_cvmad's
+        # record predates it; appending work to a recorded row would
+        # read as a regression, the textrank precedent)
+        from whylogs_spark.core.drift import effect_sizes
+        _noop(effect_sizes(
+            t["lineitem"].filter(F.col("l_returnflag") == "A"),
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            "l_quantity"))
+
     def bench_trend_offpolicy():
         # MK/Theil-Sen over per-type daily series + mSPRT monthly
         # scan + off-policy estimators — round-10 batch 1
@@ -1377,6 +1388,7 @@ def main() -> None:
         "gof_qte_cvmad": bench_gof_qte_cvmad,
         "rfm_relationship": bench_rfm_relationship,
         "rmst_cif": bench_rmst_cif,
+        "effect_sizes": bench_effect_sizes,
         "features_splits": bench_features_splits,
         "graph_embed_r10": bench_graph_embed_r10,
         "isotonic_rake": bench_isotonic_rake,

@@ -3175,6 +3175,27 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+
+    # 10j. round-10 batch 7: exact effect sizes
+    from whylogs_spark.core.drift import effect_sizes
+
+    eff = effect_sizes(li.filter(F.col("l_returnflag") == "A"),
+                       li.filter(F.col("l_returnflag") == "R"),
+                       "l_quantity")
+    sections.append((
+        "effect sizes (merged-value walk, one prefix pass)", eff,
+        {
+            "distinct-value combine partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "cumsum windows are slice-partitioned":
+                r"windowspecdefinition\(__slice",
+            "slice offsets join back by broadcast":
+                r"BroadcastHashJoin",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

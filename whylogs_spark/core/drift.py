@@ -1124,3 +1124,81 @@ def cvm_ad_exact(
                  (F.col("__ad_raw") * F.col("__ad_sc"))
                  .alias("statistic")),
     )).alias("r")).select("r.*")
+
+
+def effect_sizes(
+    target: DataFrame, reference: DataFrame, col: str
+) -> DataFrame:
+    """Exact two-sample effect sizes, one row: ``(n_t, n_r, mean_t,
+    mean_r, cohens_d, hedges_g, cliffs_delta, cles)`` — the "how BIG
+    is the difference" companion to the exact test statistics (KS/
+    CvM/AD say whether distributions differ; p-values go to 0 at
+    scale, effect sizes stay interpretable).
+
+    * ``cohens_d`` — (mean_t − mean_r)/s_pooled (pooled sample SD);
+      ``hedges_g`` applies the small-sample correction
+      1 − 3/(4(n_t+n_r) − 9).
+    * ``cliffs_delta`` — P(X_t > X_r) − P(X_t < X_r), computed
+      EXACTLY from the merged distinct-value counts: Σ_v ct(v)·(#ref
+      below v − #ref above v)/(n_t·n_r); ``cles`` — the common-
+      language effect size P(X_t > X_r) + ½P(X_t = X_r).
+    * Null statistics when either side is empty; d/g null when the
+      pooled variance is 0.
+
+    Distributed shape: one groupBy(value) combine (shuffle carries
+    DISTINCT values, same front end as the exact KS family), ONE
+    prefix-sum pass (``running_sums``) for the below-counts, and a
+    1-row reduce; the moments ride the same walked table.  NaN/null
+    excluded on both sides.
+    """
+    from .prefix import running_sums
+
+    g = _merged_value_counts(target, reference, col)
+    cum = running_sums(g, ["v"], ["ct", "cr"]).select(
+        "v", "ct", "cr",
+        F.col("__cum_cr").alias("scr"),
+        F.col("__g_ct").alias("nt"),
+        F.col("__g_cr").alias("nr"))
+    nt = F.col("nt").cast("double")
+    nr = F.col("nr").cast("double")
+    ok = (F.col("nt") > 0) & (F.col("nr") > 0)
+    ct = F.col("ct").cast("double")
+    below = (F.col("scr") - F.col("cr")).cast("double")  # ref < v
+    above = nr - F.col("scr").cast("double")             # ref > v
+    ties = F.col("cr").cast("double")                    # ref = v
+    one = cum.agg(
+        F.first(F.col("nt")).alias("n_t"),
+        F.first(F.col("nr")).alias("n_r"),
+        F.try_divide(F.sum(ct * F.col("v")), F.first(nt))
+        .alias("mean_t"),
+        F.try_divide(F.sum(F.col("cr").cast("double") * F.col("v")),
+                     F.first(nr)).alias("mean_r"),
+        F.sum(ct * F.col("v") * F.col("v")).alias("__sq_t"),
+        F.sum(F.col("cr").cast("double") * F.col("v") * F.col("v"))
+        .alias("__sq_r"),
+        F.sum(F.when(ok, ct * (below - above))).alias("__num"),
+        F.sum(F.when(ok, ct * (below + 0.5 * ties))).alias("__wins"))
+    ntd = F.col("n_t").cast("double")
+    nrd = F.col("n_r").cast("double")
+    var_t = F.try_divide(
+        F.col("__sq_t") - ntd * F.col("mean_t") * F.col("mean_t"),
+        ntd - 1)
+    var_r = F.try_divide(
+        F.col("__sq_r") - nrd * F.col("mean_r") * F.col("mean_r"),
+        nrd - 1)
+    s_pool = F.sqrt(F.try_divide(
+        (ntd - 1) * var_t + (nrd - 1) * var_r, ntd + nrd - 2))
+    d = F.when((F.col("n_t") > 1) & (F.col("n_r") > 1) & (s_pool > 0),
+               (F.col("mean_t") - F.col("mean_r")) / s_pool)
+    corr = 1.0 - 3.0 / (4.0 * (ntd + nrd) - 9.0)
+    okb = (F.col("n_t") > 0) & (F.col("n_r") > 0)
+    return one.select(
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_r").cast("long").alias("n_r"),
+        "mean_t", "mean_r",
+        d.alias("cohens_d"),
+        (d * corr).alias("hedges_g"),
+        F.when(okb, F.try_divide(F.col("__num"), ntd * nrd))
+        .alias("cliffs_delta"),
+        F.when(okb, F.try_divide(F.col("__wins"), ntd * nrd))
+        .alias("cles"))
