@@ -43,6 +43,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Fail fast on duplicate top-level names in the entry module: a
+    # later ``def _q_x`` silently rebinds earlier gate queries (the
+    # _q_gini / _q_cusum failure class).  Same check runs in pytest.
+    from tests.test_entry_integrity import duplicate_top_level_names
+
+    dupes = duplicate_top_level_names()
+    if dupes:
+        print(f"FATAL duplicate top-level names in __spark_entry__.py: "
+              f"{dupes}")
+        return 2
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod

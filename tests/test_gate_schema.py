@@ -34,22 +34,32 @@ def _atomic_offenders(spark, names):
 
 
 def _driver_proven() -> set:
-    """Queries with a green row in any committed CORRECTNESS_r*.json:
-    the driver itself hashed their output, so their schema is proven
-    atomic — re-checking them in smoke buys nothing."""
-    import glob
+    """Queries whose schema the driver has already hashed AND whose
+    gate function is unchanged since.  Source of truth is the committed
+    manifest tests/gate_proven.json (regenerated from GIT-TRACKED
+    CORRECTNESS files by scripts/update_gate_proven.py), keyed on
+    (query name, md5 of the gate function source): editing or rewiring
+    a ``_q_*`` voids its exemption, so a stale green row can never mask
+    a newly-nested schema.  Untracked working-tree artifacts grant no
+    exemption."""
+    import hashlib
+    import inspect
     import json
+    import os
 
-    proven = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        try:
-            data = json.load(open(path))
-        except Exception:
-            continue
-        for name, rec in data.items():
-            if isinstance(rec, dict) and not rec.get("err"):
-                proven.add(name)
-    return proven
+    import __spark_entry__ as entry
+
+    def source_hash(fn) -> str:
+        # must stay identical to scripts/update_gate_proven.py
+        return hashlib.md5(inspect.getsource(fn).encode()).hexdigest()
+
+    path = "/root/repo/tests/gate_proven.json"
+    if not os.path.exists(path):
+        return set()
+    manifest = json.load(open(path))
+    qs = entry.queries()
+    return {name for name, h in manifest.items()
+            if name in qs and source_hash(qs[name]) == h}
 
 
 # Queries whose CONSTRUCTION runs bounded driver-side jobs (iterative
@@ -63,6 +73,10 @@ _PLAN_TIME_JOBS = {
     "mmd_drift_embeddings", "ipf_weights_documents",
     "uplift_curve_orders", "auuc_orders",
     "pattern_profile_customer",
+    # round-11: IRLS fit / max_points guard / corr collect run
+    # bounded jobs at plan build
+    "ipw_att_orders", "ses_forecast_events", "partial_corr_lineitem",
+    "ols_orders", "cox_ph_events",
 }
 
 

@@ -57,6 +57,38 @@ def test_cusum_constant_series_null_stat(spark):
     assert r.cusum_stat is None and r.p_value is None
 
 
+def test_cusum_single_point_group_emits_null_row(spark):
+    # round-11 ADVICE fix: a group whose collapsed series has length
+    # 1 must still appear (one row per group), with null cp fields
+    from whylogs_spark.ops.trend import cusum_changepoint
+
+    d = spark.createDataFrame(
+        [("a", 0.0, 1.0), ("a", 1.0, 2.0), ("a", 2.0, 9.0),
+         ("b", 5.0, 4.0)], "g string, t double, v double")
+    out = {r.g: r for r in
+           cusum_changepoint(d, "t", "v", ["g"]).collect()}
+    assert set(out) == {"a", "b"}
+    b = out["b"]
+    assert b.n == 1 and b.mean == 4.0
+    assert b.cp_index is None and b.cp_time is None
+    assert b.cusum_abs is None and b.cusum_stat is None
+    assert b.p_value is None and b.shift is None
+    assert out["a"].cp_index is not None
+
+
+def test_mann_kendall_max_points_guard(spark):
+    from whylogs_spark.ops.trend import mann_kendall
+
+    d = spark.createDataFrame(
+        [("a", float(i), float(i % 7)) for i in range(50)],
+        "g string, t double, v double")
+    with pytest.raises(ValueError, match="max_points"):
+        mann_kendall(d, "t", "v", ["g"], max_points=10)
+    # explicit raise or None disables the guard
+    assert mann_kendall(d, "t", "v", ["g"],
+                        max_points=None).count() == 1
+
+
 def test_woe_iv_matches_numpy(orders):
     from whylogs_spark.ops.encode import woe_iv
 

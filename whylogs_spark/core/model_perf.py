@@ -631,7 +631,8 @@ def gains_table(
         raise ValueError(f"gains_table needs n_buckets >= 2, got {n_buckets}")
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
-    base = df.filter(s.isNotNull() & ~F.isnan(s) & y.isNotNull()) \
+    base = df.filter(s.isNotNull() & ~F.isnan(s)
+                     & y.isNotNull() & ~F.isnan(y)) \
         .select(s.alias("__s"), y.alias("__y"))
     qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
     head = base.agg(

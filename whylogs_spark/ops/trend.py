@@ -37,6 +37,7 @@ def mann_kendall(
     time_col: str,
     value_col: str,
     group_cols: Optional[Sequence[str]] = None,
+    max_points: int = 20_000,
 ) -> DataFrame:
     """One row per group: ``(group..., n, s_stat, var_s, z,
     sen_slope, sen_intercept)``.
@@ -56,6 +57,15 @@ def mann_kendall(
     Null/NaN values and null times drop; duplicate timestamps within
     a group average before the walk (MK is defined on a sequence).
     Attach p-values with :func:`with_trend_pvalues`.
+
+    GRAIN CONTRACT (enforced): the pair walk and the exact
+    ``percentile(__slope, 0.5)`` are O(n²) in the COLLAPSED series
+    length — the aggregation buffer holds every pair slope of a
+    group in executor memory.  Fine at rollup grain (hundreds of
+    buckets); catastrophic on raw events.  ``max_points`` (default
+    20k ⇒ ≤ 2·10⁸ pairs for the worst group) is checked with one
+    cheap count over the collapsed frame and raises with a pointer
+    at ``ops.events.rollup_timeseries`` for re-graining.
     """
     from whylogs_spark.ops.features import _epoch_seconds
 
@@ -67,6 +77,18 @@ def mann_kendall(
     ).select(*groups, t.alias("__t"), v.alias("__v"))
     # one row per (group, time): MK needs a sequence
     g = base.groupBy(*groups, "__t").agg(F.avg("__v").alias("__v"))
+
+    if max_points is not None:
+        worst = (g.groupBy(*groups)
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .agg(F.max("__n").alias("m")).collect()[0]["m"])
+        if worst is not None and worst > max_points:
+            raise ValueError(
+                f"mann_kendall: a group's collapsed series has "
+                f"{worst} points > max_points={max_points}; the "
+                "pair walk is O(n²) per group — collapse to a "
+                "coarser bucket first (ops.events.rollup_timeseries) "
+                "or raise max_points explicitly")
 
     a = g.select(*groups, F.col("__t").alias("__t1"),
                  F.col("__v").alias("__v1"))
@@ -186,6 +208,10 @@ def cusum_changepoint(
       bucket BEFORE the shift (earliest argmax on ties);
       ``mean_before`` / ``mean_after`` the two segment means and
       ``shift`` their difference.
+    * A group whose collapsed series has a single point still emits
+      its row (one row per group, always): ``n``/``mean``/``std``
+      populated, every changepoint-derived field null — a length-1
+      series has no interior split to test.
 
     Same collapse discipline as :func:`mann_kendall`: one row per
     (group, time) — duplicate timestamps average — so the window walk
@@ -238,14 +264,26 @@ def cusum_changepoint(
     best = (hit.filter(F.col("__abs_s") == F.col("__mx"))
             .groupBy(*groups)
             .agg(F.min_by(
-                F.struct("__t", "__k", "__cum", "__abs_s", "n",
-                         "mean", "std"), F.col("__k")).alias("b")))
+                F.struct("__t", "__k", "__cum", "__abs_s"),
+                F.col("__k")).alias("b"))
+            .select(*groups,
+                    F.col("b.__t").alias("__cp_t"),
+                    F.col("b.__k").alias("__cp_k"),
+                    F.col("b.__cum").alias("__cp_cum"),
+                    F.col("b.__abs_s").alias("__cp_abs")))
+    # left-join onto the totals frame so a single-point group (no
+    # k < n candidate row) still emits its row — with null
+    # changepoint fields — honoring the one-row-per-group contract
+    if groups:
+        rep = tot.join(F.broadcast(best), groups, "left")
+    else:
+        rep = tot.join(F.broadcast(best), F.lit(True), "left")
 
-    nd = F.col("b.n").cast("double")
-    kd = F.col("b.__k").cast("double")
-    sig = F.col("b.std")
+    nd = F.col("n").cast("double")
+    kd = F.col("__cp_k").cast("double")
+    sig = F.col("std")
     lam = F.when((sig > 0) & (nd > 1),
-                 F.col("b.__abs_s") / (sig * F.sqrt(nd)))
+                 F.col("__cp_abs") / (sig * F.sqrt(nd)))
     series = None
     for j in range(1, terms + 1):
         term = F.lit(float((-1) ** (j + 1))) * \
@@ -254,16 +292,15 @@ def cusum_changepoint(
     p = F.when(lam.isNotNull(),
                F.greatest(F.lit(0.0),
                           F.least(F.lit(1.0), 2.0 * series)))
-    mean_before = F.col("b.__cum") / kd
-    mean_after = (nd * F.col("b.mean") - F.col("b.__cum")) / (nd - kd)
-    return best.select(
+    mean_before = F.col("__cp_cum") / kd
+    mean_after = (nd * F.col("mean") - F.col("__cp_cum")) / (nd - kd)
+    return rep.select(
         *groups,
-        F.col("b.n").alias("n"),
-        F.col("b.mean").alias("mean"),
+        "n", "mean",
         sig.alias("std"),
-        F.col("b.__k").alias("cp_index"),
-        F.col("b.__t").alias("cp_time"),
-        F.col("b.__abs_s").alias("cusum_abs"),
+        F.col("__cp_k").alias("cp_index"),
+        F.col("__cp_t").alias("cp_time"),
+        F.col("__cp_abs").alias("cusum_abs"),
         lam.alias("cusum_stat"),
         p.alias("p_value"),
         mean_before.alias("mean_before"),
