@@ -1055,6 +1055,123 @@ def main() -> None:
             t["lineitem"].filter(F.col("l_returnflag") == "R"),
             "l_quantity"))
 
+    def bench_hypothesis_tests():
+        # round-11: k-sample + paired-binary tests + the hash-
+        # randomization test (replicate spine partial-agg)
+        from whylogs_spark.ops.hypothesis import (
+            anova_oneway, brown_forsythe, cochrans_q, kruskal_wallis,
+            mcnemar_test, randomization_test_means,
+        )
+        o = t["orders"]
+        _noop(anova_oneway(o, "o_orderpriority", "o_totalprice"))
+        _noop(kruskal_wallis(o, "o_orderstatus", "o_totalprice"))
+        _noop(brown_forsythe(t["lineitem"], "l_returnflag",
+                             "l_extendedprice"))
+        _noop(mcnemar_test(
+            o.select((F.col("o_totalprice") > 150000.0).cast("int")
+                     .alias("a"),
+                     (F.col("o_orderpriority") <= "2-HIGH")
+                     .cast("int").alias("b")), "a", "b"))
+        _noop(cochrans_q(
+            o.select((F.col("o_totalprice") > 100000.0).cast("int")
+                     .alias("c0"),
+                     (F.col("o_orderpriority") <= "2-HIGH")
+                     .cast("int").alias("c1"),
+                     (F.col("o_custkey") % 2 == 0).cast("int")
+                     .alias("c2")), ["c0", "c1", "c2"]))
+        _noop(randomization_test_means(
+            o, "o_orderstatus", "o_totalprice", "F", "o_orderkey",
+            reps=50))
+
+    def bench_causal_forecast():
+        # round-11: DiD + IRLS propensity ATT + SES forecast
+        from whylogs_spark.ops.causal import did_estimator, ipw_att
+        from whylogs_spark.ops.forecast import ses_forecast
+        o = t["orders"]
+        _noop(did_estimator(
+            o.select((F.col("o_custkey") % 2).alias("grp"),
+                     F.when(F.col("o_orderdate") >=
+                            F.lit("1998-01-01 00:00:00")
+                            .cast("timestamp"),
+                            "post").otherwise("pre").alias("period"),
+                     F.col("o_totalprice").alias("v")),
+            "grp", "period", "v", 1, "post"))
+        _noop(ipw_att(
+            o.select((F.col("o_orderstatus") == "F").cast("double")
+                     .alias("tr"),
+                     (F.month("o_orderdate").cast("double") / 12.0)
+                     .alias("x"),
+                     F.col("o_totalprice").alias("y")),
+            "tr", "y", ["x"]))
+        daily = (t["events"].filter(F.col("ts").isNotNull()
+                                    & F.col("event_type").isNotNull())
+                 .groupBy("event_type",
+                          F.date_trunc("day", "ts").alias("day"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("v")))
+        _noop(ses_forecast(daily, "day", "v", ["event_type"],
+                           alpha=0.3))
+
+    def bench_encode_glm_corr():
+        # round-11 batch 2: OOF target encoding + closed-form OLS +
+        # Spearman / partial correlation
+        from whylogs_spark.ops.encode import target_encode_oof
+        from whylogs_spark.ops.glm import ols_report
+        from whylogs_spark.ops.stats import (partial_correlation,
+                                             spearman_correlation)
+        o = t["orders"]
+        _noop(target_encode_oof(
+            o.select("o_orderkey", "o_orderpriority",
+                     (F.col("o_totalprice") > 150000.0).cast("double")
+                     .alias("y")),
+            "o_orderpriority", "y", ["o_orderkey"], n_folds=5,
+            out_col="te"))
+        _noop(ols_report(
+            o.select((F.month("o_orderdate").cast("double") / 12.0)
+                     .alias("x1"),
+                     ((F.col("o_custkey") % 100).cast("double")
+                      / 100.0).alias("x2"),
+                     F.col("o_totalprice").alias("y")),
+            "y", ["x1", "x2"]))
+        li = t["lineitem"]
+        _noop(spearman_correlation(li, "l_quantity",
+                                   "l_extendedprice"))
+        _noop(partial_correlation(li, "l_quantity",
+                                  "l_extendedprice", ["l_discount"]))
+
+    def bench_quantile_normalize():
+        # round-11 batch 4: QN over three lineitem columns
+        from whylogs_spark.ops.encode import quantile_normalize
+        _noop(quantile_normalize(
+            t["lineitem"], ["l_quantity", "l_discount", "l_tax"]))
+
+    def bench_cox_ph():
+        # round-11 batch 3: Cox PH Newton (bounded iterations, one
+        # groupBy + one prefix pass + one reduce per step)
+        from whylogs_spark.ops.survival import cox_ph
+        ev = (t["events"]
+              .filter(F.col("value").isNotNull()
+                      & ~F.isnan(F.col("value"))
+                      & F.col("event_type").isNotNull()
+                      & F.col("user_id").isNotNull())
+              .select(F.col("value").alias("dur"),
+                      (F.col("event_type") != "error").cast("double")
+                      .alias("e"),
+                      ((F.col("user_id") % 50).cast("double") / 50.0)
+                      .alias("x1"),
+                      ((F.col("event_id") % 7).cast("double") / 7.0)
+                      .alias("x2")))
+        cox_ph(ev, "dur", "e", ["x1", "x2"])
+
+    def bench_kmv_sketch():
+        # round-11: KMV bottom-k distinct + pairwise segment overlap
+        from whylogs_spark.ops.setsketch import (kmv_distinct,
+                                                 kmv_pairwise_overlap)
+        li = t["lineitem"]
+        _noop(kmv_distinct(li, "l_returnflag", ["l_orderkey"],
+                           k=1024))
+        _noop(kmv_pairwise_overlap(li, "l_returnflag",
+                                   ["l_orderkey"], k=1024))
+
     def bench_trend_offpolicy():
         # MK/Theil-Sen over per-type daily series + mSPRT monthly
         # scan + off-policy estimators — round-10 batch 1
@@ -1389,6 +1506,12 @@ def main() -> None:
         "rfm_relationship": bench_rfm_relationship,
         "rmst_cif": bench_rmst_cif,
         "effect_sizes": bench_effect_sizes,
+        "hypothesis_tests": bench_hypothesis_tests,
+        "causal_forecast": bench_causal_forecast,
+        "kmv_sketch": bench_kmv_sketch,
+        "encode_glm_corr": bench_encode_glm_corr,
+        "cox_ph_events": bench_cox_ph,
+        "quantile_normalize_lineitem": bench_quantile_normalize,
         "features_splits": bench_features_splits,
         "graph_embed_r10": bench_graph_embed_r10,
         "isotonic_rake": bench_isotonic_rake,

@@ -1,0 +1,123 @@
+"""Exponential-smoothing forecasts over grouped time series — the
+"what should this metric be tomorrow" companion of the monitoring
+family (``core/monitor.py`` EWMA charts look backward at deviations;
+this projects the level forward) and of ``seasonal_naive`` in
+``ops/events.py``.
+
+Beyond-reference extension family (SURVEY.md §2.12).
+
+Simple exponential smoothing has a CLOSED FORM: with ``l_1 = x_1``
+and ``l_t = a*x_t + (1-a)*l_{t-1}``,
+
+    l_n = a * sum_{i=0..n-2} (1-a)^i * x_{n-i}  +  (1-a)^{n-1} * x_1
+
+— a reverse-weighted window sum whose weights are all <= 1 (numerically
+stable, no recursion).  That makes SES fully declarative: one
+per-group ordered window pass, Catalyst-planned, and exactly
+reproducible in ANSI SQL (the DuckDB gate oracle replays the same
+power series).
+
+Grain contract (same as ops/trend.py): feed COLLAPSED rollup-grain
+series (one row per group per bucket).  The window sorts each group's
+series inside its partition; series length is the rollup bucket
+count, not raw events.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ses_forecast"]
+
+
+def ses_forecast(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: Optional[Sequence[str]] = None,
+    alpha: float = 0.3,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Simple exponential smoothing per group; one row per group:
+    ``(n, alpha, first_value, last_value, level, forecast,
+    one_step_error)``.
+
+    * ``level`` — the smoothed level ``l_n`` (the closed-form
+      reverse-weighted sum above; ``l_1 = x_1`` init).
+    * ``forecast`` — the flat h-step-ahead forecast (= ``level``).
+    * ``one_step_error`` — ``x_n - l_{n-1}``, the holdout error of
+      forecasting the newest point from its past (null when n < 2).
+
+    Duplicate timestamps within a group are pre-collapsed by MEAN
+    (deterministic regardless of row order).  Nulls/NaNs drop.
+    ``max_points`` guards the documented rollup-grain contract: any
+    group longer than it raises at plan build (count is one cheap
+    agg) — re-grain with a coarser bucket instead of feeding raw
+    events.
+
+    Scale shape: one groupBy collapse, one PER-GROUP window pass
+    (partitioned by the group keys — no global sort), one 1-row-per-
+    group reduce.  Weights ``(1-a)^i`` enter as ``pow`` on the
+    reversed row index, all JVM codegen.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    t = F.col(time_col)
+    base = (df.filter(t.isNotNull() & v.isNotNull() & ~F.isnan(v))
+            .groupBy(*(groups + [time_col]))
+            .agg(F.avg(v).alias("__v")))
+
+    sizes = base.groupBy(*groups).agg(F.count(F.lit(1)).alias("__n"))
+    worst = sizes.agg(F.max("__n").alias("m")).collect()[0]["m"]
+    if worst is not None and worst > max_points:
+        raise ValueError(
+            f"ses_forecast: a group has {worst} points > max_points="
+            f"{max_points}; collapse to a coarser rollup grain first "
+            "(ops/events.rollup_timeseries)")
+
+    part = [F.col(c) for c in groups] if groups \
+        else [F.lit(1).alias("__all")]
+    w_ord = Window.partitionBy(*part).orderBy(F.col(time_col).asc())
+    ranked = base.select(
+        *groups, "__v",
+        F.row_number().over(w_ord).alias("__k"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*part)).alias("__n"),
+        F.first("__v").over(w_ord).alias("__x1"))
+    a = float(alpha)
+    one_m_a = F.lit(1.0 - a)
+    # level over the first m points: contribution of x_k (k>=2) is
+    # a*(1-a)^(m-k); x_1 contributes (1-a)^(m-1).
+    contrib_n = F.when(
+        F.col("__k") >= 2,
+        F.lit(a) * F.pow(one_m_a, F.col("__n") - F.col("__k"))
+        * F.col("__v")).otherwise(F.lit(0.0))
+    contrib_n1 = F.when(
+        (F.col("__k") >= 2) & (F.col("__k") <= F.col("__n") - 1),
+        F.lit(a) * F.pow(one_m_a, F.col("__n") - 1 - F.col("__k"))
+        * F.col("__v")).otherwise(F.lit(0.0))
+    rep = ranked.groupBy(*groups).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__x1").alias("first_value"),
+        F.max(F.when(F.col("__k") == F.col("__n"), F.col("__v")))
+        .alias("last_value"),
+        (F.sum(contrib_n)
+         + F.max(F.pow(one_m_a, F.col("__n") - 1) * F.col("__x1")))
+        .alias("level"),
+        F.sum(contrib_n1).alias("__lev_prev_tail"),
+        F.max(F.pow(one_m_a, F.col("__n") - 2) * F.col("__x1"))
+        .alias("__lev_prev_x1"))
+    lev_prev = F.col("__lev_prev_tail") + F.col("__lev_prev_x1")
+    return rep.select(
+        *groups, "n",
+        F.lit(a).alias("alpha"),
+        "first_value", "last_value", "level",
+        F.col("level").alias("forecast"),
+        F.when(F.col("n") >= 2,
+               F.col("last_value") - lev_prev)
+        .alias("one_step_error"))

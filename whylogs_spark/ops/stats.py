@@ -52,6 +52,8 @@ __all__ = [
     "gini_concentration",
     "diversity_report",
     "hill_tail_index",
+    "spearman_correlation",
+    "partial_correlation",
 ]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -624,3 +626,113 @@ def hill_tail_index(
         k_used.cast("long").alias("k_used"),
         "x_k", xi.alias("xi"),
         F.when(xi.isNotNull(), 1.0 / xi).alias("alpha"))
+
+
+def spearman_correlation(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns; ONE
+    row: ``(n, rho)``.  Exact midranks (ties get the average rank)
+    computed the scale-safe way: each column's groupBy(value)-
+    collapsed DISTINCT-value table rides the two-phase
+    range-partitioned prefix scan (``core/prefix.running_sums``) to
+    its cumulative counts — no task ever sorts more than its slice —
+    and the ranks join back ON THE VALUE (shuffles bounded by
+    distinct values).  The final Pearson over the two rank columns is
+    one partial-agged aggregate.
+
+    Rows with null/NaN on either side drop (pairwise-complete, the
+    same contract as :func:`correlation_matrix`).
+    """
+    from whylogs_spark.core.prefix import running_sums
+
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = (df.filter(x.isNotNull() & ~F.isnan(x)
+                      & y.isNotNull() & ~F.isnan(y))
+            .select(x.alias("__x"), y.alias("__y")))
+
+    def midranks(b: DataFrame, col: str, out: str) -> DataFrame:
+        pv = b.groupBy(col).agg(
+            F.count(F.lit(1)).cast("double").alias("__c"))
+        r = running_sums(pv, [col], ["__c"])
+        return r.select(
+            col,
+            (F.col("__cum___c") - F.col("__c")
+             + (F.col("__c") + 1.0) / 2.0).alias(out))
+
+    rx = midranks(base, "__x", "__rx")
+    ry = midranks(base, "__y", "__ry")
+    ranked = base.join(rx, "__x").join(ry, "__y")
+    rep = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.corr("__rx", "__ry").alias("rho"))
+    return rep
+
+
+def partial_correlation(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    control_cols: Sequence[str],
+) -> DataFrame:
+    """Partial correlation of ``col_x`` and ``col_y`` controlling for
+    ``control_cols``; ONE row: ``(n, r_xy, partial_r)``.
+
+    Computed from the full (2+k)-variable Pearson correlation matrix
+    via the precision-matrix identity ``r_xy.Z = -P_xy /
+    sqrt(P_xx P_yy)`` — all C(m,2) pair correlations come from ONE
+    partial-agged aggregate (the ``correlation_matrix`` trick), the
+    tiny m x m inversion happens on the driver with numpy.  Listwise-
+    complete rows only (any null/NaN drops the row — a correlation
+    matrix mixing pairwise-complete samples need not be positive
+    definite).
+
+    For ONE control the identity reduces to the textbook
+    ``(r_xy - r_xz r_yz) / sqrt((1 - r_xz^2)(1 - r_yz^2))`` — the
+    form the DuckDB gate oracle replays.
+    """
+    import numpy as np
+
+    controls = list(control_cols)
+    if not controls:
+        raise ValueError(
+            "partial_correlation needs >= 1 control column; use "
+            "correlation_matrix for the raw pairwise r")
+    cols = [col_x, col_y] + controls
+    casts = []
+    ok = None
+    for c in cols:
+        cc = F.col(c).cast("double")
+        cond = cc.isNotNull() & ~F.isnan(cc)
+        ok = cond if ok is None else (ok & cond)
+        casts.append(cc)
+    base = df.filter(ok).select(
+        *[cc.alias(f"__v{i}") for i, cc in enumerate(casts)])
+    m = len(cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i in range(m):
+        for j in range(i + 1, m):
+            aggs.append(F.corr(f"__v{i}", f"__v{j}")
+                        .alias(f"__r{i}_{j}"))
+    row = base.agg(*aggs).collect()[0]
+    n = int(row["__n"])
+    corr = np.eye(m)
+    for i in range(m):
+        for j in range(i + 1, m):
+            v = row[f"__r{i}_{j}"]
+            corr[i, j] = corr[j, i] = 0.0 if v is None else float(v)
+    try:
+        prec = np.linalg.inv(corr)
+        den = prec[0, 0] * prec[1, 1]
+        pr = (float(-prec[0, 1] / np.sqrt(den)) if den > 0
+              else float("nan"))
+    except np.linalg.LinAlgError:
+        pr = float("nan")
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(n, float(corr[0, 1]), pr)],
+        "n long, r_xy double, partial_r double")
+    return out

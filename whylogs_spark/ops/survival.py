@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from whylogs_spark.core.prefix import running_sums
 
-__all__ = ["km_survival", "logrank_test", "nelson_aalen", "rmst", "cumulative_incidence"]
+__all__ = ["km_survival", "logrank_test", "nelson_aalen", "rmst",
+           "cumulative_incidence", "cox_ph", "cox_report"]
 
 
 def km_survival(
@@ -363,3 +364,180 @@ def cumulative_incidence(
         "n_events",
         (F.col("__cum___inc") - F.col("__off")).alias("cif")
     ).orderBy("cause", "t")
+
+
+def cox_ph(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    feature_cols,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+    ridge: float = 1e-9,
+):
+    """Cox proportional-hazards regression (Breslow ties) by
+    distributed Newton on the partial likelihood.  Returns
+    ``{"coef": {col: b}, "se": {col: se}, "hazard_ratio": {col:
+    exp(b)}, "n", "n_events", "iterations", "converged",
+    "log_likelihood"}``.
+
+    The partial likelihood needs, per distinct event time t, the
+    RISK-SET sums ``S0 = Σ_{T_j ≥ t} e^{xβ}``, ``S1_k = Σ x_k e^{xβ}``
+    and ``S2_kl = Σ x_k x_l e^{xβ}``.  Each Newton iteration is:
+
+    1. ONE partial-agged groupBy(duration) over the checkpointed base
+       (the weighted moment terms — p(p+3)/2 + p + 2 expressions, all
+       JVM codegen);
+    2. ONE two-phase prefix pass (``core.prefix.running_sums``) whose
+       grand-total-minus-exclusive-prefix IS the suffix (risk-set)
+       sum — no single-partition window;
+    3. ONE 1-row reduce over the event times for the gradient /
+       Hessian / log-likelihood;
+    4. a p×p driver solve (numpy), p = #named features (tens max).
+
+    Features are internally centered (Cox coefficients are invariant
+    to covariate shifts; centering keeps ``e^{xβ}`` conditioned).
+    Rows with null/NaN duration, event, or features drop; ``event``
+    must cast to 0/1 (1 = event, 0 = right-censored).  The filtered
+    base is localCheckpointed once so the 25 iterations never rescan
+    the source.
+    """
+    import numpy as np
+
+    feats = list(feature_cols)
+    if not feats:
+        raise ValueError("cox_ph needs >= 1 feature column")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1: {max_iter}")
+    p = len(feats)
+    t = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("double")
+    ok = (t.isNotNull() & ~F.isnan(t)
+          & e.isNotNull() & ~F.isnan(e))
+    xs = []
+    for c in feats:
+        xc = F.col(c).cast("double")
+        ok = ok & xc.isNotNull() & ~F.isnan(xc)
+        xs.append(xc)
+    raw = df.filter(ok).select(
+        t.alias("__t"), e.alias("__e"),
+        *[x.alias(f"__x{j}") for j, x in enumerate(xs)])
+    means = raw.agg(
+        *[F.avg(f"__x{j}").alias(f"__m{j}") for j in range(p)],
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__e").cast("long").alias("__ne")).collect()[0]
+    n, n_events = int(means["__n"]), int(means["__ne"])
+    if n == 0:
+        raise ValueError("cox_ph: no usable rows")
+    base = raw.select(
+        "__t", "__e",
+        *[(F.col(f"__x{j}") - F.lit(float(means[f"__m{j}"])))
+          .alias(f"__x{j}") for j in range(p)]).localCheckpoint()
+
+    beta = np.zeros(p)
+    converged = False
+    ll = float("nan")
+    it = 0
+    for it in range(1, max_iter + 1):
+        eta = None
+        for j in range(p):
+            term = F.lit(float(beta[j])) * F.col(f"__x{j}")
+            eta = term if eta is None else eta + term
+        eta = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), eta))
+        w = F.exp(eta)
+        aggs = [F.sum(w).alias("__w"),
+                F.sum("__e").alias("__d"),
+                F.sum(F.col("__e") * eta).alias("__se")]
+        sum_cols = ["__w"]
+        for j in range(p):
+            aggs.append(F.sum(F.col("__e") * F.col(f"__x{j}"))
+                        .alias(f"__sx{j}"))
+            aggs.append(F.sum(F.col(f"__x{j}") * w)
+                        .alias(f"__xw{j}"))
+            sum_cols.append(f"__xw{j}")
+        for j in range(p):
+            for k in range(j, p):
+                aggs.append(F.sum(F.col(f"__x{j}")
+                                  * F.col(f"__x{k}") * w)
+                            .alias(f"__xxw{j}_{k}"))
+                sum_cols.append(f"__xxw{j}_{k}")
+        g = base.groupBy("__t").agg(*aggs)
+        r = running_sums(g, ["__t"], sum_cols)
+        # suffix (risk-set) sum = grand − exclusive prefix
+        def suf(c):
+            return (F.col(f"__g_{c}")
+                    - (F.col(f"__cum_{c}") - F.col(c)))
+        s0 = suf("__w")
+        ev = r.filter(F.col("__d") > 0)
+        red = [F.sum(F.col("__se")).alias("__lse"),
+               F.sum(F.col("__d") * F.log(s0)).alias("__dls")]
+        for j in range(p):
+            red.append(F.sum(
+                F.col(f"__sx{j}")
+                - F.col("__d") * suf(f"__xw{j}") / s0)
+                .alias(f"__g{j}"))
+        for j in range(p):
+            for k in range(j, p):
+                red.append(F.sum(
+                    F.col("__d")
+                    * (suf(f"__xxw{j}_{k}") / s0
+                       - (suf(f"__xw{j}") / s0)
+                       * (suf(f"__xw{k}") / s0)))
+                    .alias(f"__h{j}_{k}"))
+        row = ev.agg(*red).collect()[0]
+        ll = float((row["__lse"] or 0.0) - (row["__dls"] or 0.0))
+        grad = np.array([row[f"__g{j}"] or 0.0 for j in range(p)])
+        hess = np.zeros((p, p))
+        for j in range(p):
+            for k in range(j, p):
+                hess[j, k] = hess[k, j] = row[f"__h{j}_{k}"] or 0.0
+        step = np.linalg.solve(hess + ridge * np.eye(p), grad)
+        beta = beta + step
+        if float(np.abs(step).max()) < tol:
+            converged = True
+            break
+    se = {}
+    try:
+        cov = np.linalg.inv(hess + ridge * np.eye(p))
+        ses = np.sqrt(np.maximum(np.diag(cov), 0.0))
+        se = {c: float(ses[j]) for j, c in enumerate(feats)}
+    except np.linalg.LinAlgError:
+        pass
+    return {
+        "coef": {c: float(beta[j]) for j, c in enumerate(feats)},
+        "se": se,
+        "hazard_ratio": {c: float(np.exp(beta[j]))
+                         for j, c in enumerate(feats)},
+        "n": n, "n_events": n_events, "iterations": it,
+        "converged": converged, "log_likelihood": ll,
+    }
+
+
+def cox_report(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    feature_cols,
+) -> DataFrame:
+    """The :func:`cox_ph` fit as a bounded Spark frame — one row per
+    feature: ``(term, beta, se, z, hazard_ratio)`` plus a
+    ``__model__`` row carrying (n, n_events) in (beta, se)."""
+    from pyspark.sql import types as T
+
+    m = cox_ph(df, duration_col, event_col, feature_cols)
+    rows = [(c, m["coef"][c], m["se"].get(c),
+             m["hazard_ratio"][c]) for c in feature_cols]
+    rows.append(("__model__", float(m["n"]),
+                 float(m["n_events"]), None))
+    schema = T.StructType([
+        T.StructField("term", T.StringType()),
+        T.StructField("beta", T.DoubleType()),
+        T.StructField("se", T.DoubleType()),
+        T.StructField("hazard_ratio", T.DoubleType()),
+    ])
+    rep = df.sparkSession.createDataFrame(rows, schema)
+    return rep.select(
+        "term", "beta", "se",
+        F.when((F.col("term") != "__model__") & (F.col("se") > 0),
+               F.col("beta") / F.col("se")).alias("z"),
+        "hazard_ratio")
