@@ -4391,6 +4391,210 @@ def _q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct().orderBy("value"))
 
 
+def _q_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance index (ops/survival.py
+    concordance_index): cell-collapsed pair algebra over distinct
+    (duration, score); the oracle replays the identical weighted
+    pair join, so every pair count matches exactly."""
+    from whylogs_spark.ops.survival import concordance_index
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()).select(
+        F.round("value", 0).alias("dur"),
+        (F.col("event_type") != "error").cast("double").alias("e"),
+        ((F.col("user_id") % 20).cast("double") / 20.0).alias("s"))
+    out = concordance_index(ev, "dur", "e", "s", max_cells=100_000)
+    return out.select(
+        "n", "n_events", "comparable",
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("tied_score").cast("long").alias("tied_score"),
+        F.round("c_index", 8).alias("c_index"))
+
+
+def _q_poisson_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression by distributed IRLS (ops/glm.py
+    fit_poisson): one gradient+Hessian aggregate per Newton step.
+    Rows-only gate (iterative fixed point); cross-verified against
+    numpy IRLS to 1e-6 in tests/test_r11_batch5.py."""
+    from whylogs_spark.ops.glm import fit_poisson
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 7).cast("double").alias("y"),
+        (F.month("o_orderdate").cast("double") / 12.0).alias("x1"),
+        ((F.col("o_custkey") % 100).cast("double") / 100.0)
+        .alias("x2"))
+    m = fit_poisson(o, "y", ["x1", "x2"])
+    rows = [("intercept", m["intercept"], m["se"].get("intercept")),
+            ("x1", m["coef"]["x1"], m["se"].get("x1")),
+            ("x2", m["coef"]["x2"], m["se"].get("x2")),
+            ("__model__", float(m["n"]),
+             1.0 if m["converged"] else 0.0)]
+    rep = spark.createDataFrame(rows, "term string, beta double, "
+                                      "se double")
+    return rep.select("term", F.round("beta", 6).alias("beta"),
+                      F.round("se", 6).alias("se")).orderBy("term")
+
+
+def _q_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caliper nearest-neighbor propensity matching (ops/causal.py
+    propensity_match_att): bucket equi-join candidates, deterministic
+    md5-capped hot buckets, struct-min argmin per treated row.
+    Rows-only gate (IRLS propensity fit); effect-recovery verified in
+    tests/test_r11_batch5.py."""
+    from whylogs_spark.ops.causal import propensity_match_att
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("tr"),
+        (F.month("o_orderdate").cast("double") / 12.0).alias("x"),
+        F.col("o_totalprice").alias("y"))
+    out = propensity_match_att(o, "tr", "y", ["x"], "id",
+                               caliper=0.05)
+    return out.select(
+        "n_treat", "n_matched",
+        F.round("match_rate", 6).alias("match_rate"),
+        F.round("att", 4).alias("att"),
+        F.round("mean_treat_matched", 4).alias("mean_treat_matched"),
+        F.round("mean_ctrl_matched", 4).alias("mean_ctrl_matched"))
+
+
+def _q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter EM record-linkage weights (ops/linkage.py
+    fellegi_sunter_report): ONE pattern aggregation + driver EM on
+    the ≤2^k pattern table.  Rows-only gate (EM fixed point);
+    parameter recovery + agreement with an independent numpy EM
+    verified in tests/test_r11_batch6.py."""
+    from whylogs_spark.ops.linkage import fellegi_sunter_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 3 == 0).cast("int").alias("a"),
+        (F.col("o_orderkey") % 2 == 0).cast("int").alias("b"),
+        (F.col("o_orderpriority") <= "2-HIGH").cast("int").alias("c"))
+    out = fellegi_sunter_report(o, ["a", "b", "c"])
+    return out.select(
+        "pattern", "n_pairs",
+        F.round("match_weight", 4).alias("match_weight"),
+        F.round("posterior", 6).alias("posterior")
+    ).orderBy("pattern")
+
+
+def _q_procrustes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes embedding alignment (core/embeddings.py
+    procrustes_align): d×d cross matrix via the mapInArrow Gram
+    discipline, driver SVD.  The second space is the REVERSED vector
+    (an exact permutation rotation), so the alignment must land at
+    ~zero disparity — a built-in correctness witness.  Rows-only
+    gate (SVD); known-rotation recovery tested."""
+    from whylogs_spark.core.embeddings import procrustes_align
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()).select(
+        F.col("embedding").alias("va"),
+        F.reverse(F.col("embedding")).alias("vb"))
+    m = procrustes_align(emb, "va", "vb")
+    rep = spark.createDataFrame(
+        [(m["n"], m["residual"], m["disparity"])],
+        "n long, residual double, disparity double")
+    return rep.select(
+        "n", F.round("residual", 4).alias("residual"),
+        F.round("disparity", 8).alias("disparity"))
+
+
+def _q_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-changepoint binary segmentation (ops/trend.py
+    binary_segmentation): one grouped CUSUM pass per recursion level.
+    Rows-only gate (driver recursion); shift recovery tested."""
+    from whylogs_spark.ops.trend import binary_segmentation
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull())
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("v"))
+    out = binary_segmentation(d, "day", "v", max_changepoints=3,
+                              alpha=0.9, min_segment=3)
+    return out.select(
+        "order_found",
+        F.round("cp_time", 1).alias("cp_time"),
+        F.round("p_value", 6).alias("p_value"),
+        F.round("cusum_stat", 6).alias("cusum_stat"),
+        F.round("shift", 6).alias("shift"),
+        "segment_n").orderBy("order_found")
+
+
+def _q_platt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt score calibration (core/model_perf.py platt_scaling):
+    one-feature IRLS logistic.  Rows-only gate (iterative fit);
+    parameter recovery tested in tests/test_r11_batch6.py."""
+    from whylogs_spark.core.model_perf import platt_scaling
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") % 97).cast("double") / 97.0).alias("s"),
+        (((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 100)
+         < 20 + 60 * (F.col("o_orderkey") % 97).cast("double") / 97.0)
+        .cast("double").alias("y"))
+    m = platt_scaling(o, "s", "y")
+    rep = spark.createDataFrame(
+        [(m["n"], m["a"], m["b"], 1.0 if m["converged"] else 0.0)],
+        "n long, a double, b double, converged double")
+    return rep.select(
+        "n", F.round("a", 6).alias("a"), F.round("b", 6).alias("b"),
+        "converged")
+
+
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shape multi-touch attribution (ops/events.py
+    attribution_report): per-user touch-to-conversion join, windows
+    partitioned by the conversion, channel-bounded reduce; the
+    oracle replays ranks, credits and the unattributed remainder."""
+    from whylogs_spark.ops.events import attribution_report
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull())
+    d = ev.select(
+        F.col("user_id").alias("u"), "ts",
+        F.when(F.col("event_type") != "purchase",
+               F.col("event_type")).alias("ch"),
+        (F.col("event_type") == "purchase").alias("conv"))
+    out = attribution_report(d, "u", "ts", "ch", "conv",
+                             model="position",
+                             lookback_sec=7 * 86400.0)
+    return out.select(
+        "channel",
+        F.round("credited_conversions", 6)
+        .alias("credited_conversions"),
+        "n_touches",
+        F.round("share", 8).alias("share")).orderBy("channel")
+
+
+def _q_markov_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (ops/events.py
+    markov_attribution): one windowed pass to transition counts,
+    driver-side absorbing-chain solves on the bounded channel matrix.
+    Rows-only gate (matrix solves per channel); cross-verified
+    against an independent absorbing-chain reference in
+    tests/test_markov_attribution.py."""
+    from whylogs_spark.ops.events import markov_attribution
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull())
+    d = ev.select(
+        F.col("user_id").alias("u"), "ts",
+        F.when(F.col("event_type") != "purchase",
+               F.col("event_type")).alias("ch"),
+        (F.col("event_type") == "purchase").alias("conv"))
+    out = markov_attribution(d, "u", "ts", "ch", "conv")
+    return out.select(
+        "channel",
+        F.round("removal_effect", 8).alias("removal_effect"),
+        F.round("attribution_share", 8).alias("attribution_share"),
+        F.round("credited_conversions", 4)
+        .alias("credited_conversions")).orderBy("channel")
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -4451,6 +4655,17 @@ _GATE_ORDER = [
     "partial_corr_lineitem",
     "cox_ph_events",
     "quantile_normalize_lineitem",
+    "concordance_index_events",
+    "poisson_reg_orders",
+    "propensity_match_orders",
+    "fellegi_sunter_orders",
+    "procrustes_embeddings",
+    "binary_segmentation_events",
+    "attribution_events",
+    # rows-only fit wrappers sit just below the driver's 50-window;
+    # check_oracle still runs them every round
+    "platt_scaling_orders",
+    "markov_attribution_events",
     # --- below the fold: previously driver-green rows, kept in prior
     # relative order; scripts/check_oracle.py still covers all of them.
     "fairness_report_orders",
@@ -4771,6 +4986,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_corr_lineitem": _q_partial_corr,
         "cox_ph_events": _q_cox,
         "quantile_normalize_lineitem": _q_quantile_normalize,
+        "concordance_index_events": _q_cindex,
+        "poisson_reg_orders": _q_poisson_reg,
+        "propensity_match_orders": _q_psm,
+        "fellegi_sunter_orders": _q_fellegi_sunter,
+        "procrustes_embeddings": _q_procrustes,
+        "binary_segmentation_events": _q_binary_segmentation,
+        "platt_scaling_orders": _q_platt,
+        "attribution_events": _q_attribution,
+        "markov_attribution_events": _q_markov_attr,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -9730,5 +9954,59 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN s slo ON slo.pos = wq.lo - 1) "
             "SELECT v AS value, round(enc, 6) AS qn FROM code "
             "ORDER BY value"
+        ),
+        "concordance_index_events": (
+            "WITH b AS (SELECT round(value::DOUBLE, 0) AS dur, "
+            "CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.0 END "
+            "AS e, (user_id % 20)::DOUBLE / 20.0 AS s FROM events "
+            "WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE) "
+            "AND event_type IS NOT NULL AND user_id IS NOT NULL), "
+            "cells AS (SELECT dur, s, sum(e) AS d, sum(1.0 - e) AS "
+            "c, count(*)::DOUBLE AS m FROM b GROUP BY 1, 2), "
+            "ev AS (SELECT dur AS ti, s AS si, d AS di FROM cells "
+            "WHERE d > 0), "
+            "pairs AS (SELECT ev.di, ev.si, cells.s AS sj, CASE "
+            "WHEN ev.ti < cells.dur THEN cells.m ELSE cells.c END "
+            "AS w FROM ev JOIN cells ON ev.ti <= cells.dur), "
+            "agg AS (SELECT sum(di * w) AS comp, sum(di * CASE "
+            "WHEN si > sj THEN w ELSE 0.0 END) AS conc, sum(di * "
+            "CASE WHEN si = sj THEN w ELSE 0.0 END) AS tie FROM "
+            "pairs), "
+            "tot AS (SELECT count(*)::BIGINT AS n, sum(e)::BIGINT "
+            "AS ne FROM b) "
+            "SELECT tot.n, tot.ne AS n_events, comp::BIGINT AS "
+            "comparable, conc::BIGINT AS concordant, tie::BIGINT "
+            "AS tied_score, round((conc + 0.5 * tie) / comp, 8) "
+            "AS c_index FROM tot, agg"
+        ),
+        "attribution_events": (
+            "WITH base AS (SELECT user_id AS u, epoch(ts) AS et, "
+            "event_type FROM events WHERE ts IS NOT NULL AND "
+            "user_id IS NOT NULL AND event_type IS NOT NULL), "
+            "conv AS (SELECT u, et AS cts, count(*)::DOUBLE AS m "
+            "FROM base WHERE event_type = 'purchase' GROUP BY 1, 2), "
+            "touch AS (SELECT u, et AS tts, event_type AS ch FROM "
+            "base WHERE event_type <> 'purchase'), "
+            "j AS (SELECT t.ch, t.tts, c.u, c.cts, c.m FROM touch t "
+            "JOIN conv c ON t.u = c.u AND t.tts < c.cts AND "
+            "c.cts - t.tts <= 604800.0), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY u, cts "
+            "ORDER BY tts, ch) AS rr, count(*) OVER (PARTITION BY "
+            "u, cts) AS k FROM j), "
+            "cr AS (SELECT ch, m, CASE WHEN k = 1 THEN 1.0 WHEN "
+            "k = 2 THEN 0.5 WHEN rr = 1 OR rr = k THEN 0.4 ELSE "
+            "0.2 / (k - 2.0) END AS credit FROM r), "
+            "pc AS (SELECT ch, sum(credit * m) AS cc, "
+            "count(*)::BIGINT AS nt FROM cr GROUP BY 1), "
+            "attr AS (SELECT coalesce(sum(m), 0.0) AS a FROM r "
+            "WHERE rr = 1), "
+            "tot AS (SELECT coalesce(sum(m), 0.0) AS t FROM conv), "
+            "allr AS (SELECT * FROM pc UNION ALL SELECT "
+            "'(unattributed)', tot.t - attr.a, 0::BIGINT FROM tot, "
+            "attr) "
+            "SELECT ch AS channel, round(cc, 6) AS "
+            "credited_conversions, nt AS n_touches, round(cc / "
+            "(SELECT sum(cc) FROM allr), 8) AS share FROM allr "
+            "ORDER BY channel"
         ),
     }

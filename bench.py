@@ -1138,6 +1138,95 @@ def main() -> None:
         _noop(partial_correlation(li, "l_quantity",
                                   "l_extendedprice", ["l_discount"]))
 
+    def bench_attribution():
+        # round-11: U-shape multi-touch attribution over clickstream
+        from whylogs_spark.ops.events import attribution_report
+        ev = t["events"].filter(
+            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull())
+        d = ev.select(
+            F.col("user_id").alias("u"), "ts",
+            F.when(F.col("event_type") != "purchase",
+                   F.col("event_type")).alias("ch"),
+            (F.col("event_type") == "purchase").alias("conv"))
+        _noop(attribution_report(d, "u", "ts", "ch", "conv",
+                                 model="position",
+                                 lookback_sec=7 * 86400.0))
+        from whylogs_spark.ops.events import markov_attribution
+        markov_attribution(d, "u", "ts", "ch", "conv")
+
+    def bench_linkage_procrustes_binseg():
+        # round-11 batch 6: FS EM + Procrustes + binary segmentation
+        # + Platt
+        from whylogs_spark.core.embeddings import procrustes_align
+        from whylogs_spark.core.model_perf import platt_scaling
+        from whylogs_spark.ops.linkage import fellegi_sunter_report
+        from whylogs_spark.ops.trend import binary_segmentation
+        o = t["orders"]
+        _noop(fellegi_sunter_report(
+            o.select((F.col("o_custkey") % 3 == 0).cast("int")
+                     .alias("a"),
+                     (F.col("o_orderkey") % 2 == 0).cast("int")
+                     .alias("b"),
+                     (F.col("o_orderpriority") <= "2-HIGH")
+                     .cast("int").alias("c")),
+            ["a", "b", "c"]))
+        emb = t["embeddings"].filter(F.col("embedding").isNotNull())
+        procrustes_align(
+            emb.select(F.col("embedding").alias("va"),
+                       F.reverse("embedding").alias("vb")),
+            "va", "vb")
+        daily = (t["events"].filter(F.col("ts").isNotNull())
+                 .groupBy(F.date_trunc("day", "ts").alias("day"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("v")))
+        _noop(binary_segmentation(daily, "day", "v",
+                                  max_changepoints=2, alpha=0.9,
+                                  min_segment=3))
+        platt_scaling(
+            o.select(((F.col("o_orderkey") % 97).cast("double")
+                      / 97.0).alias("s"),
+                     (((F.col("o_orderkey") * 31 + F.col("o_custkey"))
+                       % 100) < 20 + 60 * (F.col("o_orderkey") % 97)
+                      .cast("double") / 97.0).cast("double")
+                     .alias("y")),
+            "s", "y")
+
+    def bench_cindex_psm_poisson():
+        # round-11 batch 5: concordance index + propensity matching +
+        # Poisson IRLS
+        from whylogs_spark.ops.causal import propensity_match_att
+        from whylogs_spark.ops.glm import fit_poisson
+        from whylogs_spark.ops.survival import concordance_index
+        ev = (t["events"]
+              .filter(F.col("value").isNotNull()
+                      & ~F.isnan(F.col("value"))
+                      & F.col("event_type").isNotNull()
+                      & F.col("user_id").isNotNull())
+              .select(F.round("value", 0).alias("dur"),
+                      (F.col("event_type") != "error").cast("double")
+                      .alias("e"),
+                      ((F.col("user_id") % 20).cast("double") / 20.0)
+                      .alias("s")))
+        _noop(concordance_index(ev, "dur", "e", "s",
+                                max_cells=200_000))
+        o = t["orders"]
+        fit_poisson(
+            o.select((F.col("o_orderkey") % 7).cast("double")
+                     .alias("y"),
+                     (F.month("o_orderdate").cast("double") / 12.0)
+                     .alias("x1"),
+                     ((F.col("o_custkey") % 100).cast("double")
+                      / 100.0).alias("x2")),
+            "y", ["x1", "x2"])
+        _noop(propensity_match_att(
+            o.select(F.col("o_orderkey").alias("id"),
+                     (F.col("o_orderstatus") == "F").cast("double")
+                     .alias("tr"),
+                     (F.month("o_orderdate").cast("double") / 12.0)
+                     .alias("x"),
+                     F.col("o_totalprice").alias("y")),
+            "tr", "y", ["x"], "id", caliper=0.05))
+
     def bench_quantile_normalize():
         # round-11 batch 4: QN over three lineitem columns
         from whylogs_spark.ops.encode import quantile_normalize
@@ -1512,6 +1601,9 @@ def main() -> None:
         "encode_glm_corr": bench_encode_glm_corr,
         "cox_ph_events": bench_cox_ph,
         "quantile_normalize_lineitem": bench_quantile_normalize,
+        "cindex_psm_poisson": bench_cindex_psm_poisson,
+        "linkage_procrustes_binseg": bench_linkage_procrustes_binseg,
+        "attribution_events": bench_attribution,
         "features_splits": bench_features_splits,
         "graph_embed_r10": bench_graph_embed_r10,
         "isotonic_rake": bench_isotonic_rake,

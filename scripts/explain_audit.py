@@ -3443,6 +3443,181 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    from whylogs_spark.ops.survival import concordance_index
+
+    ci_in = (ev11.filter(F.col("value").isNotNull()
+                         & ~F.isnan(F.col("value"))
+                         & F.col("event_type").isNotNull()
+                         & F.col("user_id").isNotNull())
+             .select(F.round("value", 0).alias("dur"),
+                     (F.col("event_type") != "error").cast("double")
+                     .alias("e"),
+                     ((F.col("user_id") % 20).cast("double") / 20.0)
+                     .alias("s")))
+    sections.append((
+        "concordance index (cell-collapsed pair algebra)",
+        concordance_index(ci_in, "dur", "e", "s",
+                          max_cells=200_000),
+        {
+            "cell collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "the pair theta-join runs on broadcast CELLS, not rows":
+                r"BroadcastNestedLoopJoin",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # propensity matching: the candidate/argmin plan with a fixed
+    # fake model (the IRLS fit itself is the audited fit_logistic
+    # shape; matching is what's new here)
+    psm_scored = ords11.select(
+        F.col("o_orderkey").cast("string").alias("__id"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("__t"),
+        F.col("o_totalprice").alias("__y"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(
+            -(F.lit(-0.1) + F.lit(0.5)
+              * (F.month("o_orderdate").cast("double") / 12.0)))))
+        .alias("__e"))
+    psm_scored = psm_scored.withColumn(
+        "__b", F.floor(F.col("__e") / F.lit(0.05)).cast("long"))
+    psm_tr = psm_scored.filter(F.col("__t") == 1.0).select(
+        F.col("__id").alias("__tid"), F.col("__y").alias("__ty"),
+        F.col("__e").alias("__te"), F.col("__b").alias("__tb"))
+    from pyspark.sql import Window as _W
+    psm_ct = (psm_scored.filter(F.col("__t") == 0.0)
+              .select("__id", "__y", "__e", "__b",
+                      F.row_number().over(
+                          _W.partitionBy("__b").orderBy(
+                              F.md5("__id"), "__id")).alias("__rk"))
+              .filter(F.col("__rk") <= 200)
+              .select(F.explode(F.array(
+                  F.col("__b") - 1, F.col("__b"),
+                  F.col("__b") + 1)).alias("__tb"),
+                  F.col("__y").alias("__cy"),
+                  F.col("__e").alias("__ce"),
+                  F.col("__id").alias("__cid")))
+    psm_cand = (psm_tr.join(psm_ct, "__tb")
+                .filter(F.abs(F.col("__te") - F.col("__ce"))
+                        <= 0.05)
+                .groupBy("__tid")
+                .agg(F.min(F.struct(
+                    F.abs(F.col("__te") - F.col("__ce")).alias("d"),
+                    F.col("__cid").alias("cid"),
+                    F.col("__cy").alias("cy"),
+                    F.col("__ty").alias("ty"))).alias("__m")))
+    sections.append((
+        "propensity matching (bucket equi-join + struct-min argmin)",
+        psm_cand,
+        {
+            "candidates come from a bucket EQUI-join (never a "
+            "cross/nested-loop join of treated x controls)":
+                r"^(?![\s\S]*BroadcastNestedLoopJoin)",
+            "hot-bucket cap is a bucket-partitioned rank window":
+                r"windowspecdefinition\(__b",
+            # struct-min argmax/argmin plans as SortAggregate (the
+            # repo-known shape); partial_min still runs map-side
+            "argmin partial-aggs (SortAggregate) before its exchange":
+                r"SortAggregate[\s\S]*Exchange[\s\S]*SortAggregate",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # Fellegi-Sunter: the one distributed piece is the pattern
+    # aggregation (EM is driver-side on <= 2^k rows)
+    fs_in = ords11.select(
+        (F.col("o_custkey") % 3 == 0).cast("int").alias("__a0"),
+        (F.col("o_orderkey") % 2 == 0).cast("int").alias("__a1"))
+    fs_pat = fs_in.groupBy("__a0", "__a1").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    sections.append((
+        "Fellegi-Sunter pattern aggregation (EM input)",
+        fs_pat,
+        {
+            "pattern counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python in the aggregation (EM happens on the "
+            "collected <= 2^k pattern rows)":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.core.embeddings import procrustes_project
+
+    fake_rot = {"rotation": [[0.0, 1.0], [1.0, 0.0]], "n": 0,
+                "residual": 0.0, "disparity": 0.0,
+                "norm_a": 0.0, "norm_b": 0.0}
+    emb2 = emb.select(F.slice("embedding", 1, 2).alias("v2"))
+    sections.append((
+        "Procrustes projection (literal-matrix codegen)",
+        procrustes_project(emb2, fake_rot, "v2"),
+        {
+            "no exchange (projection never shuffles)":
+                r"^(?![\s\S]*Exchange)",
+            "no Python (R·x is a literal expression)":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.events import attribution_report
+
+    attr_in = (ev11.filter(F.col("ts").isNotNull()
+                           & F.col("user_id").isNotNull()
+                           & F.col("event_type").isNotNull())
+               .select(F.col("user_id").alias("u"), "ts",
+                       F.when(F.col("event_type") != "purchase",
+                              F.col("event_type")).alias("ch"),
+                       (F.col("event_type") == "purchase")
+                       .alias("conv")))
+    sections.append((
+        "multi-touch attribution (per-user join + conv windows)",
+        attribution_report(attr_in, "u", "ts", "ch", "conv",
+                           model="position",
+                           lookback_sec=7 * 86400.0),
+        {
+            # the only nested-loop in the plan is the 1-row x 1-row
+            # cross that assembles the unattributed remainder
+            "touch-to-conversion join is a hash equi-join":
+                r"BroadcastHashJoin|SortMergeJoin",
+            "rank/count windows are partitioned by the conversion":
+                r"windowspecdefinition\(__u",
+            "channel reduce partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # Markov attribution: the distributed piece is the path-windowed
+    # transition-count pass (chain solves are driver-side on the
+    # bounded matrix) — rebuild it inline to pin the plan
+    mk_path = attr_in.select(
+        "u", F.col("ts").cast("timestamp").cast("double")
+        .alias("__ts"),
+        F.when(F.col("conv"), F.lit("__CONV__"))
+        .otherwise(F.col("ch")).alias("__s"))
+    from pyspark.sql import Window as _W2
+    mk_w = _W2.partitionBy("u").orderBy(F.col("__ts").asc(),
+                                        F.col("__s").asc())
+    mk_edges = mk_path.select(
+        F.coalesce(F.lag("__s").over(mk_w), F.lit("__START__"))
+        .alias("__from"), F.col("__s").alias("__to"))
+    mk_counts = mk_edges.groupBy("__from", "__to").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    sections.append((
+        "Markov attribution transition pass (bounded count table)",
+        mk_counts,
+        {
+            "path windows are partitioned by user (no global sort)":
+                r"windowspecdefinition\(u",
+            "transition counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python in the data pass":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -76,7 +76,11 @@ _PLAN_TIME_JOBS = {
     # round-11: IRLS fit / max_points guard / corr collect run
     # bounded jobs at plan build
     "ipw_att_orders", "ses_forecast_events", "partial_corr_lineitem",
-    "ols_orders", "cox_ph_events",
+    "ols_orders", "cox_ph_events", "concordance_index_events",
+    "poisson_reg_orders", "propensity_match_orders",
+    "fellegi_sunter_orders", "procrustes_embeddings",
+    "binary_segmentation_events", "platt_scaling_orders",
+    "markov_attribution_events",
 }
 
 

@@ -670,3 +670,116 @@ def pca_project(
     expr = F.expr("array(" + ", ".join(scores) + ")")
     ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     return df.withColumn(out_col, F.when(ok, expr))
+
+
+def procrustes_align(
+    df: DataFrame,
+    vec_a_col: str,
+    vec_b_col: str,
+) -> Dict:
+    """Orthogonal Procrustes alignment between two embedding columns
+    over the SAME rows (e.g. the same ids embedded by two model
+    versions): the rotation R minimizing ``Σ ||R a_i − b_i||²``
+    (Schönemann 1966 — ``R = U Vᵀ`` from the SVD of the
+    cross-covariance ``M = Σ b_i a_iᵀ``), with the residual and a
+    Procrustes disparity for drift-style monitoring of embedding
+    spaces across versions.  Returns ``{"rotation" (d×d, row-major
+    lists), "n", "residual", "disparity", "norm_a", "norm_b"}``.
+
+    One distributed pass: the d×d cross matrix and both squared norms
+    accumulate per partition inside ``mapInArrow`` (the
+    :func:`pca_fit` Gram discipline — executors ship d² doubles per
+    partition, never vectors); the d×d SVD runs driver-side.  Rows
+    where either vector is null or off-dimension drop.  Apply with
+    :func:`procrustes_project`.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    first = df.filter(F.col(vec_a_col).isNotNull()
+                      & F.col(vec_b_col).isNotNull())         .select(vec_a_col, vec_b_col).first()
+    if first is None:
+        raise ValueError("procrustes_align: no complete vector pairs")
+    dim = len(first[0])
+    if len(first[1]) != dim:
+        raise ValueError(
+            f"dimension mismatch: {dim} vs {len(first[1])}")
+    base = df.filter(
+        F.col(vec_a_col).isNotNull() & F.col(vec_b_col).isNotNull()
+        & (F.size(vec_a_col) == dim)
+        & (F.size(vec_b_col) == dim)).select(
+        F.col(vec_a_col).cast("array<double>").alias("a"),
+        F.col(vec_b_col).cast("array<double>").alias("b"))
+    out_schema = T.StructType([
+        T.StructField("m", T.ArrayType(T.DoubleType())),
+        T.StructField("na", T.DoubleType()),
+        T.StructField("nb", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def cross(batches):
+        acc = np.zeros((dim, dim))
+        na = nb = 0.0
+        n = 0
+        for batch in batches:
+            A = np.array(batch.column(0).to_pylist(), dtype=np.float64)
+            B = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+            if A.size:
+                acc += B.T @ A
+                na += float((A * A).sum())
+                nb += float((B * B).sum())
+                n += A.shape[0]
+        if n:
+            yield pa.RecordBatch.from_pydict(
+                {"m": [acc.reshape(-1).tolist()], "na": [na],
+                 "nb": [nb], "n": [n]})
+
+    partials = base.mapInArrow(cross, out_schema).collect()
+    if not partials:
+        raise ValueError("procrustes_align: no complete vector pairs")
+    m = np.zeros((dim, dim))
+    na = nb = 0.0
+    n = 0
+    for r in partials:
+        m += np.array(r["m"]).reshape(dim, dim)
+        na += r["na"]
+        nb += r["nb"]
+        n += r["n"]
+    uu, sv, vt = np.linalg.svd(m)
+    rot = uu @ vt
+    # residual = ||B - A Rᵀ||² = ||A||² + ||B||² − 2 tr(R M ... )
+    # with M = Bᵀ A: Σ bᵢᵀ R aᵢ = tr(R Mᵀ) = Σ singular values when
+    # R = U Vᵀ of M
+    residual = max(na + nb - 2.0 * float(sv.sum()), 0.0)
+    disparity = residual / nb if nb > 0 else float("nan")
+    return {
+        "rotation": [[float(x) for x in row] for row in rot],
+        "n": int(n),
+        "residual": float(residual),
+        "disparity": float(disparity),
+        "norm_a": float(na),
+        "norm_b": float(nb),
+    }
+
+
+def procrustes_project(
+    df: DataFrame,
+    model: Dict,
+    vec_col: str,
+    out_col: str = "aligned",
+) -> DataFrame:
+    """Apply a :func:`procrustes_align` rotation to ``vec_col``:
+    adds ``out_col`` = R·x as one literal-matrix codegen projection
+    (the :func:`pca_project` shape — zero shuffle, no Python)."""
+    rot = model["rotation"]
+    dim = len(rot)
+    rows = []
+    for i in range(dim):
+        expr = None
+        for j in range(dim):
+            term = F.lit(float(rot[i][j])) *                 F.get(F.col(vec_col), j).cast("double")
+            expr = term if expr is None else expr + term
+        rows.append(expr)
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    return df.withColumn(
+        out_col, F.when(ok, F.array(*rows)))

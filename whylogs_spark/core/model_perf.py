@@ -663,3 +663,42 @@ def gains_table(
         cum_pos.cast("long").alias("cum_pos"),
         cap.alias("capture_rate"),
         (cap / (cum_n / F.col("__nt"))).alias("cum_lift"))
+
+
+def platt_scaling(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_iter: int = 25,
+):
+    """Platt scaling (Platt 1999): calibrate a raw classifier score
+    into a probability by fitting ``P(y=1|s) = sigmoid(a·s + b)`` —
+    the parametric sibling of :func:`isotonic_calibration` (use
+    isotonic when the reliability curve is non-sigmoid; Platt when
+    data per bin is scarce).  Returns ``{"a", "b", "n",
+    "iterations", "converged"}``.
+
+    The fit IS a one-feature distributed IRLS logistic regression
+    (``ops.causal.fit_logistic`` — one gradient/Hessian aggregate
+    per Newton step); apply with :func:`platt_score_col` (a pure
+    map-side sigmoid, zero shuffle).
+    """
+    from whylogs_spark.ops.causal import fit_logistic
+
+    m = fit_logistic(
+        df.select(F.col(score_col).cast("double").alias("__ps"),
+                  F.col(label_col).cast("double").alias("__py")),
+        "__py", ["__ps"], max_iter=max_iter)
+    return {"a": m["coef"]["__ps"], "b": m["intercept"],
+            "n": m["n"], "iterations": m["iterations"],
+            "converged": m["converged"]}
+
+
+def platt_score_col(model, score_col: str):
+    """Calibrated-probability expression for a :func:`platt_scaling`
+    model: ``sigmoid(a·s + b)``."""
+    eta = (F.lit(float(model["a"]))
+           * F.col(score_col).cast("double")
+           + F.lit(float(model["b"])))
+    eta = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), eta))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["did_estimator", "fit_logistic", "logistic_score_col",
-           "ipw_att"]
+           "ipw_att", "propensity_match_att"]
 
 
 def did_estimator(
@@ -320,3 +320,98 @@ def ipw_att(
         "ess_ctrl",
         F.lit(bool(model["converged"])).alias("model_converged"),
         F.lit(int(model["iterations"])).alias("model_iterations"))
+
+
+def propensity_match_att(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    feature_cols: Sequence[str],
+    id_col: str,
+    caliper: float = 0.05,
+    max_iter: int = 25,
+    max_controls_per_bucket: int = 200,
+) -> DataFrame:
+    """ATT by nearest-neighbor propensity matching WITH replacement
+    inside a caliper: each treated row matches the control with the
+    closest propensity score within ``caliper``; unmatched treated
+    rows drop (and are reported).  ONE row: ``(n_treat, n_matched,
+    match_rate, att, mean_treat_matched, mean_ctrl_matched,
+    model_converged)``.
+
+    Distributed matching: scores bucket at caliper granularity
+    (``floor(e / caliper)``); each treated row meets only the
+    controls of its own and the two adjacent buckets (any control
+    within the caliper lives there by construction), so candidate
+    generation is a bucket equi-join, never a cross join.  A hot
+    bucket (scores pile up around a mode) is capped to the
+    ``max_controls_per_bucket`` deterministically-md5-ranked controls
+    — with replacement and scores within one caliper of each other,
+    any retained neighbor is an acceptable match, so the cap bounds
+    skew at a documented, reproducible approximation.
+
+    Ties in |score distance| break by smallest control id (total
+    order → run-to-run identical).  The propensity model is
+    :func:`fit_logistic` (bounded IRLS).
+    """
+    if not 0.0 < caliper < 1.0:
+        raise ValueError(f"caliper must be in (0, 1): {caliper}")
+    model = fit_logistic(df, treat_col, feature_cols,
+                         max_iter=max_iter)
+    t = F.col(treat_col).cast("double")
+    yv = F.col(outcome_col).cast("double")
+    ok = t.isNotNull() & ~F.isnan(t) & yv.isNotNull() & ~F.isnan(yv)
+    for c in feature_cols:
+        xc = F.col(c).cast("double")
+        ok = ok & xc.isNotNull() & ~F.isnan(xc)
+    e = logistic_score_col(model, feature_cols)
+    scored = df.filter(ok).select(
+        t.alias("__t"), yv.alias("__y"),
+        F.col(id_col).cast("string").alias("__id"),
+        e.alias("__e"),
+        F.floor(e / F.lit(float(caliper))).cast("long")
+        .alias("__b"))
+    treated = scored.filter(F.col("__t") == 1.0).select(
+        F.col("__id").alias("__tid"), F.col("__y").alias("__ty"),
+        F.col("__e").alias("__te"), F.col("__b").alias("__tb"))
+    ctrl = scored.filter(F.col("__t") == 0.0)
+    # deterministic per-bucket cap (md5 rank) bounds hot buckets
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("__b").orderBy(
+            F.md5(F.col("__id")), F.col("__id")))
+    ctrl = (ctrl.select("__id", "__y", "__e", "__b", rk.alias("__rk"))
+            .filter(F.col("__rk") <= max_controls_per_bucket))
+    # each control also serves the two adjacent buckets
+    ctrl3 = ctrl.select(
+        F.explode(F.array(F.col("__b") - 1, F.col("__b"),
+                          F.col("__b") + 1)).alias("__tb"),
+        F.col("__id").alias("__cid"), F.col("__y").alias("__cy"),
+        F.col("__e").alias("__ce"))
+    cand = (treated.join(ctrl3, "__tb")
+            .filter(F.abs(F.col("__te") - F.col("__ce"))
+                    <= F.lit(float(caliper))))
+    best = cand.groupBy("__tid").agg(
+        F.min(F.struct(
+            F.abs(F.col("__te") - F.col("__ce")).alias("d"),
+            F.col("__cid").alias("cid"),
+            F.col("__cy").alias("cy"),
+            F.col("__ty").alias("ty"))).alias("__m"))
+    matched = best.select(
+        F.col("__m.ty").alias("__ty"), F.col("__m.cy").alias("__cy"))
+    stats = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.avg("__ty").alias("mean_treat_matched"),
+        F.avg("__cy").alias("mean_ctrl_matched"),
+        F.avg(F.col("__ty") - F.col("__cy")).alias("att"))
+    ntr = treated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_treat"))
+    rep = ntr.crossJoin(F.broadcast(stats))
+    return rep.select(
+        "n_treat", "n_matched",
+        F.try_divide(F.col("n_matched").cast("double"),
+                     F.col("n_treat").cast("double"))
+        .alias("match_rate"),
+        "att", "mean_treat_matched", "mean_ctrl_matched",
+        F.lit(bool(model["converged"])).alias("model_converged"))

@@ -1174,3 +1174,239 @@ def time_weighted_average(
         dur.alias("duration_s"),
         F.when(dur > 0, F.col("__area") / dur).alias("twa"),
         "simple_mean")
+
+
+def attribution_report(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion_col: str,
+    model: str = "last_touch",
+    lookback_sec: Optional[float] = None,
+) -> DataFrame:
+    """Multi-touch marketing attribution: distribute conversion
+    credit over the preceding touchpoint channels.  One row per
+    channel (plus an ``(unattributed)`` row for conversions with no
+    prior touch): ``(channel, credited_conversions, n_touches,
+    share)``.
+
+    ``conversion_col`` is a boolean column marking conversion rows;
+    every non-conversion row with a non-null ``channel_col`` is a
+    touchpoint.  Models:
+
+    * ``last_touch`` / ``first_touch`` — full credit to the last /
+      first touch before the conversion;
+    * ``linear`` — 1/k to each of the k touches;
+    * ``position`` — the U-shape: 40% first, 40% last, the middle
+      20% split evenly (k=1 → 1.0; k=2 → 0.5/0.5).
+
+    ``lookback_sec`` bounds how far back a touch can claim credit.
+    Deterministic: same-timestamp touches order by (ts, channel), so
+    first/last are total-order well-defined and the whole report is
+    replayable in ANSI SQL (the DuckDB gate oracle does).
+
+    Scale shape: ONE per-user equi-join of touches to conversions
+    (the only data-sized shuffle — both sides key by user), then
+    windows PARTITIONED BY the conversion (user, conversion-ts) for
+    rank/count, then a channel-bounded aggregation.  Per-user cost
+    is touches x conversions for that user — clickstream grain, the
+    :func:`sessionize` skew caveat applies (cap bot users upstream);
+    ``lookback_sec`` is also the scale lever, turning the per-user
+    quadratic into touches-per-window.
+    """
+    models = ("last_touch", "first_touch", "linear", "position")
+    if model not in models:
+        raise ValueError(f"model must be one of {models}: {model!r}")
+    u = F.col(user_col)
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    isc = F.col(conversion_col).cast("boolean")
+    ch = F.col(channel_col).cast("string")
+    conv = (df.filter(u.isNotNull() & ts.isNotNull()
+                      & isc.eqNullSafe(F.lit(True)))
+            .groupBy(u.alias("__u"), ts.alias("__cts"))
+            .agg(F.count(F.lit(1)).cast("double").alias("__m")))
+    touch = (df.filter(u.isNotNull() & ts.isNotNull()
+                       & ~isc.eqNullSafe(F.lit(True))
+                       & ch.isNotNull())
+             .select(u.alias("__u"), ts.alias("__tts"),
+                     ch.alias("__ch")))
+    cond = F.col("__tts") < F.col("__cts")
+    if lookback_sec is not None:
+        cond = cond & (F.col("__cts") - F.col("__tts")
+                       <= F.lit(float(lookback_sec)))
+    joined = touch.join(conv, on=["__u"]).filter(cond)
+    w = Window.partitionBy("__u", "__cts")
+    w_ord = w.orderBy(F.col("__tts").asc(), F.col("__ch").asc())
+    ranked = joined.select(
+        "__u", "__cts", "__m", "__ch",
+        F.row_number().over(w_ord).alias("__r"),
+        F.count(F.lit(1)).over(w).alias("__k"))
+    k = F.col("__k").cast("double")
+    r = F.col("__r")
+    if model == "last_touch":
+        credit = F.when(r == F.col("__k"), F.lit(1.0)).otherwise(0.0)
+    elif model == "first_touch":
+        credit = F.when(r == 1, F.lit(1.0)).otherwise(0.0)
+    elif model == "linear":
+        credit = F.lit(1.0) / k
+    else:  # position (U-shape)
+        credit = (
+            F.when(k == 1, F.lit(1.0))
+            .when(k == 2, F.lit(0.5))
+            .otherwise(
+                F.when((r == 1) | (r == F.col("__k")), F.lit(0.4))
+                .otherwise(F.lit(0.2) / (k - 2.0))))
+    per_channel = ranked.groupBy("__ch").agg(
+        F.sum(credit * F.col("__m")).alias("credited_conversions"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"))
+    # conversions with no touch in window -> "(unattributed)"
+    attributed = ranked.filter(F.col("__r") == 1).groupBy().agg(
+        F.coalesce(F.sum("__m"), F.lit(0.0)).alias("__attr"))
+    total = conv.agg(
+        F.coalesce(F.sum("__m"), F.lit(0.0)).alias("__tot"))
+    un = (total.crossJoin(F.broadcast(attributed))
+          .select(F.lit("(unattributed)").alias("__ch"),
+                  (F.col("__tot") - F.col("__attr"))
+                  .alias("credited_conversions"),
+                  F.lit(0).cast("long").alias("n_touches")))
+    out = per_channel.unionByName(un)
+    share = F.try_divide(
+        F.col("credited_conversions"),
+        F.sum("credited_conversions").over(Window.partitionBy()))
+    return out.select(
+        F.col("__ch").alias("channel"),
+        "credited_conversions", "n_touches",
+        share.alias("share"))
+
+
+def markov_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion_col: str,
+    max_channels: int = 200,
+) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the
+    model-based alternative to the heuristic credit rules of
+    :func:`attribution_report` (Anderl et al. 2014): build the
+    first-order channel transition graph with absorbing CONV / NULL
+    states, and credit each channel by its REMOVAL EFFECT — how much
+    the total conversion probability drops when the channel is
+    deleted from the graph (its transitions redirected to NULL).
+    One row per channel: ``(channel, removal_effect,
+    attribution_share, credited_conversions)``.
+
+    Path construction: each user's events order by (ts, channel);
+    the path starts at START, walks the touch channels, and ends at
+    CONV (the user's first conversion event) or NULL (no conversion).
+    Touches after the first conversion are ignored (one journey per
+    user — the standard simplification).
+
+    Scale shape: ONE per-user window pass builds consecutive
+    transition pairs (the :func:`sessionize` partitioning), ONE
+    partial-agged groupBy collapses them to the (from, to) count
+    table — bounded by (channels + 3)², guarded by ``max_channels``
+    — and every absorbing-chain solve runs driver-side with numpy on
+    that bounded matrix (one (I - Q) solve per channel + 1 baseline).
+    The data is touched exactly once.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    u = F.col(user_col)
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    isc = F.col(conversion_col).cast("boolean")
+    ch = F.col(channel_col).cast("string")
+    base = (df.filter(u.isNotNull() & ts.isNotNull()
+                      & (isc.eqNullSafe(F.lit(True))
+                         | ch.isNotNull()))
+            .select(u.alias("__u"), ts.alias("__ts"),
+                    F.when(isc.eqNullSafe(F.lit(True)),
+                           F.lit("__CONV__")).otherwise(ch)
+                    .alias("__s")))
+    w = Window.partitionBy("__u").orderBy(
+        F.col("__ts").asc(), F.col("__s").asc())
+    # keep everything up to and including the FIRST conversion
+    marked = base.select(
+        "__u", "__ts", "__s",
+        F.sum((F.col("__s") == "__CONV__").cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__prior_conv"))
+    path = marked.filter(F.coalesce(F.col("__prior_conv"),
+                                    F.lit(0)) == 0)
+    w2 = Window.partitionBy("__u").orderBy(
+        F.col("__ts").asc(), F.col("__s").asc())
+    steps = path.select(
+        "__u", "__s",
+        F.lag("__s").over(w2).alias("__prev"),
+        F.lead("__s").over(w2).alias("__next"))
+    frm = F.coalesce(F.col("__prev"), F.lit("__START__"))
+    # terminal touch (no successor, not a conversion) -> NULL edge
+    edges = steps.select(
+        frm.alias("__from"), F.col("__s").alias("__to")
+    ).unionByName(
+        steps.filter(F.col("__next").isNull()
+                     & (F.col("__s") != "__CONV__"))
+        .select(F.col("__s").alias("__from"),
+                F.lit("__NULL__").alias("__to")))
+    counts = edges.groupBy("__from", "__to").agg(
+        F.count(F.lit(1)).cast("double").alias("__n")).collect()
+
+    states = sorted({r["__from"] for r in counts}
+                    | {r["__to"] for r in counts})
+    channels = [s for s in states
+                if s not in ("__START__", "__CONV__", "__NULL__")]
+    if len(channels) > max_channels:
+        raise ValueError(
+            f"{len(channels)} channels > max_channels="
+            f"{max_channels}: the transition matrix must stay "
+            "bounded — collapse channels first")
+    if "__START__" not in states:
+        raise ValueError("markov_attribution: no paths found")
+    trans = {}
+    outsum = {}
+    for r in counts:
+        trans[(r["__from"], r["__to"])] = r["__n"]
+        outsum[r["__from"]] = outsum.get(r["__from"], 0.0) + r["__n"]
+
+    def conv_prob(removed=None):
+        live = ["__START__"] + [c for c in channels if c != removed]
+        idx = {s: i for i, s in enumerate(live)}
+        k = len(live)
+        q = np.zeros((k, k))
+        r_vec = np.zeros(k)
+        for s in live:
+            tot = outsum.get(s, 0.0)
+            if tot <= 0:
+                continue
+            for (a, b), n in trans.items():
+                if a != s:
+                    continue
+                p = n / tot
+                if b == "__CONV__":
+                    r_vec[idx[s]] += p
+                elif b in idx:   # removed channel edges fall to NULL
+                    q[idx[s], idx[b]] += p
+        x = np.linalg.solve(np.eye(k) - q, r_vec)
+        return float(x[idx["__START__"]])
+
+    base_p = conv_prob(None)
+    removal = {c: max(base_p - conv_prob(c), 0.0) for c in channels}
+    tot_re = sum(removal.values())
+    n_conv = sum(n for (a, b), n in trans.items() if b == "__CONV__")
+    rows = []
+    for c in sorted(channels):
+        share = removal[c] / tot_re if tot_re > 0 else None
+        rows.append((c, float(removal[c]),
+                     float(share) if share is not None else None,
+                     float(share * n_conv) if share is not None
+                     else None))
+    schema = T.StructType([
+        T.StructField("channel", T.StringType()),
+        T.StructField("removal_effect", T.DoubleType()),
+        T.StructField("attribution_share", T.DoubleType()),
+        T.StructField("credited_conversions", T.DoubleType()),
+    ])
+    return df.sparkSession.createDataFrame(rows, schema)

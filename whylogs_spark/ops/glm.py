@@ -26,7 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["fit_ols", "ols_report", "ols_score_col"]
+__all__ = ["fit_ols", "ols_report", "ols_score_col",
+           "fit_poisson", "poisson_score_col"]
 
 
 def _moment_row(df: DataFrame, label_col: str,
@@ -147,3 +148,111 @@ def ols_score_col(model: Dict,
         eta = eta + F.lit(float(model["coef"][c])) * \
             F.col(c).cast("double")
     return eta
+
+
+def fit_poisson(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    max_iter: int = 25,
+    tol: float = 1e-8,
+    ridge: float = 1e-8,
+) -> Dict:
+    """Distributed Newton/IRLS fit of a Poisson regression with log
+    link (counts-per-unit modeling: events per user, orders per
+    day).  Returns ``{"intercept", "coef": {col: b}, "se": {term:
+    se}, "n", "iterations", "converged", "log_likelihood"}``
+    (log-likelihood up to the constant ``-sum log y!``).
+
+    Same engine discipline as ``causal.fit_logistic``: each Newton
+    iteration is ONE map-side-combined aggregate of the gradient
+    ``X'(y - mu)`` and Hessian ``X'WX`` with ``mu = W = e^{xb}`` —
+    p(p+3)/2 + p + 2 JVM expressions — and a tiny driver solve.
+    ``eta`` is clamped to ±30 so the exponent never overflows.
+    Rows with null/NaN label or features drop; negative labels
+    raise (Poisson counts are nonnegative).
+    """
+    import numpy as np
+
+    feats = list(feature_cols)
+    if not feats:
+        raise ValueError("fit_poisson needs >= 1 feature column")
+    p1 = len(feats) + 1
+    y = F.col(label_col).cast("double")
+    ok = y.isNotNull() & ~F.isnan(y)
+    xs = [F.lit(1.0)]
+    for c in feats:
+        xc = F.col(c).cast("double")
+        ok = ok & xc.isNotNull() & ~F.isnan(xc)
+        xs.append(xc)
+    base = df.filter(ok).select(
+        y.alias("__y"),
+        *[x.alias(f"__z{j}") for j, x in enumerate(xs)])
+    neg = base.filter(F.col("__y") < 0).limit(1).count()
+    if neg:
+        raise ValueError("fit_poisson: negative label values")
+    xcols = [F.col(f"__z{j}") for j in range(p1)]
+
+    beta = np.zeros(p1)
+    n = None
+    converged = False
+    ll = float("nan")
+    it = 0
+    for it in range(1, max_iter + 1):
+        eta = None
+        for j in range(p1):
+            term = F.lit(float(beta[j])) * xcols[j]
+            eta = term if eta is None else eta + term
+        eta = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), eta))
+        mu = F.exp(eta)
+        resid = F.col("__y") - mu
+        aggs = [F.count(F.lit(1)).cast("double").alias("__n"),
+                F.sum(F.col("__y") * eta - mu).alias("__ll")]
+        for j in range(p1):
+            aggs.append(F.sum(resid * xcols[j]).alias(f"__g{j}"))
+        for j in range(p1):
+            for k in range(j, p1):
+                aggs.append(F.sum(mu * xcols[j] * xcols[k])
+                            .alias(f"__h{j}_{k}"))
+        row = base.agg(*aggs).collect()[0]
+        n = int(row["__n"])
+        if n == 0:
+            raise ValueError("fit_poisson: no usable rows")
+        ll = float(row["__ll"])
+        grad = np.array([row[f"__g{j}"] for j in range(p1)])
+        hess = np.zeros((p1, p1))
+        for j in range(p1):
+            for k in range(j, p1):
+                hess[j, k] = hess[k, j] = row[f"__h{j}_{k}"]
+        hess += ridge * np.eye(p1)
+        step = np.linalg.solve(hess, grad)
+        beta = beta + step
+        if float(np.abs(step).max()) < tol:
+            converged = True
+            break
+    se = {}
+    try:
+        cov = np.linalg.inv(hess)
+        ses = np.sqrt(np.maximum(np.diag(cov), 0.0))
+        se = {"intercept": float(ses[0]),
+              **{c: float(ses[j + 1]) for j, c in enumerate(feats)}}
+    except np.linalg.LinAlgError:
+        pass
+    return {
+        "intercept": float(beta[0]),
+        "coef": {c: float(beta[j + 1]) for j, c in enumerate(feats)},
+        "se": se, "n": n, "iterations": it, "converged": converged,
+        "log_likelihood": ll,
+    }
+
+
+def poisson_score_col(model: Dict,
+                      feature_cols: Optional[Sequence[str]] = None) -> Column:
+    """Map-side expected-count expression for a :func:`fit_poisson`
+    model: ``exp(b0 + sum b_i x_i)``."""
+    feats = list(feature_cols) if feature_cols else list(model["coef"])
+    eta = F.lit(float(model["intercept"]))
+    for c in feats:
+        eta = eta + F.lit(float(model["coef"][c])) *             F.col(c).cast("double")
+    eta = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), eta))
+    return F.exp(eta)

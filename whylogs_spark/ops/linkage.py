@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_fuzzy_join"]
+__all__ = ["blocked_fuzzy_join", "fellegi_sunter",
+           "fellegi_sunter_report"]
 
 
 def _norm(c: Column) -> Column:
@@ -152,3 +153,144 @@ def golden_record(
             F.max_by(v, F.when(v.isNotNull(), F.struct(ts, v)))
             .alias(c))
     return df.filter(ts.isNotNull()).groupBy(*keys).agg(*aggs)
+
+
+def _pattern_counts(pairs: DataFrame, cols):
+    """ONE partial-agged aggregation to the ≤ 2^k pattern table."""
+    gs = [F.coalesce(F.col(c).cast("int"), F.lit(0)).alias(f"__a{i}")
+          for i, c in enumerate(cols)]
+    return (pairs.select(*gs)
+            .groupBy(*[f"__a{i}" for i in range(len(cols))])
+            .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+            .collect())
+
+
+def fellegi_sunter(
+    pairs: DataFrame,
+    agreement_cols,
+    max_iter: int = 100,
+    tol: float = 1e-10,
+    prior: float = 0.1,
+    _patterns=None,
+):
+    """Fellegi-Sunter probabilistic record-linkage weights fit by EM
+    (Fellegi & Sunter 1969; Winkler 1988 EM formulation) over a
+    CANDIDATE-PAIR frame (e.g. the output of
+    :func:`blocked_fuzzy_join`) with boolean per-field agreement
+    columns.  Returns ``{"p_match", "m": {col: m_i}, "u": {col: u_i},
+    "n_pairs", "iterations", "converged", "log_likelihood"}`` where
+    ``m_i = P(field i agrees | true match)`` and ``u_i = P(agrees |
+    non-match)``.
+
+    The whole fit is ONE distributed aggregation: pairs collapse to
+    the 2^k agreement-pattern table (k = #fields, bounded ≤ 16), and
+    EM runs driver-side on those ≤ 2^k (pattern, count) rows under
+    the standard conditional-independence model — data volume never
+    touches the iteration loop.  Null agreement values count as
+    disagreement (the conservative reading).
+    """
+    import numpy as np
+
+    cols = list(agreement_cols)
+    if not cols:
+        raise ValueError("fellegi_sunter needs >= 1 agreement column")
+    if len(cols) > 16:
+        raise ValueError(
+            f"{len(cols)} agreement fields -> 2^{len(cols)} patterns; "
+            "cap is 16 (collapse or drop fields first)")
+    if not 0.0 < prior < 1.0:
+        raise ValueError(f"prior must be in (0, 1): {prior}")
+    pat = (_pattern_counts(pairs, cols) if _patterns is None
+           else _patterns)
+    if not pat:
+        raise ValueError("fellegi_sunter: no candidate pairs")
+    k = len(cols)
+    gamma = np.array([[r[f"__a{i}"] for i in range(k)] for r in pat],
+                     dtype=float)
+    cnt = np.array([r["__n"] for r in pat])
+    n_pairs = float(cnt.sum())
+
+    p = float(prior)
+    m = np.full(k, 0.9)
+    u = np.full(k, 0.1)
+    eps = 1e-12
+    ll_old = -np.inf
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        lm = (gamma * np.log(np.clip(m, eps, 1 - eps))
+              + (1 - gamma) * np.log(np.clip(1 - m, eps, 1 - eps))
+              ).sum(axis=1)
+        lu = (gamma * np.log(np.clip(u, eps, 1 - eps))
+              + (1 - gamma) * np.log(np.clip(1 - u, eps, 1 - eps))
+              ).sum(axis=1)
+        a = p * np.exp(lm)
+        b = (1 - p) * np.exp(lu)
+        resp = a / np.clip(a + b, eps, None)
+        ll = float((cnt * np.log(np.clip(a + b, eps, None))).sum())
+        w = cnt * resp
+        wn = cnt * (1 - resp)
+        p = float(w.sum() / n_pairs)
+        m = (w @ gamma) / np.clip(w.sum(), eps, None)
+        u = (wn @ gamma) / np.clip(wn.sum(), eps, None)
+        if abs(ll - ll_old) < tol * max(1.0, abs(ll)):
+            converged = True
+            break
+        ll_old = ll
+    return {
+        "p_match": p,
+        "m": {c: float(m[i]) for i, c in enumerate(cols)},
+        "u": {c: float(u[i]) for i, c in enumerate(cols)},
+        "n_pairs": int(n_pairs),
+        "iterations": it,
+        "converged": converged,
+        "log_likelihood": ll,
+    }
+
+
+def fellegi_sunter_report(
+    pairs: DataFrame,
+    agreement_cols,
+    max_iter: int = 100,
+) -> DataFrame:
+    """The :func:`fellegi_sunter` fit as a bounded Spark frame — one
+    row per observed agreement pattern: ``(pattern, n_pairs,
+    match_weight, posterior)`` where ``match_weight`` is the log2
+    likelihood ratio Σ_i w_i(γ_i) and ``posterior`` the EM match
+    probability of the pattern.  Patterns are '1'/'0' strings in
+    ``agreement_cols`` order."""
+    import math as _math
+
+    from pyspark.sql import types as T
+
+    cols = list(agreement_cols)
+    # the pattern table is collected ONCE and shared with the fit
+    pat = _pattern_counts(pairs, cols)
+    model = fellegi_sunter(pairs, cols, max_iter=max_iter,
+                           _patterns=pat)
+    eps = 1e-12
+    rows = []
+    p = model["p_match"]
+    for r in pat:
+        g = [int(r[f"__a{i}"]) for i in range(len(cols))]
+        lw = 0.0
+        lm = lu = 0.0
+        for i, c in enumerate(cols):
+            mi = min(max(model["m"][c], eps), 1 - eps)
+            ui = min(max(model["u"][c], eps), 1 - eps)
+            num = mi if g[i] else (1 - mi)
+            den = ui if g[i] else (1 - ui)
+            lw += _math.log2(num / den)
+            lm += _math.log(num)
+            lu += _math.log(den)
+        a = p * _math.exp(lm)
+        b = (1 - p) * _math.exp(lu)
+        rows.append(("".join(str(x) for x in g), int(r["__n"]),
+                     float(lw), float(a / max(a + b, eps))))
+    schema = T.StructType([
+        T.StructField("pattern", T.StringType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("match_weight", T.DoubleType()),
+        T.StructField("posterior", T.DoubleType()),
+    ])
+    return pairs.sparkSession.createDataFrame(rows, schema)

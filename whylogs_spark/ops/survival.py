@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from whylogs_spark.core.prefix import running_sums
 
 __all__ = ["km_survival", "logrank_test", "nelson_aalen", "rmst",
-           "cumulative_incidence", "cox_ph", "cox_report"]
+           "cumulative_incidence", "cox_ph", "cox_report",
+           "concordance_index"]
 
 
 def km_survival(
@@ -541,3 +542,83 @@ def cox_report(
         F.when((F.col("term") != "__model__") & (F.col("se") > 0),
                F.col("beta") / F.col("se")).alias("z"),
         "hazard_ratio")
+
+
+def concordance_index(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    score_col: str,
+    max_cells: int = 5000,
+) -> DataFrame:
+    """Harrell's concordance index for a risk score against
+    right-censored durations (higher score = higher risk = expected
+    earlier event).  ONE row: ``(n, n_events, comparable, concordant,
+    tied_score, c_index)``.
+
+    Pair convention (the standard lifelines one): pair (i, j) is
+    comparable when ``t_i < t_j`` and i had the event, or
+    ``t_i == t_j`` with i an event and j censored.  Concordant when
+    ``s_i > s_j``; equal scores credit 0.5.  ``c_index =
+    (concordant + 0.5 * tied_score) / comparable``.
+
+    Scale shape: the data collapses to one cell per DISTINCT
+    (duration, score) with event/censored counts — every pair
+    statistic is then a sum of cell-count products, so the pair join
+    runs over CELLS, never rows.  The cell pair join is inherently a
+    range theta-join (quadratic in cells), so the collapsed cell
+    count is guarded by ``max_cells`` (one cheap count): above it,
+    quantize the score (e.g. ``F.round(score, 3)``) or the duration
+    to a coarser grain first — for calibrated model scores and
+    rollup-grain durations the cell table is naturally tiny.
+    """
+    t = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("double")
+    sc = F.col(score_col).cast("double")
+    base = (df.filter(t.isNotNull() & ~F.isnan(t)
+                      & e.isNotNull() & ~F.isnan(e)
+                      & sc.isNotNull() & ~F.isnan(sc))
+            .select(t.alias("__t"), e.alias("__e"), sc.alias("__s")))
+    cells = base.groupBy("__t", "__s").agg(
+        F.sum("__e").alias("__d"),
+        F.sum(F.lit(1.0) - F.col("__e")).alias("__c"),
+        F.count(F.lit(1)).cast("double").alias("__m"))
+    n_cells = cells.count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"concordance_index: {n_cells} distinct (duration, "
+            f"score) cells > max_cells={max_cells}; the pair join "
+            "is quadratic in cells — quantize the score or duration "
+            "to a coarser grain first, or raise max_cells")
+    ev = cells.filter(F.col("__d") > 0).select(
+        F.col("__t").alias("__ti"), F.col("__s").alias("__si"),
+        F.col("__d").alias("__di")).localCheckpoint(eager=False)
+    other = cells.select(
+        F.col("__t").alias("__tj"), F.col("__s").alias("__sj"),
+        F.col("__m").alias("__mj"), F.col("__c").alias("__cj"))
+    # comparable weight from cell i (events only) to cell j:
+    # t_i < t_j  -> all m_j rows;  t_i == t_j -> censored c_j rows
+    pairs = ev.join(
+        F.broadcast(other), F.col("__ti") <= F.col("__tj"))
+    w = F.when(F.col("__ti") < F.col("__tj"), F.col("__mj"))         .otherwise(F.col("__cj"))
+    conc = F.when(F.col("__si") > F.col("__sj"), w).otherwise(0.0)
+    tie = F.when(F.col("__si") == F.col("__sj"), w).otherwise(0.0)
+    agg = pairs.agg(
+        F.sum(F.col("__di") * w).alias("__comp"),
+        F.sum(F.col("__di") * conc).alias("__conc"),
+        F.sum(F.col("__di") * tie).alias("__tie"))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.sum("__e").cast("long").alias("n_events"))
+    rep = tot.crossJoin(F.broadcast(agg))
+    comp = F.coalesce(F.col("__comp"), F.lit(0.0))
+    return rep.select(
+        "n", "n_events",
+        comp.cast("long").alias("comparable"),
+        F.coalesce(F.col("__conc"), F.lit(0.0)).cast("double")
+        .alias("concordant"),
+        F.coalesce(F.col("__tie"), F.lit(0.0)).cast("double")
+        .alias("tied_score"),
+        F.when(comp > 0,
+               (F.coalesce(F.col("__conc"), F.lit(0.0))
+                + 0.5 * F.coalesce(F.col("__tie"), F.lit(0.0)))
+               / comp).alias("c_index"))

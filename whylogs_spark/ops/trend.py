@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["mann_kendall", "with_trend_pvalues", "cusum_changepoint"]
+__all__ = ["mann_kendall", "with_trend_pvalues", "cusum_changepoint",
+           "binary_segmentation"]
 
 
 def mann_kendall(
@@ -306,3 +307,84 @@ def cusum_changepoint(
         mean_before.alias("mean_before"),
         mean_after.alias("mean_after"),
         (mean_after - mean_before).alias("shift"))
+
+
+def binary_segmentation(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_changepoints: int = 3,
+    alpha: float = 0.05,
+    min_segment: int = 5,
+) -> DataFrame:
+    """MULTIPLE mean-shift changepoints by binary segmentation
+    (Scott & Knott 1974 recursion over the CUSUM test): repeatedly
+    split the segment whose best internal changepoint is most
+    significant, until ``max_changepoints`` are found or no split
+    reaches ``alpha``.  Returns the found changepoints as a bounded
+    frame: ``(order_found, cp_time, p_value, cusum_stat,
+    mean_before, mean_after, shift, segment_n)``.
+
+    Scale shape: each recursion LEVEL is ONE grouped
+    :func:`cusum_changepoint` pass — all current segments are scanned
+    together (the segment id is a literal CASE over the boundary
+    times, pure map-side), so the driver loop runs at most
+    ``max_changepoints`` Spark passes regardless of how many
+    segments exist.  The per-level report is one row per segment
+    (bounded), collected to pick the winner.  ``min_segment``
+    suppresses splits that would leave a side shorter than it.
+    """
+    if max_changepoints < 1:
+        raise ValueError(
+            f"max_changepoints must be >= 1: {max_changepoints}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    from whylogs_spark.ops.features import _epoch_seconds
+
+    t = _epoch_seconds(df, time_col)
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        t.isNotNull() & v.isNotNull() & ~F.isnan(v)
+    ).select(t.alias("__t"), v.alias("__v"))
+
+    boundaries = []          # epoch-seconds cp times, sorted
+    found = []
+    for step in range(1, int(max_changepoints) + 1):
+        seg = F.lit(0)
+        for b in sorted(boundaries):
+            seg = seg + (F.col("__t") > F.lit(float(b))).cast("int")
+        level = base.withColumn("__seg", seg)
+        rep = cusum_changepoint(level, "__t", "__v", ["__seg"])             .collect()
+        best = None
+        for r in rep:
+            if r["p_value"] is None or r["cp_index"] is None:
+                continue
+            if r["p_value"] > alpha:
+                continue
+            if (r["cp_index"] < min_segment
+                    or r["n"] - r["cp_index"] < min_segment):
+                continue
+            key = (r["p_value"], -r["cusum_stat"], r["cp_time"])
+            if best is None or key < best[0]:
+                best = (key, r)
+        if best is None:
+            break
+        r = best[1]
+        boundaries.append(float(r["cp_time"]))
+        found.append((step, float(r["cp_time"]),
+                      float(r["p_value"]), float(r["cusum_stat"]),
+                      float(r["mean_before"]), float(r["mean_after"]),
+                      float(r["shift"]), int(r["n"])))
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("order_found", T.IntegerType()),
+        T.StructField("cp_time", T.DoubleType()),
+        T.StructField("p_value", T.DoubleType()),
+        T.StructField("cusum_stat", T.DoubleType()),
+        T.StructField("mean_before", T.DoubleType()),
+        T.StructField("mean_after", T.DoubleType()),
+        T.StructField("shift", T.DoubleType()),
+        T.StructField("segment_n", T.IntegerType()),
+    ])
+    return df.sparkSession.createDataFrame(found, schema)
