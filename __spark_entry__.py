@@ -4595,6 +4595,70 @@ def _q_markov_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("credited_conversions")).orderBy("channel")
 
 
+def _q_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 + macro/micro (ops/multiclass.py
+    multiclass_report): one (target, pred) cell pass, everything
+    derived from the bounded table; the oracle replays the identical
+    derivations."""
+    from whylogs_spark.ops.multiclass import multiclass_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("t"),
+        F.element_at(F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+                     (F.col("o_orderkey") % 3 + 1).cast("int"))
+        .alias("p"))
+    out = multiclass_report(o, "t", "p")
+    return out.select(
+        "class", "support", "tp", "fp", "fn",
+        F.round("precision", 8).alias("precision"),
+        F.round("recall", 8).alias("recall"),
+        F.round("f1", 8).alias("f1")).orderBy("class")
+
+
+def _q_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature scaling (ops/multiclass.py temperature_scaling):
+    golden-section on the one-agg NLL.  Rows-only gate (scalar
+    search); known-temperature recovery + numpy NLL agreement
+    tested in tests/test_r11_batch8.py."""
+    from whylogs_spark.ops.multiclass import temperature_scaling
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 3).cast("int").alias("y"),
+        ((F.col("o_orderkey") % 13).cast("double") / 3.0).alias("s0"),
+        ((F.col("o_custkey") % 7).cast("double") / 2.0).alias("s1"),
+        ((F.col("o_orderkey") % 5).cast("double") / 2.0).alias("s2"))
+    m = temperature_scaling(o, ["s0", "s1", "s2"], "y")
+    rep = spark.createDataFrame(
+        [(m["n"], m["temperature"], m["nll_before"], m["nll_after"])],
+        "n long, temperature double, nll_before double, "
+        "nll_after double")
+    return rep.select(
+        "n", F.round("temperature", 4).alias("temperature"),
+        F.round("nll_before", 6).alias("nll_before"),
+        F.round("nll_after", 6).alias("nll_after"))
+
+
+def _q_two_model_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-model (T-learner) uplift (ops/uplift.py two_model_uplift):
+    one IRLS fit per arm, map-side double-sigmoid scoring.  Rows-only
+    gate (iterative fits); heterogeneous-effect recovery tested."""
+    from whylogs_spark.ops.uplift import (two_model_uplift,
+                                          uplift_score_col)
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 2).cast("double").alias("tr"),
+        (F.month("o_orderdate").cast("double") / 12.0).alias("x"),
+        (F.col("o_totalprice") > 150000.0).cast("double").alias("y"))
+    m = two_model_uplift(o, "tr", "y", ["x"])
+    scored = o.withColumn("u", uplift_score_col(m, ["x"]))
+    out = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("u"), 6).alias("mean_uplift"),
+        F.round(F.min("u"), 6).alias("min_uplift"),
+        F.round(F.max("u"), 6).alias("max_uplift"))
+    return out
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -4666,6 +4730,9 @@ _GATE_ORDER = [
     # check_oracle still runs them every round
     "platt_scaling_orders",
     "markov_attribution_events",
+    "multiclass_report_orders",
+    "temperature_scaling_orders",
+    "two_model_uplift_orders",
     # --- below the fold: previously driver-green rows, kept in prior
     # relative order; scripts/check_oracle.py still covers all of them.
     "fairness_report_orders",
@@ -4995,6 +5062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "platt_scaling_orders": _q_platt,
         "attribution_events": _q_attribution,
         "markov_attribution_events": _q_markov_attr,
+        "multiclass_report_orders": _q_multiclass,
+        "temperature_scaling_orders": _q_temperature,
+        "two_model_uplift_orders": _q_two_model_uplift,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -10008,5 +10078,50 @@ def oracle_sql() -> dict[str, str]:
             "credited_conversions, nt AS n_touches, round(cc / "
             "(SELECT sum(cc) FROM allr), 8) AS share FROM allr "
             "ORDER BY channel"
+        ),
+        "multiclass_report_orders": (
+            "WITH b AS (SELECT coalesce(o_orderstatus, 'None') AS "
+            "t, (list_value('F', 'O', 'P'))[(o_orderkey % 3 + 1)"
+            "::INT] AS p FROM orders), "
+            "cells AS (SELECT t, p, count(*)::DOUBLE AS n FROM b "
+            "GROUP BY 1, 2), "
+            "byt AS (SELECT t AS cls, sum(n) AS sup FROM cells "
+            "GROUP BY 1), "
+            "byp AS (SELECT p AS cls, sum(n) AS pred FROM cells "
+            "GROUP BY 1), "
+            "diag AS (SELECT t AS cls, n AS tp FROM cells WHERE "
+            "t = p), "
+            "per AS (SELECT coalesce(byt.cls, byp.cls) AS cls, "
+            "coalesce(sup, 0.0) AS sup, coalesce(pred, 0.0) AS "
+            "pred, coalesce(tp, 0.0) AS tp FROM byt FULL JOIN byp "
+            "ON byt.cls = byp.cls LEFT JOIN diag ON "
+            "coalesce(byt.cls, byp.cls) = diag.cls), "
+            "rep AS (SELECT cls, sup::BIGINT AS support, "
+            "tp::BIGINT AS tp, (pred - tp)::BIGINT AS fp, "
+            "(sup - tp)::BIGINT AS fn, tp / nullif(pred, 0.0) AS "
+            "prec, tp / nullif(sup, 0.0) AS rec, "
+            "coalesce(2.0 * (tp / nullif(pred, 0.0)) * (tp / "
+            "nullif(sup, 0.0)) / nullif(tp / nullif(pred, 0.0) + "
+            "tp / nullif(sup, 0.0), 0.0), 0.0) AS f1 FROM per), "
+            "mac AS (SELECT '__macro__' AS cls, sum(support)"
+            "::BIGINT AS support, sum(tp)::BIGINT AS tp, sum(fp)"
+            "::BIGINT AS fp, sum(fn)::BIGINT AS fn, avg(prec) AS "
+            "prec, avg(rec) AS rec, avg(f1) AS f1 FROM rep WHERE "
+            "support > 0), "
+            "mic0 AS (SELECT sum(support)::BIGINT AS support, "
+            "sum(tp)::DOUBLE AS tpd, sum(fp)::DOUBLE AS fpd, "
+            "sum(fn)::DOUBLE AS fnd FROM rep), "
+            "mic AS (SELECT '__micro__' AS cls, support, "
+            "tpd::BIGINT AS tp, fpd::BIGINT AS fp, fnd::BIGINT AS "
+            "fn, tpd / nullif(tpd + fpd, 0.0) AS prec, tpd / "
+            "nullif(tpd + fnd, 0.0) AS rec, 2.0 * (tpd / "
+            "nullif(tpd + fpd, 0.0)) * (tpd / nullif(tpd + fnd, "
+            "0.0)) / nullif(tpd / nullif(tpd + fpd, 0.0) + tpd / "
+            "nullif(tpd + fnd, 0.0), 0.0) AS f1 FROM mic0), "
+            "allr AS (SELECT * FROM rep UNION ALL SELECT * FROM "
+            "mac UNION ALL SELECT * FROM mic) "
+            "SELECT cls AS class, support, tp, fp, fn, "
+            "round(prec, 8) AS precision, round(rec, 8) AS recall, "
+            "round(f1, 8) AS f1 FROM allr ORDER BY class"
         ),
     }

@@ -1138,6 +1138,37 @@ def main() -> None:
         _noop(partial_correlation(li, "l_quantity",
                                   "l_extendedprice", ["l_discount"]))
 
+    def bench_multiclass_uplift():
+        # round-11 batch 8: multiclass report + temperature scaling
+        # + two-model uplift
+        from whylogs_spark.ops.multiclass import (multiclass_report,
+                                                  temperature_scaling)
+        from whylogs_spark.ops.uplift import (two_model_uplift,
+                                              uplift_score_col)
+        o = t["orders"]
+        _noop(multiclass_report(
+            o.select(F.col("o_orderstatus").alias("tt"),
+                     F.element_at(
+                         F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+                         (F.col("o_orderkey") % 3 + 1).cast("int"))
+                     .alias("pp")), "tt", "pp"))
+        temperature_scaling(
+            o.select((F.col("o_custkey") % 3).cast("int").alias("y"),
+                     ((F.col("o_orderkey") % 13).cast("double") / 3.0)
+                     .alias("s0"),
+                     ((F.col("o_custkey") % 7).cast("double") / 2.0)
+                     .alias("s1"),
+                     ((F.col("o_orderkey") % 5).cast("double") / 2.0)
+                     .alias("s2")),
+            ["s0", "s1", "s2"], "y")
+        up_in = o.select(
+            (F.col("o_custkey") % 2).cast("double").alias("tr"),
+            (F.month("o_orderdate").cast("double") / 12.0).alias("x"),
+            (F.col("o_totalprice") > 150000.0).cast("double")
+            .alias("y"))
+        m = two_model_uplift(up_in, "tr", "y", ["x"])
+        _noop(up_in.withColumn("u", uplift_score_col(m, ["x"])))
+
     def bench_attribution():
         # round-11: U-shape multi-touch attribution over clickstream
         from whylogs_spark.ops.events import attribution_report
@@ -1604,6 +1635,7 @@ def main() -> None:
         "cindex_psm_poisson": bench_cindex_psm_poisson,
         "linkage_procrustes_binseg": bench_linkage_procrustes_binseg,
         "attribution_events": bench_attribution,
+        "multiclass_uplift": bench_multiclass_uplift,
         "features_splits": bench_features_splits,
         "graph_embed_r10": bench_graph_embed_r10,
         "isotonic_rake": bench_isotonic_rake,

@@ -3618,6 +3618,24 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    from whylogs_spark.ops.multiclass import multiclass_report
+
+    mc_in = ords11.select(
+        F.col("o_orderstatus").alias("tt"),
+        F.element_at(F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+                     (F.col("o_orderkey") % 3 + 1).cast("int"))
+        .alias("pp"))
+    sections.append((
+        "multiclass report (one cell pass, bounded derivations)",
+        multiclass_report(mc_in, "tt", "pp"),
+        {
+            "cell counts partial-agg before their exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -80,7 +80,8 @@ _PLAN_TIME_JOBS = {
     "poisson_reg_orders", "propensity_match_orders",
     "fellegi_sunter_orders", "procrustes_embeddings",
     "binary_segmentation_events", "platt_scaling_orders",
-    "markov_attribution_events",
+    "markov_attribution_events", "temperature_scaling_orders",
+    "two_model_uplift_orders",
 }
 
 
