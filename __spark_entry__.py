@@ -4659,6 +4659,45 @@ def _q_two_model_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact categorical Jensen-Shannon divergence (core/drift.py
+    js_divergence): two bounded share tables full-outer joined, one
+    reduce; the oracle replays the same 0·ln0-free sum."""
+    from whylogs_spark.core.drift import js_divergence
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = js_divergence(li.filter(F.col("l_returnflag") == "N"),
+                        li.filter(F.col("l_returnflag") == "A"),
+                        "l_linenumber")
+    return out.select(
+        "col_name", "algorithm",
+        F.round("statistic", 10).alias("statistic"),
+        F.round("js_distance", 10).alias("js_distance"),
+        "n_target", "n_reference")
+
+
+def _q_zca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening (core/embeddings.py zca_whitening_fit /
+    zca_project): one Gram pass + driver eigh, literal-matrix
+    projection.  Rows-only gate (eigendecomposition); the projection
+    summary carries its own witness — the whitened norms' mean must
+    sit near sqrt(dim).  Identity-covariance property tested in
+    tests/test_r11_batch9.py."""
+    from whylogs_spark.core.embeddings import (zca_project,
+                                               zca_whitening_fit)
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())
+    m = zca_whitening_fit(emb, eps=1e-6)
+    out = zca_project(emb, m)
+    norm = F.sqrt(F.aggregate(
+        "whitened", F.lit(0.0), lambda a, x: a + x * x))
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(norm), 4).alias("mean_whitened_norm"),
+        F.round(F.stddev(norm), 4).alias("std_whitened_norm"))
+
+
 # The driver's correctness gate samples only the FIRST 50 queries()
 # entries.  Rounds 3-7 kept the same legacy 50 there, so none of the
 # round-6/7 operator families (stats, behavioral, survival, linkage,
@@ -4733,6 +4772,8 @@ _GATE_ORDER = [
     "multiclass_report_orders",
     "temperature_scaling_orders",
     "two_model_uplift_orders",
+    "js_divergence_lineitem",
+    "zca_whitening_embeddings",
     # --- below the fold: previously driver-green rows, kept in prior
     # relative order; scripts/check_oracle.py still covers all of them.
     "fairness_report_orders",
@@ -5065,6 +5106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiclass_report_orders": _q_multiclass,
         "temperature_scaling_orders": _q_temperature,
         "two_model_uplift_orders": _q_two_model_uplift,
+        "js_divergence_lineitem": _q_js_divergence,
+        "zca_whitening_embeddings": _q_zca,
     }
     missing = [k for k in _GATE_ORDER if k not in all_q]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
@@ -10123,5 +10166,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cls AS class, support, tp, fp, fn, "
             "round(prec, 8) AS precision, round(rec, 8) AS recall, "
             "round(f1, 8) AS f1 FROM allr ORDER BY class"
+        ),
+        "js_divergence_lineitem": (
+            "WITH pt AS (SELECT l_linenumber::VARCHAR AS k, "
+            "count(*)::DOUBLE AS ct FROM lineitem WHERE "
+            "l_returnflag = 'N' GROUP BY 1), "
+            "pr AS (SELECT l_linenumber::VARCHAR AS k, "
+            "count(*)::DOUBLE AS cr FROM lineitem WHERE "
+            "l_returnflag = 'A' GROUP BY 1), "
+            "nt AS (SELECT sum(ct) AS n FROM pt), "
+            "nr AS (SELECT sum(cr) AS n FROM pr), "
+            "cells AS (SELECT coalesce(pt.ct, 0.0) AS ct, "
+            "coalesce(pr.cr, 0.0) AS cr FROM pt FULL JOIN pr ON "
+            "pt.k IS NOT DISTINCT FROM pr.k), "
+            "rep AS (SELECT sum(CASE WHEN ct / nt.n > 0 THEN 0.5 * "
+            "(ct / nt.n) * ln((ct / nt.n) / ((ct / nt.n + cr / "
+            "nr.n) / 2.0)) ELSE 0.0 END + CASE WHEN cr / nr.n > 0 "
+            "THEN 0.5 * (cr / nr.n) * ln((cr / nr.n) / ((ct / nt.n "
+            "+ cr / nr.n) / 2.0)) ELSE 0.0 END) AS js, "
+            "max(nt.n) AS n_t, max(nr.n) AS n_r "
+            "FROM cells, nt, nr) "
+            "SELECT 'l_linenumber' AS col_name, 'js' AS algorithm, "
+            "round(greatest(js, 0.0), 10) AS statistic, "
+            "round(sqrt(greatest(js, 0.0)), 10) AS js_distance, "
+            "n_t::BIGINT AS n_target, n_r::BIGINT AS n_reference "
+            "FROM rep"
         ),
     }

@@ -1138,6 +1138,19 @@ def main() -> None:
         _noop(partial_correlation(li, "l_quantity",
                                   "l_extendedprice", ["l_discount"]))
 
+    def bench_js_zca():
+        # round-11 batch 9: JS divergence + ZCA whitening
+        from whylogs_spark.core.drift import js_divergence
+        from whylogs_spark.core.embeddings import (zca_project,
+                                                   zca_whitening_fit)
+        li = t["lineitem"]
+        _noop(js_divergence(li.filter(F.col("l_returnflag") == "N"),
+                            li.filter(F.col("l_returnflag") == "A"),
+                            "l_linenumber"))
+        emb = t["embeddings"].filter(F.col("embedding").isNotNull())
+        m = zca_whitening_fit(emb, eps=1e-6)
+        _noop(zca_project(emb, m))
+
     def bench_multiclass_uplift():
         # round-11 batch 8: multiclass report + temperature scaling
         # + two-model uplift
@@ -1636,6 +1649,7 @@ def main() -> None:
         "linkage_procrustes_binseg": bench_linkage_procrustes_binseg,
         "attribution_events": bench_attribution,
         "multiclass_uplift": bench_multiclass_uplift,
+        "js_zca": bench_js_zca,
         "features_splits": bench_features_splits,
         "graph_embed_r10": bench_graph_embed_r10,
         "isotonic_rake": bench_isotonic_rake,

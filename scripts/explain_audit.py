@@ -3636,6 +3636,38 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    from whylogs_spark.core.drift import js_divergence
+
+    sections.append((
+        "JS divergence (two bounded share tables, one reduce)",
+        js_divergence(li.filter(F.col("l_returnflag") == "N"),
+                      li.filter(F.col("l_returnflag") == "A"),
+                      "l_linenumber"),
+        {
+            "share tables partial-agg before their exchanges":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "totals broadcast onto the bounded cell table":
+                r"BroadcastExchange",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.core.embeddings import zca_project
+
+    fake_w = {"whitener": [[1.0, 0.0], [0.0, 1.0]],
+              "mean": [0.0, 0.0], "n": 0, "eps": 1e-6}
+    sections.append((
+        "ZCA projection (affine HOF, flat literal matrix)",
+        zca_project(emb2, fake_w, "v2"),
+        {
+            "no exchange (projection never shuffles)":
+                r"^(?![\s\S]*Exchange)",
+            "no Python (zip_with/aggregate are JVM HOFs)":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

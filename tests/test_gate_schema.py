@@ -81,7 +81,7 @@ _PLAN_TIME_JOBS = {
     "fellegi_sunter_orders", "procrustes_embeddings",
     "binary_segmentation_events", "platt_scaling_orders",
     "markov_attribution_events", "temperature_scaling_orders",
-    "two_model_uplift_orders",
+    "two_model_uplift_orders", "zca_whitening_embeddings",
 }
 
 

@@ -1202,3 +1202,53 @@ def effect_sizes(
         .alias("cliffs_delta"),
         F.when(okb, F.try_divide(F.col("__wins"), ntd * nrd))
         .alias("cles"))
+
+
+def js_divergence(
+    target: DataFrame,
+    reference: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Exact Jensen-Shannon divergence between the CATEGORICAL
+    distributions of ``col`` in two frames, as one row: ``(col_name,
+    algorithm='js', statistic, js_distance, n_target,
+    n_reference)``.  ``JS = 0.5·KL(p‖m) + 0.5·KL(q‖m)`` with
+    ``m = (p+q)/2`` (natural log; bounded by ln 2); ``js_distance``
+    is its square root (a metric).  No smoothing needed: a category
+    absent on one side contributes ``p·ln 2`` exactly (the
+    0·ln 0 = 0 convention), unlike PSI's epsilon floor.
+
+    Scale shape: one partial-agged groupBy(col) per side (bounded by
+    category cardinality), a full-outer join of the two bounded share
+    tables, a 1-row reduce.  Null categories form their own group.
+    """
+    pt = target.groupBy(F.col(col).cast("string").alias("__k")).agg(
+        F.count(F.lit(1)).cast("double").alias("__ct"))
+    pr = reference.groupBy(
+        F.col(col).cast("string").alias("__k")).agg(
+        F.count(F.lit(1)).cast("double").alias("__cr"))
+    nt = pt.agg(F.sum("__ct").alias("__nt"))
+    nr = pr.agg(F.sum("__cr").alias("__nr"))
+    cells = (pt.join(pr, pt["__k"].eqNullSafe(pr["__k"]), "outer")
+             .select(
+                 F.coalesce(pt["__ct"], F.lit(0.0)).alias("__ct"),
+                 F.coalesce(pr["__cr"], F.lit(0.0)).alias("__cr"))
+             .crossJoin(F.broadcast(nt))
+             .crossJoin(F.broadcast(nr)))
+    p = F.col("__ct") / F.col("__nt")
+    q = F.col("__cr") / F.col("__nr")
+    m = (p + q) / 2.0
+    term = (F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(0.0)
+            + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(0.0))
+    rep = cells.agg(
+        F.sum(term).alias("__js"),
+        F.max("__nt").alias("__n_t"),
+        F.max("__nr").alias("__n_r"))
+    js = F.greatest(F.col("__js"), F.lit(0.0))
+    return rep.select(
+        F.lit(col).alias("col_name"),
+        F.lit("js").alias("algorithm"),
+        js.alias("statistic"),
+        F.sqrt(js).alias("js_distance"),
+        F.col("__n_t").cast("long").alias("n_target"),
+        F.col("__n_r").cast("long").alias("n_reference"))

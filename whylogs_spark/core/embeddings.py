@@ -773,13 +773,88 @@ def procrustes_project(
     (the :func:`pca_project` shape — zero shuffle, no Python)."""
     rot = model["rotation"]
     dim = len(rot)
-    rows = []
-    for i in range(dim):
-        expr = None
-        for j in range(dim):
-            term = F.lit(float(rot[i][j])) *                 F.get(F.col(vec_col), j).cast("double")
-            expr = term if expr is None else expr + term
-        rows.append(expr)
+    # literal-array + higher-order form (see zca_project): O(1) plan
+    # nodes per output coordinate instead of d nested multiplies
+    # one nested-array LITERAL (see zca_project: janino chokes on
+    # d² array-constructor nodes)
+    rlit = F.lit([[float(v) for v in row] for row in rot])
+    xv = F.col(vec_col).cast("array<double>")
+    proj = F.transform(
+        rlit,
+        lambda row: F.aggregate(
+            F.zip_with(row, xv, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v))
     ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-    return df.withColumn(
-        out_col, F.when(ok, F.array(*rows)))
+    return df.withColumn(out_col, F.when(ok, proj))
+
+
+def zca_whitening_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    eps: float = 1e-5,
+) -> Dict:
+    """ZCA (Mahalanobis) whitening of a vector column: the transform
+    ``W = U diag(1/sqrt(lambda + eps)) U'`` of the covariance
+    eigendecomposition — whitened vectors have ~identity covariance
+    while staying maximally close to the originals (the property
+    that distinguishes ZCA from plain PCA whitening).  Returns
+    ``{"mean", "whitener" (d x d row-major), "n", "eps"}``.
+
+    Same engine discipline as :func:`pca_fit`: ONE distributed pass
+    (mapInArrow Gram accumulate + mean aggregate), driver-side eigh
+    on the d x d covariance.  Apply with :func:`zca_project` — a
+    literal-matrix codegen projection, zero shuffle.
+    """
+    dim_row = df.filter(F.col(vec_col).isNotNull()) \
+        .select(vec_col).first()
+    if dim_row is None:
+        raise ValueError("zca_whitening_fit: input has no vectors")
+    dim = len(dim_row[0])
+    base = df.filter(F.col(vec_col).isNotNull()
+                     & (F.size(vec_col) == dim))
+    r = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.get(vec_col, i).cast("double")).alias(f"s{i}")
+          for i in range(dim)]).first()
+    n = r["n"]
+    if n < 2:
+        raise ValueError(f"need >= 2 vectors, got {n}")
+    mu = np.array([r[f"s{i}"] / n for i in range(dim)])
+    g = _gram_matrix(base, vec_col, dim)
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 0.0) + eps)) \
+        @ vecs.T
+    return {"mean": [float(x) for x in mu],
+            "whitener": [[float(x) for x in row] for row in w],
+            "n": int(n), "eps": float(eps)}
+
+
+def zca_project(
+    df: DataFrame,
+    model: Dict,
+    vec_col: str = "embedding",
+    out_col: str = "whitened",
+) -> DataFrame:
+    """Apply a :func:`zca_whitening_fit` model: ``W (x - mu)`` as one
+    literal-matrix codegen projection (the :func:`pca_project`
+    shape — zero shuffle, no Python).  Null / wrong-dimension
+    vectors get null."""
+    w = model["whitener"]
+    mu = model["mean"]
+    dim = len(w)
+    # affine form W(x - mu) = Wx - (W mu): the matrix enters the
+    # plan as ONE array literal and the product is a flat
+    # zip_with/aggregate chain per output coordinate — janino
+    # codegen chokes on d² nested multiply expressions at d=64+
+    off = (np.array(w) @ np.array(mu)).tolist()
+    wlit = F.lit([[float(v) for v in row] for row in w])
+    blit = F.lit([float(v) for v in off])
+    xv = F.col(vec_col).cast("array<double>")
+    proj = F.zip_with(
+        wlit, blit,
+        lambda row, b: F.aggregate(
+            F.zip_with(row, xv, lambda a, x: a * x),
+            F.lit(0.0), lambda acc, v: acc + v) - b)
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    return df.withColumn(out_col, F.when(ok, proj))
