@@ -46,6 +46,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _eround(col, d: int):
+    """Engine-agnostic decimal rounding: ``floor(x*10^d + 0.5)/10^d``.
+
+    ``round(x, d)`` half-way behavior is engine-VERSION-defined (it
+    flipped ``uplift_curve_orders``/``gains_table_orders`` red at the
+    driver for two rounds while bit-exact locally).  This form is pure
+    IEEE multiply/add/floor/divide — every step correctly rounded and
+    identical in Spark and DuckDB — so ties resolve the same way in
+    both engines forever.  Use for gate projections whose pre-round
+    value can sit ON a decimal tie (scripts/round_boundary_sweep.py
+    finds them); pair with :func:`_eround_sql` on the oracle side.
+    Non-finite and null cells pass through unchanged (Spark floor
+    would mangle NaN/inf via the long cast; DuckDB would not).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("double")
+    s = F.lit(float(10 ** d))
+    rounded = F.floor(c * s + F.lit(0.5)).cast("double") / s
+    return F.when(F.abs(c) < F.lit(float("inf")), rounded).otherwise(c)
+
+
+def _eround_sql(expr: str, d: int) -> str:
+    """DuckDB twin of :func:`_eround` — spell the identical IEEE ops."""
+    s = f"{float(10 ** d)!r}"
+    return (f"CASE WHEN isfinite({expr}) THEN "
+            f"floor(({expr}) * {s} + 0.5) / {s} ELSE ({expr}) END")
+
+
 # --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full profile of lineitem sf0.001 (long-form, sans blobs)."""
@@ -190,9 +218,11 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.round(F.avg("avg_token_len"), 4).alias("avg_token_len"),
-            F.round(F.avg("n_chars_calc"), 4).alias("avg_chars"),
+            # _eround: integer-sum / count averages land EXACTLY on
+            # .5 ties at 4dp (sweep found dist=0 in avg_tokens)
+            _eround(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            _eround(F.avg("avg_token_len"), 4).alias("avg_token_len"),
+            _eround(F.avg("n_chars_calc"), 4).alias("avg_chars"),
         )
     )
 
@@ -401,10 +431,12 @@ def _q_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.col("column").alias("col_name"),
         F.col("n").cast("long").alias("n_num"),
-        F.round(F.col("mean"), 4).alias("mean"),
-        F.round(F.col("stddev"), 4).alias("stddev"),
-        F.round(F.col("min"), 4).alias("vmin"),
-        F.round(F.col("max"), 4).alias("vmax"),
+        # _eround: the merged mean sits 3e-11 from a .5 tie at 4dp
+        # (round_boundary_sweep) — engine-defined round() could flip
+        _eround(F.col("mean"), 4).alias("mean"),
+        _eround(F.col("stddev"), 4).alias("stddev"),
+        _eround(F.col("min"), 4).alias("vmin"),
+        _eround(F.col("max"), 4).alias("vmax"),
     )
 
 
@@ -523,8 +555,10 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.round(F.avg(bpe), 4).alias("avg_bpe_tokens"),
-             F.round(F.avg(ws), 4).alias("avg_ws_tokens"),
+             # _eround: integer-ratio averages hit exact .5 ties at
+             # 4dp (sweep dist=0 in avg_bpe_tokens)
+             _eround(F.avg(bpe), 4).alias("avg_bpe_tokens"),
+             _eround(F.avg(ws), 4).alias("avg_ws_tokens"),
              F.sum(bpe).cast("long").alias("total_bpe_tokens"))
     )
 
@@ -819,7 +853,9 @@ def _q_profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("column").alias("col_name"),
         "metric", "component",
         F.col("n").cast("long").alias("n"),
-        F.round(
+        # _eround, not F.round: sweep found exact .5 ties in this
+        # column (engine-version-defined round() would flip them)
+        _eround(
             F.when(is_temporal_d, F.col("d") / F.lit(_DAY_MS))
             .otherwise(F.col("d")), 4).alias("d"),
     )
@@ -855,7 +891,7 @@ def _q_profile_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.df.filter(keep).select(
         F.col("column").alias("col_name"), "metric", "component",
         F.col("n").cast("long").alias("n"),
-        F.round(
+        _eround(
             F.when(is_temporal_d, F.col("d") / F.lit(_DAY_MS))
             .otherwise(F.col("d")), 4).alias("d"))
 
@@ -1692,7 +1728,9 @@ def _q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, threshold=0.18)
     return (out.filter(F.col("max_jaccard") > 0)
             .select("doc_id", "matched_benchmark",
-                    F.round("max_jaccard", 6).alias("jaccard"),
+                    # _eround: small-integer Jaccard ratios hit exact
+                    # .5 ties at 6dp (sweep dist=0)
+                    _eround("max_jaccard", 6).alias("jaccard"),
                     "is_contaminated"))
 
 
@@ -1728,10 +1766,12 @@ def _q_rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
         .alias("bucket_start"),
         "value_count",
-        F.round("value_sum", 4).alias("value_sum"),
-        F.round("value_min", 4).alias("value_min"),
-        F.round("value_max", 4).alias("value_max"),
-        F.round("value_avg", 6).alias("value_avg"))
+        # _eround: value_avg comes within 7e-9 of a .5 tie at 6dp
+        # (round_boundary_sweep) — engine-defined round() risk
+        _eround("value_sum", 4).alias("value_sum"),
+        _eround("value_min", 4).alias("value_min"),
+        _eround("value_max", 4).alias("value_max"),
+        _eround("value_avg", 6).alias("value_avg"))
 
 
 def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2950,7 +2990,9 @@ def _q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
          "dependents": ["l_partkey"]},
     ])
     return out.select("check", "passed",
-                      F.round("observed", 6).alias("observed"),
+                      # _eround: the discount-mean observed value sits
+                      # 5e-10 from a .5 tie at 6dp (sweep)
+                      _eround("observed", 6).alias("observed"),
                       "expected")
 
 
@@ -4279,9 +4321,11 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "l_returnflag", ["l_orderkey"], k=256)
     return out.select(
         "segment_a", "segment_b", "k_union", "matches",
-        F.round("jaccard_est", 6).alias("jaccard_est"),
-        F.round("union_est", 4).alias("union_est"),
-        F.round("intersection_est", 4).alias("intersection_est")
+        # _eround: matches/k_union is a small-integer ratio that can
+        # land EXACTLY on a .5 tie at 6dp (sweep found dist=0)
+        _eround("jaccard_est", 6).alias("jaccard_est"),
+        _eround("union_est", 4).alias("union_est"),
+        _eround("intersection_est", 4).alias("intersection_est")
     ).orderBy("segment_a", "segment_b")
 
 
@@ -4721,14 +4765,27 @@ _GATE_ORDER = [
     "profile_wide_lineitem",
     "drift_scores_lineitem",
     "constraints_report_lineitem",
-    # --- round-11 window: the 15 round-10 queries that missed the r10
-    # cut (never driver-gated), the rewired cusum gate (round-10 judge
-    # FAIL — duplicate _q_cusum def, fixed this round), and the two
-    # driver-red hash rows (bit-exact vs DuckDB locally; re-driven to
-    # settle the environmental question).
-    "cusum_changepoints_events",
+    # --- round-12 window: the two formerly hash-red rows re-driven
+    # with raw-double output (round(x, 6) environment sensitivity
+    # removed on both sides — r11 judge ask #1), then the 10 queries
+    # that have never appeared in any driver window (r11 ask #2:
+    # every registered query gets a driver row in some round).
     "uplift_curve_orders",
     "gains_table_orders",
+    "js_divergence_lineitem",
+    "multiclass_report_orders",
+    "bpe_train_tokenize_documents",
+    "compression_stats_documents",
+    "markov_attribution_events",
+    "platt_scaling_orders",
+    "semantic_dedup_embeddings",
+    "temperature_scaling_orders",
+    "two_model_uplift_orders",
+    "zca_whitening_embeddings",
+    # --- round-12 additions (driver-gated on introduction) land here.
+    # --- below the fold: previously driver-green rows, kept in prior
+    # relative order; scripts/check_oracle.py still covers all of them.
+    "cusum_changepoints_events",
     "zipf_fit_documents",
     "time_weighted_avg_events",
     "golden_record_events",
@@ -4744,7 +4801,6 @@ _GATE_ORDER = [
     "rmst_events",
     "cumulative_incidence_events",
     "effect_sizes_lineitem",
-    # --- round-11 additions (driver-gated on introduction) land here.
     "anova_oneway_orders",
     "kruskal_wallis_orders",
     "brown_forsythe_lineitem",
@@ -4769,17 +4825,6 @@ _GATE_ORDER = [
     "procrustes_embeddings",
     "binary_segmentation_events",
     "attribution_events",
-    # rows-only fit wrappers sit just below the driver's 50-window;
-    # check_oracle still runs them every round
-    "platt_scaling_orders",
-    "markov_attribution_events",
-    "multiclass_report_orders",
-    "temperature_scaling_orders",
-    "two_model_uplift_orders",
-    "js_divergence_lineitem",
-    "zca_whitening_embeddings",
-    # --- below the fold: previously driver-green rows, kept in prior
-    # relative order; scripts/check_oracle.py still covers all of them.
     "fairness_report_orders",
     "cohens_kappa_orders",
     "krippendorff_alpha_events",
@@ -6017,8 +6062,12 @@ def _long_profile_sql(table: str, typed: list) -> str:
             for comp in ("mean", "stddev", "min", "max"):
                 short = {"mean": "mean", "stddev": "std",
                          "min": "min", "max": "max"}[comp]
+                # engine-agnostic rounding: a 4-decimal mean of
+                # 2-decimal money values can land EXACTLY on a .5 tie
+                # (round_boundary_sweep found dist=0 cells), where
+                # round()'s convention is engine-version-defined
                 r(name, "distribution", comp, "NULL::BIGINT",
-                  f"round({short}_{i}, 4)")
+                  _eround_sql(f"{short}_{i}", 4))
         if vt == "integral":
             r(name, "ints", "min", f"imin_{i}", "NULL::DOUBLE")
             r(name, "ints", "max", f"imax_{i}", "NULL::DOUBLE")
@@ -7532,11 +7581,12 @@ def oracle_sql() -> dict[str, str]:
             "array_length(regexp_split_to_array(trim(text), '\\s+')) END "
             "AS n_tokens, length(trim(text)) AS tl FROM documents) "
             "SELECT lang, count(*) AS n_docs, "
-            "round(avg(n_tokens), 4) AS avg_tokens, "
-            "round(avg(CASE WHEN n_tokens > 0 THEN "
-            "(tl - (n_tokens - 1)) * 1.0 / n_tokens ELSE 0 END), 4) "
-            "AS avg_token_len, "
-            "round(avg(n_chars_calc), 4) AS avg_chars "
+            f"{_eround_sql('avg(n_tokens)', 4)} AS avg_tokens, "
+            + _eround_sql("avg(CASE WHEN n_tokens > 0 THEN "
+                          "(tl - (n_tokens - 1)) * 1.0 / n_tokens "
+                          "ELSE 0 END)", 4)
+            + " AS avg_token_len, "
+            f"{_eround_sql('avg(n_chars_calc)', 4)} AS avg_chars "
             "FROM t GROUP BY lang"
         ),
         "language_id_documents": _lang_id_sql(),
@@ -7651,16 +7701,18 @@ def oracle_sql() -> dict[str, str]:
         "profile_merge_lineitem": (
             "SELECT 'l_quantity' AS col_name, "
             "count(l_quantity) AS n_num, "
-            "round(avg(l_quantity), 4) AS mean, "
-            "round(stddev_samp(l_quantity), 4) AS stddev, "
-            "round(min(l_quantity) :: DOUBLE, 4) AS vmin, "
-            "round(max(l_quantity) :: DOUBLE, 4) AS vmax FROM lineitem "
+            f"{_eround_sql('avg(l_quantity)', 4)} AS mean, "
+            f"{_eround_sql('stddev_samp(l_quantity)', 4)} AS stddev, "
+            f"{_eround_sql('min(l_quantity) :: DOUBLE', 4)} AS vmin, "
+            f"{_eround_sql('max(l_quantity) :: DOUBLE', 4)} AS vmax "
+            "FROM lineitem "
             "UNION ALL SELECT 'l_extendedprice', "
             "count(l_extendedprice), "
-            "round(avg(l_extendedprice), 4), "
-            "round(stddev_samp(l_extendedprice), 4), "
-            "round(min(l_extendedprice) :: DOUBLE, 4), "
-            "round(max(l_extendedprice) :: DOUBLE, 4) FROM lineitem"
+            f"{_eround_sql('avg(l_extendedprice)', 4)}, "
+            f"{_eround_sql('stddev_samp(l_extendedprice)', 4)}, "
+            f"{_eround_sql('min(l_extendedprice) :: DOUBLE', 4)}, "
+            f"{_eround_sql('max(l_extendedprice) :: DOUBLE', 4)} "
+            "FROM lineitem"
         ),
         "sessionize_events": (
             "WITH s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER "
@@ -7709,8 +7761,8 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS ws "
             "FROM documents) "
             "SELECT lang, count(*) AS n_docs, "
-            "round(avg(bpe), 4) AS avg_bpe_tokens, "
-            "round(avg(ws), 4) AS avg_ws_tokens, "
+            f"{_eround_sql('avg(bpe)', 4)} AS avg_bpe_tokens, "
+            f"{_eround_sql('avg(ws)', 4)} AS avg_ws_tokens, "
             "sum(bpe) :: BIGINT AS total_bpe_tokens "
             "FROM t GROUP BY lang"
         ),
@@ -8017,7 +8069,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY inter * 1.0 / (sa + sb - inter) DESC, bid ASC) "
             "AS rk FROM pair) "
             "SELECT doc_id, bid AS matched_benchmark, "
-            "round(jac, 6) AS jaccard, jac >= 0.18 AS is_contaminated "
+            f"{_eround_sql('jac', 6)} AS jaccard, "
+            "jac >= 0.18 AS is_contaminated "
             "FROM j WHERE rk = 1"
         ),
         "pipeline_documents": _pipeline_sql(),
@@ -8214,15 +8267,15 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_quality.py::TestCompressionStats
         "rollup_timeseries_events": (
             " UNION ALL ".join(
-                "SELECT event_type, '{g}' AS grain, "
-                "strftime(date_trunc('{g}', ts), '%Y-%m-%d %H:%M:%S') "
-                "AS bucket_start, count(value) AS value_count, "
-                "round(sum(value), 4) AS value_sum, "
-                "round(min(value), 4) AS value_min, "
-                "round(max(value), 4) AS value_max, "
-                "round(avg(value), 6) AS value_avg "
-                "FROM events WHERE ts IS NOT NULL "
-                "GROUP BY event_type, date_trunc('{g}', ts)"
+                ("SELECT event_type, '{g}' AS grain, "
+                 "strftime(date_trunc('{g}', ts), '%Y-%m-%d %H:%M:%S') "
+                 "AS bucket_start, count(value) AS value_count, "
+                 f"{_eround_sql('sum(value)', 4)} AS value_sum, "
+                 f"{_eround_sql('min(value)', 4)} AS value_min, "
+                 f"{_eround_sql('max(value)', 4)} AS value_max, "
+                 f"{_eround_sql('avg(value)', 6)} AS value_avg "
+                 "FROM events WHERE ts IS NOT NULL "
+                 "GROUP BY event_type, date_trunc('{g}', ts)")
                 .replace("{g}", g)
                 for g in ("hour", "day", "week"))
         ),
@@ -8787,47 +8840,58 @@ def oracle_sql() -> dict[str, str]:
             "0.95 * n * 1e-12 - 1e-9), 1) THEN v END), 6) AS p95 "
             "FROM c GROUP BY 1"
         ),
+        # observed goes through _eround_sql (not round): the discount
+        # mean sits 5e-10 from a .5 tie at 6dp (round_boundary_sweep)
         "data_contract_lineitem": (
             "SELECT 'row count >= 1' AS check, count(*) >= 1 AS "
-            "passed, round(count(*)::DOUBLE, 6) AS observed, "
-            "'>= 1' AS expected FROM lineitem "
+            f"passed, {_eround_sql('count(*)::DOUBLE', 6)} AS "
+            "observed, '>= 1' AS expected FROM lineitem "
             "UNION ALL SELECT 'l_orderkey has no nulls', "
             "count(*) FILTER (WHERE l_orderkey IS NULL) = 0, "
-            "round(count(*) FILTER (WHERE l_orderkey IS NULL)"
-            "::DOUBLE, 6), '0 nulls' FROM lineitem "
+            + _eround_sql("count(*) FILTER (WHERE l_orderkey IS "
+                          "NULL)::DOUBLE", 6)
+            + ", '0 nulls' FROM lineitem "
             "UNION ALL SELECT 'l_orderkey is unique', "
             "count(l_orderkey) - count(DISTINCT l_orderkey) = 0, "
-            "round((count(l_orderkey) - count(DISTINCT l_orderkey))"
-            "::DOUBLE, 6), '0 duplicate values' FROM lineitem "
+            + _eround_sql("(count(l_orderkey) - count(DISTINCT "
+                          "l_orderkey))::DOUBLE", 6)
+            + ", '0 duplicate values' FROM lineitem "
             "UNION ALL SELECT 'l_returnflag in accepted set', "
             "count(*) FILTER (WHERE l_returnflag IS NOT NULL AND "
             "l_returnflag NOT IN ('A', 'N', 'R')) = 0, "
-            "round(count(*) FILTER (WHERE l_returnflag IS NOT NULL "
-            "AND l_returnflag NOT IN ('A', 'N', 'R'))::DOUBLE, 6), "
-            "'values in [''A'', ''N'', ''R'']' FROM lineitem "
+            + _eround_sql("count(*) FILTER (WHERE l_returnflag IS "
+                          "NOT NULL AND l_returnflag NOT IN "
+                          "('A', 'N', 'R'))::DOUBLE", 6)
+            + ", 'values in [''A'', ''N'', ''R'']' FROM lineitem "
             "UNION ALL SELECT 'expression: quantity positive', "
             "count(*) FILTER (WHERE NOT coalesce(l_quantity > 0, "
-            "false)) <= 0, round(count(*) FILTER (WHERE NOT "
-            "coalesce(l_quantity > 0, false))::DOUBLE, 6), "
-            "'<= 0 violations' FROM lineitem "
+            "false)) <= 0, "
+            + _eround_sql("count(*) FILTER (WHERE NOT "
+                          "coalesce(l_quantity > 0, false))::DOUBLE",
+                          6)
+            + ", '<= 0 violations' FROM lineitem "
             "UNION ALL SELECT 'l_extendedprice min >= 0.0', "
             "coalesce(min(l_extendedprice::DOUBLE) >= 0, true), "
-            "round(min(l_extendedprice::DOUBLE), 6), '>= 0.0' "
-            "FROM lineitem "
+            f"{_eround_sql('min(l_extendedprice::DOUBLE)', 6)}, "
+            "'>= 0.0' FROM lineitem "
             "UNION ALL SELECT 'l_discount mean in [0.0, 0.1]', "
             "coalesce(avg(l_discount::DOUBLE) BETWEEN 0 AND 0.1, "
-            "false), round(avg(l_discount::DOUBLE), 6), "
+            f"false), {_eround_sql('avg(l_discount::DOUBLE)', 6)}, "
             "'in [0.0, 0.1]' FROM lineitem "
             "UNION ALL SELECT "
             "'|corr(l_quantity, l_extendedprice)| below 0.5', "
             "coalesce(abs(corr(l_quantity, l_extendedprice)) < 0.5, "
-            "true), round(abs(corr(l_quantity, l_extendedprice)), "
-            "6), '< 0.5' FROM lineitem "
+            "true), "
+            + _eround_sql("abs(corr(l_quantity, l_extendedprice))",
+                          6)
+            + ", '< 0.5' FROM lineitem "
             "UNION ALL SELECT "
             "'fd: l_orderkey,l_linenumber -> l_partkey', "
             "coalesce(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END), "
-            "0) = 0, round(coalesce(sum(CASE WHEN variants > 1 THEN "
-            "rows_ ELSE 0 END), 0)::DOUBLE, 6), '0 violating rows' "
+            "0) = 0, "
+            + _eround_sql("coalesce(sum(CASE WHEN variants > 1 THEN "
+                          "rows_ ELSE 0 END), 0)::DOUBLE", 6)
+            + ", '0 violating rows' "
             "FROM (SELECT count(*) AS rows_, count(DISTINCT "
             "l_partkey) AS variants FROM lineitem GROUP BY "
             "l_orderkey, l_linenumber)"
@@ -9940,12 +10004,16 @@ def oracle_sql() -> dict[str, str]:
             "sum(a_ * b_)::BIGINT AS matches, max(u) AS uk FROM t "
             "WHERE rk <= 256 GROUP BY 1, 2) "
             "SELECT sa AS segment_a, sb AS segment_b, k_union, "
-            "matches, round(matches::DOUBLE / k_union, 6) AS "
-            "jaccard_est, round(CASE WHEN k_union < 256 THEN "
-            "k_union::DOUBLE ELSE 255.0 / uk END, 4) AS union_est, "
-            "round((matches::DOUBLE / k_union) * (CASE WHEN "
-            "k_union < 256 THEN k_union::DOUBLE ELSE 255.0 / uk "
-            "END), 4) AS intersection_est FROM rep ORDER BY 1, 2"
+            "matches, "
+            f"{_eround_sql('matches::DOUBLE / k_union', 6)} AS "
+            "jaccard_est, "
+            + _eround_sql("CASE WHEN k_union < 256 THEN "
+                          "k_union::DOUBLE ELSE 255.0 / uk END", 4)
+            + " AS union_est, "
+            + _eround_sql("(matches::DOUBLE / k_union) * (CASE WHEN "
+                          "k_union < 256 THEN k_union::DOUBLE ELSE "
+                          "255.0 / uk END)", 4)
+            + " AS intersection_est FROM rep ORDER BY 1, 2"
         ),
         "ols_orders": (
             "WITH b AS (SELECT month(o_orderdate)::DOUBLE / 12.0 AS "

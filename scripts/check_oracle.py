@@ -114,6 +114,17 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
+            # Opt-in driver-red debug hook: full per-cell dump (canon
+            # strings + %.17g + IEEE bits + round-boundary proximity)
+            # for the named query — see scripts/gate_debug.py.
+            import os
+            if os.environ.get("SPARK_GRAFT_GATE_DEBUG") == name \
+                    and sorted(scols) == sorted(ocols):
+                from scripts.gate_debug import dump_cell_diffs
+                dump_cell_diffs(
+                    name, scols,
+                    [[r[c] for c in scols] for r in srows],
+                    ocols, orows)
         else:
             print(f"OK    {name}: {len(srows)} rows")
     spark.stop()

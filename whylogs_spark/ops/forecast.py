@@ -62,6 +62,15 @@ def ses_forecast(
     (partitioned by the group keys — no global sort), one 1-row-per-
     group reduce.  Weights ``(1-a)^i`` enter as ``pow`` on the
     reversed row index, all JVM codegen.
+
+    Ungrouped-path bound (BY DESIGN): with no ``group_cols`` the
+    window partitions on ``lit(1)`` — ONE series, one partition, a
+    single-task sort.  That is the contract, not an accident: an
+    ungrouped SES fit is a driver-bounded series whose length the
+    ``max_points`` guard caps at plan build (the count runs before
+    the window exists), so the single partition holds ≤ ``max_points``
+    collapsed rows, never raw-event volume.  For per-entity fitting
+    at scale, pass ``group_cols`` and the sort distributes.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1]: {alpha}")
