@@ -16,7 +16,8 @@ Quick start::
 
 from .core.configs import DEFAULT_CONFIG, MetricConfig
 from .core.datatypes import ValueType
-from .core.profiler import (ProfileView, merge_profiles, profile,
+from .core.profiler import (ProfileView, merge_profiles, merge_segments,
+                            profile,
                             profile_partitions)
 from .core.registry import (CustomComponent, register_metric,
                             unregister_metric)
@@ -125,6 +126,7 @@ __all__ = [
     "profile_partitions",
     "log",
     "merge_profiles",
+    "merge_segments",
     "ProfileView",
     "write",
     "read",

@@ -710,6 +710,25 @@ def merge_profiles(views: List["ProfileView"]) -> "ProfileView":
     return ProfileView(_merge_profile_df(allp, cfg), cfg)
 
 
+def merge_segments(view: "ProfileView") -> "ProfileView":
+    """Collapse a SEGMENTED view into one dataset-level profile via the
+    same ⊕ as :func:`merge_profiles` — the reference's
+    segment-to-dataset merge (python/whylogs/api/logger/segment_cache
+    merges segment views the same way: per-segment profiles are just
+    profiles under ⊕).
+
+    Scale shape: the input is the bounded profile TABLE (segments ×
+    columns × components rows, never data rows); one grouped merge,
+    one hash exchange.  Each segment acts as one merge source (``src``
+    keys the Chan mean/M2 alignment), so the result is bit-identical
+    to merging per-segment views written/read separately — the
+    property the segmented WHY1 round-trip test pins.
+    """
+    allp = (view.df.withColumn("src", F.xxhash64("segment"))
+            .withColumn("segment", F.lit("{}")))
+    return ProfileView(_merge_profile_df(allp, view.config), view.config)
+
+
 def _merge_profile_df(allp: DataFrame, cfg: MetricConfig) -> DataFrame:
     """Merge a profile table carrying a ``src`` column distinguishing the
     source profiles (so mean/M2 components can be aligned per source)."""

@@ -237,7 +237,31 @@ def write_why1(view, path: str, compat: str = "full") -> None:
     if segs - {"{}"}:
         raise ValueError(
             "write_why1 serializes one (unsegmented) profile per file; "
-            "write each segment's view separately")
+            "use write_why1_segmented for a segmented view")
+
+    from .fsio import write_bytes
+
+    write_bytes(path, _profile_file_bytes(pdf, view, compat),
+                spark=view.df.sparkSession)
+
+
+def _profile_file_bytes(pdf, view, compat: str,
+                        seg_tags=None, seg_meta=None) -> bytes:
+    """Serialize ONE profile (one segment's long-form pandas rows) to
+    reference-layout WHY1 bytes.
+
+    ``seg_tags`` (ordered (key, value) pairs, already
+    ``whylogs.tag.``-prefixed) switches the DatasetSegmentHeader to the
+    reference's segmented single-segment-per-file form
+    (segmented_dataset_profile_view.py:196-210: has_segments=True, one
+    Segment carrying the tags, offsets={0: len(first delimited
+    header)}) and mirrors the tags into DatasetProperties.tags the way
+    the reference reader surfaces them
+    (dataset_profile_view.py:385-388 combines tags into metadata).
+    ``seg_meta`` adds the reference's segp_* partition metadata
+    (migration/converters.py:60-64).
+    """
+    import pandas as pd
 
     # intern metric paths (sorted, like the reference)
     engine_native = {("distribution", "kll"), ("frequent_items", "mg")}
@@ -288,7 +312,17 @@ def write_why1(view, path: str, compat: str = "full") -> None:
         props += _varint_field(4, cms)
     if dms is not None:
         props += _varint_field(5, dms)
-    for k, v in sorted(getattr(view, "metadata", {}).items()):
+    if seg_tags:
+        # DatasetProperties.tags (field 6, map<string,string>): the
+        # channel through which the reference reader surfaces segment
+        # identity (dataset_profile_view.py:385-388)
+        for k, v in seg_tags:
+            props += _len_field(6, _str_field(1, str(k))
+                                + _str_field(2, str(v)))
+    merged_meta = dict(getattr(view, "metadata", {}) or {})
+    if seg_meta:
+        merged_meta.update(seg_meta)
+    for k, v in sorted(merged_meta.items()):
         props += _len_field(7, _str_field(1, str(k)) + _str_field(2, str(v)))
 
     # DatasetProfileHeader
@@ -301,16 +335,92 @@ def write_why1(view, path: str, compat: str = "full") -> None:
     for p, i in path_index.items():
         hdr += _len_field(5, _varint_field(1, i) + _str_field(2, p))
 
-    seg_header = b""  # has_segments=False -> all defaults
+    if seg_tags is None:
+        seg_header = b""  # has_segments=False -> all defaults
+    else:
+        # reference segmented layout (whylogs_messages.proto:117-126):
+        # has_segments=true (1), segments (4) = one Segment of
+        # SegmentTags, offsets (5) = {0: len of the first delimited
+        # header probe} — the value the reference's two-pass write
+        # lands on (segmented_dataset_profile_view.py:196-208); its
+        # reader never dereferences it
+        seg_msg = b"".join(
+            _len_field(1, _str_field(1, str(k)) + _str_field(2, str(v)))
+            for k, v in seg_tags)
+        probe = (_varint_field(1, 1)
+                 + _len_field(5, _varint_field(1, 0)
+                              + _varint_field(2, 0)))
+        off0 = len(_uvarint(len(probe)) + probe)
+        seg_header = (_varint_field(1, 1)
+                      + _len_field(4, seg_msg)
+                      + _len_field(5, _varint_field(1, 0)
+                                   + _varint_field(2, off0)))
+
+    return (MAGIC
+            + _uvarint(len(seg_header)) + seg_header
+            + _uvarint(len(hdr)) + bytes(hdr)
+            + bytes(body))
+
+
+# reference segment-tag constants (dataset_profile_view.py:40,
+# migration/converters.py:60-64)
+_TAG_PREFIX = "whylogs.tag."
+_PARTITION_ID = "segp_id"
+_PARTITION_NAME = "segp_name"
+_SEGMENT_ON_COLUMN = "segp_col"
+_SEGMENT_ON_COLUMNS = "segp_cols"
+
+
+def write_why1_segmented(view, dir_path: str,
+                         compat: str = "full") -> List[str]:
+    """Serialize a SEGMENTED ProfileView as the reference does: one
+    single-segment WHY1 file per segment (the reference's only
+    supported segmented layout — segmented_dataset_profile_view.py:199
+    "single file segments", multi-segment files are a TODO upstream).
+
+    Each file carries ``has_segments=True``, one ``Segment`` whose
+    ``whylogs.tag.<column>`` tags identify the segment, the same tags
+    in ``DatasetProperties.tags``, and the reference's ``segp_*``
+    partition metadata.  The partition id is a deterministic md5 of
+    the partition name (the reference uses uuid4; determinism keeps
+    the round-trip testable).  Returns the written file paths in
+    segment-sorted order.  Read back with :func:`read_why1_segmented`.
+    """
+    import hashlib
+    import json as _json
+
     from .fsio import write_bytes
 
-    # the view's own session carries the right Hadoop config
-    # (credentials/connectors differ between sessions)
-    write_bytes(path, MAGIC
-                + _uvarint(len(seg_header)) + seg_header
-                + _uvarint(len(hdr)) + bytes(hdr)
-                + bytes(body),
-                spark=view.df.sparkSession)
+    if compat not in ("full", "reference"):
+        raise ValueError("compat must be 'full' or 'reference'")
+    pdf = view.df.toPandas()
+    segs = sorted(set(pdf["segment"].unique()))
+    if segs == ["{}"] or not segs:
+        raise ValueError(
+            "view is not segmented; use write_why1 for one profile")
+    paths_out: List[str] = []
+    for i, seg in enumerate(segs):
+        segd = _json.loads(seg)
+        cols = list(segd)
+        part_name = ",".join(cols)
+        seg_tags = [(_TAG_PREFIX + k, segd[k]) for k in cols]
+        seg_meta = {
+            _PARTITION_ID: hashlib.md5(
+                part_name.encode()).hexdigest()[:16],
+            _PARTITION_NAME: part_name,
+        }
+        if len(cols) == 1:
+            seg_meta[_SEGMENT_ON_COLUMN] = cols[0]
+        else:
+            seg_meta[_SEGMENT_ON_COLUMNS] = "".join(
+                f"({c})" for c in cols)
+        data = _profile_file_bytes(
+            pdf[pdf["segment"] == seg], view, compat,
+            seg_tags=seg_tags, seg_meta=seg_meta)
+        path = f"{dir_path.rstrip('/')}/segment_{i:05d}.bin"
+        write_bytes(path, data, spark=view.df.sparkSession)
+        paths_out.append(path)
+    return paths_out
 
 
 # ----------------------------------------------------------- message decode
@@ -356,9 +466,39 @@ def _read_why1(
     ln, pos = _read_uvarint(data, pos)   # DatasetSegmentHeader
     seg_buf = data[pos:pos + ln]
     pos += ln
+    # segmented single-segment-per-file layout: recover the segment
+    # key from the Segment's whylogs.tag.* tags (the reference reader
+    # surfaces the same tags via DatasetProperties —
+    # dataset_profile_view.py:369-388 reads past the header and warns
+    # only on >1 offsets, which the reference itself never writes)
+    seg_json = "{}"
+    has_segments = False
+    n_offsets = 0
     for field, wire, val in _fields(seg_buf):
         if field == 1 and wire == 0 and val:
-            raise ValueError("segmented WHY1 files are not supported")
+            has_segments = True
+        elif field == 5 and wire == 2:
+            n_offsets += 1
+        elif field == 4 and wire == 2:   # Segment
+            tags: Dict[str, str] = {}
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1 and w2 == 2:  # SegmentTag
+                    tk = tv = None
+                    for f3, w3, v3 in _fields(v2):
+                        if f3 == 1 and w3 == 2:
+                            tk = v3.decode("utf-8")
+                        elif f3 == 2 and w3 == 2:
+                            tv = v3.decode("utf-8")
+                    if tk is not None and tk.startswith(_TAG_PREFIX):
+                        tags[tk[len(_TAG_PREFIX):]] = tv or ""
+            if tags:
+                import json as _json
+                seg_json = _json.dumps(
+                    tags, separators=(",", ":"), ensure_ascii=False)
+    if has_segments and n_offsets > 1:
+        raise ValueError(
+            "multi-segment WHY1 files are not supported (the reference "
+            "writes one segment per file; so does write_why1_segmented)")
     ln, pos = _read_uvarint(data, pos)   # DatasetProfileHeader
     hdr = data[pos:pos + ln]
     pos += ln
@@ -438,7 +578,7 @@ def _read_why1(
             n, d, b = _parse_component(comp_buf)
             if b is not None:
                 b = _from_ds_blob(metric, comp, b)
-            rows.append(("{}", col, metric, comp, n, d, None, b))
+            rows.append((seg_json, col, metric, comp, n, d, None, b))
     return rows, props
 
 
@@ -463,3 +603,44 @@ def read_why1(spark, path: str, columns: Optional[List[str]] = None,
         dataset_timestamp=from_ms(props["dataset_timestamp"]),
         creation_timestamp=from_ms(props["creation_timestamp"]),
         metadata=props["metadata"])
+
+
+def read_why1_segmented(spark, paths, columns: Optional[List[str]] = None,
+                        config=None):
+    """Reassemble a segmented ProfileView from per-segment WHY1 files
+    (the inverse of :func:`write_why1_segmented`).
+
+    ``paths``: the list returned by the writer, or a local directory
+    containing ``*.bin`` segment files.  Each file's segment key is
+    recovered from its ``whylogs.tag.*`` Segment tags; the unioned
+    long-form frame is a normal segmented view — ``merge_profiles`` /
+    ``to_pandas`` / drift joins all apply, so the segment monoid
+    survives the binary boundary segment-by-segment.
+    """
+    import os
+
+    from ..core.configs import DEFAULT_CONFIG
+    from ..core.profiler import PROFILE_SCHEMA, ProfileView
+
+    if isinstance(paths, str):
+        d = paths
+        paths = sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.endswith(".bin"))
+    if not paths:
+        raise ValueError("no segment files to read")
+    rows: List[tuple] = []
+    segs_seen = set()
+    for p in paths:
+        seg_rows, _ = _read_why1(p, columns, spark=spark)
+        if seg_rows:
+            seg = seg_rows[0][0]
+            if seg in segs_seen:
+                raise ValueError(
+                    f"duplicate segment {seg!r} across files (merge "
+                    "the views before writing)")
+            segs_seen.add(seg)
+        rows.extend(seg_rows)
+    return ProfileView(
+        spark.createDataFrame(rows, PROFILE_SCHEMA),
+        config or DEFAULT_CONFIG)
