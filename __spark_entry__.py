@@ -4295,6 +4295,183 @@ def _q_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _geo_pts(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic synthetic coordinates from an integer key:
+    lat in [-60, 60), lon in [-170, 170) on a 0.01-degree grid —
+    integer modular arithmetic, identical in any engine."""
+    k = F.col(key).cast("long")
+    return df.select(
+        k.alias("id"),
+        (((k * 37) % 12000).cast("double") / 100.0 - 60.0).alias("lat"),
+        (((k * 91) % 34000).cast("double") / 100.0 - 170.0).alias("lon"))
+
+
+_GEO_PTS_SQL = (
+    "SELECT {key}::BIGINT AS id, "
+    "(({key}::BIGINT * 37) % 12000)::DOUBLE / 100.0 - 60.0 AS lat, "
+    "(({key}::BIGINT * 91) % 34000)::DOUBLE / 100.0 - 170.0 AS lon "
+    "FROM {table}")
+
+
+def _q_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash grid density (ops/geo.py grid_density, precision 3)
+    over synthetic customer coordinates: the geohash is a pure
+    shift/or Morton interleave on a fixed world grid — exact integer
+    logic, so the oracle recomputes every hash character from the
+    same quantized bands."""
+    from whylogs_spark.ops.geo import grid_density
+
+    pts = _geo_pts(_t(spark, sf_dir, "customer"), "c_custkey")
+    return grid_density(pts, "lat", "lon", 3).orderBy("geohash")
+
+
+def _geohash_sql_expr(lat: str, lon: str, precision: int) -> str:
+    """Unrolled SQL twin of ops/geo.with_geohash's bit interleave."""
+    total = precision * 5
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    iy = (f"least(floor(({lat} + 90.0) / 180.0 * "
+          f"{float(1 << lat_bits)!r})::BIGINT, {(1 << lat_bits) - 1})")
+    ix = (f"least(floor(({lon} + 180.0) / 360.0 * "
+          f"{float(1 << lon_bits)!r})::BIGINT, {(1 << lon_bits) - 1})")
+    terms = []
+    for pos in range(total):
+        src, src_bits, idx = ((ix, lon_bits, pos // 2) if pos % 2 == 0
+                              else (iy, lat_bits, pos // 2))
+        terms.append(f"((({src} >> {src_bits - 1 - idx}) & 1) "
+                     f"<< {total - 1 - pos})")
+    z = "(" + " | ".join(terms) + ")"
+    chars = [
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"((({z} >> {total - 5 * (i + 1)}) & 31) + 1)::INT, 1)"
+        for i in range(precision)
+    ]
+    return " || ".join(chars)
+
+
+def _q_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed radius join (ops/geo.py geo_radius_join):
+    customer x supplier synthetic points within 300 km — 3x3
+    neighbor-cell equi-join + exact haversine, vs the oracle's brute
+    force.  Distance is _eround'd at 5dp (libm sin/cos can differ in
+    the last ulp across engines; the synthetic grid keeps every pair
+    >> 1e-5 km away from both the radius threshold and rounding
+    ties — verified by the margin test in tests/test_geo_gate.py)."""
+    from whylogs_spark.ops.geo import geo_radius_join
+
+    c = _geo_pts(_t(spark, sf_dir, "customer"), "c_custkey")
+    s = _geo_pts(_t(spark, sf_dir, "supplier"), "s_suppkey")
+    out = geo_radius_join(c, s.withColumnRenamed("id", "sid"), 300.0)
+    return out.select(
+        F.col("id").alias("cust_id"),
+        F.col("r_sid").alias("supp_id"),
+        _eround("distance_km", 5).alias("distance_km")
+    ).orderBy("cust_id", "supp_id")
+
+
+def _geo_radius_sql(radius: float = 300.0) -> str:
+    """Brute-force DuckDB twin of _q_geo_radius: every customer x
+    supplier pair through the IDENTICAL haversine expression shape
+    (constants emitted as reprs of the same Python-folded doubles
+    ops/geo.haversine_km bakes into the Spark plan)."""
+    import math as _math
+
+    p = repr(_math.pi / 180.0)
+    two_r = repr(2.0 * 6371.0088)
+    d = ("{tr} * asin(least(sqrt("
+         "sin((s.lat - c.lat) * {p} / 2.0) * "
+         "sin((s.lat - c.lat) * {p} / 2.0) + "
+         "cos(c.lat * {p}) * cos(s.lat * {p}) * "
+         "sin((s.lon - c.lon) * {p} / 2.0) * "
+         "sin((s.lon - c.lon) * {p} / 2.0)), 1.0))"
+         ).format(tr=two_r, p=p)
+    return (
+        "WITH c AS ("
+        + _GEO_PTS_SQL.format(key="c_custkey", table="customer")
+        + "), s AS ("
+        + _GEO_PTS_SQL.format(key="s_suppkey", table="supplier")
+        + f"), pairs AS (SELECT c.id AS cust_id, s.id AS supp_id, "
+        f"{d} AS d FROM c, s) "
+        f"SELECT cust_id, supp_id, {_eround_sql('d', 5)} AS "
+        f"distance_km FROM pairs WHERE d <= {radius!r} "
+        "ORDER BY cust_id, supp_id"
+    )
+
+
+def _q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b with full tie correction (ops/stats.py
+    kendall_tau) between quantity and linenumber: exact
+    concordant/discordant masses from the 50x7 collapsed cell table.
+    All quantities are exact integers in doubles, the tau division is
+    one deterministic IEEE op — RAW doubles."""
+    from whylogs_spark.ops.stats import kendall_tau
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kendall_tau(li, "l_quantity", "l_linenumber")
+
+
+def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped Holt linear-trend forecast per event type
+    (ops/forecast.py holt_forecast, alpha=0.3 beta=0.1 phi=0.9):
+    ONE higher-order aggregate fold over each group's day-count
+    series.  Inputs are exact integer day counts and the fold
+    constants are emitted into the oracle as the repr of the
+    identical Python-folded doubles, so the DuckDB list_reduce
+    replays the recursion bit-for-bit — RAW doubles, no rounding
+    needed."""
+    from whylogs_spark.ops.forecast import holt_forecast
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    out = holt_forecast(d, "day", "v", ["event_type"],
+                        alpha=0.3, beta=0.1, phi=0.9, horizon=3)
+    return out.filter(F.col("n") >= 2).select(
+        "event_type", "n", "level", "trend", "one_step_error",
+        "fc_1", "fc_2", "fc_3").orderBy("event_type")
+
+
+def _holt_sql(a: float = 0.3, b: float = 0.1, p: float = 0.9) -> str:
+    """DuckDB replay of _q_holt: list_reduce over [l, b, e] states
+    with constants spelled as the repr of the SAME Python-computed
+    doubles the Spark expression folded (1-a, (1-b)*p, and the
+    cumulative damping sums), so every multiply/add reruns on
+    identical bits."""
+    oma = repr(1.0 - a)
+    ombp = repr((1.0 - b) * p)
+    damp = [p] if p < 1.0 else [1.0]
+    for _ in range(1, 3):
+        damp.append(damp[-1] * p if p < 1.0 else 1.0)
+    csum, acc_ = [], 0.0
+    for dd in damp:
+        acc_ += dd
+        csum.append(acc_)
+    lnew = f"{a!r} * x[1] + {oma} * (acc[1] + {p!r} * acc[2])"
+    return (
+        "WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, "
+        "count(*)::DOUBLE AS v FROM events WHERE ts IS NOT NULL AND "
+        "event_type IS NOT NULL GROUP BY 1, 2), "
+        "s AS (SELECT event_type, list(v ORDER BY day) AS vs "
+        "FROM d GROUP BY 1), "
+        "f AS (SELECT event_type, len(vs)::BIGINT AS n, "
+        "list_reduce(list_prepend("
+        "[vs[2], vs[2] - vs[1], NULL::DOUBLE], "
+        "list_transform(vs[3:], x -> [x, 0.0, 0.0])), "
+        f"(acc, x) -> [{lnew}, "
+        f"{b!r} * (({lnew}) - acc[1]) + {ombp} * acc[2], "
+        f"x[1] - (acc[1] + {p!r} * acc[2])]) AS st "
+        "FROM s WHERE len(vs) >= 2) "
+        "SELECT event_type, n, st[1] AS level, st[2] AS trend, "
+        "st[3] AS one_step_error, "
+        f"st[1] + {csum[0]!r} * st[2] AS fc_1, "
+        f"st[1] + {csum[1]!r} * st[2] AS fc_2, "
+        f"st[1] + {csum[2]!r} * st[2] AS fc_3 "
+        "FROM f ORDER BY event_type"
+    )
+
+
 def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k distinct estimates per return flag (ops/
     setsketch.py kmv_distinct): deterministic md5 sketch — the oracle
@@ -4783,6 +4960,10 @@ _GATE_ORDER = [
     "two_model_uplift_orders",
     "zca_whitening_embeddings",
     # --- round-12 additions (driver-gated on introduction) land here.
+    "holt_forecast_events",
+    "kendall_tau_lineitem",
+    "grid_density_customer",
+    "geo_radius_join_customer",
     # --- below the fold: previously driver-green rows, kept in prior
     # relative order; scripts/check_oracle.py still covers all of them.
     "cusum_changepoints_events",
@@ -5135,6 +5316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_orders": _q_did,
         "ipw_att_orders": _q_ipw_att,
         "ses_forecast_events": _q_ses,
+        "holt_forecast_events": _q_holt,
+        "kendall_tau_lineitem": _q_kendall,
+        "grid_density_customer": _q_grid_density,
+        "geo_radius_join_customer": _q_geo_radius,
         "kmv_distinct_lineitem": _q_kmv_distinct,
         "kmv_overlap_lineitem": _q_kmv_overlap,
         "ols_orders": _q_ols,
@@ -9966,6 +10151,40 @@ def oracle_sql() -> dict[str, str]:
             "round(lev, 6) AS level, round(CASE WHEN n >= 2 THEN "
             "lastv - (lp_tail + lp_x1) END, 6) AS one_step_error "
             "FROM rep ORDER BY event_type"
+        ),
+        "holt_forecast_events": _holt_sql(),
+        "grid_density_customer": (
+            "WITH pts AS ("
+            + _GEO_PTS_SQL.format(key="c_custkey", table="customer")
+            + ") SELECT "
+            + _geohash_sql_expr("lat", "lon", 3)
+            + " AS geohash, count(*)::BIGINT AS n FROM pts "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "geo_radius_join_customer": _geo_radius_sql(),
+        "kendall_tau_lineitem": (
+            "WITH b AS (SELECT l_quantity::DOUBLE AS x, "
+            "l_linenumber::DOUBLE AS y FROM lineitem WHERE "
+            "l_quantity IS NOT NULL AND l_linenumber IS NOT NULL), "
+            "cells AS (SELECT x, y, count(*)::DOUBLE AS c FROM b "
+            "GROUP BY 1, 2), "
+            "cd AS (SELECT coalesce(sum(CASE WHEN a.y < bb.y THEN "
+            "a.c * bb.c END), 0.0) AS C, "
+            "coalesce(sum(CASE WHEN a.y > bb.y THEN a.c * bb.c END), "
+            "0.0) AS D FROM cells a JOIN cells bb ON a.x < bb.x), "
+            "xm AS (SELECT coalesce(sum(t * (t - 1.0) / 2.0), 0.0) "
+            "AS n1 FROM (SELECT sum(c) AS t FROM cells GROUP BY x)), "
+            "ym AS (SELECT coalesce(sum(t * (t - 1.0) / 2.0), 0.0) "
+            "AS n2 FROM (SELECT sum(c) AS t FROM cells GROUP BY y)), "
+            "tot AS (SELECT sum(c) AS n_d, count(*)::BIGINT AS "
+            "n_cells FROM cells) "
+            "SELECT n_d::BIGINT AS n, n_cells, C::BIGINT AS "
+            "concordant, D::BIGINT AS discordant, "
+            "CASE WHEN sqrt((n_d * (n_d - 1.0) / 2.0 - n1) * "
+            "(n_d * (n_d - 1.0) / 2.0 - n2)) > 0 THEN (C - D) / "
+            "sqrt((n_d * (n_d - 1.0) / 2.0 - n1) * "
+            "(n_d * (n_d - 1.0) / 2.0 - n2)) END AS tau_b "
+            "FROM tot, cd, xm, ym"
         ),
         "kmv_distinct_lineitem": (
             "WITH h AS (SELECT l_returnflag AS seg, ('0x' || "

@@ -82,6 +82,8 @@ _PLAN_TIME_JOBS = {
     "binary_segmentation_events", "platt_scaling_orders",
     "markov_attribution_events", "temperature_scaling_orders",
     "two_model_uplift_orders", "zca_whitening_embeddings",
+    # round-12: max_points / max_cells guards collect at plan build
+    "holt_forecast_events", "kendall_tau_lineitem",
 }
 
 

@@ -1,0 +1,122 @@
+"""Geo operators: known geohash vectors, haversine reference
+distances, grid radius join vs brute force."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whylogs_spark.ops.geo import (geo_radius_join, grid_density,
+                                   haversine_km, with_geohash)
+
+RNG = np.random.RandomState(5)
+
+
+class TestGeohash:
+    def test_known_vectors(self, spark):
+        # canonical test vectors from the original geohash definition
+        pts = [
+            (57.64911, 10.40744, "u4pruydqqvj"),
+            (48.669, -4.329, "gbsuv7ztqzpt"),
+            (0.0, 0.0, "s00000000000"),
+            (-25.382708, -49.265506, "6gkzwgjzn820"),
+        ]
+        df = spark.createDataFrame(
+            [(la, lo) for la, lo, _ in pts], "lat double, lon double")
+        for prec in (5, 7, 11):
+            got = [r["geohash"] for r in
+                   with_geohash(df, "lat", "lon", prec).collect()]
+            for (la, lo, full), g in zip(pts, got):
+                assert g == full[:prec], (la, lo, prec)
+
+    def test_invalid_coords_null(self, spark):
+        df = spark.createDataFrame(
+            [(91.0, 0.0), (0.0, 181.0), (None, 0.0),
+             (float("nan"), 0.0), (45.0, 45.0)],
+            "lat double, lon double")
+        got = [r["geohash"]
+               for r in with_geohash(df, "lat", "lon", 6).collect()]
+        assert got[:4] == [None] * 4 and got[4] is not None
+
+    def test_precision_validation(self, spark):
+        df = spark.createDataFrame([(0.0, 0.0)], "lat double, lon double")
+        with pytest.raises(ValueError):
+            with_geohash(df, "lat", "lon", 0)
+        with pytest.raises(ValueError):
+            with_geohash(df, "lat", "lon", 13)
+
+
+class TestHaversine:
+    def test_reference_distances(self, spark):
+        # Paris (48.8566, 2.3522) - London (51.5074, -0.1278): ~343.5 km
+        df = spark.createDataFrame(
+            [(48.8566, 2.3522, 51.5074, -0.1278)],
+            "a double, b double, c double, d double")
+        km = df.select(haversine_km(
+            F.col("a"), F.col("b"), F.col("c"), F.col("d"))
+            .alias("km")).collect()[0]["km"]
+        assert km == pytest.approx(343.5, abs=1.0)
+        # zero distance
+        z = df.select(haversine_km(
+            F.col("a"), F.col("b"), F.col("a"), F.col("b"))
+            .alias("km")).collect()[0]["km"]
+        assert z == pytest.approx(0.0, abs=1e-9)
+
+
+class TestRadiusJoin:
+    def _pts(self, spark, n, name):
+        lat = RNG.uniform(30, 60, n)
+        lon = RNG.uniform(-10, 30, n)
+        return spark.createDataFrame(
+            [(i, float(a), float(o))
+             for i, (a, o) in enumerate(zip(lat, lon))],
+            f"{name}_id int, lat double, lon double")
+
+    def test_matches_bruteforce(self, spark):
+        left = self._pts(spark, 200, "l")
+        right = self._pts(spark, 150, "r")
+        radius = 120.0
+        got = geo_radius_join(left, right, radius)
+        pairs = {(r["l_id"], r["r_r_id"]) for r in got.collect()}
+        # brute force
+        brute = left.crossJoin(
+            right.selectExpr("r_id", "lat AS rlat", "lon AS rlon"))
+        d = haversine_km(F.col("lat"), F.col("lon"),
+                         F.col("rlat"), F.col("rlon"))
+        want = {(r["l_id"], r["r_id"])
+                for r in brute.filter(d <= radius).collect()}
+        assert pairs == want and len(want) > 0
+
+    def test_distance_column_exact(self, spark):
+        left = spark.createDataFrame(
+            [(1, 48.8566, 2.3522)], "l_id int, lat double, lon double")
+        right = spark.createDataFrame(
+            [(2, 51.5074, -0.1278)], "r_id int, lat double, lon double")
+        rows = geo_radius_join(left, right, 400.0).collect()
+        assert len(rows) == 1
+        assert rows[0]["distance_km"] == pytest.approx(343.5, abs=1.0)
+        assert geo_radius_join(left, right, 300.0).count() == 0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "i int, lat double, lon double")
+        with pytest.raises(ValueError):
+            geo_radius_join(df, df, 0.0)
+        with pytest.raises(ValueError):
+            geo_radius_join(df, df, 10.0, max_lat=95.0)
+
+
+class TestGridDensity:
+    def test_counts_and_sum(self, spark):
+        df = spark.createDataFrame(
+            [(48.85, 2.35, 2.0), (48.86, 2.36, 3.0),
+             (-33.87, 151.21, 5.0), (91.0, 0.0, 7.0)],
+            "lat double, lon double, v double")
+        got = {r["geohash"]: (r["n"], r["value_sum"])
+               for r in grid_density(df, "lat", "lon", 3, "v").collect()}
+        # Paris cluster shares the 3-char cell u09; Sydney is r3g;
+        # the invalid row drops
+        assert got["u09"] == (2, 5.0)
+        assert got["r3g"] == (1, 5.0)
+        assert sum(n for n, _ in got.values()) == 3

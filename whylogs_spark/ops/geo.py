@@ -1,0 +1,212 @@
+"""Geospatial grid operators: geohash keys, grid-bucketed radius
+joins, haversine distance — the location siblings of the layout
+family (``ops/layout.py`` interleaves arbitrary columns; a geohash is
+the SAME Morton interleave on fixed world bounds, so geo keys cluster
+and prune parquet exactly like Z-order keys do).
+
+Beyond-reference extension family (SURVEY.md §2.12).
+
+The scale story is the grid join: a naive radius join is a cross
+join; bucketing both sides into square cells no smaller than the
+radius means every true neighbor pair shares a cell or touches an
+adjacent one, so exploding each LEFT point to its 3x3 cell
+neighborhood turns the radius join into a plain EQUI-join on the
+cell id (shuffle on cell, distributed) followed by an exact haversine
+filter.  No UDFs anywhere — trig is JVM codegen.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["haversine_km", "with_geohash", "geo_radius_join",
+           "grid_density"]
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column,
+                 lon2: Column) -> Column:
+    """Great-circle distance in km between two (degree) points — the
+    standard haversine form, all JVM trig, null-safe (null in -> null
+    out)."""
+    p = math.pi / 180.0
+    dlat = (lat2 - lat1) * F.lit(p) / 2.0
+    dlon = (lon2 - lon1) * F.lit(p) / 2.0
+    a = (F.sin(dlat) * F.sin(dlat)
+         + F.cos(lat1 * F.lit(p)) * F.cos(lat2 * F.lit(p))
+         * F.sin(dlon) * F.sin(dlon))
+    return (F.lit(2.0 * EARTH_RADIUS_KM)
+            * F.asin(F.least(F.sqrt(a), F.lit(1.0))))
+
+
+def with_geohash(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int = 7,
+    out_col: str = "geohash",
+) -> DataFrame:
+    """Add a standard base32 geohash of ``precision`` characters.
+
+    A geohash is a Morton interleave (lon bit first) of the two
+    binary-bisected coordinates on fixed world bounds — computed here
+    as a pure shift/or codegen projection (ops/layout.zorder_key with
+    constant bounds), then 5-bit groups map through the geohash
+    base32 alphabet.  Zero shuffle, zero Python; invalid coordinates
+    (|lat|>90, |lon|>180, null, NaN) yield a null hash.
+
+    Scale: use the hash as a clustering / pruning key exactly like
+    ``with_zorder_key`` — sorting a 100 TB point table by geohash
+    gives min/max row-group pruning for any bounding-box query.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12]: {precision}")
+    total_bits = precision * 5
+    lon_bits = (total_bits + 1) // 2   # lon takes the even positions
+    lat_bits = total_bits // 2
+    lat = F.col(lat_col).cast("double")
+    lon = F.col(lon_col).cast("double")
+    ok = (lat.isNotNull() & lon.isNotNull()
+          & ~F.isnan(lat) & ~F.isnan(lon)
+          & (F.abs(lat) <= 90.0) & (F.abs(lon) <= 180.0))
+    # quantize: cell index in [0, 2^bits); clamp the +180/+90 edge in
+    iy = F.least(
+        F.floor((lat + 90.0) / 180.0 * F.lit(float(1 << lat_bits))),
+        F.lit((1 << lat_bits) - 1)).cast("long")
+    ix = F.least(
+        F.floor((lon + 180.0) / 360.0 * F.lit(float(1 << lon_bits))),
+        F.lit((1 << lon_bits) - 1)).cast("long")
+    # interleave, lon first: bit j of the hash (MSB first) alternates
+    # lon, lat — build the morton value directly
+    z = F.lit(0).cast("long")
+    for pos in range(total_bits):
+        # pos 0 is the MOST significant output bit and comes from lon
+        src, src_bits, idx = (
+            (ix, lon_bits, pos // 2) if pos % 2 == 0
+            else (iy, lat_bits, pos // 2))
+        bit = F.shiftright(src, src_bits - 1 - idx).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit, total_bits - 1 - pos))
+    # 5-bit groups MSB-first -> base32 chars
+    chars = [
+        F.substring(
+            F.lit(_BASE32),
+            (F.shiftright(z, total_bits - 5 * (i + 1))
+             .bitwiseAND(F.lit(31)) + 1).cast("int"),
+            1)
+        for i in range(precision)
+    ]
+    return df.withColumn(out_col, F.when(ok, F.concat(*chars)))
+
+
+def _cell_ids(lat: Column, lon: Column, cell_deg: float) -> Column:
+    """Integer cell id for a square grid of ``cell_deg`` degrees:
+    ``(lat band << 32) + lon band`` — both bands are non-negative and
+    the lon band fits 32 bits for any cell above ~1e-7 degrees, so
+    ids never collide."""
+    iy = F.floor((lat + 90.0) / F.lit(cell_deg)).cast("long")
+    ix = F.floor((lon + 180.0) / F.lit(cell_deg)).cast("long")
+    return F.shiftleft(iy, 32) + ix
+
+
+def geo_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_lat: float = 85.0,
+) -> DataFrame:
+    """All (left, right) pairs within ``radius_km`` great-circle km,
+    with a ``distance_km`` column appended.
+
+    Grid-bucket equi-join: both sides bucket into square cells whose
+    side is >= the radius IN LONGITUDE at ``max_lat`` (the worst-case
+    shrink — poleward of that the join is refused rather than silently
+    wrong), the LEFT side explodes to its 3x3 cell neighborhood, the
+    join runs as a plain equi-join ON THE CELL ID, and the exact
+    haversine filter keeps true neighbors.  Every true pair within
+    the radius shares one of the 9 cells by construction.
+
+    Scale shape: one explode (x9) + one hash equi-join on cell id +
+    a codegen filter — shuffle proportional to points, never the
+    cross product.  Each right point owns exactly ONE cell and the 9
+    exploded left cells are distinct, so every pair joins at most
+    once (no post-join dedup needed).  Skewed cells (urban hot
+    spots) are ordinary hot keys: AQE skew-join handles them, or
+    pre-salt the cell id.  Rows with invalid coordinates drop; pairs
+    straddling the +/-180 antimeridian are not matched (documented
+    non-goal — shift longitudes upstream if your data crosses it).
+    """
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be > 0: {radius_km}")
+    if not 0 < max_lat < 90:
+        raise ValueError(f"max_lat must be in (0, 90): {max_lat}")
+    # degrees of latitude per km is constant; longitude shrinks by
+    # cos(lat) — size cells for the worst allowed latitude
+    deg_lat = radius_km / 111.19492664455873  # km per degree (mean)
+    cell = deg_lat / math.cos(math.radians(max_lat))
+
+    def _valid(df: DataFrame) -> DataFrame:
+        lat = F.col(lat_col).cast("double")
+        lon = F.col(lon_col).cast("double")
+        return df.filter(
+            lat.isNotNull() & lon.isNotNull()
+            & ~F.isnan(lat) & ~F.isnan(lon)
+            & (F.abs(lat) <= max_lat) & (F.abs(lon) <= 180.0))
+
+    l = _valid(left).alias("l")
+    r = _valid(right).alias("r")
+    iy = F.floor((F.col(f"l.{lat_col}").cast("double") + 90.0)
+                 / F.lit(cell)).cast("long")
+    ix = F.floor((F.col(f"l.{lon_col}").cast("double") + 180.0)
+                 / F.lit(cell)).cast("long")
+    neigh = F.explode(F.array(*[
+        F.shiftleft(iy + dy, 32) + (ix + dx)
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ])).alias("__cell")
+    l9 = l.select("l.*", neigh)
+    rc = r.select(
+        "r.*",
+        _cell_ids(F.col(f"r.{lat_col}").cast("double"),
+                  F.col(f"r.{lon_col}").cast("double"),
+                  cell).alias("__cell"))
+    lat_l2 = F.col(f"__L.{lat_col}").cast("double")
+    lon_l2 = F.col(f"__L.{lon_col}").cast("double")
+    lat_r2 = F.col(f"__R.{lat_col}").cast("double")
+    lon_r2 = F.col(f"__R.{lon_col}").cast("double")
+    joined = l9.alias("__L").join(rc.alias("__R"), "__cell")
+    dist = haversine_km(lat_l2, lon_l2, lat_r2, lon_r2)
+    out_cols = (
+        [F.col(f"__L.{c}").alias(c) for c in left.columns]
+        + [F.col(f"__R.{c}").alias(f"r_{c}") for c in right.columns]
+        + [dist.alias("distance_km")])
+    return (joined.filter(dist <= F.lit(float(radius_km)))
+            .select(*out_cols))
+
+
+def grid_density(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    precision: int = 5,
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Point (or value) density per geohash cell: ``(geohash, n,
+    value_sum)`` — the groupBy that powers heat maps and spatial
+    skew diagnosis.  One partial-agged aggregation over the hash
+    projection; at 100 TB this is a plain codegen groupBy whose key
+    count is bounded by 32^precision."""
+    g = with_geohash(df, lat_col, lon_col, precision, "__gh")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("double"))
+                    .alias("value_sum"))
+    return (g.filter(F.col("__gh").isNotNull())
+            .groupBy(F.col("__gh").alias("geohash")).agg(*aggs))

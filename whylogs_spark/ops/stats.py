@@ -53,6 +53,7 @@ __all__ = [
     "diversity_report",
     "hill_tail_index",
     "spearman_correlation",
+    "kendall_tau",
     "partial_correlation",
 ]
 
@@ -736,3 +737,86 @@ def partial_correlation(
         [(n, float(corr[0, 1]), pr)],
         "n long, r_xy double, partial_r double")
     return out
+
+
+def kendall_tau(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    max_cells: int = 5_000,
+) -> DataFrame:
+    """Kendall tau-b rank correlation (tie-corrected) between two
+    numeric/ordinal columns; ONE row: ``(n, n_cells, concordant,
+    discordant, tau_b)``.
+
+    Exact, not sampled: the data collapses to the DISTINCT
+    ``(x, y)`` CELL table with counts (one partial-agged groupBy),
+    and concordant/discordant pair MASSES come from one
+    broadcast-nested-loop pass over cell pairs with ``x_a < x_b``::
+
+        C = sum c_a*c_b over x_a<x_b and y_a<y_b
+        D = sum c_a*c_b over x_a<x_b and y_a>y_b
+        tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2))
+
+    with ``n0 = n(n-1)/2`` and ``n1``/``n2`` the x-/y-marginal tie
+    masses ``sum t(t-1)/2`` (Kendall 1945).
+
+    Scale shape: the O(cells^2) pair pass is over the COLLAPSED cell
+    table, never rows — ``max_cells`` guards it at plan build (raise:
+    bucket a continuous column first, e.g. ``quantile_bins``); one
+    side broadcasts so the pass is map-side (no shuffle beyond the
+    cell collapse).  Pair masses are exact integers carried in
+    doubles — exact while n^2 < 2^53, i.e. any input under ~94M rows
+    per judged pair; beyond that the tau denominator dominates the
+    error anyway.  Null/NaN rows drop pairwise-complete.
+    """
+    from pyspark.sql.functions import broadcast
+
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = (df.filter(x.isNotNull() & ~F.isnan(x)
+                      & y.isNotNull() & ~F.isnan(y))
+            .select(x.alias("__x"), y.alias("__y")))
+    cells = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("double").alias("__c"))
+    cells = cells.localCheckpoint(eager=True)
+    n_cells = cells.count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"kendall_tau: {n_cells} distinct (x, y) cells > max_cells="
+            f"{max_cells}; bucket a continuous column first "
+            "(core/summaries.quantile_bins)")
+
+    a = cells.select(F.col("__x").alias("__xa"),
+                     F.col("__y").alias("__ya"),
+                     F.col("__c").alias("__ca"))
+    b = cells.select(F.col("__x").alias("__xb"),
+                     F.col("__y").alias("__yb"),
+                     F.col("__c").alias("__cb"))
+    pairs = a.join(broadcast(b), F.col("__xa") < F.col("__xb"))
+    cd = pairs.agg(
+        F.coalesce(F.sum(F.when(F.col("__ya") < F.col("__yb"),
+                                F.col("__ca") * F.col("__cb"))),
+                   F.lit(0.0)).alias("C"),
+        F.coalesce(F.sum(F.when(F.col("__ya") > F.col("__yb"),
+                                F.col("__ca") * F.col("__cb"))),
+                   F.lit(0.0)).alias("D"))
+
+    xm = cells.groupBy("__x").agg(F.sum("__c").alias("__t"))
+    ym = cells.groupBy("__y").agg(F.sum("__c").alias("__t"))
+    tie = F.sum(F.col("__t") * (F.col("__t") - 1.0) / 2.0)
+    tot = cells.agg(F.sum("__c").alias("n_d"),
+                    F.count(F.lit(1)).cast("long").alias("n_cells"))
+    n1 = xm.agg(F.coalesce(tie, F.lit(0.0)).alias("n1"))
+    n2 = ym.agg(F.coalesce(tie, F.lit(0.0)).alias("n2"))
+
+    rep = (tot.crossJoin(broadcast(cd))
+           .crossJoin(broadcast(n1)).crossJoin(broadcast(n2)))
+    n0 = F.col("n_d") * (F.col("n_d") - 1.0) / 2.0
+    denom = F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2")))
+    return rep.select(
+        F.col("n_d").cast("long").alias("n"), "n_cells",
+        F.col("C").cast("long").alias("concordant"),
+        F.col("D").cast("long").alias("discordant"),
+        F.when(denom > 0, (F.col("C") - F.col("D")) / denom)
+        .alias("tau_b"))
