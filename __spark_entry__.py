@@ -4398,6 +4398,30 @@ def _geo_radius_sql(radius: float = 300.0) -> str:
     )
 
 
+def _q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-Hybrid ESD anomalies (ops/esd.py seasonal_esd) over
+    the daily event-count series, weekly seasonality.  NO SQL oracle:
+    the per-step critical values need iterative t-quantile bisection
+    (generalized ESD, Rosner 1983) — rows-only at the driver; the
+    detector is cross-verified against planted anomalies and scipy
+    t-ppf reference values in tests/test_esd.py.  Output is
+    deterministic: exactly max_anomalies examined steps."""
+    from whylogs_spark.ops.esd import seasonal_esd
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("ts").isNotNull())
+             .groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    out = seasonal_esd(daily, "day", "v", period=7,
+                       max_anomalies=5)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "value", _eround("residual", 6).alias("residual"),
+        _eround("score", 6).alias("score"),
+        "step", _eround("critical", 6).alias("critical"),
+        "anomalous").orderBy("step")
+
+
 def _q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall tau-b with full tie correction (ops/stats.py
     kendall_tau) between quantity and linenumber: exact
@@ -4964,6 +4988,7 @@ _GATE_ORDER = [
     "kendall_tau_lineitem",
     "grid_density_customer",
     "geo_radius_join_customer",
+    "seasonal_esd_events",
     # --- below the fold: previously driver-green rows, kept in prior
     # relative order; scripts/check_oracle.py still covers all of them.
     "cusum_changepoints_events",
@@ -5320,6 +5345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_lineitem": _q_kendall,
         "grid_density_customer": _q_grid_density,
         "geo_radius_join_customer": _q_geo_radius,
+        "seasonal_esd_events": _q_seasonal_esd,
         "kmv_distinct_lineitem": _q_kmv_distinct,
         "kmv_overlap_lineitem": _q_kmv_overlap,
         "ols_orders": _q_ols,

@@ -684,6 +684,75 @@ def main() -> None:
             columns=["c_custkey", "c_name", "c_nationkey",
                      "c_mktsegment"]))
 
+    def _geo_pts_bench(df, key):
+        k = F.col(key).cast("long")
+        return df.select(
+            k.alias("id"),
+            (((k * 37) % 12000).cast("double") / 100.0 - 60.0)
+            .alias("lat"),
+            (((k * 91) % 34000).cast("double") / 100.0 - 170.0)
+            .alias("lon"))
+
+    def bench_holt_kendall_geo():
+        # round-12: Holt damped fold + Kendall cell-pair pass +
+        # geohash density + grid radius join
+        from whylogs_spark.ops.forecast import holt_forecast
+        from whylogs_spark.ops.geo import geo_radius_join, grid_density
+        from whylogs_spark.ops.stats import kendall_tau
+        daily = (t["events"].filter(F.col("ts").isNotNull()
+                                    & F.col("event_type").isNotNull())
+                 .groupBy("event_type",
+                          F.date_trunc("day", "ts").alias("day"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("v")))
+        _noop(holt_forecast(daily, "day", "v", ["event_type"],
+                            alpha=0.3, beta=0.1, phi=0.9))
+        _noop(kendall_tau(t["lineitem"], "l_quantity",
+                          "l_linenumber"))
+        c = _geo_pts_bench(t["customer"], "c_custkey")
+        s = _geo_pts_bench(t["supplier"], "s_suppkey")
+        _noop(grid_density(c, "lat", "lon", 4))
+        _noop(geo_radius_join(
+            c, s.withColumnRenamed("id", "sid"), 300.0))
+
+    def bench_seasonal_esd():
+        # round-12: S-H-ESD retrospective anomaly walk (bounded
+        # iterative fit: ~3 jobs per examined step)
+        from whylogs_spark.ops.esd import seasonal_esd
+        daily = (t["events"].filter(F.col("ts").isNotNull())
+                 .groupBy(F.date_trunc("day", "ts").alias("day"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("v")))
+        _noop(seasonal_esd(daily, "day", "v", period=7,
+                           max_anomalies=5))
+
+    def bench_store_quantile_series():
+        # round-12: rolling KLL merges off a freshly-written store
+        # (write cost included on purpose: the ask is the end-to-end
+        # segments x time re-aggregation path)
+        import datetime as _dt
+        import shutil
+        import tempfile
+
+        from whylogs_spark.io.store import ProfileStore
+        d = tempfile.mkdtemp(prefix="bench_qstore_")
+        try:
+            store = ProfileStore(d + "/p")
+            sl = t["lineitem"].select("l_quantity", "l_extendedprice")
+            n10 = sl.count() // 10
+            for day in range(10):
+                store.write(
+                    wsp.profile(sl.offset(day * n10).limit(n10)),
+                    "bench",
+                    _dt.datetime(2024, 8, 1 + day,
+                                 tzinfo=_dt.timezone.utc))
+            _noop(store.quantile_series(
+                spark, "bench", "l_quantity",
+                quantiles=(0.25, 0.5, 0.95), window=4))
+            _noop(store.quantile_series(
+                spark, "bench", "l_extendedprice",
+                quantiles=(0.5, 0.99), window=7))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     def bench_ngram_diversity():
         from whylogs_spark.ops.text import ngram_diversity
         _noop(ngram_diversity(t["documents"], "text", "source",
@@ -1672,6 +1741,9 @@ def main() -> None:
         "cross_correlation_events": bench_cross_correlation,
         "ngram_diversity_documents": bench_ngram_diversity,
         "candidate_keys_customer": bench_candidate_keys,
+        "holt_kendall_geo": bench_holt_kendall_geo,
+        "store_quantile_series": bench_store_quantile_series,
+        "seasonal_esd_events": bench_seasonal_esd,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time
@@ -1703,7 +1775,9 @@ def main() -> None:
                 "asof_hot10x_single": 2,
                 "asof_hot10x_bucketed": 2,
                 "transitions_hot10x": 2,
-                "transitions_hot10x_bucketed": 2}
+                "transitions_hot10x_bucketed": 2,
+                # store writes 10 profile batches per rep (I/O-bound)
+                "store_quantile_series": 3}
 
     # warm the JVM/IO once with a trivial action
     t["lineitem"].count()

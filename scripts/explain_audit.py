@@ -3674,6 +3674,123 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    from whylogs_spark.ops.forecast import holt_forecast
+
+    holt_in = (ev11.filter(F.col("ts").isNotNull()
+                           & F.col("event_type").isNotNull())
+               .groupBy("event_type",
+                        F.date_trunc("day", "ts").alias("day"))
+               .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    sections.append((
+        "Holt forecast (grouped HOF fold, windowless)",
+        holt_forecast(holt_in, "day", "v", ["event_type"]),
+        {
+            "collapse partial-aggs before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "NO window at all (the recursion folds inside the "
+            "aggregate — array_sort + aggregate HOF)":
+                r"^(?![\s\S]*windowspecdefinition)",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.stats import kendall_tau
+
+    sections.append((
+        "Kendall tau-b (cell-table pair pass, broadcast NL)",
+        kendall_tau(li, "l_quantity", "l_linenumber"),
+        {
+            "pair pass is a broadcast nested-loop over the BOUNDED "
+            "cell table (max_cells-guarded), never a shuffle "
+            "cross join":
+                r"BroadcastNestedLoopJoin",
+            "no CartesianProduct (the unbroadcast disaster shape)":
+                r"^(?![\s\S]*CartesianProduct)",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    from whylogs_spark.ops.geo import (geo_radius_join, grid_density,
+                                       with_geohash)
+
+    geo_cust = cust.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 37) % 12000).cast("double") / 100.0
+         - 60.0).alias("lat"),
+        (((F.col("c_custkey") * 91) % 34000).cast("double") / 100.0
+         - 170.0).alias("lon"))
+    sections.append((
+        "Geohash grid density (pure shift/or projection + one agg)",
+        grid_density(geo_cust, "lat", "lon", 4),
+        {
+            "ONE partial-agged aggregation":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python (the hash is shift/or codegen)":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+    supp_geo = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        (((F.col("s_suppkey") * 37) % 12000).cast("double") / 100.0
+         - 60.0).alias("lat"),
+        (((F.col("s_suppkey") * 91) % 34000).cast("double") / 100.0
+         - 170.0).alias("lon"))
+    sections.append((
+        "Geo radius join (3x3 neighbor-cell EQUI-join)",
+        geo_radius_join(geo_cust, supp_geo, 300.0),
+        {
+            "the radius join is an equi-join on the cell id, "
+            "never a cross product":
+                r"^(?![\s\S]*CartesianProduct)",
+            "left side explodes to its 9 neighbor cells (Generate)":
+                r"\(\d+\) Generate",
+            "haversine filter is codegen (no Python)":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+    sections.append((
+        "Geohash projection (zero shuffle)",
+        with_geohash(geo_cust, "lat", "lon", 7),
+        {
+            "no exchange (pure projection)":
+                r"^(?![\s\S]*Exchange)",
+            "no Python":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # store rolling-quantile series: write a tiny store, audit the
+    # read plan — the scan must prune to the kll rows and the merge
+    # must be ONE Arrow-batched grouped pandas op over blob rows
+    import tempfile as _tf
+
+    import whylogs_spark as _wsp
+    from whylogs_spark.io.store import ProfileStore as _PS
+
+    _qs_dir = _tf.mkdtemp(prefix="audit_qstore_")
+    _qs = _PS(_qs_dir + "/p")
+    import datetime as _dt2
+
+    for _day in (1, 2, 3):
+        _qs.write(
+            _wsp.profile(li.limit(500).select("l_quantity")),
+            "audit",
+            _dt2.datetime(2024, 7, _day, tzinfo=_dt2.timezone.utc))
+    sections.append((
+        "Store rolling KLL quantile series (pruned scan + one "
+        "grouped sketch merge)",
+        _qs.quantile_series(spark, "audit", "l_quantity", window=2),
+        {
+            "metric/component filters push into the parquet scan":
+                r"PushedFilters: \[[^\]]*(metric|component)",
+            "window fan-out is a Generate (explode), x window":
+                r"\(\d+\) Generate",
+            "ONE grouped Arrow-batched sketch merge":
+                r"FlatMapGroupsInPandas",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
@@ -3696,6 +3813,10 @@ def main() -> None:
         "core/model_perf.py::gains_table",
         # per-cause offset over the one-row-per-cause totals frame
         "ops/survival.py::cumulative_incidence",
+        # phase-rank over the max_points-guarded collapsed series
+        # (count runs BEFORE the window exists; S-H-ESD is a bounded
+        # retrospective fit, same contract as ungrouped ses_forecast)
+        "ops/esd.py::seasonal_esd",
     }
 
     def _enclosing_def(srctxt: str, pos: int) -> str:

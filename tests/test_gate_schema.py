@@ -84,6 +84,8 @@ _PLAN_TIME_JOBS = {
     "two_model_uplift_orders", "zca_whitening_embeddings",
     # round-12: max_points / max_cells guards collect at plan build
     "holt_forecast_events", "kendall_tau_lineitem",
+    # round-12: the whole GESD walk runs at construction
+    "seasonal_esd_events",
 }
 
 

@@ -570,3 +570,100 @@ class ProfileStore:
                 f"metric must be one of {sorted(fns)}, got {metric!r}")
         view = self.get(spark, dataset_id, date_from, date_to)
         return fn(view, score_col, label_col, pos_value, neg_value)
+
+    def quantile_series(
+        self,
+        spark: SparkSession,
+        dataset_id: str,
+        column: str,
+        quantiles=(0.25, 0.5, 0.95),
+        window: int = 7,
+        date_from: Optional[str] = None,
+        date_to: Optional[str] = None,
+    ) -> DataFrame:
+        """Rolling-window quantile series from stored KLL sketches:
+        one row per (segment, stored batch) whose quantile estimates
+        come from the MERGED sketches of the trailing ``window``
+        batches ending at that batch — "p95 over the last 7 daily
+        profiles, every day" straight off the store, no raw data
+        re-read.  Columns: ``(segment, dataset_ts, batches, n,
+        q_<pct>...)``; early rows merge however many batches exist
+        (``batches`` says how many), so the series starts day one.
+
+        Scale shape: the scan is partition-pruned to
+        (dataset_id, column, distribution/kll) rows — KB-sized blobs,
+        one per segment per batch, never data rows.  Each batch row
+        fans out to the ``window`` window-ends it participates in
+        (one explode, x window), then ONE groupBy(segment,
+        window_end) Arrow-batched pandas merge unions <= ``window``
+        blobs per group and reads the quantiles off the merged
+        sketch.  100+ windows x many segments stays a bounded
+        sketch-algebra job: cost ~ batches x window blob merges,
+        independent of the profiled table's size.  The per-segment
+        ``row_number`` window runs over batch COUNTS (a store has
+        hundreds of batches, not billions).  Merge order inside a
+        window is pinned (ascending batch) so compaction randomness
+        replays identically run to run.
+        """
+        import pandas as pd
+
+        from ..core.sketches import KllSketch
+
+        if window < 1:
+            raise ValueError(f"window must be >= 1: {window}")
+        qs = [float(q) for q in quantiles]
+        if not qs or any(not 0.0 < q < 1.0 for q in qs):
+            raise ValueError(f"quantiles must be in (0, 1): {quantiles}")
+        qcols = [f"q_{str(q).replace('0.', '').ljust(2, '0')[:4]}"
+                 for q in qs]
+        if len(set(qcols)) != len(qcols):
+            raise ValueError(f"quantiles collide after naming: {qcols}")
+
+        df = self._read(spark).filter(
+            (F.col("dataset_id") == dataset_id)
+            & (F.col("column") == column)
+            & (F.col("metric") == "distribution")
+            & (F.col("component") == "kll")
+            & F.col("b").isNotNull())
+        if date_from is not None:
+            df = df.filter(F.col("date") >= date_from)
+        if date_to is not None:
+            df = df.filter(F.col("date") <= date_to)
+        from pyspark.sql import Window as W
+        rn = F.row_number().over(
+            W.partitionBy("segment").orderBy("dataset_ts"))
+        base = df.select(
+            "segment", F.to_timestamp("dataset_ts").alias("dataset_ts"),
+            "b").withColumn("__rn", rn)
+        mx = base.groupBy("segment").agg(F.max("__rn").alias("__mx"))
+        fan = (base.join(mx, "segment")
+               .select("segment", "dataset_ts", "b", "__rn",
+                       F.explode(F.sequence(
+                           F.col("__rn"),
+                           F.least(F.col("__rn") + F.lit(window - 1),
+                                   F.col("__mx")))).alias("__end")))
+
+        kll_k = self.config.effective_kll_k
+        out_schema = ("segment string, dataset_ts timestamp, "
+                      "batches int, n long, "
+                      + ", ".join(f"{c} double" for c in qcols))
+
+        def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__rn")
+            sk = KllSketch(kll_k)
+            for blob in pdf["b"]:
+                if blob is not None:
+                    sk.merge(KllSketch.deserialize(bytes(blob)))
+            end_row = pdf[pdf["__rn"] == pdf["__end"].iloc[0]]
+            ts = end_row["dataset_ts"].iloc[0] if len(end_row) \
+                else pdf["dataset_ts"].iloc[-1]
+            vals = sk.quantiles(qs) if sk.n else [None] * len(qs)
+            rec = {"segment": pdf["segment"].iloc[0],
+                   "dataset_ts": ts, "batches": len(pdf),
+                   "n": int(sk.n)}
+            for c, v in zip(qcols, vals):
+                rec[c] = None if v is None else float(v)
+            return pd.DataFrame([rec])
+
+        return (fan.groupBy("segment", "__end")
+                .applyInPandas(_merge, out_schema))
