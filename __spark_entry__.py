@@ -4398,6 +4398,53 @@ def _geo_radius_sql(radius: float = 300.0) -> str:
     )
 
 
+def _q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier per customer within 300 km (ops/geo.py
+    geo_nearest_join): radius-join candidates + ONE grouped
+    struct-min argmin with a deterministic (distance, id) tie-break;
+    the oracle takes the same argmin over the brute-force pair table.
+    Same margin-pinned synthetic grid as geo_radius_join_customer."""
+    from whylogs_spark.ops.geo import geo_nearest_join
+
+    c = _geo_pts(_t(spark, sf_dir, "customer"), "c_custkey")
+    s = _geo_pts(_t(spark, sf_dir, "supplier"), "s_suppkey")
+    out = geo_nearest_join(c, s.withColumnRenamed("id", "sid"), 300.0)
+    return out.select(
+        F.col("id").alias("cust_id"),
+        F.col("r_sid").alias("supp_id"),
+        _eround("distance_km", 5).alias("distance_km")
+    ).orderBy("cust_id")
+
+
+def _geo_nearest_sql(radius: float = 300.0) -> str:
+    """Brute-force argmin twin of _q_geo_nearest (same haversine
+    bits as _geo_radius_sql, row_number tie-break on (d, supp_id))."""
+    import math as _math
+
+    p = repr(_math.pi / 180.0)
+    two_r = repr(2.0 * 6371.0088)
+    d = ("{tr} * asin(least(sqrt("
+         "sin((s.lat - c.lat) * {p} / 2.0) * "
+         "sin((s.lat - c.lat) * {p} / 2.0) + "
+         "cos(c.lat * {p}) * cos(s.lat * {p}) * "
+         "sin((s.lon - c.lon) * {p} / 2.0) * "
+         "sin((s.lon - c.lon) * {p} / 2.0)), 1.0))"
+         ).format(tr=two_r, p=p)
+    return (
+        "WITH c AS ("
+        + _GEO_PTS_SQL.format(key="c_custkey", table="customer")
+        + "), s AS ("
+        + _GEO_PTS_SQL.format(key="s_suppkey", table="supplier")
+        + f"), pairs AS (SELECT c.id AS cust_id, s.id AS supp_id, "
+        f"{d} AS d FROM c, s), "
+        f"inr AS (SELECT *, row_number() OVER (PARTITION BY cust_id "
+        "ORDER BY d, supp_id) AS rk FROM pairs "
+        f"WHERE d <= {radius!r}) "
+        f"SELECT cust_id, supp_id, {_eround_sql('d', 5)} AS "
+        "distance_km FROM inr WHERE rk = 1 ORDER BY cust_id"
+    )
+
+
 def _q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-Hybrid ESD anomalies (ops/esd.py seasonal_esd) over
     the daily event-count series, weekly seasonality.  NO SQL oracle:
@@ -4988,6 +5035,7 @@ _GATE_ORDER = [
     "kendall_tau_lineitem",
     "grid_density_customer",
     "geo_radius_join_customer",
+    "geo_nearest_customer",
     "seasonal_esd_events",
     # --- below the fold: previously driver-green rows, kept in prior
     # relative order; scripts/check_oracle.py still covers all of them.
@@ -5345,6 +5393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_lineitem": _q_kendall,
         "grid_density_customer": _q_grid_density,
         "geo_radius_join_customer": _q_geo_radius,
+        "geo_nearest_customer": _q_geo_nearest,
         "seasonal_esd_events": _q_seasonal_esd,
         "kmv_distinct_lineitem": _q_kmv_distinct,
         "kmv_overlap_lineitem": _q_kmv_overlap,
@@ -10188,6 +10237,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "geo_radius_join_customer": _geo_radius_sql(),
+        "geo_nearest_customer": _geo_nearest_sql(),
         "kendall_tau_lineitem": (
             "WITH b AS (SELECT l_quantity::DOUBLE AS x, "
             "l_linenumber::DOUBLE AS y FROM lineitem WHERE "

@@ -713,6 +713,9 @@ def main() -> None:
         _noop(grid_density(c, "lat", "lon", 4))
         _noop(geo_radius_join(
             c, s.withColumnRenamed("id", "sid"), 300.0))
+        from whylogs_spark.ops.geo import geo_nearest_join
+        _noop(geo_nearest_join(
+            c, s.withColumnRenamed("id", "sid"), 300.0))
 
     def bench_seasonal_esd():
         # round-12: S-H-ESD retrospective anomaly walk (bounded

@@ -3750,6 +3750,24 @@ def main() -> None:
                 r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
+    from whylogs_spark.ops.geo import geo_nearest_join
+
+    sections.append((
+        "Geo nearest join (radius candidates + ONE grouped argmin)",
+        geo_nearest_join(
+            geo_cust,
+            supp_geo.withColumnRenamed("id", "sid"), 300.0),
+        {
+            "no cross product anywhere":
+                r"^(?![\s\S]*CartesianProduct)",
+            "argmin is a partial-agged grouped min (struct min "
+            "before the exchange)":
+                r"partial_min[\s\S]*Exchange",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     sections.append((
         "Geohash projection (zero shuffle)",
         with_geohash(geo_cust, "lat", "lon", 7),

@@ -120,3 +120,47 @@ class TestGridDensity:
         assert got["u09"] == (2, 5.0)
         assert got["r3g"] == (1, 5.0)
         assert sum(n for n, _ in got.values()) == 3
+
+
+class TestNearestJoin:
+    def test_matches_bruteforce_argmin(self, spark):
+        import numpy as np
+        from whylogs_spark.ops.geo import geo_nearest_join
+        rng = np.random.RandomState(9)
+        lpts = [(i, float(a), float(o)) for i, (a, o) in enumerate(
+            zip(rng.uniform(35, 55, 150), rng.uniform(-5, 25, 150)))]
+        rpts = [(i, float(a), float(o)) for i, (a, o) in enumerate(
+            zip(rng.uniform(35, 55, 60), rng.uniform(-5, 25, 60)))]
+        left = spark.createDataFrame(lpts, "l_id int, lat double, lon double")
+        right = spark.createDataFrame(rpts, "r_id int, lat double, lon double")
+        got = {r["l_id"]: (r["r_r_id"], r["distance_km"])
+               for r in geo_nearest_join(left, right, 400.0).collect()}
+        # brute force argmin with (distance, id) tie-break
+        import math
+        def hav(a, b, c, d):
+            p = math.pi / 180.0
+            x = (math.sin((c - a) * p / 2) ** 2
+                 + math.cos(a * p) * math.cos(c * p)
+                 * math.sin((d - b) * p / 2) ** 2)
+            return 2 * 6371.0088 * math.asin(min(math.sqrt(x), 1.0))
+        want = {}
+        for li, la, lo in lpts:
+            best = None
+            for ri, ra, ro in rpts:
+                d = hav(la, lo, ra, ro)
+                if d <= 400.0 and (best is None or (d, ri) < best):
+                    best = (d, ri)
+            if best is not None:
+                want[li] = (best[1], best[0])
+        assert set(got) == set(want)
+        for li, (ri, d) in want.items():
+            assert got[li][0] == ri, li
+            assert abs(got[li][1] - d) < 1e-9, li
+
+    def test_out_of_range_dropped(self, spark):
+        from whylogs_spark.ops.geo import geo_nearest_join
+        left = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "l_id int, lat double, lon double")
+        right = spark.createDataFrame(
+            [(2, 50.0, 50.0)], "r_id int, lat double, lon double")
+        assert geo_nearest_join(left, right, 100.0).count() == 0

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["haversine_km", "with_geohash", "geo_radius_join",
-           "grid_density"]
+           "geo_nearest_join", "grid_density"]
 
 EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
 
@@ -210,3 +210,42 @@ def grid_density(
                     .alias("value_sum"))
     return (g.filter(F.col("__gh").isNotNull())
             .groupBy(F.col("__gh").alias("geohash")).agg(*aggs))
+
+
+def geo_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_lat: float = 85.0,
+) -> DataFrame:
+    """For each left point, its SINGLE nearest right point within
+    ``max_radius_km`` great-circle km (ties broken by the smallest
+    right row, deterministically) — "nearest store / cell tower /
+    depot" in one call.  Left points with no right point in range are
+    dropped (outer behavior = anti-join the result back).
+
+    Composition, not new machinery: the candidate set comes from
+    :func:`geo_radius_join` (3x3 neighbor-cell equi-join — every
+    right point within the radius is guaranteed among the
+    candidates), then ONE ``min_by``-style grouped reduce per left
+    point picks the closest.  Scale shape: the radius join's
+    point-proportional shuffle plus one partial-agged groupBy on the
+    left key columns; candidate fan-in per left point is bounded by
+    the density of the 9 searched cells.
+    """
+    cand = geo_radius_join(left, right, max_radius_km,
+                           lat_col, lon_col, max_lat)
+    rcols = [f"r_{c}" for c in right.columns]
+    # deterministic argmin: order by (distance, right cols) via ONE
+    # max_by on the negated key — struct comparison breaks distance
+    # ties on the right columns' values
+    pick = F.min(F.struct(
+        F.col("distance_km"),
+        *[F.col(c) for c in rcols])).alias("__best")
+    out = cand.groupBy(*[F.col(c) for c in left.columns]).agg(pick)
+    return out.select(
+        *left.columns,
+        *[F.col(f"__best.{c}").alias(c) for c in rcols],
+        F.col("__best.distance_km").alias("distance_km"))
