@@ -4398,6 +4398,47 @@ def _geo_radius_sql(radius: float = 300.0) -> str:
     )
 
 
+def _q_huber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression (ops/robust.py huber_regression) of
+    totalprice on month + custkey features.  NO SQL oracle: the IRLS
+    weight/scale loop (median-absolute-residual sigma per iteration)
+    is not expressible as one SQL statement — rows-only at the
+    driver; betas are cross-verified against a sequential numpy IRLS
+    to 1e-6 and shown to resist planted 5% gross outliers in
+    tests/test_robust_bandit.py.  Output: p+1 deterministic rows."""
+    from whylogs_spark.ops.robust import huber_regression
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.month("o_orderdate").cast("double") / 12.0).alias("x1"),
+        ((F.col("o_custkey") % 100).cast("double") / 100.0)
+        .alias("x2"),
+        F.col("o_totalprice").alias("y"))
+    out = huber_regression(o, "y", ["x1", "x2"])
+    return out.select("term", _eround("beta", 4).alias("beta"),
+                      "iterations", "converged",
+                      _eround("sigma", 4).alias("sigma"),
+                      "n").orderBy("term")
+
+
+def _q_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-Bernoulli bandit posterior summary (ops/bandit.py
+    bandit_report) per event-type arm, reward = value > 50.  The gate
+    projects the CLOSED-FORM columns only (counts, posterior mean and
+    variance — exact integer-derived ratios, raw doubles); the
+    grid-quadrature columns (ci bounds, p_best) are pytest-verified
+    (symmetry, dominance, normalization) and excluded here so the
+    oracle stays exact."""
+    from whylogs_spark.ops.bandit import bandit_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("arm"),
+        (F.col("value") > 50.0).cast("double").alias("r"))
+    out = bandit_report(ev, "arm", "r")
+    return out.select("arm", "n", "successes",
+                      "posterior_mean", "posterior_var"
+                      ).orderBy("arm")
+
+
 def _q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest supplier per customer within 300 km (ops/geo.py
     geo_nearest_join): radius-join candidates + ONE grouped
@@ -5037,6 +5078,8 @@ _GATE_ORDER = [
     "geo_radius_join_customer",
     "geo_nearest_customer",
     "seasonal_esd_events",
+    "huber_regression_orders",
+    "bandit_report_events",
     # --- below the fold: previously driver-green rows, kept in prior
     # relative order; scripts/check_oracle.py still covers all of them.
     "cusum_changepoints_events",
@@ -5395,6 +5438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius_join_customer": _q_geo_radius,
         "geo_nearest_customer": _q_geo_nearest,
         "seasonal_esd_events": _q_seasonal_esd,
+        "huber_regression_orders": _q_huber,
+        "bandit_report_events": _q_bandit,
         "kmv_distinct_lineitem": _q_kmv_distinct,
         "kmv_overlap_lineitem": _q_kmv_overlap,
         "ols_orders": _q_ols,
@@ -10238,6 +10283,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geo_radius_join_customer": _geo_radius_sql(),
         "geo_nearest_customer": _geo_nearest_sql(),
+        "bandit_report_events": (
+            # closed-form Beta posterior columns only: counts are
+            # exact, mean/var are integer-derived ratios whose
+            # products stay < 2^53 — raw doubles, bit-deterministic
+            "WITH b AS (SELECT event_type AS arm, "
+            "CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s "
+            "FROM events WHERE event_type IS NOT NULL AND value IS "
+            "NOT NULL AND NOT isnan(value)), "
+            "c AS (SELECT arm, count(*)::BIGINT AS n, "
+            "sum(s)::BIGINT AS successes FROM b GROUP BY 1), "
+            "p AS (SELECT arm, n, successes, "
+            "(1.0 + successes) AS a, (1.0 + (n - successes)) AS bb "
+            "FROM c) "
+            "SELECT arm, n, successes, a / (a + bb) AS "
+            "posterior_mean, a * bb / ((a + bb) * (a + bb) * "
+            "(a + bb + 1.0)) AS posterior_var FROM p ORDER BY arm"
+        ),
         "kendall_tau_lineitem": (
             "WITH b AS (SELECT l_quantity::DOUBLE AS x, "
             "l_linenumber::DOUBLE AS y FROM lineitem WHERE "

@@ -727,6 +727,24 @@ def main() -> None:
         _noop(seasonal_esd(daily, "day", "v", period=7,
                            max_anomalies=5))
 
+    def bench_huber_bandit():
+        # round-12 batch 4: Huber IRLS + bandit posterior summary
+        from whylogs_spark.ops.bandit import bandit_report
+        from whylogs_spark.ops.robust import huber_regression
+        o = t["orders"]
+        _noop(huber_regression(
+            o.select((F.month("o_orderdate").cast("double") / 12.0)
+                     .alias("x1"),
+                     ((F.col("o_custkey") % 100).cast("double")
+                      / 100.0).alias("x2"),
+                     F.col("o_totalprice").alias("y")),
+            "y", ["x1", "x2"]))
+        _noop(bandit_report(
+            t["events"].select(
+                F.col("event_type").alias("arm"),
+                (F.col("value") > 50.0).cast("double").alias("r")),
+            "arm", "r"))
+
     def bench_store_quantile_series():
         # round-12: rolling KLL merges off a freshly-written store
         # (write cost included on purpose: the ask is the end-to-end
@@ -1747,6 +1765,7 @@ def main() -> None:
         "holt_kendall_geo": bench_holt_kendall_geo,
         "store_quantile_series": bench_store_quantile_series,
         "seasonal_esd_events": bench_seasonal_esd,
+        "huber_bandit": bench_huber_bandit,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -3809,6 +3809,60 @@ def main() -> None:
                 r"FlatMapGroupsInPandas",
         }))
 
+    # Huber IRLS: the per-iteration plan (rebuilt inline at unit
+    # weights — huber_regression loops driver-side like cox_ph, so
+    # the audit pins the weighted moment aggregate each step runs)
+    hb = load_table(spark, SF_DIR, "orders").select(
+        (F.month("o_orderdate").cast("double") / 12.0).alias("__x0"),
+        ((F.col("o_custkey") % 100).cast("double") / 100.0)
+        .alias("__x1"),
+        F.col("o_totalprice").cast("double").alias("__y"),
+        F.lit(1.0).alias("__one"), F.lit(1.0).alias("__w"))
+    hub_feats = ["__one", "__x0", "__x1"]
+    hub_aggs = []
+    for i in range(3):
+        for j in range(i, 3):
+            hub_aggs.append(F.sum(
+                F.col("__w") * F.col(hub_feats[i])
+                * F.col(hub_feats[j])).alias(f"m_{i}_{j}"))
+        hub_aggs.append(F.sum(
+            F.col("__w") * F.col(hub_feats[i]) * F.col("__y"))
+            .alias(f"v_{i}"))
+    sections.append((
+        "Huber IRLS step (ONE weighted moment aggregate)",
+        hb.agg(*hub_aggs),
+        {
+            "moment matrix partial-aggs before one exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python in the iteration plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # Bandit posterior: the ONLY data-touching frame is the per-arm
+    # count groupBy (posterior math runs on the collected arms x 2
+    # table driver-side)
+    bd = ev11.select(
+        F.col("event_type").alias("arm"),
+        (F.col("value") > 50.0).cast("double").alias("r"))
+    bd_counts = (bd.filter(F.col("arm").isNotNull()
+                           & F.col("r").isNotNull()
+                           & ~F.isnan(F.col("r")))
+                 .groupBy("arm")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.when(F.col("r") > 0, 1).otherwise(0))
+                      .alias("s")))
+    sections.append((
+        "Bandit arm counts (the single data pass)",
+        bd_counts,
+        {
+            "ONE partial-agged aggregation":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -86,6 +86,8 @@ _PLAN_TIME_JOBS = {
     "holt_forecast_events", "kendall_tau_lineitem",
     # round-12: the whole GESD walk runs at construction
     "seasonal_esd_events",
+    # round-12: IRLS / count-collect fits at construction
+    "huber_regression_orders", "bandit_report_events",
 }
 
 
