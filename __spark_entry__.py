@@ -3222,11 +3222,14 @@ def _q_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Qini/uplift curve (ops/abtest.py uplift_curve): distinct-score
     descending walk on the shared prefix-sum machinery; cumulative
     counts are exact integers and the uplift/qini divisions replay
-    bit-for-bit.  RAW doubles on purpose (r11 judge ask #1): every
-    value is a ratio of exact integers, so IEEE division is
-    deterministic across engines, while round(x, 6) half-way behavior
-    is engine-version-defined — rounding here made the row red at the
-    driver twice while bit-exact locally."""
+    bit-for-bit (raw IEEE doubles of exact-integer ratios).  The
+    r10-r12 driver red on this row was NOT rounding: the oracle's
+    uncast ``sum(BIGINT) OVER`` cumulative counts are HUGEINT, which
+    DuckDB's pandas conversion renders as float64 against Spark's
+    int64 — invisible to fetchall()-based local checks.  The oracle
+    now casts them ``::BIGINT`` and scripts/check_oracle.py
+    canonicalizes through pandas with a dtype-kind parity check so
+    the class cannot recur."""
     from whylogs_spark.ops.abtest import uplift_curve
 
     o = _t(spark, sf_dir, "orders")
@@ -3791,11 +3794,12 @@ def _q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative gains / lift (core/model_perf.py gains_table):
     exact-percentile score buckets best-first, bounded cumulative
-    window.  RAW doubles on purpose (r11 judge ask #1): pos_rate /
-    capture_rate / cum_lift are ratios of exact integers — IEEE
-    division replays bit-for-bit in both engines, while round(x, 6)
-    half-way behavior is engine-version-defined (two driver-red
-    rounds, bit-exact locally both times)."""
+    window.  pos_rate / capture_rate / cum_lift are raw IEEE doubles
+    of exact-integer ratios (bit-deterministic in both engines).  The
+    r10-r12 driver red on this row was the oracle's uncast
+    ``sum(BIGINT) OVER ord`` cum_n: HUGEINT renders as float64 under
+    the driver's pandas canonicalizer vs Spark's int64.  Now cast
+    ``::BIGINT``; see scripts/check_oracle.py's dtype-parity guard."""
     from whylogs_spark.core.model_perf import gains_table
 
     d = _sl_orders(_t(spark, sf_dir, "orders"))
@@ -6795,9 +6799,18 @@ _UPLIFT_WALK_SQL = (
     "sum(CASE WHEN t THEN y ELSE 0 END) AS yt, "
     "sum(CASE WHEN t THEN 0 ELSE y END) AS yc "
     "FROM b GROUP BY 1), "
+    # ::BIGINT on the integer window sums is LOAD-BEARING: DuckDB
+    # sums BIGINT into HUGEINT, and the driver's pandas
+    # canonicalization renders HUGEINT as float64 (15000.0) against
+    # Spark's int64 (15000) — hash-red at the driver while every
+    # fetchall()-based local check (HUGEINT -> Python int) stays
+    # green.  This, not round(x, 6), was the r10-r12 red on
+    # uplift_curve_orders/gains_table_orders.
     "w AS (SELECT s, n, "
-    "sum(n) OVER o AS cum_n, sum(nt) OVER o AS cum_n_t, "
-    "sum(nc) OVER o AS cum_n_c, sum(yt) OVER o AS cum_y_t, "
+    "(sum(n) OVER o)::BIGINT AS cum_n, "
+    "(sum(nt) OVER o)::BIGINT AS cum_n_t, "
+    "(sum(nc) OVER o)::BIGINT AS cum_n_c, "
+    "sum(yt) OVER o AS cum_y_t, "
     "sum(yc) OVER o AS cum_y_c FROM g WINDOW o AS (ORDER BY s DESC "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
     "c AS (SELECT *, CASE WHEN cum_n_t > 0 AND cum_n_c > 0 THEN "
@@ -7320,9 +7333,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "textrank_keywords_documents": _textrank_sql(),
         "uplift_curve_orders": (
-            # raw doubles, no round(): exact-integer ratios replay
-            # bit-for-bit; round(x, 6) half-way behavior varies by
-            # DuckDB version (r10+r11 driver-red, bit-exact locally)
+            # raw doubles of exact-integer ratios (bit-deterministic);
+            # the r10-r12 red was the walk's uncast HUGEINT window
+            # sums (float64 under pandas), fixed in _UPLIFT_WALK_SQL
             f"WITH b AS ({_UPLIFT_BASE_SQL}), {_UPLIFT_WALK_SQL} "
             "SELECT s AS score, n, cum_n, cum_n_t, cum_n_c, "
             "cum_y_t, cum_y_c, uplift, qini FROM c"
@@ -9649,13 +9662,15 @@ def oracle_sql() -> dict[str, str]:
             "per AS (SELECT bucket, count(*)::BIGINT AS n, "
             "sum(y) AS np, any_value(nt) AS nt, any_value(pt) AS pt "
             "FROM bb GROUP BY 1), "
-            "w AS (SELECT *, sum(n) OVER ord AS cum_n, "
+            # ::BIGINT load-bearing: uncast sum(BIGINT) OVER is
+            # HUGEINT -> float64 under the driver's pandas
+            # canonicalizer vs Spark's int64 (the r10-r12 red)
+            "w AS (SELECT *, (sum(n) OVER ord)::BIGINT AS cum_n, "
             "sum(np) OVER ord AS cum_pos FROM per WINDOW ord AS "
             "(ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING "
             "AND CURRENT ROW)) "
-            # raw doubles, no round(): exact-integer ratios replay
-            # bit-for-bit; round(x, 6) half-way behavior varies by
-            # DuckDB version (r10+r11 driver-red, bit-exact locally)
+            # raw doubles of exact-integer ratios (bit-deterministic);
+            # the r10-r12 red was the uncast HUGEINT cum_n above
             "SELECT bucket::BIGINT AS bucket, n, np::BIGINT AS n_pos, "
             "np / n AS pos_rate, cum_n, "
             "cum_pos::BIGINT AS cum_pos, "

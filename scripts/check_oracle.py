@@ -2,7 +2,19 @@
 
 Runs every ``queries()`` entry on Spark at sf0.01 and its ``oracle_sql()``
 through DuckDB on the same parquet, then compares row count, column names,
-and an order-insensitive multiset of rounded values.
+an order-insensitive multiset of rounded values, AND the pandas dtype
+KIND each side presents after DataFrame conversion.
+
+The dtype check is load-bearing: the driver canonicalizes both results
+through pandas, and DuckDB's pandas conversion widens HUGEINT (any
+``sum`` over integer columns, windowed or grouped) to float64 — so an
+oracle column left uncast hashes as ``15000.0`` against Spark's int64
+``15000`` and goes red AT THE DRIVER ONLY, because ``fetchall()`` hands
+back exact Python ints locally.  That silent class kept
+``uplift_curve_orders``/``gains_table_orders`` red for rounds 10-12
+while every value-level check (here and two judges' bit-comparisons)
+stayed green.  Any integer-producing oracle aggregate must end in
+``::BIGINT``.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
@@ -37,6 +49,45 @@ def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     return sorted(out)
+
+
+def spark_pandas_kinds(schema, cols, rows):
+    """The numpy dtype kind each Spark column would present after the
+    driver's toPandas conversion: integral/boolean columns WITH nulls
+    widen (float64 / object), matching PySpark's pandas conversion."""
+    kinds = {}
+    for i, f in enumerate(schema.fields):
+        t = f.dataType.simpleString()
+        has_null = any(r[i] is None for r in rows)
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            kinds[cols[i]] = "f" if has_null else "i"
+        elif t in ("float", "double"):
+            kinds[cols[i]] = "f"
+        elif t == "boolean":
+            kinds[cols[i]] = "O" if has_null else "b"
+        elif t.startswith("timestamp"):
+            kinds[cols[i]] = "M"
+        else:  # string, decimal, date, binary -> object
+            kinds[cols[i]] = "O"
+    return kinds
+
+
+def dtype_mismatches(sdf, srows, odf):
+    """Columns whose pandas dtype KIND differs between the Spark
+    result (driver toPandas semantics) and the DuckDB ``.df()`` frame
+    — the exact comparison surface of the driver's hash."""
+    skinds = spark_pandas_kinds(sdf.schema, sdf.columns, srows)
+    bad = []
+    for c in odf.columns:
+        ok = odf.dtypes[c].kind
+        sk = skinds.get(c)
+        if sk is None:
+            continue  # column-name mismatch reported separately
+        if ok == "u":
+            ok = "i"
+        if sk != ok:
+            bad.append(f"{c}: spark~{sk} vs duckdb~{ok}")
+    return bad
 
 
 def main() -> int:
@@ -94,6 +145,9 @@ def main() -> int:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # second execution for the pandas frame: the dtype KINDS
+            # after .df() are the driver's actual hash surface
+            odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -104,6 +158,9 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
         else:
+            kind_bad = dtype_mismatches(sdf, srows, odf)
+            if kind_bad:
+                problems.append(f"pandas dtype kinds: {kind_bad}")
             sn = norm_rows(scols, [[r[c] for c in scols] for r in srows])
             on = norm_rows(ocols, orows)
             if sn != on:

@@ -164,3 +164,38 @@ class TestNearestJoin:
         right = spark.createDataFrame(
             [(2, 50.0, 50.0)], "r_id int, lat double, lon double")
         assert geo_nearest_join(left, right, 100.0).count() == 0
+
+
+class TestGeoNearestLeftId:
+    def test_duplicate_left_rows(self, spark):
+        """Default path groups on all left columns (duplicates
+        collapse, documented); left_id_col gives one row per input."""
+        from whylogs_spark.ops.geo import geo_nearest_join
+
+        left = spark.createDataFrame(
+            [(1, 10.0, 10.0), (2, 10.0, 10.0)],
+            "uid int, lat double, lon double")
+        right = spark.createDataFrame(
+            [(7, 10.1, 10.1)], "r_id int, lat double, lon double")
+
+        collapsed = geo_nearest_join(
+            left.drop("uid"), right, 100.0)
+        assert collapsed.count() == 1
+
+        keyed = geo_nearest_join(
+            left, right, 100.0, left_id_col="uid")
+        rows = {r["uid"]: r for r in keyed.collect()}
+        assert set(rows) == {1, 2}
+        assert all(r["r_r_id"] == 7 for r in rows.values())
+
+    def test_left_id_validation(self, spark):
+        import pytest
+
+        from whylogs_spark.ops.geo import geo_nearest_join
+
+        left = spark.createDataFrame(
+            [(1, 0.0, 0.0)], "uid int, lat double, lon double")
+        right = spark.createDataFrame(
+            [(2, 0.0, 0.0)], "r_id int, lat double, lon double")
+        with pytest.raises(ValueError, match="left_id_col"):
+            geo_nearest_join(left, right, 10.0, left_id_col="nope")

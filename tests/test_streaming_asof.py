@@ -107,3 +107,50 @@ def test_streaming_asof_validation(spark):
         [], "k long, ts timestamp, dim_v double")
     with pytest.raises(ValueError, match="collision"):
         streaming_asof_enrich(ev_clash, dim_clash, "k")
+
+
+def test_streaming_asof_null_payload_columns(spark, tmp_path):
+    """to_json drops null fields: an event payload column that is
+    null in EVERY emitted row of a group batch must still appear in
+    the output (it used to vanish from the buffered JSON and crash
+    the query with a KeyError at the schema projection), and a
+    PARTIALLY-null long column must come back as longs with nulls,
+    not NaN floats that fail the Arrow cast."""
+    ev_schema = "k long, ts timestamp, amt long, note string"
+    dim_schema = "k long, ts timestamp, tier string"
+
+    evs0 = spark.createDataFrame(
+        [(1, _t(10), 5, None), (1, _t(20), None, None)], ev_schema)
+    dims0 = spark.createDataFrame([(1, _t(0), "bronze")], dim_schema)
+    evs1 = spark.createDataFrame(
+        [(999, _t(100000), None, None)], ev_schema)
+    dims1 = spark.createDataFrame([(999, _t(100000), None)], dim_schema)
+
+    esrc = str(tmp_path / "ev")
+    dsrc = str(tmp_path / "dim")
+    evs0.coalesce(1).write.parquet(esrc + "/b=0")
+    dims0.coalesce(1).write.parquet(dsrc + "/b=0")
+    evs1.coalesce(1).write.parquet(esrc + "/b=1")
+    dims1.coalesce(1).write.parquet(dsrc + "/b=1")
+
+    ev_stream = (spark.readStream.schema(ev_schema)
+                 .option("maxFilesPerTrigger", 1).parquet(esrc + "/*"))
+    dim_stream = (spark.readStream.schema(dim_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(dsrc + "/*"))
+
+    out = streaming_asof_enrich(
+        ev_stream, dim_stream, key_col="k", ts_col="ts",
+        dim_ts_col="ts", watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("asofnull")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+
+    rows = {r["ts"]: r for r in spark.sql(
+        "SELECT * FROM asofnull WHERE k < 999").collect()}
+    assert len(rows) == 2
+    assert rows[_t(10)]["amt"] == 5
+    assert rows[_t(10)]["note"] is None
+    assert rows[_t(20)]["amt"] is None
+    assert rows[_t(20)]["note"] is None
+    assert rows[_t(10)]["dim_tier"] == "bronze"
+    assert rows[_t(20)]["dim_tier"] == "bronze"

@@ -69,3 +69,41 @@ def test_streaming_sample_validation(spark):
         streaming_group_sample(df, "g", 0, ["id"])
     with pytest.raises(ValueError, match="columns not in"):
         streaming_group_sample(df, "g", 5, ["nope"])
+
+
+def test_streaming_sample_all_null_payload_column(spark, tmp_path):
+    """A payload column that is null in every sampled row must still
+    be emitted (to_json drops null fields; the emitted frame used to
+    lack the declared column and fail the Arrow conversion), and rank
+    ties at the k boundary are cut to exactly k like the batch
+    row_number() contract."""
+    schema = "source string, doc_id long, note string, ts timestamp"
+    rows = [("web", i % 4, None, BASE) for i in range(8)]
+    df = spark.createDataFrame(rows, schema)
+    sentinel = spark.createDataFrame(
+        [("zz", 999999, "x", BASE + datetime.timedelta(days=30))],
+        schema)
+
+    d = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(d + "/b=0")
+    sentinel.coalesce(1).write.parquet(d + "/b=1")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d + "/*"))
+
+    out = streaming_group_sample(
+        stream, "source", k=3, key_cols=["doc_id"],
+        watermark="0 seconds", salt="s2")
+    q = (out.writeStream.format("memory").queryName("gsnull")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+
+    got = spark.sql(
+        "SELECT * FROM gsnull WHERE source = 'web'").collect()
+    # exactly k survive even though every doc_id appears twice
+    # (identical rank pairs straddle the boundary)
+    assert len(got) == 3
+    assert all(r["note"] is None for r in got)
+    want = {str(r["doc_id"])
+            for r in group_sample(df, ["source"], 3, ["doc_id"],
+                                  salt="s2").collect()}
+    assert {r["doc_id"] for r in got} == want

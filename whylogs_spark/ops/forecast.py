@@ -212,8 +212,11 @@ def holt_forecast(
         return a * x + (1.0 - a) * (acc["l"] + p * acc["b"])
 
     # fold from the 3rd point; state seeded from the first two.
-    # l_1 = x_1 and b_1 = x_2 - x_1 give l_2 = x_2 exactly under the
-    # recursion, so seeding (l, b) = (x_2, x_2 - x_1) IS the t=2 state.
+    # For phi = 1, l_1 = x_1 and b_1 = x_2 - x_1 give l_2 = x_2
+    # exactly under the recursion, so (l, b) = (x_2, x_2 - x_1) IS
+    # the t=2 state; with damping (phi < 1) the same seed is an
+    # initialization CONVENTION, mirrored verbatim by the DuckDB
+    # oracle so cross-engine parity holds either way.
     # e carries the latest one-step prediction error.
     state0 = F.struct(
         F.element_at("__vs", 2).alias("l"),

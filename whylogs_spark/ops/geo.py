@@ -128,8 +128,7 @@ def geo_radius_join(
 
     Grid-bucket equi-join: both sides bucket into square cells whose
     side is >= the radius IN LONGITUDE at ``max_lat`` (the worst-case
-    shrink — poleward of that the join is refused rather than silently
-    wrong), the LEFT side explodes to its 3x3 cell neighborhood, the
+    shrink the cell sizing covers), the LEFT side explodes to its 3x3 cell neighborhood, the
     join runs as a plain equi-join ON THE CELL ID, and the exact
     haversine filter keeps true neighbors.  Every true pair within
     the radius shares one of the 9 cells by construction.
@@ -140,9 +139,14 @@ def geo_radius_join(
     exploded left cells are distinct, so every pair joins at most
     once (no post-join dedup needed).  Skewed cells (urban hot
     spots) are ordinary hot keys: AQE skew-join handles them, or
-    pre-salt the cell id.  Rows with invalid coordinates drop; pairs
-    straddling the +/-180 antimeridian are not matched (documented
-    non-goal — shift longitudes upstream if your data crosses it).
+    pre-salt the cell id.  Rows with invalid coordinates drop, and so
+    do rows POLEWARD of ``max_lat`` on either side (legal coordinates,
+    but outside the latitude band the cell sizing guarantees — their
+    pairs simply do not appear in the result; raise ``max_lat``
+    toward 90 to include them, at the cost of coarser cells
+    everywhere).  Pairs straddling the +/-180 antimeridian are not
+    matched (documented non-goal — shift longitudes upstream if your
+    data crosses it).
     """
     if radius_km <= 0:
         raise ValueError(f"radius_km must be > 0: {radius_km}")
@@ -219,12 +223,22 @@ def geo_nearest_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     max_lat: float = 85.0,
+    left_id_col: str = None,
 ) -> DataFrame:
     """For each left point, its SINGLE nearest right point within
     ``max_radius_km`` great-circle km (ties broken by the smallest
     right row, deterministically) — "nearest store / cell tower /
     depot" in one call.  Left points with no right point in range are
-    dropped (outer behavior = anti-join the result back).
+    dropped (outer behavior = anti-join the result back), and rows
+    poleward of ``max_lat`` on either side drop with them (see
+    :func:`geo_radius_join`).
+
+    Without ``left_id_col`` the reduce groups on ALL left columns, so
+    the output has one row per DISTINCT left row — fully duplicate
+    left rows collapse into one, and non-groupable left column types
+    (map, ...) are rejected by Spark's groupBy.  Pass ``left_id_col``
+    naming a UNIQUE left key to get exactly one output row per input
+    row and to carry non-groupable payload columns through untouched.
 
     Composition, not new machinery: the candidate set comes from
     :func:`geo_radius_join` (3x3 neighbor-cell equi-join — every
@@ -244,7 +258,18 @@ def geo_nearest_join(
     pick = F.min(F.struct(
         F.col("distance_km"),
         *[F.col(c) for c in rcols])).alias("__best")
-    out = cand.groupBy(*[F.col(c) for c in left.columns]).agg(pick)
+    if left_id_col is not None:
+        if left_id_col not in left.columns:
+            raise ValueError(
+                f"left_id_col {left_id_col!r} not in left columns")
+        # unique-key path: group on the key alone; the other left
+        # columns are constant per key, so first() carries them (and
+        # tolerates non-groupable types the groupBy path cannot)
+        out = cand.groupBy(F.col(left_id_col)).agg(
+            pick, *[F.first(c).alias(c) for c in left.columns
+                    if c != left_id_col])
+    else:
+        out = cand.groupBy(*[F.col(c) for c in left.columns]).agg(pick)
     return out.select(
         *left.columns,
         *[F.col(f"__best.{c}").alias(c) for c in rcols],

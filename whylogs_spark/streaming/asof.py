@@ -170,7 +170,18 @@ def streaming_asof_enrich(
                     break
             rec = {key_col: k,
                    ts_col: pd.to_datetime(t, unit="ms")}
-            rec.update(json.loads(js) if js else {})
+            # explicit None default per event column: to_json drops
+            # null fields (spark.sql.jsonGenerator.ignoreNullFields
+            # defaults true), so a missing key MEANS null — leaving
+            # it unset would (a) lose the column entirely when it is
+            # null across a whole emitted batch (KeyError at the
+            # df[cols] projection) and (b) let pandas widen
+            # partially-null int columns to NaN floats that fail the
+            # Arrow cast to the declared schema; .get keeps real
+            # Nones in object dtype, same as the dim side below
+            parsed = json.loads(js) if js else {}
+            for c in ev_names:
+                rec[c] = parsed.get(c)
             if match is not None:
                 dj = json.loads(match[1]) if match[1] else {}
                 for c in dim_names:

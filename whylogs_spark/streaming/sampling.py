@@ -45,8 +45,11 @@ def streaming_group_sample(
     """-> append-mode stream: one row per sampled record
     ``(group, rank_hex, <payload cols as strings...>)`` per closed
     group.  ``key_cols`` seed the rank exactly like the batch
-    operator (``ops.sampling._hash_prefix``); duplicate ranks both
-    stay (same contract as the batch window rank over ties)."""
+    operator (``ops.sampling._hash_prefix``).  Exactly ``k`` rows
+    survive per group (the batch contract is ``row_number() <= k``,
+    not ``rank()``); rank ties at the ``k`` boundary are cut
+    deterministically by the serialized payload, where the batch
+    side's tie-break among equal-rank rows is arbitrary."""
     from ..ops.sampling import _hash_prefix
 
     if k < 1:
@@ -72,10 +75,19 @@ def streaming_group_sample(
             recs = []
             for rk, js in sorted(zip(ranks, rows)):
                 rec = {group_col: g, "rank_hex": rk}
-                rec.update(json.loads(js))
+                # to_json drops null fields, so a payload column that
+                # is null in EVERY sampled row of this group would be
+                # absent from pd.DataFrame(recs) and the Arrow cast
+                # to out_schema would fail — default each declared
+                # column to None explicitly
+                parsed = json.loads(js) if js else {}
+                for c in payload:
+                    rec[c] = parsed.get(c)
                 recs.append(rec)
             if recs:
-                yield pd.DataFrame(recs)
+                yield pd.DataFrame(recs, columns=[group_col,
+                                                  "rank_hex",
+                                                  *payload])
             return
         if state.exists:
             ranks, rows = state.get
@@ -86,6 +98,11 @@ def streaming_group_sample(
             if not len(p):
                 continue
             pool.extend(zip(p["__rk"], p["__js"]))
+        # exactly k survivors, like the batch row_number() <= k; rank
+        # ties at the boundary (identical key_cols values) are cut
+        # deterministically by the serialized payload — the batch
+        # side breaks the same ties arbitrarily among identical-rank
+        # rows, so both emit k rows and agree on every distinct rank
         pool.sort()
         pool = pool[:k]
         state.update(([r for r, _ in pool], [j for _, j in pool]))
