@@ -50,8 +50,10 @@ def _eround(col, d: int):
     """Engine-agnostic decimal rounding: ``floor(x*10^d + 0.5)/10^d``.
 
     ``round(x, d)`` half-way behavior is engine-VERSION-defined (it
-    flipped ``uplift_curve_orders``/``gains_table_orders`` red at the
-    driver for two rounds while bit-exact locally).  This form is pure
+    was the r11 prime suspect for the uplift/gains driver reds; the
+    actual culprit turned out to be uncast HUGEINT window sums, but
+    the tie hazard is real — decimal values scaled by 10^d land
+    EXACTLY on .5 in doubles).  This form is pure
     IEEE multiply/add/floor/divide — every step correctly rounded and
     identical in Spark and DuckDB — so ties resolve the same way in
     both engines forever.  Use for gate projections whose pre-round
@@ -5048,6 +5050,71 @@ def _q_zca(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the newest operators.  Everything else keeps its relative order after
 # the window; the full registry gate (scripts/check_oracle.py) still
 # covers every entry.
+def _q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time report (ops/events.py interarrival_stats):
+    per-(user, event_type) consecutive gaps rolled up per event_type
+    — mean / exact lower-interpolation quantiles / max / cv /
+    burstiness.  The oracle replays the partitioned lag, the explicit
+    sum/sumsq variance form, and the house cumulative-count quantile
+    walk; sums are order-jittered doubles so every double column goes
+    through _eround(6)."""
+    from whylogs_spark.ops.events import interarrival_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = interarrival_stats(
+        ev, ["user_id", "event_type"], "ts",
+        group_cols=["event_type"], qs=(0.5, 0.9))
+    return out.select(
+        "event_type", "n_gaps",
+        _eround("mean_gap_s", 6).alias("mean_gap_s"),
+        _eround("q_0_5", 6).alias("q_0_5"),
+        _eround("q_0_9", 6).alias("q_0_9"),
+        _eround("max_gap_s", 6).alias("max_gap_s"),
+        _eround("cv_gap", 6).alias("cv_gap"),
+        _eround("burstiness", 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+def _q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (ops/search.py rrf_fuse) of two
+    deterministic document rankers — length and a Knuth-hash pseudo
+    relevance.  Integer ranks with id tie-breaks everywhere; the
+    fused score is two IEEE adds of exact-denominator reciprocals
+    (commutative, bit-deterministic), emitted raw."""
+    from whylogs_spark.ops.search import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("s_len"),
+        ((F.col("doc_id") * 2654435761) % 100000).cast("double")
+        .alias("s_hash"))
+    return rrf_fuse(d, ["doc_id"], ["s_len", "s_hash"], k0=60,
+                    per_list_limit=200, top_k=50)
+
+
+def _q_quantile_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (pinball) regression (ops/robust.py
+    quantile_regression) of totalprice's 0.75-quantile on the huber
+    gate's month/custkey features.  NO SQL oracle: the smoothed-IRLS
+    reweighting loop is not one SQL statement — rows-only at the
+    driver; betas are cross-verified against a sequential numpy twin
+    to 1e-6 across taus in tests/test_quantile_regression.py.
+    Output: p+1 deterministic rows."""
+    from whylogs_spark.ops.robust import quantile_regression
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.month("o_orderdate").cast("double") / 12.0).alias("x1"),
+        ((F.col("o_custkey") % 100).cast("double") / 100.0)
+        .alias("x2"),
+        F.col("o_totalprice").alias("y"))
+    out = quantile_regression(o, "y", ["x1", "x2"], tau=0.75)
+    return out.select(
+        "term", _eround("beta", 4).alias("beta"), "tau",
+        "iterations", "converged",
+        _eround("pinball_loss", 4).alias("pinball_loss"),
+        "n").orderBy("term")
+
+
 _GATE_ORDER = [
     # profiling spine (the flagship paths, always gated)
     "profile_full_lineitem",
@@ -5058,13 +5125,19 @@ _GATE_ORDER = [
     "profile_wide_lineitem",
     "drift_scores_lineitem",
     "constraints_report_lineitem",
-    # --- round-12 window: the two formerly hash-red rows re-driven
-    # with raw-double output (round(x, 6) environment sensitivity
-    # removed on both sides — r11 judge ask #1), then the 10 queries
-    # that have never appeared in any driver window (r11 ask #2:
-    # every registered query gets a driver row in some round).
+    # --- the two r10-r12 hash-red rows, re-driven in r13 with the
+    # ACTUAL fix: the oracle's uncast HUGEINT window sums rendered as
+    # float64 under the driver's pandas canonicalizer vs Spark's
+    # int64 (now ::BIGINT; scripts/check_oracle.py grew a pandas
+    # dtype-kind parity check so the class cannot recur).
     "uplift_curve_orders",
     "gains_table_orders",
+    # --- round-13 additions (driver-gated on introduction).
+    "interarrival_events",
+    "rrf_fuse_documents",
+    "quantile_reg_orders",
+    # --- round-12 window: the 10 queries that had never appeared in
+    # any driver window (r11 ask #2) — all got their r12 driver row.
     "js_divergence_lineitem",
     "multiclass_report_orders",
     "bpe_train_tokenize_documents",
@@ -5443,6 +5516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest_customer": _q_geo_nearest,
         "seasonal_esd_events": _q_seasonal_esd,
         "huber_regression_orders": _q_huber,
+        # round-13 additions
+        "interarrival_events": _q_interarrival,
+        "rrf_fuse_documents": _q_rrf,
+        "quantile_reg_orders": _q_quantile_reg,
         "bandit_report_events": _q_bandit,
         "kmv_distinct_lineitem": _q_kmv_distinct,
         "kmv_overlap_lineitem": _q_kmv_overlap,
@@ -10298,6 +10375,76 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geo_radius_join_customer": _geo_radius_sql(),
         "geo_nearest_customer": _geo_nearest_sql(),
+        "interarrival_events": (
+            # partitioned lag -> gap multiset (order-independent even
+            # under equal timestamps), explicit sum/sumsq variance,
+            # and the house cumulative-count lower-interpolation
+            # quantile walk; every double output _eround(6)-pinned
+            "WITH src AS (SELECT user_id, event_type, ts FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+            "AND event_type IS NOT NULL), "
+            "d AS (SELECT event_type, date_diff('microsecond', "
+            "lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts), ts)::DOUBLE / 1000000.0 AS gap FROM src), "
+            "dd AS (SELECT event_type, gap FROM d "
+            "WHERE gap IS NOT NULL), "
+            "m AS (SELECT event_type, count(*)::BIGINT AS n_gaps, "
+            "sum(gap) AS s, sum(gap * gap) AS ss, max(gap) AS mx "
+            "FROM dd GROUP BY 1), "
+            "gv AS (SELECT event_type, gap, count(*) AS ct FROM dd "
+            "GROUP BY 1, 2), "
+            "cw AS (SELECT event_type, gap, sum(ct) OVER (PARTITION "
+            "BY event_type ORDER BY gap ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS sct, sum(ct) OVER "
+            "(PARTITION BY event_type) AS nn FROM gv), "
+            "qq AS (SELECT event_type, "
+            "min(CASE WHEN sct >= greatest(ceil(0.5 * nn - 0.5 * nn "
+            "* 1e-12 - 1e-9), 1) THEN gap END) AS q50, "
+            "min(CASE WHEN sct >= greatest(ceil(0.9 * nn - 0.9 * nn "
+            "* 1e-12 - 1e-9), 1) THEN gap END) AS q90 "
+            "FROM cw GROUP BY 1), "
+            "r AS (SELECT m.event_type, n_gaps, s / n_gaps AS mean, "
+            "CASE WHEN n_gaps >= 2 THEN sqrt(greatest((ss - s * s / "
+            "n_gaps) / (n_gaps - 1.0), 0.0)) END AS sd, mx, q50, q90 "
+            "FROM m JOIN qq ON m.event_type = qq.event_type) "
+            "SELECT event_type, n_gaps, "
+            + _eround_sql("mean", 6) + " AS mean_gap_s, "
+            + _eround_sql("q50", 6) + " AS q_0_5, "
+            + _eround_sql("q90", 6) + " AS q_0_9, "
+            + _eround_sql("mx", 6) + " AS max_gap_s, "
+            + _eround_sql(
+                "CASE WHEN n_gaps >= 2 AND mean > 0 THEN sd / mean "
+                "END", 6) + " AS cv_gap, "
+            + _eround_sql(
+                "CASE WHEN n_gaps >= 2 AND sd + mean > 0 THEN "
+                "(sd - mean) / (sd + mean) END", 6)
+            + " AS burstiness FROM r ORDER BY event_type"
+        ),
+        "rrf_fuse_documents": (
+            # integer ranks with doc_id tie-breaks; fused score = two
+            # IEEE adds of exact-denominator reciprocals (commutative,
+            # bit-deterministic) so it ships raw; ranks/counts BIGINT
+            "WITH d AS (SELECT doc_id, n_chars::DOUBLE AS s_len, "
+            "((doc_id * 2654435761) % 100000)::DOUBLE AS s_hash "
+            "FROM documents), "
+            "h0 AS (SELECT doc_id, 0 AS l, s_len AS s FROM d "
+            "WHERE s_len IS NOT NULL AND NOT isnan(s_len) "
+            "ORDER BY s_len DESC, doc_id LIMIT 200), "
+            "h1 AS (SELECT doc_id, 1 AS l, s_hash AS s FROM d "
+            "WHERE s_hash IS NOT NULL AND NOT isnan(s_hash) "
+            "ORDER BY s_hash DESC, doc_id LIMIT 200), "
+            "u AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1), "
+            "r AS (SELECT doc_id, l, row_number() OVER (PARTITION BY "
+            "l ORDER BY s DESC, doc_id) AS rk FROM u), "
+            "f AS (SELECT doc_id, "
+            "max(CASE WHEN l = 0 THEN rk END) AS rank_s_len, "
+            "max(CASE WHEN l = 1 THEN rk END) AS rank_s_hash, "
+            "count(*)::BIGINT AS lists_hit, "
+            "sum(1.0 / (60.0 + rk)) AS rrf_score FROM r GROUP BY 1) "
+            "SELECT doc_id, rank_s_len, rank_s_hash, lists_hit, "
+            "rrf_score FROM f ORDER BY rrf_score DESC, doc_id "
+            "LIMIT 50"
+        ),
         "bandit_report_events": (
             # closed-form Beta posterior columns only: counts are
             # exact, mean/var are integer-derived ratios whose

@@ -745,6 +745,30 @@ def main() -> None:
                 (F.col("value") > 50.0).cast("double").alias("r")),
             "arm", "r"))
 
+    def bench_interarrival_rrf():
+        # round-13: inter-arrival burstiness report + RRF fusion of
+        # two document rankers + one 0.75-quantile IRLS regression
+        from whylogs_spark.ops.events import interarrival_stats
+        from whylogs_spark.ops.robust import quantile_regression
+        from whylogs_spark.ops.search import rrf_fuse
+        _noop(interarrival_stats(
+            t["events"], ["user_id", "event_type"], "ts",
+            group_cols=["event_type"], qs=(0.5, 0.9)))
+        d = t["documents"].select(
+            "doc_id", F.col("n_chars").cast("double").alias("s_len"),
+            ((F.col("doc_id") * 2654435761) % 100000).cast("double")
+            .alias("s_hash"))
+        _noop(rrf_fuse(d, ["doc_id"], ["s_len", "s_hash"],
+                       per_list_limit=200, top_k=50))
+        o = t["orders"]
+        _noop(quantile_regression(
+            o.select((F.month("o_orderdate").cast("double") / 12.0)
+                     .alias("x1"),
+                     ((F.col("o_custkey") % 100).cast("double")
+                      / 100.0).alias("x2"),
+                     F.col("o_totalprice").alias("y")),
+            "y", ["x1", "x2"], tau=0.75))
+
     def bench_store_quantile_series():
         # round-12: rolling KLL merges off a freshly-written store
         # (write cost included on purpose: the ask is the end-to-end
@@ -1766,6 +1790,7 @@ def main() -> None:
         "store_quantile_series": bench_store_quantile_series,
         "seasonal_esd_events": bench_seasonal_esd,
         "huber_bandit": bench_huber_bandit,
+        "interarrival_rrf_qreg": bench_interarrival_rrf,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

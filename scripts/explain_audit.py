@@ -3863,6 +3863,98 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # round-13: inter-arrival report — entity-partitioned lag (never
+    # a global sort), checkpointed gaps consumed by the bounded
+    # moment rollup + the grouped exact-quantile walk, broadcast-
+    # joined back on the group key
+    from whylogs_spark.ops.events import interarrival_stats
+
+    # the gap pass runs BEFORE the operator's localCheckpoint (the
+    # checkpoint hides it from the final plan), so audit the same
+    # projection inline: the lag window must carry the entity keys
+    ev13 = load_table(spark, SF_DIR, "events").filter(
+        "ts IS NOT NULL AND user_id IS NOT NULL "
+        "AND event_type IS NOT NULL")
+    from pyspark.sql import Window as _W13
+
+    _us13 = F.unix_micros(F.col("ts").cast("timestamp"))
+    sections.append((
+        "Inter-arrival gap pass (entity-partitioned lag)",
+        ev13.select(
+            "event_type",
+            ((_us13 - F.lag(_us13).over(
+                _W13.partitionBy("user_id", "event_type")
+                .orderBy(F.col("ts").asc())))
+             .cast("double") / F.lit(1000000.0)).alias("__gap")),
+        {
+            "lag window carries the entity partition key":
+                r"windowspecdefinition\(user_id",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    ia = interarrival_stats(
+        load_table(spark, SF_DIR, "events"),
+        ["user_id", "event_type"], "ts",
+        group_cols=["event_type"], qs=(0.5, 0.9))
+    sections.append((
+        "Inter-arrival stats (bounded rollups off the checkpoint)",
+        ia,
+        {
+            "group tables join back by broadcast":
+                r"BroadcastHashJoin",
+            "moment rollup partial-aggregates before its exchange":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # round-13: reciprocal-rank fusion — every global ordering is a
+    # TakeOrderedAndProject (per-list heads + final cut), the re-rank
+    # window partitions on the bounded list id
+    from whylogs_spark.ops.search import rrf_fuse
+
+    rrf_in = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("s_len"),
+        ((F.col("doc_id") * 2654435761) % 100000).cast("double")
+        .alias("s_hash"))
+    sections.append((
+        "RRF fusion (TakeOrdered heads, list-partitioned re-rank)",
+        rrf_fuse(rrf_in, ["doc_id"], ["s_len", "s_hash"],
+                 per_list_limit=200, top_k=50),
+        {
+            "per-list heads and the final cut are TakeOrdered, "
+            "never a global Sort-all":
+                r"TakeOrderedAndProject[\s\S]*TakeOrderedAndProject",
+            "re-rank window partitions on the list id":
+                r"windowspecdefinition\(__list",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # round-13: quantile regression — the per-iteration data pass is
+    # the SAME weighted moment aggregate huber_regression pins above
+    # (shared _weighted_moments); audit the loss pass it adds
+    from whylogs_spark.ops.robust import quantile_regression as _qr  # noqa: F401 (source-level: shares huber's audited moment pass)
+
+    sections.append((
+        "Quantile regression final pinball-loss pass (bounded agg)",
+        hb.agg(F.avg(
+            F.when(F.col("__y") - F.col("__x0") >= 0,
+                   F.lit(0.75) * (F.col("__y") - F.col("__x0")))
+            .otherwise(F.lit(-0.25) * (F.col("__y") - F.col("__x0"))))
+            .alias("l")),
+        {
+            "ONE partial-agged aggregation to a single row":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -1410,3 +1410,95 @@ def markov_attribution(
         T.StructField("credited_conversions", T.DoubleType()),
     ])
     return df.sparkSession.createDataFrame(rows, schema)
+
+
+def interarrival_stats(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str = "ts",
+    group_cols: Optional[Sequence[str]] = None,
+    qs: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Inter-arrival-time report: the distribution of gaps (seconds)
+    between CONSECUTIVE events of each entity, rolled up per group —
+    the standard burstiness / cadence diagnostic for behavioral
+    streams (bot detection, retention heartbeat, queue health).  One
+    row per group: ``(<group_cols...>, n_gaps, mean_gap_s,
+    q_<quantile>..., max_gap_s, cv_gap, burstiness)``.
+
+    * a gap is the seconds between consecutive ``ts_col`` values
+      within one entity; equal timestamps contribute zero-gaps (the
+      gap MULTISET is order-independent under ties, so the result is
+      deterministic without a tie-break column)
+    * quantiles are EXACT lower-interpolation order statistics
+      (rides ``core.summaries.exact_quantiles``)
+    * ``cv_gap`` = sample-sd / mean (null when ``n_gaps < 2`` or
+      mean = 0); ``burstiness`` = (sd - mean)/(sd + mean)
+      (Goh & Barabasi 2008): -1 periodic, 0 Poisson, toward +1 bursty
+
+    ``group_cols`` must be a subset of ``entity_cols`` (a gap belongs
+    to exactly one entity, so its group key must be constant within
+    the entity); empty = one global row.  Null timestamps / entity
+    keys drop.
+
+    Scale shape: ONE window pass keyed by the entity columns
+    (partitioned lag — never a global sort), materialized once
+    (``localCheckpoint``) and consumed by two bounded reductions —
+    the moment rollup (one exchange down to <= groups rows, variance
+    from explicit sum/sumsq so the DuckDB oracle replays the exact
+    same IEEE ops) and the exact-quantile walk (the house grouped
+    two-phase prefix sum) — joined back by broadcast on the group
+    key.  Without the checkpoint the two consumers would each re-run
+    the window lineage (the known branch-reruns-lineage hazard).
+    """
+    from whylogs_spark.core.summaries import exact_quantiles
+
+    entity = list(entity_cols)
+    groups = list(group_cols or [])
+    if not entity:
+        raise ValueError("entity_cols must be non-empty")
+    bad = [c for c in groups if c not in entity]
+    if bad:
+        raise ValueError(
+            f"group_cols must be a subset of entity_cols; not: {bad}")
+    t = F.col(ts_col)
+    cond = t.isNotNull()
+    for c in entity:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond)
+    w = (Window.partitionBy(*[F.col(c) for c in entity])
+         .orderBy(t.asc()))
+    # NTZ-tolerant: unix_micros wants TIMESTAMP; the cast is harmless
+    # for gaps (any session-timezone shift cancels in the difference)
+    us = F.unix_micros(t.cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).cast("double") / F.lit(1000000.0)
+    gaps = (base.select(*groups, gap.alias("__gap"))
+            .filter(F.col("__gap").isNotNull())
+            .localCheckpoint(eager=True))
+
+    gb = gaps.groupBy(*groups) if groups else gaps.groupBy()
+    m = gb.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("__gap").alias("__s"),
+        F.sum(F.col("__gap") * F.col("__gap")).alias("__ss"),
+        F.max("__gap").alias("max_gap_s"))
+    q = exact_quantiles(gaps, "__gap", list(qs),
+                        group_cols=groups or None)
+    if groups:
+        joined = m.join(F.broadcast(q), groups)
+    else:
+        joined = m.crossJoin(F.broadcast(q))
+
+    nn = F.col("n_gaps").cast("double")
+    two = F.col("n_gaps") >= 2
+    mean = F.col("__s") / nn
+    sd = F.when(two, F.sqrt(F.greatest(
+        (F.col("__ss") - F.col("__s") * F.col("__s") / nn)
+        / (nn - F.lit(1.0)), F.lit(0.0))))
+    cv = F.when(two & (mean > 0), sd / mean)
+    burst = F.when(two & (sd + mean > 0), (sd - mean) / (sd + mean))
+    qcols = [f"q_{str(qv).replace('.', '_')}" for qv in qs]
+    return joined.select(
+        *groups, "n_gaps", mean.alias("mean_gap_s"),
+        *[F.col(c) for c in qcols],
+        "max_gap_s", cv.alias("cv_gap"), burst.alias("burstiness"))

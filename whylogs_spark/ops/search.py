@@ -148,3 +148,82 @@ def keyword_match_stats(
         )
         .orderBy("term")
     )
+
+
+def rrf_fuse(
+    df: DataFrame,
+    id_cols,
+    score_cols,
+    k0: int = 60,
+    per_list_limit: int = 1000,
+    top_k: int = 100,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009):
+    combine several rankers' scores for the same candidates into one
+    consensus ranking, ``rrf(d) = sum over lists 1/(k0 + rank_l(d))``
+    — the standard way to merge BM25 with an embedding retriever (or
+    any heterogeneous scorers) without calibrating their scales.
+
+    One row per fused candidate, best first: ``(<id_cols...>,
+    rank_<score_col>... , lists_hit, rrf_score)``.  A ``rank_*`` cell
+    is null when the candidate missed that list's top
+    ``per_list_limit``; such lists simply contribute nothing to the
+    sum (the usual top-k RRF convention).  ``k0 = 60`` is the
+    published default.
+
+    Scale shape: each ranker contributes ONLY its top
+    ``per_list_limit`` rows via ``orderBy().limit()`` —
+    TakeOrderedAndProject, never a global sort of the data — the
+    re-rank windows partition on the list id over those bounded
+    heads, and the fuse is one groupBy over <= n_lists x
+    per_list_limit rows finished by another TakeOrderedAndProject.
+    Every ordering breaks ties on the id columns, so ranks (and the
+    top-k cut) are deterministic and replay identically in any
+    engine.  With exactly two lists the fused sum is two IEEE adds —
+    commutative, hence bit-deterministic too.
+    """
+    ids = list(id_cols)
+    scs = list(score_cols)
+    if not ids:
+        raise ValueError("id_cols must be non-empty")
+    if len(scs) < 2:
+        raise ValueError(f"need >= 2 score_cols to fuse, got {scs}")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1: {k0}")
+    if per_list_limit < 1 or top_k < 1:
+        raise ValueError("per_list_limit and top_k must be >= 1")
+    missing = [c for c in ids + scs if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in df: {missing}")
+
+    heads = []
+    for i, sc in enumerate(scs):
+        s = F.col(sc).cast("double")
+        heads.append(
+            df.filter(s.isNotNull() & ~F.isnan(s))
+            .orderBy(s.desc(), *[F.col(c).asc() for c in ids])
+            .limit(per_list_limit)
+            .select(*ids, F.lit(i).alias("__list"), s.alias("__s")))
+    u = heads[0]
+    for h in heads[1:]:
+        u = u.unionByName(h)
+
+    from pyspark.sql import Window
+
+    # partitioned by the list id — bounded per-partition input
+    # (<= per_list_limit rows), never a partition-less window
+    wr = Window.partitionBy("__list").orderBy(
+        F.col("__s").desc(), *[F.col(c).asc() for c in ids])
+    ranked = u.select(
+        *ids, "__list",
+        F.row_number().over(wr).cast("long").alias("__r"))
+    fused = ranked.groupBy(*ids).agg(
+        *[F.max(F.when(F.col("__list") == i, F.col("__r")))
+          .alias(f"rank_{sc}") for i, sc in enumerate(scs)],
+        F.count(F.lit(1)).alias("lists_hit"),
+        F.sum(F.lit(1.0)
+              / (F.lit(float(k0)) + F.col("__r").cast("double")))
+        .alias("rrf_score"))
+    return fused.orderBy(
+        F.col("rrf_score").desc(),
+        *[F.col(c).asc() for c in ids]).limit(top_k)
