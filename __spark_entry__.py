@@ -5115,6 +5115,54 @@ def _q_quantile_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n").orderBy("term")
 
 
+def _q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation (ops/valuation.py
+    knn_shapley): every 16th embedding is a test point, the full
+    table is train, K=5.  The oracle replays the rank recursion with
+    the same windows; the suffix sums accumulate in identical order
+    (bit-exact), only the cross-test average is order-jittered, so
+    shapley_value goes through _eround(8)."""
+    from whylogs_spark.ops.valuation import knn_shapley
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_shapley(
+        emb, emb.filter(F.col("vec_id") % 16 == 0),
+        "vec_id", "embedding", "label", k=5)
+    return out.select(
+        "vec_id", "label",
+        _eround("shapley_value", 8).alias("shapley_value"),
+        "n_test")
+
+
+def _q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance / SMD table (ops/causal.py
+    covariate_balance) over a synthetic treatment with deterministic
+    IPW-style weights.  Explicit conditional-sum moments replay in
+    SQL; means/sds _eround(3) (totalprice-scale sums leave ~1e-6
+    float jitter — 3dp keeps 500x margin), smds _eround(6)."""
+    from whylogs_spark.ops.causal import covariate_balance
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 2 == 0).alias("t"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.month("o_orderdate").cast("double").alias("month"),
+        (F.lit(1.0) + (F.col("o_orderkey") % 7).cast("double")
+         / F.lit(10.0)).alias("w"))
+    out = covariate_balance(o, "t", ["price", "month"],
+                            weight_col="w")
+    return out.select(
+        "covariate", "n_t", "n_c",
+        _eround("mean_t", 3).alias("mean_t"),
+        _eround("mean_c", 3).alias("mean_c"),
+        _eround("sd_t", 3).alias("sd_t"),
+        _eround("sd_c", 3).alias("sd_c"),
+        _eround("smd", 6).alias("smd"),
+        _eround("wmean_t", 3).alias("wmean_t"),
+        _eround("wmean_c", 3).alias("wmean_c"),
+        _eround("wsmd", 6).alias("wsmd"),
+    ).orderBy("covariate")
+
+
 _GATE_ORDER = [
     # profiling spine (the flagship paths, always gated)
     "profile_full_lineitem",
@@ -5136,6 +5184,8 @@ _GATE_ORDER = [
     "interarrival_events",
     "rrf_fuse_documents",
     "quantile_reg_orders",
+    "knn_shapley_embeddings",
+    "covariate_balance_orders",
     # --- round-12 window: the 10 queries that had never appeared in
     # any driver window (r11 ask #2) — all got their r12 driver row.
     "js_divergence_lineitem",
@@ -5520,6 +5570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_events": _q_interarrival,
         "rrf_fuse_documents": _q_rrf,
         "quantile_reg_orders": _q_quantile_reg,
+        "knn_shapley_embeddings": _q_knn_shapley,
+        "covariate_balance_orders": _q_covariate_balance,
         "bandit_report_events": _q_bandit,
         "kmv_distinct_lineitem": _q_kmv_distinct,
         "kmv_overlap_lineitem": _q_kmv_overlap,
@@ -10419,6 +10471,87 @@ def oracle_sql() -> dict[str, str]:
                 "CASE WHEN n_gaps >= 2 AND sd + mean > 0 THEN "
                 "(sd - mean) / (sd + mean) END", 6)
             + " AS burstiness FROM r ORDER BY event_type"
+        ),
+        "knn_shapley_embeddings": (
+            # the rank recursion as windows: distances in DOUBLE
+            # (both engines cast the float32 arrays up — exact), the
+            # suffix sum accumulates in identical rank order, and
+            # only the cross-test average needs _eround(8)
+            "WITH tr AS (SELECT vec_id AS tid, label AS ty, "
+            "embedding::DOUBLE[] AS e FROM embeddings), "
+            "te AS (SELECT vec_id AS qid, label AS qy, "
+            "embedding::DOUBLE[] AS qe FROM embeddings "
+            "WHERE vec_id % 16 = 0), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM tr), "
+            "tc AS (SELECT count(*)::DOUBLE AS tcnt FROM te), "
+            "p AS (SELECT tid, ty, qid, qy, "
+            "list_sum(list_transform(range(1, 65), i -> "
+            "(e[i] - qe[i]) * (e[i] - qe[i]))) AS d2 "
+            "FROM tr, te), "
+            "r AS (SELECT tid, ty, qid, "
+            "(ty = qy)::INT::DOUBLE AS m, "
+            "row_number() OVER w AS i, "
+            "lead((ty = qy)::INT::DOUBLE) OVER w AS mn FROM p "
+            "WINDOW w AS (PARTITION BY qid ORDER BY d2, tid)), "
+            "ic AS (SELECT tid, ty, qid, i, "
+            "CASE WHEN mn IS NULL THEN m / (SELECT n FROM nn) "
+            "ELSE (m - mn) / 5.0 * least(5.0, i::DOUBLE) "
+            "/ i::DOUBLE END AS inc FROM r), "
+            "s AS (SELECT tid, ty, sum(inc) OVER (PARTITION BY qid "
+            "ORDER BY i DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS sv FROM ic), "
+            "f AS (SELECT tid, ty, sum(sv) / (SELECT tcnt FROM tc) "
+            "AS v, count(*)::BIGINT AS n_test FROM s GROUP BY 1, 2) "
+            "SELECT tid AS vec_id, ty AS label, "
+            + _eround_sql("v", 8) + " AS shapley_value, n_test "
+            "FROM f"
+        ),
+        "covariate_balance_orders": (
+            # conditional-sum moments; integer counts ::BIGINT (the
+            # HUGEINT-vs-int64 pandas lesson), means/sds at 3dp
+            # (totalprice-scale sum jitter ~1e-6), smds at 6dp
+            "WITH b AS (SELECT (o_custkey % 2 = 0)::INT AS t, "
+            "1.0 + (o_orderkey % 7)::DOUBLE / 10.0 AS w, "
+            "o_totalprice::DOUBLE AS xx1, "
+            "month(o_orderdate)::DOUBLE AS xx2 FROM orders), "
+            "l AS (SELECT t, w, 'price' AS covariate, xx1 AS x "
+            "FROM b UNION ALL SELECT t, w, 'month', xx2 FROM b), "
+            "g AS (SELECT covariate, sum(t)::BIGINT AS n_t, "
+            "sum(1 - t)::BIGINT AS n_c, "
+            "sum(t * x) AS st, sum((1 - t) * x) AS sc, "
+            "sum(t * x * x) AS sst, sum((1 - t) * x * x) AS ssc, "
+            "sum(t * w) AS wt, sum((1 - t) * w) AS wc, "
+            "sum(t * w * x) AS wxt, sum((1 - t) * w * x) AS wxc "
+            "FROM l GROUP BY 1), "
+            "m AS (SELECT covariate, n_t, n_c, "
+            "st / n_t AS mt, sc / n_c AS mc, "
+            "CASE WHEN n_t >= 2 THEN (sst - st * st / n_t) "
+            "/ (n_t - 1.0) END AS vt, "
+            "CASE WHEN n_c >= 2 THEN (ssc - sc * sc / n_c) "
+            "/ (n_c - 1.0) END AS vc, "
+            "CASE WHEN wt > 0 THEN wxt / wt END AS wmt, "
+            "CASE WHEN wc > 0 THEN wxc / wc END AS wmc "
+            "FROM g), "
+            "z AS (SELECT *, sqrt(greatest((vt + vc) / 2.0, 0.0)) "
+            "AS pooled FROM m) "
+            "SELECT covariate, n_t, n_c, "
+            + _eround_sql("mt", 3) + " AS mean_t, "
+            + _eround_sql("mc", 3) + " AS mean_c, "
+            + _eround_sql(
+                "CASE WHEN vt IS NOT NULL THEN "
+                "sqrt(greatest(vt, 0.0)) END", 3) + " AS sd_t, "
+            + _eround_sql(
+                "CASE WHEN vc IS NOT NULL THEN "
+                "sqrt(greatest(vc, 0.0)) END", 3) + " AS sd_c, "
+            + _eround_sql(
+                "CASE WHEN pooled > 0 THEN (mt - mc) / pooled END",
+                6) + " AS smd, "
+            + _eround_sql("wmt", 3) + " AS wmean_t, "
+            + _eround_sql("wmc", 3) + " AS wmean_c, "
+            + _eround_sql(
+                "CASE WHEN pooled > 0 THEN (wmt - wmc) / pooled "
+                "END", 6) + " AS wsmd "
+            "FROM z ORDER BY covariate"
         ),
         "rrf_fuse_documents": (
             # integer ranks with doc_id tie-breaks; fused score = two

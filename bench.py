@@ -769,6 +769,23 @@ def main() -> None:
                      F.col("o_totalprice").alias("y")),
             "y", ["x1", "x2"], tau=0.75))
 
+    def bench_shapley_balance():
+        # round-13: KNN-Shapley pair windows + SMD balance table
+        from whylogs_spark.ops.causal import covariate_balance
+        from whylogs_spark.ops.valuation import knn_shapley
+        emb = t["embeddings"]
+        _noop(knn_shapley(
+            emb, emb.filter(F.col("vec_id") % 16 == 0),
+            "vec_id", "embedding", "label", k=5))
+        o = t["orders"].select(
+            (F.col("o_custkey") % 2 == 0).alias("tt"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.month("o_orderdate").cast("double").alias("month"),
+            (F.lit(1.0) + (F.col("o_orderkey") % 7).cast("double")
+             / F.lit(10.0)).alias("w"))
+        _noop(covariate_balance(o, "tt", ["price", "month"],
+                                weight_col="w"))
+
     def bench_store_quantile_series():
         # round-12: rolling KLL merges off a freshly-written store
         # (write cost included on purpose: the ask is the end-to-end
@@ -1791,6 +1808,7 @@ def main() -> None:
         "seasonal_esd_events": bench_seasonal_esd,
         "huber_bandit": bench_huber_bandit,
         "interarrival_rrf_qreg": bench_interarrival_rrf,
+        "shapley_balance": bench_shapley_balance,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

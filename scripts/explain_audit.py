@@ -3955,6 +3955,49 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # round-13: KNN-Shapley — test side broadcast into the pair
+    # build, rank + suffix recursion as test-partitioned windows
+    from whylogs_spark.ops.valuation import knn_shapley
+
+    sections.append((
+        "KNN-Shapley valuation (broadcast pairs, per-test windows)",
+        knn_shapley(emb, emb.filter(F.col("vec_id") % 16 == 0),
+                    "vec_id", "embedding", "label", k=5),
+        {
+            "test side broadcasts into the pair build":
+                r"BroadcastNestedLoopJoin|BroadcastExchange",
+            "rank/suffix windows carry the test-id partition key":
+                r"windowspecdefinition\(__qid",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    # round-13: covariate balance — one stack() unpivot in-scan, one
+    # partial-agged groupBy on the bounded covariate key
+    from whylogs_spark.ops.causal import covariate_balance
+
+    cb_in = load_table(spark, SF_DIR, "orders").select(
+        (F.col("o_custkey") % 2 == 0).alias("t"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.month("o_orderdate").cast("double").alias("month"),
+        (F.lit(1.0) + (F.col("o_orderkey") % 7).cast("double")
+         / F.lit(10.0)).alias("w"))
+    sections.append((
+        "Covariate balance (stack unpivot + ONE bounded groupBy)",
+        covariate_balance(cb_in, "t", ["price", "month"],
+                          weight_col="w"),
+        {
+            "ONE partial-agged aggregation":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "unpivot is an in-plan Generate, not a self-union of "
+            "scans (ONE Scan node in the tree)":
+                r"\(\d+\) Generate",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

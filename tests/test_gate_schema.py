@@ -88,6 +88,10 @@ _PLAN_TIME_JOBS = {
     "seasonal_esd_events",
     # round-12: IRLS / count-collect fits at construction
     "huber_regression_orders", "bandit_report_events",
+    # round-13: IRLS fit / guard counts + eager checkpoint at
+    # construction
+    "quantile_reg_orders", "knn_shapley_embeddings",
+    "interarrival_events",
 }
 
 

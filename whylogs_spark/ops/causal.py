@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["did_estimator", "fit_logistic", "logistic_score_col",
-           "ipw_att", "propensity_match_att"]
+           "ipw_att", "propensity_match_att", "covariate_balance"]
 
 
 def did_estimator(
@@ -415,3 +415,99 @@ def propensity_match_att(
         .alias("match_rate"),
         "att", "mean_treat_matched", "mean_ctrl_matched",
         F.lit(bool(model["converged"])).alias("model_converged"))
+
+
+def covariate_balance(
+    df: DataFrame,
+    treatment_col: str,
+    x_cols: Sequence[str],
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Covariate balance table — the standard propensity-weighting
+    diagnostic: one row per covariate with per-arm moments, the
+    standardized mean difference (SMD), and the WEIGHTED SMD under
+    ``weight_col`` (e.g. IPW weights), so you can read "balanced
+    after weighting" as |wsmd| < 0.1 next to the raw |smd|.
+
+    Columns: ``(covariate, n_t, n_c, mean_t, mean_c, sd_t, sd_c,
+    smd, wmean_t, wmean_c, wsmd)``.
+
+    * ``smd = (mean_t - mean_c) / sqrt((var_t + var_c) / 2)`` with
+      SAMPLE variances (null when the pooled sd is 0 or an arm has
+      < 2 rows).
+    * ``wsmd`` standardizes the WEIGHTED mean difference by the SAME
+      unweighted pooled sd — the convention that keeps pre/post
+      weighting comparable on one scale.
+    * ``weight_col=None`` uses unit weights, so the weighted columns
+      equal their unweighted siblings and the schema stays fixed.
+    * null/NaN covariate cells drop per covariate; null treatment or
+      weight drops the row everywhere.
+
+    Scale shape: ONE ``stack()`` unpivot in-scan (rows x |x_cols|,
+    no data duplication past the projection) and ONE partial-agged
+    groupBy on the bounded covariate key — every statistic is a
+    conditional sum, so the DuckDB oracle replays the identical IEEE
+    arithmetic from the same sums.
+    """
+    xs = list(x_cols)
+    if not xs:
+        raise ValueError("x_cols must be non-empty")
+    missing = [c for c in xs + [treatment_col]
+               + ([weight_col] if weight_col else [])
+               if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in df: {missing}")
+    t = F.col(treatment_col).cast("boolean").cast("int")
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    base = df.filter(t.isNotNull()).select(
+        t.alias("__t"), w.alias("__w"),
+        *[F.col(c).cast("double").alias(f"__x{i}")
+          for i, c in enumerate(xs)])
+    if weight_col:
+        base = base.filter(F.col("__w").isNotNull()
+                           & ~F.isnan(F.col("__w")))
+    pairs = ", ".join(f"'{c}', __x{i}" for i, c in enumerate(xs))
+    long = base.select(
+        "__t", "__w",
+        F.expr(f"stack({len(xs)}, {pairs}) AS (covariate, __x)")
+    ).filter(F.col("__x").isNotNull() & ~F.isnan(F.col("__x")))
+
+    ti = F.col("__t")
+    ci = F.lit(1) - F.col("__t")
+    x = F.col("__x")
+    g = long.groupBy("covariate").agg(
+        F.sum(ti).alias("n_t"), F.sum(ci).alias("n_c"),
+        F.sum(ti * x).alias("__st"), F.sum(ci * x).alias("__sc"),
+        F.sum(ti * x * x).alias("__sst"),
+        F.sum(ci * x * x).alias("__ssc"),
+        F.sum(ti * F.col("__w")).alias("__wt"),
+        F.sum(ci * F.col("__w")).alias("__wc"),
+        F.sum(ti * F.col("__w") * x).alias("__wxt"),
+        F.sum(ci * F.col("__w") * x).alias("__wxc"))
+
+    nt = F.col("n_t").cast("double")
+    nc = F.col("n_c").cast("double")
+    mt = F.col("__st") / nt
+    mc = F.col("__sc") / nc
+    vt = F.when(F.col("n_t") >= 2,
+                (F.col("__sst") - F.col("__st") * F.col("__st") / nt)
+                / (nt - F.lit(1.0)))
+    vc = F.when(F.col("n_c") >= 2,
+                (F.col("__ssc") - F.col("__sc") * F.col("__sc") / nc)
+                / (nc - F.lit(1.0)))
+    pooled = F.sqrt(F.greatest((vt + vc) / F.lit(2.0), F.lit(0.0)))
+    smd = F.when(pooled > 0, (mt - mc) / pooled)
+    wmt = F.when(F.col("__wt") > 0, F.col("__wxt") / F.col("__wt"))
+    wmc = F.when(F.col("__wc") > 0, F.col("__wxc") / F.col("__wc"))
+    wsmd = F.when(pooled > 0, (wmt - wmc) / pooled)
+    sdt = F.when(vt.isNotNull(),
+                 F.sqrt(F.greatest(vt, F.lit(0.0))))
+    sdc = F.when(vc.isNotNull(),
+                 F.sqrt(F.greatest(vc, F.lit(0.0))))
+    return g.select(
+        "covariate", "n_t", "n_c",
+        mt.alias("mean_t"), mc.alias("mean_c"),
+        sdt.alias("sd_t"), sdc.alias("sd_c"), smd.alias("smd"),
+        wmt.alias("wmean_t"), wmc.alias("wmean_c"),
+        wsmd.alias("wsmd"))
