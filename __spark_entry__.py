@@ -5163,6 +5163,34 @@ def _q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("covariate")
 
 
+def _q_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BBSE label-shift estimation (ops/labelshift.py
+    label_shift_bbse): a deterministic synthetic classifier over
+    o_orderstatus (every 10th key mispredicts 'F'), target = a
+    filtered orders slice with a planted prior shift.  NO SQL
+    oracle: the k x k solve runs driver-side — rows-only at the
+    driver; weights/priors are numpy-cross-verified and
+    planted-shift-recovered in tests/test_labelshift.py.  Output: 3
+    deterministic rows."""
+    from whylogs_spark.ops.labelshift import label_shift_bbse
+
+    o = _t(spark, sf_dir, "orders")
+    pred = F.when(F.col("o_orderkey") % 10 == 0, F.lit("F")) \
+        .otherwise(F.col("o_orderstatus"))
+    src = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderstatus").alias("y"), pred.alias("pred"))
+    tgt = o.filter((F.col("o_orderkey") % 4 == 0)
+                   & ((F.col("o_orderstatus") == "F")
+                      | (F.col("o_orderkey") % 2 == 0))) \
+        .select(pred.alias("pred"))
+    out = label_shift_bbse(src, tgt, "y", "pred")
+    return out.select(
+        "label", _eround("weight", 6).alias("weight"),
+        _eround("p_source", 6).alias("p_source"),
+        _eround("p_target_est", 6).alias("p_target_est"),
+        "n_source", "n_target").orderBy("label")
+
+
 _GATE_ORDER = [
     # profiling spine (the flagship paths, always gated)
     "profile_full_lineitem",
@@ -5186,6 +5214,7 @@ _GATE_ORDER = [
     "quantile_reg_orders",
     "knn_shapley_embeddings",
     "covariate_balance_orders",
+    "label_shift_orders",
     # --- round-12 window: the 10 queries that had never appeared in
     # any driver window (r11 ask #2) — all got their r12 driver row.
     "js_divergence_lineitem",
@@ -5572,6 +5601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_reg_orders": _q_quantile_reg,
         "knn_shapley_embeddings": _q_knn_shapley,
         "covariate_balance_orders": _q_covariate_balance,
+        "label_shift_orders": _q_label_shift,
         "bandit_report_events": _q_bandit,
         "kmv_distinct_lineitem": _q_kmv_distinct,
         "kmv_overlap_lineitem": _q_kmv_overlap,

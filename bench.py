@@ -786,6 +786,21 @@ def main() -> None:
         _noop(covariate_balance(o, "tt", ["price", "month"],
                                 weight_col="w"))
 
+    def bench_label_shift():
+        # round-13: BBSE — two bounded cell passes + driver solve
+        from whylogs_spark.ops.labelshift import label_shift_bbse
+        o = t["orders"]
+        src = o.filter(F.col("o_orderkey") % 4 != 0).select(
+            F.col("o_orderstatus").alias("y"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("F"))
+            .otherwise(F.col("o_orderstatus")).alias("pred"))
+        tgt = o.filter((F.col("o_orderkey") % 4 == 0)
+                       & ((F.col("o_orderstatus") == "F")
+                          | (F.col("o_orderkey") % 2 == 0))).select(
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("F"))
+            .otherwise(F.col("o_orderstatus")).alias("pred"))
+        _noop(label_shift_bbse(src, tgt, "y", "pred"))
+
     def bench_store_quantile_series():
         # round-12: rolling KLL merges off a freshly-written store
         # (write cost included on purpose: the ask is the end-to-end
@@ -1809,6 +1824,7 @@ def main() -> None:
         "huber_bandit": bench_huber_bandit,
         "interarrival_rrf_qreg": bench_interarrival_rrf,
         "shapley_balance": bench_shapley_balance,
+        "label_shift_orders": bench_label_shift,
     }
     # fewer reps for the heavy entries (10x-scale rehearsals, driver
     # merge loops, per-row binary decode) keep total bench wall time

@@ -811,6 +811,24 @@ def main() -> None:
     q6.stop()
     transitions_plan = buf6.getvalue()
 
+    # 9g. streaming inter-arrival gaps (round 13): same stateful
+    # contract — watermark, per-entity Arrow state op, one exchange
+    from whylogs_spark.streaming.cadence import streaming_interarrival
+
+    stream7 = spark.readStream.schema(ev.schema).parquet(src_dir)
+    cad = streaming_interarrival(stream7, "user_id", "ts",
+                                 watermark="10 minutes")
+    ckpt7 = _tempfile.mkdtemp(prefix="audit_ckpt7_")
+    q7 = (cad.writeStream.outputMode("append").format("noop")
+          .trigger(availableNow=True)
+          .option("checkpointLocation", ckpt7).start())
+    q7.awaitTermination(180)
+    buf7 = io.StringIO()
+    with redirect_stdout(buf7):
+        q7.explain()
+    q7.stop()
+    cadence_plan = buf7.getvalue()
+
     streaming_checks = {
         "watermark attached (state evictable)": r"EventTimeWatermark",
         "stateful aggregation (state store save/restore)":
@@ -3998,6 +4016,24 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # round-13: BBSE label shift — the k x k confusion cell pass is
+    # the only data touch (the solve is driver numpy on k x k)
+    ls_src = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderstatus").alias("__y"),
+        F.when(F.col("o_orderkey") % 10 == 0,
+               F.lit("F")).otherwise(F.col("o_orderstatus"))
+        .alias("__p"))
+    sections.append((
+        "BBSE label shift confusion-cell pass (bounded k x k)",
+        ls_src.groupBy("__p", "__y").count(),
+        {
+            "ONE partial-agged aggregation":
+                r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is
@@ -4137,6 +4173,24 @@ def main() -> None:
                 r"[\s\S]*Exchange hashpartitioning",
     }.items():
         ok = re.search(pattern, transitions_plan) is not None
+        lines.append(f"  - [{'x' if ok else ' '}] {label}")
+        if not ok:
+            all_ok = False
+    lines.append("")
+
+    lines.append("## streaming inter-arrival gaps (stateful runtime "
+                 "plan)")
+    for label, pattern in {
+            "watermark attached (buffer drains + state evicts)":
+                r"EventTimeWatermark",
+            "stateful Arrow kernel (applyInPandasWithState — "
+            "last-ts + unwatermarked buffer per entity)":
+                r"FlatMapGroupsInPandasWithState",
+            "exactly one stream exchange (the entity key)":
+                r"^(?!([\s\S]*Exchange hashpartitioning){2})"
+                r"[\s\S]*Exchange hashpartitioning",
+    }.items():
+        ok = re.search(pattern, cadence_plan) is not None
         lines.append(f"  - [{'x' if ok else ' '}] {label}")
         if not ok:
             all_ok = False

@@ -91,7 +91,7 @@ _PLAN_TIME_JOBS = {
     # round-13: IRLS fit / guard counts + eager checkpoint at
     # construction
     "quantile_reg_orders", "knn_shapley_embeddings",
-    "interarrival_events",
+    "interarrival_events", "label_shift_orders",
 }
 
 
