@@ -5191,6 +5191,21 @@ def _q_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_source", "n_target").orderBy("label")
 
 
+def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (ops/geo.py grid_cluster) over the
+    deterministic synthetic customer coordinates: 4-degree cells,
+    min_pts=5, border attach on.  FULL oracle: the 8-connected
+    dense-cell components replay in DuckDB as a RECURSIVE min-label
+    reachability CTE (the driver union-find's fixpoint), borders as
+    a 9-offset neighbor join — everything integer, so the hash is
+    dtype- and rounding-proof."""
+    from whylogs_spark.ops.geo import grid_cluster
+
+    pts = _geo_pts(_t(spark, sf_dir, "customer"), "c_custkey")
+    out = grid_cluster(pts, cell_deg=4.0, min_pts=5)
+    return out.select("id", "cluster_id", "is_core")
+
+
 _GATE_ORDER = [
     # profiling spine (the flagship paths, always gated)
     "profile_full_lineitem",
@@ -5215,6 +5230,7 @@ _GATE_ORDER = [
     "knn_shapley_embeddings",
     "covariate_balance_orders",
     "label_shift_orders",
+    "grid_cluster_customer",
     # --- round-12 window: the 10 queries that had never appeared in
     # any driver window (r11 ask #2) — all got their r12 driver row.
     "js_divergence_lineitem",
@@ -5602,6 +5618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_shapley_embeddings": _q_knn_shapley,
         "covariate_balance_orders": _q_covariate_balance,
         "label_shift_orders": _q_label_shift,
+        "grid_cluster_customer": _q_grid_cluster,
         "bandit_report_events": _q_bandit,
         "kmv_distinct_lineitem": _q_kmv_distinct,
         "kmv_overlap_lineitem": _q_kmv_overlap,
@@ -10501,6 +10518,39 @@ def oracle_sql() -> dict[str, str]:
                 "CASE WHEN n_gaps >= 2 AND sd + mean > 0 THEN "
                 "(sd - mean) / (sd + mean) END", 6)
             + " AS burstiness FROM r ORDER BY event_type"
+        ),
+        "grid_cluster_customer": (
+            # the union-find fixpoint as a RECURSIVE reachability
+            # CTE: label(cell) = min reachable dense cell id over
+            # the 8-neighbor graph (identical to union-by-min);
+            # borders = min neighbor label via a 9-offset join.
+            # iy*2^32+ix == shiftleft(iy,32)+ix for iy >= 0.
+            "WITH RECURSIVE "
+            "pts AS (" + _GEO_PTS_SQL.format(
+                key="c_custkey", table="customer") + "), "
+            "pc AS (SELECT id, floor((lat + 90.0) / 4.0)::BIGINT "
+            "AS iy, floor((lon + 180.0) / 4.0)::BIGINT AS ix "
+            "FROM pts), "
+            "cells AS (SELECT iy, ix, iy * 4294967296 + ix AS cell, "
+            "count(*)::BIGINT AS n FROM pc GROUP BY 1, 2), "
+            "dense AS (SELECT iy, ix, cell FROM cells WHERE n >= 5), "
+            "adj AS (SELECT a.cell AS cell, b.cell AS nb "
+            "FROM dense a JOIN dense b ON abs(a.iy - b.iy) <= 1 "
+            "AND abs(a.ix - b.ix) <= 1 AND a.cell <> b.cell), "
+            "reach(cell, lbl) AS (SELECT cell, cell FROM dense "
+            "UNION SELECT a.cell, r.lbl FROM adj a "
+            "JOIN reach r ON a.nb = r.cell), "
+            "lab AS (SELECT cell, min(lbl) AS lbl FROM reach "
+            "GROUP BY 1), "
+            "offs(d) AS (SELECT * FROM (VALUES (-1), (0), (1))), "
+            "bord AS (SELECT p.id, min(l.lbl) AS blbl "
+            "FROM pc p, offs dy, offs dx JOIN lab l ON l.cell = "
+            "(p.iy + dy.d) * 4294967296 + (p.ix + dx.d) "
+            "WHERE NOT (dy.d = 0 AND dx.d = 0) GROUP BY 1) "
+            "SELECT p.id, coalesce(cl.lbl, b.blbl) AS cluster_id, "
+            "cl.lbl IS NOT NULL AS is_core FROM pc p "
+            "LEFT JOIN lab cl ON cl.cell = p.iy * 4294967296 + p.ix "
+            "LEFT JOIN bord b ON b.id = p.id"
         ),
         "knn_shapley_embeddings": (
             # the rank recursion as windows: distances in DOUBLE

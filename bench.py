@@ -716,6 +716,8 @@ def main() -> None:
         from whylogs_spark.ops.geo import geo_nearest_join
         _noop(geo_nearest_join(
             c, s.withColumnRenamed("id", "sid"), 300.0))
+        from whylogs_spark.ops.geo import grid_cluster
+        _noop(grid_cluster(c, cell_deg=4.0, min_pts=5))
 
     def bench_seasonal_esd():
         # round-12: S-H-ESD retrospective anomaly walk (bounded

@@ -4034,6 +4034,22 @@ def main() -> None:
                 r"MapInPandas|FlatMapGroupsInPandas))",
         }))
 
+    # round-13: grid-density clustering — cell collapse + broadcast
+    # label maps; the union-find itself is driver-side over the
+    # bounded dense-cell set (max_dense_cells guard)
+    from whylogs_spark.ops.geo import grid_cluster
+
+    sections.append((
+        "Grid clustering (cell collapse + broadcast label join)",
+        grid_cluster(geo_cust, cell_deg=4.0, min_pts=5),
+        {
+            "cluster labels join back by broadcast":
+                r"BroadcastHashJoin",
+            "no Python anywhere":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
     # 10. repo-wide global-window audit (SOURCE level): any
     # `Window.orderBy(...)` that is not chained onto a partitionBy is
     # a single-task sort of its input unless that input is

@@ -92,6 +92,7 @@ _PLAN_TIME_JOBS = {
     # construction
     "quantile_reg_orders", "knn_shapley_embeddings",
     "interarrival_events", "label_shift_orders",
+    "grid_cluster_customer",
 }
 
 

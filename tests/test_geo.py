@@ -199,3 +199,102 @@ class TestGeoNearestLeftId:
             [(2, 0.0, 0.0)], "r_id int, lat double, lon double")
         with pytest.raises(ValueError, match="left_id_col"):
             geo_nearest_join(left, right, 10.0, left_id_col="nope")
+
+
+class TestGridCluster:
+    def _brute(self, pts, cell_deg, min_pts, attach):
+        """Independent reference: cell counts, 8-connected dense
+        components labeled by min cell id, optional border attach."""
+        import math as m
+
+        def cid(lat, lon):
+            return (int(m.floor((lat + 90) / cell_deg)) << 32) + \
+                int(m.floor((lon + 180) / cell_deg))
+
+        from collections import Counter
+        counts = Counter(cid(a, b) for a, b in pts)
+        dense = {c for c, n in counts.items() if n >= min_pts}
+        lbl = {c: c for c in dense}
+        changed = True
+        while changed:
+            changed = False
+            for c in dense:
+                iy, ix = c >> 32, c & 0xFFFFFFFF
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        nb = ((iy + dy) << 32) + (ix + dx)
+                        if nb in dense and lbl[nb] < lbl[c]:
+                            lbl[c] = lbl[nb]
+                            changed = True
+        out = []
+        for a, b in pts:
+            c = cid(a, b)
+            if c in dense:
+                out.append((lbl[c], True))
+            elif attach:
+                iy, ix = c >> 32, c & 0xFFFFFFFF
+                cands = [lbl[((iy + dy) << 32) + (ix + dx)]
+                         for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                         if ((iy + dy) << 32) + (ix + dx) in dense]
+                out.append((min(cands) if cands else None, False))
+            else:
+                out.append((None, False))
+        return out
+
+    def test_two_blobs_and_noise(self, spark):
+        from whylogs_spark.ops.geo import grid_cluster
+
+        rng = __import__("numpy").random.RandomState(9)
+        pts = []
+        # blob A around (10, 10), blob B around (40, 40), sparse noise
+        pts += [(10 + rng.uniform(-0.8, 0.8), 10 + rng.uniform(-0.8, 0.8))
+                for _ in range(60)]
+        pts += [(40 + rng.uniform(-0.8, 0.8), 40 + rng.uniform(-0.8, 0.8))
+                for _ in range(60)]
+        pts += [(float(-60 + 7 * i), float(100 + 5 * i))
+                for i in range(8)]
+        df = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(pts)],
+            "pid int, lat double, lon double")
+        got = {r["pid"]: (r["cluster_id"], r["is_core"])
+               for r in grid_cluster(
+                   df, cell_deg=0.5, min_pts=4).collect()}
+        want = self._brute(pts, 0.5, 4, True)
+        for i in range(len(pts)):
+            assert got[i] == tuple(want[i]), i
+        # exactly two clusters among core points, noise is unlabeled
+        clusters = {c for c, core in got.values() if core}
+        assert len(clusters) == 2
+        assert all(got[i][0] is None for i in range(120, 128))
+
+    def test_invalid_rows_and_flags(self, spark):
+        from whylogs_spark.ops.geo import grid_cluster
+
+        df = spark.createDataFrame(
+            [(1, 10.0, 10.0), (2, 10.1, 10.1), (3, 10.2, 10.2),
+             (4, float("nan"), 5.0), (5, 95.0, 5.0)],
+            "pid int, lat double, lon double")
+        got = {r["pid"]: r for r in grid_cluster(
+            df, cell_deg=1.0, min_pts=3).collect()}
+        assert got[1]["is_core"] and got[1]["cluster_id"] is not None
+        assert got[4]["cluster_id"] is None and not got[4]["is_core"]
+        assert got[5]["cluster_id"] is None
+
+        no_border = grid_cluster(
+            df.filter("pid <= 3"), cell_deg=0.05, min_pts=5)
+        assert all(r["cluster_id"] is None
+                   for r in no_border.collect())
+
+    def test_validation(self, spark):
+        import pytest
+
+        from whylogs_spark.ops.geo import grid_cluster
+
+        df = spark.createDataFrame(
+            [(10.0, 10.0)], "lat double, lon double")
+        with pytest.raises(ValueError, match="cell_deg"):
+            grid_cluster(df, cell_deg=0)
+        with pytest.raises(ValueError, match="min_pts"):
+            grid_cluster(df, min_pts=0)
+        with pytest.raises(ValueError, match="max_dense_cells"):
+            grid_cluster(df, min_pts=1, max_dense_cells=0)
