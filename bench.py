@@ -1874,6 +1874,36 @@ def main() -> None:
     # medians, trust a delta only when the intervals don't overlap.
     results, res_min, res_max, res_task = {}, {}, {}, {}
     benches = {k: v for k, v in benches.items() if v is not None}
+    # Opt-in DIAGNOSTIC mode (guide §1/§7.1), used by the r13
+    # optimization round to isolate single rows with per-stage
+    # metrics. Default behavior (no env vars) is byte-identical:
+    # SPARK_GRAFT_ONLY=a,b,c  runs only those rows, and the partial
+    #   run neither overwrites bench_out.json nor re-adjudicates
+    #   regression flags;
+    # SPARK_GRAFT_STAGES_OUT=path  dumps each run row's completed
+    #   stages (executorRunTime/CpuTime, jvmGcTime, shuffle bytes,
+    #   spill, task count) as JSON for the "Stages tab" breakdown.
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    only = {s.strip() for s in only_env.split(",") if s.strip()}
+    if only:
+        unknown = only - set(benches)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY unknown rows: "
+                             f"{sorted(unknown)}")
+        benches = {k: v for k, v in benches.items() if k in only}
+    stages_out = os.environ.get("SPARK_GRAFT_STAGES_OUT", "").strip()
+    stage_dump: dict = {}
+
+    def _stage_snapshot():
+        try:
+            app_id = spark.sparkContext.applicationId
+            url = (f"http://127.0.0.1:4099/api/v1/applications/"
+                   f"{app_id}/stages?status=complete")
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                return json.load(resp)
+        except Exception:
+            return []
+
     # Low-rep scale/skew rehearsals run FIRST: with 2-3 reps they are
     # the most ordering-sensitive rows (r9's dupspans_scale_10x flag
     # traced to late-run JVM/page-cache state, A/B 62-73 task-sec vs a
@@ -1886,7 +1916,11 @@ def main() -> None:
     for name in run_order:
         fn = benches[name]
         times, task_ms = [], []
-        for _ in range(reps_for.get(name, 5)):
+        pre_ids = None
+        for rep in range(reps_for.get(name, 5)):
+            if stages_out and rep == reps_for.get(name, 5) - 1:
+                pre_ids = {(s.get("stageId"), s.get("attemptId"))
+                           for s in _stage_snapshot()}
             tt0 = task_time_ms()
             t0 = time.perf_counter()
             fn()
@@ -1894,6 +1928,18 @@ def main() -> None:
             tt1 = task_time_ms()
             if tt0 >= 0 and tt1 >= 0:
                 task_ms.append(tt1 - tt0)
+        if stages_out and pre_ids is not None:
+            keep = ("stageId", "name", "numTasks", "executorRunTime",
+                    "executorCpuTime", "jvmGcTime", "inputBytes",
+                    "shuffleReadBytes", "shuffleWriteBytes",
+                    "memoryBytesSpilled", "diskBytesSpilled",
+                    "executorDeserializeTime",
+                    "shuffleFetchWaitTime", "resultSerializationTime")
+            stage_dump[name] = [
+                {k: s.get(k) for k in keep if k in s}
+                for s in _stage_snapshot()
+                if (s.get("stageId"), s.get("attemptId"))
+                not in pre_ids]
         times.sort()
         results[name] = round(times[len(times) // 2], 3)
         res_min[name] = round(times[0], 3)
@@ -1992,6 +2038,10 @@ def main() -> None:
                 mods |= _bench_modules(v, depth + 1)
         return mods
 
+    if only:
+        # partial diagnostic run: no flag adjudication (prev-record
+        # comparisons are still computed above for display)
+        regressions = {}
     in_round = _in_round_changes() if regressions else set()
     # Auto-adjudicate every surviving flag IN THE SAME RECORD: the r8
     # record shipped one flag with no matching note, breaking the
@@ -2114,13 +2164,20 @@ def main() -> None:
         },
     })
     print(compact, flush=True)
+    if stages_out:
+        try:
+            with open(stages_out, "w") as fh:
+                json.dump(stage_dump, fh, indent=1)
+        except OSError:
+            pass
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
-    try:
-        with open(out_path, "w") as fh:
-            fh.write(full + "\n")
-    except OSError:
-        pass
+    if not only:
+        try:
+            with open(out_path, "w") as fh:
+                fh.write(full + "\n")
+        except OSError:
+            pass
     spark.stop()
 
 

@@ -312,3 +312,40 @@ def test_weighted_quantiles_guard_tight_at_huge_weights(spark):
     out = weighted_quantiles(df, "v", "w", [0.5]).collect()[0]
     # cum(1.0) = 6e11 - 0.3 < 0.5 * W = 6e11 -> the median is 2.0
     assert out.q_0_5 == 2.0
+
+
+def test_chained_walks_plan_stays_linear(spark):
+    """r13 optimization guard: every walk cuts its input's lineage
+    (lazy localCheckpoint), so a CHAIN of running_sums passes keeps a
+    linear physical plan.  Without the cut, each pass consumes its
+    input from two branches (local window + slice rollup) and the
+    upstream subtree doubles per pass — cumulative_incidence at sf0.1
+    planned 188 Exchange nodes before the fix, 36 after.  Assert both
+    the value identity and the bounded plan here so a regression
+    (dropping the cut) fails fast."""
+    rng = random.Random(13)
+    rows = [(float(k), rng.randint(0, 9))
+            for k in rng.sample(range(10_000), 300)]
+    df = spark.createDataFrame(rows, "k double, a int").repartition(7)
+    c1 = running_sums(df, ["k"], ["a"])
+    c2 = running_sums(
+        c1.select("k", F.col("__cum_a").alias("a")), ["k"], ["a"])
+    c3 = running_sums(
+        c2.select("k", F.col("__cum_a").alias("a")), ["k"], ["a"])
+    n_exchange = c3._jdf.queryExecution().executedPlan().toString() \
+        .count("Exchange")
+    # linear chain: ~4 exchanges + 2 broadcasts per pass; the
+    # un-cut doubling shape planned 40+ for three passes
+    assert n_exchange <= 24, f"plan carries {n_exchange} Exchanges"
+    got = {r.k: r["__cum_a"] for r in c3.collect()}
+    # triple prefix sum, computed in plain python
+    ordered = sorted(rows)
+    c = 0.0
+    s1, s2, s3 = 0, 0, 0
+    want = {}
+    for k, a in ordered:
+        s1 += a
+        s2 += s1
+        s3 += s2
+        want[k] = s3
+    assert got == want

@@ -32,6 +32,40 @@ from pyspark.sql import functions as F
 CUM_PREFIX = "__cum_"
 
 
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Truncate the walk input's logical plan (lazy localCheckpoint).
+
+    Why (r13 optimization round, guide §3.3/§5 "materialising an
+    intermediate truncates the plan"): every two-phase pass consumes
+    its input from TWO plan branches (local window + slice totals), so
+    a CHAIN of passes doubles the upstream subtree per pass — measured
+    on ``cumulative_incidence`` at sf0.1, the physical plan carried
+    220 Exchange nodes and dozens of serialized single-task
+    BroadcastExchange rebuilds (52 s of "time to collect" in one cold
+    run) because the duplicated slice-rollup broadcasts stop deduping
+    across AQE stage boundaries.  Cutting lineage at each pass input
+    keeps every plan linear: one exchange, two broadcast builds per
+    pass, O(1) plan size however long the chain.
+
+    Why ``localCheckpoint(eager=False)`` and NOT ``.persist()``: the
+    cache manager keys entries by canonical plan, so a persisted
+    intermediate would be silently REUSED by the next identical
+    invocation in the same session — benchmark reps would measure
+    cache hits, which the bench contract forbids.  A local checkpoint
+    is a fresh RDD per invocation: every call recomputes from its
+    inputs.  ``eager=False`` adds no extra job (the first consuming
+    stage materializes it).  Trade-off at scale: the checkpointed
+    intermediate (the COLLAPSED distinct-value table the exchanges
+    already move) loses lineage, so an executor loss during the walk
+    fails the job instead of recomputing — the same trade the repo
+    already accepts for the Cox/PageRank iterates.
+    """
+    try:
+        return df.localCheckpoint(eager=False)
+    except Exception:
+        return df
+
+
 def require_exchange_reuse(df: DataFrame) -> None:
     """The two-phase plans consume their range exchange from two plan
     branches (local cumsums and the slice-totals rollup). Spark
@@ -116,6 +150,7 @@ def grouped_running_sums(
     from operator import and_
 
     require_exchange_reuse(df)
+    df = cut_lineage(df)
     part = [F.col(c) for c in group_cols]
     rp = df.repartitionByRange(
         *part, *[F.col(c) for c in order_cols]) \
@@ -166,6 +201,7 @@ def running_sums(
     global-window audit).
     """
     require_exchange_reuse(df)
+    df = cut_lineage(df)
     order = [F.col(c).asc() for c in order_cols]
     rp = df.repartitionByRange(*[F.col(c) for c in order_cols]) \
         .withColumn("__slice", F.spark_partition_id())
