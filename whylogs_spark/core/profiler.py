@@ -55,6 +55,7 @@ from .planner import (
     plan_dataframe,
 )
 from .sketches import FrequentStringsSketch, KllSketch
+from .util import cut_derived_lineage as _cut_derived_lineage
 from .util import ensure_parallelism as _ensure_parallelism
 
 PROFILE_SCHEMA = T.StructType(
@@ -136,6 +137,19 @@ def _long_structs(aggs: List[PlannedAgg]) -> List[Column]:
         structs.append(F.struct(*fields))
     return structs
 
+
+
+def _local_profile_df(spark, rows):
+    """Bounded driver-built long-form profile rows -> DataFrame in ONE
+    slice per ~20k rows instead of one per core: a profile is a few
+    hundred KB, and spreading it over 32 near-empty partitions made
+    every downstream materialization (store writes, unions, collects)
+    pay ~0.3 s of per-task overhead per empty slice (r13, measured on
+    the store_quantile_series row)."""
+    n = max(1, -(-len(rows) // 20_000))
+    sc = spark.sparkContext
+    return spark.createDataFrame(
+        sc.parallelize(rows, numSlices=n), PROFILE_SCHEMA)
 
 def _native_long_one_tier(
     df: DataFrame, aggs: List[PlannedAgg], segment_cols: List[str]
@@ -245,7 +259,7 @@ def _segmented_native_long(
                     seg, a.column, a.metric, a.component,
                     slots["n"], slots["d"], slots["s"], slots["b"],
                 ))
-    return spark.createDataFrame(out_rows, PROFILE_SCHEMA)
+    return _local_profile_df(spark, out_rows)
 
 
 def _native_long_collected(
@@ -319,7 +333,7 @@ def _native_long_collected(
                     "{}", a.column, a.metric, a.component,
                     slots["n"], slots["d"], slots["s"], slots["b"],
                 ))
-    return spark.createDataFrame(out_rows, PROFILE_SCHEMA)
+    return _local_profile_df(spark, out_rows)
 
 
 # --------------------------------------------------------------------- sketch
@@ -500,6 +514,12 @@ def profile(
     from .datatypes import flatten_struct_columns
 
     df, columns = flatten_struct_columns(df, columns, segment_cols)
+    # Derived inputs (a join / funnel / python stage upstream): pay the
+    # upstream ONCE instead of once per chunk job + sketch pass (r13,
+    # guide §3.3 "materialising an intermediate truncates the plan").
+    # Plain scans / caches / projections stay un-checkpointed — each
+    # chunk's column-pruned scan is cheaper than materializing.
+    df = _cut_derived_lineage(df)
     try:
         df.sparkSession.conf.set("spark.sql.codegen.maxFields", "2048")
         # bigger Arrow batches => fewer python-side groupby/update rounds
@@ -534,7 +554,7 @@ def profile(
                 df, sketches, segment_cols, config).cache()
             fut = ThreadPoolExecutor(max_workers=1).submit(sketch_df.count)
         rows = wide_native_rows(df, columns, segment_cols, config)
-        long_df = df.sparkSession.createDataFrame(rows, PROFILE_SCHEMA)
+        long_df = _local_profile_df(df.sparkSession, rows)
         if sketch_df is not None:
             fut.result()
             long_df = long_df.unionByName(sketch_df)
@@ -617,6 +637,7 @@ def profile_partitions(
     sets_exprs = [[F.col(c) for c in cols] for _, cols in part_items]
 
     df, columns = flatten_struct_columns(df, columns, all_cols)
+    df = _cut_derived_lineage(df)
     aggs, sketches = plan_dataframe(df.schema, columns, all_cols, config)
     tiers: Dict[str, List[PlannedAgg]] = {}
     for a in aggs:
@@ -680,7 +701,7 @@ def profile_partitions(
 
     out: Dict[str, ProfileView] = {}
     for pname, cols in part_items:
-        long_df = spark.createDataFrame(rows_by_part[pname], PROFILE_SCHEMA)
+        long_df = _local_profile_df(spark, rows_by_part[pname])
         if sketches:
             long_df = long_df.unionByName(
                 _sketch_long(df, sketches, cols, config))

@@ -193,6 +193,13 @@ def fit_logistic(
     base = df.filter(ok).select(
         y.alias("__y"),
         *[x.alias(f"__x{i}") for i, x in enumerate(xs)])
+    # Each Newton step is one full aggregate over `base`; without a
+    # lineage cut every step RE-EXECUTES the upstream plan (scan +
+    # joins + any funnel) up to max_iter times.  Materialize the
+    # projected (p+1)-column base once, right-sized (r13, same pattern
+    # as the Cox / Huber fits); lazy so the first step pays for it.
+    from whylogs_spark.core.util import iteration_base
+    base = iteration_base(base)
     # x0 = intercept column of ones
     xcols = [F.lit(1.0)] + [F.col(f"__x{i}") for i in range(len(feats))]
 

@@ -185,6 +185,13 @@ def kmeans(
     first (each update is a full re-scan)."""
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    # init + n_iter Lloyd updates + the final assignment each re-scan
+    # `df`; when the input is a DERIVED plan (join / python stage /
+    # funnel upstream) cut its lineage once so the passes replay from
+    # materialized blocks instead of re-executing the upstream
+    # (r13; no-op for plain scans and caches).
+    from whylogs_spark.core.util import cut_derived_lineage
+    df = cut_derived_lineage(df)
     cents = ([list(c) for c in init_centroids] if init_centroids
              else kmeans_init(df, vec_col, id_col, k, quantize))
     _check_dim(df, vec_col, len(cents[0]))

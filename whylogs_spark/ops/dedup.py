@@ -1530,9 +1530,28 @@ def incremental_minhash_dedup(
     b_idx = (batch if idx_cols <= set(batch.columns)
              else minhash_index(batch, text_col, id_col, num_hashes,
                                 shingle_words, impl))
-    h_idx = (history if idx_cols <= set(history.columns)
-             else minhash_index(history, text_col, id_col, num_hashes,
-                                shingle_words, impl))
+    # The batch index feeds FIVE plan branches (in-batch banding + its
+    # two verify joins, the history probe keys, and the batch shingle
+    # side): cut its lineage so the Arrow minhash pass runs once, not
+    # five times (r13; conditional — a persisted-index batch is a plain
+    # scan and stays uncut).  batch << history by contract, so
+    # materializing the batch index is bounded.
+    from whylogs_spark.core.util import cut_derived_lineage
+    b_idx = cut_derived_lineage(b_idx)
+    if idx_cols <= set(history.columns):
+        # persisted index: each consumer below reads the column it
+        # needs, pruned at the scan — nothing to materialize
+        h_sig = h_sh_src = history
+    else:
+        # raw history is consumed ONCE per side; two single-purpose
+        # Arrow passes (signature-only for the banding probe,
+        # shingle-only for the verify join) beat one combined index
+        # pass that would either run twice or be materialized at
+        # history scale (r13; same split minhash_lsh_pairs uses)
+        h_sig = minhash_signatures(history, text_col, id_col,
+                                   num_hashes, shingle_words, impl)
+        h_sh_src = shingle_hash_sets(history, text_col, id_col,
+                                     shingle_words)
 
     # earlier-in-batch losers: any verified pair (a < b) kills b
     in_batch = lsh_pairs_from_index(
@@ -1544,7 +1563,7 @@ def incremental_minhash_dedup(
         F.col(id_col).alias("__bid"),
         F.explode(_band_structs(num_hashes, bands)).alias("bb"),
     ).select("__bid", "bb.band", "bb.bucket")
-    hb = h_idx.select(
+    hb = h_sig.select(
         F.col(id_col).alias("__hid"),
         F.explode(_band_structs(num_hashes, bands)).alias("bb"),
     ).select("__hid", "bb.band", "bb.bucket")
@@ -1564,8 +1583,8 @@ def incremental_minhash_dedup(
         .distinct()
     )
 
-    h_sh = h_idx.select(F.col(id_col).alias("__hid"),
-                        F.col("shingles").alias("__sh_h"))
+    h_sh = h_sh_src.select(F.col(id_col).alias("__hid"),
+                           F.col("shingles").alias("__sh_h"))
     b_sh = b_idx.select(F.col(id_col).alias("__bid"),
                         F.col("shingles").alias("__sh_b"))
     jac = (

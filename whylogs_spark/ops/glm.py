@@ -188,6 +188,12 @@ def fit_poisson(
     base = df.filter(ok).select(
         y.alias("__y"),
         *[x.alias(f"__z{j}") for j, x in enumerate(xs)])
+    # One lineage cut before the Newton loop: the negative-label probe
+    # plus up to max_iter gradient/Hessian aggregates otherwise each
+    # re-execute the full upstream plan (r13, same pattern as
+    # causal.fit_logistic / the Cox and Huber fits).
+    from whylogs_spark.core.util import iteration_base
+    base = iteration_base(base)
     neg = base.filter(F.col("__y") < 0).limit(1).count()
     if neg:
         raise ValueError("fit_poisson: negative label values")

@@ -162,7 +162,8 @@ def temperature_scaling(
     base = df.filter(ok).select(
         y.alias("__y"), *[F.col(c).cast("double").alias(c)
                           for c in cols])
-    base = base.localCheckpoint(eager=False)
+    from whylogs_spark.core.util import iteration_base
+    base = iteration_base(base)
     lbl = F.col("__y")
 
     evals = [0]
