@@ -51,6 +51,33 @@ def test_cut_derived_lineage_noop_on_scan(spark, lineitem):
     assert out is lineitem
 
 
+def test_cut_derived_lineage_skips_unbounded(spark, lineitem):
+    # a row-EXPANDING derived plan (10x crossJoin replication) has an
+    # expensive node but an unbounded estimate: materializing it costs
+    # more than the column-pruned re-scans it would save — must NOT cut
+    # (r13: profile_scale_10x went 50 -> 1855 task-sec when it did)
+    li10 = lineitem.crossJoin(
+        spark.range(10).select(F.col("id").alias("__rep"))).drop("__rep")
+    est = plan_size_estimate(li10)
+    if est is not None and est > 256 * 1024 * 1024:
+        assert cut_derived_lineage(li10) is li10
+    # and the cap is conf-overridable: shrink it so even a small
+    # derived frame is refused
+    small = lineitem.select("l_orderkey").offset(10).limit(10)
+    spark.conf.set("spark.whylogs.checkpointMaxBytes", "0")
+    try:
+        assert cut_derived_lineage(small) is small
+    finally:
+        spark.conf.unset("spark.whylogs.checkpointMaxBytes")
+    assert cut_derived_lineage(small) is not small
+    # caller-asserted bounded inputs bypass the gate
+    spark.conf.set("spark.whylogs.checkpointMaxBytes", "0")
+    try:
+        assert cut_derived_lineage(small, bounded=True) is not small
+    finally:
+        spark.conf.unset("spark.whylogs.checkpointMaxBytes")
+
+
 def test_cut_derived_lineage_values_identical(spark, lineitem):
     sl = lineitem.select("l_orderkey", "l_quantity").offset(100).limit(50)
     cut = cut_derived_lineage(sl)

@@ -20,6 +20,18 @@ TASK_TARGET_BYTES = 2 * 1024 * 1024
 #: at most a (true_size / 4)-way serialization, never a single task.
 MIN_ADAPTIVE_SLICES = 4
 
+#: Ceiling on what ``cut_derived_lineage`` will materialize (override
+#: with ``spark.whylogs.checkpointMaxBytes``).  The cut trades ONE
+#: materialization for N re-executions, which only pays when the
+#: intermediate is BOUNDED: a ~256 MB table writes to local block
+#: storage in ~1 s and is dwarfed by the multi-job upstream it saves,
+#: while an unbounded frame (a 10x row-expanding join, a full-width
+#: corpus) costs more to store than the column-pruned re-scans it
+#: replaces — measured 37x task-sec blowup on profile_scale_10x when
+#: the r13 cut fired on a crossJoin-replicated 6M-row frame.  Unknown
+#: estimate => no cut (the conservative pre-r13 behavior).
+CHECKPOINT_MAX_BYTES = 256 * 1024 * 1024
+
 #: Logical-plan node names whose re-execution is expensive (shuffles,
 #: global funnels, python stages) — used to decide whether a profile
 #: input is worth local-checkpointing before fanning out the chunked
@@ -76,7 +88,7 @@ def _has_expensive_node(df: DataFrame) -> bool:
     return False
 
 
-def cut_derived_lineage(df: DataFrame) -> DataFrame:
+def cut_derived_lineage(df: DataFrame, bounded: bool = False) -> DataFrame:
     """Lazy ``localCheckpoint`` when (and only when) the input plan
     carries shuffle / global-funnel / python work that every downstream
     consumer job would otherwise RE-EXECUTE — the profiler fans one
@@ -87,9 +99,33 @@ def cut_derived_lineage(df: DataFrame) -> DataFrame:
     width).  Same non-reuse contract as ``core.prefix.cut_lineage``:
     a local checkpoint is a fresh RDD per invocation — nothing is
     shared across calls, every invocation recomputes from its inputs.
+
+    Bounded-intermediate gate (r13): the cut fires only when Catalyst
+    can BOUND the frame (size estimate known and <=
+    ``spark.whylogs.checkpointMaxBytes``, default
+    ``CHECKPOINT_MAX_BYTES``).  A row-expanding join or a full-width
+    corpus plan costs more to materialize than the column-pruned
+    re-scans it would replace; an unknown estimate is treated as
+    unbounded.  ``bounded=True`` bypasses the gate — for call sites
+    whose input is bounded BY CONTRACT (e.g. the incremental-dedup
+    batch index: batch << history, and the index is strictly smaller
+    than the text it summarizes), where the caller knows the
+    materialize-vs-recompute trade better than a generic size cap.
     """
     if not _has_expensive_node(df):
         return df
+    if not bounded:
+        est = plan_size_estimate(df)
+        if est is None:
+            return df
+        try:
+            cap = int(df.sparkSession.conf.get(
+                "spark.whylogs.checkpointMaxBytes",
+                str(CHECKPOINT_MAX_BYTES)))
+        except Exception:
+            cap = CHECKPOINT_MAX_BYTES
+        if est > cap:
+            return df
     try:
         return df.localCheckpoint(eager=False)
     except Exception:

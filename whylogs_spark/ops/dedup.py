@@ -1537,7 +1537,10 @@ def incremental_minhash_dedup(
     # scan and stays uncut).  batch << history by contract, so
     # materializing the batch index is bounded.
     from whylogs_spark.core.util import cut_derived_lineage
-    b_idx = cut_derived_lineage(b_idx)
+    # bounded=True: batch << history by contract, and the index
+    # (signatures + shingle hashes) is strictly smaller than the text
+    # it summarizes — the generic checkpoint size cap doesn't apply
+    b_idx = cut_derived_lineage(b_idx, bounded=True)
     if idx_cols <= set(history.columns):
         # persisted index: each consumer below reads the column it
         # needs, pruned at the scan — nothing to materialize
