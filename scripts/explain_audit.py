@@ -1571,17 +1571,50 @@ def main() -> None:
         }))
 
     # 9z5o. QQ drift: two quantile walks -> broadcast cross join;
-    # no partition-less sort of the raw data
+    # no partition-less sort of the raw data.  The production walks
+    # cut lineage at their entry (core/prefix.py cut_lineage), which
+    # hides the parquet scan behind `Scan ExistingRDD` in explain() —
+    # the scan-level assertions are therefore captured with the
+    # kill-switch off (same logical plan, compiled into the
+    # checkpoint-materializing job in production), and a companion
+    # section asserts the production plan's cut/linear shape.
     from whylogs_spark.core.drift import qq_table
 
-    qq = qq_table(li.filter(F.col("l_returnflag") == "A"),
-                  li.filter(F.col("l_returnflag") == "R"),
-                  "l_extendedprice", qs=[0.25, 0.5, 0.75])
+    spark.conf.set("spark.whylogs.cutLineage", "false")
+    try:
+        qq = qq_table(li.filter(F.col("l_returnflag") == "A"),
+                      li.filter(F.col("l_returnflag") == "R"),
+                      "l_extendedprice", qs=[0.25, 0.5, 0.75])
+    finally:
+        spark.conf.unset("spark.whylogs.cutLineage")
     sections.append((
-        "qq drift table (two exact quantile walks)", qq,
+        "qq drift table (two exact quantile walks; lineage cut "
+        "disabled to expose the scans)", qq,
         {
             "returnflag filter pushed to the scans":
                 r"PushedFilters: [^\n]*EqualTo\(l_returnflag",
+            "1-row sides joined by broadcast":
+                r"BroadcastNestedLoopJoin",
+            "no partition-less data sort":
+                r"^(?![\s\S]*Sort \[l_extendedprice[^\n]*\], true)",
+            "no Python in the plan":
+                r"^(?![\s\S]*(BatchEvalPython|ArrowEvalPython|"
+                r"MapInPandas|FlatMapGroupsInPandas))",
+        }))
+
+    qq_cut = qq_table(li.filter(F.col("l_returnflag") == "A"),
+                      li.filter(F.col("l_returnflag") == "R"),
+                      "l_extendedprice", qs=[0.25, 0.5, 0.75])
+    sections.append((
+        "qq drift table (production lineage cut)", qq_cut,
+        {
+            "walk inputs arrive checkpointed (collapsed value tables, "
+            "not re-derived subtrees)":
+                r"Scan ExistingRDD[\s\S]*localCheckpoint",
+            "plan stays linear: at most 12 static exchange nodes for "
+            "two walks (AQE stage-reuse dedups the per-walk range "
+            "exchange's two consumers at runtime)":
+                r"^(?!([\s\S]*\(\d+\) Exchange){13})",
             "1-row sides joined by broadcast":
                 r"BroadcastNestedLoopJoin",
             "no partition-less data sort":

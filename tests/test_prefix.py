@@ -349,3 +349,32 @@ def test_chained_walks_plan_stays_linear(spark):
         s3 += s2
         want[k] = s3
     assert got == want
+
+
+def test_cut_lineage_kill_switch(spark):
+    """spark.whylogs.cutLineage=false disables the walk-entry
+    checkpoint (the plan audit uses it to expose scan pushdown in the
+    end-to-end plan); results are identical either way."""
+    rng = random.Random(31)
+    rows = [(float(k), rng.randint(0, 9))
+            for k in rng.sample(range(10_000), 200)]
+    df = spark.createDataFrame(rows, "k double, a int").repartition(5)
+
+    def fmt(frame):
+        # formatted explain carries the RDD callsite ("... at
+        # localCheckpoint at ..."), unlike the simple plan string
+        return frame._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+
+    cut = running_sums(df, ["k"], ["a"])
+    assert "localCheckpoint" in fmt(cut)
+    spark.conf.set("spark.whylogs.cutLineage", "false")
+    try:
+        uncut = running_sums(df, ["k"], ["a"])
+        assert "localCheckpoint" not in fmt(uncut)
+    finally:
+        spark.conf.unset("spark.whylogs.cutLineage")
+    key = lambda r: r.k  # noqa: E731
+    assert sorted(cut.collect(), key=key) \
+        == sorted(uncut.collect(), key=key)

@@ -59,8 +59,19 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     already move) loses lineage, so an executor loss during the walk
     fails the job instead of recomputing — the same trade the repo
     already accepts for the Cox/PageRank iterates.
+
+    Kill-switch: ``spark.whylogs.cutLineage=false`` disables the cut
+    for the session.  The production default is on; the switch exists
+    for plan auditing — the checkpoint compiles the SAME logical plan
+    (scan pushdown and pruning included) into the materializing job,
+    but ``explain()`` on the downstream frame only shows ``Scan
+    ExistingRDD``, so the audit captures the uncut plan to assert the
+    scan-level properties end to end (scripts/explain_audit.py).
     """
     try:
+        if str(df.sparkSession.conf.get(
+                "spark.whylogs.cutLineage", "true")).lower() == "false":
+            return df
         return df.localCheckpoint(eager=False)
     except Exception:
         return df
