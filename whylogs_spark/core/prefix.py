@@ -60,6 +60,20 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     fails the job instead of recomputing — the same trade the repo
     already accepts for the Cox/PageRank iterates.
 
+    Eager by default (r13, measured): AQE materializes a walk's
+    shuffle and broadcast query stages CONCURRENTLY, and with a lazy
+    checkpoint every concurrent first consumer recomputes or blocks on
+    the same un-materialized blocks (BlockInfoManager write-lock
+    waits) — isolated A/B on this round's bench host:
+    ``outlier_bins_lineitem`` 26.1 -> 14.6 s wall (284 -> 186
+    stage-run-sec), ``schema_quality_survival`` 12.2 -> 9.7 s, from
+    flipping eager alone.  One synchronous 1-stage job per walk entry
+    materializes the blocks once; every consumer then reads.  Width is
+    right-sized first (``iteration_base``'s logic): a collapsed
+    distinct-value table of a few MB otherwise inherits 96-128
+    near-empty partitions from upstream unions and pays the fixed
+    per-task cost in every consumer stage.
+
     Kill-switch: ``spark.whylogs.cutLineage=false`` disables the cut
     for the session.  The production default is on; the switch exists
     for plan auditing — the checkpoint compiles the SAME logical plan
@@ -67,12 +81,18 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     but ``explain()`` on the downstream frame only shows ``Scan
     ExistingRDD``, so the audit captures the uncut plan to assert the
     scan-level properties end to end (scripts/explain_audit.py).
+    ``spark.whylogs.cutLineageEager=false`` reverts to the lazy
+    first-consumer materialization.
     """
     try:
-        if str(df.sparkSession.conf.get(
-                "spark.whylogs.cutLineage", "true")).lower() == "false":
+        conf = df.sparkSession.conf
+        if str(conf.get("spark.whylogs.cutLineage",
+                        "true")).lower() == "false":
             return df
-        return df.localCheckpoint(eager=False)
+        eager = str(conf.get("spark.whylogs.cutLineageEager",
+                             "true")).lower() != "false"
+        from whylogs_spark.core.util import rightsize_width
+        return rightsize_width(df).localCheckpoint(eager=eager)
     except Exception:
         return df
 

@@ -127,9 +127,45 @@ def cut_derived_lineage(df: DataFrame, bounded: bool = False) -> DataFrame:
         if est > cap:
             return df
     try:
-        return df.localCheckpoint(eager=False)
+        # eager like cut_lineage (r13 measured): the profiler fans its
+        # input out to CONCURRENT chunk jobs; a lazy checkpoint makes
+        # every concurrent first consumer block on (or recompute) the
+        # same un-materialized blocks.  One synchronous job
+        # materializes, all chunk jobs then read.
+        eager = str(df.sparkSession.conf.get(
+            "spark.whylogs.cutLineageEager", "true")).lower() != "false"
+        return rightsize_width(df).localCheckpoint(eager=eager)
     except Exception:
         return df
+
+
+def rightsize_width(df: DataFrame) -> DataFrame:
+    """Shuffle-free ``coalesce`` down to ``ceil(size /
+    spark.whylogs.taskTargetBytes)`` slices when the optimizer has a
+    credible size estimate, floored at ``max(MIN_ADAPTIVE_SLICES,
+    cores/4)`` so CPU-bearing consumers keep slots (see
+    ``iteration_base``).  Unknown or large estimates return ``df``
+    unchanged.  Shared by every lineage cut: a small collapsed table
+    otherwise inherits its upstream's partition count (32-128
+    near-empty slices after unions) and pays the fixed per-task cost
+    in the materialization job AND every consumer stage."""
+    est = plan_size_estimate(df)
+    if est is None:
+        return df
+    try:
+        tb = int(df.sparkSession.conf.get(
+            "spark.whylogs.taskTargetBytes", str(TASK_TARGET_BYTES)))
+    except Exception:
+        tb = TASK_TARGET_BYTES
+    target = max(1, -(-est // max(tb, 1)))
+    try:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        target = max(target, MIN_ADAPTIVE_SLICES, cores // 4)
+        if target < df.rdd.getNumPartitions():
+            return df.coalesce(target)
+    except Exception:
+        pass
+    return df
 
 
 def iteration_base(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -149,29 +185,14 @@ def iteration_base(df: DataFrame, eager: bool = False) -> DataFrame:
     non-reuse contract as every other lineage cut in the repo: a fresh
     checkpoint per invocation, nothing shared across calls.
     """
-    est = plan_size_estimate(df)
-    if est is not None:
-        try:
-            tb = int(df.sparkSession.conf.get(
-                "spark.whylogs.taskTargetBytes", str(TASK_TARGET_BYTES)))
-        except Exception:
-            tb = TASK_TARGET_BYTES
-        target = max(1, -(-est // max(tb, 1)))
-        try:
-            # floor at a quarter of the slots: iteration aggregates do
-            # real CPU work (exp/log link functions) per byte, and a
-            # purely size-derived width serializes it — measured +60%
-            # WALL on the golden-section NLL loop at 2 slices even as
-            # task-seconds fell 64%.  cores/4 keeps the wall flat and
-            # still cuts task launches 4x on a 32-slot host.
-            cores = df.sparkSession.sparkContext.defaultParallelism
-            target = max(target, MIN_ADAPTIVE_SLICES, cores // 4)
-            if target < df.rdd.getNumPartitions():
-                df = df.coalesce(target)
-        except Exception:
-            pass
+    # floor at a quarter of the slots (inside rightsize_width):
+    # iteration aggregates do real CPU work (exp/log link functions)
+    # per byte, and a purely size-derived width serializes it —
+    # measured +60% WALL on the golden-section NLL loop at 2 slices
+    # even as task-seconds fell 64%.  cores/4 keeps the wall flat and
+    # still cuts task launches 4x on a 32-slot host.
     try:
-        return df.localCheckpoint(eager=eager)
+        return rightsize_width(df).localCheckpoint(eager=eager)
     except Exception:
         return df
 
