@@ -89,6 +89,11 @@ def seasonal_esd(
     t = F.col(time_col)
     base = (df.filter(t.isNotNull() & v.isNotNull() & ~F.isnan(v))
             .groupBy(time_col).agg(F.avg(v).alias("__v")))
+    # the guard count, the phase-median branch and the deseasonalize
+    # branch all consume the collapse — pay the upstream once when
+    # Catalyst bounds it (r13, cut_derived_lineage)
+    from whylogs_spark.core.util import cut_derived_lineage
+    base = cut_derived_lineage(base)
     n = base.count()
     if n > max_points:
         raise ValueError(

@@ -80,6 +80,10 @@ def ses_forecast(
     base = (df.filter(t.isNotNull() & v.isNotNull() & ~F.isnan(v))
             .groupBy(*(groups + [time_col]))
             .agg(F.avg(v).alias("__v")))
+    # the guard job and the fit both consume the collapse — pay the
+    # upstream once when Catalyst bounds it (r13, cut_derived_lineage)
+    from whylogs_spark.core.util import cut_derived_lineage
+    base = cut_derived_lineage(base)
 
     sizes = base.groupBy(*groups).agg(F.count(F.lit(1)).alias("__n"))
     worst = sizes.agg(F.max("__n").alias("m")).collect()[0]["m"]
@@ -191,6 +195,10 @@ def holt_forecast(
     base = (df.filter(t.isNotNull() & v.isNotNull() & ~F.isnan(v))
             .groupBy(*(groups + [time_col]))
             .agg(F.avg(v).alias("__v")))
+    # the guard job and the fold both consume the collapse — pay the
+    # upstream once when Catalyst bounds it (r13, cut_derived_lineage)
+    from whylogs_spark.core.util import cut_derived_lineage
+    base = cut_derived_lineage(base)
 
     sizes = base.groupBy(*groups).agg(F.count(F.lit(1)).alias("__n"))
     worst = sizes.agg(F.max("__n").alias("m")).collect()[0]["m"]

@@ -327,6 +327,10 @@ def grid_cluster(
     dense_df = (pts.filter(F.col("__cell").isNotNull())
                 .groupBy("__cell").agg(F.count(F.lit(1)).alias("n"))
                 .filter(F.col("n") >= min_pts))
+    # the guard count and the cell collect both consume the collapse —
+    # pay the data pass once when Catalyst bounds it
+    from whylogs_spark.core.util import cut_derived_lineage
+    dense_df = cut_derived_lineage(dense_df)
     n_dense = dense_df.count()
     if n_dense > max_dense_cells:
         raise ValueError(

@@ -584,6 +584,10 @@ def concordance_index(
         F.sum("__e").alias("__d"),
         F.sum(F.lit(1.0) - F.col("__e")).alias("__c"),
         F.count(F.lit(1)).cast("double").alias("__m"))
+    # NOT checkpointed (r13, measured): the (duration, score) cell
+    # table is quasi-row-scale for continuous scores, and cutting it
+    # cost 10.1 -> 16.1 s on cindex_psm_poisson (materialization +
+    # lost pair-join width); the two-pass recompute is cheaper.
     n_cells = cells.count()
     if n_cells > max_cells:
         raise ValueError(

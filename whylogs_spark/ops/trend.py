@@ -78,6 +78,10 @@ def mann_kendall(
     ).select(*groups, t.alias("__t"), v.alias("__v"))
     # one row per (group, time): MK needs a sequence
     g = base.groupBy(*groups, "__t").agg(F.avg("__v").alias("__v"))
+    # the guard, both pair-join sides, and the tie pass all consume
+    # the collapse — pay the upstream once when Catalyst bounds it
+    from whylogs_spark.core.util import cut_derived_lineage
+    g = cut_derived_lineage(g)
 
     if max_points is not None:
         worst = (g.groupBy(*groups)
