@@ -78,15 +78,16 @@ def _capped_distincts(df: DataFrame, cols: Sequence[str],
     total).  A 100 TB column with billions of distinct values used
     to funnel its whole distinct set through one window reducer."""
     colk = f"__col_{tag}"
-    parts = [
-        df.select(F.lit(c).alias(colk),
-                  F.col(c).cast("string").alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        for c in cols
-    ]
-    long_df = parts[0]
-    for p in parts[1:]:
-        long_df = long_df.unionByName(p)
+    # ONE scan unpivoted via inline(array(struct...)) instead of a
+    # union of per-column selects (r13: the union shape planned one
+    # scan branch per column — n_cols x scan-partitions tasks per
+    # consumer stage and n_cols passes over the table; the inline
+    # reads every compared column in a single pass)
+    long_df = df.select(F.inline(F.array(*[
+        F.struct(F.lit(c).alias(colk),
+                 F.col(c).cast("string").alias("__v"))
+        for c in cols])))
+    long_df = long_df.filter(F.col("__v").isNotNull())
     dedup = long_df.distinct()
     # pin the partition id as a column BEFORE the window's exchange
     w_local = Window.partitionBy(colk, "__pid").orderBy(F.md5("__v"))
