@@ -292,6 +292,10 @@ def clustering_agreement(
     ct = (assigned.filter(c.isNotNull() & y.isNotNull())
           .select(c.alias("__c"), y.alias("__y"))
           .groupBy("__c", "__y").agg(F.count(F.lit(1)).alias("__n")))
+    # the cells/margins/purity/MI branches all reduce over the same
+    # bounded contingency table — pay the data collapse once (r13)
+    from whylogs_spark.core.util import cut_derived_lineage
+    ct = cut_derived_lineage(ct)
     nd = F.col("__n").cast("double")
     cells = ct.agg(
         F.sum("__n").alias("n"),
