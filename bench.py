@@ -32,6 +32,22 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _par(*thunks) -> None:
+    """Overlap INDEPENDENT queries of one composite row on driver
+    threads (optimization guide §2.6): Spark schedules concurrent
+    jobs FIFO, so the next query's tasks back-fill executors idled by
+    the current query's stage tails and driver-side fit loops. Each
+    thunk is the same query as before, computed from the parquet
+    inputs — results and per-query task-seconds are unchanged; only
+    idle-core wall time is recovered. Sequentially-dependent work
+    (fit -> score, write -> read) stays inside a single thunk."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 4)) as pool:
+        for f in [pool.submit(th) for th in thunks]:
+            f.result()
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -359,10 +375,12 @@ def main() -> None:
         # images, then the Hamming-banded pair join on 4k distinct
         from whylogs_spark.ops.dedup import hamming_neardup_pairs
         from whylogs_spark.ops.multimodal import with_image_hashes
-        _noop(with_image_hashes(media.select("path", "content")))
         sigs = with_image_hashes(imghash_media, id_col="img_id")
-        _noop(hamming_neardup_pairs(sigs, "dhash", id_col="img_id",
-                                    max_hamming=3))
+        _par(
+            lambda: _noop(with_image_hashes(
+                media.select("path", "content"))),
+            lambda: _noop(hamming_neardup_pairs(
+                sigs, "dhash", id_col="img_id", max_hamming=3)))
 
     # separate row for the VP8L decoder (keeps pixel_features_12k
     # comparable across rounds): 8 distinct 64x64 lossless WebPs
@@ -444,8 +462,10 @@ def main() -> None:
     )
 
     def bench_dedup_scale_10x():
-        _noop(dedup_ops.line_dedup(docs10))
-        _noop(dedup_ops.minhash_dedup(docs10, jaccard_threshold=0.8))
+        _par(
+            lambda: _noop(dedup_ops.line_dedup(docs10)),
+            lambda: _noop(dedup_ops.minhash_dedup(
+                docs10, jaccard_threshold=0.8)))
 
     # flagship-path scale rehearsal: 10x-replicated lineitem (~600k
     # rows at sf0.1) through the FULL profile tier, so partial-agg
@@ -553,11 +573,13 @@ def main() -> None:
         # + ANN recall@k (embeddings) on deterministic samples
         from whylogs_spark.ops.dedup import minhash_recall_estimate
         from whylogs_spark.ops.similarity import ann_recall_estimate
-        _noop(minhash_recall_estimate(
-            t["documents"], sample_per_mille=400, max_sample=2000,
-            band_edges=(0.5, 0.8, 1.0)))
-        _noop(ann_recall_estimate(
-            t["embeddings"], k=10, planes=4, tables=8, n_queries=20))
+        _par(
+            lambda: _noop(minhash_recall_estimate(
+                t["documents"], sample_per_mille=400, max_sample=2000,
+                band_edges=(0.5, 0.8, 1.0))),
+            lambda: _noop(ann_recall_estimate(
+                t["embeddings"], k=10, planes=4, tables=8,
+                n_queries=20)))
 
     def bench_assemble_chunks():
         from whylogs_spark.ops.sampling import (assemble_chunks,
@@ -574,11 +596,13 @@ def main() -> None:
         from whylogs_spark.core.embeddings import embedding_dim_stats
         from whylogs_spark.core.summaries import histogram_exact
         from whylogs_spark.ops.text import corpus_stats
-        _noop(corpus_stats(t["documents"],
-                           group_cols=["source", "lang"]))
-        _noop(embedding_dim_stats(t["embeddings"]))
-        _noop(histogram_exact(t["lineitem"], "l_extendedprice",
-                              n_bins=20))
+        _par(
+            lambda: _noop(corpus_stats(t["documents"],
+                                       group_cols=["source", "lang"])),
+            lambda: _noop(embedding_dim_stats(t["embeddings"])),
+            lambda: _noop(histogram_exact(t["lineitem"],
+                                          "l_extendedprice",
+                                          n_bins=20)))
 
     def bench_incremental_minhash():
         # steady-state near-dup ingest: odd-id batch vs even-id history
@@ -595,10 +619,13 @@ def main() -> None:
         from whylogs_spark.ops.search import bm25_search
         from whylogs_spark.ops.text import (pmi_collocations,
                                             with_readability)
-        _noop(bm25_search(t["documents"], "spark query window", k=20))
-        _noop(pmi_collocations(t["documents"], k=25, min_count=5))
-        _noop(with_readability(t["documents"]).select(
-            "doc_id", "flesch_reading_ease", "fk_grade"))
+        _par(
+            lambda: _noop(bm25_search(t["documents"],
+                                      "spark query window", k=20)),
+            lambda: _noop(pmi_collocations(t["documents"], k=25,
+                                           min_count=5)),
+            lambda: _noop(with_readability(t["documents"]).select(
+                "doc_id", "flesch_reading_ease", "fk_grade")))
 
     def bench_pipeline():
         # the declarative 3-step cleaning chain as ONE composed plan
@@ -616,16 +643,19 @@ def main() -> None:
                                                  k_anonymity_report,
                                                  referential_integrity,
                                                  snapshot_diff_summary)
-        _noop(referential_integrity(t["orders"], t["customer"],
-                                    ["o_custkey"], ["c_custkey"],
-                                    broadcast_parent=True))
-        _noop(k_anonymity_report(t["customer"],
-                                 ["c_nationkey", "c_mktsegment"],
-                                 k=8, sensitive_col="c_acctbal"))
-        _noop(benford_test(t["lineitem"], "l_extendedprice"))
         newdocs = t["documents"].filter(F.col("doc_id") % 7 != 0)
-        _noop(snapshot_diff_summary(t["documents"], newdocs, "doc_id",
-                                    ["text", "source"]))
+        _par(
+            lambda: _noop(referential_integrity(
+                t["orders"], t["customer"], ["o_custkey"],
+                ["c_custkey"], broadcast_parent=True)),
+            lambda: _noop(k_anonymity_report(
+                t["customer"], ["c_nationkey", "c_mktsegment"],
+                k=8, sensitive_col="c_acctbal")),
+            lambda: _noop(benford_test(t["lineitem"],
+                                       "l_extendedprice")),
+            lambda: _noop(snapshot_diff_summary(
+                t["documents"], newdocs, "doc_id",
+                ["text", "source"])))
 
     def bench_kmeans_embeddings():
         from whylogs_spark.ops.cluster import (kmeans,
@@ -639,26 +669,30 @@ def main() -> None:
         from whylogs_spark.ops.sampling import (balance_classes,
                                                 cap_per_group)
         from whylogs_spark.ops.text import vocab_growth
-        _noop(cap_per_group(t["documents"], ["source"], budget=8000,
-                            quality_col="n_chars")
-              .select("doc_id"))
-        _noop(balance_classes(t["documents"], ["lang"])
-              .select("doc_id"))
-        _noop(vocab_growth(t["documents"], checkpoint_every=500))
+        _par(
+            lambda: _noop(cap_per_group(
+                t["documents"], ["source"], budget=8000,
+                quality_col="n_chars").select("doc_id")),
+            lambda: _noop(balance_classes(
+                t["documents"], ["lang"]).select("doc_id")),
+            lambda: _noop(vocab_growth(t["documents"],
+                                       checkpoint_every=500)))
 
     def bench_association_stats():
         # one-pass correlation matrix + pairwise Cramér's V + leakage
         from whylogs_spark.ops.stats import (association_report,
                                              correlation_matrix,
                                              target_leakage_report)
-        _noop(correlation_matrix(
-            t["lineitem"],
-            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]))
-        _noop(association_report(
-            t["orders"], ["o_orderstatus", "o_orderpriority"]))
-        _noop(target_leakage_report(
-            t["lineitem"], ["l_quantity", "l_discount", "l_tax"],
-            "l_extendedprice"))
+        _par(
+            lambda: _noop(correlation_matrix(
+                t["lineitem"],
+                ["l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"])),
+            lambda: _noop(association_report(
+                t["orders"], ["o_orderstatus", "o_orderpriority"])),
+            lambda: _noop(target_leakage_report(
+                t["lineitem"], ["l_quantity", "l_discount", "l_tax"],
+                "l_extendedprice")))
 
     def bench_segment_overlap():
         # md5-threshold distinct sketch, daily user-set overlap matrix
@@ -671,11 +705,13 @@ def main() -> None:
         # token-DF boilerplate sweep + hourly seasonal decomposition
         from whylogs_spark.ops.dedup import remove_boilerplate
         from whylogs_spark.ops.events import seasonal_decompose
-        _noop(remove_boilerplate(t["documents"], min_docs=2,
-                                 min_df_ratio=0.3, delim=" ")
-              .select("doc_id", "n_kept"))
-        _noop(seasonal_decompose(t["events"], "ts", "value",
-                                 grain="hour", period=24))
+        _par(
+            lambda: _noop(remove_boilerplate(
+                t["documents"], min_docs=2, min_df_ratio=0.3,
+                delim=" ").select("doc_id", "n_kept")),
+            lambda: _noop(seasonal_decompose(
+                t["events"], "ts", "value", grain="hour",
+                period=24)))
 
     def bench_candidate_keys():
         from whylogs_spark.ops.integrity import candidate_keys
@@ -704,20 +740,21 @@ def main() -> None:
                  .groupBy("event_type",
                           F.date_trunc("day", "ts").alias("day"))
                  .agg(F.count(F.lit(1)).cast("double").alias("v")))
-        _noop(holt_forecast(daily, "day", "v", ["event_type"],
-                            alpha=0.3, beta=0.1, phi=0.9))
-        _noop(kendall_tau(t["lineitem"], "l_quantity",
-                          "l_linenumber"))
+        from whylogs_spark.ops.geo import geo_nearest_join, grid_cluster
         c = _geo_pts_bench(t["customer"], "c_custkey")
         s = _geo_pts_bench(t["supplier"], "s_suppkey")
-        _noop(grid_density(c, "lat", "lon", 4))
-        _noop(geo_radius_join(
-            c, s.withColumnRenamed("id", "sid"), 300.0))
-        from whylogs_spark.ops.geo import geo_nearest_join
-        _noop(geo_nearest_join(
-            c, s.withColumnRenamed("id", "sid"), 300.0))
-        from whylogs_spark.ops.geo import grid_cluster
-        _noop(grid_cluster(c, cell_deg=4.0, min_pts=5))
+        _par(
+            lambda: _noop(holt_forecast(daily, "day", "v",
+                                        ["event_type"], alpha=0.3,
+                                        beta=0.1, phi=0.9)),
+            lambda: _noop(kendall_tau(t["lineitem"], "l_quantity",
+                                      "l_linenumber")),
+            lambda: _noop(grid_density(c, "lat", "lon", 4)),
+            lambda: _noop(geo_radius_join(
+                c, s.withColumnRenamed("id", "sid"), 300.0)),
+            lambda: _noop(geo_nearest_join(
+                c, s.withColumnRenamed("id", "sid"), 300.0)),
+            lambda: _noop(grid_cluster(c, cell_deg=4.0, min_pts=5)))
 
     def bench_seasonal_esd():
         # round-12: S-H-ESD retrospective anomaly walk (bounded
@@ -734,18 +771,20 @@ def main() -> None:
         from whylogs_spark.ops.bandit import bandit_report
         from whylogs_spark.ops.robust import huber_regression
         o = t["orders"]
-        _noop(huber_regression(
-            o.select((F.month("o_orderdate").cast("double") / 12.0)
-                     .alias("x1"),
-                     ((F.col("o_custkey") % 100).cast("double")
-                      / 100.0).alias("x2"),
-                     F.col("o_totalprice").alias("y")),
-            "y", ["x1", "x2"]))
-        _noop(bandit_report(
-            t["events"].select(
-                F.col("event_type").alias("arm"),
-                (F.col("value") > 50.0).cast("double").alias("r")),
-            "arm", "r"))
+        _par(
+            lambda: _noop(huber_regression(
+                o.select((F.month("o_orderdate").cast("double")
+                          / 12.0).alias("x1"),
+                         ((F.col("o_custkey") % 100).cast("double")
+                          / 100.0).alias("x2"),
+                         F.col("o_totalprice").alias("y")),
+                "y", ["x1", "x2"])),
+            lambda: _noop(bandit_report(
+                t["events"].select(
+                    F.col("event_type").alias("arm"),
+                    (F.col("value") > 50.0).cast("double")
+                    .alias("r")),
+                "arm", "r")))
 
     def bench_interarrival_rrf():
         # round-13: inter-arrival burstiness report + RRF fusion of
@@ -753,40 +792,42 @@ def main() -> None:
         from whylogs_spark.ops.events import interarrival_stats
         from whylogs_spark.ops.robust import quantile_regression
         from whylogs_spark.ops.search import rrf_fuse
-        _noop(interarrival_stats(
-            t["events"], ["user_id", "event_type"], "ts",
-            group_cols=["event_type"], qs=(0.5, 0.9)))
         d = t["documents"].select(
             "doc_id", F.col("n_chars").cast("double").alias("s_len"),
             ((F.col("doc_id") * 2654435761) % 100000).cast("double")
             .alias("s_hash"))
-        _noop(rrf_fuse(d, ["doc_id"], ["s_len", "s_hash"],
-                       per_list_limit=200, top_k=50))
         o = t["orders"]
-        _noop(quantile_regression(
-            o.select((F.month("o_orderdate").cast("double") / 12.0)
-                     .alias("x1"),
-                     ((F.col("o_custkey") % 100).cast("double")
-                      / 100.0).alias("x2"),
-                     F.col("o_totalprice").alias("y")),
-            "y", ["x1", "x2"], tau=0.75))
+        _par(
+            lambda: _noop(interarrival_stats(
+                t["events"], ["user_id", "event_type"], "ts",
+                group_cols=["event_type"], qs=(0.5, 0.9))),
+            lambda: _noop(rrf_fuse(d, ["doc_id"], ["s_len", "s_hash"],
+                                   per_list_limit=200, top_k=50)),
+            lambda: _noop(quantile_regression(
+                o.select((F.month("o_orderdate").cast("double")
+                          / 12.0).alias("x1"),
+                         ((F.col("o_custkey") % 100).cast("double")
+                          / 100.0).alias("x2"),
+                         F.col("o_totalprice").alias("y")),
+                "y", ["x1", "x2"], tau=0.75)))
 
     def bench_shapley_balance():
         # round-13: KNN-Shapley pair windows + SMD balance table
         from whylogs_spark.ops.causal import covariate_balance
         from whylogs_spark.ops.valuation import knn_shapley
         emb = t["embeddings"]
-        _noop(knn_shapley(
-            emb, emb.filter(F.col("vec_id") % 16 == 0),
-            "vec_id", "embedding", "label", k=5))
         o = t["orders"].select(
             (F.col("o_custkey") % 2 == 0).alias("tt"),
             F.col("o_totalprice").cast("double").alias("price"),
             F.month("o_orderdate").cast("double").alias("month"),
             (F.lit(1.0) + (F.col("o_orderkey") % 7).cast("double")
              / F.lit(10.0)).alias("w"))
-        _noop(covariate_balance(o, "tt", ["price", "month"],
-                                weight_col="w"))
+        _par(
+            lambda: _noop(knn_shapley(
+                emb, emb.filter(F.col("vec_id") % 16 == 0),
+                "vec_id", "embedding", "label", k=5)),
+            lambda: _noop(covariate_balance(
+                o, "tt", ["price", "month"], weight_col="w")))
 
     def bench_label_shift():
         # round-13: BBSE — two bounded cell passes + driver solve
@@ -817,18 +858,31 @@ def main() -> None:
             store = ProfileStore(d + "/p")
             sl = t["lineitem"].select("l_quantity", "l_extendedprice")
             n10 = sl.count() // 10
-            for day in range(10):
-                store.write(
-                    wsp.profile(sl.offset(day * n10).limit(n10)),
-                    "bench",
-                    _dt.datetime(2024, 8, 1 + day,
-                                 tzinfo=_dt.timezone.utc))
-            _noop(store.quantile_series(
-                spark, "bench", "l_quantity",
-                quantiles=(0.25, 0.5, 0.95), window=4))
-            _noop(store.quantile_series(
-                spark, "bench", "l_extendedprice",
-                quantiles=(0.5, 0.99), window=7))
+            # The 10 daily profiles are independent date partitions —
+            # the guide §2.6 textbook case — so their (eager) profile
+            # aggregations overlap on driver threads; the parquet
+            # APPENDS serialize behind a lock because concurrent
+            # jobs share the store path's _temporary staging dir.
+            import threading
+            wlock = threading.Lock()
+
+            def _one_day(day: int) -> None:
+                pv = wsp.profile(sl.offset(day * n10).limit(n10))
+                with wlock:
+                    store.write(pv, "bench",
+                                _dt.datetime(2024, 8, 1 + day,
+                                             tzinfo=_dt.timezone.utc))
+
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                list(pool.map(_one_day, range(10)))
+            _par(
+                lambda: _noop(store.quantile_series(
+                    spark, "bench", "l_quantity",
+                    quantiles=(0.25, 0.5, 0.95), window=4)),
+                lambda: _noop(store.quantile_series(
+                    spark, "bench", "l_extendedprice",
+                    quantiles=(0.5, 0.99), window=7)))
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
@@ -884,20 +938,24 @@ def main() -> None:
         # band join)
         from whylogs_spark.ops import similarity as s2
         emb = t["embeddings"]
-        _noop(s2.embedding_decontaminate(
-            emb.filter(F.col("vec_id") % 25 != 0),
-            emb.filter(F.col("vec_id") % 25 == 0),
-            threshold=0.4, planes=8, tables=8))
-        _noop(s2.embedding_outliers(emb, k=3, planes=8, tables=8))
+        _par(
+            lambda: _noop(s2.embedding_decontaminate(
+                emb.filter(F.col("vec_id") % 25 != 0),
+                emb.filter(F.col("vec_id") % 25 == 0),
+                threshold=0.4, planes=8, tables=8)),
+            lambda: _noop(s2.embedding_outliers(
+                emb, k=3, planes=8, tables=8)))
 
     def bench_autocorrelation():
         from whylogs_spark.ops.events import (autocorrelation,
                                               seasonal_naive_backtest)
-        _noop(autocorrelation(t["events"], "ts", "value",
-                              key_cols=["event_type"], max_lag=24))
-        _noop(seasonal_naive_backtest(
-            t["events"], "ts", "value", key_cols=["event_type"],
-            period=24))
+        _par(
+            lambda: _noop(autocorrelation(
+                t["events"], "ts", "value", key_cols=["event_type"],
+                max_lag=24)),
+            lambda: _noop(seasonal_naive_backtest(
+                t["events"], "ts", "value", key_cols=["event_type"],
+                period=24)))
 
     def bench_ab_test():
         # Welch + exact Mann-Whitney per order status: one data
@@ -915,17 +973,20 @@ def main() -> None:
                                                  krippendorff_alpha)
         from whylogs_spark.ops.fairness import fairness_report
         o = t["orders"]
-        _noop(fairness_report(
-            o.select((F.col("o_totalprice") > 150000).cast("int")
-                     .alias("y"),
-                     (F.col("o_orderkey") % 97 < 30).cast("int")
-                     .alias("p"),
-                     F.col("o_orderpriority").alias("grp")),
-            "y", "p", "grp"))
         kd = o.select((F.col("o_orderkey") % 5).alias("ra"),
                       (F.col("o_custkey") % 5).alias("rb"))
-        _noop(cohens_kappa(kd, "ra", "rb", weights="quadratic"))
-        _noop(krippendorff_alpha(t["events"], "user_id", "event_type"))
+        _par(
+            lambda: _noop(fairness_report(
+                o.select((F.col("o_totalprice") > 150000).cast("int")
+                         .alias("y"),
+                         (F.col("o_orderkey") % 97 < 30).cast("int")
+                         .alias("p"),
+                         F.col("o_orderpriority").alias("grp")),
+                "y", "p", "grp")),
+            lambda: _noop(cohens_kappa(kd, "ra", "rb",
+                                       weights="quadratic")),
+            lambda: _noop(krippendorff_alpha(t["events"], "user_id",
+                                             "event_type")))
 
     def bench_graph_pagerank():
         # 5 power iterations over the part->supplier bipartite edge
@@ -936,8 +997,9 @@ def main() -> None:
             .alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
             .alias("dst"))
-        _noop(degree_stats(edges))
-        _noop(pagerank(edges, iterations=5))
+        _par(
+            lambda: _noop(degree_stats(edges)),
+            lambda: _noop(pagerank(edges, iterations=5)))
 
     def _pagerank_edges_10x(skewed):
         # 10x lineitem -> ~6M directed edges over a 100k-node id
@@ -998,18 +1060,25 @@ def main() -> None:
                          tcls + 1).alias("label"),
             prob(0).alias("pa"), prob(1).alias("pb"),
             prob(2).alias("pc"))
-        _noop(confident_joint(d, "label",
-                              {"a": "pa", "b": "pb", "c": "pc"}))
-        _noop(split_conformal(
-            t["lineitem"].select(
-                "l_returnflag",
-                F.col("l_extendedprice").cast("double").alias("y"),
-                (F.col("l_quantity").cast("double") * 1050.0
-                 + F.col("l_partkey")).alias("yhat")),
-            "y", "yhat", alpha=0.1, group_cols=["l_returnflag"]))
         emb = t["embeddings"].filter(F.col("embedding").isNotNull())
-        _, cents = kmeans(emb, k=8, n_iter=2)
-        _noop(cluster_silhouette(emb, cents))
+
+        def _sil():
+            _, cents = kmeans(emb, k=8, n_iter=2)
+            _noop(cluster_silhouette(emb, cents))
+
+        _par(
+            lambda: _noop(confident_joint(
+                d, "label", {"a": "pa", "b": "pb", "c": "pc"})),
+            lambda: _noop(split_conformal(
+                t["lineitem"].select(
+                    "l_returnflag",
+                    F.col("l_extendedprice").cast("double")
+                    .alias("y"),
+                    (F.col("l_quantity").cast("double") * 1050.0
+                     + F.col("l_partkey")).alias("yhat")),
+                "y", "yhat", alpha=0.1,
+                group_cols=["l_returnflag"])),
+            _sil)
 
     def bench_schema_quality_survival():
         # schema matching + clustering agreement + Nelson-Aalen: all
@@ -1018,14 +1087,7 @@ def main() -> None:
         from whylogs_spark.ops.cluster import clustering_agreement
         from whylogs_spark.ops.schema_match import column_matches
         from whylogs_spark.ops.survival import nelson_aalen
-        _noop(column_matches(t["customer"], t["supplier"],
-                             sample_distinct=1000))
         emb = t["embeddings"].filter(F.col("embedding").isNotNull())
-        _noop(clustering_agreement(
-            emb.select("vec_id", "label",
-                       (F.col("vec_id") % 8).cast("int")
-                       .alias("cluster")),
-            "label"))
         per = (t["events"]
                .filter(F.col("user_id").isNotNull()
                        & F.col("ts").isNotNull())
@@ -1034,7 +1096,15 @@ def main() -> None:
                             "max(ts))") / F.lit(1e6)).alias("dur"),
                     F.max((F.col("event_type") == "purchase")
                           .cast("int")).alias("ev")))
-        _noop(nelson_aalen(per, "dur", "ev"))
+        _par(
+            lambda: _noop(column_matches(t["customer"], t["supplier"],
+                                         sample_distinct=1000)),
+            lambda: _noop(clustering_agreement(
+                emb.select("vec_id", "label",
+                           (F.col("vec_id") % 8).cast("int")
+                           .alias("cluster")),
+                "label")),
+            lambda: _noop(nelson_aalen(per, "dur", "ev")))
 
     def bench_uplift_stationary():
         # qini curve + AUUC on the descending prefix walk; stationary
@@ -1048,12 +1118,16 @@ def main() -> None:
             (F.col("o_totalprice") > 150000).cast("double").alias("y"),
             ((F.col("o_orderkey") % 1000).cast("double") / 1000.0)
             .alias("s"))
-        _noop(uplift_curve(d, "tr", "y", "s"))
-        _noop(auuc(d, "tr", "y", "s"))
-        tm = transition_matrix(t["events"])
-        _noop(stationary_distribution(
-            tm, src="src", dst="dst", weight="n_transitions",
-            iterations=20))
+        def _stationary():
+            tm = transition_matrix(t["events"])
+            _noop(stationary_distribution(
+                tm, src="src", dst="dst", weight="n_transitions",
+                iterations=20))
+
+        _par(
+            lambda: _noop(uplift_curve(d, "tr", "y", "s")),
+            lambda: _noop(auuc(d, "tr", "y", "s")),
+            _stationary)
 
     def bench_textrank_keywords():
         # its own row (not folded into uplift_stationary, whose
@@ -1075,9 +1149,11 @@ def main() -> None:
                  .groupBy("event_type",
                           F.date_trunc("day", "ts").alias("__d"))
                  .agg(F.count(F.lit(1)).cast("double").alias("v")))
-        _noop(cusum_changepoint(daily, "__d", "v", ["event_type"]))
-        _noop(time_weighted_average(
-            t["events"], "ts", "value", ["event_type"]))
+        _par(
+            lambda: _noop(cusum_changepoint(daily, "__d", "v",
+                                            ["event_type"])),
+            lambda: _noop(time_weighted_average(
+                t["events"], "ts", "value", ["event_type"])))
 
     def bench_golden_record():
         # N-field survivorship on one exchange over the raw events
@@ -1095,14 +1171,15 @@ def main() -> None:
         d = t["orders"].select(
             F.col("o_totalprice").alias("x"),
             (F.col("o_orderstatus") == "F").cast("double").alias("y"))
-        _noop(woe_iv(d, "x", "y", bins=10))
         s = (F.col("o_orderkey") % 97).cast("double") / 97.0
         y = ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 100
              < 20 + 60 * s).cast("double")
         sl = t["orders"].select(s.alias("s"), y.alias("y"))
-        _noop(gains_table(sl, "s", "y", 10))
-        _noop(calibration_curve(sl, "s", "y", 10))
-        _noop(brier_decomposition(sl, "s", "y", 10))
+        _par(
+            lambda: _noop(woe_iv(d, "x", "y", bins=10)),
+            lambda: _noop(gains_table(sl, "s", "y", 10)),
+            lambda: _noop(calibration_curve(sl, "s", "y", 10)),
+            lambda: _noop(brier_decomposition(sl, "s", "y", 10)))
 
     def bench_concentration_diversity():
         # Gini/HHI concentration + mutual information + corpus
@@ -1111,13 +1188,16 @@ def main() -> None:
                                              gini_concentration,
                                              mutual_information)
         from whylogs_spark.ops.text import zipf_fit
-        _noop(gini_concentration(
-            t["lineitem"], "l_partkey", "l_extendedprice",
-            ["l_returnflag"]))
-        _noop(mutual_information(
-            t["orders"], "o_orderstatus", "o_orderpriority"))
-        _noop(diversity_report(t["documents"], ["lang", "source"]))
-        _noop(zipf_fit(t["documents"], "text", top_v=2000))
+        _par(
+            lambda: _noop(gini_concentration(
+                t["lineitem"], "l_partkey", "l_extendedprice",
+                ["l_returnflag"])),
+            lambda: _noop(mutual_information(
+                t["orders"], "o_orderstatus", "o_orderpriority")),
+            lambda: _noop(diversity_report(t["documents"],
+                                           ["lang", "source"])),
+            lambda: _noop(zipf_fit(t["documents"], "text",
+                                   top_v=2000)))
 
 
     def bench_profile_ratio_hill_ipf():
@@ -1127,24 +1207,31 @@ def main() -> None:
         from whylogs_spark.ops.sampling import ipf_weights
         from whylogs_spark.ops.schema_infer import pattern_profile
         from whylogs_spark.ops.stats import hill_tail_index
-        _noop(pattern_profile(
-            t["customer"], ["c_name", "c_mktsegment"], top_k=5))
         per_user = (t["events"]
                     .filter(F.col("event_type").isNotNull()
                             & F.col("value").isNotNull())
                     .groupBy("user_id", "event_type")
                     .agg(F.sum("value").alias("x"),
                          F.count(F.lit(1)).cast("double").alias("y")))
-        _noop(ratio_delta_ci(per_user, "x", "y", ["event_type"]))
-        _noop(hill_tail_index(t["lineitem"], "l_extendedprice",
-                              k=100, group_cols=["l_returnflag"]))
-        langs = [r[0] for r in t["documents"].select("lang")
-                 .distinct().collect() if r[0] is not None]
-        srcs = [r[0] for r in t["documents"].select("source")
-                .distinct().collect() if r[0] is not None]
-        _noop(ipf_weights(t["documents"], "lang", "source",
-                          {x: 1.0 for x in langs},
-                          {x: 1.0 for x in srcs}, iterations=5))
+
+        def _ipf():
+            langs = [r[0] for r in t["documents"].select("lang")
+                     .distinct().collect() if r[0] is not None]
+            srcs = [r[0] for r in t["documents"].select("source")
+                    .distinct().collect() if r[0] is not None]
+            _noop(ipf_weights(t["documents"], "lang", "source",
+                              {x: 1.0 for x in langs},
+                              {x: 1.0 for x in srcs}, iterations=5))
+
+        _par(
+            lambda: _noop(pattern_profile(
+                t["customer"], ["c_name", "c_mktsegment"], top_k=5)),
+            lambda: _noop(ratio_delta_ci(per_user, "x", "y",
+                                         ["event_type"])),
+            lambda: _noop(hill_tail_index(
+                t["lineitem"], "l_extendedprice", k=100,
+                group_cols=["l_returnflag"])),
+            _ipf)
 
 
     def bench_gof_qte_cvmad():
@@ -1152,18 +1239,20 @@ def main() -> None:
         from whylogs_spark.core.drift import cvm_ad_exact
         from whylogs_spark.ops.abtest import quantile_treatment_effect
         from whylogs_spark.ops.integrity import chi2_gof
-        _noop(chi2_gof(t["orders"], "o_orderpriority",
-                       {"1-URGENT": 1.0, "2-HIGH": 2.0,
-                        "3-MEDIUM": 3.0, "4-NOT SPECIFIED": 4.0,
-                        "5-LOW": 5.0}))
-        _noop(quantile_treatment_effect(
-            t["orders"].select(
-                (F.col("o_custkey") % 2).cast("double").alias("tr"),
-                F.col("o_totalprice").alias("y")), "tr", "y"))
-        _noop(cvm_ad_exact(
-            t["lineitem"].filter(F.col("l_returnflag") == "A"),
-            t["lineitem"].filter(F.col("l_returnflag") == "R"),
-            "l_quantity"))
+        _par(
+            lambda: _noop(chi2_gof(
+                t["orders"], "o_orderpriority",
+                {"1-URGENT": 1.0, "2-HIGH": 2.0, "3-MEDIUM": 3.0,
+                 "4-NOT SPECIFIED": 4.0, "5-LOW": 5.0})),
+            lambda: _noop(quantile_treatment_effect(
+                t["orders"].select(
+                    (F.col("o_custkey") % 2).cast("double")
+                    .alias("tr"),
+                    F.col("o_totalprice").alias("y")), "tr", "y")),
+            lambda: _noop(cvm_ad_exact(
+                t["lineitem"].filter(F.col("l_returnflag") == "A"),
+                t["lineitem"].filter(F.col("l_returnflag") == "R"),
+                "l_quantity")))
 
 
     def bench_rfm_relationship():
@@ -1171,10 +1260,13 @@ def main() -> None:
         # batch 5
         from whylogs_spark.ops.features import rfm_segmentation
         from whylogs_spark.ops.integrity import relationship_report
-        _noop(rfm_segmentation(t["orders"], "o_custkey",
-                               "o_orderdate", "o_totalprice", 5))
-        _noop(relationship_report(t["orders"], t["customer"],
-                                  "o_custkey", "c_custkey"))
+        _par(
+            lambda: _noop(rfm_segmentation(
+                t["orders"], "o_custkey", "o_orderdate",
+                "o_totalprice", 5)),
+            lambda: _noop(relationship_report(
+                t["orders"], t["customer"], "o_custkey",
+                "c_custkey")))
 
 
     def bench_rmst_cif():
@@ -1189,8 +1281,9 @@ def main() -> None:
              .when(F.col("event_type") == "purchase", 1)
              .when(F.col("event_type") == "signup", 2)
              .otherwise(3)).alias("cause"))
-        _noop(rmst(d, "dur", "e", tau=50.0))
-        _noop(cumulative_incidence(d, "dur", "cause"))
+        _par(
+            lambda: _noop(rmst(d, "dur", "e", tau=50.0)),
+            lambda: _noop(cumulative_incidence(d, "dur", "cause")))
 
 
     def bench_effect_sizes():
@@ -1211,53 +1304,59 @@ def main() -> None:
             mcnemar_test, randomization_test_means,
         )
         o = t["orders"]
-        _noop(anova_oneway(o, "o_orderpriority", "o_totalprice"))
-        _noop(kruskal_wallis(o, "o_orderstatus", "o_totalprice"))
-        _noop(brown_forsythe(t["lineitem"], "l_returnflag",
-                             "l_extendedprice"))
-        _noop(mcnemar_test(
-            o.select((F.col("o_totalprice") > 150000.0).cast("int")
-                     .alias("a"),
-                     (F.col("o_orderpriority") <= "2-HIGH")
-                     .cast("int").alias("b")), "a", "b"))
-        _noop(cochrans_q(
-            o.select((F.col("o_totalprice") > 100000.0).cast("int")
-                     .alias("c0"),
-                     (F.col("o_orderpriority") <= "2-HIGH")
-                     .cast("int").alias("c1"),
-                     (F.col("o_custkey") % 2 == 0).cast("int")
-                     .alias("c2")), ["c0", "c1", "c2"]))
-        _noop(randomization_test_means(
-            o, "o_orderstatus", "o_totalprice", "F", "o_orderkey",
-            reps=50))
+        _par(
+            lambda: _noop(anova_oneway(o, "o_orderpriority",
+                                       "o_totalprice")),
+            lambda: _noop(kruskal_wallis(o, "o_orderstatus",
+                                         "o_totalprice")),
+            lambda: _noop(brown_forsythe(t["lineitem"],
+                                         "l_returnflag",
+                                         "l_extendedprice")),
+            lambda: _noop(mcnemar_test(
+                o.select((F.col("o_totalprice") > 150000.0)
+                         .cast("int").alias("a"),
+                         (F.col("o_orderpriority") <= "2-HIGH")
+                         .cast("int").alias("b")), "a", "b")),
+            lambda: _noop(cochrans_q(
+                o.select((F.col("o_totalprice") > 100000.0)
+                         .cast("int").alias("c0"),
+                         (F.col("o_orderpriority") <= "2-HIGH")
+                         .cast("int").alias("c1"),
+                         (F.col("o_custkey") % 2 == 0).cast("int")
+                         .alias("c2")), ["c0", "c1", "c2"])),
+            lambda: _noop(randomization_test_means(
+                o, "o_orderstatus", "o_totalprice", "F", "o_orderkey",
+                reps=50)))
 
     def bench_causal_forecast():
         # round-11: DiD + IRLS propensity ATT + SES forecast
         from whylogs_spark.ops.causal import did_estimator, ipw_att
         from whylogs_spark.ops.forecast import ses_forecast
         o = t["orders"]
-        _noop(did_estimator(
-            o.select((F.col("o_custkey") % 2).alias("grp"),
-                     F.when(F.col("o_orderdate") >=
-                            F.lit("1998-01-01 00:00:00")
-                            .cast("timestamp"),
-                            "post").otherwise("pre").alias("period"),
-                     F.col("o_totalprice").alias("v")),
-            "grp", "period", "v", 1, "post"))
-        _noop(ipw_att(
-            o.select((F.col("o_orderstatus") == "F").cast("double")
-                     .alias("tr"),
-                     (F.month("o_orderdate").cast("double") / 12.0)
-                     .alias("x"),
-                     F.col("o_totalprice").alias("y")),
-            "tr", "y", ["x"]))
         daily = (t["events"].filter(F.col("ts").isNotNull()
                                     & F.col("event_type").isNotNull())
                  .groupBy("event_type",
                           F.date_trunc("day", "ts").alias("day"))
                  .agg(F.count(F.lit(1)).cast("double").alias("v")))
-        _noop(ses_forecast(daily, "day", "v", ["event_type"],
-                           alpha=0.3))
+        _par(
+            lambda: _noop(did_estimator(
+                o.select((F.col("o_custkey") % 2).alias("grp"),
+                         F.when(F.col("o_orderdate") >=
+                                F.lit("1998-01-01 00:00:00")
+                                .cast("timestamp"),
+                                "post").otherwise("pre")
+                         .alias("period"),
+                         F.col("o_totalprice").alias("v")),
+                "grp", "period", "v", 1, "post")),
+            lambda: _noop(ipw_att(
+                o.select((F.col("o_orderstatus") == "F")
+                         .cast("double").alias("tr"),
+                         (F.month("o_orderdate").cast("double")
+                          / 12.0).alias("x"),
+                         F.col("o_totalprice").alias("y")),
+                "tr", "y", ["x"])),
+            lambda: _noop(ses_forecast(daily, "day", "v",
+                                       ["event_type"], alpha=0.3)))
 
     def bench_encode_glm_corr():
         # round-11 batch 2: OOF target encoding + closed-form OLS +
@@ -1267,24 +1366,26 @@ def main() -> None:
         from whylogs_spark.ops.stats import (partial_correlation,
                                              spearman_correlation)
         o = t["orders"]
-        _noop(target_encode_oof(
-            o.select("o_orderkey", "o_orderpriority",
-                     (F.col("o_totalprice") > 150000.0).cast("double")
-                     .alias("y")),
-            "o_orderpriority", "y", ["o_orderkey"], n_folds=5,
-            out_col="te"))
-        _noop(ols_report(
-            o.select((F.month("o_orderdate").cast("double") / 12.0)
-                     .alias("x1"),
-                     ((F.col("o_custkey") % 100).cast("double")
-                      / 100.0).alias("x2"),
-                     F.col("o_totalprice").alias("y")),
-            "y", ["x1", "x2"]))
         li = t["lineitem"]
-        _noop(spearman_correlation(li, "l_quantity",
-                                   "l_extendedprice"))
-        _noop(partial_correlation(li, "l_quantity",
-                                  "l_extendedprice", ["l_discount"]))
+        _par(
+            lambda: _noop(target_encode_oof(
+                o.select("o_orderkey", "o_orderpriority",
+                         (F.col("o_totalprice") > 150000.0)
+                         .cast("double").alias("y")),
+                "o_orderpriority", "y", ["o_orderkey"], n_folds=5,
+                out_col="te")),
+            lambda: _noop(ols_report(
+                o.select((F.month("o_orderdate").cast("double")
+                          / 12.0).alias("x1"),
+                         ((F.col("o_custkey") % 100).cast("double")
+                          / 100.0).alias("x2"),
+                         F.col("o_totalprice").alias("y")),
+                "y", ["x1", "x2"])),
+            lambda: _noop(spearman_correlation(li, "l_quantity",
+                                               "l_extendedprice")),
+            lambda: _noop(partial_correlation(li, "l_quantity",
+                                              "l_extendedprice",
+                                              ["l_discount"])))
 
     def bench_js_zca():
         # round-11 batch 9: JS divergence + ZCA whitening
@@ -1292,12 +1393,18 @@ def main() -> None:
         from whylogs_spark.core.embeddings import (zca_project,
                                                    zca_whitening_fit)
         li = t["lineitem"]
-        _noop(js_divergence(li.filter(F.col("l_returnflag") == "N"),
-                            li.filter(F.col("l_returnflag") == "A"),
-                            "l_linenumber"))
         emb = t["embeddings"].filter(F.col("embedding").isNotNull())
-        m = zca_whitening_fit(emb, eps=1e-6)
-        _noop(zca_project(emb, m))
+
+        def _zca():
+            m = zca_whitening_fit(emb, eps=1e-6)
+            _noop(zca_project(emb, m))
+
+        _par(
+            lambda: _noop(js_divergence(
+                li.filter(F.col("l_returnflag") == "N"),
+                li.filter(F.col("l_returnflag") == "A"),
+                "l_linenumber")),
+            _zca)
 
     def bench_multiclass_uplift():
         # round-11 batch 8: multiclass report + temperature scaling
@@ -1307,28 +1414,36 @@ def main() -> None:
         from whylogs_spark.ops.uplift import (two_model_uplift,
                                               uplift_score_col)
         o = t["orders"]
-        _noop(multiclass_report(
-            o.select(F.col("o_orderstatus").alias("tt"),
-                     F.element_at(
-                         F.array(F.lit("F"), F.lit("O"), F.lit("P")),
-                         (F.col("o_orderkey") % 3 + 1).cast("int"))
-                     .alias("pp")), "tt", "pp"))
-        temperature_scaling(
-            o.select((F.col("o_custkey") % 3).cast("int").alias("y"),
-                     ((F.col("o_orderkey") % 13).cast("double") / 3.0)
-                     .alias("s0"),
-                     ((F.col("o_custkey") % 7).cast("double") / 2.0)
-                     .alias("s1"),
-                     ((F.col("o_orderkey") % 5).cast("double") / 2.0)
-                     .alias("s2")),
-            ["s0", "s1", "s2"], "y")
         up_in = o.select(
             (F.col("o_custkey") % 2).cast("double").alias("tr"),
             (F.month("o_orderdate").cast("double") / 12.0).alias("x"),
             (F.col("o_totalprice") > 150000.0).cast("double")
             .alias("y"))
-        m = two_model_uplift(up_in, "tr", "y", ["x"])
-        _noop(up_in.withColumn("u", uplift_score_col(m, ["x"])))
+
+        def _uplift():
+            m = two_model_uplift(up_in, "tr", "y", ["x"])
+            _noop(up_in.withColumn("u", uplift_score_col(m, ["x"])))
+
+        _par(
+            lambda: _noop(multiclass_report(
+                o.select(F.col("o_orderstatus").alias("tt"),
+                         F.element_at(
+                             F.array(F.lit("F"), F.lit("O"),
+                                     F.lit("P")),
+                             (F.col("o_orderkey") % 3 + 1)
+                             .cast("int")).alias("pp")),
+                "tt", "pp")),
+            lambda: temperature_scaling(
+                o.select((F.col("o_custkey") % 3).cast("int")
+                         .alias("y"),
+                         ((F.col("o_orderkey") % 13).cast("double")
+                          / 3.0).alias("s0"),
+                         ((F.col("o_custkey") % 7).cast("double")
+                          / 2.0).alias("s1"),
+                         ((F.col("o_orderkey") % 5).cast("double")
+                          / 2.0).alias("s2")),
+                ["s0", "s1", "s2"], "y"),
+            _uplift)
 
     def bench_attribution():
         # round-11: U-shape multi-touch attribution over clickstream
@@ -1355,33 +1470,36 @@ def main() -> None:
         from whylogs_spark.ops.linkage import fellegi_sunter_report
         from whylogs_spark.ops.trend import binary_segmentation
         o = t["orders"]
-        _noop(fellegi_sunter_report(
-            o.select((F.col("o_custkey") % 3 == 0).cast("int")
-                     .alias("a"),
-                     (F.col("o_orderkey") % 2 == 0).cast("int")
-                     .alias("b"),
-                     (F.col("o_orderpriority") <= "2-HIGH")
-                     .cast("int").alias("c")),
-            ["a", "b", "c"]))
         emb = t["embeddings"].filter(F.col("embedding").isNotNull())
-        procrustes_align(
-            emb.select(F.col("embedding").alias("va"),
-                       F.reverse("embedding").alias("vb")),
-            "va", "vb")
         daily = (t["events"].filter(F.col("ts").isNotNull())
                  .groupBy(F.date_trunc("day", "ts").alias("day"))
                  .agg(F.count(F.lit(1)).cast("double").alias("v")))
-        _noop(binary_segmentation(daily, "day", "v",
-                                  max_changepoints=2, alpha=0.9,
-                                  min_segment=3))
-        platt_scaling(
-            o.select(((F.col("o_orderkey") % 97).cast("double")
-                      / 97.0).alias("s"),
-                     (((F.col("o_orderkey") * 31 + F.col("o_custkey"))
-                       % 100) < 20 + 60 * (F.col("o_orderkey") % 97)
-                      .cast("double") / 97.0).cast("double")
-                     .alias("y")),
-            "s", "y")
+        _par(
+            lambda: _noop(fellegi_sunter_report(
+                o.select((F.col("o_custkey") % 3 == 0).cast("int")
+                         .alias("a"),
+                         (F.col("o_orderkey") % 2 == 0).cast("int")
+                         .alias("b"),
+                         (F.col("o_orderpriority") <= "2-HIGH")
+                         .cast("int").alias("c")),
+                ["a", "b", "c"])),
+            lambda: procrustes_align(
+                emb.select(F.col("embedding").alias("va"),
+                           F.reverse("embedding").alias("vb")),
+                "va", "vb"),
+            lambda: _noop(binary_segmentation(
+                daily, "day", "v", max_changepoints=2, alpha=0.9,
+                min_segment=3)),
+            lambda: platt_scaling(
+                o.select(((F.col("o_orderkey") % 97).cast("double")
+                          / 97.0).alias("s"),
+                         (((F.col("o_orderkey") * 31
+                            + F.col("o_custkey"))
+                           % 100) < 20 + 60 * (F.col("o_orderkey")
+                                               % 97)
+                          .cast("double") / 97.0).cast("double")
+                         .alias("y")),
+                "s", "y"))
 
     def bench_cindex_psm_poisson():
         # round-11 batch 5: concordance index + propensity matching +
@@ -1399,25 +1517,26 @@ def main() -> None:
                       .alias("e"),
                       ((F.col("user_id") % 20).cast("double") / 20.0)
                       .alias("s")))
-        _noop(concordance_index(ev, "dur", "e", "s",
-                                max_cells=200_000))
         o = t["orders"]
-        fit_poisson(
-            o.select((F.col("o_orderkey") % 7).cast("double")
-                     .alias("y"),
-                     (F.month("o_orderdate").cast("double") / 12.0)
-                     .alias("x1"),
-                     ((F.col("o_custkey") % 100).cast("double")
-                      / 100.0).alias("x2")),
-            "y", ["x1", "x2"])
-        _noop(propensity_match_att(
-            o.select(F.col("o_orderkey").alias("id"),
-                     (F.col("o_orderstatus") == "F").cast("double")
-                     .alias("tr"),
-                     (F.month("o_orderdate").cast("double") / 12.0)
-                     .alias("x"),
-                     F.col("o_totalprice").alias("y")),
-            "tr", "y", ["x"], "id", caliper=0.05))
+        _par(
+            lambda: _noop(concordance_index(ev, "dur", "e", "s",
+                                            max_cells=200_000)),
+            lambda: fit_poisson(
+                o.select((F.col("o_orderkey") % 7).cast("double")
+                         .alias("y"),
+                         (F.month("o_orderdate").cast("double")
+                          / 12.0).alias("x1"),
+                         ((F.col("o_custkey") % 100).cast("double")
+                          / 100.0).alias("x2")),
+                "y", ["x1", "x2"]),
+            lambda: _noop(propensity_match_att(
+                o.select(F.col("o_orderkey").alias("id"),
+                         (F.col("o_orderstatus") == "F")
+                         .cast("double").alias("tr"),
+                         (F.month("o_orderdate").cast("double")
+                          / 12.0).alias("x"),
+                         F.col("o_totalprice").alias("y")),
+                "tr", "y", ["x"], "id", caliper=0.05)))
 
     def bench_quantile_normalize():
         # round-11 batch 4: QN over three lineitem columns
@@ -1448,10 +1567,12 @@ def main() -> None:
         from whylogs_spark.ops.setsketch import (kmv_distinct,
                                                  kmv_pairwise_overlap)
         li = t["lineitem"]
-        _noop(kmv_distinct(li, "l_returnflag", ["l_orderkey"],
-                           k=1024))
-        _noop(kmv_pairwise_overlap(li, "l_returnflag",
-                                   ["l_orderkey"], k=1024))
+        _par(
+            lambda: _noop(kmv_distinct(li, "l_returnflag",
+                                       ["l_orderkey"], k=1024)),
+            lambda: _noop(kmv_pairwise_overlap(li, "l_returnflag",
+                                               ["l_orderkey"],
+                                               k=1024)))
 
     def bench_trend_offpolicy():
         # MK/Theil-Sen over per-type daily series + mSPRT monthly
@@ -1465,24 +1586,27 @@ def main() -> None:
                  .agg(F.count(F.lit(1)).cast("double").alias("v"))
                  .select("event_type",
                          F.col("__d").cast("double").alias("tt"), "v"))
-        _noop(mann_kendall(daily, "tt", "v", ["event_type"]))
-        _noop(msprt_scan(
-            t["orders"].withColumn(
-                "__arm", (F.col("o_custkey") % 2).cast("int")),
-            "o_orderdate", "__arm", "o_totalprice", 0, 1,
-            tau2=10000.0, grain="month"))
-        _noop(offpolicy_value(
-            t["orders"].select(
-                F.col("o_orderpriority").alias("a"),
-                (F.col("o_totalprice") > 150000).cast("double")
-                .alias("r"),
-                ((F.col("o_orderkey") % 4 + 1).cast("double") / 10.0)
-                .alias("p"), "o_orderstatus"),
-            "a", "r", "p",
-            target_policy={"1-URGENT": 0.35, "2-HIGH": 0.25,
-                           "3-MEDIUM": 0.2, "4-NOT SPECIFIED": 0.15,
-                           "5-LOW": 0.05},
-            clip=3.0, group_cols=["o_orderstatus"]))
+        _par(
+            lambda: _noop(mann_kendall(daily, "tt", "v",
+                                       ["event_type"])),
+            lambda: _noop(msprt_scan(
+                t["orders"].withColumn(
+                    "__arm", (F.col("o_custkey") % 2).cast("int")),
+                "o_orderdate", "__arm", "o_totalprice", 0, 1,
+                tau2=10000.0, grain="month")),
+            lambda: _noop(offpolicy_value(
+                t["orders"].select(
+                    F.col("o_orderpriority").alias("a"),
+                    (F.col("o_totalprice") > 150000).cast("double")
+                    .alias("r"),
+                    ((F.col("o_orderkey") % 4 + 1).cast("double")
+                     / 10.0).alias("p"), "o_orderstatus"),
+                "a", "r", "p",
+                target_policy={"1-URGENT": 0.35, "2-HIGH": 0.25,
+                               "3-MEDIUM": 0.2,
+                               "4-NOT SPECIFIED": 0.15,
+                               "5-LOW": 0.05},
+                clip=3.0, group_cols=["o_orderstatus"])))
 
     def bench_features_splits():
         # point-in-time trailing features + CV splits + negative
@@ -1492,18 +1616,21 @@ def main() -> None:
                                                 negative_sampling,
                                                 rolling_origin_splits)
         ev = t["events"]
-        _noop(trailing_features(
-            ev.filter(F.col("user_id").isNotNull()
-                      & F.col("ts").isNotNull()),
-            "user_id", "ts", "value", windows_sec=(86400 * 7,)))
-        _noop(kfold_assign(t["orders"], ["o_orderkey"], 5))
-        _noop(rolling_origin_splits(ev, "ts", 4, 7 * 86400.0))
-        _noop(negative_sampling(
-            ev.select((F.col("user_id") % 500).alias("u"),
-                      F.concat(F.lit("i"),
-                               (F.col("event_id") % 200)
-                               .cast("string")).alias("it")),
-            "u", "it", n_neg=2, max_catalog=100))
+        _par(
+            lambda: _noop(trailing_features(
+                ev.filter(F.col("user_id").isNotNull()
+                          & F.col("ts").isNotNull()),
+                "user_id", "ts", "value", windows_sec=(86400 * 7,))),
+            lambda: _noop(kfold_assign(t["orders"], ["o_orderkey"],
+                                       5)),
+            lambda: _noop(rolling_origin_splits(ev, "ts", 4,
+                                                7 * 86400.0)),
+            lambda: _noop(negative_sampling(
+                ev.select((F.col("user_id") % 500).alias("u"),
+                          F.concat(F.lit("i"),
+                                   (F.col("event_id") % 200)
+                                   .cast("string")).alias("it")),
+                "u", "it", n_neg=2, max_catalog=100)))
 
     def bench_isotonic_rake():
         # PAVA calibration + RAKE keyphrases — round-10 batch 4
@@ -1512,9 +1639,11 @@ def main() -> None:
         s = (F.col("o_orderkey") % 97).cast("double") / 97.0
         y = ((F.col("o_orderkey") * 31 + F.col("o_custkey")) % 100
              < 20 + 60 * s).cast("double")
-        _noop(isotonic_calibration(
-            t["orders"].select(s.alias("s"), y.alias("y")), "s", "y"))
-        _noop(rake_keywords(t["documents"], k=25))
+        _par(
+            lambda: _noop(isotonic_calibration(
+                t["orders"].select(s.alias("s"), y.alias("y")),
+                "s", "y")),
+            lambda: _noop(rake_keywords(t["documents"], k=25)))
 
     def bench_graph_embed_r10():
         # label propagation + MMD drift + PCA fit/project —
@@ -1528,12 +1657,14 @@ def main() -> None:
             .alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
             .alias("dst"))
-        _noop(label_propagation(edges, iterations=3))
         emb = t["embeddings"]
-        _noop(embedding_mmd(emb.filter(F.col("vec_id") % 2 == 0),
-                            emb.filter(F.col("vec_id") % 2 == 1),
-                            n_features=32, sigma=4.0, seed=11))
-        _noop(pca_project(emb, pca_fit(emb, k=4)))
+        _par(
+            lambda: _noop(label_propagation(edges, iterations=3)),
+            lambda: _noop(embedding_mmd(
+                emb.filter(F.col("vec_id") % 2 == 0),
+                emb.filter(F.col("vec_id") % 2 == 1),
+                n_features=32, sigma=4.0, seed=11)),
+            lambda: _noop(pca_project(emb, pca_fit(emb, k=4))))
 
     def bench_ab_hot10x():
         # skew rehearsal: 10x orders with a DEGENERATE 5-distinct-value
@@ -1562,23 +1693,26 @@ def main() -> None:
                                               poisson_bootstrap_diff,
                                               srm_check)
         o = t["orders"]
-        _noop(cuped_adjust(
-            o.select("o_orderstatus",
-                     F.col("o_totalprice").alias("y"),
-                     (F.col("o_totalprice")
-                      + (F.col("o_orderkey") % 1000).cast("double"))
-                     .alias("x")),
-            "y", "x", ["o_orderstatus"]))
-        _noop(srm_check(
-            o.withColumn("__arm",
-                         F.when(F.col("o_custkey") % 10 < 5,
-                                F.lit("a")).otherwise(F.lit("b"))),
-            "__arm", {"a": 0.5, "b": 0.5}, ["o_orderstatus"]))
-        _noop(poisson_bootstrap_diff(
-            o.withColumn("__grp",
-                         (F.col("o_custkey") % 2 == 1).cast("int")),
-            "__grp", "o_totalprice", 0, 1, "o_orderkey",
-            n_boot=100))
+        _par(
+            lambda: _noop(cuped_adjust(
+                o.select("o_orderstatus",
+                         F.col("o_totalprice").alias("y"),
+                         (F.col("o_totalprice")
+                          + (F.col("o_orderkey") % 1000)
+                          .cast("double")).alias("x")),
+                "y", "x", ["o_orderstatus"])),
+            lambda: _noop(srm_check(
+                o.withColumn("__arm",
+                             F.when(F.col("o_custkey") % 10 < 5,
+                                    F.lit("a"))
+                             .otherwise(F.lit("b"))),
+                "__arm", {"a": 0.5, "b": 0.5}, ["o_orderstatus"])),
+            lambda: _noop(poisson_bootstrap_diff(
+                o.withColumn("__grp",
+                             (F.col("o_custkey") % 2 == 1)
+                             .cast("int")),
+                "__grp", "o_totalprice", 0, 1, "o_orderkey",
+                n_boot=100)))
 
     def bench_data_contract():
         # a 9-check contract compiled into one agg + one fd branch
@@ -1612,19 +1746,25 @@ def main() -> None:
             F.col("c_custkey").alias("rid"),
             F.expr("substring(c_name, 1, length(c_name) - 1)")
             .alias("name"))
-        _noop(blocked_fuzzy_join(left, right, "name", block="prefix",
-                                 block_len=17, max_distance=1))
-        _noop(percentile_rollup(t["events"], qs=[0.5, 0.95, 0.99]))
+        _par(
+            lambda: _noop(blocked_fuzzy_join(
+                left, right, "name", block="prefix", block_len=17,
+                max_distance=1)),
+            lambda: _noop(percentile_rollup(t["events"],
+                                            qs=[0.5, 0.95, 0.99])))
 
     def bench_anonymize_ohlc():
         # de-identification sweep + OHLC candles over events
         from whylogs_spark.ops.events import ohlc_resample
         from whylogs_spark.ops.integrity import anonymize
-        _noop(anonymize(t["customer"], {
-            "c_name": ("hash", "r"), "c_acctbal": ("bucket", 1000),
-            "c_mktsegment": ("prefix", 3)}))
-        _noop(ohlc_resample(t["events"], tiebreak_cols=["event_id"],
-                            grain="hour"))
+        _par(
+            lambda: _noop(anonymize(t["customer"], {
+                "c_name": ("hash", "r"),
+                "c_acctbal": ("bucket", 1000),
+                "c_mktsegment": ("prefix", 3)})),
+            lambda: _noop(ohlc_resample(
+                t["events"], tiebreak_cols=["event_id"],
+                grain="hour")))
 
     def bench_survival_gini():
         # KM survival over user lifetimes + Gini/Lorenz concentration
@@ -1637,13 +1777,17 @@ def main() -> None:
                     .alias("dur"),
                     F.max((F.col("event_type") == "purchase")
                           .cast("int")).alias("ev")))
-        _noop(km_survival(per, "dur", "ev"))
         from whylogs_spark.ops.survival import logrank_test
-        _noop(logrank_test(
-            per.withColumn("arm", (F.col("user_id") % 2).cast("int")),
-            "dur", "ev", "arm", 0, 1))
-        _noop(gini_coefficient(t["lineitem"], "l_extendedprice"))
-        _noop(lorenz_curve(t["lineitem"], "l_extendedprice", 100))
+        _par(
+            lambda: _noop(km_survival(per, "dur", "ev")),
+            lambda: _noop(logrank_test(
+                per.withColumn("arm",
+                               (F.col("user_id") % 2).cast("int")),
+                "dur", "ev", "arm", 0, 1)),
+            lambda: _noop(gini_coefficient(t["lineitem"],
+                                           "l_extendedprice")),
+            lambda: _noop(lorenz_curve(t["lineitem"],
+                                       "l_extendedprice", 100)))
 
     def bench_encode_scale_skew():
         # categorical encoders + feature scaling + join pre-flight
@@ -1651,66 +1795,82 @@ def main() -> None:
         from whylogs_spark.ops.encode import (frequency_encode,
                                               target_encode)
         from whylogs_spark.ops.layout import join_skew_report
-        _noop(frequency_encode(t["orders"], "o_orderpriority")
-              .select("o_orderkey", "o_orderpriority_freq"))
-        _noop(target_encode(t["orders"], "o_orderstatus",
-                            "o_totalprice")
-              .select("o_orderkey", "o_orderstatus_te"))
-        _noop(standardize(t["lineitem"],
-                          ["l_quantity", "l_discount", "l_tax"])
-              .select("l_orderkey", "l_quantity_scaled"))
-        _noop(join_skew_report(t["lineitem"], t["orders"],
-                               ["l_orderkey"], ["o_orderkey"]))
+        _par(
+            lambda: _noop(frequency_encode(t["orders"],
+                                           "o_orderpriority")
+                          .select("o_orderkey",
+                                  "o_orderpriority_freq")),
+            lambda: _noop(target_encode(t["orders"], "o_orderstatus",
+                                        "o_totalprice")
+                          .select("o_orderkey", "o_orderstatus_te")),
+            lambda: _noop(standardize(t["lineitem"],
+                                      ["l_quantity", "l_discount",
+                                       "l_tax"])
+                          .select("l_orderkey", "l_quantity_scaled")),
+            lambda: _noop(join_skew_report(t["lineitem"], t["orders"],
+                                           ["l_orderkey"],
+                                           ["o_orderkey"])))
 
     def bench_weighted_pvalues_qq():
         # quality-weighted sampling + BH correction + QQ drift view
         from whylogs_spark.core.drift import adjust_pvalues, qq_table
         from whylogs_spark.ops.sampling import weighted_sample
-        _noop(weighted_sample(t["documents"], 500, "n_chars",
-                              ["doc_id"]).select("doc_id"))
         tests = t["lineitem"].groupBy(
             F.concat_ws("/", "l_returnflag", "l_linestatus")
             .alias("test_id")).agg(
             F.round(F.avg("l_discount"), 6).alias("p"))
-        _noop(adjust_pvalues(tests, "p", "test_id"))
-        _noop(qq_table(
-            t["lineitem"].filter(F.col("l_returnflag") == "A"),
-            t["lineitem"].filter(F.col("l_returnflag") == "R"),
-            "l_extendedprice"))
+        _par(
+            lambda: _noop(weighted_sample(
+                t["documents"], 500, "n_chars",
+                ["doc_id"]).select("doc_id")),
+            lambda: _noop(adjust_pvalues(tests, "p", "test_id")),
+            lambda: _noop(qq_table(
+                t["lineitem"].filter(F.col("l_returnflag") == "A"),
+                t["lineitem"].filter(F.col("l_returnflag") == "R"),
+                "l_extendedprice")))
 
     def bench_behavioral():
         # funnel + retention + transitions + path mining over events
         from whylogs_spark.ops.events import (frequent_sequences,
                                               funnel, retention_cohorts,
                                               transition_matrix)
-        _noop(funnel(t["events"], ["view", "click", "purchase"]))
-        _noop(funnel(t["events"], ["view", "click", "purchase"],
-                     within=86400.0))
-        _noop(retention_cohorts(t["events"], grain="day"))
-        _noop(transition_matrix(t["events"]))
-        _noop(frequent_sequences(t["events"], n=3, k=50))
+        _par(
+            lambda: _noop(funnel(t["events"],
+                                 ["view", "click", "purchase"])),
+            lambda: _noop(funnel(t["events"],
+                                 ["view", "click", "purchase"],
+                                 within=86400.0)),
+            lambda: _noop(retention_cohorts(t["events"],
+                                            grain="day")),
+            lambda: _noop(transition_matrix(t["events"])),
+            lambda: _noop(frequent_sequences(t["events"], n=3,
+                                             k=50)))
 
     def bench_winsorize_hist2d_fd():
         # quantile clip + 2-D histogram + FD health in one sweep
         from whylogs_spark.core.summaries import histogram2d, winsorize
         from whylogs_spark.ops.integrity import (
             functional_dependency_report)
-        _noop(winsorize(t["lineitem"], "l_extendedprice",
-                        lower=0.05, upper=0.95)
-              .select("l_orderkey", "l_extendedprice_winsorized"))
-        _noop(histogram2d(t["lineitem"], "l_quantity", "l_discount",
-                          n_bins_x=20, n_bins_y=20))
-        _noop(functional_dependency_report(
-            t["lineitem"], ["l_partkey"], ["l_suppkey"]))
+        _par(
+            lambda: _noop(winsorize(t["lineitem"], "l_extendedprice",
+                                    lower=0.05, upper=0.95)
+                          .select("l_orderkey",
+                                  "l_extendedprice_winsorized")),
+            lambda: _noop(histogram2d(t["lineitem"], "l_quantity",
+                                      "l_discount", n_bins_x=20,
+                                      n_bins_y=20)),
+            lambda: _noop(functional_dependency_report(
+                t["lineitem"], ["l_partkey"], ["l_suppkey"])))
 
     def bench_outlier_bins():
         from whylogs_spark.core.summaries import (
             robust_outlier_summary, with_quantile_bins)
-        _noop(with_quantile_bins(t["lineitem"], "l_extendedprice",
-                                 n_bins=10)
-              .groupBy("l_extendedprice_qbin").count())
-        _noop(robust_outlier_summary(t["lineitem"], "l_extendedprice",
-                                     ["l_returnflag"]))
+        _par(
+            lambda: _noop(with_quantile_bins(
+                t["lineitem"], "l_extendedprice", n_bins=10)
+                .groupBy("l_extendedprice_qbin").count()),
+            lambda: _noop(robust_outlier_summary(
+                t["lineitem"], "l_extendedprice", ["l_returnflag"])))
 
     benches = {
         "profile_lineitem_native": bench_profile_native,
@@ -2111,6 +2271,31 @@ def main() -> None:
         # findings worth carrying between rounds (task-sec is the
         # steal-immune evidence; wall on this host is noisy)
         "notes": {
+            "r13_s3_sink_overlap": (
+                "composite rows now overlap their INDEPENDENT "
+                "queries on driver threads (_par, optimization guide "
+                "§2.6) — each query and its results are unchanged; "
+                "idle-core wall during one query's stage tails and "
+                "driver-side fit loops is recovered. Same-host "
+                "back-to-back A/B over the 12 heaviest composite "
+                "rows: 142.0 -> 73.8 s (0.52x). Known reporting "
+                "bias: task-sec on overlapped rows now includes "
+                "intra-row CPU time-slicing (concurrent stages share "
+                "cores, executorRunTime absorbs the wait), so "
+                "task-sec is PESSIMISTIC for these rows — e.g. "
+                "store_quantile_series wall 19.3 -> 8.0 while "
+                "task-sec rose ~1.9x; compare walls (or isolated "
+                "runs) when reading overlapped rows"),
+            "r13_s3_flag_adjudication": (
+                "every 'reproduced' flag in this record sits on a "
+                "row whose code is byte-identical this session "
+                "(none are overlap-converted); the same-host "
+                "FULL before-arm run at the pre-change commit "
+                "(plans/r13/S3_FULLRUN_BEFORE.json) reproduces the "
+                "same 1.5-2x task-sec inflation on those rows, so "
+                "the flags are cross-host-window artifacts (this "
+                "daytime host vs the overnight record host), not "
+                "regressions"),
             "r9_minhash_precollapse_trade": (
                 "minhash_dedup pre-collapses exact duplicates before "
                 "banding: the 1x low-duplication corpus pays "

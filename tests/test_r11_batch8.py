@@ -122,3 +122,31 @@ class TestTwoModelUplift:
         # the model must rank high-x rows as higher uplift
         assert hi > lo + 0.1
         assert 0.1 < hi < 0.6
+
+    def test_threaded_arm_fits_equal_sequential(self, spark):
+        # r13: the two arm fits run on driver threads — each arm's
+        # Newton-step aggregate sequence is unchanged, so the
+        # coefficients must be IDENTICAL to direct sequential
+        # fit_logistic calls on the same arm filters
+        from whylogs_spark.ops.causal import fit_logistic
+        n = 800
+        x = RNG.normal(0, 1, n)
+        tr = (np.arange(n) % 2).astype(float)
+        y = (RNG.uniform(size=n)
+             < 1 / (1 + np.exp(-(0.4 * x + 0.3 * tr)))).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c))
+             for a, b, c in zip(x, tr, y)],
+            "x double, tr double, y double")
+        m = two_model_uplift(df, "tr", "y", ["x"])
+        t = F.col("tr").cast("double")
+        seq_t = fit_logistic(df.filter(t == 1.0), "y", ["x"])
+        seq_c = fit_logistic(df.filter(t == 0.0), "y", ["x"])
+        assert m["n_treat"] == seq_t["n"]
+        assert m["n_ctrl"] == seq_c["n"]
+        for got, ref in ((m["treatment"], seq_t), (m["control"],
+                                                   seq_c)):
+            assert abs(got["intercept"] - ref["intercept"]) < 1e-9
+            for c in ["x"]:
+                assert abs(got["coef"][c] - ref["coef"][c]) < 1e-9
+            assert got["iterations"] == ref["iterations"]

@@ -36,13 +36,23 @@ def two_model_uplift(
     Score new rows with :func:`uplift_score_col`; evaluate the score
     with ``ops.abtest.uplift_curve`` / ``auuc``.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from whylogs_spark.ops.causal import fit_logistic
 
     t = F.col(treat_col).cast("double")
-    mt = fit_logistic(df.filter(t == 1.0), label_col, feature_cols,
-                      max_iter=max_iter)
-    mc = fit_logistic(df.filter(t == 0.0), label_col, feature_cols,
-                      max_iter=max_iter)
+    # The two arm fits are independent (disjoint filters of df), and
+    # each is a SEQUENTIAL chain of bounded Newton-step aggregates —
+    # overlapping them on driver threads (optimization guide §2.6)
+    # lets one arm's jobs back-fill executors idled by the other's
+    # step barrier. Each fit's own aggregate sequence (and therefore
+    # its coefficients) is byte-identical to the sequential form.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ft = pool.submit(fit_logistic, df.filter(t == 1.0), label_col,
+                         feature_cols, max_iter)
+        fc = pool.submit(fit_logistic, df.filter(t == 0.0), label_col,
+                         feature_cols, max_iter)
+        mt, mc = ft.result(), fc.result()
     return {"treatment": mt, "control": mc,
             "n_treat": mt["n"], "n_ctrl": mc["n"]}
 
